@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics, and content fingerprinting. All pure `functions._`
+  * expressions — fully codegen'd, no UDFs, so they stay inside
+  * WholeStageCodegen on the scan.
+  */
+object Text {
+
+  private val stopEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las")
+  private val stopDe = Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "auf", "ein")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Token/quality statistics per document. `quality_score` is a
+    * deterministic blend of lexical-diversity, non-stopword density, and a
+    * length factor — the shape of heuristic quality filters used on web
+    * corpora. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"), col("lang"), col("source"),
+        tokens(col("text")).as("toks"), col("text"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        hitCount(col("toks"), stopEn).as("n_stopwords"),
+        length(col("text")).as("n_chars_text"),
+        (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / size(col("toks")))
+          .as("avg_token_len"))
+      .withColumn("distinct_ratio",
+        col("n_distinct_tokens").cast(DoubleType) / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality_score",
+        lit(0.5) * col("distinct_ratio")
+          + lit(0.3) * (lit(1.0) - col("stopword_ratio"))
+          + lit(0.2) * least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)))
+  }
+
+  /** n-gram/stopword-overlap language ID. (On this synthetic corpus the
+    * `lang` column is random — the operator itself is what's under test;
+    * accuracy on real text is exercised in the unit spec.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    d.select(
+        col("doc_id"),
+        hitCount(toks, stopEn).as("en_hits"),
+        hitCount(toks, stopEs).as("es_hits"),
+        hitCount(toks, stopDe).as("de_hits"))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= col("es_hits")
+          && col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+          .when(col("de_hits") > 0, "de")
+          .otherwise("und"))
+  }
+
+  /** Whitespace-normalized md5 content fingerprint (document identity for
+    * exact dedup). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      size(tokens(col("text"))).as("n_tokens"))
+
+  object oracle {
+    private def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString("(", ",", ")")
+    private def hits(words: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(words)})) AS INT)"
+
+    val textStats: String =
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+         |    ${hits(stopEn)} AS n_stopwords,
+         |    CAST(length(text) AS INT) AS n_chars_text,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS INT) AS avg_token_len
+         |  FROM documents)
+         |SELECT *,
+         |  CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_ratio,
+         |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  0.5 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+         |    + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens)
+         |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+         |FROM s""".stripMargin
+
+    val langId: String =
+      s"""WITH h AS (
+         |  SELECT doc_id, ${hits(stopEn)} AS en_hits, ${hits(stopEs)} AS es_hits,
+         |         ${hits(stopDe)} AS de_hits
+         |  FROM documents)
+         |SELECT *,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         |       WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+         |       WHEN de_hits > 0 THEN 'de'
+         |       ELSE 'und' END AS lang_guess
+         |FROM h""".stripMargin
+
+    val textFingerprint: String =
+      s"""SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |FROM documents""".stripMargin
+  }
+}

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing for training-data pipelines: opaque `binary`
+  * payloads + typed metadata, with a batched decode/feature-extract stage.
+  *
+  * No image/audio codecs exist in this container, so the actual decode is
+  * STUBBED with a deterministic fake (features derived from payload
+  * length). Everything around the stub — the schema (binary + metadata
+  * struct), the per-partition batched iterator shape a real decoder needs
+  * (amortize model/codec init per partition, not per row), and the
+  * repartitioning for decode parallelism — is real and tested.
+  */
+object Multimodal {
+
+  /** A decoded feature row; what a real image decoder would emit. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+                           height: Int, n_frames: Int, brightness: Double)
+
+  /** STUB decoder: deterministic fake features from the payload bytes.
+    * A real implementation would parse the codec header / run the model
+    * here; everything downstream is agnostic to the swap. */
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val n = payload.length
+    MediaFeatures(docId, n, n % 640, (n * 7) % 480, n % 30, (n % 256) / 255.0)
+  }
+
+  /** Synthesize a multimodal table from `documents`: text bytes play the
+    * opaque payload, with a typed metadata struct alongside. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        col("source").as("origin"),
+        length(col("text")).as("n_chars")).as("meta"))
+
+  /** Expression-only feature path (codegen'd, used by the driver-checked
+    * query): mirrors `decodeStub` exactly so the two paths are
+    * cross-checked in the unit spec. */
+  def featurize(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("doc_id"),
+      length(col("payload")).as("n_bytes"))
+      .select(
+        col("doc_id"),
+        col("n_bytes"),
+        (col("n_bytes") % 640).as("width"),
+        ((col("n_bytes") * 7) % 480).as("height"),
+        (col("n_bytes") % 30).as("n_frames"),
+        ((col("n_bytes") % 256).cast(DoubleType) / 255.0).as("brightness"))
+
+  /** Batched decode path: the real plumbing a heavyweight decoder needs —
+    * per-partition init, iterator-in/iterator-out, explicit repartition to
+    * spread decode cost. Swap `decodeStub` for a real codec call. */
+  def decodeBatched(media: DataFrame, parallelism: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .repartition(parallelism)
+      .mapPartitions { rows: Iterator[Row] =>
+        // real decoder: initialize codec/model once per partition here
+        rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+  }
+
+  object oracle {
+    /** documents.text is ASCII, so DuckDB's char length == byte length. */
+    val featurize: String =
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_bytes,
+         |  CAST(length(text) % 640 AS INT) AS width,
+         |  CAST((length(text) * 7) % 480 AS INT) AS height,
+         |  CAST(length(text) % 30 AS INT) AS n_frames,
+         |  CAST(length(text) % 256 AS DOUBLE) / 255.0 AS brightness
+         |FROM documents""".stripMargin
+  }
+}
