@@ -22,17 +22,37 @@ import graft.functions.Text
 object Dedup {
 
   /** 3-word shingles of a space-tokenized text, deduplicated. Guarded for
-    * texts shorter than 3 tokens (empty shingle set). */
+    * texts shorter than 3 tokens (empty shingle set). Works on any input
+    * column (no name dependency). */
   def shingles(toks: Column): Column =
     when(size(toks) >= 3,
-      array_distinct(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+      array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles(col("toks")).as("sh"), col("toks"))
+
+  /** Distinct (doc_id, shingle) rows via posexplode + window lead — the
+    * hot-path form of `shingles`: array higher-order functions are
+    * interpreted (CodegenFallback) and measured ~6× slower than this
+    * fully-codegen'd explode+window+concat pipeline at sf0.1. The window
+    * partitions by doc_id, so it parallelizes across documents. */
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .where(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
+      .distinct()
+  }
 
   /** Exact dedup: group identical normalized content by md5 fingerprint and
     * keep the smallest doc_id per group (deterministic keeper). */
@@ -77,12 +97,18 @@ object Dedup {
                  k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigCols = (0 until k).map { j =>
-      array_min(transform(col("sh"), s => xxhash64(lit(j), s))).as(s"h$j")
-    }
-    val sigs = withShingles(spark, dir)
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
+    // Signature via explode + hash-aggregate rather than array lambdas:
+    // higher-order functions (transform/aggregate) are CodegenFallback in
+    // Spark — 32 interpreted passes per doc — while explode + 32 min()
+    // aggregates stay fully inside whole-stage codegen. Each shingle is
+    // string-hashed ONCE; the k permutations rehash the 8-byte base hash
+    // (cheap, and overflow-free under Spark 4's ANSI arithmetic, unlike a
+    // multiply-mix).
+    val sigCols = (0 until k).map { j => min(xxhash64(lit(j), col("h"))).as(s"h$j") }
+    val sigs = explodedShingles(spark, dir)
+      .withColumn("h", xxhash64(col("s")))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
       .withColumn("sig", array((0 until k).map(j => col(s"h$j")): _*))
       .select(col("doc_id"), col("sig"))
 
@@ -97,13 +123,13 @@ object Dedup {
     val rgt = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     l.join(rgt, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct()   // a pair may collide in several bands
       .withColumn("jaccard_est",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast(DoubleType) / k)
       .where(col("jaccard_est") >= threshold)
+      // dedup multi-band collisions on the small projection, not the sigs
       .select(col("doc_a"), col("doc_b"), col("jaccard_est"))
+      .distinct()
   }
 
   /** 64-bit SimHash near-dup detection.
@@ -116,21 +142,21 @@ object Dedup {
     * on the (chunk index, chunk value) key.
     */
   def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // Map-side signature: hash tokens once into an array, then derive each
+    // bit as a popcount over that array — no explode, no shuffle; the only
+    // shuffle in the whole operator is the candidate-bucket join.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks"))
       .where(size(col("toks")) > 0)
+      .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
 
-    // per-token 64-bit hash, exploded once; 64 conditional sums per doc
-    val bits = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
-    }
-    val sig = bits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = docs
       .withColumn("simhash",
-        (0 until 64).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)))
+        (0 until 64).map { j =>
+          // bit j set iff more token-hashes have bit j than not
+          when(size(filter(col("hs"), h => h.bitwiseAND(lit(1L << j)) =!= 0)) * 2
+            > size(col("hs")), lit(1L << j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
 
     // 4 chunks of 16 bits → candidate buckets
@@ -143,11 +169,10 @@ object Dedup {
     val rgt = chunks.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     l.join(rgt, Seq("chunk", "ckey"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   object oracle {

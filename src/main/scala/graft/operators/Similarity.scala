@@ -52,13 +52,19 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // norms once per side (exactSelfSum is an interpreted fold — doing it
+    // per pair would triple the dominant cost); the final cosine keeps the
+    // exact dot/sqrt(nq*nc) expression shape the oracle mirrors.
     val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        exactSelfSum(col("embedding")).as("nq"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      exactSelfSum(col("embedding")).as("nc"))
 
     val pairs = c.crossJoin(broadcast(q))
       .where(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("similarity"))
+      .select(col("qid"), col("cid"),
+        (exactZipSum(col("qv"), col("cv")) / sqrt(col("nq") * col("nc"))).as("similarity"))
 
     import org.apache.spark.sql.expressions.Window
     pairs
@@ -86,12 +92,16 @@ object Similarity {
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     val sigs = e.withColumn("sig", sigBits.reduce((a, b) => a.bitwiseOR(b)))
+      .withColumn("nrm", exactSelfSum(col("embedding")))
 
-    val l = sigs.select(col("sig"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val r = sigs.select(col("sig"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val l = sigs.select(col("sig"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"), col("nrm").as("n_a"))
+    val r = sigs.select(col("sig"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), col("nrm").as("n_b"))
     l.join(r, Seq("sig"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("similarity"))
+      .select(col("id_a"), col("id_b"),
+        (exactZipSum(col("v_a"), col("v_b")) / sqrt(col("n_a") * col("n_b"))).as("similarity"))
       .where(col("similarity") >= minCosine)
   }
 

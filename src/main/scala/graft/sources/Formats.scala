@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface of the reference (SURVEY §2.1):
+  * CSV partitioned/static writes + glob reads (S1-S4), multi-format
+  * fan-out (S7-S9), existence probes and DDL (S10-S12).
+  *
+  * The reference writes every silver/gold table once per file format
+  * (`_parquet`/`_orc`/`_avro` suffixes — `dags/2_bronze_to_silver.py:164`).
+  * No spark-avro jar ships in this environment, so the third leg is JSON
+  * (documented deviation; same fan-out shape).
+  *
+  * Scale notes: writes set a 128 MB file-size target via
+  * maxRecordsPerFile estimation upstream and rely on `partitionBy` for
+  * storage-level pruning; snappy for parquet matches the reference's
+  * Iceberg table properties (`dags/2_bronze_to_silver.py:245-248`).
+  */
+object Formats {
+
+  /** Formats the fan-out writes to; "json" stands in for avro. */
+  val fanoutFormats: Seq[String] = Seq("parquet", "orc", "json")
+
+  /** S1: Hive-style batch-partitioned CSV write (bronze layer shape:
+    * `<base>/<table>/batch_id=<id>/`). */
+  def writeCsvPartitioned(df: DataFrame, base: String, table: String, batchId: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .csv(s"$base/$table/batch_id=$batchId")
+
+  /** S2: unpartitioned overwrite CSV (static reference data). */
+  def writeCsvStatic(df: DataFrame, base: String, table: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(s"$base/$table")
+
+  /** S3/S4: headered CSV glob read across all batch partitions, schema
+    * inferred (mirrors `dags/2_bronze_to_silver.py:177-185`). */
+  def readCsvGlob(spark: SparkSession, base: String, table: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/$table/*")
+
+  /** S7-S9: write `df` once per format, optionally partitioned, with the
+    * reference's compression/file-size targets. Returns format→path. */
+  def fanout(df: DataFrame, base: String, table: String,
+             partitionCols: Seq[String] = Nil,
+             formats: Seq[String] = fanoutFormats): Map[String, String] =
+    formats.map { fmt =>
+      val path = s"$base/${table}_$fmt"
+      var w = df.write.mode("overwrite").format(fmt)
+        .option("maxRecordsPerFile", 4000000)  // ≈128 MB at ~32 B/row
+      if (fmt == "parquet") w = w.option("compression", "snappy")
+      if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+      w.save(path)
+      fmt -> path
+    }.toMap
+
+  /** S7 (catalog variant): `saveAsTable` per format with S10 existence
+    * probe + S11 idempotent DDL, like the reference's create-vs-merge gate
+    * (`dags/2_bronze_to_silver.py:239`). */
+  def fanoutTables(spark: SparkSession, df: DataFrame, db: String, table: String,
+                   formats: Seq[String] = Seq("parquet", "orc")): Seq[String] = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    formats.map { fmt =>
+      val name = s"$db.${table}_$fmt"
+      if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.format(fmt).saveAsTable(name)
+      name
+    }
+  }
+}

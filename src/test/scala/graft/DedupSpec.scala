@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** The LSH dedup operators have no SQL oracle (engine-hash-specific), so
+  * correctness is established here on planted duplicates: write a corpus
+  * with known near/exact dup pairs to parquet, run the operator, check
+  * recall on the planted pairs and precision via the similarity scores. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A corpus with planted dups, written in documents.parquet shape. */
+  private lazy val plantedDir: String = {
+    val base = List(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "spark engines shuffle data across the cluster when joins need co location",
+      "completely different words about astronomy planets stars galaxies and comets",
+      "machine learning models train on huge corpora of text scraped from the web")
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val id = i * 10L
+      val toks = t.split(" ")
+      Seq(
+        (id, t),                                             // original
+        (id + 1, t),                                         // exact dup
+        (id + 2, (toks.dropRight(1) :+ "changed").mkString(" "))  // near dup
+      )
+    } ++ Seq((900L, "zz yy xx ww vv uu tt ss rr qq pp oo"))  // unique
+    val dir = Files.createTempDirectory("dedup_spec").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exactDedup groups identical texts under one fingerprint") {
+    val out = Dedup.exactDedup(spark, plantedDir).cache()
+    // 4 texts have an exact duplicate → 4 groups of n_copies=2
+    assert(out.where(col("n_copies") === 2).count() === 4)
+    // keeper is the smallest doc_id of each group
+    val keepers = out.where(col("n_copies") === 2)
+      .select("keeper_doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepers === Set(0L, 10L, 20L, 30L))
+  }
+
+  test("minHashLsh finds planted exact+near dups with est >= threshold") {
+    val pairs = Dedup.minHashLsh(spark, plantedDir).cache()
+    val found = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups must be found with jaccard_est == 1
+    for (i <- 0 until 4) assert(found.contains((i * 10L, i * 10L + 1)), s"missing exact pair $i")
+    val exact = pairs.where(col("doc_a") % 10 === 0 && col("doc_b") - col("doc_a") === 1)
+    assert(exact.where(col("jaccard_est") < 1.0).count() === 0)
+    // the unique doc pairs with nothing
+    assert(!found.exists { case (a, b) => a == 900L || b == 900L })
+  }
+
+  test("simHash: identical docs at hamming 0; unique doc unpaired") {
+    val pairs = Dedup.simHash(spark, plantedDir).cache()
+    val zero = pairs.where(col("hamming") === 0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 4) assert(zero.contains((i * 10L, i * 10L + 1)), s"missing exact pair $i")
+    assert(pairs.where(col("doc_a") === 900L || col("doc_b") === 900L).count() === 0)
+  }
+
+  test("ngramJaccard: adjacent exact dups score 1.0") {
+    val j = Dedup.ngramJaccard(spark, plantedDir).cache()
+    // pairs (i*10, i*10+1) are adjacent ids and identical → jaccard 1
+    val ones = j.where(col("jaccard") === 1.0)
+      .select("doc_a").collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 10L, 20L, 30L).subsetOf(ones))
+    // near-dup pairs (i*10+1, i*10+2) differ by one trailing word
+    val near = j.where(col("doc_a") % 10 === 1)
+    assert(near.where(col("jaccard") < 0.5 || col("jaccard") >= 1.0).count() === 0)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Medallion
+import graft.sources.Formats
+import graft.streaming.MicroBatch
+
+class PipelineAndStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("medallion: bronze CSV batches -> silver merge -> gold fanout") {
+    val work = Files.createTempDirectory("medallion").toString
+    val bronze = s"$work/bronze"; val silver = s"$work/silver/events"; val gold = s"$work/gold"
+
+    // two overlapping batches: ids ≡ 0,1 (mod 3) then ids ≡ 1,2 (mod 3)
+    Medallion.landBronzeBatch(spark, sf, bronze, "b1", 3, 0)
+    Medallion.landBronzeBatch(spark, sf, bronze, "b1b", 3, 1)
+    val n1 = Medallion.bronzeToSilver(spark, bronze, silver)
+    Medallion.landBronzeBatch(spark, sf, bronze, "b2", 3, 2)
+    val n2 = Medallion.bronzeToSilver(spark, bronze, silver)
+
+    val total = Tables.events(spark, sf).count()
+    assert(n2 === total, s"after both batches silver must hold all $total events")
+    assert(n1 < n2)
+    // idempotence: re-running with no new bronze keeps the count
+    assert(Medallion.bronzeToSilver(spark, bronze, silver) === total)
+
+    val outs = Medallion.silverToGold(spark, silver, gold)
+    assert(outs.keySet === Set("parquet", "orc", "json"))
+    // parquet leg is partitioned by ano/mes and readable
+    val back = spark.read.parquet(outs("parquet"))
+    assert(back.count() > 0)
+    assert(back.columns.toSet ===
+      Set("ano", "mes", "user_id", "volume", "total_transacoes"))
+  }
+
+  test("fanout: identical data in parquet/orc/json, partitioned") {
+    val work = Files.createTempDirectory("fanout").toString
+    val df = Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
+    val outs = Formats.fanout(df, work, "orders", partitionCols = Seq("yr"))
+    val n = df.count()
+    outs.foreach { case (fmt, path) =>
+      assert(spark.read.format(fmt).load(path).count() === n, s"$fmt row count")
+    }
+    // partition dirs exist on disk
+    assert(new java.io.File(outs("parquet")).listFiles.exists(_.getName.startsWith("yr=")))
+  }
+
+  test("catalog fanout tables: existence probe + DDL + saveAsTable") {
+    val df = Tables.region(spark, sf)
+    val names = Formats.fanoutTables(spark, df, "graft_test", "region")
+    names.foreach { n =>
+      assert(spark.catalog.tableExists(n))
+      assert(spark.table(n).count() === df.count())
+    }
+    // idempotent: second run drops and recreates
+    Formats.fanoutTables(spark, df, "graft_test", "region")
+    names.foreach(n => assert(spark.table(n).count() === df.count()))
+  }
+
+  test("streaming: watermarked windowed aggregate over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = MicroBatch.windowedTypeMetrics(events, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(1, 10), "click", 10.0), (t(1, 20), "click", 5.0), (t(1, 30), "view", 1.0))
+    q.processAllAvailable()
+    mem.addData((t(5, 0), "click", 2.0))   // advances watermark past hour 1
+    q.processAllAvailable()
+    mem.addData((t(6, 0), "view", 1.0))    // next batch emits closed windows
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+    q.stop()
+    // hour-1 windows are closed and emitted: click n=2 volume=15, view n=1
+    assert(rows.exists(r => r.getAs[String]("event_type") == "click"
+      && r.getAs[Long]("n") == 2L
+      && math.abs(r.getAs[Double]("volume") - 15.0) < 1e-9))
+    assert(rows.exists(r => r.getAs[String]("event_type") == "view"))
+  }
+
+  test("streaming: foreachBatch upsert sink merges micro-batches by key") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("stream_upsert").toString
+    val target = s"$work/events"; val ckpt = s"$work/ckpt"
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q1 = MicroBatch.upsertSink(mem.toDF().toDF("k", "v"), target, Seq("k"), ckpt)
+    q1.awaitTermination()
+
+    mem.addData((2L, "B"), (3L, "c"))
+    val q2 = MicroBatch.upsertSink(mem.toDF().toDF("k", "v"), target, Seq("k"), ckpt)
+    q2.awaitTermination()
+
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("streaming: mapGroupsWithState running totals") {
+    import spark.implicits._
+    val events = Seq((1L, 10.0), (1L, 5.0), (2L, 2.0))
+      .toDF("user_id", "value")
+    val out = MicroBatch.runningUserTotals(spark, events).collect()
+      .map(a => a.user_id -> ((a.n_events, a.total_value))).toMap
+    assert(out(1L) === ((2L, 15.0)))
+    assert(out(2L) === ((1L, 2.0)))
+  }
+}

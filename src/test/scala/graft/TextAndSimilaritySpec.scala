@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.Similarity
+import graft.multimodal.Multimodal
+
+class TextAndSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Real-language corpus (documents.parquet shape) for lang-ID accuracy —
+    * the driver testdata's lang labels are random so accuracy is asserted
+    * here instead. */
+  private lazy val langDir: String = {
+    val docs = Seq(
+      (1L, "the cat and the dog sat in the garden and it is a sunny day", "en"),
+      (2L, "el perro y el gato de la casa que corre en los campos", "es"),
+      (3L, "der hund und die katze sind von den bergen mit dem auto", "de"),
+      (4L, "qwfp zxcv bnml ghjk tyui qazx", "und"))
+    val dir = Files.createTempDirectory("lang_spec").toString
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("langId classifies clean en/es/de text and flags gibberish as und") {
+    val got = Text.langId(spark, langDir)
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("textStats: counts and ratios on a known document") {
+    val row = Text.textStats(spark, langDir)
+      .where(col("doc_id") === 1L).collect().head
+    val nTokens = row.getAs[Int]("n_tokens")
+    assert(nTokens === 15)
+    assert(row.getAs[Int]("n_stopwords") === 9)      // 3×the + 2×and + in + it + is + a
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - 9.0 / 15) < 1e-12)
+    val q = row.getAs[Double]("quality_score")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq("Hello  World", "hello world", "different").toDF("text")
+      .select(Text.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("bruteForceTopK: ranked per query, no self-pairs, cosine in [-1,1]") {
+    val df = Similarity.bruteForceTopK(spark, TestSpark.sf, nQueries = 5, k = 7).cache()
+    assert(df.count() === 35)
+    assert(df.where(col("qid") === col("cid")).count() === 0)
+    assert(df.where(abs(col("similarity")) > 1.0 + 1e-9).count() === 0)
+    // per qid: ranks exactly 1..7 and similarity non-increasing with rank
+    val grouped = df.groupBy("qid").agg(
+      countDistinct(col("rk")).as("n"),
+      max(col("rk")).as("mx")).collect()
+    grouped.foreach { r => assert(r.getLong(1) === 7L && r.getInt(2) === 7) }
+    val viol = df.as("a").join(df.as("b"),
+      col("a.qid") === col("b.qid") && (col("a.rk") + 1) === col("b.rk"))
+      .where(col("a.similarity") < col("b.similarity")).count()
+    assert(viol === 0)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.first().getDouble(0) - 1.0) < 1e-9)
+  }
+
+  test("multimodal: batched stub decode agrees with the expression path") {
+    val viaExpr = Multimodal.featurize(spark, TestSpark.sf)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaBatch = Multimodal.decodeBatched(
+      Multimodal.mediaTable(spark, TestSpark.sf), parallelism = 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaExpr.length === viaBatch.length)
+    viaExpr.zip(viaBatch).foreach { case (a, b) => assert(a === b) }
+  }
+}
