@@ -32,6 +32,10 @@ object SparkEntry {
     // scan→agg / join→rank headliners
     "q1_pricing_summary"  -> ((s, d) => Tpch.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Tpch.q3ShippingPriority(s, d)),
+    "q5_local_supplier"   -> ((s, d) => Tpch.q5LocalSupplierVolume(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Tpch.q6ForecastRevenue(s, d)),
+    "q18_large_orders"    -> ((s, d) => Tpch.q18LargeOrders(s, d)),
+    "rollup_volume"       -> ((s, d) => Tpch.rollupVolume(s, d)),
     // silver ops (SURVEY §2.1/2.4: P3, J6, J7, A12)
     "silver_upsert"       -> ((s, d) => Ingest.silverUpsert(s, d)),
     "silver_insert_only"  -> ((s, d) => Ingest.silverInsertOnly(s, d)),
@@ -48,6 +52,7 @@ object SparkEntry {
     "doc_dedup_simhash"   -> ((s, d) => Dedup.simHash(s, d)),
     // similarity search extensions
     "ann_topk"            -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_near_dup_lsh"    -> ((s, d) => Similarity.nearDupLsh(s, d)),
     // multimodal plumbing (stubbed decode, real schema/expressions)
     "multimodal_features" -> ((s, d) => Multimodal.featurize(s, d)),
@@ -63,6 +68,10 @@ object SparkEntry {
     "product_ranking"     -> Analytics.oracle.productRanking,
     "q1_pricing_summary"  -> Tpch.oracle.q1PricingSummary,
     "q3_shipping_priority" -> Tpch.oracle.q3ShippingPriority,
+    "q5_local_supplier"   -> Tpch.oracle.q5LocalSupplierVolume,
+    "q6_forecast_revenue" -> Tpch.oracle.q6ForecastRevenue,
+    "q18_large_orders"    -> Tpch.oracle.q18LargeOrders,
+    "rollup_volume"       -> Tpch.oracle.rollupVolume,
     "silver_upsert"       -> Ingest.oracle.silverUpsert,
     "silver_insert_only"  -> Ingest.oracle.silverInsertOnly,
     "silver_dedup"        -> Ingest.oracle.silverDedup,

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions with full codegen — the hot-path scalar
+  * kernels where Spark's built-ins fall short:
+  *
+  *  - `RollingHash`: 64-bit polynomial (Rabin-Karp) content fingerprint of
+  *    a string. Built-in alternatives hash whole UTF8 blobs (xxhash64) —
+  *    fine — but a polynomial hash supports incremental/windowed hashing
+  *    downstream and demonstrates the Expression + doGenCode path.
+  *  - `FloatCosine`: cosine similarity of two float arrays in plain double
+  *    arithmetic with a tight primitive loop. The `aggregate`/`zip_with`
+  *    formulation in [[graft.operators.Similarity]] is exact-decimal (for
+  *    oracle bit-reproducibility) but interpreted (~µs/row); this kernel is
+  *    the throughput path for LSH/IVF candidate scoring at scale, where
+  *    ulp-level reproducibility doesn't change bucketing decisions.
+  *
+  * Both are null-intolerant (null in → null out) and codegen-friendly:
+  * WholeStageCodegen inlines the generated loops into the surrounding
+  * operator, so the scan→score pipeline stays in one JIT'd function.
+  */
+object Native {
+
+  private val P = 1099511628211L // FNV-ish odd multiplier; any odd 64-bit works
+
+  /** Input contract: child must be StringType (enforced by the Column API
+    * wrappers below; AbstractDataType/ExpectsInputTypes are private[sql]). */
+  case class RollingHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = h * P + bytes(i); i += 1 }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bytes = ctx.freshName("bytes")
+        val i = ctx.freshName("i")
+        s"""
+           |byte[] $bytes = $c.getBytes();
+           |long h = 0L;
+           |for (int $i = 0; $i < $bytes.length; $i++) { h = h * ${P}L + $bytes[$i]; }
+           |${ev.value} = h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): RollingHash =
+      copy(child = newChild)
+  }
+
+  /** Input contract: both children Array[Float]. */
+  case class FloatCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "float_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(nx * ny)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        val denom = ctx.freshName("denom")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = (double) $a.getFloat($i);
+           |  double $yi = (double) $b.getFloat($i);
+           |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+           |}
+           |double $denom = java.lang.Math.sqrt($nx * $ny);
+           |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatCosine =
+      copy(left = l, right = r)
+  }
+
+  // Column-API entry points (classic Column <-> Expression bridge)
+  def rolling_hash(c: Column): Column =
+    B.column(RollingHash(B.expression(c)))
+  def float_cosine(a: Column, b: Column): Column =
+    B.column(FloatCosine(B.expression(a), B.expression(b)))
+}

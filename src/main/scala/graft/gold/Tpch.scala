@@ -52,6 +52,72 @@ object Tpch {
       .where(col("rk") <= 10)
   }
 
+  /** Q5-style local-supplier volume: 6-way join down the geo hierarchy
+    * (region→nation→customer→orders→lineitem→supplier) with the
+    * same-nation condition. Dims broadcast; the facts join shuffles once
+    * on orderkey. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val ord    = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp_ntz(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp_ntz(lit("1998-01-01 00:00:00")))
+    val li     = Tables.lineitem(spark, dir)
+    val supp   = Tables.supplier(spark, dir)
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q6-style forecast revenue: pure scan→filter→agg; every predicate and
+    * the 2-column projection push into the parquet scan. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit("1997-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp_ntz(lit("1998-01-01 00:00:00"))
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24.0)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Q18-style large orders: HAVING on a grouped fact, then join back to
+    * the order/customer context — the aggregate-then-semi-join shape. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 200.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  /** ROLLUP over (year, month) with GROUPING() markers — hierarchical
+    * subtotal shape the reference lacks but any analytics engine needs.
+    * Null keys from rollup are disambiguated via grouping() flags. */
+  def rollupVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      // grouping() must reference the rollup keys verbatim, so project the
+      // derived keys to named columns first
+      .select(year(col("o_orderdate")).as("ano"),
+        month(col("o_orderdate")).as("mes"), col("o_totalprice"))
+      .rollup(col("ano"), col("mes"))
+      .agg(
+        dsum(col("o_totalprice")).as("volume"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("ano")).cast("int").as("g_ano"),
+        grouping(col("mes")).cast("int").as("g_mes"))
+
   object oracle {
     val q1PricingSummary: String =
       s"""SELECT l_returnflag, l_linestatus,
@@ -66,6 +132,45 @@ object Tpch {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY 1, 2""".stripMargin
+
+    val q5LocalSupplierVolume: String =
+      s"""SELECT n_name,
+         |  ${Dsl.sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1""".stripMargin
+
+    val q6ForecastRevenue: String =
+      s"""SELECT ${Dsl.sql.dsum("l_extendedprice * l_discount")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin
+
+    val q18LargeOrders: String =
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${Dsl.sql.dsum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY 1 HAVING ${Dsl.sql.dsum("l_quantity")} > 200.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+         |FROM orders
+         |JOIN big      ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+    val rollupVolume: String =
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS ano, CAST(month(o_orderdate) AS INT) AS mes,
+         |  ${Dsl.sql.dsum("o_totalprice")} AS volume,
+         |  COUNT(*) AS n_orders,
+         |  CAST(GROUPING(year(o_orderdate)) AS INT) AS g_ano,
+         |  CAST(GROUPING(month(o_orderdate)) AS INT) AS g_mes
+         |FROM orders
+         |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))""".stripMargin
 
     val q3ShippingPriority: String =
       s"""WITH grouped AS (

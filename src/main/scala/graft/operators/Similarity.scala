@@ -105,6 +105,53 @@ object Similarity {
       .where(col("similarity") >= minCosine)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the first `nlist`
+    * corpus vectors act as centroids — no training dependency), inverted
+    * lists built by nearest-centroid assignment, queries probing the
+    * `nprobe` closest lists. Scoring uses the codegen'd
+    * [[graft.functions.Native.FloatCosine]] kernel — the throughput path;
+    * exactness of ranking within probed lists matches brute force, recall
+    * is bounded by the probe coverage (measured in the unit spec).
+    *
+    * Scale shape: centroids broadcast twice (assignment, probe); the only
+    * shuffle is the equi-join of query-probes to inverted lists on
+    * `centroid_id`, and the per-query top-k runs on candidate sets a
+    * fraction nprobe/nlist of the corpus.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Native.float_cosine
+    val e = Tables.embeddings(spark, dir)
+    val centroids = e.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
+    // inverted lists: each vector assigned to its nearest centroid
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", float_cosine(col("embedding"), col("centroid")))
+      .withColumn("rk_c", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("centroid_id"))))
+      .where(col("rk_c") === 1)
+      .select(col("centroid_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
+
+    // each query probes its nprobe nearest lists
+    val probes = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c", float_cosine(col("qv"), col("centroid")))
+      .withColumn("rk_c", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_c").desc, col("centroid_id"))))
+      .where(col("rk_c") <= nprobe)
+      .select(col("qid"), col("qv"), col("centroid_id"))
+
+    probes.join(assigned, Seq("centroid_id"))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), float_cosine(col("qv"), col("cv")).as("similarity"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("similarity").desc, col("cid"))))
+      .where(col("rk") <= k)
+  }
+
   object oracle {
     /** Correlated exact-decimal dot product: DuckDB 1-based list indexing,
       * same DECIMAL(20,12) per-term rounding as the Spark side. The dim

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Native
+import graft.operators.Similarity
+
+class NativeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rolling_hash: deterministic, collision-free on distinct inputs, SQL-registered") {
+    GraftExtensions.register(spark)
+    val texts = Seq("alpha", "beta", "alpha", "", "alpha ")
+    val viaCol = texts.toDF("t")
+      .select(Native.rolling_hash(col("t"))).collect().map(_.getLong(0))
+    assert(viaCol(0) === viaCol(2))          // same input, same hash
+    assert(viaCol(0) !== viaCol(1))
+    assert(viaCol(0) !== viaCol(4))          // trailing space matters
+    val viaSql = texts.toDF("t").createOrReplaceTempView("rh_in")
+    val sqlHashes = spark.sql("SELECT rolling_hash(t) FROM rh_in")
+      .collect().map(_.getLong(0))
+    assert(sqlHashes.toSeq === viaCol.toSeq) // SQL path == Column path
+    // matches the reference polynomial computed in plain Scala
+    val expected = "alpha".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => h * 1099511628211L + b)
+    assert(viaCol(0) === expected)
+  }
+
+  test("float_cosine: matches the exact-decimal cosine within float tolerance") {
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(50)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val both = a.join(b, col("ida") < col("idb"))
+      .select(
+        Native.float_cosine(col("va"), col("vb")).as("fast"),
+        Similarity.cosine(col("va"), col("vb")).as("exact"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+        s"fast=${r.getDouble(0)} exact=${r.getDouble(1)}")
+    }
+  }
+
+  test("float_cosine: identical vectors → 1, zero vector → 0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b").select(Native.float_cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) === 0.0)
+  }
+
+  test("ivfTopK: high recall vs brute-force ground truth") {
+    val bf = Similarity.bruteForceTopK(spark, TestSpark.sf, nQueries = 10, k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, TestSpark.sf, nQueries = 10, k = 10,
+      nlist = 16, nprobe = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size === 100)
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")   // random vectors: probes cover 1/2 the lists
+  }
+}
