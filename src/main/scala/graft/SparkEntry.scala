@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.gold.{Analytics, Tpch}
 import graft.silver.Ingest
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Skew}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,6 +54,9 @@ object SparkEntry {
     "ann_topk"            -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_near_dup_lsh"    -> ((s, d) => Similarity.nearDupLsh(s, d)),
+    // sketch path: HLL distinct + approximate quantiles (error-bounded in
+    // spec; sketch internals are engine-specific, so rows-only check)
+    "approx_metrics"      -> ((s, d) => Skew.approxMetrics(s, d)),
     // multimodal plumbing (stubbed decode, real schema/expressions)
     "multimodal_features" -> ((s, d) => Multimodal.featurize(s, d)),
   )

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Dsl, Tables}
+import graft.Dsl._
+
+/** Skew-handling and approximate-aggregation operators — the knobs that
+  * matter at 100 TB but are invisible at test scale.
+  */
+object Skew {
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a
+    * random-but-deterministic salt in [0, factor); the build side is
+    * replicated across all salt values; the join key becomes
+    * (key, salt), splitting each hot key's rows over `factor` reducers.
+    *
+    * AQE's skew-join split handles most cases automatically; explicit
+    * salting remains the tool when a single key exceeds what one task can
+    * hold even after AQE splits (e.g. a null-key flood), or when the
+    * shuffle layout must be controlled for a downstream stage. Salt is
+    * derived from a row hash, not rand(), so replays/retries are stable.
+    */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
+                 factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(factor)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Approximate distinct counts + quantiles over lineitem — the sketch
+    * path (HLL++ / KLL) that replaces exact countDistinct at scale.
+    * Deterministic for fixed input, but sketch internals differ per
+    * engine, so this op carries unit-spec error bounds instead of a SQL
+    * oracle. */
+  def approxMetrics(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99_price"),
+        count(lit(1)).as("n"))
+}
