@@ -28,6 +28,7 @@ object SparkEntry {
     "monthly_balance"     -> ((s, d) => Analytics.monthlyBalance(s, d)),
     "customer_summary"    -> ((s, d) => Analytics.customerSummary(s, d)),
     "daily_metrics"       -> ((s, d) => Analytics.dailyMetrics(s, d)),
+    "events_json_stats"   -> ((s, d) => Analytics.eventsJsonStats(s, d)),
     "product_ranking"     -> ((s, d) => Analytics.productRanking(s, d)),
     // scan→agg / join→rank headliners
     "q1_pricing_summary"  -> ((s, d) => Tpch.q1PricingSummary(s, d)),
@@ -68,6 +69,7 @@ object SparkEntry {
     "monthly_balance"     -> Analytics.oracle.monthlyBalance,
     "customer_summary"    -> Analytics.oracle.customerSummary,
     "daily_metrics"       -> Analytics.oracle.dailyMetrics,
+    "events_json_stats"   -> Analytics.oracle.eventsJsonStats,
     "product_ranking"     -> Analytics.oracle.productRanking,
     "q1_pricing_summary"  -> Tpch.oracle.q1PricingSummary,
     "q3_shipping_priority" -> Tpch.oracle.q3ShippingPriority,

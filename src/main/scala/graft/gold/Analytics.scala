@@ -164,6 +164,22 @@ object Analytics {
       .withColumn("rank_transacoes", row_number().over(byCount))
   }
 
+  /** EAV/JSON extraction stats: the reference stores flexible attributes
+    * stringly-typed (`f_contract_attributes.attribute_value varchar` —
+    * `sql/model.md:91-99`); `events.props` plays that role as JSON. Pure
+    * integer aggregation after extraction, so no decimal gymnastics. */
+  def eventsJsonStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast(DoubleType) / count(col("k"))).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k"))
+
   /** Oracle SQL (DuckDB) for each query above — kept adjacent to the Scala
     * so column names/expressions cannot drift. */
   object oracle {
@@ -211,6 +227,17 @@ object Analytics {
          |FROM customer
          |LEFT JOIN cust_orders ON c_custkey = ck1
          |LEFT JOIN cust_prods  ON c_custkey = ck2""".stripMargin
+
+    val eventsJsonStats: String =
+      s"""SELECT event_type,
+         |  COUNT(CAST(json_extract_string(props, '$$.k') AS INT)) AS n_with_k,
+         |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT) AS sum_k,
+         |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS INT)) AS DOUBLE)
+         |    / COUNT(CAST(json_extract_string(props, '$$.k') AS INT)) AS avg_k,
+         |  MIN(CAST(json_extract_string(props, '$$.k') AS INT)) AS min_k,
+         |  MAX(CAST(json_extract_string(props, '$$.k') AS INT)) AS max_k,
+         |  COUNT(DISTINCT CAST(json_extract_string(props, '$$.k') AS INT)) AS distinct_k
+         |FROM events GROUP BY 1""".stripMargin
 
     val dailyMetrics: String =
       s"""SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS data, l_returnflag,
