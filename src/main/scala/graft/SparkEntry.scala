@@ -6,6 +6,7 @@ import graft.gold.{Analytics, Tpch}
 import graft.silver.Ingest
 import graft.functions.Text
 import graft.operators.{Dedup, Similarity, Skew}
+import graft.plans.AsOf
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -38,6 +39,8 @@ object SparkEntry {
     "q18_large_orders"    -> ((s, d) => Tpch.q18LargeOrders(s, d)),
     "rollup_volume"       -> ((s, d) => Tpch.rollupVolume(s, d)),
     // silver ops (SURVEY §2.1/2.4: P3, J6, J7, A12)
+    // custom Catalyst operator (LogicalPlan + Strategy + SparkPlan)
+    "asof_user_profile"   -> ((s, d) => AsOf.asofUserProfile(s, d)),
     "silver_upsert"       -> ((s, d) => Ingest.silverUpsert(s, d)),
     "silver_insert_only"  -> ((s, d) => Ingest.silverInsertOnly(s, d)),
     "silver_dedup"        -> ((s, d) => Ingest.silverDedup(s, d)),
@@ -77,6 +80,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> Tpch.oracle.q6ForecastRevenue,
     "q18_large_orders"    -> Tpch.oracle.q18LargeOrders,
     "rollup_volume"       -> Tpch.oracle.rollupVolume,
+    "asof_user_profile"   -> AsOf.asofUserProfileOracle,
     "silver_upsert"       -> Ingest.oracle.silverUpsert,
     "silver_insert_only"  -> Ingest.oracle.silverInsertOnly,
     "silver_dedup"        -> Ingest.oracle.silverDedup,
