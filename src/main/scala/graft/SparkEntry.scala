@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.gold.{Analytics, Tpch}
+import graft.gold.{Analytics, Tpch, Windowing}
 import graft.silver.Ingest
 import graft.functions.Text
 import graft.operators.{Dedup, Similarity, Skew}
@@ -38,6 +38,11 @@ object SparkEntry {
     "q6_forecast_revenue" -> ((s, d) => Tpch.q6ForecastRevenue(s, d)),
     "q18_large_orders"    -> ((s, d) => Tpch.q18LargeOrders(s, d)),
     "rollup_volume"       -> ((s, d) => Tpch.rollupVolume(s, d)),
+    // analytic windows / set ops / pivot / time buckets
+    "window_running"      -> ((s, d) => Windowing.windowRunning(s, d)),
+    "set_ops"             -> ((s, d) => Windowing.setOps(s, d)),
+    "pivot_user_type"     -> ((s, d) => Windowing.pivotUserType(s, d)),
+    "tumbling_volume"     -> ((s, d) => Windowing.tumblingVolume(s, d)),
     // silver ops (SURVEY §2.1/2.4: P3, J6, J7, A12)
     // custom Catalyst operator (LogicalPlan + Strategy + SparkPlan)
     "asof_user_profile"   -> ((s, d) => AsOf.asofUserProfile(s, d)),
@@ -80,6 +85,10 @@ object SparkEntry {
     "q6_forecast_revenue" -> Tpch.oracle.q6ForecastRevenue,
     "q18_large_orders"    -> Tpch.oracle.q18LargeOrders,
     "rollup_volume"       -> Tpch.oracle.rollupVolume,
+    "window_running"      -> Windowing.oracle.windowRunning,
+    "set_ops"             -> Windowing.oracle.setOps,
+    "pivot_user_type"     -> Windowing.oracle.pivotUserType,
+    "tumbling_volume"     -> Windowing.oracle.tumblingVolume,
     "asof_user_profile"   -> AsOf.asofUserProfileOracle,
     "silver_upsert"       -> Ingest.oracle.silverUpsert,
     "silver_insert_only"  -> Ingest.oracle.silverInsertOnly,

@@ -54,6 +54,21 @@ object Formats {
       fmt -> path
     }.toMap
 
+  /** Bucketed, sorted table write: joins/aggregations between tables
+    * bucketed on the same keys with the same bucket count need NO shuffle —
+    * the pre-partitioning is the storage-level answer to repeated
+    * co-located joins at 100 TB (vs paying an Exchange per query). */
+  def writeBucketed(spark: SparkSession, df: DataFrame, db: String, table: String,
+                    buckets: Int, keys: Seq[String]): String = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val name = s"$db.$table"
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(name)
+    name
+  }
+
   /** S7 (catalog variant): `saveAsTable` per format with S10 existence
     * probe + S11 idempotent DDL, like the reference's create-vs-merge gate
     * (`dags/2_bronze_to_silver.py:239`). */

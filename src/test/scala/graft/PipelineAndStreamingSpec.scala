@@ -64,6 +64,21 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
     names.foreach(n => assert(spark.table(n).count() === df.count()))
   }
 
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    val li  = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    Formats.writeBucketed(spark, li, "graft_test", "li_b", 8, Seq("l_orderkey"))
+    Formats.writeBucketed(spark, ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "graft_test", "ord_b", 8, Seq("l_orderkey"))
+
+    val joined = spark.table("graft_test.li_b")
+      .join(spark.table("graft_test.ord_b"), Seq("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle:\n" + plan.take(800))
+    assert(joined.count() === li.count())   // every lineitem matches its order
+  }
+
   test("streaming: watermarked windowed aggregate over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
