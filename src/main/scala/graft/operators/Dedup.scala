@@ -142,21 +142,21 @@ object Dedup {
     * on the (chunk index, chunk value) key.
     */
   def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // Map-side signature: hash tokens once into an array, then derive each
-    // bit as a popcount over that array — no explode, no shuffle; the only
-    // shuffle in the whole operator is the candidate-bucket join.
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(Text.tokens(col("text"))).as("toks"))
-      .where(size(col("toks")) > 0)
-      .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
-
-    val sig = docs
+    // Signature via explode + hash-aggregate: one xxhash64 per distinct
+    // token, then 64 codegen'd conditional sums per doc (array
+    // higher-order filters are interpreted — measured slower). The only
+    // other shuffle is the candidate-bucket join.
+    val bits = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sig = bits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash",
-        (0 until 64).map { j =>
-          // bit j set iff more token-hashes have bit j than not
-          when(size(filter(col("hs"), h => h.bitwiseAND(lit(1L << j)) =!= 0)) * 2
-            > size(col("hs")), lit(1L << j)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)))
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
 
     // 4 chunks of 16 bits → candidate buckets
