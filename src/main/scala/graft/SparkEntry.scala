@@ -37,6 +37,11 @@ object SparkEntry {
     "q5_local_supplier"   -> ((s, d) => Tpch.q5LocalSupplierVolume(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Tpch.q6ForecastRevenue(s, d)),
     "q18_large_orders"    -> ((s, d) => Tpch.q18LargeOrders(s, d)),
+    "semi_anti_customers" -> ((s, d) => Tpch.semiAntiCustomers(s, d)),
+    // typed Dataset[T] surface (groupByKey + typed agg)
+    "typed_user_spend"    -> ((s, d) => graft.model.Typed.userSpend(s, d).toDF()),
+    // end-to-end corpus cleaning composition
+    "corpus_clean"        -> ((s, d) => Text.corpusClean(s, d)),
     "rollup_volume"       -> ((s, d) => Tpch.rollupVolume(s, d)),
     // analytic windows / set ops / pivot / time buckets
     "window_running"      -> ((s, d) => Windowing.windowRunning(s, d)),
@@ -84,6 +89,12 @@ object SparkEntry {
     "q5_local_supplier"   -> Tpch.oracle.q5LocalSupplierVolume,
     "q6_forecast_revenue" -> Tpch.oracle.q6ForecastRevenue,
     "q18_large_orders"    -> Tpch.oracle.q18LargeOrders,
+    "semi_anti_customers" -> Tpch.oracle.semiAntiCustomers,
+    "typed_user_spend"    -> ("""SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  MAX(value) AS biggest
+        |FROM events GROUP BY 1""".stripMargin),
+    "corpus_clean"        -> Text.oracle.corpusClean,
     "rollup_volume"       -> Tpch.oracle.rollupVolume,
     "window_running"      -> Windowing.oracle.windowRunning,
     "set_ops"             -> Windowing.oracle.setOps,

@@ -80,7 +80,43 @@ object Text {
       fingerprint(col("text")).as("fp"),
       size(tokens(col("text"))).as("n_tokens"))
 
+  /** End-to-end corpus cleaning — the composition a training-data pipeline
+    * actually runs: quality/length gates, then exact-dup removal keeping
+    * the smallest doc_id per fingerprint. One aggregation + one semi-join;
+    * both shuffle on the md5 fingerprint. */
+  def corpusClean(spark: SparkSession, dir: String,
+                  minTokens: Int = 20, maxStopRatio: Double = 0.5): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        hitCount(col("toks"), stopEn).cast(DoubleType) / size(col("toks")))
+      .withColumn("fp", fingerprint(col("text")))
+    // rename the grouped fp so the semi-join condition can't collapse to a
+    // trivially-true self-comparison
+    val keepers = d.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+      .withColumnRenamed("fp", "kfp")
+    d.join(keepers, d("fp") === col("kfp") && d("doc_id") === col("keeper"), "left_semi")
+      .where(col("n_tokens") >= minTokens && col("stop_ratio") <= maxStopRatio)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("stop_ratio"))
+  }
+
   object oracle {
+    val corpusClean: String = {
+      val stops = stopEn.map("'" + _ + "'").mkString("(", ",", ")")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN $stops)) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS INT) AS stop_ratio,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM d GROUP BY 1)
+         |SELECT doc_id, lang, source, n_tokens, stop_ratio
+         |FROM d JOIN keepers ON d.fp = keepers.fp AND d.doc_id = keepers.keeper
+         |WHERE n_tokens >= 20 AND stop_ratio <= 0.5""".stripMargin
+    }
+
     private def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString("(", ",", ")")
     private def hits(words: Seq[String]) =
       s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(words)})) AS INT)"

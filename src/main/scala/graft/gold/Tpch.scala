@@ -118,7 +118,27 @@ object Tpch {
         grouping(col("ano")).cast("int").as("g_ano"),
         grouping(col("mes")).cast("int").as("g_mes"))
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers tagged by whether
+    * they have any order — the reference's J7 anti-join shape surfaced as
+    * a first-class query. */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val ordKeys = Tables.orders(spark, dir).select(col("o_custkey"))
+    val has = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_order"))
+    val not = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_order"))
+    has.unionByName(not)
+  }
+
   object oracle {
+    val semiAntiCustomers: String =
+      s"""SELECT c_custkey, c_name, 'has_order' AS tag FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |UNION ALL
+         |SELECT c_custkey, c_name, 'no_order' AS tag FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
     val q1PricingSummary: String =
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Dsl.sql.dsum("l_quantity")} AS sum_qty,
