@@ -51,6 +51,8 @@ object Similarity {
     * variants. */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Native.float_cosine
     val e = Tables.embeddings(spark, dir)
     // norms once per side (exactSelfSum is an interpreted fold — doing it
     // per pair would triple the dominant cost); the final cosine keeps the
@@ -61,13 +63,24 @@ object Similarity {
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
       exactSelfSum(col("embedding")).as("nc"))
 
-    val pairs = c.crossJoin(broadcast(q))
+    // two-phase rank: the codegen'd float kernel prunes to a generous
+    // candidate margin per query, then only those are rescored with the
+    // exact-decimal cosine the oracle mirrors. Float error is ~1e-7 while
+    // similarity gaps at the margin boundary are orders larger, so the
+    // exact top-k is inside the float top-margin; the margin is 10× k to
+    // keep that comfortably true (cross-checked against the single-phase
+    // form in SimilaritySpec/ProbePerf when touched).
+    val margin = math.max(10 * k, 100)
+    val candidates = c.crossJoin(broadcast(q))
       .where(col("cid") =!= col("qid"))
+      .withColumn("approx_sim", float_cosine(col("qv"), col("cv")))
+      .withColumn("rk0", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("approx_sim").desc, col("cid"))))
+      .where(col("rk0") <= margin)
+
+    candidates
       .select(col("qid"), col("cid"),
         (exactZipSum(col("qv"), col("cv")) / sqrt(col("nq") * col("nc"))).as("similarity"))
-
-    import org.apache.spark.sql.expressions.Window
-    pairs
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("similarity").desc, col("cid"))))
       .where(col("rk") <= k)
