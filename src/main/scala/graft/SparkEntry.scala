@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.gold.{Analytics, Tpch, Windowing}
+import graft.gold.{Analytics, Scalars, Tpch, Windowing}
 import graft.silver.Ingest
 import graft.functions.Text
 import graft.operators.{Dedup, Similarity, Skew}
@@ -38,6 +38,11 @@ object SparkEntry {
     "q6_forecast_revenue" -> ((s, d) => Tpch.q6ForecastRevenue(s, d)),
     "q18_large_orders"    -> ((s, d) => Tpch.q18LargeOrders(s, d)),
     "semi_anti_customers" -> ((s, d) => Tpch.semiAntiCustomers(s, d)),
+    "q4_late_orders"      -> ((s, d) => Tpch.q4LateOrders(s, d)),
+    "q14_economy_share"   -> ((s, d) => Tpch.q14EconomyShare(s, d)),
+    "q7_nation_volume"    -> ((s, d) => Tpch.q7NationVolume(s, d)),
+    "string_funcs"        -> ((s, d) => Scalars.stringFuncs(s, d)),
+    "date_funcs"          -> ((s, d) => Scalars.dateFuncs(s, d)),
     // typed Dataset[T] surface (groupByKey + typed agg)
     "typed_user_spend"    -> ((s, d) => graft.model.Typed.userSpend(s, d).toDF()),
     // end-to-end corpus cleaning composition
@@ -90,6 +95,11 @@ object SparkEntry {
     "q6_forecast_revenue" -> Tpch.oracle.q6ForecastRevenue,
     "q18_large_orders"    -> Tpch.oracle.q18LargeOrders,
     "semi_anti_customers" -> Tpch.oracle.semiAntiCustomers,
+    "q4_late_orders"      -> Tpch.oracle.q4LateOrders,
+    "q14_economy_share"   -> Tpch.oracle.q14EconomyShare,
+    "q7_nation_volume"    -> Tpch.oracle.q7NationVolume,
+    "string_funcs"        -> Scalars.oracle.stringFuncs,
+    "date_funcs"          -> Scalars.oracle.dateFuncs,
     "typed_user_spend"    -> ("""SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  MAX(value) AS biggest

@@ -131,7 +131,83 @@ object Tpch {
     has.unionByName(not)
   }
 
+  /** Q4-style: orders with at least one lineitem shipped >90 days after
+    * the order date (EXISTS with a correlated predicate), counted per
+    * priority. */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val li  = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+      col("o_orderkey") === col("l_orderkey")
+        && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+      "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_orders"))
+  }
+
+  /** Q14-style: revenue share of 'ECONOMY%' parts — LIKE predicate inside
+    * a conditional aggregate ratio. */
+  def q14EconomyShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (dsum(when(col("p_type").like("ECONOMY%"), rev).otherwise(lit(0.0))) * 100.0
+          / dsum(rev)).as("economy_share_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q7-style: trade volume between supplier-nation and customer-nation
+    * pairs — the same dimension joined twice under different roles. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+        count(lit(1)).as("n_items"))
+  }
+
   object oracle {
+    val q4LateOrders: String =
+      s"""SELECT o_orderpriority, COUNT(*) AS late_orders
+         |FROM orders
+         |WHERE EXISTS (
+         |  SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey
+         |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         |GROUP BY 1""".stripMargin
+
+    val q14EconomyShare: String =
+      s"""SELECT
+         |  ${Dsl.sql.dsum("CASE WHEN p_type LIKE 'ECONOMY%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} * 100.0
+         |    / ${Dsl.sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS economy_share_pct,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+    val q7NationVolume: String =
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  ${Dsl.sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS volume,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |GROUP BY 1, 2""".stripMargin
+
     val semiAntiCustomers: String =
       s"""SELECT c_custkey, c_name, 'has_order' AS tag FROM customer
          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
