@@ -25,7 +25,7 @@ object Skew {
   def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int = 8, joinType: String = "inner"): DataFrame = {
     val salted = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col): _*), lit(factor)))
+      pmod(hash(skewed.columns.toIndexedSeq.map(col): _*), lit(factor)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
