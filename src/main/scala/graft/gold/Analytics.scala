@@ -86,7 +86,10 @@ object Analytics {
       .groupBy(col("o_custkey").as("ck2"))
       .agg(
         countDistinct(col("p_type")).as("categorias_produtos"),
-        array_sort(collect_set(col("p_brand"))).as("produtos_utilizados"))
+        // COLLECT_SET (A7) sorted for determinism, then joined to a scalar
+        // string: the driver's row-sort can't order array cells, and the
+        // csv form is what the reference's consumers see anyway.
+        array_join(array_sort(collect_set(col("p_brand"))), ",").as("produtos_utilizados"))
 
     cust
       .join(custOrders, cust("c_custkey") === custOrders("ck1"), "left")
@@ -100,8 +103,7 @@ object Analytics {
         coalesce(col("total_transacoes"), lit(0L)).as("total_transacoes"),
         col("ultima_atividade"),
         coalesce(col("categorias_produtos"), lit(0L)).as("categorias_produtos"),
-        coalesce(col("produtos_utilizados"), array().cast(ArrayType(StringType)))
-          .as("produtos_utilizados"))
+        coalesce(col("produtos_utilizados"), lit("")).as("produtos_utilizados"))
   }
 
   /** Gold `daily_transaction_metrics` (`dags/3_silver_to_gold.py:303-324`):
@@ -212,7 +214,7 @@ object Analytics {
          |  FROM orders LEFT JOIN ord_fin ON o_orderkey = l_orderkey GROUP BY 1),
          |cust_prods AS (
          |  SELECT o_custkey AS ck2, COUNT(DISTINCT p_type) AS categorias_produtos,
-         |         list_sort(list(DISTINCT p_brand)) AS produtos_utilizados
+         |         array_to_string(list_sort(list(DISTINCT p_brand)), ',') AS produtos_utilizados
          |  FROM lineitem
          |  JOIN part   ON l_partkey  = p_partkey
          |  JOIN orders ON l_orderkey = o_orderkey
@@ -223,7 +225,7 @@ object Analytics {
          |  COALESCE(total_transacoes, 0) AS total_transacoes,
          |  ultima_atividade,
          |  COALESCE(categorias_produtos, 0) AS categorias_produtos,
-         |  COALESCE(produtos_utilizados, CAST([] AS VARCHAR[])) AS produtos_utilizados
+         |  COALESCE(produtos_utilizados, '') AS produtos_utilizados
          |FROM customer
          |LEFT JOIN cust_orders ON c_custkey = ck1
          |LEFT JOIN cust_prods  ON c_custkey = ck2""".stripMargin

@@ -27,9 +27,10 @@ class GoldAnalyticsSpec extends AnyFunSuite {
     assert(df.select(countDistinct(col("customer_id"))).first().getLong(0) === customers)
     // customers with no orders must have zeroed aggregates, not nulls
     assert(df.where(col("total_contratos").isNull || col("saldo_total").isNull).count() === 0)
-    // produtos_utilizados arrays are sorted (determinism contract)
+    // produtos_utilizados csv is sorted (determinism contract)
     val unsorted = df.where(
-      col("produtos_utilizados") =!= array_sort(col("produtos_utilizados"))).count()
+      split(col("produtos_utilizados"), ",") =!=
+        array_sort(split(col("produtos_utilizados"), ","))).count()
     assert(unsorted === 0)
   }
 
