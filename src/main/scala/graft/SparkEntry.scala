@@ -14,8 +14,10 @@ import graft.multimodal.Multimodal
   * Every operator from SURVEY.md §2 that the reference exercises has a
   * `queries` entry; entries whose semantics are ANSI-SQL-expressible also
   * carry a DuckDB oracle in `oracleSql` (hash-compared by the driver).
-  * Hash-based LSH ops (MinHash/SimHash/sign-LSH) are engine-hash-specific
-  * and get the weaker rows-only check + unit specs.
+  * Hash-based ops (MinHash/SimHash/sign-LSH, sketches) are made
+  * oracle-checkable too: their hashes derive from md5 (identical in both
+  * engines) so the whole pipeline is mirrored in SQL, and sketch outputs
+  * are reported as error-bound verdicts the oracle pins to TRUE.
   */
 object SparkEntry {
 
@@ -73,8 +75,9 @@ object SparkEntry {
     "ann_topk"            -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_near_dup_lsh"    -> ((s, d) => Similarity.nearDupLsh(s, d)),
-    // sketch path: HLL distinct + approximate quantiles (error-bounded in
-    // spec; sketch internals are engine-specific, so rows-only check)
+    // sketch path: HLL distinct + approximate quantiles; output is the
+    // error-bound verdicts (oracle emits literal TRUE), so the approximate
+    // path is hash-compared without cross-engine sketch bit-parity
     "approx_metrics"      -> ((s, d) => Skew.approxMetrics(s, d)),
     // multimodal plumbing (stubbed decode, real schema/expressions)
     "multimodal_features" -> ((s, d) => Multimodal.featurize(s, d)),
@@ -120,7 +123,12 @@ object SparkEntry {
     "text_fingerprint"    -> Text.oracle.textFingerprint,
     "doc_dedup_exact"     -> Dedup.oracle.exactDedup,
     "doc_ngram_jaccard"   -> Dedup.oracle.ngramJaccard,
+    "doc_dedup_minhash"   -> Dedup.oracle.minHashLsh,
+    "doc_dedup_simhash"   -> Dedup.oracle.simHash,
+    "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
+    "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,
+    "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
     "multimodal_features" -> Multimodal.oracle.featurize,
   )
 }

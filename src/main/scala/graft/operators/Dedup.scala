@@ -83,39 +83,72 @@ object Dedup {
           .otherwise(lit(null).cast(DoubleType)))
   }
 
+  /** Engine-portable base hash: top 60 bits of md5 as a non-negative
+    * BIGINT. md5 is the one hash both Spark and DuckDB implement
+    * identically, so every LSH pipeline built on it can be mirrored
+    * verbatim in oracle SQL — the sketch structure itself gets
+    * hash-compared, not just a downstream exact filter. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** SQL mirror of [[md5Long]] (DuckDB hex-literal cast). */
+  def md5LongSql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Mersenne-prime modulus for the MinHash permutation family. The base
+    * hash is reduced mod P once, then permuted as (a_j*h + b_j) mod P —
+    * a_j*(P-1) < 2^62 keeps Spark-4 ANSI arithmetic overflow-free. */
+  val MinHashP: Long = 2147483647L
+
+  /** Deterministic permutation coefficients (seeded; shared literal-for-
+    * literal with the oracle SQL generator). */
+  def minHashCoeffs(k: Int): IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    (0 until k).map { _ =>
+      (1L + rng.nextInt((MinHashP - 1).toInt).toLong,
+        rng.nextInt(MinHashP.toInt).toLong)
+    }
+  }
+
   /** MinHash signatures + banded LSH candidate pairs.
     *
-    * k hash functions are xxhash64 with per-function salts; the signature
-    * is min over shingles per function (all codegen'd array expressions —
-    * map-only). Bands of r rows each hash to a bucket; docs sharing any
-    * (band, bucket) are candidates; the estimated Jaccard is the fraction
-    * of matching signature components. One shuffle on the bucket key, one
-    * self-join within buckets. At 100 TB add a bucket-size cap before the
-    * join to bound skew (degenerate buckets = boilerplate dups anyway).
+    * k permutations of the md5-derived base hash; the signature is min
+    * over shingles per permutation. Bands of r rows each form a bucket
+    * key; docs sharing any (band, bucket) are candidates; the estimated
+    * Jaccard is the fraction of matching signature components. One
+    * shuffle on the bucket key, one self-join within buckets. At 100 TB
+    * add a bucket-size cap before the join to bound skew (degenerate
+    * buckets = boilerplate dups anyway).
+    *
+    * Signature via explode + hash-aggregate rather than array lambdas:
+    * higher-order functions (transform/aggregate) are CodegenFallback in
+    * Spark — 32 interpreted passes per doc — while explode + 32 min()
+    * aggregates stay fully inside whole-stage codegen. Each shingle is
+    * md5-hashed ONCE; the k permutations are two multiplies on the base
+    * hash. The whole pipeline (hashes, buckets, estimates) is mirrored
+    * in [[oracle.minHashLsh]], so the LSH output itself is hash-compared
+    * against DuckDB — no empirical-recall caveat.
     */
   def minHashLsh(spark: SparkSession, dir: String,
-                 k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                 k: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // Signature via explode + hash-aggregate rather than array lambdas:
-    // higher-order functions (transform/aggregate) are CodegenFallback in
-    // Spark — 32 interpreted passes per doc — while explode + 32 min()
-    // aggregates stay fully inside whole-stage codegen. Each shingle is
-    // string-hashed ONCE; the k permutations rehash the 8-byte base hash
-    // (cheap, and overflow-free under Spark 4's ANSI arithmetic, unlike a
-    // multiply-mix).
-    val sigCols = (0 until k).map { j => min(xxhash64(lit(j), col("h"))).as(s"h$j") }
+    val coeffs = minHashCoeffs(k)
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % MinHashP).as(s"h$j")
+    }
     val sigs = explodedShingles(spark, dir)
-      .withColumn("h", xxhash64(col("s")))
+      .withColumn("h", md5Long(col("s")) % MinHashP)
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .withColumn("sig", array((0 until k).map(j => col(s"h$j")): _*))
-      .select(col("doc_id"), col("sig"))
 
+    // band key = the r signature components joined as a string: plain
+    // equality, no second-level hash needed (and trivially SQL-portable)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * r + 1, r))): _*)))
+        concat_ws("_", (0 until r).map(i => col(s"h${b * r + i}")): _*)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -132,37 +165,39 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash near-dup detection.
+  /** 60-bit SimHash near-dup detection.
     *
-    * Each token contributes ±1 to each of 64 bit positions according to
-    * its xxhash64 bits; the signature takes the sign of each accumulated
-    * position. Candidates come from equality on 4×16-bit chunks (any two
-    * signatures within Hamming distance 3 share at least one chunk —
-    * pigeonhole), then are filtered by exact Hamming distance. Shuffle is
-    * on the (chunk index, chunk value) key.
+    * Each distinct token contributes ±1 to each of 60 bit positions
+    * according to its md5-derived hash bits; the signature takes the sign
+    * of each accumulated position. Candidates come from equality on
+    * 4×15-bit chunks (any two signatures within Hamming distance 3 share
+    * at least one chunk — pigeonhole), then are filtered by exact Hamming
+    * distance. Shuffle is on the (chunk index, chunk value) key. The hash
+    * is md5-derived ([[md5Long]]) so [[oracle.simHash]] reproduces the
+    * identical signatures/buckets/distances in DuckDB.
     */
   def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // Signature via explode + hash-aggregate: one xxhash64 per distinct
-    // token, then 64 codegen'd conditional sums per doc (array
+    // Signature via explode + hash-aggregate: one md5 per distinct
+    // token, then 60 codegen'd conditional sums per doc (array
     // higher-order filters are interpreted — measured slower). The only
     // other shuffle is the candidate-bucket join.
     val bits = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", md5Long(col("tok")))
+    val bitSums = (0 until 60).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
     }
     val sig = bits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash",
-        (0 until 64).map(j =>
+        (0 until 60).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
 
-    // 4 chunks of 16 bits → candidate buckets
+    // 4 chunks of 15 bits → candidate buckets
     val chunks = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
 
     val l = chunks.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
@@ -198,5 +233,69 @@ object Dedup {
          |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
          |       ELSE NULL END AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+    /** Full DuckDB mirror of [[Dedup.minHashLsh]]: same md5-derived base
+      * hash, same permutation literals, same band keys — the LSH output
+      * itself is hash-compared, not just a downstream exact filter. */
+    val minHashLsh: String = {
+      val k = 32; val bands = 16; val r = k / bands
+      val coeffs = minHashCoeffs(k)
+      val sigCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
+        s"MIN(($a * h + $b) % $MinHashP) AS h$j"
+      }.mkString(",\n         |    ")
+      val hCols = (0 until k).map(j => s"h$j").mkString(", ")
+      val bandSelects = (0 until bands).map { bnd =>
+        val key = (0 until r).map(i => s"h${bnd * r + i}").mkString(", '_', ")
+        s"SELECT doc_id, $hCols, $bnd AS band, concat($key) AS bucket FROM sig"
+      }.mkString("\n         |  UNION ALL ")
+      val matches = (0 until k).map(j =>
+        s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM ts WHERE len(t) >= 3),
+         |hs AS (SELECT doc_id, ${md5LongSql("s")} % $MinHashP AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ($matches) / ${k}.0 AS jaccard_est
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard_est FROM pairs WHERE jaccard_est >= 0.5""".stripMargin
+    }
+
+    /** Full DuckDB mirror of [[Dedup.simHash]]: identical 60-bit
+      * signatures, chunk buckets, and Hamming distances. */
+    val simHash: String = {
+      val bitSums = (0 until 60).map { j =>
+        s"SUM(CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(",\n         |    ")
+      val sigExpr = (0 until 60).map { j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val chunkSelects = (0 until 4).map { c =>
+        s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) & 32767 AS ckey FROM sig"
+      }.mkString("\n         |  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hs AS (SELECT doc_id, ${md5LongSql("tok")} AS h FROM toks),
+         |bits AS (SELECT doc_id,
+         |    $bitSums
+         |  FROM hs GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigExpr AS simhash FROM bits),
+         |chunks AS (
+         |  $chunkSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    }
   }
 }

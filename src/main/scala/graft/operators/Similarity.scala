@@ -86,45 +86,105 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
-  /** Sign-LSH bucketed candidate pairs: pseudo-random hyperplanes
-    * (components derived from xxhash64(plane, dim) — deterministic, no RNG
-    * state), signature = sign bits, candidates share the full signature.
+  /** Embedding dimension of the testdata corpus (the oracle's correlated
+    * dot subqueries hardcode it too — DuckDB `range` can't take lateral
+    * column parameters). */
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplane components: plane j, dim i → parity of
+    * md5("j_i"). Computed once in Scala and embedded as LITERALS in both
+    * the Spark plan and the oracle SQL — the engines share the planes
+    * without sharing a runtime hash function. */
+  def planeSigns(planes: Int): IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { j =>
+      (0 until Dim).map { i =>
+        val h = md.digest(s"${j}_$i".getBytes("UTF-8"))
+        if ((h(7) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** (vec_id, pos, x) exploded view of an embedding column — the
+    * codegen-friendly shape: per-element work becomes plain projections
+    * and decimal hash-aggregates instead of interpreted array folds
+    * (higher-order functions are CodegenFallback; the fold form measured
+    * ~4× slower on the signature pass at sf0.1). */
+  private def exploded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)))
+      .select(col(idCol), col("pos"), col("col").cast(DoubleType).as("x"))
+
+  /** Sign-LSH bucketed near-dup pairs: signature = sign bits of the
+    * hyperplane dot products, candidates share the full signature.
     * Near-dup vectors (cosine ≈ 1) agree on almost all hyperplane signs,
-    * so bucketing on the signature finds them with one shuffle; exact
-    * cosine is emitted per candidate pair (apply `minCosine` to keep only
-    * true near-dups — the default emits all candidates, which is the
-    * useful output when the corpus may contain none). */
+    * so bucketing on the signature finds them with one shuffle; the exact
+    * (decimal) cosine is emitted per candidate pair (apply `minCosine` to
+    * keep only true near-dups — the default emits all candidates, which
+    * is the useful output when the corpus may contain none).
+    *
+    * The dot products behind the sign bits accumulate in exact decimals
+    * (term rounding identical to the fold form: (x*s) cast per element),
+    * so the signs — and therefore buckets, candidates, and similarities —
+    * are bit-identical in [[oracle.nearDupLsh]]'s DuckDB mirror: the LSH
+    * structure itself is oracle-checked. */
   def nearDupLsh(spark: SparkSession, dir: String,
                  planes: Int = 8, minCosine: Double = -1.0): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // hash-derived ±1 plane components: plane j, dim i → sign(xxhash64(j, i))
-    val sigBits = (0 until planes).map { j =>
-      val dot = aggregate(
-        expr(s"transform(embedding, (x, i) -> CASE WHEN xxhash64($j, i) % 2 = 0 THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END)"),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    val signs = planeSigns(planes)
+    // one codegen'd aggregate pass: 8 plane dots + the self-norm per vector
+    val planeAggs = (0 until planes).map { j =>
+      val signArr = array(signs(j).map(s => lit(s.toDouble)): _*)
+      sum((col("x") * element_at(signArr, col("pos") + 1)).cast(Term)).as(s"d$j")
     }
-    val sigs = e.withColumn("sig", sigBits.reduce((a, b) => a.bitwiseOR(b)))
+    // signatures + norms are reused by both join sides and the rescore —
+    // materialize once (the "index build" of the LSH pipeline)
+    val sigs = exploded(e, "vec_id", "embedding")
+      .groupBy(col("vec_id"))
+      .agg(planeAggs.head, (planeAggs.tail :+
+        sum((col("x") * col("x")).cast(Term)).cast(DoubleType).as("nrm")): _*)
+      .withColumn("sig",
+        (0 until planes).map(j =>
+          when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)))
+      .select(col("vec_id"), col("sig"), col("nrm"))
+      .persist()
 
-    // no oracle on this op → score candidates with the codegen'd native
-    // kernel (the exact-decimal fold is reserved for oracle-compared paths)
-    import graft.functions.Native.float_cosine
-    val l = sigs.select(col("sig"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val r = sigs.select(col("sig"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    l.join(r, Seq("sig"))
+    val l = sigs.select(col("sig"), col("vec_id").as("id_a"), col("nrm").as("n_a"))
+    val r = sigs.select(col("sig"), col("vec_id").as("id_b"), col("nrm").as("n_b"))
+    val pairs = l.join(r, Seq("sig"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+
+    // candidate-pair dots: attach both arrays, explode one side and index
+    // the other with element_at — one codegen'd agg pass, no positional
+    // join (same per-term decimal rounding the oracle mirrors)
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        posexplode(col("va")), col("vb"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("col").cast(DoubleType).as("x"),
+        element_at(col("vb"), col("pos") + 1).cast(DoubleType).as("y"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(sum((col("x") * col("y")).cast(Term)).cast(DoubleType).as("dot"))
       .select(col("id_a"), col("id_b"),
-        float_cosine(col("v_a"), col("v_b")).as("similarity"))
+        (col("dot") / sqrt(col("n_a") * col("n_b"))).as("similarity"))
       .where(col("similarity") >= minCosine)
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (the first `nlist`
     * corpus vectors act as centroids — no training dependency), inverted
     * lists built by nearest-centroid assignment, queries probing the
-    * `nprobe` closest lists. Scoring uses the codegen'd
-    * [[graft.functions.Native.FloatCosine]] kernel — the throughput path;
-    * exactness of ranking within probed lists matches brute force, recall
-    * is bounded by the probe coverage (measured in the unit spec).
+    * `nprobe` closest lists, exact ranking within the probed candidates.
+    *
+    * Every similarity on the decision path (assignment, probing, final
+    * rank) is the exact-decimal cosine, so the whole IVF structure —
+    * inverted lists, probe sets, candidate ranking — is reproduced
+    * bit-identically by [[oracle.ivfTopK]]'s DuckDB mirror. The output
+    * contract is the honest IVF one (top-k WITHIN the probed lists, the
+    * recall/throughput tradeoff surfaced in the unit spec), and the
+    * oracle checks that contract itself rather than assuming full recall.
     *
     * Scale shape: centroids broadcast twice (assignment, probe); the only
     * shuffle is the equi-join of query-probes to inverted lists on
@@ -134,32 +194,50 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.Native.float_cosine
     val e = Tables.embeddings(spark, dir)
     val centroids = e.where(col("vec_id") < nlist)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"),
+        exactSelfSum(col("embedding")).as("ncent"))
 
-    // inverted lists: each vector assigned to its nearest centroid
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", float_cosine(col("embedding"), col("centroid")))
-      .withColumn("rk_c", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("centroid_id"))))
-      .where(col("rk_c") === 1)
-      .select(col("centroid_id"), col("vec_id").as("cid"), col("embedding").as("cv"))
-
-    // each query probes its nprobe nearest lists
-    val probes = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // inverted lists: map-only broadcast cross join (no shuffle for the
+    // pairing) + exact fold cosine, then argmax-by-struct — row_number +
+    // filter rk=1 measured ~13x slower than the equivalent max_by hash
+    // aggregation at sf0.1, and the fold beats the explode-the-pair form
+    // here (exploding rows that carry two 64-float arrays copies ~1 GB).
+    // Tie-break matches the oracle's window: highest cosine, then lowest
+    // centroid id. first() is safe for cv/nc: constant within each group.
+    val assigned = e
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        exactSelfSum(col("embedding")).as("nc"))
       .crossJoin(broadcast(centroids))
-      .withColumn("cos_c", float_cosine(col("qv"), col("centroid")))
+      .select(col("cid"), col("cv"), col("nc"), col("centroid_id"),
+        (exactZipSum(col("cv"), col("centroid")) / sqrt(col("nc") * col("ncent")))
+          .as("cos_c"))
+      .groupBy(col("cid"))
+      .agg(
+        max_by(col("centroid_id"), struct(col("cos_c"), col("centroid_id") * -1))
+          .as("centroid_id"),
+        first(col("cv")).as("cv"), first(col("nc")).as("nc"))
+
+    // each query probes its nprobe nearest lists (window input is only
+    // nQueries*nlist rows — the query-side filter prunes the scan)
+    val probes = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        exactSelfSum(col("embedding")).as("nq"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c",
+        exactZipSum(col("qv"), col("centroid")) / sqrt(col("nq") * col("ncent")))
       .withColumn("rk_c", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos_c").desc, col("centroid_id"))))
       .where(col("rk_c") <= nprobe)
-      .select(col("qid"), col("qv"), col("centroid_id"))
+      .select(col("qid"), col("qv"), col("nq"), col("centroid_id"))
 
-    probes.join(assigned, Seq("centroid_id"))
+    // exact rescore of the probed candidates, per-query top-k
+    broadcast(probes).join(assigned, Seq("centroid_id"))
       .where(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), float_cosine(col("qv"), col("cv")).as("similarity"))
+      .select(col("qid"), col("cid"),
+        (exactZipSum(col("qv"), col("cv")) / sqrt(col("nq") * col("nc")))
+          .as("similarity"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("similarity").desc, col("cid"))))
       .where(col("rk") <= k)
@@ -168,14 +246,16 @@ object Similarity {
   object oracle {
     /** Correlated exact-decimal dot product: DuckDB 1-based list indexing,
       * same DECIMAL(20,12) per-term rounding as the Spark side. The dim
-      * range is fixed (64) because DuckDB's `range` table function cannot
-      * take lateral column parameters like len(qv). */
+      * range is fixed ([[Dim]]) because DuckDB's `range` table function
+      * cannot take lateral column parameters like len(qv). */
     private def dot(a: String, b: String) =
       s"""(SELECT CAST(SUM(CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
-         | FROM range(1, 65) t(i))""".stripMargin.replace("\n", "")
+         | FROM range(1, ${Dim + 1}) t(i))""".stripMargin.replace("\n", "")
 
-    val bruteForceTopK: String =
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    /** Exact brute-force cosine top-k — the oracle for both the
+      * brute-force query and (by recall design) the IVF variant. */
+    private def exactTopK(nQueries: Int, k: Int): String =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
          |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
          |p AS (
          |  SELECT qid, cid,
@@ -183,6 +263,67 @@ object Similarity {
          |  FROM c CROSS JOIN q WHERE cid <> qid)
          |SELECT qid, cid, similarity,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) AS INT) AS rk
-         |FROM p QUALIFY rk <= 10""".stripMargin
+         |FROM p QUALIFY rk <= $k""".stripMargin
+
+    val bruteForceTopK: String = exactTopK(10, 10)
+
+    /** Full DuckDB mirror of [[Similarity.ivfTopK]]: same exact-decimal
+      * assignment, probe sets, and in-list ranking — checks the IVF
+      * contract (top-k within probed lists) rather than assuming recall. */
+    val ivfTopK: String = {
+      val (nQueries, k, nlist, nprobe) = (10, 10, 16, 4)
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings
+         |  WHERE vec_id < $nlist),
+         |assigned AS (
+         |  SELECT centroid_id, cid, cv FROM (
+         |    SELECT c.centroid_id, e.vec_id AS cid, e.embedding AS cv,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dot("e.embedding", "c.centroid")}
+         |          / sqrt(${dot("e.embedding", "e.embedding")} * ${dot("c.centroid", "c.centroid")}) DESC,
+         |        c.centroid_id) AS rk_c
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rk_c = 1),
+         |probes AS (
+         |  SELECT qid, qv, centroid_id FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dot("q.embedding", "c.centroid")}
+         |          / sqrt(${dot("q.embedding", "q.embedding")} * ${dot("c.centroid", "c.centroid")}) DESC,
+         |        c.centroid_id) AS rk_c
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < $nQueries)
+         |  WHERE rk_c <= $nprobe)
+         |SELECT qid, cid, similarity,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY similarity DESC, cid) AS INT) AS rk
+         |FROM (
+         |  SELECT p.qid, a.cid,
+         |    ${dot("p.qv", "a.cv")}
+         |      / sqrt(${dot("p.qv", "p.qv")} * ${dot("a.cv", "a.cv")}) AS similarity
+         |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+         |  WHERE a.cid <> p.qid)
+         |QUALIFY rk <= $k""".stripMargin
+    }
+
+    /** Full DuckDB mirror of [[Similarity.nearDupLsh]]: identical literal
+      * hyperplanes, exact-decimal sign bits, bucket join, and exact
+      * cosine — the LSH structure itself is hash-compared. */
+    val nearDupLsh: String = {
+      val planes = 8
+      val signs = planeSigns(planes)
+      val sigExpr = (0 until planes).map { j =>
+        val terms = (0 until Dim).map { i =>
+          s"CAST(CAST(embedding[${i + 1}] AS DOUBLE) * ${signs(j)(i)}.0 AS DECIMAL(20,12))"
+        }.mkString(" + ")
+        s"(CASE WHEN ($terms) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n         |    + ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    $sigExpr AS sig
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dot("a.embedding", "b.embedding")}
+         |    / sqrt(${dot("a.embedding", "a.embedding")} * ${dot("b.embedding", "b.embedding")}) AS similarity
+         |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id""".stripMargin
+    }
   }
 }

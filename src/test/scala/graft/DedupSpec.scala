@@ -7,10 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
 
-/** The LSH dedup operators have no SQL oracle (engine-hash-specific), so
-  * correctness is established here on planted duplicates: write a corpus
-  * with known near/exact dup pairs to parquet, run the operator, check
-  * recall on the planted pairs and precision via the similarity scores. */
+/** The LSH dedup operators are also DuckDB-oracle-checked (md5-derived
+  * hashes are mirrored in SQL), but hash parity alone wouldn't catch a
+  * semantically wrong pipeline that's wrong identically on both sides —
+  * so correctness is additionally established here on planted duplicates:
+  * write a corpus with known near/exact dup pairs to parquet, run the
+  * operator, check recall on the planted pairs and precision via the
+  * similarity scores. */
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

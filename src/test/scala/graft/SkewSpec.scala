@@ -31,17 +31,14 @@ class SkewSpec extends AnyFunSuite {
     assert(out === Set((1L, "a", Some("one")), (1L, "b", Some("one")), (99L, "c", None)))
   }
 
-  test("approxMetrics: sketches within error bounds of exact values") {
+  test("approxMetrics: every sketch-bound verdict is true") {
     val rows = Skew.approxMetrics(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact  = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact < 0.15,
-        s"HLL estimate $approx too far from $exact")
-      val median = r.getAs[Double]("approx_median_price")
-      val p99    = r.getAs[Double]("approx_p99_price")
-      assert(median > 0 && p99 >= median)
+      assert(r.getAs[Boolean]("hll_ok"), s"HLL bound violated: $r")
+      assert(r.getAs[Boolean]("median_rank_ok"), s"median rank bound violated: $r")
+      assert(r.getAs[Boolean]("p99_rank_ok"), s"p99 rank bound violated: $r")
+      assert(r.getAs[Long]("exact_orders") > 0 && r.getAs[Long]("n") > 0)
     }
   }
 }
