@@ -79,13 +79,17 @@ object Analytics {
         sum(coalesce(col("n_items"), lit(0L))).as("total_transacoes"),
         max(col("o_orderdate")).as("ultima_atividade"))
 
-    // product usage per customer (J5-style chain, collect_set sorted for determinism)
+    // product usage per customer (J5-style chain, collect_set sorted for
+    // determinism). Both distinct quantities come from collect_set in ONE
+    // ObjectHashAggregate pass: size(collect_set(p_type)) equals
+    // countDistinct(p_type) but avoids the expand + multi-stage plan that
+    // mixing countDistinct with an object aggregate would force.
     val custProds = li
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("ck2"))
       .agg(
-        countDistinct(col("p_type")).as("categorias_produtos"),
+        size(collect_set(col("p_type"))).cast(LongType).as("categorias_produtos"),
         // COLLECT_SET (A7) sorted for determinism, then joined to a scalar
         // string: the driver's row-sort can't order array cells, and the
         // csv form is what the reference's consumers see anyway.
@@ -107,24 +111,36 @@ object Analytics {
   }
 
   /** Gold `daily_transaction_metrics` (`dags/3_silver_to_gold.py:303-324`):
-    * per (day, type) stats incl. stddev (A5) and distinct counts (A6). */
-  def dailyMetrics(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    * per (day, type) stats incl. stddev (A5) and distinct counts (A6).
+    *
+    * The distinct count runs as its OWN aggregation joined back on the
+    * group keys: mixing countDistinct with the decimal stat aggregates in
+    * one agg makes Spark plan expand + multi-stage aggregation with every
+    * sum riding each stage (~2x the cost at sf0.1); a lone countDistinct
+    * plans as clean two-level hash aggs, and the extra scan is cheap. */
+  def dailyMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
       .where(col("l_shipdate").isNotNull)
-      .groupBy(
+      .select(
         // midnight TIMESTAMP_NTZ, not DATE: date32 parquet output compares
         // as python `date` objects vs the oracle's datetime64 — same value,
         // different type. A timestamp day-floor is type-stable end to end.
         col("l_shipdate").cast(DateType).cast("timestamp_ntz").as("data"),
-        col("l_returnflag"))
+        col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+    val stats = li
+      .groupBy(col("data"), col("l_returnflag"))
       .agg(
         count(lit(1)).as("quantidade_transacoes"),
         dsum(col("l_extendedprice")).as("volume_total"),
         davg(col("l_extendedprice")).as("valor_medio"),
         dstddev(col("l_extendedprice")).as("desvio_padrao"),
         min(col("l_extendedprice")).as("valor_minimo"),
-        max(col("l_extendedprice")).as("valor_maximo"),
-        countDistinct(col("l_orderkey")).as("pedidos_unicos"))
+        max(col("l_extendedprice")).as("valor_maximo"))
+    val uniq = li
+      .groupBy(col("data"), col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("pedidos_unicos"))
+    stats.join(uniq, Seq("data", "l_returnflag"))
+  }
 
   /** Gold `product_ranking` (`dags/3_silver_to_gold.py:368-392`):
     * 4-way join chain (J5) → per-product aggregates → dual ROW_NUMBER
@@ -138,21 +154,45 @@ object Analytics {
     val cust = Tables.customer(spark, dir)
     val part = Tables.part(spark, dir)
 
-    val metrics = li
+    // Two-level (product, order) partial aggregation instead of mixing
+    // two countDistincts with decimal sums in one agg (which plans
+    // expand x3 with every sum riding each stage). o_orderkey determines
+    // c_custkey, so pedidos_unicos falls out as the level-2 row count and
+    // the customer survives level 1 as a group constant; the partial sums
+    // re-aggregate exactly (decimal addition is associative). lvl1 is
+    // materialized once for its two consumers.
+    val lvl1 = li
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .where(col("o_orderstatus") === "F" && col("l_shipdate").isNotNull)
-      .groupBy(
+      .select(
         col("p_name").as("product_name"),
         col("p_brand").as("product_brand"),
-        col("p_type").as("product_category"))
+        col("p_type").as("product_category"),
+        col("o_orderkey"), col("c_custkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("amt"))
+      .groupBy(col("product_name"), col("product_brand"), col("product_category"),
+        col("o_orderkey"))
       .agg(
-        count(lit(1)).as("total_transacoes"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume_financeiro"),
-        countDistinct(col("o_orderkey")).as("pedidos_unicos"),
-        countDistinct(col("c_custkey")).as("clientes_unicos"),
-        davg(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("ticket_medio"))
+        count(lit(1)).as("n"),
+        sum(col("amt").cast(Dsl.Money)).as("s"),
+        first(col("c_custkey")).as("ck"))
+    val prodKeys = Seq("product_name", "product_brand", "product_category")
+    val base = lvl1
+      .groupBy(prodKeys.map(col): _*)
+      .agg(
+        sum(col("n")).as("total_transacoes"),
+        sum(col("s")).cast(DoubleType).as("volume_financeiro"),
+        count(lit(1)).as("pedidos_unicos"),
+        (sum(col("s")).cast(DoubleType) / sum(col("n"))).as("ticket_medio"))
+    val uniqCust = lvl1
+      .groupBy(prodKeys.map(col): _*)
+      .agg(countDistinct(col("ck")).as("clientes_unicos"))
+    val metrics = base.join(uniqCust, prodKeys)
+      .select(col("product_name"), col("product_brand"), col("product_category"),
+        col("total_transacoes"), col("volume_financeiro"), col("pedidos_unicos"),
+        col("clientes_unicos"), col("ticket_medio"))
 
     val byVolume = Window.orderBy(
       col("volume_financeiro").desc,
