@@ -43,6 +43,11 @@ object SparkEntry {
     "q4_late_orders"      -> ((s, d) => Tpch.q4LateOrders(s, d)),
     "q14_economy_share"   -> ((s, d) => Tpch.q14EconomyShare(s, d)),
     "q7_nation_volume"    -> ((s, d) => Tpch.q7NationVolume(s, d)),
+    "q10_returned_items"  -> ((s, d) => Tpch.q10ReturnedItems(s, d)),
+    "q19_disjunctive"     -> ((s, d) => Tpch.q19Disjunctive(s, d)),
+    "q22_wealthy_inactive" -> ((s, d) => Tpch.q22WealthyInactive(s, d)),
+    "range_join_promo"    -> ((s, d) => Tpch.rangeJoinPromo(s, d)),
+    "cube_volume"         -> ((s, d) => Tpch.cubeVolume(s, d)),
     "string_funcs"        -> ((s, d) => Scalars.stringFuncs(s, d)),
     "date_funcs"          -> ((s, d) => Scalars.dateFuncs(s, d)),
     // typed Dataset[T] surface (groupByKey + typed agg)
@@ -52,6 +57,7 @@ object SparkEntry {
     "rollup_volume"       -> ((s, d) => Tpch.rollupVolume(s, d)),
     // analytic windows / set ops / pivot / time buckets
     "window_running"      -> ((s, d) => Windowing.windowRunning(s, d)),
+    "window_rank_stats"   -> ((s, d) => Windowing.windowRankStats(s, d)),
     "set_ops"             -> ((s, d) => Windowing.setOps(s, d)),
     "pivot_user_type"     -> ((s, d) => Windowing.pivotUserType(s, d)),
     "tumbling_volume"     -> ((s, d) => Windowing.tumblingVolume(s, d)),
@@ -66,6 +72,9 @@ object SparkEntry {
     "text_stats"          -> ((s, d) => Text.textStats(s, d)),
     "lang_id"             -> ((s, d) => Text.langId(s, d)),
     "text_fingerprint"    -> ((s, d) => Text.textFingerprint(s, d)),
+    "token_count"         -> ((s, d) => Text.tokenCount(s, d)),
+    // custom typed Aggregator (UDAF) surface
+    "udaf_spend_stats"    -> ((s, d) => graft.functions.Udafs.udafSpendStats(s, d)),
     // dedup extensions
     "doc_dedup_exact"     -> ((s, d) => Dedup.exactDedup(s, d)),
     "doc_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -101,6 +110,11 @@ object SparkEntry {
     "q4_late_orders"      -> Tpch.oracle.q4LateOrders,
     "q14_economy_share"   -> Tpch.oracle.q14EconomyShare,
     "q7_nation_volume"    -> Tpch.oracle.q7NationVolume,
+    "q10_returned_items"  -> Tpch.oracle.q10ReturnedItems,
+    "q19_disjunctive"     -> Tpch.oracle.q19Disjunctive,
+    "q22_wealthy_inactive" -> Tpch.oracle.q22WealthyInactive,
+    "range_join_promo"    -> Tpch.oracle.rangeJoinPromo,
+    "cube_volume"         -> Tpch.oracle.cubeVolume,
     "string_funcs"        -> Scalars.oracle.stringFuncs,
     "date_funcs"          -> Scalars.oracle.dateFuncs,
     "typed_user_spend"    -> ("""SELECT user_id, COUNT(*) AS n_events,
@@ -110,6 +124,7 @@ object SparkEntry {
     "corpus_clean"        -> Text.oracle.corpusClean,
     "rollup_volume"       -> Tpch.oracle.rollupVolume,
     "window_running"      -> Windowing.oracle.windowRunning,
+    "window_rank_stats"   -> Windowing.oracle.windowRankStats,
     "set_ops"             -> Windowing.oracle.setOps,
     "pivot_user_type"     -> Windowing.oracle.pivotUserType,
     "tumbling_volume"     -> Windowing.oracle.tumblingVolume,
@@ -121,6 +136,8 @@ object SparkEntry {
     "text_stats"          -> Text.oracle.textStats,
     "lang_id"             -> Text.oracle.langId,
     "text_fingerprint"    -> Text.oracle.textFingerprint,
+    "token_count"         -> Text.oracle.tokenCount,
+    "udaf_spend_stats"    -> graft.functions.Udafs.oracle.udafSpendStats,
     "doc_dedup_exact"     -> Dedup.oracle.exactDedup,
     "doc_ngram_jaccard"   -> Dedup.oracle.ngramJaccard,
     "doc_dedup_minhash"   -> Dedup.oracle.minHashLsh,

@@ -69,6 +69,23 @@ object Text {
           .otherwise("und"))
   }
 
+  /** Regex token-class counting — the BPE-ish pre-tokenization pass of a
+    * training pipeline: alpha words, numbers, punctuation runs, plus the
+    * alpha character mass and mean word length. Pure codegen'd regex
+    * built-ins; patterns stick to character classes that mean the same
+    * thing in Java regex (Spark) and RE2 (DuckDB). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_numbers"),
+        size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9 ]+"), lit(0))).as("n_punct_runs"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_alpha_chars"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          col("n_alpha_chars").cast(DoubleType) / col("n_words")))
+
   /** Whitespace-normalized md5 content fingerprint (document identity for
     * exact dedup). */
   def fingerprint(text: Column): Column =
@@ -149,6 +166,17 @@ object Text {
          |       WHEN de_hits > 0 THEN 'de'
          |       ELSE 'und' END AS lang_guess
          |FROM h""".stripMargin
+
+    val tokenCount: String =
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+         |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS INT) AS n_punct_runs,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INT) AS n_alpha_chars,
+         |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0 THEN
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / len(regexp_extract_all(lower(text), '[a-z]+')) END AS mean_word_len
+         |FROM documents""".stripMargin
 
     val textFingerprint: String =
       s"""SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,

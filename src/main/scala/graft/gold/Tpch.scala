@@ -3,6 +3,7 @@ package graft.gold
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, TimestampType}
 
 import graft.{Dsl, Tables}
 import graft.Dsl._
@@ -178,6 +179,101 @@ object Tpch {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q10-style: revenue lost to returned items per customer + nation,
+    * top-20 by revenue (rank over the aggregated per-customer rows —
+    * bounded by |customer|, never fact volume). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("revenue").desc, col("c_custkey"))))
+      .where(col("rk") <= 20)
+  }
+
+  /** Q19-style: disjunctive multi-band predicates (brand x size x
+    * quantity) — exercises OR-of-conjunctions pushdown across a join. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1.0, 15.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+          && col("l_quantity").between(10.0, 25.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)
+          && col("l_quantity").between(20.0, 40.0)))
+      .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** Q22-style: wealthy dormant customers — a scalar AVG subquery feeding
+    * a filter plus NOT EXISTS against the recent-order set (anti join with
+    * a filtered build side), rolled up per market segment. */
+  def q22WealthyInactive(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(Dsl.Money)).cast(DoubleType)
+        / count(col("c_acctbal"))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+      .select(col("o_custkey"))
+    cust
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+  }
+
+  /** Deterministic promo windows for the range join: 8 monthly windows,
+    * one every 90 days from 1996-01-01. Shared with the oracle generator
+    * so both engines see identical literals. */
+  private[gold] val promoPeriods: Seq[(String, String, String)] = {
+    import java.time.LocalDate
+    (0 until 8).map { k =>
+      val s = LocalDate.of(1996, 1, 1).plusDays(90L * k)
+      (s"promo_$k", s.toString, s.plusDays(30).toString)
+    }
+  }
+
+  /** Range (theta) join: lineitems matched to promo periods by
+    * `l_shipdate BETWEEN start AND end` — a non-equi join the reference
+    * lacks. The period table is tiny and broadcast, so the physical plan
+    * is a map-only BroadcastNestedLoopJoin; at scale the standard upgrade
+    * is bucketing dates to a coarse equi-key first. */
+  def rangeJoinPromo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promos = promoPeriods.toDF("promo_id", "p_start", "p_end")
+      .select(col("promo_id"),
+        col("p_start").cast(TimestampType).as("p_start"),
+        col("p_end").cast(TimestampType).as("p_end"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promos),
+        col("l_shipdate") >= col("p_start") && col("l_shipdate") <= col("p_end"))
+      .groupBy(col("promo_id"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** CUBE over (status, priority) with GROUPING() markers — all four
+    * grouping combinations in one pass (rollupVolume covers ROLLUP). */
+  def cubeVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        dsum(col("o_totalprice")).as("volume"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"))
+
   object oracle {
     val q4LateOrders: String =
       s"""SELECT o_orderpriority, COUNT(*) AS late_orders
@@ -281,5 +377,65 @@ object Tpch {
          |  GROUP BY 1, 2, 3)
          |SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS INT) AS rk
          |FROM grouped QUALIFY rk <= 10""".stripMargin
+
+    val q10ReturnedItems: String =
+      s"""WITH grouped AS (
+         |  SELECT c_custkey, c_name, n_name,
+         |    ${Dsl.sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |    COUNT(*) AS n_items
+         |  FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  WHERE l_returnflag = 'R'
+         |  GROUP BY 1, 2, 3)
+         |SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS INT) AS rk
+         |FROM grouped QUALIFY rk <= 20""".stripMargin
+
+    val q19Disjunctive: String =
+      s"""SELECT
+         |  ${Dsl.sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1.0 AND 15.0)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity BETWEEN 10.0 AND 25.0)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+         |       AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin
+
+    val q22WealthyInactive: String =
+      s"""WITH a AS (
+         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  ${Dsl.sql.dsum("c_acctbal")} AS total_bal
+         |FROM customer, a
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY 1""".stripMargin
+
+    val rangeJoinPromo: String = {
+      val values = promoPeriods.map { case (id, s, e) =>
+        s"('$id', TIMESTAMP '$s 00:00:00', TIMESTAMP '$e 00:00:00')"
+      }.mkString(",\n         |    ")
+      s"""WITH promos(promo_id, p_start, p_end) AS (VALUES
+         |    $values)
+         |SELECT promo_id, COUNT(*) AS n_items,
+         |  ${Dsl.sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN promos
+         |  ON l_shipdate >= p_start AND l_shipdate <= p_end
+         |GROUP BY 1""".stripMargin
+    }
+
+    val cubeVolume: String =
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  ${Dsl.sql.dsum("o_totalprice")} AS volume,
+         |  COUNT(*) AS n_orders,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
   }
 }

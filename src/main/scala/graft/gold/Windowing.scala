@@ -34,6 +34,26 @@ object Windowing {
           .cast(DoubleType))
   }
 
+  /** Ranking-function breadth per user: rank/dense_rank over the value
+    * ordering (ties allowed), percent_rank (exact int-ratio double —
+    * bit-stable cross-engine), ntile quartiles and a first_value /
+    * sliding-rows-frame sum over the fully tie-broken ordering. */
+  def windowRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    val total   = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("rk", rank().over(byValue))
+      .withColumn("drk", dense_rank().over(byValue))
+      .withColumn("prk", percent_rank().over(byValue))
+      .withColumn("quartile", ntile(4).over(total))
+      .withColumn("first_val", first(col("value")).over(
+        total.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("window_sum",
+        sum(col("value").cast(Dsl.Money))
+          .over(total.rowsBetween(-2, 2)).cast(DoubleType))
+  }
+
   /** INTERSECT / EXCEPT / UNION over user sets (SURVEY §2.7 notes the
     * reference has none — the engine still provides them). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
@@ -79,6 +99,21 @@ object Windowing {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+    val windowRankStats: String =
+      s"""SELECT event_id, user_id, value,
+         |  CAST(RANK() OVER v AS INT) AS rk,
+         |  CAST(DENSE_RANK() OVER v AS INT) AS drk,
+         |  PERCENT_RANK() OVER v AS prk,
+         |  CAST(NTILE(4) OVER t AS INT) AS quartile,
+         |  FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY value, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_val,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         |    PARTITION BY user_id ORDER BY value, event_id
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) AS window_sum
+         |FROM events
+         |WINDOW v AS (PARTITION BY user_id ORDER BY value),
+         |       t AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin
 
     val setOps: String =
       s"""SELECT 'purchase_and_error' AS tag, user_id FROM (
