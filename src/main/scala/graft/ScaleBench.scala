@@ -7,11 +7,14 @@ import graft.bronze.Generate
 /** Scale diagnostic: generate N reference-shaped transactions entirely in
   * the engine (shuffle-free, executor-parallel) and run the reference gold
   * monthly_balance over them — measures engine throughput well past the
-  * test fixtures' size. Usage: runMain graft.ScaleBench [rows]
+  * test fixtures' size — plus the training-pipeline path: MinHash-LSH
+  * dedup over a generated corpus with planted duplicates.
+  * Usage: runMain graft.ScaleBench [rows] [docs]
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
-    val rows = if (args.nonEmpty) args(0).toLong else 50000000L
+    val rows  = if (args.nonEmpty) args(0).toLong else 50000000L
+    val nDocs = if (args.length > 1) args(1).toLong else 1000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,6 +35,25 @@ object ScaleBench {
     val groups = Generate.referenceMonthlyBalance(txns, types).count()
     val aggSecs = (System.nanoTime() - t0) / 1e9
     println(f"[scale] rows=$n groups=$groups agg_secs=$aggSecs%.1f rows_per_sec=${(n / aggSecs).toLong}")
+
+    // MinHash-LSH dedup at corpus scale: ~60-word docs from a hashed
+    // vocabulary (codegen'd generation, no driver data); every 10th doc
+    // duplicates its predecessor, so expected pairs ≈ nDocs/10. One
+    // bucket-key shuffle regardless of corpus size.
+    import org.apache.spark.sql.functions._
+    val nWords = 60
+    val vocab  = 50000
+    val wordCols = (0 until nWords).map(i =>
+      concat(lit("w"), pmod(xxhash64(col("seed"), lit(i)), lit(vocab)).cast("string")))
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        expr("CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END").as("seed"))
+      .select(col("doc_id"), concat_ws(" ", wordCols: _*).as("text"))
+      .repartition(64)
+    val d0 = System.nanoTime()
+    val pairs = graft.operators.Dedup.minHashLshOn(docs).count()
+    val dedupSecs = (System.nanoTime() - d0) / 1e9
+    println(f"[scale] docs=$nDocs dup_pairs=$pairs dedup_secs=$dedupSecs%.1f docs_per_sec=${(nDocs / dedupSecs).toLong}")
     spark.stop()
   }
 }

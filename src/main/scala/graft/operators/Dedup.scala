@@ -41,10 +41,10 @@ object Dedup {
     * interpreted (CodegenFallback) and measured ~6× slower than this
     * fully-codegen'd explode+window+concat pipeline at sf0.1. The window
     * partitions by doc_id, so it parallelizes across documents. */
-  private def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
+  private def explodedShinglesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
       .withColumnRenamed("col", "tok")
       .withColumn("t2", lead(col("tok"), 1).over(w))
@@ -130,14 +130,19 @@ object Dedup {
     * against DuckDB — no empirical-recall caveat.
     */
   def minHashLsh(spark: SparkSession, dir: String,
-                 k: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                 k: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame =
+    minHashLshOn(Tables.documents(spark, dir), k, bands, threshold)
+
+  /** [[minHashLsh]] over an arbitrary (doc_id, text) frame. */
+  def minHashLshOn(docs: DataFrame,
+                   k: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val coeffs = minHashCoeffs(k)
     val sigCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % MinHashP).as(s"h$j")
     }
-    val sigs = explodedShingles(spark, dir)
+    val sigs = explodedShinglesOf(docs)
       .withColumn("h", md5Long(col("s")) % MinHashP)
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
@@ -176,12 +181,16 @@ object Dedup {
     * is md5-derived ([[md5Long]]) so [[oracle.simHash]] reproduces the
     * identical signatures/buckets/distances in DuckDB.
     */
-  def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simHashOn(Tables.documents(spark, dir), maxHamming)
+
+  /** [[simHash]] over an arbitrary (doc_id, text) frame. */
+  def simHashOn(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // Signature via explode + hash-aggregate: one md5 per distinct
     // token, then 60 codegen'd conditional sums per doc (array
     // higher-order filters are interpreted — measured slower). The only
     // other shuffle is the candidate-bucket join.
-    val bits = Tables.documents(spark, dir)
+    val bits = docs
       .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
       .withColumn("h", md5Long(col("tok")))
     val bitSums = (0 until 60).map { j =>
