@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.gold.{Analytics, Scalars, Tpch, Windowing}
+import graft.gold.{Analytics, Extended, Scalars, Tpch, Tpch2, Windowing}
 import graft.silver.Ingest
 import graft.functions.Text
 import graft.operators.{Dedup, Similarity, Skew}
@@ -90,6 +90,26 @@ object SparkEntry {
     "approx_metrics"      -> ((s, d) => Skew.approxMetrics(s, d)),
     // multimodal plumbing (stubbed decode, real schema/expressions)
     "multimodal_features" -> ((s, d) => Multimodal.featurize(s, d)),
+    // second TPC-H wave: correlated-subquery rewrites, distributions
+    "q2_min_cost_supplier" -> ((s, d) => Tpch2.q2MinCostSupplier(s, d)),
+    "q8_market_share"     -> ((s, d) => Tpch2.q8MarketShare(s, d)),
+    "q9_product_profit"   -> ((s, d) => Tpch2.q9ProductProfit(s, d)),
+    "q11_important_parts" -> ((s, d) => Tpch2.q11ImportantParts(s, d)),
+    "q13_cust_dist"       -> ((s, d) => Tpch2.q13CustDist(s, d)),
+    "q15_top_supplier"    -> ((s, d) => Tpch2.q15TopSupplier(s, d)),
+    "q16_supplier_count"  -> ((s, d) => Tpch2.q16SupplierCount(s, d)),
+    "q17_small_quantity"  -> ((s, d) => Tpch2.q17SmallQuantity(s, d)),
+    "q21_sole_late_shipper" -> ((s, d) => Tpch2.q21SoleLateShipper(s, d)),
+    // extended analytics: sessions, sliding windows, order stats, stats fns
+    "session_volume"      -> ((s, d) => Extended.sessionVolume(s, d)),
+    "sliding_volume"      -> ((s, d) => Extended.slidingVolume(s, d)),
+    "exact_median"        -> ((s, d) => Extended.exactMedian(s, d)),
+    "mode_priority"       -> ((s, d) => Extended.modePriority(s, d)),
+    "stats_corr"          -> ((s, d) => Extended.statsCorr(s, d)),
+    "grouping_sets_geo"   -> ((s, d) => Extended.groupingSetsGeo(s, d)),
+    "top_tokens"          -> ((s, d) => Extended.topTokens(s, d)),
+    "emb_norm_stats"      -> ((s, d) => Extended.embNormStats(s, d)),
+    "salted_brand_volume" -> ((s, d) => Extended.saltedBrandVolume(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +167,23 @@ object SparkEntry {
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,
     "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
     "multimodal_features" -> Multimodal.oracle.featurize,
+    "q2_min_cost_supplier" -> Tpch2.oracle.q2MinCostSupplier,
+    "q8_market_share"     -> Tpch2.oracle.q8MarketShare,
+    "q9_product_profit"   -> Tpch2.oracle.q9ProductProfit,
+    "q11_important_parts" -> Tpch2.oracle.q11ImportantParts,
+    "q13_cust_dist"       -> Tpch2.oracle.q13CustDist,
+    "q15_top_supplier"    -> Tpch2.oracle.q15TopSupplier,
+    "q16_supplier_count"  -> Tpch2.oracle.q16SupplierCount,
+    "q17_small_quantity"  -> Tpch2.oracle.q17SmallQuantity,
+    "q21_sole_late_shipper" -> Tpch2.oracle.q21SoleLateShipper,
+    "session_volume"      -> Extended.oracle.sessionVolume,
+    "sliding_volume"      -> Extended.oracle.slidingVolume,
+    "exact_median"        -> Extended.oracle.exactMedian,
+    "mode_priority"       -> Extended.oracle.modePriority,
+    "stats_corr"          -> Extended.oracle.statsCorr,
+    "grouping_sets_geo"   -> Extended.oracle.groupingSetsGeo,
+    "top_tokens"          -> Extended.oracle.topTokens,
+    "emb_norm_stats"      -> Extended.oracle.embNormStats,
+    "salted_brand_volume" -> Extended.oracle.saltedBrandVolume,
   )
 }

@@ -1,0 +1,290 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+import graft.{Dsl, Tables}
+import graft.Dsl._
+import graft.operators.Skew
+
+/** Third surface wave: sessionization, sliding time windows, exact order
+  * statistics (median without engine-specific interpolation), mode with a
+  * deterministic tiebreak, Pearson correlation / covariance from exact
+  * sums, GROUPING SETS, token frequency top-k, embedding-norm statistics,
+  * and the salted-join path surfaced as an oracle-checked query.
+  *
+  * Scale notes: sessionization and sliding windows are hash aggs on
+  * derived keys (session_window / window) — no global sort; the mode and
+  * top-k windows run over *aggregated* rows only (group cardinality, not
+  * fact volume); the exact median is the one genuinely sort-heavy op here
+  * (per-group rank), kept exact deliberately — the sketch alternative is
+  * `Skew.approxMetrics`; correlation needs a single grouped pass (six
+  * exact sums), no second scan.
+  */
+object Extended {
+
+  /** Gap-based sessionization via session_window (the batch form of the
+    * streaming session aggregation): sessions close after 2 idle hours;
+    * end = last event + gap, per Spark session-window semantics, which the
+    * oracle mirrors with a LAG/cumulative-sum rewrite — the comparison
+    * doubles as an equivalence proof of the two formulations. */
+  def sessionVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("volume"))
+      .select(col("user_id"),
+        col("session_window.start").as("ss"),
+        col("session_window.end").as("se"),
+        col("n_events"), col("volume"))
+
+  /** Sliding windows (2 h window, 1 h slide): every event lands in exactly
+    * two hour-aligned windows; a plain hash agg on the derived window key. */
+  def slidingVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("volume"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("n_events"), col("volume"))
+
+  /** Exact median per group, interpolation-free: rank the values, average
+    * the one or two middle elements over exact decimals. Bit-reproducible
+    * (builtin percentile/quantile interpolation trees differ per engine). */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+    val counts = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("l_returnflag"))
+      .where(col("rn") === floor((col("n") + 1) / 2)
+        || col("rn") === floor((col("n") + 2) / 2))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (sum(col("l_extendedprice").cast(Dsl.Money)).cast(DoubleType)
+          / count(lit(1))).as("median_price"),
+        max(col("n")).as("n"))
+  }
+
+  /** Mode (most frequent value) per group with a deterministic tiebreak —
+    * two-level: grouped counts first, then a window over group-cardinality
+    * rows only. */
+  def modePriority(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("cnt").desc, col("o_orderpriority"))))
+      .where(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+  }
+
+  /** Pearson correlation + sample covariance of (quantity, price) per
+    * return flag, derived from six exact decimal sums with a fixed IEEE
+    * double tree (builtin CORR/COVAR accumulate in doubles — order
+    * dependent, engine specific). Final rounding absorbs the oracle's
+    * decimal→double double-rounding exactly as `Dsl.dstddev` does. */
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(Dsl.Money)
+    val y = col("l_extendedprice").cast(Dsl.Money)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+        round((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("n") - lit(1)), 6).as("covar_qp"))
+  }
+
+  /** GROUPING SETS ((nation), (region), ()) in one pass over the geo
+    * hierarchy — disjoint subtotal sets without a full CUBE expansion. */
+  def groupingSetsGeo(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("r_name")), Seq.empty),
+        col("n_name"), col("r_name"))
+      .agg(
+        dsum(col("c_acctbal")).as("total_bal"),
+        count(lit(1)).as("n_customers"),
+        grouping(col("n_name")).cast(IntegerType).as("g_n"),
+        grouping(col("r_name")).cast(IntegerType).as("g_r"))
+
+  /** Token frequency top-20 over the English corpus: regex extraction →
+    * explode → count → rank over the (small) distinct-token set. ASCII
+    * token class keeps lower() engine-agnostic on multilingual input. */
+  def topTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("lang") === "en")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .where(col("rk") <= 20)
+
+  private val Term = DecimalType(20, 12)
+  private val Acc  = DecimalType(30, 12)
+  private val EmbDim = 64
+
+  /** Embedding L2-norm statistics per label: exact-decimal self dot
+    * product per vector (order-independent), then exact-decimal averaging
+    * of the norms — the vector-column profiling pass a training pipeline
+    * runs before similarity search. */
+  def embNormStats(spark: SparkSession, dir: String): DataFrame = {
+    val norm2 = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (a, b) => (a.cast(DoubleType) * b.cast(DoubleType)).cast(Term)),
+      lit(BigDecimal(0)).cast(Acc),
+      (acc, z) => (acc + z).cast(Acc)).cast(DoubleType)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), sqrt(norm2).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        // double→decimal re-rounding of the sqrt'd norms is the one step
+        // engines disagree on (shortest-repr vs exact-binary rounding at
+        // digit 12); final round(…,6) absorbs that ulp-level noise
+        round(sum(col("nrm").cast(DecimalType(18, 12))).cast(DoubleType)
+          / count(col("nrm")), 6).as("avg_norm"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+  }
+
+  /** The salted-join path as a first-class query: revenue per brand through
+    * `Skew.saltedJoin` (hot-key splitting). The oracle is the plain join —
+    * the comparison proves salting is semantics-neutral. */
+  def saltedBrandVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val dim = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    Skew.saltedJoin(li, dim, Seq("p_partkey"), factor = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  object oracle {
+    val sessionVolume: String =
+      s"""WITH t AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |           OR ts - LAG(ts) OVER w >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (
+         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM t)
+         |SELECT user_id, MIN(ts) AS ss, MAX(ts) + INTERVAL 2 HOUR AS se,
+         |  COUNT(*) AS n_events, ${Dsl.sql.dsum("value")} AS volume
+         |FROM s GROUP BY user_id, sid""".stripMargin
+
+    val slidingVolume: String =
+      s"""SELECT make_timestamp(ws * 1000000) AS ws,
+         |  make_timestamp((ws + 7200) * 1000000) AS we,
+         |  COUNT(*) AS n_events, ${Dsl.sql.dsum("value")} AS volume
+         |FROM (
+         |  SELECT value,
+         |    CAST(floor((epoch(ts) - k.k * 3600) / 7200) * 7200 + k.k * 3600 AS BIGINT) AS ws
+         |  FROM events, (VALUES (0), (1)) k(k))
+         |GROUP BY 1, 2""".stripMargin
+
+    val exactMedian: String =
+      s"""WITH ranked AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem)
+         |SELECT l_returnflag,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS median_price,
+         |  MAX(n) AS n
+         |FROM ranked
+         |WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+         |   OR rn = CAST(floor((n + 2) / 2) AS BIGINT)
+         |GROUP BY 1""".stripMargin
+
+    val modePriority: String =
+      s"""WITH counts AS (
+         |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+         |FROM counts
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+         |  ORDER BY cnt DESC, o_orderpriority) = 1""".stripMargin
+
+    val statsCorr: String = {
+      // (19,6) casts force DuckDB's int128 multiply (values identical to
+      // Spark's (18,6)² products) — same trick as Dsl.sql.dstddev.
+      val sx  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+      val sy  = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
+      val sxx = "CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)"
+      val syy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)"
+      val sxy = "CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE)"
+      s"""WITH sums AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    $sx AS sx, $sy AS sy, $sxx AS sxx, $syy AS syy, $sxy AS sxy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  round((n * sxy - sx * sy)
+         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qp,
+         |  round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qp
+         |FROM sums""".stripMargin
+    }
+
+    val groupingSetsGeo: String =
+      s"""SELECT n_name, r_name,
+         |  ${Dsl.sql.dsum("c_acctbal")} AS total_bal,
+         |  COUNT(*) AS n_customers,
+         |  CAST(GROUPING(n_name) AS INT) AS g_n,
+         |  CAST(GROUPING(r_name) AS INT) AS g_r
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((n_name), (r_name), ())""".stripMargin
+
+    val topTokens: String =
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         |  FROM documents WHERE lang = 'en'),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1)
+         |SELECT token, cnt,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rk
+         |FROM c QUALIFY rk <= 20""".stripMargin
+
+    val embNormStats: String =
+      s"""WITH n AS (
+         |  SELECT label,
+         |    sqrt((SELECT CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+         |                 * CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+         |          FROM range(1, ${EmbDim + 1}) t(i))) AS nrm
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  round(CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / COUNT(nrm), 6) AS avg_norm,
+         |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM n GROUP BY 1""".stripMargin
+
+    /** Plain (unsalted) join — proves the salted path is semantics-neutral. */
+    val saltedBrandVolume: String =
+      s"""SELECT p_brand,
+         |  ${Dsl.sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1""".stripMargin
+  }
+}
