@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gold.{Extended, Tpch2}
+
+/** Structural/differential assertions for the TPC-H second wave and the
+  * extended-analytics queries (value-level ground truth is the DuckDB
+  * oracle; these pin invariants that survive data regeneration). */
+class ExtendedCoverageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q2: every kept supplier offers exactly the per-part minimum") {
+    val df = Tpch2.q2MinCostSupplier(spark, sf).cache()
+    assert(df.count() > 0)
+    // one min value per part (ties allowed across suppliers, not values)
+    assert(df.groupBy(col("p_partkey"))
+      .agg(countDistinct(col("min_unit")).as("nv"))
+      .where(col("nv") =!= 1).count() === 0)
+  }
+
+  test("q8: market share is a proper fraction") {
+    val df = Tpch2.q8MarketShare(spark, sf)
+    assert(df.where(col("mkt_share") < 0 || col("mkt_share") > 1).count() === 0)
+  }
+
+  test("q11: mean-relative threshold keeps a non-empty strict subset") {
+    val df = Tpch2.q11ImportantParts(spark, sf).cache()
+    val kept = df.count()
+    assert(kept > 0)
+    val parts = Tables.lineitem(spark, sf).select(col("l_partkey")).distinct().count()
+    assert(kept < parts)
+  }
+
+  test("q13: distribution accounts for every customer exactly once") {
+    val df = Tpch2.q13CustDist(spark, sf)
+    val total = df.agg(sum(col("custdist"))).first().getLong(0)
+    assert(total === Tables.customer(spark, sf).count())
+  }
+
+  test("q15: the kept supplier(s) hold the global max revenue") {
+    val df = Tpch2.q15TopSupplier(spark, sf).cache()
+    assert(df.count() >= 1)
+    assert(df.select(col("total_rev")).distinct().count() === 1)
+  }
+
+  test("q21: sole late shippers exist and waits are positive") {
+    val df = Tpch2.q21SoleLateShipper(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.where(col("numwait") <= 0).count() === 0)
+  }
+
+  test("session_volume: sessions per user are disjoint and gap-closed") {
+    val df = Extended.sessionVolume(spark, sf).cache()
+    assert(df.where(col("se") <= col("ss")).count() === 0)
+    // no two sessions of one user overlap: count pairwise via self-join on user
+    val a = df.select(col("user_id"), col("ss").as("a_ss"), col("se").as("a_se"))
+    val b = df.select(col("user_id"), col("ss").as("b_ss"), col("se").as("b_se"))
+    val overlaps = a.join(b, Seq("user_id"))
+      .where(col("a_ss") < col("b_ss") && col("b_ss") < col("a_se"))
+    assert(overlaps.count() === 0)
+  }
+
+  test("sliding_volume: 2h/1h slide counts every event exactly twice") {
+    val df = Extended.slidingVolume(spark, sf)
+    val windowed = df.agg(sum(col("n_events"))).first().getLong(0)
+    assert(windowed === 2 * Tables.events(spark, sf).count())
+  }
+
+  test("exact_median matches the builtin median within double noise") {
+    val ours = Extended.exactMedian(spark, sf)
+      .select(col("l_returnflag"), col("median_price"))
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(median(col("l_extendedprice")).as("m"))
+    val joined = ours.join(builtin, Seq("l_returnflag"))
+      .where(abs(col("median_price") - col("m")) > 1e-6)
+    assert(joined.count() === 0)
+  }
+
+  test("mode_priority: picked count equals the builtin per-group max count") {
+    val ours = Extended.modePriority(spark, sf)
+    val ref = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_orderstatus")).agg(max(col("c")).as("max_c"))
+    assert(ours.join(ref, Seq("o_orderstatus"))
+      .where(col("cnt") =!= col("max_c")).count() === 0)
+  }
+
+  test("stats_corr matches builtin corr/covar_samp within rounding") {
+    val ours = Extended.statsCorr(spark, sf)
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"))
+    val bad = ours.join(ref, Seq("l_returnflag"))
+      .where(abs(col("corr_qp") - col("c")) > 1e-5
+        || abs(col("covar_qp") - col("cv")) > 1e-2)
+    assert(bad.count() === 0)
+  }
+
+  test("grouping_sets_geo: nation and region subtotals both sum to the grand total") {
+    val df = Extended.groupingSetsGeo(spark, sf).cache()
+    val grand = df.where(col("g_n") === 1 && col("g_r") === 1)
+      .agg(sum(col("n_customers"))).first().getLong(0)
+    val byNation = df.where(col("g_n") === 0)
+      .agg(sum(col("n_customers"))).first().getLong(0)
+    val byRegion = df.where(col("g_r") === 0)
+      .agg(sum(col("n_customers"))).first().getLong(0)
+    assert(grand === byNation && grand === byRegion)
+  }
+
+  test("top_tokens: dense top-20, counts non-increasing in rank order") {
+    val rows = Extended.topTokens(spark, sf).orderBy(col("rk")).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq === (1 to 20))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("emb_norm_stats: min <= avg <= max per label") {
+    val df = Extended.embNormStats(spark, sf)
+    assert(df.where(col("avg_norm") < col("min_norm") - lit(1e-9)
+      || col("avg_norm") > col("max_norm") + lit(1e-9)).count() === 0)
+  }
+
+  test("salted_brand_volume equals the plain unsalted join") {
+    val salted = Extended.saltedBrandVolume(spark, sf)
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(Dsl.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+}
