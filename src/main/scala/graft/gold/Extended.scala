@@ -124,17 +124,21 @@ object Extended {
         grouping(col("r_name")).cast(IntegerType).as("g_r"))
 
   /** Token frequency top-20 over the English corpus: regex extraction →
-    * explode → count → rank over the (small) distinct-token set. ASCII
-    * token class keeps lower() engine-agnostic on multilingual input. */
+    * explode → count → distributed top-k. The deterministic orderBy+limit
+    * plans as TakeOrderedAndProject (per-partition heaps, O(n log k)) —
+    * never a single-partition sort of the whole vocabulary; the rank
+    * window then runs over exactly 20 rows. ASCII token class keeps
+    * lower() engine-agnostic on multilingual input. */
   def topTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .where(col("lang") === "en")
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cnt").desc, col("token"))))
-      .where(col("rk") <= 20)
 
   private val Term = DecimalType(20, 12)
   private val Acc  = DecimalType(30, 12)

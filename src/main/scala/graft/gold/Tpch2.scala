@@ -1,6 +1,7 @@
 package graft.gold
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, TimestampType}
 
@@ -179,11 +180,14 @@ object Tpch2 {
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(late, 1).otherwise(0)).as("is_late"))
-    val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"))
-    perOrderSupp.where(col("is_late") === 1)
-      .join(perOrder.where(col("n_supp") > 1 && col("n_late") === 1),
-        Seq("l_orderkey"))
+    // per-order supplier/late counts as an unbounded window over the
+    // already-aggregated rows — one pass, no join-back (a grouped-agg +
+    // self-join would re-execute the whole scan subtree for each branch)
+    val w = Window.partitionBy(col("l_orderkey"))
+    perOrderSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("is_late")).over(w))
+      .where(col("is_late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
       .join(broadcast(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
