@@ -80,6 +80,7 @@ object SparkEntry {
     "doc_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "doc_dedup_minhash"   -> ((s, d) => Dedup.minHashLsh(s, d)),
     "doc_dedup_simhash"   -> ((s, d) => Dedup.simHash(s, d)),
+    "dedup_components"    -> ((s, d) => Dedup.dedupComponents(s, d)),
     // similarity search extensions
     "ann_topk"            -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "doc_ngram_jaccard"   -> Dedup.oracle.ngramJaccard,
     "doc_dedup_minhash"   -> Dedup.oracle.minHashLsh,
     "doc_dedup_simhash"   -> Dedup.oracle.simHash,
+    "dedup_components"    -> Dedup.oracle.dedupComponents,
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,

@@ -219,6 +219,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-cluster resolution: connected components over the MinHash
+    * LSH candidate pairs, labeling every document with the minimum doc_id
+    * reachable through near-dup edges (singletons label themselves). This
+    * is the step that turns pairwise candidates into keep/drop decisions
+    * when dups chain (A≈B, B≈C ⇒ one cluster {A,B,C} even if A and C
+    * never collide in a band).
+    *
+    * Scale design: min-label propagation — each round is one shuffle-join
+    * of the (symmetric) edge list against current labels plus a grouped
+    * min, i.e. fully distributed with no driver-side data. Rounds needed
+    * = graph diameter; near-dup clusters are shallow (dozens of docs, not
+    * millions), so convergence is 2–4 rounds in practice and `maxIter`
+    * guards the pathological case. Each generation is persisted and the
+    * lineage truncated (localCheckpoint) so plans don't grow with
+    * iteration count. For adversarial deep graphs the alternating
+    * large-star/small-star contraction (O(log n) rounds) is the drop-in
+    * upgrade; the per-round shuffle structure is identical.
+    */
+  def dedupComponents(spark: SparkSession, dir: String, maxIter: Int = 20): DataFrame =
+    componentsOf(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      minHashLsh(spark, dir).select(col("doc_a"), col("doc_b")),
+      maxIter)
+
+  /** Connected components of `pairs` over `nodes` (column 1 of each frame
+    * is the id); returns (doc_id, component = min reachable id). */
+  def componentsOf(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
+      .persist()
+    var labels = nodes.toDF("node")
+      .select(col("node"), col("node").as("label")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.node") === nbrMin("src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+        .localCheckpoint(eager = true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   object oracle {
     val exactDedup: String =
       s"""SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
@@ -306,5 +361,23 @@ object Dedup {
          |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     }
+
+    /** Connected components via recursive transitive closure over the
+      * same md5-mirrored MinHash pair set ([[minHashLsh]] embedded as a
+      * CTE), then min reachable id per node — the declarative ground
+      * truth for the distributed label-propagation loop. */
+    val dedupComponents: String =
+      s"""WITH RECURSIVE pairs AS (
+         |$minHashLsh
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |m AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a)
+         |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component
+         |FROM documents d LEFT JOIN m ON m.a = d.doc_id""".stripMargin
   }
 }

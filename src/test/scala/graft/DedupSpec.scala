@@ -82,4 +82,29 @@ class DedupSpec extends AnyFunSuite {
     val near = j.where(col("doc_a") % 10 === 1)
     assert(near.where(col("jaccard") < 0.5 || col("jaccard") >= 1.0).count() === 0)
   }
+
+  test("componentsOf: chains, triangles and singletons resolve to min ids") {
+    // graph: chain 1-2-3-4 (diameter 3), triangle 10-11-12, edge 20-21,
+    // singleton 30; min-label must cross the full chain
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.componentsOf(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("dedupComponents: transitive closure of the planted LSH pairs") {
+    val pairs = Dedup.minHashLsh(spark, plantedDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.dedupComponents(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every pair is in one component, labeled by a member <= both ends
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"pair ($a,$b) split across components")
+      assert(comp(a) <= math.min(a, b))
+    }
+  }
 }
