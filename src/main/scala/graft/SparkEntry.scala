@@ -73,6 +73,9 @@ object SparkEntry {
     "lang_id"             -> ((s, d) => Text.langId(s, d)),
     "text_fingerprint"    -> ((s, d) => Text.textFingerprint(s, d)),
     "token_count"         -> ((s, d) => Text.tokenCount(s, d)),
+    "split_assign"        -> ((s, d) => Text.splitAssign(s, d)),
+    "repetition_stats"    -> ((s, d) => Text.repetitionStats(s, d)),
+    "tfidf_top3"          -> ((s, d) => Text.tfidfTop3(s, d)),
     // custom typed Aggregator (UDAF) surface
     "udaf_spend_stats"    -> ((s, d) => graft.functions.Udafs.udafSpendStats(s, d)),
     // dedup extensions
@@ -158,6 +161,9 @@ object SparkEntry {
     "lang_id"             -> Text.oracle.langId,
     "text_fingerprint"    -> Text.oracle.textFingerprint,
     "token_count"         -> Text.oracle.tokenCount,
+    "split_assign"        -> Text.oracle.splitAssign,
+    "repetition_stats"    -> Text.oracle.repetitionStats,
+    "tfidf_top3"          -> Text.oracle.tfidfTop3,
     "udaf_spend_stats"    -> graft.functions.Udafs.oracle.udafSpendStats,
     "doc_dedup_exact"     -> Dedup.oracle.exactDedup,
     "doc_ngram_jaccard"   -> Dedup.oracle.ngramJaccard,

@@ -118,6 +118,81 @@ object Text {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("stop_ratio"))
   }
 
+  /** Deterministic train/validation/test assignment (90/5/5) from an
+    * md5-derived bucket of the doc id — the reproducible, engine-portable
+    * form of corpus splitting: no RNG state, stable under reruns and
+    * repartitioning, and any engine that has md5 assigns identically.
+    * Map-only (no shuffle); the split literally costs one hash per row. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (graft.operators.Dedup.md5Long(concat(lit("split_"), col("doc_id"))) % 100)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+
+  /** Token-level repetition statistics per document — the Gopher-style
+    * intra-document quality signals: the mass fraction of the single most
+    * frequent bigram, and the fraction of trigram occurrences that are
+    * repeats. n-grams via the codegen'd posexplode+lead pipeline (array
+    * lambdas are interpreted — see [[graft.operators.Dedup]]); both
+    * aggregations shuffle on doc_id and the window partitions by doc_id,
+    * so the op parallelizes across documents at any corpus size. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+    val bi = grams.where(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_cnt"), sum(col("c")).as("n_bigrams"))
+    val tri = grams.where(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("tg"))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"), count(lit(1)).as("n_distinct_trigrams"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          col("top_bigram_cnt").cast(DoubleType) / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        when(col("n_trigrams") > 0,
+          lit(1.0) - col("n_distinct_trigrams").cast(DoubleType) / col("n_trigrams"))
+          .as("dup_trigram_frac"))
+  }
+
+  /** TF-IDF top-3 terms per document: corpus document frequencies joined
+    * back (the df table is vocabulary-sized → broadcast; the doc count is
+    * a one-row broadcast), score ranked per doc. Scores round to 6
+    * decimals BEFORE ranking so the kept rows don't depend on the last
+    * ulp of each engine's ln(). */
+  def tfidfTop3(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rk"))
+  }
+
   object oracle {
     val corpusClean: String = {
       val stops = stopEn.map("'" + _ + "'").mkString("(", ",", ")")
@@ -182,5 +257,57 @@ object Text {
       s"""SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
          |FROM documents""".stripMargin
+
+    val splitAssign: String =
+      s"""SELECT doc_id,
+         |  ${graft.operators.Dedup.md5LongSql("'split_' || doc_id")} % 100 AS bucket,
+         |  CASE WHEN ${graft.operators.Dedup.md5LongSql("'split_' || doc_id")} % 100 < 90 THEN 'train'
+         |       WHEN ${graft.operators.Dedup.md5LongSql("'split_' || doc_id")} % 100 < 95 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+
+    val repetitionStats: String =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS g
+         |  FROM t WHERE len(toks) >= 2),
+         |bi AS (
+         |  SELECT doc_id, MAX(c) AS top_bigram_cnt,
+         |    CAST(SUM(c) AS BIGINT) AS n_bigrams FROM (
+         |    SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |tg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |tri AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+         |    COUNT(*) AS n_distinct_trigrams FROM (
+         |    SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN n_bigrams > 0
+         |       THEN CAST(top_bigram_cnt AS DOUBLE) / n_bigrams END AS top_bigram_frac,
+         |  CASE WHEN n_trigrams > 0
+         |       THEN 1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams END AS dup_trigram_frac
+         |FROM documents d
+         |LEFT JOIN bi ON bi.doc_id = d.doc_id
+         |LEFT JOIN tri ON tri.doc_id = d.doc_id""".stripMargin
+
+    val tfidfTop3: String =
+      s"""WITH tf AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+         |dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tok, tf, df,
+         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+         |  FROM tfc JOIN dfc USING (tok) CROSS JOIN n)
+         |SELECT doc_id, tok, tf, df, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rk
+         |FROM scored QUALIFY rk <= 3""".stripMargin
   }
 }

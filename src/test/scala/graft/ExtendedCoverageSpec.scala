@@ -127,6 +127,38 @@ class ExtendedCoverageSpec extends AnyFunSuite {
       || col("avg_norm") > col("max_norm") + lit(1e-9)).count() === 0)
   }
 
+  test("split_assign: buckets bounded, splits consistent with buckets") {
+    val df = graft.functions.Text.splitAssign(spark, sf).cache()
+    assert(df.where(col("bucket") < 0 || col("bucket") >= 100).count() === 0)
+    assert(df.where(
+      (col("bucket") < 90 && col("split") =!= "train")
+        || (col("bucket") >= 90 && col("bucket") < 95 && col("split") =!= "validation")
+        || (col("bucket") >= 95 && col("split") =!= "test")).count() === 0)
+    // deterministic across invocations
+    val again = graft.functions.Text.splitAssign(spark, sf)
+    assert(df.exceptAll(again).count() === 0)
+  }
+
+  test("repetition_stats: fractions bounded, bigram count = n_tokens - 1") {
+    val df = graft.functions.Text.repetitionStats(spark, sf).cache()
+    assert(df.where(col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).count() === 0)
+    assert(df.where(col("dup_trigram_frac") < 0 || col("dup_trigram_frac") >= 1).count() === 0)
+    val toks = graft.functions.Text.textFingerprint(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+    assert(df.join(toks, Seq("doc_id"))
+      .where(col("n_bigrams") =!= col("n_tokens") - 1).count() === 0)
+  }
+
+  test("tfidf_top3: at most 3 ranked terms per doc, scores non-increasing") {
+    val df = graft.functions.Text.tfidfTop3(spark, sf).cache()
+    assert(df.groupBy(col("doc_id")).count().where(col("count") > 3).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rk"))
+    val bad = df.withColumn("prev", lag(col("score"), 1).over(w))
+      .where(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() === 0)
+  }
+
   test("salted_brand_volume equals the plain unsalted join") {
     val salted = Extended.saltedBrandVolume(spark, sf)
     val plain = Tables.lineitem(spark, sf)
