@@ -244,13 +244,20 @@ object Dedup {
       maxIter)
 
   /** Connected components of `pairs` over `nodes` (column 1 of each frame
-    * is the id); returns (doc_id, component = min reachable id). */
+    * is the id); returns (doc_id, component = min reachable id).
+    *
+    * Propagation runs only over nodes incident to an edge — singletons
+    * can never change label, and in a near-dup graph the edge-node set is
+    * orders of magnitude smaller than the corpus, so every per-round join
+    * is sized by the duplicate population, not the corpus. The full node
+    * set rejoins once at the end. */
   def componentsOf(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.toDF("src", "dst")
       .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
       .persist()
-    var labels = nodes.toDF("node")
-      .select(col("node"), col("node").as("label")).persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(eager = true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -266,12 +273,14 @@ object Dedup {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .where(col("n.label") =!= col("o.label"))
         .isEmpty
-      labels.unpersist()
       labels = next
       it += 1
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    nodes.toDF("doc_id")
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"))
   }
 
   object oracle {
