@@ -88,6 +88,7 @@ object SparkEntry {
     "ann_topk"            -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_near_dup_lsh"    -> ((s, d) => Similarity.nearDupLsh(s, d)),
+    "emb_quantize_stats"  -> ((s, d) => Similarity.quantizeStats(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -174,6 +175,7 @@ object SparkEntry {
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,
     "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
+    "emb_quantize_stats"  -> Similarity.oracle.quantizeStats,
     "multimodal_features" -> Multimodal.oracle.featurize,
     "q2_min_cost_supplier" -> Tpch2.oracle.q2MinCostSupplier,
     "q8_market_share"     -> Tpch2.oracle.q8MarketShare,

@@ -243,6 +243,40 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** Int8 symmetric quantization profile per label — the compression pass
+    * a vector store runs before ANN serving (4× smaller than float32,
+    * SIMD-friendly dot products). Per vector: scale = max|x|/127, q_i =
+    * round(x_i/scale); reported are the integer-domain statistics (mean
+    * |q|, max |q|, saturation and zero counts), which are bit-exact across
+    * engines by construction — scale and q derive from fixed IEEE double
+    * ops, everything after is integer arithmetic. The double-valued
+    * reconstruction-error bound (|x − q·scale| ≤ scale/2) is pinned in the
+    * unit spec, not the oracle, to keep the gate ulp-proof. Map-only until
+    * the final label rollup — one shuffle sized by label cardinality. */
+  def quantizeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding"),
+        (array_max(transform(col("embedding"), v => abs(v.cast(DoubleType)))) / 127.0)
+          .as("scale"))
+      .where(col("scale") > 0)
+      .select(col("label"),
+        transform(col("embedding"),
+          v => round(v.cast(DoubleType) / col("scale")).cast(IntegerType)).as("q"))
+      .select(col("label"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v).cast(LongType))
+          .as("sum_abs_q"),
+        array_max(transform(col("q"), v => abs(v))).as("max_q"),
+        size(filter(col("q"), v => abs(v) === 127)).as("n_sat"),
+        size(filter(col("q"), v => v === 0)).as("n_zero"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("sum_abs_q")).cast(DoubleType) / (count(lit(1)) * lit(Dim)))
+          .as("avg_abs_q"),
+        max(col("max_q")).as("max_q"),
+        sum(col("n_sat")).as("n_saturated"),
+        sum(col("n_zero")).as("n_zeros"))
+
   object oracle {
     /** Correlated exact-decimal dot product: DuckDB 1-based list indexing,
       * same DECIMAL(20,12) per-term rounding as the Spark side. The dim
@@ -325,5 +359,30 @@ object Similarity {
          |    / sqrt(${dot("a.embedding", "a.embedding")} * ${dot("b.embedding", "b.embedding")}) AS similarity
          |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id""".stripMargin
     }
+
+    /** Mirror of [[Similarity.quantizeStats]]: identical scale/round/cast
+      * pipeline, integer statistics summed per label. */
+    val quantizeStats: String =
+      s"""WITH s AS (
+         |  SELECT label, embedding,
+         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT label,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) / scale) AS INT)) AS q
+         |  FROM s WHERE scale > 0),
+         |p AS (
+         |  SELECT label,
+         |    list_sum(list_transform(q, v -> CAST(abs(v) AS BIGINT))) AS sum_abs_q,
+         |    list_max(list_transform(q, v -> abs(v))) AS max_q,
+         |    len(list_filter(q, v -> abs(v) = 127)) AS n_sat,
+         |    len(list_filter(q, v -> v = 0)) AS n_zero
+         |  FROM q)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(sum_abs_q) AS DOUBLE) / (COUNT(*) * ${Dim}) AS avg_abs_q,
+         |  CAST(MAX(max_q) AS INT) AS max_q,
+         |  CAST(SUM(n_sat) AS BIGINT) AS n_saturated,
+         |  CAST(SUM(n_zero) AS BIGINT) AS n_zeros
+         |FROM p GROUP BY 1""".stripMargin
   }
 }

@@ -159,6 +159,24 @@ class ExtendedCoverageSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("emb_quantize_stats: int8 range respected; reconstruction within scale/2") {
+    import graft.operators.Similarity
+    val stats = Similarity.quantizeStats(spark, sf).cache()
+    assert(stats.where(col("max_q") > 127 || col("max_q") < 0).count() === 0)
+    assert(stats.where(col("n_saturated") < col("n_vecs")).count() === 0) // max element always saturates
+    // per-element reconstruction error bound |x - q*scale| <= scale/2 (+eps)
+    val bad = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), v => abs(v.cast("double")))) / 127.0).as("scale"))
+      .where(col("scale") > 0)
+      .select(col("vec_id"), col("scale"),
+        array_max(transform(col("embedding"), v =>
+          abs(v.cast("double") - round(v.cast("double") / col("scale")) * col("scale"))))
+          .as("max_err"))
+      .where(col("max_err") > col("scale") * 0.5 * 1.000001)
+    assert(bad.count() === 0)
+  }
+
   test("salted_brand_volume equals the plain unsalted join") {
     val salted = Extended.saltedBrandVolume(spark, sf)
     val plain = Tables.lineitem(spark, sf)
