@@ -115,6 +115,8 @@ object SparkEntry {
     "top_tokens"          -> ((s, d) => Extended.topTokens(s, d)),
     "emb_norm_stats"      -> ((s, d) => Extended.embNormStats(s, d)),
     "salted_brand_volume" -> ((s, d) => Extended.saltedBrandVolume(s, d)),
+    "hourly_resample"     -> ((s, d) => Extended.hourlyResample(s, d)),
+    "event_funnel"        -> ((s, d) => Extended.eventFunnel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,5 +197,7 @@ object SparkEntry {
     "top_tokens"          -> Extended.oracle.topTokens,
     "emb_norm_stats"      -> Extended.oracle.embNormStats,
     "salted_brand_volume" -> Extended.oracle.saltedBrandVolume,
+    "hourly_resample"     -> Extended.oracle.hourlyResample,
+    "event_funnel"        -> Extended.oracle.eventFunnel,
   )
 }

@@ -168,6 +168,51 @@ object Extended {
         max(col("nrm")).as("max_norm"))
   }
 
+  /** Time-series densification: hourly event rollup with every hour of
+    * the observed span present, empty hours zero-filled. The hour axis is
+    * generated (sequence+explode from a one-row span aggregate — rows
+    * proportional to the time span, not the data) and the rollup joins
+    * onto it; at scale the generated axis is tiny and broadcasts into the
+    * left join. The standard shape for gap-free dashboards/windows. */
+  def hourlyResample(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("volume"))
+    val hours = hourly
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
+    hours.join(hourly, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("volume"), lit(0.0)).as("volume"))
+  }
+
+  /** Three-step event funnel (signup → first click after it → first
+    * purchase after that): per-step user counts and conversion ratios.
+    * Each step is a grouped min-timestamp co-partitioned on user_id, so
+    * the three stages reuse one shuffle layout; ratios are exact-count
+    * divisions. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val s1 = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val s2 = e.where(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .where(col("ts") > col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val s3 = e.where(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .where(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val n1 = s1.agg(count(lit(1)).as("n_signup"))
+    val n2 = s2.agg(count(lit(1)).as("n_click_after"))
+    val n3 = s3.agg(count(lit(1)).as("n_purchase_after"))
+    n1.crossJoin(n2).crossJoin(n3)
+      .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+        (col("n_click_after").cast(DoubleType) / col("n_signup")).as("click_rate"),
+        (col("n_purchase_after").cast(DoubleType) / col("n_click_after")).as("purchase_rate"))
+  }
+
   /** The salted-join path as a first-class query: revenue per brand through
     * `Skew.saltedJoin` (hot-key splitting). The oracle is the plain join —
     * the comparison proves salting is semantics-neutral. */
@@ -282,6 +327,37 @@ object Extended {
          |  round(CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / COUNT(nrm), 6) AS avg_norm,
          |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM n GROUP BY 1""".stripMargin
+
+    val hourlyResample: String =
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events,
+         |    ${Dsl.sql.dsum("value")} AS volume
+         |  FROM events GROUP BY 1),
+         |span AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+         |hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM span)
+         |SELECT hours.h, COALESCE(n_events, 0) AS n_events,
+         |  COALESCE(volume, 0.0) AS volume
+         |FROM hours LEFT JOIN hourly ON hours.h = hourly.h""".stripMargin
+
+    val eventFunnel: String =
+      s"""WITH s1 AS (
+         |  SELECT user_id, MIN(ts) AS t_signup FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t_click
+         |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t_signup GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+         |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+         |  (SELECT COUNT(*) FROM s2) AS n_click_after,
+         |  (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+         |  CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM s1) AS click_rate,
+         |  CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM s2) AS purchase_rate""".stripMargin
 
     /** Plain (unsalted) join — proves the salted path is semantics-neutral. */
     val saltedBrandVolume: String =

@@ -159,6 +159,26 @@ class ExtendedCoverageSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("hourly_resample: contiguous hour axis, totals preserved") {
+    val df = Extended.hourlyResample(spark, sf).cache()
+    // gap-free: row count equals the hour span
+    val span = df.agg(((unix_timestamp(max(col("h"))) - unix_timestamp(min(col("h")))) / 3600 + 1)
+      .as("expect")).first().getDouble(0)
+    assert(df.count() === span.toLong)
+    // zero-filling adds no events
+    val total = df.agg(sum(col("n_events"))).first().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("event_funnel: step counts monotonically decrease, rates in [0,1]") {
+    val r = Extended.eventFunnel(spark, sf).first()
+    val (n1, n2, n3) = (r.getAs[Long]("n_signup"),
+      r.getAs[Long]("n_click_after"), r.getAs[Long]("n_purchase_after"))
+    assert(n1 >= n2 && n2 >= n3 && n3 >= 0)
+    assert(r.getAs[Double]("click_rate") <= 1.0
+      && r.getAs[Double]("purchase_rate") <= 1.0)
+  }
+
   test("emb_quantize_stats: int8 range respected; reconstruction within scale/2") {
     import graft.operators.Similarity
     val stats = Similarity.quantizeStats(spark, sf).cache()
