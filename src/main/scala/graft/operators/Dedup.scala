@@ -264,16 +264,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // the changed flag rides inside the checkpointed frame, so the
+      // convergence probe is a scan of cached blocks — no per-round
+      // compare-join against the previous generation
       val next = labels.as("l")
         .join(nbrMin, col("l.node") === nbrMin("src"), "left")
         .select(col("l.node").as("node"),
-          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"),
+          (coalesce(col("nbr_label"), col("l.label")) < col("l.label")).as("chg"))
         .localCheckpoint(eager = true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("chg")).isEmpty
+      labels = next.select(col("node"), col("label"))
       it += 1
     }
     edges.unpersist()
