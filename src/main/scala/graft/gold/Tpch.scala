@@ -47,10 +47,14 @@ object Tpch {
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
 
+    // deterministic orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition heaps); the rank window then covers only the 10
+    // survivors instead of single-partitioning every order aggregate
     grouped
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("revenue").desc, col("o_orderkey"))))
-      .where(col("rk") <= 10)
   }
 
   /** Q5-style local-supplier volume: 6-way join down the geo hierarchy
@@ -192,9 +196,11 @@ object Tpch {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+      // top-k via TakeOrderedAndProject; rank only the 20 survivors
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("revenue").desc, col("c_custkey"))))
-      .where(col("rk") <= 20)
   }
 
   /** Q19-style: disjunctive multi-band predicates (brand x size x
