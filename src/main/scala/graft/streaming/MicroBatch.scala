@@ -55,6 +55,33 @@ object MicroBatch {
       }
       .start()
 
+  /** Streaming gap-sessionization: the native streaming form of
+    * `Extended.sessionVolume` — session_window merges adjacent state as
+    * events arrive; watermark expiry closes sessions and bounds the state
+    * store, so state is keyed per open session per user, not per event. */
+  def sessionizedStream(events: DataFrame, gap: String = "2 hours",
+                        lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("volume"))
+      .select(col("user_id"),
+        col("session_window.start").as("ss"),
+        col("session_window.end").as("se"),
+        col("n_events"), col("volume"))
+
+  /** Streaming exact dedup: dropDuplicatesWithinWatermark keeps the first
+    * arrival per key and expires per-key state once the watermark passes —
+    * the streaming counterpart of the silver `dropDuplicates` (A12) with
+    * bounded state, where a plain streaming dropDuplicates would retain
+    * every key forever. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Per-user running session state via mapGroupsWithState: counts events
     * and carries a running decimal-exact value sum — the custom-state shape
     * (KeyValueGroupedDataset) the prompt calls for. */

@@ -164,4 +164,51 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
     assert(out(1L) === ((2L, 15.0)))
     assert(out(2L) === ((1L, 2.0)))
   }
+
+  test("streaming: session_window sessionization closes sessions at the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val q = MicroBatch.sessionizedStream(events, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 7: two events 10 min apart (one session), then silence
+    mem.addData((t(1, 0), 7L, 1.0), (t(1, 10), 7L, 2.0))
+    q.processAllAvailable()
+    mem.addData((t(4, 0), 7L, 5.0))   // watermark passes; first session closes
+    q.processAllAvailable()
+    mem.addData((t(8, 0), 9L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+    q.stop()
+    val s = rows.filter(_.getAs[Long]("user_id") == 7L)
+    assert(s.exists(r => r.getAs[Long]("n_events") == 2L
+      && math.abs(r.getAs[Double]("volume") - 3.0) < 1e-9
+      && r.getAs[java.sql.Timestamp]("se").getTime
+        - r.getAs[java.sql.Timestamp]("ss").getTime == 40 * 60 * 1000)) // 10 min span + 30 min gap
+  }
+
+  test("streaming: dropDuplicatesWithinWatermark keeps first arrival per key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "event_id", "payload")
+    val q = MicroBatch.streamingDedup(events, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(1, 0), 100L, "first"), (t(1, 1), 100L, "dup"),
+      (t(1, 2), 101L, "other"))
+    q.processAllAvailable()
+    mem.addData((t(1, 5), 100L, "late-dup"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out").collect()
+    q.stop()
+    assert(rows.count(_.getAs[Long]("event_id") == 100L) === 1)
+    assert(rows.find(_.getAs[Long]("event_id") == 100L).get
+      .getAs[String]("payload") === "first")
+    assert(rows.count(_.getAs[Long]("event_id") == 101L) === 1)
+  }
 }
