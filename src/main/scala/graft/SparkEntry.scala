@@ -95,6 +95,7 @@ object SparkEntry {
     "approx_metrics"      -> ((s, d) => Skew.approxMetrics(s, d)),
     // multimodal plumbing (stubbed decode, real schema/expressions)
     "multimodal_features" -> ((s, d) => Multimodal.featurize(s, d)),
+    "multimodal_frames"   -> ((s, d) => Multimodal.sampleFrames(s, d)),
     // second TPC-H wave: correlated-subquery rewrites, distributions
     "q2_min_cost_supplier" -> ((s, d) => Tpch2.q2MinCostSupplier(s, d)),
     "q8_market_share"     -> ((s, d) => Tpch2.q8MarketShare(s, d)),
@@ -179,6 +180,7 @@ object SparkEntry {
     "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
     "emb_quantize_stats"  -> Similarity.oracle.quantizeStats,
     "multimodal_features" -> Multimodal.oracle.featurize,
+    "multimodal_frames"   -> Multimodal.oracle.sampleFrames,
     "q2_min_cost_supplier" -> Tpch2.oracle.q2MinCostSupplier,
     "q8_market_share"     -> Tpch2.oracle.q8MarketShare,
     "q9_product_profit"   -> Tpch2.oracle.q9ProductProfit,

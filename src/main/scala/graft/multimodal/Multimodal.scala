@@ -71,6 +71,21 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame sampling: every k-th frame of each media item becomes its own
+    * row (the 1→n fan-out a video pipeline runs before per-frame feature
+    * extraction). The frame axis is generated per row (sequence+explode —
+    * output bounded by n_frames/k, never materializing all frames), and
+    * the per-frame feature is the deterministic stub standing in for the
+    * real decoder call. Map-only: the fan-out happens inside the scan
+    * stage, no shuffle. */
+  def sampleFrames(spark: SparkSession, dir: String, every: Int = 5): DataFrame =
+    featurize(spark, dir)
+      .where(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
+      .withColumn("frame_feature",
+        ((col("doc_id") * 31 + col("frame_idx")) % 997).cast(DoubleType) / 997.0)
+
   object oracle {
     /** documents.text is ASCII, so DuckDB's char length == byte length. */
     val featurize: String =
@@ -81,5 +96,17 @@ object Multimodal {
          |  CAST(length(text) % 30 AS INT) AS n_frames,
          |  CAST(length(text) % 256 AS DOUBLE) / 255.0 AS brightness
          |FROM documents""".stripMargin
+
+    val sampleFrames: String =
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(length(text) % 30 AS INT) AS n_frames
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, n_frames,
+         |    CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
+         |  FROM f WHERE n_frames > 0)
+         |SELECT doc_id, n_frames, frame_idx,
+         |  CAST((doc_id * 31 + frame_idx) % 997 AS DOUBLE) / 997.0 AS frame_feature
+         |FROM fr""".stripMargin
   }
 }
