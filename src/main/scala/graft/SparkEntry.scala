@@ -118,6 +118,7 @@ object SparkEntry {
     "salted_brand_volume" -> ((s, d) => Extended.saltedBrandVolume(s, d)),
     "hourly_resample"     -> ((s, d) => Extended.hourlyResample(s, d)),
     "event_funnel"        -> ((s, d) => Extended.eventFunnel(s, d)),
+    "price_histogram"     -> ((s, d) => Extended.priceHistogram(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -201,5 +202,6 @@ object SparkEntry {
     "salted_brand_volume" -> Extended.oracle.saltedBrandVolume,
     "hourly_resample"     -> Extended.oracle.hourlyResample,
     "event_funnel"        -> Extended.oracle.eventFunnel,
+    "price_histogram"     -> Extended.oracle.priceHistogram,
   )
 }

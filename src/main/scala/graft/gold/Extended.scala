@@ -213,6 +213,17 @@ object Extended {
         (col("n_purchase_after").cast(DoubleType) / col("n_click_after")).as("purchase_rate"))
   }
 
+  /** Fixed-width histogram of extended price per return flag: bucket =
+    * floor(x/500) with fixed bounds — a single hash aggregation on a
+    * computed key (no data-dependent two-pass min/max), the scale-correct
+    * binning shape for dashboards and distribution monitoring. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") / 500.0).cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("bucket_mass"))
+
   /** The salted-join path as a first-class query: revenue per brand through
     * `Skew.saltedJoin` (hot-key splitting). The oracle is the plain join —
     * the comparison proves salting is semantics-neutral. */
@@ -327,6 +338,13 @@ object Extended {
          |  round(CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / COUNT(nrm), 6) AS avg_norm,
          |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM n GROUP BY 1""".stripMargin
+
+    val priceHistogram: String =
+      s"""SELECT l_returnflag,
+         |  CAST(floor(l_extendedprice / 500.0) AS INT) AS bucket,
+         |  COUNT(*) AS n,
+         |  ${Dsl.sql.dsum("l_extendedprice")} AS bucket_mass
+         |FROM lineitem GROUP BY 1, 2""".stripMargin
 
     val hourlyResample: String =
       s"""WITH hourly AS (
