@@ -204,10 +204,14 @@ object Extended {
       .join(s2, Seq("user_id"))
       .where(col("ts") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    val n1 = s1.agg(count(lit(1)).as("n_signup"))
-    val n2 = s2.agg(count(lit(1)).as("n_click_after"))
-    val n3 = s3.agg(count(lit(1)).as("n_purchase_after"))
-    n1.crossJoin(n2).crossJoin(n3)
+    // one left-join chain + one aggregate: each step's subtree executes
+    // once (three separate scalar counts would re-derive the whole chain
+    // per count), and the joins stay co-partitioned on user_id
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("t_click")).as("n_click_after"),
+        count(col("t_purchase")).as("n_purchase_after"))
       .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
         (col("n_click_after").cast(DoubleType) / col("n_signup")).as("click_rate"),
         (col("n_purchase_after").cast(DoubleType) / col("n_click_after")).as("purchase_rate"))
