@@ -95,6 +95,29 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
   }
 
+  test("componentsOf: differential vs union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val nodeIds = (0 until n).map(_.toLong)
+      val m = rnd.nextInt(n)
+      val pairSeq = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth (min id per component)
+      val parent = scala.collection.mutable.Map(nodeIds.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodeIds.map(i => i -> find(i)).toMap
+      val got = Dedup.componentsOf(
+        nodeIds.toDF("doc_id"), pairSeq.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected, s"n=$n m=${pairSeq.size}")
+    }
+  }
+
   test("dedupComponents: transitive closure of the planted LSH pairs") {
     val pairs = Dedup.minHashLsh(spark, plantedDir)
       .select(col("doc_a"), col("doc_b"))
