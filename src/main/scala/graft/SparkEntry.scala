@@ -105,6 +105,8 @@ object SparkEntry {
     "q15_top_supplier"    -> ((s, d) => Tpch2.q15TopSupplier(s, d)),
     "q16_supplier_count"  -> ((s, d) => Tpch2.q16SupplierCount(s, d)),
     "q17_small_quantity"  -> ((s, d) => Tpch2.q17SmallQuantity(s, d)),
+    "q12_ship_status"     -> ((s, d) => Tpch2.q12ShipStatus(s, d)),
+    "q20_dominant_supplier" -> ((s, d) => Tpch2.q20DominantSupplier(s, d)),
     "q21_sole_late_shipper" -> ((s, d) => Tpch2.q21SoleLateShipper(s, d)),
     // extended analytics: sessions, sliding windows, order stats, stats fns
     "session_volume"      -> ((s, d) => Extended.sessionVolume(s, d)),
@@ -190,6 +192,8 @@ object SparkEntry {
     "q15_top_supplier"    -> Tpch2.oracle.q15TopSupplier,
     "q16_supplier_count"  -> Tpch2.oracle.q16SupplierCount,
     "q17_small_quantity"  -> Tpch2.oracle.q17SmallQuantity,
+    "q12_ship_status"     -> Tpch2.oracle.q12ShipStatus,
+    "q20_dominant_supplier" -> Tpch2.oracle.q20DominantSupplier,
     "q21_sole_late_shipper" -> Tpch2.oracle.q21SoleLateShipper,
     "session_volume"      -> Extended.oracle.sessionVolume,
     "sliding_volume"      -> Extended.oracle.slidingVolume,

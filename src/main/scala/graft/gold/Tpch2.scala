@@ -168,6 +168,44 @@ object Tpch2 {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q12-style shipping-status priority counts: among late lineitems
+    * (shipped > 60 days after order), high- vs low-priority order counts
+    * per line status — conditional aggregation over one broadcast join.
+    * l_linestatus stands in for the shipmode column the testdata lacks. */
+  def q12ShipStatus(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(high, 0).otherwise(1)).as("low_line_count"))
+  }
+
+  /** Q20-style dominant suppliers: suppliers shipping more than twice
+    * their fair share of a small part's quantity — the correlated
+    * share-of-total rewritten as per-(part,supplier) vs per-part grouped
+    * sums joined on partkey; two co-partitioned shuffles, dims broadcast.
+    * The threshold is fair-share-relative (2 × total/n_suppliers) so
+    * selectivity survives any scale factor. */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perPartSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsumDec(col("l_quantity")).as("qty_ps"))
+    val perPart = perPartSupp.groupBy(col("l_partkey"))
+      .agg(sum(col("qty_ps")).as("qty_total"), count(lit(1)).as("n_supp"))
+    perPartSupp.join(perPart, Seq("l_partkey"))
+      .where(col("qty_ps").cast(DoubleType)
+        > lit(2.0) * col("qty_total").cast(DoubleType) / col("n_supp"))
+      .join(broadcast(Tables.part(spark, dir).where(col("p_size") < 15)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_dominant_parts"))
+  }
+
   /** Q21-style sole late shipper: suppliers who were the only late shipper
     * on multi-supplier orders. The textbook EXISTS / NOT-EXISTS pair (kept
     * verbatim in the oracle) is rewritten distributively: one grouped pass
@@ -283,6 +321,32 @@ object Tpch2 {
          |JOIN pa USING (l_partkey)
          |JOIN part ON l_partkey = p_partkey
          |WHERE p_brand = 'Brand#3' AND l_quantity < qty_limit""".stripMargin
+
+    val q12ShipStatus: String =
+      s"""SELECT l_linestatus,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+         |GROUP BY 1""".stripMargin
+
+    /** Textbook correlated share-of-total form. */
+    val q20DominantSupplier: String =
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_ps
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT s_suppkey, s_name, COUNT(*) AS n_dominant_parts
+         |FROM ps
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE p_size < 15
+         |  AND CAST(qty_ps AS DOUBLE) > 2.0 * (
+         |    SELECT CAST(SUM(qty_ps) AS DOUBLE) / COUNT(*) FROM ps p2
+         |    WHERE p2.l_partkey = ps.l_partkey)
+         |GROUP BY 1, 2""".stripMargin
 
     /** Textbook correlated EXISTS / NOT EXISTS form — the comparison also
       * checks the Spark side's distributed rewrite is equivalent. */
