@@ -52,6 +52,19 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
     assert(new java.io.File(outs("parquet")).listFiles.exists(_.getName.startsWith("yr=")))
   }
 
+  test("partitioned read prunes partitions: filter lands in PartitionFilters") {
+    val work = Files.createTempDirectory("prune").toString
+    val df = Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
+    val outs = Formats.fanout(df, work, "orders", partitionCols = Seq("yr"))
+    val q = spark.read.parquet(outs("parquet")).where(col("yr") === 1997)
+    val plan = q.queryExecution.executedPlan.toString
+    // the yr predicate must prune at the partition level, not post-scan
+    assert(plan.contains("PartitionFilters") && plan.contains("yr"),
+      "partition filter missing:\n" + plan.take(600))
+    val expected = df.where(col("yr") === 1997).count()
+    assert(q.count() === expected && expected > 0)
+  }
+
   test("catalog fanout tables: existence probe + DDL + saveAsTable") {
     val df = Tables.region(spark, sf)
     val names = Formats.fanoutTables(spark, df, "graft_test", "region")
