@@ -89,6 +89,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_near_dup_lsh"    -> ((s, d) => Similarity.nearDupLsh(s, d)),
     "emb_quantize_stats"  -> ((s, d) => Similarity.quantizeStats(s, d)),
+    "emb_pq_codes"        -> ((s, d) => Similarity.pqCodeStats(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -182,6 +183,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,
     "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
     "emb_quantize_stats"  -> Similarity.oracle.quantizeStats,
+    "emb_pq_codes"        -> Similarity.oracle.pqCodeStats,
     "multimodal_features" -> Multimodal.oracle.featurize,
     "multimodal_frames"   -> Multimodal.oracle.sampleFrames,
     "q2_min_cost_supplier" -> Tpch2.oracle.q2MinCostSupplier,

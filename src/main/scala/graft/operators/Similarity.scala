@@ -277,6 +277,54 @@ object Similarity {
         sum(col("n_sat")).as("n_saturated"),
         sum(col("n_zero")).as("n_zeros"))
 
+  // ---- product quantization (encode path) ----------------------------
+  // M subspaces × K codes over Dim dims; codebook entries are dyadic
+  // rationals n/128 with n ∈ [-32,32] from a seeded LCG — exact in IEEE
+  // double and exact as SQL decimal text, so the identical codebook is
+  // embedded literal-for-literal in the oracle (same pattern as the
+  // MinHash permutation constants).
+  val PqM = 8
+  val PqK = 16
+  val PqSubDim: Int = Dim / PqM
+
+  /** Codebook integer at (subspace m, code k, dim d). */
+  def pqCentInt(m: Int, k: Int, d: Int): Int = {
+    val x = (m * 317L + k * 31L + d) * 2654435761L + 1013904223L
+    (math.floorMod(x >> 8, 65L) - 32L).toInt
+  }
+  def pqCent(m: Int, k: Int, d: Int): Double = pqCentInt(m, k, d) / 128.0
+
+  /** PQ code assignment statistics: each vector's Dim-dim embedding is
+    * split into M subvectors, each assigned its nearest codebook entry by
+    * squared distance; reported are (label, subspace, code) population
+    * counts — the encode path of a PQ-ANN index (16× compression here),
+    * and the skew check a real index needs (unbalanced codes = bad
+    * recall). Distance argmin uses score = ||c||² − 2·x·c (the ||x||²
+    * term is constant per subvector): the dot falls to the proven
+    * exact-decimal kernel, ||c||² is an exact dyadic sum, and the final
+    * counts are integers — bit-exact across engines end to end. The
+    * codebook (128 rows) broadcasts; one shuffle per grouping level. */
+  def pqCodeStats(spark: SparkSession, dir: String): DataFrame = {
+    val centRows = for (m <- 0 until PqM; k <- 0 until PqK) yield {
+      val cvec = (0 until PqSubDim).map(d => pqCent(m, k, d))
+      val c2 = cvec.map(c => c * c).sum  // exact: dyadics on a 2^-14 grid
+      (m, k, cvec.toArray, c2)
+    }
+    val cent = spark.createDataFrame(centRows.toSeq)
+      .toDF("m", "k", "cvec", "c2")
+    val subs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .toDF("vec_id", "label", "m", "sub")
+    subs.join(broadcast(cent), Seq("m"))
+      .withColumn("score", col("c2") - lit(2.0) * exactZipSum(col("sub"), col("cvec")))
+      .groupBy(col("vec_id"), col("label"), col("m"))
+      .agg(min_by(col("k"), struct(col("score"), col("k"))).as("code"))
+      .groupBy(col("label"), col("m"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   object oracle {
     /** Correlated exact-decimal dot product: DuckDB 1-based list indexing,
       * same DECIMAL(20,12) per-term rounding as the Spark side. The dim
@@ -358,6 +406,34 @@ object Similarity {
          |  ${dot("a.embedding", "b.embedding")}
          |    / sqrt(${dot("a.embedding", "a.embedding")} * ${dot("b.embedding", "b.embedding")}) AS similarity
          |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id""".stripMargin
+    }
+
+    /** Mirror of [[Similarity.pqCodeStats]]: the identical dyadic
+      * codebook as VALUES literals, the same exact-decimal dot, the same
+      * (score, k) argmin tiebreak. */
+    val pqCodeStats: String = {
+      val rows = (for (m <- 0 until PqM; k <- 0 until PqK; d <- 0 until PqSubDim)
+        yield s"($m, $k, $d, ${pqCentInt(m, k, d)})").mkString(",\n         |  ")
+      s"""WITH cent(m, k, d, n) AS (VALUES
+         |  $rows),
+         |c2 AS (
+         |  SELECT m, k, SUM((CAST(n AS DOUBLE) / 128.0) * (CAST(n AS DOUBLE) / 128.0)) AS c2
+         |  FROM cent GROUP BY 1, 2),
+         |dots AS (
+         |  SELECT e.vec_id, e.label, cent.m, cent.k,
+         |    CAST(SUM(CAST(CAST(e.embedding[cent.m * ${PqSubDim} + cent.d + 1] AS DOUBLE)
+         |      * (CAST(cent.n AS DOUBLE) / 128.0) AS DECIMAL(20,12))) AS DOUBLE) AS dot
+         |  FROM embeddings e CROSS JOIN cent
+         |  GROUP BY 1, 2, 3, 4),
+         |scored AS (
+         |  SELECT d.vec_id, d.label, d.m, d.k, c2.c2 - 2.0 * d.dot AS score
+         |  FROM dots d JOIN c2 ON d.m = c2.m AND d.k = c2.k),
+         |codes AS (
+         |  SELECT vec_id, label, m, k AS code
+         |  FROM scored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score, k) = 1)
+         |SELECT label, m, code, COUNT(*) AS n_vectors
+         |FROM codes GROUP BY 1, 2, 3""".stripMargin
     }
 
     /** Mirror of [[Similarity.quantizeStats]]: identical scale/round/cast

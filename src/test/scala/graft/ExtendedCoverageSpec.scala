@@ -197,6 +197,18 @@ class ExtendedCoverageSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("emb_pq_codes: every subspace fully assigned within the code range") {
+    import graft.operators.Similarity
+    val df = Similarity.pqCodeStats(spark, sf).cache()
+    assert(df.where(col("code") < 0 || col("code") >= Similarity.PqK).count() === 0)
+    assert(df.where(col("m") < 0 || col("m") >= Similarity.PqM).count() === 0)
+    // every (m) accounts for every vector exactly once
+    val n = Tables.embeddings(spark, sf).count()
+    val perM = df.groupBy(col("m")).agg(sum(col("n_vectors")).as("t"))
+    assert(perM.where(col("t") =!= n).count() === 0)
+    assert(perM.count() === Similarity.PqM)
+  }
+
   test("salted_brand_volume equals the plain unsalted join") {
     val salted = Extended.saltedBrandVolume(spark, sf)
     val plain = Tables.lineitem(spark, sf)
