@@ -313,12 +313,17 @@ object Similarity {
     val cent = spark.createDataFrame(centRows.toSeq)
       .toDF("m", "k", "cvec", "c2")
     val subs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(array((0 until PqM).map(m =>
-          slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)))
-      .toDF("vec_id", "label", "m", "sub")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        explode(array((0 until PqM).map(m => lit(m)): _*)).as("m"))
+    // dot unrolled over the (fixed, small) subspace width: element_at
+    // chains stay in whole-stage codegen, where an aggregate/zip_with
+    // fold would run interpreted 1M+ times (vectors × codebook rows)
+    val dot = (0 until PqSubDim).map { d =>
+      (element_at(col("embedding"), col("m") * PqSubDim + d + 1).cast(DoubleType)
+        * element_at(col("cvec"), d + 1)).cast(Term)
+    }.reduce(_ + _).cast(DoubleType)
     subs.join(broadcast(cent), Seq("m"))
-      .withColumn("score", col("c2") - lit(2.0) * exactZipSum(col("sub"), col("cvec")))
+      .withColumn("score", col("c2") - lit(2.0) * dot)
       .groupBy(col("vec_id"), col("label"), col("m"))
       .agg(min_by(col("k"), struct(col("score"), col("k"))).as("code"))
       .groupBy(col("label"), col("m"), col("code"))
