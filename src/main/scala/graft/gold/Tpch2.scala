@@ -190,12 +190,15 @@ object Tpch2 {
     * The threshold is fair-share-relative (2 × total/n_suppliers) so
     * selectivity survives any scale factor. */
   def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val perPartSupp = Tables.lineitem(spark, dir)
+    // per-part totals as an unbounded window over the already-aggregated
+    // rows — one pass; a grouped-agg + join-back would re-execute the
+    // per-(part,supplier) subtree for the totals branch
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(dsumDec(col("l_quantity")).as("qty_ps"))
-    val perPart = perPartSupp.groupBy(col("l_partkey"))
-      .agg(sum(col("qty_ps")).as("qty_total"), count(lit(1)).as("n_supp"))
-    perPartSupp.join(perPart, Seq("l_partkey"))
+      .withColumn("qty_total", sum(col("qty_ps")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
       .where(col("qty_ps").cast(DoubleType)
         > lit(2.0) * col("qty_total").cast(DoubleType) / col("n_supp"))
       .join(broadcast(Tables.part(spark, dir).where(col("p_size") < 15)),
