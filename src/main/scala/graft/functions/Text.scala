@@ -181,9 +181,10 @@ object Text {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // document frequency as a window count over the (doc, tok) aggregates
+    // — re-grouping + join-back would recompute the tokenize/explode scan
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(dfreq), Seq("tok"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))

@@ -53,11 +53,14 @@ object Extended {
     * (builtin percentile/quantile interpolation trees differ per engine). */
   def exactMedian(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val ranked = Tables.lineitem(spark, dir)
+    // group size as an unbounded window over the same partition — shares
+    // the rank window's exchange; a grouped count + join-back would scan
+    // lineitem a second time
+    val wN = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"))
       .withColumn("rn", row_number().over(w))
-    val counts = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(counts), Seq("l_returnflag"))
+      .withColumn("n", count(lit(1)).over(wN))
       .where(col("rn") === floor((col("n") + 1) / 2)
         || col("rn") === floor((col("n") + 2) / 2))
       .groupBy(col("l_returnflag"))

@@ -33,16 +33,16 @@ object Tpch2 {
   private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** Q2-style correlated MIN: for each small part, the supplier(s) offering
-    * the minimum unit price. Grouped-min + join-back on (key, min) instead
-    * of a per-part subquery; ties keep all minimal suppliers in both
-    * engines. */
+    * the minimum unit price. The per-part min rides an unbounded window
+    * over the partkey partition — one scan, one shuffle (a grouped-min +
+    * join-back re-executes the scan subtree for the min branch); ties keep
+    * all minimal suppliers in both engines. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val up = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
-    val minUnit = up.groupBy(col("l_partkey"))
-      .agg(min(col("unit_price")).as("min_unit"))
-    up.join(minUnit, Seq("l_partkey"))
+    up.withColumn("min_unit",
+        min(col("unit_price")).over(Window.partitionBy(col("l_partkey"))))
       .where(col("unit_price") === col("min_unit"))
       .join(broadcast(Tables.part(spark, dir).where(col("p_size") < 20)),
         col("l_partkey") === col("p_partkey"))
@@ -93,12 +93,15 @@ object Tpch2 {
     * threshold is mean-relative (TPC-H's own `0.0001/SF` generalized) so
     * the selectivity survives any scale factor. */
   def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.lineitem(spark, dir)
+    // global mean over the aggregated per-part rows via an empty-partition
+    // window (bounded by part cardinality) — one scan; the scalar-agg +
+    // crossJoin form re-executes the grouped aggregation for the total
+    val wAll = Window.partitionBy()
+    Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(dsumDec(col("l_extendedprice")).as("val_dec"))
-    val total = v.agg(
-      (sum(col("val_dec")).cast(DoubleType) / count(lit(1))).as("mean_val"))
-    v.crossJoin(broadcast(total))
+      .withColumn("mean_val",
+        sum(col("val_dec")).over(wAll).cast(DoubleType) / count(lit(1)).over(wAll))
       .where(col("val_dec").cast(DoubleType) > lit(1.3) * col("mean_val"))
       .select(col("l_partkey"), col("val_dec").cast(DoubleType).as("part_value"))
   }
@@ -122,16 +125,18 @@ object Tpch2 {
     * max via a one-row broadcast (exact decimal revenue makes the equality
     * safe). */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // the global max rides an empty-partition window over the aggregated
+    // per-supplier rows (bounded by supplier cardinality) — one lineitem
+    // scan instead of two
     val revenue = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType)
         && col("l_shipdate") < lit("1997-07-01").cast(TimestampType))
       .groupBy(col("l_suppkey"))
       .agg(dsum(rev).as("total_rev"))
-    val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
+      .withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
+      .where(col("total_rev") === col("max_rev"))
     Tables.supplier(spark, dir)
       .join(revenue, col("s_suppkey") === col("l_suppkey"))
-      .crossJoin(broadcast(maxRev))
-      .where(col("total_rev") === col("max_rev"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
   }
 
@@ -157,10 +162,14 @@ object Tpch2 {
     * average quantity — the correlated AVG rewritten as a grouped agg
     * joined back on partkey. */
   def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val perPart = li.groupBy(col("l_partkey"))
-      .agg((lit(0.2) * davg(col("l_quantity"))).as("qty_limit"))
-    li.join(perPart, Seq("l_partkey"))
+    // the correlated AVG as a windowed exact average over the partkey
+    // partition — one scan, one shuffle (grouped-agg + join-back scans
+    // lineitem twice); same decimal-sum arithmetic as Dsl.davg
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .withColumn("qty_limit",
+        lit(0.2) * (sum(col("l_quantity").cast(Dsl.Money)).over(w).cast(DoubleType)
+          / count(col("l_quantity")).over(w)))
       .join(broadcast(Tables.part(spark, dir).where(col("p_brand") === "Brand#3")),
         col("l_partkey") === col("p_partkey"))
       .where(col("l_quantity") < col("qty_limit"))
