@@ -14,6 +14,10 @@ run / fork := true
 // Emit forked-run output raw (no "[info] " logger prefix) so the one-line
 // JSON that Bench prints is machine-parseable from stdout.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line so the JSON line
+// Bench prints is the LAST stdout line (a last-line parser sees pure JSON).
+Global / autoStartServer := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,15 +25,26 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+      name -> Future {
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(s"[verify] $name done")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }
-    Await.result(Future.sequence(futures), Duration.Inf)
+    // Generous overall deadline instead of Duration.Inf: one hung query
+    // must not stall the whole verify run with no diagnostic. On timeout,
+    // name the stragglers (each future logs its own completion above).
+    try Await.result(
+      Future.sequence(futures.map(_._2)), Duration(30, "min"))
+    catch { case _: java.util.concurrent.TimeoutException =>
+      val stuck = futures.collect { case (n, f) if !f.isCompleted => n }
+      System.err.println(
+        s"[verify] deadline exceeded; unfinished: ${stuck.mkString(", ")}")
+    }
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

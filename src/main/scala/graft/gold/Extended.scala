@@ -143,20 +143,19 @@ object Extended {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cnt").desc, col("token"))))
 
-  private val Term = DecimalType(20, 12)
-  private val Acc  = DecimalType(30, 12)
-  private val EmbDim = 64
+  // Single source of truth for the embedding dimension: the oracle SQL
+  // below enumerates exactly Dim elements, and a drifting private copy
+  // would silently truncate the oracle's sum.
+  private def EmbDim = graft.operators.Similarity.Dim
 
   /** Embedding L2-norm statistics per label: exact-decimal self dot
     * product per vector (order-independent), then exact-decimal averaging
     * of the norms — the vector-column profiling pass a training pipeline
     * runs before similarity search. */
   def embNormStats(spark: SparkSession, dir: String): DataFrame = {
-    val norm2 = aggregate(
-      zip_with(col("embedding"), col("embedding"),
-        (a, b) => (a.cast(DoubleType) * b.cast(DoubleType)).cast(Term)),
-      lit(BigDecimal(0)).cast(Acc),
-      (acc, z) => (acc + z).cast(Acc)).cast(DoubleType)
+    // unrolled codegen'd exact-decimal kernel shared with the similarity
+    // operators (identical values to the interpreted fold it replaces)
+    val norm2 = graft.operators.Similarity.exactSelfSum(col("embedding"))
     Tables.embeddings(spark, dir)
       .select(col("label"), sqrt(norm2).as("nrm"))
       .groupBy(col("label"))

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Corpus-curation operators rounding out the training-data pipeline
+  * surface: fuzzy (edit-distance) dedup, deterministic stratified
+  * sampling, composite quality gating, and multi-dimensional layout keys
+  * (Z-order) for data-skipping writes.
+  *
+  * All pure `functions._` expressions — fully codegen'd, no UDFs — and
+  * every output is deterministic, so each op carries a full DuckDB oracle
+  * mirror.
+  */
+object Curation {
+
+  /** Cheap length cap for the edit-distance comparison: fuzzy dedup on
+    * long documents compares bounded prefixes (cost is O(len²) per pair —
+    * unbounded text would make one adversarial pair dominate a task). */
+  val FuzzyPrefixLen = 120
+
+  /** Fuzzy near-dup scoring over candidate pairs via Levenshtein distance
+    * on bounded prefixes — the classic record-linkage complement to the
+    * token-set measures (catches small in-token edits that change every
+    * shingle). Candidate pairs here are adjacent doc_ids so the output is
+    * oracle-comparable; in production the pair generator is the MinHash/
+    * SimHash bucket join ([[Dedup]]), and this op is the pairwise scorer
+    * that runs after it. Map-only over the pair set: the join is on
+    * doc_id+1 (no fan-out), the distance is a codegen'd built-in, and
+    * cost per pair is bounded by [[FuzzyPrefixLen]]². */
+  def fuzzyEditPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, FuzzyPrefixLen).as("pfx"))
+    val a = d.select(col("doc_id").as("doc_a"), col("pfx").as("pa"))
+    val b = d.select(col("doc_id").as("doc_b"), col("pfx").as("pb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"),
+        greatest(length(col("pa")), length(col("pb"))).as("max_len"))
+      .withColumn("edit_sim",
+        when(col("max_len") > 0,
+          lit(1.0) - col("edit_dist").cast(DoubleType) / col("max_len"))
+          .otherwise(lit(1.0)))
+  }
+
+  /** Deterministic stratified reservoir sample: `perStratum` documents per
+    * language, selected by minimum md5-derived priority — the
+    * engine-portable form of uniform-without-replacement sampling (A-Res
+    * with uniform weights ≡ top-k on a hash priority). Stable under
+    * reruns, repartitioning, and engine choice; no RNG state to seed.
+    *
+    * Scale shape: rank-within-stratum is a window partitioned by the
+    * stratum key. Strata here are languages (few, large) — at extreme
+    * skew the standard fix is a salted two-phase top-k (per-salt top
+    * `perStratum`, then top `perStratum` of the union), which preserves
+    * the same priority order; the single-window form is the readable
+    * default. */
+  def stratifiedSample(spark: SparkSession, dir: String, perStratum: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        Dedup.md5Long(concat(lit("rs_"), col("doc_id"))).as("priority"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("priority"), col("doc_id"))))
+      .where(col("rk") <= perStratum)
+  }
+
+  /** Composite quality gate — the keep/drop decision op a corpus pipeline
+    * runs after scoring: each heuristic is surfaced as a named boolean
+    * flag (so drops are attributable) and `keep` is their conjunction.
+    * Thresholds follow the common web-corpus heuristics (Gopher/C4
+    * family): minimum length, lexical diversity, symbol-to-text ratio.
+    * Map-only scan; at 100 TB this is the cheapest pass in the pipeline
+    * and the flags partition the drop set for auditing. */
+  def qualityGate(spark: SparkSession, dir: String,
+                  minTokens: Int = 20, minDistinctRatio: Double = 0.4,
+                  maxPunctRatio: Double = 0.12): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        (size(array_distinct(split(col("text"), " "))).cast(DoubleType)
+          / size(split(col("text"), " "))).as("distinct_ratio"),
+        (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast(DoubleType)
+          / length(col("text"))).as("punct_ratio"))
+      .withColumn("too_short", col("n_tokens") < minTokens)
+      .withColumn("low_diversity", col("distinct_ratio") < minDistinctRatio)
+      .withColumn("high_punct", col("punct_ratio") > maxPunctRatio)
+      .withColumn("keep",
+        !col("too_short") && !col("low_diversity") && !col("high_punct"))
+
+  /** Bits per dimension of the Z-order key (16 ⇒ a 32-bit interleaved
+    * key over two dimensions). */
+  val ZBits = 16
+
+  /** Z-order (Morton) layout key over two join/filter dimensions of
+    * lineitem, with the 100 smallest keys surfaced (deterministic
+    * total order → oracle-comparable top-k via TakeOrderedAndProject).
+    *
+    * The point of the op is the KEY, not the top-k: sorting a table by
+    * the interleaved key before a partitioned write co-locates rows that
+    * are close in BOTH dimensions, so file-level min/max statistics prune
+    * scans filtered on either column — the standard multi-dimensional
+    * data-skipping layout (Delta/Iceberg `ZORDER BY`). The key itself is
+    * 32 codegen'd shift/mask terms, map-only at any scale. */
+  def zorderKeys(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val x = (col("l_partkey") % (1 << ZBits)).cast(LongType)
+    val y = (col("l_suppkey") % (1 << ZBits)).cast(LongType)
+    val z = (0 until ZBits).map { i =>
+      shiftrightunsigned(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftrightunsigned(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        x.as("zx"), y.as("zy"), z.as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(topN)
+  }
+
+  object oracle {
+    val fuzzyEditPairs: String =
+      s"""WITH d AS (
+         |  SELECT doc_id, substr(text, 1, $FuzzyPrefixLen) AS pfx FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist,
+         |  CAST(greatest(length(a.pfx), length(b.pfx)) AS INT) AS max_len,
+         |  CASE WHEN greatest(length(a.pfx), length(b.pfx)) > 0
+         |       THEN 1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
+         |              / greatest(length(a.pfx), length(b.pfx))
+         |       ELSE 1.0 END AS edit_sim
+         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+    val stratifiedSample: String = {
+      val pr = Dedup.md5LongSql("'rs_' || doc_id")
+      s"""SELECT lang, doc_id, priority, rk FROM (
+         |  SELECT lang, doc_id, $pr AS priority,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $pr, doc_id) AS INT) AS rk
+         |  FROM documents)
+         |WHERE rk <= 5""".stripMargin
+    }
+
+    val qualityGate: String =
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS distinct_ratio,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio
+         |  FROM documents)
+         |SELECT *,
+         |  n_tokens < 20 AS too_short,
+         |  distinct_ratio < 0.4 AS low_diversity,
+         |  punct_ratio > 0.12 AS high_punct,
+         |  NOT (n_tokens < 20) AND NOT (distinct_ratio < 0.4)
+         |    AND NOT (punct_ratio > 0.12) AS keep
+         |FROM s""".stripMargin
+
+    val zorderKeys: String = {
+      val terms = (0 until ZBits).map { i =>
+        s"(((zx >> $i) & 1) * ${1L << (2 * i)} + ((zy >> $i) & 1) * ${1L << (2 * i + 1)})"
+      }.mkString("\n         |    + ")
+      s"""WITH b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_partkey % ${1 << ZBits} AS BIGINT) AS zx,
+         |    CAST(l_suppkey % ${1 << ZBits} AS BIGINT) AS zy
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, zx, zy,
+         |  $terms AS zkey
+         |FROM b
+         |ORDER BY zkey, l_orderkey, l_linenumber
+         |LIMIT 100""".stripMargin
+    }
+  }
+}

@@ -36,11 +36,14 @@ object Dedup {
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles(col("toks")).as("sh"), col("toks"))
 
-  /** Distinct (doc_id, shingle) rows via posexplode + window lead — the
-    * hot-path form of `shingles`: array higher-order functions are
-    * interpreted (CodegenFallback) and measured ~6× slower than this
-    * fully-codegen'd explode+window+concat pipeline at sf0.1. The window
-    * partitions by doc_id, so it parallelizes across documents. */
+  /** (doc_id, shingle) rows via posexplode + window lead — the hot-path
+    * form of `shingles`: array higher-order functions are interpreted
+    * (CodegenFallback) and measured ~6× slower than this fully-codegen'd
+    * explode+window+concat pipeline at sf0.1. The window partitions by
+    * doc_id, so it parallelizes across documents. Duplicate shingles are
+    * NOT removed here: the only consumer aggregates with MIN, for which
+    * multiset and set agree, so the dedup shuffle would be pure cost (the
+    * downstream groupBy even reuses the window's doc_id partitioning). */
   private def explodedShinglesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -51,7 +54,6 @@ object Dedup {
       .withColumn("t3", lead(col("tok"), 2).over(w))
       .where(col("t3").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
-      .distinct()
   }
 
   /** Exact dedup: group identical normalized content by md5 fingerprint and
@@ -251,6 +253,15 @@ object Dedup {
     * orders of magnitude smaller than the corpus, so every per-round join
     * is sized by the duplicate population, not the corpus. The full node
     * set rejoins once at the end. */
+  /** Frees the RDD-level cache behind a localCheckpoint'ed frame (or any
+    * frame derived from one): checkpoint blocks live on the RDD, outside
+    * the CacheManager, so `Dataset.unpersist` never touches them. */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def componentsOf(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.toDF("src", "dst")
       .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
@@ -274,10 +285,21 @@ object Dedup {
           (coalesce(col("nbr_label"), col("l.label")) < col("l.label")).as("chg"))
         .localCheckpoint(eager = true)
       converged = next.where(col("chg")).isEmpty
+      // drop the superseded generation's cached blocks — without this a
+      // long-running session (Verify runs 78 queries in one JVM)
+      // accumulates one orphaned RDD cache per round. localCheckpoint
+      // persists at the RDD layer, so Dataset.unpersist (CacheManager)
+      // would be a no-op; free the underlying checkpointed RDD instead.
+      unpersistCheckpointed(labels)
       labels = next.select(col("node"), col("label"))
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsOf did not converge within $maxIter rounds; " +
+          "component labels would be partially propagated. Raise maxIter " +
+          "or switch to large-star/small-star contraction for deep graphs.")
     nodes.toDF("doc_id")
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),

@@ -34,17 +34,36 @@ object Similarity {
   private val Term = DecimalType(20, 12)
 
   /** Exact (order-independent) sum of elementwise products of two float
-    * arrays: per-term DECIMAL(20,12) rounding, exact decimal accumulation. */
-  private def exactZipSum(a: Column, b: Column): Column =
+    * arrays: per-term DECIMAL(20,12) rounding, exact decimal accumulation.
+    *
+    * Unrolled over the fixed corpus dimension ([[Dim]]) as an element_at
+    * chain instead of an aggregate/zip_with fold: higher-order functions
+    * are CodegenFallback (interpreted lambda eval per element) while the
+    * chain stays inside whole-stage codegen — the same rewrite that sped
+    * up the PQ encoder ~6×. Each partial sum re-casts to DECIMAL(30,12)
+    * exactly like the fold's accumulator did (lossless at these
+    * magnitudes), so the values are bit-identical to the fold form and to
+    * the oracle's SUM(CAST(. AS DECIMAL(20,12))). */
+  def exactZipSum(a: Column, b: Column): Column =
+    (0 until Dim).map { i =>
+      (element_at(a, i + 1).cast(DoubleType) * element_at(b, i + 1).cast(DoubleType))
+        .cast(Term)
+    }.reduceLeft[Column]((acc, t) => (acc + t).cast(Acc)).cast(DoubleType)
+
+  def exactSelfSum(a: Column): Column = exactZipSum(a, a)
+
+  /** Length-generic fold form of [[exactZipSum]] (identical values; works
+    * on vectors of any dimension, at interpreted-lambda cost). The
+    * corpus-shaped operators use the unrolled kernel instead. */
+  def exactZipSumAnyDim(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Term)),
       lit(BigDecimal(0)).cast(Acc),
       (acc, z) => (acc + z).cast(Acc)).cast(DoubleType)
 
-  private def exactSelfSum(a: Column): Column = exactZipSum(a, a)
-
   def cosine(a: Column, b: Column): Column =
-    exactZipSum(a, b) / sqrt(exactSelfSum(a) * exactSelfSum(b))
+    exactZipSumAnyDim(a, b) /
+      sqrt(exactZipSumAnyDim(a, a) * exactZipSumAnyDim(b, b))
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries, candidates =
     * whole corpus minus self. Baseline and ground truth for the ANN
@@ -155,21 +174,17 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
 
-    // candidate-pair dots: attach both arrays, explode one side and index
-    // the other with element_at — one codegen'd agg pass, no positional
-    // join (same per-term decimal rounding the oracle mirrors)
+    // candidate-pair dots: attach both arrays and evaluate the unrolled
+    // exact-decimal chain as a plain projection — candidate pairs are a
+    // tiny fraction of the corpus, so this is a map-only rescore with no
+    // explode fan-out or extra shuffle (same per-term rounding the oracle
+    // mirrors)
     pairs
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
-        posexplode(col("va")), col("vb"))
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
-        col("col").cast(DoubleType).as("x"),
-        element_at(col("vb"), col("pos") + 1).cast(DoubleType).as("y"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(sum((col("x") * col("y")).cast(Term)).cast(DoubleType).as("dot"))
       .select(col("id_a"), col("id_b"),
-        (col("dot") / sqrt(col("n_a") * col("n_b"))).as("similarity"))
+        (exactZipSum(col("va"), col("vb")) / sqrt(col("n_a") * col("n_b")))
+          .as("similarity"))
       .where(col("similarity") >= minCosine)
   }
 
@@ -253,21 +268,28 @@ object Similarity {
     * reconstruction-error bound (|x − q·scale| ≤ scale/2) is pinned in the
     * unit spec, not the oracle, to keep the gate ulp-proof. Map-only until
     * the final label rollup — one shuffle sized by label cardinality. */
-  def quantizeStats(spark: SparkSession, dir: String): DataFrame =
+  def quantizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // explode + window-scale + hash-aggregate instead of array lambdas:
+    // transform/aggregate/filter are CodegenFallback, so the lambda forms
+    // ran interpreted over every element; this pipeline is fully
+    // codegen'd. The per-vector window partitions by vec_id — parallel
+    // across the corpus at any scale — and the rollup shuffles once per
+    // grouping level. Values are identical: same round()/cast pipeline,
+    // integer arithmetic after quantization.
+    val w = Window.partitionBy(col("vec_id"))
     Tables.embeddings(spark, dir)
-      .select(col("label"), col("embedding"),
-        (array_max(transform(col("embedding"), v => abs(v.cast(DoubleType)))) / 127.0)
-          .as("scale"))
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("col").cast(DoubleType).as("x"))
+      .withColumn("scale", max(abs(col("x"))).over(w) / 127.0)
       .where(col("scale") > 0)
-      .select(col("label"),
-        transform(col("embedding"),
-          v => round(v.cast(DoubleType) / col("scale")).cast(IntegerType)).as("q"))
-      .select(col("label"),
-        aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v).cast(LongType))
-          .as("sum_abs_q"),
-        array_max(transform(col("q"), v => abs(v))).as("max_q"),
-        size(filter(col("q"), v => abs(v) === 127)).as("n_sat"),
-        size(filter(col("q"), v => v === 0)).as("n_zero"))
+      .withColumn("q", round(col("x") / col("scale")).cast(IntegerType))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(abs(col("q")).cast(LongType)).as("sum_abs_q"),
+        max(abs(col("q"))).as("max_q"),
+        sum(when(abs(col("q")) === 127, 1).otherwise(0)).as("n_sat"),
+        sum(when(col("q") === 0, 1).otherwise(0)).as("n_zero"))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -276,6 +298,7 @@ object Similarity {
         max(col("max_q")).as("max_q"),
         sum(col("n_sat")).as("n_saturated"),
         sum(col("n_zero")).as("n_zeros"))
+  }
 
   // ---- product quantization (encode path) ----------------------------
   // M subspaces × K codes over Dim dims; codebook entries are dyadic
