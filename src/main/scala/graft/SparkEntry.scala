@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.gold.{Analytics, Extended, Scalars, Tpch, Tpch2, Windowing}
 import graft.silver.Ingest
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity, Skew}
+import graft.operators.{Curation, Dedup, Similarity, Skew}
 import graft.plans.AsOf
 import graft.multimodal.Multimodal
 
@@ -87,9 +87,16 @@ object SparkEntry {
     // similarity search extensions
     "ann_topk"            -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_ivf_pq_topk"     -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "kmeans_refine"       -> ((s, d) => Similarity.kmeansRefine(s, d)),
     "emb_near_dup_lsh"    -> ((s, d) => Similarity.nearDupLsh(s, d)),
     "emb_quantize_stats"  -> ((s, d) => Similarity.quantizeStats(s, d)),
     "emb_pq_codes"        -> ((s, d) => Similarity.pqCodeStats(s, d)),
+    // corpus curation extensions
+    "fuzzy_edit_pairs"    -> ((s, d) => Curation.fuzzyEditPairs(s, d)),
+    "stratified_sample"   -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "quality_gate"        -> ((s, d) => Curation.qualityGate(s, d)),
+    "zorder_keys"         -> ((s, d) => Curation.zorderKeys(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -181,6 +188,12 @@ object SparkEntry {
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,
+    "ann_ivf_pq_topk"     -> Similarity.oracle.ivfPqTopK,
+    "kmeans_refine"       -> Similarity.oracle.kmeansRefine,
+    "fuzzy_edit_pairs"    -> Curation.oracle.fuzzyEditPairs,
+    "stratified_sample"   -> Curation.oracle.stratifiedSample,
+    "quality_gate"        -> Curation.oracle.qualityGate,
+    "zorder_keys"         -> Curation.oracle.zorderKeys,
     "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
     "emb_quantize_stats"  -> Similarity.oracle.quantizeStats,
     "emb_pq_codes"        -> Similarity.oracle.pqCodeStats,

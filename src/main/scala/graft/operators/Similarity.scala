@@ -206,23 +206,21 @@ object Similarity {
     * `centroid_id`, and the per-query top-k runs on candidate sets a
     * fraction nprobe/nlist of the corpus.
     */
-  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir)
-    val centroids = e.where(col("vec_id") < nlist)
+  /** IVF coarse quantizer: the first `nlist` corpus vectors as
+    * deterministic centroids (no training dependency). */
+  private def ivfCentroids(e: DataFrame, nlist: Int): DataFrame =
+    e.where(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"),
         exactSelfSum(col("embedding")).as("ncent"))
 
-    // inverted lists: map-only broadcast cross join (no shuffle for the
-    // pairing) + exact fold cosine, then argmax-by-struct — row_number +
-    // filter rk=1 measured ~13x slower than the equivalent max_by hash
-    // aggregation at sf0.1, and the fold beats the explode-the-pair form
-    // here (exploding rows that carry two 64-float arrays copies ~1 GB).
-    // Tie-break matches the oracle's window: highest cosine, then lowest
-    // centroid id. first() is safe for cv/nc: constant within each group.
-    val assigned = e
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+  /** Inverted-list assignment: map-only broadcast cross join (no shuffle
+    * for the pairing) + exact codegen'd cosine, then argmax-by-struct —
+    * row_number + filter rk=1 measured ~13x slower than the equivalent
+    * max_by hash aggregation at sf0.1. Tie-break matches the oracle's
+    * window: highest cosine, then lowest centroid id. first() is safe for
+    * cv/nc: constant within each group. */
+  private def ivfAssigned(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
         exactSelfSum(col("embedding")).as("nc"))
       .crossJoin(broadcast(centroids))
       .select(col("cid"), col("cv"), col("nc"), col("centroid_id"),
@@ -234,9 +232,12 @@ object Similarity {
           .as("centroid_id"),
         first(col("cv")).as("cv"), first(col("nc")).as("nc"))
 
-    // each query probes its nprobe nearest lists (window input is only
-    // nQueries*nlist rows — the query-side filter prunes the scan)
-    val probes = e.where(col("vec_id") < nQueries)
+  /** Probe sets: each query's `nprobe` nearest lists (window input is
+    * only nQueries*nlist rows — the query-side filter prunes the scan). */
+  private def ivfProbes(e: DataFrame, centroids: DataFrame,
+                        nQueries: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         exactSelfSum(col("embedding")).as("nq"))
       .crossJoin(broadcast(centroids))
@@ -246,6 +247,15 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos_c").desc, col("centroid_id"))))
       .where(col("rk_c") <= nprobe)
       .select(col("qid"), col("qv"), col("nq"), col("centroid_id"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e, nlist)
+    val assigned = ivfAssigned(e, centroids)
+    val probes = ivfProbes(e, centroids, nQueries, nprobe)
 
     // exact rescore of the probed candidates, per-query top-k
     broadcast(probes).join(assigned, Seq("centroid_id"))
@@ -327,14 +337,21 @@ object Similarity {
     * exact-decimal kernel, ||c||² is an exact dyadic sum, and the final
     * counts are integers — bit-exact across engines end to end. The
     * codebook (128 rows) broadcasts; one shuffle per grouping level. */
-  def pqCodeStats(spark: SparkSession, dir: String): DataFrame = {
+  /** The PQ codebook as a broadcastable frame: (m, k, cvec, ||c||²). */
+  private def pqCodebook(spark: SparkSession): DataFrame = {
     val centRows = for (m <- 0 until PqM; k <- 0 until PqK) yield {
       val cvec = (0 until PqSubDim).map(d => pqCent(m, k, d))
       val c2 = cvec.map(c => c * c).sum  // exact: dyadics on a 2^-14 grid
       (m, k, cvec.toArray, c2)
     }
-    val cent = spark.createDataFrame(centRows.toSeq)
-      .toDF("m", "k", "cvec", "c2")
+    spark.createDataFrame(centRows.toSeq).toDF("m", "k", "cvec", "c2")
+  }
+
+  /** Per-vector PQ code assignment: (vec_id, label, m, code) — each of
+    * the M subvectors mapped to its nearest codebook entry. The encode
+    * path shared by [[pqCodeStats]] (population skew profile) and
+    * [[ivfPqTopK]] (ADC serving). */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val subs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         explode(array((0 until PqM).map(m => lit(m)): _*)).as("m"))
@@ -345,12 +362,93 @@ object Similarity {
       (element_at(col("embedding"), col("m") * PqSubDim + d + 1).cast(DoubleType)
         * element_at(col("cvec"), d + 1)).cast(Term)
     }.reduce(_ + _).cast(DoubleType)
-    subs.join(broadcast(cent), Seq("m"))
+    subs.join(broadcast(pqCodebook(spark)), Seq("m"))
       .withColumn("score", col("c2") - lit(2.0) * dot)
       .groupBy(col("vec_id"), col("label"), col("m"))
       .agg(min_by(col("k"), struct(col("score"), col("k"))).as("code"))
+  }
+
+  def pqCodeStats(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir)
       .groupBy(col("label"), col("m"), col("code"))
       .agg(count(lit(1)).as("n_vectors"))
+
+  /** One Lloyd (k-means) refinement step over the IVF assignment — how a
+    * coarse quantizer's codebook actually gets trained at corpus scale:
+    * assign every vector to its nearest centroid (the proven exact-cosine
+    * assignment), then emit the per-dimension member means as the updated
+    * centroid matrix (centroid_id, pos, n_members, new_val).
+    *
+    * Scale shape: assignment is the map-only broadcast pass; the update
+    * is one explode + hash aggregation keyed by (centroid, dim) — nlist×
+    * Dim output rows regardless of corpus size, i.e. the classic
+    * map-side-combinable centroid update. Means are exact-decimal sums
+    * divided as doubles and rounded to 6 decimals (same ulp-absorption
+    * contract as embNormStats). */
+  def kmeansRefine(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    ivfAssigned(e, ivfCentroids(e, nlist))
+      .select(col("centroid_id"), posexplode(col("cv")))
+      .select(col("centroid_id"), (col("pos") + 1).as("pos"),
+        col("col").cast(DoubleType).as("x"))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum(col("x").cast(Term)).cast(DoubleType) / count(lit(1)), 6)
+          .as("new_val"))
+  }
+
+  /** IVF+PQ ANN serving path — the composition a 100 TB vector index
+    * actually runs: queries probe their `nprobe` nearest inverted lists,
+    * and candidates in those lists are ranked by the PQ asymmetric
+    * distance computation (ADC): score(q, c) = Σ_m ⟨q_m, codeword(m,
+    * code_m(c))⟩, i.e. the query is compared against each candidate's
+    * 8-byte PQ code through a per-query lookup table — never against the
+    * raw vectors.
+    *
+    * Scale shape: the per-query lookup table (nQueries × M × K dot
+    * products against the broadcast codebook) is tiny and broadcasts;
+    * candidates flow through one equi-join on centroid_id and one on the
+    * code key; the raw embedding column is never shuffled — that is the
+    * entire point of PQ at scale (16× less candidate bandwidth here,
+    * 100×+ at production dims). Every arithmetic step is exact decimal
+    * until the final cast, so the ADC ranking itself is mirrored
+    * bit-identically by [[oracle.ivfPqTopK]]. */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e, nlist)
+    val lists = ivfAssigned(e, centroids).select(col("cid"), col("centroid_id"))
+    val probes = ivfProbes(e, centroids, nQueries, nprobe)
+      .select(col("qid"), col("qv"), col("centroid_id"))
+
+    // per-query ADC lookup table: qdot(qid, m, k) = ⟨q_m, c_{m,k}⟩ as an
+    // exact DECIMAL(30,12) (kept decimal so the final Σ_m stays exact)
+    val qdotTerm = (0 until PqSubDim).map { d =>
+      (element_at(col("qv"), col("m") * PqSubDim + (d + 1)).cast(DoubleType)
+        * element_at(col("cvec"), d + 1)).cast(Term)
+    }.reduceLeft[org.apache.spark.sql.Column]((acc, t) => (acc + t).cast(Acc))
+    val qdots = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(pqCodebook(spark)))
+      .select(col("q_qid"), col("m").as("q_m"), col("k").as("q_k"),
+        qdotTerm.as("qdot"))
+
+    val codes = pqCodes(spark, dir).select(col("vec_id").as("cid"), col("m"), col("code"))
+
+    probes.join(lists, Seq("centroid_id"))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"))
+      .join(codes, Seq("cid"))
+      .join(broadcast(qdots),
+        col("qid") === col("q_qid") && col("m") === col("q_m")
+          && col("code") === col("q_k"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("qdot")).cast(DoubleType).as("adc_score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_score").desc, col("cid"))))
+      .where(col("rk") <= k)
   }
 
   object oracle {
@@ -462,6 +560,96 @@ object Similarity {
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score, k) = 1)
          |SELECT label, m, code, COUNT(*) AS n_vectors
          |FROM codes GROUP BY 1, 2, 3""".stripMargin
+    }
+
+    /** Mirror of [[Similarity.kmeansRefine]]: identical exact-decimal
+      * assignment, then per-dimension member means over the same
+      * DECIMAL(20,12) term rounding. */
+    val kmeansRefine: String = {
+      val nlist = 16
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings
+         |  WHERE vec_id < $nlist),
+         |assigned AS (
+         |  SELECT centroid_id, cid, cv FROM (
+         |    SELECT c.centroid_id, e.vec_id AS cid, e.embedding AS cv,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dot("e.embedding", "c.centroid")}
+         |          / sqrt(${dot("e.embedding", "e.embedding")} * ${dot("c.centroid", "c.centroid")}) DESC,
+         |        c.centroid_id) AS rk_c
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rk_c = 1)
+         |SELECT centroid_id, CAST(i AS INT) AS pos, COUNT(*) AS n_members,
+         |  round(CAST(SUM(CAST(CAST(cv[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+         |    / COUNT(*), 6) AS new_val
+         |FROM assigned CROSS JOIN range(1, ${Dim + 1}) t(i)
+         |GROUP BY 1, 2""".stripMargin
+    }
+
+    /** Full mirror of [[Similarity.ivfPqTopK]]: the identical codebook
+      * literals, code assignment, probe sets, and exact-decimal ADC
+      * lookup sums — the approximate index's own ranking is what gets
+      * hash-compared, not a recall proxy. */
+    val ivfPqTopK: String = {
+      val (nQueries, k, nlist, nprobe) = (10, 10, 16, 4)
+      val rows = (for (m <- 0 until PqM; kk <- 0 until PqK; d <- 0 until PqSubDim)
+        yield s"($m, $kk, $d, ${pqCentInt(m, kk, d)})").mkString(",\n         |  ")
+      s"""WITH centpq(m, k, d, n) AS (VALUES
+         |  $rows),
+         |c2 AS (
+         |  SELECT m, k, SUM((CAST(n AS DOUBLE) / 128.0) * (CAST(n AS DOUBLE) / 128.0)) AS c2
+         |  FROM centpq GROUP BY 1, 2),
+         |dots AS (
+         |  SELECT e.vec_id, centpq.m, centpq.k,
+         |    CAST(SUM(CAST(CAST(e.embedding[centpq.m * $PqSubDim + centpq.d + 1] AS DOUBLE)
+         |      * (CAST(centpq.n AS DOUBLE) / 128.0) AS DECIMAL(20,12))) AS DOUBLE) AS dot
+         |  FROM embeddings e CROSS JOIN centpq
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT d.vec_id, d.m, d.k, c2.c2 - 2.0 * d.dot AS score
+         |  FROM dots d JOIN c2 ON d.m = c2.m AND d.k = c2.k),
+         |codes AS (
+         |  SELECT vec_id, m, k AS code FROM scored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score, k) = 1),
+         |cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings
+         |  WHERE vec_id < $nlist),
+         |assigned AS (
+         |  SELECT centroid_id, cid FROM (
+         |    SELECT c.centroid_id, e.vec_id AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dot("e.embedding", "c.centroid")}
+         |          / sqrt(${dot("e.embedding", "e.embedding")} * ${dot("c.centroid", "c.centroid")}) DESC,
+         |        c.centroid_id) AS rk_c
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rk_c = 1),
+         |probes AS (
+         |  SELECT qid, centroid_id FROM (
+         |    SELECT q.vec_id AS qid, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dot("q.embedding", "c.centroid")}
+         |          / sqrt(${dot("q.embedding", "q.embedding")} * ${dot("c.centroid", "c.centroid")}) DESC,
+         |        c.centroid_id) AS rk_c
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < $nQueries)
+         |  WHERE rk_c <= $nprobe),
+         |qd AS (
+         |  SELECT q.vec_id AS qid, centpq.m, centpq.k,
+         |    CAST(SUM(CAST(CAST(q.embedding[centpq.m * $PqSubDim + centpq.d + 1] AS DOUBLE)
+         |      * (CAST(centpq.n AS DOUBLE) / 128.0) AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS qdot
+         |  FROM embeddings q CROSS JOIN centpq
+         |  WHERE q.vec_id < $nQueries
+         |  GROUP BY 1, 2, 3)
+         |SELECT qid, cid, adc_score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_score DESC, cid) AS INT) AS rk
+         |FROM (
+         |  SELECT p.qid, a.cid,
+         |    CAST(SUM(qd.qdot) AS DOUBLE) AS adc_score
+         |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+         |  JOIN codes c ON c.vec_id = a.cid
+         |  JOIN qd ON qd.qid = p.qid AND qd.m = c.m AND qd.k = c.code
+         |  WHERE a.cid <> p.qid
+         |  GROUP BY 1, 2)
+         |QUALIFY rk <= $k""".stripMargin
     }
 
     /** Mirror of [[Similarity.quantizeStats]]: identical scale/round/cast

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Similarity}
+
+/** Round-3 curation + ANN-serving operators. Invariants only — the
+  * cell-exact cross-engine contract is enforced by the DuckDB oracle
+  * gate (scripts/check_oracle.py). */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("fuzzyEditPairs: adjacent-pair count, sim bounds, self-identity") {
+    val rows = Curation.fuzzyEditPairs(spark, dir).collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.length === nDocs - 1)
+    rows.foreach { r =>
+      val (dist, sim) = (r.getAs[Int]("edit_dist"), r.getAs[Double]("edit_sim"))
+      assert(dist >= 0 && sim >= 0.0 && sim <= 1.0)
+      assert(r.getAs[Long]("doc_b") === r.getAs[Long]("doc_a") + 1)
+    }
+    // identical prefixes must score dist 0 / sim 1 (pair a doc with itself)
+    import spark.implicits._
+    val d = Seq((1L, "same text here"), (2L, "same text here")).toDF("doc_id", "text")
+    val self = d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(levenshtein(
+        substring(col("a.text"), 1, Curation.FuzzyPrefixLen),
+        substring(col("b.text"), 1, Curation.FuzzyPrefixLen)).as("dist"))
+      .head().getInt(0)
+    assert(self === 0)
+  }
+
+  test("stratifiedSample: bounded per stratum, deterministic across runs") {
+    val s1 = Curation.stratifiedSample(spark, dir).collect()
+    val perLang = s1.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    perLang.foreach { case (_, n) => assert(n <= 5) }
+    val s2 = Curation.stratifiedSample(spark, dir).collect()
+    assert(s1.map(_.toString).sorted.toSeq === s2.map(_.toString).sorted.toSeq)
+  }
+
+  test("qualityGate: keep is exactly the conjunction of the negated flags") {
+    Curation.qualityGate(spark, dir).collect().foreach { r =>
+      val expected = !r.getAs[Boolean]("too_short") &&
+        !r.getAs[Boolean]("low_diversity") && !r.getAs[Boolean]("high_punct")
+      assert(r.getAs[Boolean]("keep") === expected)
+    }
+  }
+
+  test("zorderKeys: key matches a reference bit-interleave of (zx, zy)") {
+    def interleave(x: Long, y: Long): Long =
+      (0 until Curation.ZBits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val rows = Curation.zorderKeys(spark, dir).collect()
+    assert(rows.length === 100)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("zkey") ===
+        interleave(r.getAs[Long]("zx"), r.getAs[Long]("zy")))
+    }
+    // output is the global minimum of the key (sorted ascending)
+    val keys = rows.map(_.getAs[Long]("zkey")).toSeq
+    assert(keys === keys.sorted)
+  }
+
+  test("kmeansRefine: full centroid matrix, members conserved per dimension") {
+    val rows = Similarity.kmeansRefine(spark, dir).collect()
+    assert(rows.length === 16 * Similarity.Dim)
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    // every vector lands in exactly one cluster ⇒ per-dim member counts
+    // sum to the corpus size
+    rows.groupBy(_.getAs[Int]("pos")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_members")).sum === nVecs)
+    }
+  }
+
+  test("ivfPqTopK: ranked per query, no self pairs, codes bounded") {
+    val rows = Similarity.ivfPqTopK(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= 10)
+      val rks = rs.map(_.getAs[Int]("rk")).sorted
+      assert(rks === (1 to rs.length))
+      rs.foreach(r => assert(r.getAs[Long]("cid") !== qid))
+      // ranking is by descending ADC score with deterministic ties
+      val byRk = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("adc_score"))
+      assert(byRk === byRk.sortBy(-_))
+    }
+    // PQ codes stay within the codebook
+    Similarity.pqCodes(spark, dir).collect().foreach { r =>
+      val c = r.getAs[Int]("code")
+      assert(c >= 0 && c < Similarity.PqK)
+    }
+  }
+}
