@@ -54,8 +54,11 @@ object Probe {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
     names.foreach { n =>
-      try println(s"OK $n rows=" + SparkEntry.queries(n)(spark, dir).count())
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        println(f"OK $n rows=$rows (${(System.nanoTime() - t0) / 1e9}%.2fs)")
+      } catch { case e: Throwable =>
         println(s"FAIL $n: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.take(4).mkString(" | ")}")
       }
     }

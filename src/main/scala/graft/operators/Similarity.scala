@@ -36,34 +36,24 @@ object Similarity {
   /** Exact (order-independent) sum of elementwise products of two float
     * arrays: per-term DECIMAL(20,12) rounding, exact decimal accumulation.
     *
-    * Unrolled over the fixed corpus dimension ([[Dim]]) as an element_at
-    * chain instead of an aggregate/zip_with fold: higher-order functions
-    * are CodegenFallback (interpreted lambda eval per element) while the
-    * chain stays inside whole-stage codegen — the same rewrite that sped
-    * up the PQ encoder ~6×. Each partial sum re-casts to DECIMAL(30,12)
-    * exactly like the fold's accumulator did (lossless at these
-    * magnitudes), so the values are bit-identical to the fold form and to
-    * the oracle's SUM(CAST(. AS DECIMAL(20,12))). */
+    * Deliberately the aggregate/zip_with fold, NOT an unrolled element_at
+    * chain: the fold is CodegenFallback (interpreted lambda eval per
+    * element) but its Catalyst tree is ~10 nodes, while a Dim-width
+    * unrolled chain is ~320 nodes that get duplicated across window/agg
+    * stages — measured 2-3× slower end-to-end at bench scale because
+    * analysis/optimization/codegen time dwarfs the interpreted runtime on
+    * vector-sized inputs. Unrolling only wins for small fixed widths with
+    * large row multipliers (see the PQ encoder's 8-term chains). */
   def exactZipSum(a: Column, b: Column): Column =
-    (0 until Dim).map { i =>
-      (element_at(a, i + 1).cast(DoubleType) * element_at(b, i + 1).cast(DoubleType))
-        .cast(Term)
-    }.reduceLeft[Column]((acc, t) => (acc + t).cast(Acc)).cast(DoubleType)
-
-  def exactSelfSum(a: Column): Column = exactZipSum(a, a)
-
-  /** Length-generic fold form of [[exactZipSum]] (identical values; works
-    * on vectors of any dimension, at interpreted-lambda cost). The
-    * corpus-shaped operators use the unrolled kernel instead. */
-  def exactZipSumAnyDim(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Term)),
       lit(BigDecimal(0)).cast(Acc),
       (acc, z) => (acc + z).cast(Acc)).cast(DoubleType)
 
+  def exactSelfSum(a: Column): Column = exactZipSum(a, a)
+
   def cosine(a: Column, b: Column): Column =
-    exactZipSumAnyDim(a, b) /
-      sqrt(exactZipSumAnyDim(a, a) * exactZipSumAnyDim(b, b))
+    exactZipSum(a, b) / sqrt(exactSelfSum(a) * exactSelfSum(b))
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries, candidates =
     * whole corpus minus self. Baseline and ground truth for the ANN
