@@ -275,14 +275,30 @@ object Dedup {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // the changed flag rides inside the checkpointed frame, so the
+      // neighbor-min step, then one pointer-doubling (path compression)
+      // step: each node also adopts its label's label. Compression halves
+      // the remaining propagation distance every round, so convergence is
+      // O(log diameter) instead of O(diameter) — the property that keeps
+      // adversarially deep dup-chains from needing maxIter rounds at
+      // 100 TB. Labels are always ids of edge-incident nodes (min over
+      // neighbors' labels, seeded with self), so the self-join below
+      // always finds its target row.
+      // The changed flag rides inside the checkpointed frame, so the
       // convergence probe is a scan of cached blocks — no per-round
-      // compare-join against the previous generation
-      val next = labels.as("l")
+      // compare-join against the previous generation.
+      val stepped = labels.as("l")
         .join(nbrMin, col("l.node") === nbrMin("src"), "left")
         .select(col("l.node").as("node"),
-          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"),
-          (coalesce(col("nbr_label"), col("l.label")) < col("l.label")).as("chg"))
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+      val next = stepped.as("a")
+        .join(stepped.select(col("node").as("p_node"), col("label").as("p_label")).as("p"),
+          col("a.label") === col("p_node"), "left")
+        .join(labels.select(col("node").as("o_node"), col("label").as("o_label")).as("o"),
+          col("a.node") === col("o_node"))
+        .select(col("a.node").as("node"),
+          least(col("a.label"), coalesce(col("p_label"), col("a.label"))).as("label"),
+          (least(col("a.label"), coalesce(col("p_label"), col("a.label")))
+            < col("o_label")).as("chg"))
         .localCheckpoint(eager = true)
       converged = next.where(col("chg")).isEmpty
       // drop the superseded generation's cached blocks — without this a

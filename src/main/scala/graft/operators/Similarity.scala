@@ -427,7 +427,9 @@ object Similarity {
 
     val codes = pqCodes(spark, dir).select(col("vec_id").as("cid"), col("m"), col("code"))
 
-    probes.join(lists, Seq("centroid_id"))
+    // probes are nQueries×nprobe rows — broadcast so candidate harvesting
+    // is a map-side join over the inverted lists (no corpus shuffle)
+    broadcast(probes).join(lists, Seq("centroid_id"))
       .where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"))
       .join(codes, Seq("cid"))
