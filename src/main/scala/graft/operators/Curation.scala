@@ -53,20 +53,35 @@ object Curation {
     * with uniform weights ≡ top-k on a hash priority). Stable under
     * reruns, repartitioning, and engine choice; no RNG state to seed.
     *
-    * Scale shape: rank-within-stratum is a window partitioned by the
-    * stratum key. Strata here are languages (few, large) — at extreme
-    * skew the standard fix is a salted two-phase top-k (per-salt top
-    * `perStratum`, then top `perStratum` of the union), which preserves
-    * the same priority order; the single-window form is the readable
-    * default. */
-  def stratifiedSample(spark: SparkSession, dir: String, perStratum: Int = 5): DataFrame = {
+    * Scale shape: strata here are languages (few, large), so a single
+    * window partitioned by `lang` would put each language's ENTIRE
+    * stratum on one reducer — ~10 reducers holding a 100 TB corpus. The
+    * sample is therefore a salted two-phase top-k: phase 1 ranks within
+    * (lang, doc_id % salts) — every window partition is ~1/salts of a
+    * stratum — and keeps `perStratum` rows per salt; phase 2 ranks the
+    * union (≤ salts × perStratum rows per lang, corpus-size-independent)
+    * down to the final `perStratum`. Lossless: the global top-perStratum
+    * of a stratum is contained in the union of its per-salt
+    * top-perStratum sets, and both phases use the same
+    * (priority, doc_id) order, so the output — including the rank
+    * column — is identical to the single-window form. */
+  def stratifiedSample(spark: SparkSession, dir: String, perStratum: Int = 5,
+                       salts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, dir)
+    val prioritized = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         Dedup.md5Long(concat(lit("rs_"), col("doc_id"))).as("priority"))
+    val perSalt = prioritized
+      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("lang"), col("salt"))
+          .orderBy(col("priority"), col("doc_id"))))
+      .where(col("rk1") <= perStratum)
+    perSalt
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("priority"), col("doc_id"))))
       .where(col("rk") <= perStratum)
+      .select(col("lang"), col("doc_id"), col("priority"), col("rk"))
   }
 
   /** Composite quality gate — the keep/drop decision op a corpus pipeline

@@ -15,9 +15,10 @@ import graft.functions.Text
   * candidate-pair generator (Jaccard) — never an all-pairs cross join.
   * MinHash/SimHash follow the standard distributed shape:
   * doc → signature (map-only, codegen'd expressions) → explode bands →
-  * shuffle on (band, bucket-hash) → pairs within bucket. Bucket sizes are
-  * bounded in practice; a production guard would drop degenerate buckets
-  * above a size cap (noted inline).
+  * shuffle on (band, bucket-hash) → pairs within bucket. Degenerate
+  * (boilerplate-flooded) buckets are droppable via the optional
+  * `maxBucket` guard ([[capBuckets]]) — off by default so the DuckDB
+  * oracles stay literal mirrors.
   */
 object Dedup {
 
@@ -119,8 +120,8 @@ object Dedup {
     * key; docs sharing any (band, bucket) are candidates; the estimated
     * Jaccard is the fraction of matching signature components. One
     * shuffle on the bucket key, one self-join within buckets. At 100 TB
-    * add a bucket-size cap before the join to bound skew (degenerate
-    * buckets = boilerplate dups anyway).
+    * enable the `maxBucket` guard on [[minHashLshOn]] to bound skew
+    * (degenerate buckets = boilerplate dups anyway).
     *
     * Signature via explode + hash-aggregate rather than array lambdas:
     * higher-order functions (transform/aggregate) are CodegenFallback in
@@ -135,9 +136,22 @@ object Dedup {
                  k: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame =
     minHashLshOn(Tables.documents(spark, dir), k, bands, threshold)
 
-  /** [[minHashLsh]] over an arbitrary (doc_id, text) frame. */
+  /** [[minHashLsh]] over an arbitrary (doc_id, text) frame.
+    *
+    * `maxBucket` is the degenerate-bucket guard: a (band, bucket) shared
+    * by B docs emits B² candidate pairs, so one boilerplate flood (every
+    * page sharing a template footer) turns the bucket join quadratic on a
+    * single key — the classic LSH skew failure at corpus scale. With the
+    * cap on, buckets holding more than `maxBucket` docs are dropped before
+    * the self-join (one extra count-aggregate on the SAME key the join
+    * shuffles on). Dropping is sound for dedup: members of a flooded
+    * bucket are near-identical boilerplate that exact/fingerprint dedup
+    * already collapses, and genuinely-similar pairs still meet in their
+    * other (un-flooded) bands. Default off so the oracle mirror stays
+    * literal. */
   def minHashLshOn(docs: DataFrame,
-                   k: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                   k: Int = 32, bands: Int = 16, threshold: Double = 0.5,
+                   maxBucket: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val coeffs = minHashCoeffs(k)
@@ -152,12 +166,14 @@ object Dedup {
 
     // band key = the r signature components joined as a string: plain
     // equality, no second-level hash needed (and trivially SQL-portable)
-    val banded = sigs.select(
+    val banded0 = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         concat_ws("_", (0 until r).map(i => col(s"h${b * r + i}")): _*)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+
+    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
 
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val rgt = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -171,6 +187,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard_est"))
       .distinct()
   }
+
+  /** Degenerate-bucket guard shared by the LSH variants: drop every
+    * bucket whose membership exceeds `cap`. One count-aggregate on the
+    * exact key the candidate join shuffles on (so AQE can reuse the
+    * exchange), then a semi-join filter — no new shuffle key, no skew of
+    * its own. `None` disables the guard (the oracle-checked default). */
+  private def capBuckets(banded: DataFrame, keys: Seq[String],
+                         maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        val keyCols = keys.map(col)
+        val small = banded.groupBy(keyCols: _*)
+          .agg(count(lit(1)).as("bucket_n"))
+          .where(col("bucket_n") <= cap)
+          .select(keyCols: _*)
+        banded.join(small, keys)
+    }
 
   /** 60-bit SimHash near-dup detection.
     *
@@ -186,8 +220,12 @@ object Dedup {
   def simHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simHashOn(Tables.documents(spark, dir), maxHamming)
 
-  /** [[simHash]] over an arbitrary (doc_id, text) frame. */
-  def simHashOn(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** [[simHash]] over an arbitrary (doc_id, text) frame. `maxBucket` is
+    * the same degenerate-bucket guard as [[minHashLshOn]] (see there):
+    * chunk buckets flooded by template boilerplate would otherwise emit
+    * B² candidate pairs. */
+  def simHashOn(docs: DataFrame, maxHamming: Int = 3,
+                maxBucket: Option[Int] = None): DataFrame = {
     // Signature via explode + hash-aggregate: one md5 per distinct
     // token, then 60 codegen'd conditional sums per doc (array
     // higher-order filters are interpreted — measured slower). The only
@@ -206,10 +244,11 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
 
     // 4 chunks of 15 bits → candidate buckets
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    val chunks0 = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val chunks = capBuckets(chunks0, Seq("chunk", "ckey"), maxBucket)
 
     val l = chunks.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val rgt = chunks.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
@@ -286,10 +325,16 @@ object Dedup {
       // The changed flag rides inside the checkpointed frame, so the
       // convergence probe is a scan of cached blocks — no per-round
       // compare-join against the previous generation.
+      // Materialize the neighbor-min result ONCE before the compression
+      // self-join: `stepped` is referenced twice below (as both sides of
+      // the pointer lookup), and without a checkpoint each reference
+      // re-executes the edges⋈labels join + grouped min — doubling the
+      // per-round shuffle cost for zero benefit.
       val stepped = labels.as("l")
         .join(nbrMin, col("l.node") === nbrMin("src"), "left")
         .select(col("l.node").as("node"),
           least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+        .localCheckpoint(eager = true)
       val next = stepped.as("a")
         .join(stepped.select(col("node").as("p_node"), col("label").as("p_label")).as("p"),
           col("a.label") === col("p_node"), "left")
@@ -307,6 +352,7 @@ object Dedup {
       // persists at the RDD layer, so Dataset.unpersist (CacheManager)
       // would be a no-op; free the underlying checkpointed RDD instead.
       unpersistCheckpointed(labels)
+      unpersistCheckpointed(stepped)
       labels = next.select(col("node"), col("label"))
       it += 1
     }

@@ -57,39 +57,83 @@ object Similarity {
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries, candidates =
     * whole corpus minus self. Baseline and ground truth for the ANN
-    * variants. */
+    * variants.
+    *
+    * Scale shape: the corpus side is NEVER shuffled. Phase 1 scores
+    * corpus × broadcast-queries with the codegen'd float kernel and keeps
+    * a per-partition bounded heap of the top `margin` candidates per query
+    * (map-only; output ≤ partitions × nQueries × margin rows — independent
+    * of corpus size). Phase 2 ranks that tiny union down to the global
+    * float top-margin, and phase 3 re-fetches just those candidates'
+    * vectors via a broadcast semi-join against the scan to rescore with
+    * the exact-decimal cosine the oracle mirrors. Float error is ~1e-7
+    * while similarity gaps at the margin boundary are orders larger, so
+    * the exact top-k is inside the float top-margin (margin = 10× k);
+    * and every member of the global float top-margin is inside its own
+    * partition's local top-margin, so the heap prune is lossless. */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      nQueries: Int = 10, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Native.float_cosine
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    // norms once per side (exactSelfSum is an interpreted fold — doing it
-    // per pair would triple the dominant cost); the final cosine keeps the
-    // exact dot/sqrt(nq*nc) expression shape the oracle mirrors.
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         exactSelfSum(col("embedding")).as("nq"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      exactSelfSum(col("embedding")).as("nc"))
 
-    // two-phase rank: the codegen'd float kernel prunes to a generous
-    // candidate margin per query, then only those are rescored with the
-    // exact-decimal cosine the oracle mirrors. Float error is ~1e-7 while
-    // similarity gaps at the margin boundary are orders larger, so the
-    // exact top-k is inside the float top-margin; the margin is 10× k to
-    // keep that comfortably true (cross-checked against the single-phase
-    // form in SimilaritySpec/ProbePerf when touched).
     val margin = math.max(10 * k, 100)
-    val candidates = c.crossJoin(broadcast(q))
+
+    // phase 1: map-only float scoring + per-partition top-margin heaps.
+    // A qid-partitioned ranking window here would shuffle the whole corpus
+    // into nQueries reducer partitions — the single-reducer-per-query
+    // pattern this repo bans. The heap keeps ≤ nQueries×margin tuples of
+    // three primitives per task: bounded memory at any corpus size.
+    val scored = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q.select(col("qid"), col("qv"))))
       .where(col("cid") =!= col("qid"))
-      .withColumn("approx_sim", float_cosine(col("qv"), col("cv")))
+      .select(col("qid"), col("cid"),
+        float_cosine(col("qv"), col("cv")).as("approx_sim"))
+    // greatest under this ordering = the WORST kept candidate (lowest sim,
+    // then highest cid) — i.e. the heap head is the eviction candidate,
+    // matching orderBy(approx_sim.desc, cid) semantics exactly.
+    val worstAtHead: Ordering[(Double, Long)] =
+      Ordering.Tuple2(implicitly[Ordering[Double]].reverse, implicitly[Ordering[Long]])
+    val localTop = scored.toDF("_1", "_2", "_3").as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (qid, cid, sim) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty(worstAtHead))
+          if (h.size < margin) h.enqueue((sim, cid))
+          else if (worstAtHead.compare((sim, cid), h.head) < 0) {
+            h.dequeue(); h.enqueue((sim, cid))
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (sim, cid) => (qid, cid, sim) }
+        }
+      }
+      .toDF("qid", "cid", "approx_sim")
+
+    // phase 2: global float top-margin over the pruned union — the window
+    // input is partitions×nQueries×margin rows, never corpus-sized.
+    val pruned = localTop
       .withColumn("rk0", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("approx_sim").desc, col("cid"))))
       .where(col("rk0") <= margin)
+      .select(col("qid"), col("cid"))
 
-    candidates
+    // phase 3: exact-decimal rescore of just the surviving candidates.
+    // The candidate list is broadcast back against the scan (map-only), so
+    // the expensive interpreted fold (exactZipSum/exactSelfSum) runs on
+    // nQueries×margin rows — not the corpus, as the old plan did.
+    e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .join(broadcast(pruned), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("cid"),
-        (exactZipSum(col("qv"), col("cv")) / sqrt(col("nq") * col("nc"))).as("similarity"))
+        (exactZipSum(col("qv"), col("cv"))
+          / sqrt(col("nq") * exactSelfSum(col("cv")))).as("similarity"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("similarity").desc, col("cid"))))
       .where(col("rk") <= k)

@@ -40,6 +40,30 @@ class CurationSpec extends AnyFunSuite {
     assert(s1.map(_.toString).sorted.toSeq === s2.map(_.toString).sorted.toSeq)
   }
 
+  test("stratifiedSample: salted two-phase equals single-window form; no stratum-sized window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    // reference single-window form (the readable-but-stratum-sized plan)
+    val single = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        Dedup.md5Long(concat(lit("rs_"), col("doc_id"))).as("priority"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("priority"), col("doc_id"))))
+      .where(col("rk") <= 5)
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Curation.stratifiedSample(spark, dir)
+    assert(salted.collect().map(_.toString).sorted.toSeq === single,
+      "salted two-phase sample must be lossless vs the single-window form")
+    // plan shape: the window reading the raw scan partitions by
+    // (lang, salt) — no window partition ever holds a whole stratum. The
+    // lang-only window exists but runs over the phase-1 output
+    // (<= salts × perStratum rows per lang).
+    val plan = salted.queryExecution.optimizedPlan.toString
+    val firstWindow = plan.split("\n").reverse.find(_.contains("windowspecdefinition"))
+    assert(firstWindow.exists(l => l.contains("salt")),
+      "scan-side window must be salted:\n" + plan.take(1500))
+  }
+
   test("qualityGate: keep is exactly the conjunction of the negated flags") {
     Curation.qualityGate(spark, dir).collect().foreach { r =>
       val expected = !r.getAs[Boolean]("too_short") &&

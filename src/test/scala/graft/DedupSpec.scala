@@ -83,6 +83,32 @@ class DedupSpec extends AnyFunSuite {
     assert(near.where(col("jaccard") < 0.5 || col("jaccard") >= 1.0).count() === 0)
   }
 
+  test("maxBucket cap drops a planted boilerplate flood, keeps organic dups") {
+    // 40 copies of one template would emit 40*39/2 = 780 pairs per shared
+    // bucket — the quadratic-blowup case the cap exists for. Organic dup
+    // pairs live in buckets of size 2 and must survive the cap.
+    val flood = (0 until 40).map(i =>
+      (1000L + i, "identical boilerplate template footer text repeated across every scraped page verbatim"))
+    val organic = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    val docs = (flood ++ organic).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minHashLshOn(docs)
+    val floodPairs = uncapped.where(col("doc_a") >= 1000L).count()
+    assert(floodPairs === 40L * 39 / 2, "uncapped flood must be quadratic")
+
+    val capped = Dedup.minHashLshOn(docs, maxBucket = Some(10)).cache()
+    assert(capped.where(col("doc_a") >= 1000L).count() === 0,
+      "capped flood buckets must emit no pairs")
+    assert(capped.where(col("doc_a") === 1L && col("doc_b") === 2L).count() === 1,
+      "organic pair must survive the cap")
+
+    val simCapped = Dedup.simHashOn(docs, maxBucket = Some(10)).cache()
+    assert(simCapped.where(col("doc_a") >= 1000L).count() === 0)
+    assert(simCapped.where(col("doc_a") === 1L && col("doc_b") === 2L).count() === 1)
+  }
+
   test("componentsOf: chains, triangles and singletons resolve to min ids") {
     // graph: chain 1-2-3-4 (diameter 3), triangle 10-11-12, edge 20-21,
     // singleton 30; min-label must cross the full chain

@@ -72,6 +72,39 @@ class TextAndSimilaritySpec extends AnyFunSuite {
     assert(viol === 0)
   }
 
+  test("bruteForceTopK: heap prune is lossless vs single-window exact form; corpus never windows") {
+    import org.apache.spark.sql.expressions.Window
+    // ground truth: exact-decimal cosine over ALL pairs, one ranking
+    // window (fine at spec scale; the operator exists to avoid this plan)
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val truth = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (Similarity.exactZipSum(col("qv"), col("cv"))
+          / sqrt(Similarity.exactSelfSum(col("qv")) * Similarity.exactSelfSum(col("cv")))).as("similarity"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("similarity").desc, col("cid"))))
+      .where(col("rk") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3))
+    val got = Similarity.bruteForceTopK(spark, TestSpark.sf, nQueries = 5, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3))
+    assert(got.toSeq === truth.toSeq)
+    // plan shape: the corpus-side pruning runs in the mapPartitions heap
+    // stage; every ranking window in the plan is downstream of it
+    val plan = Similarity.bruteForceTopK(spark, TestSpark.sf, nQueries = 5, k = 7)
+      .queryExecution.optimizedPlan.toString
+    val lines = plan.split("\n")
+    val lastWindow = lines.lastIndexWhere(_.contains("windowspecdefinition"))
+    val mapPart = lines.indexWhere(_.contains("MapPartitions"))
+    assert(mapPart >= 0, "heap prune stage missing:\n" + plan.take(1500))
+    assert(lastWindow >= 0 && lastWindow < mapPart,
+      "a ranking window must never sit below the heap prune (corpus-sized partitions):\n" +
+        lines.slice(math.min(lastWindow, mapPart), lines.length).mkString("\n").take(1500))
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
       .toDF("a", "b")
