@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.gold.Analytics
 import graft.silver.{Ingest, Merge}
-import graft.sources.Formats
+import graft.sources.{Formats, Versioned}
 
 /** End-to-end medallion orchestration — the reference's three DAGs as one
   * callable pipeline (SURVEY §3): bronze CSV batches → incremental
@@ -32,16 +32,22 @@ object Medallion {
 
   /** Silver: read all bronze batches (CSV glob + inferSchema), keep rows
     * newer than the silver watermark, dedup the staging batch, and MERGE
-    * into the silver table (parquet path acting as the table). Returns the
-    * merged row count (`dags/2_bronze_to_silver.py:177-298` shape). */
-  def bronzeToSilver(spark: SparkSession, bronzeBase: String, silverPath: String): Long = {
+    * into the silver table. Returns the merged row count
+    * (`dags/2_bronze_to_silver.py:177-298` shape).
+    *
+    * The MERGE result is committed through [[Versioned]] — immutable
+    * snapshot dir + atomic pointer flip — the object-store-safe stand-in
+    * for the reference's Iceberg snapshot commit: the snapshot being read
+    * (watermark scan + merge input) is never touched by the write, and a
+    * crash mid-commit leaves the old pointer intact. */
+  def bronzeToSilver(spark: SparkSession, bronzeBase: String, silverRoot: String): Long = {
     val bronze = Formats.readCsvGlob(spark, bronzeBase, "events")
 
-    val silverExists = new java.io.File(silverPath).exists()
+    val silverExists = Versioned.exists(silverRoot)
     val incremental =
       if (!silverExists) bronze
       else {
-        val wm = spark.read.parquet(silverPath)
+        val wm = Versioned.read(spark, silverRoot)
           .agg(max(col("ingestion_timestamp"))).first().get(0)
         if (wm == null) bronze else Ingest.newerThanWatermark(bronze, "ingestion_timestamp", wm)
       }
@@ -50,29 +56,17 @@ object Medallion {
 
     val merged =
       if (!silverExists) staging
-      else Merge.upsert(spark.read.parquet(silverPath), staging, Seq("event_id"))
+      else Merge.upsert(Versioned.read(spark, silverRoot), staging, Seq("event_id"))
 
-    // write-then-swap: parquet overwrite of the path we're reading from
-    // would clobber inputs mid-scan; materialize to a temp dir first.
-    val tmp = silverPath + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val out = new java.io.File(silverPath)
-    if (out.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      rm(out)
-    }
-    new java.io.File(tmp).renameTo(out)
-    spark.read.parquet(silverPath).count()
+    Versioned.commit(merged, silverRoot)
+    Versioned.read(spark, silverRoot).count()
   }
 
   /** Gold: full-refresh analytics over a silver events table, fanned out
     * per format with partitioned writes
     * (`dags/3_silver_to_gold.py:162-195` shape). */
-  def silverToGold(spark: SparkSession, silverPath: String, goldBase: String): Map[String, String] = {
-    val events = spark.read.parquet(silverPath)
+  def silverToGold(spark: SparkSession, silverRoot: String, goldBase: String): Map[String, String] = {
+    val events = Versioned.read(spark, silverRoot)
     events.createOrReplaceTempView("silver_events")   // S12 temp-view staging
     val monthly = spark.sql(
       """SELECT year(ts) AS ano, month(ts) AS mes, user_id,

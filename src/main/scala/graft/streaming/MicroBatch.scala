@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.silver.Merge
+import graft.sources.Versioned
 
 /** Structured Streaming expression of the reference's scheduled micro-batch
   * pipeline (SURVEY §2.9): the reference approximates a stream with cron +
@@ -31,10 +32,14 @@ object MicroBatch {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("volume"),
         max(col("value")).as("max_value"))
 
-  /** Silver streaming upsert: each micro-batch MERGEs into the parquet
-    * target via the same J6 rewrite batch uses — upsert semantics without
-    * Iceberg, exactly-once per batch via idempotent key merge. */
-  def upsertSink(stream: DataFrame, targetPath: String, keys: Seq[String],
+  /** Silver streaming upsert: each micro-batch MERGEs into the versioned
+    * parquet target via the same J6 rewrite batch uses — upsert semantics
+    * without Iceberg, exactly-once per batch via idempotent key merge, and
+    * each batch's result lands as an immutable [[graft.sources.Versioned]]
+    * snapshot behind an atomic pointer flip (object-store-safe; the
+    * snapshot being merged from is never mutated). Read the target with
+    * `Versioned.read(spark, targetRoot)`. */
+  def upsertSink(stream: DataFrame, targetRoot: String, keys: Seq[String],
                  checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
@@ -42,15 +47,10 @@ object MicroBatch {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val exists = new java.io.File(targetPath).exists()
         val merged =
-          if (!exists) batch.toDF()
-          else Merge.upsert(spark.read.parquet(targetPath), batch.toDF(), keys)
-        val tmp = targetPath + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val out = new java.io.File(targetPath)
-        if (exists) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }; rm(out) }
-        new java.io.File(tmp).renameTo(out)
+          if (!Versioned.exists(targetRoot)) batch.toDF()
+          else Merge.upsert(Versioned.read(spark, targetRoot), batch.toDF(), keys)
+        Versioned.commit(merged, targetRoot)
         ()
       }
       .start()

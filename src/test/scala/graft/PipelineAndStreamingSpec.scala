@@ -163,7 +163,7 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
     val q2 = MicroBatch.upsertSink(mem.toDF().toDF("k", "v"), target, Seq("k"), ckpt)
     q2.awaitTermination()
 
-    val got = spark.read.parquet(target).collect()
+    val got = graft.sources.Versioned.read(spark, target).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }

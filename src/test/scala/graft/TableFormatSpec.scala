@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Evolution, Formats, Versioned}
+
+/** Table-format semantics the reference gets from Iceberg, re-expressed
+  * without it: versioned snapshot commits with an atomic pointer flip
+  * (+ time travel over retained snapshots) and schema evolution over
+  * catalog tables. */
+class TableFormatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("versioned commit: snapshot isolation, pointer flip, time travel, GC") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("versioned").toString + "/t"
+
+    assert(!Versioned.exists(root))
+    intercept[IllegalStateException](Versioned.read(spark, root))
+
+    val v1 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, retain = 2)
+    assert(v1 === 1L && Versioned.currentVersion(root) === Some(1L))
+    assert(Versioned.read(spark, root).count() === 2)
+
+    // a reader pinned to v=1 survives the v=2 commit untouched
+    val pinned = Versioned.currentPath(root).get
+    val v2 = Versioned.commit(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"), root, retain = 2)
+    assert(v2 === 2L)
+    assert(spark.read.parquet(pinned).count() === 2, "v=1 snapshot must remain intact")
+    assert(Versioned.read(spark, root).count() === 3)
+
+    // time travel across retained snapshots
+    assert(Versioned.readVersion(spark, root, 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === Map(1L -> "a", 2L -> "b"))
+    assert(Versioned.versions(root) === Seq(1L, 2L))
+
+    // retain=2: committing v=3 GCs v=1 but keeps v=2
+    Versioned.commit(Seq((9L, "z")).toDF("k", "v"), root, retain = 2)
+    assert(Versioned.versions(root) === Seq(2L, 3L))
+    intercept[IllegalArgumentException](Versioned.readVersion(spark, root, 1L))
+
+    // crash safety: an orphan data dir with no pointer flip is invisible
+    val orphan = s"$root/v=99"
+    Seq((0L, "junk")).toDF("k", "v").write.parquet(orphan)
+    assert(Versioned.currentVersion(root) === Some(3L))
+    assert(Versioned.read(spark, root).collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  test("schema evolution: ADD COLUMN is metadata-only, old rows read NULL") {
+    val df = Tables.region(spark, sf)
+    val Seq(name, _) = Formats.fanoutTables(spark, df, "graft_test", "evo_region")
+    Evolution.addColumn(spark, name, "ingest_note", "STRING")
+
+    val evolved = spark.table(name)
+    assert(evolved.columns.contains("ingest_note"))
+    // pre-evolution files lack the column -> NULLs, row count unchanged
+    assert(evolved.count() === df.count())
+    assert(evolved.where(col("ingest_note").isNull).count() === df.count())
+
+    // new writes carry the column; both generations coexist in one table
+    evolved.limit(1).withColumn("ingest_note", lit("backfill"))
+      .write.mode("append").format("parquet").saveAsTable(name)
+    assert(spark.table(name).where(col("ingest_note") === "backfill").count() === 1)
+  }
+
+  test("schema evolution: RENAME COLUMN preserves data through the CTAS swap") {
+    val df = Tables.nation(spark, sf)
+    val Seq(name, _) = Formats.fanoutTables(spark, df, "graft_test", "evo_nation")
+    val before = spark.table(name).select(col("n_name")).collect().map(_.getString(0)).sorted
+
+    Evolution.renameColumn(spark, name, "n_name", "nation_name")
+
+    val t = spark.table(name)
+    assert(t.columns.contains("nation_name") && !t.columns.contains("n_name"))
+    val after = t.select(col("nation_name")).collect().map(_.getString(0)).sorted
+    assert(after.toSeq === before.toSeq, "rename must not lose or alter rows")
+    // the staging table must not survive the swap
+    assert(!spark.catalog.tableExists("graft_test.evo_nation_parquet__rename_tmp"))
+  }
+}
