@@ -368,6 +368,95 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("component"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the adversarial-depth fallback to
+    * [[componentsOf]]'s min-label propagation: converges in O(log².n)
+    * rounds (O(log n) in practice) REGARDLESS of graph diameter, where
+    * label propagation's pointer-doubling needs O(log diameter) rounds
+    * over the full edge set each time.
+    *
+    * Per round, two passes, each one groupBy-shuffle over the current
+    * edge set plus a join back — the same shuffle structure as a
+    * propagation round, but the edge set itself contracts toward stars:
+    * - large-star: every node u links its LARGER neighbors to
+    *   m(u) = min(N(u) ∪ u) — long tails fold onto local minima;
+    * - small-star: every node u links its smaller-or-equal neighbors and
+    *   itself to m(u) — stars flatten so the next large-star sees them.
+    * Terminates when a round leaves the edge set unchanged (checked with
+    * one checksum aggregate per round, not a full diff); at fixpoint the
+    * edges are exactly (member → component-min) pointers.
+    *
+    * Same contract as [[componentsOf]]: returns (doc_id, component = min
+    * reachable id) over `nodes`, singletons labeling themselves. */
+  def starComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // self-loops contribute nothing; normalize to src != dst
+    var edges = pairs.toDF("src", "dst").where(col("src") =!= col("dst"))
+      .localCheckpoint(eager = true)
+
+    def minOver(e: DataFrame): DataFrame =
+      e.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+
+    // large-star: for each u over the SYMMETRIZED neighborhood, attach
+    // strictly-larger neighbors to m(u). Keeping only v > u edges makes
+    // every emitted edge point downward, so the edge set cannot grow.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      sym.join(minOver(sym), "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: orient edges downward (u > v), attach each u's
+    // smaller-or-equal neighborhood and u itself to its minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+      val withMin = oriented.join(minOver(oriented), "src")
+      withMin.select(col("dst").as("src"), col("m").as("dst"))
+        .union(withMin.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // order/multiplicity-insensitive fingerprint of the edge set: count +
+    // sum of a per-edge hash over the distinct set. One tiny aggregate
+    // per round — no edge-set diff join.
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      // sum as decimal(38,0): ANSI long-sum would overflow on ~2^32 hashes
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("h")).first()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    var fp = checksum(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nextEdges = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val nfp = checksum(nextEdges)
+      converged = nfp == fp
+      fp = nfp
+      unpersistCheckpointed(edges)
+      edges = nextEdges
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starComponents did not converge within $maxIter rounds")
+
+    // fixpoint edges are (member -> min) star pointers
+    nodes.toDF("doc_id")
+      .join(edges.select(col("src").as("doc_id"), col("dst").as("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
   object oracle {
     val exactDedup: String =
       s"""SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,

@@ -144,6 +144,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("starComponents: differential vs label propagation + union-find, incl. a deep chain") {
+    // adversarial depth: a 300-node chain (diameter 299) — the case the
+    // star-contraction fallback exists for. Shuffled ids so min != head.
+    val chainIds = new scala.util.Random(7L).shuffle((0 until 300).map(_.toLong + 1000).toVector)
+    val chainPairs = chainIds.sliding(2).map(s => (s(0), s(1))).toSeq
+    val chainGot = Dedup.starComponents(
+      chainIds.toDF("doc_id"), chainPairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val chainMin = chainIds.min
+    assert(chainGot.values.toSet === Set(chainMin),
+      "every chain node must resolve to the global min")
+
+    // random graphs: star contraction must agree with union-find exactly
+    val rnd = new scala.util.Random(424242L)
+    for (_ <- 1 to 3) {
+      val n = 40 + rnd.nextInt(40)
+      val nodeIds = (0 until n).map(_.toLong)
+      val pairSeq = Seq.fill(rnd.nextInt(n))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map(nodeIds.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodeIds.map(i => i -> find(i)).toMap
+      val got = Dedup.starComponents(
+        nodeIds.toDF("doc_id"), pairSeq.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected, s"n=$n m=${pairSeq.size}")
+    }
+  }
+
   test("dedupComponents: transitive closure of the planted LSH pairs") {
     val pairs = Dedup.minHashLsh(spark, plantedDir)
       .select(col("doc_a"), col("doc_b"))
