@@ -97,6 +97,9 @@ object SparkEntry {
     "stratified_sample"   -> ((s, d) => Curation.stratifiedSample(s, d)),
     "quality_gate"        -> ((s, d) => Curation.qualityGate(s, d)),
     "zorder_keys"         -> ((s, d) => Curation.zorderKeys(s, d)),
+    "decontaminate"       -> ((s, d) => Curation.decontaminate(s, d)),
+    "pack_sequences"      -> ((s, d) => Curation.packSequences(s, d)),
+    "pii_scrub"           -> ((s, d) => Text.piiScrub(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -194,6 +197,9 @@ object SparkEntry {
     "stratified_sample"   -> Curation.oracle.stratifiedSample,
     "quality_gate"        -> Curation.oracle.qualityGate,
     "zorder_keys"         -> Curation.oracle.zorderKeys,
+    "decontaminate"       -> Curation.oracle.decontaminate,
+    "pack_sequences"      -> Curation.oracle.packSequences,
+    "pii_scrub"           -> Text.oracle.piiScrub,
     "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
     "emb_quantize_stats"  -> Similarity.oracle.quantizeStats,
     "emb_pq_codes"        -> Similarity.oracle.pqCodeStats,

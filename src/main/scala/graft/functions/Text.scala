@@ -133,6 +133,35 @@ object Text {
           .when(col("bucket") < 95, "validation")
           .otherwise("test"))
 
+  /** PII patterns, written WITHOUT backslash escapes (`[.]` over `\.`)
+    * so the same literal means the same thing in Java regex (Spark) and
+    * RE2 (DuckDB) and survives SQL string quoting untouched. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  val PhoneRe = "[+][0-9]{7,15}"
+  val LongNumRe = "[0-9]{9,}"
+
+  /** PII scrubbing — the redaction pass a corpus pipeline runs before
+    * training: emails, international phone numbers, and long digit runs
+    * (ids/accounts) are replaced with typed placeholder tokens, and each
+    * class is counted so the drop/flag policy is auditable. Replacement
+    * order matters and is fixed (emails first — an email contains digit
+    * runs; then phones — a phone is itself a digit run; then bare runs).
+    * Map-only, fully codegen'd regex built-ins: at 100 TB this pass costs
+    * one scan, no shuffle. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).as("n_long_nums"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          LongNumRe, "<NUM>").as("text_scrubbed"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_long_nums") > 0)
+
   /** Token-level repetition statistics per document — the Gopher-style
     * intra-document quality signals: the mass fraction of the single most
     * frequent bigram, and the fraction of trigram occurrences that are
@@ -296,6 +325,20 @@ object Text {
          |FROM documents d
          |LEFT JOIN bi ON bi.doc_id = d.doc_id
          |LEFT JOIN tri ON tri.doc_id = d.doc_id""".stripMargin
+
+    val piiScrub: String =
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS INT) AS n_long_nums,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g'),
+         |    '$LongNumRe', '<NUM>', 'g') AS text_scrubbed,
+         |  len(regexp_extract_all(text, '$EmailRe'))
+         |    + len(regexp_extract_all(text, '$PhoneRe'))
+         |    + len(regexp_extract_all(text, '$LongNumRe')) > 0 AS has_pii
+         |FROM documents""".stripMargin
 
     val tfidfTop3: String =
       s"""WITH tf AS (

@@ -107,6 +107,87 @@ object Curation {
       .withColumn("keep",
         !col("too_short") && !col("low_diversity") && !col("high_punct"))
 
+  /** n-gram order for decontamination overlap (13 is the common
+    * benchmark-decontam choice; 5 here so the synthetic 60-token docs
+    * produce meaningful overlap surface). */
+  val DecontamN = 5
+
+  /** Benchmark decontamination — the train/eval overlap check every
+    * training corpus needs: any training document sharing an n-gram with
+    * the held-out eval set is flagged (the GPT-3/PaLM-style n-gram
+    * collision rule). The eval set here is the deterministic slice
+    * doc_id % 50 == 0 standing in for an external benchmark table; the
+    * operator takes any (doc_id, text) eval frame in production.
+    *
+    * Scale shape: train-side n-grams are generated map-only (codegen'd
+    * posexplode + window leads, partitioned per doc); the eval n-gram set
+    * is DISTINCT and benchmark-sized (eval sets are thousands of docs,
+    * not corpora) → broadcast, so the collision probe is a map-only
+    * broadcast semi-join against the train scan — the corpus never
+    * shuffles on gram. The per-doc rollup then shuffles once on doc_id,
+    * sized by the train corpus' gram counts. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = DecontamN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def gramsOf(d: DataFrame): DataFrame = {
+      val base = d.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+      val withLeads = (1 until n).foldLeft(base) { (acc, i) =>
+        acc.withColumn(s"t$i", lead(col("tok"), i).over(w))
+      }
+      val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+      withLeads.where(col(s"t${n - 1}").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
+    }
+    val evalGrams = gramsOf(docs.where(col("doc_id") % 50 === 0))
+      .select(col("g")).distinct()
+    val trainGrams = gramsOf(docs.where(col("doc_id") % 50 =!= 0))
+      .distinct()
+    trainGrams
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        col("n_contaminated").cast(DoubleType) / col("n_grams"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Tokens per packed training sequence. */
+  val PackSeqLen = 512
+
+  /** Sequence packing — the batching step that turns a cleaned corpus
+    * into fixed-length training sequences: documents are concatenated in
+    * a deterministic order and cut every `seqLen` tokens (GPT-style
+    * packing with document spillover), emitting for each document the
+    * sequence index and token offset where it starts.
+    *
+    * Scale shape: packing is inherently a prefix sum, which does NOT
+    * distribute as one global window. The corpus is therefore sharded by
+    * an md5-derived key (balanced regardless of id distribution) and
+    * packed independently per shard — exactly how production packers run
+    * (each worker packs its own shard into its own sequence namespace).
+    * Per-shard windows hold 1/`shards` of the corpus; `shards` scales
+    * with corpus size (tokens / target-tokens-per-shard), so no reducer
+    * ever sees more than a bounded token mass. Output sequence ids are
+    * (shard, seq_in_shard) pairs — globally unique without coordination. */
+  def packSequences(spark: SparkSession, dir: String,
+                    seqLen: Int = PackSeqLen, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(Dedup.md5Long(concat(lit("shard_"), col("doc_id"))), lit(shards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("cum_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / seqLen).as("seq_in_shard"),
+        (col("start_tok") % seqLen).as("seq_offset"))
+  }
+
   /** Bits per dimension of the Z-order key (16 ⇒ a 32-bit interleaved
     * key over two dimensions). */
   val ZBits = 16
@@ -156,6 +237,45 @@ object Curation {
          |  FROM documents)
          |WHERE rk <= 5""".stripMargin
     }
+
+    val decontaminate: String = {
+      val n = DecontamN
+      val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+         |    i -> $gram)) AS g
+         |  FROM t WHERE len(toks) >= $n),
+         |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |tg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 != 0),
+         |j AS (SELECT tg.doc_id, CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM tg LEFT JOIN eg ON tg.g = eg.g),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(hit) AS BIGINT) AS n_contaminated
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, n_grams, n_contaminated,
+         |  CAST(n_contaminated AS DOUBLE) / n_grams AS contamination_ratio,
+         |  n_contaminated > 0 AS contaminated
+         |FROM agg""".stripMargin
+    }
+
+    val packSequences: String =
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${Dedup.md5LongSql("'shard_' || doc_id")} % 8 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - n_tokens AS start_tok
+         |  FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(FLOOR(start_tok / $PackSeqLen) AS BIGINT) AS seq_in_shard,
+         |  start_tok % $PackSeqLen AS seq_offset
+         |FROM c""".stripMargin
 
     val qualityGate: String =
       s"""WITH s AS (

@@ -72,6 +72,56 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: per-doc gram accounting is complete and ratios bounded") {
+    val rows = Curation.decontaminate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 !== 0, "eval docs must not be scored")
+      val (ng, nc) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated"))
+      assert(ng > 0 && nc >= 0 && nc <= ng)
+      assert(r.getAs[Boolean]("contaminated") === (nc > 0))
+      val ratio = r.getAs[Double]("contamination_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("decontaminate flags a planted eval-overlapping document") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // doc 50 is "eval" (50 % 50 == 0); doc 1 copies a 5-gram from it
+    val docs = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "completely unrelated words then alpha beta gamma delta epsilon closing words"),
+      (2L, "nothing shared with the held out benchmark here at all today")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d = Files.createTempDirectory("decontam").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Curation.decontaminate(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(out(1L) === true, "doc 1 shares 'alpha beta gamma delta epsilon'")
+    assert(out(2L) === false)
+  }
+
+  test("packSequences: offsets consistent with a per-shard driver-side repack") {
+    val rows = Curation.packSequences(spark, dir).collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.length === nDocs, "every document must be packed")
+    // replay the packing per shard in doc_id order; offsets must agree
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_in_shard") === cum / Curation.PackSeqLen)
+        assert(r.getAs[Long]("seq_offset") === cum % Curation.PackSeqLen)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // offsets always inside a sequence
+    rows.foreach(r => assert(r.getAs[Long]("seq_offset") >= 0
+      && r.getAs[Long]("seq_offset") < Curation.PackSeqLen))
+  }
+
   test("zorderKeys: key matches a reference bit-interleave of (zx, zy)") {
     def interleave(x: Long, y: Long): Long =
       (0 until Curation.ZBits).map { i =>

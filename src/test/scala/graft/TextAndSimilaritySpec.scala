@@ -112,6 +112,31 @@ class TextAndSimilaritySpec extends AnyFunSuite {
     assert(math.abs(df.first().getDouble(0) - 1.0) < 1e-9)
   }
 
+  test("piiScrub redacts planted emails, phones and long digit runs") {
+    import java.nio.file.Files
+    val docs = Seq(
+      (1L, "contact me at alice.smith+work@example.co.uk for details"),
+      (2L, "call +4915123456789 or use account 123456789012 to pay"),
+      (3L, "no sensitive content in this one at all")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d = Files.createTempDirectory("pii").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = graft.functions.Text.piiScrub(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") === 1)
+    assert(out(1L).getAs[String]("text_scrubbed") ===
+      "contact me at <EMAIL> for details")
+    assert(out(2L).getAs[Int]("n_phones") === 1)
+    assert(out(2L).getAs[Int]("n_long_nums") >= 1)
+    val scrub2 = out(2L).getAs[String]("text_scrubbed")
+    assert(scrub2.contains("<PHONE>") && scrub2.contains("<NUM>"))
+    assert(!scrub2.exists(_.isDigit), s"all digit runs redacted: $scrub2")
+    assert(out(3L).getAs[Boolean]("has_pii") === false)
+    assert(out(3L).getAs[String]("text_scrubbed") === "no sensitive content in this one at all")
+  }
+
   test("multimodal: batched stub decode agrees with the expression path") {
     val viaExpr = Multimodal.featurize(spark, TestSpark.sf)
       .orderBy("doc_id").collect().map(_.toSeq)
