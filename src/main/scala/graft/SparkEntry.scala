@@ -100,6 +100,7 @@ object SparkEntry {
     "decontaminate"       -> ((s, d) => Curation.decontaminate(s, d)),
     "pack_sequences"      -> ((s, d) => Curation.packSequences(s, d)),
     "pii_scrub"           -> ((s, d) => Text.piiScrub(s, d)),
+    "lang_rebalance"      -> ((s, d) => Curation.langRebalance(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -200,6 +201,7 @@ object SparkEntry {
     "decontaminate"       -> Curation.oracle.decontaminate,
     "pack_sequences"      -> Curation.oracle.packSequences,
     "pii_scrub"           -> Text.oracle.piiScrub,
+    "lang_rebalance"      -> Curation.oracle.langRebalance,
     "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
     "emb_quantize_stats"  -> Similarity.oracle.quantizeStats,
     "emb_pq_codes"        -> Similarity.oracle.pqCodeStats,

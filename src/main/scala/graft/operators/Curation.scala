@@ -154,6 +154,45 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Default language mixture weights for [[langRebalance]]: copies per
+    * document — <1 downsamples, >1 upsamples (epoch repetition). */
+  val MixRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "zh" -> 1.0, "es" -> 1.5, "de" -> 2.25, "fr" -> 3.0)
+
+  /** Corpus mixing / language rebalancing — the data-mixture step that
+    * turns raw language proportions into target training proportions:
+    * each document receives `floor(rate)` guaranteed copies plus one
+    * more with probability `frac(rate)`, decided by an md5-derived
+    * uniform — deterministic Bernoulli, so reruns, engines, and
+    * partitionings all agree (same A-Res-style trick as
+    * [[stratifiedSample]]). rate=0.5 halves a language, rate=2.25 repeats
+    * every doc twice and every fourth doc a third time.
+    *
+    * Output is the per-language audit the mixing step must emit: source
+    * count, effective (post-mix) count, and the achieved rate. Map-only
+    * scoring (the rates table is a literal CASE — at production size a
+    * broadcast join) + one groupBy(lang) rollup. */
+  def langRebalance(spark: SparkSession, dir: String,
+                    rates: Seq[(String, Double)] = MixRates): DataFrame = {
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    // uniform in [0,1) from the top-60-bit md5 hash; binary fractions of
+    // a 2^60 numerator are exact in double, so both engines compute the
+    // identical u and make identical keep decisions.
+    val u = Dedup.md5Long(concat(lit("mix_"), col("doc_id"))).cast(DoubleType) /
+      lit((1L << 60).toDouble)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), rate.as("rate"),
+        (floor(rate) + when(u < rate - floor(rate), 1).otherwise(0)).as("n_copies"))
+      .groupBy(col("lang"))
+      .agg(max(col("rate")).as("rate"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("effective_docs"))
+      .withColumn("achieved_rate",
+        col("effective_docs").cast(DoubleType) / col("n_docs"))
+  }
+
   /** Tokens per packed training sequence. */
   val PackSeqLen = 512
 
@@ -258,6 +297,29 @@ object Curation {
          |  CAST(n_contaminated AS DOUBLE) / n_grams AS contamination_ratio,
          |  n_contaminated > 0 AS contaminated
          |FROM agg""".stripMargin
+    }
+
+    val langRebalance: String = {
+      // the mix rates all have exact binary fractional parts, so the
+      // frac-threshold compare is bit-identical across engines
+      val cases = MixRates.map { case (l, r) =>
+        s"WHEN '$l' THEN CAST($r AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    CASE lang $cases ELSE CAST(1.0 AS DOUBLE) END AS rate,
+         |    CAST(${Dedup.md5LongSql("'mix_' || doc_id")} AS DOUBLE)
+         |      / ${(1L << 60).toDouble} AS u
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, rate,
+         |    CAST(FLOOR(rate) AS BIGINT)
+         |      + CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END AS n_copies
+         |  FROM d)
+         |SELECT lang, MAX(rate) AS rate, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_copies) AS BIGINT) AS effective_docs,
+         |  CAST(CAST(SUM(n_copies) AS BIGINT) AS DOUBLE) / COUNT(*) AS achieved_rate
+         |FROM c GROUP BY 1""".stripMargin
     }
 
     val packSequences: String =

@@ -122,6 +122,23 @@ class CurationSpec extends AnyFunSuite {
       && r.getAs[Long]("seq_offset") < Curation.PackSeqLen))
   }
 
+  test("langRebalance: effective counts bounded by floor/ceil of rate, deterministic") {
+    val rows = Curation.langRebalance(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet === Set("en", "zh", "es", "de", "fr"))
+    rows.foreach { r =>
+      val (rate, n, eff) = (r.getAs[Double]("rate"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("effective_docs"))
+      // every doc contributes floor(rate) or floor(rate)+1 copies
+      assert(eff >= math.floor(rate).toLong * n && eff <= math.ceil(rate).toLong * n,
+        s"lang=${r.getAs[String]("lang")} rate=$rate n=$n eff=$eff")
+      val achieved = r.getAs[Double]("achieved_rate")
+      assert(math.abs(achieved - rate) < 0.5, "achieved rate tracks the target")
+    }
+    // whole-number rates are exact: zh at 1.0 must keep every doc once
+    val zh = rows.find(_.getAs[String]("lang") == "zh").get
+    assert(zh.getAs[Long]("effective_docs") === zh.getAs[Long]("n_docs"))
+  }
+
   test("zorderKeys: key matches a reference bit-interleave of (zx, zy)") {
     def interleave(x: Long, y: Long): Long =
       (0 until Curation.ZBits).map { i =>
