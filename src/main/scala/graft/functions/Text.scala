@@ -210,10 +210,19 @@ object Text {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    // document frequency as a window count over the (doc, tok) aggregates
-    // — re-grouping + join-back would recompute the tokenize/explode scan
+    // document frequency as a second aggregation over the (doc, tok)
+    // rows, broadcast back (the df table is vocabulary-sized). NOT a
+    // window partitioned by tok: a stopword's window partition holds
+    // every document containing it — corpus-sized on one reducer, and
+    // window partitions (unlike join partitions) cannot be split by AQE
+    // skew handling. Both branches share the (doc_id, tok) shuffle via
+    // ReusedExchange, so the tokenize/explode scan still runs once. For
+    // web-scale vocabularies that outgrow a broadcast, drop the hint:
+    // the same plan becomes a shuffle join whose skewed token keys AQE
+    // CAN split.
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfTab), Seq("tok"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))

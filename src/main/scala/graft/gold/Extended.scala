@@ -48,25 +48,39 @@ object Extended {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("n_events"), col("volume"))
 
-  /** Exact median per group, interpolation-free: rank the values, average
-    * the one or two middle elements over exact decimals. Bit-reproducible
-    * (builtin percentile/quantile interpolation trees differ per engine). */
+  /** Exact median per group, interpolation-free: average the one or two
+    * middle elements over exact decimals. Bit-reproducible (builtin
+    * percentile/quantile interpolation trees differ per engine).
+    *
+    * Computed over the VALUE HISTOGRAM, not the raw rows: lineitem is
+    * hash-aggregated to (flag, price, cnt) first, so the cumulative-count
+    * window runs over distinct prices per flag — value-domain-sized input
+    * (prices are a bounded money domain), where ranking the raw rows
+    * would put the whole table's rows for a flag on one reducer. The
+    * middle positions p1/p2 are located in the cumulative counts; a value
+    * spanning both contributes twice (weight), reproducing exactly the
+    * two-middle-elements average. */
   def exactMedian(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    // group size as an unbounded window over the same partition — shares
-    // the rank window's exchange; a grouped count + join-back would scan
-    // lineitem a second time
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wN = Window.partitionBy(col("l_returnflag"))
     Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wN))
-      .where(col("rn") === floor((col("n") + 1) / 2)
-        || col("rn") === floor((col("n") + 2) / 2))
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wN))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("p1", floor((col("n") + 1) / 2))
+      .withColumn("p2", floor((col("n") + 2) / 2))
+      .withColumn("wgt",
+        when(col("p1") > col("prev") && col("p1") <= col("cum"), 1).otherwise(0)
+          + when(col("p2") =!= col("p1")
+            && col("p2") > col("prev") && col("p2") <= col("cum"), 1).otherwise(0))
+      .where(col("wgt") > 0)
       .groupBy(col("l_returnflag"))
       .agg(
-        (sum(col("l_extendedprice").cast(Dsl.Money)).cast(DoubleType)
-          / count(lit(1))).as("median_price"),
+        (sum(col("l_extendedprice").cast(Dsl.Money) * col("wgt")).cast(DoubleType)
+          / sum(col("wgt"))).as("median_price"),
         max(col("n")).as("n"))
   }
 

@@ -93,15 +93,19 @@ object Tpch2 {
     * threshold is mean-relative (TPC-H's own `0.0001/SF` generalized) so
     * the selectivity survives any scale factor. */
   def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
-    // global mean over the aggregated per-part rows via an empty-partition
-    // window (bounded by part cardinality) — one scan; the scalar-agg +
-    // crossJoin form re-executes the grouped aggregation for the total
-    val wAll = Window.partitionBy()
-    Tables.lineitem(spark, dir)
+    // The global mean is a scalar tree-aggregate over the per-part rows,
+    // broadcast back as one row. An empty-partition window here would put
+    // EVERY per-part aggregate on a single reducer — billions of rows at
+    // 100 TB; the scalar form has no single-reducer stage, and the
+    // per-part aggregation below it is shared between both consumers via
+    // ReusedExchange (the branches are identical up to the shuffle), so
+    // lineitem is still scanned once.
+    val perPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(dsumDec(col("l_extendedprice")).as("val_dec"))
-      .withColumn("mean_val",
-        sum(col("val_dec")).over(wAll).cast(DoubleType) / count(lit(1)).over(wAll))
+    val mean = perPart.agg(
+      (sum(col("val_dec")).cast(DoubleType) / count(lit(1))).as("mean_val"))
+    perPart.crossJoin(broadcast(mean))
       .where(col("val_dec").cast(DoubleType) > lit(1.3) * col("mean_val"))
       .select(col("l_partkey"), col("val_dec").cast(DoubleType).as("part_value"))
   }
@@ -125,15 +129,17 @@ object Tpch2 {
     * max via a one-row broadcast (exact decimal revenue makes the equality
     * safe). */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    // the global max rides an empty-partition window over the aggregated
-    // per-supplier rows (bounded by supplier cardinality) — one lineitem
-    // scan instead of two
-    val revenue = Tables.lineitem(spark, dir)
+    // the global max is a scalar tree-aggregate broadcast back as one row
+    // (an empty-partition window would single-reduce all per-supplier
+    // rows); the per-supplier aggregation is shared by both branches via
+    // ReusedExchange, so lineitem is still scanned once
+    val perSupp = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType)
         && col("l_shipdate") < lit("1997-07-01").cast(TimestampType))
       .groupBy(col("l_suppkey"))
       .agg(dsum(rev).as("total_rev"))
-      .withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
+    val revenue = perSupp
+      .crossJoin(broadcast(perSupp.agg(max(col("total_rev")).as("max_rev"))))
       .where(col("total_rev") === col("max_rev"))
     Tables.supplier(spark, dir)
       .join(revenue, col("s_suppkey") === col("l_suppkey"))
