@@ -3,7 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Object-store-safe table commit protocol: versioned data directories plus
   * an atomically-flipped pointer file — the minimal form of the snapshot
@@ -54,17 +55,39 @@ object Versioned {
   def currentPath(root: String): Option[String] =
     currentVersion(root).map(v => s"$root/v=$v")
 
-  /** Read the live snapshot. */
+  /** Read the live snapshot (hidden partition column stripped). */
   def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(currentPath(root).getOrElse(
-      throw new IllegalStateException(s"no committed version under $root")))
+    stripHidden(spark.read.parquet(currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))))
 
   /** Time travel: read a specific retained snapshot. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val dir = s"$root/v=$version"
     require(Files.exists(Paths.get(dir)),
       s"version $version of $root does not exist (GC'd or never committed)")
-    spark.read.parquet(dir)
+    stripHidden(spark.read.parquet(dir))
+  }
+
+  private def stripHidden(df: DataFrame): DataFrame =
+    if (df.columns.contains(DayCol)) df.drop(DayCol) else df
+
+  /** Timestamp-range read over a hidden-day-partitioned snapshot: the
+    * per-day partition predicate is DERIVED from the timestamp bounds
+    * (this is what Iceberg does inside its scan planning), so the scan
+    * prunes whole day directories while the caller only ever speaks in
+    * terms of `tsCol`. The precise timestamp filter still applies on the
+    * surviving partitions. */
+  def readDayRange(spark: SparkSession, root: String, tsCol: String,
+                   fromTs: String, untilTs: String): DataFrame = {
+    val raw = spark.read.parquet(currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")))
+    require(raw.columns.contains(DayCol),
+      s"$root is not hidden-day-partitioned; use read()")
+    raw
+      .where(col(DayCol) >= to_date(lit(fromTs)) && col(DayCol) <= to_date(lit(untilTs)))
+      .where(col(tsCol) >= lit(fromTs).cast("timestamp")
+        && col(tsCol) < lit(untilTs).cast("timestamp"))
+      .drop(DayCol)
   }
 
   /** All retained snapshot ids, ascending — the snapshot log. */
@@ -83,13 +106,32 @@ object Versioned {
     }
   }
 
+  /** Synthetic partition column used by hidden day-partitioning. */
+  private val DayCol = "__day"
+
   /** Commit `df` as the next snapshot of `root` and flip the pointer.
     * Old snapshots beyond `retain` are GC'd AFTER the flip (a failed GC
-    * leaves garbage, never a broken table). Returns the new version id. */
-  def commit(df: DataFrame, root: String, retain: Int = 2): Long = {
+    * leaves garbage, never a broken table). Returns the new version id.
+    *
+    * `partitionDayOf`: hidden partitioning — the Iceberg transform
+    * `days(tsCol)` re-expressed: the snapshot is laid out in per-day
+    * directories derived from the named timestamp column, but the
+    * transform column is synthetic ([[DayCol]]) and stripped again by
+    * [[read]]/[[readVersion]], so the table's USER schema never changes.
+    * Readers filter on the timestamp through [[readDayRange]], which
+    * re-derives the partition predicate — the query never mentions the
+    * partition column, which is the hidden-partitioning contract. */
+  def commit(df: DataFrame, root: String, retain: Int = 2,
+             partitionDayOf: Option[String] = None): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
     val next = currentVersion(root).getOrElse(0L) + 1
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    partitionDayOf match {
+      case Some(ts) =>
+        df.withColumn(DayCol, to_date(col(ts)))
+          .write.mode("overwrite").partitionBy(DayCol).parquet(s"$root/v=$next")
+      case None =>
+        df.write.mode("overwrite").parquet(s"$root/v=$next")
+    }
 
     // single-key atomic pointer flip: temp file + ATOMIC_MOVE locally,
     // a plain PUT on an object store.
@@ -102,6 +144,41 @@ object Versioned {
       deleteRecursively(Paths.get(s"$root/v=$v"))
     }
     next
+  }
+
+  /** Snapshot diff (change-data-feed over retained snapshots): the rows
+    * that were inserted, updated, or deleted between two versions, keyed
+    * by `keys` — the capability Delta exposes as CDF / Iceberg as
+    * incremental reads, reconstructed from immutable snapshots. One
+    * full-outer join on the key columns; change detection compares the
+    * non-key columns. Scale: shuffles both snapshots once on the key —
+    * the same cost as the MERGE that produced the new snapshot. */
+  def diff(spark: SparkSession, root: String, fromV: Long, toV: Long,
+           keys: Seq[String]): DataFrame = {
+    val before = readVersion(spark, root, fromV)
+    val after = readVersion(spark, root, toV)
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "diff requires like-schema snapshots; evolve-then-diff needs column mapping")
+    val valueCols = after.columns.filterNot(keys.contains).toSeq
+    // explicit presence markers: detecting presence from value-column
+    // nullability would misclassify present-but-all-null rows
+    val b = before.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__in_b", lit(true))
+    val a = after.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__in_a", lit(true))
+    val sameRow: Column = valueCols
+      .map(c => col(s"__b_$c") <=> col(s"__a_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    b.join(a, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_b").isNull, "insert")
+          .when(col("__in_a").isNull, "delete")
+          .when(!sameRow, "update")
+          .otherwise("unchanged"))
+      .where(col("change_type") =!= "unchanged")
+      .select(keys.map(col) :+ col("change_type")
+        :+ struct(valueCols.map(c => col(s"__b_$c").as(c)): _*).as("before")
+        :+ struct(valueCols.map(c => col(s"__a_$c").as(c)): _*).as("after"): _*)
   }
 
   private def deleteRecursively(p: Path): Unit = {

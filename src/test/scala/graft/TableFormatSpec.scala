@@ -50,6 +50,52 @@ class TableFormatSpec extends AnyFunSuite {
     assert(Versioned.read(spark, root).collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("snapshot diff: insert/update/delete change feed between versions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vdiff").toString + "/t"
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root, retain = 3)
+    Versioned.commit(Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("k", "v"), root, retain = 3)
+
+    val changes = Versioned.diff(spark, root, 1L, 2L, Seq("k")).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("change_type"),
+          r.getAs[org.apache.spark.sql.Row]("before").getAs[String]("v"),
+          r.getAs[org.apache.spark.sql.Row]("after").getAs[String]("v")))).toMap
+    assert(changes.keySet === Set(1L, 2L, 4L), "unchanged key 3 must not appear")
+    assert(changes(1L) === (("delete", "a", null)))
+    assert(changes(2L) === (("update", "b", "B")))
+    assert(changes(4L) === (("insert", null, "d")))
+  }
+
+  test("hidden day partitioning: clean user schema, derived partition pruning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vhidden").toString + "/t"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), 5.0),
+      (2L, t("2024-01-02 11:00:00"), 6.0),
+      (3L, t("2024-01-02 23:30:00"), 7.0),
+      (4L, t("2024-01-03 08:00:00"), 8.0)
+    ).toDF("id", "ts", "value")
+    Versioned.commit(df, root, partitionDayOf = Some("ts"))
+
+    // user schema never shows the transform column
+    assert(Versioned.read(spark, root).columns.sorted.toSeq === Seq("id", "ts", "value"))
+    assert(Versioned.read(spark, root).count() === 4)
+
+    // day dirs exist on disk (the physical layout the transform buys)
+    val vdir = new java.io.File(Versioned.currentPath(root).get)
+    assert(vdir.listFiles.exists(_.getName.startsWith("__day=")))
+
+    // a ts-range read prunes partitions without the caller naming __day
+    val ranged = Versioned.readDayRange(spark, root, "ts",
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+    assert(ranged.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__day"),
+      "derived day predicate must reach PartitionFilters:\n" + plan.take(800))
+  }
+
   test("saveAsTable durability: data lives in the warehouse dir, readable without the catalog") {
     // The reference's Hive Metastore gives catalog durability across
     // sessions; the session catalog here is in-memory, but the DATA
