@@ -54,6 +54,30 @@ object ScaleBench {
     val pairs = graft.operators.Dedup.minHashLshOn(docs).count()
     val dedupSecs = (System.nanoTime() - d0) / 1e9
     println(f"[scale] docs=$nDocs dup_pairs=$pairs dedup_secs=$dedupSecs%.1f docs_per_sec=${(nDocs / dedupSecs).toLong}")
+
+    // curation path at corpus scale, over a persisted corpus dir (the ops
+    // take a dir): pack + scrub + rebalance are the map-heavy passes that
+    // dominate wall-clock in a real pipeline run.
+    val corpusDir = java.nio.file.Files.createTempDirectory("scale_docs").toString
+    docs.withColumn("lang",
+        element_at(array(lit("en"), lit("es"), lit("de"), lit("fr"), lit("zh")),
+          (pmod(xxhash64(col("doc_id")), lit(5)) + 1).cast("int")))
+      .withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    // noop sink, as in Bench: a count() would let Catalyst prune the
+    // actual projection work (regexes, packing arithmetic) out of the plan
+    import org.apache.spark.sql.DataFrame
+    for ((label, q) <- Seq[(String, () => DataFrame)](
+      ("pack_sequences", () => graft.operators.Curation.packSequences(spark, corpusDir, shards = 64)),
+      ("pii_scrub", () => graft.functions.Text.piiScrub(spark, corpusDir)),
+      ("lang_rebalance", () => graft.operators.Curation.langRebalance(spark, corpusDir)),
+      ("quality_gate", () => graft.operators.Curation.qualityGate(spark, corpusDir)))) {
+      val c0 = System.nanoTime()
+      q().write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - c0) / 1e9
+      println(f"[scale] $label secs=$secs%.1f docs_per_sec=${(nDocs / secs).toLong}")
+    }
     spark.stop()
   }
 }
