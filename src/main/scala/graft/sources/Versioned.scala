@@ -146,6 +146,29 @@ object Versioned {
     next
   }
 
+  /** Snapshot history — the metadata table Iceberg exposes as
+    * `table.snapshots`: one row per retained version with file count,
+    * byte size, commit time (newest file mtime), and whether it is the
+    * live pointer target. Driver-side directory metadata only (no data
+    * read) — snapshot counts are bounded by `retain`, never by data. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val live = currentVersion(root)
+    versions(root).map { v =>
+      val dir = Paths.get(s"$root/v=$v")
+      val files = {
+        val s = Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+        } finally s.close()
+      }
+      (v, files.size.toLong, files.map(Files.size(_)).sum,
+        new java.sql.Timestamp(files.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L)),
+        live.contains(v))
+    }.toDF("version", "n_files", "bytes", "committed_at", "is_current")
+  }
+
   /** Snapshot diff (change-data-feed over retained snapshots): the rows
     * that were inserted, updated, or deleted between two versions, keyed
     * by `keys` — the capability Delta exposes as CDF / Iceberg as

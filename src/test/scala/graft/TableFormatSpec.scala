@@ -50,6 +50,21 @@ class TableFormatSpec extends AnyFunSuite {
     assert(Versioned.read(spark, root).collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("snapshot history: one row per retained version, live flagged") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vhist").toString + "/t"
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), root, retain = 3)
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, retain = 3)
+    val h = Versioned.history(spark, root).collect()
+      .map(r => r.getAs[Long]("version") -> r).toMap
+    assert(h.keySet === Set(1L, 2L))
+    assert(h(2L).getAs[Boolean]("is_current") && !h(1L).getAs[Boolean]("is_current"))
+    h.values.foreach { r =>
+      assert(r.getAs[Long]("n_files") > 0 && r.getAs[Long]("bytes") > 0)
+      assert(r.getAs[java.sql.Timestamp]("committed_at").getTime > 0)
+    }
+  }
+
   test("snapshot diff: insert/update/delete change feed between versions") {
     import spark.implicits._
     val root = Files.createTempDirectory("vdiff").toString + "/t"
