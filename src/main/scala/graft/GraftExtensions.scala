@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.rollingHash)
     e.injectFunction(GraftExtensions.floatCosine)
+    // `spark.sql("MERGE INTO …")` for non-v2 tables (plans.MergeInto)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

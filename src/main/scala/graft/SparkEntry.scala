@@ -64,6 +64,8 @@ object SparkEntry {
     // silver ops (SURVEY §2.1/2.4: P3, J6, J7, A12)
     // custom Catalyst operator (LogicalPlan + Strategy + SparkPlan)
     "asof_user_profile"   -> ((s, d) => AsOf.asofUserProfile(s, d)),
+    // engine-native MERGE INTO SQL over a Versioned (snapshot) table
+    "merge_into_sql"      -> ((s, d) => graft.plans.MergeInto.mergeIntoSql(s, d)),
     "silver_upsert"       -> ((s, d) => Ingest.silverUpsert(s, d)),
     "silver_insert_only"  -> ((s, d) => Ingest.silverInsertOnly(s, d)),
     "silver_dedup"        -> ((s, d) => Ingest.silverDedup(s, d)),
@@ -172,6 +174,7 @@ object SparkEntry {
     "pivot_user_type"     -> Windowing.oracle.pivotUserType,
     "tumbling_volume"     -> Windowing.oracle.tumblingVolume,
     "asof_user_profile"   -> AsOf.asofUserProfileOracle,
+    "merge_into_sql"      -> graft.plans.MergeInto.mergeIntoSqlOracle,
     "silver_upsert"       -> Ingest.oracle.silverUpsert,
     "silver_insert_only"  -> Ingest.oracle.silverInsertOnly,
     "silver_dedup"        -> Ingest.oracle.silverDedup,

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GraftMergeCommand, GraftSqlParser, MergeInto}
+import graft.silver.Merge
+import graft.sources.Versioned
+
+/** Engine-native MERGE INTO SQL (plans.MergeInto): parser lowering, all
+  * four clause kinds, star forms (differential vs Merge.upsert), the
+  * multi-match guard, Versioned snapshot commits, and the
+  * SparkSessionExtensions end-to-end path. */
+class MergeIntoSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("parser lowers MERGE INTO to GraftMergeCommand, delegates the rest") {
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    val merged = p.parsePlan(
+      "MERGE INTO a USING b ON a.k = b.k WHEN MATCHED THEN DELETE")
+    assert(merged.isInstanceOf[GraftMergeCommand])
+    assert(merged.asInstanceOf[GraftMergeCommand].merge.isInstanceOf[MergeIntoTable])
+    // non-MERGE statements pass through to the delegate untouched
+    val sel = p.parsePlan("SELECT 1 AS x")
+    assert(!sel.isInstanceOf[GraftMergeCommand])
+    assert(sel.nodeName ==
+      spark.sessionState.sqlParser.parsePlan("SELECT 1 AS x").nodeName)
+    assert(p.parseExpression("1 + 2").sql ==
+      spark.sessionState.sqlParser.parseExpression("1 + 2").sql)
+  }
+
+  test("all four clause kinds over a catalog table") {
+    spark.sql("DROP TABLE IF EXISTS msq_target")
+    Seq((1L, 10.0, "keep"), (2L, 20.0, "upd"), (3L, 30.0, "del"), (4L, 40.0, "lonely"))
+      .toDF("k", "v", "tag").write.saveAsTable("msq_target")
+    Seq((2L, 5.0), (3L, -1.0), (9L, 90.0), (10L, -1.0))
+      .toDF("k", "sv").createOrReplaceTempView("msq_stg")
+    MergeInto.sql(spark,
+      """MERGE INTO msq_target t USING msq_stg s ON t.k = s.k
+        |WHEN MATCHED AND s.sv > 0 THEN UPDATE SET v = t.v + s.sv
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.sv > 0 THEN INSERT (k, v, tag) VALUES (s.k, s.sv, 'new')
+        |WHEN NOT MATCHED BY SOURCE AND t.tag = 'lonely'
+        |  THEN UPDATE SET tag = 'dormant'
+        |""".stripMargin)
+    val out = spark.table("msq_target").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(out == Map(
+      1L -> ((10.0, "keep")),      // matched-by-nothing path untouched
+      2L -> ((25.0, "upd")),       // conditional update
+      4L -> ((40.0, "dormant")),   // not matched by source update
+      9L -> ((90.0, "new"))))      // conditional insert (k=3 deleted, k=10 filtered)
+  }
+
+  test("star forms match Merge.upsert algebra (differential, 10 seeded cases)") {
+    val rng = new scala.util.Random(7)
+    for (i <- 1 to 10) {
+      val target = List.fill(25)((rng.nextInt(12).toLong, rng.nextInt(1000)))
+        .toDF("k", "v").dropDuplicates("k")
+      val staging = List.fill(25)((rng.nextInt(12).toLong, rng.nextInt(1000)))
+        .toDF("k", "v").dropDuplicates("k")
+      spark.sql(s"DROP TABLE IF EXISTS msq_star_$i")
+      target.write.saveAsTable(s"msq_star_$i")
+      staging.createOrReplaceTempView("msq_star_stg")
+      MergeInto.sql(spark,
+        s"""MERGE INTO msq_star_$i t USING msq_star_stg s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val viaSql = spark.table(s"msq_star_$i").as[(Long, Int)].collect().toMap
+      val viaAlgebra = Merge.upsert(target, staging, Seq("k"))
+        .as[(Long, Int)].collect().toMap
+      assert(viaSql == viaAlgebra, s"case $i")
+      spark.sql(s"DROP TABLE msq_star_$i")
+    }
+  }
+
+  test("multi-match guard raises; disabling the check lets duplicates through") {
+    spark.sql("DROP TABLE IF EXISTS msq_dup")
+    Seq((1L, 1.0)).toDF("k", "v").write.saveAsTable("msq_dup")
+    Seq((1L, 2.0), (1L, 3.0)).toDF("k", "sv").createOrReplaceTempView("msq_dup_stg")
+    val stmt =
+      """MERGE INTO msq_dup t USING msq_dup_stg s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin
+    val e = intercept[Exception](MergeInto.sql(spark, stmt))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("matched 2 source rows")))
+    spark.conf.set("spark.graft.merge.multiMatchCheck", "false")
+    try {
+      MergeInto.sql(spark, stmt)
+      // without the guard the join fan-out materializes: documented escape hatch
+      assert(spark.table("msq_dup").count() == 2)
+    } finally spark.conf.set("spark.graft.merge.multiMatchCheck", "true")
+  }
+
+  test("Versioned target: MERGE commits snapshots; history and time travel see both") {
+    val root = tmp("msq_versioned")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, retain = 5)
+    MergeInto.registerVersioned(spark, "msq_vt", root)
+    Seq((2L, "B"), (3L, "C")).toDF("k", "s").createOrReplaceTempView("msq_vstg")
+    MergeInto.sql(spark,
+      """MERGE INTO msq_vt t USING msq_vstg s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Versioned.versions(root) == Seq(1L, 2L))
+    // the registered view now serves the post-merge snapshot
+    assert(spark.table("msq_vt").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "B", 3L -> "C"))
+    // time travel still reads the pre-merge snapshot
+    assert(Versioned.readVersion(spark, root, 1L).as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b"))
+    // and SQL over the view composes with the rest of the session
+    assert(spark.sql("SELECT count(*) FROM msq_vt WHERE s = 'C'").head().getLong(0) == 1L)
+  }
+
+  test("withExtensions session: plain spark.sql(MERGE INTO) works") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(ext ne old) // a genuinely new session with the injected parser
+      ext.sql("DROP TABLE IF EXISTS msq_ext")
+      ext.createDataFrame(Seq((1L, 1.0), (2L, 2.0))).toDF("k", "v")
+        .write.saveAsTable("msq_ext")
+      ext.createDataFrame(Seq((2L, 20.0), (3L, 30.0))).toDF("k", "v")
+        .createOrReplaceTempView("msq_ext_stg")
+      ext.sql(
+        """MERGE INTO msq_ext t USING msq_ext_stg s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(ext.table("msq_ext").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+        Map(1L -> 1.0, 2L -> 20.0, 3L -> 30.0))
+      // injected native functions ride along on the same session
+      assert(ext.sql("SELECT rolling_hash('abc') = rolling_hash('abc') AS eq").head().getBoolean(0))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("UPDATE and DELETE SQL over catalog and Versioned targets") {
+    // catalog table
+    spark.sql("DROP TABLE IF EXISTS msq_dml")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v").write.saveAsTable("msq_dml")
+    MergeInto.sql(spark, "UPDATE msq_dml SET v = v * 2 WHERE k >= 2")
+    assert(spark.table("msq_dml").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 10.0, 2L -> 40.0, 3L -> 60.0))
+    MergeInto.sql(spark, "DELETE FROM msq_dml WHERE v > 50")
+    assert(spark.table("msq_dml").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 10.0, 2L -> 40.0))
+    // versioned table: each statement is one snapshot commit
+    val root = tmp("msq_dml_v")
+    Versioned.commit(Seq((1L, "x"), (2L, "y")).toDF("k", "s"), root, retain = 5)
+    MergeInto.registerVersioned(spark, "msq_dml_vt", root)
+    spark.conf.set("spark.graft.versioned.retain", "5")
+    try {
+      MergeInto.sql(spark, "UPDATE msq_dml_vt SET s = upper(s)")
+      MergeInto.sql(spark, "DELETE FROM msq_dml_vt WHERE k = 1")
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    assert(Versioned.versions(root) == Seq(1L, 2L, 3L))
+    assert(spark.table("msq_dml_vt").as[(Long, String)].collect().toSeq == Seq(2L -> "Y"))
+    // parser lowering for the extension path
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    assert(p.parsePlan("UPDATE a SET x = 1").isInstanceOf[graft.plans.GraftUpdateCommand])
+    assert(p.parsePlan("DELETE FROM a WHERE x = 1").isInstanceOf[graft.plans.GraftDeleteCommand])
+  }
+
+  test("driver-contract query: full lifecycle at sf0.001") {
+    val out = MergeInto.mergeIntoSql(spark, TestSpark.sf)
+    assert(out.columns.toSeq == Seq("c_custkey", "c_acctbal", "c_mktsegment"))
+    val byTag = out.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag.getOrElse("NEW", 0L) > 0, s"expected inserts, got $byTag")
+    assert(byTag.getOrElse("DORMANT", 0L) >= 0)
+    // keys are unique post-merge (MERGE preserves key uniqueness)
+    assert(out.count() == out.select("c_custkey").distinct().count())
+  }
+}
