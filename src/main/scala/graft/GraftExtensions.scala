@@ -18,7 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.rollingHash)
     e.injectFunction(GraftExtensions.floatCosine)
-    // `spark.sql("MERGE INTO …")` for non-v2 tables (plans.MergeInto)
+    // `spark.sql("MERGE INTO …")` for non-v2 tables, plus `VERSION AS OF`
+    // / `TIMESTAMP AS OF` over registered Versioned tables (plans.MergeInto,
+    // plans.TimeTravel — both rewrites live in GraftSqlParser.lower)
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

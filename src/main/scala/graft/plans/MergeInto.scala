@@ -70,6 +70,10 @@ object MergeInto {
   /** Registered Versioned-table MERGE targets: lowercase name -> root. */
   private val versionedRoots = new ConcurrentHashMap[String, String]()
 
+  /** Registry lookup (used by [[GraftTimeTravelRule]]). */
+  private[plans] def rootFor(name: String): Option[String] =
+    Option(versionedRoots.get(name.toLowerCase))
+
   /** Register a [[Versioned]] table root under a SQL-addressable name:
     * creates/refreshes a temp view over the live snapshot and makes the
     * name a valid MERGE INTO target (commits flow through
@@ -84,11 +88,10 @@ object MergeInto {
     * session was built (parses with the session's own parser, so every
     * non-MERGE statement behaves exactly like `spark.sql`). */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
-    GraftSqlParser.lower(spark.sessionState.sqlParser.parsePlan(sqlText)) match {
-      case cmd @ (_: GraftMergeCommand | _: GraftUpdateCommand | _: GraftDeleteCommand) =>
-        GraftColumnBridge.ofRows(spark, cmd)
-      case _ => spark.sql(sqlText)
-    }
+    // ofRows on the lowered plan == spark.sql for untouched statements,
+    // and carries the DML commands / time-travel rewrites when present
+    GraftColumnBridge.ofRows(spark,
+      GraftSqlParser.lower(spark.sessionState.sqlParser.parsePlan(sqlText)))
 
   /** Resolved DML target: the table's current contents plus how to commit
     * a rewritten copy of it. */
@@ -365,9 +368,11 @@ case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableComma
 }
 
 object GraftSqlParser {
-  /** Lower the three row-level DML plans to graft commands; anything else
-    * passes through. */
-  def lower(plan: LogicalPlan): LogicalPlan = plan match {
+  /** Lower the three row-level DML plans to graft commands and rewrite
+    * time-travel reads of registered Versioned tables; anything else
+    * passes through. TimeTravel runs first so `VERSION AS OF` works
+    * inside a MERGE source too. */
+  def lower(plan: LogicalPlan): LogicalPlan = TimeTravel.rewrite(plan) match {
     case m: MergeIntoTable  => GraftMergeCommand(m)
     case u: UpdateTable     => GraftUpdateCommand(u)
     case d: DeleteFromTable => GraftDeleteCommand(d)

@@ -169,6 +169,27 @@ object Versioned {
     }.toDF("version", "n_files", "bytes", "committed_at", "is_current")
   }
 
+  /** Commit instant of a retained snapshot (newest data-file mtime —
+    * the same definition [[history]] reports as `committed_at`). */
+  private def commitMillis(root: String, v: Long): Long = {
+    val dir = Paths.get(s"$root/v=$v")
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L)
+    } finally s.close()
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the latest retained snapshot committed
+    * at or before the instant. Driver-side metadata only. */
+  def versionAsOf(root: String, epochMillis: Long): Long = {
+    val cands = versions(root).filter(v => commitMillis(root, v) <= epochMillis)
+    require(cands.nonEmpty,
+      s"no retained snapshot of $root committed at or before epoch-ms $epochMillis")
+    cands.max
+  }
+
   /** Snapshot diff (change-data-feed over retained snapshots): the rows
     * that were inserted, updated, or deleted between two versions, keyed
     * by `keys` — the capability Delta exposes as CDF / Iceberg as

@@ -148,6 +148,40 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on a versioned table") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val root = tmp("msq_tt")
+      Versioned.commit(ext.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("k", "s"), root, retain = 5)
+      MergeInto.registerVersioned(ext, "msq_tt", root)
+      ext.createDataFrame(Seq((2L, "B2"))).toDF("k", "s").createOrReplaceTempView("msq_tt_stg")
+      ext.sql(
+        """MERGE INTO msq_tt t USING msq_tt_stg s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      // live view sees v2; VERSION AS OF pins v1
+      assert(ext.sql("SELECT s FROM msq_tt WHERE k = 2").head().getString(0) == "B2")
+      assert(ext.sql("SELECT s FROM msq_tt VERSION AS OF 1 WHERE k = 2").head().getString(0) == "b")
+      // TIMESTAMP AS OF far in the future resolves to the latest snapshot
+      assert(ext.sql("SELECT s FROM msq_tt TIMESTAMP AS OF '2100-01-01' WHERE k = 2")
+        .head().getString(0) == "B2")
+      // before the first commit: no snapshot to serve
+      val e = intercept[Exception](
+        ext.sql("SELECT * FROM msq_tt TIMESTAMP AS OF '2000-01-01'").collect())
+      assert(e.getMessage.contains("no retained snapshot"))
+      // unregistered tables fall through to Spark's own error, not ours
+      val e2 = intercept[Exception](
+        ext.sql("SELECT * FROM range(1) VERSION AS OF 1").collect())
+      assert(!e2.getMessage.contains("retained snapshot"))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("UPDATE and DELETE SQL over catalog and Versioned targets") {
     // catalog table
     spark.sql("DROP TABLE IF EXISTS msq_dml")
