@@ -13,7 +13,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import graft.sources.Versioned
+import graft.sources.{ManifestTable, Versioned}
 
 /** Engine-native `MERGE INTO` SQL — the reference's central silver-layer
   * statement (`/root/reference/dags/2_bronze_to_silver.py:266-293`), which
@@ -67,12 +67,17 @@ object MergeInto {
   private val NM   = "__graft_nm"    // per-target-row match count
   private val KEEP = "__graft_keep"
 
-  /** Registered Versioned-table MERGE targets: lowercase name -> root. */
-  private val versionedRoots = new ConcurrentHashMap[String, String]()
+  /** How a registered DML target stores its snapshots. */
+  private[plans] sealed trait Backing
+  private[plans] case class VersionedBacking(root: String) extends Backing
+  private[plans] case class ManifestBacking(root: String, dayOf: Option[String]) extends Backing
 
-  /** Registry lookup (used by [[GraftTimeTravelRule]]). */
-  private[plans] def rootFor(name: String): Option[String] =
-    Option(versionedRoots.get(name.toLowerCase))
+  /** Registered snapshot-table DML targets: lowercase name -> backing. */
+  private val registered = new ConcurrentHashMap[String, Backing]()
+
+  /** Registry lookup (used by [[TimeTravel]]). */
+  private[plans] def backingFor(name: String): Option[Backing] =
+    Option(registered.get(name.toLowerCase))
 
   /** Register a [[Versioned]] table root under a SQL-addressable name:
     * creates/refreshes a temp view over the live snapshot and makes the
@@ -80,8 +85,19 @@ object MergeInto {
     * [[Versioned.commit]]). */
   def registerVersioned(spark: SparkSession, name: String, root: String): Unit = {
     require(Versioned.exists(root), s"no committed snapshot under $root")
-    versionedRoots.put(name.toLowerCase, root)
+    registered.put(name.toLowerCase, VersionedBacking(root))
     Versioned.read(spark, root).createOrReplaceTempView(name)
+  }
+
+  /** Register a [[ManifestTable]] root. With `partitionDayOf` set (the
+    * timestamp column the hidden day partition derives from), MERGE
+    * statements rewrite ONLY the touched day partitions — files of every
+    * other day carry into the new manifest untouched. */
+  def registerManifest(spark: SparkSession, name: String, root: String,
+                       partitionDayOf: Option[String] = None): Unit = {
+    require(ManifestTable.exists(root), s"no committed manifest under $root")
+    registered.put(name.toLowerCase, ManifestBacking(root, partitionDayOf))
+    ManifestTable.read(spark, root).createOrReplaceTempView(name)
   }
 
   /** Run one SQL statement with MERGE INTO support, independent of how the
@@ -96,7 +112,7 @@ object MergeInto {
   /** Resolved DML target: the table's current contents plus how to commit
     * a rewritten copy of it. */
   private case class Target(name: String, alias: String,
-                            root: Option[String], df: DataFrame)
+                            backing: Option[Backing], df: DataFrame)
 
   private def resolveTarget(spark: SparkSession, plan: LogicalPlan): Target = {
     val (targetPlan, targetAlias) = splitAlias(plan)
@@ -105,36 +121,109 @@ object MergeInto {
       case other => throw new IllegalArgumentException(
         s"DML target must be a table name, got ${other.nodeName}")
     }
-    val root = Option(versionedRoots.get(name.toLowerCase))
-    val df = root match {
-      case Some(r) => Versioned.read(spark, r)
+    val backing = backingFor(name)
+    val df = backing match {
+      case Some(VersionedBacking(r))   => Versioned.read(spark, r)
+      case Some(ManifestBacking(r, _)) => ManifestTable.read(spark, r)
       case None =>
         require(spark.catalog.tableExists(name),
-          s"DML target $name is neither a catalog table nor a registered versioned table")
+          s"DML target $name is neither a catalog table nor a registered snapshot table")
         spark.table(name)
     }
-    Target(name, targetAlias.getOrElse(name.split('.').last), root, df)
+    Target(name, targetAlias.getOrElse(name.split('.').last), backing, df)
   }
 
+  private def retainOf(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.versioned.retain", "2").toInt
+
   private def writeBack(spark: SparkSession, tgt: Target, result: DataFrame): Unit =
-    tgt.root match {
-      case Some(r) =>
-        val retain = spark.conf.get("spark.graft.versioned.retain", "2").toInt
-        Versioned.commit(result, r, retain = retain)
+    tgt.backing match {
+      case Some(VersionedBacking(r)) =>
+        Versioned.commit(result, r, retain = retainOf(spark))
         Versioned.read(spark, r).createOrReplaceTempView(tgt.name) // refresh the view
+      case Some(ManifestBacking(r, dayOf)) =>
+        ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf)
+        ManifestTable.read(spark, r).createOrReplaceTempView(tgt.name)
       case None =>
         // reading and overwriting the same table: materialize first
         result.localCheckpoint(true).write.mode("overwrite").saveAsTable(tgt.name)
     }
 
   /** Execute an already-parsed MERGE: resolve the target, compute the
-    * merged relation, write it back. */
+    * merged relation, write it back. Day-partitioned manifest targets take
+    * the partition-scoped path when the statement allows it. */
   private[graft] def execute(spark: SparkSession, m: MergeIntoTable): Unit = {
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported; ALTER TABLE first (sources.Evolution)")
     val tgt = resolveTarget(spark, m.targetTable)
     val source = GraftColumnBridge.ofRows(spark, m.sourceTable)
-    writeBack(spark, tgt, mergeResult(tgt.df, tgt.alias, source, m))
+    val scoped = tgt.backing match {
+      case Some(ManifestBacking(root, Some(ts)))
+        // NOT MATCHED BY SOURCE touches every partition — full rewrite then
+        if m.notMatchedBySourceActions.isEmpty &&
+          spark.conf.get("spark.graft.merge.partitionScoped", "true").toBoolean =>
+        executeScopedMerge(spark, tgt, root, ts, source, m)
+      case _ => false
+    }
+    if (!scoped) writeBack(spark, tgt, mergeResult(tgt.df, tgt.alias, source, m))
+  }
+
+  /** Iceberg-style copy-on-write MERGE: discover the day partitions the
+    * statement touches (matched target rows' days + the days inserted rows
+    * will land in — Iceberg's findTouchedFiles, at day granularity), run
+    * the merge over ONLY those days, and commit a manifest that reuses
+    * every other day's files untouched. Falls back to a full rewrite
+    * (returns false) when an insert's partition day can't be derived
+    * statically. Extra cost vs the full path: one inner + one anti join
+    * for discovery — both prunable, both tiny output (distinct days). */
+  private def executeScopedMerge(spark: SparkSession, tgt: Target, root: String,
+                                 tsCol: String, source: DataFrame,
+                                 m: MergeIntoTable): Boolean = {
+    val targetCols = tgt.df.columns.toSeq
+    // every INSERT action must assign the partition-source timestamp
+    // column with a derivable value, else the landing day is unknown
+    val insertTsExprs: Seq[(Option[Expression], Column)] =
+      m.notMatchedActions.map {
+        case InsertAction(c, as) =>
+          as.find(a => assignNameIn(targetCols, a.key).equalsIgnoreCase(tsCol)) match {
+            case Some(a) => (c, GraftColumnBridge.column(a.value))
+            case None    => return false // ts not assigned -> day unknown
+          }
+        case InsertStarAction(c) =>
+          source.columns.find(_.equalsIgnoreCase(tsCol)) match {
+            case Some(sc) => (c, source(sc))
+            case None     => return false
+          }
+        case _ => return false
+      }
+
+    val raw = ManifestTable.readRaw(spark, root) // live snapshot + __day
+    val cond = GraftColumnBridge.column(m.mergeCondition)
+    val tRaw = raw.alias(tgt.alias)
+    // days holding matched target rows (inner join, distinct-day output)
+    val matchDays = tRaw.join(source, cond, "inner")
+      .select(col(ManifestTable.DayCol).cast("string")).distinct()
+    // days where inserted rows will land (superset is fine: an extra
+    // touched day is rewritten as identity, never wrong)
+    val sOnly = source.join(tRaw, cond, "left_anti")
+    val insertDays = insertTsExprs.map { case (c, tsVal) =>
+      sOnly.where(c.map(GraftColumnBridge.column).getOrElse(lit(true)))
+        .select(to_date(tsVal).cast("string"))
+    }.reduceOption(_ unionAll _).map(_.distinct())
+    val days = (insertDays match {
+      case Some(ins) => matchDays.unionAll(ins).distinct()
+      case None      => matchDays
+    }).collect().map(_.getString(0)).filter(_ != null).toSet
+    if (days.isEmpty) return true // nothing matched, nothing inserts: no-op
+
+    val restricted = raw
+      .where(col(ManifestTable.DayCol).cast("string").isin(days.toSeq: _*))
+      .drop(ManifestTable.DayCol)
+    val result = mergeResult(restricted, tgt.alias, source, m)
+    ManifestTable.replaceDays(result, root, removeDays = days,
+      partitionDayOf = tsCol, retain = retainOf(spark))
+    ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
+    true
   }
 
   /** `UPDATE t SET … [WHERE …]`: a map-only rewrite — each assigned column

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.TimestampType
 
-import graft.sources.Versioned
+import graft.sources.{ManifestTable, Versioned}
 
 /** SQL time travel over [[Versioned]] tables — the syntax the reference's
   * Iceberg tables document (`/root/reference/README.md:332-340`):
@@ -33,19 +33,23 @@ object TimeTravel {
 
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
-      (MergeInto.rootFor(u.multipartIdentifier.mkString(".")),
+      (MergeInto.backingFor(u.multipartIdentifier.mkString(".")),
         SparkSession.getActiveSession) match {
-        case (Some(root), Some(spark)) =>
-          val v = (ver, ts) match {
-            case (Some(s), _)    => s.toLong
-            case (None, Some(e)) => Versioned.versionAsOf(root, evalMillis(e))
-            case (None, None)    => throw new IllegalArgumentException(
-              "time travel needs VERSION AS OF or TIMESTAMP AS OF")
-          }
+        case (Some(MergeInto.VersionedBacking(root)), Some(spark)) =>
+          val v = ver.map(_.toLong).getOrElse(
+            Versioned.versionAsOf(root, evalMillis(requireTs(ts))))
           GraftColumnBridge.analyzed(Versioned.readVersion(spark, root, v))
+        case (Some(MergeInto.ManifestBacking(root, _)), Some(spark)) =>
+          val v = ver.map(_.toLong).getOrElse(
+            ManifestTable.versionAsOf(root, evalMillis(requireTs(ts))))
+          GraftColumnBridge.analyzed(ManifestTable.readVersion(spark, root, v))
         case _ => tt
       }
   }
+
+  private def requireTs(ts: Option[Expression]): Expression =
+    ts.getOrElse(throw new IllegalArgumentException(
+      "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
 
   /** Evaluate a (foldable) TIMESTAMP AS OF expression to epoch millis. */
   private def evalMillis(e: Expression): Long = {
