@@ -70,6 +70,9 @@ object SparkEntry {
     "silver_insert_only"  -> ((s, d) => Ingest.silverInsertOnly(s, d)),
     "silver_dedup"        -> ((s, d) => Ingest.silverDedup(s, d)),
     "silver_incremental"  -> ((s, d) => Ingest.silverIncremental(s, d)),
+    // change-history DML family: SCD Type-2 build + CDC apply
+    "scd2_user_type"      -> ((s, d) => graft.silver.Changelog.scd2UserType(s, d)),
+    "cdc_apply"           -> ((s, d) => graft.silver.Changelog.cdcApply(s, d)),
     // text analysis extensions
     "text_stats"          -> ((s, d) => Text.textStats(s, d)),
     "lang_id"             -> ((s, d) => Text.langId(s, d)),
@@ -179,6 +182,8 @@ object SparkEntry {
     "silver_insert_only"  -> Ingest.oracle.silverInsertOnly,
     "silver_dedup"        -> Ingest.oracle.silverDedup,
     "silver_incremental"  -> Ingest.oracle.silverIncremental,
+    "scd2_user_type"      -> graft.silver.Changelog.oracle.scd2UserType,
+    "cdc_apply"           -> graft.silver.Changelog.oracle.cdcApply,
     "text_stats"          -> Text.oracle.textStats,
     "lang_id"             -> Text.oracle.langId,
     "text_fingerprint"    -> Text.oracle.textFingerprint,
