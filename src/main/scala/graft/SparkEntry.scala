@@ -86,6 +86,7 @@ object SparkEntry {
     // dedup extensions
     "doc_dedup_exact"     -> ((s, d) => Dedup.exactDedup(s, d)),
     "doc_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "doc_containment"     -> ((s, d) => Dedup.ngramContainment(s, d)),
     "doc_dedup_minhash"   -> ((s, d) => Dedup.minHashLsh(s, d)),
     "doc_dedup_simhash"   -> ((s, d) => Dedup.simHash(s, d)),
     "dedup_components"    -> ((s, d) => Dedup.dedupComponents(s, d)),
@@ -97,6 +98,9 @@ object SparkEntry {
     "emb_near_dup_lsh"    -> ((s, d) => Similarity.nearDupLsh(s, d)),
     "emb_quantize_stats"  -> ((s, d) => Similarity.quantizeStats(s, d)),
     "emb_pq_codes"        -> ((s, d) => Similarity.pqCodeStats(s, d)),
+    "emb_outliers"        -> ((s, d) => Similarity.embOutliers(s, d)),
+    // frequent-items: Misra-Gries candidates + exact verification
+    "heavy_langs"         -> ((s, d) => graft.operators.Frequency.heavyLangs(s, d)),
     // corpus curation extensions
     "fuzzy_edit_pairs"    -> ((s, d) => Curation.fuzzyEditPairs(s, d)),
     "stratified_sample"   -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -106,6 +110,8 @@ object SparkEntry {
     "pack_sequences"      -> ((s, d) => Curation.packSequences(s, d)),
     "pii_scrub"           -> ((s, d) => Text.piiScrub(s, d)),
     "lang_rebalance"      -> ((s, d) => Curation.langRebalance(s, d)),
+    // bloom-filter semi-join pruning (runtime-filter pattern, explicit)
+    "bloom_prune_join"    -> ((s, d) => graft.operators.Bloom.bloomPruneJoin(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -194,9 +200,11 @@ object SparkEntry {
     "udaf_spend_stats"    -> graft.functions.Udafs.oracle.udafSpendStats,
     "doc_dedup_exact"     -> Dedup.oracle.exactDedup,
     "doc_ngram_jaccard"   -> Dedup.oracle.ngramJaccard,
+    "doc_containment"     -> Dedup.oracle.ngramContainment,
     "doc_dedup_minhash"   -> Dedup.oracle.minHashLsh,
     "doc_dedup_simhash"   -> Dedup.oracle.simHash,
     "dedup_components"    -> Dedup.oracle.dedupComponents,
+    "bloom_prune_join"    -> graft.operators.Bloom.oracle.bloomPruneJoin(),
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,
@@ -213,6 +221,8 @@ object SparkEntry {
     "emb_near_dup_lsh"    -> Similarity.oracle.nearDupLsh,
     "emb_quantize_stats"  -> Similarity.oracle.quantizeStats,
     "emb_pq_codes"        -> Similarity.oracle.pqCodeStats,
+    "emb_outliers"        -> Similarity.oracle.embOutliers,
+    "heavy_langs"         -> graft.operators.Frequency.oracle.heavyLangs,
     "multimodal_features" -> Multimodal.oracle.featurize,
     "multimodal_frames"   -> Multimodal.oracle.sampleFrames,
     "q2_min_cost_supplier" -> Tpch2.oracle.q2MinCostSupplier,

@@ -108,9 +108,68 @@ object Native {
       copy(left = l, right = r)
   }
 
+  /** Bloom-filter membership of a string key against a literal word array
+    * (32-bit words in longs): ONE md5 per row, k double-hashed bit tests.
+    *
+    * Exists because the declarative formulation (k conjunction terms each
+    * deriving positions from `conv(substring(md5 …))`) re-evaluates the
+    * md5 chain per term — FilterExec splits conjunctive predicates and
+    * does not share subexpressions across them (measured 7.4 s vs sub-
+    * second at sf0.1). Semantics are bit-identical to that formulation
+    * (and to the DuckDB oracle mirror): base hashes are hex chars 1-15
+    * and 16-30 of the digest, positions are (h1 + i·h2) mod mBits.
+    * Input contract: child is the already-prefixed key string. */
+  case class BloomContains(child: Expression, words: Array[Long], mBits: Int, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_contains"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(input.asInstanceOf[UTF8String].getBytes)
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16) % mBits
+      val h2 = 1L + java.lang.Long.parseLong(hex.substring(15, 30), 16) % (mBits - 1)
+      var i = 0
+      while (i < k) {
+        val pos = (h1 + i * h2) % mBits
+        if (((words((pos >>> 5).toInt) >>> (pos & 31)) & 1L) == 0L) return false
+        i += 1
+      }
+      true
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val hex = ctx.freshName("hex")
+        val h1 = ctx.freshName("h1")
+        val h2 = ctx.freshName("h2")
+        val pos = ctx.freshName("pos")
+        val ok = ctx.freshName("ok")
+        val i = ctx.freshName("i")
+        s"""
+           |String $hex = org.apache.commons.codec.digest.DigestUtils.md5Hex($c.getBytes());
+           |long $h1 = java.lang.Long.parseLong($hex.substring(0, 15), 16) % ${mBits}L;
+           |long $h2 = 1L + java.lang.Long.parseLong($hex.substring(15, 30), 16) % ${mBits - 1}L;
+           |boolean $ok = true;
+           |for (int $i = 0; $i < $k; $i++) {
+           |  long $pos = ($h1 + $i * $h2) % ${mBits}L;
+           |  if ((($wordsRef[(int) ($pos >>> 5)] >>> ($pos & 31)) & 1L) == 0L) { $ok = false; break; }
+           |}
+           |${ev.value} = $ok;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BloomContains =
+      copy(child = newChild)
+  }
+
   // Column-API entry points (classic Column <-> Expression bridge)
   def rolling_hash(c: Column): Column =
     B.column(RollingHash(B.expression(c)))
   def float_cosine(a: Column, b: Column): Column =
     B.column(FloatCosine(B.expression(a), B.expression(b)))
+  def bloom_contains(keyStr: Column, words: Array[Long], mBits: Int, k: Int): Column =
+    B.column(BloomContains(B.expression(keyStr), words, mBits, k))
 }

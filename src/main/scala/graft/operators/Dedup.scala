@@ -86,6 +86,33 @@ object Dedup {
           .otherwise(lit(null).cast(DoubleType)))
   }
 
+  /** Asymmetric n-gram containment over candidate pairs: C(A→B) =
+    * |S(A)∩S(B)| / |S(A)| — the measure that catches PARTIAL copies
+    * (quotation, boilerplate wrapping, excerpt reuse) which symmetric
+    * Jaccard under-scores when the containing document is much larger.
+    * The standard complement to [[ngramJaccard]] in a dedup stack
+    * (Broder's containment, the basis of "mostly-contained" dedup rules).
+    * Candidates are adjacent doc_ids for oracle comparability; production
+    * pairs come from the MinHash/SimHash bucket joins above. Map-only
+    * over the pair set, same plan shape as [[ngramJaccard]]. */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(spark, dir).select(col("doc_id"), col("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
+        size(col("sh_a")).as("n_a"),
+        size(col("sh_b")).as("n_b"))
+      .withColumn("contain_ab",
+        when(col("n_a") > 0, col("n_common").cast(DoubleType) / col("n_a"))
+          .otherwise(lit(null).cast(DoubleType)))
+      .withColumn("contain_ba",
+        when(col("n_b") > 0, col("n_common").cast(DoubleType) / col("n_b"))
+          .otherwise(lit(null).cast(DoubleType)))
+  }
+
   /** Engine-portable base hash: top 60 bits of md5 as a non-negative
     * BIGINT. md5 is the one hash both Spark and DuckDB implement
     * identically, so every LSH pipeline built on it can be mirrored
@@ -479,6 +506,26 @@ object Dedup {
          |       THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
          |       ELSE NULL END AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+    val ngramContainment: String =
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+         |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+         |    ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common,
+         |  CAST(len(a.s) AS INT) AS n_a,
+         |  CAST(len(b.s) AS INT) AS n_b,
+         |  CASE WHEN len(a.s) > 0
+         |       THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+         |       ELSE NULL END AS contain_ab,
+         |  CASE WHEN len(b.s) > 0
+         |       THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+         |       ELSE NULL END AS contain_ba
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
 
     /** Full DuckDB mirror of [[Dedup.minHashLsh]]: same md5-derived base

@@ -487,6 +487,40 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** Embedding outlier profiling: distance² of each vector to its LABEL
+    * CENTROID, top-20 most distant — the embedding-quality pass that
+    * surfaces mislabeled or corrupted vectors before they poison a
+    * similarity index or a contrastive batch.
+    *
+    * Scale shape: posexplode fans each vector into Dim (label, pos, x)
+    * rows but they never leave their partition un-aggregated — both the
+    * centroid aggregate and the per-vector distance sum are map-side
+    * combined on keys that are local to a partition row ((label, pos) is
+    * tiny; all Dim rows of one vec_id share a partition), so the shuffles
+    * carry labels×Dim rows and one row per vector respectively. Centroids
+    * broadcast back; the top-20 is a TakeOrderedAndProject. Exactness:
+    * per-dim sums and per-vector squared-residual sums accumulate as
+    * DECIMAL(18,12) (order-independent); the one double division
+    * (centroid mean) is an identical IEEE op in both engines, and the
+    * final round(…,6) absorbs the decimal→double ulp (same policy as
+    * embNormStats). */
+  def embOutliers(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val ex = graft.Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("vec_id"), col("pos"),
+        col("col").cast(DoubleType).as("x"))
+    val cent = ex.groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(18, 12))).cast(DoubleType)
+        / count(lit(1))).as("c"))
+    ex.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(round(
+        sum(((col("x") - col("c")) * (col("x") - col("c"))).cast(DecimalType(18, 12)))
+          .cast(DoubleType), 6).as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(topN)
+  }
+
   object oracle {
     /** Correlated exact-decimal dot product: DuckDB 1-based list indexing,
       * same DECIMAL(20,12) per-term rounding as the Spark side. The dim
@@ -712,5 +746,23 @@ object Similarity {
          |  CAST(SUM(n_sat) AS BIGINT) AS n_saturated,
          |  CAST(SUM(n_zero) AS BIGINT) AS n_zeros
          |FROM p GROUP BY 1""".stripMargin
+
+    /** Mirror of [[Similarity.embOutliers]]: 1-indexed list explode, the
+      * same DECIMAL(18,12) exact sums, double mean division, round(,6). */
+    val embOutliers: String =
+      s"""WITH ex AS (
+         |  SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |d AS (
+         |  SELECT ex.label, ex.vec_id,
+         |    round(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(18,12))) AS DOUBLE), 6) AS dist2
+         |  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+         |  GROUP BY 1, 2)
+         |SELECT label, vec_id, dist2 FROM d
+         |ORDER BY dist2 DESC, vec_id LIMIT 20""".stripMargin
   }
 }
