@@ -112,6 +112,11 @@ object SparkEntry {
     "lang_rebalance"      -> ((s, d) => Curation.langRebalance(s, d)),
     // bloom-filter semi-join pruning (runtime-filter pattern, explicit)
     "bloom_prune_join"    -> ((s, d) => graft.operators.Bloom.bloomPruneJoin(s, d)),
+    // incremental view maintenance: combine materialized partials + delta
+    "incremental_agg_refresh" -> ((s, d) => graft.pipeline.Incremental.incrementalAggRefresh(s, d)),
+    // data-quality profiling passes
+    "table_profile"       -> ((s, d) => graft.operators.Profile.tableProfile(s, d)),
+    "skew_profile"        -> ((s, d) => graft.operators.Profile.skewProfile(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -205,6 +210,9 @@ object SparkEntry {
     "doc_dedup_simhash"   -> Dedup.oracle.simHash,
     "dedup_components"    -> Dedup.oracle.dedupComponents,
     "bloom_prune_join"    -> graft.operators.Bloom.oracle.bloomPruneJoin(),
+    "incremental_agg_refresh" -> graft.pipeline.Incremental.oracle.incrementalAggRefresh,
+    "table_profile"       -> graft.operators.Profile.oracle.tableProfile,
+    "skew_profile"        -> graft.operators.Profile.oracle.skewProfile,
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,

@@ -146,6 +146,32 @@ object Versioned {
     next
   }
 
+  /** Small-file compaction — the OPTIMIZE / `rewrite_data_files`
+    * maintenance op every snapshot table needs once streaming or
+    * per-batch commits have fragmented it: rewrite the live snapshot's
+    * data into ~`targetFileBytes` files and commit the packed layout as
+    * a NEW snapshot. Readers pinned to the old version are untouched
+    * (immutability), the pointer flip publishes the packed files
+    * atomically, and a crash mid-compaction leaves only an orphan
+    * directory. File count is sized from the live snapshot's actual
+    * on-disk bytes, so one pass converges. Returns the new version id. */
+  def compact(spark: SparkSession, root: String,
+              targetFileBytes: Long = 128L << 20, retain: Int = 2,
+              partitionDayOf: Option[String] = None): Long = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val dir = Paths.get(s"$root/v=$v")
+    val bytes = {
+      val s = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+      } finally s.close()
+    }
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    commit(read(spark, root).repartition(nFiles), root, retain, partitionDayOf)
+  }
+
   /** Snapshot history — the metadata table Iceberg exposes as
     * `table.snapshots`: one row per retained version with file count,
     * byte size, commit time (newest file mtime), and whether it is the

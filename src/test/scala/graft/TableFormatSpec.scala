@@ -50,6 +50,28 @@ class TableFormatSpec extends AnyFunSuite {
     assert(Versioned.read(spark, root).collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("compaction: packs fragmented files into a new snapshot, data identical") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vcompact").toString + "/t"
+    // commit a deliberately fragmented snapshot (20 tiny files)
+    val df = (1L to 200L).map(i => (i, s"row_$i")).toDF("k", "v")
+    Versioned.commit(df.repartition(20), root, retain = 3)
+    val before = Versioned.history(spark, root).collect()
+      .find(_.getAs[Boolean]("is_current")).get
+    assert(before.getAs[Long]("n_files") >= 20)
+
+    val v2 = Versioned.compact(spark, root, targetFileBytes = 128L << 20, retain = 3)
+    assert(Versioned.currentVersion(root) === Some(v2))
+    val after = Versioned.history(spark, root).collect()
+      .find(_.getAs[Boolean]("is_current")).get
+    assert(after.getAs[Long]("n_files") < before.getAs[Long]("n_files"),
+      "compaction must reduce the data-file count")
+    // contents identical; the fragmented snapshot is still time-travelable
+    assert(Versioned.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq
+      === (1L to 200L))
+    assert(Versioned.readVersion(spark, root, 1L).count() === 200)
+  }
+
   test("snapshot history: one row per retained version, live flagged") {
     import spark.implicits._
     val root = Files.createTempDirectory("vhist").toString + "/t"
