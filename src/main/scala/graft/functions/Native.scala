@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -165,6 +166,46 @@ object Native {
       copy(child = newChild)
   }
 
+  /** Word n-gram (shingle) generator: one input text row → one output row
+    * per n-token window, entirely WITHIN the input row's partition.
+    *
+    * Exists because the declarative formulation (posexplode tokens →
+    * window lead(1..n-1) over (doc_id, pos)) needs a Window, and a window
+    * partitioned by doc_id SHUFFLES the corpus × tokens rows before a
+    * single shingle is formed — pure cost, since shingling is row-local.
+    * As a Generator the shingles materialize map-side and the downstream
+    * signature aggregate's partial step collapses them to one row per doc
+    * before anything moves. Tokenization matches `split(text, ' ')`
+    * (single-space split, empties kept) so outputs are byte-identical to
+    * the window form and the DuckDB oracle mirrors.
+    *
+    * CodegenFallback: custom generators run interpreted inside
+    * GenerateExec; the per-row work (one split + slicing) is trivial next
+    * to the shuffle it removes. */
+  case class ShingleGenerate(child: Expression, n: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(n >= 1, "shingle width must be positive")
+    override def elementSchema: StructType =
+      StructType(StructField("s", StringType) :: Nil)
+    override def prettyName: String = "shingle_rows"
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) Nil
+      else {
+        val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+        if (toks.length < n) Nil
+        else (0 to toks.length - n).map { i =>
+          InternalRow(UTF8String.fromString(
+            toks.view.slice(i, i + n).mkString(" ")))
+        }
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleGenerate =
+      copy(child = newChild)
+  }
+
   // Column-API entry points (classic Column <-> Expression bridge)
   def rolling_hash(c: Column): Column =
     B.column(RollingHash(B.expression(c)))
@@ -172,4 +213,6 @@ object Native {
     B.column(FloatCosine(B.expression(a), B.expression(b)))
   def bloom_contains(keyStr: Column, words: Array[Long], mBits: Int, k: Int): Column =
     B.column(BloomContains(B.expression(keyStr), words, mBits, k))
+  def shingle_rows(text: Column, n: Int): Column =
+    B.column(ShingleGenerate(B.expression(text), n))
 }

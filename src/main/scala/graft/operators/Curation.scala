@@ -119,27 +119,18 @@ object Curation {
     * doc_id % 50 == 0 standing in for an external benchmark table; the
     * operator takes any (doc_id, text) eval frame in production.
     *
-    * Scale shape: train-side n-grams are generated map-only (codegen'd
-    * posexplode + window leads, partitioned per doc); the eval n-gram set
+    * Scale shape: train-side n-grams are generated map-only (the native
+    * shingle generator — no window, no shuffle); the eval n-gram set
     * is DISTINCT and benchmark-sized (eval sets are thousands of docs,
     * not corpora) → broadcast, so the collision probe is a map-only
     * broadcast semi-join against the train scan — the corpus never
     * shuffles on gram. The per-doc rollup then shuffles once on doc_id,
     * sized by the train corpus' gram counts. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = DecontamN): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    def gramsOf(d: DataFrame): DataFrame = {
-      val base = d.select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .withColumnRenamed("col", "tok")
-      val withLeads = (1 until n).foldLeft(base) { (acc, i) =>
-        acc.withColumn(s"t$i", lead(col("tok"), i).over(w))
-      }
-      val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
-      withLeads.where(col(s"t${n - 1}").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
-    }
+    def gramsOf(d: DataFrame): DataFrame =
+      d.select(col("doc_id"),
+        graft.functions.Native.shingle_rows(col("text"), n).as("g"))
     val evalGrams = gramsOf(docs.where(col("doc_id") % 50 === 0))
       .select(col("g")).distinct()
     val trainGrams = gramsOf(docs.where(col("doc_id") % 50 =!= 0))

@@ -37,25 +37,19 @@ object Dedup {
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles(col("toks")).as("sh"), col("toks"))
 
-  /** (doc_id, shingle) rows via posexplode + window lead — the hot-path
-    * form of `shingles`: array higher-order functions are interpreted
-    * (CodegenFallback) and measured ~6× slower than this fully-codegen'd
-    * explode+window+concat pipeline at sf0.1. The window partitions by
-    * doc_id, so it parallelizes across documents. Duplicate shingles are
-    * NOT removed here: the only consumer aggregates with MIN, for which
-    * multiset and set agree, so the dedup shuffle would be pure cost (the
-    * downstream groupBy even reuses the window's doc_id partitioning). */
-  private def explodedShinglesOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs
-      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
-      .withColumnRenamed("col", "tok")
-      .withColumn("t2", lead(col("tok"), 1).over(w))
-      .withColumn("t3", lead(col("tok"), 2).over(w))
-      .where(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
-  }
+  /** (doc_id, shingle) rows via the native [[graft.functions.Native.ShingleGenerate]]
+    * generator — map-only, shingles never leave their input row's
+    * partition. (Two prior formulations were measured slower: array
+    * higher-order functions are interpreted ~6× slower, and the
+    * posexplode + window-lead pipeline, while codegen'd, SHUFFLES the
+    * corpus × tokens rows just to line up neighbors the generator reads
+    * locally.) Duplicate shingles are NOT removed here: the only consumer
+    * aggregates with MIN, for which multiset and set agree, so the dedup
+    * shuffle would be pure cost — the downstream per-doc aggregate's
+    * map-side partial collapses each doc before anything moves. */
+  private def explodedShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Native.shingle_rows(col("text"), 3).as("s"))
 
   /** Exact dedup: group identical normalized content by md5 fingerprint and
     * keep the smallest doc_id per group (deterministic keeper). */

@@ -54,6 +54,32 @@ class NativeSpec extends AnyFunSuite {
     assert(got(1) === 0.0)
   }
 
+  test("shingle_rows: byte-identical to the posexplode+window-lead form, no shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, TestSpark.sf).select(col("doc_id"), col("text"))
+    // reference: the previous window formulation (shuffles to line up leads)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val viaWindow = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .where(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val gen = docs.select(col("doc_id"), Native.shingle_rows(col("text"), 3).as("s"))
+    val viaGen = gen.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaGen === viaWindow, "generator must reproduce the window form exactly")
+    assert(!gen.queryExecution.executedPlan.toString.contains("Exchange"),
+      "shingling must be map-only — no exchange of token rows")
+    // edge cases: short doc (no shingles), consecutive spaces (empty tokens kept)
+    import spark.implicits._
+    val edge = Seq((1L, "a b"), (2L, "x  y z")).toDF("doc_id", "text")
+      .select(col("doc_id"), Native.shingle_rows(col("text"), 3).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(edge === Seq((2L, "x  y"), (2L, " y z")))
+  }
+
   test("ivfTopK: high recall vs brute-force ground truth") {
     val bf = Similarity.bruteForceTopK(spark, TestSpark.sf, nQueries = 10, k = 10)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
