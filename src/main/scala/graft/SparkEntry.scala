@@ -61,6 +61,11 @@ object SparkEntry {
     "set_ops"             -> ((s, d) => Windowing.setOps(s, d)),
     "pivot_user_type"     -> ((s, d) => Windowing.pivotUserType(s, d)),
     "tumbling_volume"     -> ((s, d) => Windowing.tumblingVolume(s, d)),
+    "window_range_frame"  -> ((s, d) => Windowing.windowRangeFrame(s, d)),
+    // a REAL Structured Streaming job (AvailableNow → memory sink) whose
+    // materialized result is oracle-compared against the batch recompute
+    "stream_tumbling_volume" -> ((s, d) =>
+      graft.streaming.MicroBatch.streamTumblingVolume(s, d)),
     // silver ops (SURVEY §2.1/2.4: P3, J6, J7, A12)
     // custom Catalyst operator (LogicalPlan + Strategy + SparkPlan)
     "asof_user_profile"   -> ((s, d) => AsOf.asofUserProfile(s, d)),
@@ -187,6 +192,8 @@ object SparkEntry {
     "set_ops"             -> Windowing.oracle.setOps,
     "pivot_user_type"     -> Windowing.oracle.pivotUserType,
     "tumbling_volume"     -> Windowing.oracle.tumblingVolume,
+    "window_range_frame"  -> Windowing.oracle.windowRangeFrame,
+    "stream_tumbling_volume" -> graft.streaming.MicroBatch.oracle.streamTumblingVolume,
     "asof_user_profile"   -> AsOf.asofUserProfileOracle,
     "merge_into_sql"      -> graft.plans.MergeInto.mergeIntoSqlOracle,
     "silver_upsert"       -> Ingest.oracle.silverUpsert,

@@ -78,6 +78,27 @@ object Windowing {
 
   /** 6-hour tumbling windows over the event stream (batch form of the
     * streaming windowed aggregate). */
+  /** RANGE-frame window over event time: per user, the rolling 1-hour
+    * spend (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`) —
+    * the value-based frame the ROWS-frame queries above can't express
+    * (frame membership follows the ORDER BY VALUE, so timestamp ties are
+    * peers and engines agree regardless of tie order). The rate-limiting /
+    * rolling-exposure shape. Same scale contract as every per-key window:
+    * one shuffle on user_id, state bounded by a key's rows inside the
+    * interval. Exact-decimal sum keeps the rolling total bit-comparable. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr(
+        "event_id", "user_id", "ts", "value",
+        """CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+          |  PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+          |) AS DOUBLE) AS vol_1h""".stripMargin,
+        """CAST(COUNT(*) OVER (
+          |  PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+          |) AS BIGINT) AS n_1h""".stripMargin)
+
   def tumblingVolume(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "6 hours"))
@@ -134,6 +155,14 @@ object Windowing {
          |  $cols
          |FROM events GROUP BY 1""".stripMargin
     }
+
+    val windowRangeFrame: String =
+      """SELECT event_id, user_id, ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS vol_1h,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin
 
     val tumblingVolume: String =
       s"""SELECT

@@ -102,4 +102,59 @@ object MicroBatch {
           UserAgg(uid, n, v)
       }
   }
+
+  /** Streaming↔batch equivalence as an ORACLE-CHECKED query, not just a
+    * spec: a real Structured Streaming job (file source over the events
+    * parquet → 3-hour tumbling aggregate → memory sink, AvailableNow
+    * trigger runs the backlog to completion) whose materialized result is
+    * hash-compared against the batch SQL the DuckDB oracle runs. Complete
+    * output mode, no watermark: AvailableNow + append would hold back the
+    * final windows, and the point is exact parity with batch.
+    *
+    * Exactness: the same decimal-cast sum as every batch aggregate —
+    * streaming state updates are order-nondeterministic, so the decimal
+    * accumulator is what makes streaming and batch (and DuckDB) agree
+    * bit-for-bit. The memory-sink table name is unique per invocation so
+    * concurrent Verify runs and Bench's repeat passes don't collide. */
+  def streamTumblingVolume(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_tv_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the file stream source wants a DIRECTORY; scope it to the events
+    // table with a glob filter (the other tables never enter the stream)
+    val agg = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)").as("ts"),
+        col("user_id"), col("value"))
+      .groupBy(window(col("ts"), "3 hours"))
+      // no countDistinct: distinct aggregates are unsupported on streams
+      // (the sketch path approx_count_distinct is the streaming answer)
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.Dsl.dsum(col("value")).as("volume"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("n_events"), col("volume"), col("max_value"))
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  object oracle {
+    /** The batch recompute of [[streamTumblingVolume]] — identical shape
+      * to the batch tumbling query, 3-hour buckets. */
+    val streamTumblingVolume: String =
+      s"""SELECT
+         |  make_timestamp(CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) * 1000000) AS ws,
+         |  make_timestamp((CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) + 10800) * 1000000) AS we,
+         |  COUNT(*) AS n_events,
+         |  ${graft.Dsl.sql.dsum("value")} AS volume,
+         |  MAX(value) AS max_value
+         |FROM events GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -203,6 +203,20 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
         - r.getAs[java.sql.Timestamp]("ss").getTime == 40 * 60 * 1000)) // 10 min span + 30 min gap
   }
 
+  test("streaming: AvailableNow file-stream aggregate equals the batch recompute") {
+    val streamed = MicroBatch.streamTumblingVolume(spark, sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("ws"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("volume"))).sortBy(_._1.toString).toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "3 hours"))
+      .agg(count(lit(1)).as("n"), graft.Dsl.dsum(col("value")).as("v"))
+      .select(col("window.start").as("ws"), col("n"), col("v"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("ws"),
+        r.getAs[Long]("n"), r.getAs[Double]("v"))).sortBy(_._1.toString).toSeq
+    assert(streamed === batch, "streaming and batch must agree bit-for-bit")
+  }
+
   test("streaming: dropDuplicatesWithinWatermark keeps first arrival per key") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
