@@ -78,6 +78,43 @@ object ScaleBench {
       val secs = (System.nanoTime() - c0) / 1e9
       println(f"[scale] $label secs=$secs%.1f docs_per_sec=${(nDocs / secs).toLong}")
     }
+    // scale-pattern ops over generated keys — the shapes whose 100 TB
+    // behavior the plans promise: a map-only bloom probe (filter pushed
+    // into the scan, zero joins/shuffles of the probe side), Misra-Gries
+    // heavy hitters (bounded state + candidate-pruned exact count), and
+    // the SCD2 build (one key shuffle, per-key windows).
+    val probeRows = rows / 5
+    val dimKeys = 100000
+    val mBits = 1 << 21 // ~2 M bits for 100 k keys → <1% fp; 64 KB literal
+    val dim = spark.range(dimKeys).select((col("id") * 7L).as("key"))
+    val words = graft.operators.Bloom.bitsArray(dim, "key", mBits, 3)
+    val b0 = System.nanoTime()
+    val survivors = spark.range(probeRows).select(col("id").as("key"))
+      .where(graft.operators.Bloom.mightContain(col("key"), words, mBits, 3))
+      .count()
+    val bloomSecs = (System.nanoTime() - b0) / 1e9
+    println(f"[scale] bloom_probe rows=$probeRows survivors=$survivors secs=$bloomSecs%.1f rows_per_sec=${(probeRows / bloomSecs).toLong}")
+
+    import spark.implicits._
+    val hh0 = System.nanoTime()
+    val items = spark.range(probeRows).select(
+      when(col("id") % 10 === 0, concat(lit("hot_"), (expr("id div 10") % 5).cast("string")))
+        .otherwise(concat(lit("cold_"), (col("id") % 1000000).cast("string")))
+        .as("key")).as[String]
+    val hitters = graft.operators.Frequency.heavyHitters(items, cap = 64).count()
+    val hhSecs = (System.nanoTime() - hh0) / 1e9
+    println(f"[scale] heavy_hitters rows=$probeRows hitters=$hitters secs=$hhSecs%.1f rows_per_sec=${(probeRows / hhSecs).toLong}")
+
+    val s0 = System.nanoTime()
+    val evts = spark.range(probeRows).select(
+      (col("id") % 1000000L).as("user_id"),
+      expr("timestamp_micros(1704067200000000 + id * 1000)").cast("timestamp_ntz").as("ts"),
+      col("id").as("event_id"),
+      concat(lit("t"), pmod(xxhash64(col("id")), lit(5)).cast("string")).as("event_type"))
+    graft.silver.Changelog.scd2On(evts).write.format("noop").mode("overwrite").save()
+    val scdSecs = (System.nanoTime() - s0) / 1e9
+    println(f"[scale] scd2_build rows=$probeRows secs=$scdSecs%.1f rows_per_sec=${(probeRows / scdSecs).toLong}")
+
     spark.stop()
   }
 }

@@ -63,6 +63,16 @@ object Bloom {
       .groupBy(expr("pos div 32").as("w"))
       .agg(bit_or(expr("shiftleft(1L, cast(pos % 32 as int))")).as("bits"))
 
+  /** [[buildBits]] pulled to the driver as a dense word array — the
+    * bounded (mBits/32 longs, data-size-independent) pull that feeds the
+    * literal probe. */
+  def bitsArray(keys: DataFrame, keyCol: String, mBits: Int, k: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 32)
+    buildBits(keys, keyCol, mBits, k).collect()
+      .foreach(r => words(r.getAs[Long]("w").toInt) = r.getAs[Long]("bits"))
+    words
+  }
+
   /** Membership test of a key column against a dense word array: a native
     * codegen expression ([[graft.functions.Native.BloomContains]]) doing
     * ONE md5 per row and k inline bit tests. A plain boolean expression,
@@ -98,9 +108,7 @@ object Bloom {
       .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name") === region)
       .select(col("s_suppkey"))
-    val words = new Array[Long](mBits / 32)
-    buildBits(dim, "s_suppkey", mBits, k).collect()
-      .foreach(r => words(r.getAs[Long]("w").toInt) = r.getAs[Long]("bits"))
+    val words = bitsArray(dim, "s_suppkey", mBits, k)
 
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_returnflag"),

@@ -37,9 +37,14 @@ object Changelog {
     * the (user_id) partitioning and (ts, event_id) order, so Catalyst
     * plans ONE exchange; event_id breaks timestamp ties deterministically.
     */
-  def scd2UserType(spark: SparkSession, dir: String): DataFrame = {
+  def scd2UserType(spark: SparkSession, dir: String): DataFrame =
+    scd2On(Tables.events(spark, dir))
+
+  /** [[scd2UserType]] over an arbitrary (user_id, ts, event_id,
+    * event_type) frame — the scale-bench entry point. */
+  def scd2On(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
