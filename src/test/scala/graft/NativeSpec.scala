@@ -80,6 +80,20 @@ class NativeSpec extends AnyFunSuite {
     assert(edge === Seq((2L, "x  y"), (2L, " y z")))
   }
 
+  test("shingle_rows registers as a SQL table function usable in LATERAL VIEW") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+      .createOrReplaceTempView("sr_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, s FROM sr_docs LATERAL VIEW shingle_rows(text, 3) t AS s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaSql === Seq((1L, "a b c"), (1L, "b c d")))
+    // non-literal width must be rejected, not silently mis-shingled
+    intercept[Exception](
+      spark.sql("SELECT shingle_rows(text, doc_id) FROM sr_docs").collect())
+  }
+
   test("ivfTopK: high recall vs brute-force ground truth") {
     val bf = Similarity.bruteForceTopK(spark, TestSpark.sf, nQueries = 10, k = 10)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
