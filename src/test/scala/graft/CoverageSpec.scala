@@ -12,6 +12,15 @@ class CoverageSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("driver contract: queries and oracleSql cover exactly the same names") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q diff o).isEmpty,
+      s"queries without an oracle (driver records only a weak rows check): ${(q diff o).mkString(", ")}")
+    assert((o diff q).isEmpty,
+      s"orphan oracle entries (driver would ERROR on the missing parquet): ${(o diff q).mkString(", ")}")
+  }
+
   test("cube_volume: all four grouping combinations present, totals consistent") {
     val df = Tpch.cubeVolume(spark, sf).cache()
     assert(df.select(col("g_status"), col("g_prio")).distinct().count() === 4)
