@@ -145,6 +145,7 @@ object SparkEntry {
     "session_volume"      -> ((s, d) => Extended.sessionVolume(s, d)),
     "sliding_volume"      -> ((s, d) => Extended.slidingVolume(s, d)),
     "exact_median"        -> ((s, d) => Extended.exactMedian(s, d)),
+    "value_deciles"       -> ((s, d) => Extended.valueDeciles(s, d)),
     "mode_priority"       -> ((s, d) => Extended.modePriority(s, d)),
     "stats_corr"          -> ((s, d) => Extended.statsCorr(s, d)),
     "grouping_sets_geo"   -> ((s, d) => Extended.groupingSetsGeo(s, d)),
@@ -254,6 +255,7 @@ object SparkEntry {
     "session_volume"      -> Extended.oracle.sessionVolume,
     "sliding_volume"      -> Extended.oracle.slidingVolume,
     "exact_median"        -> Extended.oracle.exactMedian,
+    "value_deciles"       -> Extended.oracle.valueDeciles,
     "mode_priority"       -> Extended.oracle.modePriority,
     "stats_corr"          -> Extended.oracle.statsCorr,
     "grouping_sets_geo"   -> Extended.oracle.groupingSetsGeo,

@@ -84,6 +84,33 @@ object Extended {
         max(col("n")).as("n"))
   }
 
+  /** Exact per-group deciles (equi-height histogram boundaries) via the
+    * same cumulative-count-over-DISTINCT-values shape as [[exactMedian]]:
+    * the window runs over one row per distinct value per group, never the
+    * raw rows, and rank selection is pure integer arithmetic
+    * (r_d = ceil(d·n/10) = (d·n+9) div 10 — percentile_disc semantics)
+    * so both engines pick identical boundary values with no float
+    * interpolation to disagree on. The one fan-out (×9 deciles) happens
+    * AFTER the aggregation, on group-cardinality rows. */
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wN))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("prev"),
+        col("cum"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("d"))
+      .withColumn("r", expr("(cast(d as bigint) * n + 9) div 10"))
+      .where(col("r") > col("prev") && col("r") <= col("cum"))
+      .select(col("l_returnflag"), col("d"),
+        col("l_extendedprice").as("decile_value"), col("n"))
+  }
+
   /** Mode (most frequent value) per group with a deterministic tiebreak —
     * two-level: grouped counts first, then a window over group-cardinality
     * rows only. */
@@ -298,6 +325,23 @@ object Extended {
          |WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
          |   OR rn = CAST(floor((n + 2) / 2) AS BIGINT)
          |GROUP BY 1""".stripMargin
+
+    val valueDeciles: String =
+      s"""WITH counts AS (
+         |  SELECT l_returnflag, l_extendedprice, COUNT(*) AS cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |c AS (
+         |  SELECT l_returnflag, l_extendedprice, cnt,
+         |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM counts),
+         |x AS (
+         |  SELECT c.*, cum - cnt AS prev, CAST(i AS INT) AS d,
+         |    (i * n + 9) // 10 AS r
+         |  FROM c, range(1, 10) t(i))
+         |SELECT l_returnflag, d, l_extendedprice AS decile_value,
+         |  CAST(n AS BIGINT) AS n
+         |FROM x WHERE r > prev AND r <= cum""".stripMargin
 
     val modePriority: String =
       s"""WITH counts AS (

@@ -69,6 +69,28 @@ class ExtendedCoverageSpec extends AnyFunSuite {
     assert(windowed === 2 * Tables.events(spark, sf).count())
   }
 
+  test("value_deciles: 9 per group, equals a driver-side percentile_disc on collected values") {
+    val rows = graft.gold.Extended.valueDeciles(spark, sf).collect()
+    val byFlag = rows.groupBy(_.getAs[String]("l_returnflag"))
+    val prices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(byFlag.keySet === prices.keySet)
+    byFlag.foreach { case (flag, ds) =>
+      assert(ds.length === 9)
+      val sorted = prices(flag)
+      ds.foreach { r =>
+        val d = r.getAs[Int]("d")
+        val expect = sorted(((d.toLong * sorted.length + 9) / 10).toInt - 1)
+        assert(r.getAs[Double]("decile_value") === expect,
+          s"flag=$flag d=$d")
+      }
+      // monotone non-decreasing boundaries
+      val vals = ds.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("decile_value"))
+      assert(vals.toSeq === vals.sorted.toSeq)
+    }
+  }
+
   test("exact_median matches the builtin median within double noise") {
     val ours = Extended.exactMedian(spark, sf)
       .select(col("l_returnflag"), col("median_price"))
