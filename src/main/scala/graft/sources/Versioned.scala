@@ -124,7 +124,12 @@ object Versioned {
   def commit(df: DataFrame, root: String, retain: Int = 2,
              partitionDayOf: Option[String] = None): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
-    val next = currentVersion(root).getOrElse(0L) + 1
+    // allocate past every RETAINED directory, not just the pointer: after
+    // a rollback the pointer sits below younger retained snapshots, and
+    // pointer+1 would overwrite one of them
+    val next = math.max(
+      currentVersion(root).getOrElse(0L),
+      versions(root).lastOption.getOrElse(0L)) + 1
     partitionDayOf match {
       case Some(ts) =>
         df.withColumn(DayCol, to_date(col(ts)))
@@ -133,18 +138,79 @@ object Versioned {
         df.write.mode("overwrite").parquet(s"$root/v=$next")
     }
 
-    // single-key atomic pointer flip: temp file + ATOMIC_MOVE locally,
-    // a plain PUT on an object store.
-    val tmp = Paths.get(root, s"$Pointer.tmp")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    flipPointer(root, next)
 
-    versions(root).filter(_ <= next - retain).foreach { v =>
+    // GC: age out old snapshots, but never one pinned by a tag
+    val pinned = tags(root).values.toSet
+    versions(root).filter(v => v <= next - retain && !pinned(v)).foreach { v =>
       deleteRecursively(Paths.get(s"$root/v=$v"))
     }
     next
   }
+
+  /** Single-key atomic pointer flip: temp file + ATOMIC_MOVE locally, a
+    * plain PUT on an object store. */
+  private def flipPointer(root: String, v: Long): Unit = {
+    val tmp = Paths.get(root, s"$Pointer.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointerPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Roll the live pointer back to a retained snapshot — Iceberg's
+    * `rollback_to_snapshot`. Pointer-only (one atomic PUT): the younger
+    * snapshots stay retained and time-travelable; the NEXT commit
+    * allocates above them ([[commit]] uses max(retained)+1), so history
+    * is never overwritten by a post-rollback write. */
+  def rollback(root: String, toVersion: Long): Unit = {
+    require(Files.exists(Paths.get(s"$root/v=$toVersion")),
+      s"cannot roll back: version $toVersion of $root is not retained")
+    flipPointer(root, toVersion)
+  }
+
+  private def tagsDir(root: String): Path = Paths.get(root, "tags")
+
+  /** Pin a snapshot under a name — Iceberg's tags. A tagged snapshot is
+    * exempt from [[commit]]'s retention GC until the tag is dropped, so
+    * `readTag` stays valid indefinitely (audit pins, "the corpus we
+    * trained run X on"). Defaults to tagging the live snapshot. */
+  def tag(root: String, name: String, version: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$name'")
+    val v = version.getOrElse(currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")))
+    require(Files.exists(Paths.get(s"$root/v=$v")), s"version $v is not retained")
+    Files.createDirectories(tagsDir(root))
+    val tmp = tagsDir(root).resolve(s"$name.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tagsDir(root).resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** All tags of a table (name → pinned version). */
+  def tags(root: String): Map[String, Long] = {
+    val d = tagsDir(root)
+    if (!Files.isDirectory(d)) Map.empty
+    else {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => !p.getFileName.toString.endsWith(".tmp"))
+          .map(p => p.getFileName.toString ->
+            new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+          .toMap
+      } finally s.close()
+    }
+  }
+
+  def dropTag(root: String, name: String): Unit =
+    Files.deleteIfExists(tagsDir(root).resolve(name))
+
+  /** Read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    readVersion(spark, root, tags(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $root")))
 
   /** Small-file compaction — the OPTIMIZE / `rewrite_data_files`
     * maintenance op every snapshot table needs once streaming or

@@ -72,6 +72,37 @@ class TableFormatSpec extends AnyFunSuite {
     assert(Versioned.readVersion(spark, root, 1L).count() === 200)
   }
 
+  test("rollback + tags: pointer-only rollback, post-rollback commits allocate above history, tags pin against GC") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("vtag").toString + "/t"
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), root, retain = 3)        // v=1
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, retain = 3) // v=2
+    Versioned.tag(root, "audit-v1", Some(1L))
+
+    // rollback is a pointer flip; younger snapshot stays retained
+    Versioned.rollback(root, 1L)
+    assert(Versioned.currentVersion(root) === Some(1L))
+    assert(Versioned.read(spark, root).count() === 1)
+    assert(Versioned.versions(root) === Seq(1L, 2L))
+
+    // the next commit must allocate ABOVE the retained v=2, not at pointer+1
+    val v3 = Versioned.commit(Seq((9L, "z")).toDF("k", "v"), root, retain = 2)
+    assert(v3 === 3L)
+    assert(Versioned.readVersion(spark, root, 2L).count() === 2,
+      "post-rollback commit must not overwrite retained history")
+
+    // retention GC would drop v=1 (3 - retain 2), but the tag pins it
+    assert(Versioned.versions(root).contains(1L), "tagged snapshot must survive GC")
+    assert(Versioned.readTag(spark, root, "audit-v1").count() === 1)
+    assert(Versioned.tags(root) === Map("audit-v1" -> 1L))
+
+    // dropping the tag lets the NEXT commit's GC reap it
+    Versioned.dropTag(root, "audit-v1")
+    Versioned.commit(Seq((7L, "q")).toDF("k", "v"), root, retain = 2)        // v=4
+    assert(!Versioned.versions(root).contains(1L))
+    intercept[IllegalArgumentException](Versioned.readTag(spark, root, "audit-v1"))
+  }
+
   test("snapshot history: one row per retained version, live flagged") {
     import spark.implicits._
     val root = Files.createTempDirectory("vhist").toString + "/t"
