@@ -85,7 +85,9 @@ object ScaleBench {
     // the SCD2 build (one key shuffle, per-key windows).
     val probeRows = rows / 5
     val dimKeys = 100000
-    val mBits = 1 << 21 // ~2 M bits for 100 k keys → <1% fp; 64 KB literal
+    // ~2 M bits for 100 k keys → <1% fp; stored one 32-bit word per long,
+    // so the closure ships 65536 longs = 512 KB (256 KB of meaningful bits)
+    val mBits = 1 << 21
     val dim = spark.range(dimKeys).select((col("id") * 7L).as("key"))
     val words = graft.operators.Bloom.bitsArray(dim, "key", mBits, 3)
     val b0 = System.nanoTime()

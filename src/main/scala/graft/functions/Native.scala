@@ -162,6 +162,20 @@ object Native {
       })
     }
 
+    // Case-class equality on an Array field is reference identity, which
+    // breaks plan canonicalization: two semantically identical probes
+    // would never compare equal (semanticEquals, subexpression
+    // elimination, exchange reuse all miss). Compare the bit content.
+    override def equals(other: Any): Boolean = other match {
+      case b: BloomContains =>
+        b.child == child && b.mBits == mBits && b.k == k &&
+          java.util.Arrays.equals(b.words, words)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(child, Integer.valueOf(mBits), Integer.valueOf(k),
+        Integer.valueOf(java.util.Arrays.hashCode(words)))
+
     override protected def withNewChildInternal(newChild: Expression): BloomContains =
       copy(child = newChild)
   }

@@ -48,28 +48,65 @@ object Extended {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("n_events"), col("volume"))
 
-  /** Exact median per group, interpolation-free: average the one or two
-    * middle elements over exact decimals. Bit-reproducible (builtin
-    * percentile/quantile interpolation trees differ per engine).
+  /** Price-range width of one rank bucket in [[cumulativeHistogram]].
+    * Prices carry 2 decimals, so a 500-wide bucket holds ≤ 50,000 distinct
+    * values — a constant bound independent of corpus size. */
+  private val RankBucketWidth = 500.0
+
+  /** Two-phase cumulative counts over the distinct-value histogram of
+    * l_extendedprice per l_returnflag, with every window partition
+    * BOUNDED regardless of scale — the distributed form of a per-group
+    * rank scan:
     *
-    * Computed over the VALUE HISTOGRAM, not the raw rows: lineitem is
-    * hash-aggregated to (flag, price, cnt) first, so the cumulative-count
-    * window runs over distinct prices per flag — value-domain-sized input
-    * (prices are a bounded money domain), where ranking the raw rows
-    * would put the whole table's rows for a flag on one reducer. The
-    * middle positions p1/p2 are located in the cumulative counts; a value
-    * spanning both contributes twice (weight), reproducing exactly the
-    * two-middle-elements average. */
-  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wN = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(spark, dir)
+    *  1. hash-aggregate raw rows to (flag, price, cnt) — one shuffle,
+    *     map-side combined;
+    *  2. range-bucket the values (`floor(price / width)` — fixed-width,
+    *     data-independent) and aggregate per-bucket totals: a frame of
+    *     bucket cardinality (value domain / width), corpus-independent;
+    *  3. prefix-sum the bucket totals with a window per flag — runs over
+    *     BUCKET rows only, never values — giving each bucket its global
+    *     rank offset and each flag its total n;
+    *  4. broadcast-join the offsets back and cumulate WITHIN each
+    *     (flag, bucket): partitions hold at most one bucket's distinct
+    *     values (≤ width·100 rows for 2-decimal money), so no reducer
+    *     ever scans a whole group's histogram.
+    *
+    * cum = bucket offset + within-bucket running count is exactly the
+    * single-window cumulative count (bucket order is value order), so the
+    * rank arithmetic downstream — and the DuckDB oracles — are unchanged.
+    * Returns (l_returnflag, l_extendedprice, cnt, prev, cum, n). */
+  private def cumulativeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n", sum(col("cnt")).over(wN))
+      .withColumn("bkt", floor(col("l_extendedprice") / RankBucketWidth))
+    val wPrevBkts = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wFlag = Window.partitionBy(col("l_returnflag"))
+    val offsets = hist.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("offset", coalesce(sum(col("bcnt")).over(wPrevBkts), lit(0L)))
+      .withColumn("n", sum(col("bcnt")).over(wFlag))
+      .select(col("l_returnflag"), col("bkt"), col("offset"), col("n"))
+    val wInBkt = Window.partitionBy(col("l_returnflag"), col("bkt"))
+      .orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.join(broadcast(offsets), Seq("l_returnflag", "bkt"))
+      .withColumn("cum", col("offset") + sum(col("cnt")).over(wInBkt))
       .withColumn("prev", col("cum") - col("cnt"))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("cnt"),
+        col("prev"), col("cum"), col("n"))
+  }
+
+  /** Exact median per group, interpolation-free: average the one or two
+    * middle elements over exact decimals. Bit-reproducible (builtin
+    * percentile/quantile interpolation trees differ per engine). Rank
+    * positions come from [[cumulativeHistogram]] — bounded windows, no
+    * group-sized reducer; the middle positions p1/p2 are located in the
+    * cumulative counts and a value spanning both contributes twice
+    * (weight), reproducing exactly the two-middle-elements average. */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame =
+    cumulativeHistogram(spark, dir)
       .withColumn("p1", floor((col("n") + 1) / 2))
       .withColumn("p2", floor((col("n") + 2) / 2))
       .withColumn("wgt",
@@ -82,26 +119,15 @@ object Extended {
         (sum(col("l_extendedprice").cast(Dsl.Money) * col("wgt")).cast(DoubleType)
           / sum(col("wgt"))).as("median_price"),
         max(col("n")).as("n"))
-  }
 
-  /** Exact per-group deciles (equi-height histogram boundaries) via the
-    * same cumulative-count-over-DISTINCT-values shape as [[exactMedian]]:
-    * the window runs over one row per distinct value per group, never the
-    * raw rows, and rank selection is pure integer arithmetic
-    * (r_d = ceil(d·n/10) = (d·n+9) div 10 — percentile_disc semantics)
-    * so both engines pick identical boundary values with no float
-    * interpolation to disagree on. The one fan-out (×9 deciles) happens
-    * AFTER the aggregation, on group-cardinality rows. */
-  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wN = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n", sum(col("cnt")).over(wN))
-      .withColumn("prev", col("cum") - col("cnt"))
+  /** Exact per-group deciles (equi-height histogram boundaries) from the
+    * same bounded-window [[cumulativeHistogram]]; rank selection is pure
+    * integer arithmetic (r_d = ceil(d·n/10) = (d·n+9) div 10 —
+    * percentile_disc semantics) so both engines pick identical boundary
+    * values with no float interpolation to disagree on. The one fan-out
+    * (×9 deciles) happens AFTER the aggregation, on histogram rows. */
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame =
+    cumulativeHistogram(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"), col("prev"),
         col("cum"), col("n"),
         explode(sequence(lit(1), lit(9))).as("d"))
@@ -109,7 +135,6 @@ object Extended {
       .where(col("r") > col("prev") && col("r") <= col("cum"))
       .select(col("l_returnflag"), col("d"),
         col("l_extendedprice").as("decile_value"), col("n"))
-  }
 
   /** Mode (most frequent value) per group with a deterministic tiebreak —
     * two-level: grouped counts first, then a window over group-cardinality

@@ -22,29 +22,50 @@ object Curation {
     * unbounded text would make one adversarial pair dominate a task). */
   val FuzzyPrefixLen = 120
 
-  /** Fuzzy near-dup scoring over candidate pairs via Levenshtein distance
-    * on bounded prefixes — the classic record-linkage complement to the
-    * token-set measures (catches small in-token edits that change every
-    * shingle). Candidate pairs here are adjacent doc_ids so the output is
-    * oracle-comparable; in production the pair generator is the MinHash/
-    * SimHash bucket join ([[Dedup]]), and this op is the pairwise scorer
-    * that runs after it. Map-only over the pair set: the join is on
-    * doc_id+1 (no fan-out), the distance is a codegen'd built-in, and
-    * cost per pair is bounded by [[FuzzyPrefixLen]]². */
-  def fuzzyEditPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), substring(col("text"), 1, FuzzyPrefixLen).as("pfx"))
+  /** edit_sim at or above this confirms an LSH candidate as a fuzzy dup. */
+  val FuzzyVerifyThreshold = 0.6
+
+  /** Fuzzy (edit-distance) dedup — the LSH-verify composition a production
+    * dedup stack runs: [[Dedup.minHashLsh]] generates candidate pairs
+    * (banded bucket join, never all-pairs), then each candidate is scored
+    * by Levenshtein similarity on bounded prefixes and confirmed or
+    * rejected against [[FuzzyVerifyThreshold]]. The character-level verify
+    * catches what the token-set estimate can't distinguish — small
+    * in-token edits versus genuine rewrites that happen to share shingle
+    * buckets — so `verified` is the keep/drop signal and a false-positive
+    * bucket collision scores low and is rejected. */
+  def fuzzyEditPairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyVerifyOn(
+      Tables.documents(spark, dir),
+      Dedup.minHashLsh(spark, dir).select(col("doc_a"), col("doc_b"), col("jaccard_est")))
+
+  /** Score arbitrary candidate pairs (doc_a, doc_b, jaccard_est) by
+    * bounded-prefix Levenshtein similarity against `docs` (doc_id, text).
+    *
+    * Scale shape: the pair set is dup-population-sized (LSH output), the
+    * two prefix lookups are equi-joins on doc id — each shuffles the
+    * BOUNDED prefix projection of the corpus, never full text — and the
+    * distance itself is a codegen'd built-in with per-pair cost capped at
+    * `prefixLen`² regardless of document length. No driver data, no
+    * fan-out beyond the candidate set. */
+  def fuzzyVerifyOn(docs: DataFrame, candidates: DataFrame,
+                    prefixLen: Int = FuzzyPrefixLen,
+                    threshold: Double = FuzzyVerifyThreshold): DataFrame = {
+    val d = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pfx"))
     val a = d.select(col("doc_id").as("doc_a"), col("pfx").as("pa"))
     val b = d.select(col("doc_id").as("doc_b"), col("pfx").as("pb"))
-    a.join(b, col("doc_b") === col("doc_a") + 1)
+    candidates
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b"))
       .select(
-        col("doc_a"), col("doc_b"),
+        col("doc_a"), col("doc_b"), col("jaccard_est"),
         levenshtein(col("pa"), col("pb")).as("edit_dist"),
         greatest(length(col("pa")), length(col("pb"))).as("max_len"))
       .withColumn("edit_sim",
         when(col("max_len") > 0,
           lit(1.0) - col("edit_dist").cast(DoubleType) / col("max_len"))
           .otherwise(lit(1.0)))
+      .withColumn("verified", col("edit_sim") >= threshold)
   }
 
   /** Deterministic stratified reservoir sample: `perStratum` documents per
@@ -247,17 +268,29 @@ object Curation {
   }
 
   object oracle {
+    /** Composition of the two existing mirrors: the full md5-mirrored
+      * MinHash-LSH pair query ([[Dedup.oracle.minHashLsh]]) as the
+      * candidate CTE, then the same prefix-Levenshtein verify. */
     val fuzzyEditPairs: String =
-      s"""WITH d AS (
+      s"""WITH pairs AS (
+         |${Dedup.oracle.minHashLsh}
+         |),
+         |d AS (
          |  SELECT doc_id, substr(text, 1, $FuzzyPrefixLen) AS pfx FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |SELECT p.doc_a, p.doc_b, p.jaccard_est,
          |  CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist,
          |  CAST(greatest(length(a.pfx), length(b.pfx)) AS INT) AS max_len,
          |  CASE WHEN greatest(length(a.pfx), length(b.pfx)) > 0
          |       THEN 1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
          |              / greatest(length(a.pfx), length(b.pfx))
-         |       ELSE 1.0 END AS edit_sim
-         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin
+         |       ELSE 1.0 END AS edit_sim,
+         |  (CASE WHEN greatest(length(a.pfx), length(b.pfx)) > 0
+         |        THEN 1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
+         |               / greatest(length(a.pfx), length(b.pfx))
+         |        ELSE 1.0 END) >= $FuzzyVerifyThreshold AS verified
+         |FROM pairs p
+         |JOIN d a ON a.doc_id = p.doc_a
+         |JOIN d b ON b.doc_id = p.doc_b""".stripMargin
 
     val stratifiedSample: String = {
       val pr = Dedup.md5LongSql("'rs_' || doc_id")

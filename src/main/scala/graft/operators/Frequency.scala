@@ -57,13 +57,20 @@ object Frequency {
   /** Exact heavy hitters of a key column: all keys with
     * freq · (cap+1) > N, found via MG candidates → broadcast semi-join
     * prune → exact count → threshold. Output is exact top-share keys with
-    * their counts and corpus share, ordered by (freq desc, key). */
+    * their counts and corpus share, ordered by (freq desc, key).
+    *
+    * NULL is a first-class key: the MG state machine counts it like any
+    * other value (HashMap admits a null key) and the candidate prune uses
+    * null-safe equality (`<=>`) — a plain equi-join would silently drop
+    * the NULL group that SQL GROUP BY (and the DuckDB oracle) reports, so
+    * a corpus where NULL exceeds the 1/(cap+1) share would diverge. */
   def heavyHitters(items: Dataset[String], cap: Int): DataFrame = {
     val spark = items.sparkSession
     val df = items.toDF("key")
     val cands = mgCandidates(items, cap)
     val total = df.agg(count(lit(1)).as("n_total"))
-    df.join(broadcast(cands), Seq("key"))
+    df.join(broadcast(cands.withColumnRenamed("key", "__cand_key")),
+        col("key") <=> col("__cand_key"))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))

@@ -227,6 +227,15 @@ object Versioned {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val dir = Paths.get(s"$root/v=$v")
+    // A hidden-day-partitioned snapshot compacted without partitionDayOf
+    // would silently commit an UNpartitioned layout (read() strips the
+    // day column before the rewrite), breaking readDayRange on the next
+    // call. Refuse rather than guess: the caller knows the ts column.
+    if (partitionDayOf.isEmpty
+        && spark.read.parquet(dir.toString).columns.contains(DayCol))
+      throw new IllegalArgumentException(
+        s"$root's live snapshot is hidden-day-partitioned; pass " +
+          "partitionDayOf so compaction preserves the partition layout")
     val bytes = {
       val s = Files.walk(dir)
       try {

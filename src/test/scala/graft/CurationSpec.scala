@@ -12,24 +12,48 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("fuzzyEditPairs: adjacent-pair count, sim bounds, self-identity") {
+  test("fuzzyEditPairs: LSH-fed candidates, sim bounds, pairs are real LSH output") {
     val rows = Curation.fuzzyEditPairs(spark, dir).collect()
-    val nDocs = graft.Tables.documents(spark, dir).count()
-    assert(rows.length === nDocs - 1)
     rows.foreach { r =>
       val (dist, sim) = (r.getAs[Int]("edit_dist"), r.getAs[Double]("edit_sim"))
       assert(dist >= 0 && sim >= 0.0 && sim <= 1.0)
-      assert(r.getAs[Long]("doc_b") === r.getAs[Long]("doc_a") + 1)
+      assert(r.getAs[Boolean]("verified") === (sim >= Curation.FuzzyVerifyThreshold))
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard_est") >= 0.5)
     }
-    // identical prefixes must score dist 0 / sim 1 (pair a doc with itself)
+    // the scored pair set is exactly the LSH candidate set (verify scores
+    // every candidate; it never invents or drops pairs)
+    val nCands = graft.operators.Dedup.minHashLsh(spark, dir).count()
+    assert(rows.length.toLong === nCands)
+  }
+
+  test("fuzzyVerifyOn: planted near-dup confirmed via LSH; planted bucket collision rejected") {
     import spark.implicits._
-    val d = Seq((1L, "same text here"), (2L, "same text here")).toDF("doc_id", "text")
-    val self = d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-      .select(levenshtein(
-        substring(col("a.text"), 1, Curation.FuzzyPrefixLen),
-        substring(col("b.text"), 1, Curation.FuzzyPrefixLen)).as("dist"))
-      .head().getInt(0)
-    assert(self === 0)
+    // 40-token docs: 1 and 2 differ by one in-token edit (near-dup);
+    // 3 is unrelated content
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok7", "tokX")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, edited), (3L, other)).toDF("doc_id", "text")
+
+    // true positives flow end-to-end: LSH finds the planted pair, verify
+    // confirms it (one character of 120+ differs)
+    val lshPairs = graft.operators.Dedup.minHashLshOn(docs)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_est"))
+    val confirmed = Curation.fuzzyVerifyOn(docs, lshPairs).collect()
+    assert(confirmed.exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L
+        && r.getAs[Boolean]("verified")))
+    // no pair involving doc 3 survives LSH at all
+    assert(!confirmed.exists(r =>
+      r.getAs[Long]("doc_a") == 3L || r.getAs[Long]("doc_b") == 3L))
+
+    // a planted FALSE-POSITIVE bucket collision (pair 1-3 injected as if
+    // two bands collided) is scored low and rejected by the verify step
+    val planted = Seq((1L, 3L, 0.5)).toDF("doc_a", "doc_b", "jaccard_est")
+    val rejected = Curation.fuzzyVerifyOn(docs, planted).head()
+    assert(!rejected.getAs[Boolean]("verified"))
+    assert(rejected.getAs[Double]("edit_sim") < 0.5)
   }
 
   test("stratifiedSample: bounded per stratum, deterministic across runs") {
