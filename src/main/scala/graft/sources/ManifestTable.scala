@@ -180,6 +180,18 @@ object ManifestTable {
     commitManifest(root, writePool(df, root, partitionDayOf), retain)
   }
 
+  /** Append commit (INSERT INTO semantics): write only `df`'s files into
+    * the pool and publish a manifest referencing live ∪ new — commit cost
+    * proportional to the appended data, never to table size (the property
+    * that makes per-batch ingestion viable at 100 TB). First append on an
+    * empty table degenerates to [[commit]]. */
+  def append(df: DataFrame, root: String, retain: Int = 2,
+             partitionDayOf: Option[String] = None): Long = {
+    require(retain >= 1, "must retain at least the live snapshot")
+    val keep = if (exists(root)) liveManifest(root) else Nil
+    commitManifest(root, keep ++ writePool(df, root, partitionDayOf), retain)
+  }
+
   /** Partition-scoped commit: replace the named days with `df`'s rows;
     * files of every other day are carried into the new manifest untouched
     * (this is the Iceberg copy-on-write property — commit cost follows

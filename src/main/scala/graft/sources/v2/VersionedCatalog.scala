@@ -1,0 +1,436 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.ManifestTable
+
+/** DataSource V2 catalog plugin making [[graft.sources.ManifestTable]]
+  * snapshot tables first-class PLANNER objects — the integration layer the
+  * reference gets from Iceberg's SparkCatalog
+  * (`/root/reference/dags/2_bronze_to_silver.py:30-44`: silver tables are
+  * catalog objects addressed as `silver_catalog.silver.<tbl>`):
+  *
+  *  - `spark.sql("SELECT … FROM graft_cat.ns.tbl")` / `spark.table(…)`
+  *    resolve through [[VersionedCatalog.loadTable]];
+  *  - `VERSION AS OF` / `TIMESTAMP AS OF` go through the time-travel
+  *    `loadTable` overloads — Spark's OWN parser drives snapshot reads,
+  *    no injected-parser rewrite needed on this path;
+  *  - `INSERT INTO` / `INSERT OVERWRITE` / CTAS run the V2 write path and
+  *    commit manifests ([[VersionedWriteBuilder]]) — append cost is
+  *    proportional to the appended data, and every commit is an atomic
+  *    pointer flip with retained history;
+  *  - scans prune AT THE MANIFEST: filters on the hidden-day partition's
+  *    SOURCE timestamp column derive day bounds, out-of-range data files
+  *    are dropped from the file listing before the scan is planned
+  *    ([[VersionedScanBuilder]]) — Iceberg's scan planning re-expressed —
+  *    and the surviving files are read by Spark's own vectorized parquet
+  *    scan with columns pruned and data filters pushed to row-group
+  *    statistics.
+  *
+  * Configuration:
+  * {{{
+  *   spark.sql.catalog.graft_cat           graft.sources.v2.VersionedCatalog
+  *   spark.sql.catalog.graft_cat.warehouse /path/to/warehouse
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace…>/<table>` is a [[ManifestTable]] root
+  * plus a `_TABLE` descriptor (first line: hidden-day source column or
+  * empty; rest: schema JSON). The hidden `__day` partition column never
+  * appears in the user schema — days(ts) is reported through
+  * `partitioning()` and derived at scan/write time, which is the
+  * hidden-partitioning contract.
+  */
+class VersionedCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+    VersionedCatalog.register(name, warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableRoot(ident: Identifier): String =
+    (Seq(warehouse) ++ ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def nsDir(ns: Array[String]): java.nio.file.Path =
+    Paths.get((Seq(warehouse) ++ ns.toSeq).mkString("/"))
+
+  // ---- tables -------------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val d = nsDir(ns)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(ns)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.exists(p.resolve(VersionedCatalog.MetaFile)))
+      .map(p => Identifier.of(ns, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(Paths.get(tableRoot(ident), VersionedCatalog.MetaFile))
+
+  override def loadTable(ident: Identifier): Table =
+    loadVersion(ident, None)
+
+  /** `VERSION AS OF n` — Spark hands the version literal as a string. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadVersion(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = tableRoot(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    loadVersion(ident, Some(ManifestTable.versionAsOf(root, timestampMicros / 1000L)))
+  }
+
+  private def loadVersion(ident: Identifier, version: Option[Long]): Table = {
+    val root = tableRoot(ident)
+    val meta = VersionedCatalog.readMeta(root).getOrElse(
+      throw new NoSuchTableException(ident))
+    VersionedTable(
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      root, meta.schema, meta.dayOf, version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dayOf = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "days" =>
+        t.references().headOption.map(_.fieldNames().mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"only PARTITIONED BY (days(col)) is supported, got ${other.mkString(", ")}")
+    }
+    dayOf.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"days($c): no such column in ${schema.fieldNames.mkString(", ")}")
+    }
+    val root = tableRoot(ident)
+    Files.createDirectories(Paths.get(root))
+    VersionedCatalog.writeMeta(root, VersionedCatalog.Meta(schema, dayOf))
+    VersionedTable(
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      root, schema, dayOf, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on versioned tables goes through graft.sources.Evolution")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = Paths.get(tableRoot(ident))
+    if (!Files.exists(root.resolve(VersionedCatalog.MetaFile))) false
+    else { deleteRecursively(root); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(nsDir(newIdent.namespace()))
+    Files.move(Paths.get(tableRoot(oldIdent)), Paths.get(tableRoot(newIdent)),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- namespaces ---------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val d = Paths.get(warehouse)
+    if (!Files.isDirectory(d)) Array.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p)
+          && !Files.exists(p.resolve(VersionedCatalog.MetaFile)))
+        .map(p => Array(p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else if (Files.isDirectory(nsDir(ns))) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadNamespaceMetadata(ns: Array[String]): JMap[String, String] =
+    if (ns.isEmpty || Files.isDirectory(nsDir(ns))) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(ns)
+
+  override def createNamespace(ns: Array[String], meta: JMap[String, String]): Unit = {
+    if (Files.isDirectory(nsDir(ns))) throw new NamespaceAlreadyExistsException(ns)
+    Files.createDirectories(nsDir(ns))
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties are not stored")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(ns)
+    if (!Files.isDirectory(d)) false
+    else {
+      if (!cascade && listTables(ns).nonEmpty)
+        throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
+      deleteRecursively(d); true
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}
+
+object VersionedCatalog {
+  /** Table descriptor filename (first line: day-source column or empty;
+    * remaining lines: schema JSON). */
+  val MetaFile = "_TABLE"
+
+  case class Meta(schema: StructType, dayOf: Option[String])
+
+  /** Registered catalog instances (name → warehouse): lets the engine's
+    * DML layer ([[graft.plans.MergeInto]]) resolve `cat.ns.tbl` MERGE
+    * targets to their manifest roots without a session lookup. */
+  private val instances = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def register(name: String, warehouse: String): Unit =
+    instances.put(name.toLowerCase, warehouse)
+  private[graft] def warehouseOf(name: String): Option[String] =
+    Option(instances.get(name.toLowerCase))
+
+  def writeMeta(root: String, meta: Meta): Unit = {
+    val body = meta.dayOf.getOrElse("") + "\n" + meta.schema.json
+    val tmp = Paths.get(root, s"$MetaFile.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, MetaFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readMeta(root: String): Option[Meta] = {
+    val p = Paths.get(root, MetaFile)
+    if (!Files.exists(p)) None
+    else {
+      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val (head, rest) = lines.span(_ != '\n')
+      Some(Meta(DataType.fromJson(rest.trim).asInstanceOf[StructType],
+        Some(head.trim).filter(_.nonEmpty)))
+    }
+  }
+}
+
+/** A [[ManifestTable]] as a V2 `Table`: batch-readable with manifest-level
+  * pruning, batch-writable through the V1 fallback (append / truncate),
+  * hidden-day partitioning surfaced as the `days(col)` transform. A table
+  * loaded at a pinned version (time travel) is read-only. */
+case class VersionedTable(tableName: String, root: String, userSchema: StructType,
+                          dayOf: Option[String], pinnedVersion: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = userSchema
+
+  override def partitioning(): Array[Transform] =
+    dayOf.map(c => Expressions.days(c)).toArray
+
+  override def properties(): JMap[String, String] =
+    (Map("provider" -> "versioned", "location" -> root)
+      ++ dayOf.map("day_of" -> _)
+      ++ pinnedVersion.map("version" -> _.toString)).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VersionedScanBuilder(root, userSchema, dayOf, pinnedVersion, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName@v=${pinnedVersion.get} is a time-travel read; writes go to the live table")
+    new VersionedWriteBuilder(root, userSchema, dayOf)
+  }
+}
+
+/** Scan planning with MANIFEST-level hidden-partition pruning, delegating
+  * the physical read to Spark's own vectorized parquet scan.
+  *
+  * Pushdown contract: Spark hands the scan's filters ([[pushFilters]]) and
+  * required columns ([[pruneColumns]]); at [[build]] time
+  *
+  *  1. conjunctive bounds on the hidden day's SOURCE timestamp column are
+  *     translated to day bounds (monotone floor: `ts >= T ⇒ day >= day(T)`,
+  *     `ts < T ⇒ day <= day(T)` — never drops a needed file), and manifest
+  *     entries outside the bounds are REMOVED FROM THE FILE LISTING — the
+  *     scan never opens them, exactly Iceberg's plan-time pruning;
+  *  2. the surviving files back an [[InMemoryFileIndex]] (basePath keeps
+  *     `__day` a directory-derived partition column, absent from output);
+  *  3. a [[ParquetScanBuilder]] over that index gets the required columns
+  *     and the parquet-translatable data filters, so the emitted
+  *     `ParquetScan` carries column pruning, row-group statistics filters,
+  *     and the vectorized reader — identical physical performance to a
+  *     native parquet table over the pruned file set.
+  *
+  * All filters are also retained post-scan by Spark (pushFilters returns
+  * them as residual), so pruning is a pure optimization, never a
+  * correctness dependency. */
+class VersionedScanBuilder(root: String, dataSchema: StructType,
+                           dayOf: Option[String], pinnedVersion: Option[Long],
+                           options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = dataSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters
+    filters // all residual: Spark re-applies exact predicates after the scan
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Day bounds implied by the pushed conjunction, as (from, until)
+    * inclusive LocalDates. */
+  private def dayBounds: (Option[java.time.LocalDate], Option[java.time.LocalDate]) = {
+    val ts = dayOf.get
+    var from: Option[java.time.LocalDate] = None
+    var until: Option[java.time.LocalDate] = None
+    def tighterFrom(d: java.time.LocalDate): Unit =
+      from = Some(from.filter(_.isAfter(d)).getOrElse(d))
+    def tighterUntil(d: java.time.LocalDate): Unit =
+      until = Some(until.filter(_.isBefore(d)).getOrElse(d))
+    def dayOfValue(v: Any): Option[java.time.LocalDate] = v match {
+      case d: java.time.LocalDate => Some(d)
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case t: java.time.LocalDateTime => Some(t.toLocalDate)
+      case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate)
+      case i: java.time.Instant => Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      case s: String if s.length >= 10 =>
+        scala.util.Try(java.time.LocalDate.parse(s.take(10))).toOption
+      case _ => None
+    }
+    def visit(f: sources.Filter): Unit = f match {
+      case sources.And(l, r) => visit(l); visit(r)
+      case sources.EqualTo(a, v) if a.equalsIgnoreCase(ts) =>
+        dayOfValue(v).foreach { d => tighterFrom(d); tighterUntil(d) }
+      case sources.GreaterThan(a, v) if a.equalsIgnoreCase(ts) =>
+        dayOfValue(v).foreach(tighterFrom)
+      case sources.GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(ts) =>
+        dayOfValue(v).foreach(tighterFrom)
+      case sources.LessThan(a, v) if a.equalsIgnoreCase(ts) =>
+        dayOfValue(v).foreach(tighterUntil)
+      case sources.LessThanOrEqual(a, v) if a.equalsIgnoreCase(ts) =>
+        dayOfValue(v).foreach(tighterUntil)
+      case _ => () // Or/Not/other columns: no pruning, still exact post-scan
+    }
+    pushed.foreach(visit)
+    (from, until)
+  }
+
+  /** Manifest entries surviving day pruning (all of them when the table is
+    * unpartitioned, unfiltered, or never committed → possibly empty). */
+  private[v2] def prunedManifest: Seq[String] = {
+    val rels = pinnedVersion.orElse(ManifestTable.currentVersion(root)) match {
+      case Some(v) => ManifestTable.manifest(root, v)
+      case None => Nil
+    }
+    if (dayOf.isEmpty) rels
+    else dayBounds match {
+      case (None, None) => rels
+      case (from, until) =>
+        rels.filter { rel =>
+          val day = if (rel.startsWith(s"${ManifestTable.DayCol}="))
+            scala.util.Try(java.time.LocalDate.parse(
+              rel.takeWhile(_ != '/').stripPrefix(s"${ManifestTable.DayCol}="))).toOption
+          else None
+          day match {
+            case Some(d) =>
+              from.forall(!d.isBefore(_)) && until.forall(!d.isAfter(_))
+            case None => true // unpartitioned stray file: never prune
+          }
+        }
+    }
+  }
+
+  override def build(): Scan = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      SparkSession.builder().getOrCreate())
+    val files = prunedManifest.map(rel => new Path(s"$root/data/$rel"))
+    // basePath keeps partition discovery rooted at the data pool; for an
+    // empty listing (empty table / fully pruned) the pool dir may not
+    // exist yet and the option must be absent
+    val params =
+      if (files.isEmpty) Map.empty[String, String]
+      else Map("basePath" -> s"$root/data")
+    val index = new InMemoryFileIndex(spark, files, params, Some(dataSchema))
+    // required never contains the hidden day column (it is absent from the
+    // table schema), so the partition side of the read schema stays empty
+    // and __day rides only in the directory names
+    val partNames = index.partitionSchema.fieldNames.toSet
+    val readData = StructType(required.fields.filterNot(f => partNames.contains(f.name)))
+    val readPart = StructType(required.fields.filter(f => partNames.contains(f.name)))
+    org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
+      spark, index, dataSchema, readData, readPart, pushed, options)
+  }
+}
+
+/** V1-fallback write: INSERT INTO appends a manifest (cost ∝ new data),
+  * INSERT OVERWRITE / TRUNCATE commits a fresh snapshot; both are atomic
+  * pointer flips with retained history. The V1 path hands the input as a
+  * DataFrame, and [[ManifestTable]]'s committed parquet writer is Spark's
+  * own — nothing is row-converted beyond the normal write path. */
+class VersionedWriteBuilder(root: String, schema: StructType,
+                            dayOf: Option[String])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, ignored: Boolean): Unit = {
+        val spark = data.sparkSession
+        val retain = spark.conf.get("spark.graft.versioned.retain", "2").toInt
+        // align by name+type with the declared schema (V2 resolution has
+        // already matched columns; the cast pins exact physical types)
+        val aligned = data.select(schema.fields.toIndexedSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+        if (overwrite || !ManifestTable.exists(root))
+          ManifestTable.commit(aligned, root, retain, dayOf)
+        else
+          ManifestTable.append(aligned, root, retain, dayOf)
+      }
+    }
+  }
+}
