@@ -107,6 +107,20 @@ object ScaleBench {
     val hhSecs = (System.nanoTime() - hh0) / 1e9
     println(f"[scale] heavy_hitters rows=$probeRows hitters=$hitters secs=$hhSecs%.1f rows_per_sec=${(probeRows / hhSecs).toLong}")
 
+    // two-phase exact median at 10M+ rows: the bounded-window rewrite's
+    // scale point — generated (flag, 2-decimal price) rows; no window
+    // partition ever exceeds one price bucket's distinct values
+    val medRows = math.max(rows / 5, 10000000L)
+    val m0 = System.nanoTime()
+    val li = spark.range(medRows).select(
+      concat(lit("F"), pmod(xxhash64(col("id")), lit(3)).cast("string")).as("l_returnflag"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(10000000L)).cast("double") / 100.0)
+        .as("l_extendedprice"))
+    val med = graft.gold.Extended.exactMedianOn(
+      graft.gold.Extended.cumulativeHistogramOn(li)).count()
+    val medSecs = (System.nanoTime() - m0) / 1e9
+    println(f"[scale] exact_median rows=$medRows groups=$med secs=$medSecs%.1f rows_per_sec=${(medRows / medSecs).toLong}")
+
     val s0 = System.nanoTime()
     val evts = spark.range(probeRows).select(
       (col("id") % 1000000L).as("user_id"),

@@ -95,6 +95,9 @@ object SparkEntry {
     "doc_dedup_minhash"   -> ((s, d) => Dedup.minHashLsh(s, d)),
     "doc_dedup_simhash"   -> ((s, d) => Dedup.simHash(s, d)),
     "dedup_components"    -> ((s, d) => Dedup.dedupComponents(s, d)),
+    // skew-guarded variant: flooded LSH buckets dropped before the pair
+    // join; the oracle mirrors the cap so its recall effect is pinned
+    "dedup_components_capped" -> ((s, d) => Dedup.dedupComponentsCapped(s, d)),
     // similarity search extensions
     "ann_topk"            -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -121,7 +124,15 @@ object SparkEntry {
     "incremental_agg_refresh" -> ((s, d) => graft.pipeline.Incremental.incrementalAggRefresh(s, d)),
     // data-quality profiling passes
     "table_profile"       -> ((s, d) => graft.operators.Profile.tableProfile(s, d)),
+    "approx_table_profile" -> ((s, d) => graft.operators.Profile.approxTableProfile(s, d)),
     "skew_profile"        -> ((s, d) => graft.operators.Profile.skewProfile(s, d)),
+    // DataSource V2 catalog surface: planner-integrated versioned tables
+    // (CTAS/append through the V2 write path, manifest-level hidden-day
+    // pruning pinned by the prune_ok verdict, native SQL time travel, and
+    // gold maintenance fed by the snapshot-log CDC)
+    "versioned_scan_prune" -> ((s, d) => graft.sources.v2.V2Queries.versionedScanPrune(s, d)),
+    "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
+    "incremental_gold_from_cdc" -> ((s, d) => graft.sources.v2.V2Queries.incrementalGoldFromCdc(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -217,10 +228,15 @@ object SparkEntry {
     "doc_dedup_minhash"   -> Dedup.oracle.minHashLsh,
     "doc_dedup_simhash"   -> Dedup.oracle.simHash,
     "dedup_components"    -> Dedup.oracle.dedupComponents,
+    "dedup_components_capped" -> Dedup.oracle.dedupComponentsCapped,
     "bloom_prune_join"    -> graft.operators.Bloom.oracle.bloomPruneJoin(),
     "incremental_agg_refresh" -> graft.pipeline.Incremental.oracle.incrementalAggRefresh,
     "table_profile"       -> graft.operators.Profile.oracle.tableProfile,
+    "approx_table_profile" -> graft.operators.Profile.oracle.approxTableProfile,
     "skew_profile"        -> graft.operators.Profile.oracle.skewProfile,
+    "versioned_scan_prune" -> graft.sources.v2.V2Queries.oracle.versionedScanPrune,
+    "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
+    "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,

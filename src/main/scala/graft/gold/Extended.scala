@@ -75,8 +75,11 @@ object Extended {
     * single-window cumulative count (bucket order is value order), so the
     * rank arithmetic downstream — and the DuckDB oracles — are unchanged.
     * Returns (l_returnflag, l_extendedprice, cnt, prev, cum, n). */
-  private def cumulativeHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.lineitem(spark, dir)
+  private def cumulativeHistogram(spark: SparkSession, dir: String): DataFrame =
+    cumulativeHistogramOn(Tables.lineitem(spark, dir))
+
+  private[graft] def cumulativeHistogramOn(lineitem: DataFrame): DataFrame = {
+    val hist = lineitem
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("bkt", floor(col("l_extendedprice") / RankBucketWidth))
@@ -106,7 +109,10 @@ object Extended {
     * cumulative counts and a value spanning both contributes twice
     * (weight), reproducing exactly the two-middle-elements average. */
   def exactMedian(spark: SparkSession, dir: String): DataFrame =
-    cumulativeHistogram(spark, dir)
+    exactMedianOn(cumulativeHistogram(spark, dir))
+
+  private[graft] def exactMedianOn(cumHist: DataFrame): DataFrame =
+    cumHist
       .withColumn("p1", floor((col("n") + 1) / 2))
       .withColumn("p2", floor((col("n") + 2) / 2))
       .withColumn("wgt",

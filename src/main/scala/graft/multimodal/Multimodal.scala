@@ -22,9 +22,26 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
                            height: Int, n_frames: Int, brightness: Double)
 
+  /** Pluggable decoder interface: a real codec/model implements this and
+    * drops into [[decodeBatched]] without touching the plan. `open()` runs
+    * once per PARTITION (amortize codec/model initialization over the
+    * partition's rows — the whole point of the mapPartitions shape);
+    * `decode` runs per row. Must be serializable: the instance ships to
+    * executors inside the task closure. */
+  trait MediaDecoder extends Serializable {
+    /** Per-partition initialization hook (load codec, mmap model, …). */
+    def open(): Unit = ()
+    def decode(docId: Long, payload: Array[Byte]): MediaFeatures
+  }
+
   /** STUB decoder: deterministic fake features from the payload bytes.
     * A real implementation would parse the codec header / run the model
     * here; everything downstream is agnostic to the swap. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(docId: Long, payload: Array[Byte]): MediaFeatures =
+      decodeStub(docId, payload)
+  }
+
   def decodeStub(docId: Long, payload: Array[Byte]): MediaFeatures = {
     val n = payload.length
     MediaFeatures(docId, n, n % 640, (n * 7) % 480, n % 30, (n % 256) / 255.0)
@@ -57,16 +74,18 @@ object Multimodal {
         ((col("n_bytes") % 256).cast(DoubleType) / 255.0).as("brightness"))
 
   /** Batched decode path: the real plumbing a heavyweight decoder needs —
-    * per-partition init, iterator-in/iterator-out, explicit repartition to
-    * spread decode cost. Swap `decodeStub` for a real codec call. */
-  def decodeBatched(media: DataFrame, parallelism: Int): DataFrame = {
+    * per-partition init ([[MediaDecoder.open]]), iterator-in/iterator-out,
+    * explicit repartition to spread decode cost. A production codec swaps
+    * in via the `decoder` parameter; the plan is identical. */
+  def decodeBatched(media: DataFrame, parallelism: Int,
+                    decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .repartition(parallelism)
       .mapPartitions { rows: Iterator[Row] =>
-        // real decoder: initialize codec/model once per partition here
-        rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+        decoder.open() // once per partition, before the first row
+        rows.map(r => decoder.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
       }
       .toDF()
   }

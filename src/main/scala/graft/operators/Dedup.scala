@@ -305,6 +305,26 @@ object Dedup {
       minHashLsh(spark, dir).select(col("doc_a"), col("doc_b")),
       maxIter)
 
+  /** Bucket cap used by the skew-guarded components query (and its oracle
+    * mirror — the cap must be shared literal-for-literal). */
+  val ComponentsCap = 8
+
+  /** [[dedupComponents]] over the CAPPED candidate pairs — the
+    * configuration a 100 TB run actually uses: buckets flooded past
+    * `cap` members (template boilerplate) are dropped before the
+    * quadratic self-join, so no reducer ever sees a B² pair blow-up, at
+    * the documented recall cost on the flooded (near-identical) docs.
+    * The DuckDB oracle mirrors the cap with a window count over the same
+    * band keys, so the recall trade-off itself is hash-verified — the
+    * cap's effect on components is pinned, not guessed. */
+  def dedupComponentsCapped(spark: SparkSession, dir: String,
+                            cap: Int = ComponentsCap, maxIter: Int = 20): DataFrame =
+    componentsOf(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      minHashLshOn(Tables.documents(spark, dir), maxBucket = Some(cap))
+        .select(col("doc_a"), col("doc_b")),
+      maxIter)
+
   /** Connected components of `pairs` over `nodes` (column 1 of each frame
     * is the id); returns (doc_id, component = min reachable id).
     *
@@ -522,10 +542,10 @@ object Dedup {
          |       ELSE NULL END AS contain_ba
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
 
-    /** Full DuckDB mirror of [[Dedup.minHashLsh]]: same md5-derived base
-      * hash, same permutation literals, same band keys — the LSH output
-      * itself is hash-compared, not just a downstream exact filter. */
-    val minHashLsh: String = {
+    /** Shared generator for the LSH mirror, optionally with the
+      * degenerate-bucket cap (a window count over the same band keys the
+      * Spark side aggregates on). */
+    private def minHashLshSql(maxBucket: Option[Int]): String = {
       val k = 32; val bands = 16; val r = k / bands
       val coeffs = minHashCoeffs(k)
       val sigCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
@@ -538,6 +558,14 @@ object Dedup {
       }.mkString("\n         |  UNION ALL ")
       val matches = (0 until k).map(j =>
         s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      val (pairSource, capCte) = maxBucket match {
+        case None => ("banded", "")
+        case Some(cap) => ("banded_k",
+          s"""banded_k AS (
+             |  SELECT * FROM banded
+             |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= $cap),
+             |""".stripMargin)
+      }
       s"""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (
          |  SELECT DISTINCT doc_id,
@@ -550,13 +578,18 @@ object Dedup {
          |  FROM hs GROUP BY doc_id),
          |banded AS (
          |  $bandSelects),
-         |pairs AS (
+         |${capCte}pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    ($matches) / ${k}.0 AS jaccard_est
-         |  FROM banded a JOIN banded b
+         |  FROM $pairSource a JOIN $pairSource b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, jaccard_est FROM pairs WHERE jaccard_est >= 0.5""".stripMargin
     }
+
+    /** Full DuckDB mirror of [[Dedup.minHashLsh]]: same md5-derived base
+      * hash, same permutation literals, same band keys — the LSH output
+      * itself is hash-compared, not just a downstream exact filter. */
+    val minHashLsh: String = minHashLshSql(None)
 
     /** Full DuckDB mirror of [[Dedup.simHash]]: identical 60-bit
       * signatures, chunk buckets, and Hamming distances. */
@@ -586,13 +619,10 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     }
 
-    /** Connected components via recursive transitive closure over the
-      * same md5-mirrored MinHash pair set ([[minHashLsh]] embedded as a
-      * CTE), then min reachable id per node — the declarative ground
-      * truth for the distributed label-propagation loop. */
-    val dedupComponents: String =
+    /** Transitive closure over a pair query → (doc_id, min reachable). */
+    private def componentsSql(pairsSql: String): String =
       s"""WITH RECURSIVE pairs AS (
-         |$minHashLsh
+         |$pairsSql
          |),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
          |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
@@ -603,5 +633,16 @@ object Dedup {
          |m AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a)
          |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component
          |FROM documents d LEFT JOIN m ON m.a = d.doc_id""".stripMargin
+
+    /** Connected components via recursive transitive closure over the
+      * same md5-mirrored MinHash pair set ([[minHashLsh]] embedded as a
+      * CTE), then min reachable id per node — the declarative ground
+      * truth for the distributed label-propagation loop. */
+    val dedupComponents: String = componentsSql(minHashLsh)
+
+    /** [[dedupComponents]] with the degenerate-bucket cap mirrored — pins
+      * the cap's exact recall trade-off cross-engine. */
+    val dedupComponentsCapped: String =
+      componentsSql(minHashLshSql(Some(ComponentsCap)))
   }
 }

@@ -71,6 +71,10 @@ object MergeInto {
   private[plans] sealed trait Backing
   private[plans] case class VersionedBacking(root: String) extends Backing
   private[plans] case class ManifestBacking(root: String, dayOf: Option[String]) extends Backing
+  /** A `cat.ns.tbl` identifier of a [[graft.sources.v2.VersionedCatalog]]:
+    * commits go through the manifest and readers resolve the pointer via
+    * the catalog — no temp view to refresh. */
+  private[plans] case class CatalogBacking(root: String, dayOf: Option[String]) extends Backing
 
   /** Registered snapshot-table DML targets: lowercase name -> backing. */
   private val registered = new ConcurrentHashMap[String, Backing]()
@@ -121,16 +125,36 @@ object MergeInto {
       case other => throw new IllegalArgumentException(
         s"DML target must be a table name, got ${other.nodeName}")
     }
-    val backing = backingFor(name)
+    val backing = backingFor(name).orElse(catalogBackingFor(spark, name))
     val df = backing match {
-      case Some(VersionedBacking(r))   => Versioned.read(spark, r)
-      case Some(ManifestBacking(r, _)) => ManifestTable.read(spark, r)
+      case Some(VersionedBacking(r))      => Versioned.read(spark, r)
+      case Some(ManifestBacking(r, _))    => ManifestTable.read(spark, r)
+      case Some(CatalogBacking(r, _))     => ManifestTable.read(spark, r)
       case None =>
         require(spark.catalog.tableExists(name),
           s"DML target $name is neither a catalog table nor a registered snapshot table")
         spark.table(name)
     }
     Target(name, targetAlias.getOrElse(name.split('.').last), backing, df)
+  }
+
+  /** Resolve a 3-part `cat.ns.tbl` name against a configured
+    * [[graft.sources.v2.VersionedCatalog]] — straight from the session
+    * conf, so it works even before the catalog plugin's first
+    * instantiation. Makes catalog identifiers first-class MERGE/UPDATE/
+    * DELETE targets (the reference's `silver_catalog.silver.<tbl>` MERGE
+    * shape) with no temp-view registration step. */
+  private def catalogBackingFor(spark: SparkSession, name: String): Option[Backing] = {
+    val parts = name.split('.')
+    if (parts.length != 3) return None
+    val isVersioned = spark.conf.getOption(s"spark.sql.catalog.${parts(0)}")
+      .contains(classOf[graft.sources.v2.VersionedCatalog].getName)
+    if (!isVersioned) return None
+    spark.conf.getOption(s"spark.sql.catalog.${parts(0)}.warehouse").flatMap { wh =>
+      val root = s"$wh/${parts(1)}/${parts(2)}"
+      graft.sources.v2.VersionedCatalog.readMeta(root).map(m =>
+        CatalogBacking(root, m.dayOf))
+    }
   }
 
   private def retainOf(spark: SparkSession): Int =
@@ -144,6 +168,10 @@ object MergeInto {
       case Some(ManifestBacking(r, dayOf)) =>
         ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf)
         ManifestTable.read(spark, r).createOrReplaceTempView(tgt.name)
+      case Some(CatalogBacking(r, dayOf)) =>
+        // readers resolve the manifest pointer through the catalog on
+        // every analysis — nothing to refresh
+        ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf)
       case None =>
         // reading and overwriting the same table: materialize first
         result.localCheckpoint(true).write.mode("overwrite").saveAsTable(tgt.name)
@@ -157,12 +185,14 @@ object MergeInto {
       "MERGE WITH SCHEMA EVOLUTION is not supported; ALTER TABLE first (sources.Evolution)")
     val tgt = resolveTarget(spark, m.targetTable)
     val source = GraftColumnBridge.ofRows(spark, m.sourceTable)
+    def scopedEnabled: Boolean = m.notMatchedBySourceActions.isEmpty &&
+      spark.conf.get("spark.graft.merge.partitionScoped", "true").toBoolean
     val scoped = tgt.backing match {
-      case Some(ManifestBacking(root, Some(ts)))
-        // NOT MATCHED BY SOURCE touches every partition — full rewrite then
-        if m.notMatchedBySourceActions.isEmpty &&
-          spark.conf.get("spark.graft.merge.partitionScoped", "true").toBoolean =>
-        executeScopedMerge(spark, tgt, root, ts, source, m)
+      // NOT MATCHED BY SOURCE touches every partition — full rewrite then
+      case Some(ManifestBacking(root, Some(ts))) if scopedEnabled =>
+        executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = true)
+      case Some(CatalogBacking(root, Some(ts))) if scopedEnabled =>
+        executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = false)
       case _ => false
     }
     if (!scoped) writeBack(spark, tgt, mergeResult(tgt.df, tgt.alias, source, m))
@@ -178,7 +208,7 @@ object MergeInto {
     * for discovery — both prunable, both tiny output (distinct days). */
   private def executeScopedMerge(spark: SparkSession, tgt: Target, root: String,
                                  tsCol: String, source: DataFrame,
-                                 m: MergeIntoTable): Boolean = {
+                                 m: MergeIntoTable, refreshView: Boolean): Boolean = {
     val targetCols = tgt.df.columns.toSeq
     // every INSERT action must assign the partition-source timestamp
     // column with a derivable value, else the landing day is unknown
@@ -222,7 +252,8 @@ object MergeInto {
     val result = mergeResult(restricted, tgt.alias, source, m)
     ManifestTable.replaceDays(result, root, removeDays = days,
       partitionDayOf = tsCol, retain = retainOf(spark))
-    ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
+    if (refreshView)
+      ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
     true
   }
 

@@ -246,6 +246,49 @@ object VersionedCatalog {
   }
 }
 
+/** Path-addressed entry point for the same tables:
+  * `spark.read.format("versioned").load(root)` (or `.option("version", n)`
+  * for time travel) — registered as the `versioned` source via
+  * META-INF/services. Catalog-created tables carry their `_TABLE`
+  * descriptor; for a bare [[ManifestTable]] root the schema is inferred
+  * from the live manifest's parquet files (hidden day column stripped)
+  * and `option("day_of", col)` re-declares the hidden partition source. */
+class VersionedTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "versioned"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("versioned source needs a path"))
+
+  private def metaOf(root: String, options: CaseInsensitiveStringMap): VersionedCatalog.Meta =
+    VersionedCatalog.readMeta(root).getOrElse {
+      // bare ManifestTable root: infer user schema from the live snapshot
+      val spark = SparkSession.getActiveSession.getOrElse(
+        SparkSession.builder().getOrCreate())
+      require(ManifestTable.exists(root),
+        s"$root is neither a catalog-created versioned table nor a committed manifest root")
+      VersionedCatalog.Meta(ManifestTable.read(spark, root).schema,
+        Option(options.get("day_of")))
+    }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    metaOf(rootOf(options), options).schema
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    metaOf(rootOf(options), options).dayOf.map(c => Expressions.days(c)).toArray
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val root = rootOf(options)
+    val meta = metaOf(root, options)
+    VersionedTable(s"versioned `$root`", root, schema, meta.dayOf,
+      Option(options.get("version")).map(_.toLong))
+  }
+}
+
 /** A [[ManifestTable]] as a V2 `Table`: batch-readable with manifest-level
   * pruning, batch-writable through the V1 fallback (append / truncate),
   * hidden-day partitioning surfaced as the `days(col)` transform. A table

@@ -107,6 +107,17 @@ class DedupSpec extends AnyFunSuite {
     val simCapped = Dedup.simHashOn(docs, maxBucket = Some(10)).cache()
     assert(simCapped.where(col("doc_a") >= 1000L).count() === 0)
     assert(simCapped.where(col("doc_a") === 1L && col("doc_b") === 2L).count() === 1)
+
+    // the components built on the CAPPED pair set: the flood degrades to
+    // singletons (each labels itself — exact dedup's job anyway) while
+    // the organic cluster still contracts to its min id
+    val comps = Dedup.componentsOf(
+      docs.select(col("doc_id")),
+      Dedup.minHashLshOn(docs, maxBucket = Some(10)).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L, "organic cluster resolves")
+    (0 until 40).foreach(i => assert(comps(1000L + i) === 1000L + i,
+      "capped flood docs become singletons"))
   }
 
   test("componentsOf: chains, triangles and singletons resolve to min ids") {

@@ -146,4 +146,21 @@ class TextAndSimilaritySpec extends AnyFunSuite {
     assert(viaExpr.length === viaBatch.length)
     viaExpr.zip(viaBatch).foreach { case (a, b) => assert(a === b) }
   }
+
+  test("multimodal: a swapped-in decoder implementation drives the same plan") {
+    // a fake "real" codec: constant dimensions + per-partition open() count
+    object FakeCodec extends Multimodal.MediaDecoder {
+      override def decode(docId: Long, payload: Array[Byte]): Multimodal.MediaFeatures =
+        Multimodal.MediaFeatures(docId, payload.length, 1920, 1080, 24, 0.5)
+    }
+    val out = Multimodal.decodeBatched(
+      Multimodal.mediaTable(spark, TestSpark.sf), parallelism = 4, decoder = FakeCodec)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("width") == 1920
+      && r.getAs[Int]("height") == 1080 && r.getAs[Int]("n_frames") == 24))
+    // doc ids and byte counts still flow from the table, not the decoder
+    val docs = graft.Tables.documents(spark, TestSpark.sf).count()
+    assert(out.length.toLong === docs)
+  }
 }

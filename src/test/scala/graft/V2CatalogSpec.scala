@@ -108,6 +108,59 @@ class V2CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE INTO a catalog identifier commits a snapshot; scoped merge rewrites only touched days") {
+    import graft.plans.MergeInto
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.m")
+    spark.sql(
+      "CREATE TABLE gtest.ns.m (k BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+        "PARTITIONED BY (days(ts))")
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 2, 1 + i % 6, 12, 0), i * 1.0)
+    }
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("m_src")
+    spark.sql("INSERT INTO gtest.ns.m SELECT * FROM m_src")
+
+    val root = graft.sources.v2.VersionedCatalog.warehouseOf("gtest").get + "/ns/m"
+    val before = graft.sources.ManifestTable.manifest(root, 1).toSet
+
+    // update only rows of 2024-02-03 (one touched day)
+    Seq((2L, 99.0), (8L, 99.0)).toDF("k", "nv").createOrReplaceTempView("m_stage")
+    MergeInto.sql(spark,
+      """MERGE INTO gtest.ns.m t USING m_stage s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+
+    val after = graft.sources.ManifestTable.manifest(root, 2).toSet
+    val untouched = before.filterNot(_.startsWith("__day=2024-02-03"))
+    assert(untouched.subsetOf(after),
+      "scoped MERGE must carry files of untouched days into the new manifest")
+    assert(!before.filter(_.startsWith("__day=2024-02-03")).exists(after.contains),
+      "touched day files must be rewritten")
+    // readers see the committed result through the catalog, no refresh step
+    val got = spark.table("gtest.ns.m").where(col("k").isin(2L, 8L))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(got === Seq(99.0, 99.0))
+    assert(spark.table("gtest.ns.m").count() === 60)
+  }
+
+  test("spark.read.format(versioned): path-addressed reads, time travel via option") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.fr")
+    spark.sql("CREATE TABLE gtest.ns.fr (k BIGINT)")
+    spark.sql("INSERT INTO gtest.ns.fr VALUES (1)")
+    spark.sql("INSERT INTO gtest.ns.fr VALUES (2)")
+    val root = graft.sources.v2.VersionedCatalog.warehouseOf("gtest").get + "/ns/fr"
+    assert(spark.read.format("versioned").load(root).count() === 2)
+    assert(spark.read.format("versioned").option("version", 1).load(root).count() === 1)
+    // a bare ManifestTable root (no _TABLE descriptor) infers its schema
+    import spark.implicits._
+    val bare = java.nio.file.Files.createTempDirectory("graft_bare").toString
+    graft.sources.ManifestTable.commit(Seq((1L, "x")).toDF("id", "s"), bare)
+    val back = spark.read.format("versioned").load(bare)
+    assert(back.columns.toSeq === Seq("id", "s") && back.count() === 1)
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
