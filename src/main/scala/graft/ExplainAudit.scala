@@ -19,7 +19,8 @@ object ExplainAudit {
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val interesting = plan.linesIterator.filter { l =>
         l.contains("PushedFilters") || l.contains("ReadSchema") ||
-          l.contains("Scan parquet") || l.contains("WholeStageCodegen") ||
+          l.contains("Scan parquet") || l.contains("BatchScan") ||
+          l.contains("WholeStageCodegen") ||
           l.contains("Exchange") || l.contains("BroadcastHashJoin") ||
           l.contains("SortMergeJoin")
       }.map(_.trim.take(220)).toSeq

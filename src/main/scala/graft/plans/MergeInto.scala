@@ -129,7 +129,10 @@ object MergeInto {
     val df = backing match {
       case Some(VersionedBacking(r))      => Versioned.read(spark, r)
       case Some(ManifestBacking(r, _))    => ManifestTable.read(spark, r)
-      case Some(CatalogBacking(r, _))     => ManifestTable.read(spark, r)
+      // through the catalog, not raw parquet: the V2 relation reads with
+      // the DECLARED schema, so files predating an ADD COLUMN null-fill
+      // instead of being footer-sampled into the wrong shape
+      case Some(CatalogBacking(_, _))     => spark.table(name)
       case None =>
         require(spark.catalog.tableExists(name),
           s"DML target $name is neither a catalog table nor a registered snapshot table")
@@ -190,9 +193,13 @@ object MergeInto {
     val scoped = tgt.backing match {
       // NOT MATCHED BY SOURCE touches every partition — full rewrite then
       case Some(ManifestBacking(root, Some(ts))) if scopedEnabled =>
-        executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = true)
+        executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = true,
+          raw = ManifestTable.readRaw(spark, root))
       case Some(CatalogBacking(root, Some(ts))) if scopedEnabled =>
-        executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = false)
+        // derive __day from ts over the schema-pinned catalog read — the
+        // identical derivation the append used to lay the files out
+        executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = false,
+          raw = tgt.df.withColumn(ManifestTable.DayCol, to_date(col(ts))))
       case _ => false
     }
     if (!scoped) writeBack(spark, tgt, mergeResult(tgt.df, tgt.alias, source, m))
@@ -208,7 +215,8 @@ object MergeInto {
     * for discovery — both prunable, both tiny output (distinct days). */
   private def executeScopedMerge(spark: SparkSession, tgt: Target, root: String,
                                  tsCol: String, source: DataFrame,
-                                 m: MergeIntoTable, refreshView: Boolean): Boolean = {
+                                 m: MergeIntoTable, refreshView: Boolean,
+                                 raw: DataFrame): Boolean = {
     val targetCols = tgt.df.columns.toSeq
     // every INSERT action must assign the partition-source timestamp
     // column with a derivable value, else the landing day is unknown
@@ -227,7 +235,6 @@ object MergeInto {
         case _ => return false
       }
 
-    val raw = ManifestTable.readRaw(spark, root) // live snapshot + __day
     val cond = GraftColumnBridge.column(m.mergeCondition)
     val tRaw = raw.alias(tgt.alias)
     // days holding matched target rows (inner join, distinct-day output)

@@ -72,12 +72,30 @@ object ManifestTable {
     }
   }
 
-  /** Relative data-file paths of one manifest. */
-  def manifest(root: String, v: Long): Seq[String] = {
+  /** Relative data-file paths of one manifest (property lines skipped). */
+  def manifest(root: String, v: Long): Seq[String] =
+    manifestLines(root, v).filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** Commit properties of one manifest (`#key=value` header lines) — the
+    * degenerate form of Iceberg's snapshot summary / Delta's txn actions.
+    * Carried forward by [[append]] so the live snapshot always exposes
+    * the latest value per key (streaming sinks store their last batch id
+    * here, giving exactly-once appends under foreachBatch retries). */
+  def manifestProps(root: String, v: Long): Map[String, String] =
+    manifestLines(root, v).filter(_.startsWith("#")).map { l =>
+      val kv = l.drop(1).split("=", 2)
+      kv(0) -> (if (kv.length > 1) kv(1) else "")
+    }.toMap
+
+  /** Properties of the live manifest (empty if never committed). */
+  def liveProps(root: String): Map[String, String] =
+    currentVersion(root).map(manifestProps(root, _)).getOrElse(Map.empty)
+
+  private def manifestLines(root: String, v: Long): Seq[String] = {
     val p = Paths.get(root, "manifests", s"v=$v.txt")
     require(Files.exists(p), s"manifest v=$v of $root does not exist")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).toSeq
+      .linesIterator.toSeq
   }
 
   private def liveManifest(root: String): Seq[String] =
@@ -158,12 +176,16 @@ object ManifestTable {
     rels
   }
 
-  private def commitManifest(root: String, rels: Seq[String], retain: Int): Long = {
+  private def commitManifest(root: String, rels: Seq[String], retain: Int,
+                             props: Map[String, String] = Map.empty): Long = {
+    require(props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
+      && props.values.forall(v => !v.contains("\n")), "illegal manifest property")
     val next = currentVersion(root).getOrElse(0L) + 1
     val mdir = Paths.get(root, "manifests")
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s"v=$next.txt.tmp")
-    Files.write(tmp, rels.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val body = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++ rels
+    Files.write(tmp, body.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, mdir.resolve(s"v=$next.txt"), StandardCopyOption.ATOMIC_MOVE)
     val ptmp = Paths.get(root, s"$Pointer.tmp")
     Files.write(ptmp, next.toString.getBytes(StandardCharsets.UTF_8))
@@ -186,10 +208,14 @@ object ManifestTable {
     * that makes per-batch ingestion viable at 100 TB). First append on an
     * empty table degenerates to [[commit]]. */
   def append(df: DataFrame, root: String, retain: Int = 2,
-             partitionDayOf: Option[String] = None): Long = {
+             partitionDayOf: Option[String] = None,
+             props: Map[String, String] = Map.empty): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
     val keep = if (exists(root)) liveManifest(root) else Nil
-    commitManifest(root, keep ++ writePool(df, root, partitionDayOf), retain)
+    // inherited ++ new: the live manifest always exposes the latest value
+    // per property key, so idempotence markers survive later appends
+    commitManifest(root, keep ++ writePool(df, root, partitionDayOf), retain,
+      props = liveProps(root) ++ props)
   }
 
   /** Partition-scoped commit: replace the named days with `df`'s rows;

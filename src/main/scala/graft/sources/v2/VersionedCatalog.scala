@@ -140,9 +140,35 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
       root, schema, dayOf, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on versioned tables goes through graft.sources.Evolution")
+  /** Metadata-only schema evolution: ADD COLUMN (nullable, appended at
+    * the end) rewrites the `_TABLE` descriptor and nothing else — old
+    * data files simply read NULL for the new column, because every scan
+    * passes the DECLARED schema and Spark's parquet reader null-fills
+    * absent columns. Renames/drops/type changes need column mapping
+    * (field ids) to be metadata-only; those go through the rewrite path
+    * in [[graft.sources.Evolution]]. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    val meta = VersionedCatalog.readMeta(root).getOrElse(
+      throw new NoSuchTableException(ident))
+    val newSchema = changes.foldLeft(meta.schema) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "nested column additions are not supported")
+        require(add.isNullable,
+          "added columns must be nullable: existing files read NULL")
+        require(add.position() == null,
+          "only appending at the end is metadata-only")
+        require(!s.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))),
+          s"column ${add.fieldNames()(0)} already exists")
+        s.add(org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"${other.getClass.getSimpleName} needs a data rewrite — use graft.sources.Evolution")
+    }
+    VersionedCatalog.writeMeta(root, meta.copy(schema = newSchema))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = Paths.get(tableRoot(ident))

@@ -55,6 +55,50 @@ object MicroBatch {
       }
       .start()
 
+  /** One micro-batch of a streaming APPEND into a [[ManifestTable]] root,
+    * exactly-once under retries: the batch id rides INSIDE the manifest
+    * commit as a property (`stream.<appId>.batch`), so a foreachBatch
+    * replay of an already-committed batch is detected from the live
+    * manifest and skipped — the same txn-marker pattern Delta (appId →
+    * version) and Iceberg (snapshot summary) use for streaming sinks.
+    * The marker and the files are one atomic pointer flip; there is no
+    * window where data is committed but the marker isn't. */
+  def appendBatchIdempotent(batch: DataFrame, root: String, appId: String,
+                            batchId: Long,
+                            partitionDayOf: Option[String] = None): Boolean = {
+    import graft.sources.ManifestTable
+    val key = s"stream.$appId.batch"
+    val last =
+      if (ManifestTable.exists(root))
+        ManifestTable.liveProps(root).get(key).map(_.toLong).getOrElse(-1L)
+      else -1L
+    if (batchId <= last) false
+    else {
+      ManifestTable.append(batch, root, partitionDayOf = partitionDayOf,
+        props = Map(key -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming ingestion into a versioned (manifest) table: each
+    * micro-batch lands as ONE manifest append — commit cost follows the
+    * batch, retained snapshots give downstream readers a consistent view
+    * mid-stream, and [[appendBatchIdempotent]]'s in-commit batch marker
+    * makes retries exactly-once. The append-only complement to
+    * [[upsertSink]]. */
+  def appendSink(stream: DataFrame, root: String, appId: String,
+                 checkpoint: String,
+                 partitionDayOf: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendBatchIdempotent(batch.toDF(), root, appId, batchId, partitionDayOf)
+        ()
+      }
+      .start()
+
   /** Streaming gap-sessionization: the native streaming form of
     * `Extended.sessionVolume` — session_window merges adjacent state as
     * events arrive; watermark expiry closes sessions and bounds the state

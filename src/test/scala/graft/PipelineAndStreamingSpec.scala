@@ -168,6 +168,41 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("streaming: append sink lands micro-batches as manifest commits, replay-idempotent") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("stream_append").toString
+    val target = s"$work/tbl"; val ckpt = s"$work/ckpt"
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    MicroBatch.appendSink(mem.toDF().toDF("k", "v"), target, "app1", ckpt)
+      .awaitTermination()
+    mem.addData((3L, "c"))
+    MicroBatch.appendSink(mem.toDF().toDF("k", "v"), target, "app1", ckpt)
+      .awaitTermination()
+
+    val got = graft.sources.ManifestTable.read(spark, target)
+    assert(got.count() === 3)
+    // the live manifest carries the batch marker forward
+    val props = graft.sources.ManifestTable.liveProps(target)
+    assert(props.get("stream.app1.batch").exists(_.toLong >= 1L))
+
+    // a replay of an already-committed batch id is skipped entirely
+    val replay = Seq((9L, "dup")).toDF("k", "v")
+    val lastBatch = props("stream.app1.batch").toLong
+    assert(!MicroBatch.appendBatchIdempotent(replay, target, "app1", lastBatch))
+    assert(graft.sources.ManifestTable.read(spark, target).count() === 3)
+    // a NEW batch id commits
+    assert(MicroBatch.appendBatchIdempotent(replay, target, "app1", lastBatch + 1))
+    assert(graft.sources.ManifestTable.read(spark, target).count() === 4)
+    // independent sinks (other appId) keep their own marker
+    assert(MicroBatch.appendBatchIdempotent(
+      Seq((10L, "x")).toDF("k", "v"), target, "app2", 0L))
+    assert(graft.sources.ManifestTable.liveProps(target).keySet
+      === Set("stream.app1.batch", "stream.app2.batch"))
+  }
+
   test("streaming: mapGroupsWithState running totals") {
     import spark.implicits._
     val events = Seq((1L, 10.0), (1L, 5.0), (2L, 2.0))

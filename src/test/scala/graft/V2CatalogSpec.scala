@@ -161,6 +161,43 @@ class V2CatalogSpec extends AnyFunSuite {
     assert(back.columns.toSeq === Seq("id", "s") && back.count() === 1)
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only; old files read NULL; MERGE sees the declared schema") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.evo")
+    spark.sql("CREATE TABLE gtest.ns.evo (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gtest.ns.evo VALUES (1, 1.0), (2, 2.0)")
+    val root = graft.sources.v2.VersionedCatalog.warehouseOf("gtest").get + "/ns/evo"
+    val filesBefore = graft.sources.ManifestTable.manifest(root, 1)
+
+    spark.sql("ALTER TABLE gtest.ns.evo ADD COLUMN note STRING")
+    // metadata-only: the data files are untouched
+    assert(graft.sources.ManifestTable.manifest(root, 1) === filesBefore)
+    assert(spark.table("gtest.ns.evo").columns.toSeq === Seq("k", "v", "note"))
+    assert(spark.table("gtest.ns.evo").where(col("note").isNull).count() === 2)
+
+    // new writes carry the column; old rows still null-fill
+    spark.sql("INSERT INTO gtest.ns.evo VALUES (3, 3.0, 'x')")
+    val rows = spark.table("gtest.ns.evo").orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(rows === Seq((1L, None), (2L, None), (3L, Some("x"))))
+
+    // MERGE over the evolved table reads the declared schema (old files
+    // null-fill) and writes the full shape back
+    import spark.implicits._
+    Seq((1L, "seen")).toDF("k", "n").createOrReplaceTempView("evo_stage")
+    graft.plans.MergeInto.sql(spark,
+      """MERGE INTO gtest.ns.evo t USING evo_stage s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET note = s.n""".stripMargin)
+    val merged = spark.table("gtest.ns.evo").orderBy("k")
+      .collect().map(r => Option(r.getString(2))).toSeq
+    assert(merged === Seq(Some("seen"), None, Some("x")))
+
+    // non-metadata-only changes are refused with the rewrite pointer
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.ns.evo RENAME COLUMN v TO w")
+    }
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
