@@ -130,6 +130,8 @@ object SparkEntry {
     // (CTAS/append through the V2 write path, manifest-level hidden-day
     // pruning pinned by the prune_ok verdict, native SQL time travel, and
     // gold maintenance fed by the snapshot-log CDC)
+    // the avro fan-out leg, oracle-gated through a write→read round trip
+    "avro_roundtrip_agg"  -> ((s, d) => graft.sources.avro.AvroQueries.avroRoundtripAgg(s, d)),
     "versioned_scan_prune" -> ((s, d) => graft.sources.v2.V2Queries.versionedScanPrune(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
     "incremental_gold_from_cdc" -> ((s, d) => graft.sources.v2.V2Queries.incrementalGoldFromCdc(s, d)),
@@ -234,6 +236,7 @@ object SparkEntry {
     "table_profile"       -> graft.operators.Profile.oracle.tableProfile,
     "approx_table_profile" -> graft.operators.Profile.oracle.approxTableProfile,
     "skew_profile"        -> graft.operators.Profile.oracle.skewProfile,
+    "avro_roundtrip_agg"  -> graft.sources.avro.AvroQueries.oracleSql,
     "versioned_scan_prune" -> graft.sources.v2.V2Queries.oracle.versionedScanPrune,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
     "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * The reference writes every silver/gold table once per file format
   * (`_parquet`/`_orc`/`_avro` suffixes — `dags/2_bronze_to_silver.py:164`).
-  * No spark-avro jar ships in this environment, so the third leg is JSON
-  * (documented deviation; same fan-out shape).
+  * The avro leg is REAL: no spark-avro module ships here, so the engine
+  * carries its own [[graft.sources.avro.AvroFileFormat]] (same FileFormat
+  * extension point spark-avro uses) over the classpath's core Avro
+  * library — snappy container files, dynamic partitioning, partition
+  * discovery.
   *
   * Scale notes: writes set a 128 MB file-size target via
   * maxRecordsPerFile estimation upstream and rely on `partitionBy` for
@@ -19,8 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
-  /** Formats the fan-out writes to; "json" stands in for avro. */
-  val fanoutFormats: Seq[String] = Seq("parquet", "orc", "json")
+  /** Formats the fan-out writes to — the reference's exact trio. */
+  val fanoutFormats: Seq[String] = Seq("parquet", "orc", "avro")
 
   /** S1: Hive-style batch-partitioned CSV write (bronze layer shape:
     * `<base>/<table>/batch_id=<id>/`). */

@@ -1,0 +1,307 @@
+package graft.sources.avro
+
+import java.util.{ArrayList => JArrayList}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema => ASchema}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A real Avro file format for Spark — the reference's third fan-out leg
+  * (`/root/reference/dags/2_bronze_to_silver.py:164`: every silver/gold
+  * table is written as `_parquet`, `_orc` AND `_avro`). No `spark-avro`
+  * module ships in this environment, but the core Avro library does, so
+  * this implements the same extension point spark-avro itself uses —
+  * [[FileFormat]] — which buys the WHOLE file-source machinery for free:
+  * dynamic `partitionBy` writes through `FileFormatWriter`'s commit
+  * protocol, partition discovery and pruning on read, `maxRecordsPerFile`,
+  * globbing, and schema propagation. Registered as `format("avro")` via
+  * META-INF/services.
+  *
+  * Type bridge (both directions): Spark's INTERNAL row representation
+  * already matches Avro's logical types — timestamps are epoch-micro
+  * longs (`timestamp-micros` / `local-timestamp-micros`), dates are
+  * epoch-day ints (`date`) — so reads and writes move primitives with no
+  * per-value datetime conversion at all; only strings (UTF8String ↔ Utf8)
+  * and arrays re-wrap. Nullable fields map to `union(null, T)` with a
+  * null default. Files are snappy-compressed blocks (snappy-java is on
+  * the classpath), whole-file-read (Avro blocks are splittable via sync
+  * markers; at 100 TB the fan-out targets ~128 MB files upstream, so
+  * file-granular parallelism matches the split-granular kind).
+  */
+class AvroFileFormat extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "avro"
+  override def toString: String = "avro"
+
+  override def isSplitable(sparkSession: SparkSession,
+                           options: Map[String, String], path: Path): Boolean = false
+
+  override def inferSchema(sparkSession: SparkSession, options: Map[String, String],
+                           files: Seq[FileStatus]): Option[StructType] =
+    files.find(f => f.getPath.getName.endsWith(".avro") && f.getLen > 0).map { f =>
+      val conf = sparkSession.sparkContext.hadoopConfiguration
+      val in = f.getPath.getFileSystem(conf).open(f.getPath)
+      val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      try AvroConversions.toSparkSchema(stream.getSchema)
+      finally stream.close()
+    }
+
+  override def supportDataType(dataType: DataType): Boolean = dataType match {
+    case _: LongType | _: IntegerType | _: DoubleType | _: FloatType |
+         _: BooleanType | _: StringType | _: BinaryType |
+         _: TimestampType | _: TimestampNTZType | _: DateType => true
+    case ArrayType(et, _) => supportDataType(et)
+    case _ => false
+  }
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+                            options: Map[String, String],
+                            dataSchema: StructType): OutputWriterFactory = {
+    val avroJson = AvroConversions.toAvroSchema(dataSchema, "spark_record").toString
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ".avro"
+      override def newInstance(path: String, dataSchema: StructType,
+                               context: TaskAttemptContext): OutputWriter =
+        new AvroOutputWriter(path, dataSchema, avroJson, context)
+    }
+  }
+
+  override def buildReader(sparkSession: SparkSession, dataSchema: StructType,
+                           partitionSchema: StructType, requiredSchema: StructType,
+                           filters: Seq[Filter], options: Map[String, String],
+                           hadoopConf: Configuration)
+      : PartitionedFile => Iterator[InternalRow] = {
+    val required = requiredSchema // serializable; closure ships it
+    (file: PartitionedFile) => {
+      // fresh Configuration in-task: file:// and default-FS reads need no
+      // session-specific settings (SerializableConfiguration is
+      // private[spark]; the session conf cannot ride the closure)
+      val path = new Path(file.filePath.toString)
+      val in = path.getFileSystem(new Configuration()).open(path)
+      val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => stream.close()))
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = stream.hasNext
+        override def next(): InternalRow =
+          AvroConversions.toInternalRow(stream.next(), required)
+      }
+    }
+  }
+}
+
+/** One Avro container file per task, snappy block compression, written
+  * through the task-attempt filesystem so the normal commit protocol
+  * (write to attempt dir → rename on commit) applies. */
+private[avro] class AvroOutputWriter(val path: String, dataSchema: StructType,
+                                     avroJson: String, context: TaskAttemptContext)
+    extends OutputWriter {
+
+  private val avroSchema = new ASchema.Parser().parse(avroJson)
+  private val writer = {
+    val out = new Path(path).getFileSystem(context.getConfiguration)
+      .create(new Path(path), true)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+    w.setCodec(CodecFactory.snappyCodec())
+    w.create(avroSchema, out)
+  }
+
+  override def write(row: InternalRow): Unit =
+    writer.append(AvroConversions.toRecord(row, dataSchema, avroSchema))
+
+  override def close(): Unit = writer.close()
+}
+
+/** Driver-contract query making the avro leg ORACLE-gated, not just
+  * spec-checked: lineitem is written through [[AvroFileFormat]], read
+  * back through it, and aggregated — the DuckDB oracle computes the same
+  * aggregate from the original parquet, so any value corruption in the
+  * avro encode/decode path fails the cell-exact hash compare. */
+object AvroQueries {
+  def avroRoundtripAgg(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      .write.format("avro").save(path)
+    spark.read.format("avro").load(path)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Dsl.dsum(col("l_quantity")).as("sum_qty"),
+        graft.Dsl.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val oracleSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${graft.Dsl.sql.dsum("l_quantity")} AS sum_qty,
+       |  ${graft.Dsl.sql.dsum("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY 1, 2""".stripMargin
+}
+
+/** Schema and value bridges between Spark internal rows and Avro generic
+  * records. Kept symmetric so write → read round-trips bit-exactly. */
+object AvroConversions {
+
+  def toAvroSchema(st: StructType, name: String): ASchema = {
+    val fields = st.fields.map { f =>
+      val base = toAvroType(f.dataType)
+      val sch =
+        if (f.nullable) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
+        else base
+      new ASchema.Field(f.name, sch, null,
+        if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    ASchema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def toAvroType(dt: DataType): ASchema = dt match {
+    case LongType    => ASchema.create(ASchema.Type.LONG)
+    case IntegerType => ASchema.create(ASchema.Type.INT)
+    case DoubleType  => ASchema.create(ASchema.Type.DOUBLE)
+    case FloatType   => ASchema.create(ASchema.Type.FLOAT)
+    case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+    case StringType  => ASchema.create(ASchema.Type.STRING)
+    case BinaryType  => ASchema.create(ASchema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT))
+    case ArrayType(et, containsNull) =>
+      val el = if (containsNull)
+        ASchema.createUnion(ASchema.create(ASchema.Type.NULL), toAvroType(et))
+      else toAvroType(et)
+      ASchema.createArray(el)
+    case other => throw new UnsupportedOperationException(
+      s"avro writer does not support $other")
+  }
+
+  def toSparkSchema(s: ASchema): StructType =
+    StructType(s.getFields.asScala.map { f =>
+      val (dt, nullable) = toSparkType(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toArray)
+
+  private def toSparkType(s: ASchema): (DataType, Boolean) = s.getType match {
+    case ASchema.Type.UNION =>
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != ASchema.Type.NULL)
+      require(nonNull.size == 1, s"unsupported union $s")
+      (toSparkType(nonNull.head)._1, branches.size > nonNull.size)
+    case ASchema.Type.LONG => s.getLogicalType match {
+      case _: LogicalTypes.TimestampMicros => (TimestampType, false)
+      case _: LogicalTypes.LocalTimestampMicros => (TimestampNTZType, false)
+      case _ => (LongType, false)
+    }
+    case ASchema.Type.INT => s.getLogicalType match {
+      case _: LogicalTypes.Date => (DateType, false)
+      case _ => (IntegerType, false)
+    }
+    case ASchema.Type.DOUBLE  => (DoubleType, false)
+    case ASchema.Type.FLOAT   => (FloatType, false)
+    case ASchema.Type.BOOLEAN => (BooleanType, false)
+    case ASchema.Type.STRING  => (StringType, false)
+    case ASchema.Type.BYTES   => (BinaryType, false)
+    case ASchema.Type.ARRAY =>
+      val (et, elNullable) = toSparkType(s.getElementType)
+      (ArrayType(et, elNullable), false)
+    case other => throw new UnsupportedOperationException(
+      s"avro reader does not support $other type in $s")
+  }
+
+  /** InternalRow → GenericRecord; timestamps/dates pass through as raw
+    * micros/days (identical physical representation). */
+  def toRecord(row: InternalRow, st: StructType, avroSchema: ASchema): GenericRecord = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < st.length) {
+      val v = if (row.isNullAt(i)) null else toAvroValue(row, i, st(i).dataType)
+      rec.put(i, v)
+      i += 1
+    }
+    rec
+  }
+
+  private def toAvroValue(row: InternalRow, i: Int, dt: DataType): AnyRef = dt match {
+    case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(row.getLong(i))
+    case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
+    case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
+    case FloatType   => java.lang.Float.valueOf(row.getFloat(i))
+    case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+    case StringType  => row.getUTF8String(i).toString
+    case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
+    case ArrayType(et, _) =>
+      val arr = row.getArray(i)
+      val out = new JArrayList[AnyRef](arr.numElements())
+      var j = 0
+      while (j < arr.numElements()) {
+        out.add(if (arr.isNullAt(j)) null else arrayElement(arr, j, et))
+        j += 1
+      }
+      out
+    case other => throw new UnsupportedOperationException(s"avro write: $other")
+  }
+
+  private def arrayElement(arr: ArrayData, j: Int, et: DataType): AnyRef = et match {
+    case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(arr.getLong(j))
+    case IntegerType | DateType => java.lang.Integer.valueOf(arr.getInt(j))
+    case DoubleType  => java.lang.Double.valueOf(arr.getDouble(j))
+    case FloatType   => java.lang.Float.valueOf(arr.getFloat(j))
+    case BooleanType => java.lang.Boolean.valueOf(arr.getBoolean(j))
+    case StringType  => arr.getUTF8String(j).toString
+    case BinaryType  => java.nio.ByteBuffer.wrap(arr.getBinary(j))
+    case other => throw new UnsupportedOperationException(s"avro write array of $other")
+  }
+
+  /** GenericRecord → InternalRow projected to `required` (by field name —
+    * records from files predating a column read null). */
+  def toInternalRow(rec: GenericRecord, required: StructType): InternalRow = {
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required(i)
+      val v = if (rec.getSchema.getField(f.name) == null) null else rec.get(f.name)
+      values(i) = if (v == null) null else toSparkValue(v, f.dataType)
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  private def toSparkValue(v: AnyRef, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromString(v.toString)
+    case BinaryType =>
+      val bb = v.asInstanceOf[java.nio.ByteBuffer]
+      val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes); bytes
+    case ArrayType(et, _) =>
+      val list = v.asInstanceOf[java.util.List[AnyRef]]
+      val out = new Array[Any](list.size())
+      var j = 0
+      while (j < list.size()) {
+        val e = list.get(j)
+        out(j) = if (e == null) null else toSparkValue(e, et)
+        j += 1
+      }
+      new GenericArrayData(out)
+    // LONG/INT/DOUBLE/FLOAT/BOOLEAN (incl. timestamp micros / date days):
+    // Avro's boxed primitive IS the internal representation
+    case _ => v
+  }
+}

@@ -32,7 +32,7 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
     assert(Medallion.bronzeToSilver(spark, bronze, silver) === total)
 
     val outs = Medallion.silverToGold(spark, silver, gold)
-    assert(outs.keySet === Set("parquet", "orc", "json"))
+    assert(outs.keySet === Set("parquet", "orc", "avro"))
     // parquet leg is partitioned by ano/mes and readable
     val back = spark.read.parquet(outs("parquet"))
     assert(back.count() > 0)
@@ -40,7 +40,7 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
       Set("ano", "mes", "user_id", "volume", "total_transacoes"))
   }
 
-  test("fanout: identical data in parquet/orc/json, partitioned") {
+  test("fanout: identical data in parquet/orc/avro, partitioned") {
     val work = Files.createTempDirectory("fanout").toString
     val df = Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
     val outs = Formats.fanout(df, work, "orders", partitionCols = Seq("yr"))
