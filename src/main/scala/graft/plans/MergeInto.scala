@@ -287,12 +287,115 @@ object MergeInto {
   }
 
   /** `DELETE FROM t [WHERE …]`: map-only — keep rows where the condition
-    * is false or null. */
+    * is false or null. Day-partitioned snapshot targets take the
+    * retention fast path first ([[tryDayScopedDelete]]): whole days
+    * covered by a ts-range condition are dropped from the MANIFEST with
+    * no data read or written, and only a boundary day that the range
+    * partially covers is rewritten — `DELETE WHERE ts < now()-90d` on a
+    * 100 TB table becomes one manifest write. */
   private[graft] def executeDelete(spark: SparkSession, d: DeleteFromTable): Unit = {
     val tgt = resolveTarget(spark, d.table)
-    val t = tgt.df.alias(tgt.alias)
-    val hit = coalesce(GraftColumnBridge.column(d.condition), lit(false))
-    writeBack(spark, tgt, t.where(!hit).select(tgt.df.columns.map(c => t(c).as(c)): _*))
+    def fastEnabled: Boolean =
+      spark.conf.get("spark.graft.delete.dayScoped", "true").toBoolean
+    val fast = tgt.backing match {
+      case Some(ManifestBacking(root, Some(ts))) if fastEnabled =>
+        tryDayScopedDelete(spark, tgt, root, ts, d.condition,
+          raw = ManifestTable.readRaw(spark, root), refreshView = true)
+      case Some(CatalogBacking(root, Some(ts))) if fastEnabled =>
+        tryDayScopedDelete(spark, tgt, root, ts, d.condition,
+          raw = tgt.df.withColumn(ManifestTable.DayCol, to_date(col(ts))),
+          refreshView = false)
+      case _ => false
+    }
+    if (!fast) {
+      val t = tgt.df.alias(tgt.alias)
+      val hit = coalesce(GraftColumnBridge.column(d.condition), lit(false))
+      writeBack(spark, tgt, t.where(!hit).select(tgt.df.columns.map(c => t(c).as(c)): _*))
+    }
+  }
+
+  /** Epoch-micro delete region [from, until) implied by a condition that
+    * constrains ONLY the partition-source timestamp column with ANDed
+    * range comparisons against foldable timestamp literals. None = the
+    * condition has other shapes (fast path declines, rewrite handles it). */
+  private def deleteRegionOf(e: Expression, tsCol: String)
+      : Option[(Option[Long], Option[Long])] = {
+    def isTs(x: Expression): Boolean = x match {
+      case u: UnresolvedAttribute => u.nameParts.last.equalsIgnoreCase(tsCol)
+      case a: Attribute           => a.name.equalsIgnoreCase(tsCol)
+      case _ => false
+    }
+    def micros(x: Expression): Option[Long] =
+      if (x.foldable && (x.dataType == org.apache.spark.sql.types.TimestampType
+        || x.dataType == org.apache.spark.sql.types.TimestampNTZType))
+        Option(x.eval(null)).map(_.asInstanceOf[Long])
+      else None
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case And(l, r) =>
+        for {
+          (f1, u1) <- deleteRegionOf(l, tsCol)
+          (f2, u2) <- deleteRegionOf(r, tsCol)
+        } yield (
+          Seq(f1, f2).flatten.reduceOption((a: Long, b: Long) => math.max(a, b)),
+          Seq(u1, u2).flatten.reduceOption((a: Long, b: Long) => math.min(a, b)))
+      case LessThan(a, v) if isTs(a)           => micros(v).map(m => (None, Some(m)))
+      case LessThanOrEqual(a, v) if isTs(a)    => micros(v).map(m => (None, Some(m + 1)))
+      case GreaterThanOrEqual(a, v) if isTs(a) => micros(v).map(m => (Some(m), None))
+      case GreaterThan(a, v) if isTs(a)        => micros(v).map(m => (Some(m + 1), None))
+      case LessThan(v, a) if isTs(a)           => micros(v).map(m => (Some(m + 1), None))
+      case LessThanOrEqual(v, a) if isTs(a)    => micros(v).map(m => (Some(m), None))
+      case GreaterThanOrEqual(v, a) if isTs(a) => micros(v).map(m => (None, Some(m + 1)))
+      case GreaterThan(v, a) if isTs(a)        => micros(v).map(m => (None, Some(m)))
+      case _ => None
+    }
+  }
+
+  /** Classify each live day against the delete region; drop fully-covered
+    * days at the manifest, rewrite only partially-covered (boundary)
+    * days. Returns false when the condition isn't a pure ts-range (the
+    * caller falls back to the full rewrite). */
+  private def tryDayScopedDelete(spark: SparkSession, tgt: Target, root: String,
+                                 tsCol: String, cond: Expression,
+                                 raw: DataFrame, refreshView: Boolean): Boolean = {
+    val (from, until) = deleteRegionOf(cond, tsCol) match {
+      case Some(r) => r
+      case None => return false
+    }
+    val micro = 1000000L
+    def dayStart(d: java.time.LocalDate): Long =
+      d.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * micro
+    val days = ManifestTable.liveDays(root)
+    var fully = Set.empty[String]
+    var partial = Set.empty[String]
+    days.foreach { d =>
+      scala.util.Try(java.time.LocalDate.parse(d)).toOption match {
+        case None => () // unparseable (null-day partition): leave untouched
+        case Some(ld) =>
+          val (s, e) = (dayStart(ld), dayStart(ld.plusDays(1)))
+          val covered = from.forall(_ <= s) && until.forall(_ >= e)
+          val untouched = until.exists(_ <= s) || from.exists(_ >= e)
+          if (covered) fully += d
+          else if (!untouched) partial += d
+      }
+    }
+    if (fully.isEmpty && partial.isEmpty) return true // no-op delete
+    if (partial.isEmpty && fully == days) return false // would empty: rewrite path
+    val retain = retainOf(spark)
+    if (partial.isEmpty) {
+      ManifestTable.dropDays(root, fully, retain = retain) // pure metadata
+    } else {
+      val restricted = raw
+        .where(col(ManifestTable.DayCol).cast("string").isin(partial.toSeq: _*))
+        .drop(ManifestTable.DayCol)
+        .alias(tgt.alias)
+      val hit = coalesce(GraftColumnBridge.column(cond), lit(false))
+      ManifestTable.replaceDays(restricted.where(!hit), root,
+        removeDays = fully ++ partial, partitionDayOf = tsCol, retain = retain)
+    }
+    if (refreshView)
+      ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
+    true
   }
 
   private def assignNameIn(targetCols: Seq[String], e: Expression): String = {

@@ -107,6 +107,9 @@ object ManifestTable {
     if (rel.startsWith(s"$DayCol=")) Some(rel.takeWhile(_ != '/').stripPrefix(s"$DayCol="))
     else None
 
+  /** Distinct hidden-day values present in the live manifest. */
+  def liveDays(root: String): Set[String] = liveManifest(root).flatMap(dayOf).toSet
+
   private def readFiles(spark: SparkSession, root: String, rels: Seq[String]): DataFrame = {
     require(rels.nonEmpty, s"empty manifest under $root — empty commits are not supported")
     spark.read.option("basePath", s"$root/data")
@@ -195,11 +198,14 @@ object ManifestTable {
     next
   }
 
-  /** Full-table commit: every row of `df` becomes the new snapshot. */
+  /** Full-table commit: every row of `df` becomes the new snapshot.
+    * `props` REPLACE the previous commit's properties (an overwrite is a
+    * new history; pass `liveProps(root)` to carry them). */
   def commit(df: DataFrame, root: String, retain: Int = 2,
-             partitionDayOf: Option[String] = None): Long = {
+             partitionDayOf: Option[String] = None,
+             props: Map[String, String] = Map.empty): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
-    commitManifest(root, writePool(df, root, partitionDayOf), retain)
+    commitManifest(root, writePool(df, root, partitionDayOf), retain, props)
   }
 
   /** Append commit (INSERT INTO semantics): write only `df`'s files into
@@ -232,7 +238,25 @@ object ManifestTable {
         s"$root holds unpartitioned files; replaceDays needs a day-partitioned table")
     })
     val fresh = writePool(df, root, Some(partitionDayOf))
-    commitManifest(root, keep ++ fresh, retain = retain)
+    // partial update of a continuing table: carry the commit properties
+    // (e.g. streaming idempotence markers) into the new manifest
+    commitManifest(root, keep ++ fresh, retain = retain, props = liveProps(root))
+  }
+
+  /** Metadata-only day drop — the retention-DELETE fast path: remove the
+    * named days' files from the manifest and flip the pointer. NO data is
+    * read or written; cost is one manifest write regardless of table
+    * size. Refuses to commit an empty table (empty manifests are not
+    * representable — drop the table instead). */
+  def dropDays(root: String, removeDays: Set[String], retain: Int = 2): Long = {
+    val keep = liveManifest(root).filter(rel => dayOf(rel) match {
+      case Some(d) => !removeDays.contains(d)
+      case None => throw new IllegalStateException(
+        s"$root holds unpartitioned files; dropDays needs a day-partitioned table")
+    })
+    require(keep.nonEmpty,
+      s"dropDays would empty $root; DROP the table (or overwrite) instead")
+    commitManifest(root, keep, retain = retain, props = liveProps(root))
   }
 
   /** Drop manifests beyond `retain`, then delete pool files no retained
@@ -287,7 +311,10 @@ object ManifestTable {
       case Some(_) => readRaw(spark, root).repartition(nFiles, col(DayCol)).drop(DayCol)
       case None    => read(spark, root).repartition(nFiles)
     }
-    commit(df, root, retain = retain, partitionDayOf = partitionDayOf)
+    // layout maintenance continues the table's history: carry properties
+    // (a lost streaming marker would let a replayed batch double-append)
+    commit(df, root, retain = retain, partitionDayOf = partitionDayOf,
+      props = liveProps(root))
   }
 
   private def deleteRecursively(p: Path): Unit = {

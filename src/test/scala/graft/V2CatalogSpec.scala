@@ -198,6 +198,51 @@ class V2CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("retention DELETE: whole days drop at the manifest, boundary day rewrites, others untouched") {
+    import graft.plans.MergeInto
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.ret")
+    spark.sql(
+      "CREATE TABLE gtest.ns.ret (k BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+        "PARTITIONED BY (days(ts))")
+    import spark.implicits._
+    // 6 days × 4 rows at hours 0/6/12/18
+    val rows = for (d <- 0 until 6; h <- Seq(0, 6, 12, 18))
+      yield ((d * 4 + h / 6).toLong, java.time.LocalDateTime.of(2024, 3, 1 + d, h, 0), 1.0)
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("ret_src")
+    spark.sql("INSERT INTO gtest.ns.ret SELECT * FROM ret_src")
+    val root = graft.sources.v2.VersionedCatalog.warehouseOf("gtest").get + "/ns/ret"
+    val before = graft.sources.ManifestTable.manifest(root, 1).toSet
+
+    // midnight-aligned retention: days 03-01 and 03-02 fully covered —
+    // METADATA-ONLY (no new data files in the pool)
+    MergeInto.sql(spark,
+      "DELETE FROM gtest.ns.ret WHERE ts < TIMESTAMP_NTZ '2024-03-03 00:00:00'")
+    val after1 = graft.sources.ManifestTable.manifest(root, 2).toSet
+    assert(after1.subsetOf(before), "metadata-only drop must write no new files")
+    assert(!after1.exists(f => f.contains("2024-03-01") || f.contains("2024-03-02")))
+    assert(spark.table("gtest.ns.ret").count() === 16)
+
+    // boundary in mid-day: 03-03 fully gone, 03-04 rewritten (rows before
+    // 07:00 deleted), 03-05 and 03-06 files carried untouched
+    MergeInto.sql(spark,
+      "DELETE FROM gtest.ns.ret WHERE ts < TIMESTAMP_NTZ '2024-03-04 07:00:00'")
+    val after2 = graft.sources.ManifestTable.manifest(root, 3).toSet
+    assert(!after2.exists(_.contains("2024-03-03")))
+    val untouched = after1.filter(f => f.contains("2024-03-05") || f.contains("2024-03-06"))
+    assert(untouched.subsetOf(after2), "days outside the region must carry over")
+    assert(!after1.filter(_.contains("2024-03-04")).exists(after2.contains),
+      "the boundary day must be rewritten")
+    val left = spark.table("gtest.ns.ret").orderBy("ts").collect()
+    assert(left.length === 10) // 2 of day 4 (12:00, 18:00) + 4 + 4
+    assert(left.forall(!_.getAs[java.time.LocalDateTime]("ts")
+      .isBefore(java.time.LocalDateTime.of(2024, 3, 4, 7, 0))))
+
+    // a non-range condition falls back to the rewrite and stays correct
+    MergeInto.sql(spark, "DELETE FROM gtest.ns.ret WHERE k % 2 = 0")
+    assert(spark.table("gtest.ns.ret").collect().forall(_.getLong(0) % 2 != 0))
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
