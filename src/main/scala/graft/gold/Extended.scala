@@ -74,7 +74,15 @@ object Extended {
     * cum = bucket offset + within-bucket running count is exactly the
     * single-window cumulative count (bucket order is value order), so the
     * rank arithmetic downstream — and the DuckDB oracles — are unchanged.
-    * Returns (l_returnflag, l_extendedprice, cnt, prev, cum, n). */
+    * Returns (l_returnflag, l_extendedprice, cnt, prev, cum, n).
+    *
+    * The offsets side re-derives the histogram (Catalyst shares no common
+    * subtrees across a self-join, and the join-key null filter the
+    * optimizer injects on the probe side keeps ReuseExchange from
+    * matching): two scans + two map-side-combined aggregations instead of
+    * one. At 100 TB persist the histogram frame (value-domain-bounded,
+    * megabytes) before calling [[exactMedianOn]] — the operator shape is
+    * unchanged. */
   private def cumulativeHistogram(spark: SparkSession, dir: String): DataFrame =
     cumulativeHistogramOn(Tables.lineitem(spark, dir))
 

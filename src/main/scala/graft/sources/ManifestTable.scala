@@ -41,6 +41,17 @@ import scala.jdk.CollectionConverters._
   * sweeps, never a broken table. (On an object store the stage→pool move
   * is a server-side copy per NEW file only; Iceberg avoids even that with
   * custom committers — out of scope here.)
+  *
+  * Concurrency: each committer CLAIMS its version by creating
+  * `v=N+1.txt` with create-new semantics (the one atomic win-or-fail
+  * primitive POSIX files give; conditional PUT on an object store), so
+  * two writers racing for the same version produce one winner and one
+  * `FileAlreadyExistsException` BEFORE any pointer moves — a silent lost
+  * update becomes a detectable commit failure the caller retries against
+  * the new live state. Full multi-writer serialization (Iceberg's
+  * retry-CAS on the metadata pointer via a metastore lock) is out of
+  * scope: the supported model is one committer per table at a time, with
+  * races detected rather than absorbed.
   */
 object ManifestTable {
 
@@ -186,10 +197,17 @@ object ManifestTable {
     val next = currentVersion(root).getOrElse(0L) + 1
     val mdir = Paths.get(root, "manifests")
     Files.createDirectories(mdir)
-    val tmp = mdir.resolve(s"v=$next.txt.tmp")
+    // optimistic-concurrency CLAIM: create-new is the one atomic
+    // win-or-fail primitive POSIX gives (rename REPLACES silently — a
+    // tmp+move dance would let a racing committer overwrite this
+    // manifest and GC the loser's files: a true lost update). On an
+    // object store the analog is a conditional PUT (If-None-Match).
+    // Readers never see a half-written manifest because nothing points
+    // at it until the pointer flip below.
+    val target = mdir.resolve(s"v=$next.txt")
+    Files.createFile(target) // throws FileAlreadyExistsException on conflict
     val body = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++ rels
-    Files.write(tmp, body.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, mdir.resolve(s"v=$next.txt"), StandardCopyOption.ATOMIC_MOVE)
+    Files.write(target, body.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val ptmp = Paths.get(root, s"$Pointer.tmp")
     Files.write(ptmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(ptmp, pointerPath(root),

@@ -214,4 +214,29 @@ class TableFormatSpec extends AnyFunSuite {
     // the staging table must not survive the swap
     assert(!spark.catalog.tableExists("graft_test.evo_nation_parquet__rename_tmp"))
   }
+
+  test("manifest optimistic concurrency: a conflicting committer fails, never loses data") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("manifest_occ").toString + "/t"
+    ManifestTable.commit(Seq((1L, "a")).toDF("k", "v"), root)   // v1 live
+
+    // another writer has already published v=2: this committer's version
+    // allocation collides and the no-replace manifest move must fail
+    // BEFORE the pointer flips — no silent lost update is possible
+    val mdir = Paths.get(root, "manifests")
+    Files.write(mdir.resolve("v=2.txt"),
+      ManifestTable.manifest(root, 1).mkString("\n").getBytes)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      ManifestTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    }
+    // the table is untouched: pointer still v1, v1 content intact
+    assert(ManifestTable.currentVersion(root).contains(1L))
+    assert(ManifestTable.read(spark, root).count() === 1)
+    // after re-reading the live state (simulated retry at the next free
+    // version), the append lands
+    Files.delete(mdir.resolve("v=2.txt"))
+    ManifestTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(ManifestTable.read(spark, root).count() === 2)
+  }
 }
