@@ -132,6 +132,9 @@ object SparkEntry {
     // gold maintenance fed by the snapshot-log CDC)
     // the avro fan-out leg, oracle-gated through a write→read round trip
     "avro_roundtrip_agg"  -> ((s, d) => graft.sources.avro.AvroQueries.avroRoundtripAgg(s, d)),
+    // cross-format integrity: order-independent md5 checksum, parquet vs
+    // a fresh avro copy, equality verdict oracle-pinned
+    "format_integrity"    -> ((s, d) => graft.sources.Formats.formatIntegrityCheck(s, d)),
     "versioned_scan_prune" -> ((s, d) => graft.sources.v2.V2Queries.versionedScanPrune(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
     "incremental_gold_from_cdc" -> ((s, d) => graft.sources.v2.V2Queries.incrementalGoldFromCdc(s, d)),
@@ -237,6 +240,7 @@ object SparkEntry {
     "approx_table_profile" -> graft.operators.Profile.oracle.approxTableProfile,
     "skew_profile"        -> graft.operators.Profile.oracle.skewProfile,
     "avro_roundtrip_agg"  -> graft.sources.avro.AvroQueries.oracleSql,
+    "format_integrity"    -> graft.sources.Formats.formatIntegrityOracle,
     "versioned_scan_prune" -> graft.sources.v2.V2Queries.oracle.versionedScanPrune,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
     "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,

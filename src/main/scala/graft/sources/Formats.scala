@@ -72,6 +72,62 @@ object Formats {
     name
   }
 
+  /** Columns of the integrity checksum — exact-typed only (keys, chars,
+    * dates): double→string rendering is engine-specific and has no place
+    * in a cross-system checksum. */
+  private val ChecksumCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Cross-format integrity verification — the op a format-compare
+    * lakehouse actually needs: an ORDER-INDEPENDENT table checksum
+    * (count + sum of a per-row md5-derived hash, so any row order,
+    * partitioning, or file layout yields the same value) computed over
+    * the parquet source AND over a fresh copy written through the
+    * engine's avro leg, with the equality verdict in the output. The
+    * DuckDB oracle recomputes the same checksum from the source parquet
+    * and pins `formats_match` TRUE — a single corrupted value in the
+    * avro encode/decode path (or in either checksum) fails the
+    * cell-exact compare. Scale shape: two map-only scans + two one-row
+    * aggregates; the hash sum is DECIMAL(38,0) so ~2⁶⁰-sized hashes
+    * cannot overflow at any row count that fits in a table. */
+  def formatIntegrityCheck(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.Dedup
+    val src = graft.Tables.lineitem(spark, dir)
+      .select(ChecksumCols.map(col): _*)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fic_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    src.write.format("avro").save(path)
+
+    // checksum surfaces as STRING: a 70+-bit decimal sum round-trips
+    // engines' client layers as float otherwise (precision loss in the
+    // comparison harness, not in the engines)
+    def checksum(df: DataFrame): DataFrame = df
+      .select(Dedup.md5Long(
+        concat_ws("|", ChecksumCols.map(c => col(c).cast("string")): _*)).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast(DecimalType(38, 0))).cast("string").as("checksum"))
+
+    val viaParquet = checksum(src)
+    val viaAvro = checksum(spark.read.format("avro").load(path))
+      .select(col("n_rows").as("a_rows"), col("checksum").as("a_sum"))
+    viaParquet.crossJoin(viaAvro)
+      .select(col("n_rows"), col("checksum"),
+        (col("n_rows") === col("a_rows") && col("checksum") === col("a_sum"))
+          .as("formats_match"))
+  }
+
+  /** DuckDB mirror: one checksum from the source parquet, verdict TRUE
+    * (concat_ws skips NULLs identically in both engines). */
+  def formatIntegrityOracle: String = {
+    val args = ChecksumCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(${graft.operators.Dedup.md5LongSql(s"concat_ws('|', $args)")} AS DECIMAL(38,0)))
+       |    AS VARCHAR) AS checksum,
+       |  TRUE AS formats_match
+       |FROM lineitem""".stripMargin
+  }
+
   /** S7 (catalog variant): `saveAsTable` per format with S10 existence
     * probe + S11 idempotent DDL, like the reference's create-vs-merge gate
     * (`dags/2_bronze_to_silver.py:239`). */
