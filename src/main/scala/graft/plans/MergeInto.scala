@@ -169,12 +169,17 @@ object MergeInto {
         Versioned.commit(result, r, retain = retainOf(spark))
         Versioned.read(spark, r).createOrReplaceTempView(tgt.name) // refresh the view
       case Some(ManifestBacking(r, dayOf)) =>
-        ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf)
+        // carry live props: a full rewrite continues the table's history,
+        // and dropping the stream.<appId>.batch marker would let a replayed
+        // foreachBatch double-append after a MERGE
+        ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf,
+          props = ManifestTable.liveProps(r))
         ManifestTable.read(spark, r).createOrReplaceTempView(tgt.name)
       case Some(CatalogBacking(r, dayOf)) =>
         // readers resolve the manifest pointer through the catalog on
         // every analysis — nothing to refresh
-        ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf)
+        ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf,
+          props = ManifestTable.liveProps(r))
       case None =>
         // reading and overwriting the same table: materialize first
         result.localCheckpoint(true).write.mode("overwrite").saveAsTable(tgt.name)
@@ -317,8 +322,14 @@ object MergeInto {
   /** Epoch-micro delete region [from, until) implied by a condition that
     * constrains ONLY the partition-source timestamp column with ANDed
     * range comparisons against foldable timestamp literals. None = the
-    * condition has other shapes (fast path declines, rewrite handles it). */
-  private def deleteRegionOf(e: Expression, tsCol: String)
+    * condition has other shapes (fast path declines, rewrite handles it).
+    *
+    * Literal micros are only meaningful in the COLUMN's timeline (epoch
+    * micros for TIMESTAMP, wall-clock micros for TIMESTAMP_NTZ), so a
+    * literal of the other timestamp type — whose comparison the analyzer
+    * would coerce — declines the fast path rather than guessing at the
+    * coercion's zone arithmetic. */
+  private def deleteRegionOf(e: Expression, tsCol: String, tsType: DataType)
       : Option[(Option[Long], Option[Long])] = {
     def isTs(x: Expression): Boolean = x match {
       case u: UnresolvedAttribute => u.nameParts.last.equalsIgnoreCase(tsCol)
@@ -326,16 +337,15 @@ object MergeInto {
       case _ => false
     }
     def micros(x: Expression): Option[Long] =
-      if (x.foldable && (x.dataType == org.apache.spark.sql.types.TimestampType
-        || x.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      if (x.foldable && x.dataType == tsType)
         Option(x.eval(null)).map(_.asInstanceOf[Long])
       else None
     import org.apache.spark.sql.catalyst.expressions._
     e match {
       case And(l, r) =>
         for {
-          (f1, u1) <- deleteRegionOf(l, tsCol)
-          (f2, u2) <- deleteRegionOf(r, tsCol)
+          (f1, u1) <- deleteRegionOf(l, tsCol, tsType)
+          (f2, u2) <- deleteRegionOf(r, tsCol, tsType)
         } yield (
           Seq(f1, f2).flatten.reduceOption((a: Long, b: Long) => math.max(a, b)),
           Seq(u1, u2).flatten.reduceOption((a: Long, b: Long) => math.min(a, b)))
@@ -358,13 +368,26 @@ object MergeInto {
   private def tryDayScopedDelete(spark: SparkSession, tgt: Target, root: String,
                                  tsCol: String, cond: Expression,
                                  raw: DataFrame, refreshView: Boolean): Boolean = {
-    val (from, until) = deleteRegionOf(cond, tsCol) match {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tsType = tgt.df.schema.fields
+      .find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType).getOrElse(return false)
+    if (tsType != TimestampType && tsType != TimestampNTZType) return false
+    val (from, until) = deleteRegionOf(cond, tsCol, tsType) match {
       case Some(r) => r
       case None => return false
     }
     val micro = 1000000L
+    // __day was derived by to_date(ts): the wall-clock date for NTZ, the
+    // SESSION-zone local date for TIMESTAMP. Day boundaries must be computed
+    // in that same zone — UTC boundaries against a western session would
+    // classify a boundary day as fully covered and dropDays would delete
+    // rows the predicate never reached (unrecoverable after GC).
+    val zone: java.time.ZoneId = tsType match {
+      case TimestampNTZType => java.time.ZoneOffset.UTC // NTZ micros are wall-clock
+      case _ => java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    }
     def dayStart(d: java.time.LocalDate): Long =
-      d.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * micro
+      d.atStartOfDay(zone).toInstant.getEpochSecond * micro
     val days = ManifestTable.liveDays(root)
     var fully = Set.empty[String]
     var partial = Set.empty[String]

@@ -389,7 +389,9 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     required = requiredSchema
 
   /** Day bounds implied by the pushed conjunction, as (from, until)
-    * inclusive LocalDates. */
+    * inclusive LocalDates. Bounds must stay a FLOOR: residual filters make
+    * the result exact, but a file dropped from the listing is gone — the
+    * conversion of every value type has to be conservative, never clever. */
   private def dayBounds: (Option[java.time.LocalDate], Option[java.time.LocalDate]) = {
     val ts = dayOf.get
     var from: Option[java.time.LocalDate] = None
@@ -398,28 +400,44 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
       from = Some(from.filter(_.isAfter(d)).getOrElse(d))
     def tighterUntil(d: java.time.LocalDate): Unit =
       until = Some(until.filter(_.isBefore(d)).getOrElse(d))
-    def dayOfValue(v: Any): Option[java.time.LocalDate] = v match {
-      case d: java.time.LocalDate => Some(d)
-      case d: java.sql.Date => Some(d.toLocalDate)
-      case t: java.time.LocalDateTime => Some(t.toLocalDate)
-      case t: java.sql.Timestamp => Some(t.toLocalDateTime.toLocalDate)
-      case i: java.time.Instant => Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDate)
-      case s: String if s.length >= 10 =>
-        scala.util.Try(java.time.LocalDate.parse(s.take(10))).toOption
-      case _ => None
+    // __day was derived by to_date(ts) in the WRITER's session zone.
+    // Wall-clock values (LocalDate/LocalDateTime/strings — the NTZ path)
+    // map to exactly one day. Instant-typed values (TIMESTAMP columns,
+    // with or without java8API) are converted in THIS session's zone and
+    // widened ±1 day, so neither a session zone west/east of UTC nor a
+    // writer session in a different zone can make the floor drop a file
+    // whose rows satisfy the predicate. Cost: at most two extra days of
+    // files in the listing, removed again by the residual filter.
+    def dayRangeOf(v: Any): Option[(java.time.LocalDate, java.time.LocalDate)] = {
+      def widened(i: java.time.Instant): (java.time.LocalDate, java.time.LocalDate) = {
+        val zone = java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        val d = i.atZone(zone).toLocalDate
+        (d.minusDays(1), d.plusDays(1))
+      }
+      v match {
+        case d: java.time.LocalDate => Some((d, d))
+        case d: java.sql.Date => Some((d.toLocalDate, d.toLocalDate))
+        case t: java.time.LocalDateTime => Some((t.toLocalDate, t.toLocalDate))
+        case t: java.sql.Timestamp => Some(widened(t.toInstant))
+        case i: java.time.Instant => Some(widened(i))
+        case s: String if s.length >= 10 =>
+          scala.util.Try(java.time.LocalDate.parse(s.take(10))).toOption.map(d => (d, d))
+        case _ => None
+      }
     }
     def visit(f: sources.Filter): Unit = f match {
       case sources.And(l, r) => visit(l); visit(r)
       case sources.EqualTo(a, v) if a.equalsIgnoreCase(ts) =>
-        dayOfValue(v).foreach { d => tighterFrom(d); tighterUntil(d) }
+        dayRangeOf(v).foreach { case (lo, hi) => tighterFrom(lo); tighterUntil(hi) }
       case sources.GreaterThan(a, v) if a.equalsIgnoreCase(ts) =>
-        dayOfValue(v).foreach(tighterFrom)
+        dayRangeOf(v).foreach { case (lo, _) => tighterFrom(lo) }
       case sources.GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(ts) =>
-        dayOfValue(v).foreach(tighterFrom)
+        dayRangeOf(v).foreach { case (lo, _) => tighterFrom(lo) }
       case sources.LessThan(a, v) if a.equalsIgnoreCase(ts) =>
-        dayOfValue(v).foreach(tighterUntil)
+        dayRangeOf(v).foreach { case (_, hi) => tighterUntil(hi) }
       case sources.LessThanOrEqual(a, v) if a.equalsIgnoreCase(ts) =>
-        dayOfValue(v).foreach(tighterUntil)
+        dayRangeOf(v).foreach { case (_, hi) => tighterUntil(hi) }
       case _ => () // Or/Not/other columns: no pruning, still exact post-scan
     }
     pushed.foreach(visit)

@@ -73,6 +73,11 @@ object MicroBatch {
         ManifestTable.liveProps(root).get(key).map(_.toLong).getOrElse(-1L)
       else -1L
     if (batchId <= last) false
+    // an empty FIRST batch (AvailableNow over a not-yet-populated source)
+    // must not commit: an empty manifest is unrepresentable and would brick
+    // the root for every later read. On an existing table an empty batch
+    // still commits (marker-only), so batch-id tracking stays monotonic.
+    else if (!ManifestTable.exists(root) && batch.isEmpty) false
     else {
       ManifestTable.append(batch, root, partitionDayOf = partitionDayOf,
         props = Map(key -> batchId.toString))

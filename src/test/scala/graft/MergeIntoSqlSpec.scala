@@ -209,6 +209,44 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     assert(p.parsePlan("DELETE FROM a WHERE x = 1").isInstanceOf[graft.plans.GraftDeleteCommand])
   }
 
+  test("day-scoped DELETE on a TIMESTAMP column classifies days in the session zone") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val root = tmp("msq_tzdel")
+      // TIMESTAMP (instant) values at NY-local 01-14 10:00, 01-15 10:00,
+      // 01-15 20:00 — partition days derive from to_date(ts) in NY time
+      val df = Seq("2024-01-14 10:00:00", "2024-01-15 10:00:00", "2024-01-15 20:00:00")
+        .toDF("s").select(to_timestamp(col("s")).as("ts"))
+      graft.sources.ManifestTable.commit(df, root, retain = 5, partitionDayOf = Some("ts"))
+      assert(graft.sources.ManifestTable.liveDays(root) === Set("2024-01-14", "2024-01-15"))
+      MergeInto.registerManifest(spark, "msq_tzdel", root, Some("ts"))
+      // the region covers all of NY-day 01-14 but only PART of 01-15: with
+      // UTC day bounds 01-15 would be classified fully covered and the
+      // 20:00 row silently dropped at the manifest (ADVICE r5, high)
+      MergeInto.sql(spark,
+        "DELETE FROM msq_tzdel WHERE ts < TIMESTAMP '2024-01-15 20:00:00'")
+      val left = spark.table("msq_tzdel")
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm").as("t")).collect()
+      assert(left.map(_.getString(0)).toSeq === Seq("2024-01-15 20:00"))
+      assert(graft.sources.ManifestTable.liveDays(root) === Set("2024-01-15"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("full-rewrite DML carries manifest props (streaming idempotence markers)") {
+    val root = tmp("msq_props")
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    graft.sources.ManifestTable.append(df, root,
+      props = Map("stream.app1.batch" -> "7"))
+    MergeInto.registerManifest(spark, "msq_props", root)
+    MergeInto.sql(spark, "UPDATE msq_props SET v = v + 1 WHERE k = 1")
+    // the rewrite continued the table's history: the marker survived, so a
+    // foreachBatch replay of batch 7 is still detected and skipped
+    assert(graft.sources.ManifestTable.liveProps(root)
+      .get("stream.app1.batch").contains("7"))
+    assert(!graft.streaming.MicroBatch.appendBatchIdempotent(df, root, "app1", 7L))
+  }
+
   test("driver-contract query: full lifecycle at sf0.001") {
     val out = MergeInto.mergeIntoSql(spark, TestSpark.sf)
     assert(out.columns.toSeq == Seq("c_custkey", "c_acctbal", "c_mktsegment"))

@@ -203,6 +203,25 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
       === Set("stream.app1.batch", "stream.app2.batch"))
   }
 
+  test("streaming: an empty first micro-batch never bricks a new table root") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("stream_empty").toString + "/tbl"
+    val empty = Seq.empty[(Long, java.sql.Timestamp, String)].toDF("k", "ts", "v")
+    // day-partitioned empty write produces zero pool files; committing an
+    // empty manifest would make every later read fail — must be skipped
+    assert(!MicroBatch.appendBatchIdempotent(empty, target, "app", 0L, Some("ts")))
+    assert(!graft.sources.ManifestTable.exists(target))
+    // the first real batch then initializes the table normally
+    val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), "a"))
+      .toDF("k", "ts", "v")
+    assert(MicroBatch.appendBatchIdempotent(batch, target, "app", 1L, Some("ts")))
+    assert(graft.sources.ManifestTable.read(spark, target).count() === 1)
+    // an empty LATER batch is fine: marker-only commit keeps ids monotonic
+    assert(MicroBatch.appendBatchIdempotent(empty, target, "app", 2L, Some("ts")))
+    assert(graft.sources.ManifestTable.read(spark, target).count() === 1)
+    assert(graft.sources.ManifestTable.liveProps(target)("stream.app.batch") === "2")
+  }
+
   test("streaming: mapGroupsWithState running totals") {
     import spark.implicits._
     val events = Seq((1L, 10.0), (1L, 5.0), (2L, 2.0))
