@@ -198,13 +198,16 @@ object MergeInto {
     val scoped = tgt.backing match {
       // NOT MATCHED BY SOURCE touches every partition — full rewrite then
       case Some(ManifestBacking(root, Some(ts))) if scopedEnabled =>
+        val (v0, raw) = ManifestTable.readRawPinned(spark, root)
         executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = true,
-          raw = ManifestTable.readRaw(spark, root))
+          raw = raw, baseVersion = Some(v0))
       case Some(CatalogBacking(root, Some(ts))) if scopedEnabled =>
         // derive __day from ts over the schema-pinned catalog read — the
         // identical derivation the append used to lay the files out
+        val v0 = ManifestTable.currentVersion(root)
         executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = false,
-          raw = tgt.df.withColumn(ManifestTable.DayCol, to_date(col(ts))))
+          raw = tgt.df.withColumn(ManifestTable.DayCol, to_date(col(ts))),
+          baseVersion = v0)
       case _ => false
     }
     if (!scoped) writeBack(spark, tgt, mergeResult(tgt.df, tgt.alias, source, m))
@@ -221,7 +224,8 @@ object MergeInto {
   private def executeScopedMerge(spark: SparkSession, tgt: Target, root: String,
                                  tsCol: String, source: DataFrame,
                                  m: MergeIntoTable, refreshView: Boolean,
-                                 raw: DataFrame): Boolean = {
+                                 raw: DataFrame,
+                                 baseVersion: Option[Long]): Boolean = {
     val targetCols = tgt.df.columns.toSeq
     // every INSERT action must assign the partition-source timestamp
     // column with a derivable value, else the landing day is unknown
@@ -263,7 +267,8 @@ object MergeInto {
       .drop(ManifestTable.DayCol)
     val result = mergeResult(restricted, tgt.alias, source, m)
     ManifestTable.replaceDays(result, root, removeDays = days,
-      partitionDayOf = tsCol, retain = retainOf(spark))
+      partitionDayOf = tsCol, retain = retainOf(spark),
+      expectedVersion = baseVersion)
     if (refreshView)
       ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
     true
@@ -304,12 +309,13 @@ object MergeInto {
       spark.conf.get("spark.graft.delete.dayScoped", "true").toBoolean
     val fast = tgt.backing match {
       case Some(ManifestBacking(root, Some(ts))) if fastEnabled =>
+        val (v0, raw) = ManifestTable.readRawPinned(spark, root)
         tryDayScopedDelete(spark, tgt, root, ts, d.condition,
-          raw = ManifestTable.readRaw(spark, root), refreshView = true)
+          raw = raw, refreshView = true, baseVersion = Some(v0))
       case Some(CatalogBacking(root, Some(ts))) if fastEnabled =>
         tryDayScopedDelete(spark, tgt, root, ts, d.condition,
           raw = tgt.df.withColumn(ManifestTable.DayCol, to_date(col(ts))),
-          refreshView = false)
+          refreshView = false, baseVersion = ManifestTable.currentVersion(root))
       case _ => false
     }
     if (!fast) {
@@ -367,7 +373,8 @@ object MergeInto {
     * caller falls back to the full rewrite). */
   private def tryDayScopedDelete(spark: SparkSession, tgt: Target, root: String,
                                  tsCol: String, cond: Expression,
-                                 raw: DataFrame, refreshView: Boolean): Boolean = {
+                                 raw: DataFrame, refreshView: Boolean,
+                                 baseVersion: Option[Long]): Boolean = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val tsType = tgt.df.schema.fields
       .find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType).getOrElse(return false)
@@ -406,7 +413,8 @@ object MergeInto {
     if (partial.isEmpty && fully == days) return false // would empty: rewrite path
     val retain = retainOf(spark)
     if (partial.isEmpty) {
-      ManifestTable.dropDays(root, fully, retain = retain) // pure metadata
+      ManifestTable.dropDays(root, fully, retain = retain,
+        expectedVersion = baseVersion) // pure metadata
     } else {
       val restricted = raw
         .where(col(ManifestTable.DayCol).cast("string").isin(partial.toSeq: _*))
@@ -414,7 +422,8 @@ object MergeInto {
         .alias(tgt.alias)
       val hit = coalesce(GraftColumnBridge.column(cond), lit(false))
       ManifestTable.replaceDays(restricted.where(!hit), root,
-        removeDays = fully ++ partial, partitionDayOf = tsCol, retain = retain)
+        removeDays = fully ++ partial, partitionDayOf = tsCol, retain = retain,
+        expectedVersion = baseVersion)
     }
     if (refreshView)
       ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)

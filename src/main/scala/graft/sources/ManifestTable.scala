@@ -1,13 +1,10 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
+import org.apache.hadoop.fs.FileAlreadyExistsException
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import scala.jdk.CollectionConverters._
 
 /** Manifest-based table format: immutable data files in a shared pool,
   * each version a MANIFEST (file list), commits an atomic pointer flip.
@@ -23,11 +20,24 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:
   * {{{
-  *   <root>/data/__day=D/<uuid>.parquet   immutable data files (partitioned)
-  *   <root>/data/<uuid>.parquet           (unpartitioned tables)
+  *   <root>/data/__day=D/<uuid>.<fmt>     immutable data files (partitioned)
+  *   <root>/data/<uuid>.<fmt>             (unpartitioned tables)
   *   <root>/manifests/v=N.txt             one relative file path per line
   *   <root>/_CURRENT                      live version id (atomic flip)
   * }}}
+  *
+  * All metadata I/O goes through the Hadoop `FileSystem` API ([[MetaIO]]),
+  * so a table root can be a local path, `file://`, `hdfs://`, or `s3a://`
+  * URI — the reference's tables live on s3a MinIO
+  * (`/root/reference/dags/2_bronze_to_silver.py:47-52`) and this format
+  * can be pointed at the same bucket. Data files were always written/read
+  * through Spark's Hadoop-aware writers.
+  *
+  * Data files carry their format in the extension (`.parquet`/`.orc`/
+  * `.avro` — the same three legs as the reference's fan-out), so a
+  * manifest is self-describing: reads dispatch per extension and a table
+  * converted between formats stays readable mid-history. Writers default
+  * to the live table's format.
   *
   * The hidden day partition rides in the directory name, exactly like the
   * parquet layout Spark itself writes; reads pass the manifest's file
@@ -35,53 +45,74 @@ import scala.jdk.CollectionConverters._
   * [[readDayRange]] prunes AT THE MANIFEST level — the scan never opens a
   * file outside the requested days (Iceberg's scan planning, re-expressed).
   *
-  * Crash safety mirrors [[Versioned]]: data files and manifests are
-  * written before the single-key `_CURRENT` flip; a writer dying mid-
-  * commit leaves orphan files that the next successful commit's GC
-  * sweeps, never a broken table. (On an object store the stage→pool move
-  * is a server-side copy per NEW file only; Iceberg avoids even that with
-  * custom committers — out of scope here.)
+  * Crash safety: data files and manifests are written before the
+  * single-key `_CURRENT` flip; a writer dying mid-commit leaves orphan
+  * files that the next successful commit's GC sweeps, never a broken
+  * table. (On an object store the stage→pool move is a server-side copy
+  * per NEW file only; Iceberg avoids even that with custom committers —
+  * out of scope here.)
   *
   * Concurrency: each committer CLAIMS its version by creating
-  * `v=N+1.txt` with create-new semantics (the one atomic win-or-fail
-  * primitive POSIX files give; conditional PUT on an object store), so
-  * two writers racing for the same version produce one winner and one
-  * `FileAlreadyExistsException` BEFORE any pointer moves — a silent lost
-  * update becomes a detectable commit failure the caller retries against
-  * the new live state. Full multi-writer serialization (Iceberg's
-  * retry-CAS on the metadata pointer via a metastore lock) is out of
-  * scope: the supported model is one committer per table at a time, with
-  * races detected rather than absorbed.
+  * `v=N+1.txt` with create-new semantics ([[MetaIO.createNew]] — POSIX
+  * `O_EXCL` locally, namenode-exclusive create on HDFS, conditional PUT
+  * on an object store), so two writers racing for the same version
+  * produce one winner and one [[FileAlreadyExistsException]] BEFORE any
+  * pointer moves. Losers are then absorbed, not just detected:
+  *
+  *  - APPEND commits rebase automatically — the new files are already in
+  *    the pool, so the retry re-reads the new live manifest and publishes
+  *    base ∪ new at the next version (append/append never conflicts
+  *    logically; this is Iceberg's fast-append retry).
+  *  - Partition-scoped commits ([[replaceDays]]/[[dropDays]]) rebase iff
+  *    the winning commit did not touch the days being replaced; otherwise
+  *    they throw [[java.util.ConcurrentModificationException]] — the
+  *    caller's input was computed against a snapshot whose touched days
+  *    are gone.
+  *  - Full-table overwrites never rebase (an overwrite that silently
+  *    discarded a concurrent append would be a lost update, so the
+  *    conflict surfaces to the caller).
+  *
+  * A claim whose committer crashed before the pointer flip would block
+  * its version number forever; since claim→flip is milliseconds, any
+  * claim above the live pointer older than the grace period
+  * (`spark.graft.manifest.claimGraceMs`, default 60 s) is an orphan —
+  * retries reclaim it, and GC sweeps such orphans as a backstop.
   */
 object ManifestTable {
 
   private val Pointer = "_CURRENT"
   /** Hidden partition directory prefix (same column name Versioned uses). */
   val DayCol = "__day"
+  /** The three fan-out formats a table can store its data files in. */
+  val FileFormats: Set[String] = Set("parquet", "orc", "avro")
 
-  private def pointerPath(root: String): Path = Paths.get(root, Pointer)
+  private def pointerPath(root: String): String = s"$root/$Pointer"
+  private def manifestPath(root: String, v: Long): String =
+    s"$root/manifests/v=$v.txt"
+
+  private def confLong(key: String, dflt: Long): Long =
+    SparkSession.getActiveSession.flatMap(_.conf.getOption(key))
+      .map(_.toLong).getOrElse(dflt)
+  /** Claims above the pointer older than this are crashed committers'. */
+  private def claimGraceMs: Long =
+    confLong("spark.graft.manifest.claimGraceMs", 60000L)
+  /** Rebase attempts before surfacing a claim conflict to the caller. */
+  private def commitRetries: Int =
+    confLong("spark.graft.manifest.commitRetries", 4L).toInt
 
   def currentVersion(root: String): Option[Long] = {
     val p = pointerPath(root)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-    else None
+    if (MetaIO.exists(p)) Some(MetaIO.readString(p).trim.toLong) else None
   }
 
   def exists(root: String): Boolean = currentVersion(root).isDefined
 
-  def versions(root: String): Seq[Long] = {
-    val d = Paths.get(root, "manifests")
-    if (!Files.isDirectory(d)) Nil
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v=") && n.endsWith(".txt") =>
-          n.stripPrefix("v=").stripSuffix(".txt").toLong }
-        .toSeq.sorted
-      finally s.close()
-    }
-  }
+  def versions(root: String): Seq[Long] =
+    MetaIO.listStatus(s"$root/manifests")
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") && n.endsWith(".txt") =>
+        n.stripPrefix("v=").stripSuffix(".txt").toLong }
+      .sorted
 
   /** Relative data-file paths of one manifest (property lines skipped). */
   def manifest(root: String, v: Long): Seq[String] =
@@ -103,10 +134,9 @@ object ManifestTable {
     currentVersion(root).map(manifestProps(root, _)).getOrElse(Map.empty)
 
   private def manifestLines(root: String, v: Long): Seq[String] = {
-    val p = Paths.get(root, "manifests", s"v=$v.txt")
-    require(Files.exists(p), s"manifest v=$v of $root does not exist")
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.toSeq
+    val p = manifestPath(root, v)
+    require(MetaIO.exists(p), s"manifest v=$v of $root does not exist")
+    MetaIO.readString(p).linesIterator.toSeq
   }
 
   private def liveManifest(root: String): Seq[String] =
@@ -121,10 +151,24 @@ object ManifestTable {
   /** Distinct hidden-day values present in the live manifest. */
   def liveDays(root: String): Set[String] = liveManifest(root).flatMap(dayOf).toSet
 
+  private def extOf(rel: String): String = rel.substring(rel.lastIndexOf('.') + 1)
+
+  /** Storage format of the live snapshot's data files (None before the
+    * first commit). A mid-conversion table reports its newest files'
+    * format — new writes continue it. */
+  def formatOf(root: String): Option[String] =
+    if (!exists(root)) None else liveManifest(root).lastOption.map(extOf)
+
   private def readFiles(spark: SparkSession, root: String, rels: Seq[String]): DataFrame = {
     require(rels.nonEmpty, s"empty manifest under $root — empty commits are not supported")
-    spark.read.option("basePath", s"$root/data")
-      .parquet(rels.map(r => s"$root/data/$r"): _*)
+    // dispatch per extension: a manifest may reference files of several
+    // formats mid-conversion; each group reads through its own source and
+    // basePath re-derives the hidden day column identically for all three
+    rels.groupBy(extOf).toSeq.sortBy(_._1).map { case (fmt, rs) =>
+      require(FileFormats.contains(fmt), s"unknown data-file format .$fmt under $root")
+      spark.read.format(fmt).option("basePath", s"$root/data")
+        .load(rs.map(r => s"$root/data/$r"): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Live snapshot, hidden partition column stripped. */
@@ -135,6 +179,16 @@ object ManifestTable {
     * for partition-scoped rewrites). */
   private[graft] def readRaw(spark: SparkSession, root: String): DataFrame =
     readFiles(spark, root, liveManifest(root))
+
+  /** [[readRaw]] pinned to one version resolution: returns the version the
+    * files came from, so a partition-scoped rewrite can pass it as
+    * `expectedVersion` and detect commits that landed between this read
+    * and its own commit (Iceberg's validate-against-scan-snapshot). */
+  private[graft] def readRawPinned(spark: SparkSession, root: String): (Long, DataFrame) = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    (v, readFiles(spark, root, manifest(root, v)))
+  }
 
   /** Time travel: a retained manifest's snapshot. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
@@ -161,85 +215,124 @@ object ManifestTable {
   /** Write `df`'s files into the pool (staged, then moved in — invisible
     * until a manifest references them) and return their relative paths. */
   private def writePool(df: DataFrame, root: String,
-                        partitionDayOf: Option[String]): Seq[String] = {
+                        partitionDayOf: Option[String], format: String): Seq[String] = {
+    require(FileFormats.contains(format), s"unsupported data-file format $format")
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
     partitionDayOf match {
       case Some(ts) =>
         df.withColumn(DayCol, to_date(col(ts)))
-          .write.partitionBy(DayCol).parquet(stage)
+          .write.partitionBy(DayCol).format(format).save(stage)
       case None =>
-        df.write.parquet(stage)
+        df.write.format(format).save(stage)
     }
-    val stageP = Paths.get(stage)
-    val parts = {
-      val s = Files.walk(stageP)
-      try s.iterator().asScala.filter(p =>
-        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")).toVector
-      finally s.close()
-    }
-    val rels = parts.map { p =>
-      val sub = stageP.relativize(p.getParent).toString // "" or "__day=D"
-      val name = s"${UUID.randomUUID().toString.take(16)}.parquet"
-      val rel = if (sub.isEmpty) name else s"$sub/$name"
-      val dest = Paths.get(s"$root/data/$rel")
-      Files.createDirectories(dest.getParent)
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      rel
-    }
-    deleteRecursively(stageP)
+    val rels = MetaIO.listFilesRec(stage)
+      .filter(_.getPath.getName.endsWith(s".$format"))
+      .map { st =>
+        val rel0 = MetaIO.relativize(stage, st.getPath)
+        val sub = rel0.split('/').dropRight(1).mkString("/") // "" or "__day=D"
+        val name = s"${UUID.randomUUID().toString.take(16)}.$format"
+        val rel = if (sub.isEmpty) name else s"$sub/$name"
+        MetaIO.rename(st.getPath.toString, s"$root/data/$rel")
+        rel
+      }
+    MetaIO.delete(stage, recursive = true)
     rels
   }
 
-  private def commitManifest(root: String, rels: Seq[String], retain: Int,
-                             props: Map[String, String] = Map.empty): Long = {
-    require(props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
-      && props.values.forall(v => !v.contains("\n")), "illegal manifest property")
-    val next = currentVersion(root).getOrElse(0L) + 1
-    val mdir = Paths.get(root, "manifests")
-    Files.createDirectories(mdir)
-    // optimistic-concurrency CLAIM: create-new is the one atomic
-    // win-or-fail primitive POSIX gives (rename REPLACES silently — a
-    // tmp+move dance would let a racing committer overwrite this
-    // manifest and GC the loser's files: a true lost update). On an
-    // object store the analog is a conditional PUT (If-None-Match).
-    // Readers never see a half-written manifest because nothing points
-    // at it until the pointer flip below.
-    val target = mdir.resolve(s"v=$next.txt")
-    Files.createFile(target) // throws FileAlreadyExistsException on conflict
-    val body = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++ rels
-    Files.write(target, body.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    val ptmp = Paths.get(root, s"$Pointer.tmp")
-    Files.write(ptmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(ptmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    gc(root, next, retain)
-    next
+  /** One commit attempt's content, planned against the current base. */
+  private case class Planned(rels: Seq[String], props: Map[String, String])
+
+  /** The optimistic-concurrency loop. `plan` maps the CURRENT base
+    * (live file list + props — both re-read per attempt) to the manifest
+    * content to publish; it throws to refuse a rebase. On a lost claim:
+    * reclaim it if stale (crashed committer), else — when `rebase` —
+    * re-plan against the new live state and try the next version, else
+    * surface the conflict. */
+  private def commitLoop(root: String, retain: Int, rebase: Boolean)
+                        (plan: (Seq[String], Map[String, String]) => Planned): Long = {
+    require(retain >= 1, "must retain at least the live snapshot")
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(root)
+      val (baseRels, baseProps) = base match {
+        case Some(v) => (manifest(root, v), manifestProps(root, v))
+        case None    => (Nil, Map.empty[String, String])
+      }
+      val planned = plan(baseRels, baseProps)
+      require(planned.props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
+        && planned.props.values.forall(v => !v.contains("\n")), "illegal manifest property")
+      val next = base.getOrElse(0L) + 1
+      val body = planned.props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+        planned.rels
+      try {
+        // the CLAIM: create-new manifest with full content — the one
+        // win-or-fail step; nothing points at it until the flip below
+        MetaIO.createNew(manifestPath(root, next), body.mkString("\n"))
+        MetaIO.writeAtomic(pointerPath(root), next.toString)
+        gc(root, next, retain)
+        return next
+      } catch {
+        case e: FileAlreadyExistsException =>
+          if (reclaimIfStale(root, next)) {
+            // crashed committer's orphan removed; same base, retry now
+          } else {
+            attempt += 1
+            if (!rebase || attempt > commitRetries) throw e
+            // a racing committer holds the claim; its flip (ms away)
+            // surfaces a new base for the re-plan
+            Thread.sleep(50L * attempt)
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** True iff v's manifest is an orphan claim — above the live pointer
+    * and older than the claim grace (claim→flip is milliseconds, so a
+    * live committer's claim is never this old) — and was deleted. */
+  private def reclaimIfStale(root: String, v: Long): Boolean = {
+    val p = manifestPath(root, v)
+    val live = currentVersion(root).getOrElse(0L)
+    val stale = v > live && MetaIO.exists(p) &&
+      MetaIO.mtimeMillis(p) < System.currentTimeMillis() - claimGraceMs
+    if (stale) MetaIO.delete(p)
+    stale
   }
 
   /** Full-table commit: every row of `df` becomes the new snapshot.
     * `props` REPLACE the previous commit's properties (an overwrite is a
-    * new history; pass `liveProps(root)` to carry them). */
+    * new history; pass `liveProps(root)` to carry them). Never rebases:
+    * losing the claim to a concurrent commit surfaces as
+    * [[FileAlreadyExistsException]] (an overwrite that silently discarded
+    * the winner's rows would be a lost update). `format` defaults to the
+    * table's current format (parquet for a new table). */
   def commit(df: DataFrame, root: String, retain: Int = 2,
              partitionDayOf: Option[String] = None,
-             props: Map[String, String] = Map.empty): Long = {
-    require(retain >= 1, "must retain at least the live snapshot")
-    commitManifest(root, writePool(df, root, partitionDayOf), retain, props)
+             props: Map[String, String] = Map.empty,
+             format: Option[String] = None): Long = {
+    val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
+    val fresh = writePool(df, root, partitionDayOf, fmt)
+    commitLoop(root, retain, rebase = false)((_, _) => Planned(fresh, props))
   }
 
   /** Append commit (INSERT INTO semantics): write only `df`'s files into
     * the pool and publish a manifest referencing live ∪ new — commit cost
     * proportional to the appended data, never to table size (the property
     * that makes per-batch ingestion viable at 100 TB). First append on an
-    * empty table degenerates to [[commit]]. */
+    * empty table degenerates to [[commit]]. Rebases on claim conflicts:
+    * two concurrent appenders both succeed, union of both file sets. */
   def append(df: DataFrame, root: String, retain: Int = 2,
              partitionDayOf: Option[String] = None,
-             props: Map[String, String] = Map.empty): Long = {
-    require(retain >= 1, "must retain at least the live snapshot")
-    val keep = if (exists(root)) liveManifest(root) else Nil
-    // inherited ++ new: the live manifest always exposes the latest value
-    // per property key, so idempotence markers survive later appends
-    commitManifest(root, keep ++ writePool(df, root, partitionDayOf), retain,
-      props = liveProps(root) ++ props)
+             props: Map[String, String] = Map.empty,
+             format: Option[String] = None): Long = {
+    val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
+    val fresh = writePool(df, root, partitionDayOf, fmt)
+    // base ∪ new, props inherited ++ ours: the live manifest always
+    // exposes the latest value per property key, so idempotence markers
+    // survive later appends — all re-read per attempt when rebasing
+    commitLoop(root, retain, rebase = true) { (baseRels, baseProps) =>
+      Planned(baseRels ++ fresh, baseProps ++ props)
+    }
   }
 
   /** Partition-scoped commit: replace the named days with `df`'s rows;
@@ -247,50 +340,89 @@ object ManifestTable {
     * (this is the Iceberg copy-on-write property — commit cost follows
     * the touched data, not the table). `df` must be the FULL new contents
     * of `removeDays` (plus any rows landing in other days, which append
-    * to those days). */
+    * to those days). Rebases over concurrent commits that did not touch
+    * `removeDays` (e.g. appends to other days); throws
+    * [[java.util.ConcurrentModificationException]] when they did — `df`
+    * was computed against a base whose touched days are gone.
+    * `expectedVersion` anchors the check to the version `df` was COMPUTED
+    * from ([[readRawPinned]]), catching commits that landed between that
+    * read and this call; default = the live version at entry. */
   def replaceDays(df: DataFrame, root: String, removeDays: Set[String],
-                  partitionDayOf: String, retain: Int = 2): Long = {
-    val keep = liveManifest(root).filter(rel => dayOf(rel) match {
-      case Some(d) => !removeDays.contains(d)
+                  partitionDayOf: String, retain: Int = 2,
+                  expectedVersion: Option[Long] = None): Long = {
+    def touched(rels: Seq[String]): Seq[String] = rels.filter(rel => dayOf(rel) match {
+      case Some(d) => removeDays.contains(d)
       case None => throw new IllegalStateException(
         s"$root holds unpartitioned files; replaceDays needs a day-partitioned table")
     })
-    val fresh = writePool(df, root, Some(partitionDayOf))
-    // partial update of a continuing table: carry the commit properties
-    // (e.g. streaming idempotence markers) into the new manifest
-    commitManifest(root, keep ++ fresh, retain = retain, props = liveProps(root))
+    val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val base0 = touched(manifest(root, baseV)).toSet
+    val fmt = formatOf(root).getOrElse("parquet")
+    val fresh = writePool(df, root, Some(partitionDayOf), fmt)
+    commitLoop(root, retain, rebase = true) { (baseRels, baseProps) =>
+      if (touched(baseRels).toSet != base0)
+        throw new java.util.ConcurrentModificationException(
+          s"days ${removeDays.mkString(",")} of $root changed under this rewrite; recompute and retry")
+      // partial update of a continuing table: carry the commit properties
+      // (e.g. streaming idempotence markers) into the new manifest
+      Planned(baseRels.filterNot(rel => dayOf(rel).exists(removeDays.contains)) ++ fresh,
+        baseProps)
+    }
   }
 
   /** Metadata-only day drop — the retention-DELETE fast path: remove the
     * named days' files from the manifest and flip the pointer. NO data is
     * read or written; cost is one manifest write regardless of table
     * size. Refuses to commit an empty table (empty manifests are not
-    * representable — drop the table instead). */
-  def dropDays(root: String, removeDays: Set[String], retain: Int = 2): Long = {
-    val keep = liveManifest(root).filter(rel => dayOf(rel) match {
-      case Some(d) => !removeDays.contains(d)
+    * representable — drop the table instead). Same rebase/conflict rule
+    * (and `expectedVersion` anchor) as [[replaceDays]]. */
+  def dropDays(root: String, removeDays: Set[String], retain: Int = 2,
+               expectedVersion: Option[Long] = None): Long = {
+    def touched(rels: Seq[String]): Seq[String] = rels.filter(rel => dayOf(rel) match {
+      case Some(d) => removeDays.contains(d)
       case None => throw new IllegalStateException(
         s"$root holds unpartitioned files; dropDays needs a day-partitioned table")
     })
-    require(keep.nonEmpty,
-      s"dropDays would empty $root; DROP the table (or overwrite) instead")
-    commitManifest(root, keep, retain = retain, props = liveProps(root))
+    val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val base0 = touched(manifest(root, baseV)).toSet
+    commitLoop(root, retain, rebase = true) { (baseRels, baseProps) =>
+      if (touched(baseRels).toSet != base0)
+        throw new java.util.ConcurrentModificationException(
+          s"days ${removeDays.mkString(",")} of $root changed under this drop; recompute and retry")
+      val keep = baseRels.filterNot(rel => dayOf(rel).exists(removeDays.contains))
+      require(keep.nonEmpty,
+        s"dropDays would empty $root; DROP the table (or overwrite) instead")
+      Planned(keep, baseProps)
+    }
   }
 
   /** Drop manifests beyond `retain`, then delete pool files no retained
     * manifest references (runs after the flip: a failed GC leaves orphans,
-    * never a broken table). */
+    * never a broken table). Also sweeps orphan CLAIMS — manifests above
+    * the live pointer whose committer crashed before flipping (older than
+    * the claim grace) — so a crashed commit can never block the version
+    * sequence permanently. */
   private def gc(root: String, live: Long, retain: Int): Unit = {
-    val (dead, kept) = versions(root).partition(_ <= live - retain)
-    dead.foreach(v => Files.deleteIfExists(Paths.get(root, "manifests", s"v=$v.txt")))
-    val referenced = kept.flatMap(v => manifest(root, v)).toSet
-    val dataDir = Paths.get(root, "data")
-    if (Files.isDirectory(dataDir)) {
-      val s = Files.walk(dataDir)
-      val all = try s.iterator().asScala.filter(Files.isRegularFile(_)).toVector finally s.close()
-      all.foreach { p =>
-        if (!referenced.contains(dataDir.relativize(p).toString)) Files.deleteIfExists(p)
-      }
+    val now = System.currentTimeMillis()
+    val (dead, kept0) = versions(root).partition(_ <= live - retain)
+    dead.foreach(v => MetaIO.delete(manifestPath(root, v)))
+    val kept = kept0.filter { v =>
+      val orphan = v > live &&
+        MetaIO.mtimeMillis(manifestPath(root, v)) < now - claimGraceMs
+      if (orphan) MetaIO.delete(manifestPath(root, v))
+      !orphan
+    }
+    val referenced = kept.filter(_ <= live).flatMap(v => manifest(root, v)).toSet
+    MetaIO.listFilesRec(s"$root/data").foreach { st =>
+      // unreferenced files younger than the claim grace are protected: they
+      // may belong to an in-flight commit (written to the pool just before
+      // its claim). A crashed writer's files age past the grace and the
+      // next successful commit sweeps them — Iceberg's orphan-file rule.
+      if (!referenced.contains(MetaIO.relativize(s"$root/data", st.getPath))
+          && st.getModificationTime < now - claimGraceMs)
+        MetaIO.delete(st.getPath.toString)
     }
   }
 
@@ -299,7 +431,7 @@ object ManifestTable {
     * are shared across manifests, so their mtimes don't identify commits). */
   def versionAsOf(root: String, epochMillis: Long): Long = {
     val cands = versions(root).filter(v =>
-      Files.getLastModifiedTime(Paths.get(root, "manifests", s"v=$v.txt")).toMillis <= epochMillis)
+      MetaIO.mtimeMillis(manifestPath(root, v)) <= epochMillis)
     require(cands.nonEmpty,
       s"no retained snapshot of $root committed at or before epoch-ms $epochMillis")
     cands.max
@@ -311,18 +443,21 @@ object ManifestTable {
     val live = currentVersion(root)
     versions(root).map { v =>
       val rels = manifest(root, v)
-      val sizes = rels.map(r => Files.size(Paths.get(s"$root/data/$r")))
+      val sizes = rels.map(r => MetaIO.size(s"$root/data/$r"))
       (v, rels.size.toLong, sizes.sum, live.contains(v))
     }.toDF("version", "n_files", "bytes", "is_current")
   }
 
   /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite the
     * live snapshot into ~`targetFileBytes` files per day and commit; old
-    * files age out with their manifests. Data is unchanged — only layout. */
+    * files age out with their manifests. Data is unchanged — only layout
+    * (and optionally the storage format, Iceberg's
+    * `rewrite_data_files(options => map('format', …))`). */
   def compact(spark: SparkSession, root: String, partitionDayOf: Option[String],
-              targetFileBytes: Long = 128L << 20, retain: Int = 2): Long = {
+              targetFileBytes: Long = 128L << 20, retain: Int = 2,
+              format: Option[String] = None): Long = {
     val rels = liveManifest(root)
-    val totalBytes = rels.map(r => Files.size(Paths.get(s"$root/data/$r"))).sum
+    val totalBytes = rels.map(r => MetaIO.size(s"$root/data/$r")).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = partitionDayOf match {
       // repartition by day so each partition dir gets locally-coalesced files
@@ -332,14 +467,6 @@ object ManifestTable {
     // layout maintenance continues the table's history: carry properties
     // (a lost streaming marker would let a replayed batch double-append)
     commit(df, root, retain = retain, partitionDayOf = partitionDayOf,
-      props = liveProps(root))
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
-    }
-    Files.deleteIfExists(p)
+      props = liveProps(root), format = format)
   }
 }

@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileStatus, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Metadata I/O for the table formats ([[ManifestTable]], [[Versioned]],
+  * [[graft.sources.v2.VersionedCatalog]]) on the Hadoop `FileSystem` API,
+  * so a table root can live on anything Spark itself can reach — local
+  * paths, `file://`, `hdfs://`, `s3a://` — the way the reference's
+  * lakehouse lives on s3a MinIO
+  * (`/root/reference/dags/2_bronze_to_silver.py:47-52`). Data files were
+  * always read/written through Spark (Hadoop-aware); this moves the
+  * METADATA plane (pointers, manifests, descriptors) onto the same stack.
+  *
+  * The two primitives with atomicity contracts:
+  *
+  *  - [[createNew]] — win-or-fail exclusive create (the commit CLAIM).
+  *    Local paths go through POSIX `O_CREAT|O_EXCL` (truly atomic); HDFS
+  *    `create(overwrite=false)` is namenode-exclusive (atomic); plain
+  *    object stores degrade to check-then-create, where a real deployment
+  *    supplies the store's conditional-PUT (If-None-Match) — the protocol
+  *    needs exactly one win-or-fail primitive and maps onto whichever the
+  *    store provides. Always signals a loss as Hadoop's
+  *    [[FileAlreadyExistsException]], whatever the backend threw.
+  *  - [[writeAtomic]] — single-key overwrite publish (the pointer FLIP):
+  *    temp file + rename-with-overwrite via [[FileContext]] (atomic on
+  *    POSIX and HDFS; single-key PUT on object stores).
+  *
+  * All calls are driver-side (metadata is never touched from executors).
+  */
+private[graft] object MetaIO {
+
+  /** The session's Hadoop conf when one is live (picks up s3a credentials
+    * etc.); a bare default otherwise (tests, tooling). */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def path(s: String): Path = new Path(s)
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private def isLocal(f: FileSystem): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    scheme == "file"
+  }
+
+  def exists(s: String): Boolean = { val p = path(s); fsOf(p).exists(p) }
+
+  def isDirectory(s: String): Boolean = {
+    val p = path(s); val f = fsOf(p)
+    f.exists(p) && f.getFileStatus(p).isDirectory
+  }
+
+  def mkdirs(s: String): Unit = { val p = path(s); fsOf(p).mkdirs(p); () }
+
+  def readString(s: String): String = {
+    val p = path(s)
+    val in = fsOf(p).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** Plain overwrite write — for content nothing races on (use
+    * [[writeAtomic]] for pointers, [[createNew]] for claims). */
+  def write(s: String, body: String): Unit = {
+    val p = path(s)
+    val out = fsOf(p).create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Exclusive create-new with content — throws Hadoop's
+    * [[FileAlreadyExistsException]] when the path exists (one winner, every
+    * loser detectable). See the class doc for per-store atomicity. */
+  def createNew(s: String, body: String): Unit = {
+    val p = path(s)
+    val f = fsOf(p)
+    if (isLocal(f)) {
+      // O_CREAT|O_EXCL via java.nio: atomic even under a same-instant race,
+      // which Hadoop's local create(overwrite=false) (check-then-act) is not
+      val lp = java.nio.file.Paths.get(p.toUri.getPath)
+      Option(lp.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      try java.nio.file.Files.write(lp, body.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new FileAlreadyExistsException(s)
+      }
+      ()
+    } else {
+      val out = f.create(p, false) // HDFS: namenode-exclusive; stores: conditional PUT
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+  }
+
+  /** Atomic single-key publish: write a sibling temp file, rename over the
+    * target with OVERWRITE. */
+  def writeAtomic(s: String, body: String): Unit = {
+    val p = path(s)
+    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
+    write(tmp.toString, body)
+    val fc = FileContext.getFileContext(p.toUri, hadoopConf)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  /** Move a file (no-replace destination: UUID-named pool files never
+    * collide). On an object store this is the server-side copy the class
+    * doc of [[ManifestTable]] accounts for. */
+  def rename(src: String, dst: String): Unit = {
+    val sp = path(src); val dp = path(dst)
+    val f = fsOf(dp)
+    Option(dp.getParent).foreach(f.mkdirs(_))
+    require(f.rename(sp, dp), s"rename $src -> $dst failed")
+  }
+
+  def delete(s: String, recursive: Boolean = false): Unit = {
+    val p = path(s); fsOf(p).delete(p, recursive); ()
+  }
+
+  /** Direct children (empty for a missing dir). */
+  def listStatus(dir: String): Seq[FileStatus] = {
+    val p = path(dir); val f = fsOf(p)
+    if (!f.exists(p)) Nil else f.listStatus(p).toSeq
+  }
+
+  /** All regular files below `dir`, recursively (empty if missing). */
+  def listFilesRec(dir: String): Seq[FileStatus] = {
+    val p = path(dir); val f = fsOf(p)
+    if (!f.exists(p)) Nil
+    else {
+      val it = f.listFiles(p, true)
+      val out = ArrayBuffer.empty[FileStatus]
+      while (it.hasNext) out += it.next()
+      out.toSeq
+    }
+  }
+
+  /** `child`'s path relative to `dir` (both resolved against the same
+    * filesystem, so qualification matches). */
+  def relativize(dir: String, child: Path): String = {
+    val p = path(dir)
+    val qual = fsOf(p).makeQualified(p).toString
+    val c = child.toString
+    require(c.startsWith(qual + "/"), s"$child is not under $dir")
+    c.stripPrefix(qual + "/")
+  }
+
+  def size(s: String): Long = { val p = path(s); fsOf(p).getFileStatus(p).getLen }
+
+  def mtimeMillis(s: String): Long = {
+    val p = path(s); fsOf(p).getFileStatus(p).getModificationTime
+  }
+}

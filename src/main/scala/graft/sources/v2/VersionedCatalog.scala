@@ -1,7 +1,5 @@
 package graft.sources.v2
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -19,7 +17,7 @@ import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.ManifestTable
+import graft.sources.{ManifestTable, MetaIO}
 
 /** DataSource V2 catalog plugin making [[graft.sources.ManifestTable]]
   * snapshot tables first-class PLANNER objects — the integration layer the
@@ -75,24 +73,22 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
   private def tableRoot(ident: Identifier): String =
     (Seq(warehouse) ++ ident.namespace().toSeq :+ ident.name()).mkString("/")
 
-  private def nsDir(ns: Array[String]): java.nio.file.Path =
-    Paths.get((Seq(warehouse) ++ ns.toSeq).mkString("/"))
+  private def nsDir(ns: Array[String]): String =
+    (Seq(warehouse) ++ ns.toSeq).mkString("/")
 
   // ---- tables -------------------------------------------------------------
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val d = nsDir(ns)
-    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(ns)
-    val s = Files.list(d)
-    try s.iterator().asScala
-      .filter(p => Files.exists(p.resolve(VersionedCatalog.MetaFile)))
-      .map(p => Identifier.of(ns, p.getFileName.toString))
+    if (!MetaIO.isDirectory(d)) throw new NoSuchNamespaceException(ns)
+    MetaIO.listStatus(d)
+      .filter(st => MetaIO.exists(s"${st.getPath}/${VersionedCatalog.MetaFile}"))
+      .map(st => Identifier.of(ns, st.getPath.getName))
       .toArray
-    finally s.close()
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    Files.exists(Paths.get(tableRoot(ident), VersionedCatalog.MetaFile))
+    MetaIO.exists(s"${tableRoot(ident)}/${VersionedCatalog.MetaFile}")
 
   override def loadTable(ident: Identifier): Table =
     loadVersion(ident, None)
@@ -133,7 +129,7 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
         s"days($c): no such column in ${schema.fieldNames.mkString(", ")}")
     }
     val root = tableRoot(ident)
-    Files.createDirectories(Paths.get(root))
+    MetaIO.mkdirs(root)
     VersionedCatalog.writeMeta(root, VersionedCatalog.Meta(schema, dayOf))
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
@@ -171,47 +167,39 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val root = Paths.get(tableRoot(ident))
-    if (!Files.exists(root.resolve(VersionedCatalog.MetaFile))) false
-    else { deleteRecursively(root); true }
+    val root = tableRoot(ident)
+    if (!MetaIO.exists(s"$root/${VersionedCatalog.MetaFile}")) false
+    else { MetaIO.delete(root, recursive = true); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    Files.createDirectories(nsDir(newIdent.namespace()))
-    Files.move(Paths.get(tableRoot(oldIdent)), Paths.get(tableRoot(newIdent)),
-      StandardCopyOption.ATOMIC_MOVE)
+    MetaIO.mkdirs(nsDir(newIdent.namespace()))
+    MetaIO.rename(tableRoot(oldIdent), tableRoot(newIdent))
   }
 
   // ---- namespaces ---------------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val d = Paths.get(warehouse)
-    if (!Files.isDirectory(d)) Array.empty
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .filter(p => Files.isDirectory(p)
-          && !Files.exists(p.resolve(VersionedCatalog.MetaFile)))
-        .map(p => Array(p.getFileName.toString))
-        .toArray
-      finally s.close()
-    }
-  }
+  override def listNamespaces(): Array[Array[String]] =
+    MetaIO.listStatus(warehouse)
+      .filter(st => st.isDirectory
+        && !MetaIO.exists(s"${st.getPath}/${VersionedCatalog.MetaFile}"))
+      .map(st => Array(st.getPath.getName))
+      .toArray
 
   override def listNamespaces(ns: Array[String]): Array[Array[String]] =
     if (ns.isEmpty) listNamespaces()
-    else if (Files.isDirectory(nsDir(ns))) Array.empty
+    else if (MetaIO.isDirectory(nsDir(ns))) Array.empty
     else throw new NoSuchNamespaceException(ns)
 
   override def loadNamespaceMetadata(ns: Array[String]): JMap[String, String] =
-    if (ns.isEmpty || Files.isDirectory(nsDir(ns))) Map.empty[String, String].asJava
+    if (ns.isEmpty || MetaIO.isDirectory(nsDir(ns))) Map.empty[String, String].asJava
     else throw new NoSuchNamespaceException(ns)
 
   override def createNamespace(ns: Array[String], meta: JMap[String, String]): Unit = {
-    if (Files.isDirectory(nsDir(ns))) throw new NamespaceAlreadyExistsException(ns)
-    Files.createDirectories(nsDir(ns))
+    if (MetaIO.isDirectory(nsDir(ns))) throw new NamespaceAlreadyExistsException(ns)
+    MetaIO.mkdirs(nsDir(ns))
   }
 
   override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
@@ -219,20 +207,12 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     val d = nsDir(ns)
-    if (!Files.isDirectory(d)) false
+    if (!MetaIO.isDirectory(d)) false
     else {
       if (!cascade && listTables(ns).nonEmpty)
         throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
-      deleteRecursively(d); true
+      MetaIO.delete(d, recursive = true); true
     }
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
-    }
-    Files.deleteIfExists(p)
   }
 }
 
@@ -252,19 +232,15 @@ object VersionedCatalog {
   private[graft] def warehouseOf(name: String): Option[String] =
     Option(instances.get(name.toLowerCase))
 
-  def writeMeta(root: String, meta: Meta): Unit = {
-    val body = meta.dayOf.getOrElse("") + "\n" + meta.schema.json
-    val tmp = Paths.get(root, s"$MetaFile.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(root, MetaFile),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def writeMeta(root: String, meta: Meta): Unit =
+    MetaIO.writeAtomic(s"$root/$MetaFile",
+      meta.dayOf.getOrElse("") + "\n" + meta.schema.json)
 
   def readMeta(root: String): Option[Meta] = {
-    val p = Paths.get(root, MetaFile)
-    if (!Files.exists(p)) None
+    val p = s"$root/$MetaFile"
+    if (!MetaIO.exists(p)) None
     else {
-      val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val lines = MetaIO.readString(p)
       val (head, rest) = lines.span(_ != '\n')
       Some(Meta(DataType.fromJson(rest.trim).asInstanceOf[StructType],
         Some(head.trim).filter(_.nonEmpty)))

@@ -215,28 +215,112 @@ class TableFormatSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("graft_test.evo_nation_parquet__rename_tmp"))
   }
 
-  test("manifest optimistic concurrency: a conflicting committer fails, never loses data") {
+  test("manifest optimistic concurrency: a held claim blocks, a stale claim is reclaimed") {
     import spark.implicits._
     import graft.sources.ManifestTable
     val root = Files.createTempDirectory("manifest_occ").toString + "/t"
     ManifestTable.commit(Seq((1L, "a")).toDF("k", "v"), root)   // v1 live
 
-    // another writer has already published v=2: this committer's version
-    // allocation collides and the no-replace manifest move must fail
-    // BEFORE the pointer flips — no silent lost update is possible
+    // an in-flight committer holds the v=2 claim (fresh mtime): this
+    // committer's claim collides, rebase retries find the same base (the
+    // holder never flips), and the conflict surfaces — no pointer moved,
+    // no silent lost update
     val mdir = Paths.get(root, "manifests")
-    Files.write(mdir.resolve("v=2.txt"),
-      ManifestTable.manifest(root, 1).mkString("\n").getBytes)
-    intercept[java.nio.file.FileAlreadyExistsException] {
+    val claim = mdir.resolve("v=2.txt")
+    Files.write(claim, ManifestTable.manifest(root, 1).mkString("\n").getBytes)
+    spark.conf.set("spark.graft.manifest.commitRetries", "1")
+    try intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
       ManifestTable.append(Seq((2L, "b")).toDF("k", "v"), root)
-    }
+    } finally spark.conf.unset("spark.graft.manifest.commitRetries")
     // the table is untouched: pointer still v1, v1 content intact
     assert(ManifestTable.currentVersion(root).contains(1L))
     assert(ManifestTable.read(spark, root).count() === 1)
-    // after re-reading the live state (simulated retry at the next free
-    // version), the append lands
-    Files.delete(mdir.resolve("v=2.txt"))
+
+    // the same claim aged past the grace period is a CRASHED committer
+    // (claim→flip is milliseconds): the next commit reclaims it and lands,
+    // so an orphan can never block the version sequence permanently
+    Files.setLastModifiedTime(claim, java.nio.file.attribute.FileTime.from(
+      java.time.Instant.now().minusSeconds(120)))
     ManifestTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(ManifestTable.currentVersion(root).contains(2L))
     assert(ManifestTable.read(spark, root).count() === 2)
+  }
+
+  test("manifest commits rebase: concurrent appenders both land, both file sets survive") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("manifest_rebase").toString + "/t"
+    ManifestTable.commit(Seq((0L, "seed")).toDF("k", "v"), root, retain = 10)
+
+    // two appenders race from the same base: the claim loser re-reads the
+    // winner's manifest and publishes base ∪ its own files — append/append
+    // never conflicts (Iceberg's fast-append retry)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        try ManifestTable.append(Seq((i.toLong, s"t$i")).toDF("k", "v"), root, retain = 10)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must both land: ${errs}")
+    assert(ManifestTable.currentVersion(root).contains(3L))
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq(0L -> "seed", 1L -> "t1", 2L -> "t2"))
+
+    // replaceDays vs append on the SAME days: the rewrite was computed
+    // against version v0, the append landed after — anchoring the rewrite
+    // at v0 must refuse with ConcurrentModificationException, not lose the
+    // appended row
+    val proot = Files.createTempDirectory("manifest_rebase2").toString + "/p"
+    def ts(d: Int, h: Int) = java.time.LocalDateTime.of(2024, 5, d, h, 0)
+    val v0 = ManifestTable.commit(
+      Seq((1L, ts(1, 6)), (2L, ts(2, 6))).toDF("k", "ts"),
+      proot, retain = 10, partitionDayOf = Some("ts"))
+    val rewritten = ManifestTable.read(spark, proot).where("k = 1")
+    // a concurrent appender lands MORE rows into day 05-01 first
+    ManifestTable.append(Seq((9L, ts(1, 9))).toDF("k", "ts"), proot,
+      retain = 10, partitionDayOf = Some("ts"))
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.replaceDays(rewritten, proot, Set("2024-05-01"), "ts",
+        retain = 10, expectedVersion = Some(v0))
+    }
+    assert(ManifestTable.read(spark, proot).count() === 3, "the append must survive")
+    // a rewrite of a day the append did NOT touch rebases and lands
+    val (v2, raw2) = ManifestTable.readRawPinned(spark, proot)
+    val day2 = raw2
+      .where(col("__day") === "2024-05-02").drop("__day").withColumn("k", col("k") + 100)
+    ManifestTable.replaceDays(day2, proot, Set("2024-05-02"), "ts",
+      retain = 10, expectedVersion = Some(v2))
+    assert(ManifestTable.read(spark, proot).orderBy("k")
+      .select("k").as[Long].collect().toSeq === Seq(1L, 9L, 102L))
+  }
+
+  test("manifest table on an explicit file:// Hadoop URI: full protocol round-trip") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    // the metadata plane goes through the Hadoop FileSystem API, so a
+    // scheme-qualified URI must behave exactly like a bare local path —
+    // the same code path an hdfs:// or s3a:// root would take
+    val root = "file://" + Files.createTempDirectory("manifest_scheme").toString + "/t"
+    def ts(d: Int) = java.time.LocalDateTime.of(2024, 7, d, 12, 0)
+    ManifestTable.commit(Seq((1L, ts(1)), (2L, ts(2))).toDF("k", "ts"),
+      root, retain = 10, partitionDayOf = Some("ts"))
+    ManifestTable.append(Seq((3L, ts(3))).toDF("k", "ts"),
+      root, retain = 10, partitionDayOf = Some("ts"),
+      props = Map("stream.app.batch" -> "1"))
+    assert(ManifestTable.currentVersion(root).contains(2L))
+    assert(ManifestTable.liveDays(root) ===
+      Set("2024-07-01", "2024-07-02", "2024-07-03"))
+    assert(ManifestTable.liveProps(root)("stream.app.batch") === "1")
+    // manifest-level day pruning and time travel through the URI
+    assert(ManifestTable.readDayRange(spark, root, "ts",
+      "2024-07-02 00:00:00", "2024-07-04 00:00:00").count() === 2)
+    assert(ManifestTable.readVersion(spark, root, 1L).count() === 2)
+    // metadata-only day drop, then history
+    ManifestTable.dropDays(root, Set("2024-07-01"), retain = 10)
+    assert(ManifestTable.read(spark, root).orderBy("k")
+      .select("k").as[Long].collect().toSeq === Seq(2L, 3L))
+    assert(ManifestTable.history(spark, root).count() === 3)
   }
 }
