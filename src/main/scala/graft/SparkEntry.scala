@@ -138,6 +138,13 @@ object SparkEntry {
     "versioned_scan_prune" -> ((s, d) => graft.sources.v2.V2Queries.versionedScanPrune(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
     "incremental_gold_from_cdc" -> ((s, d) => graft.sources.v2.V2Queries.incrementalGoldFromCdc(s, d)),
+    // per-table format through the catalog: three CTAS legs (parquet/orc/
+    // avro), each read back through its own V2 scan, one order-independent
+    // checksum across all three, equality verdict oracle-pinned
+    "catalog_format_fanout" -> ((s, d) => graft.sources.v2.V2Queries.catalogFormatFanout(s, d)),
+    // metadata-only RENAME COLUMN: old files readable, new appends under
+    // the new name, manifest pruning intact — oracle recomputes raw
+    "renamed_column_scan" -> ((s, d) => graft.sources.v2.V2Queries.renamedColumnScan(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -244,6 +251,8 @@ object SparkEntry {
     "versioned_scan_prune" -> graft.sources.v2.V2Queries.oracle.versionedScanPrune,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
     "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,
+    "catalog_format_fanout" -> graft.sources.v2.V2Queries.oracle.catalogFormatFanout,
+    "renamed_column_scan" -> graft.sources.v2.V2Queries.oracle.renamedColumnScan,
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,

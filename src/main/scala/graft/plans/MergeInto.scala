@@ -163,6 +163,21 @@ object MergeInto {
   private def retainOf(spark: SparkSession): Int =
     spark.conf.get("spark.graft.versioned.retain", "2").toInt
 
+  /** Catalog tables store renamed columns under their original PHYSICAL
+    * names; a rewrite computed in logical names maps back before commit.
+    * Identity for tables without renames (and for bare manifest roots,
+    * which have no `_TABLE` descriptor). */
+  private def toPhysical(root: String, df: DataFrame): DataFrame =
+    graft.sources.v2.VersionedCatalog.readMeta(root) match {
+      case Some(m) if m.renames.nonEmpty =>
+        df.select(df.columns.toIndexedSeq.map(c => col(c).as(m.physicalName(c))): _*)
+      case _ => df
+    }
+
+  private def physicalNameOf(root: String, logical: String): String =
+    graft.sources.v2.VersionedCatalog.readMeta(root)
+      .map(_.physicalName(logical)).getOrElse(logical)
+
   private def writeBack(spark: SparkSession, tgt: Target, result: DataFrame): Unit =
     tgt.backing match {
       case Some(VersionedBacking(r)) =>
@@ -177,8 +192,11 @@ object MergeInto {
         ManifestTable.read(spark, r).createOrReplaceTempView(tgt.name)
       case Some(CatalogBacking(r, dayOf)) =>
         // readers resolve the manifest pointer through the catalog on
-        // every analysis — nothing to refresh
-        ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf,
+        // every analysis — nothing to refresh; data files carry PHYSICAL
+        // names and the table's declared format (commit defaults to the
+        // live manifest's format)
+        ManifestTable.commit(toPhysical(r, result), r, retain = retainOf(spark),
+          partitionDayOf = dayOf.map(physicalNameOf(r, _)),
           props = ManifestTable.liveProps(r))
       case None =>
         // reading and overwriting the same table: materialize first
@@ -266,8 +284,8 @@ object MergeInto {
       .where(col(ManifestTable.DayCol).cast("string").isin(days.toSeq: _*))
       .drop(ManifestTable.DayCol)
     val result = mergeResult(restricted, tgt.alias, source, m)
-    ManifestTable.replaceDays(result, root, removeDays = days,
-      partitionDayOf = tsCol, retain = retainOf(spark),
+    ManifestTable.replaceDays(toPhysical(root, result), root, removeDays = days,
+      partitionDayOf = physicalNameOf(root, tsCol), retain = retainOf(spark),
       expectedVersion = baseVersion)
     if (refreshView)
       ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
@@ -421,9 +439,9 @@ object MergeInto {
         .drop(ManifestTable.DayCol)
         .alias(tgt.alias)
       val hit = coalesce(GraftColumnBridge.column(cond), lit(false))
-      ManifestTable.replaceDays(restricted.where(!hit), root,
-        removeDays = fully ++ partial, partitionDayOf = tsCol, retain = retain,
-        expectedVersion = baseVersion)
+      ManifestTable.replaceDays(toPhysical(root, restricted.where(!hit)), root,
+        removeDays = fully ++ partial, partitionDayOf = physicalNameOf(root, tsCol),
+        retain = retain, expectedVersion = baseVersion)
     }
     if (refreshView)
       ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)

@@ -161,6 +161,84 @@ object V2Queries {
     Versioned.read(spark, goldRoot)
   }
 
+  /** Exact-typed columns of the cross-format checksum (same discipline as
+    * [[graft.sources.Formats.formatIntegrityCheck]]: no doubles in a
+    * cross-system checksum). */
+  private val FanoutCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** "Same data, three formats, one catalog" — the reference's
+    * raison d'être (`dags/2_bronze_to_silver.py:164,245-248`: every table
+    * written per format, format parametrized per table) lifted to CATALOG
+    * tables: lineitem is CTAS'd into three versioned catalog tables, one
+    * per storage format (`USING parquet|orc|avro` routes the manifest's
+    * data files), read back through `spark.table` — i.e. through the V2
+    * scan of each leg — and checksummed order-independently. The oracle
+    * recomputes the checksum from the source parquet and pins
+    * `formats_match` TRUE, so a single corrupted value in any leg's
+    * write or read path fails the hash compare. */
+  def catalogFormatFanout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.Dedup
+    ensureCatalog(spark)
+    val src = graft.Tables.lineitem(spark, dir).select(FanoutCols.map(col): _*)
+    val fmts = Seq("parquet", "orc", "avro")
+    val tbls = fmts.map(f => f -> s"$Cat.q.${newName(s"ff_$f")}").toMap
+    try {
+      fmts.foreach(f => src.writeTo(tbls(f)).using(f).create())
+
+      def checksum(df: DataFrame, tag: String): DataFrame = df
+        .select(Dedup.md5Long(
+          concat_ws("|", FanoutCols.map(c => col(c).cast("string")): _*)).as("h"))
+        .agg(count(lit(1)).as(s"${tag}_rows"),
+          sum(col("h").cast(DecimalType(38, 0))).cast("string").as(s"${tag}_sum"))
+
+      val legs = fmts.map(f => checksum(spark.table(tbls(f)), f))
+        .reduce(_ crossJoin _)
+      val out = legs.select(
+        col("parquet_rows").as("n_rows"), col("parquet_sum").as("checksum"),
+        (col("parquet_rows") === col("orc_rows") && col("orc_rows") === col("avro_rows")
+          && col("parquet_sum") === col("orc_sum") && col("orc_sum") === col("avro_sum"))
+          .as("formats_match"))
+      // materialize BEFORE the finally drops the tables (one tiny row)
+      out.localCheckpoint(true)
+    } finally tbls.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** Metadata-only RENAME COLUMN as an oracle-gated query: a
+    * day-partitioned catalog table of pre-cutoff events is created, BOTH
+    * the partition-source timestamp and the value column are renamed
+    * (descriptor write only — the reference documents rename as an
+    * Iceberg headline capability, `README.md:332-340`), the post-cutoff
+    * rows are appended under the NEW logical names, and the aggregate
+    * runs through the renamed columns with a ts-range filter that still
+    * prunes at the manifest. Old files (physical names) and new files
+    * must both resolve; the oracle recomputes from the raw events. */
+  def renamedColumnScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("rn")}"
+    val cutoff = lit(TtCutoff).cast("timestamp_ntz")
+    val ev = eventsSlim(spark, dir)
+    try {
+      ev.where(col("ts") < cutoff)
+        .writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .create()
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN value TO amount")
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN ts TO event_ts")
+      ev.where(col("ts") >= cutoff)
+        .withColumnRenamed("value", "amount").withColumnRenamed("ts", "event_ts")
+        .writeTo(tbl).append()
+
+      val out = spark.table(tbl)
+        .where(col("event_ts") >= lit(PruneFrom).cast("timestamp_ntz")
+          && col("event_ts") < lit(PruneUntil).cast("timestamp_ntz"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("amount")).as("total_amount"))
+      out.localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   object oracle {
     val versionedScanPrune: String =
       s"""SELECT event_type, COUNT(*) AS n_events,
@@ -177,6 +255,28 @@ object V2Queries {
          |SELECT 2 AS snapshot, COUNT(*) AS n_rows,
          |  ${Dsl.sql.dsum("value")} AS total_value
          |FROM events""".stripMargin
+
+    /** One checksum from the source parquet, verdict TRUE — identical
+      * md5-derived hash sum to the engine's three legs. */
+    val catalogFormatFanout: String = {
+      val args = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(c => s"CAST($c AS VARCHAR)").mkString(", ")
+      s"""SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(${graft.operators.Dedup.md5LongSql(s"concat_ws('|', $args)")} AS DECIMAL(38,0)))
+         |    AS VARCHAR) AS checksum,
+         |  TRUE AS formats_match
+         |FROM lineitem""".stripMargin
+    }
+
+    /** The rename must be invisible to the data: recompute from the raw
+      * events under the original names. */
+    val renamedColumnScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS total_amount
+         |FROM events
+         |WHERE ts >= TIMESTAMP '$PruneFrom' AND ts < TIMESTAMP '$PruneUntil'
+         |GROUP BY 1""".stripMargin
 
     /** Full recompute — the incremental path must be invisible. */
     val incrementalGoldFromCdc: String =

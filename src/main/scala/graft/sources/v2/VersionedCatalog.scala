@@ -110,7 +110,7 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident))
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      root, meta.schema, meta.dayOf, version)
+      root, meta.schema, meta.dayOf, version, meta)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -128,41 +128,77 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"days($c): no such column in ${schema.fieldNames.mkString(", ")}")
     }
+    // per-table storage format — the reference parametrizes this per table
+    // via `write.format.default` (dags/2_bronze_to_silver.py:245-248):
+    // `USING orc|avro` (the provider) or TBLPROPERTIES('format'='…')
+    val format = Option(properties.get("format"))
+      .orElse(Option(properties.get(TableCatalog.PROP_PROVIDER))
+        .filter(p => ManifestTable.FileFormats.contains(p.toLowerCase)))
+      .map(_.toLowerCase).getOrElse("parquet")
+    require(ManifestTable.FileFormats.contains(format),
+      s"unsupported table format '$format' (one of ${ManifestTable.FileFormats.mkString(", ")})")
     val root = tableRoot(ident)
     MetaIO.mkdirs(root)
-    VersionedCatalog.writeMeta(root, VersionedCatalog.Meta(schema, dayOf))
+    val meta = VersionedCatalog.Meta(schema, dayOf, format)
+    VersionedCatalog.writeMeta(root, meta)
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      root, schema, dayOf, None)
+      root, schema, dayOf, None, meta)
   }
 
-  /** Metadata-only schema evolution: ADD COLUMN (nullable, appended at
-    * the end) rewrites the `_TABLE` descriptor and nothing else — old
-    * data files simply read NULL for the new column, because every scan
-    * passes the DECLARED schema and Spark's parquet reader null-fills
-    * absent columns. Renames/drops/type changes need column mapping
-    * (field ids) to be metadata-only; those go through the rewrite path
-    * in [[graft.sources.Evolution]]. */
+  /** Metadata-only schema evolution — a `_TABLE` descriptor rewrite and
+    * nothing else:
+    *
+    *  - ADD COLUMN (nullable, appended at the end): old data files read
+    *    NULL, because every scan passes the DECLARED schema and the file
+    *    readers null-fill absent columns.
+    *  - RENAME COLUMN: the descriptor records a logical→physical mapping
+    *    (Iceberg does the same via field ids —
+    *    `/root/reference/README.md:332-340` documents it as a headline
+    *    Iceberg capability). Data files keep their physical names
+    *    forever; scans alias physical to logical at plan time and writes
+    *    map back, so old files stay readable and no data moves.
+    *
+    * Drops/type changes still need the rewrite path in
+    * [[graft.sources.Evolution]]. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
-    val meta = VersionedCatalog.readMeta(root).getOrElse(
+    val meta0 = VersionedCatalog.readMeta(root).getOrElse(
       throw new NoSuchTableException(ident))
-    val newSchema = changes.foldLeft(meta.schema) {
-      case (s, add: TableChange.AddColumn) =>
+    val newMeta = changes.foldLeft(meta0) {
+      case (m, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
           "nested column additions are not supported")
         require(add.isNullable,
           "added columns must be nullable: existing files read NULL")
         require(add.position() == null,
           "only appending at the end is metadata-only")
-        require(!s.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))),
+        require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))),
           s"column ${add.fieldNames()(0)} already exists")
-        s.add(org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType(), nullable = true))
+        m.copy(schema = m.schema.add(org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true)))
+      case (m, rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames().length == 1,
+          "nested column renames are not supported")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(m.schema.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"no such column $from")
+        require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column $to already exists")
+        // physical name is wherever the data files already are: the
+        // original name for a first rename, carried through chains
+        val physical = m.physicalName(from)
+        m.copy(
+          schema = StructType(m.schema.fields.map(f =>
+            if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)),
+          dayOf = m.dayOf.map(d => if (d.equalsIgnoreCase(from)) to else d),
+          renames = (m.renames.filterNot(_._1.equalsIgnoreCase(from)) +
+            (to -> physical)).filterNot { case (l, p) => l == p })
       case (_, other) => throw new UnsupportedOperationException(
         s"${other.getClass.getSimpleName} needs a data rewrite — use graft.sources.Evolution")
     }
-    VersionedCatalog.writeMeta(root, meta.copy(schema = newSchema))
+    VersionedCatalog.writeMeta(root, newMeta)
     loadTable(ident)
   }
 
@@ -217,11 +253,26 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object VersionedCatalog {
-  /** Table descriptor filename (first line: day-source column or empty;
-    * remaining lines: schema JSON). */
+  /** Table descriptor filename. Line 1: day-source column or empty;
+    * line 2: schema JSON; optional `#key=value` lines after (storage
+    * `format`, column `rename.<logical>=<physical>` mappings) — absent
+    * lines default, so descriptors written before a capability existed
+    * keep reading. */
   val MetaFile = "_TABLE"
 
-  case class Meta(schema: StructType, dayOf: Option[String])
+  /** `schema` holds LOGICAL (user-facing) names; `renames` maps logical →
+    * physical for columns whose stored name differs after a metadata-only
+    * RENAME COLUMN (data files always carry physical names). */
+  case class Meta(schema: StructType, dayOf: Option[String],
+                  format: String = "parquet",
+                  renames: Map[String, String] = Map.empty) {
+    def physicalName(logical: String): String =
+      renames.collectFirst { case (l, p) if l.equalsIgnoreCase(logical) => p }
+        .getOrElse(logical)
+    /** The schema as stored in data files (logical names swapped out). */
+    def physicalSchema: StructType =
+      StructType(schema.fields.map(f => f.copy(name = physicalName(f.name))))
+  }
 
   /** Registered catalog instances (name → warehouse): lets the engine's
     * DML layer ([[graft.plans.MergeInto]]) resolve `cat.ns.tbl` MERGE
@@ -232,18 +283,29 @@ object VersionedCatalog {
   private[graft] def warehouseOf(name: String): Option[String] =
     Option(instances.get(name.toLowerCase))
 
-  def writeMeta(root: String, meta: Meta): Unit =
+  def writeMeta(root: String, meta: Meta): Unit = {
+    val props =
+      (if (meta.format == "parquet") Nil else Seq(s"#format=${meta.format}")) ++
+        meta.renames.toSeq.sortBy(_._1).map { case (l, p) => s"#rename.$l=$p" }
     MetaIO.writeAtomic(s"$root/$MetaFile",
-      meta.dayOf.getOrElse("") + "\n" + meta.schema.json)
+      (Seq(meta.dayOf.getOrElse(""), meta.schema.json) ++ props).mkString("\n"))
+  }
 
   def readMeta(root: String): Option[Meta] = {
     val p = s"$root/$MetaFile"
     if (!MetaIO.exists(p)) None
     else {
-      val lines = MetaIO.readString(p)
-      val (head, rest) = lines.span(_ != '\n')
-      Some(Meta(DataType.fromJson(rest.trim).asInstanceOf[StructType],
-        Some(head.trim).filter(_.nonEmpty)))
+      val lines = MetaIO.readString(p).linesIterator.toVector
+      val props = lines.drop(2).filter(_.startsWith("#")).map { l =>
+        val kv = l.drop(1).split("=", 2)
+        kv(0) -> (if (kv.length > 1) kv(1) else "")
+      }.toMap
+      Some(Meta(
+        DataType.fromJson(lines(1).trim).asInstanceOf[StructType],
+        Some(lines(0).trim).filter(_.nonEmpty),
+        format = props.getOrElse("format", "parquet"),
+        renames = props.collect { case (k, v) if k.startsWith("rename.") =>
+          k.stripPrefix("rename.") -> v }))
     }
   }
 }
@@ -272,7 +334,8 @@ class VersionedTableProvider extends TableProvider
       require(ManifestTable.exists(root),
         s"$root is neither a catalog-created versioned table nor a committed manifest root")
       VersionedCatalog.Meta(ManifestTable.read(spark, root).schema,
-        Option(options.get("day_of")))
+        Option(options.get("day_of")),
+        format = ManifestTable.formatOf(root).getOrElse("parquet"))
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -287,16 +350,18 @@ class VersionedTableProvider extends TableProvider
     val root = rootOf(options)
     val meta = metaOf(root, options)
     VersionedTable(s"versioned `$root`", root, schema, meta.dayOf,
-      Option(options.get("version")).map(_.toLong))
+      Option(options.get("version")).map(_.toLong), meta)
   }
 }
 
 /** A [[ManifestTable]] as a V2 `Table`: batch-readable with manifest-level
   * pruning, batch-writable through the V1 fallback (append / truncate),
   * hidden-day partitioning surfaced as the `days(col)` transform. A table
-  * loaded at a pinned version (time travel) is read-only. */
+  * loaded at a pinned version (time travel) is read-only. The table's
+  * storage format and logical↔physical column mapping ride in `meta`. */
 case class VersionedTable(tableName: String, root: String, userSchema: StructType,
-                          dayOf: Option[String], pinnedVersion: Option[Long])
+                          dayOf: Option[String], pinnedVersion: Option[Long],
+                          meta: VersionedCatalog.Meta)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
@@ -306,7 +371,7 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
     dayOf.map(c => Expressions.days(c)).toArray
 
   override def properties(): JMap[String, String] =
-    (Map("provider" -> "versioned", "location" -> root)
+    (Map("provider" -> "versioned", "location" -> root, "format" -> meta.format)
       ++ dayOf.map("day_of" -> _)
       ++ pinnedVersion.map("version" -> _.toString)).asJava
 
@@ -315,12 +380,12 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VersionedScanBuilder(root, userSchema, dayOf, pinnedVersion, options)
+    new VersionedScanBuilder(root, userSchema, dayOf, pinnedVersion, options, meta)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"$tableName@v=${pinnedVersion.get} is a time-travel read; writes go to the live table")
-    new VersionedWriteBuilder(root, userSchema, dayOf)
+    new VersionedWriteBuilder(root, userSchema, dayOf, meta)
   }
 }
 
@@ -348,7 +413,8 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
   * correctness dependency. */
 class VersionedScanBuilder(root: String, dataSchema: StructType,
                            dayOf: Option[String], pinnedVersion: Option[Long],
-                           options: CaseInsensitiveStringMap)
+                           options: CaseInsensitiveStringMap,
+                           meta: VersionedCatalog.Meta)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[sources.Filter] = Array.empty
@@ -448,32 +514,94 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   override def build(): Scan = {
     val spark = SparkSession.getActiveSession.getOrElse(
       SparkSession.builder().getOrCreate())
-    val files = prunedManifest.map(rel => new Path(s"$root/data/$rel"))
-    // basePath keeps partition discovery rooted at the data pool; for an
-    // empty listing (empty table / fully pruned) the pool dir may not
-    // exist yet and the option must be absent
-    val params =
-      if (files.isEmpty) Map.empty[String, String]
-      else Map("basePath" -> s"$root/data")
-    val index = new InMemoryFileIndex(spark, files, params, Some(dataSchema))
-    // required never contains the hidden day column (it is absent from the
-    // table schema), so the partition side of the read schema stays empty
-    // and __day rides only in the directory names
-    val partNames = index.partitionSchema.fieldNames.toSet
-    val readData = StructType(required.fields.filterNot(f => partNames.contains(f.name)))
-    val readPart = StructType(required.fields.filter(f => partNames.contains(f.name)))
-    org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
-      spark, index, dataSchema, readData, readPart, pushed, options)
+    // data files carry PHYSICAL column names; the planner speaks logical.
+    // The file scan is built entirely in physical terms and — when any
+    // column was renamed — wrapped so readSchema() reports the logical
+    // names back (rows are positional; only the schema needs the alias).
+    def physical(st: StructType): StructType =
+      StructType(st.fields.map(f => f.copy(name = meta.physicalName(f.name))))
+    val rels = prunedManifest
+    val files = rels.map(rel => new Path(s"$root/data/$rel"))
+    val logicalRead = required
+    val delegate: Scan = meta.format match {
+      case "avro" =>
+        // no file index needed: the manifest IS the listing, __day rides in
+        // dir names and is never part of the user schema, and filters are
+        // re-applied exactly post-scan by Spark (pushFilters residual)
+        new AvroManifestScan(files.map(_.toString), physical(logicalRead), logicalRead)
+      case fmt =>
+        // basePath keeps partition discovery rooted at the data pool; for an
+        // empty listing (empty table / fully pruned) the pool dir may not
+        // exist yet and the option must be absent
+        val params =
+          if (files.isEmpty) Map.empty[String, String]
+          else Map("basePath" -> s"$root/data")
+        val index = new InMemoryFileIndex(spark, files, params, Some(physical(dataSchema)))
+        // required never contains the hidden day column (it is absent from
+        // the table schema), so the partition side of the read schema stays
+        // empty and __day rides only in the directory names
+        val partNames = index.partitionSchema.fieldNames.toSet
+        val readData = physical(StructType(
+          logicalRead.fields.filterNot(f => partNames.contains(f.name))))
+        val readPart = StructType(logicalRead.fields.filter(f => partNames.contains(f.name)))
+        val physicalFilters = pushed.map(GraftScanBridge2.renameFilter(_, meta.physicalName))
+        if (fmt == "orc")
+          org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
+            spark, index, physical(dataSchema), readData, readPart, physicalFilters, options)
+        else
+          org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
+            spark, index, physical(dataSchema), readData, readPart, physicalFilters, options)
+    }
+    if (meta.renames.isEmpty) delegate
+    else new RenamedScan(delegate, logicalRead)
   }
+}
+
+/** Filter attribute renaming for pushdown across the logical→physical
+  * column mapping (only shapes the sources translate). */
+private[v2] object GraftScanBridge2 {
+  def renameFilter(f: sources.Filter, phys: String => String): sources.Filter = f match {
+    case sources.And(l, r) => sources.And(renameFilter(l, phys), renameFilter(r, phys))
+    case sources.Or(l, r) => sources.Or(renameFilter(l, phys), renameFilter(r, phys))
+    case sources.Not(c) => sources.Not(renameFilter(c, phys))
+    case sources.EqualTo(a, v) => sources.EqualTo(phys(a), v)
+    case sources.EqualNullSafe(a, v) => sources.EqualNullSafe(phys(a), v)
+    case sources.GreaterThan(a, v) => sources.GreaterThan(phys(a), v)
+    case sources.GreaterThanOrEqual(a, v) => sources.GreaterThanOrEqual(phys(a), v)
+    case sources.LessThan(a, v) => sources.LessThan(phys(a), v)
+    case sources.LessThanOrEqual(a, v) => sources.LessThanOrEqual(phys(a), v)
+    case sources.In(a, vs) => sources.In(phys(a), vs)
+    case sources.IsNull(a) => sources.IsNull(phys(a))
+    case sources.IsNotNull(a) => sources.IsNotNull(phys(a))
+    case sources.StringStartsWith(a, v) => sources.StringStartsWith(phys(a), v)
+    case sources.StringEndsWith(a, v) => sources.StringEndsWith(phys(a), v)
+    case sources.StringContains(a, v) => sources.StringContains(phys(a), v)
+    case other => other
+  }
+}
+
+/** Reports logical column names over a delegate scan built in physical
+  * terms — rows are positional, so only `readSchema` changes. */
+private[v2] class RenamedScan(delegate: Scan, logical: StructType) extends Scan {
+  override def readSchema(): StructType = logical
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+  override def description(): String = s"Renamed(${delegate.description()})"
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
 }
 
 /** V1-fallback write: INSERT INTO appends a manifest (cost ∝ new data),
   * INSERT OVERWRITE / TRUNCATE commits a fresh snapshot; both are atomic
   * pointer flips with retained history. The V1 path hands the input as a
-  * DataFrame, and [[ManifestTable]]'s committed parquet writer is Spark's
-  * own — nothing is row-converted beyond the normal write path. */
+  * DataFrame, and [[ManifestTable]]'s committed file writer is Spark's
+  * own (parquet/orc) or the engine's avro FileFormat — per the table's
+  * declared format. Renamed columns are written under their PHYSICAL
+  * names so every data file in the pool stays uniformly named. */
 class VersionedWriteBuilder(root: String, schema: StructType,
-                            dayOf: Option[String])
+                            dayOf: Option[String],
+                            meta: VersionedCatalog.Meta)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -486,13 +614,18 @@ class VersionedWriteBuilder(root: String, schema: StructType,
         val spark = data.sparkSession
         val retain = spark.conf.get("spark.graft.versioned.retain", "2").toInt
         // align by name+type with the declared schema (V2 resolution has
-        // already matched columns; the cast pins exact physical types)
+        // already matched columns; the cast pins exact physical types),
+        // then swap logical for physical names
         val aligned = data.select(schema.fields.toIndexedSeq.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+            .as(meta.physicalName(f.name))): _*)
+        val physDayOf = dayOf.map(meta.physicalName)
         if (overwrite || !ManifestTable.exists(root))
-          ManifestTable.commit(aligned, root, retain, dayOf)
+          ManifestTable.commit(aligned, root, retain, physDayOf,
+            format = Some(meta.format))
         else
-          ManifestTable.append(aligned, root, retain, dayOf)
+          ManifestTable.append(aligned, root, retain, physDayOf,
+            format = Some(meta.format))
       }
     }
   }

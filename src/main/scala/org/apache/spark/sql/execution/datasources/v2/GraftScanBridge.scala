@@ -30,4 +30,20 @@ object GraftScanBridge {
     ParquetScan(spark, hadoopConf, index, dataSchema, readDataSchema,
       readPartitionSchema, pushedFilters, options)
   }
+
+  /** The orc leg of the same delegation — per-table format routing in
+    * [[graft.sources.v2.VersionedScanBuilder]]: Spark's native OrcScan
+    * (vectorized reader, search-argument row pruning) over the pre-pruned
+    * manifest file index. */
+  def orcScan(spark: SparkSession, index: PartitioningAwareFileIndex,
+              dataSchema: StructType, readDataSchema: StructType,
+              readPartitionSchema: StructType, pushedFilters: Array[Filter],
+              options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.execution.datasources.v2.orc.OrcScan = {
+    val hadoopConf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConfWithOptions(options.asCaseSensitiveMap().asScala.toMap)
+    org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
+      spark, hadoopConf, index, dataSchema, readDataSchema,
+      readPartitionSchema, options, None, pushedFilters)
+  }
 }

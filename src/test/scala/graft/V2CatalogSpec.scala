@@ -193,8 +193,9 @@ class V2CatalogSpec extends AnyFunSuite {
     assert(merged === Seq(Some("seen"), None, Some("x")))
 
     // non-metadata-only changes are refused with the rewrite pointer
+    // (RENAME is metadata-only since the column-mapping descriptor)
     intercept[Exception] {
-      spark.sql("ALTER TABLE gtest.ns.evo RENAME COLUMN v TO w")
+      spark.sql("ALTER TABLE gtest.ns.evo DROP COLUMN v")
     }
   }
 
@@ -241,6 +242,76 @@ class V2CatalogSpec extends AnyFunSuite {
     // a non-range condition falls back to the rewrite and stays correct
     MergeInto.sql(spark, "DELETE FROM gtest.ns.ret WHERE k % 2 = 0")
     assert(spark.table("gtest.ns.ret").collect().forall(_.getLong(0) % 2 != 0))
+  }
+
+  test("per-table format: USING orc|avro routes the manifest's data files, reads agree") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    val src = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, null.asInstanceOf[String], 2.0))
+      .toDF("k", "s", "x")
+    for (fmt <- Seq("parquet", "orc", "avro")) {
+      spark.sql(s"DROP TABLE IF EXISTS gtest.ns.fmt_$fmt")
+      spark.sql(
+        s"CREATE TABLE gtest.ns.fmt_$fmt (k BIGINT, s STRING, x DOUBLE) USING $fmt")
+      src.writeTo(s"gtest.ns.fmt_$fmt").append()
+      // INSERT goes through the V2 write path too
+      spark.sql(s"INSERT INTO gtest.ns.fmt_$fmt VALUES (4, 'd', 0.0)")
+      val root = VersionedCatalog.warehouseOf("gtest").get + s"/ns/fmt_$fmt"
+      // every pool file carries the declared format's extension
+      assert(graft.sources.ManifestTable.manifest(root, 2)
+        .forall(_.endsWith(s".$fmt")), s"wrong extensions for $fmt")
+      assert(VersionedCatalog.readMeta(root).get.format === fmt)
+      val got = spark.table(s"gtest.ns.fmt_$fmt").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(got === Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, null, 2.0), (4L, "d", 0.0)),
+        s"round-trip mismatch for $fmt")
+      // column pruning + filters still work through each leg
+      assert(spark.table(s"gtest.ns.fmt_$fmt").where("k >= 2").agg(sum("x"))
+        .collect()(0).getDouble(0) === 1.75)
+    }
+  }
+
+  test("RENAME COLUMN is metadata-only: old files readable, new writes use the mapping") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.rn")
+    spark.sql("CREATE TABLE gtest.ns.rn (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gtest.ns.rn VALUES (1, 10.0), (2, 20.0)")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rn"
+    val v1Files = graft.sources.ManifestTable.manifest(root, 1).toSet
+
+    spark.sql("ALTER TABLE gtest.ns.rn RENAME COLUMN v TO amount")
+    // descriptor-only: the data files were not touched
+    assert(graft.sources.ManifestTable.manifest(root, 1).toSet === v1Files)
+    assert(VersionedCatalog.readMeta(root).get.renames === Map("amount" -> "v"))
+    assert(spark.table("gtest.ns.rn").columns.toSeq === Seq("k", "amount"))
+
+    // old files read through the new name; filters on the renamed column
+    // reach the scan and prune correctly
+    assert(spark.table("gtest.ns.rn").where("amount > 15.0")
+      .select("k").as[Long].collect().toSeq === Seq(2L))
+
+    // new writes go through the mapping: physical files keep the ORIGINAL
+    // name, so the pool stays uniform and old+new read identically
+    spark.sql("INSERT INTO gtest.ns.rn VALUES (3, 30.0)")
+    val newFiles = (graft.sources.ManifestTable.manifest(root, 2).toSet -- v1Files).toSeq
+    val newSchema = spark.read.parquet(newFiles.map(r => s"$root/data/" + r): _*).schema
+    assert(newSchema.fieldNames.toSeq === Seq("k", "v"),
+      "new files must store the physical name")
+    assert(spark.table("gtest.ns.rn").agg(sum("amount")).collect()(0).getDouble(0) === 60.0)
+
+    // chained rename keeps pointing at the original physical column
+    spark.sql("ALTER TABLE gtest.ns.rn RENAME COLUMN amount TO total")
+    assert(VersionedCatalog.readMeta(root).get.renames === Map("total" -> "v"))
+    assert(spark.table("gtest.ns.rn").agg(sum("total")).collect()(0).getDouble(0) === 60.0)
+    // and MERGE through the renamed logical schema commits correctly
+    Seq((2L, 5.0), (9L, 90.0)).toDF("k", "total").createOrReplaceTempView("rn_stg")
+    graft.plans.MergeInto.sql(spark,
+      """MERGE INTO gtest.ns.rn t USING rn_stg s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET total = t.total + s.total
+        |WHEN NOT MATCHED THEN INSERT (k, total) VALUES (s.k, s.total)""".stripMargin)
+    assert(spark.table("gtest.ns.rn").orderBy("k").as[(Long, Double)].collect().toSeq
+      === Seq(1L -> 10.0, 2L -> 25.0, 3L -> 30.0, 9L -> 90.0))
   }
 
   test("CTAS + append cost: appending references old files, never rewrites them") {
