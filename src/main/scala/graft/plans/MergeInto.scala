@@ -566,29 +566,38 @@ object MergeInto {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_msql_$id"
     val tName = s"msql_t_$id"
     val sName = s"msql_s_$id"
-    val target0 = graft.Tables.customer(spark, dir)
-      .where(col("c_custkey") % 3 =!= 0)
-      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-    Versioned.commit(target0, root)
-    registerVersioned(spark, tName, root)
-    graft.Tables.orders(spark, dir)
-      .groupBy(col("o_custkey").as("custkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        graft.Dsl.dsumDec(col("o_totalprice")).as("total_spend"))
-      .createOrReplaceTempView(sName)
-    sql(spark,
-      s"""MERGE INTO $tName t
-         |USING $sName s
-         |ON t.c_custkey = s.custkey
-         |WHEN MATCHED AND s.total_spend > 250000.0
-         |  THEN UPDATE SET c_acctbal = t.c_acctbal + s.n_orders
-         |WHEN MATCHED AND t.c_mktsegment = 'MACHINERY' THEN DELETE
-         |WHEN NOT MATCHED AND s.n_orders >= 2
-         |  THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
-         |       VALUES (s.custkey, CAST(s.n_orders AS DOUBLE), 'NEW')
-         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'DORMANT'
-         |""".stripMargin)
-    Versioned.read(spark, root)
+    try {
+      val target0 = graft.Tables.customer(spark, dir)
+        .where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Versioned.commit(target0, root)
+      registerVersioned(spark, tName, root)
+      graft.Tables.orders(spark, dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Dsl.dsumDec(col("o_totalprice")).as("total_spend"))
+        .createOrReplaceTempView(sName)
+      sql(spark,
+        s"""MERGE INTO $tName t
+           |USING $sName s
+           |ON t.c_custkey = s.custkey
+           |WHEN MATCHED AND s.total_spend > 250000.0
+           |  THEN UPDATE SET c_acctbal = t.c_acctbal + s.n_orders
+           |WHEN MATCHED AND t.c_mktsegment = 'MACHINERY' THEN DELETE
+           |WHEN NOT MATCHED AND s.n_orders >= 2
+           |  THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
+           |       VALUES (s.custkey, CAST(s.n_orders AS DOUBLE), 'NEW')
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'DORMANT'
+           |""".stripMargin)
+      // materialize the committed snapshot so the finally can reclaim the
+      // tmp root and registrations (Verify/Bench loops stay disk-flat)
+      Versioned.read(spark, root).localCheckpoint(true)
+    } finally {
+      registered.remove(tName.toLowerCase)
+      spark.catalog.dropTempView(tName)
+      spark.catalog.dropTempView(sName)
+      graft.sources.MetaIO.delete(root, recursive = true)
+    }
   }
 
   /** DuckDB mirror of [[mergeIntoSql]]: the same first-match-wins clause

@@ -97,24 +97,28 @@ object Formats {
       .select(ChecksumCols.map(col): _*)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_fic_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    src.write.format("avro").save(path)
+    try {
+      src.write.format("avro").save(path)
 
-    // checksum surfaces as STRING: a 70+-bit decimal sum round-trips
-    // engines' client layers as float otherwise (precision loss in the
-    // comparison harness, not in the engines)
-    def checksum(df: DataFrame): DataFrame = df
-      .select(Dedup.md5Long(
-        concat_ws("|", ChecksumCols.map(c => col(c).cast("string")): _*)).as("h"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("h").cast(DecimalType(38, 0))).cast("string").as("checksum"))
+      // checksum surfaces as STRING: a 70+-bit decimal sum round-trips
+      // engines' client layers as float otherwise (precision loss in the
+      // comparison harness, not in the engines)
+      def checksum(df: DataFrame): DataFrame = df
+        .select(Dedup.md5Long(
+          concat_ws("|", ChecksumCols.map(c => col(c).cast("string")): _*)).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(DecimalType(38, 0))).cast("string").as("checksum"))
 
-    val viaParquet = checksum(src)
-    val viaAvro = checksum(spark.read.format("avro").load(path))
-      .select(col("n_rows").as("a_rows"), col("checksum").as("a_sum"))
-    viaParquet.crossJoin(viaAvro)
-      .select(col("n_rows"), col("checksum"),
-        (col("n_rows") === col("a_rows") && col("checksum") === col("a_sum"))
-          .as("formats_match"))
+      val viaParquet = checksum(src)
+      val viaAvro = checksum(spark.read.format("avro").load(path))
+        .select(col("n_rows").as("a_rows"), col("checksum").as("a_sum"))
+      viaParquet.crossJoin(viaAvro)
+        .select(col("n_rows"), col("checksum"),
+          (col("n_rows") === col("a_rows") && col("checksum") === col("a_sum"))
+            .as("formats_match"))
+        // materialize (one row) so the finally can delete the avro copy
+        .localCheckpoint(true)
+    } finally MetaIO.delete(path, recursive = true)
   }
 
   /** DuckDB mirror: one checksum from the source parquet, verdict TRUE

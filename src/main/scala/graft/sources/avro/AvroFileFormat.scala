@@ -38,9 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-value datetime conversion at all; only strings (UTF8String ↔ Utf8)
   * and arrays re-wrap. Nullable fields map to `union(null, T)` with a
   * null default. Files are snappy-compressed blocks (snappy-java is on
-  * the classpath), whole-file-read (Avro blocks are splittable via sync
-  * markers; at 100 TB the fan-out targets ~128 MB files upstream, so
-  * file-granular parallelism matches the split-granular kind).
+  * the classpath) and reads are SPLIT on Avro's sync markers: each task
+  * seeks to the first block boundary at or after its split start
+  * (`DataFileReader.sync`) and stops once past its split end
+  * (`pastSync`), so every block lands in exactly one task — a stray
+  * multi-GB file parallelizes like parquet instead of becoming one task.
   */
 class AvroFileFormat extends FileFormat with DataSourceRegister with Serializable {
 
@@ -48,7 +50,7 @@ class AvroFileFormat extends FileFormat with DataSourceRegister with Serializabl
   override def toString: String = "avro"
 
   override def isSplitable(sparkSession: SparkSession,
-                           options: Map[String, String], path: Path): Boolean = false
+                           options: Map[String, String], path: Path): Boolean = true
 
   override def inferSchema(sparkSession: SparkSession, options: Map[String, String],
                            files: Seq[FileStatus]): Option[StructType] =
@@ -91,14 +93,22 @@ class AvroFileFormat extends FileFormat with DataSourceRegister with Serializabl
       // session-specific settings (SerializableConfiguration is
       // private[spark]; the session conf cannot ride the closure)
       val path = new Path(file.filePath.toString)
-      val in = path.getFileSystem(new Configuration()).open(path)
-      val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      val in = new org.apache.avro.mapred.FsInput(path, new Configuration())
+      val reader = org.apache.avro.file.DataFileReader.openReader(
+        in, new GenericDatumReader[GenericRecord]())
+        .asInstanceOf[org.apache.avro.file.DataFileReader[GenericRecord]]
+      // the canonical Avro split protocol: read the blocks whose sync
+      // marker falls inside [start, start+length) — sync() seeks to the
+      // first boundary at/after start, pastSync() stops after the end —
+      // so concurrent splits of one file partition the records exactly
+      reader.sync(file.start)
+      val end = file.start + file.length
       Option(TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => stream.close()))
+        _.addTaskCompletionListener[Unit](_ => reader.close()))
       new Iterator[InternalRow] {
-        override def hasNext: Boolean = stream.hasNext
+        override def hasNext: Boolean = reader.hasNext && !reader.pastSync(end)
         override def next(): InternalRow =
-          AvroConversions.toInternalRow(stream.next(), required)
+          AvroConversions.toInternalRow(reader.next(), required)
       }
     }
   }
@@ -137,15 +147,19 @@ object AvroQueries {
     import org.apache.spark.sql.functions._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    graft.Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity"), col("l_extendedprice"))
-      .write.format("avro").save(path)
-    spark.read.format("avro").load(path)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
-        graft.Dsl.dsum(col("l_quantity")).as("sum_qty"),
-        graft.Dsl.dsum(col("l_extendedprice")).as("sum_price"))
+    try {
+      graft.Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.format("avro").save(path)
+      spark.read.format("avro").load(path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.Dsl.dsum(col("l_quantity")).as("sum_qty"),
+          graft.Dsl.dsum(col("l_extendedprice")).as("sum_price"))
+        // materialize (6 rows) so the finally can delete the avro copy
+        .localCheckpoint(true)
+    } finally graft.sources.MetaIO.delete(path, recursive = true)
   }
 
   val oracleSql: String =

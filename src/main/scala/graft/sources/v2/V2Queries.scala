@@ -66,30 +66,34 @@ object V2Queries {
   def versionedScanPrune(spark: SparkSession, dir: String): DataFrame = {
     ensureCatalog(spark)
     val tbl = s"$Cat.q.${newName("ev")}"
-    eventsSlim(spark, dir)
-      .writeTo(tbl)
-      .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
-      .create()
+    try {
+      eventsSlim(spark, dir)
+        .writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .create()
 
-    val t = spark.table(tbl)
-    val windowed = t
-      .where(col("ts") >= lit(PruneFrom).cast("timestamp_ntz")
-        && col("ts") < lit(PruneUntil).cast("timestamp_ntz"))
-    val agg = windowed
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+      val t = spark.table(tbl)
+      val windowed = t
+        .where(col("ts") >= lit(PruneFrom).cast("timestamp_ntz")
+          && col("ts") < lit(PruneUntil).cast("timestamp_ntz"))
+      val agg = windowed
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
 
-    val prunedFiles = scanFiles(windowed)
-    val allFiles = scanFiles(t)
-    val fromDay = PruneFrom.take(10)
-    val untilDay = PruneUntil.take(10)
-    val inRange = prunedFiles.forall { f =>
-      val day = f.split("__day=")(1).take(10)
-      day >= fromDay && day <= untilDay
-    }
-    val pruneOk = prunedFiles.nonEmpty && inRange &&
-      prunedFiles.size < allFiles.size
-    agg.withColumn("prune_ok", lit(pruneOk))
+      val prunedFiles = scanFiles(windowed)
+      val allFiles = scanFiles(t)
+      val fromDay = PruneFrom.take(10)
+      val untilDay = PruneUntil.take(10)
+      val inRange = prunedFiles.forall { f =>
+        val day = f.split("__day=")(1).take(10)
+        day >= fromDay && day <= untilDay
+      }
+      val pruneOk = prunedFiles.nonEmpty && inRange &&
+        prunedFiles.size < allFiles.size
+      // materialize (small aggregate) so the finally can drop the table —
+      // repeated Verify/Bench runs leave the shared warehouse size flat
+      agg.withColumn("prune_ok", lit(pruneOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** Watermark splitting the two committed snapshots (and the oracle's
@@ -103,16 +107,18 @@ object V2Queries {
   def versionedTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     ensureCatalog(spark)
     val tbl = s"$Cat.q.${newName("tt")}"
-    val ev = eventsSlim(spark, dir)
-    val cutoff = lit(TtCutoff).cast("timestamp_ntz")
-    ev.where(col("ts") < cutoff).writeTo(tbl).create()           // v1
-    ev.where(col("ts") >= cutoff).writeTo(tbl).append()          // v2
+    try {
+      val ev = eventsSlim(spark, dir)
+      val cutoff = lit(TtCutoff).cast("timestamp_ntz")
+      ev.where(col("ts") < cutoff).writeTo(tbl).create()           // v1
+      ev.where(col("ts") >= cutoff).writeTo(tbl).append()          // v2
 
-    def snap(v: Int): DataFrame =
-      spark.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
-        .agg(count(lit(1)).as("n_rows"), Dsl.dsum(col("value")).as("total_value"))
-        .select(lit(v).as("snapshot"), col("n_rows"), col("total_value"))
-    snap(1).unionAll(snap(2))
+      def snap(v: Int): DataFrame =
+        spark.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
+          .agg(count(lit(1)).as("n_rows"), Dsl.dsum(col("value")).as("total_value"))
+          .select(lit(v).as("snapshot"), col("n_rows"), col("total_value"))
+      snap(1).unionAll(snap(2)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** End-to-end incremental gold maintenance off the snapshot log: the
@@ -128,6 +134,7 @@ object V2Queries {
     val silverRoot = s"$base/graft_${id}_silver"
     val goldRoot = s"$base/graft_${id}_gold"
     val cutoff = lit(TtCutoff).cast("timestamp_ntz")
+    try {
 
     val ev = eventsSlim(spark, dir)
     Versioned.commit(ev.where(col("ts") < cutoff), silverRoot)   // v1
@@ -158,7 +165,12 @@ object V2Queries {
         sum(col("n_delta")).as("n_delta"))
 
     Versioned.commit(refreshed, goldRoot)
-    Versioned.read(spark, goldRoot)
+    // materialized so the finally can reclaim both table roots
+    Versioned.read(spark, goldRoot).localCheckpoint(true)
+    } finally {
+      graft.sources.MetaIO.delete(silverRoot, recursive = true)
+      graft.sources.MetaIO.delete(goldRoot, recursive = true)
+    }
   }
 
   /** Exact-typed columns of the cross-format checksum (same discipline as

@@ -81,6 +81,33 @@ class AvroSpec extends AnyFunSuite {
     assert(avroAgg === pqAgg)
   }
 
+  test("splittable reads: one large file as many splits equals the whole-file read") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("avro_split").toString + "/t"
+    // one file, many blocks: coalesce(1) forces a single container file
+    val n = 200000L
+    spark.range(n).select(col("id").as("k"),
+      concat(lit("row-"), col("id")).as("s"), (col("id") % 97).as("m"))
+      .coalesce(1).write.format("avro").save(path)
+    val whole = spark.read.format("avro").load(path)
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.length()).sum
+    assert(bytes > 512 * 1024, "file must span many split targets")
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+    try {
+      val split = spark.read.format("avro").load(path)
+      assert(split.rdd.getNumPartitions > 4,
+        s"expected many splits, got ${split.rdd.getNumPartitions}")
+      // every record exactly once: counts, sums and distinct keys all agree
+      val a = split.agg(count(lit(1)), sum("k"), countDistinct("k"), sum("m")).collect()(0)
+      val b = whole.agg(count(lit(1)), sum("k"), countDistinct("k"), sum("m")).collect()(0)
+      assert(a === b)
+      assert(a.getLong(0) === n && a.getLong(2) === n)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("schema-on-read projection: a column absent from old files reads NULL") {
     import spark.implicits._
     val path = Files.createTempDirectory("avro_evo").toString + "/t"
