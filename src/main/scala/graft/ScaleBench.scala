@@ -131,6 +131,48 @@ object ScaleBench {
     val scdSecs = (System.nanoTime() - s0) / 1e9
     println(f"[scale] scd2_build rows=$probeRows secs=$scdSecs%.1f rows_per_sec=${(probeRows / scdSecs).toLong}")
 
+    // V2 catalog manifest-prune scan at >=10M rows across 128 hidden days:
+    // plan-time pruning must hold when the manifest lists THOUSANDS of
+    // files — a 10-day window should touch ~10/128 of them and the scan
+    // time should follow the touched files, not the table.
+    val catRows = math.max(rows / 5, 10000000L)
+    val nDays = 128
+    val wh = java.nio.file.Files.createTempDirectory("scale_cat_wh").toString
+    spark.conf.set("spark.sql.catalog.scale_cat",
+      classOf[graft.sources.v2.VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.scale_cat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scale_cat.b")
+    val evCat = spark.range(catRows).select(
+      col("id").as("event_id"),
+      expr(s"timestamp_micros(1704067200000000 + (id % $nDays) * 86400000000" +
+        " + (id % 86400) * 1000000)").cast("timestamp_ntz").as("ts"),
+      (col("id") % 100000L).as("user_id"),
+      (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0).as("value"))
+    val cw0 = System.nanoTime()
+    evCat.writeTo("scale_cat.b.ev")
+      .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+      .create()
+    println(f"[scale] catalog_ctas rows=$catRows days=$nDays secs=${(System.nanoTime() - cw0) / 1e9}%.1f")
+    val totalFiles = graft.sources.ManifestTable.manifest(s"$wh/b/ev", 1).size
+    val windowed = spark.table("scale_cat.b.ev")
+      .where(col("ts") >= lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+        && col("ts") < lit("2024-01-21 00:00:00").cast("timestamp_ntz"))
+    val scannedFiles = windowed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.inputFiles.length
+    }.sum
+    val cs0 = System.nanoTime()
+    val catAgg = windowed.agg(count(lit(1)), sum(col("value"))).collect()(0)
+    val catSecs = (System.nanoTime() - cs0) / 1e9
+    println(f"[scale] catalog_prune_scan files_total=$totalFiles files_scanned=$scannedFiles " +
+      f"rows_in_window=${catAgg.getLong(0)} secs=$catSecs%.2f " +
+      f"pruned_frac=${1.0 - scannedFiles.toDouble / totalFiles}%.3f")
+    require(scannedFiles * 8 < totalFiles,
+      "manifest pruning failed to drop out-of-window files at scale")
+    spark.sql("DROP TABLE scale_cat.b.ev")
+
     spark.stop()
   }
 }

@@ -426,6 +426,16 @@ object ManifestTable {
     }
   }
 
+  /** Iceberg's `expire_snapshots`, standalone: cut retained history to
+    * `retain` manifests behind the live pointer and run the
+    * reference-counting file GC — which also sweeps orphan claims and
+    * grace-aged orphan pool files. Metadata + unreferenced-file deletes
+    * only; the live snapshot is never touched. */
+  def expireOldVersions(root: String, retain: Int = 1): Unit = {
+    require(retain >= 1, "must retain at least the live snapshot")
+    currentVersion(root).foreach(live => gc(root, live, retain))
+  }
+
   /** `TIMESTAMP AS OF` resolution: the latest manifest committed at or
     * before the instant (manifest-file mtime = commit instant — data files
     * are shared across manifests, so their mtimes don't identify commits). */

@@ -314,6 +314,48 @@ class V2CatalogSpec extends AnyFunSuite {
       === Seq(1L -> 10.0, 2L -> 25.0, 3L -> 30.0, 9L -> 90.0))
   }
 
+  test("catalog-addressed maintenance: OPTIMIZE packs files, expire cuts history, retention deletes by identifier") {
+    import graft.sources.v2.Maintenance
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.mt")
+    // an ORC day-partitioned table: maintenance must preserve BOTH the
+    // format and the hidden partition layout
+    spark.sql("CREATE TABLE gtest.ns.mt (k BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+      "USING orc PARTITIONED BY (days(ts))")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/mt"
+    // fragment it: 4 appends × 2 days
+    for (i <- 0 until 4)
+      spark.sql("INSERT INTO gtest.ns.mt VALUES " +
+        s"($i, TIMESTAMP_NTZ '2024-06-01 0$i:00:00', $i.5), " +
+        s"(${i + 10}, TIMESTAMP_NTZ '2024-06-02 0$i:00:00', ${i + 10}.5)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      val before = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+      assert(before.size >= 8)
+
+      val v = Maintenance.optimize(spark, "gtest.ns.mt")
+      val after = ManifestTable.manifest(root, v)
+      assert(after.size < before.size, "optimize must pack small files")
+      assert(after.forall(_.endsWith(".orc")), "optimize must keep the table's format")
+      assert(after.forall(_.startsWith("__day=")), "optimize must keep the day layout")
+      assert(spark.table("gtest.ns.mt").count() === 8)
+      assert(spark.table("gtest.ns.mt").agg(sum("v")).collect()(0).getDouble(0)
+        === (0 until 4).map(_ + 0.5).sum + (10 until 14).map(_ + 0.5).sum)
+
+      // retention DELETE by identifier: day 06-01 drops at the manifest
+      Maintenance.deleteOlderThan(spark, "gtest.ns.mt", "2024-06-02 00:00:00")
+      assert(ManifestTable.liveDays(root) === Set("2024-06-02"))
+      assert(spark.table("gtest.ns.mt").count() === 4)
+
+      // expire: history collapses to the live snapshot only
+      assert(ManifestTable.versions(root).size > 1)
+      Maintenance.expireSnapshots(spark, "gtest.ns.mt", retain = 1)
+      assert(ManifestTable.versions(root).size === 1)
+      assert(spark.table("gtest.ns.mt").count() === 4, "live snapshot untouched")
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
