@@ -145,6 +145,9 @@ object SparkEntry {
     // metadata-only RENAME COLUMN: old files readable, new appends under
     // the new name, manifest pruning intact — oracle recomputes raw
     "renamed_column_scan" -> ((s, d) => graft.sources.v2.V2Queries.renamedColumnScan(s, d)),
+    // MERGE WITH SCHEMA EVOLUTION: the evolving merge's result vs the
+    // oracle's explicit join algebra under the pre-evolution names
+    "merge_schema_evolution" -> ((s, d) => graft.sources.v2.V2Queries.mergeSchemaEvolution(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -253,6 +256,7 @@ object SparkEntry {
     "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,
     "catalog_format_fanout" -> graft.sources.v2.V2Queries.oracle.catalogFormatFanout,
     "renamed_column_scan" -> graft.sources.v2.V2Queries.oracle.renamedColumnScan,
+    "merge_schema_evolution" -> graft.sources.v2.V2Queries.oracle.mergeSchemaEvolution,
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,

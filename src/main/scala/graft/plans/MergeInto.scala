@@ -207,10 +207,32 @@ object MergeInto {
     * merged relation, write it back. Day-partitioned manifest targets take
     * the partition-scoped path when the statement allows it. */
   private[graft] def execute(spark: SparkSession, m: MergeIntoTable): Unit = {
-    require(!m.withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported; ALTER TABLE first (sources.Evolution)")
-    val tgt = resolveTarget(spark, m.targetTable)
+    val tgt0 = resolveTarget(spark, m.targetTable)
     val source = GraftColumnBridge.ofRows(spark, m.sourceTable)
+    // MERGE WITH SCHEMA EVOLUTION (Iceberg's spark.sql.merge schema
+    // evolution): source columns absent from the target are ADDED first —
+    // a metadata-only descriptor write through the same physical-name
+    // allocation ALTER TABLE uses — then the merge proceeds against the
+    // re-resolved (widened) target. Catalog targets only: they are the
+    // ones with a declared schema to evolve.
+    val tgt = if (!m.withSchemaEvolution) tgt0 else tgt0.backing match {
+      case Some(CatalogBacking(root, _)) =>
+        val existing = tgt0.df.columns.map(_.toLowerCase).toSet
+        val extra = source.schema.fields
+          .filterNot(f => existing.contains(f.name.toLowerCase))
+        if (extra.isEmpty) tgt0
+        else {
+          val meta0 = graft.sources.v2.VersionedCatalog.readMeta(root).getOrElse(
+            throw new IllegalStateException(s"no descriptor under $root"))
+          val evolved = extra.foldLeft(meta0)((mm, f) =>
+            graft.sources.v2.VersionedCatalog.withColumnAdded(mm, f.name, f.dataType))
+          graft.sources.v2.VersionedCatalog.writeMeta(root, evolved)
+          resolveTarget(spark, m.targetTable) // re-analyze with the widened schema
+        }
+      case _ => throw new UnsupportedOperationException(
+        "MERGE WITH SCHEMA EVOLUTION needs a catalog (cat.ns.tbl) target " +
+          "with a schema descriptor; ALTER TABLE first for other targets")
+    }
     def scopedEnabled: Boolean = m.notMatchedBySourceActions.isEmpty &&
       spark.conf.get("spark.graft.merge.partitionScoped", "true").toBoolean
     val scoped = tgt.backing match {

@@ -34,18 +34,71 @@ object Maintenance {
   private def retainOf(spark: SparkSession): Int =
     spark.conf.get("spark.graft.versioned.retain", "2").toInt
 
-  /** OPTIMIZE: rewrite the live snapshot into ~`targetFileBytes` files
-    * (per day for partitioned tables), keeping the table's declared
-    * format, physical column names and commit properties. Old files age
-    * out with their manifests. Returns the new version id. */
+  /** OPTIMIZE [ZORDER BY]: rewrite the live snapshot into
+    * ~`targetFileBytes` files (per day for partitioned tables), keeping
+    * the table's declared format, physical column names and commit
+    * properties. With `zorderBy`, rows are CLUSTERED by the Morton
+    * (bit-interleaved) key of the named columns before the write — the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` layout op: per-file min/max
+    * ranges on every z-dimension shrink, so a multi-column range filter
+    * skips files (row groups) instead of scanning them. Old files age
+    * out with their manifests. Returns the new version id.
+    *
+    * Scale shape: one tiny min/max agg per z-column (driver-pulled
+    * bounds), then a single range shuffle on the key. Linear bucketing
+    * per dimension (8 bits) — order-preserving and codegen'd; heavily
+    * skewed dimensions cluster less evenly than Delta's range-id variant
+    * but never affect correctness. */
   def optimize(spark: SparkSession, ident: String,
-               targetFileBytes: Long = 128L << 20): Long = {
+               targetFileBytes: Long = 128L << 20,
+               zorderBy: Seq[String] = Nil): Long = {
     val (root, meta) = resolve(spark, ident)
-    ManifestTable.compact(spark, root,
-      partitionDayOf = meta.dayOf.map(meta.physicalName),
-      targetFileBytes = targetFileBytes,
-      retain = retainOf(spark),
-      format = Some(meta.format))
+    val physDay = meta.dayOf.map(meta.physicalName)
+    if (zorderBy.isEmpty)
+      ManifestTable.compact(spark, root,
+        partitionDayOf = physDay,
+        targetFileBytes = targetFileBytes,
+        retain = retainOf(spark),
+        format = Some(meta.format))
+    else {
+      import org.apache.spark.sql.functions._
+      val zCols = zorderBy.map(meta.physicalName)
+      val raw = ManifestTable.read(spark, root) // physical names
+      zCols.foreach(c => require(raw.columns.exists(_.equalsIgnoreCase(c)),
+        s"no such column $c"))
+      val bits = 8
+      val scale = 1 << bits
+      // per-dimension bounds: one small agg, driver-pulled, pairs in
+      // column order (lo_0, hi_0, lo_1, hi_1, …)
+      val mmExprs = zCols.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val mmRow = raw.agg(mmExprs.head, mmExprs.tail: _*).collect()(0)
+      val bucketCols = zCols.zipWithIndex.map { case (c, i) =>
+        val lo = mmRow.getDouble(2 * i)
+        val hi = mmRow.getDouble(2 * i + 1)
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        least(lit((scale - 1).toLong), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(scale)).cast("long")))
+      }
+      val zkey = (0 until bits).flatMap { b =>
+        bucketCols.zipWithIndex.map { case (bc, d) =>
+          shiftrightunsigned(bc, b).bitwiseAND(lit(1L)) *
+            lit(1L << (b * zCols.length + d))
+        }
+      }.reduce(_ + _)
+      val bytes = ManifestTable.history(spark, root)
+        .where(col("is_current")).select(col("bytes")).collect()(0).getLong(0)
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val clustered = raw
+        .withColumn("__zkey", zkey)
+        .repartitionByRange(nFiles, (physDay.map(ts => to_date(col(ts))).toSeq
+          :+ (col("__zkey"): org.apache.spark.sql.Column)): _*)
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+      ManifestTable.commit(clustered, root,
+        retain = retainOf(spark), partitionDayOf = physDay,
+        props = ManifestTable.liveProps(root), format = Some(meta.format))
+    }
   }
 
   /** Expire retained snapshots beyond `retain` and GC unreferenced pool

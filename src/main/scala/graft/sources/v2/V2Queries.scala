@@ -251,6 +251,41 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** `MERGE WITH SCHEMA EVOLUTION` as an oracle-gated query: the target
+    * starts WITHOUT the source's `n_orders` column; the evolving merge
+    * adds it metadata-only (the same descriptor write ALTER TABLE uses),
+    * updates matched customers and inserts unmatched ones. The oracle
+    * recomputes the post-merge state with explicit join algebra — the
+    * evolution must be invisible in the data. */
+  def mergeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("se")}"
+    val sName = newName("se_src")
+    try {
+      graft.Tables.customer(spark, dir)
+        .where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .writeTo(tbl).create()
+      // the source key shares the target's name: evolution adds every
+      // source column the target lacks, and only n_orders should be new
+      graft.Tables.orders(spark, dir)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .createOrReplaceTempView(sName)
+      graft.plans.MergeInto.sql(spark,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+           |USING $sName s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET n_orders = s.n_orders
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal, n_orders)
+           |  VALUES (s.c_custkey, CAST(0.0 AS DOUBLE), s.n_orders)
+           |""".stripMargin)
+      spark.table(tbl).localCheckpoint(true)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(sName)
+    }
+  }
+
   object oracle {
     val versionedScanPrune: String =
       s"""SELECT event_type, COUNT(*) AS n_events,
@@ -289,6 +324,22 @@ object V2Queries {
          |FROM events
          |WHERE ts >= TIMESTAMP '$PruneFrom' AND ts < TIMESTAMP '$PruneUntil'
          |GROUP BY 1""".stripMargin
+
+    /** Post-merge state with explicit join algebra under the original
+      * (pre-evolution) names — evolution must be invisible in the data. */
+    val mergeSchemaEvolution: String =
+      """WITH t AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+        |),
+        |s AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+        |)
+        |SELECT t.c_custkey, t.c_acctbal, s.n_orders
+        |FROM t LEFT JOIN s ON t.c_custkey = s.custkey
+        |UNION ALL
+        |SELECT s.custkey AS c_custkey, CAST(0.0 AS DOUBLE) AS c_acctbal, s.n_orders
+        |FROM s LEFT JOIN t ON t.c_custkey = s.custkey
+        |WHERE t.c_custkey IS NULL""".stripMargin
 
     /** Full recompute — the incremental path must be invisible. */
     val incrementalGoldFromCdc: String =

@@ -173,10 +173,23 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
           "added columns must be nullable: existing files read NULL")
         require(add.position() == null,
           "only appending at the end is metadata-only")
-        require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))),
-          s"column ${add.fieldNames()(0)} already exists")
-        m.copy(schema = m.schema.add(org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType(), nullable = true)))
+        VersionedCatalog.withColumnAdded(m, add.fieldNames()(0), add.dataType())
+      case (m, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          "nested column drops are not supported")
+        val name = del.fieldNames()(0)
+        require(m.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"no such column $name")
+        require(!m.dayOf.exists(_.equalsIgnoreCase(name)),
+          s"$name is the hidden-day partition source; repartition (rewrite) to drop it")
+        require(m.schema.length > 1, "cannot drop the only column")
+        // metadata-only: files keep the physical column, scans simply never
+        // project it again; the physical name is RETIRED so a future
+        // re-ADD maps to a fresh physical name and old values stay buried
+        m.copy(
+          schema = StructType(m.schema.fields.filterNot(_.name.equalsIgnoreCase(name))),
+          renames = m.renames.filterNot(_._1.equalsIgnoreCase(name)),
+          retired = m.retired :+ m.physicalName(name))
       case (m, rn: TableChange.RenameColumn) =>
         require(rn.fieldNames().length == 1,
           "nested column renames are not supported")
@@ -262,16 +275,32 @@ object VersionedCatalog {
 
   /** `schema` holds LOGICAL (user-facing) names; `renames` maps logical →
     * physical for columns whose stored name differs after a metadata-only
-    * RENAME COLUMN (data files always carry physical names). */
+    * RENAME COLUMN (data files always carry physical names). `retired`
+    * lists physical names that ever held data and were dropped — a
+    * re-added column of the same name is mapped to a FRESH physical name
+    * so files written before the drop can never resurrect old values
+    * (the problem Iceberg solves with field ids, solved here with the
+    * same mapping that powers rename). */
   case class Meta(schema: StructType, dayOf: Option[String],
                   format: String = "parquet",
-                  renames: Map[String, String] = Map.empty) {
+                  renames: Map[String, String] = Map.empty,
+                  retired: Seq[String] = Nil) {
     def physicalName(logical: String): String =
       renames.collectFirst { case (l, p) if l.equalsIgnoreCase(logical) => p }
         .getOrElse(logical)
     /** The schema as stored in data files (logical names swapped out). */
     def physicalSchema: StructType =
       StructType(schema.fields.map(f => f.copy(name = physicalName(f.name))))
+    /** A physical name for a NEW column: the logical name itself unless a
+      * live or retired physical column already uses it (then `name__N`,
+      * avro-legal, first free N). */
+    def freshPhysicalName(logical: String): String = {
+      val taken = (schema.fieldNames.map(physicalName) ++ retired)
+        .map(_.toLowerCase).toSet
+      if (!taken.contains(logical.toLowerCase)) logical
+      else Iterator.from(2).map(n => s"${logical}__$n")
+        .find(c => !taken.contains(c.toLowerCase)).get
+    }
   }
 
   /** Registered catalog instances (name → warehouse): lets the engine's
@@ -286,9 +315,26 @@ object VersionedCatalog {
   def writeMeta(root: String, meta: Meta): Unit = {
     val props =
       (if (meta.format == "parquet") Nil else Seq(s"#format=${meta.format}")) ++
-        meta.renames.toSeq.sortBy(_._1).map { case (l, p) => s"#rename.$l=$p" }
+        meta.renames.toSeq.sortBy(_._1).map { case (l, p) => s"#rename.$l=$p" } ++
+        (if (meta.retired.isEmpty) Nil
+         else Seq(s"#retired=${meta.retired.mkString(",")}"))
     MetaIO.writeAtomic(s"$root/$MetaFile",
       (Seq(meta.dayOf.getOrElse(""), meta.schema.json) ++ props).mkString("\n"))
+  }
+
+  /** Append a nullable column (metadata-only), allocating a physical name
+    * that cannot collide with any live or retired physical column — the
+    * shared schema-evolution step behind ALTER TABLE ADD COLUMN and
+    * MERGE WITH SCHEMA EVOLUTION. */
+  private[graft] def withColumnAdded(m: Meta, name: String,
+                                     dataType: DataType): Meta = {
+    require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists")
+    val physical = m.freshPhysicalName(name)
+    m.copy(
+      schema = m.schema.add(org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true)),
+      renames = if (physical == name) m.renames else m.renames + (name -> physical))
   }
 
   def readMeta(root: String): Option[Meta] = {
@@ -305,7 +351,9 @@ object VersionedCatalog {
         Some(lines(0).trim).filter(_.nonEmpty),
         format = props.getOrElse("format", "parquet"),
         renames = props.collect { case (k, v) if k.startsWith("rename.") =>
-          k.stripPrefix("rename.") -> v }))
+          k.stripPrefix("rename.") -> v },
+        retired = props.get("retired").toSeq
+          .flatMap(_.split(',')).filter(_.nonEmpty)))
     }
   }
 }

@@ -193,9 +193,9 @@ class V2CatalogSpec extends AnyFunSuite {
     assert(merged === Seq(Some("seen"), None, Some("x")))
 
     // non-metadata-only changes are refused with the rewrite pointer
-    // (RENAME is metadata-only since the column-mapping descriptor)
+    // (RENAME and DROP are metadata-only since the column-mapping descriptor)
     intercept[Exception] {
-      spark.sql("ALTER TABLE gtest.ns.evo DROP COLUMN v")
+      spark.sql("ALTER TABLE gtest.ns.evo ALTER COLUMN v TYPE STRING")
     }
   }
 
@@ -353,6 +353,119 @@ class V2CatalogSpec extends AnyFunSuite {
       Maintenance.expireSnapshots(spark, "gtest.ns.mt", retain = 1)
       assert(ManifestTable.versions(root).size === 1)
       assert(spark.table("gtest.ns.mt").count() === 4, "live snapshot untouched")
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+  }
+
+  test("DROP COLUMN is metadata-only; a re-added column never resurrects old values") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.dc")
+    spark.sql("CREATE TABLE gtest.ns.dc (k BIGINT, secret STRING, v DOUBLE)")
+    spark.sql("INSERT INTO gtest.ns.dc VALUES (1, 'hunter2', 1.0), (2, 'hunter3', 2.0)")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/dc"
+    val v1Files = graft.sources.ManifestTable.manifest(root, 1).toSet
+
+    spark.sql("ALTER TABLE gtest.ns.dc DROP COLUMN secret")
+    // metadata-only: files untouched, column gone from the schema
+    assert(graft.sources.ManifestTable.manifest(root, 1).toSet === v1Files)
+    assert(spark.table("gtest.ns.dc").columns.toSeq === Seq("k", "v"))
+    assert(VersionedCatalog.readMeta(root).get.retired === Seq("secret"))
+
+    // re-ADD of the same name maps to a FRESH physical column: old files
+    // read NULL (never 'hunter2'), new writes land under the new physical
+    spark.sql("ALTER TABLE gtest.ns.dc ADD COLUMN secret STRING")
+    assert(VersionedCatalog.readMeta(root).get.renames === Map("secret" -> "secret__2"))
+    val rows0 = spark.table("gtest.ns.dc").orderBy("k")
+      .select("k", "secret").collect()
+    assert(rows0.forall(_.isNullAt(1)), "old values must stay buried")
+    // re-added columns append at the END of the schema: (k, v, secret)
+    spark.sql("INSERT INTO gtest.ns.dc VALUES (3, 3.0, 'fresh')")
+    val got = spark.table("gtest.ns.dc").orderBy("k")
+      .select("k", "secret").collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+    assert(got.toSeq === Seq(1L -> None, 2L -> None, 3L -> Some("fresh")))
+    // and the new physical name is what the new file stores
+    val newFiles = (graft.sources.ManifestTable
+      .manifest(root, graft.sources.ManifestTable.currentVersion(root).get).toSet -- v1Files).toSeq
+    val newSchema = spark.read.parquet(newFiles.map(r => s"$root/data/" + r): _*).schema
+    assert(newSchema.fieldNames.contains("secret__2")
+      && !newSchema.fieldNames.contains("secret"))
+    // the partition-source and last-column guards hold
+    intercept[Exception](spark.sql("ALTER TABLE gtest.ns.dc DROP COLUMN nope"))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds source columns metadata-only, then merges") {
+    import spark.implicits._
+    import graft.plans.MergeInto
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.se")
+    spark.sql("CREATE TABLE gtest.ns.se (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gtest.ns.se VALUES (1, 10.0), (2, 20.0)")
+    Seq((2L, 25.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("se_stg")
+    MergeInto.sql(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO gtest.ns.se t USING se_stg s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val t = spark.table("gtest.ns.se").orderBy("k")
+    assert(t.columns.toSeq === Seq("k", "v", "tag"))
+    assert(t.collect().map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+      === Seq((1L, 10.0, None), (2L, 25.0, Some("b")), (3L, 30.0, Some("c"))))
+    // non-catalog targets still refuse with a pointer to ALTER TABLE
+    spark.sql("DROP TABLE IF EXISTS se_plain")
+    Seq((1L, 1.0)).toDF("k", "v").write.saveAsTable("se_plain")
+    intercept[UnsupportedOperationException] {
+      MergeInto.sql(spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO se_plain t USING se_stg s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+  }
+
+  test("OPTIMIZE ZORDER BY clusters files: per-file ranges shrink on both dimensions") {
+    import graft.sources.v2.Maintenance
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.zo")
+    spark.sql("CREATE TABLE gtest.ns.zo (id BIGINT, x BIGINT, y BIGINT)")
+    // sequential ids, (x, y) decorrelated from the write order: every
+    // pre-optimize file spans nearly the whole x range
+    spark.range(40000).selectExpr("id", "id % 97 AS x", "(id * 31) % 89 AS y")
+      .writeTo("gtest.ns.zo").append()
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/zo"
+
+    // a z-curve segment bounds the (x-span × y-span) AREA each file
+    // covers — that is what lets a two-dimensional range filter skip
+    // files. The per-axis span alone can stay wide (segments crossing
+    // quadrant boundaries), so the assertion is on the area fraction.
+    def meanAreaFrac(files: Seq[String]): Double = {
+      val fracs = files.map { f =>
+        val r = spark.read.parquet(s"$root/data/$f")
+          .agg(org.apache.spark.sql.functions.min("x"),
+            org.apache.spark.sql.functions.max("x"),
+            org.apache.spark.sql.functions.min("y"),
+            org.apache.spark.sql.functions.max("y")).collect()(0)
+        ((r.getLong(1) - r.getLong(0)).toDouble / 96.0) *
+          ((r.getLong(3) - r.getLong(2)).toDouble / 88.0)
+      }
+      fracs.sum / fracs.size
+    }
+    val bytes = ManifestTable.history(spark, root)
+      .where(col("is_current")).select("bytes").collect()(0).getLong(0)
+    spark.conf.set("spark.graft.versioned.retain", "5")
+    try {
+      val before = meanAreaFrac(
+        ManifestTable.manifest(root, ManifestTable.currentVersion(root).get))
+      // target ~8 output files so each covers ~1/8 of the z-plane
+      val v = Maintenance.optimize(spark, "gtest.ns.zo",
+        targetFileBytes = math.max(1L, bytes / 8), zorderBy = Seq("x", "y"))
+      val files = ManifestTable.manifest(root, v)
+      assert(files.size >= 4, s"expected several clustered files, got ${files.size}")
+      // data identical
+      assert(spark.table("gtest.ns.zo").count() === 40000)
+      assert(spark.table("gtest.ns.zo").agg(sum("x")).collect()(0).getLong(0)
+        === (0L until 40000L).map(_ % 97).sum)
+      val after = meanAreaFrac(files)
+      assert(after < 0.5 && after < before * 0.6,
+        f"files not clustered: mean area fraction $after%.2f (was $before%.2f)")
     } finally spark.conf.unset("spark.graft.versioned.retain")
   }
 
