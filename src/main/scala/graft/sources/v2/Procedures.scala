@@ -1,0 +1,103 @@
+package graft.sources.v2
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL `CALL` surface for table maintenance — the stored-procedure
+  * ergonomics the reference gets from Iceberg
+  * (`CALL catalog.system.rewrite_data_files(...)`,
+  * `/root/reference/README.md:332-340` area documents the Iceberg
+  * capabilities) on Spark 4's `ProcedureCatalog`:
+  *
+  * {{{
+  *   CALL cat.system.optimize(`table` => 'ns.tbl'
+  *     [, target_file_bytes => N] [, zorder_by => 'x,y'])
+  *   CALL cat.system.expire_snapshots(`table` => 'ns.tbl' [, retain => N])
+  *   CALL cat.system.delete_older_than(`table` => 'ns.tbl',
+  *     older_than => 'yyyy-MM-dd HH:mm:ss')
+  * }}}
+  *
+  * Each procedure delegates to [[Maintenance]] (format/partition/
+  * rename-aware resolution from the catalog descriptor) and returns a
+  * one-row result set via a [[LocalScan]].
+  */
+object GraftProcedures {
+
+  val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def param(name: String, dt: DataType, default: Option[String] = None)
+      : ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One-row result-set scan. */
+  private case class ResultScan(schema: StructType, row: InternalRow) extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+
+  private abstract class GraftProcedure(procName: String) extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft table maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  def load(catalogName: String, name: String): UnboundProcedure = name match {
+    case "optimize" => new GraftProcedure("optimize") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("target_file_bytes", LongType, Some((128L << 20).toString)),
+        param("zorder_by", StringType, Some("''")))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val target = input.getLong(1)
+        val zorder = input.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val v = Maintenance.optimize(spark, s"$catalogName.$tbl", target, zorder)
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("version", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    case "expire_snapshots" => new GraftProcedure("expire_snapshots") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("retain", IntegerType, Some("1")))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        Maintenance.expireSnapshots(spark, s"$catalogName.$tbl", input.getInt(1))
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("status", StringType, nullable = false))),
+          new GenericInternalRow(Array[Any](UTF8String.fromString("expired"))))).iterator()
+      }
+    }
+    case "delete_older_than" => new GraftProcedure("delete_older_than") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("older_than", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        Maintenance.deleteOlderThan(spark, s"$catalogName.$tbl",
+          input.getUTF8String(1).toString)
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("status", StringType, nullable = false))),
+          new GenericInternalRow(Array[Any](UTF8String.fromString("deleted"))))).iterator()
+      }
+    }
+    case other => throw new IllegalArgumentException(
+      s"no such procedure $catalogName.system.$other (one of ${Names.mkString(", ")})")
+  }
+}

@@ -55,7 +55,8 @@ import graft.sources.{ManifestTable, MetaIO}
   * `partitioning()` and derived at scan/write time, which is the
   * hidden-partitioning contract.
   */
-class VersionedCatalog extends TableCatalog with SupportsNamespaces {
+class VersionedCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -227,6 +228,19 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
     MetaIO.mkdirs(nsDir(newIdent.namespace()))
     MetaIO.rename(tableRoot(oldIdent), tableRoot(newIdent))
   }
+
+  // ---- procedures (SQL CALL surface — see GraftProcedures) ----------------
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()} (procedures live in `system`)")
+    GraftProcedures.load(catalogName, ident.name())
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ---- namespaces ---------------------------------------------------------
 

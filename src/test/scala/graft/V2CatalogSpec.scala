@@ -469,6 +469,38 @@ class V2CatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.versioned.retain")
   }
 
+  test("SQL CALL procedures: optimize / expire_snapshots / delete_older_than by identifier") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.proc")
+    spark.sql("CREATE TABLE gtest.ns.proc (k BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    for (i <- 0 until 3)
+      spark.sql("INSERT INTO gtest.ns.proc VALUES " +
+        s"($i, TIMESTAMP_NTZ '2024-08-01 0$i:00:00', 1.0), " +
+        s"(${i + 10}, TIMESTAMP_NTZ '2024-08-02 0$i:00:00', 2.0)")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/proc"
+    val before = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      // the Iceberg CALL ergonomics, end-to-end through Spark's parser
+      val out = spark.sql("CALL gtest.system.optimize(`table` => 'ns.proc')").collect()
+      assert(out.length === 1 && out(0).getLong(0) > 1L, "optimize returns the new version")
+      val after = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+      assert(after.size < before.size && spark.table("gtest.ns.proc").count() === 6)
+
+      spark.sql("CALL gtest.system.delete_older_than(`table` => 'ns.proc', " +
+        "older_than => '2024-08-02 00:00:00')")
+      assert(ManifestTable.liveDays(root) === Set("2024-08-02"))
+      assert(spark.table("gtest.ns.proc").count() === 3)
+
+      spark.sql("CALL gtest.system.expire_snapshots(`table` => 'ns.proc')")
+      assert(ManifestTable.versions(root).size === 1)
+      assert(spark.table("gtest.ns.proc").count() === 3)
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
