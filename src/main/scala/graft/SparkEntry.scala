@@ -148,6 +148,9 @@ object SparkEntry {
     // MERGE WITH SCHEMA EVOLUTION: the evolving merge's result vs the
     // oracle's explicit join algebra under the pre-evolution names
     "merge_schema_evolution" -> ((s, d) => graft.sources.v2.V2Queries.mergeSchemaEvolution(s, d)),
+    // SQL CALL optimize (z-ordered compaction): layout changes, data
+    // doesn't — files_packed verdict + full recompute oracle
+    "call_optimize_scan" -> ((s, d) => graft.sources.v2.V2Queries.callOptimizeScan(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -257,6 +260,7 @@ object SparkEntry {
     "catalog_format_fanout" -> graft.sources.v2.V2Queries.oracle.catalogFormatFanout,
     "renamed_column_scan" -> graft.sources.v2.V2Queries.oracle.renamedColumnScan,
     "merge_schema_evolution" -> graft.sources.v2.V2Queries.oracle.mergeSchemaEvolution,
+    "call_optimize_scan" -> graft.sources.v2.V2Queries.oracle.callOptimizeScan,
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,

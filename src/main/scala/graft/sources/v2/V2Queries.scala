@@ -286,6 +286,43 @@ object V2Queries {
     }
   }
 
+  /** The SQL CALL maintenance surface as an oracle-gated query: a
+    * day-partitioned catalog table is built FRAGMENTED (two interleaved
+    * halves, ≥2 files per day), `CALL cat.system.optimize` packs it with
+    * a z-order clustering, and the same ts-windowed aggregate runs over
+    * the packed layout. The oracle recomputes from the raw events and
+    * pins `files_packed` TRUE — maintenance must change the layout and
+    * NOTHING else. */
+  def callOptimizeScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("opt")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .create()
+      ev.where(col("event_id") % 2 === 1).writeTo(tbl).append()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      val before = graft.sources.ManifestTable
+        .manifest(root, graft.sources.ManifestTable.currentVersion(root).get).size
+
+      spark.sql(s"CALL $Cat.system.optimize(`table` => 'q.$short', " +
+        "zorder_by => 'user_id,value')")
+
+      val after = graft.sources.ManifestTable
+        .manifest(root, graft.sources.ManifestTable.currentVersion(root).get).size
+      val out = spark.table(tbl)
+        .where(col("ts") >= lit(PruneFrom).cast("timestamp_ntz")
+          && col("ts") < lit(PruneUntil).cast("timestamp_ntz"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("files_packed", lit(after < before))
+      out.localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   object oracle {
     val versionedScanPrune: String =
       s"""SELECT event_type, COUNT(*) AS n_events,
@@ -321,6 +358,15 @@ object V2Queries {
     val renamedColumnScan: String =
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${Dsl.sql.dsum("value")} AS total_amount
+         |FROM events
+         |WHERE ts >= TIMESTAMP '$PruneFrom' AND ts < TIMESTAMP '$PruneUntil'
+         |GROUP BY 1""".stripMargin
+
+    /** Maintenance must be invisible in the data: recompute the windowed
+      * aggregate from the raw events, layout verdict pinned TRUE. */
+    val callOptimizeScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS files_packed
          |FROM events
          |WHERE ts >= TIMESTAMP '$PruneFrom' AND ts < TIMESTAMP '$PruneUntil'
          |GROUP BY 1""".stripMargin
