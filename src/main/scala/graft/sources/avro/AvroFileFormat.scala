@@ -65,8 +65,11 @@ class AvroFileFormat extends FileFormat with DataSourceRegister with Serializabl
   override def supportDataType(dataType: DataType): Boolean = dataType match {
     case _: LongType | _: IntegerType | _: DoubleType | _: FloatType |
          _: BooleanType | _: StringType | _: BinaryType |
-         _: TimestampType | _: TimestampNTZType | _: DateType => true
+         _: TimestampType | _: TimestampNTZType | _: DateType |
+         _: DecimalType => true
     case ArrayType(et, _) => supportDataType(et)
+    case StructType(fields) => fields.forall(f => supportDataType(f.dataType))
+    case MapType(StringType, vt, _) => supportDataType(vt)
     case _ => false
   }
 
@@ -170,12 +173,17 @@ object AvroQueries {
 }
 
 /** Schema and value bridges between Spark internal rows and Avro generic
-  * records. Kept symmetric so write → read round-trips bit-exactly. */
+  * records. Kept symmetric so write → read round-trips bit-exactly.
+  * Covers the full nested surface: decimals (bytes + decimal logical
+  * type, unscaled big-endian two's complement — the standard Avro
+  * encoding), nested structs (named records — names derived from the
+  * field path, so they stay unique within one file schema), and
+  * string-keyed maps. */
 object AvroConversions {
 
   def toAvroSchema(st: StructType, name: String): ASchema = {
     val fields = st.fields.map { f =>
-      val base = toAvroType(f.dataType)
+      val base = toAvroType(f.dataType, s"${name}_${f.name}")
       val sch =
         if (f.nullable) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
         else base
@@ -185,7 +193,7 @@ object AvroConversions {
     ASchema.createRecord(name, null, "graft", false, fields.toList.asJava)
   }
 
-  private def toAvroType(dt: DataType): ASchema = dt match {
+  private def toAvroType(dt: DataType, path: String): ASchema = dt match {
     case LongType    => ASchema.create(ASchema.Type.LONG)
     case IntegerType => ASchema.create(ASchema.Type.INT)
     case DoubleType  => ASchema.create(ASchema.Type.DOUBLE)
@@ -199,11 +207,22 @@ object AvroConversions {
       LogicalTypes.localTimestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
     case DateType =>
       LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(ASchema.create(ASchema.Type.BYTES))
     case ArrayType(et, containsNull) =>
+      val base = toAvroType(et, s"${path}_item")
       val el = if (containsNull)
-        ASchema.createUnion(ASchema.create(ASchema.Type.NULL), toAvroType(et))
-      else toAvroType(et)
+        ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
+      else base
       ASchema.createArray(el)
+    case st: StructType => toAvroSchema(st, path)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val base = toAvroType(vt, s"${path}_value")
+      val el = if (valueContainsNull)
+        ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
+      else base
+      ASchema.createMap(el)
     case other => throw new UnsupportedOperationException(
       s"avro writer does not support $other")
   }
@@ -233,13 +252,27 @@ object AvroConversions {
     case ASchema.Type.FLOAT   => (FloatType, false)
     case ASchema.Type.BOOLEAN => (BooleanType, false)
     case ASchema.Type.STRING  => (StringType, false)
-    case ASchema.Type.BYTES   => (BinaryType, false)
+    case ASchema.Type.BYTES   => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => (DecimalType(d.getPrecision, d.getScale), false)
+      case _ => (BinaryType, false)
+    }
     case ASchema.Type.ARRAY =>
       val (et, elNullable) = toSparkType(s.getElementType)
       (ArrayType(et, elNullable), false)
+    case ASchema.Type.RECORD => (toSparkSchema(s), false)
+    case ASchema.Type.MAP =>
+      val (vt, vNullable) = toSparkType(s.getValueType)
+      (MapType(StringType, vt, vNullable), false)
     case other => throw new UnsupportedOperationException(
       s"avro reader does not support $other type in $s")
   }
+
+  /** The non-null branch of a (null, T) union, identity otherwise —
+    * nested writers need the concrete sub-schema to build records. */
+  private def nonNullOf(s: ASchema): ASchema =
+    if (s.getType == ASchema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+    else s
 
   /** InternalRow → GenericRecord; timestamps/dates pass through as raw
     * micros/days (identical physical representation). */
@@ -247,42 +280,72 @@ object AvroConversions {
     val rec = new GenericData.Record(avroSchema)
     var i = 0
     while (i < st.length) {
-      val v = if (row.isNullAt(i)) null else toAvroValue(row, i, st(i).dataType)
+      val v =
+        if (row.isNullAt(i)) null
+        else toAvroValue(elementGetter(row, i, st(i).dataType), st(i).dataType,
+          nonNullOf(avroSchema.getFields.get(i).schema()))
       rec.put(i, v)
       i += 1
     }
     rec
   }
 
-  private def toAvroValue(row: InternalRow, i: Int, dt: DataType): AnyRef = dt match {
-    case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(row.getLong(i))
-    case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
-    case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
-    case FloatType   => java.lang.Float.valueOf(row.getFloat(i))
-    case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-    case StringType  => row.getUTF8String(i).toString
-    case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
+  /** The Spark-internal value at position `i` of any row/array accessor. */
+  private def elementGetter(s: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+                            i: Int, dt: DataType): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => s.getLong(i)
+    case IntegerType | DateType => s.getInt(i)
+    case DoubleType  => s.getDouble(i)
+    case FloatType   => s.getFloat(i)
+    case BooleanType => s.getBoolean(i)
+    case StringType  => s.getUTF8String(i)
+    case BinaryType  => s.getBinary(i)
+    case d: DecimalType => s.getDecimal(i, d.precision, d.scale)
+    case ArrayType(_, _) => s.getArray(i)
+    case st: StructType => s.getStruct(i, st.length)
+    case MapType(_, _, _) => s.getMap(i)
+    case other => throw new UnsupportedOperationException(s"avro write: $other")
+  }
+
+  /** A Spark-internal value → the Avro generic value for `avroSch`. */
+  private def toAvroValue(v: Any, dt: DataType, avroSch: ASchema): AnyRef = dt match {
+    case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(v.asInstanceOf[Long])
+    case IntegerType | DateType => java.lang.Integer.valueOf(v.asInstanceOf[Int])
+    case DoubleType  => java.lang.Double.valueOf(v.asInstanceOf[Double])
+    case FloatType   => java.lang.Float.valueOf(v.asInstanceOf[Float])
+    case BooleanType => java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])
+    case StringType  => v.toString
+    case BinaryType  => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case _: DecimalType =>
+      // standard Avro decimal encoding: unscaled two's-complement bytes
+      java.nio.ByteBuffer.wrap(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.unscaledValue().toByteArray)
     case ArrayType(et, _) =>
-      val arr = row.getArray(i)
+      val arr = v.asInstanceOf[ArrayData]
+      val elSch = nonNullOf(avroSch.getElementType)
       val out = new JArrayList[AnyRef](arr.numElements())
       var j = 0
       while (j < arr.numElements()) {
-        out.add(if (arr.isNullAt(j)) null else arrayElement(arr, j, et))
+        out.add(if (arr.isNullAt(j)) null
+          else toAvroValue(elementGetter(arr, j, et), et, elSch))
+        j += 1
+      }
+      out
+    case st: StructType => toRecord(v.asInstanceOf[InternalRow], st, avroSch)
+    case MapType(StringType, vt, _) =>
+      val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val keys = m.keyArray(); val vals = m.valueArray()
+      val vSch = nonNullOf(avroSch.getValueType)
+      val out = new java.util.HashMap[String, AnyRef](m.numElements())
+      var j = 0
+      while (j < m.numElements()) {
+        out.put(keys.getUTF8String(j).toString,
+          if (vals.isNullAt(j)) null
+          else toAvroValue(elementGetter(vals, j, vt), vt, vSch))
         j += 1
       }
       out
     case other => throw new UnsupportedOperationException(s"avro write: $other")
-  }
-
-  private def arrayElement(arr: ArrayData, j: Int, et: DataType): AnyRef = et match {
-    case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(arr.getLong(j))
-    case IntegerType | DateType => java.lang.Integer.valueOf(arr.getInt(j))
-    case DoubleType  => java.lang.Double.valueOf(arr.getDouble(j))
-    case FloatType   => java.lang.Float.valueOf(arr.getFloat(j))
-    case BooleanType => java.lang.Boolean.valueOf(arr.getBoolean(j))
-    case StringType  => arr.getUTF8String(j).toString
-    case BinaryType  => java.nio.ByteBuffer.wrap(arr.getBinary(j))
-    case other => throw new UnsupportedOperationException(s"avro write array of $other")
   }
 
   /** GenericRecord → InternalRow projected to `required` (by field name —
@@ -304,6 +367,12 @@ object AvroConversions {
     case BinaryType =>
       val bb = v.asInstanceOf[java.nio.ByteBuffer]
       val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes); bytes
+    case d: DecimalType =>
+      val bb = v.asInstanceOf[java.nio.ByteBuffer]
+      val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale),
+        d.precision, d.scale)
     case ArrayType(et, _) =>
       val list = v.asInstanceOf[java.util.List[AnyRef]]
       val out = new Array[Any](list.size())
@@ -314,6 +383,20 @@ object AvroConversions {
         j += 1
       }
       new GenericArrayData(out)
+    case st: StructType => toInternalRow(v.asInstanceOf[GenericRecord], st)
+    case MapType(StringType, vt, _) =>
+      val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+      val keys = new Array[Any](m.size()); val vals = new Array[Any](m.size())
+      var j = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        keys(j) = UTF8String.fromString(e.getKey.toString)
+        vals(j) = if (e.getValue == null) null else toSparkValue(e.getValue, vt)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals))
     // LONG/INT/DOUBLE/FLOAT/BOOLEAN (incl. timestamp micros / date days):
     // Avro's boxed primitive IS the internal representation
     case _ => v
