@@ -590,7 +590,8 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         // no file index needed: the manifest IS the listing, __day rides in
         // dir names and is never part of the user schema, and filters are
         // re-applied exactly post-scan by Spark (pushFilters residual)
-        new AvroManifestScan(files.map(_.toString), physical(logicalRead), logicalRead)
+        new AvroManifestScan(files.map(_.toString), physical(logicalRead), logicalRead,
+          maxSplitBytes = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
       case fmt =>
         // basePath keeps partition discovery rooted at the data pool; for an
         // empty listing (empty table / fully pruned) the pool dir may not

@@ -501,6 +501,30 @@ class V2CatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.versioned.retain")
   }
 
+  test("avro catalog tables split large files on sync markers through the V2 scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.avsplit")
+    spark.sql("CREATE TABLE gtest.ns.avsplit (k BIGINT, s STRING) USING avro")
+    // one large container file: coalesce(1) before the V2 append
+    spark.range(200000).selectExpr("id AS k", "concat('row-', id) AS s")
+      .coalesce(1).writeTo("gtest.ns.avsplit").append()
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/avsplit"
+    assert(graft.sources.ManifestTable.manifest(root, 1).size === 1)
+
+    val whole = spark.table("gtest.ns.avsplit")
+      .agg(count(lit(1)), sum("k")).collect()(0)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+    try {
+      val split = spark.table("gtest.ns.avsplit")
+      assert(split.rdd.getNumPartitions > 4,
+        s"expected many splits, got ${split.rdd.getNumPartitions}")
+      val a = split.agg(count(lit(1)), sum("k")).collect()(0)
+      assert(a === whole)
+      assert(a.getLong(0) === 200000L)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
