@@ -43,7 +43,19 @@ private[graft] object MetaIO {
       .getOrElse(new Configuration())
 
   private def path(s: String): Path = new Path(s)
-  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** Filesystem for a metadata path. Local paths use the RAW local
+    * filesystem: the checksummed wrapper Hadoop returns by default keeps
+    * `.crc` sidecars whose rename is a separate step from the data
+    * file's — a concurrent pointer reader could see new content with the
+    * old checksum (ChecksumException) or a delete-then-rename gap
+    * (FileNotFound). Raw local = plain POSIX semantics: `rename(2)`
+    * replaces the destination atomically and there are no sidecars. */
+  private def fsOf(p: Path): FileSystem =
+    p.getFileSystem(hadoopConf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
 
   private def isLocal(f: FileSystem): Boolean = {
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
@@ -97,14 +109,19 @@ private[graft] object MetaIO {
     }
   }
 
-  /** Atomic single-key publish: write a sibling temp file, rename over the
-    * target with OVERWRITE. */
+  /** Atomic single-key publish: write a sibling temp file, rename over
+    * the target with replace. Local paths go through the raw
+    * filesystem's `rename` (POSIX `rename(2)` — atomic replace, see
+    * [[fsOf]]); elsewhere [[FileContext]] with `Rename.OVERWRITE` (atomic
+    * on HDFS; single-key PUT semantics on object stores). */
   def writeAtomic(s: String, body: String): Unit = {
     val p = path(s)
+    val f = fsOf(p)
     val tmp = new Path(p.getParent, s"${p.getName}.tmp")
     write(tmp.toString, body)
-    val fc = FileContext.getFileContext(p.toUri, hadoopConf)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    if (isLocal(f)) require(f.rename(tmp, p), s"atomic publish of $s failed")
+    else FileContext.getFileContext(p.toUri, hadoopConf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   /** Move a file (no-replace destination: UUID-named pool files never

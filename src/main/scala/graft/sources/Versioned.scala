@@ -1,8 +1,5 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,8 +21,11 @@ import org.apache.spark.sql.functions._
   * object stores it is a non-atomic copy+delete of every key, during
   * which readers see a half-table. Here the data files are IMMUTABLE once
   * written — the only mutation is the single-key `_CURRENT` pointer
-  * overwrite, which is atomic both locally (ATOMIC_MOVE of a temp file)
-  * and on object stores (single-key PUT is all-or-nothing). Readers that
+  * overwrite, which is atomic both locally (rename of a temp file via
+  * [[MetaIO.writeAtomic]] — all metadata I/O goes through the Hadoop
+  * FileSystem API, so a root can be a local path, `file://`, `hdfs://`
+  * or `s3a://` URI) and on object stores (single-key PUT is
+  * all-or-nothing). Readers that
   * resolved the pointer before a commit keep reading their pinned v=N
   * snapshot — writers never touch it — giving snapshot isolation and
   * crash safety: a writer dying mid-write leaves an orphan v=N+1 dir and
@@ -39,14 +39,12 @@ object Versioned {
 
   private val Pointer = "_CURRENT"
 
-  private def pointerPath(root: String): Path = Paths.get(root, Pointer)
+  private def pointerPath(root: String): String = s"$root/$Pointer"
 
   /** Live version id, if the table exists (committed at least once). */
   def currentVersion(root: String): Option[Long] = {
     val p = pointerPath(root)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-    else None
+    if (MetaIO.exists(p)) Some(MetaIO.readString(p).trim.toLong) else None
   }
 
   def exists(root: String): Boolean = currentVersion(root).isDefined
@@ -63,7 +61,7 @@ object Versioned {
   /** Time travel: read a specific retained snapshot. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val dir = s"$root/v=$version"
-    require(Files.exists(Paths.get(dir)),
+    require(MetaIO.exists(dir),
       s"version $version of $root does not exist (GC'd or never committed)")
     stripHidden(spark.read.parquet(dir))
   }
@@ -91,20 +89,11 @@ object Versioned {
   }
 
   /** All retained snapshot ids, ascending — the snapshot log. */
-  def versions(root: String): Seq[Long] = {
-    val d = Paths.get(root)
-    if (!Files.isDirectory(d)) Nil
-    else {
-      val s = Files.list(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
-          .toSeq.sorted
-      } finally s.close()
-    }
-  }
+  def versions(root: String): Seq[Long] =
+    MetaIO.listStatus(root)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .sorted
 
   /** Synthetic partition column used by hidden day-partitioning. */
   private val DayCol = "__day"
@@ -143,19 +132,16 @@ object Versioned {
     // GC: age out old snapshots, but never one pinned by a tag
     val pinned = tags(root).values.toSet
     versions(root).filter(v => v <= next - retain && !pinned(v)).foreach { v =>
-      deleteRecursively(Paths.get(s"$root/v=$v"))
+      MetaIO.delete(s"$root/v=$v", recursive = true)
     }
     next
   }
 
-  /** Single-key atomic pointer flip: temp file + ATOMIC_MOVE locally, a
-    * plain PUT on an object store. */
-  private def flipPointer(root: String, v: Long): Unit = {
-    val tmp = Paths.get(root, s"$Pointer.tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Single-key atomic pointer flip: temp file + rename-with-overwrite
+    * ([[MetaIO.writeAtomic]] — POSIX/HDFS rename, single-key PUT on an
+    * object store). */
+  private def flipPointer(root: String, v: Long): Unit =
+    MetaIO.writeAtomic(pointerPath(root), v.toString)
 
   /** Roll the live pointer back to a retained snapshot — Iceberg's
     * `rollback_to_snapshot`. Pointer-only (one atomic PUT): the younger
@@ -163,12 +149,12 @@ object Versioned {
     * allocates above them ([[commit]] uses max(retained)+1), so history
     * is never overwritten by a post-rollback write. */
   def rollback(root: String, toVersion: Long): Unit = {
-    require(Files.exists(Paths.get(s"$root/v=$toVersion")),
+    require(MetaIO.exists(s"$root/v=$toVersion"),
       s"cannot roll back: version $toVersion of $root is not retained")
     flipPointer(root, toVersion)
   }
 
-  private def tagsDir(root: String): Path = Paths.get(root, "tags")
+  private def tagsDir(root: String): String = s"$root/tags"
 
   /** Pin a snapshot under a name — Iceberg's tags. A tagged snapshot is
     * exempt from [[commit]]'s retention GC until the tag is dropped, so
@@ -178,34 +164,21 @@ object Versioned {
     require(name.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$name'")
     val v = version.getOrElse(currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root")))
-    require(Files.exists(Paths.get(s"$root/v=$v")), s"version $v is not retained")
-    Files.createDirectories(tagsDir(root))
-    val tmp = tagsDir(root).resolve(s"$name.tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, tagsDir(root).resolve(name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    require(MetaIO.exists(s"$root/v=$v"), s"version $v is not retained")
+    MetaIO.writeAtomic(s"${tagsDir(root)}/$name", v.toString)
     v
   }
 
   /** All tags of a table (name → pinned version). */
-  def tags(root: String): Map[String, Long] = {
-    val d = tagsDir(root)
-    if (!Files.isDirectory(d)) Map.empty
-    else {
-      val s = Files.list(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => !p.getFileName.toString.endsWith(".tmp"))
-          .map(p => p.getFileName.toString ->
-            new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-          .toMap
-      } finally s.close()
-    }
-  }
+  def tags(root: String): Map[String, Long] =
+    MetaIO.listStatus(tagsDir(root))
+      .filter(st => !st.getPath.getName.endsWith(".tmp"))
+      .map(st => st.getPath.getName ->
+        MetaIO.readString(st.getPath.toString).trim.toLong)
+      .toMap
 
   def dropTag(root: String, name: String): Unit =
-    Files.deleteIfExists(tagsDir(root).resolve(name))
+    MetaIO.delete(s"${tagsDir(root)}/$name")
 
   /** Read the snapshot a tag pins. */
   def readTag(spark: SparkSession, root: String, name: String): DataFrame =
@@ -226,23 +199,17 @@ object Versioned {
               partitionDayOf: Option[String] = None): Long = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val dir = Paths.get(s"$root/v=$v")
+    val dir = s"$root/v=$v"
     // A hidden-day-partitioned snapshot compacted without partitionDayOf
     // would silently commit an UNpartitioned layout (read() strips the
     // day column before the rewrite), breaking readDayRange on the next
     // call. Refuse rather than guess: the caller knows the ts column.
     if (partitionDayOf.isEmpty
-        && spark.read.parquet(dir.toString).columns.contains(DayCol))
+        && spark.read.parquet(dir).columns.contains(DayCol))
       throw new IllegalArgumentException(
         s"$root's live snapshot is hidden-day-partitioned; pass " +
           "partitionDayOf so compaction preserves the partition layout")
-    val bytes = {
-      val s = Files.walk(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size(_)).sum
-      } finally s.close()
-    }
+    val bytes = MetaIO.listFilesRec(dir).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     commit(read(spark, root).repartition(nFiles), root, retain, partitionDayOf)
   }
@@ -256,31 +223,18 @@ object Versioned {
     import spark.implicits._
     val live = currentVersion(root)
     versions(root).map { v =>
-      val dir = Paths.get(s"$root/v=$v")
-      val files = {
-        val s = Files.walk(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(Files.isRegularFile(_)).toVector
-        } finally s.close()
-      }
-      (v, files.size.toLong, files.map(Files.size(_)).sum,
-        new java.sql.Timestamp(files.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L)),
+      val files = MetaIO.listFilesRec(s"$root/v=$v")
+      (v, files.size.toLong, files.map(_.getLen).sum,
+        new java.sql.Timestamp(files.map(_.getModificationTime).maxOption.getOrElse(0L)),
         live.contains(v))
     }.toDF("version", "n_files", "bytes", "committed_at", "is_current")
   }
 
   /** Commit instant of a retained snapshot (newest data-file mtime —
     * the same definition [[history]] reports as `committed_at`). */
-  private def commitMillis(root: String, v: Long): Long = {
-    val dir = Paths.get(s"$root/v=$v")
-    val s = Files.walk(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(Files.isRegularFile(_))
-        .map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L)
-    } finally s.close()
-  }
+  private def commitMillis(root: String, v: Long): Long =
+    MetaIO.listFilesRec(s"$root/v=$v")
+      .map(_.getModificationTime).maxOption.getOrElse(0L)
 
   /** `TIMESTAMP AS OF` resolution: the latest retained snapshot committed
     * at or before the instant. Driver-side metadata only. */
@@ -326,14 +280,4 @@ object Versioned {
         :+ struct(valueCols.map(c => col(s"__a_$c").as(c)): _*).as("after"): _*)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.foreach(deleteRecursively)
-      } finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
 }

@@ -296,6 +296,46 @@ class TableFormatSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSeq === Seq(1L, 9L, 102L))
   }
 
+  test("versioned table on an explicit file:// Hadoop URI: commit, time travel, tags, rollback") {
+    import spark.implicits._
+    val root = "file://" + Files.createTempDirectory("versioned_scheme").toString + "/t"
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), root, retain = 5)
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, retain = 5)
+    assert(Versioned.currentVersion(root).contains(2L))
+    assert(Versioned.read(spark, root).count() === 2)
+    assert(Versioned.readVersion(spark, root, 1L).count() === 1)
+    assert(Versioned.tag(root, "audit", Some(1L)) === 1L)
+    assert(Versioned.tags(root) === Map("audit" -> 1L))
+    assert(Versioned.readTag(spark, root, "audit").count() === 1)
+    Versioned.rollback(root, 1L)
+    assert(Versioned.read(spark, root).count() === 1)
+    assert(Versioned.history(spark, root).count() === 2)
+  }
+
+  test("many concurrent appenders all land: union of every file set survives") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("manifest_many").toString + "/t"
+    ManifestTable.commit(Seq((0L, "seed")).toDF("k", "v"), root, retain = 20)
+    val n = 6
+    // worst case the last appender loses n-1 claims before landing
+    spark.conf.set("spark.graft.manifest.commitRetries", (n + 2).toString)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val threads = (1 to n).map { i =>
+        new Thread(() => {
+          try ManifestTable.append(Seq((i.toLong, s"t$i")).toDF("k", "v"), root, retain = 20)
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    } finally spark.conf.unset("spark.graft.manifest.commitRetries")
+    assert(errs.isEmpty, s"all $n concurrent appends must land: $errs")
+    assert(ManifestTable.currentVersion(root).contains((n + 1).toLong))
+    assert(ManifestTable.read(spark, root).orderBy("k").select("k").as[Long]
+      .collect().toSeq === (0L to n.toLong))
+  }
+
   test("manifest table on an explicit file:// Hadoop URI: full protocol round-trip") {
     import spark.implicits._
     import graft.sources.ManifestTable
