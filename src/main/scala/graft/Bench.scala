@@ -36,21 +36,27 @@ object Bench {
       }
     }
 
-    // min of 2 timed passes per query: a single-pass timing lets one
-    // noisy-neighbor event on the bench host poison the round's official
-    // metric (a 0.6 s query once recorded 25 s under contention). The min
-    // is the contention-free estimate; both passes read the data from the
-    // same cold/warm state as page cache allows, so min-of-2 measures the
-    // plan, not the machine.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to math.max(1, passes)).map { _ =>
+    // min over INTERLEAVED passes: pass 1 of every query, then pass 2 of
+    // every query (not back-to-back per query). A single-pass timing lets
+    // one noisy-neighbor event poison the round's official metric (a
+    // 0.6 s query once recorded 25 s under contention) — and back-to-back
+    // passes share the same contention window, so min-of-2 could still
+    // record the inflated number (r6: ann_ivf_topk graded 6.2 s official
+    // vs 2.2 s clean). Interleaving separates a query's samples by the
+    // full suite length (~40 s), so one bad window can spoil at most one
+    // sample per query and the min stays the contention-free estimate.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val names = SparkEntry.queries.keys.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to passes).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
-        try run(fn, sfDir) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try run(SparkEntry.queries(name), sfDir) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!best.get(name).exists(_ <= dt)) best(name) = dt
       }
-      name -> times.min
     }
+    val results = names.map(n => n -> best(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -266,6 +266,16 @@ object MergeInto {
                                  m: MergeIntoTable, refreshView: Boolean,
                                  raw: DataFrame,
                                  baseVersion: Option[Long]): Boolean = {
+    // the scoped path derives landing/matching days via to_date(ts) in
+    // THIS session and drops/keeps files by their DIRECTORY day (laid out
+    // in the WRITER's session zone). For a zone-sensitive TIMESTAMP source
+    // the two only agree when this session's zone is the recorded writer
+    // zone — otherwise fall back to the zone-exact full rewrite.
+    val zoneSensitive = tgt.df.schema.fields
+      .find(_.name.equalsIgnoreCase(tsCol))
+      .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
+    if (zoneSensitive && !ManifestTable.liveProps(root).get(ManifestTable.ZoneProp)
+        .contains(spark.sessionState.conf.sessionLocalTimeZone)) return false
     val targetCols = tgt.df.columns.toSeq
     // every INSERT action must assign the partition-source timestamp
     // column with a derivable value, else the landing day is unknown
@@ -425,13 +435,20 @@ object MergeInto {
     }
     val micro = 1000000L
     // __day was derived by to_date(ts): the wall-clock date for NTZ, the
-    // SESSION-zone local date for TIMESTAMP. Day boundaries must be computed
-    // in that same zone — UTC boundaries against a western session would
-    // classify a boundary day as fully covered and dropDays would delete
-    // rows the predicate never reached (unrecoverable after GC).
+    // WRITER session's zone for TIMESTAMP. Day boundaries must be computed
+    // in that same zone — boundaries in any other zone can classify a
+    // boundary day as fully covered and dropDays would delete rows the
+    // predicate never reached (unrecoverable after GC). The writer zone is
+    // a commit property ([[ManifestTable.ZoneProp]]); a table predating it,
+    // or one with appends from differently-zoned sessions ("mixed"), has
+    // no single zone describing its layout — decline the fast path rather
+    // than guess (the full rewrite is zone-exact, just slower).
     val zone: java.time.ZoneId = tsType match {
       case TimestampNTZType => java.time.ZoneOffset.UTC // NTZ micros are wall-clock
-      case _ => java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      case _ => ManifestTable.liveProps(root).get(ManifestTable.ZoneProp) match {
+        case Some(z) if z != "mixed" => java.time.ZoneId.of(z)
+        case _ => return false
+      }
     }
     def dayStart(d: java.time.LocalDate): Long =
       d.atStartOfDay(zone).toInstant.getEpochSecond * micro
@@ -451,6 +468,13 @@ object MergeInto {
     }
     if (fully.isEmpty && partial.isEmpty) return true // no-op delete
     if (partial.isEmpty && fully == days) return false // would empty: rewrite path
+    // rewriting a boundary day re-derives __day via to_date(ts) in THIS
+    // session (both the CatalogBacking raw and the pool write do) — only
+    // sound when this session's zone IS the writer zone. The drop-only
+    // branch touches no data and needs only the boundary math above.
+    if (partial.nonEmpty && tsType == TimestampType &&
+        zone != java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+      return false
     val retain = retainOf(spark)
     if (partial.isEmpty) {
       ManifestTable.dropDays(root, fully, retain = retain,

@@ -85,6 +85,14 @@ object ManifestTable {
   val DayCol = "__day"
   /** The three fan-out formats a table can store its data files in. */
   val FileFormats: Set[String] = Set("parquet", "orc", "avro")
+  /** Commit property fencing each manifest to the committer that wrote it
+    * (re-stamped on every commit; see the fencing notes in [[commitLoop]]). */
+  val FenceProp = "__committer"
+  /** Commit property recording the session zone `__day` was derived in
+    * for TIMESTAMP (zone-sensitive) partition sources; `"mixed"` once
+    * appends from differently-zoned sessions coexist in one manifest.
+    * Zone-independent derivations (TIMESTAMP_NTZ, DATE) never set it. */
+  val ZoneProp = "__writer_zone"
 
   private def pointerPath(root: String): String = s"$root/$Pointer"
   private def manifestPath(root: String, v: Long): String =
@@ -93,9 +101,24 @@ object ManifestTable {
   private def confLong(key: String, dflt: Long): Long =
     SparkSession.getActiveSession.flatMap(_.conf.getOption(key))
       .map(_.toLong).getOrElse(dflt)
-  /** Claims above the pointer older than this are crashed committers'. */
+  /** Claims above the pointer older than this are crashed committers'.
+    * The default is 10 minutes — far above any plausible claim→flip pause
+    * (the flip is milliseconds after the claim), because a reclaim that
+    * fires DURING a paused-but-alive committer forces that committer's
+    * commit to fail at the fence check. A crashed committer therefore
+    * blocks its version number for at most this long; correctness never
+    * depends on the value (the fence catches a too-eager reclaim). */
   private def claimGraceMs: Long =
-    confLong("spark.graft.manifest.claimGraceMs", 60000L)
+    confLong("spark.graft.manifest.claimGraceMs", 600000L)
+  /** Unreferenced POOL files younger than this survive GC: they may belong
+    * to an in-flight commit (moved into the pool just before its claim).
+    * Pool files are mtime-stamped at MOVE-IN ([[writePool]]), so this
+    * ages from pool entry, not from the Spark write — and the default is
+    * a deliberate order of magnitude above the claim grace (Iceberg's
+    * orphan-file age defaults to days): sweeping late costs bytes,
+    * sweeping early costs a committed manifest's data files. */
+  private def orphanFileGraceMs: Long =
+    confLong("spark.graft.manifest.orphanFileGraceMs", 3600000L)
   /** Rebase attempts before surfacing a claim conflict to the caller. */
   private def commitRetries: Int =
     confLong("spark.graft.manifest.commitRetries", 4L).toInt
@@ -124,6 +147,9 @@ object ManifestTable {
     * the latest value per key (streaming sinks store their last batch id
     * here, giving exactly-once appends under foreachBatch retries). */
   def manifestProps(root: String, v: Long): Map[String, String] =
+    allProps(root, v) - FenceProp // the fence is commit-protocol-internal
+
+  private def allProps(root: String, v: Long): Map[String, String] =
     manifestLines(root, v).filter(_.startsWith("#")).map { l =>
       val kv = l.drop(1).split("=", 2)
       kv(0) -> (if (kv.length > 1) kv(1) else "")
@@ -233,6 +259,11 @@ object ManifestTable {
         val name = s"${UUID.randomUUID().toString.take(16)}.$format"
         val rel = if (sub.isEmpty) name else s"$sub/$name"
         MetaIO.rename(st.getPath.toString, s"$root/data/$rel")
+        // stamp POOL-ENTRY time: rename preserves the Spark write mtime,
+        // which for a slow multi-minute write is already older than the
+        // move — GC's orphan grace must age from entry or it would sweep
+        // an in-flight commit's files out from under it
+        MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
         rel
       }
     MetaIO.delete(stage, recursive = true)
@@ -241,6 +272,33 @@ object ManifestTable {
 
   /** One commit attempt's content, planned against the current base. */
   private case class Planned(rels: Seq[String], props: Map[String, String])
+
+  /** The session zone this write derives `__day` in — set only when the
+    * partition source is a zone-SENSITIVE TIMESTAMP (`to_date` on NTZ and
+    * DATE is pure wall-clock). Recorded so day-scoped rewrites
+    * ([[graft.plans.MergeInto]]) can compute day boundaries in the
+    * writer's timeline instead of assuming the deleting session's zone. */
+  private def writeZoneOf(df: DataFrame, partitionDayOf: Option[String]): Option[String] =
+    partitionDayOf.flatMap { ts =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(ts)).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.TimestampType) =>
+          Some(df.sparkSession.sessionState.conf.sessionLocalTimeZone)
+        case _ => None
+      }
+    }
+
+  /** Fold this write's zone into the carried properties: agreement keeps
+    * the zone, disagreement degrades to `"mixed"` (files from two zones
+    * now coexist — no single zone describes the layout, and the fast
+    * day-scoped paths decline). */
+  private def mergeZoneProp(baseProps: Map[String, String],
+                            zone: Option[String]): Map[String, String] =
+    zone.map { z =>
+      ZoneProp -> (baseProps.get(ZoneProp) match {
+        case Some(prev) if prev != z => "mixed"
+        case _ => z
+      })
+    }.toMap
 
   /** The optimistic-concurrency loop. `plan` maps the CURRENT base
     * (live file list + props — both re-read per attempt) to the manifest
@@ -262,13 +320,39 @@ object ManifestTable {
       require(planned.props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
         && planned.props.values.forall(v => !v.contains("\n")), "illegal manifest property")
       val next = base.getOrElse(0L) + 1
-      val body = planned.props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
-        planned.rels
+      // the FENCE: a per-attempt token stamped into the manifest. The
+      // claim-reclaim protocol is a lease without hard CAS — a committer
+      // paused longer than the claim grace between its claim and its flip
+      // can have the claim reclaimed and re-created by a racer at the SAME
+      // version. Flipping blind would then publish the racer's content
+      // while both callers report success for version `next` (one commit
+      // silently lost). Verifying the manifest is still OURS immediately
+      // before and after the flip turns that silent loss into a surfaced
+      // conflict; the grace default makes the race itself vanishingly rare.
+      val fence = UUID.randomUUID().toString
+      val body = (planned.props + (FenceProp -> fence)).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"#$k=$v" } ++ planned.rels
+      def claimIsOurs(): Boolean =
+        MetaIO.exists(manifestPath(root, next)) &&
+          allProps(root, next).get(FenceProp).contains(fence)
+      def fenceLost(stage: String): Nothing =
+        throw new java.util.ConcurrentModificationException(
+          s"commit of v=$next to $root lost its claim $stage the pointer flip " +
+            "(reclaimed as stale by a racing committer — this committer paused " +
+            "longer than spark.graft.manifest.claimGraceMs); nothing was published")
       try {
         // the CLAIM: create-new manifest with full content — the one
         // win-or-fail step; nothing points at it until the flip below
         MetaIO.createNew(manifestPath(root, next), body.mkString("\n"))
+        // test hook: an injected claim→flip pause (simulates the driver GC
+        // stall the fencing protects against); 0 — no-op — in production
+        confLong("spark.graft.manifest.testClaimPauseMs", 0L) match {
+          case 0L => ()
+          case ms => Thread.sleep(ms)
+        }
+        if (!claimIsOurs()) fenceLost("before")
         MetaIO.writeAtomic(pointerPath(root), next.toString)
+        if (!claimIsOurs()) fenceLost("after")
         gc(root, next, retain)
         return next
       } catch {
@@ -312,7 +396,10 @@ object ManifestTable {
              format: Option[String] = None): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
     val fresh = writePool(df, root, partitionDayOf, fmt)
-    commitLoop(root, retain, rebase = false)((_, _) => Planned(fresh, props))
+    // a full rewrite re-derives every file's day in THIS session: its zone
+    // is the table's zone, whatever history said
+    val zp = writeZoneOf(df, partitionDayOf).map(ZoneProp -> _).toMap
+    commitLoop(root, retain, rebase = false)((_, _) => Planned(fresh, props ++ zp))
   }
 
   /** Append commit (INSERT INTO semantics): write only `df`'s files into
@@ -327,11 +414,12 @@ object ManifestTable {
              format: Option[String] = None): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
     val fresh = writePool(df, root, partitionDayOf, fmt)
+    val zone = writeZoneOf(df, partitionDayOf)
     // base ∪ new, props inherited ++ ours: the live manifest always
     // exposes the latest value per property key, so idempotence markers
     // survive later appends — all re-read per attempt when rebasing
     commitLoop(root, retain, rebase = true) { (baseRels, baseProps) =>
-      Planned(baseRels ++ fresh, baseProps ++ props)
+      Planned(baseRels ++ fresh, baseProps ++ props ++ mergeZoneProp(baseProps, zone))
     }
   }
 
@@ -360,6 +448,7 @@ object ManifestTable {
     val base0 = touched(manifest(root, baseV)).toSet
     val fmt = formatOf(root).getOrElse("parquet")
     val fresh = writePool(df, root, Some(partitionDayOf), fmt)
+    val zone = writeZoneOf(df, Some(partitionDayOf))
     commitLoop(root, retain, rebase = true) { (baseRels, baseProps) =>
       if (touched(baseRels).toSet != base0)
         throw new java.util.ConcurrentModificationException(
@@ -367,7 +456,7 @@ object ManifestTable {
       // partial update of a continuing table: carry the commit properties
       // (e.g. streaming idempotence markers) into the new manifest
       Planned(baseRels.filterNot(rel => dayOf(rel).exists(removeDays.contains)) ++ fresh,
-        baseProps)
+        baseProps ++ mergeZoneProp(baseProps, zone))
     }
   }
 
@@ -416,12 +505,15 @@ object ManifestTable {
     }
     val referenced = kept.filter(_ <= live).flatMap(v => manifest(root, v)).toSet
     MetaIO.listFilesRec(s"$root/data").foreach { st =>
-      // unreferenced files younger than the claim grace are protected: they
-      // may belong to an in-flight commit (written to the pool just before
-      // its claim). A crashed writer's files age past the grace and the
-      // next successful commit sweeps them — Iceberg's orphan-file rule.
+      // unreferenced files younger than the ORPHAN grace are protected:
+      // they may belong to an in-flight commit (moved into the pool just
+      // before its claim — and mtime-stamped at move-in, so the grace ages
+      // from pool entry, not from the Spark write). A crashed writer's
+      // files age past the grace and the next successful commit sweeps
+      // them — Iceberg's orphan-file rule, with Iceberg's order of
+      // magnitude (hours, not the claim's minutes).
       if (!referenced.contains(MetaIO.relativize(s"$root/data", st.getPath))
-          && st.getModificationTime < now - claimGraceMs)
+          && st.getModificationTime < now - orphanFileGraceMs)
         MetaIO.delete(st.getPath.toString)
     }
   }

@@ -113,15 +113,28 @@ private[graft] object MetaIO {
     * the target with replace. Local paths go through the raw
     * filesystem's `rename` (POSIX `rename(2)` — atomic replace, see
     * [[fsOf]]); elsewhere [[FileContext]] with `Rename.OVERWRITE` (atomic
-    * on HDFS; single-key PUT semantics on object stores). */
+    * on HDFS; single-key PUT semantics on object stores).
+    *
+    * The temp name is per-call unique: concurrent writers to the same key
+    * (two sessions tagging one table, say) each stage into their own temp
+    * file, so neither can publish the other's half-written content or
+    * race on a shared `.tmp` that vanished mid-rename. Last rename wins —
+    * the same last-writer-wins the target key itself has. */
   def writeAtomic(s: String, body: String): Unit = {
     val p = path(s)
     val f = fsOf(p)
-    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     write(tmp.toString, body)
-    if (isLocal(f)) require(f.rename(tmp, p), s"atomic publish of $s failed")
-    else FileContext.getFileContext(p.toUri, hadoopConf)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
+    try {
+      if (isLocal(f)) require(f.rename(tmp, p), s"atomic publish of $s failed")
+      else FileContext.getFileContext(p.toUri, hadoopConf)
+        .rename(tmp, p, Options.Rename.OVERWRITE)
+    } catch {
+      case t: Throwable => // never leave a stray temp behind a failed publish
+        try f.delete(tmp, false) catch { case _: Throwable => () }
+        throw t
+    }
   }
 
   /** Move a file (no-replace destination: UUID-named pool files never
@@ -170,5 +183,17 @@ private[graft] object MetaIO {
 
   def mtimeMillis(s: String): Long = {
     val p = path(s); fsOf(p).getFileStatus(p).getModificationTime
+  }
+
+  /** Stamp a file's modification time (access time untouched). Used to
+    * mark the POOL-ENTRY instant of data files: a plain rename preserves
+    * the Spark WRITE mtime, which can be arbitrarily older than the move
+    * for a long write — and GC grace must age from entry, not write.
+    * Stores that don't support setTimes keep their upload time, which IS
+    * the entry time there (object-store "rename" creates a new object). */
+  def setTimes(s: String, mtimeMs: Long): Unit = {
+    val p = path(s)
+    try fsOf(p).setTimes(p, mtimeMs, -1)
+    catch { case _: UnsupportedOperationException => () }
   }
 }

@@ -91,12 +91,13 @@ class AvroFileFormat extends FileFormat with DataSourceRegister with Serializabl
                            hadoopConf: Configuration)
       : PartitionedFile => Iterator[InternalRow] = {
     val required = requiredSchema // serializable; closure ships it
+    // the SESSION conf must reach the task-side open: s3a credentials /
+    // endpoints / custom filesystems ride it, and a bare Configuration()
+    // would silently drop them (the parquet/orc legs propagate it too)
+    val confSer = new graft.sources.SerializableHadoopConf(hadoopConf)
     (file: PartitionedFile) => {
-      // fresh Configuration in-task: file:// and default-FS reads need no
-      // session-specific settings (SerializableConfiguration is
-      // private[spark]; the session conf cannot ride the closure)
       val path = new Path(file.filePath.toString)
-      val in = new org.apache.avro.mapred.FsInput(path, new Configuration())
+      val in = new org.apache.avro.mapred.FsInput(path, confSer.value)
       val reader = org.apache.avro.file.DataFileReader.openReader(
         in, new GenericDatumReader[GenericRecord]())
         .asInstanceOf[org.apache.avro.file.DataFileReader[GenericRecord]]

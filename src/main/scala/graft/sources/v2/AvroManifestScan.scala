@@ -51,21 +51,24 @@ class AvroManifestScan(files: Seq[String], physicalRead: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroManifestReaderFactory(physicalRead)
+    new AvroManifestReaderFactory(physicalRead,
+      new graft.sources.SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 case class AvroFilePartition(path: String, start: Long, length: Long)
     extends InputPartition
 
-class AvroManifestReaderFactory(physicalRead: StructType)
+class AvroManifestReaderFactory(physicalRead: StructType,
+                                confSer: graft.sources.SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroFilePartition]
     val path = new Path(p.path)
-    // fresh Configuration in-task, same as AvroFileFormat.buildReader:
-    // file:// and default-FS reads need no session-specific settings
-    val in = new org.apache.avro.mapred.FsInput(path, new Configuration())
+    // the SESSION conf rides to the task (s3a credentials, endpoints) —
+    // same propagation contract as AvroFileFormat.buildReader
+    val in = new org.apache.avro.mapred.FsInput(path, confSer.value)
     val reader = DataFileReader.openReader(
       in, new GenericDatumReader[GenericRecord]())
       .asInstanceOf[DataFileReader[GenericRecord]]

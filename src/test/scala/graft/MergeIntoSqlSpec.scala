@@ -233,6 +233,54 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("day-scoped DELETE from a DIFFERENT session zone: drop-only runs in the writer's timeline, boundary rewrites decline") {
+    import graft.sources.ManifestTable
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    val root = tmp("msq_xzone") + "/t"
+    try {
+      // written from a New York session: __day derives in NY local time
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Seq("2024-01-14 10:00:00", "2024-01-15 10:00:00", "2024-01-15 20:00:00")
+        .toDF("s").select(to_timestamp(col("s")).as("ts"))
+      ManifestTable.commit(df, root, retain = 10, partitionDayOf = Some("ts"))
+      assert(ManifestTable.liveDays(root) === Set("2024-01-14", "2024-01-15"))
+      MergeInto.registerManifest(spark, "msq_xzone", root, Some("ts"))
+
+      // deleted from a UTC session. Region bound 2024-01-15 05:00 UTC IS
+      // NY midnight: NY-day 01-14 is fully covered — the metadata-only
+      // drop is exact in the WRITER's recorded timeline even though the
+      // deleting session sits five zones away (pre-fix, boundaries were
+      // computed in the DELETING session's zone).
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      MergeInto.registerManifest(spark, "msq_xzone", root, Some("ts"))
+      val day15Before = ManifestTable.manifest(root,
+        ManifestTable.currentVersion(root).get).filter(_.contains("2024-01-15"))
+      MergeInto.sql(spark,
+        "DELETE FROM msq_xzone WHERE ts < TIMESTAMP '2024-01-15 05:00:00'")
+      val day15After = ManifestTable.manifest(root,
+        ManifestTable.currentVersion(root).get).filter(_.contains("2024-01-15"))
+      assert(ManifestTable.liveDays(root) === Set("2024-01-15"))
+      assert(day15After === day15Before,
+        "a pure whole-day drop must be metadata-only: untouched day files identical")
+      assert(spark.table("msq_xzone").count() === 2)
+
+      // a boundary (partial-day) delete from the mismatched zone must
+      // DECLINE the fast path — the rewrite re-derives __day in the
+      // deleting session's zone, which is not the table's layout zone.
+      // Correctness: the full rewrite deletes exactly the predicate rows.
+      MergeInto.sql(spark,
+        "DELETE FROM msq_xzone WHERE ts < TIMESTAMP '2024-01-15 16:00:00'")
+      val left = spark.table("msq_xzone")
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm").as("t"))
+        .collect().map(_.getString(0)).toSeq
+      assert(left === Seq("2024-01-16 01:00"),
+        s"NY 10:00 = 15:00Z deleted, NY 20:00 = 16th 01:00Z kept; got $left")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prev)
+      spark.catalog.dropTempView("msq_xzone")
+    }
+  }
+
   test("full-rewrite DML carries manifest props (streaming idempotence markers)") {
     val root = tmp("msq_props")
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")

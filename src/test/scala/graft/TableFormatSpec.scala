@@ -240,7 +240,7 @@ class TableFormatSpec extends AnyFunSuite {
     // (claim→flip is milliseconds): the next commit reclaims it and lands,
     // so an orphan can never block the version sequence permanently
     Files.setLastModifiedTime(claim, java.nio.file.attribute.FileTime.from(
-      java.time.Instant.now().minusSeconds(120)))
+      java.time.Instant.now().minusSeconds(900))) // > the 10-min claim grace
     ManifestTable.append(Seq((2L, "b")).toDF("k", "v"), root)
     assert(ManifestTable.currentVersion(root).contains(2L))
     assert(ManifestTable.read(spark, root).count() === 2)
@@ -362,5 +362,151 @@ class TableFormatSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, root).orderBy("k")
       .select("k").as[Long].collect().toSeq === Seq(2L, 3L))
     assert(ManifestTable.history(spark, root).count() === 3)
+  }
+
+  test("commit fencing: a reclaimed-midflight committer fails loudly, never publishes the racer's manifest as its own") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("manifest_fence").toString + "/t"
+    ManifestTable.commit(Seq((0L, "seed")).toDF("k", "v"), root, retain = 10)
+
+    // committer A claims v=2 then stalls (injected pause) past a tiny
+    // claim grace; committer B reclaims A's "stale" claim and lands its
+    // own v=2. A must NOT report success for a version that now holds B's
+    // content — the fence check turns the silent lost-commit into a
+    // surfaced ConcurrentModificationException. Separate sessions: the
+    // pause hook must stall ONLY A.
+    val sA = spark.newSession(); val sB = spark.newSession()
+    sA.conf.set("spark.graft.manifest.claimGraceMs", "400")
+    sA.conf.set("spark.graft.manifest.testClaimPauseMs", "3000")
+    sB.conf.set("spark.graft.manifest.claimGraceMs", "400")
+    val aFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val a = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(sA)
+      try ManifestTable.append(Seq((1L, "A")).toDF("k", "v"), root, retain = 10)
+      catch { case t: Throwable => aFailure.set(t) }
+    })
+    try {
+      a.start()
+      // wait for A to hold the v=2 claim (it then sleeps in the pause hook)
+      val claim = Paths.get(root, "manifests", "v=2.txt")
+      val deadline = System.currentTimeMillis() + 10000
+      while (!Files.exists(claim) && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(Files.exists(claim), "committer A never claimed")
+      Thread.sleep(600) // age the claim past the 400 ms grace
+      org.apache.spark.sql.SparkSession.setActiveSession(sB)
+      ManifestTable.append(Seq((2L, "B")).toDF("k", "v"), root, retain = 10)
+      a.join()
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    assert(aFailure.get() != null, "the fenced-out committer must not report success")
+    assert(aFailure.get().isInstanceOf[java.util.ConcurrentModificationException],
+      s"expected a fencing conflict, got ${aFailure.get()}")
+    // B's commit is the live v=2, intact; A's row never half-published
+    assert(ManifestTable.currentVersion(root).contains(2L))
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq(0L -> "seed", 2L -> "B"))
+    // the fence is protocol-internal: not part of the public props surface
+    assert(!ManifestTable.liveProps(root).contains(ManifestTable.FenceProp))
+  }
+
+  test("GC orphan grace ages from POOL ENTRY and defaults far above the claim grace") {
+    import spark.implicits._
+    import graft.sources.{ManifestTable, MetaIO}
+    val root = Files.createTempDirectory("manifest_orphan").toString + "/t"
+    ManifestTable.commit(Seq((1L, "a")).toDF("k", "v"), root, retain = 1)
+
+    // pool files of a live commit are mtime-stamped at move-in: a slow
+    // Spark write (old file mtime) must not make them look sweep-aged
+    val dataDir = Paths.get(root, "data")
+    val pooled = Files.list(dataDir).toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(pooled.nonEmpty)
+    pooled.foreach { f =>
+      assert(math.abs(System.currentTimeMillis() - MetaIO.mtimeMillis(f)) < 60000,
+        s"pool file $f must be stamped with its ENTRY time, not the write time")
+    }
+
+    // an unreferenced file younger than the orphan grace survives GC even
+    // when it is older than the CLAIM grace (the r6 hazard: in-flight
+    // appends outliving a 60 s grace had their files swept mid-commit) …
+    val inflight = dataDir.resolve("inflight_like.parquet")
+    Files.write(inflight, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(inflight, java.nio.file.attribute.FileTime.from(
+      java.time.Instant.now().minusSeconds(1200))) // 20 min: > claim grace, < orphan grace
+    ManifestTable.commit(Seq((2L, "b")).toDF("k", "v"), root, retain = 1)
+    assert(Files.exists(inflight),
+      "an unreferenced pool file inside the orphan grace must survive GC")
+
+    // … and one aged past the orphan grace is swept (crashed writer's junk)
+    Files.setLastModifiedTime(inflight, java.nio.file.attribute.FileTime.from(
+      java.time.Instant.now().minusSeconds(7200))) // 2 h: past the 1 h orphan grace
+    ManifestTable.commit(Seq((3L, "c")).toDF("k", "v"), root, retain = 1)
+    assert(!Files.exists(inflight), "an orphan aged past the grace is swept")
+  }
+
+  test("writeAtomic under concurrent same-key writers: readers always see one full body") {
+    import graft.sources.MetaIO
+    val dir = Files.createTempDirectory("meta_atomic").toString
+    val key = s"$dir/k"
+    MetaIO.writeAtomic(key, "init")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // two writers hammer the SAME key (the r6 hazard: a shared `.tmp`
+    // sibling let one publish the other's half-staged content or fail on
+    // a vanished temp); a reader verifies every observed body is complete
+    val writers = (1 to 2).map { i =>
+      new Thread(() => {
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        var n = 0
+        try while (!stop.get()) { MetaIO.writeAtomic(key, s"w$i-body-$n"); n += 1 }
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    val reader = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      try while (!stop.get()) {
+        val s = MetaIO.readString(key)
+        if (!(s == "init" || s.matches("w[12]-body-\\d+"))) errs.add(
+          new IllegalStateException(s"torn read: '$s'"))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    (writers :+ reader).foreach(_.start())
+    Thread.sleep(1500)
+    stop.set(true)
+    (writers :+ reader).foreach(_.join())
+    assert(errs.isEmpty, s"atomic publish violated: ${errs.peek()}")
+    // no temp-file litter left behind
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString).count(_.endsWith(".tmp")) === 0)
+  }
+
+  test("writer zone is recorded per commit and degrades to 'mixed' on cross-zone appends") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("manifest_zone").toString + "/t"
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Seq("2024-01-14 10:00:00").toDF("s")
+        .select(to_timestamp(col("s")).as("ts"))
+      ManifestTable.commit(df, root, retain = 10, partitionDayOf = Some("ts"))
+      assert(ManifestTable.liveProps(root).get(ManifestTable.ZoneProp)
+        .contains("America/New_York"))
+      // same-zone append keeps the zone
+      ManifestTable.append(df, root, retain = 10, partitionDayOf = Some("ts"))
+      assert(ManifestTable.liveProps(root).get(ManifestTable.ZoneProp)
+        .contains("America/New_York"))
+      // a different-zone append means files from two timelines coexist:
+      // no single zone describes the layout any more
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      ManifestTable.append(df, root, retain = 10, partitionDayOf = Some("ts"))
+      assert(ManifestTable.liveProps(root).get(ManifestTable.ZoneProp).contains("mixed"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+
+    // zone-independent derivations (NTZ) never record a zone
+    val root2 = Files.createTempDirectory("manifest_zone2").toString + "/t"
+    val ntz = Seq("2024-01-14 10:00:00").toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ts"))
+    ManifestTable.commit(ntz, root2, retain = 10, partitionDayOf = Some("ts"))
+    assert(!ManifestTable.liveProps(root2).contains(ManifestTable.ZoneProp))
   }
 }
