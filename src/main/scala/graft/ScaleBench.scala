@@ -173,6 +173,33 @@ object ScaleBench {
       "manifest pruning failed to drop out-of-window files at scale")
     spark.sql("DROP TABLE scale_cat.b.ev")
 
+    // per-file column-stats pruning at scale: a value-CLUSTERED layout
+    // (what OPTIMIZE ZORDER/range-compaction produces) across hundreds of
+    // files must skip on a plain value predicate — no partition column
+    // involved. value is uniform on [0,1000): the >=900 window covers
+    // ~10% of rows, so with 256 range-clustered files ~90% of the listing
+    // should drop at PLAN time off the manifest stats alone.
+    val sw0 = System.nanoTime()
+    evCat.repartitionByRange(256, col("value")).writeTo("scale_cat.b.evs").create()
+    println(f"[scale] stats_ctas rows=$catRows files=256 secs=${(System.nanoTime() - sw0) / 1e9}%.1f")
+    val statsTotal = graft.sources.ManifestTable.manifest(s"$wh/b/evs", 1).size
+    val vWindowed = spark.table("scale_cat.b.evs").where(col("value") >= 900.0)
+    val statsScanned = vWindowed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.inputFiles.length
+    }.sum
+    val vs0 = System.nanoTime()
+    val vAgg = vWindowed.agg(count(lit(1)), sum(col("value"))).collect()(0)
+    val vSecs = (System.nanoTime() - vs0) / 1e9
+    println(f"[scale] stats_prune_scan files_total=$statsTotal files_scanned=$statsScanned " +
+      f"rows_matched=${vAgg.getLong(0)} secs=$vSecs%.2f " +
+      f"pruned_frac=${1.0 - statsScanned.toDouble / statsTotal}%.3f")
+    require(statsScanned * 5 < statsTotal,
+      "column-stats pruning failed to drop out-of-range files at scale")
+    spark.sql("DROP TABLE scale_cat.b.evs")
+
     spark.stop()
   }
 }

@@ -136,6 +136,9 @@ object SparkEntry {
     // a fresh avro copy, equality verdict oracle-pinned
     "format_integrity"    -> ((s, d) => graft.sources.Formats.formatIntegrityCheck(s, d)),
     "versioned_scan_prune" -> ((s, d) => graft.sources.v2.V2Queries.versionedScanPrune(s, d)),
+    "stats_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.statsPruneScan(s, d)),
+    "months_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.monthsPruneScan(s, d)),
+    "identity_partition_scan" -> ((s, d) => graft.sources.v2.V2Queries.identityPartitionScan(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
     "incremental_gold_from_cdc" -> ((s, d) => graft.sources.v2.V2Queries.incrementalGoldFromCdc(s, d)),
     // per-table format through the catalog: three CTAS legs (parquet/orc/
@@ -255,6 +258,9 @@ object SparkEntry {
     "avro_roundtrip_agg"  -> graft.sources.avro.AvroQueries.oracleSql,
     "format_integrity"    -> graft.sources.Formats.formatIntegrityOracle,
     "versioned_scan_prune" -> graft.sources.v2.V2Queries.oracle.versionedScanPrune,
+    "stats_prune_scan" -> graft.sources.v2.V2Queries.oracle.statsPruneScan,
+    "months_prune_scan" -> graft.sources.v2.V2Queries.oracle.monthsPruneScan,
+    "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
     "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,
     "catalog_format_fanout" -> graft.sources.v2.V2Queries.oracle.catalogFormatFanout,

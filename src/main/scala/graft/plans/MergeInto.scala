@@ -190,14 +190,15 @@ object MergeInto {
         ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf,
           props = ManifestTable.liveProps(r))
         ManifestTable.read(spark, r).createOrReplaceTempView(tgt.name)
-      case Some(CatalogBacking(r, dayOf)) =>
+      case Some(CatalogBacking(r, _)) =>
         // readers resolve the manifest pointer through the catalog on
         // every analysis — nothing to refresh; data files carry PHYSICAL
-        // names and the table's declared format (commit defaults to the
-        // live manifest's format)
-        ManifestTable.commit(toPhysical(r, result), r, retain = retainOf(spark),
-          partitionDayOf = dayOf.map(physicalNameOf(r, _)),
-          props = ManifestTable.liveProps(r))
+        // names, the table's declared format, and whatever partition
+        // layout the descriptor declares (day / hidden transform /
+        // identity columns — a flat rewrite of a partitioned pool would
+        // corrupt partition discovery for every reader)
+        graft.sources.v2.VersionedCatalog.commitPreservingLayout(
+          r, toPhysical(r, result), retainOf(spark), ManifestTable.liveProps(r))
       case None =>
         // reading and overwriting the same table: materialize first
         result.localCheckpoint(true).write.mode("overwrite").saveAsTable(tgt.name)

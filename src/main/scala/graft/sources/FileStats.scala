@@ -1,0 +1,342 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+
+/** Per-file column min/max/null-count statistics for manifest entries —
+  * the metadata Iceberg keeps in its manifests (the reference's tables
+  * get file skipping on ANY predicate from it,
+  * `/root/reference/dags/2_bronze_to_silver.py:245-258`); here they ride
+  * each manifest line and the V2 scan drops files whose bounds exclude
+  * the pushed filters before the physical plan is built.
+  *
+  * Collection is METADATA-ONLY: parquet footers and ORC file tails
+  * already carry exact per-column statistics, so stats cost one footer
+  * read per NEW file at commit time (O(new files), driver-side — the
+  * same order as the pool move itself), never a second pass over the
+  * data. Avro containers have no column statistics, so avro entries
+  * carry none and are simply never stats-pruned — correct, just not
+  * skippable (the honest trade; a stats pass over avro would double
+  * write I/O at 100 TB).
+  *
+  * The floor discipline (same as day pruning): a file is dropped ONLY
+  * when its stats PROVE no row can match. Anything uncertain — missing
+  * stats, unsupported type, non-ASCII string bounds (UTF-8 byte order
+  * and Java's UTF-16 order diverge above ASCII), a filter shape we
+  * don't model — keeps the file, and Spark's residual filters keep the
+  * result exact regardless.
+  *
+  * Encoding (rides after a TAB on the manifest line, see
+  * [[ManifestTable]]): `name:tag:min:max:nulls;…` with name/min/max
+  * URL-encoded; `-` marks an absent bound/count. Tags: `l` integral,
+  * `d` floating, `s` string, `m` decimal, `t` timestamp micros,
+  * `n` timestamp_ntz micros, `a` date days, `b` boolean.
+  */
+object FileStats {
+
+  /** One column's file-level bounds. `min`/`max` are canonical strings
+    * of the tagged domain; None = unknown (never prune). */
+  case class ColStats(tag: Char, min: Option[String], max: Option[String],
+                      nulls: Option[Long])
+
+  // ---- encoding -----------------------------------------------------------
+
+  private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String = URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  def encode(stats: Map[String, ColStats]): String =
+    stats.toSeq.sortBy(_._1).map { case (name, c) =>
+      Seq(enc(name), c.tag.toString,
+        c.min.map(enc).getOrElse("-"), c.max.map(enc).getOrElse("-"),
+        c.nulls.map(_.toString).getOrElse("-")).mkString(":")
+    }.mkString(";")
+
+  /** Lowercased column name → stats (prune-time lookups are
+    * case-insensitive like the rest of the engine). Malformed input
+    * decodes to empty — never prune on garbage. */
+  def decode(s: String): Map[String, ColStats] =
+    Try {
+      s.split(';').filter(_.nonEmpty).map { tok =>
+        val p = tok.split(":", -1)
+        require(p.length == 5 && p(1).length == 1)
+        dec(p(0)).toLowerCase -> ColStats(p(1)(0),
+          Some(p(2)).filter(_ != "-").map(dec),
+          Some(p(3)).filter(_ != "-").map(dec),
+          Some(p(4)).filter(_ != "-").map(_.toLong))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  // ---- collection ---------------------------------------------------------
+
+  private def asciiOnly(s: String): Boolean = s.forall(_ < 0x80)
+
+  /** Tag for a Spark type whose bounds we can model; None = no stats. */
+  private def tagOf(dt: DataType): Option[Char] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some('l')
+    case FloatType | DoubleType                        => Some('d')
+    case StringType                                    => Some('s')
+    case _: DecimalType                                => Some('m')
+    case TimestampType                                 => Some('t')
+    case TimestampNTZType                              => Some('n')
+    case DateType                                      => Some('a')
+    case BooleanType                                   => Some('b')
+    case _                                             => None
+  }
+
+  /** Read one data file's per-column stats from its own metadata.
+    * Returns None on any failure or when nothing useful was found —
+    * stats never fail a commit. `schema` is the PHYSICAL file schema
+    * (what the writer put on disk). */
+  def collect(path: String, format: String, schema: StructType,
+              conf: Configuration): Option[String] = Try {
+    val cols: Map[String, ColStats] = format match {
+      case "parquet" => parquetStats(path, schema, conf)
+      case "orc"     => orcStats(path, schema, conf)
+      case _         => Map.empty // avro: containers carry no column stats
+    }
+    if (cols.isEmpty) None else Some(encode(cols))
+  }.toOption.flatten
+
+  /** Drop a string bound that can't be compared safely: non-ASCII (byte
+    * vs UTF-16 order) or suspiciously long (writers truncate long binary
+    * stats; a truncated max understates the bound). */
+  private def safeString(s: String): Option[String] =
+    Some(s).filter(v => v.length <= 64 && asciiOnly(v))
+
+  private def parquetStats(path: String, schema: StructType,
+                           conf: Configuration): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return Map.empty
+      schema.fields.flatMap { f =>
+        tagOf(f.dataType).flatMap { tag =>
+          // per-row-group chunks for this top-level column
+          val chunks = blocks.map(_.getColumns.asScala
+            .find(c => c.getPath.size() == 1 && c.getPath.toDotString == f.name))
+          if (chunks.exists(_.isEmpty)) None
+          else {
+            val sts = chunks.flatten.map(_.getStatistics)
+            // every row group must carry usable stats, else no verdict
+            if (sts.exists(s => s == null || s.isEmpty || !s.isNumNullsSet)) None
+            else {
+              val nulls = sts.map(_.getNumNulls).sum
+              val valued = sts.filter(_.hasNonNullValue)
+              val bounds: Option[(String, String)] =
+                if (valued.isEmpty) None // all-null column: bounds absent
+                else {
+                  val mins = valued.map(s => parquetValue(s.genericGetMin, f.dataType))
+                  val maxs = valued.map(s => parquetValue(s.genericGetMax, f.dataType))
+                  if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
+                  else Some((reduceBound(mins.flatten, tag, isMin = true),
+                    reduceBound(maxs.flatten, tag, isMin = false)))
+                }
+              bounds match {
+                case Some((mn, mx)) =>
+                  Some(f.name -> ColStats(tag, Some(mn), Some(mx), Some(nulls)))
+                case None if valued.isEmpty =>
+                  Some(f.name -> ColStats(tag, None, None, Some(nulls)))
+                case None => None
+              }
+            }
+          }
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** A parquet footer value rendered into the tag's canonical string. */
+  private def parquetValue(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (i: java.lang.Integer, ByteType | ShortType | IntegerType) => Some(i.longValue.toString)
+    case (l: java.lang.Long, LongType)        => Some(l.toString)
+    case (f: java.lang.Float, FloatType)      => Some(f.doubleValue.toString)
+    case (d: java.lang.Double, DoubleType)    => Some(d.toString)
+    case (b: org.apache.parquet.io.api.Binary, StringType) =>
+      safeString(new String(b.getBytes, StandardCharsets.UTF_8))
+    case (i: java.lang.Integer, d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(i.longValue, d.scale).toPlainString)
+    case (l: java.lang.Long, d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(l, d.scale).toPlainString)
+    case (b: org.apache.parquet.io.api.Binary, d: DecimalType) =>
+      Some(new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale).toPlainString)
+    case (l: java.lang.Long, TimestampType | TimestampNTZType) => Some(l.toString) // INT64 micros
+    case (i: java.lang.Integer, DateType)     => Some(i.longValue.toString) // epoch days
+    case (b: java.lang.Boolean, BooleanType)  => Some(if (b) "1" else "0")
+    case _ => None // INT96 timestamps etc: no stats verdict
+  }
+
+  private def orcStats(path: String, schema: StructType,
+                       conf: Configuration): Map[String, ColStats] = {
+    import org.apache.orc.OrcFile
+    val reader = OrcFile.createReader(new Path(path), OrcFile.readerOptions(conf))
+    try {
+      val st = reader.getStatistics
+      val root = reader.getSchema
+      if (root.getCategory != org.apache.orc.TypeDescription.Category.STRUCT) return Map.empty
+      val rows = st(0).getNumberOfValues
+      val names = root.getFieldNames.asScala.toSeq
+      val children = root.getChildren.asScala.toSeq
+      names.zip(children).flatMap { case (name, child) =>
+        schema.fields.find(_.name == name).flatMap { f =>
+          tagOf(f.dataType).flatMap { tag =>
+            val cs = st(child.getId)
+            val nulls = rows - cs.getNumberOfValues
+            if (cs.getNumberOfValues == 0)
+              Some(name -> ColStats(tag, None, None, Some(nulls)))
+            else orcBounds(cs, f.dataType).map { case (mn, mx) =>
+              name -> ColStats(tag, Some(mn), Some(mx), Some(nulls))
+            }
+          }
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
+  private def orcBounds(cs: org.apache.orc.ColumnStatistics,
+                        dt: DataType): Option[(String, String)] = {
+    import org.apache.orc._
+    (cs, dt) match {
+      case (s: IntegerColumnStatistics, ByteType | ShortType | IntegerType | LongType) =>
+        Some((s.getMinimum.toString, s.getMaximum.toString))
+      case (s: DoubleColumnStatistics, FloatType | DoubleType) =>
+        Some((s.getMinimum.toString, s.getMaximum.toString))
+      case (s: StringColumnStatistics, StringType) =>
+        for {
+          mn <- Option(s.getMinimum).flatMap(safeString)
+          mx <- Option(s.getMaximum).flatMap(safeString)
+        } yield (mn, mx)
+      case (s: DecimalColumnStatistics, _: DecimalType) =>
+        for {
+          mn <- Option(s.getMinimum)
+          mx <- Option(s.getMaximum)
+        } yield (mn.bigDecimalValue.toPlainString, mx.bigDecimalValue.toPlainString)
+      case (s: DateColumnStatistics, DateType) =>
+        Some((s.getMinimumDayOfEpoch.toString, s.getMaximumDayOfEpoch.toString))
+      // ORC TIMESTAMP statistics interact with writer zones; skipping them
+      // keeps the floor honest (day pruning already covers the ts column)
+      case _ => None
+    }
+  }
+
+  private def reduceBound(vs: Seq[String], tag: Char, isMin: Boolean): String = {
+    def pick[T](parse: String => T)(implicit ord: Ordering[T]): String =
+      (if (isMin) vs.minBy(parse) else vs.maxBy(parse))
+    tag match {
+      case 'l' | 't' | 'n' | 'a' | 'b' => pick(_.toLong)
+      case 'd'                         => pick(_.toDouble)
+      case 'm'                         => pick(BigDecimal(_))
+      case _                           => pick(identity[String])
+    }
+  }
+
+  // ---- prune-time evaluation ----------------------------------------------
+
+  /** The filter value converted into `tag`'s comparable domain; None =
+    * can't compare (no prune). */
+  private def domainValue(tag: Char, v: Any): Option[Any] = (tag, v) match {
+    case ('l', x: java.lang.Number) if x.isInstanceOf[java.lang.Byte] ||
+        x.isInstanceOf[java.lang.Short] || x.isInstanceOf[java.lang.Integer] ||
+        x.isInstanceOf[java.lang.Long] => Some(x.longValue)
+    case ('d', x: java.lang.Number) => Some(x.doubleValue)
+    case ('s', x: String)           => Some(x)
+    case ('m', x: java.math.BigDecimal) => Some(BigDecimal(x))
+    case ('m', x: BigDecimal)       => Some(x)
+    case ('m', x: java.lang.Number) => Try(BigDecimal(x.toString)).toOption
+    case ('t', x: java.sql.Timestamp) =>
+      Some(Math.floorDiv(x.getTime, 1000L) * 1000000L + x.getNanos / 1000L)
+    case ('t', x: java.time.Instant) =>
+      Some(x.getEpochSecond * 1000000L + x.getNano / 1000L)
+    case ('n', x: java.time.LocalDateTime) =>
+      Some(x.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + x.getNano / 1000L)
+    case ('a', x: java.sql.Date)      => Some(x.toLocalDate.toEpochDay)
+    case ('a', x: java.time.LocalDate) => Some(x.toEpochDay)
+    case ('b', x: java.lang.Boolean) => Some(if (x) 1L else 0L)
+    case _ => None
+  }
+
+  private def parseBound(tag: Char, s: String): Option[Any] = Try {
+    tag match {
+      case 'l' | 't' | 'n' | 'a' | 'b' => s.toLong
+      case 'd'                         => s.toDouble
+      case 'm'                         => BigDecimal(s)
+      case 's'                         => s
+    }
+  }.toOption
+
+  private def cmp(tag: Char, a: Any, b: Any): Int = tag match {
+    case 'l' | 't' | 'n' | 'a' | 'b' =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case 'd' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case 'm' => a.asInstanceOf[BigDecimal].compare(b.asInstanceOf[BigDecimal])
+    case 's' => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+  }
+
+  /** Conservative may-contain verdict for one pushed filter against one
+    * file's stats. True = the file must stay (match possible or unknown);
+    * false = PROVEN empty for this filter. */
+  def mayContain(stats: Map[String, ColStats], f: sources.Filter): Boolean = {
+    def col(name: String): Option[ColStats] = stats.get(name.toLowerCase)
+    // bounds comparison helpers: None anywhere => unknown => may contain
+    // bounds absent + a positive null count recorded means the writer saw
+    // only nulls: no comparison filter can match such a file
+    def allNullProven(c: ColStats): Boolean =
+      c.min.isEmpty && c.max.isEmpty && c.nulls.exists(_ > 0)
+    def withBounds(name: String, v: Any)(verdict: (Char, Any, Any, Any) => Boolean): Boolean =
+      (for {
+        c <- col(name); mnS <- c.min; mxS <- c.max
+        dv <- domainValue(c.tag, v)
+        mn <- parseBound(c.tag, mnS); mx <- parseBound(c.tag, mxS)
+      } yield verdict(c.tag, dv, mn, mx))
+        .getOrElse(!col(name).exists(allNullProven))
+
+    f match {
+      case sources.And(l, r) => mayContain(stats, l) && mayContain(stats, r)
+      case sources.Or(l, r)  => mayContain(stats, l) || mayContain(stats, r)
+      case sources.EqualTo(a, v) =>
+        withBounds(a, v)((t, dv, mn, mx) => cmp(t, dv, mn) >= 0 && cmp(t, dv, mx) <= 0)
+      case sources.EqualNullSafe(a, v) if v != null =>
+        withBounds(a, v)((t, dv, mn, mx) => cmp(t, dv, mn) >= 0 && cmp(t, dv, mx) <= 0)
+      case sources.GreaterThan(a, v) =>
+        withBounds(a, v)((t, dv, _, mx) => cmp(t, mx, dv) > 0)
+      case sources.GreaterThanOrEqual(a, v) =>
+        withBounds(a, v)((t, dv, _, mx) => cmp(t, mx, dv) >= 0)
+      case sources.LessThan(a, v) =>
+        withBounds(a, v)((t, dv, mn, _) => cmp(t, mn, dv) < 0)
+      case sources.LessThanOrEqual(a, v) =>
+        withBounds(a, v)((t, dv, mn, _) => cmp(t, mn, dv) <= 0)
+      case sources.In(a, vs) =>
+        vs.isEmpty || vs.exists(v => withBounds(a, v)((t, dv, mn, mx) =>
+          cmp(t, dv, mn) >= 0 && cmp(t, dv, mx) <= 0))
+      case sources.IsNull(a) =>
+        col(a).flatMap(_.nulls) match {
+          case Some(0L) => false // zero nulls proven
+          case _ => true
+        }
+      case sources.IsNotNull(a) =>
+        col(a) match {
+          case Some(c) if allNullProven(c) => false
+          case _ => true
+        }
+      case sources.StringStartsWith(a, prefix) if asciiOnly(prefix) =>
+        (for {
+          c <- col(a); mnS <- c.min; mxS <- c.max
+        } yield {
+          // values with the prefix live in [prefix, prefix∞): prune when
+          // max < prefix, or min > prefix without sharing it
+          !(mxS.compareTo(prefix) < 0 ||
+            (mnS.compareTo(prefix) > 0 && !mnS.startsWith(prefix)))
+        }).getOrElse(true)
+      case _ => true // Not / unmodeled shapes: never prune
+    }
+  }
+}

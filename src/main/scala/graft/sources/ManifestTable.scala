@@ -137,9 +137,29 @@ object ManifestTable {
         n.stripPrefix("v=").stripSuffix(".txt").toLong }
       .sorted
 
+  /** One manifest data-file entry: relative path plus the file's encoded
+    * per-column statistics ([[FileStats]]) when the format carries them.
+    * Serialized as `rel<TAB>stats` — manifests written before stats
+    * existed (no tab) parse as stats-free entries and keep reading. */
+  case class FileEntry(rel: String, stats: Option[String]) {
+    def render: String = rel + stats.map("\t" + _).getOrElse("")
+  }
+
+  private def parseEntry(line: String): FileEntry = {
+    val i = line.indexOf('\t')
+    if (i < 0) FileEntry(line, None)
+    else FileEntry(line.substring(0, i),
+      Some(line.substring(i + 1)).filter(_.nonEmpty))
+  }
+
   /** Relative data-file paths of one manifest (property lines skipped). */
   def manifest(root: String, v: Long): Seq[String] =
+    entries(root, v).map(_.rel)
+
+  /** Data-file entries of one manifest, stats included. */
+  def entries(root: String, v: Long): Seq[FileEntry] =
     manifestLines(root, v).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(parseEntry)
 
   /** Commit properties of one manifest (`#key=value` header lines) — the
     * degenerate form of Iceberg's snapshot summary / Delta's txn actions.
@@ -167,6 +187,11 @@ object ManifestTable {
 
   private def liveManifest(root: String): Seq[String] =
     manifest(root, currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")))
+
+  /** Live manifest entries (stats included). */
+  def liveEntries(root: String): Seq[FileEntry] =
+    entries(root, currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root")))
 
   /** Day value of a manifest entry, None for unpartitioned files. */
@@ -238,40 +263,66 @@ object ManifestTable {
       .drop(DayCol)
   }
 
+  /** Per-file column stats collection toggle (footer reads at commit). */
+  private def fileStatsEnabled: Boolean =
+    SparkSession.getActiveSession.flatMap(
+      _.conf.getOption("spark.graft.manifest.fileStats")).forall(_.toBoolean)
+
   /** Write `df`'s files into the pool (staged, then moved in — invisible
-    * until a manifest references them) and return their relative paths. */
+    * until a manifest references them) and return their manifest entries.
+    * Each new parquet/orc file's per-column min/max/null stats are read
+    * from its own footer/tail ([[FileStats]] — one metadata read per NEW
+    * file, never a second data pass) and ride the manifest entry, feeding
+    * plan-time file skipping in the V2 scan. */
   private def writePool(df: DataFrame, root: String,
-                        partitionDayOf: Option[String], format: String): Seq[String] = {
+                        partitionDayOf: Option[String], format: String,
+                        partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
+                        partitionCols: Seq[String] = Nil): Seq[FileEntry] = {
     require(FileFormats.contains(format), s"unsupported data-file format $format")
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
-    partitionDayOf match {
-      case Some(ts) =>
-        df.withColumn(DayCol, to_date(col(ts)))
-          .write.partitionBy(DayCol).format(format).save(stage)
-      case None =>
-        df.write.format(format).save(stage)
+    // three layouts beyond flat: the hidden day, an arbitrary hidden
+    // derived column (months/years/bucket/truncate transforms), or plain
+    // IDENTITY partitionBy on existing columns — one per table
+    val (wdf, partNames): (DataFrame, Seq[String]) = partitionDayOf match {
+      case Some(ts) => (df.withColumn(DayCol, to_date(col(ts))), Seq(DayCol))
+      case None => partitionExpr match {
+        case Some((name, e)) => (df.withColumn(name, e), Seq(name))
+        case None => (df, partitionCols)
+      }
     }
-    val rels = MetaIO.listFilesRec(stage)
+    if (partNames.isEmpty) wdf.write.format(format).save(stage)
+    else wdf.write.partitionBy(partNames: _*).format(format).save(stage)
+    // partitionBy moves partition columns into directory names: the FILE
+    // schema is df's columns minus identity partition columns
+    val fileSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(f =>
+        partitionCols.exists(_.equalsIgnoreCase(f.name))))
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val withStats = fileStatsEnabled
+    val entries = MetaIO.listFilesRec(stage)
       .filter(_.getPath.getName.endsWith(s".$format"))
       .map { st =>
         val rel0 = MetaIO.relativize(stage, st.getPath)
-        val sub = rel0.split('/').dropRight(1).mkString("/") // "" or "__day=D"
+        val sub = rel0.split('/').dropRight(1).mkString("/") // "" or partition dirs
         val name = s"${UUID.randomUUID().toString.take(16)}.$format"
         val rel = if (sub.isEmpty) name else s"$sub/$name"
+        val stats =
+          if (withStats) FileStats.collect(st.getPath.toString, format, fileSchema, conf)
+          else None
         MetaIO.rename(st.getPath.toString, s"$root/data/$rel")
         // stamp POOL-ENTRY time: rename preserves the Spark write mtime,
         // which for a slow multi-minute write is already older than the
         // move — GC's orphan grace must age from entry or it would sweep
         // an in-flight commit's files out from under it
         MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
-        rel
+        FileEntry(rel, stats)
       }
     MetaIO.delete(stage, recursive = true)
-    rels
+    entries
   }
 
   /** One commit attempt's content, planned against the current base. */
-  private case class Planned(rels: Seq[String], props: Map[String, String])
+  private case class Planned(entries: Seq[FileEntry], props: Map[String, String])
 
   /** The session zone this write derives `__day` in — set only when the
     * partition source is a zone-SENSITIVE TIMESTAMP (`to_date` on NTZ and
@@ -307,16 +358,16 @@ object ManifestTable {
     * re-plan against the new live state and try the next version, else
     * surface the conflict. */
   private def commitLoop(root: String, retain: Int, rebase: Boolean)
-                        (plan: (Seq[String], Map[String, String]) => Planned): Long = {
+                        (plan: (Seq[FileEntry], Map[String, String]) => Planned): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
     var attempt = 0
     while (true) {
       val base = currentVersion(root)
-      val (baseRels, baseProps) = base match {
-        case Some(v) => (manifest(root, v), manifestProps(root, v))
+      val (baseEntries, baseProps) = base match {
+        case Some(v) => (entries(root, v), manifestProps(root, v))
         case None    => (Nil, Map.empty[String, String])
       }
-      val planned = plan(baseRels, baseProps)
+      val planned = plan(baseEntries, baseProps)
       require(planned.props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
         && planned.props.values.forall(v => !v.contains("\n")), "illegal manifest property")
       val next = base.getOrElse(0L) + 1
@@ -331,7 +382,7 @@ object ManifestTable {
       // conflict; the grace default makes the race itself vanishingly rare.
       val fence = UUID.randomUUID().toString
       val body = (planned.props + (FenceProp -> fence)).toSeq.sortBy(_._1)
-        .map { case (k, v) => s"#$k=$v" } ++ planned.rels
+        .map { case (k, v) => s"#$k=$v" } ++ planned.entries.map(_.render)
       def claimIsOurs(): Boolean =
         MetaIO.exists(manifestPath(root, next)) &&
           allProps(root, next).get(FenceProp).contains(fence)
@@ -393,9 +444,11 @@ object ManifestTable {
   def commit(df: DataFrame, root: String, retain: Int = 2,
              partitionDayOf: Option[String] = None,
              props: Map[String, String] = Map.empty,
-             format: Option[String] = None): Long = {
+             format: Option[String] = None,
+             partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
+             partitionCols: Seq[String] = Nil): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
-    val fresh = writePool(df, root, partitionDayOf, fmt)
+    val fresh = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
     // a full rewrite re-derives every file's day in THIS session: its zone
     // is the table's zone, whatever history said
     val zp = writeZoneOf(df, partitionDayOf).map(ZoneProp -> _).toMap
@@ -411,15 +464,17 @@ object ManifestTable {
   def append(df: DataFrame, root: String, retain: Int = 2,
              partitionDayOf: Option[String] = None,
              props: Map[String, String] = Map.empty,
-             format: Option[String] = None): Long = {
+             format: Option[String] = None,
+             partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
+             partitionCols: Seq[String] = Nil): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
-    val fresh = writePool(df, root, partitionDayOf, fmt)
+    val fresh = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
     val zone = writeZoneOf(df, partitionDayOf)
     // base ∪ new, props inherited ++ ours: the live manifest always
     // exposes the latest value per property key, so idempotence markers
     // survive later appends — all re-read per attempt when rebasing
-    commitLoop(root, retain, rebase = true) { (baseRels, baseProps) =>
-      Planned(baseRels ++ fresh, baseProps ++ props ++ mergeZoneProp(baseProps, zone))
+    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
+      Planned(baseEntries ++ fresh, baseProps ++ props ++ mergeZoneProp(baseProps, zone))
     }
   }
 
@@ -449,13 +504,13 @@ object ManifestTable {
     val fmt = formatOf(root).getOrElse("parquet")
     val fresh = writePool(df, root, Some(partitionDayOf), fmt)
     val zone = writeZoneOf(df, Some(partitionDayOf))
-    commitLoop(root, retain, rebase = true) { (baseRels, baseProps) =>
-      if (touched(baseRels).toSet != base0)
+    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
+      if (touched(baseEntries.map(_.rel)).toSet != base0)
         throw new java.util.ConcurrentModificationException(
           s"days ${removeDays.mkString(",")} of $root changed under this rewrite; recompute and retry")
       // partial update of a continuing table: carry the commit properties
       // (e.g. streaming idempotence markers) into the new manifest
-      Planned(baseRels.filterNot(rel => dayOf(rel).exists(removeDays.contains)) ++ fresh,
+      Planned(baseEntries.filterNot(e => dayOf(e.rel).exists(removeDays.contains)) ++ fresh,
         baseProps ++ mergeZoneProp(baseProps, zone))
     }
   }
@@ -476,11 +531,11 @@ object ManifestTable {
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val base0 = touched(manifest(root, baseV)).toSet
-    commitLoop(root, retain, rebase = true) { (baseRels, baseProps) =>
-      if (touched(baseRels).toSet != base0)
+    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
+      if (touched(baseEntries.map(_.rel)).toSet != base0)
         throw new java.util.ConcurrentModificationException(
           s"days ${removeDays.mkString(",")} of $root changed under this drop; recompute and retry")
-      val keep = baseRels.filterNot(rel => dayOf(rel).exists(removeDays.contains))
+      val keep = baseEntries.filterNot(e => dayOf(e.rel).exists(removeDays.contains))
       require(keep.nonEmpty,
         s"dropDays would empty $root; DROP the table (or overwrite) instead")
       Planned(keep, baseProps)

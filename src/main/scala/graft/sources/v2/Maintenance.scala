@@ -52,18 +52,40 @@ object Maintenance {
   def optimize(spark: SparkSession, ident: String,
                targetFileBytes: Long = 128L << 20,
                zorderBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions._
     val (root, meta) = resolve(spark, ident)
     val physDay = meta.dayOf.map(meta.physicalName)
-    if (zorderBy.isEmpty)
-      ManifestTable.compact(spark, root,
-        partitionDayOf = physDay,
-        targetFileBytes = targetFileBytes,
-        retain = retainOf(spark),
-        format = Some(meta.format))
-    else {
-      import org.apache.spark.sql.functions._
+    // partition-directory key columns of the table's layout (empty for a
+    // flat table): rewrites cluster by them so each directory gets
+    // locally-coalesced files, whatever the transform
+    def dirKeyCols(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Column] =
+      physDay.map(ts => to_date(col(ts))).toSeq ++
+        VersionedCatalog.partDeriveExpr(meta).map(_._2) ++
+        meta.identityCols.map(c => col(meta.physicalName(c)))
+    if (zorderBy.isEmpty) {
+      if (meta.part.isEmpty && meta.identityCols.isEmpty)
+        ManifestTable.compact(spark, root,
+          partitionDayOf = physDay,
+          targetFileBytes = targetFileBytes,
+          retain = retainOf(spark),
+          format = Some(meta.format))
+      else {
+        // generalized compaction for transform/identity layouts: full
+        // read (partition values re-derived from directory names),
+        // cluster by the directory keys, commit preserving the layout
+        val raw = ManifestTable.read(spark, root)
+          .drop(VersionedCatalog.PartTransform.DirCol)
+        val bytes = ManifestTable.history(spark, root)
+          .where(col("is_current")).select(col("bytes")).collect()(0).getLong(0)
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        VersionedCatalog.commitPreservingLayout(root,
+          raw.repartition(nFiles, dirKeyCols(raw): _*),
+          retainOf(spark), ManifestTable.liveProps(root))
+      }
+    } else {
       val zCols = zorderBy.map(meta.physicalName)
       val raw = ManifestTable.read(spark, root) // physical names
+        .drop(VersionedCatalog.PartTransform.DirCol)
       zCols.foreach(c => require(raw.columns.exists(_.equalsIgnoreCase(c)),
         s"no such column $c"))
       val bits = 8
@@ -91,13 +113,12 @@ object Maintenance {
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       val clustered = raw
         .withColumn("__zkey", zkey)
-        .repartitionByRange(nFiles, (physDay.map(ts => to_date(col(ts))).toSeq
-          :+ (col("__zkey"): org.apache.spark.sql.Column)): _*)
+        .repartitionByRange(nFiles,
+          (dirKeyCols(raw) :+ (col("__zkey"): org.apache.spark.sql.Column)): _*)
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
-      ManifestTable.commit(clustered, root,
-        retain = retainOf(spark), partitionDayOf = physDay,
-        props = ManifestTable.liveProps(root), format = Some(meta.format))
+      VersionedCatalog.commitPreservingLayout(root, clustered,
+        retainOf(spark), ManifestTable.liveProps(root))
     }
   }
 

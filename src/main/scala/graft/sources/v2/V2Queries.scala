@@ -96,6 +96,109 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Per-file column-stats pruning through the catalog: events are
+    * range-clustered on `value` into a handful of files (CTAS with a
+    * repartitionByRange, so each file covers a narrow value band and the
+    * commit's footer-derived min/max stats are tight), then an aggregate
+    * under a `value >= T` predicate runs. The `prune_ok` verdict asserts
+    * — at PLAN time, from the scan's file listing — that stats pruning
+    * dropped at least one file while keeping at least one (the oracle
+    * pins it TRUE), so a stats regression fails the hash compare. This is
+    * the non-partition-predicate file skipping the reference's tables get
+    * from Iceberg manifests (`dags/2_bronze_to_silver.py:245-258`). */
+  def statsPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("sp")}"
+    try {
+      eventsSlim(spark, dir)
+        .repartitionByRange(8, col("value"))
+        .writeTo(tbl).create()
+
+      val t = spark.table(tbl)
+      val filtered = t.where(col("value") >= lit(50.0))
+      val agg = filtered
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+
+      val prunedFiles = scanFiles(filtered)
+      val allFiles = scanFiles(t)
+      val pruneOk = prunedFiles.nonEmpty && prunedFiles.size < allFiles.size
+      agg.withColumn("prune_ok", lit(pruneOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** Hidden months(ts) partitioning through the catalog — the Iceberg
+    * transform family beyond days (reference gold partitions by month,
+    * `dags/3_silver_to_gold.py:193`). The testdata events all live in
+    * January, so a deterministic six-month spread is synthesized from
+    * event_id via make_timestamp (reproducible in DuckDB); the table is
+    * CTAS'd PARTITIONED BY (months(mts)) and a two-month ts-range
+    * aggregate runs. The verdict asserts, at plan time, that the scan's
+    * file listing kept ONLY the two months' directories (oracle pins
+    * TRUE). */
+  def monthsPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("mp")}"
+    try {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          expr("make_timestamp_ntz(2024, CAST(event_id % 6 + 1 AS INT), " +
+            "CAST(event_id % 28 + 1 AS INT), CAST(event_id % 24 AS INT), " +
+            "CAST(event_id % 60 AS INT), 0)").as("mts"))
+        .writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.months(col("mts")))
+        .create()
+
+      val t = spark.table(tbl)
+      val windowed = t
+        .where(col("mts") >= lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+          && col("mts") < lit("2024-04-01 00:00:00").cast("timestamp_ntz"))
+      val agg = windowed
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+
+      val prunedFiles = scanFiles(windowed)
+      val allFiles = scanFiles(t)
+      val inRange = prunedFiles.forall { f =>
+        val m = f.split("__part=")(1).take(7)
+        m == "2024-02" || m == "2024-03"
+      }
+      val pruneOk = prunedFiles.nonEmpty && inRange &&
+        prunedFiles.size < allFiles.size
+      agg.withColumn("prune_ok", lit(pruneOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** IDENTITY partition columns through CTAS — the reference gold's
+    * `PARTITIONED BY (ano, mes)` shape. events are CTAS'd partitioned by
+    * the identity column event_type (values live in directory names, not
+    * files), an equality filter runs, and the verdict asserts the scan's
+    * listing kept only that value's directory. The aggregate also proves
+    * the partition values survive the directory round-trip. */
+  def identityPartitionScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("ip")}"
+    try {
+      eventsSlim(spark, dir)
+        .writeTo(tbl)
+        .partitionedBy(col("event_type"))
+        .create()
+
+      val t = spark.table(tbl)
+      val one = t.where(col("event_type") === "purchase")
+      val agg = one
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+
+      val prunedFiles = scanFiles(one)
+      val allFiles = scanFiles(t)
+      val pruneOk = prunedFiles.nonEmpty &&
+        prunedFiles.forall(_.contains("event_type=purchase")) &&
+        prunedFiles.size < allFiles.size
+      agg.withColumn("prune_ok", lit(pruneOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Watermark splitting the two committed snapshots (and the oracle's
     * recomputation of each). */
   val TtCutoff = "2024-01-15 00:00:00"
@@ -324,6 +427,38 @@ object V2Queries {
   }
 
   object oracle {
+    /** Stats pruning must be invisible in the data: recompute from the
+      * raw events, layout verdict pinned TRUE. */
+    val statsPruneScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok
+         |FROM events
+         |WHERE value >= 50.0
+         |GROUP BY 1""".stripMargin
+
+    /** Month spread recomputed from event_id; transform must be invisible
+      * in the data, layout verdict pinned TRUE. */
+    val monthsPruneScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok
+         |FROM (
+         |  SELECT event_type, value,
+         |    make_timestamp(2024, CAST(event_id % 6 + 1 AS INT),
+         |      CAST(event_id % 28 + 1 AS INT), CAST(event_id % 24 AS INT),
+         |      CAST(event_id % 60 AS INT), 0) AS mts
+         |  FROM events)
+         |WHERE mts >= TIMESTAMP '2024-02-01 00:00:00'
+         |  AND mts < TIMESTAMP '2024-04-01 00:00:00'
+         |GROUP BY 1""".stripMargin
+
+    /** Identity partitioning must be invisible in the data. */
+    val identityPartitionScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok
+         |FROM events
+         |WHERE event_type = 'purchase'
+         |GROUP BY 1""".stripMargin
+
     val versionedScanPrune: String =
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok

@@ -118,16 +118,43 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val dayOf = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name() == "days" =>
-        t.references().headOption.map(_.fieldNames().mkString("."))
-      case other => throw new UnsupportedOperationException(
-        s"only PARTITIONED BY (days(col)) is supported, got ${other.mkString(", ")}")
+    // classify the requested transforms: one hidden temporal/bucket/
+    // truncate transform OR any number of identity columns (the reference
+    // gold's `ano, mes`) — never both (one directory layout per table)
+    def refCol(t: Transform): String = t.references().headOption
+      .map(_.fieldNames().mkString("."))
+      .getOrElse(throw new UnsupportedOperationException(s"$t has no column reference"))
+    def intArg(t: Transform): Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+        if l.dataType == org.apache.spark.sql.types.IntegerType =>
+        l.value.asInstanceOf[Int]
+    }.getOrElse(throw new UnsupportedOperationException(s"$t needs an integer argument"))
+    var dayOf: Option[String] = None
+    var part: Option[VersionedCatalog.PartTransform] = None
+    var identityCols: Vector[String] = Vector.empty
+    partitions.foreach { t =>
+      t.name() match {
+        case "identity" => identityCols :+= refCol(t)
+        case "days"     => require(dayOf.isEmpty, "at most one days() transform"); dayOf = Some(refCol(t))
+        case "months" | "years" =>
+          require(part.isEmpty && dayOf.isEmpty, "at most one hidden transform")
+          part = Some(VersionedCatalog.PartTransform(t.name(), refCol(t), None))
+        case "bucket" | "truncate" =>
+          require(part.isEmpty && dayOf.isEmpty, "at most one hidden transform")
+          part = Some(VersionedCatalog.PartTransform(t.name(), refCol(t), Some(intArg(t))))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform $other " +
+            "(supported: identity columns, days, months, years, bucket, truncate)")
+      }
     }
-    dayOf.foreach { c =>
+    if ((dayOf.nonEmpty || part.nonEmpty) && identityCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        "cannot combine a hidden transform with identity partition columns")
+    if (Seq(dayOf, part).count(_.nonEmpty) > 1)
+      throw new UnsupportedOperationException("at most one hidden transform per table")
+    (dayOf.toSeq ++ part.map(_.col) ++ identityCols).foreach { c =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-        s"days($c): no such column in ${schema.fieldNames.mkString(", ")}")
+        s"partition source $c: no such column in ${schema.fieldNames.mkString(", ")}")
     }
     // per-table storage format — the reference parametrizes this per table
     // via `write.format.default` (dags/2_bronze_to_silver.py:245-248):
@@ -138,9 +165,16 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
       .map(_.toLowerCase).getOrElse("parquet")
     require(ManifestTable.FileFormats.contains(format),
       s"unsupported table format '$format' (one of ${ManifestTable.FileFormats.mkString(", ")})")
+    // identity values live ONLY in directory names (partitionBy strips the
+    // columns from the files); the avro scan has no partition-append step,
+    // so identity partitioning is a parquet/orc capability — refuse early
+    // rather than silently lose the columns
+    require(!(format == "avro" && identityCols.nonEmpty),
+      "identity partition columns are not supported for avro tables")
     val root = tableRoot(ident)
     MetaIO.mkdirs(root)
-    val meta = VersionedCatalog.Meta(schema, dayOf, format)
+    val meta = VersionedCatalog.Meta(schema, dayOf, format,
+      part = part, identityCols = identityCols)
     VersionedCatalog.writeMeta(root, meta)
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
@@ -183,6 +217,10 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
           s"no such column $name")
         require(!m.dayOf.exists(_.equalsIgnoreCase(name)),
           s"$name is the hidden-day partition source; repartition (rewrite) to drop it")
+        require(!m.part.exists(_.col.equalsIgnoreCase(name)),
+          s"$name is the hidden partition transform source; repartition (rewrite) to drop it")
+        require(!m.identityCols.exists(_.equalsIgnoreCase(name)),
+          s"$name is an identity partition column; repartition (rewrite) to drop it")
         require(m.schema.length > 1, "cannot drop the only column")
         // metadata-only: files keep the physical column, scans simply never
         // project it again; the physical name is RETIRED so a future
@@ -207,6 +245,10 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
           schema = StructType(m.schema.fields.map(f =>
             if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)),
           dayOf = m.dayOf.map(d => if (d.equalsIgnoreCase(from)) to else d),
+          part = m.part.map(p =>
+            if (p.col.equalsIgnoreCase(from)) p.copy(col = to) else p),
+          identityCols = m.identityCols.map(c =>
+            if (c.equalsIgnoreCase(from)) to else c),
           renames = (m.renames.filterNot(_._1.equalsIgnoreCase(from)) +
             (to -> physical)).filterNot { case (l, p) => l == p })
       case (_, other) => throw new UnsupportedOperationException(
@@ -287,6 +329,23 @@ object VersionedCatalog {
     * keep reading. */
   val MetaFile = "_TABLE"
 
+  /** A non-day hidden partition transform: `months(ts)` / `years(ts)` /
+    * `bucket(n, col)` / `truncate(w, col)`. The derived value rides in
+    * `__part=<value>` directory names (the same hidden-partitioning
+    * contract as `days`); `col` is LOGICAL. */
+  case class PartTransform(kind: String, col: String, arg: Option[Int]) {
+    require(PartTransform.Kinds.contains(kind), s"unknown transform $kind")
+    def describe: String = arg match {
+      case Some(a) => s"$kind($a, $col)"
+      case None => s"$kind($col)"
+    }
+  }
+  object PartTransform {
+    val Kinds = Set("months", "years", "bucket", "truncate")
+    /** Hidden-partition directory column for non-day transforms. */
+    val DirCol = "__part"
+  }
+
   /** `schema` holds LOGICAL (user-facing) names; `renames` maps logical →
     * physical for columns whose stored name differs after a metadata-only
     * RENAME COLUMN (data files always carry physical names). `retired`
@@ -294,11 +353,16 @@ object VersionedCatalog {
     * re-added column of the same name is mapped to a FRESH physical name
     * so files written before the drop can never resurrect old values
     * (the problem Iceberg solves with field ids, solved here with the
-    * same mapping that powers rename). */
+    * same mapping that powers rename). A table is partitioned by AT MOST
+    * one of: the hidden day (`dayOf`), one hidden [[PartTransform]]
+    * (`part`), or a list of IDENTITY columns (`identityCols` — the
+    * reference's gold `ano, mes` shape, `dags/3_silver_to_gold.py:193`). */
   case class Meta(schema: StructType, dayOf: Option[String],
                   format: String = "parquet",
                   renames: Map[String, String] = Map.empty,
-                  retired: Seq[String] = Nil) {
+                  retired: Seq[String] = Nil,
+                  part: Option[PartTransform] = None,
+                  identityCols: Seq[String] = Nil) {
     def physicalName(logical: String): String =
       renames.collectFirst { case (l, p) if l.equalsIgnoreCase(logical) => p }
         .getOrElse(logical)
@@ -331,7 +395,11 @@ object VersionedCatalog {
       (if (meta.format == "parquet") Nil else Seq(s"#format=${meta.format}")) ++
         meta.renames.toSeq.sortBy(_._1).map { case (l, p) => s"#rename.$l=$p" } ++
         (if (meta.retired.isEmpty) Nil
-         else Seq(s"#retired=${meta.retired.mkString(",")}"))
+         else Seq(s"#retired=${meta.retired.mkString(",")}")) ++
+        meta.part.toSeq.map(p =>
+          s"#part=${(Seq(p.kind, p.col) ++ p.arg.map(_.toString)).mkString(":")}") ++
+        (if (meta.identityCols.isEmpty) Nil
+         else Seq(s"#partcols=${meta.identityCols.mkString(",")}"))
     MetaIO.writeAtomic(s"$root/$MetaFile",
       (Seq(meta.dayOf.getOrElse(""), meta.schema.json) ++ props).mkString("\n"))
   }
@@ -351,6 +419,55 @@ object VersionedCatalog {
       renames = if (physical == name) m.renames else m.renames + (name -> physical))
   }
 
+  /** Hidden-transform derivation in PHYSICAL column terms — the column
+    * whose stringified value becomes the `__part=` directory. Mirrored
+    * exactly by the plan-time pruning in [[VersionedScanBuilder]]:
+    * `months`/`years` via date_format, `bucket` via Spark's Murmur3
+    * `hash()` pmod n, `truncate` via integral floor-to-multiple (pmod
+    * keeps negatives on the floor) or string prefix. */
+  private[v2] def partDeriveExpr(meta: Meta): Option[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions._
+    meta.part.map { p =>
+      val c = col(meta.physicalName(p.col))
+      val fieldType = meta.schema.fields
+        .find(_.name.equalsIgnoreCase(p.col)).map(_.dataType)
+      val e = p.kind match {
+        case "months" => date_format(c, "yyyy-MM")
+        case "years"  => date_format(c, "yyyy")
+        case "bucket" => pmod(hash(c), lit(p.arg.get))
+        case "truncate" => fieldType match {
+          case Some(org.apache.spark.sql.types.StringType) =>
+            substring(c, 1, p.arg.get)
+          case _ => c - pmod(c, lit(p.arg.get))
+        }
+      }
+      (PartTransform.DirCol, e)
+    }
+  }
+
+  /** Commit a PHYSICAL-named full snapshot of `root`, preserving whatever
+    * partition layout the descriptor declares — the write every full
+    * rewrite (DML write-back, OPTIMIZE) must use so the pool's directory
+    * structure stays uniform. */
+  private[graft] def commitPreservingLayout(root: String,
+                                            dfPhysical: org.apache.spark.sql.DataFrame,
+                                            retain: Int,
+                                            props: Map[String, String]): Long = {
+    val meta = readMeta(root).getOrElse(
+      throw new IllegalStateException(s"no descriptor under $root"))
+    // re-align to the DECLARED physical schema: identity values read back
+    // from directory names carry INFERRED types (a string column holding
+    // "0123" infers int) — the cast pins every column to its declared
+    // type before the rewrite lands
+    val aligned = dfPhysical.select(meta.physicalSchema.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+    ManifestTable.commit(aligned, root, retain = retain,
+      partitionDayOf = meta.dayOf.map(meta.physicalName),
+      props = props, format = Some(meta.format),
+      partitionExpr = partDeriveExpr(meta),
+      partitionCols = meta.identityCols.map(meta.physicalName))
+  }
+
   def readMeta(root: String): Option[Meta] = {
     val p = s"$root/$MetaFile"
     if (!MetaIO.exists(p)) None
@@ -367,6 +484,12 @@ object VersionedCatalog {
         renames = props.collect { case (k, v) if k.startsWith("rename.") =>
           k.stripPrefix("rename.") -> v },
         retired = props.get("retired").toSeq
+          .flatMap(_.split(',')).filter(_.nonEmpty),
+        part = props.get("part").map { s =>
+          val p = s.split(':')
+          PartTransform(p(0), p(1), p.lift(2).map(_.toInt))
+        },
+        identityCols = props.get("partcols").toSeq
           .flatMap(_.split(',')).filter(_.nonEmpty)))
     }
   }
@@ -430,7 +553,17 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
   override def schema(): StructType = userSchema
 
   override def partitioning(): Array[Transform] =
-    dayOf.map(c => Expressions.days(c)).toArray
+    (dayOf.map(c => Expressions.days(c)).toSeq ++
+      meta.part.map { p =>
+        p.kind match {
+          case "months"   => Expressions.months(p.col)
+          case "years"    => Expressions.years(p.col)
+          case "bucket"   => Expressions.bucket(p.arg.get, p.col)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.column(p.col), Expressions.literal(p.arg.get))
+        }
+      } ++
+      meta.identityCols.map(c => Expressions.identity(c))).toArray
 
   override def properties(): JMap[String, String] =
     (Map("provider" -> "versioned", "location" -> root, "format" -> meta.format)
@@ -496,8 +629,10 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     * inclusive LocalDates. Bounds must stay a FLOOR: residual filters make
     * the result exact, but a file dropped from the listing is gone — the
     * conversion of every value type has to be conservative, never clever. */
-  private def dayBounds: (Option[java.time.LocalDate], Option[java.time.LocalDate]) = {
-    val ts = dayOf.get
+  private def dayBounds: (Option[java.time.LocalDate], Option[java.time.LocalDate]) =
+    dayBoundsOf(dayOf.get)
+
+  private def dayBoundsOf(ts: String): (Option[java.time.LocalDate], Option[java.time.LocalDate]) = {
     var from: Option[java.time.LocalDate] = None
     var until: Option[java.time.LocalDate] = None
     def tighterFrom(d: java.time.LocalDate): Unit =
@@ -548,21 +683,33 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     (from, until)
   }
 
-  /** Manifest entries surviving day pruning (all of them when the table is
-    * unpartitioned, unfiltered, or never committed → possibly empty). */
+  /** Manifest entries surviving plan-time pruning (all of them when the
+    * table is unpartitioned, unfiltered, or never committed → possibly
+    * empty). Two independent prunes, both conservative floors:
+    *
+    *  1. hidden-day pruning — ts-range filters against the directory day
+    *     (as before);
+    *  2. per-file column-stats pruning — every pushed filter evaluated
+    *     against the entry's min/max/null stats ([[FileStats.mayContain]],
+    *     physical column names); a file is dropped only when its stats
+    *     PROVE no row matches. Entries without stats (avro legs,
+    *     pre-stats manifests) always survive.
+    *
+    * Residual filters keep the result exact either way — pruning is a
+    * pure optimization, exactly Iceberg's manifest-stats scan planning. */
   private[v2] def prunedManifest: Seq[String] = {
-    val rels = pinnedVersion.orElse(ManifestTable.currentVersion(root)) match {
-      case Some(v) => ManifestTable.manifest(root, v)
+    val all = pinnedVersion.orElse(ManifestTable.currentVersion(root)) match {
+      case Some(v) => ManifestTable.entries(root, v)
       case None => Nil
     }
-    if (dayOf.isEmpty) rels
+    val dayPruned = if (dayOf.isEmpty) all
     else dayBounds match {
-      case (None, None) => rels
+      case (None, None) => all
       case (from, until) =>
-        rels.filter { rel =>
-          val day = if (rel.startsWith(s"${ManifestTable.DayCol}="))
+        all.filter { e =>
+          val day = if (e.rel.startsWith(s"${ManifestTable.DayCol}="))
             scala.util.Try(java.time.LocalDate.parse(
-              rel.takeWhile(_ != '/').stripPrefix(s"${ManifestTable.DayCol}="))).toOption
+              e.rel.takeWhile(_ != '/').stripPrefix(s"${ManifestTable.DayCol}="))).toOption
           else None
           day match {
             case Some(d) =>
@@ -571,6 +718,169 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
           }
         }
     }
+    // hidden-transform (`__part=`) and identity-directory pruning — same
+    // conservative floor as days: a file drops only when its directory
+    // value PROVES the pushed conjunction can't match
+    val partPruned = meta.part match {
+      case Some(p) => pruneHiddenPart(dayPruned, p)
+      case None if meta.identityCols.nonEmpty => pruneIdentityDirs(dayPruned)
+      case None => dayPruned
+    }
+    val statsPruned =
+      if (pushed.isEmpty || partPruned.forall(_.stats.isEmpty)) partPruned
+      else {
+        // stats are keyed by the names in the files — the PHYSICAL ones
+        val physFilters = pushed.map(GraftScanBridge2.renameFilter(_, meta.physicalName))
+        partPruned.filter { e =>
+          e.stats.map(graft.sources.FileStats.decode) match {
+            case Some(st) if st.nonEmpty =>
+              physFilters.forall(f => graft.sources.FileStats.mayContain(st, f))
+            case _ => true
+          }
+        }
+      }
+    statsPruned.map(_.rel)
+  }
+
+  /** The `__part=` directory value of an entry, None for stray files. */
+  private def partDirOf(rel: String): Option[String] = {
+    val pfx = s"${VersionedCatalog.PartTransform.DirCol}="
+    if (rel.startsWith(pfx)) Some(rel.takeWhile(_ != '/').stripPrefix(pfx)) else None
+  }
+
+  /** Equality constraint on a LOGICAL column implied by the pushed
+    * conjunction: None = unconstrained, Some(vs) = must be one of vs.
+    * Only top-level/And-nested EqualTo/In conjuncts constrain (Or/Not
+    * never prune). */
+  private def eqValuesFor(colName: String): Option[Set[Any]] = {
+    var result: Option[Set[Any]] = None
+    def add(vs: Set[Any]): Unit =
+      result = Some(result.map(_ intersect vs).getOrElse(vs))
+    def visit(f: sources.Filter): Unit = f match {
+      case sources.And(l, r) => visit(l); visit(r)
+      case sources.EqualTo(a, v) if a.equalsIgnoreCase(colName) && v != null => add(Set(v))
+      case sources.EqualNullSafe(a, v) if a.equalsIgnoreCase(colName) && v != null => add(Set(v))
+      case sources.In(a, vs) if a.equalsIgnoreCase(colName) =>
+        add(vs.filter(_ != null).toSet)
+      case _ => ()
+    }
+    pushed.foreach(visit)
+    result
+  }
+
+  private def logicalType(colName: String): Option[org.apache.spark.sql.types.DataType] =
+    dataSchema.fields.find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
+
+  /** The `__part` directory value the transform assigns to `v` — must
+    * mirror [[VersionedCatalog.partDeriveExpr]] exactly; None = can't
+    * compute (never prune on it). */
+  private def partValueOf(p: VersionedCatalog.PartTransform, v: Any): Option[String] =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+      p.kind match {
+        case "bucket" =>
+          val dt = logicalType(p.col).get
+          val h = Murmur3Hash(Seq(Literal.create(v, dt)), 42).eval(null).asInstanceOf[Int]
+          val n = p.arg.get
+          (((h % n) + n) % n).toString
+        case "truncate" => v match {
+          case s: String => s.take(p.arg.get)
+          case n: java.lang.Number
+            if n.isInstanceOf[java.lang.Byte] || n.isInstanceOf[java.lang.Short] ||
+               n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Long] =>
+            val w = p.arg.get.toLong
+            (n.longValue - java.lang.Math.floorMod(n.longValue, w)).toString
+          case _ => throw new IllegalArgumentException("untruncatable")
+        }
+        case _ => throw new IllegalArgumentException("not an equality transform")
+      }
+    }.toOption
+
+  /** Prune `__part=` entries for months/years (range off the conservative
+    * ts day bounds) and bucket/truncate (equality sets). */
+  private def pruneHiddenPart(entries: Seq[ManifestTable.FileEntry],
+                              p: VersionedCatalog.PartTransform): Seq[ManifestTable.FileEntry] =
+    p.kind match {
+      case "months" | "years" =>
+        val (from, until) = dayBoundsOf(p.col)
+        if (from.isEmpty && until.isEmpty) entries
+        else entries.filter { e =>
+          partDirOf(e.rel) match {
+            case Some(dirval) =>
+              scala.util.Try {
+                if (p.kind == "months") {
+                  val m = java.time.YearMonth.parse(dirval)
+                  from.forall(d => !m.isBefore(java.time.YearMonth.from(d))) &&
+                    until.forall(d => !m.isAfter(java.time.YearMonth.from(d)))
+                } else {
+                  val y = dirval.toInt
+                  from.forall(d => y >= d.getYear) && until.forall(d => y <= d.getYear)
+                }
+              }.getOrElse(true)
+            case None => true // stray unpartitioned file: never prune
+          }
+        }
+      case _ => // bucket / truncate: equality-set pruning only
+        eqValuesFor(p.col) match {
+          case None => entries
+          case Some(vs) =>
+            val allowed = vs.map(partValueOf(p, _))
+            if (allowed.exists(_.isEmpty)) entries // one unconvertible value: keep all
+            else entries.filter { e =>
+              partDirOf(e.rel) match {
+                case Some(dirval) => allowed.flatten.contains(dirval)
+                case None => true
+              }
+            }
+        }
+    }
+
+  /** Prune identity-partitioned entries: each constrained identity column
+    * must match one of the allowed values in the entry's directory path.
+    * Escaped (`%`-containing) or default-partition dir values are treated
+    * as unknown and kept. */
+  private def pruneIdentityDirs(entries: Seq[ManifestTable.FileEntry]): Seq[ManifestTable.FileEntry] = {
+    val constraints = meta.identityCols.flatMap { c =>
+      for (vs <- eqValuesFor(c); dt <- logicalType(c))
+        yield (meta.physicalName(c), dt, vs)
+    }
+    if (constraints.isEmpty) entries
+    else entries.filter { e =>
+      val dirs = e.rel.split('/').dropRight(1).flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i < 0) None else Some(seg.take(i) -> seg.drop(i + 1))
+      }.toMap
+      constraints.forall { case (phys, dt, vs) =>
+        dirs.get(phys) match {
+          case Some(raw) if !raw.contains('%') && raw != "__HIVE_DEFAULT_PARTITION__" =>
+            val verdicts = vs.toSeq.map(v => dirValueMatches(raw, v, dt))
+            if (verdicts.contains(None)) true else verdicts.flatten.contains(true)
+          case _ => true
+        }
+      }
+    }
+  }
+
+  /** Typed equality of a directory value string against a filter value;
+    * None = uncertain (keep the file). */
+  private def dirValueMatches(dirval: String, v: Any,
+                              dt: org.apache.spark.sql.types.DataType): Option[Boolean] = {
+    import org.apache.spark.sql.types._
+    scala.util.Try {
+      (dt, v) match {
+        case (StringType, s: String) => dirval == s
+        case (ByteType | ShortType | IntegerType | LongType, n: java.lang.Number) =>
+          dirval.toLong == n.longValue
+        case (FloatType | DoubleType, n: java.lang.Number) =>
+          dirval.toDouble == n.doubleValue
+        case (DateType, d: java.sql.Date) =>
+          java.time.LocalDate.parse(dirval) == d.toLocalDate
+        case (DateType, d: java.time.LocalDate) =>
+          java.time.LocalDate.parse(dirval) == d
+        case (BooleanType, b: java.lang.Boolean) => dirval.toBoolean == b.booleanValue
+        case _ => throw new IllegalArgumentException("uncomparable")
+      }
+    }.toOption
   }
 
   override def build(): Scan = {
@@ -683,12 +993,16 @@ class VersionedWriteBuilder(root: String, schema: StructType,
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
             .as(meta.physicalName(f.name))): _*)
         val physDayOf = dayOf.map(meta.physicalName)
+        val physExpr = VersionedCatalog.partDeriveExpr(meta)
+        val physCols = meta.identityCols.map(meta.physicalName)
         if (overwrite || !ManifestTable.exists(root))
           ManifestTable.commit(aligned, root, retain, physDayOf,
-            format = Some(meta.format))
+            format = Some(meta.format),
+            partitionExpr = physExpr, partitionCols = physCols)
         else
           ManifestTable.append(aligned, root, retain, physDayOf,
-            format = Some(meta.format))
+            format = Some(meta.format),
+            partitionExpr = physExpr, partitionCols = physCols)
       }
     }
   }

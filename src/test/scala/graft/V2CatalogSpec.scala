@@ -525,6 +525,206 @@ class V2CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("per-file column stats: commits record footer min/max, scans skip files on non-partition predicates") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    for (fmt <- Seq("parquet", "orc")) {
+      spark.sql(s"DROP TABLE IF EXISTS gtest.ns.st_$fmt")
+      import spark.implicits._
+      // 4 disjoint value bands -> 4 files with tight, non-overlapping stats
+      val df = (0 until 400).map(i => (i.toLong, i.toDouble, s"s${"%03d".format(i)}"))
+        .toDF("k", "v", "s").repartitionByRange(4, col("v"))
+      df.writeTo(s"gtest.ns.st_$fmt").using(fmt).create()
+      val root = VersionedCatalog.warehouseOf("gtest").get + s"/ns/st_$fmt"
+
+      // every committed entry carries decoded stats for all three columns
+      val entries = ManifestTable.liveEntries(root)
+      assert(entries.size >= 2, s"$fmt: expected multiple files")
+      entries.foreach { e =>
+        val st = e.stats.map(graft.sources.FileStats.decode).getOrElse(Map.empty)
+        assert(Set("k", "v", "s").subsetOf(st.keySet),
+          s"$fmt entry ${e.rel} lacks stats: ${e.stats}")
+        assert(st("v").min.isDefined && st("v").max.isDefined && st("v").nulls.contains(0L))
+      }
+
+      def files(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: BatchScanExec => b.scan
+        }.map {
+          case p: ParquetScan => p.fileIndex.inputFiles.length
+          case o: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
+            o.fileIndex.inputFiles.length
+          case other => fail(s"unexpected scan $other")
+        }.sum
+
+      val t = spark.table(s"gtest.ns.st_$fmt")
+      val all = files(t)
+      // a range predicate on a NON-partition column must shrink the listing
+      val hi = files(t.where(col("v") >= 300.0))
+      assert(hi < all && hi >= 1, s"$fmt: value-range filter kept $hi of $all files")
+      // equality on the string column skips the bands that can't hold it
+      val eq = files(t.where(col("s") === "s399"))
+      assert(eq < all, s"$fmt: string filter kept $eq of $all files")
+      // result correctness is untouched by pruning (residual filters exact)
+      assert(t.where(col("v") >= 300.0).count() === 100)
+      assert(t.where(col("s") === "s399").count() === 1)
+      // a filter the stats can't judge keeps every file
+      assert(files(t.where(length(col("s")) === lit(4))) === all)
+      spark.sql(s"DROP TABLE gtest.ns.st_$fmt")
+    }
+  }
+
+  test("stats survive append/compaction and combine with day pruning; avro entries are honestly stats-free") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.stday")
+    import spark.implicits._
+    def batch(day: Int, lo: Int): org.apache.spark.sql.DataFrame =
+      (lo until lo + 100).map(i =>
+        (i.toLong, java.time.LocalDateTime.of(2024, 3, day, 12, 0), i.toDouble))
+        .toDF("k", "ts", "v")
+    spark.sql("CREATE TABLE gtest.ns.stday (k BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    batch(1, 0).writeTo("gtest.ns.stday").append()     // day 1: v in [0,100)
+    batch(2, 1000).writeTo("gtest.ns.stday").append()  // day 2: v in [1000,1100)
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/stday"
+    assert(ManifestTable.liveEntries(root).forall(_.stats.isDefined))
+
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .collect { case p: ParquetScan => p.fileIndex.inputFiles.length }.sum
+    val t = spark.table("gtest.ns.stday")
+    val all = files(t)
+    // stats alone: day 2's band is excluded by a value predicate
+    assert(files(t.where(col("v") < 100.0)) < all)
+    // stats + day pruning compose (both floors, listing shrinks further)
+    assert(files(t.where(col("v") < 100.0) // day 1 only by value...
+      .where(col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp_ntz"))) === 0)
+    assert(t.where(col("v") < 100.0)
+      .where(col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp_ntz")).count() === 0)
+
+    // an avro leg of the same data carries no stats (containers have no
+    // column statistics) and is never wrongly pruned
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.stavro")
+    batch(1, 0).writeTo("gtest.ns.stavro").using("avro").create()
+    val rootA = VersionedCatalog.warehouseOf("gtest").get + "/ns/stavro"
+    assert(ManifestTable.liveEntries(rootA).forall(_.stats.isEmpty))
+    assert(spark.table("gtest.ns.stavro").where(col("v") < 50.0).count() === 50)
+    spark.sql("DROP TABLE gtest.ns.stday")
+    spark.sql("DROP TABLE gtest.ns.stavro")
+  }
+
+  test("partition transforms: months/years/bucket/truncate layouts write, prune, and read back exactly") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    def files(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .collect { case p: ParquetScan => p.fileIndex.inputFiles.toSeq }.flatten
+
+    // months(ts): six months of rows, a two-month window prunes the listing
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.pm")
+    val rows = (0 until 600).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 1 + i % 6, 1 + i % 28, i % 24, 0), i * 1.0)
+    }.toDF("k", "ts", "v")
+    rows.writeTo("gtest.ns.pm")
+      .partitionedBy(org.apache.spark.sql.functions.partitioning.months(col("ts"))).create()
+    val rootPm = VersionedCatalog.warehouseOf("gtest").get + "/ns/pm"
+    assert(ManifestTable.manifest(rootPm, 1).forall(_.startsWith("__part=2024-")))
+    val tPm = spark.table("gtest.ns.pm")
+    assert(!tPm.columns.contains("__part"), "hidden dir column must not leak")
+    val win = tPm.where(col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+      && col("ts") < lit("2024-05-01 00:00:00").cast("timestamp_ntz"))
+    assert(files(win).nonEmpty && files(win).size < files(tPm).size)
+    assert(files(win).forall(f => f.contains("__part=2024-03") || f.contains("__part=2024-04")))
+    assert(win.count() === rows.where(
+      col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+        && col("ts") < lit("2024-05-01 00:00:00").cast("timestamp_ntz")).count())
+
+    // bucket(8, k): equality filter touches exactly one bucket directory
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.pb")
+    (0L until 400L).map(i => (i, s"u$i")).toDF("k", "u")
+      .writeTo("gtest.ns.pb")
+      .partitionedBy(org.apache.spark.sql.functions.partitioning.bucket(8, col("k"))).create()
+    val tPb = spark.table("gtest.ns.pb")
+    val onePb = tPb.where(col("k") === 37L)
+    assert(files(onePb).size < files(tPb).size && files(onePb).nonEmpty)
+    assert(onePb.collect().map(_.getString(1)).toSeq === Seq("u37"))
+    // the bucket of 37 computed plan-side must be the one Spark's hash
+    // assigned at write: the surviving dir holds the row
+    assert(tPb.count() === 400)
+
+    // truncate(10, k) on LONG: ranges of 10 share a directory
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.pt")
+    spark.sql("CREATE TABLE gtest.ns.pt (k BIGINT, s STRING) PARTITIONED BY (truncate(10, k))")
+    spark.sql("INSERT INTO gtest.ns.pt SELECT id, concat('s', id) FROM range(100)")
+    val tPt = spark.table("gtest.ns.pt")
+    val onePt = tPt.where(col("k") === 55L)
+    assert(files(onePt).forall(_.contains("__part=50")))
+    assert(files(onePt).size < files(tPt).size || files(tPt).size == 1)
+    assert(onePt.count() === 1 && tPt.count() === 100)
+
+    // years(d) on DATE via SQL DDL
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.py")
+    spark.sql("CREATE TABLE gtest.ns.py (d DATE, v DOUBLE) PARTITIONED BY (years(d))")
+    spark.sql("INSERT INTO gtest.ns.py VALUES (DATE'2022-06-01', 1.0), (DATE'2023-06-01', 2.0), (DATE'2024-06-01', 3.0)")
+    val tPy = spark.table("gtest.ns.py")
+    val oneY = tPy.where(col("d") >= lit("2024-01-01").cast("date"))
+    assert(files(oneY).forall(_.contains("__part=2024")))
+    assert(oneY.count() === 1)
+    Seq("pm", "pb", "pt", "py").foreach(t => spark.sql(s"DROP TABLE gtest.ns.$t"))
+  }
+
+  test("identity partition columns: CTAS layout, dir-value round-trip, equality pruning, DML and OPTIMIZE preserve the layout") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.idp")
+    // the reference gold shape: PARTITIONED BY (ano, mes) — two identity cols
+    val rows = (0 until 300).map { i =>
+      (i.toLong, 2023 + i % 2, 1 + i % 3, i * 1.5)
+    }.toDF("k", "ano", "mes", "v")
+    rows.writeTo("gtest.ns.idp").partitionedBy(col("ano"), col("mes")).create()
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/idp"
+    assert(ManifestTable.manifest(root, 1).forall(_.matches("ano=\\d+/mes=\\d+/.*")))
+
+    val t = spark.table("gtest.ns.idp")
+    assert(t.columns.toSeq === Seq("k", "ano", "mes", "v"))
+    // values survive the directory round-trip
+    assert(t.where(col("k") === 7L).select("ano", "mes").collect().map(r =>
+      (r.getInt(0), r.getInt(1))).toSeq === Seq((2024, 2)))
+    // equality pruning on the identity columns shrinks the listing
+    def files(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .collect { case p: ParquetScan => p.fileIndex.inputFiles.toSeq }.flatten
+    val one = t.where(col("ano") === 2024 && col("mes") === 2)
+    assert(files(one).nonEmpty && files(one).size < files(t).size)
+    assert(files(one).forall(f => f.contains("ano=2024") && f.contains("mes=2")))
+    assert(one.count() === rows.where(col("ano") === 2024 && col("mes") === 2).count())
+
+    // a full-rewrite UPDATE must keep the identity layout (a flat rewrite
+    // would break partition discovery for every subsequent reader)
+    graft.plans.MergeInto.sql(spark, "UPDATE gtest.ns.idp SET v = v + 1 WHERE k < 10")
+    val v2rels = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+    assert(v2rels.forall(_.matches("ano=\\d+/mes=\\d+/.*")),
+      s"DML rewrite flattened the identity layout: ${v2rels.take(3)}")
+    assert(spark.table("gtest.ns.idp").where(col("k") === 7L)
+      .select("v").collect()(0).getDouble(0) === 7 * 1.5 + 1)
+
+    // OPTIMIZE keeps the layout too
+    spark.sql(s"CALL gtest.system.optimize(`table` => 'ns.idp')")
+    val v3rels = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+    assert(v3rels.forall(_.matches("ano=\\d+/mes=\\d+/.*")))
+    assert(spark.table("gtest.ns.idp").count() === 300)
+
+    // identity + avro is refused (values live only in dirs; the avro scan
+    // cannot re-derive them) — refusal, not silent data loss
+    intercept[Exception] {
+      rows.writeTo("gtest.ns.idp_av").using("avro").partitionedBy(col("ano")).create()
+    }
+    spark.sql("DROP TABLE gtest.ns.idp")
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
