@@ -139,6 +139,7 @@ object SparkEntry {
     "stats_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.statsPruneScan(s, d)),
     "months_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.monthsPruneScan(s, d)),
     "identity_partition_scan" -> ((s, d) => graft.sources.v2.V2Queries.identityPartitionScan(s, d)),
+    "mor_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.morDeleteScan(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
     "incremental_gold_from_cdc" -> ((s, d) => graft.sources.v2.V2Queries.incrementalGoldFromCdc(s, d)),
     // per-table format through the catalog: three CTAS legs (parquet/orc/
@@ -261,6 +262,7 @@ object SparkEntry {
     "stats_prune_scan" -> graft.sources.v2.V2Queries.oracle.statsPruneScan,
     "months_prune_scan" -> graft.sources.v2.V2Queries.oracle.monthsPruneScan,
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
+    "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
     "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,
     "catalog_format_fanout" -> graft.sources.v2.V2Queries.oracle.catalogFormatFanout,

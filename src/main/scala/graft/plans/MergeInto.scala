@@ -267,6 +267,10 @@ object MergeInto {
                                  m: MergeIntoTable, refreshView: Boolean,
                                  raw: DataFrame,
                                  baseVersion: Option[Long]): Boolean = {
+    // live positional tombstones make partition-scoped file carrying
+    // unsound shortcuts (a carried file's tombstones must survive, a
+    // rewritten one's must die) — the full rewrite materializes them
+    if (ManifestTable.hasDeletes(root)) return false
     // the scoped path derives landing/matching days via to_date(ts) in
     // THIS session and drops/keeps files by their DIRECTORY day (laid out
     // in the WRITER's session zone). For a zone-sensitive TIMESTAMP source
@@ -356,6 +360,20 @@ object MergeInto {
     * 100 TB table becomes one manifest write. */
   private[graft] def executeDelete(spark: SparkSession, d: DeleteFromTable): Unit = {
     val tgt = resolveTarget(spark, d.table)
+    // merge-on-read DELETE (Iceberg's write.delete.mode=merge-on-read):
+    // commit positional tombstones instead of rewriting data — a few
+    // scattered rows on a huge table cost one small parquet write + a
+    // manifest flip. Parquet catalog tables only (row identity needs the
+    // parquet row-index metadata column); everything else keeps the
+    // existing day-scoped / copy-on-write paths.
+    val morMode =
+      spark.conf.get("spark.graft.delete.mode", "copy-on-write") == "merge-on-read"
+    tgt.backing match {
+      case Some(CatalogBacking(root, _)) if morMode &&
+          ManifestTable.formatOf(root).contains("parquet") =>
+        if (morDelete(spark, tgt, root, d.condition)) return
+      case _ => ()
+    }
     def fastEnabled: Boolean =
       spark.conf.get("spark.graft.delete.dayScoped", "true").toBoolean
     val fast = tgt.backing match {
@@ -374,6 +392,45 @@ object MergeInto {
       val hit = coalesce(GraftColumnBridge.column(d.condition), lit(false))
       writeBack(spark, tgt, t.where(!hit).select(tgt.df.columns.map(c => t(c).as(c)): _*))
     }
+  }
+
+  /** Merge-on-read DELETE: compute the (file, row-index) tombstones of
+    * the predicate-matched rows via a metadata-column read of the live
+    * data files and commit them through
+    * [[ManifestTable.appendDeletes]] — zero data files rewritten. Returns
+    * false to fall back (no descriptor / nothing to resolve). */
+  private def morDelete(spark: SparkSession, tgt: Target, root: String,
+                        cond: Expression): Boolean = {
+    val meta = graft.sources.v2.VersionedCatalog.readMeta(root) match {
+      case Some(m) => m
+      case None => return false
+    }
+    if (!ManifestTable.exists(root)) return true // empty table: no-op
+    val dataRels = ManifestTable.liveEntries(root).map(_.rel)
+      .filterNot(_.startsWith(s"${ManifestTable.DeleteDir}/"))
+    if (dataRels.isEmpty) return true
+    // schema-pinned direct parquet read: evolution-added columns null-fill
+    // through the declared physical schema, identity partition values
+    // re-derive from directory names, and _metadata gives row identity
+    val base = spark.read.format("parquet")
+      .schema(meta.physicalSchema)
+      .option("basePath", s"$root/data")
+      .load(dataRels.map(r => s"$root/data/$r"): _*)
+    val logical = base.select(
+      meta.schema.fields.toIndexedSeq.map(f =>
+        col(meta.physicalName(f.name)).as(f.name)) ++
+        Seq(col("_metadata.file_path").as("__mor_path"),
+          col("_metadata.row_index").as("__mor_pos")): _*)
+      .alias(tgt.alias)
+    val hit = coalesce(GraftColumnBridge.column(cond), lit(false))
+    val tombstones = logical.where(hit).select(
+      regexp_extract(col("__mor_path"), ".*/data/(.*)$", 1).as("__file"),
+      col("__mor_pos").as("__pos"))
+      .localCheckpoint(true) // materialize before the commit decision
+    if (tombstones.isEmpty) return true // predicate matched nothing: no-op
+    ManifestTable.appendDeletes(tombstones.repartition(1), root,
+      retain = retainOf(spark))
+    true
   }
 
   /** Epoch-micro delete region [from, until) implied by a condition that
@@ -427,6 +484,10 @@ object MergeInto {
                                  raw: DataFrame, refreshView: Boolean,
                                  baseVersion: Option[Long]): Boolean = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // with live tombstones the boundary-day rewrite path reads raw
+    // day-filtered data whose deletes must be re-applied — decline and
+    // let the full rewrite (which reads delete-applied) materialize them
+    if (ManifestTable.hasDeletes(root)) return false
     val tsType = tgt.df.schema.fields
       .find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType).getOrElse(return false)
     if (tsType != TimestampType && tsType != TimestampNTZType) return false

@@ -93,6 +93,26 @@ object ManifestTable {
     * appends from differently-zoned sessions coexist in one manifest.
     * Zone-independent derivations (TIMESTAMP_NTZ, DATE) never set it. */
   val ZoneProp = "__writer_zone"
+  /** Reserved pool directory for merge-on-read POSITIONAL DELETE files:
+    * parquet files of (`__file` relative data path, `__pos` file row
+    * index) listing rows a DELETE removed without rewriting data. A
+    * manifest entry under this directory is a delete entry, never a data
+    * file. Positional deletes are self-scoping — they name specific data
+    * files, so later appends (new rels) and rewrites are naturally
+    * unaffected, with no Iceberg-style sequence numbers needed. Reads
+    * apply them (anti-join / reader-side skip); compaction and full
+    * rewrites materialize them away. */
+  val DeleteDir = "__deletes"
+
+  private def isDeleteEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/")
+
+  /** Live delete entries (empty for tables with no merge-on-read state). */
+  def liveDeleteEntries(root: String): Seq[FileEntry] =
+    liveEntries(root).filter(e => isDeleteEntry(e.rel))
+
+  /** True iff the live snapshot carries positional-delete files. */
+  def hasDeletes(root: String): Boolean =
+    exists(root) && liveDeleteEntries(root).nonEmpty
 
   private def pointerPath(root: String): String = s"$root/$Pointer"
   private def manifestPath(root: String, v: Long): String =
@@ -206,9 +226,11 @@ object ManifestTable {
 
   /** Storage format of the live snapshot's data files (None before the
     * first commit). A mid-conversion table reports its newest files'
-    * format — new writes continue it. */
+    * format — new writes continue it. Positional-delete entries are
+    * always parquet and never speak for the DATA format. */
   def formatOf(root: String): Option[String] =
-    if (!exists(root)) None else liveManifest(root).lastOption.map(extOf)
+    if (!exists(root)) None
+    else liveManifest(root).filterNot(isDeleteEntry).lastOption.map(extOf)
 
   private def readFiles(spark: SparkSession, root: String, rels: Seq[String]): DataFrame = {
     require(rels.nonEmpty, s"empty manifest under $root — empty commits are not supported")
@@ -222,14 +244,46 @@ object ManifestTable {
     }.reduce(_ unionByName _)
   }
 
-  /** Live snapshot, hidden partition column stripped. */
+  /** Data files of `entries` with the snapshot's positional deletes
+    * APPLIED. Without delete entries this is [[readFiles]]; with them the
+    * parquet data is read with its metadata columns and the tombstoned
+    * (file, row-index) pairs are anti-joined out — merge-on-read, exactly
+    * what Iceberg's delete files buy the reference. Row identity is
+    * (relative pool path, file row index); the last `/data/` marks the
+    * pool root (partition directory values cannot contain '/'). */
+  private def readApplied(spark: SparkSession, root: String,
+                          es: Seq[FileEntry]): DataFrame = {
+    val (del, data) = es.partition(e => isDeleteEntry(e.rel))
+    if (del.isEmpty) readFiles(spark, root, data.map(_.rel))
+    else {
+      require(data.nonEmpty, s"only delete entries under $root")
+      require(data.forall(_.rel.endsWith(".parquet")),
+        s"merge-on-read deletes are a parquet capability; $root mixes formats")
+      // a DIRECT parquet read (not the per-format union) so the _metadata
+      // column resolves; basePath re-derives partition dirs as usual
+      val base = spark.read.format("parquet").option("basePath", s"$root/data")
+        .load(data.map(e => s"$root/data/${e.rel}"): _*)
+      val delDf = spark.read.parquet(del.map(e => s"$root/data/${e.rel}"): _*)
+        .select(col("__file").as("__del_file"), col("__pos").as("__del_pos"))
+      val keyed = base
+        .withColumn("__mor_rel",
+          regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1))
+        .withColumn("__mor_pos", col("_metadata.row_index"))
+      keyed.join(delDf,
+          keyed("__mor_rel") === delDf("__del_file") &&
+            keyed("__mor_pos") === delDf("__del_pos"), "left_anti")
+        .drop("__mor_rel", "__mor_pos")
+    }
+  }
+
+  /** Live snapshot, hidden partition column stripped, deletes applied. */
   def read(spark: SparkSession, root: String): DataFrame =
     readRaw(spark, root).drop(DayCol)
 
   /** Live snapshot with the hidden day column exposed (internal plumbing
-    * for partition-scoped rewrites). */
+    * for partition-scoped rewrites); deletes applied. */
   private[graft] def readRaw(spark: SparkSession, root: String): DataFrame =
-    readFiles(spark, root, liveManifest(root))
+    readApplied(spark, root, liveEntries(root))
 
   /** [[readRaw]] pinned to one version resolution: returns the version the
     * files came from, so a partition-scoped rewrite can pass it as
@@ -238,12 +292,13 @@ object ManifestTable {
   private[graft] def readRawPinned(spark: SparkSession, root: String): (Long, DataFrame) = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    (v, readFiles(spark, root, manifest(root, v)))
+    (v, readApplied(spark, root, entries(root, v)))
   }
 
-  /** Time travel: a retained manifest's snapshot. */
+  /** Time travel: a retained manifest's snapshot (deletes of THAT
+    * snapshot applied — a pre-delete version still shows the rows). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
-    readFiles(spark, root, manifest(root, v)).drop(DayCol)
+    readApplied(spark, root, entries(root, v)).drop(DayCol)
 
   /** Timestamp-range read with MANIFEST-level pruning: files of
     * out-of-range days are never handed to the scan. */
@@ -251,13 +306,14 @@ object ManifestTable {
                    fromTs: String, untilTs: String): DataFrame = {
     val fromD = java.time.LocalDate.parse(fromTs.take(10))
     val untilD = java.time.LocalDate.parse(untilTs.take(10))
-    val picked = liveManifest(root).filter { rel =>
-      dayOf(rel).exists { d =>
+    val live = liveEntries(root)
+    val picked = live.filter { e =>
+      dayOf(e.rel).exists { d =>
         val day = java.time.LocalDate.parse(d)
         !day.isBefore(fromD) && !day.isAfter(untilD)
       }
-    }
-    readFiles(spark, root, picked)
+    } ++ live.filter(e => isDeleteEntry(e.rel))
+    readApplied(spark, root, picked)
       .where(col(tsCol) >= lit(fromTs).cast("timestamp")
         && col(tsCol) < lit(untilTs).cast("timestamp"))
       .drop(DayCol)
@@ -478,6 +534,33 @@ object ManifestTable {
     }
   }
 
+  /** Merge-on-read DELETE commit: stage `tombstones` — a DataFrame of
+    * (`__file` relative data path, `__pos` file row index) — as parquet
+    * under the reserved [[DeleteDir]] and publish base ∪ tombstones. NO
+    * data file is read or rewritten: commit cost follows the number of
+    * DELETED rows, not the table (the property a 10-row delete on a
+    * 100 TB table needs). Readers anti-join them out until a compaction
+    * or full rewrite materializes them away. Rebases like [[append]]
+    * (tombstones reference specific files, so concurrent appends of NEW
+    * files never conflict logically). */
+  def appendDeletes(tombstones: DataFrame, root: String, retain: Int = 2): Long = {
+    val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
+    tombstones.select(col("__file").cast("string"), col("__pos").cast("long"))
+      .write.parquet(stage)
+    val fresh = MetaIO.listFilesRec(stage)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rel = s"$DeleteDir/${UUID.randomUUID().toString.take(16)}.parquet"
+        MetaIO.rename(st.getPath.toString, s"$root/data/$rel")
+        MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
+        FileEntry(rel, None)
+      }
+    MetaIO.delete(stage, recursive = true)
+    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
+      Planned(baseEntries ++ fresh, baseProps)
+    }
+  }
+
   /** Partition-scoped commit: replace the named days with `df`'s rows;
     * files of every other day are carried into the new manifest untouched
     * (this is the Iceberg copy-on-write property — commit cost follows
@@ -493,11 +576,14 @@ object ManifestTable {
   def replaceDays(df: DataFrame, root: String, removeDays: Set[String],
                   partitionDayOf: String, retain: Int = 2,
                   expectedVersion: Option[Long] = None): Long = {
-    def touched(rels: Seq[String]): Seq[String] = rels.filter(rel => dayOf(rel) match {
-      case Some(d) => removeDays.contains(d)
-      case None => throw new IllegalStateException(
-        s"$root holds unpartitioned files; replaceDays needs a day-partitioned table")
-    })
+    // delete entries carry day-independently (their tombstones name
+    // specific files: inert for replaced files, still applied for kept)
+    def touched(rels: Seq[String]): Seq[String] =
+      rels.filterNot(isDeleteEntry).filter(rel => dayOf(rel) match {
+        case Some(d) => removeDays.contains(d)
+        case None => throw new IllegalStateException(
+          s"$root holds unpartitioned files; replaceDays needs a day-partitioned table")
+      })
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val base0 = touched(manifest(root, baseV)).toSet
@@ -523,11 +609,12 @@ object ManifestTable {
     * (and `expectedVersion` anchor) as [[replaceDays]]. */
   def dropDays(root: String, removeDays: Set[String], retain: Int = 2,
                expectedVersion: Option[Long] = None): Long = {
-    def touched(rels: Seq[String]): Seq[String] = rels.filter(rel => dayOf(rel) match {
-      case Some(d) => removeDays.contains(d)
-      case None => throw new IllegalStateException(
-        s"$root holds unpartitioned files; dropDays needs a day-partitioned table")
-    })
+    def touched(rels: Seq[String]): Seq[String] =
+      rels.filterNot(isDeleteEntry).filter(rel => dayOf(rel) match {
+        case Some(d) => removeDays.contains(d)
+        case None => throw new IllegalStateException(
+          s"$root holds unpartitioned files; dropDays needs a day-partitioned table")
+      })
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val base0 = touched(manifest(root, baseV)).toSet
@@ -536,7 +623,7 @@ object ManifestTable {
         throw new java.util.ConcurrentModificationException(
           s"days ${removeDays.mkString(",")} of $root changed under this drop; recompute and retry")
       val keep = baseEntries.filterNot(e => dayOf(e.rel).exists(removeDays.contains))
-      require(keep.nonEmpty,
+      require(keep.exists(e => !isDeleteEntry(e.rel)),
         s"dropDays would empty $root; DROP the table (or overwrite) instead")
       Planned(keep, baseProps)
     }

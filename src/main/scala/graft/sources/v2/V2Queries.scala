@@ -199,6 +199,45 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Merge-on-read DELETE through the catalog (Iceberg's
+    * write.delete.mode=merge-on-read): events are CTAS'd across several
+    * files, a scattered-row DELETE runs in merge-on-read mode, and the
+    * `mor_ok` verdict asserts the commit REWROTE ZERO DATA FILES (the
+    * data entry set is unchanged and a positional-delete entry appeared)
+    * while the post-delete aggregate — read through the tombstone-
+    * applying scan — matches the oracle's recompute. */
+  def morDeleteScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("mor")
+    val tbl = s"$Cat.q.$short"
+    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      eventsSlim(spark, dir).repartition(4).writeTo(tbl).create()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      def dataRels = graft.sources.ManifestTable
+        .liveEntries(root).map(_.rel)
+        .filterNot(_.startsWith(s"${graft.sources.ManifestTable.DeleteDir}/"))
+      val before = dataRels.toSet
+
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark,
+        s"DELETE FROM $tbl WHERE user_id % 10 = 3")
+
+      val morOk = dataRels.toSet == before &&
+        graft.sources.ManifestTable.hasDeletes(root)
+      val agg = spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+      agg.withColumn("mor_ok", lit(morOk)).localCheckpoint(true)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+        case None => spark.conf.unset("spark.graft.delete.mode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** Watermark splitting the two committed snapshots (and the oracle's
     * recomputation of each). */
   val TtCutoff = "2024-01-15 00:00:00"
@@ -457,6 +496,15 @@ object V2Queries {
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok
          |FROM events
          |WHERE event_type = 'purchase'
+         |GROUP BY 1""".stripMargin
+
+    /** Merge-on-read must be invisible in the data: recompute the
+      * post-delete aggregate, layout verdict pinned TRUE. */
+    val morDeleteScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS mor_ok
+         |FROM events
+         |WHERE user_id % 10 <> 3
          |GROUP BY 1""".stripMargin
 
     val versionedScanPrune: String =

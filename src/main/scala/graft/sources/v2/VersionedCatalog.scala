@@ -697,11 +697,20 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     *
     * Residual filters keep the result exact either way — pruning is a
     * pure optimization, exactly Iceberg's manifest-stats scan planning. */
-  private[v2] def prunedManifest: Seq[String] = {
-    val all = pinnedVersion.orElse(ManifestTable.currentVersion(root)) match {
+  private def resolvedEntries: Seq[ManifestTable.FileEntry] =
+    pinnedVersion.orElse(ManifestTable.currentVersion(root)) match {
       case Some(v) => ManifestTable.entries(root, v)
       case None => Nil
     }
+
+  /** Positional-delete entries of the resolved snapshot (merge-on-read
+    * tombstones the scan must apply). */
+  private[v2] def deleteRels: Seq[String] =
+    resolvedEntries.map(_.rel).filter(_.startsWith(s"${ManifestTable.DeleteDir}/"))
+
+  private[v2] def prunedManifest: Seq[String] = {
+    // delete entries are metadata for the reader, never data input
+    val all = resolvedEntries.filterNot(_.rel.startsWith(s"${ManifestTable.DeleteDir}/"))
     val dayPruned = if (dayOf.isEmpty) all
     else dayBounds match {
       case (None, None) => all
@@ -925,8 +934,26 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
           org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
             spark, index, physical(dataSchema), readData, readPart, physicalFilters, options)
     }
-    if (meta.renames.isEmpty) delegate
-    else new RenamedScan(delegate, logicalRead)
+    val named = if (meta.renames.isEmpty) delegate
+      else new RenamedScan(delegate, logicalRead)
+    val delRels = deleteRels
+    if (delRels.isEmpty) named
+    else {
+      // merge-on-read: load the snapshot's tombstones (driver-side, one
+      // small job at plan time — bounded by rows deleted since the last
+      // compaction), keep only those naming files that SURVIVED pruning,
+      // and wrap the scan so affected files' readers skip them
+      val surviving = rels.toSet
+      val byRel = spark.read.parquet(delRels.map(r => s"$root/data/$r"): _*)
+        .select("__file", "__pos")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1)
+        .collect { case (rel, ps) if surviving.contains(rel) =>
+          rel -> ps.map(_._2).distinct.sorted
+        }
+      if (byRel.isEmpty) named else new MorScan(named, byRel)
+    }
   }
 }
 

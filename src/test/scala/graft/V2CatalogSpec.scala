@@ -725,6 +725,64 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.idp")
   }
 
+  test("merge-on-read DELETE: tombstones instead of rewrites, self-scoping across appends, materialized by OPTIMIZE") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.mor")
+    (0L until 200L).map(i => (i, s"v$i", i % 7 == 3)).toDF("k", "s", "flag")
+      .repartition(4).writeTo("gtest.ns.mor").create()
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/mor"
+    def dataRels = ManifestTable.liveEntries(root).map(_.rel)
+      .filterNot(_.startsWith(s"${ManifestTable.DeleteDir}/"))
+    val v1Data = dataRels.toSet
+    assert(v1Data.size >= 2)
+
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try {
+      // a ~10-row scattered delete must rewrite ZERO data files
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.mor WHERE k % 20 = 5")
+      assert(dataRels.toSet === v1Data,
+        "merge-on-read DELETE must not rewrite any data file")
+      assert(ManifestTable.hasDeletes(root), "expected a positional-delete entry")
+      // the tombstone-applying scan hides exactly the deleted rows
+      val t = spark.table("gtest.ns.mor")
+      assert(t.count() === 190)
+      assert(t.where(col("k") === 5L).count() === 0)
+      assert(t.where(col("k") === 6L).count() === 1)
+      // projection/filters still work through the wrapped readers
+      assert(t.where(col("flag")).count() ===
+        (0L until 200L).count(i => i % 7 == 3 && i % 20 != 5))
+      // time travel to v1 still shows the deleted rows
+      assert(spark.sql("SELECT * FROM gtest.ns.mor VERSION AS OF 1").count() === 200)
+      // ManifestTable.read (the DML/compaction read path) applies them too
+      assert(ManifestTable.read(spark, root).count() === 190)
+
+      // tombstones are SELF-SCOPING: appended rows matching the same
+      // predicate are untouched (they live in new files)
+      Seq((205L, "v205", false)).toDF("k", "s", "flag")
+        .writeTo("gtest.ns.mor").append()
+      val afterAppend = dataRels.toSet
+      assert(spark.table("gtest.ns.mor").where(col("k") === 205L).count() === 1)
+      assert(spark.table("gtest.ns.mor").count() === 191)
+
+      // a second MOR delete stacks; data files still untouched
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.mor WHERE k = 6")
+      assert(spark.table("gtest.ns.mor").count() === 190)
+      assert(dataRels.toSet === afterAppend)
+
+      // OPTIMIZE materializes: no delete entries survive, data identical,
+      // and the table is back on clean vectorized scans
+      spark.sql("CALL gtest.system.optimize(`table` => 'ns.mor')")
+      assert(!ManifestTable.hasDeletes(root), "compaction must clear tombstones")
+      assert(spark.table("gtest.ns.mor").count() === 190)
+      assert(spark.table("gtest.ns.mor").where(col("k") === 5L || col("k") === 6L).count() === 0)
+    } finally {
+      spark.conf.unset("spark.graft.delete.mode")
+      spark.sql("DROP TABLE gtest.ns.mor")
+    }
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
