@@ -140,6 +140,7 @@ object SparkEntry {
     "months_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.monthsPruneScan(s, d)),
     "identity_partition_scan" -> ((s, d) => graft.sources.v2.V2Queries.identityPartitionScan(s, d)),
     "mor_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.morDeleteScan(s, d)),
+    "files_metadata_scan" -> ((s, d) => graft.sources.v2.V2Queries.filesMetadataScan(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
     "incremental_gold_from_cdc" -> ((s, d) => graft.sources.v2.V2Queries.incrementalGoldFromCdc(s, d)),
     // per-table format through the catalog: three CTAS legs (parquet/orc/
@@ -263,6 +264,7 @@ object SparkEntry {
     "months_prune_scan" -> graft.sources.v2.V2Queries.oracle.monthsPruneScan,
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
+    "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
     "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,
     "catalog_format_fanout" -> graft.sources.v2.V2Queries.oracle.catalogFormatFanout,

@@ -129,8 +129,9 @@ object Versioned {
 
     flipPointer(root, next)
 
-    // GC: age out old snapshots, but never one pinned by a tag
-    val pinned = tags(root).values.toSet
+    // GC: age out old snapshots, but never one pinned by a tag or held
+    // as a branch head (an unpublished audit branch must stay readable)
+    val pinned = tags(root).values.toSet ++ branches(root).values.toSet
     versions(root).filter(v => v <= next - retain && !pinned(v)).foreach { v =>
       MetaIO.delete(s"$root/v=$v", recursive = true)
     }
@@ -152,6 +153,79 @@ object Versioned {
     require(MetaIO.exists(s"$root/v=$toVersion"),
       s"cannot roll back: version $toVersion of $root is not retained")
     flipPointer(root, toVersion)
+  }
+
+  // ---- branches + write-audit-publish ------------------------------------
+
+  private def branchesDir(root: String): String = s"$root/branches"
+
+  /** Create a named BRANCH pointer — Iceberg's snapshot branches, the
+    * staging half of the write-audit-publish pattern
+    * (`/root/reference/README.md:332-340` lists branching as a headline
+    * Iceberg capability). A branch is a movable sibling of `_CURRENT`:
+    * commits can target it ([[commitToBranch]]), audit queries read it
+    * ([[readBranch]]) while MAIN is untouched, and [[publishBranch]]
+    * fast-forwards `_CURRENT` to the audited head with one atomic flip.
+    * Defaults to branching from the live snapshot. */
+  def createBranch(root: String, name: String, version: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal branch name '$name'")
+    val v = version.getOrElse(currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root")))
+    require(MetaIO.exists(s"$root/v=$v"), s"version $v of $root is not retained")
+    MetaIO.writeAtomic(s"${branchesDir(root)}/$name", v.toString)
+    v
+  }
+
+  /** All branches of a table (name → head version). */
+  def branches(root: String): Map[String, Long] =
+    MetaIO.listStatus(branchesDir(root))
+      .map(st => st.getPath.getName ->
+        MetaIO.readString(st.getPath.toString).trim.toLong)
+      .toMap
+
+  def dropBranch(root: String, name: String): Unit =
+    MetaIO.delete(s"${branchesDir(root)}/$name")
+
+  private def branchHead(root: String, name: String): Long =
+    branches(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on $root"))
+
+  /** Read a branch's head snapshot (the audit query's view). */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame =
+    readVersion(spark, root, branchHead(root, name))
+
+  /** Commit `df` as the branch's new head WITHOUT touching `_CURRENT`:
+    * the snapshot is written exactly like [[commit]]'s (immutable
+    * directory above every retained version) but only the BRANCH pointer
+    * moves — main readers cannot see it until [[publishBranch]]. The
+    * previous branch head stays retained (it is GC-pinned only while a
+    * branch or tag names it, like any other snapshot). */
+  def commitToBranch(df: DataFrame, root: String, branch: String,
+                     partitionDayOf: Option[String] = None): Long = {
+    branchHead(root, branch) // the branch must exist
+    val next = math.max(
+      currentVersion(root).getOrElse(0L),
+      versions(root).lastOption.getOrElse(0L)) + 1
+    partitionDayOf match {
+      case Some(ts) =>
+        df.withColumn(DayCol, to_date(col(ts)))
+          .write.mode("overwrite").partitionBy(DayCol).parquet(s"$root/v=$next")
+      case None =>
+        df.write.mode("overwrite").parquet(s"$root/v=$next")
+    }
+    MetaIO.writeAtomic(s"${branchesDir(root)}/$branch", next.toString)
+    next
+  }
+
+  /** Publish the audited branch: fast-forward `_CURRENT` to the branch
+    * head with one atomic pointer flip — the snapshot main readers see
+    * next is bit-identical to the one the audit queries validated (no
+    * rewrite between audit and publish, the whole point of WAP). The
+    * branch pointer survives; drop it when the staging cycle is done. */
+  def publishBranch(root: String, name: String): Long = {
+    val v = branchHead(root, name)
+    flipPointer(root, v)
+    v
   }
 
   private def tagsDir(root: String): String = s"$root/tags"

@@ -1,0 +1,124 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{ManifestTable, MetaIO}
+
+/** Iceberg's metadata-table inspection surface (`tbl.files`,
+  * `tbl.snapshots`, `tbl.partitions` — the reference gets it from the
+  * Iceberg jar for free) for versioned catalog tables: a dotted suffix on
+  * the table identifier resolves to a driver-local V2 relation over the
+  * MANIFEST — pure metadata, no data file is opened, any SQL composes on
+  * top. Row counts are bounded by the manifest (file count / retained
+  * versions), which is exactly the scale at which a driver-local scan is
+  * the right physical plan. */
+object MetaTables {
+
+  val Kinds: Set[String] = Set("files", "snapshots", "partitions")
+
+  private val FilesSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("is_delete_file", BooleanType, nullable = false),
+    StructField("stats", StringType, nullable = true)))
+
+  private val SnapshotsSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_data_files", LongType, nullable = false),
+    StructField("n_delete_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  private val PartitionsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false)))
+
+  def load(name: String, root: String, kind: String): Table = kind match {
+    case "files"      => MetaTable(name, FilesSchema, () => filesRows(root))
+    case "snapshots"  => MetaTable(name, SnapshotsSchema, () => snapshotRows(root))
+    case "partitions" => MetaTable(name, PartitionsSchema, () => partitionRows(root))
+    case other => throw new IllegalArgumentException(s"no metadata table $other")
+  }
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  private def dirOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  private def isDelete(rel: String): Boolean =
+    rel.startsWith(s"${ManifestTable.DeleteDir}/")
+
+  private def liveEntries(root: String): Seq[ManifestTable.FileEntry] =
+    if (ManifestTable.exists(root)) ManifestTable.liveEntries(root) else Nil
+
+  private def filesRows(root: String): Array[InternalRow] =
+    liveEntries(root).map { e =>
+      new GenericInternalRow(Array[Any](
+        utf8(e.rel), utf8(dirOf(e.rel)),
+        MetaIO.size(s"$root/data/${e.rel}"),
+        isDelete(e.rel),
+        e.stats.map(utf8).orNull))
+    }.toArray
+
+  private def snapshotRows(root: String): Array[InternalRow] = {
+    val live = if (ManifestTable.exists(root)) ManifestTable.currentVersion(root) else None
+    (if (ManifestTable.exists(root)) ManifestTable.versions(root) else Nil).map { v =>
+      val es = ManifestTable.entries(root, v)
+      val (del, data) = es.partition(e => isDelete(e.rel))
+      new GenericInternalRow(Array[Any](
+        v,
+        // commit instant = manifest mtime, in micros
+        MetaIO.mtimeMillis(s"$root/manifests/v=$v.txt") * 1000L,
+        data.size.toLong, del.size.toLong,
+        es.map(e => MetaIO.size(s"$root/data/${e.rel}")).sum,
+        live.contains(v)))
+    }.toArray
+  }
+
+  private def partitionRows(root: String): Array[InternalRow] =
+    liveEntries(root).filterNot(e => isDelete(e.rel))
+      .groupBy(e => dirOf(e.rel)).toSeq.sortBy(_._1)
+      .map { case (dir, es) =>
+        new GenericInternalRow(Array[Any](
+          utf8(dir), es.size.toLong,
+          es.map(e => MetaIO.size(s"$root/data/${e.rel}")).sum))
+      }.toArray
+}
+
+/** A metadata relation: rows recomputed from the manifest at every scan
+  * build, served driver-locally. */
+private[v2] case class MetaTable(tableName: String, tableSchema: StructType,
+                                 rowsFn: () => Array[InternalRow])
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def properties(): JMap[String, String] =
+    Map("provider" -> "versioned-metadata").asJava
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = rowsFn()
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = tableName
+      }
+    }
+}

@@ -238,6 +238,52 @@ object V2Queries {
     }
   }
 
+  /** Metadata tables (`tbl.files` / `tbl.snapshots` / `tbl.partitions` —
+    * Iceberg's inspection surface) as an oracle-gated query: a
+    * day-partitioned table of events is CTAS'd and the `meta_ok` verdict
+    * cross-checks every metadata relation against the PHYSICAL truth —
+    * `.files` row count and byte total against a direct filesystem
+    * listing of the manifest, `.snapshots`' current version against the
+    * pointer, `.partitions`' directory set against the live day set. The
+    * data aggregate rides along so the hash compare also proves the
+    * metadata surface didn't disturb normal reads. */
+  def filesMetadataScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ManifestTable, MetaIO}
+    ensureCatalog(spark)
+    val short = newName("fm")
+    val tbl = s"$Cat.q.$short"
+    try {
+      eventsSlim(spark, dir)
+        .writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .create()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+
+      val entries = ManifestTable.liveEntries(root)
+      val physCount = entries.size.toLong
+      val physBytes = entries.map(e => MetaIO.size(s"$root/data/${e.rel}")).sum
+
+      val files = spark.table(s"$tbl.files")
+      val fRow = files.agg(count(lit(1)), sum(col("size_bytes"))).collect()(0)
+      val filesOk = fRow.getLong(0) == physCount && fRow.getLong(1) == physBytes &&
+        files.where(col("is_delete_file")).count() == 0
+
+      val snapsOk = spark.table(s"$tbl.snapshots")
+        .where(col("is_current")).select(col("version")).collect()
+        .map(_.getLong(0)).toSeq == ManifestTable.currentVersion(root).toSeq
+
+      val partsOk = spark.table(s"$tbl.partitions")
+        .select(col("partition")).collect().map(_.getString(0)).toSet ==
+        ManifestTable.liveDays(root).map(d => s"${ManifestTable.DayCol}=$d")
+
+      spark.table(tbl)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("meta_ok", lit(filesOk && snapsOk && partsOk))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Watermark splitting the two committed snapshots (and the oracle's
     * recomputation of each). */
   val TtCutoff = "2024-01-15 00:00:00"
@@ -505,6 +551,14 @@ object V2Queries {
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS mor_ok
          |FROM events
          |WHERE user_id % 10 <> 3
+         |GROUP BY 1""".stripMargin
+
+    /** The metadata surface must be invisible in the data; every
+      * metadata-vs-physical verdict pinned TRUE. */
+    val filesMetadataScan: String =
+      s"""SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS meta_ok
+         |FROM events
          |GROUP BY 1""".stripMargin
 
     val versionedScanPrune: String =

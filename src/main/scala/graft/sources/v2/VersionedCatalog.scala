@@ -91,8 +91,21 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     MetaIO.exists(s"${tableRoot(ident)}/${VersionedCatalog.MetaFile}")
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // metadata-table suffix resolution (Iceberg's `db.tbl.files` shape):
+    // `cat.ns.tbl.files|snapshots|partitions` arrives with the PARENT
+    // table's name as the last namespace element
+    if (!tableExists(ident) && ident.namespace().length >= 1 &&
+        MetaTables.Kinds.contains(ident.name().toLowerCase)) {
+      val ns = ident.namespace()
+      val parent = Identifier.of(ns.dropRight(1), ns.last)
+      if (tableExists(parent))
+        return MetaTables.load(
+          s"$catalogName.${(ns :+ ident.name()).mkString(".")}",
+          tableRoot(parent), ident.name().toLowerCase)
+    }
     loadVersion(ident, None)
+  }
 
   /** `VERSION AS OF n` — Spark hands the version literal as a string. */
   override def loadTable(ident: Identifier, version: String): Table =

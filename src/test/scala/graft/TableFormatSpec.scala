@@ -364,6 +364,52 @@ class TableFormatSpec extends AnyFunSuite {
     assert(ManifestTable.history(spark, root).count() === 3)
   }
 
+  test("branches + write-audit-publish: audit sees the branch, main is untouched until publish, rollback composes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("versioned_wap").toString + "/t"
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, retain = 10)
+
+    // WRITE: stage the next state on a branch — main must not move
+    Versioned.createBranch(root, "audit")
+    val staged = Versioned.commitToBranch(
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"), root, "audit")
+    assert(Versioned.currentVersion(root).contains(1L), "main moved before publish")
+    assert(Versioned.read(spark, root).count() === 2)
+    assert(Versioned.branches(root) === Map("audit" -> staged))
+
+    // AUDIT: queries over the branch see the staged snapshot
+    val audited = Versioned.readBranch(spark, root, "audit")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(audited === Seq(1L -> "a", 2L -> "B", 3L -> "c"))
+
+    // a main commit while the branch is staged: both coexist, the branch
+    // head is GC-pinned
+    Versioned.commit(Seq((9L, "z")).toDF("k", "v"), root, retain = 1)
+    assert(Versioned.readBranch(spark, root, "audit").count() === 3,
+      "an unpublished branch head must survive main-side GC")
+
+    // PUBLISH: one pointer flip — main now reads the AUDITED bytes
+    val preMain = Versioned.currentVersion(root).get
+    Versioned.publishBranch(root, "audit")
+    assert(Versioned.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === audited)
+
+    // a failed audit never publishes: stage junk, audit rejects, drop
+    Versioned.createBranch(root, "audit2")
+    Versioned.commitToBranch(Seq((99L, "junk")).toDF("k", "v"), root, "audit2")
+    val mainBefore = Versioned.read(spark, root).count()
+    Versioned.dropBranch(root, "audit2")
+    assert(Versioned.read(spark, root).count() === mainBefore)
+    assert(Versioned.branches(root).keySet === Set("audit"))
+
+    // rollback interplay: publish then roll back to the pre-publish head;
+    // the next commit still allocates above every retained version
+    Versioned.rollback(root, preMain)
+    assert(Versioned.currentVersion(root).contains(preMain))
+    val after = Versioned.commit(Seq((7L, "q")).toDF("k", "v"), root, retain = 10)
+    assert(after > Versioned.versions(root).filter(_ != after).max)
+  }
+
   test("commit fencing: a reclaimed-midflight committer fails loudly, never publishes the racer's manifest as its own") {
     import spark.implicits._
     import graft.sources.ManifestTable

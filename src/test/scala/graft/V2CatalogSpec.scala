@@ -783,6 +783,83 @@ class V2CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables: .files/.snapshots/.partitions reflect the manifest, including tombstones") {
+    import graft.sources.{ManifestTable, MetaIO}
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.mt")
+    (0 until 100).map(i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 4, 1 + i % 3, 8, 0), i * 1.0))
+      .toDF("k", "ts", "v")
+      .writeTo("gtest.ns.mt")
+      .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts"))).create()
+    spark.sql("INSERT INTO gtest.ns.mt VALUES (500, TIMESTAMP_NTZ'2024-04-05 09:00:00', 1.5)")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/mt"
+
+    // .files: one row per manifest entry, byte sizes physical
+    val files = spark.table("gtest.ns.mt.files")
+    val entries = ManifestTable.liveEntries(root)
+    assert(files.count() === entries.size)
+    assert(files.agg(sum("size_bytes")).collect()(0).getLong(0) ===
+      entries.map(e => MetaIO.size(s"$root/data/${e.rel}")).sum)
+    assert(files.where(col("stats").isNotNull).count() > 0, "stats ride the .files rows")
+
+    // .snapshots: both retained versions, the live one flagged
+    val snaps = spark.table("gtest.ns.mt.snapshots")
+      .orderBy("version").collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(snaps.map(r => r.getBoolean(5)).toSeq === Seq(false, true))
+
+    // .partitions: one row per live day directory
+    val parts = spark.table("gtest.ns.mt.partitions")
+    assert(parts.select("partition").collect().map(_.getString(0)).toSet ===
+      ManifestTable.liveDays(root).map(d => s"__day=$d"))
+    assert(parts.agg(sum("n_files")).collect()(0).getLong(0) === entries.size)
+
+    // metadata SQL composes: biggest partition by bytes
+    val top = spark.sql(
+      "SELECT partition FROM gtest.ns.mt.partitions ORDER BY total_bytes DESC LIMIT 1")
+    assert(top.count() === 1)
+
+    // a MOR delete surfaces as a delete-file row in .files
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.mt WHERE k = 7")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    assert(spark.table("gtest.ns.mt.files").where(col("is_delete_file")).count() === 1)
+    // .partitions stays data-only
+    assert(spark.table("gtest.ns.mt.partitions")
+      .agg(sum("n_files")).collect()(0).getLong(0) === entries.size)
+    spark.sql("DROP TABLE gtest.ns.mt")
+  }
+
+  test("second engine: duckdb resolves pointer -> manifest -> parquet and applies tombstones, no Spark involved") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.ext")
+    (0L until 100L).map(i => (i, s"s$i")).toDF("k", "s")
+      .repartition(3).writeTo("gtest.ns.ext").create()
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.ext WHERE k % 10 = 4")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/ext"
+    assert(ManifestTable.hasDeletes(root))
+
+    // the OTHER engine reads the same root through the documented
+    // protocol — the reference's HMS+Trino interoperability property
+    import scala.sys.process._
+    val script = new java.io.File("scripts/duckdb_versioned.py").getAbsolutePath
+    val out = Seq("python3", script, root,
+      "SELECT COUNT(*) AS n, SUM(k) AS s FROM t").!!
+    val nums = out.linesIterator.toSeq.last.trim.split("\\s+")
+    val (extN, extS) = (nums(0).toLong, nums(1).toDouble.toLong)
+    val sparkRows = spark.table("gtest.ns.ext")
+      .agg(count(lit(1)), sum("k")).collect()(0)
+    assert(extN === sparkRows.getLong(0), s"duckdb row count diverged: $out")
+    assert(extS === sparkRows.getLong(1), s"duckdb sum diverged: $out")
+    spark.sql("DROP TABLE gtest.ns.ext")
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
