@@ -334,6 +334,16 @@ object MergeInto {
     * beyond the rewrite's write. */
   private[graft] def executeUpdate(spark: SparkSession, u: UpdateTable): Unit = {
     val tgt = resolveTarget(spark, u.table)
+    // merge-on-read UPDATE (Iceberg's write.update.mode=merge-on-read):
+    // parquet catalog tables only, opt-in per session
+    val morMode =
+      spark.conf.get("spark.graft.update.mode", "copy-on-write") == "merge-on-read"
+    tgt.backing match {
+      case Some(CatalogBacking(root, _)) if morMode &&
+          ManifestTable.formatOf(root).contains("parquet") =>
+        if (morUpdate(spark, tgt, root, u)) return
+      case _ => ()
+    }
     val targetCols = tgt.df.columns.toSeq
     val schema = tgt.df.schema
     val t = tgt.df.alias(tgt.alias)
@@ -394,21 +404,20 @@ object MergeInto {
     }
   }
 
-  /** Merge-on-read DELETE: compute the (file, row-index) tombstones of
-    * the predicate-matched rows via a metadata-column read of the live
-    * data files and commit them through
-    * [[ManifestTable.appendDeletes]] — zero data files rewritten. Returns
-    * false to fall back (no descriptor / nothing to resolve). */
-  private def morDelete(spark: SparkSession, tgt: Target, root: String,
-                        cond: Expression): Boolean = {
-    val meta = graft.sources.v2.VersionedCatalog.readMeta(root) match {
-      case Some(m) => m
-      case None => return false
-    }
-    if (!ManifestTable.exists(root)) return true // empty table: no-op
-    val dataRels = ManifestTable.liveEntries(root).map(_.rel)
-      .filterNot(_.startsWith(s"${ManifestTable.DeleteDir}/"))
-    if (dataRels.isEmpty) return true
+  /** The live rows of a MOR-capable catalog table read directly
+    * (schema-pinned parquet, logical column names, `__mor_rel`/`__mor_pos`
+    * row identity) with EXISTING tombstones applied — the shared input of
+    * the merge-on-read DML paths. Applying the tombstones here is a
+    * correctness requirement, not hygiene: an UPDATE over a raw read
+    * would rewrite an already-deleted row into a new file, resurrecting
+    * it. None = nothing to read (empty table ⇒ the DML is a no-op). */
+  private def morRead(spark: SparkSession, root: String,
+                      meta: graft.sources.v2.VersionedCatalog.Meta,
+                      alias: String): Option[DataFrame] = {
+    if (!ManifestTable.exists(root)) return None
+    val (delRels, dataRels) = ManifestTable.liveEntries(root).map(_.rel)
+      .partition(_.startsWith(s"${ManifestTable.DeleteDir}/"))
+    if (dataRels.isEmpty) return None
     // schema-pinned direct parquet read: evolution-added columns null-fill
     // through the declared physical schema, identity partition values
     // re-derive from directory names, and _metadata gives row identity
@@ -416,20 +425,88 @@ object MergeInto {
       .schema(meta.physicalSchema)
       .option("basePath", s"$root/data")
       .load(dataRels.map(r => s"$root/data/$r"): _*)
-    val logical = base.select(
+    val keyed = base.select(
       meta.schema.fields.toIndexedSeq.map(f =>
         col(meta.physicalName(f.name)).as(f.name)) ++
-        Seq(col("_metadata.file_path").as("__mor_path"),
+        Seq(regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1)
+          .as("__mor_rel"),
           col("_metadata.row_index").as("__mor_pos")): _*)
-      .alias(tgt.alias)
+    val applied =
+      if (delRels.isEmpty) keyed
+      else {
+        val delDf = spark.read.parquet(delRels.map(r => s"$root/data/$r"): _*)
+          .select(col("__file").as("__del_file"), col("__pos").as("__del_pos"))
+        keyed.join(delDf,
+          keyed("__mor_rel") === delDf("__del_file") &&
+            keyed("__mor_pos") === delDf("__del_pos"), "left_anti")
+      }
+    Some(applied.alias(alias))
+  }
+
+  /** Merge-on-read DELETE: commit (file, row-index) tombstones for the
+    * predicate-matched rows through [[ManifestTable.appendDeletes]] —
+    * zero data files rewritten. Returns false to fall back. */
+  private def morDelete(spark: SparkSession, tgt: Target, root: String,
+                        cond: Expression): Boolean = {
+    val meta = graft.sources.v2.VersionedCatalog.readMeta(root) match {
+      case Some(m) => m
+      case None => return false
+    }
+    val logical = morRead(spark, root, meta, tgt.alias) match {
+      case Some(df) => df
+      case None => return true // empty table: no-op
+    }
     val hit = coalesce(GraftColumnBridge.column(cond), lit(false))
-    val tombstones = logical.where(hit).select(
-      regexp_extract(col("__mor_path"), ".*/data/(.*)$", 1).as("__file"),
-      col("__mor_pos").as("__pos"))
+    val tombstones = logical.where(hit)
+      .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
       .localCheckpoint(true) // materialize before the commit decision
     if (tombstones.isEmpty) return true // predicate matched nothing: no-op
     ManifestTable.appendDeletes(tombstones.repartition(1), root,
       retain = retainOf(spark))
+    true
+  }
+
+  /** Merge-on-read UPDATE: ONE atomic commit of tombstones for the
+    * matched rows' old positions plus their rewritten versions as new
+    * files ([[ManifestTable.appendWithDeletes]]) — commit cost follows
+    * the touched rows, untouched data files are never rewritten. */
+  private def morUpdate(spark: SparkSession, tgt: Target, root: String,
+                        u: UpdateTable): Boolean = {
+    val meta = graft.sources.v2.VersionedCatalog.readMeta(root) match {
+      case Some(m) => m
+      case None => return false
+    }
+    val logical = morRead(spark, root, meta, tgt.alias) match {
+      case Some(df) => df
+      case None => return true
+    }
+    val hit = coalesce(u.condition.map(GraftColumnBridge.column)
+      .getOrElse(lit(true)), lit(false))
+    // one materialized matched set feeds BOTH halves of the commit, so
+    // tombstones and rewrites describe exactly the same rows (re-aliased:
+    // the checkpoint drops the subquery alias the SET exprs may use)
+    val matched = logical.where(hit).localCheckpoint(true).alias(tgt.alias)
+    if (matched.isEmpty) return true
+    val targetCols = tgt.df.columns.toSeq
+    val schema = tgt.df.schema
+    val assigned: Map[String, Column] = u.assignments.map { a =>
+      assignNameIn(targetCols, a.key) -> GraftColumnBridge.column(a.value)
+    }.toMap
+    val updated = matched.select(targetCols.map { c =>
+      assigned.get(c) match {
+        case Some(v) => v.cast(schema(c).dataType).as(c)
+        case None    => col(c)
+      }
+    }: _*)
+    val tombstones = matched
+      .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
+      .repartition(1)
+    ManifestTable.appendWithDeletes(toPhysical(root, updated), tombstones, root,
+      retain = retainOf(spark),
+      partitionDayOf = meta.dayOf.map(meta.physicalName),
+      format = Some(meta.format),
+      partitionExpr = graft.sources.v2.VersionedCatalog.partDeriveExpr(meta),
+      partitionCols = meta.identityCols.map(meta.physicalName))
     true
   }
 

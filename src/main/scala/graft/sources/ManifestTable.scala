@@ -544,6 +544,34 @@ object ManifestTable {
     * (tombstones reference specific files, so concurrent appends of NEW
     * files never conflict logically). */
   def appendDeletes(tombstones: DataFrame, root: String, retain: Int = 2): Long = {
+    val fresh = writeDeletePool(tombstones, root)
+    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
+      Planned(baseEntries ++ fresh, baseProps)
+    }
+  }
+
+  /** Merge-on-read UPDATE/MERGE commit: tombstones for the OLD positions
+    * of the touched rows plus their REWRITTEN versions as new data files,
+    * published in ONE atomic commit — base ∪ tombstones ∪ new files.
+    * Commit cost follows the touched rows, never the table; readers see
+    * either the pre-update snapshot or the complete post-update one. */
+  def appendWithDeletes(df: DataFrame, tombstones: DataFrame, root: String,
+                        retain: Int = 2,
+                        partitionDayOf: Option[String] = None,
+                        format: Option[String] = None,
+                        partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
+                        partitionCols: Seq[String] = Nil): Long = {
+    val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
+    val freshData = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
+    val freshDel = writeDeletePool(tombstones, root)
+    val zone = writeZoneOf(df, partitionDayOf)
+    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
+      Planned(baseEntries ++ freshDel ++ freshData,
+        baseProps ++ mergeZoneProp(baseProps, zone))
+    }
+  }
+
+  private def writeDeletePool(tombstones: DataFrame, root: String): Seq[FileEntry] = {
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
     tombstones.select(col("__file").cast("string"), col("__pos").cast("long"))
       .write.parquet(stage)
@@ -556,9 +584,7 @@ object ManifestTable {
         FileEntry(rel, None)
       }
     MetaIO.delete(stage, recursive = true)
-    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
-      Planned(baseEntries ++ fresh, baseProps)
-    }
+    fresh
   }
 
   /** Partition-scoped commit: replace the named days with `df`'s rows;

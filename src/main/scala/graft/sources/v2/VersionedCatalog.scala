@@ -438,7 +438,7 @@ object VersionedCatalog {
     * `months`/`years` via date_format, `bucket` via Spark's Murmur3
     * `hash()` pmod n, `truncate` via integral floor-to-multiple (pmod
     * keeps negatives on the floor) or string prefix. */
-  private[v2] def partDeriveExpr(meta: Meta): Option[(String, org.apache.spark.sql.Column)] = {
+  private[graft] def partDeriveExpr(meta: Meta): Option[(String, org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.functions._
     meta.part.map { p =>
       val c = col(meta.physicalName(p.col))

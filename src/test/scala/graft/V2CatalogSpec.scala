@@ -771,12 +771,45 @@ class V2CatalogSpec extends AnyFunSuite {
       assert(spark.table("gtest.ns.mor").count() === 190)
       assert(dataRels.toSet === afterAppend)
 
+      // merge-on-read UPDATE: tombstones + one small appended rewrite in
+      // ONE commit; every pre-existing data file untouched
+      spark.conf.set("spark.graft.update.mode", "merge-on-read")
+      val vBefore = ManifestTable.currentVersion(root).get
+      graft.plans.MergeInto.sql(spark,
+        "UPDATE gtest.ns.mor SET s = concat(s, '!') WHERE k % 50 = 7")
+      spark.conf.unset("spark.graft.update.mode")
+      assert(ManifestTable.currentVersion(root).contains(vBefore + 1),
+        "tombstones + rewrites must land as ONE commit")
+      assert(afterAppend.subsetOf(dataRels.toSet),
+        "MOR UPDATE must not rewrite any pre-existing data file")
+      assert(spark.table("gtest.ns.mor").count() === 190, "UPDATE must not change row count")
+      assert(spark.table("gtest.ns.mor").where(col("k") === 7L)
+        .select("s").collect()(0).getString(0) === "v7!")
+      assert(spark.table("gtest.ns.mor").where(col("s").endsWith("!")).count() ===
+        (0L until 200L).count(i => i % 50 == 7).toLong)
+      // an updated-then-deleted row never resurrects: k=57 was updated
+      // above; MOR-delete it, then update the same predicate again — the
+      // second update must not bring it back
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.mor WHERE k = 57")
+      spark.conf.set("spark.graft.update.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark,
+        "UPDATE gtest.ns.mor SET s = concat(s, '?') WHERE k % 50 = 7")
+      spark.conf.unset("spark.graft.update.mode")
+      assert(spark.table("gtest.ns.mor").where(col("k") === 57L).count() === 0,
+        "an UPDATE over tombstoned rows must not resurrect them")
+      assert(spark.table("gtest.ns.mor").where(col("k") === 7L)
+        .select("s").collect()(0).getString(0) === "v7!?")
+
       // OPTIMIZE materializes: no delete entries survive, data identical,
       // and the table is back on clean vectorized scans
       spark.sql("CALL gtest.system.optimize(`table` => 'ns.mor')")
       assert(!ManifestTable.hasDeletes(root), "compaction must clear tombstones")
-      assert(spark.table("gtest.ns.mor").count() === 190)
-      assert(spark.table("gtest.ns.mor").where(col("k") === 5L || col("k") === 6L).count() === 0)
+      assert(spark.table("gtest.ns.mor").count() === 189) // 200 - 10 - k6 - k57 + k205
+      assert(spark.table("gtest.ns.mor").where(
+        col("k") === 5L || col("k") === 6L || col("k") === 57L).count() === 0)
+      assert(spark.table("gtest.ns.mor").where(col("k") === 7L)
+        .select("s").collect()(0).getString(0) === "v7!?",
+        "updates survive materialization")
     } finally {
       spark.conf.unset("spark.graft.delete.mode")
       spark.sql("DROP TABLE gtest.ns.mor")
