@@ -416,7 +416,7 @@ object MergeInto {
                       alias: String): Option[DataFrame] = {
     if (!ManifestTable.exists(root)) return None
     val (delRels, dataRels) = ManifestTable.liveEntries(root).map(_.rel)
-      .partition(_.startsWith(s"${ManifestTable.DeleteDir}/"))
+      .partition(ManifestTable.isDeleteEntry)
     if (dataRels.isEmpty) return None
     // schema-pinned direct parquet read: evolution-added columns null-fill
     // through the declared physical schema, identity partition values

@@ -119,12 +119,23 @@ object FileStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       if (blocks.isEmpty) return Map.empty
+      // timestamps: footer longs are only micros when the logical
+      // annotation says MICROS — MILLIS/NANOS footers (alternate writer
+      // configs) would be misread by three orders of magnitude, so any
+      // other unit yields no stats verdict for the column
+      def microsAnnotated(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+        c.getPrimitiveType.getLogicalTypeAnnotation match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+          case _ => false
+        }
       schema.fields.flatMap { f =>
         tagOf(f.dataType).flatMap { tag =>
           // per-row-group chunks for this top-level column
           val chunks = blocks.map(_.getColumns.asScala
             .find(c => c.getPath.size() == 1 && c.getPath.toDotString == f.name))
           if (chunks.exists(_.isEmpty)) None
+          else if ((tag == 't' || tag == 'n') && !chunks.flatten.forall(microsAnnotated)) None
           else {
             val sts = chunks.flatten.map(_.getStatistics)
             // every row group must carry usable stats, else no verdict

@@ -104,7 +104,20 @@ object ManifestTable {
     * rewrites materialize them away. */
   val DeleteDir = "__deletes"
 
-  private def isDeleteEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/")
+  /** True for manifest entries under the reserved delete directory. */
+  def isDeleteEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/")
+
+  /** The URL-ENCODED relative form of a pool path — the representation
+    * `_metadata.file_path`-derived row identities (tombstone `__file`
+    * values) use. Identical to the raw rel for the engine's own layouts
+    * (UUID names, `__day=`/`__part=` dirs); differs only when identity
+    * partition values need URI escaping (spaces, '%'). */
+  private[graft] def encodedRel(root: String, rel: String): String = {
+    val enc = org.apache.spark.paths.SparkPath.fromPath(
+      new org.apache.hadoop.fs.Path(s"$root/data/$rel")).urlEncoded
+    val i = enc.lastIndexOf("/data/")
+    if (i < 0) rel else enc.substring(i + "/data/".length)
+  }
 
   /** Live delete entries (empty for tables with no merge-on-read state). */
   def liveDeleteEntries(root: String): Seq[FileEntry] =
@@ -544,10 +557,33 @@ object ManifestTable {
     * (tombstones reference specific files, so concurrent appends of NEW
     * files never conflict logically). */
   def appendDeletes(tombstones: DataFrame, root: String, retain: Int = 2): Long = {
+    val touched = touchedRelsOf(tombstones)
     val fresh = writeDeletePool(tombstones, root)
     commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
+      requireTombstonedFilesLive(root, baseEntries, touched)
       Planned(baseEntries ++ fresh, baseProps)
     }
+  }
+
+  /** Distinct data files a tombstone set names (encoded-rel form). */
+  private def touchedRelsOf(tombstones: DataFrame): Set[String] =
+    tombstones.select(col("__file").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Tombstones are only meaningful against the exact files they name: a
+    * concurrent compaction/rewrite that replaced those files would turn
+    * this commit into a silent no-op (DELETE) or a row resurrection
+    * (UPDATE appends the new versions while the compacted copies of the
+    * old ones survive). Same validate-against-base discipline as
+    * [[replaceDays]] — surface the conflict, never publish it. */
+  private def requireTombstonedFilesLive(root: String, baseEntries: Seq[FileEntry],
+                                         touched: Set[String]): Unit = {
+    val live = baseEntries.filterNot(e => isDeleteEntry(e.rel))
+      .map(e => encodedRel(root, e.rel)).toSet
+    if (!touched.subsetOf(live))
+      throw new java.util.ConcurrentModificationException(
+        s"files tombstoned by this merge-on-read commit were rewritten " +
+          s"concurrently under $root; recompute against the new snapshot")
   }
 
   /** Merge-on-read UPDATE/MERGE commit: tombstones for the OLD positions
@@ -562,10 +598,12 @@ object ManifestTable {
                         partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
                         partitionCols: Seq[String] = Nil): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
+    val touched = touchedRelsOf(tombstones)
     val freshData = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
     val freshDel = writeDeletePool(tombstones, root)
     val zone = writeZoneOf(df, partitionDayOf)
     commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
+      requireTombstonedFilesLive(root, baseEntries, touched)
       Planned(baseEntries ++ freshDel ++ freshData,
         baseProps ++ mergeZoneProp(baseProps, zone))
     }

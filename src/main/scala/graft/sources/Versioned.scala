@@ -113,12 +113,7 @@ object Versioned {
   def commit(df: DataFrame, root: String, retain: Int = 2,
              partitionDayOf: Option[String] = None): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
-    // allocate past every RETAINED directory, not just the pointer: after
-    // a rollback the pointer sits below younger retained snapshots, and
-    // pointer+1 would overwrite one of them
-    val next = math.max(
-      currentVersion(root).getOrElse(0L),
-      versions(root).lastOption.getOrElse(0L)) + 1
+    val next = allocateVersion(root)
     partitionDayOf match {
       case Some(ts) =>
         df.withColumn(DayCol, to_date(col(ts)))
@@ -134,8 +129,31 @@ object Versioned {
     val pinned = tags(root).values.toSet ++ branches(root).values.toSet
     versions(root).filter(v => v <= next - retain && !pinned(v)).foreach { v =>
       MetaIO.delete(s"$root/v=$v", recursive = true)
+      MetaIO.delete(s"$root/claims/$v")
     }
     next
+  }
+
+  /** Win-or-fail snapshot-version allocation: every writer — main commit
+    * or branch commit — CLAIMS its `v=N` with an exclusive-create marker
+    * before any data is written. The previous max+1 scheme was a
+    * check-then-act race the write-audit-publish topology invites (a
+    * branch writer and a main writer allocating the same N would
+    * `mode(overwrite)` each other's snapshot directory mid-write).
+    * Allocation starts past every RETAINED directory, not just the
+    * pointer: after a rollback the pointer sits below younger retained
+    * snapshots, and pointer+1 would overwrite one of them. */
+  private def allocateVersion(root: String): Long = {
+    var next = math.max(
+      currentVersion(root).getOrElse(0L),
+      versions(root).lastOption.getOrElse(0L)) + 1
+    while (true) {
+      try { MetaIO.createNew(s"$root/claims/$next", ""); return next }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Single-key atomic pointer flip: temp file + rename-with-overwrite
@@ -176,9 +194,12 @@ object Versioned {
     v
   }
 
-  /** All branches of a table (name → head version). */
+  /** All branches of a table (name → head version). `writeAtomic`'s
+    * in-flight staging files (dot-prefixed temps) are skipped — a commit
+    * GC listing this directory mid-publish must never read one. */
   def branches(root: String): Map[String, Long] =
     MetaIO.listStatus(branchesDir(root))
+      .filterNot(_.getPath.getName.startsWith("."))
       .map(st => st.getPath.getName ->
         MetaIO.readString(st.getPath.toString).trim.toLong)
       .toMap
@@ -203,9 +224,7 @@ object Versioned {
   def commitToBranch(df: DataFrame, root: String, branch: String,
                      partitionDayOf: Option[String] = None): Long = {
     branchHead(root, branch) // the branch must exist
-    val next = math.max(
-      currentVersion(root).getOrElse(0L),
-      versions(root).lastOption.getOrElse(0L)) + 1
+    val next = allocateVersion(root) // claimed: can't collide with main commits
     partitionDayOf match {
       case Some(ts) =>
         df.withColumn(DayCol, to_date(col(ts)))

@@ -61,7 +61,7 @@ object MetaTables {
   }
 
   private def isDelete(rel: String): Boolean =
-    rel.startsWith(s"${ManifestTable.DeleteDir}/")
+    ManifestTable.isDeleteEntry(rel)
 
   private def liveEntries(root: String): Seq[ManifestTable.FileEntry] =
     if (ManifestTable.exists(root)) ManifestTable.liveEntries(root) else Nil

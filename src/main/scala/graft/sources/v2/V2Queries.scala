@@ -216,7 +216,7 @@ object V2Queries {
       val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
       def dataRels = graft.sources.ManifestTable
         .liveEntries(root).map(_.rel)
-        .filterNot(_.startsWith(s"${graft.sources.ManifestTable.DeleteDir}/"))
+        .filterNot(graft.sources.ManifestTable.isDeleteEntry)
       val before = dataRels.toSet
 
       spark.conf.set("spark.graft.delete.mode", "merge-on-read")

@@ -719,11 +719,11 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   /** Positional-delete entries of the resolved snapshot (merge-on-read
     * tombstones the scan must apply). */
   private[v2] def deleteRels: Seq[String] =
-    resolvedEntries.map(_.rel).filter(_.startsWith(s"${ManifestTable.DeleteDir}/"))
+    resolvedEntries.map(_.rel).filter(ManifestTable.isDeleteEntry)
 
   private[v2] def prunedManifest: Seq[String] = {
     // delete entries are metadata for the reader, never data input
-    val all = resolvedEntries.filterNot(_.rel.startsWith(s"${ManifestTable.DeleteDir}/"))
+    val all = resolvedEntries.filterNot(e => ManifestTable.isDeleteEntry(e.rel))
     val dayPruned = if (dayOf.isEmpty) all
     else dayBounds match {
       case (None, None) => all
@@ -817,6 +817,11 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         case _ => throw new IllegalArgumentException("not an equality transform")
       }
     }.toOption
+      // directory values are HIVE-ESCAPED on disk ('ab:' becomes 'ab%3A');
+      // a computed value outside the never-escaped class can't be compared
+      // against the raw directory string, so it must not prune (floor
+      // discipline: uncertain ⇒ keep)
+      .filter(_.matches("[A-Za-z0-9._\\- ]*"))
 
   /** Prune `__part=` entries for months/years (range off the conservative
     * ts day bounds) and bucket/truncate (equality sets). */
@@ -917,6 +922,25 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     val rels = prunedManifest
     val files = rels.map(rel => new Path(s"$root/data/$rel"))
     val logicalRead = required
+    // merge-on-read: load the snapshot's tombstones up front (driver-side,
+    // one small job at plan time — bounded by rows deleted since the last
+    // compaction) and keep only those naming files that SURVIVED pruning.
+    // Tombstone row identity is the _metadata.file_path-derived
+    // URL-ENCODED rel, so the survival check compares in that form.
+    val delRels = deleteRels
+    val tombstonesByRel: Map[String, Array[Long]] =
+      if (delRels.isEmpty) Map.empty
+      else {
+        val surviving = rels.map(r => ManifestTable.encodedRel(root, r)).toSet
+        spark.read.parquet(delRels.map(r => s"$root/data/$r"): _*)
+          .select("__file", "__pos")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1)
+          .collect { case (rel, ps) if surviving.contains(rel) =>
+            rel -> ps.map(_._2).distinct.sorted
+          }
+      }
     val delegate: Scan = meta.format match {
       case "avro" =>
         // no file index needed: the manifest IS the listing, __day rides in
@@ -939,7 +963,15 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val readData = physical(StructType(
           logicalRead.fields.filterNot(f => partNames.contains(f.name))))
         val readPart = StructType(logicalRead.fields.filter(f => partNames.contains(f.name)))
-        val physicalFilters = pushed.map(GraftScanBridge2.renameFilter(_, meta.physicalName))
+        // with live tombstones the wrapped readers count FILE row indexes
+        // as they stream — parquet row-group/page skipping driven by
+        // pushed filters would desynchronize the count and drop the wrong
+        // rows, so a tombstone-carrying scan pushes NOTHING down (Spark
+        // still applies every filter exactly post-scan; the cost lasts
+        // only until compaction materializes the deletes)
+        val physicalFilters =
+          if (tombstonesByRel.nonEmpty) Array.empty[sources.Filter]
+          else pushed.map(GraftScanBridge2.renameFilter(_, meta.physicalName))
         if (fmt == "orc")
           org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
             spark, index, physical(dataSchema), readData, readPart, physicalFilters, options)
@@ -949,24 +981,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     }
     val named = if (meta.renames.isEmpty) delegate
       else new RenamedScan(delegate, logicalRead)
-    val delRels = deleteRels
-    if (delRels.isEmpty) named
-    else {
-      // merge-on-read: load the snapshot's tombstones (driver-side, one
-      // small job at plan time — bounded by rows deleted since the last
-      // compaction), keep only those naming files that SURVIVED pruning,
-      // and wrap the scan so affected files' readers skip them
-      val surviving = rels.toSet
-      val byRel = spark.read.parquet(delRels.map(r => s"$root/data/$r"): _*)
-        .select("__file", "__pos")
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-        .groupBy(_._1)
-        .collect { case (rel, ps) if surviving.contains(rel) =>
-          rel -> ps.map(_._2).distinct.sorted
-        }
-      if (byRel.isEmpty) named else new MorScan(named, byRel)
-    }
+    if (tombstonesByRel.isEmpty) named else new MorScan(named, tombstonesByRel)
   }
 }
 
