@@ -893,6 +893,72 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.ext")
   }
 
+  test("merge-on-read over multi-row-group files: pushed filters never desynchronize tombstone positions") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.morrg")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", (64 * 1024).toString) // force many row groups
+    try {
+      (0L until 200000L).map(i => (i, s"pad-$i-${"x" * 20}")).toDF("k", "s")
+        .coalesce(1).writeTo("gtest.ns.morrg").create()
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/morrg"
+    val rel = ManifestTable.manifest(root, 1).head
+    // the scenario only bites with several row groups in one file
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$root/data/$rel"), hc))
+    val nGroups = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(nGroups > 3, s"fixture must span row groups, got $nGroups")
+
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.morrg WHERE k % 1000 = 7")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    assert(ManifestTable.hasDeletes(root))
+
+    val t = spark.table("gtest.ns.morrg")
+    assert(t.count() === 200000L - 200L)
+    // a SELECTIVE filter over the tombstoned file: with filter pushdown
+    // the reader would skip early row groups and the position counter
+    // would tombstone the wrong rows (the r7 review finding) — verify
+    // both directions exactly in a late range
+    val hi = t.where(col("k") >= 190000L)
+    assert(hi.count() === 10000L - 10L)
+    assert(hi.where(col("k") === 190007L).count() === 0, "deleted row visible")
+    assert(hi.where(col("k") === 190008L).count() === 1, "live row lost")
+    assert(t.where(col("k") === 7L).count() === 0)
+    assert(t.where(col("k") === 8L).count() === 1)
+    spark.sql("DROP TABLE gtest.ns.morrg")
+  }
+
+  test("a concurrent compaction surfaces to merge-on-read commits instead of silently dropping them") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.morcc")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartition(2).writeTo("gtest.ns.morcc").create()
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/morcc"
+    // tombstones computed against snapshot v1's files …
+    val staleRel = ManifestTable.manifest(root, 1).head
+    val tomb = Seq((staleRel, 0L)).toDF("__file", "__pos")
+    // … but a compaction rewrites every file before the delete commits:
+    // publishing would be a silent no-op DELETE, so it must refuse
+    spark.sql("CALL gtest.system.optimize(`table` => 'ns.morcc')")
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.appendDeletes(tomb, root)
+    }
+    assert(!ManifestTable.hasDeletes(root))
+    assert(spark.table("gtest.ns.morcc").count() === 100)
+    spark.sql("DROP TABLE gtest.ns.morcc")
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
