@@ -26,12 +26,17 @@ import org.apache.spark.sql.types.StructType
   * index — bounded by the rows deleted since the last compaction (the
   * same working-set bound Iceberg's task-side delete loading has). */
 class MorScan(delegate: Scan, deletesByRel: Map[String, Array[Long]])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = this
   override def description(): String =
     s"Mor(${delegate.description()}, ${deletesByRel.size} tombstoned files)"
+  // the delegate's size estimate is an upper bound (tombstoned rows are
+  // still scanned, just dropped) — fine for join planning
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftScanStats.of(delegate)
 
   private def relOf(path: String): String = {
     val i = path.lastIndexOf("/data/")

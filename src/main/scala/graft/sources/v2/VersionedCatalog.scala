@@ -1009,8 +1009,12 @@ private[v2] object GraftScanBridge2 {
 }
 
 /** Reports logical column names over a delegate scan built in physical
-  * terms — rows are positional, so only `readSchema` changes. */
-private[v2] class RenamedScan(delegate: Scan, logical: StructType) extends Scan {
+  * terms — rows are positional, so only `readSchema` changes. Size
+  * statistics pass through so join planning over a renamed table sees
+  * the same estimates as an unrenamed one (a small dimension should
+  * still broadcast). */
+private[v2] class RenamedScan(delegate: Scan, logical: StructType) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = logical
   override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
   override def description(): String = s"Renamed(${delegate.description()})"
@@ -1018,6 +1022,22 @@ private[v2] class RenamedScan(delegate: Scan, logical: StructType) extends Scan 
     delegate.supportedCustomMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftScanStats.of(delegate)
+}
+
+/** Shared statistics passthrough for wrapper scans. */
+private[v2] object GraftScanStats {
+  private object Unknown extends org.apache.spark.sql.connector.read.Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+  def of(delegate: Scan): org.apache.spark.sql.connector.read.Statistics =
+    delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => Unknown
+    }
 }
 
 /** V1-fallback write: INSERT INTO appends a manifest (cost ∝ new data),

@@ -959,6 +959,32 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.morcc")
   }
 
+  test("wrapper scans keep reporting size statistics (renamed and tombstoned tables still broadcast)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.stats")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "s")
+      .writeTo("gtest.ns.stats").create()
+    spark.sql("ALTER TABLE gtest.ns.stats RENAME COLUMN s TO label") // RenamedScan
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.stats WHERE k = 3")
+    finally spark.conf.unset("spark.graft.delete.mode")            // + MorScan
+
+    val scan = spark.table("gtest.ns.stats").queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    scan match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        val est = s.estimateStatistics()
+        assert(est.sizeInBytes().isPresent && est.sizeInBytes().getAsLong > 0,
+          "size estimate must pass through the wrappers")
+      case other => fail(s"wrapped scan lost SupportsReportStatistics: $other")
+    }
+    assert(spark.table("gtest.ns.stats").count() === 99)
+    spark.sql("DROP TABLE gtest.ns.stats")
+  }
+
   test("CTAS + append cost: appending references old files, never rewrites them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.cc")
