@@ -258,7 +258,12 @@ object FileStats {
     case ('l', x: java.lang.Number) if x.isInstanceOf[java.lang.Byte] ||
         x.isInstanceOf[java.lang.Short] || x.isInstanceOf[java.lang.Integer] ||
         x.isInstanceOf[java.lang.Long] => Some(x.longValue)
-    case ('d', x: java.lang.Number) => Some(x.doubleValue)
+    // NaN never prunes: parquet/orc writers disagree on whether NaN enters
+    // min/max (Spark's own ParquetFilters refuses to push NaN comparisons),
+    // so a NaN bound verdict against a foreign-written footer is unsound.
+    case ('d', x: java.lang.Number) =>
+      val d = x.doubleValue
+      if (java.lang.Double.isNaN(d)) None else Some(d)
     case ('s', x: String)           => Some(x)
     case ('m', x: java.math.BigDecimal) => Some(BigDecimal(x))
     case ('m', x: BigDecimal)       => Some(x)

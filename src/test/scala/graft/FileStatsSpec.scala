@@ -62,6 +62,20 @@ class FileStatsSpec extends AnyFunSuite {
     assert(FileStats.mayContain(unbounded, sources.GreaterThan("v", Long.box(99L))))
   }
 
+  test("NaN comparison values never prune: footer min/max may exclude NaN rows") {
+    // A file whose footer bounds are [10, 20] can still hold NaN rows when
+    // written by engines that exclude NaN from min/max — so any NaN-valued
+    // comparison must leave the file in the scan.
+    val s = st("v" -> ColStats('d', Some("10.0"), Some("20.0"), Some(0L)))
+    assert(FileStats.mayContain(s, sources.EqualTo("v", Double.box(Double.NaN))))
+    assert(FileStats.mayContain(s, sources.GreaterThan("v", Double.box(Double.NaN))))
+    assert(FileStats.mayContain(s, sources.LessThan("v", Float.box(Float.NaN))))
+    assert(FileStats.mayContain(s,
+      sources.In("v", Array(Double.box(Double.NaN), Double.box(99.0)))))
+    // non-NaN values through the same path still prune
+    assert(!FileStats.mayContain(s, sources.EqualTo("v", Double.box(99.0))))
+  }
+
   test("string verdicts: ASCII ordering, prefix pruning") {
     val s = st("name" -> ColStats('s', Some("alpha"), Some("miles"), Some(0L)))
     assert(!FileStats.mayContain(s, sources.EqualTo("name", "zeta")))
