@@ -46,21 +46,8 @@ object Bench {
     // full suite length (~40 s), so one bad window can spoil at most one
     // sample per query and the min stays the contention-free estimate.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
-    val names = SparkEntry.queries.keys.toSeq
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    (1 to passes).foreach { _ =>
-      names.foreach { name =>
-        val t0 = System.nanoTime()
-        try run(SparkEntry.queries(name), sfDir) catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (!best.get(name).exists(_ <= dt)) best(name) = dt
-      }
-    }
-    val results = names.map(n => n -> best(n)).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val (best, errs) = measure(SparkEntry.queries, passes) { fn => run(fn, sfDir) }
+    val line = renderJson(SparkEntry.queries.keys.toSeq, best, errs, sfDir)
     println(line)
     // File artifact alongside stdout: the driver captures stdout through a
     // pipeline that has truncated the head of long lines two rounds in a
@@ -74,5 +61,58 @@ object Bench {
       System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** Interleaved min-of-N timing over the query map. A query that throws on
+    * EVERY pass is recorded as an error (class + first message line), not a
+    * timing: publishing a crash's elapsed time as a legitimate score once
+    * made a 33-query breakage look like a 26% speedup. A query that
+    * succeeds on any pass keeps its best timing and drops the error. */
+  private[graft] def measure[F](
+      queries: Map[String, F], passes: Int)(exec: F => Unit)
+      : (Map[String, Double], Map[String, String]) = {
+    val names = queries.keys.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    (1 to passes).foreach { _ =>
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        try {
+          exec(queries(name))
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (!best.get(name).exists(_ <= dt)) best(name) = dt
+          errs.remove(name)
+        } catch { case e: Throwable =>
+          if (!best.contains(name))
+            errs(name) = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString).take(200)
+        }
+      }
+    }
+    (best.toMap, errs.toMap)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
+  /** One JSON metrics line. Failed queries appear as `"err"` in `queries`
+    * (with the message under `errors`) and are EXCLUDED from `value` — the
+    * headline total only ever sums real work. */
+  private[graft] def renderJson(
+      names: Seq[String], best: Map[String, Double],
+      errs: Map[String, String], sfDir: String): String = {
+    val qs = names.map { n =>
+      jsonStr(n) + ":" + best.get(n).map(_.toString).getOrElse("\"err\"")
+    }.mkString("{", ",", "}")
+    val errJson = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    val total = best.values.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_err":${errs.size},"errors":$errJson,"sf":"$sfDir"}"""
   }
 }

@@ -23,19 +23,39 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(p(dir, "part"))
   def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(p(dir, "orders"))
   def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(p(dir, "lineitem"))
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos via the
-    * nanosAsLong conf and floor-divide to microseconds — exactly what
-    * DuckDB's µs TIMESTAMP does on the same file, so oracle comparisons on
-    * `ts` agree bit-for-bit. TIMESTAMP_NTZ keeps wall-clock semantics
-    * identical to the (naive) source values regardless of session TZ.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across fixture generations, so the read path is
+    * schema-adaptive rather than pinned to either layout:
+    *
+    *  - NANOS: Spark's reader rejects it outright ([PARQUET_TYPE_ILLEGAL]),
+    *    so we always set the nanosAsLong conf before reading; the column
+    *    then arrives as a raw ns `LongType` and we floor-divide to
+    *    microseconds — exactly what DuckDB's µs TIMESTAMP does on the same
+    *    file, so oracle comparisons on `ts` agree bit-for-bit.
+    *  - MICROS: nanosAsLong is a no-op and the column arrives as a
+    *    timestamp type already; only a TIMESTAMP_NTZ cast is needed (and
+    *    the ns→µs floor would be the identity anyway).
+    *
+    * TIMESTAMP_NTZ keeps wall-clock semantics identical to the (naive)
+    * source values regardless of session TZ. [[tsNormExpr]] is the single
+    * place that encodes the branch; the streaming reader shares it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(p(dir, "events"))
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = spark.read.parquet(p(dir, "events"))
+    raw.withColumn("ts", expr(tsNormExpr(raw.schema("ts").dataType)))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
+
+  /** SQL expression normalizing the loaded `ts` column to TIMESTAMP_NTZ
+    * microseconds, branching on how the parquet reader surfaced it:
+    * raw ns long (legacy nanos fixture + nanosAsLong conf) vs a native
+    * timestamp type (µs fixture). */
+  private[graft] def tsNormExpr(tsType: org.apache.spark.sql.types.DataType): String =
+    tsType match {
+      case org.apache.spark.sql.types.LongType => "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"
+      case _                                   => "cast(ts as timestamp_ntz)"
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
 }

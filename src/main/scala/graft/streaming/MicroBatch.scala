@@ -174,7 +174,7 @@ object MicroBatch {
     val agg = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)").as("ts"),
+        expr(graft.Tables.tsNormExpr(schema("ts").dataType)).as("ts"),
         col("user_id"), col("value"))
       .groupBy(window(col("ts"), "3 hours"))
       // no countDistinct: distinct aggregates are unsupported on streams

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards against the two silent-shrinkage failure modes of round 8:
+  * queries breaking under fixture drift without any red signal, and the
+  * bench publishing a crash's elapsed time as a legitimate score.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  /** Fixture-drift tripwire: force ANALYSIS of every registered query
+    * against the current testdata. A regenerated fixture that changes a
+    * column's type fails here loudly instead of silently dropping rows
+    * from the driver's correctness artifact. (Eagerly-materializing
+    * queries — CTAS, streaming — execute at sf0.001, which doubles as a
+    * cheap end-to-end smoke for them.) */
+  test("every SparkEntry query analyzes against current fixtures") {
+    val spark = TestSpark.spark
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, TestSpark.sf).queryExecution.analyzed
+        None
+      } catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail analysis against current fixtures:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("bench measure records err for always-failing queries, clears it on success") {
+    val queries = Map("ok" -> "ok", "broken" -> "broken", "flaky" -> "flaky")
+    var flakyCalls = 0
+    val (best, errs) = Bench.measure(queries, 2) { q =>
+      if (q == "broken") throw new RuntimeException("boom \"quoted\"\nsecond line")
+      if (q == "flaky") { flakyCalls += 1; if (flakyCalls == 1) throw new RuntimeException("once") }
+    }
+    assert(best.contains("ok"))
+    assert(best.contains("flaky"), "a later-pass success must clear the error")
+    assert(!errs.contains("flaky"))
+    assert(!best.contains("broken"))
+    assert(errs("broken").startsWith("RuntimeException: boom"))
+    assert(!errs("broken").contains("\n"), "only the first message line is kept")
+  }
+
+  test("bench json marks failures as err and excludes them from the total") {
+    val names = Seq("ok", "broken")
+    val json = Bench.renderJson(names, Map("ok" -> 1.5),
+      Map("broken" -> "RuntimeException: boom \"quoted\""), "/tmp/sf")
+    assert(json.contains("\"broken\":\"err\""))
+    assert(json.contains("\"ok\":1.5"))
+    assert(json.contains("\"value\":1.5"), "total must exclude errored queries")
+    assert(json.contains("\"n_err\":1"))
+    assert(json.contains("\\\"quoted\\\""), "error messages must be JSON-escaped")
+  }
+}
