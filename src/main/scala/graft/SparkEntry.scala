@@ -142,6 +142,9 @@ object SparkEntry {
     "mor_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.morDeleteScan(s, d)),
     "files_metadata_scan" -> ((s, d) => graft.sources.v2.V2Queries.filesMetadataScan(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
+    // named refs (tags/branches) resolved by NAME through VERSION AS OF,
+    // created via the SQL CALL surface; tag also pins against retention GC
+    "tag_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.tagTimeTravel(s, d)),
     "incremental_gold_from_cdc" -> ((s, d) => graft.sources.v2.V2Queries.incrementalGoldFromCdc(s, d)),
     // per-table format through the catalog: three CTAS legs (parquet/orc/
     // avro), each read back through its own V2 scan, one order-independent
@@ -266,6 +269,7 @@ object SparkEntry {
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
+    "tag_time_travel" -> graft.sources.v2.V2Queries.oracle.tagTimeTravel,
     "incremental_gold_from_cdc" -> graft.sources.v2.V2Queries.oracle.incrementalGoldFromCdc,
     "catalog_format_fanout" -> graft.sources.v2.V2Queries.oracle.catalogFormatFanout,
     "renamed_column_scan" -> graft.sources.v2.V2Queries.oracle.renamedColumnScan,

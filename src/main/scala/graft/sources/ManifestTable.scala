@@ -439,7 +439,12 @@ object ManifestTable {
       val planned = plan(baseEntries, baseProps)
       require(planned.props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
         && planned.props.values.forall(v => !v.contains("\n")), "illegal manifest property")
-      val next = base.getOrElse(0L) + 1
+      // allocate ABOVE every retained manifest, not just the live pointer:
+      // after a rollback/branch fast-forward to an older version, higher
+      // versions stay retained (and time-travelable) and the next commit
+      // must never collide with them
+      val next = math.max(base.getOrElse(0L),
+        versions(root).lastOption.getOrElse(0L)) + 1
       // the FENCE: a per-attempt token stamped into the manifest. The
       // claim-reclaim protocol is a lease without hard CAS — a committer
       // paused longer than the claim grace between its claim and its flip
@@ -693,23 +698,119 @@ object ManifestTable {
     }
   }
 
+  // ---- named refs: tags + branches ---------------------------------------
+
+  /** A named snapshot pointer — Iceberg's refs. `kind` is `"tag"`
+    * (immutable pin) or `"branch"` (movable head). */
+  case class Ref(name: String, kind: String, version: Long)
+
+  private def refsDir(root: String): String = s"$root/refs"
+  private def refPath(root: String, name: String): String = s"${refsDir(root)}/$name"
+
+  /** All named refs of a table (tags and branches share ONE namespace, so
+    * a `VERSION AS OF '<name>'` lookup is never ambiguous). */
+  def refs(root: String): Map[String, Ref] =
+    MetaIO.listStatus(refsDir(root))
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map { st =>
+        val name = st.getPath.getName
+        val body = MetaIO.readString(st.getPath.toString).trim.split(":", 2)
+        name -> Ref(name, body(0), body(1).toLong)
+      }.toMap
+
+  /** Pin a retained snapshot under a name — Iceberg's tags ("the corpus
+    * run X trained on"). Tagged manifests and their files are EXEMPT from
+    * retention GC until the tag drops, so the ref stays readable
+    * indefinitely. Defaults to the live snapshot. Tags are immutable:
+    * re-tagging an existing name throws (drop it first). */
+  def createTag(root: String, name: String, version: Option[Long] = None): Long =
+    createRef(root, name, "tag", version)
+
+  /** Create a named BRANCH pointer — a movable sibling of `_CURRENT` for
+    * the write-audit-publish pattern: audit queries read the branch
+    * (`VERSION AS OF '<name>'`) while main is untouched; [[advanceBranch]]
+    * moves the head; [[publishBranch]] fast-forwards `_CURRENT` to it with
+    * one atomic flip. Branch-pinned snapshots survive GC like tags. */
+  def createBranch(root: String, name: String, version: Option[Long] = None): Long =
+    createRef(root, name, "branch", version)
+
+  private def createRef(root: String, name: String, kind: String,
+                        version: Option[Long]): Long = {
+    // names share SQL surface with numeric version ids ('VERSION AS OF x'
+    // resolves digits as a version first), so an all-digit name is banned
+    require(name.matches("[A-Za-z0-9._-]+") && !name.forall(_.isDigit),
+      s"illegal ref name '$name' (letters/digits/._- and not all digits)")
+    val v = version.getOrElse(currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")))
+    require(MetaIO.exists(manifestPath(root, v)),
+      s"version $v of $root is not retained")
+    refs(root).get(name).foreach { r =>
+      if (kind == "tag" || r.kind != kind)
+        throw new IllegalArgumentException(
+          s"ref '$name' already exists on $root as a ${r.kind} (drop it first)")
+    }
+    MetaIO.writeAtomic(refPath(root, name), s"$kind:$v")
+    v
+  }
+
+  /** Move an existing branch's head to a retained version. */
+  def advanceBranch(root: String, name: String, toVersion: Long): Unit = {
+    val r = resolveRef(root, name)
+    require(r.kind == "branch", s"ref '$name' on $root is a ${r.kind}, not a branch")
+    require(MetaIO.exists(manifestPath(root, toVersion)),
+      s"version $toVersion of $root is not retained")
+    MetaIO.writeAtomic(refPath(root, name), s"branch:$toVersion")
+  }
+
+  /** Fast-forward `_CURRENT` to the branch head (one atomic flip) — the
+    * publish half of write-audit-publish: main readers see exactly the
+    * snapshot the audit queries validated. */
+  def publishBranch(root: String, name: String): Long = {
+    val r = resolveRef(root, name)
+    require(r.kind == "branch", s"ref '$name' on $root is a ${r.kind}, not a branch")
+    MetaIO.writeAtomic(pointerPath(root), r.version.toString)
+    r.version
+  }
+
+  def dropRef(root: String, name: String): Unit = {
+    resolveRef(root, name) // must exist
+    MetaIO.delete(refPath(root, name))
+  }
+
+  /** Resolve a ref name, with a listing of what exists on a miss. */
+  def resolveRef(root: String, name: String): Ref =
+    refs(root).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag or branch '$name' on $root" + {
+        val known = refs(root).keys.toSeq.sorted
+        if (known.isEmpty) " (no refs exist)" else s" (refs: ${known.mkString(", ")})"
+      }))
+
+  /** Versions pinned by any ref — exempt from retention AND from the
+    * orphan-claim sweep (a branch head may sit above `_CURRENT`). */
+  private def pinnedVersions(root: String): Set[Long] =
+    refs(root).values.map(_.version).toSet
+
   /** Drop manifests beyond `retain`, then delete pool files no retained
     * manifest references (runs after the flip: a failed GC leaves orphans,
     * never a broken table). Also sweeps orphan CLAIMS — manifests above
     * the live pointer whose committer crashed before flipping (older than
     * the claim grace) — so a crashed commit can never block the version
-    * sequence permanently. */
+    * sequence permanently. Ref-pinned versions (tags/branches) are exempt
+    * from both sweeps and keep their files referenced. */
   private def gc(root: String, live: Long, retain: Int): Unit = {
     val now = System.currentTimeMillis()
-    val (dead, kept0) = versions(root).partition(_ <= live - retain)
+    val pinned = pinnedVersions(root)
+    val (dead, kept0) = versions(root)
+      .partition(v => v <= live - retain && !pinned.contains(v))
     dead.foreach(v => MetaIO.delete(manifestPath(root, v)))
     val kept = kept0.filter { v =>
-      val orphan = v > live &&
+      val orphan = v > live && !pinned.contains(v) &&
         MetaIO.mtimeMillis(manifestPath(root, v)) < now - claimGraceMs
       if (orphan) MetaIO.delete(manifestPath(root, v))
       !orphan
     }
-    val referenced = kept.filter(_ <= live).flatMap(v => manifest(root, v)).toSet
+    val referenced = kept.filter(v => v <= live || pinned.contains(v))
+      .flatMap(v => manifest(root, v)).toSet
     MetaIO.listFilesRec(s"$root/data").foreach { st =>
       // unreferenced files younger than the ORPHAN grace are protected:
       // they may belong to an in-flight commit (moved into the pool just

@@ -18,7 +18,7 @@ object Maintenance {
   /** Resolve `cat.ns.tbl` against a configured [[VersionedCatalog]] (same
     * conf-first resolution the DML layer uses — works before the plugin's
     * first instantiation). */
-  private def resolve(spark: SparkSession, ident: String): (String, VersionedCatalog.Meta) = {
+  private[v2] def resolve(spark: SparkSession, ident: String): (String, VersionedCatalog.Meta) = {
     val parts = ident.split('.')
     require(parts.length == 3, s"expected cat.ns.tbl, got $ident")
     require(spark.conf.getOption(s"spark.sql.catalog.${parts(0)}")

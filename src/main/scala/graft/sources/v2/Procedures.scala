@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftProcedures {
 
-  val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than")
+  val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than",
+    "create_tag", "create_branch", "drop_ref", "fast_forward")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -95,6 +96,68 @@ object GraftProcedures {
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("status", StringType, nullable = false))),
           new GenericInternalRow(Array[Any](UTF8String.fromString("deleted"))))).iterator()
+      }
+    }
+    // ---- named refs (Iceberg's create_tag / create_branch /
+    // remove_tag+remove_branch / fast_forward CALL surface) ----
+    case "create_tag" => new GraftProcedure("create_tag") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("name", StringType),
+        param("version", LongType, Some("-1")))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (root, _) = Maintenance.resolve(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}")
+        val v = graft.sources.ManifestTable.createTag(root,
+          input.getUTF8String(1).toString,
+          Some(input.getLong(2)).filter(_ >= 0))
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("version", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    case "create_branch" => new GraftProcedure("create_branch") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("name", StringType),
+        param("version", LongType, Some("-1")))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (root, _) = Maintenance.resolve(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}")
+        val v = graft.sources.ManifestTable.createBranch(root,
+          input.getUTF8String(1).toString,
+          Some(input.getLong(2)).filter(_ >= 0))
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("version", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    case "drop_ref" => new GraftProcedure("drop_ref") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("name", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (root, _) = Maintenance.resolve(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}")
+        graft.sources.ManifestTable.dropRef(root, input.getUTF8String(1).toString)
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("status", StringType, nullable = false))),
+          new GenericInternalRow(Array[Any](UTF8String.fromString("dropped")))))
+          .iterator()
+      }
+    }
+    case "fast_forward" => new GraftProcedure("fast_forward") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("branch", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (root, _) = Maintenance.resolve(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}")
+        val v = graft.sources.ManifestTable.publishBranch(root,
+          input.getUTF8String(1).toString)
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("version", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](v)))).iterator()
       }
     }
     case other => throw new IllegalArgumentException(

@@ -309,6 +309,35 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Named-ref time travel through SQL — Iceberg's tags/branches in
+    * `VERSION AS OF`: snapshot 1 is tagged `baseline` via the CALL
+    * surface, snapshot 2 appends the rest and a branch `audit` is created
+    * at the live head. Both refs are then read BY NAME through Spark's
+    * own time-travel resolution (string literals route to the catalog's
+    * ref lookup; all-digit literals stay snapshot ids), and the oracle
+    * recomputes each ref's snapshot from the raw events. The tag also
+    * pins snapshot 1 against retention GC — a swept manifest would fail
+    * the read outright. */
+  def tagTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("tg")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      val cutoff = lit(TtCutoff).cast("timestamp_ntz")
+      ev.where(col("ts") < cutoff).writeTo(tbl).create()           // v1
+      spark.sql(s"CALL $Cat.system.create_tag(`table` => 'q.$short', name => 'baseline')")
+      ev.where(col("ts") >= cutoff).writeTo(tbl).append()          // v2
+      spark.sql(s"CALL $Cat.system.create_branch(`table` => 'q.$short', name => 'audit')")
+
+      def snap(ref: String): DataFrame =
+        spark.sql(s"SELECT * FROM $tbl VERSION AS OF '$ref'")
+          .agg(count(lit(1)).as("n_rows"), Dsl.dsum(col("value")).as("total_value"))
+          .select(lit(ref).as("ref"), col("n_rows"), col("total_value"))
+      snap("baseline").unionAll(snap("audit")).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** End-to-end incremental gold maintenance off the snapshot log: the
     * CDC feed is PRODUCED by [[Versioned.diff]] between two retained
     * snapshots (not handed in), folded into the materialized partials of
@@ -574,6 +603,17 @@ object V2Queries {
          |FROM events WHERE ts < TIMESTAMP '$TtCutoff'
          |UNION ALL
          |SELECT 2 AS snapshot, COUNT(*) AS n_rows,
+         |  ${Dsl.sql.dsum("value")} AS total_value
+         |FROM events""".stripMargin
+
+    /** Each named ref's snapshot recomputed from the raw events: the tag
+      * pins the pre-cutoff half, the branch heads at the full set. */
+    val tagTimeTravel: String =
+      s"""SELECT 'baseline' AS ref, COUNT(*) AS n_rows,
+         |  ${Dsl.sql.dsum("value")} AS total_value
+         |FROM events WHERE ts < TIMESTAMP '$TtCutoff'
+         |UNION ALL
+         |SELECT 'audit' AS ref, COUNT(*) AS n_rows,
          |  ${Dsl.sql.dsum("value")} AS total_value
          |FROM events""".stripMargin
 

@@ -107,9 +107,18 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     loadVersion(ident, None)
   }
 
-  /** `VERSION AS OF n` — Spark hands the version literal as a string. */
+  /** `VERSION AS OF x` — Spark hands the literal as a string. An
+    * all-digit literal is a snapshot id; anything else resolves through
+    * the table's named refs (tags and branches share one namespace, and
+    * ref names can never be all-digit, so precedence is unambiguous). */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadVersion(ident, Some(version.toLong))
+    if (version.nonEmpty && version.forall(_.isDigit))
+      loadVersion(ident, Some(version.toLong))
+    else {
+      if (!tableExists(ident)) throw new NoSuchTableException(ident)
+      loadVersion(ident,
+        Some(ManifestTable.resolveRef(tableRoot(ident), version).version))
+    }
 
   /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {

@@ -997,4 +997,48 @@ class V2CatalogSpec extends AnyFunSuite {
     assert(v2Files.size > v1Files.size)
     assert(spark.table("gtest.ns.cc").count() === 110)
   }
+
+  test("named refs: VERSION AS OF tag/branch by name, GC pinning, fast-forward") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.rf")
+    spark.sql("CREATE TABLE gtest.ns.rf (k BIGINT)")
+    spark.sql("INSERT INTO gtest.ns.rf VALUES (1)")                          // v1
+    spark.sql("CALL gtest.system.create_tag(`table` => 'ns.rf', name => 'first')")
+    spark.sql("INSERT INTO gtest.ns.rf VALUES (2)")                          // v2
+    spark.sql("INSERT INTO gtest.ns.rf VALUES (3)")                          // v3
+    spark.sql("INSERT INTO gtest.ns.rf VALUES (4)")                          // v4
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rf"
+
+    // retention (retain=2) swept v2 but the tag PINNED v1
+    assert(ManifestTable.versions(root).contains(1L), "tagged snapshot must survive GC")
+    assert(!ManifestTable.versions(root).contains(2L), "untagged v2 ages out normally")
+    // ref name resolves through Spark's own VERSION AS OF; digits stay ids
+    assert(spark.sql("SELECT * FROM gtest.ns.rf VERSION AS OF 'first'").count() === 1)
+    assert(spark.sql("SELECT * FROM gtest.ns.rf VERSION AS OF 4").count() === 4)
+
+    // branch at an older retained head reads by name; fast_forward flips main
+    spark.sql("CALL gtest.system.create_branch(`table` => 'ns.rf', name => 'audit', version => 3)")
+    assert(spark.sql("SELECT * FROM gtest.ns.rf VERSION AS OF 'audit'").count() === 3)
+    spark.sql("CALL gtest.system.fast_forward(`table` => 'ns.rf', branch => 'audit')")
+    assert(spark.table("gtest.ns.rf").count() === 3)
+    // post-rollback commits allocate ABOVE the retained v4, never colliding
+    spark.sql("INSERT INTO gtest.ns.rf VALUES (5)")                          // v5
+    assert(ManifestTable.currentVersion(root).get === 5L)
+    assert(spark.table("gtest.ns.rf").count() === 4)
+
+    // missing refs error with a listing; illegal/duplicate names refuse
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.ns.rf VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("no tag or branch"))
+    intercept[Exception] { ManifestTable.createTag(root, "5") }       // all digits
+    intercept[Exception] { ManifestTable.createTag(root, "first") }   // tag exists
+    intercept[Exception] { ManifestTable.createBranch(root, "first") } // kind clash
+    spark.sql("CALL gtest.system.drop_ref(`table` => 'ns.rf', name => 'first')")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.ns.rf VERSION AS OF 'first'").collect()
+    }
+    spark.sql("DROP TABLE gtest.ns.rf")
+  }
 }
