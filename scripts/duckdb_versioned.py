@@ -8,9 +8,11 @@ parquet can resolve a graft table with three metadata reads and no Spark
 
 Resolution protocol (mirrors graft.sources.ManifestTable's layout doc):
   1. <root>/_CURRENT                 -> live version id N (single text key)
-  2. <root>/manifests/v=N.txt        -> '#k=v' property lines, then one
-                                        data-file entry per line:
-                                        'rel[\\tstats]' (stats after a TAB)
+  2. <root>/manifests/v=N.txt        -> '#k=v' property lines, then shard
+                                        references '@key\\tshardRel\\tn\\text'
+                                        (read <root>/manifests/<shardRel>,
+                                        one entry line each) and/or inline
+                                        entry lines 'rel[\\tstats]'
   3. <root>/data/<rel>               -> immutable parquet/orc/avro files;
                                         entries under '__deletes/' are
                                         positional-delete tombstones
@@ -39,7 +41,17 @@ def resolve(root: str, version=None):
             version = int(f.read().strip())
     with open(f"{root}/manifests/v={version}.txt") as f:
         lines = [l.rstrip("\n") for l in f]
-    rels = [l.split("\t")[0] for l in lines if l and not l.startswith("#")]
+    rels = []
+    for l in lines:
+        if not l or l.startswith("#"):
+            continue
+        if l.startswith("@"):  # manifest-list shard reference
+            shard_rel = l[1:].split("\t")[1]
+            with open(f"{root}/manifests/{shard_rel}") as s:
+                rels += [sl.rstrip("\n").split("\t")[0]
+                         for sl in s if sl.strip()]
+        else:
+            rels.append(l.split("\t")[0])
     data = [f"{root}/data/{r}" for r in rels if not r.startswith("__deletes/")]
     dels = [f"{root}/data/{r}" for r in rels if r.startswith("__deletes/")]
     return version, data, dels

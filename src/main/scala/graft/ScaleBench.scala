@@ -171,6 +171,29 @@ object ScaleBench {
       f"pruned_frac=${1.0 - scannedFiles.toDouble / totalFiles}%.3f")
     require(scannedFiles * 8 < totalFiles,
       "manifest pruning failed to drop out-of-window files at scale")
+
+    // manifest-list scaling: append ONE row into the thousands-of-files
+    // table and measure the METADATA bytes the commit wrote. Shard refs
+    // carry as manifest-list lines (contents never read), so commit
+    // metadata cost follows the ref count + appended entries — never the
+    // full file listing the pre-sharding format rewrote per commit.
+    val evRoot = s"$wh/b/ev"
+    val (refsEv, inlineEv) = graft.sources.ManifestTable.manifestIndex(evRoot, 1)
+    val shardBytes = refsEv.map(r =>
+      graft.sources.MetaIO.size(s"$evRoot/manifests/${r.rel}")).sum
+    def manifestMetaBytes: Long =
+      graft.sources.MetaIO.listFilesRec(s"$evRoot/manifests").map(_.getLen).sum
+    val bytesBefore = manifestMetaBytes
+    val ap0 = System.nanoTime()
+    spark.sql("INSERT INTO scale_cat.b.ev VALUES " +
+      "(900000001, TIMESTAMP_NTZ '2024-01-02 01:02:03', 7, 1.5)")
+    val apSecs = (System.nanoTime() - ap0) / 1e9
+    val bytesDelta = manifestMetaBytes - bytesBefore
+    println(f"[scale] shard_append files_total=$totalFiles shards=${refsEv.size} " +
+      f"inline=${inlineEv.size} full_listing_bytes=$shardBytes " +
+      f"commit_meta_bytes=$bytesDelta secs=$apSecs%.2f")
+    require(refsEv.nonEmpty && bytesDelta * 4 < shardBytes,
+      "a one-file append must write a fraction of the full listing's metadata")
     spark.sql("DROP TABLE scale_cat.b.ev")
 
     // per-file column-stats pruning at scale: a value-CLUSTERED layout

@@ -22,9 +22,25 @@ import org.apache.spark.sql.functions._
   * {{{
   *   <root>/data/__day=D/<uuid>.<fmt>     immutable data files (partitioned)
   *   <root>/data/<uuid>.<fmt>             (unpartitioned tables)
-  *   <root>/manifests/v=N.txt             one relative file path per line
+  *   <root>/manifests/v=N.txt             manifest: '#k=v' props, then
+  *                                        '@key\tshardRel\tn\text' shard
+  *                                        refs and/or inline entry lines
+  *                                        ('rel[\tstats]')
+  *   <root>/manifests/shards/<uuid>.txt   immutable per-key entry shards,
+  *                                        shared across versions
+  *   <root>/refs/<name>                   named refs: 'tag:N'/'branch:N'
   *   <root>/_CURRENT                      live version id (atomic flip)
   * }}}
+  *
+  * MANIFEST SCALING: a manifest is a manifest LIST. Small tables stay
+  * fully inline (entry lines, the original format — still parseable by
+  * any line reader); past the inline budget loose entries fold into
+  * per-partition-key shard files referenced by `@` lines. Commits carry
+  * untouched shard refs as lines (contents never read), so commit
+  * metadata cost follows the appended/touched data; scans prune whole
+  * shards by key before opening any; per-key shard counts are bounded by
+  * merge-on-commit. This is Iceberg's manifest-list design re-expressed
+  * in the same plain-text protocol.
   *
   * All metadata I/O goes through the Hadoop `FileSystem` API ([[MetaIO]]),
   * so a table root can be a local path, `file://`, `hdfs://`, or `s3a://`
@@ -119,9 +135,15 @@ object ManifestTable {
     if (i < 0) rel else enc.substring(i + "/data/".length)
   }
 
-  /** Live delete entries (empty for tables with no merge-on-read state). */
-  def liveDeleteEntries(root: String): Seq[FileEntry] =
-    liveEntries(root).filter(e => isDeleteEntry(e.rel))
+  /** Live delete entries (empty for tables with no merge-on-read state) —
+    * only the [[DeleteDir]]-keyed shards and inline deletes are read. */
+  def liveDeleteEntries(root: String): Seq[FileEntry] = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val (refs, inline) = manifestIndex(root, v)
+    refs.filter(_.key == DeleteDir).flatMap(r => shardEntries(root, r.rel)) ++
+      inline.filter(e => isDeleteEntry(e.rel))
+  }
 
   /** True iff the live snapshot carries positional-delete files. */
   def hasDeletes(root: String): Boolean =
@@ -185,14 +207,80 @@ object ManifestTable {
       Some(line.substring(i + 1)).filter(_.nonEmpty))
   }
 
+  /** One manifest-LIST line referencing an immutable shard file
+    * (`manifests/shards/<uuid>.txt`) that holds the entries of one
+    * partition key. `key` is the entries' shared directory prefix (""
+    * for unpartitioned files, [[DeleteDir]] for tombstone shards); `n`
+    * (entry count) and `ext` (uniform data-file extension, `"mixed"`
+    * mid-conversion) ride in the line so planners reason about a shard
+    * without opening it. Rendered `@key<TAB>rel<TAB>n<TAB>ext`.
+    *
+    * This is the manifest-list + sharded-manifest structure Iceberg uses:
+    * commits rewrite only the shards their data touches (untouched refs
+    * are carried as LINES, their contents never read), and scans drop
+    * whole shards by key before reading any of them — both costs follow
+    * the CHANGED/SELECTED data, never total table size. */
+  case class ShardRef(key: String, rel: String, n: Int, ext: String) {
+    def render: String = s"@$key\t$rel\t$n\t$ext"
+  }
+
+  private def parseRef(line: String): ShardRef = {
+    val p = line.drop(1).split('\t')
+    ShardRef(p(0), p(1), p(2).toInt, p.lift(3).getOrElse(""))
+  }
+
+  /** Partition key of a manifest entry: its directory prefix. Keys are
+    * path-derived, so an entry can never change key between versions. */
+  private[graft] def keyOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Parsed manifest: shard references, inline (loose) entries, props.
+    * Manifests written before sharding existed are all-inline and keep
+    * reading; small tables stay all-inline forever. */
+  private case class Doc(refs: Seq[ShardRef], inline: Seq[FileEntry],
+                         props: Map[String, String])
+
+  private def readDoc(root: String, v: Long): Doc = {
+    val lines = manifestLines(root, v)
+    Doc(
+      lines.filter(_.startsWith("@")).map(parseRef),
+      lines.filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("@"))
+        .map(parseEntry),
+      lines.filter(_.startsWith("#")).map { l =>
+        val kv = l.drop(1).split("=", 2)
+        kv(0) -> (if (kv.length > 1) kv(1) else "")
+      }.toMap)
+  }
+
+  /** Entries of one shard file. */
+  def shardEntries(root: String, shardRel: String): Seq[FileEntry] =
+    MetaIO.readString(s"$root/manifests/$shardRel").linesIterator
+      .filter(_.nonEmpty).map(parseEntry).toSeq
+
+  /** Plan-time view of one manifest WITHOUT materializing shard contents:
+    * (shard refs, inline entries). Scans prune whole shards by `key`
+    * (hidden-day / transform / identity directories ride in it) and read
+    * only survivors — plan cost ∝ surviving shards. */
+  def manifestIndex(root: String, v: Long): (Seq[ShardRef], Seq[FileEntry]) = {
+    val d = readDoc(root, v)
+    (d.refs, d.inline)
+  }
+
   /** Relative data-file paths of one manifest (property lines skipped). */
   def manifest(root: String, v: Long): Seq[String] =
     entries(root, v).map(_.rel)
 
-  /** Data-file entries of one manifest, stats included. */
-  def entries(root: String, v: Long): Seq[FileEntry] =
-    manifestLines(root, v).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(parseEntry)
+  /** Data-file entries of one manifest, stats included — shard references
+    * are followed transparently (the fully-materialized view; planners
+    * wanting shard-level pruning use [[manifestIndex]]). */
+  def entries(root: String, v: Long): Seq[FileEntry] = {
+    val d = readDoc(root, v)
+    // sharded (older) entries first, inline (newest appends) last — the
+    // same old-to-new order the all-inline format had
+    d.refs.flatMap(r => shardEntries(root, r.rel)) ++ d.inline
+  }
 
   /** Commit properties of one manifest (`#key=value` header lines) — the
     * degenerate form of Iceberg's snapshot summary / Delta's txn actions.
@@ -232,18 +320,35 @@ object ManifestTable {
     if (rel.startsWith(s"$DayCol=")) Some(rel.takeWhile(_ != '/').stripPrefix(s"$DayCol="))
     else None
 
-  /** Distinct hidden-day values present in the live manifest. */
-  def liveDays(root: String): Set[String] = liveManifest(root).flatMap(dayOf).toSet
+  /** Distinct hidden-day values present in the live manifest — read from
+    * shard KEYS and inline entries, no shard contents opened. */
+  def liveDays(root: String): Set[String] = {
+    val d = readDoc(root, currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")))
+    (d.inline.flatMap(e => dayOf(e.rel)) ++
+      d.refs.flatMap(r => dayOf(s"${r.key}/x"))).toSet
+  }
 
   private def extOf(rel: String): String = rel.substring(rel.lastIndexOf('.') + 1)
 
   /** Storage format of the live snapshot's data files (None before the
     * first commit). A mid-conversion table reports its newest files'
     * format — new writes continue it. Positional-delete entries are
-    * always parquet and never speak for the DATA format. */
+    * always parquet and never speak for the DATA format. Resolved from
+    * the manifest list alone (inline entries are the newest; a shard's
+    * uniform `ext` rides in its ref line), so the write path never
+    * materializes the table's file list. */
   def formatOf(root: String): Option[String] =
     if (!exists(root)) None
-    else liveManifest(root).filterNot(isDeleteEntry).lastOption.map(extOf)
+    else {
+      val d = readDoc(root, currentVersion(root).get)
+      d.inline.filterNot(e => isDeleteEntry(e.rel)).lastOption.map(e => extOf(e.rel))
+        .orElse(d.refs.filter(_.key != DeleteDir).lastOption.map { r =>
+          if (r.ext.nonEmpty && r.ext != "mixed") r.ext
+          else shardEntries(root, r.rel).lastOption.map(e => extOf(e.rel))
+            .getOrElse("parquet")
+        })
+    }
 
   private def readFiles(spark: SparkSession, root: String, rels: Seq[String]): DataFrame = {
     require(rels.nonEmpty, s"empty manifest under $root — empty commits are not supported")
@@ -390,8 +495,42 @@ object ManifestTable {
     entries
   }
 
-  /** One commit attempt's content, planned against the current base. */
-  private case class Planned(entries: Seq[FileEntry], props: Map[String, String])
+  /** One commit attempt's content, planned against the current base:
+    * `carried` shard refs pass through as manifest-list LINES (their
+    * contents never read), `entries` are the loose entries to publish —
+    * fresh files plus any surviving inline entries of the base. */
+  private case class Planned(entries: Seq[FileEntry], props: Map[String, String],
+                             carried: Seq[ShardRef] = Nil)
+
+  /** The base state a commit plans against (re-read per attempt). Shard
+    * contents load lazily and only for the keys a planner asks about —
+    * the property that keeps commit cost ∝ touched data at any table
+    * size. */
+  private case class Base(root: String, version: Option[Long],
+                          refs: Seq[ShardRef], inline: Seq[FileEntry],
+                          props: Map[String, String]) {
+    def entriesForKeys(keep: String => Boolean): Seq[FileEntry] =
+      refs.filter(r => keep(r.key)).flatMap(r => shardEntries(root, r.rel)) ++
+        inline.filter(e => keep(keyOf(e.rel)))
+  }
+
+  /** Loose-entry budget before a manifest folds them into shards: small
+    * tables stay fully inline (exactly the pre-sharding format), large
+    * tables amortize one fold per `inlineEntries` appended files. */
+  private def inlineMaxEntries: Int =
+    confLong("spark.graft.manifest.inlineEntries", 64L).toInt
+  /** Refs-per-key cap: past it the key's shards merge into one (cost ∝
+    * that key only) — Iceberg's merge-on-commit manifest maintenance,
+    * bounding manifest-list length without rewriting untouched keys. */
+  private def maxShardsPerKey: Int =
+    confLong("spark.graft.manifest.maxShardsPerKey", 8L).toInt
+
+  private def writeShard(root: String, key: String, es: Seq[FileEntry]): ShardRef = {
+    val rel = s"shards/${UUID.randomUUID().toString.take(16)}.txt"
+    MetaIO.writeAtomic(s"$root/manifests/$rel", es.map(_.render).mkString("\n"))
+    val exts = es.map(e => extOf(e.rel)).distinct
+    ShardRef(key, rel, es.size, if (exts.length == 1) exts.head else "mixed")
+  }
 
   /** The session zone this write derives `__day` in — set only when the
     * partition source is a zone-SENSITIVE TIMESTAMP (`to_date` on NTZ and
@@ -427,24 +566,51 @@ object ManifestTable {
     * re-plan against the new live state and try the next version, else
     * surface the conflict. */
   private def commitLoop(root: String, retain: Int, rebase: Boolean)
-                        (plan: (Seq[FileEntry], Map[String, String]) => Planned): Long = {
+                        (plan: Base => Planned): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
     var attempt = 0
     while (true) {
-      val base = currentVersion(root)
-      val (baseEntries, baseProps) = base match {
-        case Some(v) => (entries(root, v), manifestProps(root, v))
-        case None    => (Nil, Map.empty[String, String])
+      val baseV = currentVersion(root)
+      val base = baseV match {
+        case Some(v) =>
+          val d = readDoc(root, v)
+          Base(root, baseV, d.refs, d.inline, d.props - FenceProp)
+        case None => Base(root, None, Nil, Nil, Map.empty)
       }
-      val planned = plan(baseEntries, baseProps)
+      val planned = plan(base)
       require(planned.props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
         && planned.props.values.forall(v => !v.contains("\n")), "illegal manifest property")
-      // allocate ABOVE every retained manifest, not just the live pointer:
-      // after a rollback/branch fast-forward to an older version, higher
-      // versions stay retained (and time-travelable) and the next commit
-      // must never collide with them
-      val next = math.max(base.getOrElse(0L),
-        versions(root).lastOption.getOrElse(0L)) + 1
+      // allocate above the live pointer AND the high-water mark: after a
+      // branch fast-forward to an OLDER version, higher versions stay
+      // retained and a new commit must not collide with them. The mark —
+      // not a max over versions() — keeps in-flight CLAIMS colliding,
+      // which is the whole optimistic-concurrency protocol.
+      val next = math.max(baseV.getOrElse(0L), highWaterMark(root)) + 1
+      // fold loose entries into per-key shards past the inline budget,
+      // then merge any key that accumulated too many refs — shard files
+      // land BEFORE the claim (unreferenced on a lost race; swept by the
+      // maintenance orphan sweep)
+      val (refs0, inline) =
+        if (planned.entries.size <= inlineMaxEntries) (planned.carried, planned.entries)
+        else (planned.carried ++
+          planned.entries.groupBy(e => keyOf(e.rel)).toSeq.sortBy(_._1)
+            .map { case (k, es) => writeShard(root, k, es) }, Seq.empty[FileEntry])
+      val refs = {
+        val perKey = refs0.groupBy(_.key)
+        if (perKey.values.forall(_.size <= maxShardsPerKey)) refs0
+        else {
+          val merged = perKey.collect { case (k, rs) if rs.size > maxShardsPerKey =>
+            k -> writeShard(root, k, rs.flatMap(r => shardEntries(root, r.rel)))
+          }
+          val emitted = scala.collection.mutable.Set.empty[String]
+          refs0.flatMap { r =>
+            merged.get(r.key) match {
+              case Some(m) => if (emitted.add(r.key)) Some(m) else None
+              case None    => Some(r)
+            }
+          }
+        }
+      }
       // the FENCE: a per-attempt token stamped into the manifest. The
       // claim-reclaim protocol is a lease without hard CAS — a committer
       // paused longer than the claim grace between its claim and its flip
@@ -456,7 +622,7 @@ object ManifestTable {
       // conflict; the grace default makes the race itself vanishingly rare.
       val fence = UUID.randomUUID().toString
       val body = (planned.props + (FenceProp -> fence)).toSeq.sortBy(_._1)
-        .map { case (k, v) => s"#$k=$v" } ++ planned.entries.map(_.render)
+        .map { case (k, v) => s"#$k=$v" } ++ refs.map(_.render) ++ inline.map(_.render)
       def claimIsOurs(): Boolean =
         MetaIO.exists(manifestPath(root, next)) &&
           allProps(root, next).get(FenceProp).contains(fence)
@@ -498,12 +664,15 @@ object ManifestTable {
 
   /** True iff v's manifest is an orphan claim — above the live pointer
     * and older than the claim grace (claim→flip is milliseconds, so a
-    * live committer's claim is never this old) — and was deleted. */
+    * live committer's claim is never this old) — and was deleted.
+    * Ref-pinned versions are never reclaimed (a rolled-over snapshot a
+    * tag protects must not be destroyed by a later commit). */
   private def reclaimIfStale(root: String, v: Long): Boolean = {
     val p = manifestPath(root, v)
     val live = currentVersion(root).getOrElse(0L)
     val stale = v > live && MetaIO.exists(p) &&
-      MetaIO.mtimeMillis(p) < System.currentTimeMillis() - claimGraceMs
+      MetaIO.mtimeMillis(p) < System.currentTimeMillis() - claimGraceMs &&
+      !pinnedVersions(root).contains(v)
     if (stale) MetaIO.delete(p)
     stale
   }
@@ -526,7 +695,7 @@ object ManifestTable {
     // a full rewrite re-derives every file's day in THIS session: its zone
     // is the table's zone, whatever history said
     val zp = writeZoneOf(df, partitionDayOf).map(ZoneProp -> _).toMap
-    commitLoop(root, retain, rebase = false)((_, _) => Planned(fresh, props ++ zp))
+    commitLoop(root, retain, rebase = false)(_ => Planned(fresh, props ++ zp))
   }
 
   /** Append commit (INSERT INTO semantics): write only `df`'s files into
@@ -546,9 +715,12 @@ object ManifestTable {
     val zone = writeZoneOf(df, partitionDayOf)
     // base ∪ new, props inherited ++ ours: the live manifest always
     // exposes the latest value per property key, so idempotence markers
-    // survive later appends — all re-read per attempt when rebasing
-    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
-      Planned(baseEntries ++ fresh, baseProps ++ props ++ mergeZoneProp(baseProps, zone))
+    // survive later appends — all re-read per attempt when rebasing.
+    // Base shard refs carry as LINES: append cost never reads them.
+    commitLoop(root, retain, rebase = true) { base =>
+      Planned(base.inline ++ fresh,
+        base.props ++ props ++ mergeZoneProp(base.props, zone),
+        carried = base.refs)
     }
   }
 
@@ -564,9 +736,9 @@ object ManifestTable {
   def appendDeletes(tombstones: DataFrame, root: String, retain: Int = 2): Long = {
     val touched = touchedRelsOf(tombstones)
     val fresh = writeDeletePool(tombstones, root)
-    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
-      requireTombstonedFilesLive(root, baseEntries, touched)
-      Planned(baseEntries ++ fresh, baseProps)
+    commitLoop(root, retain, rebase = true) { base =>
+      requireTombstonedFilesLive(root, base, touched)
+      Planned(base.inline ++ fresh, base.props, carried = base.refs)
     }
   }
 
@@ -580,10 +752,17 @@ object ManifestTable {
     * this commit into a silent no-op (DELETE) or a row resurrection
     * (UPDATE appends the new versions while the compacted copies of the
     * old ones survive). Same validate-against-base discipline as
-    * [[replaceDays]] — surface the conflict, never publish it. */
-  private def requireTombstonedFilesLive(root: String, baseEntries: Seq[FileEntry],
+    * [[replaceDays]] — surface the conflict, never publish it. Only the
+    * shards of the KEYS the tombstones touch are opened. */
+  private def requireTombstonedFilesLive(root: String, base: Base,
                                          touched: Set[String]): Unit = {
-    val live = baseEntries.filterNot(e => isDeleteEntry(e.rel))
+    // tombstone __file values are URL-ENCODED rels; compare keys in the
+    // same space by encoding each candidate key through a synthetic rel
+    val touchedKeys = touched.map(keyOf)
+    def encKey(k: String): String =
+      if (k.isEmpty) "" else keyOf(encodedRel(root, s"$k/x"))
+    val live = base.entriesForKeys(k => k != DeleteDir && touchedKeys.contains(encKey(k)))
+      .filterNot(e => isDeleteEntry(e.rel))
       .map(e => encodedRel(root, e.rel)).toSet
     if (!touched.subsetOf(live))
       throw new java.util.ConcurrentModificationException(
@@ -607,16 +786,22 @@ object ManifestTable {
     val freshData = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
     val freshDel = writeDeletePool(tombstones, root)
     val zone = writeZoneOf(df, partitionDayOf)
-    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
-      requireTombstonedFilesLive(root, baseEntries, touched)
-      Planned(baseEntries ++ freshDel ++ freshData,
-        baseProps ++ mergeZoneProp(baseProps, zone))
+    commitLoop(root, retain, rebase = true) { base =>
+      requireTombstonedFilesLive(root, base, touched)
+      Planned(base.inline ++ freshDel ++ freshData,
+        base.props ++ mergeZoneProp(base.props, zone),
+        carried = base.refs)
     }
   }
 
   private def writeDeletePool(tombstones: DataFrame, root: String): Seq[FileEntry] = {
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
+    // globally sorted by (__file, __pos): task-side tombstone loading
+    // pushes a `__file = <rel>` filter, and sorted files give it tight
+    // row-group ranges to skip on (Iceberg sorts delete files the same
+    // way, for the same reason)
     tombstones.select(col("__file").cast("string"), col("__pos").cast("long"))
+      .sort(col("__file"), col("__pos"))
       .write.parquet(stage)
     val fresh = MetaIO.listFilesRec(stage)
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -642,31 +827,57 @@ object ManifestTable {
     * `expectedVersion` anchors the check to the version `df` was COMPUTED
     * from ([[readRawPinned]]), catching commits that landed between that
     * read and this call; default = the live version at entry. */
+  /** True for keys of the days being replaced/dropped. Delete-entry keys
+    * carry day-independently (their tombstones name specific files: inert
+    * for replaced files, still applied for kept). */
+  private def removedDayKey(removeDays: Set[String])(key: String): Boolean =
+    key.startsWith(s"$DayCol=") && removeDays.contains(key.stripPrefix(s"$DayCol="))
+
+  /** A day-scoped rewrite needs a day-partitioned table: any DATA key
+    * outside a `__day=` directory refuses — checked from keys alone. */
+  private def requireDayLayout(root: String, base: Base, op: String): Unit = {
+    val dataKeys = base.refs.filterNot(_.key == DeleteDir).map(_.key) ++
+      base.inline.filterNot(e => isDeleteEntry(e.rel)).map(e => keyOf(e.rel))
+    if (dataKeys.exists(k => !k.startsWith(s"$DayCol=")))
+      throw new IllegalStateException(
+        s"$root holds unpartitioned files; $op needs a day-partitioned table")
+  }
+
+  /** The touched-day file set of one manifest, in two tiers: the shard-ref
+    * lines for those days (compared first — shards are immutable, so equal
+    * refs PROVE equal contents with zero reads) and the materialized rel
+    * set (read only when the refs differ, e.g. across a fold). */
+  private def touchedDayState(root: String, refs: Seq[ShardRef],
+                              inline: Seq[FileEntry], removed: String => Boolean)
+      : (Seq[ShardRef], Seq[String], () => Set[String]) = {
+    val rs = refs.filter(r => removed(r.key))
+    val il = inline.filter(e => removed(keyOf(e.rel))).map(_.rel)
+    (rs, il, () => (rs.flatMap(r => shardEntries(root, r.rel).map(_.rel)) ++ il).toSet)
+  }
+
   def replaceDays(df: DataFrame, root: String, removeDays: Set[String],
                   partitionDayOf: String, retain: Int = 2,
                   expectedVersion: Option[Long] = None): Long = {
-    // delete entries carry day-independently (their tombstones name
-    // specific files: inert for replaced files, still applied for kept)
-    def touched(rels: Seq[String]): Seq[String] =
-      rels.filterNot(isDeleteEntry).filter(rel => dayOf(rel) match {
-        case Some(d) => removeDays.contains(d)
-        case None => throw new IllegalStateException(
-          s"$root holds unpartitioned files; replaceDays needs a day-partitioned table")
-      })
+    val removed = removedDayKey(removeDays) _
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val base0 = touched(manifest(root, baseV)).toSet
+    val d0 = readDoc(root, baseV)
+    val (refs0, inline0, mat0) = touchedDayState(root, d0.refs, d0.inline, removed)
     val fmt = formatOf(root).getOrElse("parquet")
     val fresh = writePool(df, root, Some(partitionDayOf), fmt)
     val zone = writeZoneOf(df, Some(partitionDayOf))
-    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
-      if (touched(baseEntries.map(_.rel)).toSet != base0)
+    commitLoop(root, retain, rebase = true) { base =>
+      requireDayLayout(root, base, "replaceDays")
+      val (refsC, inlineC, matC) = touchedDayState(root, base.refs, base.inline, removed)
+      val unchanged = (refsC == refs0 && inlineC == inline0) || matC() == mat0()
+      if (!unchanged)
         throw new java.util.ConcurrentModificationException(
           s"days ${removeDays.mkString(",")} of $root changed under this rewrite; recompute and retry")
       // partial update of a continuing table: carry the commit properties
       // (e.g. streaming idempotence markers) into the new manifest
-      Planned(baseEntries.filterNot(e => dayOf(e.rel).exists(removeDays.contains)) ++ fresh,
-        baseProps ++ mergeZoneProp(baseProps, zone))
+      Planned(base.inline.filterNot(e => removed(keyOf(e.rel))) ++ fresh,
+        base.props ++ mergeZoneProp(base.props, zone),
+        carried = base.refs.filterNot(r => removed(r.key)))
     }
   }
 
@@ -678,23 +889,24 @@ object ManifestTable {
     * (and `expectedVersion` anchor) as [[replaceDays]]. */
   def dropDays(root: String, removeDays: Set[String], retain: Int = 2,
                expectedVersion: Option[Long] = None): Long = {
-    def touched(rels: Seq[String]): Seq[String] =
-      rels.filterNot(isDeleteEntry).filter(rel => dayOf(rel) match {
-        case Some(d) => removeDays.contains(d)
-        case None => throw new IllegalStateException(
-          s"$root holds unpartitioned files; dropDays needs a day-partitioned table")
-      })
+    val removed = removedDayKey(removeDays) _
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val base0 = touched(manifest(root, baseV)).toSet
-    commitLoop(root, retain, rebase = true) { (baseEntries, baseProps) =>
-      if (touched(baseEntries.map(_.rel)).toSet != base0)
+    val d0 = readDoc(root, baseV)
+    val (refs0, inline0, mat0) = touchedDayState(root, d0.refs, d0.inline, removed)
+    commitLoop(root, retain, rebase = true) { base =>
+      requireDayLayout(root, base, "dropDays")
+      val (refsC, inlineC, matC) = touchedDayState(root, base.refs, base.inline, removed)
+      val unchanged = (refsC == refs0 && inlineC == inline0) || matC() == mat0()
+      if (!unchanged)
         throw new java.util.ConcurrentModificationException(
           s"days ${removeDays.mkString(",")} of $root changed under this drop; recompute and retry")
-      val keep = baseEntries.filterNot(e => dayOf(e.rel).exists(removeDays.contains))
-      require(keep.exists(e => !isDeleteEntry(e.rel)),
+      val keepRefs = base.refs.filterNot(r => removed(r.key))
+      val keepInline = base.inline.filterNot(e => removed(keyOf(e.rel)))
+      require(keepInline.exists(e => !isDeleteEntry(e.rel)) ||
+        keepRefs.exists(r => r.key != DeleteDir && r.n > 0),
         s"dropDays would empty $root; DROP the table (or overwrite) instead")
-      Planned(keep, baseProps)
+      Planned(keepInline, base.props, carried = keepRefs)
     }
   }
 
@@ -764,12 +976,25 @@ object ManifestTable {
 
   /** Fast-forward `_CURRENT` to the branch head (one atomic flip) — the
     * publish half of write-audit-publish: main readers see exactly the
-    * snapshot the audit queries validated. */
+    * snapshot the audit queries validated. Moving the pointer BELOW
+    * retained versions records a high-water mark first, so later commits
+    * allocate above the rolled-over history instead of colliding with
+    * (or reclaiming) it. */
   def publishBranch(root: String, name: String): Long = {
     val r = resolveRef(root, name)
     require(r.kind == "branch", s"ref '$name' on $root is a ${r.kind}, not a branch")
+    versions(root).lastOption.filter(_ > r.version).foreach { hw =>
+      MetaIO.writeAtomic(s"$root/$MaxMark", hw.toString)
+    }
     MetaIO.writeAtomic(pointerPath(root), r.version.toString)
     r.version
+  }
+
+  /** Version-allocation floor recorded when the pointer moved backwards. */
+  private val MaxMark = "_MAXV"
+  private def highWaterMark(root: String): Long = {
+    val p = s"$root/$MaxMark"
+    if (MetaIO.exists(p)) MetaIO.readString(p).trim.toLong else 0L
   }
 
   def dropRef(root: String, name: String): Unit = {
@@ -790,49 +1015,87 @@ object ManifestTable {
   private def pinnedVersions(root: String): Set[Long] =
     refs(root).values.map(_.version).toSet
 
-  /** Drop manifests beyond `retain`, then delete pool files no retained
-    * manifest references (runs after the flip: a failed GC leaves orphans,
-    * never a broken table). Also sweeps orphan CLAIMS — manifests above
-    * the live pointer whose committer crashed before flipping (older than
-    * the claim grace) — so a crashed commit can never block the version
-    * sequence permanently. Ref-pinned versions (tags/branches) are exempt
-    * from both sweeps and keep their files referenced. */
+  /** Commit-path GC, INCREMENTAL: drop manifests beyond `retain`, then
+    * delete the pool files reachable ONLY through the expiring manifests.
+    * Keys are path-derived (a file can never change key), so the kept
+    * shards of the expiring entries' keys are the complete reference set —
+    * the diff is exact at cost ∝ churned keys, never ∝ table size. Also
+    * sweeps orphan CLAIMS — manifests above the live pointer whose
+    * committer crashed before flipping (older than the claim grace) — so a
+    * crashed commit can never block the version sequence. Ref-pinned
+    * versions (tags/branches) are exempt and keep their files referenced.
+    * Never-referenced junk (crashed writers' pool files, lost-race shards)
+    * is NOT this path's job — [[expireOldVersions]] does those full
+    * sweeps, Iceberg's remove-orphan-files split. */
   private def gc(root: String, live: Long, retain: Int): Unit = {
     val now = System.currentTimeMillis()
     val pinned = pinnedVersions(root)
     val (dead, kept0) = versions(root)
       .partition(v => v <= live - retain && !pinned.contains(v))
-    dead.foreach(v => MetaIO.delete(manifestPath(root, v)))
+    // expiring docs are read BEFORE their manifests are deleted
+    val deadDocs = dead.map(v => readDoc(root, v))
     val kept = kept0.filter { v =>
       val orphan = v > live && !pinned.contains(v) &&
         MetaIO.mtimeMillis(manifestPath(root, v)) < now - claimGraceMs
       if (orphan) MetaIO.delete(manifestPath(root, v))
       !orphan
     }
-    val referenced = kept.filter(v => v <= live || pinned.contains(v))
-      .flatMap(v => manifest(root, v)).toSet
-    MetaIO.listFilesRec(s"$root/data").foreach { st =>
-      // unreferenced files younger than the ORPHAN grace are protected:
-      // they may belong to an in-flight commit (moved into the pool just
-      // before its claim — and mtime-stamped at move-in, so the grace ages
-      // from pool entry, not from the Spark write). A crashed writer's
-      // files age past the grace and the next successful commit sweeps
-      // them — Iceberg's orphan-file rule, with Iceberg's order of
-      // magnitude (hours, not the claim's minutes).
-      if (!referenced.contains(MetaIO.relativize(s"$root/data", st.getPath))
-          && st.getModificationTime < now - orphanFileGraceMs)
-        MetaIO.delete(st.getPath.toString)
+    val keptDocs = kept.filter(v => v <= live || pinned.contains(v))
+      .map(v => readDoc(root, v))
+    val keptShardRels = keptDocs.flatMap(_.refs.map(_.rel)).toSet
+    val deadOnlyShards = deadDocs.flatMap(_.refs)
+      .filterNot(r => keptShardRels.contains(r.rel)).distinctBy(_.rel)
+    // candidate pool files: reachable only through expiring manifests
+    val candidates = (deadDocs.flatMap(_.inline.map(_.rel)) ++
+      deadOnlyShards.flatMap(r => shardEntries(root, r.rel).map(_.rel))).toSet
+    if (candidates.nonEmpty) {
+      val candKeys = candidates.map(keyOf)
+      val referenced = keptDocs.flatMap { d =>
+        d.inline.map(_.rel).filter(r => candKeys.contains(keyOf(r))) ++
+          d.refs.filter(r => candKeys.contains(r.key))
+            .flatMap(r => shardEntries(root, r.rel).map(_.rel))
+      }.toSet
+      (candidates -- referenced).foreach { rel =>
+        // unreferenced files younger than the ORPHAN grace are protected:
+        // mtime-stamped at pool entry, so the grace ages from move-in
+        val p = s"$root/data/$rel"
+        if (MetaIO.exists(p) && MetaIO.mtimeMillis(p) < now - orphanFileGraceMs)
+          MetaIO.delete(p)
+      }
     }
+    dead.foreach(v => MetaIO.delete(manifestPath(root, v)))
+    // shard files listed by no surviving manifest: exact-diff delete
+    // (shards are metadata-internal — no grace needed once unreferenced)
+    deadOnlyShards.foreach(r => MetaIO.delete(s"$root/manifests/${r.rel}"))
   }
 
-  /** Iceberg's `expire_snapshots`, standalone: cut retained history to
-    * `retain` manifests behind the live pointer and run the
-    * reference-counting file GC — which also sweeps orphan claims and
-    * grace-aged orphan pool files. Metadata + unreferenced-file deletes
-    * only; the live snapshot is never touched. */
+  /** Iceberg's `expire_snapshots` + `remove_orphan_files`, standalone: cut
+    * retained history to `retain` manifests behind the live pointer, run
+    * the incremental GC, then the FULL orphan sweeps — pool files no
+    * retained manifest references (crashed writers' junk) and shard files
+    * no manifest lists (lost commit races), both behind the orphan grace.
+    * The full sweeps are O(table listing) and live ONLY here, never on
+    * the commit path. */
   def expireOldVersions(root: String, retain: Int = 1): Unit = {
     require(retain >= 1, "must retain at least the live snapshot")
-    currentVersion(root).foreach(live => gc(root, live, retain))
+    currentVersion(root).foreach { live =>
+      gc(root, live, retain)
+      val now = System.currentTimeMillis()
+      val docs = versions(root).map(v => readDoc(root, v))
+      val referencedFiles = docs.flatMap(d => d.inline.map(_.rel) ++
+        d.refs.flatMap(r => shardEntries(root, r.rel).map(_.rel))).toSet
+      MetaIO.listFilesRec(s"$root/data").foreach { st =>
+        if (!referencedFiles.contains(MetaIO.relativize(s"$root/data", st.getPath))
+            && st.getModificationTime < now - orphanFileGraceMs)
+          MetaIO.delete(st.getPath.toString)
+      }
+      val referencedShards = docs.flatMap(_.refs.map(_.rel)).toSet
+      MetaIO.listFilesRec(s"$root/manifests/shards").foreach { st =>
+        if (!referencedShards.contains(s"shards/${st.getPath.getName}")
+            && st.getModificationTime < now - orphanFileGraceMs)
+          MetaIO.delete(st.getPath.toString)
+      }
+    }
   }
 
   /** `TIMESTAMP AS OF` resolution: the latest manifest committed at or

@@ -705,34 +705,52 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     (from, until)
   }
 
-  /** Manifest entries surviving plan-time pruning (all of them when the
-    * table is unpartitioned, unfiltered, or never committed → possibly
-    * empty). Two independent prunes, both conservative floors:
-    *
-    *  1. hidden-day pruning — ts-range filters against the directory day
-    *     (as before);
-    *  2. per-file column-stats pruning — every pushed filter evaluated
-    *     against the entry's min/max/null stats ([[FileStats.mayContain]],
-    *     physical column names); a file is dropped only when its stats
-    *     PROVE no row matches. Entries without stats (avro legs,
-    *     pre-stats manifests) always survive.
-    *
-    * Residual filters keep the result exact either way — pruning is a
-    * pure optimization, exactly Iceberg's manifest-stats scan planning. */
-  private def resolvedEntries: Seq[ManifestTable.FileEntry] =
+  /** The resolved snapshot's manifest index: shard refs + inline entries,
+    * shard contents unread (nothing when never committed). */
+  private def resolvedIndex: (Seq[ManifestTable.ShardRef], Seq[ManifestTable.FileEntry]) =
     pinnedVersion.orElse(ManifestTable.currentVersion(root)) match {
-      case Some(v) => ManifestTable.entries(root, v)
-      case None => Nil
+      case Some(v) => ManifestTable.manifestIndex(root, v)
+      case None => (Nil, Nil)
     }
 
   /** Positional-delete entries of the resolved snapshot (merge-on-read
-    * tombstones the scan must apply). */
-  private[v2] def deleteRels: Seq[String] =
-    resolvedEntries.map(_.rel).filter(ManifestTable.isDeleteEntry)
+    * tombstones the scan must apply) — only delete-keyed shards open. */
+  private[v2] def deleteRels: Seq[String] = {
+    val (refs, inline) = resolvedIndex
+    refs.filter(_.key == ManifestTable.DeleteDir)
+      .flatMap(r => ManifestTable.shardEntries(root, r.rel).map(_.rel)) ++
+      inline.map(_.rel).filter(ManifestTable.isDeleteEntry)
+  }
 
+  /** Data files surviving plan-time pruning, in TWO tiers (both floors):
+    *
+    *  1. SHARD-level — each manifest-list ref is tested by its partition
+    *     KEY (a synthetic stats-free entry runs through the same
+    *     predicates); pruned shards are never opened, so plan cost follows
+    *     the shards the filter selects, not table size — Iceberg's
+    *     manifest-list pruning;
+    *  2. ENTRY-level over the survivors — hidden-day / transform /
+    *     identity directory pruning plus per-file column-stats pruning
+    *     ([[FileStats.mayContain]], physical names); a file drops only
+    *     when its stats PROVE no row matches. Entries without stats
+    *     (avro legs, pre-stats manifests) always survive.
+    *
+    * Residual filters keep the result exact either way — pruning is a
+    * pure optimization, exactly Iceberg's manifest-stats scan planning. */
   private[v2] def prunedManifest: Seq[String] = {
+    val (refs, inline) = resolvedIndex
     // delete entries are metadata for the reader, never data input
-    val all = resolvedEntries.filterNot(e => ManifestTable.isDeleteEntry(e.rel))
+    val dataRefs = refs.filterNot(_.key == ManifestTable.DeleteDir)
+    def synth(key: String) = ManifestTable.FileEntry(
+      if (key.isEmpty) "f" else s"$key/f", None)
+    val keptRefs = dataRefs.filter(r => pruneEntries(Seq(synth(r.key))).nonEmpty)
+    val candidates = keptRefs.flatMap(r => ManifestTable.shardEntries(root, r.rel)) ++
+      inline.filterNot(e => ManifestTable.isDeleteEntry(e.rel))
+    pruneEntries(candidates).map(_.rel)
+  }
+
+  /** The conservative pruning pipeline over concrete entries. */
+  private def pruneEntries(all: Seq[ManifestTable.FileEntry]): Seq[ManifestTable.FileEntry] = {
     val dayPruned = if (dayOf.isEmpty) all
     else dayBounds match {
       case (None, None) => all
@@ -770,7 +788,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
           }
         }
       }
-    statsPruned.map(_.rel)
+    statsPruned
   }
 
   /** The `__part=` directory value of an entry, None for stray files. */
@@ -931,24 +949,21 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     val rels = prunedManifest
     val files = rels.map(rel => new Path(s"$root/data/$rel"))
     val logicalRead = required
-    // merge-on-read: load the snapshot's tombstones up front (driver-side,
-    // one small job at plan time — bounded by rows deleted since the last
-    // compaction) and keep only those naming files that SURVIVED pruning.
+    // merge-on-read: resolve WHICH files carry tombstones up front (one
+    // tiny plan-time job over the delete files' __file column — bounded by
+    // files touched since the last compaction, never by deleted ROWS) and
+    // keep only those that SURVIVED pruning. The positions themselves load
+    // task-side in [[MorDeletes]]; they never materialize on the driver.
     // Tombstone row identity is the _metadata.file_path-derived
     // URL-ENCODED rel, so the survival check compares in that form.
     val delRels = deleteRels
-    val tombstonesByRel: Map[String, Array[Long]] =
-      if (delRels.isEmpty) Map.empty
+    val affectedRels: Set[String] =
+      if (delRels.isEmpty) Set.empty
       else {
         val surviving = rels.map(r => ManifestTable.encodedRel(root, r)).toSet
         spark.read.parquet(delRels.map(r => s"$root/data/$r"): _*)
-          .select("__file", "__pos")
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .groupBy(_._1)
-          .collect { case (rel, ps) if surviving.contains(rel) =>
-            rel -> ps.map(_._2).distinct.sorted
-          }
+          .select("__file").distinct().collect()
+          .map(_.getString(0)).filter(surviving.contains).toSet
       }
     val delegate: Scan = meta.format match {
       case "avro" =>
@@ -979,7 +994,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         // still applies every filter exactly post-scan; the cost lasts
         // only until compaction materializes the deletes)
         val physicalFilters =
-          if (tombstonesByRel.nonEmpty) Array.empty[sources.Filter]
+          if (affectedRels.nonEmpty) Array.empty[sources.Filter]
           else pushed.map(GraftScanBridge2.renameFilter(_, meta.physicalName))
         if (fmt == "orc")
           org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
@@ -990,7 +1005,11 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     }
     val named = if (meta.renames.isEmpty) delegate
       else new RenamedScan(delegate, logicalRead)
-    if (tombstonesByRel.isEmpty) named else new MorScan(named, tombstonesByRel)
+    if (affectedRels.isEmpty) named
+    else new MorScan(named, affectedRels,
+      delRels.map(r => s"$root/data/$r"),
+      new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
   }
 }
 

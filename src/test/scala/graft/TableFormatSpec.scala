@@ -483,11 +483,16 @@ class TableFormatSpec extends AnyFunSuite {
     assert(Files.exists(inflight),
       "an unreferenced pool file inside the orphan grace must survive GC")
 
-    // … and one aged past the orphan grace is swept (crashed writer's junk)
+    // … and one aged past the orphan grace is swept by MAINTENANCE (the
+    // full never-referenced sweep is expire-only — commits never list the
+    // pool, so commit cost can't grow with table size)
     Files.setLastModifiedTime(inflight, java.nio.file.attribute.FileTime.from(
       java.time.Instant.now().minusSeconds(7200))) // 2 h: past the 1 h orphan grace
     ManifestTable.commit(Seq((3L, "c")).toDF("k", "v"), root, retain = 1)
-    assert(!Files.exists(inflight), "an orphan aged past the grace is swept")
+    assert(Files.exists(inflight),
+      "commit-path GC must not do full-pool sweeps (cost ∝ table size)")
+    ManifestTable.expireOldVersions(root, retain = 1)
+    assert(!Files.exists(inflight), "an orphan aged past the grace is swept by expire")
   }
 
   test("writeAtomic under concurrent same-key writers: readers always see one full body") {

@@ -998,6 +998,39 @@ class V2CatalogSpec extends AnyFunSuite {
     assert(spark.table("gtest.ns.cc").count() === 110)
   }
 
+  test("merge-on-read scans stay VECTORIZED: tombstones mask columnar batches, positions load task-side") {
+    import org.apache.spark.sql.execution.ColumnarToRowExec
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.morv")
+    (0L until 50000L).map(i => (i, i * 2.0)).toDF("k", "v")
+      .repartition(4).writeTo("gtest.ns.morv").create()
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.morv WHERE k % 7 = 3")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/morv"
+    assert(graft.sources.ManifestTable.hasDeletes(root))
+
+    val df = spark.table("gtest.ns.morv")
+    // the scan advertises task-side delete loading (the driver ships file
+    // NAMES only — positions can no longer materialize driver-side by
+    // construction) and the plan keeps the vectorized read
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("task-side deletes"))
+    assert(scans.head.supportsColumnar, "a tombstoned scan must stay vectorized")
+    assert(df.queryExecution.executedPlan.collect {
+      case c: ColumnarToRowExec => c }.nonEmpty,
+      "plan must convert from columnar batches, not fall back to row readers")
+    // exactness across batch boundaries: several batches per file, masked
+    // and pass-through batches interleaved
+    val agg = df.agg(count(lit(1)), sum("k")).collect()(0)
+    val expected = (0L until 50000L).filter(_ % 7 != 3)
+    assert(agg.getLong(0) === expected.size.toLong)
+    assert(agg.getLong(1) === expected.sum)
+    spark.sql("DROP TABLE gtest.ns.morv")
+  }
+
   test("named refs: VERSION AS OF tag/branch by name, GC pinning, fast-forward") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
