@@ -15,9 +15,13 @@ Resolution protocol (mirrors graft.sources.ManifestTable's layout doc):
                                         entry lines 'rel[\\tstats]'
   3. <root>/data/<rel>               -> immutable parquet/orc/avro files;
                                         entries under '__deletes/' are
-                                        positional-delete tombstones
-                                        (__file rel path, __pos row index)
-                                        to anti-join out of the data.
+                                        delete files: positional tombstones
+                                        (__file rel path, __pos row index),
+                                        or — named 'eq_*' — EQUALITY keys
+                                        retracting every matching row of
+                                        data files with a strictly smaller
+                                        'seq=N' commit sequence (third
+                                        TAB field of an entry line).
 
 Partition-directory values ('__day=D', '__part=P', identity 'col=v')
 re-derive exactly as hive-style partitioning, which DuckDB understands
@@ -34,34 +38,48 @@ import sys
 import duckdb
 
 
+def _parse_line(line):
+    """(rel, seq) of one entry line ('rel[\\tstats][\\tseq=N]')."""
+    f = line.split("\t")
+    seq = 0
+    for tok in f[1:]:
+        if tok.startswith("seq="):
+            seq = int(tok[4:])
+    return f[0], seq
+
+
 def resolve(root: str, version=None):
-    """Return (data_paths, delete_paths) for the requested snapshot."""
+    """Return (entries, pos_delete_paths, eq_deletes) for the snapshot;
+    entries are (path, seq) pairs, eq_deletes are (path, seq)."""
     if version is None:
         with open(f"{root}/_CURRENT") as f:
             version = int(f.read().strip())
     with open(f"{root}/manifests/v={version}.txt") as f:
         lines = [l.rstrip("\n") for l in f]
-    rels = []
+    entries = []
     for l in lines:
         if not l or l.startswith("#"):
             continue
         if l.startswith("@"):  # manifest-list shard reference
             shard_rel = l[1:].split("\t")[1]
             with open(f"{root}/manifests/{shard_rel}") as s:
-                rels += [sl.rstrip("\n").split("\t")[0]
-                         for sl in s if sl.strip()]
+                entries += [_parse_line(sl.rstrip("\n")) for sl in s if sl.strip()]
         else:
-            rels.append(l.split("\t")[0])
-    data = [f"{root}/data/{r}" for r in rels if not r.startswith("__deletes/")]
-    dels = [f"{root}/data/{r}" for r in rels if r.startswith("__deletes/")]
-    return version, data, dels
+            entries.append(_parse_line(l))
+    data = [(f"{root}/data/{r}", q) for r, q in entries
+            if not r.startswith("__deletes/")]
+    pos = [f"{root}/data/{r}" for r, q in entries
+           if r.startswith("__deletes/") and not r.startswith("__deletes/eq_")]
+    eq = [(f"{root}/data/{r}", q) for r, q in entries
+          if r.startswith("__deletes/eq_")]
+    return version, data, pos, eq
 
 
 def open_table(con, root: str, version=None) -> int:
-    version, data, dels = resolve(root, version)
+    version, data, pos, eq = resolve(root, version)
     if not data:
         raise SystemExit(f"no data files in v={version} of {root}")
-    fmt = data[0].rsplit(".", 1)[-1]
+    fmt = data[0][0].rsplit(".", 1)[-1]
     reader = {"parquet": "read_parquet", "avro": "read_avro"}.get(fmt)
     if reader is None:
         raise SystemExit(f"duckdb cannot read .{fmt} data files here")
@@ -69,21 +87,34 @@ def open_table(con, root: str, version=None) -> int:
         return "[" + ", ".join("'" + p.replace("'", "''") + "'" for p in paths) + "]"
     # hidden partition dirs (__day=/__part=) and identity columns re-derive
     # through hive partitioning; row identity for tombstones is
-    # (path after .../data/, file row index)
+    # (path after .../data/, file row index); the per-row commit sequence
+    # scopes equality deletes
+    seq_case = " ".join(
+        f"WHEN filename = '{p}' THEN {q}" for p, q in data) or "WHEN 1=0 THEN 0"
     con.execute(
         f"CREATE VIEW t_raw AS SELECT *, "
         f"regexp_extract(filename, '.*/data/(.*)$', 1) AS __mor_rel, "
-        f"file_row_number AS __mor_pos "
-        f"FROM {reader}({sql_list(data)}, hive_partitioning=1, filename=1, "
-        f"file_row_number=1)")
-    if dels:
-        con.execute(
-            "CREATE VIEW t AS SELECT * EXCLUDE (__mor_rel, __mor_pos) "
-            f"FROM t_raw WHERE NOT EXISTS (SELECT 1 FROM read_parquet({sql_list(dels)}) d "
+        f"file_row_number AS __mor_pos, "
+        f"CASE {seq_case} ELSE 0 END AS __row_seq "
+        f"FROM {reader}({sql_list([p for p, _ in data])}, hive_partitioning=1, "
+        f"filename=1, file_row_number=1)")
+    conds = []
+    if pos:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM read_parquet({sql_list(pos)}) d "
             "WHERE d.__file = t_raw.__mor_rel AND d.__pos = t_raw.__mor_pos)")
-    else:
-        con.execute(
-            "CREATE VIEW t AS SELECT * EXCLUDE (__mor_rel, __mor_pos) FROM t_raw")
+    for p, q in eq:  # eq keys: one NOT EXISTS per key file, null-safe match
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{p}')").fetchall()]
+        match = " AND ".join(
+            f"d.{c} IS NOT DISTINCT FROM t_raw.{c}" for c in cols)
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM read_parquet('{p}') d "
+            f"WHERE {match} AND t_raw.__row_seq < {q})")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    con.execute(
+        "CREATE VIEW t AS SELECT * EXCLUDE (__mor_rel, __mor_pos, __row_seq) "
+        f"FROM t_raw{where}")
     return version
 
 

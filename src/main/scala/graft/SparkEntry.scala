@@ -140,6 +140,9 @@ object SparkEntry {
     "months_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.monthsPruneScan(s, d)),
     "identity_partition_scan" -> ((s, d) => graft.sources.v2.V2Queries.identityPartitionScan(s, d)),
     "mor_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.morDeleteScan(s, d)),
+    // equality deletes (CDC-shape key retraction): delete by key with no
+    // data read, sequence-scoped so later re-inserts survive
+    "eq_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.eqDeleteScan(s, d)),
     "files_metadata_scan" -> ((s, d) => graft.sources.v2.V2Queries.filesMetadataScan(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
     // named refs (tags/branches) resolved by NAME through VERSION AS OF,
@@ -267,6 +270,7 @@ object SparkEntry {
     "months_prune_scan" -> graft.sources.v2.V2Queries.oracle.monthsPruneScan,
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
+    "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
     "tag_time_travel" -> graft.sources.v2.V2Queries.oracle.tagTimeTravel,

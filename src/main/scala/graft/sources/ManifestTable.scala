@@ -123,6 +123,14 @@ object ManifestTable {
   /** True for manifest entries under the reserved delete directory. */
   def isDeleteEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/")
 
+  /** True for EQUALITY-delete entries (`__deletes/eq_*.parquet`): parquet
+    * files whose columns ARE the retraction key — every row of an older
+    * data file matching a key row is deleted, no positions needed. This is
+    * Iceberg v2's equality delete, the shape a CDC/Flink writer emits when
+    * it cannot know row positions. Scoped by commit sequence: applies only
+    * to data files with a strictly SMALLER sequence ([[FileEntry.seq]]). */
+  def isEqDeleteEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/eq_")
+
   /** The URL-ENCODED relative form of a pool path — the representation
     * `_metadata.file_path`-derived row identities (tombstone `__file`
     * values) use. Identical to the raw rel for the engine's own layouts
@@ -192,19 +200,29 @@ object ManifestTable {
         n.stripPrefix("v=").stripSuffix(".txt").toLong }
       .sorted
 
-  /** One manifest data-file entry: relative path plus the file's encoded
-    * per-column statistics ([[FileStats]]) when the format carries them.
-    * Serialized as `rel<TAB>stats` — manifests written before stats
-    * existed (no tab) parse as stats-free entries and keep reading. */
-  case class FileEntry(rel: String, stats: Option[String]) {
-    def render: String = rel + stats.map("\t" + _).getOrElse("")
+  /** One manifest data-file entry: relative path, the file's encoded
+    * per-column statistics ([[FileStats]]) when the format carries them,
+    * and the COMMIT SEQUENCE the file entered the table at (the version id
+    * of its first commit — Iceberg's data sequence number). Serialized
+    * `rel<TAB>stats<TAB>seq=N`; manifests written before stats or
+    * sequences existed parse with those fields absent and keep reading
+    * (an absent sequence reads as 0 — "older than everything"). The
+    * sequence scopes EQUALITY deletes: an eq-delete retracts only rows of
+    * files committed strictly before it, so same-commit upsert rows and
+    * later re-inserts of a deleted key survive. */
+  case class FileEntry(rel: String, stats: Option[String],
+                       seq: Option[Long] = None) {
+    def render: String =
+      if (seq.isEmpty) rel + stats.map("\t" + _).getOrElse("")
+      else s"$rel\t${stats.getOrElse("")}\tseq=${seq.get}"
   }
 
   private def parseEntry(line: String): FileEntry = {
-    val i = line.indexOf('\t')
-    if (i < 0) FileEntry(line, None)
-    else FileEntry(line.substring(0, i),
-      Some(line.substring(i + 1)).filter(_.nonEmpty))
+    val f = line.split('\t')
+    FileEntry(f(0),
+      f.drop(1).find(s => s.nonEmpty && !s.startsWith("seq=")),
+      f.drop(1).collectFirst { case s if s.startsWith("seq=") =>
+        s.stripPrefix("seq=").toLong })
   }
 
   /** One manifest-LIST line referencing an immutable shard file
@@ -362,13 +380,23 @@ object ManifestTable {
     }.reduce(_ unionByName _)
   }
 
-  /** Data files of `entries` with the snapshot's positional deletes
-    * APPLIED. Without delete entries this is [[readFiles]]; with them the
-    * parquet data is read with its metadata columns and the tombstoned
-    * (file, row-index) pairs are anti-joined out — merge-on-read, exactly
-    * what Iceberg's delete files buy the reference. Row identity is
-    * (relative pool path, file row index); the last `/data/` marks the
-    * pool root (partition directory values cannot contain '/'). */
+  /** Data files of `entries` with the snapshot's deletes APPLIED. Without
+    * delete entries this is [[readFiles]]; with them the parquet data is
+    * read with its metadata columns and
+    *
+    *  - POSITIONAL tombstones anti-join out by (relative pool path, file
+    *    row index) — row identity from `_metadata`, the last `/data/`
+    *    marking the pool root (partition directory values cannot contain
+    *    '/');
+    *  - EQUALITY deletes anti-join out by their key columns, scoped to
+    *    rows of data files with a strictly smaller commit sequence (the
+    *    per-row sequence rides in via a broadcast rel→seq lookup). Key
+    *    files are grouped by schema, so differently-keyed retractions
+    *    coexist; NULL keys match NULL values (`<=>`).
+    *
+    * Exactly what Iceberg's delete-file readers buy the reference. Both
+    * joins let AQE pick broadcast vs shuffle, so a huge delete backlog
+    * degrades to a shuffled anti-join instead of driver/executor OOM. */
   private def readApplied(spark: SparkSession, root: String,
                           es: Seq[FileEntry]): DataFrame = {
     val (del, data) = es.partition(e => isDeleteEntry(e.rel))
@@ -377,20 +405,48 @@ object ManifestTable {
       require(data.nonEmpty, s"only delete entries under $root")
       require(data.forall(_.rel.endsWith(".parquet")),
         s"merge-on-read deletes are a parquet capability; $root mixes formats")
+      val (eqDel, posDel) = del.partition(e => isEqDeleteEntry(e.rel))
       // a DIRECT parquet read (not the per-format union) so the _metadata
       // column resolves; basePath re-derives partition dirs as usual
       val base = spark.read.format("parquet").option("basePath", s"$root/data")
         .load(data.map(e => s"$root/data/${e.rel}"): _*)
-      val delDf = spark.read.parquet(del.map(e => s"$root/data/${e.rel}"): _*)
-        .select(col("__file").as("__del_file"), col("__pos").as("__del_pos"))
       val keyed = base
         .withColumn("__mor_rel",
           regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1))
         .withColumn("__mor_pos", col("_metadata.row_index"))
-      keyed.join(delDf,
-          keyed("__mor_rel") === delDf("__del_file") &&
-            keyed("__mor_pos") === delDf("__del_pos"), "left_anti")
-        .drop("__mor_rel", "__mor_pos")
+      val afterPos =
+        if (posDel.isEmpty) keyed
+        else {
+          val delDf = spark.read.parquet(posDel.map(e => s"$root/data/${e.rel}"): _*)
+            .select(col("__file").as("__del_file"), col("__pos").as("__del_pos"))
+          keyed.join(delDf,
+            keyed("__mor_rel") === delDf("__del_file") &&
+              keyed("__mor_pos") === delDf("__del_pos"), "left_anti")
+        }
+      val afterEq =
+        if (eqDel.isEmpty) afterPos
+        else {
+          import spark.implicits._
+          val seqDf = broadcast(
+            data.map(e => (encodedRel(root, e.rel), e.seq.getOrElse(0L)))
+              .toDF("__seq_rel", "__row_seq"))
+          val withSeq = afterPos
+            .join(seqDf, afterPos("__mor_rel") === seqDf("__seq_rel"), "left")
+            .drop("__seq_rel")
+          val bySchema = eqDel.groupBy(e =>
+            spark.read.parquet(s"$root/data/${e.rel}").schema.fieldNames.toSeq.sorted)
+          bySchema.values.foldLeft(withSeq) { (acc, group) =>
+            val keys = group.map { e =>
+              spark.read.parquet(s"$root/data/${e.rel}")
+                .withColumn("__eq_seq", lit(e.seq.getOrElse(0L)))
+            }.reduce(_ unionByName _)
+            val keyCols = keys.columns.filterNot(_ == "__eq_seq")
+            val cond = keyCols.map(c => acc(c) <=> keys(c)).reduce(_ && _) &&
+              acc("__row_seq") < keys("__eq_seq")
+            acc.join(keys, cond, "left_anti")
+          }.drop("__row_seq")
+        }
+      afterEq.drop("__mor_rel", "__mor_pos")
     }
   }
 
@@ -586,14 +642,19 @@ object ManifestTable {
       // not a max over versions() — keeps in-flight CLAIMS colliding,
       // which is the whole optimistic-concurrency protocol.
       val next = math.max(baseV.getOrElse(0L), highWaterMark(root)) + 1
+      // stamp FRESH entries (no sequence yet) with this commit's version —
+      // the data sequence number that scopes equality deletes; carried
+      // inline entries keep the sequence of their original commit
+      val stamped = planned.entries.map(e =>
+        if (e.seq.isEmpty) e.copy(seq = Some(next)) else e)
       // fold loose entries into per-key shards past the inline budget,
       // then merge any key that accumulated too many refs — shard files
       // land BEFORE the claim (unreferenced on a lost race; swept by the
       // maintenance orphan sweep)
       val (refs0, inline) =
-        if (planned.entries.size <= inlineMaxEntries) (planned.carried, planned.entries)
+        if (stamped.size <= inlineMaxEntries) (planned.carried, stamped)
         else (planned.carried ++
-          planned.entries.groupBy(e => keyOf(e.rel)).toSeq.sortBy(_._1)
+          stamped.groupBy(e => keyOf(e.rel)).toSeq.sortBy(_._1)
             .map { case (k, es) => writeShard(root, k, es) }, Seq.empty[FileEntry])
       val refs = {
         val perKey = refs0.groupBy(_.key)
@@ -740,6 +801,39 @@ object ManifestTable {
       requireTombstonedFilesLive(root, base, touched)
       Planned(base.inline ++ fresh, base.props, carried = base.refs)
     }
+  }
+
+  /** EQUALITY-delete commit: stage `keys` — a DataFrame whose columns are
+    * the retraction key (physical names, primitive types) — as parquet
+    * under [[DeleteDir]] and publish base ∪ keys. NO data file is read or
+    * rewritten and no positions are computed: commit cost follows the
+    * number of retracted KEYS, which is what a CDC writer that cannot
+    * know row positions needs (Iceberg v2 equality deletes, the Flink
+    * shape). Readers anti-join older-sequence rows out until compaction
+    * materializes; appends in the SAME or a later commit are untouched
+    * (sequence-scoped), so deleted keys can be re-inserted. Never
+    * conflicts with concurrent appends — rebases like [[append]]. */
+  def appendEqualityDeletes(keys: DataFrame, root: String, retain: Int = 2): Long = {
+    require(exists(root), s"no committed version under $root")
+    val fresh = writeEqDeletePool(keys, root)
+    commitLoop(root, retain, rebase = true) { base =>
+      Planned(base.inline ++ fresh, base.props, carried = base.refs)
+    }
+  }
+
+  private def writeEqDeletePool(keys: DataFrame, root: String): Seq[FileEntry] = {
+    val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
+    keys.coalesce(1).write.parquet(stage)
+    val fresh = MetaIO.listFilesRec(stage)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rel = s"$DeleteDir/eq_${UUID.randomUUID().toString.take(16)}.parquet"
+        MetaIO.rename(st.getPath.toString, s"$root/data/$rel")
+        MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
+        FileEntry(rel, None)
+      }
+    MetaIO.delete(stage, recursive = true)
+    fresh
   }
 
   /** Distinct data files a tombstone set names (encoded-rel form). */

@@ -3,48 +3,50 @@ package graft.sources.v2
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.execution.datasources.FilePartition
-import org.apache.spark.sql.types.{Decimal, StructType}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.SerializableHadoopConf
 
-/** Merge-on-read application of positional deletes in the V2 scan — the
-  * read-side half of [[graft.sources.ManifestTable.appendDeletes]], doing
-  * for the catalog what Iceberg's delete-file readers do for the
-  * reference's tables:
+/** Merge-on-read application of DELETE FILES in the V2 scan — the
+  * read-side half of [[graft.sources.ManifestTable.appendDeletes]] /
+  * `appendEqualityDeletes`, doing for the catalog what Iceberg's delete
+  * readers do for the reference:
   *
-  *  - the driver ships only the SET of tombstoned file names (bounded by
-  *    files touched since the last compaction) — each task loads its own
-  *    file's positions from the snapshot's delete files with a pushed
-  *    `__file = <rel>` parquet filter (delete files are written sorted by
+  *  - POSITIONAL tombstones: the driver ships only the SET of tombstoned
+  *    file names (bounded by files touched since the last compaction) —
+  *    each task loads its own file's positions from the delete files with
+  *    a pushed `__file = <rel>` parquet filter (delete files are sorted by
   *    (`__file`, `__pos`), so row-group statistics skip everything else).
-  *    Position lists NEVER materialize on the driver: a 100 TB table with
-  *    a 10⁸-row delete backlog costs the plan one distinct-file-names
-  *    job, not 10⁸ longs of driver heap;
-  *  - partitions of the delegate (parquet) scan are re-planned so every
-  *    file CARRYING tombstones becomes one whole-file partition (row
-  *    index = position in the reader's stream, no split/row-group base
-  *    arithmetic) while untouched files keep their original splits;
-  *  - reads stay VECTORIZED: an affected partition's columnar reader maps
-  *    surviving row ids through [[MaskedColumnVector]] (zero-copy — the
-  *    Iceberg vectorized-delete shape); batches with no tombstones in
-  *    range pass through untouched. Row-based readers drop positions with
-  *    a sorted-array pointer walk, O(1) amortized per row.
-  *
-  * A tombstone-carrying scan still pushes NO data filters (row-group/page
-  * skipping would desynchronize the file-absolute row index); Spark
-  * applies every filter exactly post-scan, and the cost lasts only until
-  * compaction materializes the deletes. */
-class MorScan(delegate: Scan, affectedRels: Set[String],
-              deleteFiles: Seq[String], conf: SerializableHadoopConf)
+  *    Position lists NEVER materialize on the driver. Affected files
+  *    become whole-file partitions (row index = stream position) and
+  *    their scans push no data filters (skipping would desynchronize the
+  *    index);
+  *  - EQUALITY deletes (the CDC shape): each task loads the bounded key
+  *    sets of the delete files APPLICABLE to its partition — a key file
+  *    applies only to data files with a strictly smaller commit sequence,
+  *    so same-commit upserts and later re-inserts survive. Partitions are
+  *    re-grouped so every partition's files share one applicable set;
+  *    content-based filtering keeps splits AND pushed filters legal. When
+  *    the projection lacks a key column, the underlying scan is WIDENED
+  *    to read it and the wrapper projects it back out;
+  *  - reads stay VECTORIZED either way: surviving row ids map through
+  *    [[MaskedColumnVector]] (zero-copy, the Iceberg vectorized-delete
+  *    shape); batches with nothing to drop pass through untouched. */
+class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
+              widened: Boolean,
+              posAffected: Set[String], posDeleteFiles: Seq[String],
+              eqSpecs: Seq[EqDeleteSpec], dataSeqByRel: Map[String, Long],
+              conf: SerializableHadoopConf)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  override def readSchema(): StructType = delegate.readSchema()
+  override def readSchema(): StructType = declared
   override def toBatch: Batch = this
   override def description(): String =
-    s"Mor(${delegate.description()}, ${affectedRels.size} tombstoned files, task-side deletes)"
+    s"Mor(${delegate.description()}, ${posAffected.size} tombstoned files, " +
+      s"${eqSpecs.size} equality-delete files, task-side deletes)"
   // the delegate's size estimate is an upper bound (tombstoned rows are
   // still scanned, just dropped) — fine for join planning
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
@@ -55,16 +57,32 @@ class MorScan(delegate: Scan, affectedRels: Set[String],
     if (i < 0) "" else path.substring(i + "/data/".length)
   }
 
-  /** (partitions, partition index → tombstoned rel). */
-  private lazy val planned: (Array[InputPartition], Map[Int, String]) = {
+  /** Eq-delete files applicable to a data file: strictly newer sequence. */
+  private def eqSigOf(rel: String): Seq[Int] = {
+    val s = dataSeqByRel.getOrElse(rel, 0L)
+    eqSpecs.indices.filter(i => eqSpecs(i).seq > s)
+  }
+
+  /** (partitions, partition → tombstoned rel, partition → applicable eq
+    * specs). Files with positional tombstones become whole-file
+    * partitions; the rest keep their splits, re-grouped so one partition
+    * never mixes files with different applicable eq-delete sets. */
+  private lazy val planned
+      : (Array[InputPartition], Map[Int, String], Map[Int, Seq[Int]]) = {
     val out = Vector.newBuilder[InputPartition]
-    val affected = Map.newBuilder[Int, String]
+    val posBy = Map.newBuilder[Int, String]
+    val eqBy = Map.newBuilder[Int, Seq[Int]]
     var idx = 0
     val wholeFilesEmitted = scala.collection.mutable.Set.empty[String]
     delegate.toBatch.planInputPartitions().foreach {
       case fp: FilePartition =>
-        val (hit, clean) = fp.files.partition(f => affectedRels.contains(relOf(f.urlEncodedPath)))
-        if (clean.nonEmpty) { out += FilePartition(idx, clean); idx += 1 }
+        val (hit, rest) = fp.files.partition(f => posAffected.contains(relOf(f.urlEncodedPath)))
+        rest.groupBy(f => eqSigOf(relOf(f.urlEncodedPath))).toSeq
+          .sortBy(_._1.mkString(",")).foreach { case (sig, fs) =>
+            out += FilePartition(idx, fs)
+            if (sig.nonEmpty) eqBy += idx -> sig
+            idx += 1
+          }
         hit.foreach { f =>
           val path = f.urlEncodedPath
           // a large file arrives as several splits: emit its whole-file
@@ -72,30 +90,44 @@ class MorScan(delegate: Scan, affectedRels: Set[String],
           // must see the file from row 0)
           if (!wholeFilesEmitted.contains(path)) {
             wholeFilesEmitted += path
+            val rel = relOf(path)
             out += FilePartition(idx, Array(f.copy(start = 0, length = f.fileSize)))
-            affected += idx -> relOf(path)
+            posBy += idx -> rel
+            val sig = eqSigOf(rel)
+            if (sig.nonEmpty) eqBy += idx -> sig
             idx += 1
           }
         }
       case other => out += other; idx += 1 // defensive: pass through untouched
     }
-    (out.result().toArray, affected.result())
+    (out.result().toArray, posBy.result(), eqBy.result())
   }
 
   override def planInputPartitions(): Array[InputPartition] = planned._1
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MorReaderFactory(delegate.toBatch.createReaderFactory(), planned._2,
-      deleteFiles, conf)
+      planned._3, posDeleteFiles, eqSpecs, keepIdx, widened, declaredPhysical, conf)
+
+  /** The kept columns' physical types, for the row-path projection. */
+  private def declaredPhysical: StructType = {
+    val all = delegate.readSchema()
+    StructType(keepIdx.map(all.fields))
+  }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
 }
 
-/** Task-side tombstone loading: each reader pulls ITS file's positions
-  * from the snapshot's delete files through parquet-hadoop with a pushed
-  * `__file` equality filter — row groups whose (sorted) `__file` range
-  * excludes the rel are skipped off their footer statistics. */
+/** One equality-delete file: pool path, commit sequence, and its key
+  * columns resolved to ordinals/types of the (widened) physical batch. */
+case class EqDeleteSpec(path: String, seq: Long, keyNames: Array[String],
+                        keyOrdinals: Array[Int], keyTypes: Array[DataType])
+
+/** Task-side delete loading — positions for positional tombstones, key
+  * sets for equality deletes. Both bounded by the delete backlog since the
+  * last compaction (the same working-set bound Iceberg's task-side delete
+  * loading has). */
 private[v2] object MorDeletes {
   def positionsFor(deleteFiles: Seq[String], rel: String,
                    conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
@@ -129,67 +161,177 @@ private[v2] object MorDeletes {
       b.result()
     }
   }
+
+  /** The canonical value of one key column from a parquet Group record —
+    * chosen to compare equal to [[keyValueOf]]'s row-side extraction. */
+  def loadEqKeys(spec: EqDeleteSpec,
+                 conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[Seq[Any]] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val set = new java.util.HashSet[Seq[Any]]()
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(spec.path))
+      .withConf(conf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        set.add(spec.keyNames.indices.map { i =>
+          val name = spec.keyNames(i)
+          if (g.getFieldRepetitionCount(name) == 0) null
+          else spec.keyTypes(i) match {
+            case LongType | TimestampType | TimestampNTZType => g.getLong(name, 0)
+            case IntegerType | DateType | ShortType | ByteType => g.getInteger(name, 0)
+            case StringType  => UTF8String.fromString(g.getString(name, 0))
+            case BooleanType => g.getBoolean(name, 0)
+            case DoubleType  => g.getDouble(name, 0)
+            case FloatType   => g.getFloat(name, 0)
+            case other => throw new UnsupportedOperationException(
+              s"equality-delete key type $other is not supported")
+          }
+        }.toSeq)
+        g = reader.read()
+      }
+    } finally reader.close()
+    set
+  }
+
+  /** Row-side canonical key value (widened-batch ordinals). Smaller
+    * integral types widen to Int to match the parquet INT32 physical. */
+  def keyValueOf(row: InternalRow, ord: Int, dt: DataType): Any =
+    if (row.isNullAt(ord)) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => row.getLong(ord)
+      case IntegerType | DateType => row.getInt(ord)
+      case ShortType   => row.getShort(ord).toInt
+      case ByteType    => row.getByte(ord).toInt
+      case StringType  => row.getUTF8String(ord)
+      case BooleanType => row.getBoolean(ord)
+      case DoubleType  => row.getDouble(ord)
+      case FloatType   => row.getFloat(ord)
+      case other => throw new UnsupportedOperationException(
+        s"equality-delete key type $other is not supported")
+    }
+
+  def keyTupleOf(row: InternalRow, spec: EqDeleteSpec): Seq[Any] =
+    spec.keyOrdinals.indices.map(i =>
+      keyValueOf(row, spec.keyOrdinals(i), spec.keyTypes(i)))
 }
 
 private[v2] class MorReaderFactory(delegate: PartitionReaderFactory,
-                                   affected: Map[Int, String],
-                                   deleteFiles: Seq[String],
+                                   posBy: Map[Int, String],
+                                   eqBy: Map[Int, Seq[Int]],
+                                   posDeleteFiles: Seq[String],
+                                   eqSpecs: Seq[EqDeleteSpec],
+                                   keepIdx: Array[Int],
+                                   widened: Boolean,
+                                   keptPhysical: StructType,
                                    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
-  private def relFor(p: InputPartition): Option[String] = p match {
-    case fp: FilePartition => affected.get(fp.index)
-    case _ => None
+  private def idxOf(p: InputPartition): Int = p match {
+    case fp: FilePartition => fp.index
+    case _ => -1
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     delegate.supportColumnarReads(p)
 
-  override def createColumnarReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val inner = delegate.createColumnarReader(p)
-    relFor(p) match {
-      case None => inner
-      case Some(rel) =>
-        new MorColumnarReader(inner,
-          MorDeletes.positionsFor(deleteFiles, rel, conf.value))
+  private def eqSetsFor(p: InputPartition): Seq[(EqDeleteSpec, java.util.HashSet[Seq[Any]])] =
+    eqBy.getOrElse(idxOf(p), Nil).map { i =>
+      (eqSpecs(i), MorDeletes.loadEqKeys(eqSpecs(i), conf.value))
     }
+
+  private def positionsFor(p: InputPartition): Array[Long] =
+    posBy.get(idxOf(p)) match {
+      case Some(rel) => MorDeletes.positionsFor(posDeleteFiles, rel, conf.value)
+      case None => Array.emptyLongArray
+    }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val inner = delegate.createColumnarReader(p)
+    val positions = positionsFor(p)
+    val eqSets = eqSetsFor(p)
+    if (positions.isEmpty && eqSets.isEmpty && !widened) inner
+    else new MorColumnarReader(inner, positions, eqSets, keepIdx, widened)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val inner = delegate.createReader(p)
-    relFor(p) match {
-      case None => inner
-      case Some(rel) => new PartitionReader[InternalRow] {
-        private lazy val positions =
-          MorDeletes.positionsFor(deleteFiles, rel, conf.value)
-        private var rowIdx = -1L
-        private var skipPtr = 0
-        override def next(): Boolean = {
-          while (inner.next()) {
-            rowIdx += 1
-            while (skipPtr < positions.length && positions(skipPtr) < rowIdx) skipPtr += 1
-            if (skipPtr >= positions.length || positions(skipPtr) != rowIdx) return true
-          }
-          false
-        }
-        override def get(): InternalRow = inner.get()
-        override def close(): Unit = inner.close()
-      }
-    }
+    var reader = delegate.createReader(p)
+    val positions = positionsFor(p)
+    if (positions.nonEmpty) reader = new PosSkipRowReader(reader, positions)
+    val eqSets = eqSetsFor(p)
+    if (eqSets.nonEmpty) reader = new EqFilterRowReader(reader, eqSets)
+    if (widened) reader = new ProjectRowReader(reader, keptPhysical, keepIdx)
+    reader
   }
 }
 
-/** Columnar tombstone application: batches overlapping no tombstone pass
-  * through untouched; otherwise surviving row ids are mapped through a
-  * zero-copy vector wrapper and the batch re-emitted with the kept count.
-  * Fully-deleted batches are skipped. */
+/** Row-path positional skip: sorted-array pointer walk, O(1)/row. */
+private[v2] class PosSkipRowReader(inner: PartitionReader[InternalRow],
+                                   positions: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private var rowIdx = -1L
+  private var skipPtr = 0
+  override def next(): Boolean = {
+    while (inner.next()) {
+      rowIdx += 1
+      while (skipPtr < positions.length && positions(skipPtr) < rowIdx) skipPtr += 1
+      if (skipPtr >= positions.length || positions(skipPtr) != rowIdx) return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/** Row-path equality filter: drop rows whose key tuple is in any
+  * applicable delete set. */
+private[v2] class EqFilterRowReader(inner: PartitionReader[InternalRow],
+                                    sets: Seq[(EqDeleteSpec, java.util.HashSet[Seq[Any]])])
+    extends PartitionReader[InternalRow] {
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      val deleted = sets.exists { case (spec, set) =>
+        set.contains(MorDeletes.keyTupleOf(r, spec))
+      }
+      if (!deleted) return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/** Row-path projection back to the declared columns after widening. */
+private[v2] class ProjectRowReader(inner: PartitionReader[InternalRow],
+                                   schema: StructType, keepIdx: Array[Int])
+    extends PartitionReader[InternalRow] {
+  private val proj =
+    new org.apache.spark.sql.catalyst.ProjectingInternalRow(schema, keepIdx.toIndexedSeq)
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = { proj.project(inner.get()); proj }
+  override def close(): Unit = inner.close()
+}
+
+/** Columnar tombstone application: batches with nothing to drop pass
+  * through (minus widened columns); otherwise surviving row ids map
+  * through a zero-copy vector wrapper and the batch re-emits with the
+  * kept count. Fully-deleted batches are skipped. */
 private[v2] class MorColumnarReader(inner: PartitionReader[ColumnarBatch],
-                                    positions: Array[Long])
+                                    positions: Array[Long],
+                                    eqSets: Seq[(EqDeleteSpec, java.util.HashSet[Seq[Any]])],
+                                    keepIdx: Array[Int],
+                                    project: Boolean)
     extends PartitionReader[ColumnarBatch] {
   private var base = 0L   // file row index of the current batch's first row
-  private var ptr = 0     // next tombstone not yet behind `base`
+  private var ptr = 0     // next positional tombstone not yet behind `base`
   private var current: ColumnarBatch = _
+
+  private def outColumns(b: ColumnarBatch): Array[ColumnVector] =
+    if (project) keepIdx.map(b.column)
+    else Array.tabulate(b.numCols())(b.column)
 
   override def next(): Boolean = {
     while (inner.next()) {
@@ -197,25 +339,32 @@ private[v2] class MorColumnarReader(inner: PartitionReader[ColumnarBatch],
       val n = b.numRows()
       val start = ptr
       while (ptr < positions.length && positions(ptr) < base + n) ptr += 1
-      val nDel = ptr - start
-      if (nDel == 0) {
-        current = b; base += n; return true
-      }
-      val kept = n - nDel
-      if (kept > 0) {
-        val rowMap = new Array[Int](kept)
-        var i = 0; var o = 0; var d = start
-        while (i < n) {
-          if (d < ptr && positions(d) == base + i) d += 1
-          else { rowMap(o) = i; o += 1 }
-          i += 1
+      // kept in-batch row ids after positional AND equality deletes
+      val rowMap = new Array[Int](n)
+      var o = 0; var i = 0; var d = start
+      while (i < n) {
+        var deleted = false
+        if (d < ptr && positions(d) == base + i) { deleted = true; d += 1 }
+        if (!deleted && eqSets.nonEmpty) {
+          val row = b.getRow(i)
+          deleted = eqSets.exists { case (spec, set) =>
+            set.contains(MorDeletes.keyTupleOf(row, spec))
+          }
         }
-        val cols = Array.tabulate(b.numCols())(c =>
-          new MaskedColumnVector(b.column(c), rowMap): ColumnVector)
-        current = new ColumnarBatch(cols, kept)
-        base += n; return true
+        if (!deleted) { rowMap(o) = i; o += 1 }
+        i += 1
       }
-      base += n // every row of this batch is tombstoned: skip it
+      base += n
+      if (o == n && !project) { current = b; return true }
+      if (o > 0) {
+        val kept = java.util.Arrays.copyOf(rowMap, o)
+        val cols =
+          if (o == n) outColumns(b)
+          else outColumns(b).map(c => new MaskedColumnVector(c, kept): ColumnVector)
+        current = new ColumnarBatch(cols, o)
+        return true
+      }
+      // every row of this batch deleted: skip it
     }
     false
   }

@@ -238,6 +238,47 @@ object V2Queries {
     }
   }
 
+  /** EQUALITY-delete retraction through the catalog — Iceberg v2's
+    * equality deletes, the shape a CDC/Flink writer emits when it cannot
+    * know row positions: every event of a retracted user_id cohort is
+    * deleted by KEY (no data read, no positions computed), then half the
+    * cohort's rows are RE-APPENDED — the commit-sequence scoping must let
+    * the newer rows survive the older delete. The `eq_ok` verdict asserts
+    * the delete commit rewrote ZERO data files and an equality-delete
+    * entry appeared; the aggregate reads through the V2 scan (whose
+    * projection lacks the key column — exercising the widen-and-project
+    * path) and the oracle recomputes the retraction + re-insert from the
+    * raw events. */
+  def eqDeleteScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    ensureCatalog(spark)
+    val short = newName("eqd")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.repartition(4).writeTo(tbl).create()                        // seq 1
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      def dataRels = ManifestTable.liveEntries(root).map(_.rel)
+        .filterNot(ManifestTable.isDeleteEntry)
+      val before = dataRels.toSet
+
+      val keys = ev.where(col("user_id") % 10 === 3)
+        .select(col("user_id")).distinct()
+      ManifestTable.appendEqualityDeletes(keys, root)                // seq 2
+      val eqOk = dataRels.toSet == before &&
+        ManifestTable.liveDeleteEntries(root)
+          .exists(e => ManifestTable.isEqDeleteEntry(e.rel))
+
+      ev.where(col("user_id") % 10 === 3 && col("event_id") % 2 === 0)
+        .writeTo(tbl).append()                                       // seq 3
+
+      val agg = spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+      agg.withColumn("eq_ok", lit(eqOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Metadata tables (`tbl.files` / `tbl.snapshots` / `tbl.partitions` —
     * Iceberg's inspection surface) as an oracle-gated query: a
     * day-partitioned table of events is CTAS'd and the `meta_ok` verdict
@@ -580,6 +621,18 @@ object V2Queries {
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS mor_ok
          |FROM events
          |WHERE user_id % 10 <> 3
+         |GROUP BY 1""".stripMargin
+
+    /** Retraction + sequence-scoped re-insert recomputed from the raw
+      * events; layout verdict pinned TRUE. */
+    val eqDeleteScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS eq_ok
+         |FROM (
+         |  SELECT event_type, value FROM events WHERE user_id % 10 <> 3
+         |  UNION ALL
+         |  SELECT event_type, value FROM events
+         |  WHERE user_id % 10 = 3 AND event_id % 2 = 0)
          |GROUP BY 1""".stripMargin
 
     /** The metadata surface must be invisible in the data; every

@@ -713,13 +713,13 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
       case None => (Nil, Nil)
     }
 
-  /** Positional-delete entries of the resolved snapshot (merge-on-read
-    * tombstones the scan must apply) — only delete-keyed shards open. */
-  private[v2] def deleteRels: Seq[String] = {
+  /** Delete entries (positional + equality) of the resolved snapshot —
+    * only delete-keyed shards open; sequences ride along. */
+  private[v2] def deleteEntries: Seq[ManifestTable.FileEntry] = {
     val (refs, inline) = resolvedIndex
     refs.filter(_.key == ManifestTable.DeleteDir)
-      .flatMap(r => ManifestTable.shardEntries(root, r.rel).map(_.rel)) ++
-      inline.map(_.rel).filter(ManifestTable.isDeleteEntry)
+      .flatMap(r => ManifestTable.shardEntries(root, r.rel)) ++
+      inline.filter(e => ManifestTable.isDeleteEntry(e.rel))
   }
 
   /** Data files surviving plan-time pruning, in TWO tiers (both floors):
@@ -737,7 +737,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     *
     * Residual filters keep the result exact either way — pruning is a
     * pure optimization, exactly Iceberg's manifest-stats scan planning. */
-  private[v2] def prunedManifest: Seq[String] = {
+  private[v2] def prunedEntries: Seq[ManifestTable.FileEntry] = {
     val (refs, inline) = resolvedIndex
     // delete entries are metadata for the reader, never data input
     val dataRefs = refs.filterNot(_.key == ManifestTable.DeleteDir)
@@ -746,8 +746,10 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     val keptRefs = dataRefs.filter(r => pruneEntries(Seq(synth(r.key))).nonEmpty)
     val candidates = keptRefs.flatMap(r => ManifestTable.shardEntries(root, r.rel)) ++
       inline.filterNot(e => ManifestTable.isDeleteEntry(e.rel))
-    pruneEntries(candidates).map(_.rel)
+    pruneEntries(candidates)
   }
+
+  private[v2] def prunedManifest: Seq[String] = prunedEntries.map(_.rel)
 
   /** The conservative pruning pipeline over concrete entries. */
   private def pruneEntries(all: Seq[ManifestTable.FileEntry]): Seq[ManifestTable.FileEntry] = {
@@ -946,27 +948,44 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     // names back (rows are positional; only the schema needs the alias).
     def physical(st: StructType): StructType =
       StructType(st.fields.map(f => f.copy(name = meta.physicalName(f.name))))
-    val rels = prunedManifest
+    val prunedEs = prunedEntries
+    val rels = prunedEs.map(_.rel)
     val files = rels.map(rel => new Path(s"$root/data/$rel"))
     val logicalRead = required
-    // merge-on-read: resolve WHICH files carry tombstones up front (one
-    // tiny plan-time job over the delete files' __file column — bounded by
-    // files touched since the last compaction, never by deleted ROWS) and
-    // keep only those that SURVIVED pruning. The positions themselves load
-    // task-side in [[MorDeletes]]; they never materialize on the driver.
-    // Tombstone row identity is the _metadata.file_path-derived
-    // URL-ENCODED rel, so the survival check compares in that form.
-    val delRels = deleteRels
+    // merge-on-read: resolve WHICH files carry positional tombstones up
+    // front (one tiny plan-time job over the delete files' __file column —
+    // bounded by files touched since the last compaction, never by deleted
+    // ROWS) and keep only those that SURVIVED pruning. Positions and
+    // equality-key sets load task-side in [[MorDeletes]]; they never
+    // materialize on the driver. Tombstone row identity is the
+    // _metadata.file_path-derived URL-ENCODED rel, so the survival check
+    // compares in that form.
+    val delEntries = deleteEntries
+    val (eqEntries, posEntries) =
+      delEntries.partition(e => ManifestTable.isEqDeleteEntry(e.rel))
+    val posPaths = posEntries.map(e => s"$root/data/${e.rel}")
     val affectedRels: Set[String] =
-      if (delRels.isEmpty) Set.empty
+      if (posEntries.isEmpty) Set.empty
       else {
         val surviving = rels.map(r => ManifestTable.encodedRel(root, r)).toSet
-        spark.read.parquet(delRels.map(r => s"$root/data/$r"): _*)
+        spark.read.parquet(posPaths: _*)
           .select("__file").distinct().collect()
           .map(_.getString(0)).filter(surviving.contains).toSet
       }
+    // equality-delete metadata: one footer-schema read per eq file (driver,
+    // bounded by the eq backlog); key columns are PHYSICAL names
+    val eqRaw: Seq[(String, Long, StructType)] = eqEntries.map { e =>
+      val p = s"$root/data/${e.rel}"
+      (p, e.seq.getOrElse(0L), spark.read.parquet(p).schema)
+    }
+    var keepIdx: Array[Int] = Array.empty
+    var widened = false
+    var eqSpecs: Seq[EqDeleteSpec] = Nil
+    var declaredFields: Array[org.apache.spark.sql.types.StructField] = logicalRead.fields
     val delegate: Scan = meta.format match {
       case "avro" =>
+        require(delEntries.isEmpty,
+          s"merge-on-read deletes are a parquet capability; $root is avro")
         // no file index needed: the manifest IS the listing, __day rides in
         // dir names and is never part of the user schema, and filters are
         // re-applied exactly post-scan by Spark (pushFilters residual)
@@ -987,29 +1006,64 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val readData = physical(StructType(
           logicalRead.fields.filterNot(f => partNames.contains(f.name))))
         val readPart = StructType(logicalRead.fields.filter(f => partNames.contains(f.name)))
-        // with live tombstones the wrapped readers count FILE row indexes
-        // as they stream — parquet row-group/page skipping driven by
-        // pushed filters would desynchronize the count and drop the wrong
-        // rows, so a tombstone-carrying scan pushes NOTHING down (Spark
-        // still applies every filter exactly post-scan; the cost lasts
-        // only until compaction materializes the deletes)
+        // WIDEN the file read with equality-key columns the projection
+        // lacks: the MorScan wrapper filters on them, then projects them
+        // back out. Keys must be data-file columns (a key living only in
+        // identity partition directories has no file value to compare).
+        val physTable = physical(dataSchema)
+        val eqKeyNames = eqRaw.flatMap(_._3.fieldNames).distinct
+        eqKeyNames.foreach { k =>
+          require(physTable.fieldNames.exists(_.equalsIgnoreCase(k)) &&
+            !partNames.exists(_.equalsIgnoreCase(k)),
+            s"equality-delete key '$k' must be a data column of $root")
+        }
+        val extras = eqKeyNames
+          .filterNot(k => readData.fieldNames.exists(_.equalsIgnoreCase(k)))
+          .map(k => physTable.fields.find(_.name.equalsIgnoreCase(k)).get)
+        val widenedData = StructType(readData.fields ++ extras)
+        widened = extras.nonEmpty
+        // batch layout is widenedData ++ readPart; the declared layout is
+        // readData ++ readPart — keepIdx maps batch ordinals to declared,
+        // and declaredFields records that composition under LOGICAL names
+        keepIdx = (readData.indices ++
+          readPart.indices.map(_ + widenedData.length)).toArray
+        declaredFields =
+          logicalRead.fields.filterNot(f => partNames.contains(f.name)) ++
+            logicalRead.fields.filter(f => partNames.contains(f.name))
+        eqSpecs = eqRaw.map { case (p, seq, sch) =>
+          val ords = sch.fieldNames.map(n =>
+            widenedData.fieldNames.indexWhere(_.equalsIgnoreCase(n)))
+          EqDeleteSpec(p, seq, sch.fieldNames,
+            ords, ords.map(widenedData.fields(_).dataType))
+        }
+        // with live positional tombstones the wrapped readers count FILE
+        // row indexes as they stream — parquet row-group/page skipping
+        // driven by pushed filters would desynchronize the count and drop
+        // the wrong rows, so such a scan pushes NOTHING down (Spark still
+        // applies every filter exactly post-scan; the cost lasts only
+        // until compaction). Equality deletes are content-based and keep
+        // pushdown.
         val physicalFilters =
           if (affectedRels.nonEmpty) Array.empty[sources.Filter]
           else pushed.map(GraftScanBridge2.renameFilter(_, meta.physicalName))
         if (fmt == "orc")
           org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
-            spark, index, physical(dataSchema), readData, readPart, physicalFilters, options)
+            spark, index, physical(dataSchema), widenedData, readPart, physicalFilters, options)
         else
           org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
-            spark, index, physical(dataSchema), readData, readPart, physicalFilters, options)
+            spark, index, physical(dataSchema), widenedData, readPart, physicalFilters, options)
     }
     val named = if (meta.renames.isEmpty) delegate
       else new RenamedScan(delegate, logicalRead)
-    if (affectedRels.isEmpty) named
-    else new MorScan(named, affectedRels,
-      delRels.map(r => s"$root/data/$r"),
-      new graft.sources.SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration))
+    if (affectedRels.isEmpty && eqSpecs.isEmpty) named
+    else {
+      val dataSeqByRel = prunedEs.map(e =>
+        ManifestTable.encodedRel(root, e.rel) -> e.seq.getOrElse(0L)).toMap
+      new MorScan(named, StructType(declaredFields), keepIdx, widened,
+        affectedRels, posPaths, eqSpecs, dataSeqByRel,
+        new graft.sources.SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration))
+    }
   }
 }
 
