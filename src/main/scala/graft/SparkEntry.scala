@@ -143,6 +143,12 @@ object SparkEntry {
     // equality deletes (CDC-shape key retraction): delete by key with no
     // data read, sequence-scoped so later re-inserts survive
     "eq_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.eqDeleteScan(s, d)),
+    // metadata-only INT->BIGINT widening: narrow and wide file generations
+    // read through one declared schema, vectorized promotion included
+    "type_widening_scan" -> ((s, d) => graft.sources.v2.V2Queries.typeWideningScan(s, d)),
+    // partition spec evolution: days->months with a descriptor write; old
+    // files keep their layout, scans prune under every interpretation
+    "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
     "files_metadata_scan" -> ((s, d) => graft.sources.v2.V2Queries.filesMetadataScan(s, d)),
     "versioned_time_travel" -> ((s, d) => graft.sources.v2.V2Queries.versionedTimeTravel(s, d)),
     // named refs (tags/branches) resolved by NAME through VERSION AS OF,
@@ -271,6 +277,8 @@ object SparkEntry {
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
     "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
+    "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,
+    "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,
     "tag_time_travel" -> graft.sources.v2.V2Queries.oracle.tagTimeTravel,

@@ -271,6 +271,9 @@ object MergeInto {
     // unsound shortcuts (a carried file's tombstones must survive, a
     // rewritten one's must die) — the full rewrite materializes them
     if (ManifestTable.hasDeletes(root)) return false
+    // after a partition spec evolution old files live in other layouts:
+    // a "day" no longer names a carryable file set — full rewrite only
+    if (!ManifestTable.isFullyDayKeyed(root)) return false
     // the scoped path derives landing/matching days via to_date(ts) in
     // THIS session and drops/keeps files by their DIRECTORY day (laid out
     // in the WRITER's session zone). For a zone-sensitive TIMESTAMP source
@@ -565,6 +568,8 @@ object MergeInto {
     // day-filtered data whose deletes must be re-applied — decline and
     // let the full rewrite (which reads delete-applied) materialize them
     if (ManifestTable.hasDeletes(root)) return false
+    // mixed layouts after a spec evolution: days don't cover the data
+    if (!ManifestTable.isFullyDayKeyed(root)) return false
     val tsType = tgt.df.schema.fields
       .find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType).getOrElse(return false)
     if (tsType != TimestampType && tsType != TimestampNTZType) return false

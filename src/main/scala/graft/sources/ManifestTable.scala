@@ -338,6 +338,19 @@ object ManifestTable {
     if (rel.startsWith(s"$DayCol=")) Some(rel.takeWhile(_ != '/').stripPrefix(s"$DayCol="))
     else None
 
+  /** True iff every live DATA entry lives under a `__day=` directory —
+    * the prerequisite of the day-scoped rewrite fast paths. After a
+    * partition spec evolution a snapshot mixes layouts and a "day" no
+    * longer maps to a carryable file set, so those paths must decline
+    * (the full rewrite re-homes every row under the current spec).
+    * Answered from keys alone, no shard contents opened. */
+  def isFullyDayKeyed(root: String): Boolean = {
+    val d = readDoc(root, currentVersion(root).getOrElse(return false))
+    d.refs.filterNot(_.key == DeleteDir).forall(_.key.startsWith(s"$DayCol=")) &&
+      d.inline.filterNot(e => isDeleteEntry(e.rel))
+        .forall(e => keyOf(e.rel).startsWith(s"$DayCol="))
+  }
+
   /** Distinct hidden-day values present in the live manifest — read from
     * shard KEYS and inline entries, no shard contents opened. */
   def liveDays(root: String): Set[String] = {

@@ -122,6 +122,13 @@ object Maintenance {
     }
   }
 
+  /** Partition spec evolution by identifier — a descriptor rewrite only
+    * (see [[VersionedCatalog.evolvePartitionSpec]]). */
+  def evolvePartition(spark: SparkSession, ident: String, spec: String): Unit = {
+    val (root, _) = resolve(spark, ident)
+    VersionedCatalog.evolvePartitionSpec(root, spec)
+  }
+
   /** Expire retained snapshots beyond `retain` and GC unreferenced pool
     * files (orphan claims included). Metadata + file deletes only. */
   def expireSnapshots(spark: SparkSession, ident: String, retain: Int = 1): Unit = {

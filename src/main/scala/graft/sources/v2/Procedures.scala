@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than",
-    "create_tag", "create_branch", "drop_ref", "fast_forward")
+    "create_tag", "create_branch", "drop_ref", "fast_forward", "evolve_partition")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -158,6 +158,20 @@ object GraftProcedures {
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    case "evolve_partition" => new GraftProcedure("evolve_partition") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("spec", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        Maintenance.evolvePartition(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}",
+          input.getUTF8String(1).toString)
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("status", StringType, nullable = false))),
+          new GenericInternalRow(Array[Any](UTF8String.fromString("evolved")))))
+          .iterator()
       }
     }
     case other => throw new IllegalArgumentException(

@@ -279,6 +279,89 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Partition SPEC EVOLUTION as an oracle-gated query (Iceberg's
+    * per-snapshot partition specs): the table starts `days(ts)`,
+    * `CALL evolve_partition` switches it to `months(ts)` with a
+    * descriptor write only, and the post-cutoff events append under the
+    * NEW layout while the old files keep theirs. A ts-window spanning
+    * the cutoff then runs; the verdict asserts — at plan time — that the
+    * scan kept only in-window `__day=` dirs plus the window's `__part=`
+    * month, that BOTH layouts contributed files, and that pruning
+    * removed out-of-window days. The oracle recomputes from the raw
+    * events — evolution must be invisible in the data. */
+  def specEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("pe")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      val cutoff = lit(TtCutoff).cast("timestamp_ntz")
+      ev.where(col("ts") < cutoff)
+        .writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .create()
+      spark.sql(s"CALL $Cat.system.evolve_partition(`table` => 'q.$short', " +
+        "spec => 'months(ts)')")
+      ev.where(col("ts") >= cutoff).writeTo(tbl).append()
+
+      val t = spark.table(tbl)
+      val windowed = t
+        .where(col("ts") >= lit(PruneFrom).cast("timestamp_ntz")
+          && col("ts") < lit(PruneUntil).cast("timestamp_ntz"))
+      val agg = windowed
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+
+      val prunedFiles = scanFiles(windowed)
+      val allFiles = scanFiles(t)
+      val fromDay = PruneFrom.take(10)
+      val untilDay = PruneUntil.take(10)
+      val okDirs = prunedFiles.forall { f =>
+        if (f.contains("__day=")) {
+          val day = f.split("__day=")(1).take(10)
+          day >= fromDay && day <= untilDay
+        } else if (f.contains("__part=")) {
+          f.split("__part=")(1).take(7) == fromDay.take(7)
+        } else false
+      }
+      val bothLayouts = prunedFiles.exists(_.contains("__day=")) &&
+        prunedFiles.exists(_.contains("__part="))
+      val pruneOk = prunedFiles.nonEmpty && okDirs && bothLayouts &&
+        prunedFiles.size < allFiles.size
+      agg.withColumn("prune_ok", lit(pruneOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** Metadata-only TYPE WIDENING as an oracle-gated query: the table is
+    * created with an INT id column off the even events, `ALTER COLUMN …
+    * TYPE BIGINT` widens it with a descriptor write and nothing else, and
+    * the odd events append values BEYOND the int range. The aggregate
+    * reads INT32 files and INT64 files through one BIGINT schema (the
+    * vectorized readers promote natively); the oracle recomputes from the
+    * raw events — evolution must be invisible in the data. */
+  def typeWideningScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("tw")}"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .select((col("event_id") % 1000000).cast("int").as("id"),
+          col("event_type"), col("value"))
+        .writeTo(tbl).create()
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE BIGINT")
+      ev.where(col("event_id") % 2 === 1)
+        .select((col("event_id") % 1000000 + 3000000000L).as("id"),
+          col("event_type"), col("value"))
+        .writeTo(tbl).append()
+
+      spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("id")).as("id_sum"),
+          Dsl.dsum(col("value")).as("volume"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Metadata tables (`tbl.files` / `tbl.snapshots` / `tbl.partitions` —
     * Iceberg's inspection surface) as an oracle-gated query: a
     * day-partitioned table of events is CTAS'd and the `meta_ok` verdict
@@ -633,6 +716,25 @@ object V2Queries {
          |  UNION ALL
          |  SELECT event_type, value FROM events
          |  WHERE user_id % 10 = 3 AND event_id % 2 = 0)
+         |GROUP BY 1""".stripMargin
+
+    /** Spec evolution must be invisible in the data: same recompute as
+      * the plain prune scan, layout verdict pinned TRUE. */
+    val specEvolutionScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok
+         |FROM events
+         |WHERE ts >= TIMESTAMP '$PruneFrom' AND ts < TIMESTAMP '$PruneUntil'
+         |GROUP BY 1""".stripMargin
+
+    /** Pre- and post-widening generations recomputed from the raw events
+      * (SUM over BIGINT pinned to BIGINT — DuckDB sums to HUGEINT). */
+    val typeWideningScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN event_id % 1000000
+         |    ELSE event_id % 1000000 + 3000000000 END) AS BIGINT) AS id_sum,
+         |  ${Dsl.sql.dsum("value")} AS volume
+         |FROM events
          |GROUP BY 1""".stripMargin
 
     /** The metadata surface must be invisible in the data; every

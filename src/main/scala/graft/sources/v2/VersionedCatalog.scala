@@ -273,6 +273,40 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
             if (c.equalsIgnoreCase(from)) to else c),
           renames = (m.renames.filterNot(_._1.equalsIgnoreCase(from)) +
             (to -> physical)).filterNot { case (l, p) => l == p })
+      case (m, up: TableChange.UpdateColumnType) =>
+        // WIDENING promotions are metadata-only: the declared schema gets
+        // the wider type and every scan already passes the declared schema
+        // to the file readers, whose vectorized paths promote INT32→INT64
+        // and FLOAT→DOUBLE natively (Spark's parquet type-widening). Old
+        // files keep their narrow physical type forever; new writes use
+        // the wide one. FileStats tags are width-agnostic ('l' integral,
+        // 'd' floating), so file skipping keeps working across
+        // generations. Anything non-widening still needs the rewrite path.
+        require(up.fieldNames().length == 1,
+          "nested column type changes are not supported")
+        val name = up.fieldNames()(0)
+        val f = m.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(s"no such column $name"))
+        val widening = (f.dataType, up.newDataType()) match {
+          case (org.apache.spark.sql.types.ByteType,
+                org.apache.spark.sql.types.ShortType |
+                org.apache.spark.sql.types.IntegerType |
+                org.apache.spark.sql.types.LongType) => true
+          case (org.apache.spark.sql.types.ShortType,
+                org.apache.spark.sql.types.IntegerType |
+                org.apache.spark.sql.types.LongType) => true
+          case (org.apache.spark.sql.types.IntegerType,
+                org.apache.spark.sql.types.LongType) => true
+          case (org.apache.spark.sql.types.FloatType,
+                org.apache.spark.sql.types.DoubleType) => true
+          case _ => false
+        }
+        require(widening,
+          s"${f.dataType.simpleString} -> ${up.newDataType().simpleString} is not a " +
+            "widening promotion (metadata-only: byte/short/int -> wider integral, " +
+            "float -> double); use graft.sources.Evolution for a rewrite")
+        m.copy(schema = StructType(m.schema.fields.map(x =>
+          if (x.name.equalsIgnoreCase(name)) x.copy(dataType = up.newDataType()) else x)))
       case (_, other) => throw new UnsupportedOperationException(
         s"${other.getClass.getSimpleName} needs a data rewrite — use graft.sources.Evolution")
     }
@@ -384,7 +418,9 @@ object VersionedCatalog {
                   renames: Map[String, String] = Map.empty,
                   retired: Seq[String] = Nil,
                   part: Option[PartTransform] = None,
-                  identityCols: Seq[String] = Nil) {
+                  identityCols: Seq[String] = Nil,
+                  pastDays: Seq[String] = Nil,
+                  pastParts: Seq[PartTransform] = Nil) {
     def physicalName(logical: String): String =
       renames.collectFirst { case (l, p) if l.equalsIgnoreCase(logical) => p }
         .getOrElse(logical)
@@ -421,7 +457,12 @@ object VersionedCatalog {
         meta.part.toSeq.map(p =>
           s"#part=${(Seq(p.kind, p.col) ++ p.arg.map(_.toString)).mkString(":")}") ++
         (if (meta.identityCols.isEmpty) Nil
-         else Seq(s"#partcols=${meta.identityCols.mkString(",")}"))
+         else Seq(s"#partcols=${meta.identityCols.mkString(",")}")) ++
+        (if (meta.pastDays.isEmpty) Nil
+         else Seq(s"#pastdays=${meta.pastDays.mkString(",")}")) ++
+        (if (meta.pastParts.isEmpty) Nil
+         else Seq("#pastparts=" + meta.pastParts.map(p =>
+           (Seq(p.kind, p.col) ++ p.arg.map(_.toString)).mkString(":")).mkString(";")))
     MetaIO.writeAtomic(s"$root/$MetaFile",
       (Seq(meta.dayOf.getOrElse(""), meta.schema.json) ++ props).mkString("\n"))
   }
@@ -512,8 +553,67 @@ object VersionedCatalog {
           PartTransform(p(0), p(1), p.lift(2).map(_.toInt))
         },
         identityCols = props.get("partcols").toSeq
-          .flatMap(_.split(',')).filter(_.nonEmpty)))
+          .flatMap(_.split(',')).filter(_.nonEmpty),
+        pastDays = props.get("pastdays").toSeq
+          .flatMap(_.split(',')).filter(_.nonEmpty),
+        pastParts = props.get("pastparts").toSeq
+          .flatMap(_.split(';')).filter(_.nonEmpty).map { s =>
+            val p = s.split(':')
+            PartTransform(p(0), p(1), p.lift(2).map(_.toInt))
+          }))
     }
+  }
+
+  /** Partition SPEC EVOLUTION (Iceberg's `update_partition_spec`): install
+    * a new layout for FUTURE writes with a descriptor rewrite and nothing
+    * else — old files keep their old directory layout forever, and scans
+    * prune each file under every historical interpretation (conservative
+    * union). `spec` is `days(col)` / `months(col)` / `years(col)` /
+    * `bucket(n, col)` / `truncate(w, col)` / `identity(a, b, …)` /
+    * `none`. Day-scoped DML fast paths decline on mixed layouts (the full
+    * rewrite under the CURRENT spec re-homes every row); compaction
+    * materializes the old layout away. */
+  private[graft] def evolvePartitionSpec(root: String, spec: String): Unit = {
+    val m = readMeta(root).getOrElse(
+      throw new IllegalArgumentException(s"no table descriptor under $root"))
+    val trimmed = spec.trim
+    val Fn = """(\w+)\s*\(\s*([^)]*)\)""".r
+    def requireCol(c: String): String = {
+      require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition source $c: no such column in ${m.schema.fieldNames.mkString(", ")}")
+      c
+    }
+    val (newDay, newPart, newIds): (Option[String], Option[PartTransform], Seq[String]) =
+      trimmed match {
+        case "none" => (None, None, Nil)
+        case Fn("days", c) => (Some(requireCol(c.trim)), None, Nil)
+        case Fn(k @ ("months" | "years"), c) =>
+          (None, Some(PartTransform(k, requireCol(c.trim), None)), Nil)
+        case Fn(k @ ("bucket" | "truncate"), args) =>
+          val a = args.split(',').map(_.trim)
+          require(a.length == 2, s"$k needs (arg, column)")
+          (None, Some(PartTransform(k, requireCol(a(1)), Some(a(0).toInt))), Nil)
+        case Fn("identity", cols) =>
+          val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          require(cs.nonEmpty, "identity needs at least one column")
+          require(m.format != "avro",
+            "identity partition columns are not supported for avro tables")
+          (None, None, cs.map(requireCol))
+        case other => throw new IllegalArgumentException(
+          s"unparseable partition spec '$other' (days/months/years/bucket/" +
+            "truncate/identity/none)")
+      }
+    // identity values live ONLY in directory names: a snapshot mixing
+    // identity dirs with other layouts could neither infer partitions nor
+    // null-fill correctly — identity specs evolve on EMPTY tables only
+    require((m.identityCols.isEmpty && newIds.isEmpty) ||
+      !graft.sources.ManifestTable.exists(root),
+      "identity partition layouts cannot be evolved on a non-empty table " +
+        "(rewrite into a fresh table instead)")
+    writeMeta(root, m.copy(
+      dayOf = newDay, part = newPart, identityCols = newIds,
+      pastDays = (m.pastDays ++ m.dayOf).distinct.filterNot(d => newDay.contains(d)),
+      pastParts = (m.pastParts ++ m.part).distinct.filterNot(p => newPart.contains(p))))
   }
 }
 
@@ -647,13 +747,11 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Day bounds implied by the pushed conjunction, as (from, until)
-    * inclusive LocalDates. Bounds must stay a FLOOR: residual filters make
-    * the result exact, but a file dropped from the listing is gone — the
-    * conversion of every value type has to be conservative, never clever. */
-  private def dayBounds: (Option[java.time.LocalDate], Option[java.time.LocalDate]) =
-    dayBoundsOf(dayOf.get)
-
+  /** Day bounds implied by the pushed conjunction on `ts`, as (from,
+    * until) inclusive LocalDates. Bounds must stay a FLOOR: residual
+    * filters make the result exact, but a file dropped from the listing
+    * is gone — the conversion of every value type has to be conservative,
+    * never clever. */
   private def dayBoundsOf(ts: String): (Option[java.time.LocalDate], Option[java.time.LocalDate]) = {
     var from: Option[java.time.LocalDate] = None
     var until: Option[java.time.LocalDate] = None
@@ -751,10 +849,18 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
 
   private[v2] def prunedManifest: Seq[String] = prunedEntries.map(_.rel)
 
-  /** The conservative pruning pipeline over concrete entries. */
+  /** The conservative pruning pipeline over concrete entries. After a
+    * partition SPEC EVOLUTION a snapshot mixes layouts, so every
+    * historical interpretation gets a vote: `__day=` entries prune only
+    * when exactly ONE day source column ever existed (ambiguity keeps);
+    * `__part=` entries survive if ANY current-or-past transform would
+    * keep them (a file was written by exactly one of them — the union is
+    * the floor); identity directories and per-file stats prune as
+    * before (both already keep anything they can't interpret). */
   private def pruneEntries(all: Seq[ManifestTable.FileEntry]): Seq[ManifestTable.FileEntry] = {
-    val dayPruned = if (dayOf.isEmpty) all
-    else dayBounds match {
+    val daySources = (dayOf.toSeq ++ meta.pastDays).distinct
+    val dayPruned = if (daySources.size != 1) all
+    else dayBoundsOf(daySources.head) match {
       case (None, None) => all
       case (from, until) =>
         all.filter { e =>
@@ -765,24 +871,27 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
           day match {
             case Some(d) =>
               from.forall(!d.isBefore(_)) && until.forall(!d.isAfter(_))
-            case None => true // unpartitioned stray file: never prune
+            case None => true // other-layout or stray file: never day-prune
           }
         }
     }
     // hidden-transform (`__part=`) and identity-directory pruning — same
     // conservative floor as days: a file drops only when its directory
     // value PROVES the pushed conjunction can't match
-    val partPruned = meta.part match {
-      case Some(p) => pruneHiddenPart(dayPruned, p)
-      case None if meta.identityCols.nonEmpty => pruneIdentityDirs(dayPruned)
-      case None => dayPruned
+    val partPruned = (meta.part.toSeq ++ meta.pastParts) match {
+      case Nil => dayPruned
+      case transforms =>
+        val keptByAny = transforms.map(t => pruneHiddenPart(dayPruned, t).toSet)
+        dayPruned.filter(e => keptByAny.exists(_.contains(e)))
     }
+    val idPruned =
+      if (meta.identityCols.nonEmpty) pruneIdentityDirs(partPruned) else partPruned
     val statsPruned =
-      if (pushed.isEmpty || partPruned.forall(_.stats.isEmpty)) partPruned
+      if (pushed.isEmpty || idPruned.forall(_.stats.isEmpty)) idPruned
       else {
         // stats are keyed by the names in the files — the PHYSICAL ones
         val physFilters = pushed.map(GraftScanBridge2.renameFilter(_, meta.physicalName))
-        partPruned.filter { e =>
+        idPruned.filter { e =>
           e.stats.map(graft.sources.FileStats.decode) match {
             case Some(st) if st.nonEmpty =>
               physFilters.forall(f => graft.sources.FileStats.mayContain(st, f))
@@ -992,11 +1101,15 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         new AvroManifestScan(files.map(_.toString), physical(logicalRead), logicalRead,
           maxSplitBytes = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
       case fmt =>
-        // basePath keeps partition discovery rooted at the data pool; for an
-        // empty listing (empty table / fully pruned) the pool dir may not
-        // exist yet and the option must be absent
+        // basePath roots partition discovery at the data pool — needed ONLY
+        // for identity layouts, whose column values live in directory names.
+        // Hidden transforms (__day=/__part=) never surface as columns, and
+        // skipping inference for them is what lets one snapshot MIX layouts
+        // after a partition spec evolution (inference would refuse
+        // conflicting partition column names). Absent for an empty listing
+        // (the pool dir may not exist yet).
         val params =
-          if (files.isEmpty) Map.empty[String, String]
+          if (files.isEmpty || meta.identityCols.isEmpty) Map.empty[String, String]
           else Map("basePath" -> s"$root/data")
         val index = new InMemoryFileIndex(spark, files, params, Some(physical(dataSchema)))
         // required never contains the hidden day column (it is absent from

@@ -1031,6 +1031,93 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.morv")
   }
 
+  test("ALTER COLUMN TYPE widening is metadata-only; narrow files read through the wide schema") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.w")
+    spark.sql("CREATE TABLE gtest.ns.w (k INT, v FLOAT)")
+    spark.sql("INSERT INTO gtest.ns.w VALUES (1, CAST(1.5 AS FLOAT)), (2, CAST(2.5 AS FLOAT))")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/w"
+    val filesBefore = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+
+    spark.sql("ALTER TABLE gtest.ns.w ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE gtest.ns.w ALTER COLUMN v TYPE DOUBLE")
+    // metadata-only: no commit happened, no file moved
+    assert(ManifestTable.manifest(root,
+      ManifestTable.currentVersion(root).get) === filesBefore)
+    assert(spark.table("gtest.ns.w").schema.map(_.dataType.simpleString)
+      === Seq("bigint", "double"))
+
+    // values beyond the narrow ranges land in NEW files; both generations
+    // read through the wide schema, vectorized promotion included
+    spark.sql("INSERT INTO gtest.ns.w VALUES (3000000000, 3.5)")
+    val got = spark.table("gtest.ns.w").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((1L, 1.5), (2L, 2.5), (3000000000L, 3.5)))
+    // per-file stats keep pruning across generations (width-agnostic tags)
+    assert(spark.table("gtest.ns.w").where(col("k") >= 3000000000L).count() === 1)
+
+    // narrowing and cross-family changes refuse (rewrite path territory)
+    intercept[Exception] { spark.sql("ALTER TABLE gtest.ns.w ALTER COLUMN k TYPE INT") }
+    intercept[Exception] { spark.sql("ALTER TABLE gtest.ns.w ALTER COLUMN v TYPE STRING") }
+    spark.sql("DROP TABLE gtest.ns.w")
+  }
+
+  test("partition spec evolution: mixed layouts scan exactly, prune conservatively, DML falls back, OPTIMIZE re-homes") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.pe")
+    spark.sql("CREATE TABLE gtest.ns.pe (id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    import spark.implicits._
+    def rows(off: Int) = (0 until 100).map { i =>
+      (off + i.toLong, java.time.LocalDateTime.of(2024, 4, 1 + i % 10, i % 24, 0), i * 1.0)
+    }
+    rows(0).toDF("id", "ts", "v").createOrReplaceTempView("pe_src1")
+    spark.sql("INSERT INTO gtest.ns.pe SELECT * FROM pe_src1")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/pe"
+
+    spark.sql("CALL gtest.system.evolve_partition(`table` => 'ns.pe', spec => 'months(ts)')")
+    rows(1000).toDF("id", "ts", "v").createOrReplaceTempView("pe_src2")
+    spark.sql("INSERT INTO gtest.ns.pe SELECT * FROM pe_src2")
+
+    // mixed layouts on disk, exact reads across both
+    val rels = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+    assert(rels.exists(_.startsWith("__day=")) && rels.exists(_.startsWith("__part=")),
+      s"expected mixed layouts, got $rels")
+    assert(spark.table("gtest.ns.pe").count() === 200)
+
+    // pruning holds for BOTH generations: a 2-day window keeps only those
+    // days' files plus the month dir (the new layout's floor)
+    val windowed = spark.sql(
+      "SELECT id FROM gtest.ns.pe " +
+        "WHERE ts >= TIMESTAMP_NTZ '2024-04-03 00:00:00' " +
+        "AND ts < TIMESTAMP_NTZ '2024-04-05 00:00:00'")
+    val scanned = scanOf(windowed).fileIndex.inputFiles
+    assert(scanned.forall(f =>
+      (f.contains("__day=") && {
+        val d = f.split("__day=")(1).take(10); d >= "2024-04-03" && d <= "2024-04-05"
+      }) || (f.contains("__part=") && f.split("__part=")(1).take(7) == "2024-04")))
+    assert(scanned.length < scanOf(spark.sql("SELECT id FROM gtest.ns.pe"))
+      .fileIndex.inputFiles.length)
+    val expected = (0 until 100).filter(i => i % 10 == 2 || i % 10 == 3)
+      .flatMap(i => Seq(i.toLong, 1000L + i)).sorted
+    assert(windowed.collect().map(_.getLong(0)).sorted.toSeq === expected)
+
+    // day-scoped DML declines on mixed layouts and the full path lands
+    // (April 1 holds i%10==0 from both generations: 20 rows)
+    graft.plans.MergeInto.sql(spark,
+      "DELETE FROM gtest.ns.pe WHERE ts < TIMESTAMP_NTZ '2024-04-02 00:00:00'")
+    assert(spark.table("gtest.ns.pe").count() === 180)
+
+    // OPTIMIZE re-homes everything under the CURRENT spec
+    spark.sql("CALL gtest.system.optimize(`table` => 'ns.pe')")
+    val after = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+    assert(after.forall(_.startsWith("__part=")), s"optimize must re-home: $after")
+    assert(spark.table("gtest.ns.pe").count() === 180)
+    spark.sql("DROP TABLE gtest.ns.pe")
+  }
+
   test("named refs: VERSION AS OF tag/branch by name, GC pinning, fast-forward") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
