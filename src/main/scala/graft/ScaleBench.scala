@@ -223,6 +223,34 @@ object ScaleBench {
       "column-stats pruning failed to drop out-of-range files at scale")
     spark.sql("DROP TABLE scale_cat.b.evs")
 
+    // merge-on-read at >=10^6 tombstones: the plan ships file NAMES only
+    // (positions load task-side behind a pushed __file filter), and the
+    // masked-vector columnar read should hold the tombstoned scan near the
+    // clean scan's time instead of falling back to row readers.
+    evCat.repartition(8).writeTo("scale_cat.b.evm").create()
+    def scanEvm(): Long = {
+      val t0 = System.nanoTime()
+      spark.table("scale_cat.b.evm").agg(count(lit(1)), sum(col("value"))).collect()
+      System.nanoTime() - t0
+    }
+    scanEvm() // warm
+    val cleanNs = math.min(scanEvm(), scanEvm())
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark,
+      "DELETE FROM scale_cat.b.evm WHERE user_id % 10 = 3")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val morRoot = s"$wh/b/evm"
+    val nTomb = spark.read.parquet(
+      graft.sources.ManifestTable.liveDeleteEntries(morRoot)
+        .map(e => s"$morRoot/data/${e.rel}"): _*).count()
+    scanEvm() // warm the delete-applying paths too
+    val morNs = math.min(scanEvm(), scanEvm())
+    println(f"[scale] mor_scan rows=$catRows tombstones=$nTomb " +
+      f"clean_secs=${cleanNs / 1e9}%.2f tombstoned_secs=${morNs / 1e9}%.2f " +
+      f"ratio=${morNs.toDouble / cleanNs}%.2f")
+    require(nTomb >= 1000000L, "expected a >=10^6-tombstone backlog")
+    spark.sql("DROP TABLE scale_cat.b.evm")
+
     spark.stop()
   }
 }

@@ -809,12 +809,23 @@ object ManifestTable {
     * files never conflict logically). */
   def appendDeletes(tombstones: DataFrame, root: String, retain: Int = 2): Long = {
     val touched = touchedRelsOf(tombstones)
-    val fresh = writeDeletePool(tombstones, root)
+    val fresh = writeDeletePool(tombstones, root, touched)
     commitLoop(root, retain, rebase = true) { base =>
       requireTombstonedFilesLive(root, base, touched)
       Planned(base.inline ++ fresh, base.props, carried = base.refs)
     }
   }
+
+  /** The encoded-rel file list a positional-delete entry names, carried in
+    * its stats field (`files=enc1,enc2,…`) so SCAN PLANNING resolves the
+    * affected files from the manifest alone — no Spark job, no delete-file
+    * read at plan time. None for entries written before the list existed
+    * (planners fall back to reading the delete files). */
+  def deleteTouchedRels(e: FileEntry): Option[Set[String]] =
+    e.stats.filter(_.startsWith("files=")).map(
+      _.stripPrefix("files=").split(',').filter(_.nonEmpty)
+        .map(s => java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8))
+        .toSet)
 
   /** EQUALITY-delete commit: stage `keys` — a DataFrame whose columns are
     * the retraction key (physical names, primitive types) — as parquet
@@ -891,7 +902,7 @@ object ManifestTable {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
     val touched = touchedRelsOf(tombstones)
     val freshData = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
-    val freshDel = writeDeletePool(tombstones, root)
+    val freshDel = writeDeletePool(tombstones, root, touched)
     val zone = writeZoneOf(df, partitionDayOf)
     commitLoop(root, retain, rebase = true) { base =>
       requireTombstonedFilesLive(root, base, touched)
@@ -901,22 +912,29 @@ object ManifestTable {
     }
   }
 
-  private def writeDeletePool(tombstones: DataFrame, root: String): Seq[FileEntry] = {
+  private def writeDeletePool(tombstones: DataFrame, root: String,
+                              touched: Set[String]): Seq[FileEntry] = {
+    val filesList = "files=" + touched.toSeq.sorted
+      .map(r => java.net.URLEncoder.encode(r, java.nio.charset.StandardCharsets.UTF_8))
+      .mkString(",")
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
     // globally sorted by (__file, __pos): task-side tombstone loading
     // pushes a `__file = <rel>` filter, and sorted files give it tight
     // row-group ranges to skip on (Iceberg sorts delete files the same
-    // way, for the same reason)
+    // way, for the same reason). Small row groups make the skipping
+    // fine-grained — a reader should pay for ITS file's positions, not
+    // the whole backlog (with the default 128 MB group a million-row
+    // delete file is one group and every task decodes all of it).
     tombstones.select(col("__file").cast("string"), col("__pos").cast("long"))
       .sort(col("__file"), col("__pos"))
-      .write.parquet(stage)
+      .write.option("parquet.block.size", (1L << 20).toString).parquet(stage)
     val fresh = MetaIO.listFilesRec(stage)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val rel = s"$DeleteDir/${UUID.randomUUID().toString.take(16)}.parquet"
         MetaIO.rename(st.getPath.toString, s"$root/data/$rel")
         MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
-        FileEntry(rel, None)
+        FileEntry(rel, Some(filesList))
       }
     MetaIO.delete(stage, recursive = true)
     fresh

@@ -1077,9 +1077,16 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
       if (posEntries.isEmpty) Set.empty
       else {
         val surviving = rels.map(r => ManifestTable.encodedRel(root, r)).toSet
-        spark.read.parquet(posPaths: _*)
-          .select("__file").distinct().collect()
-          .map(_.getString(0)).filter(surviving.contains).toSet
+        // the tombstoned file set rides on each delete ENTRY (stamped at
+        // commit), so planning is metadata-only; the tiny distinct-file
+        // job remains only as a fallback for pre-list delete entries
+        val listed = posEntries.map(ManifestTable.deleteTouchedRels)
+        val named =
+          if (listed.forall(_.isDefined)) listed.flatten.flatten.toSet
+          else spark.read.parquet(posPaths: _*)
+            .select("__file").distinct().collect()
+            .map(_.getString(0)).toSet
+        named.filter(surviving.contains)
       }
     // equality-delete metadata: one footer-schema read per eq file (driver,
     // bounded by the eq backlog); key columns are PHYSICAL names
