@@ -176,6 +176,39 @@ class ManifestShardSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent appenders rebase on a SHARDED table: both land, refs union, no shard rewritten") {
+    import spark.implicits._
+    withConf("spark.graft.manifest.inlineEntries" -> "0") {
+      val root = Files.createTempDirectory("shard_race").toString + "/t"
+      ManifestTable.commit(
+        (1 to 8).map(i => (i.toLong, ts(1 + i % 2))).toDF("k", "ts").repartition(8),
+        root, retain = 10, partitionDayOf = Some("ts"))
+      val (refs1, _) = ManifestTable.manifestIndex(root, 1)
+      assert(refs1.nonEmpty)
+
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map { i =>
+        new Thread(() => {
+          try ManifestTable.append(
+            Seq((100L + i, ts(3))).toDF("k", "ts").coalesce(1),
+            root, retain = 10, partitionDayOf = Some("ts"))
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent appends on a sharded base must both land: $errs")
+      assert(ManifestTable.currentVersion(root).contains(3L))
+      val (refsLive, _) = ManifestTable.manifestIndex(root, 3)
+      // the loser's rebase carried the winner's refs: v1's shards are in
+      // the live manifest untouched and both new rows are present
+      assert(refs1.forall(refsLive.contains),
+        "rebase must carry the base shards verbatim")
+      assert(ManifestTable.read(spark, root).count() === 10)
+      assert(ManifestTable.read(spark, root)
+        .where(col("k") >= 100L).count() === 2)
+    }
+  }
+
   test("incremental GC: expiring snapshots drop their orphaned files and dead-only shards") {
     import spark.implicits._
     withConf("spark.graft.manifest.inlineEntries" -> "0",
