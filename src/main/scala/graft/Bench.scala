@@ -106,13 +106,20 @@ object Bench {
   private[graft] def renderJson(
       names: Seq[String], best: Map[String, Double],
       errs: Map[String, String], sfDir: String): String = {
+    // millisecond precision: full Double.toString made the 121-query line
+    // long enough that the driver's stdout tail cut its head two rounds
+    // running; 1 ms resolution loses nothing a benchmark can claim
+    def ms(d: Double): String = {
+      val r = math.round(d * 1000) / 1000.0
+      if (r == r.toLong) r.toLong + ".0" else r.toString
+    }
     val qs = names.map { n =>
-      jsonStr(n) + ":" + best.get(n).map(_.toString).getOrElse("\"err\"")
+      jsonStr(n) + ":" + best.get(n).map(ms).getOrElse("\"err\"")
     }.mkString("{", ",", "}")
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
-    val total = best.values.sum
+    val total = ms(best.values.sum)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_err":${errs.size},"errors":$errJson,"sf":"$sfDir"}"""
   }
 }

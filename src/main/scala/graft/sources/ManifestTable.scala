@@ -221,8 +221,14 @@ object ManifestTable {
     val f = line.split('\t')
     FileEntry(f(0),
       f.drop(1).find(s => s.nonEmpty && !s.startsWith("seq=")),
+      // a PARSED entry always carries a concrete sequence: pre-sequence
+      // (legacy) manifests normalize to 0 ("older than everything") HERE,
+      // so seq=None afterwards means exactly "fresh this commit" and the
+      // commit loop's stamping can never promote a carried legacy entry
+      // to the current version (which would let a same-commit eq-delete
+      // silently skip it — 'row_seq < eq_seq' must hold for old data)
       f.drop(1).collectFirst { case s if s.startsWith("seq=") =>
-        s.stripPrefix("seq=").toLong })
+        s.stripPrefix("seq=").toLong }.orElse(Some(0L)))
   }
 
   /** One manifest-LIST line referencing an immutable shard file
@@ -1081,12 +1087,32 @@ object ManifestTable {
       throw new IllegalStateException(s"no committed version under $root")))
     require(MetaIO.exists(manifestPath(root, v)),
       s"version $v of $root is not retained")
-    refs(root).get(name).foreach { r =>
-      if (kind == "tag" || r.kind != kind)
+    refs(root).get(name) match {
+      case Some(r) if kind == "tag" || r.kind != kind =>
         throw new IllegalArgumentException(
           s"ref '$name' already exists on $root as a ${r.kind} (drop it first)")
+      case Some(_) =>
+        // existing branch: re-point (same last-writer-wins advanceBranch has)
+        MetaIO.writeAtomic(refPath(root, name), s"$kind:$v")
+      case None =>
+        // CREATE-EXCLUSIVE, not check-then-write: two same-instant creates
+        // of one name must produce one winner, or tag immutability is only
+        // advisory (both racers would report success, last body winning)
+        try MetaIO.createNew(refPath(root, name), s"$kind:$v")
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"ref '$name' already exists on $root (lost a concurrent create race)")
+        }
     }
-    MetaIO.writeAtomic(refPath(root, name), s"$kind:$v")
+    // re-verify the pinned manifest survived: a GC sweeping between our
+    // retention check and the ref write never saw this pin and may have
+    // deleted the target — a dangling ref must fail loudly, not linger
+    if (!MetaIO.exists(manifestPath(root, v))) {
+      MetaIO.delete(refPath(root, name))
+      throw new IllegalStateException(
+        s"version $v of $root was garbage-collected while ref '$name' was " +
+          "being created; the ref was rolled back")
+    }
     v
   }
 

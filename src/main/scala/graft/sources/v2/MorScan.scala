@@ -35,7 +35,7 @@ import graft.sources.SerializableHadoopConf
   *    [[MaskedColumnVector]] (zero-copy, the Iceberg vectorized-delete
   *    shape); batches with nothing to drop pass through untouched. */
 class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
-              widened: Boolean,
+              widened: Boolean, physicalBatch: StructType,
               posAffected: Set[String], posDeleteFiles: Seq[String],
               eqSpecs: Seq[EqDeleteSpec], dataSeqByRel: Map[String, Long],
               conf: SerializableHadoopConf)
@@ -109,11 +109,12 @@ class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
     new MorReaderFactory(delegate.toBatch.createReaderFactory(), planned._2,
       planned._3, posDeleteFiles, eqSpecs, keepIdx, widened, declaredPhysical, conf)
 
-  /** The kept columns' physical types, for the row-path projection. */
-  private def declaredPhysical: StructType = {
-    val all = delegate.readSchema()
-    StructType(keepIdx.map(all.fields))
-  }
+  /** The kept columns' physical types, for the row-path projection —
+    * sliced from the caller-supplied physical BATCH layout, never from
+    * `delegate.readSchema()` (a renamed delegate reports the logical
+    * projection there, whose ordinals/types diverge from the batch). */
+  private def declaredPhysical: StructType =
+    StructType(keepIdx.map(physicalBatch.fields))
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()

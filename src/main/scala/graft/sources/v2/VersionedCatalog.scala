@@ -1098,6 +1098,12 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     var widened = false
     var eqSpecs: Seq[EqDeleteSpec] = Nil
     var declaredFields: Array[org.apache.spark.sql.types.StructField] = logicalRead.fields
+    // the PHYSICAL batch layout the file readers emit (widenedData ++
+    // readPart) — passed to MorScan explicitly because the delegate's
+    // readSchema() is the wrong source for it: under renames it reports
+    // the LOGICAL projection, whose field list (and, without partition
+    // columns, field types after widening) diverges from the batch
+    var physicalBatch: StructType = logicalRead
     val delegate: Scan = meta.format match {
       case "avro" =>
         require(delEntries.isEmpty,
@@ -1147,6 +1153,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         // and declaredFields records that composition under LOGICAL names
         keepIdx = (readData.indices ++
           readPart.indices.map(_ + widenedData.length)).toArray
+        physicalBatch = StructType(widenedData.fields ++ readPart.fields)
         declaredFields =
           logicalRead.fields.filterNot(f => partNames.contains(f.name)) ++
             logicalRead.fields.filter(f => partNames.contains(f.name))
@@ -1180,6 +1187,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
       val dataSeqByRel = prunedEs.map(e =>
         ManifestTable.encodedRel(root, e.rel) -> e.seq.getOrElse(0L)).toMap
       new MorScan(named, StructType(declaredFields), keepIdx, widened,
+        physicalBatch,
         affectedRels, posPaths, eqSpecs, dataSeqByRel,
         new graft.sources.SerializableHadoopConf(
           spark.sparkContext.hadoopConfiguration))

@@ -125,6 +125,57 @@ class EqualityDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE geq.ns.dk")
   }
 
+  test("first eq-delete on an upgraded pre-sequence table still retracts the legacy rows") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geq.ns")
+    spark.sql("DROP TABLE IF EXISTS geq.ns.lg")
+    (0L until 100L).map(i => (i % 10, i)).toDF("uid", "n")
+      .coalesce(1).writeTo("geq.ns.lg").create()
+    val r = root("lg")
+    // simulate a manifest written BEFORE sequences existed: strip every
+    // seq= field from the live manifest's inline entries
+    val v = ManifestTable.versions(r).last
+    val mf = s"$r/manifests/v=$v.txt"
+    val legacy = graft.sources.MetaIO.readString(mf).linesIterator
+      .map(_.replaceAll("\tseq=\\d+", "")).mkString("\n")
+    graft.sources.MetaIO.writeAtomic(mf, legacy)
+    assert(ManifestTable.liveEntries(r).forall(_.seq.contains(0L)),
+      "legacy entries must parse as sequence 0 (older than everything)")
+
+    // the FIRST sequence-stamping commit is the eq-delete itself: carried
+    // legacy data must stay strictly older than it, or the retraction
+    // silently no-ops (the carried entries would share its sequence)
+    ManifestTable.appendEqualityDeletes(Seq(3L).toDF("uid"), r)
+    val expect = (0L until 100L).filterNot(_ % 10 == 3)
+    assert(spark.table("geq.ns.lg").count() === expect.size.toLong,
+      "eq-delete must retract rows of pre-sequence (legacy) data files")
+    assert(ManifestTable.read(spark, r).count() === expect.size.toLong)
+    spark.sql("DROP TABLE geq.ns.lg")
+  }
+
+  test("eq-delete key outside the projection on a RENAMED identity-partitioned table") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geq.ns")
+    spark.sql("DROP TABLE IF EXISTS geq.ns.rnp")
+    spark.sql("CREATE TABLE geq.ns.rnp (uid BIGINT, n BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    (0L until 200L).map(i => (i % 20, i, if (i % 2 == 0) "na" else "eu"))
+      .toDF("uid", "n", "region").writeTo("geq.ns.rnp").append()
+    spark.sql("ALTER TABLE geq.ns.rnp RENAME COLUMN n TO amount") // RenamedScan delegate
+    val r = root("rnp")
+    ManifestTable.appendEqualityDeletes(Seq(5L).toDF("uid"), r)
+    // projection lacks the key (widen-and-project) AND includes the
+    // identity partition column — the partition ordinals of the physical
+    // batch exceed the renamed delegate's logical readSchema, so the
+    // projection schema must come from the real batch layout
+    val got = spark.table("geq.ns.rnp").select("amount", "region")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val expect = (0L until 200L).filterNot(_ % 20 == 5)
+      .map(i => (i, if (i % 2 == 0) "na" else "eu"))
+    assert(got.sorted.toSeq === expect.sorted)
+    spark.sql("DROP TABLE geq.ns.rnp")
+  }
+
   test("string keys, NULL keys, and multi-column keys retract exactly") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geq.ns")
