@@ -251,6 +251,55 @@ object ScaleBench {
     require(nTomb >= 1000000L, "expected a >=10^6-tombstone backlog")
     spark.sql("DROP TABLE scale_cat.b.evm")
 
+    // ONE large tombstoned file: positions apply PER SPLIT (base row
+    // recovered from the footer), so a single tombstone no longer
+    // collapses the file to one whole-file partition — the shape where a
+    // 1 GB file used to lose its 8-way parallelism until compaction.
+    evCat.coalesce(1).writeTo("scale_cat.b.evf").create()
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark,
+      "DELETE FROM scale_cat.b.evf WHERE user_id % 100000 = 3")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+    try {
+      val tf = spark.table("scale_cat.b.evf")
+      val morFileScan = tf.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head
+      val nParts = morFileScan.toBatch.planInputPartitions().length
+      val sf0 = System.nanoTime()
+      val aggF = tf.agg(count(lit(1)), sum(col("value"))).collect()(0)
+      val sfSecs = (System.nanoTime() - sf0) / 1e9
+      println(f"[scale] mor_single_file rows=${aggF.getLong(0)} parts=$nParts secs=$sfSecs%.2f")
+      require(nParts >= 4,
+        s"a single tombstoned file must keep its split parallelism, got $nParts")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    spark.sql("DROP TABLE scale_cat.b.evf")
+
+    // equality-delete backlog at >=10^6 keys over a many-partition table:
+    // the commit ships only the key file (no data read), and at scan time
+    // the key set loads ONCE per executor (path-keyed soft-ref cache) —
+    // O(executors × backlog) delete reads instead of O(tasks × backlog).
+    evCat.repartition(32).writeTo("scale_cat.b.eve").create()
+    val eqKeys = spark.range(1000000L).select((col("id") * 7L).as("event_id"))
+    val eq0 = System.nanoTime()
+    graft.sources.ManifestTable.appendEqualityDeletes(eqKeys, s"$wh/b/eve")
+    val eqCommitSecs = (System.nanoTime() - eq0) / 1e9
+    val te = spark.table("scale_cat.b.eve")
+    val nPartsE = te.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.toBatch.planInputPartitions().length
+    val loadsBefore = graft.sources.v2.MorDeletes.eqKeyLoads.get()
+    val es0 = System.nanoTime()
+    val aggE = te.agg(count(lit(1)), sum(col("value"))).collect()(0)
+    val eqScanSecs = (System.nanoTime() - es0) / 1e9
+    val eqLoads = graft.sources.v2.MorDeletes.eqKeyLoads.get() - loadsBefore
+    println(f"[scale] eq_delete_backlog keys=1000000 rows_left=${aggE.getLong(0)} " +
+      f"parts=$nPartsE key_loads=$eqLoads commit_secs=$eqCommitSecs%.2f scan_secs=$eqScanSecs%.2f")
+    require(nPartsE > 1 && eqLoads <= 1L,
+      s"a 10^6-key eq backlog must load once per executor, loaded $eqLoads across $nPartsE parts")
+    spark.sql("DROP TABLE scale_cat.b.eve")
+
     spark.stop()
   }
 }

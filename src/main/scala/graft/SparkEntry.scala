@@ -143,6 +143,7 @@ object SparkEntry {
     // equality deletes (CDC-shape key retraction): delete by key with no
     // data read, sequence-scoped so later re-inserts survive
     "eq_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.eqDeleteScan(s, d)),
+    "rewrite_deletes_scan" -> ((s, d) => graft.sources.v2.V2Queries.rewriteDeletesScan(s, d)),
     // metadata-only INT->BIGINT widening: narrow and wide file generations
     // read through one declared schema, vectorized promotion included
     "type_widening_scan" -> ((s, d) => graft.sources.v2.V2Queries.typeWideningScan(s, d)),
@@ -277,6 +278,7 @@ object SparkEntry {
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
     "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
+    "rewrite_deletes_scan" -> graft.sources.v2.V2Queries.oracle.rewriteDeletesScan,
     "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,

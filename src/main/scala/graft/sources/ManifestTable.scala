@@ -851,6 +851,80 @@ object ManifestTable {
     }
   }
 
+  /** Deletes-only maintenance — Iceberg's `rewrite_position_delete_files`
+    * procedure shape: shrink the delete BACKLOG without rewriting any
+    * data file (compaction materializes deletes but pays a full data
+    * rewrite; this pays only the backlog):
+    *
+    *  - POSITIONAL delete files merge into one (sorted, deduplicated),
+    *    dropping tombstones whose target data file is no longer live
+    *    (its rewriter already materialized them);
+    *  - EQUALITY delete files that can no longer retract anything — no
+    *    live data file carries an older commit sequence — drop outright.
+    *
+    * Returns the committed version (the current one when the backlog is
+    * already minimal). Superseded delete files are reclaimed by GC as
+    * their snapshots expire. Rebases over concurrent appends; a
+    * concurrent commit that REMOVED one of the merging delete entries
+    * (compaction) surfaces as [[java.util.ConcurrentModificationException]]. */
+  def rewriteDeletes(spark: SparkSession, root: String, retain: Int = 2): Long = {
+    require(exists(root), s"no committed version under $root")
+    val live = liveEntries(root)
+    val (delAll, dataEntries) = live.partition(e => isDeleteEntry(e.rel))
+    val (eqDel, posDel) = delAll.partition(e => isEqDeleteEntry(e.rel))
+    val liveRels = dataEntries.map(e => encodedRel(root, e.rel)).toSet
+    // an eq delete at sequence s retracts only rows with seq < s: when
+    // every live data file is at s or newer, the file is inert
+    val minDataSeq =
+      if (dataEntries.isEmpty) Long.MaxValue
+      else dataEntries.map(_.seq.getOrElse(0L)).min
+    val deadEq = eqDel.filter(_.seq.getOrElse(0L) <= minDataSeq).map(_.rel).toSet
+    // positional files are worth merging past one, or when one names
+    // targets that died — metadata-only off the files= stats list; a
+    // pre-list entry forces one distinct-read of the delete files (an
+    // UNDER-approximated target set would silently drop its tombstones
+    // in the merge and resurrect deleted rows)
+    val listed = posDel.map(deleteTouchedRels)
+    lazy val posTargets: Set[String] =
+      if (listed.forall(_.isDefined)) listed.flatten.flatten.toSet
+      else spark.read.parquet(posDel.map(e => s"$root/data/${e.rel}"): _*)
+        .select("__file").distinct().collect().map(_.getString(0)).toSet
+    val needPos = posDel.size > 1 ||
+      (posDel.size == 1 && !posTargets.subsetOf(liveRels))
+    if (!needPos && deadEq.isEmpty)
+      return currentVersion(root).getOrElse(0L)
+
+    val mergedRels = if (needPos) posDel.map(_.rel).toSet else Set.empty[String]
+    val fresh: Seq[FileEntry] =
+      if (!needPos) Nil
+      else {
+        val keep = posTargets.intersect(liveRels)
+        if (keep.isEmpty) Nil // every target died: the backlog vanishes
+        else {
+          val tomb = spark.read
+            .parquet(posDel.map(e => s"$root/data/${e.rel}"): _*)
+            .where(col("__file").isInCollection(keep))
+            .dropDuplicates("__file", "__pos")
+          writeDeletePool(tomb, root, keep)
+        }
+      }
+    commitLoop(root, retain, rebase = true) { base =>
+      val (delRefs, dataRefs) = base.refs.partition(_.key == DeleteDir)
+      val delEntries = delRefs.flatMap(r => shardEntries(root, r.rel)) ++
+        base.inline.filter(e => isDeleteEntry(e.rel))
+      if (!mergedRels.subsetOf(delEntries.map(_.rel).toSet))
+        throw new java.util.ConcurrentModificationException(
+          s"delete files merging under $root were removed concurrently " +
+            "(compaction?); recompute against the new snapshot")
+      // delete entries added by concurrent commits (absent from the merge
+      // set) carry through untouched, data shards carry as refs unread
+      val keptDel = delEntries.filterNot(e =>
+        mergedRels.contains(e.rel) || deadEq.contains(e.rel))
+      val dataInline = base.inline.filterNot(e => isDeleteEntry(e.rel))
+      Planned(dataInline ++ keptDel ++ fresh, base.props, carried = dataRefs)
+    }
+  }
+
   private def writeEqDeletePool(keys: DataFrame, root: String): Seq[FileEntry] = {
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
     keys.coalesce(1).write.parquet(stage)

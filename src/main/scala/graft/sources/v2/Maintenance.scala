@@ -129,6 +129,14 @@ object Maintenance {
     VersionedCatalog.evolvePartitionSpec(root, spec)
   }
 
+  /** Deletes-only rewrite by identifier: merge the positional-delete
+    * backlog and drop inert equality deletes without touching any data
+    * file (Iceberg's `rewrite_position_delete_files`). */
+  def rewriteDeletes(spark: SparkSession, ident: String): Long = {
+    val (root, _) = resolve(spark, ident)
+    ManifestTable.rewriteDeletes(spark, root, retainOf(spark))
+  }
+
   /** Expire retained snapshots beyond `retain` and GC unreferenced pool
     * files (orphan claims included). Metadata + file deletes only. */
   def expireSnapshots(spark: SparkSession, ident: String, retain: Int = 1): Unit = {

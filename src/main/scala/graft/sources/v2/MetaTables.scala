@@ -24,7 +24,7 @@ import graft.sources.{ManifestTable, MetaIO}
   * the right physical plan. */
 object MetaTables {
 
-  val Kinds: Set[String] = Set("files", "snapshots", "partitions")
+  val Kinds: Set[String] = Set("files", "snapshots", "partitions", "deletes")
 
   private val FilesSchema = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
@@ -46,10 +46,18 @@ object MetaTables {
     StructField("n_files", LongType, nullable = false),
     StructField("total_bytes", LongType, nullable = false)))
 
+  private val DeletesSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("delete_kind", StringType, nullable = false), // positional|equality
+    StructField("sequence", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("targets", StringType, nullable = true)))     // positional: files list
+
   def load(name: String, root: String, kind: String): Table = kind match {
     case "files"      => MetaTable(name, FilesSchema, () => filesRows(root))
     case "snapshots"  => MetaTable(name, SnapshotsSchema, () => snapshotRows(root))
     case "partitions" => MetaTable(name, PartitionsSchema, () => partitionRows(root))
+    case "deletes"    => MetaTable(name, DeletesSchema, () => deleteRows(root))
     case other => throw new IllegalArgumentException(s"no metadata table $other")
   }
 
@@ -89,6 +97,22 @@ object MetaTables {
         live.contains(v)))
     }.toArray
   }
+
+  /** The delete-backlog inspection surface (Iceberg's
+    * `tbl.position_deletes`/delete-file listing, folded into one view):
+    * one row per live delete file — kind, scoping sequence, size, and
+    * (positional) the target-file list the entry rides. The row driving
+    * `rewrite_deletes` sizing decisions. */
+  private def deleteRows(root: String): Array[InternalRow] =
+    liveEntries(root).filter(e => isDelete(e.rel)).map { e =>
+      new GenericInternalRow(Array[Any](
+        utf8(e.rel),
+        utf8(if (ManifestTable.isEqDeleteEntry(e.rel)) "equality" else "positional"),
+        e.seq.getOrElse(0L),
+        MetaIO.size(s"$root/data/${e.rel}"),
+        ManifestTable.deleteTouchedRels(e)
+          .map(t => utf8(t.toSeq.sorted.mkString(","))).orNull))
+    }.toArray
 
   private def partitionRows(root: String): Array[InternalRow] =
     liveEntries(root).filterNot(e => isDelete(e.rel))

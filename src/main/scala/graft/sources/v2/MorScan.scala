@@ -19,10 +19,11 @@ import graft.sources.SerializableHadoopConf
   *    each task loads its own file's positions from the delete files with
   *    a pushed `__file = <rel>` parquet filter (delete files are sorted by
   *    (`__file`, `__pos`), so row-group statistics skip everything else).
-  *    Position lists NEVER materialize on the driver. Affected files
-  *    become whole-file partitions (row index = stream position) and
+  *    Position lists NEVER materialize on the driver. Affected parquet
+  *    files KEEP their splits (each split offsets positions by its first
+  *    file row, recovered from the footer — [[MorDeletes.splitBaseRow]]);
   *    their scans push no data filters (skipping would desynchronize the
-  *    index);
+  *    row index);
   *  - EQUALITY deletes (the CDC shape): each task loads the bounded key
   *    sets of the delete files APPLICABLE to its partition — a key file
   *    applies only to data files with a strictly smaller commit sequence,
@@ -64,9 +65,16 @@ class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
   }
 
   /** (partitions, partition → tombstoned rel, partition → applicable eq
-    * specs). Files with positional tombstones become whole-file
-    * partitions; the rest keep their splits, re-grouped so one partition
-    * never mixes files with different applicable eq-delete sets. */
+    * specs). PARQUET files with positional tombstones KEEP their splits —
+    * each split becomes its own single-file partition (never bin-packed
+    * with other files, so the partition's row stream is exactly that
+    * split's) and the reader offsets positions by the split's starting
+    * file row, recovered task-side from the footer ([[MorDeletes
+    * .splitBaseRow]]). A 1 GB file with one tombstone keeps its 8-way
+    * parallelism — Iceberg's split-level delete application. Non-parquet
+    * tombstoned files (orc) fall back to one whole-file partition. The
+    * rest keep their splits, re-grouped so one partition never mixes
+    * files with different applicable eq-delete sets. */
   private lazy val planned
       : (Array[InputPartition], Map[Int, String], Map[Int, Seq[Int]]) = {
     val out = Vector.newBuilder[InputPartition]
@@ -85,17 +93,21 @@ class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
           }
         hit.foreach { f =>
           val path = f.urlEncodedPath
-          // a large file arrives as several splits: emit its whole-file
-          // partition once (positions are file-absolute, so the reader
-          // must see the file from row 0)
-          if (!wholeFilesEmitted.contains(path)) {
-            wholeFilesEmitted += path
-            val rel = relOf(path)
-            out += FilePartition(idx, Array(f.copy(start = 0, length = f.fileSize)))
+          val rel = relOf(path)
+          def emit(file: org.apache.spark.sql.execution.datasources.PartitionedFile): Unit = {
+            out += FilePartition(idx, Array(file))
             posBy += idx -> rel
             val sig = eqSigOf(rel)
             if (sig.nonEmpty) eqBy += idx -> sig
             idx += 1
+          }
+          if (rel.endsWith(".parquet")) emit(f) // split kept as-is
+          else if (!wholeFilesEmitted.contains(path)) {
+            // positions are file-absolute and only the parquet footer can
+            // locate a split's first row: other formats read whole-file
+            // (emitted once across this file's splits), from row 0
+            wholeFilesEmitted += path
+            emit(f.copy(start = 0, length = f.fileSize))
           }
         }
       case other => out += other; idx += 1 // defensive: pass through untouched
@@ -129,9 +141,43 @@ case class EqDeleteSpec(path: String, seq: Long, keyNames: Array[String],
   * sets for equality deletes. Both bounded by the delete backlog since the
   * last compaction (the same working-set bound Iceberg's task-side delete
   * loading has). */
-private[v2] object MorDeletes {
+private[graft] object MorDeletes {
+  /** EXECUTOR-LEVEL delete cache — delete files are immutable and
+    * UUID-named, so a path-keyed entry can never go stale. Without it
+    * every task re-reads the delete files applicable to its partition:
+    * O(tasks × backlog) reads where O(executors × backlog) suffices
+    * (Iceberg's executor delete-file cache), and with split-preserving
+    * positional reads every SPLIT of a tombstoned file would reload the
+    * same position list. Soft references let memory pressure evict;
+    * `compute` makes one thread load per key while racers wait. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[AnyRef]]()
+  /** Underlying delete-file LOAD counters (not cache hits) — observability
+    * for the executor-cache specs. */
+  val eqKeyLoads = new java.util.concurrent.atomic.AtomicLong(0)
+  val positionLoads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def cached[T <: AnyRef](key: String)(load: => T): T = {
+    var out: AnyRef = null
+    while (out == null) { // re-load if the soft ref cleared mid-handoff
+      out = cache.compute(key, (_, old) =>
+        if (old != null && old.get() != null) old
+        else new java.lang.ref.SoftReference[AnyRef](load)).get()
+    }
+    out.asInstanceOf[T]
+  }
+
   def positionsFor(deleteFiles: Seq[String], rel: String,
-                   conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+                   conf: org.apache.hadoop.conf.Configuration): Array[Long] =
+    // full-path key (no hashing): a hash collision would silently apply
+    // the wrong file's tombstones
+    cached(deleteFiles.mkString("\u0000") + "\u0001" + rel) {
+      positionLoads.incrementAndGet()
+      loadPositions(deleteFiles, rel, conf)
+    }
+
+  private def loadPositions(deleteFiles: Seq[String], rel: String,
+                            conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
     import org.apache.parquet.hadoop.ParquetReader
@@ -163,9 +209,54 @@ private[v2] object MorDeletes {
     }
   }
 
+  /** The FILE row index of a parquet split's first row. Spark's readers
+    * assign a row group to the split containing its byte MIDPOINT
+    * (`startingPos + compressedSize/2` — parquet-mr's
+    * `filterFileMetaDataByMidpoint`), so the split's base row is the row
+    * count of every row group whose midpoint precedes `splitStart`.
+    * Replicating that rule from the footer (one task-side footer read,
+    * the same read Iceberg tasks do) is what lets a tombstoned file keep
+    * its splits: each split offsets file-absolute delete positions by
+    * this base instead of collapsing to a whole-file read. */
+  def splitBaseRow(path: org.apache.hadoop.fs.Path, splitStart: Long,
+                   conf: org.apache.hadoop.conf.Configuration): Long = {
+    if (splitStart == 0L) return 0L
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala
+      .filter(b => b.getStartingPos + b.getCompressedSize / 2 < splitStart)
+      .map(_.getRowCount).sum
+    finally reader.close()
+  }
+
+  /** First index of `positions` at or past `base` (positions sorted). */
+  def lowerBound(positions: Array[Long], base: Long): Int = {
+    var lo = 0; var hi = positions.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (positions(mid) < base) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Executor-cached key set of one eq-delete file. The pool path alone
+    * is not the full identity: the extracted VALUES depend on the key
+    * TYPES of the reading query's widened batch (a later type widening
+    * changes them), so names and types join the cache key — same table
+    * state shares one entry, post-widening queries load a fresh,
+    * correctly-typed set. */
+  def loadEqKeys(spec: EqDeleteSpec,
+                 conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[Seq[Any]] =
+    cached(spec.path + "\u0001" + spec.keyNames.mkString(",") +
+        "\u0001" + spec.keyTypes.mkString(",")) {
+      eqKeyLoads.incrementAndGet()
+      readEqKeys(spec, conf)
+    }
+
   /** The canonical value of one key column from a parquet Group record —
     * chosen to compare equal to [[keyValueOf]]'s row-side extraction. */
-  def loadEqKeys(spec: EqDeleteSpec,
+  private def readEqKeys(spec: EqDeleteSpec,
                  conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[Seq[Any]] = {
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -248,19 +339,32 @@ private[v2] class MorReaderFactory(delegate: PartitionReaderFactory,
       case None => Array.emptyLongArray
     }
 
+  /** Split's starting file row — a positional partition always holds
+    * exactly ONE file ([[MorScan.planned]]); parquet splits keep their
+    * offsets and recover the base from the footer, whole-file reads
+    * start at 0. */
+  private def splitBaseFor(p: InputPartition): Long = p match {
+    case fp: FilePartition if posBy.contains(fp.index) =>
+      val f = fp.files.head
+      MorDeletes.splitBaseRow(f.filePath.toPath, f.start, conf.value)
+    case _ => 0L
+  }
+
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val inner = delegate.createColumnarReader(p)
     val positions = positionsFor(p)
     val eqSets = eqSetsFor(p)
     if (positions.isEmpty && eqSets.isEmpty && !widened) inner
-    else new MorColumnarReader(inner, positions, eqSets, keepIdx, widened)
+    else new MorColumnarReader(inner, positions, splitBaseFor(p), eqSets,
+      keepIdx, widened)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     var reader = delegate.createReader(p)
     val positions = positionsFor(p)
-    if (positions.nonEmpty) reader = new PosSkipRowReader(reader, positions)
+    if (positions.nonEmpty)
+      reader = new PosSkipRowReader(reader, positions, splitBaseFor(p))
     val eqSets = eqSetsFor(p)
     if (eqSets.nonEmpty) reader = new EqFilterRowReader(reader, eqSets)
     if (widened) reader = new ProjectRowReader(reader, keptPhysical, keepIdx)
@@ -268,12 +372,14 @@ private[v2] class MorReaderFactory(delegate: PartitionReaderFactory,
   }
 }
 
-/** Row-path positional skip: sorted-array pointer walk, O(1)/row. */
+/** Row-path positional skip: sorted-array pointer walk, O(1)/row.
+  * `startBase` is the split's first FILE row (0 for whole-file reads). */
 private[v2] class PosSkipRowReader(inner: PartitionReader[InternalRow],
-                                   positions: Array[Long])
+                                   positions: Array[Long],
+                                   startBase: Long = 0L)
     extends PartitionReader[InternalRow] {
-  private var rowIdx = -1L
-  private var skipPtr = 0
+  private var rowIdx = startBase - 1L
+  private var skipPtr = MorDeletes.lowerBound(positions, startBase)
   override def next(): Boolean = {
     while (inner.next()) {
       rowIdx += 1
@@ -322,12 +428,18 @@ private[v2] class ProjectRowReader(inner: PartitionReader[InternalRow],
   * kept count. Fully-deleted batches are skipped. */
 private[v2] class MorColumnarReader(inner: PartitionReader[ColumnarBatch],
                                     positions: Array[Long],
+                                    startBase: Long,
                                     eqSets: Seq[(EqDeleteSpec, java.util.HashSet[Seq[Any]])],
                                     keepIdx: Array[Int],
                                     project: Boolean)
     extends PartitionReader[ColumnarBatch] {
-  private var base = 0L   // file row index of the current batch's first row
-  private var ptr = 0     // next positional tombstone not yet behind `base`
+  // file row index of the current batch's first row — the split's first
+  // file row at construction, advancing with each streamed batch
+  private var base = startBase
+  // next positional tombstone not yet behind `base`: starts past the
+  // positions earlier splits own (a stale lower pointer would desync the
+  // equality walk in the first batch and keep tombstoned rows alive)
+  private var ptr = MorDeletes.lowerBound(positions, startBase)
   private var current: ColumnarBatch = _
 
   private def outColumns(b: ColumnarBatch): Array[ColumnVector] =

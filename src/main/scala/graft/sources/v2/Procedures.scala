@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than",
-    "create_tag", "create_branch", "drop_ref", "fast_forward", "evolve_partition")
+    "create_tag", "create_branch", "drop_ref", "fast_forward", "evolve_partition",
+    "rewrite_deletes")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -71,6 +72,23 @@ object GraftProcedures {
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    case "rewrite_deletes" => new GraftProcedure("rewrite_deletes") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val (root, _) = Maintenance.resolve(spark, s"$catalogName.$tbl")
+        val before = graft.sources.ManifestTable.liveDeleteEntries(root).size.toLong
+        val v = Maintenance.rewriteDeletes(spark, s"$catalogName.$tbl")
+        val after = graft.sources.ManifestTable.liveDeleteEntries(root).size.toLong
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("delete_files_before", LongType, nullable = false),
+            StructField("delete_files_after", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](v, before, after)))).iterator()
       }
     }
     case "expire_snapshots" => new GraftProcedure("expire_snapshots") {

@@ -238,6 +238,56 @@ object V2Queries {
     }
   }
 
+  /** Deletes-only maintenance as an oracle-gated query — Iceberg's
+    * `rewrite_position_delete_files` procedure shape: two scattered-row
+    * MOR DELETEs leave two positional delete files; `CALL
+    * rewrite_deletes` merges them into ONE without rewriting any data
+    * file, and `tbl.deletes` (the delete-backlog metadata table)
+    * reflects the shrink. The `rw_ok` verdict asserts the data entry set
+    * is untouched, the backlog went 2 → 1 (procedure result row and
+    * manifest agree), and the metadata table reports the one merged
+    * positional file; the aggregate re-reads through the merged
+    * tombstones and must match the oracle's recompute of BOTH deletes. */
+  def rewriteDeletesScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    ensureCatalog(spark)
+    val short = newName("rwd")
+    val tbl = s"$Cat.q.$short"
+    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      eventsSlim(spark, dir).repartition(4).writeTo(tbl).create()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      def dataRels = ManifestTable.liveEntries(root).map(_.rel)
+        .filterNot(ManifestTable.isDeleteEntry)
+      val before = dataRels.toSet
+
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $tbl WHERE user_id % 10 = 3")
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $tbl WHERE user_id % 10 = 7")
+      val delBefore = ManifestTable.liveDeleteEntries(root).size
+      val res = spark
+        .sql(s"CALL $Cat.system.rewrite_deletes(`table` => 'q.$short')")
+        .collect()(0)
+      val delAfter = ManifestTable.liveDeleteEntries(root).size
+      val metaDel = spark.table(s"$tbl.deletes").collect()
+
+      val rwOk = dataRels.toSet == before &&
+        delBefore == 2 && delAfter == 1 &&
+        res.getLong(1) == 2L && res.getLong(2) == 1L &&
+        metaDel.length == 1 && metaDel(0).getString(1) == "positional"
+      val agg = spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+      agg.withColumn("rw_ok", lit(rwOk)).localCheckpoint(true)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+        case None => spark.conf.unset("spark.graft.delete.mode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** EQUALITY-delete retraction through the catalog — Iceberg v2's
     * equality deletes, the shape a CDC/Flink writer emits when it cannot
     * know row positions: every event of a retracted user_id cohort is
@@ -704,6 +754,16 @@ object V2Queries {
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS mor_ok
          |FROM events
          |WHERE user_id % 10 <> 3
+         |GROUP BY 1""".stripMargin
+
+    /** A deletes-only rewrite must be invisible in the data: recompute
+      * BOTH merged deletes' retractions, maintenance verdict pinned
+      * TRUE. */
+    val rewriteDeletesScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS rw_ok
+         |FROM events
+         |WHERE user_id % 10 <> 3 AND user_id % 10 <> 7
          |GROUP BY 1""".stripMargin
 
     /** Retraction + sequence-scoped re-insert recomputed from the raw

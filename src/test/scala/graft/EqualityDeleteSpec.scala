@@ -176,6 +176,90 @@ class EqualityDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE geq.ns.rnp")
   }
 
+  test("rewrite_deletes shrinks the backlog without data rewrites; GC reclaims superseded files") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geq.ns")
+    spark.sql("DROP TABLE IF EXISTS geq.ns.rw")
+    (0L until 500L).map(i => (i % 20, i)).toDF("uid", "n")
+      .repartition(3).writeTo("geq.ns.rw").create()                  // seq 1
+    val r = root("rw")
+    def dataRels = ManifestTable.liveEntries(r).map(_.rel)
+      .filterNot(ManifestTable.isDeleteEntry).toSet
+    def delRels = ManifestTable.liveDeleteEntries(r).map(_.rel)
+
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try {
+      graft.plans.MergeInto.sql(spark, "DELETE FROM geq.ns.rw WHERE n % 7 = 1")
+      graft.plans.MergeInto.sql(spark, "DELETE FROM geq.ns.rw WHERE n % 7 = 3")
+    } finally spark.conf.unset("spark.graft.delete.mode")
+    val dataBefore = dataRels
+    val mergedAway = delRels
+    assert(mergedAway.size === 2)
+    val expect1 = spark.table("geq.ns.rw").orderBy("n")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+
+    // STAGE 1 — merge: two positional files fold into one, zero data IO
+    ManifestTable.rewriteDeletes(spark, r)
+    assert(dataRels === dataBefore, "a deletes-only rewrite must not touch data files")
+    assert(delRels.size === 1)
+    assert(spark.table("geq.ns.rw").orderBy("n")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq === expect1,
+      "the merged backlog must read identically")
+    // idempotent: nothing left to shrink, version unchanged
+    val vAfter = ManifestTable.currentVersion(r).get
+    assert(ManifestTable.rewriteDeletes(spark, r) === vAfter)
+
+    // STAGE 2 — inert files drop: an eq-delete retracts uid=5, then a
+    // copy-on-write UPDATE rewrites every data file, leaving BOTH the
+    // merged positional file (targets gone) and the eq file (no older
+    // data left) inert — the rewrite drops them all
+    ManifestTable.appendEqualityDeletes(Seq(5L).toDF("uid"), r)
+    graft.plans.MergeInto.sql(spark, "UPDATE geq.ns.rw SET n = n")
+    val expect2 = spark.table("geq.ns.rw").orderBy("n")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(expect2 === expect1.filterNot(_._1 == 5L))
+    ManifestTable.rewriteDeletes(spark, r)
+    assert(delRels.isEmpty, "inert positional and equality files must drop")
+    assert(spark.table("geq.ns.rw").orderBy("n")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq === expect2)
+
+    // STAGE 3 — GC: expiring superseded snapshots reclaims the old
+    // delete files from the pool (grace zeroed so the sweep sees them)
+    spark.conf.set("spark.graft.manifest.orphanFileGraceMs", "0")
+    try ManifestTable.expireOldVersions(r, retain = 1)
+    finally spark.conf.unset("spark.graft.manifest.orphanFileGraceMs")
+    mergedAway.foreach { rel =>
+      assert(!graft.sources.MetaIO.exists(s"$r/data/$rel"),
+        s"superseded delete file $rel must be reclaimed by GC")
+    }
+    spark.sql("DROP TABLE geq.ns.rw")
+  }
+
+  test("eq-delete key sets load ONCE per executor, not once per task") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geq.ns")
+    spark.sql("DROP TABLE IF EXISTS geq.ns.ec")
+    (0L until 2000L).map(i => (i % 40, i)).toDF("uid", "n")
+      .repartition(8).writeTo("geq.ns.ec").create()     // 8 data files
+    val r = root("ec")
+    ManifestTable.appendEqualityDeletes(Seq(9L).toDF("uid"), r)
+
+    val t = spark.table("geq.ns.ec")
+    val nParts = t.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan.toBatch.planInputPartitions().length
+    assert(nParts > 1, s"fixture must scan several partitions, got $nParts")
+    val before = graft.sources.v2.MorDeletes.eqKeyLoads.get()
+    assert(t.count() === 2000L - 50L)
+    val firstScan = graft.sources.v2.MorDeletes.eqKeyLoads.get() - before
+    assert(firstScan === 1L,
+      s"one eq-delete file must load once per executor JVM, loaded $firstScan times " +
+        s"across $nParts partitions")
+    assert(t.where(col("uid") === 8L).count() === 50L)
+    assert(graft.sources.v2.MorDeletes.eqKeyLoads.get() - before === 1L,
+      "a second scan must hit the executor cache, not re-read the delete file")
+    spark.sql("DROP TABLE geq.ns.ec")
+  }
+
   test("string keys, NULL keys, and multi-column keys retract exactly") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geq.ns")

@@ -937,6 +937,62 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.morrg")
   }
 
+  test("a tombstoned parquet file KEEPS its splits: positions apply per split, parallelism survives") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.morsp")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", (64 * 1024).toString) // many row groups
+    try {
+      (0L until 200000L).map(i => (i, s"pad-$i-${"x" * 20}")).toDF("k", "s")
+        .coalesce(1).writeTo("gtest.ns.morsp").create()
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/morsp"
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.morsp WHERE k % 1000 = 7")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    assert(ManifestTable.hasDeletes(root))
+
+    // force the single ~multi-MB file into many splits: a whole-file
+    // fallback would collapse them to ONE partition and a 1 GB file with
+    // a single tombstone would lose its 8-way parallelism at scale
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val t = spark.table("gtest.ns.morsp")
+      val scan = t.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head.scan
+      assert(scan.description().contains("tombstoned"))
+      val parts = scan.toBatch.planInputPartitions()
+      assert(parts.length > 3,
+        s"tombstoned file must keep its splits, got ${parts.length} partition(s)")
+      // exact correctness across split boundaries, early and late ranges —
+      // and the position list loads ONCE per executor across all splits
+      val posBefore = graft.sources.v2.MorDeletes.positionLoads.get()
+      assert(t.count() === 200000L - 200L)
+      assert(graft.sources.v2.MorDeletes.positionLoads.get() - posBefore === 1L,
+        "all splits of one tombstoned file must share a single cached position load")
+      assert(t.where(col("k") === 7L).count() === 0)
+      assert(t.where(col("k") === 8L).count() === 1)
+      val hi = t.where(col("k") >= 190000L)
+      assert(hi.count() === 10000L - 10L)
+      assert(hi.where(col("k") === 190007L).count() === 0, "deleted row visible")
+      assert(hi.where(col("k") === 190008L).count() === 1, "live row lost")
+      val all = t.select("k").collect().map(_.getLong(0))
+      assert(all.length === 199800)
+      assert(all.toSet === (0L until 200000L).filterNot(_ % 1000 == 7).toSet)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+    spark.sql("DROP TABLE gtest.ns.morsp")
+  }
+
   test("a concurrent compaction surfaces to merge-on-read commits instead of silently dropping them") {
     import graft.sources.ManifestTable
     import spark.implicits._
