@@ -94,16 +94,126 @@ object FileStats {
   /** Read one data file's per-column stats from its own metadata.
     * Returns None on any failure or when nothing useful was found —
     * stats never fail a commit. `schema` is the PHYSICAL file schema
-    * (what the writer put on disk). */
+    * (what the writer put on disk). Parquet/ORC footers carry exact
+    * statistics; avro containers don't, so the avro WRITER accumulates
+    * them while streaming records and leaves a hidden sidecar next to
+    * the staged file ([[StatsAccumulator]]) — read here, one tiny IO,
+    * never a second pass over the data. */
   def collect(path: String, format: String, schema: StructType,
               conf: Configuration): Option[String] = Try {
-    val cols: Map[String, ColStats] = format match {
-      case "parquet" => parquetStats(path, schema, conf)
-      case "orc"     => orcStats(path, schema, conf)
-      case _         => Map.empty // avro: containers carry no column stats
+    format match {
+      case "parquet" => Some(parquetStats(path, schema, conf)).filter(_.nonEmpty).map(encode)
+      case "orc"     => Some(orcStats(path, schema, conf)).filter(_.nonEmpty).map(encode)
+      case "avro"    => avroSidecar(path, conf)
+      case _         => None
     }
-    if (cols.isEmpty) None else Some(encode(cols))
   }.toOption.flatten
+
+  /** The writer-produced stats sidecar of a staged avro file
+    * (`.<name>.stats`, hidden from every file listing), validated by a
+    * round-trip decode. */
+  private def avroSidecar(path: String, conf: Configuration): Option[String] = {
+    val p = new Path(path)
+    val side = new Path(p.getParent, s".${p.getName}.stats")
+    val fs = side.getFileSystem(conf)
+    if (!fs.exists(side)) None
+    else {
+      val in = fs.open(side)
+      val s = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(s).filter(v => v.nonEmpty && decode(v).nonEmpty)
+    }
+  }
+
+  /** Streaming min/max/null accumulator for formats whose containers
+    * carry no column statistics (avro): the writer feeds every row as it
+    * goes — O(columns) comparisons per row, no extra IO — and `encoded`
+    * renders exactly the canonical strings footer-derived stats use, so
+    * prune-time evaluation ([[mayContain]]) is format-blind. The same
+    * floor discipline applies: a column whose bounds can't be canonical
+    * (non-ASCII/long strings, NaN doubles) is omitted and its files are
+    * simply never pruned on it. */
+  final class StatsAccumulator(schema: StructType) {
+    private val n = schema.length
+    private val tags: Array[Option[Char]] = schema.fields.map(f => tagOf(f.dataType))
+    private val nulls = new Array[Long](n)
+    private val mins = new Array[Any](n)
+    private val maxs = new Array[Any](n)
+    private val poisoned = new Array[Boolean](n) // NaN seen: no bounds verdict
+
+    private def comparable(row: org.apache.spark.sql.catalyst.InternalRow,
+                           i: Int): Any = schema(i).dataType match {
+      case ByteType    => row.getByte(i).toLong
+      case ShortType   => row.getShort(i).toLong
+      case IntegerType => row.getInt(i).toLong
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case DateType    => row.getInt(i).toLong
+      case FloatType   => row.getFloat(i).toDouble
+      case DoubleType  => row.getDouble(i)
+      case StringType  => row.getUTF8String(i).toString
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case BooleanType => if (row.getBoolean(i)) 1L else 0L
+      case other => throw new IllegalStateException(s"untagged $other")
+    }
+
+    private def lt(tag: Char, a: Any, b: Any): Boolean = tag match {
+      case 'l' | 't' | 'n' | 'a' | 'b' => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case 'd' => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case 's' => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+      case 'm' => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
+    }
+
+    def update(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      var i = 0
+      while (i < n) {
+        tags(i) match {
+          case Some(tag) =>
+            if (row.isNullAt(i)) nulls(i) += 1
+            else {
+              val v = comparable(row, i)
+              if (tag == 'd' && java.lang.Double.isNaN(v.asInstanceOf[Double]))
+                poisoned(i) = true
+              else {
+                if (mins(i) == null || lt(tag, v, mins(i))) mins(i) = v
+                if (maxs(i) == null || lt(tag, maxs(i), v)) maxs(i) = v
+              }
+            }
+          case None => ()
+        }
+        i += 1
+      }
+    }
+
+    private def canonical(tag: Char, v: Any): Option[String] = tag match {
+      case 's' => safeString(v.asInstanceOf[String])
+      case 'm' => Some(v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case _   => Some(v.toString)
+    }
+
+    /** The encoded stats string, None when no column got a verdict. */
+    def encoded: Option[String] = {
+      val cols = schema.fields.indices.flatMap { i =>
+        tags(i).flatMap { tag =>
+          if (poisoned(i)) None
+          else if (mins(i) == null) // no non-null value seen
+            Some(schema(i).name -> ColStats(tag, None, None, Some(nulls(i))))
+          else (canonical(tag, mins(i)), canonical(tag, maxs(i))) match {
+            case (Some(mn), Some(mx)) =>
+              Some(schema(i).name -> ColStats(tag, Some(mn), Some(mx), Some(nulls(i))))
+            case _ => None
+          }
+        }
+      }.toMap
+      if (cols.isEmpty) None else Some(encode(cols))
+    }
+  }
 
   /** Drop a string bound that can't be compared safely: non-ASCII (byte
     * vs UTF-16 order) or suspiciously long (writers truncate long binary

@@ -120,12 +120,24 @@ class AvroFileFormat extends FileFormat with DataSourceRegister with Serializabl
 
 /** One Avro container file per task, snappy block compression, written
   * through the task-attempt filesystem so the normal commit protocol
-  * (write to attempt dir → rename on commit) applies. */
+  * (write to attempt dir → rename on commit) applies.
+  *
+  * Column STATISTICS: avro containers carry none (and header metadata is
+  * sealed before the first record), so the writer accumulates per-column
+  * min/max/null while streaming — O(columns) comparisons per row, zero
+  * extra IO — and leaves them as a HIDDEN `.<name>.stats` sidecar beside
+  * the file. The sidecar rides the task-commit rename with its data
+  * file, [[graft.sources.FileStats.collect]] folds it onto the manifest
+  * entry at commit, and the staging sweep discards it — so avro tables
+  * get the same stats-based file skipping parquet and ORC footers buy,
+  * without a second pass over the data. Hidden naming keeps it invisible
+  * to every Spark file listing (plain `format("avro")` reads included). */
 private[avro] class AvroOutputWriter(val path: String, dataSchema: StructType,
                                      avroJson: String, context: TaskAttemptContext)
     extends OutputWriter {
 
   private val avroSchema = new ASchema.Parser().parse(avroJson)
+  private val stats = new graft.sources.FileStats.StatsAccumulator(dataSchema)
   private val writer = {
     val out = new Path(path).getFileSystem(context.getConfiguration)
       .create(new Path(path), true)
@@ -134,10 +146,21 @@ private[avro] class AvroOutputWriter(val path: String, dataSchema: StructType,
     w.create(avroSchema, out)
   }
 
-  override def write(row: InternalRow): Unit =
+  override def write(row: InternalRow): Unit = {
+    stats.update(row)
     writer.append(AvroConversions.toRecord(row, dataSchema, avroSchema))
+  }
 
-  override def close(): Unit = writer.close()
+  override def close(): Unit = {
+    writer.close()
+    stats.encoded.foreach { enc =>
+      val p = new Path(path)
+      val side = new Path(p.getParent, s".${p.getName}.stats")
+      val os = side.getFileSystem(context.getConfiguration).create(side, true)
+      try os.write(enc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
+  }
 }
 
 /** Driver-contract query making the avro leg ORACLE-gated, not just

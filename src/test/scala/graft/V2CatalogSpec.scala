@@ -574,7 +574,7 @@ class V2CatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("stats survive append/compaction and combine with day pruning; avro entries are honestly stats-free") {
+  test("stats survive append/compaction and combine with day pruning; avro writes carry writer-side stats") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.stday")
@@ -603,13 +603,29 @@ class V2CatalogSpec extends AnyFunSuite {
     assert(t.where(col("v") < 100.0)
       .where(col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp_ntz")).count() === 0)
 
-    // an avro leg of the same data carries no stats (containers have no
-    // column statistics) and is never wrongly pruned
+    // the avro leg: containers carry no column statistics, so the WRITER
+    // accumulates min/max/null while streaming and the manifest entry
+    // rides them — stats-based skipping now fires on all three formats
     spark.sql("DROP TABLE IF EXISTS gtest.ns.stavro")
-    batch(1, 0).writeTo("gtest.ns.stavro").using("avro").create()
+    batch(1, 0).writeTo("gtest.ns.stavro").using("avro").create() // v in [0,100)
+    batch(2, 1000).writeTo("gtest.ns.stavro").append()            // v in [1000,1100)
     val rootA = VersionedCatalog.warehouseOf("gtest").get + "/ns/stavro"
-    assert(ManifestTable.liveEntries(rootA).forall(_.stats.isEmpty))
-    assert(spark.table("gtest.ns.stavro").where(col("v") < 50.0).count() === 50)
+    assert(ManifestTable.liveEntries(rootA).forall(_.stats.isDefined),
+      "avro entries must carry writer-accumulated stats")
+    def avroFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .map(_.description()).collect {
+          case d if d.startsWith("AvroManifestScan[") =>
+            d.stripPrefix("AvroManifestScan[").takeWhile(_.isDigit).toInt
+        }.sum
+    val ta = spark.table("gtest.ns.stavro")
+    val allA = avroFiles(ta)
+    assert(avroFiles(ta.where(col("v") < 100.0)) < allA,
+      "a value predicate must skip avro files on writer-side stats")
+    // pruning is a floor: results stay exact, unjudgeable filters keep all
+    assert(ta.where(col("v") < 100.0).count() === 100)
+    assert(ta.where(col("v") < 50.0).count() === 50)
+    assert(avroFiles(ta.where(length(col("ts").cast("string")) > lit(0))) === allA)
     spark.sql("DROP TABLE gtest.ns.stday")
     spark.sql("DROP TABLE gtest.ns.stavro")
   }
