@@ -147,6 +147,7 @@ object SparkEntry {
     // metadata-only INT->BIGINT widening: narrow and wide file generations
     // read through one declared schema, vectorized promotion included
     "type_widening_scan" -> ((s, d) => graft.sources.v2.V2Queries.typeWideningScan(s, d)),
+    "column_defaults_scan" -> ((s, d) => graft.sources.v2.V2Queries.columnDefaultsScan(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
     "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
@@ -280,6 +281,7 @@ object SparkEntry {
     "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
     "rewrite_deletes_scan" -> graft.sources.v2.V2Queries.oracle.rewriteDeletesScan,
     "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,
+    "column_defaults_scan" -> graft.sources.v2.V2Queries.oracle.columnDefaultsScan,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,

@@ -373,14 +373,27 @@ object AvroConversions {
   }
 
   /** GenericRecord → InternalRow projected to `required` (by field name —
-    * records from files predating a column read null). */
-  def toInternalRow(rec: GenericRecord, required: StructType): InternalRow = {
+    * records from files predating a column read the column's
+    * initial-default when one is declared, else null; `defaults` is
+    * [[org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    * .getExistenceDefaultValues]] over `required`, already in Spark's
+    * internal representation, null/absent = no defaults anywhere).
+    * A field PRESENT in the record but holding null stays null — the
+    * default substitutes only for physically-absent columns, exactly
+    * Iceberg's initial-default read semantics. */
+  def toInternalRow(rec: GenericRecord, required: StructType,
+                    defaults: Array[Any] = null): InternalRow = {
     val values = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
       val f = required(i)
-      val v = if (rec.getSchema.getField(f.name) == null) null else rec.get(f.name)
-      values(i) = if (v == null) null else toSparkValue(v, f.dataType)
+      values(i) =
+        if (rec.getSchema.getField(f.name) == null)
+          (if (defaults == null) null else defaults(i))
+        else {
+          val v = rec.get(f.name)
+          if (v == null) null else toSparkValue(v, f.dataType)
+        }
       i += 1
     }
     new GenericInternalRow(values)

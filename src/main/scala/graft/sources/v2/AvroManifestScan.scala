@@ -63,6 +63,15 @@ class AvroManifestReaderFactory(physicalRead: StructType,
                                 confSer: graft.sources.SerializableHadoopConf)
     extends PartitionReaderFactory {
 
+  // initial-defaults for columns absent from old files (EXISTS_DEFAULT
+  // field metadata, internal representation) — all-null when no column
+  // declares one; evaluated once per task, not per record
+  @transient private lazy val existenceDefaults: Array[Any] = {
+    val ds = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .getExistenceDefaultValues(physicalRead)
+    if (ds.forall(_ == null)) null else ds
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroFilePartition]
     val path = new Path(p.path)
@@ -78,7 +87,8 @@ class AvroManifestReaderFactory(physicalRead: StructType,
       private var row: InternalRow = _
       override def next(): Boolean =
         if (reader.hasNext && !reader.pastSync(end)) {
-          row = gavro.AvroConversions.toInternalRow(reader.next(), physicalRead)
+          row = gavro.AvroConversions.toInternalRow(reader.next(), physicalRead,
+            existenceDefaults)
           true
         } else false
       override def get(): InternalRow = row

@@ -412,6 +412,43 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Iceberg-style column defaults, metadata-only (`ADD COLUMN ... DEFAULT`):
+    * three file generations of one table — written BEFORE the ADD (reads the
+    * pinned initial default), written with explicit values, and written by an
+    * INSERT omitting the defaulted columns after `SET DEFAULT` moved the
+    * write default — aggregated by the defaulted columns, so each
+    * generation's default behavior lands in its own oracle-checked group.
+    * No data file is read or rewritten by any of the DDLs: old files simply
+    * lack the columns physically and Spark's readers substitute the
+    * EXISTS_DEFAULT at scan time. */
+  def columnDefaultsScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("cd")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeTo(tbl).create()
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN region STRING DEFAULT 'emea'")
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN boost INT DEFAULT 7")
+      ev.where(col("event_id") % 4 === 1)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("apac").as("region"), lit(3).as("boost"))
+        .writeTo(tbl).append()
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN boost SET DEFAULT 11")
+      ev.where(col("event_id") % 4 === 3)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView(s"${short}_stage")
+      spark.sql(
+        s"INSERT INTO $tbl (event_id, event_type, value) SELECT * FROM ${short}_stage")
+      spark.table(tbl)
+        .groupBy(col("region"), col("boost"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Metadata tables (`tbl.files` / `tbl.snapshots` / `tbl.partitions` —
     * Iceberg's inspection surface) as an oracle-gated query: a
     * day-partitioned table of events is CTAS'd and the `meta_ok` verdict
@@ -796,6 +833,18 @@ object V2Queries {
          |  ${Dsl.sql.dsum("value")} AS volume
          |FROM events
          |GROUP BY 1""".stripMargin
+
+    /** Each file generation's default behavior recomputed from the raw
+      * events: evens predate the ADD (initial defaults 'emea'/7),
+      * `%4=1` carried explicit values ('apac'/3), `%4=3` was inserted
+      * without the defaulted columns after SET DEFAULT moved boost to 11. */
+    val columnDefaultsScan: String =
+      s"""SELECT CASE WHEN event_id % 4 = 1 THEN 'apac' ELSE 'emea' END AS region,
+         |  CAST(CASE WHEN event_id % 2 = 0 THEN 7
+         |    WHEN event_id % 4 = 1 THEN 3 ELSE 11 END AS INTEGER) AS boost,
+         |  COUNT(*) AS n_events, ${Dsl.sql.dsum("value")} AS volume
+         |FROM events
+         |GROUP BY 1, 2""".stripMargin
 
     /** The metadata surface must be invisible in the data; every
       * metadata-vs-physical verdict pinned TRUE. */

@@ -17,6 +17,8 @@ import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+
 import graft.sources.{ManifestTable, MetaIO}
 
 /** DataSource V2 catalog plugin making [[graft.sources.ManifestTable]]
@@ -70,6 +72,12 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** Declares column-default support so Spark's DDL layer routes
+    * `ADD COLUMN ... DEFAULT v` / `ALTER COLUMN ... SET DEFAULT v`
+    * through [[alterTable]] instead of rejecting them up front. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def tableRoot(ident: Identifier): String =
     (Seq(warehouse) ++ ident.namespace().toSeq :+ ident.name()).mkString("/")
@@ -227,10 +235,43 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames().length == 1,
           "nested column additions are not supported")
         require(add.isNullable,
-          "added columns must be nullable: existing files read NULL")
+          "added columns must be nullable: existing files read the default (or NULL)")
         require(add.position() == null,
           "only appending at the end is metadata-only")
-        VersionedCatalog.withColumnAdded(m, add.fieldNames()(0), add.dataType())
+        // DEFAULT clause → Iceberg-style column defaults, still metadata-only:
+        //  - initial-default (EXISTS_DEFAULT): what files written BEFORE the
+        //    ADD read — fixed forever at ADD time. Spark's own parquet/orc
+        //    readers substitute it for physically-absent columns, so no data
+        //    file is ever touched.
+        //  - write-default (CURRENT_DEFAULT): what an INSERT that omits the
+        //    column stores — movable via ALTER COLUMN SET DEFAULT.
+        val metadata = Option(add.defaultValue()).map { dv =>
+          val sql = Option(dv.getSql).getOrElse(throw new IllegalArgumentException(
+            "only SQL-expressible constant defaults are supported"))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        VersionedCatalog.withColumnAdded(m, add.fieldNames()(0), add.dataType(),
+          metadata)
+      case (m, up: TableChange.UpdateColumnDefaultValue) =>
+        // moves ONLY the write-default; the initial-default stays pinned to
+        // the ADD-time value so old files keep reading what they always did
+        require(up.fieldNames().length == 1,
+          "nested column default changes are not supported")
+        val name = up.fieldNames()(0)
+        val f = m.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(s"no such column $name"))
+        val newSql = Option(up.newCurrentDefault()).flatMap(d => Option(d.getSql))
+          .filter(_.nonEmpty) // empty SQL = DROP DEFAULT
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+        newSql.foreach(s =>
+          mb.putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, s))
+        m.copy(schema = StructType(m.schema.fields.map(x =>
+          if (x.name.equalsIgnoreCase(name)) x.copy(metadata = mb.build()) else x)))
       case (m, del: TableChange.DeleteColumn) =>
         require(del.fieldNames().length == 1,
           "nested column drops are not supported")
@@ -472,13 +513,15 @@ object VersionedCatalog {
     * shared schema-evolution step behind ALTER TABLE ADD COLUMN and
     * MERGE WITH SCHEMA EVOLUTION. */
   private[graft] def withColumnAdded(m: Meta, name: String,
-                                     dataType: DataType): Meta = {
+                                     dataType: DataType,
+                                     metadata: org.apache.spark.sql.types.Metadata =
+                                       org.apache.spark.sql.types.Metadata.empty): Meta = {
     require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists")
     val physical = m.freshPhysicalName(name)
     m.copy(
       schema = m.schema.add(org.apache.spark.sql.types.StructField(
-        name, dataType, nullable = true)),
+        name, dataType, nullable = true, metadata)),
       renames = if (physical == name) m.renames else m.renames + (name -> physical))
   }
 
