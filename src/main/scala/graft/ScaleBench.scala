@@ -300,6 +300,61 @@ object ScaleBench {
       s"a 10^6-key eq backlog must load once per executor, loaded $eqLoads across $nPartsE parts")
     spark.sql("DROP TABLE scale_cat.b.eve")
 
+    // partition spec evolution × type widening at >=10^7 rows: THREE file
+    // generations under different layouts (days → months → days again)
+    // with an INT→BIGINT widening between the first two. A 10-day window
+    // must prune under EVERY historical layout simultaneously — day dirs
+    // for generations 1 and 3, month dirs for generation 2 — and the
+    // aggregate must read int64 values through files whose physical
+    // column is still INT32.
+    def seGen(rem: Int, idOff: Long) = spark.range(catRows)
+      .where(col("id") % 3 === rem)
+      .select(
+        (if (idOff == 0L) col("id").cast("int")
+         else (col("id") + idOff)).as("event_id"),
+        expr(s"timestamp_micros(1704067200000000 + (id % $nDays) * 86400000000" +
+          " + (id % 86400) * 1000000)").cast("timestamp_ntz").as("ts"),
+        (col("id") % 100000L).as("user_id"),
+        (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0).as("value"))
+    val se0 = System.nanoTime()
+    seGen(0, 0L).writeTo("scale_cat.b.sev")
+      .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+      .create()
+    spark.sql("CALL scale_cat.system.evolve_partition(`table` => 'b.sev', spec => 'months(ts)')")
+    spark.sql("ALTER TABLE scale_cat.b.sev ALTER COLUMN event_id TYPE BIGINT")
+    seGen(1, 3000000000L).writeTo("scale_cat.b.sev").append()
+    spark.sql("CALL scale_cat.system.evolve_partition(`table` => 'b.sev', spec => 'days(ts)')")
+    seGen(2, 4000000000L).writeTo("scale_cat.b.sev").append()
+    println(f"[scale] spec_evo_ctas rows=$catRows gens=3 secs=${(System.nanoTime() - se0) / 1e9}%.1f")
+    val seRoot = s"$wh/b/sev"
+    val seTotal = graft.sources.ManifestTable.liveEntries(seRoot).size
+    val seWindowed = spark.table("scale_cat.b.sev")
+      .where(col("ts") >= lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+        && col("ts") < lit("2024-01-21 00:00:00").cast("timestamp_ntz"))
+    val seScanned = seWindowed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.inputFiles.length
+    }.sum
+    val ses0 = System.nanoTime()
+    val seAgg = seWindowed
+      .agg(count(lit(1)), max(col("event_id")), sum(col("value"))).collect()(0)
+    val seSecs = (System.nanoTime() - ses0) / 1e9
+    println(f"[scale] spec_evo_scan files_total=$seTotal files_scanned=$seScanned " +
+      f"rows_in_window=${seAgg.getLong(0)} max_id=${seAgg.getLong(1)} secs=$seSecs%.2f " +
+      f"pruned_frac=${1.0 - seScanned.toDouble / seTotal}%.3f")
+    // window covers 10/128 day dirs (gens 1+3) and ~1/4 of month dirs
+    // (gen 2): anything under a 4x drop means one layout stopped pruning
+    require(seScanned * 4 < seTotal,
+      "mixed-layout pruning failed: a historical spec stopped pruning at scale")
+    require(seAgg.getLong(1) > 4000000000L,
+      "widened column failed to surface int64 values across generations")
+    val seExpect = (0L until catRows).count(i => (i % nDays) >= 10 && (i % nDays) < 20)
+    require(seAgg.getLong(0) == seExpect,
+      s"mixed-layout window miscounted: got ${seAgg.getLong(0)}, want $seExpect")
+    spark.sql("DROP TABLE scale_cat.b.sev")
+
     spark.stop()
   }
 }
