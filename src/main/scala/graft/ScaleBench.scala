@@ -159,7 +159,7 @@ object ScaleBench {
         && col("ts") < lit("2024-01-21 00:00:00").cast("timestamp_ntz"))
     val scannedFiles = windowed.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
-    }.collect {
+    }.map(graft.sources.v2.GraftScans.innermost).collect {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         p.fileIndex.inputFiles.length
     }.sum
@@ -209,7 +209,7 @@ object ScaleBench {
     val vWindowed = spark.table("scale_cat.b.evs").where(col("value") >= 900.0)
     val statsScanned = vWindowed.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
-    }.collect {
+    }.map(graft.sources.v2.GraftScans.innermost).collect {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         p.fileIndex.inputFiles.length
     }.sum
@@ -333,7 +333,7 @@ object ScaleBench {
         && col("ts") < lit("2024-01-21 00:00:00").cast("timestamp_ntz"))
     val seScanned = seWindowed.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
-    }.collect {
+    }.map(graft.sources.v2.GraftScans.innermost).collect {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         p.fileIndex.inputFiles.length
     }.sum

@@ -43,6 +43,7 @@ class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  private[graft] def inner: Scan = delegate
   override def readSchema(): StructType = declared
   override def toBatch: Batch = this
   override def description(): String =

@@ -54,7 +54,8 @@ object V2Queries {
   private def scanFiles(df: DataFrame): Seq[String] =
     df.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2ScanRelation => r.scan
-    }.collect { case p: ParquetScan => p.fileIndex.inputFiles.toSeq }.flatten
+    }.map(GraftScans.innermost)
+      .collect { case p: ParquetScan => p.fileIndex.inputFiles.toSeq }.flatten
 
   /** Hidden-partition pruning through the catalog: a day-partitioned
     * versioned table of events is created via the V2 CTAS path, read back
@@ -409,6 +410,54 @@ object V2Queries {
         .agg(count(lit(1)).as("n_events"), sum(col("id")).as("id_sum"),
           Dsl.dsum(col("value")).as("volume"))
         .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** Runtime filtering — dynamic partition pruning through the catalog
+    * (Iceberg's SparkBatchQueryScan shape): events land in an
+    * identity-partitioned fact table, the dim side is a REAL source with
+    * a selective filter (two of five event types), and the star join's
+    * fact scan must narrow its FILE LISTING at runtime from the dim's key
+    * set — no static predicate on the fact side at all. The `dpp_ok`
+    * verdict asserts, from the EXECUTED plan, that the runtime-filtered
+    * scan read under half the live files; the aggregate rides through the
+    * oracle's recompute. At 100 TB this is the difference between a full
+    * fact scan and reading only the joinable partitions. */
+  def runtimePruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("rpj")
+    val tbl = s"$Cat.q.$short"
+    try {
+      eventsSlim(spark, dir)
+        .writeTo(tbl).partitionedBy(col("event_type")).create()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      val totalFiles = graft.sources.ManifestTable.liveEntries(root).size
+
+      val dim = Tables.events(spark, dir)
+        .select(col("event_type").as("et")).distinct()
+        .where(col("et").isin("purchase", "view"))
+      val joined = spark.table(tbl)
+        .join(org.apache.spark.sql.functions.broadcast(dim),
+          col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+      val out = joined.localCheckpoint(true) // executes the join
+
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scansOf(p: SparkPlan): Seq[org.apache.spark.sql.connector.read.Scan] = p match {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case _ => p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b.scan)
+          case q: QueryStageExec => scansOf(q.plan)
+          case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        }.flatten
+      }
+      val scannedFiles = scansOf(joined.queryExecution.executedPlan)
+        .collect { case w: GraftRuntimeFilterScan => GraftScans.innermost(w) }
+        .collect { case p: ParquetScan => p.fileIndex.inputFiles.length }.sum
+      val dppOk = scannedFiles > 0 && scannedFiles * 2 <= totalFiles
+      out.withColumn("dpp_ok", lit(dppOk))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
@@ -832,6 +881,15 @@ object V2Queries {
          |    ELSE event_id % 1000000 + 3000000000 END) AS BIGINT) AS id_sum,
          |  ${Dsl.sql.dsum("value")} AS volume
          |FROM events
+         |GROUP BY 1""".stripMargin
+
+    /** The dim filter recomputed statically; the runtime-pruning verdict
+      * pinned TRUE. */
+    val runtimePruneJoin: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS dpp_ok
+         |FROM events
+         |WHERE event_type IN ('purchase', 'view')
          |GROUP BY 1""".stripMargin
 
     /** Each file generation's default behavior recomputed from the raw

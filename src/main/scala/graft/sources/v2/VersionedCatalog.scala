@@ -840,6 +840,15 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         dayRangeOf(v).foreach { case (_, hi) => tighterUntil(hi) }
       case sources.LessThanOrEqual(a, v) if a.equalsIgnoreCase(ts) =>
         dayRangeOf(v).foreach { case (_, hi) => tighterUntil(hi) }
+      case sources.In(a, vs) if a.equalsIgnoreCase(ts) && vs.nonEmpty =>
+        // an IN-set (static or a runtime DPP key set) bounds the span:
+        // every value must convert or the conjunct prunes nothing
+        val ranges = vs.toSeq.map(dayRangeOf)
+        if (ranges.forall(_.isDefined)) {
+          val rs = ranges.flatten
+          tighterFrom(rs.map(_._1).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)))
+          tighterUntil(rs.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)))
+        }
       case _ => () // Or/Not/other columns: no pruning, still exact post-scan
     }
     pushed.foreach(visit)
@@ -1092,6 +1101,35 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   }
 
   override def build(): Scan = {
+    val assembled = assemble()
+    val attrs = runtimeFilterAttrs
+    if (attrs.isEmpty) assembled
+    else new GraftRuntimeFilterScan(this, assembled, attrs)
+  }
+
+  /** Columns whose runtime IN-sets can shrink the FILE LISTING — the
+    * partition-derived ones (identity dirs, bucket/truncate sources, the
+    * hidden day's source) under every live or historical layout. Spark
+    * plans dynamic-partition-pruning subqueries only against these, so a
+    * star join's dim-side filter reaches the manifest before any fact
+    * file opens. */
+  private[v2] def runtimeFilterAttrs: Array[String] =
+    (meta.identityCols ++ meta.part.map(_.col) ++ meta.pastParts.map(_.col) ++
+      dayOf.toSeq ++ meta.pastDays)
+      .filter(c => dataSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .distinct.toArray
+
+  /** Re-assemble the scan with runtime predicates appended: they join the
+    * pushed conjunction, so every plan-time pruning tier (shard keys, day
+    * dirs, hidden transforms, identity dirs, per-file stats) re-applies
+    * over the narrowed set. Only ever SHRINKS the listing — the static
+    * filters stay in place. */
+  private[v2] def withRuntimeFilters(fs: Array[sources.Filter]): Scan = {
+    pushed = pushed ++ fs
+    assemble()
+  }
+
+  private def assemble(): Scan = {
     val spark = SparkSession.getActiveSession.getOrElse(
       SparkSession.builder().getOrCreate())
     // data files carry PHYSICAL column names; the planner speaks logical.
@@ -1261,6 +1299,43 @@ private[v2] object GraftScanBridge2 {
   }
 }
 
+/** Runtime filtering (Spark's dynamic partition pruning for V2 sources,
+  * the Iceberg `SparkBatchQueryScan` shape): when a join's build side has
+  * executed, Spark hands the key set as predicates and the scan re-runs
+  * MANIFEST pruning over the narrowed conjunction — shard keys, hidden
+  * day/transform dirs, identity dirs, and per-file stats all re-apply, so
+  * a star join's fact scan opens only the files the dim filter selects.
+  * The rebuilt delegate replaces the initial one before Spark plans input
+  * partitions ([[org.apache.spark.sql.execution.datasources.v2
+  * .BatchScanExec]] calls `filter` then `toBatch` again); filters only
+  * ever shrink the listing, and Spark re-applies the join exactly, so
+  * this is — like all the plan-time pruning — a pure optimization. */
+private[graft] class GraftRuntimeFilterScan(builder: VersionedScanBuilder,
+                                         initial: Scan, attrs: Array[String])
+    extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  @volatile private var delegate: Scan = initial
+  /** The live (possibly runtime-narrowed) inner scan — plan inspection. */
+  private[graft] def current: Scan = delegate
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+  override def description(): String = s"RuntimeFilterable(${delegate.description()})"
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    attrs.map(Expressions.column)
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = org.apache.spark.sql.execution.datasources.v2.GraftScanBridge
+      .predicatesToV1(predicates)
+    if (v1.nonEmpty) delegate = builder.withRuntimeFilters(v1)
+  }
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftScanStats.of(delegate)
+}
+
 /** Reports logical column names over a delegate scan built in physical
   * terms — rows are positional, so only `readSchema` changes. Size
   * statistics pass through so join planning over a renamed table sees
@@ -1268,6 +1343,7 @@ private[v2] object GraftScanBridge2 {
   * still broadcast). */
 private[v2] class RenamedScan(delegate: Scan, logical: StructType) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  private[graft] def inner: Scan = delegate
   override def readSchema(): StructType = logical
   override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
   override def description(): String = s"Renamed(${delegate.description()})"
@@ -1277,6 +1353,18 @@ private[v2] class RenamedScan(delegate: Scan, logical: StructType) extends Scan
     delegate.columnarSupportMode()
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     GraftScanStats.of(delegate)
+}
+
+/** Plan-inspection helper: strip the engine's wrapper scans (runtime
+  * filter / rename / merge-on-read) down to the underlying file scan. */
+object GraftScans {
+  @annotation.tailrec
+  def innermost(s: Scan): Scan = s match {
+    case r: GraftRuntimeFilterScan => innermost(r.current)
+    case r: RenamedScan => innermost(r.inner)
+    case m: MorScan => innermost(m.inner)
+    case other => other
+  }
 }
 
 /** Shared statistics passthrough for wrapper scans. */

@@ -17,6 +17,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `build()` performs, minus the pushdown bookkeeping the caller did
   * upstream. */
 object GraftScanBridge {
+  /** V2 runtime-filter predicates → V1 filters (the translation Spark's
+    * own file sources use); `PredicateUtils` is private[sql], hence the
+    * forwarder. Untranslatable predicates drop out — safe, since runtime
+    * filters are pure pruning hints and the join re-applies them exactly. */
+  def predicatesToV1(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+
   /** A vectorized parquet scan over an explicit (pre-pruned) file index.
     * `pushedFilters` may include anything V1-translatable; the parquet
     * reader keeps only the convertible subset for row-group pruning and

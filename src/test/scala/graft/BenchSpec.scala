@@ -55,4 +55,27 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"n_err\":1"))
     assert(json.contains("\\\"quoted\\\""), "error messages must be JSON-escaped")
   }
+
+  /** The driver keeps only a 2000-char stdout tail; the last line Bench
+    * prints must be a COMPLETE JSON object inside that window with the
+    * graded fields exact and any per-query omission declared. */
+  test("compact bench line fits the tail budget, keeps errors, declares omissions") {
+    val many = (1 to 200).map(i => f"query_with_a_long_name_$i%03d" -> i * 0.01).toMap
+    val errs = Map("broken_query" -> "RuntimeException: boom")
+    val line = Bench.renderCompact(many, errs, "/root/testdata/sf0.1")
+    assert(line.length <= 1600, s"compact line ${line.length} chars exceeds budget")
+    val om = """"queries_omitted":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+    assert(om > 0, "200 queries cannot all fit; omission must be declared")
+    assert(line.contains("\"broken_query\":\"err\""), "errors always survive compaction")
+    assert(line.contains("\"n_err\":1"))
+    assert(line.contains("\"query_with_a_long_name_200\":2.0"), "slowest query kept")
+    assert(line.contains("\"queries_full\":\"target/bench.json\""))
+    // structural sanity: braces balance and the object closes the line
+    assert(line.count(_ == '{') == line.count(_ == '}') && line.endsWith("}"))
+
+    // a small suite fits entirely: nothing omitted
+    val small = Bench.renderCompact(Map("a" -> 1.0, "b" -> 2.0), Map.empty, "/tmp/sf")
+    assert(small.contains("\"queries_omitted\":0"))
+    assert(small.contains("\"a\":1.0") && small.contains("\"b\":2.0"))
+  }
 }

@@ -26,7 +26,7 @@ class V2CatalogSpec extends AnyFunSuite {
       case b: BatchScanExec => b.scan
     }
     assert(scans.nonEmpty, "plan has no BatchScan:\n" + df.queryExecution.executedPlan)
-    scans.head.asInstanceOf[ParquetScan]
+    graft.sources.v2.GraftScans.innermost(scans.head).asInstanceOf[ParquetScan]
   }
 
   test("create / insert / select round-trip through SQL identifiers") {
@@ -550,7 +550,7 @@ class V2CatalogSpec extends AnyFunSuite {
       def files(df: org.apache.spark.sql.DataFrame): Int =
         df.queryExecution.executedPlan.collect {
           case b: BatchScanExec => b.scan
-        }.map {
+        }.map(graft.sources.v2.GraftScans.innermost).map {
           case p: ParquetScan => p.fileIndex.inputFiles.length
           case o: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
             o.fileIndex.inputFiles.length
@@ -592,6 +592,7 @@ class V2CatalogSpec extends AnyFunSuite {
 
     def files(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .map(graft.sources.v2.GraftScans.innermost)
         .collect { case p: ParquetScan => p.fileIndex.inputFiles.length }.sum
     val t = spark.table("gtest.ns.stday")
     val all = files(t)
@@ -636,6 +637,7 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     def files(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .map(graft.sources.v2.GraftScans.innermost)
         .collect { case p: ParquetScan => p.fileIndex.inputFiles.toSeq }.flatten
 
     // months(ts): six months of rows, a two-month window prunes the listing
@@ -712,6 +714,7 @@ class V2CatalogSpec extends AnyFunSuite {
     // equality pruning on the identity columns shrinks the listing
     def files(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .map(graft.sources.v2.GraftScans.innermost)
         .collect { case p: ParquetScan => p.fileIndex.inputFiles.toSeq }.flatten
     val one = t.where(col("ano") === 2024 && col("mes") === 2)
     assert(files(one).nonEmpty && files(one).size < files(t).size)
