@@ -149,6 +149,7 @@ object SparkEntry {
     "type_widening_scan" -> ((s, d) => graft.sources.v2.V2Queries.typeWideningScan(s, d)),
     "column_defaults_scan" -> ((s, d) => graft.sources.v2.V2Queries.columnDefaultsScan(s, d)),
     "runtime_prune_join" -> ((s, d) => graft.sources.v2.V2Queries.runtimePruneJoin(s, d)),
+    "spj_join" -> ((s, d) => graft.sources.v2.V2Queries.spjJoin(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
     "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
@@ -284,6 +285,7 @@ object SparkEntry {
     "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,
     "column_defaults_scan" -> graft.sources.v2.V2Queries.oracle.columnDefaultsScan,
     "runtime_prune_join" -> graft.sources.v2.V2Queries.oracle.runtimePruneJoin,
+    "spj_join" -> graft.sources.v2.V2Queries.oracle.spjJoin,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,

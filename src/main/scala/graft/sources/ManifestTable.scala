@@ -512,6 +512,12 @@ object ManifestTable {
       .drop(DayCol)
   }
 
+  /** Write distribution mode: `hash` (default — cluster by partition
+    * values via an AQE REBALANCE before the file write) or `none`. */
+  private def writeDistribution: String =
+    SparkSession.getActiveSession.flatMap(
+      _.conf.getOption("spark.graft.write.distribution")).getOrElse("hash")
+
   /** Per-file column stats collection toggle (footer reads at commit). */
   private def fileStatsEnabled: Boolean =
     SparkSession.getActiveSession.flatMap(
@@ -539,8 +545,19 @@ object ManifestTable {
         case None => (df, partitionCols)
       }
     }
-    if (partNames.isEmpty) wdf.write.format(format).save(stage)
-    else wdf.write.partitionBy(partNames: _*).format(format).save(stage)
+    // Write distribution (Iceberg's write.distribution-mode=hash): cluster
+    // incoming rows by the partition values before the file write, or a
+    // 1000-task append to a 365-day table lands tasks × days tiny files
+    // per commit. REBALANCE (not plain repartition) so AQE both coalesces
+    // small partition groups AND splits a skewed day across tasks by its
+    // advisory size — no single hot partition bottlenecks the write.
+    // `none` opts out (pre-clustered inputs keep their layout).
+    val clustered =
+      if (partNames.nonEmpty && writeDistribution == "hash")
+        wdf.hint("REBALANCE", partNames.map(col): _*)
+      else wdf
+    if (partNames.isEmpty) clustered.write.format(format).save(stage)
+    else clustered.write.partitionBy(partNames: _*).format(format).save(stage)
     // partitionBy moves partition columns into directory names: the FILE
     // schema is df's columns minus identity partition columns
     val fileSchema = org.apache.spark.sql.types.StructType(

@@ -461,6 +461,58 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Storage-partitioned join — two versioned tables identity-partitioned
+    * by `event_type` (the raw events and a per-type total) joined and
+    * re-aggregated ON the partition column, with broadcast disabled so the
+    * join would otherwise sort-merge. Each scan reports
+    * KeyGroupedPartitioning with one input partition per key, so
+    * EnsureRequirements elides BOTH join exchanges and the post-join
+    * aggregate's — the `spj_ok` verdict asserts, from the EXECUTED plan,
+    * that zero shuffles ran. At 100 TB this is a co-partitioned fact join
+    * with no data movement at all. */
+  def spjJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val ta = s"$Cat.q.${newName("spja")}"
+    val tb = s"$Cat.q.${newName("spjb")}"
+    val confs = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      eventsSlim(spark, dir).writeTo(ta).partitionedBy(col("event_type")).create()
+      Tables.events(spark, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+        .writeTo(tb).partitionedBy(col("event_type")).create()
+      val joined = spark.table(ta).join(spark.table(tb), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"),
+          max(col("type_total")).as("type_total"))
+      val out = joined.localCheckpoint(true) // executes the join
+      def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        p match {
+          case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+          case q: QueryStageExec =>
+            (if (q.plan.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1
+             else 0) + countShuffles(q.plan)
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            1 + s.children.map(countShuffles).sum
+          case other => other.children.map(countShuffles).sum
+        }
+      }
+      val spjOk = countShuffles(joined.queryExecution.executedPlan) == 0
+      out.withColumn("spj_ok", lit(spjOk))
+    } finally {
+      prev.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      } }
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+    }
+  }
+
   /** Iceberg-style column defaults, metadata-only (`ADD COLUMN ... DEFAULT`):
     * three file generations of one table — written BEFORE the ADD (reads the
     * pinned initial default), written with explicit values, and written by an
@@ -881,6 +933,17 @@ object V2Queries {
          |    ELSE event_id % 1000000 + 3000000000 END) AS BIGINT) AS id_sum,
          |  ${Dsl.sql.dsum("value")} AS volume
          |FROM events
+         |GROUP BY 1""".stripMargin
+
+    /** The co-partitioned join recomputed flat; the zero-shuffle verdict
+      * pinned TRUE. */
+    val spjJoin: String =
+      s"""SELECT e.event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("e.value")} AS volume,
+         |  MAX(t.type_total) AS type_total, TRUE AS spj_ok
+         |FROM events e
+         |JOIN (SELECT event_type, COUNT(*) AS type_total
+         |      FROM events GROUP BY 1) t USING (event_type)
          |GROUP BY 1""".stripMargin
 
     /** The dim filter recomputed statically; the runtime-pruning verdict

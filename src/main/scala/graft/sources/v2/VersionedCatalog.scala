@@ -58,7 +58,23 @@ import graft.sources.{ManifestTable, MetaIO}
   * hidden-partitioning contract.
   */
 class VersionedCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** Partition-transform functions for the storage-partitioned-join
+    * planner ([[GraftBucketFunction]]); resolved with an EMPTY namespace,
+    * which is how V2ExpressionUtils addresses a reported transform. */
+  override def listFunctions(namespace: Array[String])
+      : Array[org.apache.spark.sql.connector.catalog.Identifier] =
+    if (namespace.isEmpty)
+      Array(org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: org.apache.spark.sql.connector.catalog.Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -1254,12 +1270,49 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val physicalFilters =
           if (affectedRels.nonEmpty) Array.empty[sources.Filter]
           else pushed.map(GraftScanBridge2.renameFilter(_, meta.physicalName))
-        if (fmt == "orc")
-          org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
-            spark, index, physical(dataSchema), widenedData, readPart, physicalFilters, options)
-        else
-          org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
-            spark, index, physical(dataSchema), widenedData, readPart, physicalFilters, options)
+        val fileScan: org.apache.spark.sql.execution.datasources.v2.FileScan =
+          if (fmt == "orc")
+            org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
+              spark, index, physical(dataSchema), widenedData, readPart, physicalFilters, options)
+          else
+            org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
+              spark, index, physical(dataSchema), widenedData, readPart, physicalFilters, options)
+        // Storage-partitioned joins: a PURE identity layout with a clean
+        // scan (no renames, live deletes, or historical layouts — those
+        // re-plan rows or mix dir shapes, breaking the one-key-per-
+        // partition invariant) keys every planned partition by its
+        // partition-dir values and reports KeyGroupedPartitioning, so
+        // joins on the partition columns skip both exchanges. Gated by
+        // Spark's own SPJ flag, like Iceberg's preserve-data-grouping.
+        val spjClean = dayOf.isEmpty && meta.pastParts.isEmpty &&
+          meta.pastDays.isEmpty && meta.renames.isEmpty && !widened &&
+          affectedRels.isEmpty && eqSpecs.isEmpty &&
+          spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+        val identitySpj = spjClean && meta.identityCols.nonEmpty &&
+          meta.part.isEmpty && index.partitionSchema.nonEmpty &&
+          index.partitionSchema.fieldNames.map(_.toLowerCase).toSet ==
+            meta.identityCols.map(c => meta.physicalName(c).toLowerCase).toSet
+        // hidden bucket layout: the transform value never surfaces as a
+        // column, so the key is parsed back out of each file's `__part=`
+        // directory; the reported bucket(n, col) clustering resolves
+        // through this catalog's FunctionCatalog
+        val bucketSpj = spjClean && meta.identityCols.isEmpty &&
+          meta.part.exists(_.kind == "bucket") &&
+          rels.forall(_.contains(s"${VersionedCatalog.PartTransform.DirCol}="))
+        if (identitySpj)
+          new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
+            fileScan, index.partitionSchema.fieldNames.map(Expressions.identity))
+        else if (bucketSpj) {
+          val p = meta.part.get
+          val prefix = s"${VersionedCatalog.PartTransform.DirCol}="
+          new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
+            fileScan, Array(Expressions.bucket(p.arg.get, p.col)),
+            Some((path: String) => {
+              val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
+                throw new IllegalStateException(s"no $prefix dir in $path"))
+              seg.substring(prefix.length).toInt
+            }))
+        } else fileScan
     }
     val named = if (meta.renames.isEmpty) delegate
       else new RenamedScan(delegate, logicalRead)
@@ -1313,7 +1366,20 @@ private[v2] object GraftScanBridge2 {
 private[graft] class GraftRuntimeFilterScan(builder: VersionedScanBuilder,
                                          initial: Scan, attrs: Array[String])
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  /** Key-grouped partitioning passes through (storage-partitioned joins
+    * compose with runtime filtering — the rebuilt delegate reports the
+    * same clustering over the narrowed listing); everything else reports
+    * unknown, same as not implementing the interface. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    delegate match {
+      case p: org.apache.spark.sql.connector.read.SupportsReportPartitioning =>
+        p.outputPartitioning()
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
   @volatile private var delegate: Scan = initial
   /** The live (possibly runtime-narrowed) inner scan — plan inspection. */
   private[graft] def current: Scan = delegate
@@ -1363,6 +1429,8 @@ object GraftScans {
     case r: GraftRuntimeFilterScan => innermost(r.current)
     case r: RenamedScan => innermost(r.inner)
     case m: MorScan => innermost(m.inner)
+    case k: org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan =>
+      innermost(k.inner)
     case other => other
   }
 }

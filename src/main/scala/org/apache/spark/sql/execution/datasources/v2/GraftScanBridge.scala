@@ -3,7 +3,14 @@ package org.apache.spark.sql.execution.datasources.v2
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.PartitionedFileUtil
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -55,4 +62,104 @@ object GraftScanBridge {
       spark, hadoopConf, index, dataSchema, readDataSchema,
       readPartitionSchema, options, None, pushedFilters)
   }
+}
+
+/** One key group's slice of files: a normal size-packed [[FilePartition]]
+  * plus the partition-value key Spark's storage-partitioned-join planner
+  * groups on. Every row inside belongs to exactly one partition value —
+  * the invariant [[HasPartitionKey]] demands. */
+case class GraftKeyedPartition(key: InternalRow, fp: FilePartition)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+/** Unwraps the key envelope and hands the inner [[FilePartition]] to the
+  * format's own reader factory — the physical read is bit-identical to
+  * the unkeyed scan. */
+class GraftKeyedReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): FilePartition =
+    p.asInstanceOf[GraftKeyedPartition].fp
+  override def createReader(p: InputPartition) = inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition) =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition) =
+    inner.supportColumnarReads(unwrap(p))
+}
+
+/** Storage-partitioned joins (Iceberg's preserve-data-grouping shape):
+  * wraps the format's [[FileScan]] so that (a) every planned input
+  * partition holds files of ONE partition value and carries that value as
+  * its [[HasPartitionKey]], and (b) the scan reports a connector
+  * [[KeyGroupedPartitioning]] over the identity partition columns. With
+  * `spark.sql.sources.v2.bucketing.enabled`, Spark's
+  * V2ScanPartitioningAndOrdering rule turns the report into a catalyst
+  * KeyGroupedPartitioning and EnsureRequirements elides the exchange on
+  * both sides of a join keyed on the partition columns — at 100 TB, two
+  * co-partitioned fact tables join with ZERO shuffle. File packing within
+  * a key reuses Spark's own split/pack logic, so per-key parallelism and
+  * split sizing match the unkeyed scan. */
+class GraftKeyGroupedScan(delegate: FileScan, clustering: Array[Transform],
+                          pathKey: Option[String => Any] = None)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
+
+  def inner: Scan = delegate
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String = s"KeyGrouped(${delegate.description()})"
+
+  private lazy val selected = delegate.fileIndex.listFiles(Nil, Nil)
+
+  /** (key row, reader partition values, files) per partition value. Two
+    * layouts: identity dirs surface as the index's partition columns (key
+    * = the dir values), hidden transforms (`__part=`) never do — there
+    * `pathKey` parses the transform value back out of each file's
+    * directory and readers keep the (empty) projected values. */
+  private lazy val groups: Seq[(InternalRow, InternalRow, Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata])] =
+    pathKey match {
+      case Some(kf) =>
+        selected.flatMap(pd => pd.files.map(f => (kf(f.getPath.toString), pd.values, f)))
+          .groupBy(_._1).toSeq
+          .map { case (k, fs) =>
+            (InternalRow(k), fs.head._2, fs.map(_._3)) }
+      case None =>
+        val partSchema = delegate.fileIndex.partitionSchema
+        val partAttrs = DataTypeUtils.toAttributes(partSchema)
+        // readers see the PROJECTED partition values (only the columns the
+        // query reads); the partition KEY keeps the full clustering row
+        val readAttrs = delegate.readPartitionSchema.fields.toIndexedSeq.map(f =>
+          partAttrs.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+            throw new IllegalStateException(
+              s"read partition column ${f.name} absent from ${partSchema.fieldNames.mkString(",")}")))
+        val needProject = delegate.readPartitionSchema != partSchema
+        lazy val project = GenerateUnsafeProjection.generate(readAttrs, partAttrs)
+        selected.map { pd =>
+          val readerValues = if (needProject) project(pd.values).copy() else pd.values
+          (pd.values, readerValues, pd.files)
+        }
+    }
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      clustering.map(t => t: V2Expression), math.max(1, groups.size))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = delegate.sparkSession
+    val maxSplit = FilePartition.maxSplitBytes(spark, selected)
+    groups.toArray.flatMap { case (key, readerValues, files) =>
+      val splits = files.flatMap { f =>
+        PartitionedFileUtil.splitFiles(
+          f, f.getPath, delegate.isSplitable(f.getPath), maxSplit, readerValues)
+      }.sortBy(-_.length)
+      FilePartition.getFilePartitions(spark, splits, maxSplit)
+        .map(fp => GraftKeyedPartition(key, fp): InputPartition)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftKeyedReaderFactory(delegate.createReaderFactory())
+  override def estimateStatistics(): Statistics = delegate.estimateStatistics()
+  override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
 }

@@ -39,7 +39,10 @@ class ManifestShardSpec extends AnyFunSuite {
 
   test("past the inline budget, entries fold into per-key shards; reads and day ops stay exact") {
     import spark.implicits._
-    withConf("spark.graft.manifest.inlineEntries" -> "4") {
+    // distribution=none keeps the deliberate 12-file fan-out (the default
+    // hash clustering would collapse it to one file per day)
+    withConf("spark.graft.manifest.inlineEntries" -> "4",
+        "spark.graft.write.distribution" -> "none") {
       val root = Files.createTempDirectory("shard_fold").toString + "/t"
       val rows = (1 to 12).map(i => (i.toLong, ts(1 + (i - 1) % 3)))
       ManifestTable.commit(rows.toDF("k", "ts").repartition(12), root,
@@ -64,7 +67,8 @@ class ManifestShardSpec extends AnyFunSuite {
 
   test("append carries shard refs as LINES: untouched shards are not rewritten or reread") {
     import spark.implicits._
-    withConf("spark.graft.manifest.inlineEntries" -> "4") {
+    withConf("spark.graft.manifest.inlineEntries" -> "4",
+        "spark.graft.write.distribution" -> "none") {
       val root = Files.createTempDirectory("shard_carry").toString + "/t"
       val rows = (1 to 12).map(i => (i.toLong, ts(1 + (i - 1) % 3)))
       ManifestTable.commit(rows.toDF("k", "ts").repartition(12), root,

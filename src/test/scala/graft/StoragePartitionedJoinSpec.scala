@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.VersionedCatalog
+
+/** Storage-partitioned joins on the versioned catalog: two tables
+  * identity-partitioned the same way join on the partition columns with
+  * ZERO shuffle — each scan reports KeyGroupedPartitioning and plans one
+  * input partition per key, so EnsureRequirements elides both exchanges
+  * (and the post-join aggregate on the same key needs none either). At
+  * 100 TB this removes the dominant cost of a co-partitioned fact-fact
+  * join. Gated by Spark's spark.sql.sources.v2.bucketing.enabled, like
+  * Iceberg's preserve-data-grouping.
+  */
+class StoragePartitionedJoinSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gspj", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gspj.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_spjwh").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gspj.ns")
+    s
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec =>
+        (if (q.plan.isInstanceOf[ShuffleExchangeLike]) 1 else 0) + walk(q.plan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def writeFacts(t: String, seed: Int): Unit = {
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    (0 until 2000).map(i => ((i + seed).toLong, s"r${i % 4}", i * 1.0))
+      .toDF("k", "region", "v").writeTo(t).append()
+  }
+
+  test("co-partitioned identity tables join and aggregate with zero shuffles") {
+    writeFacts("gspj.ns.fact_a", 0)
+    writeFacts("gspj.ns.fact_b", 7)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("gspj.ns.fact_a")
+      val b = spark.table("gspj.ns.fact_b").select(
+        col("region").as("r2"), col("v").as("v2"))
+      val joined = a.join(b, col("region") === col("r2"))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("v2")).as("sv"))
+      val rows = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === (0 until 4).map(i => s"r$i" -> 250_000L).toMap,
+        "join result must match the 500x500 per-region product")
+      assert(shuffles(joined) === 0,
+        s"SPJ must elide every exchange:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE gspj.ns.fact_a")
+      spark.sql("DROP TABLE gspj.ns.fact_b")
+    }
+  }
+
+  test("same join shuffles when the SPJ flag is off, with identical results") {
+    writeFacts("gspj.ns.fact_c", 0)
+    writeFacts("gspj.ns.fact_d", 3)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(): (Map[String, Long], Int) = {
+        val j = spark.table("gspj.ns.fact_c")
+          .join(spark.table("gspj.ns.fact_d")
+            .select(col("region").as("r2")), col("region") === col("r2"))
+          .groupBy(col("region")).agg(count(lit(1)).as("n"))
+        (j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, shuffles(j))
+      }
+      val (offRows, offShuffles) = run()
+      assert(offShuffles > 0, "without the flag the join must shuffle")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val (onRows, onShuffles) = run()
+      assert(onShuffles === 0)
+      assert(onRows === offRows, "SPJ must not change results")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.sql("DROP TABLE gspj.ns.fact_c")
+      spark.sql("DROP TABLE gspj.ns.fact_d")
+    }
+  }
+
+  test("bucket-partitioned tables join on the raw key with zero shuffles") {
+    import spark.implicits._
+    def writeBucketed(t: String, n: Int): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
+      spark.range(n).select($"id".as("k"), ($"id" * 2.0).as("v")).writeTo(t).append()
+    }
+    writeBucketed("gspj.ns.bk_a", 1000)
+    writeBucketed("gspj.ns.bk_b", 600)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("gspj.ns.bk_a")
+        .join(spark.table("gspj.ns.bk_b").select($"k".as("k2"), $"v".as("v2")),
+          $"k" === $"k2")
+        .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v" + $"v2").as("sv"))
+      val rows = joined.collect()
+      assert(rows.length === 600 && rows.forall(_.getLong(1) === 1L))
+      assert(rows.map(_.getDouble(2)).sum === (0 until 600).map(i => i * 4.0).sum)
+      assert(shuffles(joined) === 0,
+        s"bucket SPJ must elide the join exchanges:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE gspj.ns.bk_a")
+      spark.sql("DROP TABLE gspj.ns.bk_b")
+    }
+  }
+
+  test("keyed planning keeps filter pruning and row-level filters exact") {
+    import spark.implicits._
+    writeFacts("gspj.ns.fact_e", 0)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val one = spark.table("gspj.ns.fact_e")
+        .where($"region" === "r1" && $"v" < 100.0)
+      assert(one.count() === 25, "identity + data filters stay exact under keyed planning")
+      // partition pruning still reaches the file listing through the wrapper
+      val scanned = one.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.map(graft.sources.v2.GraftScans.innermost).collect {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.inputFiles.length
+      }.sum
+      val all = spark.table("gspj.ns.fact_e").queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.map(graft.sources.v2.GraftScans.innermost).collect {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.inputFiles.length
+      }.sum
+      assert(scanned > 0 && scanned < all)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql("DROP TABLE gspj.ns.fact_e")
+    }
+  }
+}
