@@ -150,6 +150,7 @@ object SparkEntry {
     "column_defaults_scan" -> ((s, d) => graft.sources.v2.V2Queries.columnDefaultsScan(s, d)),
     "runtime_prune_join" -> ((s, d) => graft.sources.v2.V2Queries.runtimePruneJoin(s, d)),
     "spj_join" -> ((s, d) => graft.sources.v2.V2Queries.spjJoin(s, d)),
+    "stream_versioned_read" -> ((s, d) => graft.sources.v2.V2Queries.streamVersionedRead(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
     "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
@@ -286,6 +287,7 @@ object SparkEntry {
     "column_defaults_scan" -> graft.sources.v2.V2Queries.oracle.columnDefaultsScan,
     "runtime_prune_join" -> graft.sources.v2.V2Queries.oracle.runtimePruneJoin,
     "spj_join" -> graft.sources.v2.V2Queries.oracle.spjJoin,
+    "stream_versioned_read" -> graft.sources.v2.V2Queries.oracle.streamVersionedRead,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,

@@ -109,6 +109,14 @@ object ManifestTable {
     * appends from differently-zoned sessions coexist in one manifest.
     * Zone-independent derivations (TIMESTAMP_NTZ, DATE) never set it. */
   val ZoneProp = "__writer_zone"
+
+  /** Version of the most recent commit that REMOVED a data entry
+    * (copy-on-write DML, compaction, overwrite, day drop) — stamped by
+    * [[commitLoop]] itself and carried forward by appends, so a streaming
+    * reader can detect row-level changes inside its window even after the
+    * window's start manifest expired from retention (Delta's
+    * commit-action introspection, reduced to one monotone property). */
+  val ChangeProp = "lastChangeVersion"
   /** Reserved pool directory for merge-on-read POSITIONAL DELETE files:
     * parquet files of (`__file` relative data path, `__pos` file row
     * index) listing rows a DELETE removed without rewriting data. A
@@ -683,6 +691,20 @@ object ManifestTable {
       // inline entries keep the sequence of their original commit
       val stamped = planned.entries.map(e =>
         if (e.seq.isEmpty) e.copy(seq = Some(next)) else e)
+      // does this commit REMOVE a base data entry? Only the shards the
+      // planner re-materialized need reading (carried refs are untouched
+      // by construction), so the check costs ∝ touched data. Delete-file
+      // churn doesn't count: retiring delete entries (deletes-only
+      // rewrite) changes no scan result.
+      val carriedRels = planned.carried.map(_.rel).toSet
+      val keptRels = stamped.map(_.rel).toSet
+      val removesData =
+        (base.refs.filterNot(r => carriedRels.contains(r.rel))
+          .flatMap(r => shardEntries(root, r.rel)) ++ base.inline)
+          .exists(e => !isDeleteEntry(e.rel) && !keptRels.contains(e.rel))
+      val plannedProps =
+        if (removesData) planned.props + (ChangeProp -> next.toString)
+        else planned.props
       // fold loose entries into per-key shards past the inline budget,
       // then merge any key that accumulated too many refs — shard files
       // land BEFORE the claim (unreferenced on a lost race; swept by the
@@ -718,7 +740,7 @@ object ManifestTable {
       // before and after the flip turns that silent loss into a surfaced
       // conflict; the grace default makes the race itself vanishingly rare.
       val fence = UUID.randomUUID().toString
-      val body = (planned.props + (FenceProp -> fence)).toSeq.sortBy(_._1)
+      val body = (plannedProps + (FenceProp -> fence)).toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" } ++ refs.map(_.render) ++ inline.map(_.render)
       def claimIsOurs(): Boolean =
         MetaIO.exists(manifestPath(root, next)) &&

@@ -513,6 +513,36 @@ object V2Queries {
     }
   }
 
+  /** Streaming read of a versioned table — the commit log as the stream:
+    * events land in the table across TWO commits, a micro-batch stream
+    * (`readStream.table`, AvailableNow) consumes the appended files per
+    * version window, and the streamed rows aggregate per event type. The
+    * oracle recomputes the same aggregate flat over events, so the hash
+    * gate proves the stream delivered every appended row exactly once.
+    * At 100 TB each trigger's cost follows the NEW data, never the
+    * table. */
+  def streamVersionedRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("strv")}"
+    val mem = "stream_vread_" + newName("m").replace(".", "_")
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0).writeTo(tbl).create()
+      ev.where(col("event_id") % 2 === 1).writeTo(tbl).append()
+      val q = spark.readStream.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(mem)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      q.awaitTermination()
+      spark.table(mem).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Iceberg-style column defaults, metadata-only (`ADD COLUMN ... DEFAULT`):
     * three file generations of one table — written BEFORE the ADD (reads the
     * pinned initial default), written with explicit values, and written by an
@@ -931,6 +961,13 @@ object V2Queries {
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN event_id % 1000000
          |    ELSE event_id % 1000000 + 3000000000 END) AS BIGINT) AS id_sum,
+         |  ${Dsl.sql.dsum("value")} AS volume
+         |FROM events
+         |GROUP BY 1""".stripMargin
+
+    /** The streamed per-type aggregate recomputed flat over events. */
+    val streamVersionedRead: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${Dsl.sql.dsum("value")} AS volume
          |FROM events
          |GROUP BY 1""".stripMargin

@@ -753,6 +753,7 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1117,10 +1118,21 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   }
 
   override def build(): Scan = {
-    val assembled = assemble()
-    val attrs = runtimeFilterAttrs
-    if (attrs.isEmpty) assembled
-    else new GraftRuntimeFilterScan(this, assembled, attrs)
+    // ALWAYS the wrapper: one outer class carries the cross-cutting scan
+    // capabilities (runtime filtering when the table has partition-derived
+    // columns — empty filter attributes otherwise, which Spark ignores —
+    // partitioning report, statistics, and the micro-batch stream)
+    new GraftRuntimeFilterScan(this, assemble(), runtimeFilterAttrs)
+  }
+
+  /** Streaming (micro-batch) leg: consume versions as they commit. */
+  private[v2] def microBatchStream()
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      SparkSession.builder().getOrCreate())
+    require(pinnedVersion.isEmpty,
+      s"streaming read of $root: a time-travel read is a fixed snapshot, not a stream")
+    new VersionedMicroBatchStream(spark, root, dataSchema, required, meta, options)
   }
 
   /** Columns whose runtime IN-sets can shrink the FILE LISTING — the
@@ -1394,6 +1406,9 @@ private[graft] class GraftRuntimeFilterScan(builder: VersionedScanBuilder,
       .predicatesToV1(predicates)
     if (v1.nonEmpty) delegate = builder.withRuntimeFilters(v1)
   }
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    builder.microBatchStream()
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     delegate.supportedCustomMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =

@@ -88,6 +88,46 @@ class GraftKeyedReaderFactory(inner: PartitionReaderFactory)
     inner.supportColumnarReads(unwrap(p))
 }
 
+/** Reorders each emitted row/batch by a fixed column permutation —
+  * `perm(j)` = the inner reader's ordinal feeding output position `j`.
+  * File readers append partition-directory columns AFTER the data
+  * columns, but a streaming consumer binds to the table-schema order at
+  * analysis time; this wrapper reconciles the two. Columnar batches are
+  * re-wrapped by pointer (no copy); row readers project. */
+class GraftReorderedReaderFactory(inner: PartitionReaderFactory,
+                                  perm: Array[Int], emitted: StructType)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val d = inner.createReader(p)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      perm.toIndexedSeq.map(i => org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, emitted.fields(i).dataType, emitted.fields(i).nullable)))
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = d.next()
+      override def get(): InternalRow = proj(d.get())
+      override def close(): Unit = d.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val d = inner.createColumnarReader(p)
+    new org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = d.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = d.get()
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          perm.map(b.column(_)), b.numRows())
+      }
+      override def close(): Unit = d.close()
+    }
+  }
+}
+
 /** Storage-partitioned joins (Iceberg's preserve-data-grouping shape):
   * wraps the format's [[FileScan]] so that (a) every planned input
   * partition holds files of ONE partition value and carries that value as

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.VersionedCatalog
+
+/** Streaming reads of versioned tables: the commit log is the stream.
+  * Each micro-batch consumes the files appended between two versions
+  * (cost ∝ new data), checkpoints resume exactly-once at the version
+  * boundary, and a window containing row-level changes fails loudly
+  * unless the reader opted into ignoreChanges — Delta's append-only
+  * streaming contract, re-expressed over the manifest log.
+  */
+class StreamTableReadSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gstr", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gstr.warehouse",
+      Files.createTempDirectory("graft_strwh").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gstr.ns")
+    s
+  }
+
+  private def drain(t: String, checkpoint: String, sink: String,
+                    extra: Map[String, String] = Map.empty): Unit = {
+    var reader = spark.readStream
+    extra.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.table(t).writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("stream follows appends across restarts, exactly once per version window") {
+    import spark.implicits._
+    val t = "gstr.ns.appends"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(t).append()
+    Seq((3L, "c")).toDF("k", "v").writeTo(t).append()
+
+    val checkpoint = Files.createTempDirectory("str_ck").toString
+    val sink = Files.createTempDirectory("str_sink").toString + "/out"
+    drain(t, checkpoint, sink)
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // two more commits land; a restarted stream consumes ONLY them
+    Seq((4L, "d")).toDF("k", "v").writeTo(t).append()
+    Seq((5L, "e")).toDF("k", "v").writeTo(t).append()
+    drain(t, checkpoint, sink)
+    val all = spark.read.parquet(sink).as[(Long, String)].collect().toSeq
+    assert(all.size === 5, s"no re-delivery on restart: $all")
+    assert(all.toSet === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("identity-partitioned tables stream with partition values intact") {
+    import spark.implicits._
+    val t = "gstr.ns.parts"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    (0 until 60).map(i => (i.toLong, s"r${i % 3}", i * 1.0))
+      .toDF("k", "region", "v").writeTo(t).append()
+    val checkpoint = Files.createTempDirectory("str_ck2").toString
+    val sink = Files.createTempDirectory("str_sink2").toString + "/out"
+    drain(t, checkpoint, sink)
+    val got = spark.read.parquet(sink)
+    assert(got.count() === 60)
+    assert(got.groupBy($"region").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("r0" -> 20L, "r1" -> 20L, "r2" -> 20L))
+    assert(got.agg(sum($"v")).head.getDouble(0) === (0 until 60).map(_.toDouble).sum)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("a window with row-level changes fails loudly; ignoreChanges streams the appends") {
+    import spark.implicits._
+    val t = "gstr.ns.changed"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(t).append()
+    val checkpoint = Files.createTempDirectory("str_ck3").toString
+    val sink = Files.createTempDirectory("str_sink3").toString + "/out"
+    drain(t, checkpoint, sink)
+
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 1")
+    Seq((9L, "z")).toDF("k", "v").writeTo(t).append()
+
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, checkpoint, sink)
+    }
+    assert(ex.getMessage.contains("ignoreChanges") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ignoreChanges")),
+      s"must name the escape hatch: ${ex.getMessage}")
+
+    drain(t, checkpoint, sink, Map("ignoreChanges" -> "true"))
+    val rows = spark.read.parquet(sink).as[(Long, String)].collect().toSet
+    assert(rows.contains((9L, "z")), "appended file must stream under ignoreChanges")
+    spark.sql(s"DROP TABLE $t")
+  }
+}

@@ -615,6 +615,7 @@ class V2CatalogSpec extends AnyFunSuite {
       "avro entries must carry writer-accumulated stats")
     def avroFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .map(graft.sources.v2.GraftScans.innermost)
         .map(_.description()).collect {
           case d if d.startsWith("AvroManifestScan[") =>
             d.stripPrefix("AvroManifestScan[").takeWhile(_.isDigit).toInt
