@@ -142,6 +142,11 @@ object ScaleBench {
       classOf[graft.sources.v2.VersionedCatalog].getName)
     spark.conf.set("spark.sql.catalog.scale_cat.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS scale_cat.b")
+    // the manifest/scan-metadata points below model the 100 TB shape —
+    // MANY files per partition key — so write them unclustered; the
+    // clustered_write point further down measures the hash distribution
+    // itself and flips the conf back
+    spark.conf.set("spark.graft.write.distribution", "none")
     val evCat = spark.range(catRows).select(
       col("id").as("event_id"),
       expr(s"timestamp_micros(1704067200000000 + (id % $nDays) * 86400000000" +
@@ -354,6 +359,83 @@ object ScaleBench {
     require(seAgg.getLong(0) == seExpect,
       s"mixed-layout window miscounted: got ${seAgg.getLong(0)}, want $seExpect")
     spark.sql("DROP TABLE scale_cat.b.sev")
+
+    // Clustered writes at scale: a 64-task append into a 128-day layout
+    // must land ~one file group per day (the hash write distribution),
+    // not tasks x days. 64 x 128 would be 8192 files; the REBALANCE
+    // bound below allows AQE skew splits but catches any fan-out.
+    val cwRows = catRows / 4
+    spark.conf.set("spark.graft.write.distribution", "hash")
+    val cw1 = System.nanoTime()
+    spark.sql("CREATE TABLE scale_cat.b.cwr (event_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE) PARTITIONED BY (days(ts))")
+    spark.range(cwRows).repartition(64)
+      .select(col("id").as("event_id"),
+        expr(s"timestamp_micros(1704067200000000 + (id % $nDays) * 86400000000)")
+          .cast("timestamp_ntz").as("ts"),
+        (col("id") % 1000).cast("double").as("value"))
+      .writeTo("scale_cat.b.cwr").append()
+    val cwSecs = (System.nanoTime() - cw1) / 1e9
+    val cwRoot = s"$wh/b/cwr"
+    val cwFiles = graft.sources.ManifestTable.liveEntries(cwRoot).size
+    println(f"[scale] clustered_write rows=$cwRows days=$nDays files=$cwFiles secs=$cwSecs%.1f")
+    require(cwFiles < nDays * 4,
+      s"hash write distribution failed: $cwFiles files for $nDays days (64-task input)")
+    require(spark.table("scale_cat.b.cwr").count() == cwRows, "clustered write lost rows")
+    spark.sql("DROP TABLE scale_cat.b.cwr")
+
+    // Storage-partitioned join at scale: two co-bucketed tables joined on
+    // the raw key — with SPJ the executed plan runs ZERO shuffles; the
+    // same join without it shuffles both sides. The timing contrast is
+    // the 100 TB story: co-partitioned fact joins move no data.
+    val spjRows = catRows / 2
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    Seq("spa", "spb").foreach { t =>
+      spark.sql(s"CREATE TABLE scale_cat.b.$t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(32, k))")
+      spark.range(spjRows).repartition(64)
+        .select(col("id").as("k"), (col("id") % 997).cast("double").as("v"))
+        .writeTo(s"scale_cat.b.$t").append()
+    }
+    // group on k itself: the key-grouped report satisfies the aggregate's
+    // distribution too, so the whole join+agg pipeline runs shuffle-free
+    def spjJoinDf = spark.table("scale_cat.b.spa")
+      .join(spark.table("scale_cat.b.spb").select(col("k").as("k2"), col("v").as("v2")),
+        col("k") === col("k2"))
+      .groupBy(col("k"))
+      .agg(graft.Dsl.dsum(col("v") + col("v2")).as("sv"))
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p match {
+        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+        case q: QueryStageExec =>
+          (if (q.plan.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1
+           else 0) + countShuffles(q.plan)
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          1 + s.children.map(countShuffles).sum
+        case other => other.children.map(countShuffles).sum
+      }
+    }
+    val spjDf = spjJoinDf
+    val sj0 = System.nanoTime()
+    val spjGroups = spjDf.count()
+    val spjSecs = (System.nanoTime() - sj0) / 1e9
+    val spjShuffles = countShuffles(spjDf.queryExecution.executedPlan)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    val offDf = spjJoinDf
+    val oj0 = System.nanoTime()
+    val offGroups = offDf.count()
+    val offSecs = (System.nanoTime() - oj0) / 1e9
+    val offShuffles = countShuffles(offDf.queryExecution.executedPlan)
+    println(f"[scale] spj_join rows=$spjRows spj_secs=$spjSecs%.1f spj_shuffles=$spjShuffles " +
+      f"shuffled_secs=$offSecs%.1f shuffled_shuffles=$offShuffles speedup=${offSecs / spjSecs}%.2f")
+    require(spjShuffles == 0, s"SPJ must elide every exchange (got $spjShuffles)")
+    require(offShuffles > 0 && spjGroups == offGroups,
+      "SPJ and shuffled join must agree (and the baseline must actually shuffle)")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE scale_cat.b.spa")
+    spark.sql("DROP TABLE scale_cat.b.spb")
 
     spark.stop()
   }

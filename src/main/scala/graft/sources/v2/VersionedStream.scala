@@ -86,10 +86,30 @@ private[v2] class VersionedMicroBatchStream(
   @volatile private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(ManifestTable.currentVersion(root).getOrElse(0L))
+
+  /** Admission control: `maxVersionsPerTrigger` bounds how many commits
+    * one micro-batch swallows, so a stream catching up on a deep backlog
+    * (or bootstrapping a huge table) advances in checkpointed increments
+    * instead of one giant batch — Delta's maxFilesPerTrigger shape, at
+    * commit granularity (the unit our exactly-once accounting uses). */
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = ManifestTable.currentVersion(root).getOrElse(0L)
-    VersionOffset(availableNowTarget.fold(cur)(math.min(cur, _)))
+    val target = availableNowTarget.fold(cur)(math.min(cur, _))
+    val sV = start.asInstanceOf[VersionOffset].v
+    val paced = maxVersionsPerTrigger.fold(target)(m =>
+      math.min(target, sV + math.max(1L, m)))
+    // a paced end must land on a RETAINED manifest (the window is planned
+    // from it); expired intermediates advance the window to the oldest
+    // surviving version — at worst one bigger batch, never a dead stop
+    val end =
+      if (paced >= target) target
+      else ManifestTable.versions(root).find(_ >= paced)
+        .map(math.min(_, target)).getOrElse(target)
+    VersionOffset(end)
   }
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)

@@ -80,6 +80,33 @@ class StreamTableReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("maxVersionsPerTrigger paces a backlog drain in commit-sized batches") {
+    import spark.implicits._
+    val t = "gstr.ns.paced"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    val prevRetain = spark.conf.getOption("spark.graft.versioned.retain")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try (1 to 6).foreach(i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v").writeTo(t).append())
+    finally prevRetain match {
+      case Some(v) => spark.conf.set("spark.graft.versioned.retain", v)
+      case None => spark.conf.unset("spark.graft.versioned.retain")
+    }
+
+    val checkpoint = Files.createTempDirectory("str_ck4").toString
+    val sink = Files.createTempDirectory("str_sink4").toString + "/out"
+    drain(t, checkpoint, sink, Map("maxVersionsPerTrigger" -> "2"))
+    assert(spark.read.parquet(sink).count() === 6,
+      "AvailableNow must still drain the full backlog, just in paced batches")
+    // the checkpoint advanced through intermediate offsets (3 batches of
+    // 2 versions each), not one giant window
+    val commits = new java.io.File(s"$checkpoint/commits").list()
+      .count(!_.endsWith(".tmp"))
+    assert(commits >= 3, s"expected >=3 paced batches, saw $commits commits")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("a window with row-level changes fails loudly; ignoreChanges streams the appends") {
     import spark.implicits._
     val t = "gstr.ns.changed"
