@@ -47,6 +47,20 @@ object FileStats {
   case class ColStats(tag: Char, min: Option[String], max: Option[String],
                       nulls: Option[Long])
 
+  /** Reserved pseudo-column carrying the file's ROW COUNT (encoded as an
+    * `l` entry with min = max = count). Predicates never name it — the
+    * `__` prefix is reserved engine-wide — so pruning ignores it; the
+    * metadata-only aggregate pushdown (COUNT(*) from the manifest alone)
+    * is what reads it. Iceberg's `record_count` manifest field. */
+  val RowsKey = "__rows"
+
+  private[sources] def rowsEntry(n: Long): (String, ColStats) =
+    RowsKey -> ColStats('l', Some(n.toString), Some(n.toString), Some(0L))
+
+  /** Row count of an encoded stats string, if recorded. */
+  def rowCount(decoded: Map[String, ColStats]): Option[Long] =
+    decoded.get(RowsKey).flatMap(_.min).map(_.toLong)
+
   // ---- encoding -----------------------------------------------------------
 
   private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
@@ -170,7 +184,10 @@ object FileStats {
         .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
     }
 
+    private var rowCount = 0L
+
     def update(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      rowCount += 1
       var i = 0
       while (i < n) {
         tags(i) match {
@@ -211,7 +228,7 @@ object FileStats {
           }
         }
       }.toMap
-      if (cols.isEmpty) None else Some(encode(cols))
+      Some(encode(cols + rowsEntry(rowCount)))
     }
   }
 
@@ -228,7 +245,8 @@ object FileStats {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      if (blocks.isEmpty) return Map.empty
+      if (blocks.isEmpty) return Map(rowsEntry(0L))
+      val fileRows = blocks.map(_.getRowCount).sum
       // timestamps: footer longs are only micros when the logical
       // annotation says MICROS — MILLIS/NANOS footers (alternate writer
       // configs) would be misread by three orders of magnitude, so any
@@ -272,7 +290,7 @@ object FileStats {
             }
           }
         }
-      }.toMap
+      }.toMap + rowsEntry(fileRows)
     } finally reader.close()
   }
 
@@ -319,7 +337,7 @@ object FileStats {
             }
           }
         }
-      }.toMap
+      }.toMap + rowsEntry(rows)
     } finally reader.close()
   }
 

@@ -543,6 +543,30 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Metadata-only aggregates — an unfiltered COUNT(*)/COUNT(col)/MIN/MAX
+    * over the versioned table answers from the manifest's per-file row
+    * counts and exact bounds ([[AggPushdown]]); the `agg_meta_ok` verdict
+    * asserts the EXECUTED plan used the one-row GraftAggScan (zero data
+    * files opened), and the oracle recomputes every value flat. At 100 TB
+    * this is count(*) in milliseconds instead of a full scan. */
+  def aggPushdownScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("aggp")}"
+    try {
+      eventsSlim(spark, dir).repartition(6).writeTo(tbl).create()
+      val agg = spark.table(tbl).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("n_users_nonnull"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      val out = agg.localCheckpoint(true)
+      val metaOnly = agg.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.exists(_.description().startsWith("GraftAggScan["))
+      out.withColumn("agg_meta_ok", lit(metaOnly))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Iceberg-style column defaults, metadata-only (`ADD COLUMN ... DEFAULT`):
     * three file generations of one table — written BEFORE the ADD (reads the
     * pinned initial default), written with explicit values, and written by an
@@ -964,6 +988,15 @@ object V2Queries {
          |  ${Dsl.sql.dsum("value")} AS volume
          |FROM events
          |GROUP BY 1""".stripMargin
+
+    /** Every metadata-derived aggregate recomputed flat; the
+      * metadata-only verdict pinned TRUE. */
+    val aggPushdownScan: String =
+      s"""SELECT COUNT(*) AS n_rows, COUNT(user_id) AS n_users_nonnull,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+         |  MIN(value) AS min_value, MAX(value) AS max_value,
+         |  TRUE AS agg_meta_ok
+         |FROM events""".stripMargin
 
     /** The streamed per-type aggregate recomputed flat over events. */
     val streamVersionedRead: String =

@@ -792,10 +792,44 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
                            dayOf: Option[String], pinnedVersion: Option[Long],
                            options: CaseInsensitiveStringMap,
                            meta: VersionedCatalog.Meta)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = dataSchema
+
+  // Metadata-only aggregates ([[AggPushdown]]): COUNT/MIN/MAX answered
+  // from the manifest with no files opened. Spark offers the pushdown
+  // only when every filter was consumed by the source; this source keeps
+  // all filters residual, so `pushed.nonEmpty` can only mean Spark is
+  // about to re-apply them — decline and scan normally. Live MOR deletes
+  // make per-file stats overcounts — decline there too.
+  private var pushedAggPlan: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var aggCache: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])] = None
+
+  private def planAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+    aggCache match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r =
+          if (pushed.nonEmpty || deleteEntries.nonEmpty) None
+          else AggPushdown.plan(agg, prunedEntries, dataSchema, meta.physicalName)
+        aggCache = Some((agg, r))
+        r
+    }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val p = planAgg(agg)
+    p.foreach(x => pushedAggPlan = Some(x))
+    p.isDefined
+  }
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters
@@ -1118,11 +1152,17 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   }
 
   override def build(): Scan = {
-    // ALWAYS the wrapper: one outer class carries the cross-cutting scan
-    // capabilities (runtime filtering when the table has partition-derived
-    // columns — empty filter attributes otherwise, which Spark ignores —
-    // partitioning report, statistics, and the micro-batch stream)
-    new GraftRuntimeFilterScan(this, assemble(), runtimeFilterAttrs)
+    // a fully-pushed aggregate IS the scan: one metadata-derived row
+    pushedAggPlan match {
+      case Some((schema, row)) => new GraftAggScan(schema, row)
+      case None =>
+        // ALWAYS the wrapper: one outer class carries the cross-cutting
+        // scan capabilities (runtime filtering when the table has
+        // partition-derived columns — empty filter attributes otherwise,
+        // which Spark ignores — partitioning report, statistics, and the
+        // micro-batch stream)
+        new GraftRuntimeFilterScan(this, assemble(), runtimeFilterAttrs)
+    }
   }
 
   /** Streaming (micro-batch) leg: consume versions as they commit. */

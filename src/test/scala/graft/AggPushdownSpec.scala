@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.VersionedCatalog
+
+/** Metadata-only aggregates: an unfiltered COUNT / MIN / MAX over a
+  * versioned table is answered from the manifest's per-file row counts
+  * and exact bounds — the executed plan contains a GraftAggScan and ZERO
+  * file reads. Anything the metadata can't prove (filters, MOR deletes,
+  * stats-less legacy entries) falls back to the normal scan with
+  * identical results. At 100 TB this is count(*) in milliseconds.
+  */
+class AggPushdownSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gagg", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gagg.warehouse",
+      Files.createTempDirectory("graft_aggwh").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gagg.ns")
+    s
+  }
+
+  private def usedMetadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+      .exists(_.description().startsWith("GraftAggScan["))
+
+  test("count/min/max answer from the manifest with zero files opened") {
+    import spark.implicits._
+    val t = "gagg.ns.stats"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING, v DOUBLE, d DECIMAL(12,2))")
+    (1 to 500).map(i => (i.toLong, s"s${"%03d".format(i)}", i * 0.5, BigDecimal(i) / 4))
+      .toDF("k", "s", "v", "d").repartition(7).writeTo(t).append()
+    (501 to 800).map(i => (i.toLong, s"s${"%03d".format(i % 700)}", i * 0.5, BigDecimal(i) / 4))
+      .toDF("k", "s", "v", "d").writeTo(t).append()
+
+    val agg = spark.table(t).agg(
+      count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"),
+      min($"s").as("smn"), max($"v").as("vmx"), max($"d").as("dmx"))
+    val row = agg.collect()(0)
+    assert(usedMetadataOnly(agg), s"plan must be the metadata scan:\n${agg.queryExecution.executedPlan}")
+    assert(row.getLong(0) === 800L)
+    assert(row.getLong(1) === 1L && row.getLong(2) === 800L)
+    assert(row.getString(3) === "s000") // i=700 in the second append wraps to s000
+    assert(row.getDouble(4) === 400.0)
+    assert(row.getDecimal(5) === new java.math.BigDecimal("200.00"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("count(col) uses null counts; all-null column yields NULL min") {
+    import spark.implicits._
+    val t = "gagg.ns.nulls"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (1 to 100).map(i => (i.toLong, if (i % 4 == 0) Some(i * 1.0) else None))
+      .toDF("k", "v").writeTo(t).append()
+    val agg = spark.table(t).agg(count($"v").as("nv"), count(lit(1)).as("n"))
+    assert(usedMetadataOnly(agg))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) === 25L && r.getLong(1) === 100L)
+
+    val t2 = "gagg.ns.allnull"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, v DOUBLE)")
+    (1 to 50).map(i => (i.toLong, None: Option[Double])).toDF("k", "v").writeTo(t2).append()
+    val agg2 = spark.table(t2).agg(min($"v").as("mn"), count($"v").as("nv"))
+    assert(usedMetadataOnly(agg2))
+    val r2 = agg2.collect()(0)
+    assert(r2.isNullAt(0) && r2.getLong(1) === 0L)
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"DROP TABLE $t2")
+  }
+
+  test("filters, deletes, and unsupported aggregates fall back with identical results") {
+    import spark.implicits._
+    val t = "gagg.ns.fall"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (1 to 200).map(i => (i.toLong, i * 1.0)).toDF("k", "v").writeTo(t).append()
+
+    // filter present: Spark never offers the pushdown (filters are residual)
+    val filtered = spark.table(t).where($"k" > 100).agg(count(lit(1)).as("n"))
+    assert(!usedMetadataOnly(filtered))
+    assert(filtered.collect()(0).getLong(0) === 100L)
+
+    // avg is not provable from bounds: whole aggregate falls back
+    val avg_ = spark.table(t).agg(count(lit(1)).as("n"), avg($"v").as("a"))
+    assert(!usedMetadataOnly(avg_))
+    assert(avg_.collect()(0).getLong(0) === 200L)
+
+    // a live MOR delete makes per-file counts overcounts: fall back
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 10 = 0")
+    val afterDelete = spark.table(t).agg(count(lit(1)).as("n"))
+    val n = afterDelete.collect()(0).getLong(0)
+    assert(n === 180L, s"deletes must be honored (got $n)")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("avro tables push down too (writer-side stats carry row counts)") {
+    import spark.implicits._
+    val t = "gagg.ns.av"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE) USING avro")
+    (1 to 300).map(i => (i.toLong, i * 2.0)).toDF("k", "v").repartition(5).writeTo(t).append()
+    val agg = spark.table(t).agg(count(lit(1)).as("n"), max($"k").as("mx"))
+    assert(usedMetadataOnly(agg),
+      s"avro metadata aggregate:\n${agg.queryExecution.executedPlan}")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) === 300L && r.getLong(1) === 300L)
+    spark.sql(s"DROP TABLE $t")
+  }
+}
