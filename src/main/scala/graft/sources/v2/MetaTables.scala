@@ -24,7 +24,7 @@ import graft.sources.{ManifestTable, MetaIO}
   * the right physical plan. */
 object MetaTables {
 
-  val Kinds: Set[String] = Set("files", "snapshots", "partitions", "deletes")
+  val Kinds: Set[String] = Set("files", "snapshots", "partitions", "deletes", "refs")
 
   private val FilesSchema = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
@@ -53,11 +53,18 @@ object MetaTables {
     StructField("size_bytes", LongType, nullable = false),
     StructField("targets", StringType, nullable = true)))     // positional: files list
 
+  private val RefsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),    // tag|branch
+    StructField("version", LongType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
+
   def load(name: String, root: String, kind: String): Table = kind match {
     case "files"      => MetaTable(name, FilesSchema, () => filesRows(root))
     case "snapshots"  => MetaTable(name, SnapshotsSchema, () => snapshotRows(root))
     case "partitions" => MetaTable(name, PartitionsSchema, () => partitionRows(root))
     case "deletes"    => MetaTable(name, DeletesSchema, () => deleteRows(root))
+    case "refs"       => MetaTable(name, RefsSchema, () => refRows(root))
     case other => throw new IllegalArgumentException(s"no metadata table $other")
   }
 
@@ -113,6 +120,16 @@ object MetaTables {
         ManifestTable.deleteTouchedRels(e)
           .map(t => utf8(t.toSeq.sorted.mkString(","))).orNull))
     }.toArray
+
+  /** Named refs (Iceberg's `tbl.refs`): one row per tag/branch with the
+    * version it pins and whether that version is the live snapshot. */
+  private def refRows(root: String): Array[InternalRow] = {
+    val live = if (ManifestTable.exists(root)) ManifestTable.currentVersion(root) else None
+    ManifestTable.refs(root).values.toSeq.sortBy(_.name).map { r =>
+      new GenericInternalRow(Array[Any](
+        utf8(r.name), utf8(r.kind), r.version, live.contains(r.version)))
+    }.toArray
+  }
 
   private def partitionRows(root: String): Array[InternalRow] =
     liveEntries(root).filterNot(e => isDelete(e.rel))

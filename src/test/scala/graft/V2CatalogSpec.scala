@@ -874,6 +874,15 @@ class V2CatalogSpec extends AnyFunSuite {
       "SELECT partition FROM gtest.ns.mt.partitions ORDER BY total_bytes DESC LIMIT 1")
     assert(top.count() === 1)
 
+    // .refs: tags and branches list with their pinned versions
+    spark.sql("CALL gtest.system.create_tag(`table` => 'ns.mt', name => 'rel1', version => 1)")
+    spark.sql("CALL gtest.system.create_branch(`table` => 'ns.mt', name => 'audit')")
+    val refs = spark.table("gtest.ns.mt.refs").orderBy("name").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("audit", "branch", 2L), ("rel1", "tag", 1L)))
+    assert(refs.map(_.getBoolean(3)).toSeq === Seq(true, false),
+      ".refs flags refs pointing at the live version")
+
     // a MOR delete surfaces as a delete-file row in .files
     spark.conf.set("spark.graft.delete.mode", "merge-on-read")
     try graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.mt WHERE k = 7")
