@@ -101,6 +101,40 @@ class AggPushdownSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("partition columns fall back for MIN/MAX but COUNT(*) stays metadata-only") {
+    import spark.implicits._
+    val t = "gagg.ns.parts"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    (1 to 120).map(i => (i.toLong, s"r${i % 3}", i * 1.0)).toDF("k", "region", "v")
+      .writeTo(t).append()
+    val cnt = spark.table(t).agg(count(lit(1)).as("n"))
+    assert(usedMetadataOnly(cnt))
+    assert(cnt.collect()(0).getLong(0) === 120L)
+    // region lives in directory names, not file stats: exact fallback
+    val mm = spark.table(t).agg(min($"region").as("mn"), max($"region").as("mx"))
+    assert(!usedMetadataOnly(mm))
+    val r = mm.collect()(0)
+    assert(r.getString(0) === "r0" && r.getString(1) === "r2")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("time travel aggregates answer from the pinned version's manifest") {
+    import spark.implicits._
+    val t = "gagg.ns.tt"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    (1 to 60).map(_.toLong).toDF("k").writeTo(t).append()
+    (61 to 100).map(_.toLong).toDF("k").writeTo(t).append()
+    val pinned = spark.sql(s"SELECT COUNT(*) AS n, MAX(k) AS mx FROM $t VERSION AS OF 1")
+    assert(usedMetadataOnly(pinned))
+    val r = pinned.collect()(0)
+    assert(r.getLong(0) === 60L && r.getLong(1) === 60L)
+    val live = spark.table(t).agg(count(lit(1))).collect()(0).getLong(0)
+    assert(live === 100L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("avro tables push down too (writer-side stats carry row counts)") {
     import spark.implicits._
     val t = "gagg.ns.av"

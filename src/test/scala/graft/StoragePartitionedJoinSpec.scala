@@ -133,6 +133,31 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ composes with runtime filtering: keyed scan, narrowed listing, exact rows") {
+    import spark.implicits._
+    writeFacts("gspj.ns.fact_rf", 0)
+    writeFacts("gspj.ns.dim_rf", 11)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // dim side selective (one region of four): with SPJ reporting on
+      // both sides AND the dim filter runtime-reaching the fact manifest,
+      // results must stay exact whatever plan Spark picks
+      val dim = spark.table("gspj.ns.dim_rf").where($"region" === "r2")
+        .select($"region".as("r2c"), $"v".as("dv"))
+      val joined = spark.table("gspj.ns.fact_rf")
+        .join(dim, $"region" === $"r2c")
+        .groupBy($"region").agg(count(lit(1)).as("n"))
+      val rows = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("r2" -> (500L * 500L)))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.sql("DROP TABLE gspj.ns.fact_rf")
+      spark.sql("DROP TABLE gspj.ns.dim_rf")
+    }
+  }
+
   test("keyed planning keeps filter pruning and row-level filters exact") {
     import spark.implicits._
     writeFacts("gspj.ns.fact_e", 0)
