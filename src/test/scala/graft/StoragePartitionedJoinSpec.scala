@@ -158,6 +158,45 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket() is SQL-callable and v2 shuffle mode buckets the plain side correctly") {
+    import spark.implicits._
+    // the catalog's bucket() resolves from SQL and matches the writer's
+    // derivation exactly
+    val direct = spark.sql("SELECT gspj.bucket(8, CAST(42 AS BIGINT)) AS b").collect()(0).getInt(0)
+    val expected = spark.range(42, 43)
+      .select(pmod(hash($"id"), lit(8)).as("b")).collect()(0).getInt(0)
+    assert(direct === expected, "SQL bucket() must equal pmod(hash(k), n)")
+
+    // v2 bucketing shuffle: joining a bucketed table with a PLAIN source
+    // shuffles only the plain side — by OUR bucket function — so a wrong
+    // produceResult would send rows to the wrong buckets and lose matches
+    val t = "gspj.ns.bk_shuffle"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
+    spark.range(1000).select($"id".as("k"), ($"id" * 1.0).as("v")).writeTo(t).append()
+    val plainDir = java.nio.file.Files.createTempDirectory("spj_plain").toString
+    spark.range(400).select($"id".as("pk"), lit(1L).as("w"))
+      .write.mode("overwrite").parquet(plainDir)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(t)
+        .join(spark.read.parquet(plainDir), $"k" === $"pk")
+        .agg(count(lit(1)).as("n"))
+      assert(joined.collect()(0).getLong(0) === 400L,
+        "every plain-side row must land in its key's bucket")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("keyed planning keeps filter pruning and row-level filters exact") {
     import spark.implicits._
     writeFacts("gspj.ns.fact_e", 0)
