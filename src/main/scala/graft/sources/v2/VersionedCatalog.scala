@@ -219,8 +219,14 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
       "identity partition columns are not supported for avro tables")
     val root = tableRoot(ident)
     MetaIO.mkdirs(root)
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap.filter { case (k, _) =>
+      val lk = k.toLowerCase
+      !VersionedCatalog.ReservedProps.contains(lk) && lk != "owner" &&
+        !lk.startsWith("option.") && !lk.startsWith("spark.")
+    }
     val meta = VersionedCatalog.Meta(schema, dayOf, format,
-      part = part, identityCols = identityCols)
+      part = part, identityCols = identityCols, userProps = userProps)
     VersionedCatalog.writeMeta(root, meta)
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
@@ -364,6 +370,14 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
             "float -> double); use graft.sources.Evolution for a rewrite")
         m.copy(schema = StructType(m.schema.fields.map(x =>
           if (x.name.equalsIgnoreCase(name)) x.copy(dataType = up.newDataType()) else x)))
+      case (m, sp: TableChange.SetProperty) =>
+        require(!VersionedCatalog.ReservedProps.contains(sp.property.toLowerCase),
+          s"property ${sp.property} is engine-managed")
+        require(!sp.property.contains("=") && !sp.property.contains("\n")
+          && !sp.value.contains("\n"), "illegal property")
+        m.copy(userProps = m.userProps + (sp.property -> sp.value))
+      case (m, rp: TableChange.RemoveProperty) =>
+        m.copy(userProps = m.userProps - rp.property)
       case (_, other) => throw new UnsupportedOperationException(
         s"${other.getClass.getSimpleName} needs a data rewrite — use graft.sources.Evolution")
     }
@@ -477,7 +491,8 @@ object VersionedCatalog {
                   part: Option[PartTransform] = None,
                   identityCols: Seq[String] = Nil,
                   pastDays: Seq[String] = Nil,
-                  pastParts: Seq[PartTransform] = Nil) {
+                  pastParts: Seq[PartTransform] = Nil,
+                  userProps: Map[String, String] = Map.empty) {
     def physicalName(logical: String): String =
       renames.collectFirst { case (l, p) if l.equalsIgnoreCase(logical) => p }
         .getOrElse(logical)
@@ -495,6 +510,12 @@ object VersionedCatalog {
         .find(c => !taken.contains(c.toLowerCase)).get
     }
   }
+
+  /** Properties the engine derives itself; SET TBLPROPERTIES refuses
+    * them (the `format` of a table is fixed at create; `retain` IS
+    * settable — it drives per-table snapshot retention). */
+  private[v2] val ReservedProps: Set[String] =
+    Set("provider", "location", "format", "day_of", "version")
 
   /** Registered catalog instances (name → warehouse): lets the engine's
     * DML layer ([[graft.plans.MergeInto]]) resolve `cat.ns.tbl` MERGE
@@ -519,7 +540,8 @@ object VersionedCatalog {
          else Seq(s"#pastdays=${meta.pastDays.mkString(",")}")) ++
         (if (meta.pastParts.isEmpty) Nil
          else Seq("#pastparts=" + meta.pastParts.map(p =>
-           (Seq(p.kind, p.col) ++ p.arg.map(_.toString)).mkString(":")).mkString(";")))
+           (Seq(p.kind, p.col) ++ p.arg.map(_.toString)).mkString(":")).mkString(";"))) ++
+        meta.userProps.toSeq.sortBy(_._1).map { case (k, v) => s"#prop.$k=$v" }
     MetaIO.writeAtomic(s"$root/$MetaFile",
       (Seq(meta.dayOf.getOrElse(""), meta.schema.json) ++ props).mkString("\n"))
   }
@@ -619,7 +641,9 @@ object VersionedCatalog {
           .flatMap(_.split(';')).filter(_.nonEmpty).map { s =>
             val p = s.split(':')
             PartTransform(p(0), p(1), p.lift(2).map(_.toInt))
-          }))
+          },
+        userProps = props.collect { case (k, v) if k.startsWith("prop.") =>
+          k.stripPrefix("prop.") -> v }))
     }
   }
 
@@ -747,7 +771,8 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
       meta.identityCols.map(c => Expressions.identity(c))).toArray
 
   override def properties(): JMap[String, String] =
-    (Map("provider" -> "versioned", "location" -> root, "format" -> meta.format)
+    (meta.userProps
+      ++ Map("provider" -> "versioned", "location" -> root, "format" -> meta.format)
       ++ dayOf.map("day_of" -> _)
       ++ pinnedVersion.map("version" -> _.toString)).asJava
 
@@ -1524,7 +1549,10 @@ class VersionedWriteBuilder(root: String, schema: StructType,
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, ignored: Boolean): Unit = {
         val spark = data.sparkSession
-        val retain = spark.conf.get("spark.graft.versioned.retain", "2").toInt
+        // per-table retention (TBLPROPERTIES('retain'='N')) wins over the
+        // session conf — operational knobs belong to the table
+        val retain = meta.userProps.get("retain").map(_.toInt).getOrElse(
+          spark.conf.get("spark.graft.versioned.retain", "2").toInt)
         // align by name+type with the declared schema (V2 resolution has
         // already matched columns; the cast pins exact physical types),
         // then swap logical for physical names

@@ -894,6 +894,34 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.mt")
   }
 
+  test("table properties persist, alter, and drive per-table retention") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.props")
+    spark.sql("""CREATE TABLE gtest.ns.props (k BIGINT)
+                 TBLPROPERTIES ('team'='data-eng', 'retain'='5')""")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES gtest.ns.props").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team").contains("data-eng"))
+    assert(props().get("retain").contains("5"))
+
+    // retain=5 keeps five snapshots where the session default keeps two
+    (1 to 6).foreach(i => Seq(i.toLong).toDF("k").writeTo("gtest.ns.props").append())
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/props"
+    assert(ManifestTable.versions(root) === Seq(2L, 3L, 4L, 5L, 6L))
+
+    spark.sql("ALTER TABLE gtest.ns.props SET TBLPROPERTIES ('team'='ml', 'tier'='gold')")
+    assert(props().get("team").contains("ml") && props().get("tier").contains("gold"))
+    spark.sql("ALTER TABLE gtest.ns.props UNSET TBLPROPERTIES ('tier')")
+    assert(!props().contains("tier"))
+    // engine-managed keys refuse
+    intercept[Exception](
+      spark.sql("ALTER TABLE gtest.ns.props SET TBLPROPERTIES ('format'='orc')"))
+    spark.sql("DROP TABLE gtest.ns.props")
+  }
+
   test("second engine: duckdb resolves pointer -> manifest -> parquet and applies tombstones, no Spark involved") {
     import graft.sources.ManifestTable
     import spark.implicits._
