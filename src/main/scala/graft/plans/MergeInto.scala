@@ -160,8 +160,10 @@ object MergeInto {
     }
   }
 
-  private def retainOf(spark: SparkSession): Int =
-    spark.conf.get("spark.graft.versioned.retain", "2").toInt
+  /** Table-property retention when the root has a descriptor, session
+    * conf otherwise ([[graft.sources.v2.VersionedCatalog.retainFor]]). */
+  private def retainOf(spark: SparkSession, root: String): Int =
+    graft.sources.v2.VersionedCatalog.retainFor(root, spark)
 
   /** Catalog tables store renamed columns under their original PHYSICAL
     * names; a rewrite computed in logical names maps back before commit.
@@ -181,13 +183,13 @@ object MergeInto {
   private def writeBack(spark: SparkSession, tgt: Target, result: DataFrame): Unit =
     tgt.backing match {
       case Some(VersionedBacking(r)) =>
-        Versioned.commit(result, r, retain = retainOf(spark))
+        Versioned.commit(result, r, retain = retainOf(spark, r))
         Versioned.read(spark, r).createOrReplaceTempView(tgt.name) // refresh the view
       case Some(ManifestBacking(r, dayOf)) =>
         // carry live props: a full rewrite continues the table's history,
         // and dropping the stream.<appId>.batch marker would let a replayed
         // foreachBatch double-append after a MERGE
-        ManifestTable.commit(result, r, retain = retainOf(spark), partitionDayOf = dayOf,
+        ManifestTable.commit(result, r, retain = retainOf(spark, r), partitionDayOf = dayOf,
           props = ManifestTable.liveProps(r))
         ManifestTable.read(spark, r).createOrReplaceTempView(tgt.name)
       case Some(CatalogBacking(r, _)) =>
@@ -198,7 +200,7 @@ object MergeInto {
         // identity columns — a flat rewrite of a partitioned pool would
         // corrupt partition discovery for every reader)
         graft.sources.v2.VersionedCatalog.commitPreservingLayout(
-          r, toPhysical(r, result), retainOf(spark), ManifestTable.liveProps(r))
+          r, toPhysical(r, result), retainOf(spark, r), ManifestTable.liveProps(r))
       case None =>
         // reading and overwriting the same table: materialize first
         result.localCheckpoint(true).write.mode("overwrite").saveAsTable(tgt.name)
@@ -325,7 +327,7 @@ object MergeInto {
       .drop(ManifestTable.DayCol)
     val result = mergeResult(restricted, tgt.alias, source, m)
     ManifestTable.replaceDays(toPhysical(root, result), root, removeDays = days,
-      partitionDayOf = physicalNameOf(root, tsCol), retain = retainOf(spark),
+      partitionDayOf = physicalNameOf(root, tsCol), retain = retainOf(spark, root),
       expectedVersion = baseVersion)
     if (refreshView)
       ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
@@ -465,7 +467,7 @@ object MergeInto {
       .localCheckpoint(true) // materialize before the commit decision
     if (tombstones.isEmpty) return true // predicate matched nothing: no-op
     ManifestTable.appendDeletes(tombstones.repartition(1), root,
-      retain = retainOf(spark))
+      retain = retainOf(spark, root))
     true
   }
 
@@ -505,7 +507,7 @@ object MergeInto {
       .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
       .repartition(1)
     ManifestTable.appendWithDeletes(toPhysical(root, updated), tombstones, root,
-      retain = retainOf(spark),
+      retain = retainOf(spark, root),
       partitionDayOf = meta.dayOf.map(meta.physicalName),
       format = Some(meta.format),
       partitionExpr = graft.sources.v2.VersionedCatalog.partDeriveExpr(meta),
@@ -619,7 +621,7 @@ object MergeInto {
     if (partial.nonEmpty && tsType == TimestampType &&
         zone != java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
       return false
-    val retain = retainOf(spark)
+    val retain = retainOf(spark, root)
     if (partial.isEmpty) {
       ManifestTable.dropDays(root, fully, retain = retain,
         expectedVersion = baseVersion) // pure metadata

@@ -31,8 +31,8 @@ object Maintenance {
     (root, meta)
   }
 
-  private def retainOf(spark: SparkSession): Int =
-    spark.conf.get("spark.graft.versioned.retain", "2").toInt
+  private def retainOf(spark: SparkSession, root: String): Int =
+    VersionedCatalog.retainFor(root, spark)
 
   /** OPTIMIZE [ZORDER BY]: rewrite the live snapshot into
     * ~`targetFileBytes` files (per day for partitioned tables), keeping
@@ -67,7 +67,7 @@ object Maintenance {
         ManifestTable.compact(spark, root,
           partitionDayOf = physDay,
           targetFileBytes = targetFileBytes,
-          retain = retainOf(spark),
+          retain = retainOf(spark, root),
           format = Some(meta.format))
       else {
         // generalized compaction for transform/identity layouts: full
@@ -80,7 +80,7 @@ object Maintenance {
         val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
         VersionedCatalog.commitPreservingLayout(root,
           raw.repartition(nFiles, dirKeyCols(raw): _*),
-          retainOf(spark), ManifestTable.liveProps(root))
+          retainOf(spark, root), ManifestTable.liveProps(root))
       }
     } else {
       val zCols = zorderBy.map(meta.physicalName)
@@ -118,7 +118,7 @@ object Maintenance {
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
       VersionedCatalog.commitPreservingLayout(root, clustered,
-        retainOf(spark), ManifestTable.liveProps(root))
+        retainOf(spark, root), ManifestTable.liveProps(root))
     }
   }
 
@@ -134,7 +134,7 @@ object Maintenance {
     * file (Iceberg's `rewrite_position_delete_files`). */
   def rewriteDeletes(spark: SparkSession, ident: String): Long = {
     val (root, _) = resolve(spark, ident)
-    ManifestTable.rewriteDeletes(spark, root, retainOf(spark))
+    ManifestTable.rewriteDeletes(spark, root, retainOf(spark, root))
   }
 
   /** Expire retained snapshots beyond `retain` and GC unreferenced pool

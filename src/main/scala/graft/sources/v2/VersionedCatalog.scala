@@ -511,6 +511,16 @@ object VersionedCatalog {
     }
   }
 
+  /** Effective snapshot retention for a table root: its `retain` table
+    * property when set, else the session conf, else 2 — one resolution
+    * shared by every write path (INSERT, MERGE/UPDATE/DELETE, OPTIMIZE,
+    * streaming sink commits route through these). */
+  private[graft] def retainFor(root: String,
+                               spark: org.apache.spark.sql.SparkSession): Int =
+    readMeta(root).flatMap(_.userProps.get("retain"))
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(
+        spark.conf.get("spark.graft.versioned.retain", "2").toInt)
+
   /** Properties the engine derives itself; SET TBLPROPERTIES refuses
     * them (the `format` of a table is fixed at create; `retain` IS
     * settable — it drives per-table snapshot retention). */
@@ -1551,8 +1561,7 @@ class VersionedWriteBuilder(root: String, schema: StructType,
         val spark = data.sparkSession
         // per-table retention (TBLPROPERTIES('retain'='N')) wins over the
         // session conf — operational knobs belong to the table
-        val retain = meta.userProps.get("retain").map(_.toInt).getOrElse(
-          spark.conf.get("spark.graft.versioned.retain", "2").toInt)
+        val retain = VersionedCatalog.retainFor(root, spark)
         // align by name+type with the declared schema (V2 resolution has
         // already matched columns; the cast pins exact physical types),
         // then swap logical for physical names

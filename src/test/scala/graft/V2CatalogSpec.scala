@@ -912,6 +912,11 @@ class V2CatalogSpec extends AnyFunSuite {
     val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/props"
     assert(ManifestTable.versions(root) === Seq(2L, 3L, 4L, 5L, 6L))
 
+    // DML writes resolve the same per-table retention
+    graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.props WHERE k = 1")
+    assert(ManifestTable.versions(root) === Seq(3L, 4L, 5L, 6L, 7L),
+      "a DELETE commit must honor the table's retain property")
+
     spark.sql("ALTER TABLE gtest.ns.props SET TBLPROPERTIES ('team'='ml', 'tier'='gold')")
     assert(props().get("team").contains("ml") && props().get("tier").contains("gold"))
     spark.sql("ALTER TABLE gtest.ns.props UNSET TBLPROPERTIES ('tier')")
