@@ -152,6 +152,7 @@ object SparkEntry {
     "spj_join" -> ((s, d) => graft.sources.v2.V2Queries.spjJoin(s, d)),
     "stream_versioned_read" -> ((s, d) => graft.sources.v2.V2Queries.streamVersionedRead(s, d)),
     "agg_pushdown_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownScan(s, d)),
+    "stream_table_sink" -> ((s, d) => graft.sources.v2.V2Queries.streamTableSink(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
     "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
@@ -290,6 +291,7 @@ object SparkEntry {
     "spj_join" -> graft.sources.v2.V2Queries.oracle.spjJoin,
     "stream_versioned_read" -> graft.sources.v2.V2Queries.oracle.streamVersionedRead,
     "agg_pushdown_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownScan,
+    "stream_table_sink" -> graft.sources.v2.V2Queries.oracle.streamTableSink,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,

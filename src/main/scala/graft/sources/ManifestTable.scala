@@ -5,6 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.FileAlreadyExistsException
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Manifest-based table format: immutable data files in a shared pool,
   * each version a MANIFEST (file list), commits an atomic pointer flip.
@@ -852,6 +853,34 @@ object ManifestTable {
     * or full rewrite materializes them away. Rebases like [[append]]
     * (tombstones reference specific files, so concurrent appends of NEW
     * files never conflict logically). */
+  /** Commit files ALREADY WRITTEN by streaming tasks ([[graft] the V2
+    * STREAMING_WRITE leg]): move each staged file into the pool (stats
+    * from its own footer, one metadata read), then publish one manifest —
+    * an append carrying base ∪ new, or a full replacement (streaming
+    * Complete mode). `schema` is the files' PHYSICAL schema. */
+  private[graft] def commitStagedFiles(root: String, staged: Seq[String],
+                                       schema: StructType, retain: Int,
+                                       overwrite: Boolean,
+                                       props: Map[String, String]): Long = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val withStats = fileStatsEnabled
+    val fmt = formatOf(root).getOrElse("parquet")
+    val entries = staged.map { p =>
+      val stats =
+        if (withStats) FileStats.collect(p, fmt, schema, conf) else None
+      val name = s"${UUID.randomUUID().toString.take(16)}.$fmt"
+      MetaIO.rename(p, s"$root/data/$name")
+      MetaIO.setTimes(s"$root/data/$name", System.currentTimeMillis())
+      FileEntry(name, stats)
+    }
+    if (overwrite)
+      commitLoop(root, retain, rebase = false)(_ => Planned(entries, props))
+    else
+      commitLoop(root, retain, rebase = true) { base =>
+        Planned(base.inline ++ entries, base.props ++ props, carried = base.refs)
+      }
+  }
+
   def appendDeletes(tombstones: DataFrame, root: String, retain: Int = 2): Long = {
     val touched = touchedRelsOf(tombstones)
     val fresh = writeDeletePool(tombstones, root, touched)

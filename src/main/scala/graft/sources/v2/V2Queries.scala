@@ -567,6 +567,40 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Native streaming SINK — `writeStream.toTable` on a versioned table:
+    * the events parquet streams in via the file source, every epoch's
+    * task files land through the engine's STREAMING_WRITE (staged
+    * parquet → one manifest commit with the epoch marker), and the
+    * committed table aggregates per event type. The oracle recomputes
+    * flat from events, so the hash gate proves the sink delivered every
+    * row exactly once. */
+  def streamTableSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("stws")}"
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_stws_ck").toString
+    try {
+      spark.sql(s"""CREATE TABLE $tbl
+                    (event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+                     event_type STRING, value DOUBLE)""")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_id"),
+          expr(graft.Tables.tsNormExpr(schema("ts").dataType)).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .toTable(tbl)
+      q.awaitTermination()
+      spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Iceberg-style column defaults, metadata-only (`ADD COLUMN ... DEFAULT`):
     * three file generations of one table — written BEFORE the ADD (reads the
     * pinned initial default), written with explicit values, and written by an
@@ -997,6 +1031,13 @@ object V2Queries {
          |  MIN(value) AS min_value, MAX(value) AS max_value,
          |  TRUE AS agg_meta_ok
          |FROM events""".stripMargin
+
+    /** The sink-committed per-type aggregate recomputed flat. */
+    val streamTableSink: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume
+         |FROM events
+         |GROUP BY 1""".stripMargin
 
     /** The streamed per-type aggregate recomputed flat over events. */
     val streamVersionedRead: String =

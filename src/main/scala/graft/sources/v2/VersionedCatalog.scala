@@ -789,7 +789,8 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(root, userSchema, dayOf, pinnedVersion, options, meta)
@@ -797,7 +798,7 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"$tableName@v=${pinnedVersion.get} is a time-travel read; writes go to the live table")
-    new VersionedWriteBuilder(root, userSchema, dayOf, meta)
+    new VersionedWriteBuilder(root, userSchema, dayOf, meta, info.queryId())
   }
 }
 
@@ -1548,7 +1549,8 @@ private[v2] object GraftScanStats {
   * names so every data file in the pool stays uniformly named. */
 class VersionedWriteBuilder(root: String, schema: StructType,
                             dayOf: Option[String],
-                            meta: VersionedCatalog.Meta)
+                            meta: VersionedCatalog.Meta,
+                            queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -1556,6 +1558,25 @@ class VersionedWriteBuilder(root: String, schema: StructType,
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): V1Write = new V1Write {
+    /** Streaming leg (`df.writeStream.toTable`): tasks stage parquet
+      * files, the epoch commit publishes one manifest append with an
+      * epoch marker (exactly-once across replays). Unpartitioned parquet
+      * tables only — partitioned streaming ingestion goes through the
+      * foreachBatch sink ([[graft.streaming.MicroBatch.appendSink]]),
+      * which reuses the full batch write path. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(meta.format == "parquet",
+        s"streaming write to $root: format ${meta.format} is not streamable yet")
+      require(dayOf.isEmpty && meta.part.isEmpty && meta.identityCols.isEmpty,
+        s"streaming write to $root: partitioned tables stream through " +
+          "graft.streaming.MicroBatch.appendSink (foreachBatch) for now")
+      val fileSchema = StructType(schema.fields.map(f =>
+        f.copy(name = meta.physicalName(f.name))))
+      val spark = SparkSession.active
+      new VersionedStreamWrite(root, fileSchema, queryId, overwrite,
+        () => VersionedCatalog.retainFor(root, spark))
+    }
+
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, ignored: Boolean): Unit = {
         val spark = data.sparkSession

@@ -1,0 +1,43 @@
+package org.apache.spark.sql.execution.datasources.v2
+
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Task-side parquet row writing for the engine's streaming sink
+  * ([[graft.sources.v2.VersionedStreamWrite]]): Spark's own parquet
+  * output-writer factory (identical codec/conf to batch writes), wrapped
+  * because `ParquetUtils`/`OutputWriterFactory` are sql-internal. The
+  * handle is serializable and ships to executors. */
+class GraftParquetWriterHandle private[v2] (factory: OutputWriterFactory,
+                                            val conf: SerializableConfiguration)
+    extends Serializable {
+  def extension(ctx: TaskAttemptContext): String = factory.getFileExtension(ctx)
+  def open(path: String, schema: StructType, ctx: TaskAttemptContext): GraftRowFileWriter =
+    new GraftRowFileWriter(factory.newInstance(path, schema, ctx))
+}
+
+class GraftRowFileWriter private[v2] (
+    w: org.apache.spark.sql.execution.datasources.OutputWriter) {
+  def write(row: InternalRow): Unit = w.write(row)
+  def close(): Unit = w.close()
+}
+
+object GraftStreamWriteBridge {
+  /** Driver-side preparation: write conf + factory for `fileSchema`. */
+  def parquetWriterHandle(spark: SparkSession, fileSchema: StructType)
+      : GraftParquetWriterHandle = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val job = Job.getInstance(classic.sessionState.newHadoopConf())
+    val factory = ParquetUtils.prepareWrite(
+      classic.sessionState.conf, job, fileSchema,
+      new ParquetOptions(Map.empty[String, String], classic.sessionState.conf))
+    new GraftParquetWriterHandle(factory,
+      new SerializableConfiguration(job.getConfiguration))
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ManifestTable, MetaIO}
+import graft.sources.v2.VersionedCatalog
+
+/** Native streaming writes (`writeStream.toTable`): each epoch's tasks
+  * stage parquet directly, the epoch commit is ONE manifest append with
+  * an epoch marker, restarts are exactly-once, and Complete mode maps to
+  * an overwrite commit per epoch. The versioned table is a first-class
+  * streaming SINK, not just a foreachBatch target.
+  */
+class StreamTableWriteSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gstw", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gstw.warehouse",
+      Files.createTempDirectory("graft_stwwh").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gstw.ns")
+    s
+  }
+
+  test("append stream lands epochs as manifest commits, exactly once across restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "gstw.ns.sink"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    val checkpoint = Files.createTempDirectory("stw_ck").toString
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q1 = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+    q1.awaitTermination()
+    assert(spark.table(t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+
+    // second run from the same checkpoint: only the new batch lands
+    mem.addData((3L, "c"))
+    val q2 = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+    q2.awaitTermination()
+    val rows = spark.table(t).as[(Long, String)].collect().toSeq
+    assert(rows.size === 3, s"no re-delivery across restarts: $rows")
+    assert(rows.toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // each epoch is one manifest commit with the epoch marker inside it
+    val root = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/sink"
+    assert(ManifestTable.liveProps(root).keys.exists(_.startsWith("stream.")),
+      "the epoch marker must ride the commit")
+    // staged files were moved, not copied: stage dir is gone
+    assert(MetaIO.listStatus(s"$root/stage").isEmpty, "stage must be cleaned up")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("complete mode replaces the snapshot per epoch; history stays time-travelable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "gstw.ns.agg"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (v STRING, n BIGINT)")
+    val checkpoint = Files.createTempDirectory("stw_ck2").toString
+
+    val mem = MemoryStream[String]
+    def run(): Unit = {
+      val q = mem.toDF().toDF("v").groupBy($"v").agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    mem.addData("x", "x", "y")
+    run()
+    assert(spark.table(t).as[(String, Long)].collect().toMap ===
+      Map("x" -> 2L, "y" -> 1L))
+    mem.addData("y")
+    run()
+    assert(spark.table(t).as[(String, Long)].collect().toMap ===
+      Map("x" -> 2L, "y" -> 2L), "complete mode must REPLACE the snapshot")
+    // the previous epoch's result is still a retained version
+    val root = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/agg"
+    val prev = ManifestTable.versions(root).dropRight(1).last
+    assert(ManifestTable.readVersion(spark, root, prev)
+      .as[(String, Long)].collect().toMap === Map("x" -> 2L, "y" -> 1L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("partitioned and non-parquet tables decline with a pointer to the foreachBatch sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gstw.ns.partd")
+    spark.sql("CREATE TABLE gstw.ns.partd (k BIGINT, region STRING) PARTITIONED BY (region)")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "r1"))
+    val ex = intercept[Exception] {
+      val q = mem.toDF().toDF("k", "region").writeStream
+        .option("checkpointLocation", Files.createTempDirectory("stw_ck3").toString)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gstw.ns.partd")
+      q.awaitTermination()
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ messages(t.getCause))
+    assert(messages(ex).exists(_.contains("appendSink")),
+      s"must point at the foreachBatch sink: ${messages(ex)}")
+    spark.sql("DROP TABLE gstw.ns.partd")
+  }
+}
