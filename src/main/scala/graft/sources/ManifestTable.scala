@@ -858,17 +858,19 @@ object ManifestTable {
     * from its own footer, one metadata read), then publish one manifest —
     * an append carrying base ∪ new, or a full replacement (streaming
     * Complete mode). `schema` is the files' PHYSICAL schema. */
-  private[graft] def commitStagedFiles(root: String, staged: Seq[String],
+  private[graft] def commitStagedFiles(root: String,
+                                       staged: Seq[(String, String)],
                                        schema: StructType, retain: Int,
                                        overwrite: Boolean,
                                        props: Map[String, String]): Long = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val withStats = fileStatsEnabled
     val fmt = formatOf(root).getOrElse("parquet")
-    val entries = staged.map { p =>
+    val entries = staged.map { case (p, sub) =>
       val stats =
         if (withStats) FileStats.collect(p, fmt, schema, conf) else None
-      val name = s"${UUID.randomUUID().toString.take(16)}.$fmt"
+      val base = s"${UUID.randomUUID().toString.take(16)}.$fmt"
+      val name = if (sub.isEmpty) base else s"$sub/$base"
       MetaIO.rename(p, s"$root/data/$name")
       MetaIO.setTimes(s"$root/data/$name", System.currentTimeMillis())
       FileEntry(name, stats)

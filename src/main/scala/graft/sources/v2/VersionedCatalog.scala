@@ -1567,13 +1567,43 @@ class VersionedWriteBuilder(root: String, schema: StructType,
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(meta.format == "parquet",
         s"streaming write to $root: format ${meta.format} is not streamable yet")
-      require(dayOf.isEmpty && meta.part.isEmpty && meta.identityCols.isEmpty,
-        s"streaming write to $root: partitioned tables stream through " +
-          "graft.streaming.MicroBatch.appendSink (foreachBatch) for now")
-      val fileSchema = StructType(schema.fields.map(f =>
+      require(meta.part.isEmpty,
+        s"streaming write to $root: hidden ${meta.part.map(_.kind).getOrElse("")} " +
+          "transforms stream through graft.streaming.MicroBatch.appendSink (foreachBatch) for now")
+      val physical = StructType(schema.fields.map(f =>
         f.copy(name = meta.physicalName(f.name))))
+      def ordOf(c: String): Int = {
+        val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        require(i >= 0, s"streaming write to $root: partition source $c missing " +
+          s"from the written columns ${schema.fieldNames.mkString(",")}")
+        i
+      }
+      val dayOrd = dayOf.map { c =>
+        val i = ordOf(c)
+        require(schema.fields(i).dataType == org.apache.spark.sql.types.TimestampNTZType ||
+          schema.fields(i).dataType == org.apache.spark.sql.types.DateType,
+          s"streaming write to $root: hidden-day source $c must be " +
+            "TIMESTAMP_NTZ or DATE for streaming (session-zone TIMESTAMP " +
+            "streams through the foreachBatch appendSink)")
+        i
+      }
+      val identity = meta.identityCols.map { c =>
+        val i = ordOf(c)
+        require(Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+          .contains(schema.fields(i).dataType),
+          s"streaming write to $root: identity partition column $c must be " +
+            "string or integral for streaming")
+        (meta.physicalName(schema.fields(i).name), i)
+      }
+      val identityOrds = identity.map(_._2).toSet
+      val fileOrdinals = schema.fields.indices.filterNot(identityOrds).toArray
+      val fileSchema = StructType(fileOrdinals.map(physical.fields(_)))
+      val layout = StreamLayout(physical, dayOrd, identity, fileOrdinals)
       val spark = SparkSession.active
-      new VersionedStreamWrite(root, fileSchema, queryId, overwrite,
+      new VersionedStreamWrite(root, fileSchema, layout, queryId, overwrite,
         () => VersionedCatalog.retainFor(root, spark))
     }
 

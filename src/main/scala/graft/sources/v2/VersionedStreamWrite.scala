@@ -5,30 +5,82 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.v2.{GraftParquetWriterHandle, GraftStreamWriteBridge}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 import graft.sources.{ManifestTable, MetaIO}
 
+/** Which directory each row lands in — the streaming mirror of the batch
+  * writer's `partitionBy`/hidden-day derivation, so streamed files are
+  * indistinguishable from batch-written ones to every reader and pruner.
+  *
+  *  - `dayOrdinal`: hidden-day layout — `__day=<date>` from the
+  *    TIMESTAMP_NTZ/DATE source column (wall-clock, zone-free).
+  *  - `identity`: identity layout — `col=value` dirs (Spark's own path
+  *    escaping, hive default dir for nulls); the identity columns are
+  *    PROJECTED OUT of the file, exactly like `partitionBy`.
+  */
+private[v2] case class StreamLayout(
+    rowSchema: StructType,
+    dayOrdinal: Option[Int],
+    identity: Seq[(String, Int)],
+    fileOrdinals: Array[Int]) extends Serializable {
+
+  def dirOf(row: InternalRow): String =
+    dayOrdinal match {
+      case Some(ord) =>
+        val day = rowSchema.fields(ord).dataType match {
+          case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong)
+          case _ => java.time.LocalDate.ofEpochDay(
+            Math.floorDiv(row.getLong(ord), 86_400_000_000L))
+        }
+        s"${ManifestTable.DayCol}=$day"
+      case None =>
+        identity.map { case (name, ord) =>
+          val v =
+            if (row.isNullAt(ord)) null
+            else rowSchema.fields(ord).dataType match {
+              case ByteType => row.getByte(ord).toString
+              case ShortType => row.getShort(ord).toString
+              case IntegerType => row.getInt(ord).toString
+              case LongType => row.getLong(ord).toString
+              case _ => row.getUTF8String(ord).toString
+            }
+          ExternalCatalogUtils.getPartitionPathString(name, v)
+        }.mkString("/")
+    }
+
+  def isProjected: Boolean = fileOrdinals.length != rowSchema.length
+  def projection(): UnsafeProjection =
+    UnsafeProjection.create(fileOrdinals.toIndexedSeq.map(i =>
+      BoundReference(i, rowSchema.fields(i).dataType, rowSchema.fields(i).nullable)))
+}
+
 /** Native streaming writes into a versioned table
   * (`df.writeStream.toTable("cat.ns.t")` — the V2 STREAMING_WRITE leg):
-  * each task streams its rows straight into a STAGED parquet file through
-  * Spark's own parquet output writer (files identical to batch writes),
-  * and the epoch COMMIT moves the staged files into the pool and
-  * publishes ONE manifest append carrying the epoch marker
-  * (`stream.<queryId>.epoch`) — a replayed epoch after driver recovery
-  * is detected from the live manifest and its files are discarded
-  * instead of double-appended, the same exactly-once contract the
-  * foreachBatch sink keeps. Commit cost per epoch follows the epoch's
-  * data; nothing rewrites.
+  * each task streams its rows into STAGED parquet files through Spark's
+  * own parquet output writer — one open file per partition directory the
+  * task touches, the same dynamic-partition shape the batch writer has —
+  * and the epoch COMMIT moves the staged files into the pool under their
+  * partition directories and publishes ONE manifest append carrying the
+  * epoch marker (`stream.<queryId>.epoch`). A replayed epoch after
+  * driver recovery is detected from the live manifest and its files are
+  * discarded instead of double-appended — exactly-once, the same
+  * contract the foreachBatch sink keeps. Commit cost per epoch follows
+  * the epoch's data; nothing rewrites, and every downstream pruning tier
+  * (day dirs, identity dirs, per-file stats with row counts) works on
+  * streamed files exactly as on batch-written ones.
   *
   * Complete output mode maps to an overwrite commit per epoch (the new
   * result set replaces the snapshot; retained history keeps earlier
   * epochs time-travelable).
   */
 private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
+                                       layout: StreamLayout,
                                        queryId: String, overwrite: Boolean,
                                        retain: () => Int)
     extends StreamingWrite {
@@ -40,10 +92,10 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
       : StreamingDataWriterFactory =
     new VersionedStreamWriterFactory(
       GraftStreamWriteBridge.parquetWriterHandle(SparkSession.active, fileSchema),
-      stageDir, fileSchema)
+      stageDir, fileSchema, layout)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case StagedFile(Some(path)) => path }.toSeq
+    val staged = messages.collect { case StagedFiles(fs) => fs }.flatten.toSeq
     val key = s"stream.$queryId.epoch"
     val last =
       if (ManifestTable.exists(root))
@@ -51,7 +103,7 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
       else None
     if (last.exists(_ >= epochId)) {
       // replayed epoch: its rows are already committed — discard
-      staged.foreach(MetaIO.delete(_))
+      staged.foreach { case (path, _) => MetaIO.delete(path) }
     } else if (staged.isEmpty && !overwrite) {
       // empty append epoch: advance the marker when a manifest exists (an
       // empty manifest is unrepresentable, so a brand-new table waits)
@@ -67,43 +119,52 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
-      case StagedFile(Some(path)) => MetaIO.delete(path)
+      case StagedFiles(fs) => fs.foreach { case (path, _) => MetaIO.delete(path) }
       case _ => ()
     }
     MetaIO.delete(stageDir, recursive = true)
   }
 }
 
-private case class StagedFile(path: Option[String]) extends WriterCommitMessage
+/** (staged path, partition subdirectory — "" for flat) per file. */
+private case class StagedFiles(files: Seq[(String, String)])
+    extends WriterCommitMessage
 
 private class VersionedStreamWriterFactory(handle: GraftParquetWriterHandle,
-                                           stageDir: String, schema: StructType)
+                                           stageDir: String, schema: StructType,
+                                           layout: StreamLayout)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // lazy open: an empty task stages no file at all
-      private var writer: org.apache.spark.sql.execution.datasources.v2.GraftRowFileWriter = _
-      private var path: String = _
+      private val ctx = new TaskAttemptContextImpl(handle.conf.value,
+        new TaskAttemptID(new TaskID(new JobID(
+          "graftstream", (epochId % Int.MaxValue).toInt), TaskType.MAP, partitionId),
+          (taskId % Int.MaxValue).toInt))
+      // one open file per partition directory this task touches — the
+      // batch writer's dynamic-partition shape
+      private val open = scala.collection.mutable.LinkedHashMap
+        .empty[String, (org.apache.spark.sql.execution.datasources.v2.GraftRowFileWriter, String)]
+      private lazy val proj = layout.projection()
+
       override def write(row: InternalRow): Unit = {
-        if (writer == null) {
-          val ctx = new TaskAttemptContextImpl(handle.conf.value,
-            new TaskAttemptID(new TaskID(new JobID(
-              "graftstream", (epochId % Int.MaxValue).toInt), TaskType.MAP, partitionId),
-              (taskId % Int.MaxValue).toInt))
-          path = s"$stageDir/e${epochId}_p${partitionId}_t$taskId" +
+        val dir = layout.dirOf(row)
+        val (w, _) = open.getOrElseUpdate(dir, {
+          val sub = if (dir.isEmpty) "" else s"$dir/"
+          val path = s"$stageDir/${sub}e${epochId}_p${partitionId}_t$taskId" +
             handle.extension(ctx)
-          writer = handle.open(path, schema, ctx)
-        }
-        writer.write(row)
+          (handle.open(path, schema, ctx), path)
+        })
+        w.write(if (layout.isProjected) proj(row) else row)
       }
       override def commit(): WriterCommitMessage = {
-        if (writer != null) writer.close()
-        StagedFile(Option(path))
+        open.values.foreach(_._1.close())
+        StagedFiles(open.map { case (dir, (_, path)) => (path, dir) }.toSeq)
       }
       override def abort(): Unit = {
-        if (writer != null) writer.close()
-        if (path != null) MetaIO.delete(path)
+        open.values.foreach { case (w, path) =>
+          scala.util.Try(w.close()); MetaIO.delete(path)
+        }
       }
       override def close(): Unit = ()
     }

@@ -98,24 +98,80 @@ class StreamTableWriteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
-  test("partitioned and non-parquet tables decline with a pointer to the foreachBatch sink") {
+  test("identity-partitioned sink writes batch-identical dirs; pruning works on streamed files") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS gstw.ns.partd")
-    spark.sql("CREATE TABLE gstw.ns.partd (k BIGINT, region STRING) PARTITIONED BY (region)")
-    val mem = MemoryStream[(Long, String)]
-    mem.addData((1L, "r1"))
+    val t = "gstw.ns.partd"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData((0 until 90).map(i => (i.toLong, s"r${i % 3}", i * 1.0)): _*)
+    val q = mem.toDF().toDF("k", "region", "v").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("stw_ck3").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+    q.awaitTermination()
+    assert(spark.table(t).groupBy($"region").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("r0" -> 30L, "r1" -> 30L, "r2" -> 30L))
+    // streamed files landed under region= dirs the pruner understands
+    val root = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/partd"
+    assert(ManifestTable.liveEntries(root).forall(_.rel.startsWith("region=")))
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.map(graft.sources.v2.GraftScans.innermost).collect {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.inputFiles.length
+      }.sum
+    val one = spark.table(t).where($"region" === "r1")
+    assert(one.count() === 30 && files(one) < files(spark.table(t)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("hidden-day sink derives __day dirs from TIMESTAMP_NTZ; day pruning works") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "gstw.ns.dayd"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (days(ts))")
+    val mem = MemoryStream[(Long, Long)] // (k, day index)
+    mem.addData((0 until 60).map(i => (i.toLong, (i % 3).toLong)): _*)
+    val q = mem.toDF().toDF("k", "d")
+      .select($"k", (lit("2024-05-01 06:00:00").cast("timestamp_ntz")
+        + expr("make_interval(0,0,0,d,0,0,0)")).as("ts"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("stw_ck4").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+    q.awaitTermination()
+    assert(spark.table(t).count() === 60)
+    val root = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/dayd"
+    assert(ManifestTable.liveDays(root) ===
+      Set("2024-05-01", "2024-05-02", "2024-05-03"))
+    val win = spark.table(t).where($"ts" < lit("2024-05-02 00:00:00").cast("timestamp_ntz"))
+    assert(win.count() === 20)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("hidden bucket transforms decline with a pointer to the foreachBatch sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gstw.ns.bkt")
+    spark.sql("CREATE TABLE gstw.ns.bkt (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData((1L, 1.0))
     val ex = intercept[Exception] {
-      val q = mem.toDF().toDF("k", "region").writeStream
-        .option("checkpointLocation", Files.createTempDirectory("stw_ck3").toString)
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", Files.createTempDirectory("stw_ck5").toString)
         .trigger(Trigger.AvailableNow())
-        .toTable("gstw.ns.partd")
+        .toTable("gstw.ns.bkt")
       q.awaitTermination()
     }
     def messages(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ messages(t.getCause))
     assert(messages(ex).exists(_.contains("appendSink")),
       s"must point at the foreachBatch sink: ${messages(ex)}")
-    spark.sql("DROP TABLE gstw.ns.partd")
+    spark.sql("DROP TABLE gstw.ns.bkt")
   }
 }
