@@ -348,7 +348,17 @@ object FileStats {
       case (s: IntegerColumnStatistics, ByteType | ShortType | IntegerType | LongType) =>
         Some((s.getMinimum.toString, s.getMaximum.toString))
       case (s: DoubleColumnStatistics, FloatType | DoubleType) =>
-        Some((s.getMinimum.toString, s.getMaximum.toString))
+        // ORC's double stats SEED min/max with the first value even when it
+        // is NaN and ignore NaN afterwards, so a NaN-containing file carries
+        // bounds that either are NaN or silently exclude it (Spark's MIN/MAX
+        // over such data returns NaN — a metadata answer from these bounds
+        // would be wrong, and a NaN min would wrongly prune LessThan). The
+        // running SUM does propagate NaN, so a NaN sum is the reliable
+        // poison flag; +Inf + -Inf also lands on NaN — conservative decline
+        // either way (null count still rides).
+        if (java.lang.Double.isNaN(s.getSum) ||
+            java.lang.Double.isNaN(s.getMinimum) || java.lang.Double.isNaN(s.getMaximum)) None
+        else Some((s.getMinimum.toString, s.getMaximum.toString))
       case (s: StringColumnStatistics, StringType) =>
         for {
           mn <- Option(s.getMinimum).flatMap(safeString)
@@ -411,7 +421,9 @@ object FileStats {
   private def parseBound(tag: Char, s: String): Option[Any] = Try {
     tag match {
       case 'l' | 't' | 'n' | 'a' | 'b' => s.toLong
-      case 'd'                         => s.toDouble
+      // a NaN bound (legacy manifests written before the ORC NaN decline)
+      // gives no ordering verdict — refuse it, never prune on it
+      case 'd' => val d = s.toDouble; require(!java.lang.Double.isNaN(d)); d
       case 'm'                         => BigDecimal(s)
       case 's'                         => s
     }

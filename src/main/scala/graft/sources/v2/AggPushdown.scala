@@ -106,6 +106,12 @@ private[v2] object AggPushdown {
             m.get(phys) match {
               case Some(cs) if cs.tag == tag =>
                 (cs.min, cs.max, cs.nulls) match {
+                  // NaN bounds (legacy manifests predating the ORC NaN
+                  // decline) prove nothing: MIN/MAX over NaN-containing
+                  // data is NaN in Spark but these bounds can't say so
+                  case (Some(mn), Some(mx), _)
+                      if tag == 'd' && (java.lang.Double.isNaN(mn.toDouble) ||
+                        java.lang.Double.isNaN(mx.toDouble)) => None
                   case (Some(mn), Some(mx), _) =>
                     Some(Some(comparable(tag, if (isMin) mn else mx)))
                   case (None, None, Some(nulls)) if nulls == nRows =>

@@ -149,7 +149,21 @@ private[v2] class VersionedMicroBatchStream(
           s"changes (${newDeletes.size} delete files; last file-removing " +
           s"commit v=$lastChange); this source streams APPENDS — set " +
           s"ignoreChanges to stream the appended files anyway (rewritten " +
-          s"rows may re-deliver)")
+          s"rows may re-deliver), or stream `$root`.changes for row-level " +
+          s"change delivery")
+    }
+    if (!ignoreChanges && sV == 0) {
+      // the INITIAL batch is a snapshot read, but this source streams the
+      // data files RAW: live merge-on-read deletes would re-deliver
+      // deleted rows. Fail loudly (the same escape hatch), pointing at
+      // the paths that DO apply them.
+      val liveDel = endEntries.filter(e => isDelete(e.rel))
+      require(liveDel.isEmpty,
+        s"streaming read of $root: the initial batch would stream " +
+          s"${liveDel.size} live merge-on-read delete files' targets raw, " +
+          s"re-delivering deleted rows — run CALL rewrite-compaction " +
+          s"(system.optimize) first, stream `$root`.changes, or set " +
+          s"ignoreChanges to accept re-delivery")
     }
     if (appended.isEmpty) Array.empty
     else fileScanFor(appended.map(_.rel)).toBatch.planInputPartitions()

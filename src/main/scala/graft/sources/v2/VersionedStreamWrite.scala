@@ -110,6 +110,22 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
       if (ManifestTable.exists(root))
         ManifestTable.commitStagedFiles(root, Nil, fileSchema,
           retain(), overwrite = false, Map(key -> epochId.toString))
+    } else if (staged.isEmpty) {
+      // Complete-mode epoch draining to ZERO rows: the new result set is
+      // empty, and that must be what readers see — but a zero-entry
+      // manifest is unrepresentable, so the epoch commits ONE zero-row
+      // parquet file (written driver-side through the same writer the
+      // tasks use). Readers, stats, and the metadata tables all handle a
+      // zero-row file like any other.
+      val handle = GraftStreamWriteBridge.parquetWriterHandle(
+        SparkSession.active, fileSchema)
+      val ctx = new TaskAttemptContextImpl(handle.conf.value,
+        new TaskAttemptID(new TaskID(new JobID(
+          "graftstream", (epochId % Int.MaxValue).toInt), TaskType.MAP, 0), 0))
+      val path = s"$stageDir/e${epochId}_empty${handle.extension(ctx)}"
+      handle.open(path, fileSchema, ctx).close()
+      ManifestTable.commitStagedFiles(root, Seq((path, "")), fileSchema,
+        retain(), overwrite = true, Map(key -> epochId.toString))
     } else {
       ManifestTable.commitStagedFiles(root, staged, fileSchema,
         retain(), overwrite, Map(key -> epochId.toString))

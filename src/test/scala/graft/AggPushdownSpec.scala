@@ -135,6 +135,29 @@ class AggPushdownSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("NaN doubles on an ORC table: MIN/MAX fall back and answer NaN correctly") {
+    import spark.implicits._
+    val t = "gagg.ns.orcnan"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE) TBLPROPERTIES('format'='orc')")
+    // NaN as the FIRST value of one file: ORC seeds min/max with it and
+    // ignores NaN afterwards — footer bounds are untrustworthy either way,
+    // so the double column must carry no bounds and MAX must fall back to
+    // the real scan (Spark's MAX over NaN-containing data is NaN)
+    Seq((1L, Double.NaN), (2L, 1.0), (3L, 5.0)).toDF("k", "v")
+      .coalesce(1).writeTo(t).append()
+    val agg = spark.table(t).agg(max($"v").as("mx"), min($"v").as("mn"))
+    val row = agg.collect()(0)
+    assert(!usedMetadataOnly(agg),
+      "NaN-poisoned ORC double bounds must decline the metadata answer")
+    assert(row.getDouble(0).isNaN, "Spark MAX over NaN data is NaN")
+    // COUNT and the BIGINT column still answer metadata-only
+    val cnt = spark.table(t).agg(count(lit(1)).as("n"), max($"k").as("mk"))
+    assert(usedMetadataOnly(cnt))
+    assert(cnt.collect()(0).getLong(0) === 3L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("avro tables push down too (writer-side stats carry row counts)") {
     import spark.implicits._
     val t = "gagg.ns.av"

@@ -76,6 +76,43 @@ class FileStatsSpec extends AnyFunSuite {
     assert(!FileStats.mayContain(s, sources.EqualTo("v", Double.box(99.0))))
   }
 
+  test("legacy NaN BOUNDS (not just NaN probes) never prune") {
+    // a manifest written before the ORC NaN decline may carry NaN min/max;
+    // NaN compares greater than everything under Double.compare, so a NaN
+    // min would wrongly prune LessThan — the bound must give no verdict
+    val s = st("v" -> ColStats('d', Some("NaN"), Some("NaN"), Some(0L)))
+    assert(FileStats.mayContain(s, sources.LessThan("v", Double.box(5.0))))
+    assert(FileStats.mayContain(s, sources.GreaterThan("v", Double.box(5.0))))
+    assert(FileStats.mayContain(s, sources.EqualTo("v", Double.box(5.0))))
+  }
+
+  test("ORC double stats decline bounds when the file holds NaN (sum poison)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc_nan").toString
+    // NaN FIRST so ORC seeds min/max with it, and NaN mid-stream for the
+    // thereafter-ignored case — both must decline via the NaN-propagating sum
+    Seq(Double.NaN, 1.0, 5.0).toDF("v").coalesce(1).write.orc(s"$dir/a")
+    Seq(1.0, Double.NaN, 5.0).toDF("v").coalesce(1).write.orc(s"$dir/b")
+    Seq(1.0, 5.0).toDF("v").coalesce(1).write.orc(s"$dir/c")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def statsOf(sub: String): Map[String, ColStats] = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .find(_.getName.endsWith(".orc")).get
+      FileStats.decode(FileStats.collect(f.toString, "orc", schema, conf).getOrElse(""))
+    }
+    for (sub <- Seq("a", "b")) {
+      val vs = statsOf(sub).get("v")
+      assert(vs.forall(c => c.min.isEmpty && c.max.isEmpty),
+        s"NaN-containing orc file $sub must carry no double bounds: $vs")
+    }
+    // the clean file keeps exact bounds — the decline is NaN-scoped
+    val clean = statsOf("c")("v")
+    assert(clean.min.contains("1.0") && clean.max.contains("5.0"))
+  }
+
   test("string verdicts: ASCII ordering, prefix pruning") {
     val s = st("name" -> ColStats('s', Some("alpha"), Some("miles"), Some(0L)))
     assert(!FileStats.mayContain(s, sources.EqualTo("name", "zeta")))

@@ -132,4 +132,38 @@ class StreamTableReadSpec extends AnyFunSuite {
     assert(rows.contains((9L, "z")), "appended file must stream under ignoreChanges")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("an INITIAL batch over live merge-on-read deletes fails loudly (no raw re-delivery)") {
+    import spark.implicits._
+    val t = "gstr.ns.mordel"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").writeTo(t).append()
+    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 2")
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+      case None => spark.conf.unset("spark.graft.delete.mode")
+    }
+
+    // a FRESH stream (no checkpoint history) must not silently stream the
+    // tombstoned file raw — the batch path applies the delete, the plain
+    // streaming source cannot
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, Files.createTempDirectory("str_ck5").toString,
+        Files.createTempDirectory("str_sink5").toString + "/out")
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("ignoreChanges")),
+      s"must name the escape hatch: ${messages(ex)}")
+
+    // the opt-in streams the files raw (deleted row re-delivers, documented)
+    val sink = Files.createTempDirectory("str_sink6").toString + "/out"
+    drain(t, Files.createTempDirectory("str_ck6").toString, sink,
+      Map("ignoreChanges" -> "true"))
+    assert(spark.read.parquet(sink).count() === 3)
+    spark.sql(s"DROP TABLE $t")
+  }
 }

@@ -154,6 +154,43 @@ class StreamTableWriteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("complete mode draining to an EMPTY result commits a readable empty snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "gstw.ns.aggz"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (v STRING, n BIGINT)")
+    val checkpoint = Files.createTempDirectory("stw_ckz").toString
+    val mem = MemoryStream[String]
+    def run(): Unit = {
+      // only groups seen exactly once survive — the result set SHRINKS to
+      // empty when the second epoch makes every group's count exceed 1
+      val q = mem.toDF().toDF("v").groupBy($"v").agg(count(lit(1)).as("n"))
+        .where($"n" === 1)
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    mem.addData("x", "x", "y")
+    run()
+    assert(spark.table(t).as[(String, Long)].collect().toMap === Map("y" -> 1L))
+    mem.addData("y")
+    run()
+    // the empty epoch must be READABLE as an empty snapshot (not the stale
+    // previous result, not a broken zero-entry manifest)
+    assert(spark.table(t).count() === 0,
+      "an empty Complete epoch replaces the snapshot with an empty one")
+    assert(spark.table(t).schema.fieldNames.toSeq === Seq("v", "n"))
+    // a later non-empty epoch continues normally
+    mem.addData("z")
+    run()
+    assert(spark.table(t).as[(String, Long)].collect().toMap === Map("z" -> 1L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("hidden bucket transforms decline with a pointer to the foreachBatch sink") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
