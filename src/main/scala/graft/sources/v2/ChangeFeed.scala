@@ -1,0 +1,445 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{ManifestTable, SerializableHadoopConf}
+
+/** CHANGE DATA FEED over a versioned table — `tbl.changes`, the Delta
+  * CDF / Iceberg changelog surface: row-level changes between two
+  * committed versions as a relation of the user columns plus
+  * `_change_type` ('insert' | 'delete') and `_commit_version`. Batch
+  * reads (`SELECT * FROM cat.ns.tbl.changes`) cover every change the
+  * retained metadata can prove; streaming reads
+  * (`spark.readStream.table("cat.ns.tbl.changes")`) deliver an initial
+  * SNAPSHOT (live rows as inserts, merge-on-read deletes applied) and
+  * then per-window change events — so a downstream aggregate can be
+  * maintained incrementally under upstream MERGE/DELETE, which the
+  * plain append-only stream must refuse.
+  *
+  * Everything is reconstructed from the END manifest alone — no
+  * historical manifest is read, so retention can expire snapshots under
+  * a live change stream:
+  *
+  *  - a data file's commit sequence IS its insert version: its raw rows
+  *    are `insert @ seq`;
+  *  - a positional delete entry at sequence s contributes the rows of
+  *    the target files at its tombstoned positions as `delete @ s`;
+  *  - an equality delete entry at sequence s contributes the matching
+  *    rows of every strictly-older data file as `delete @ s`;
+  *  - rows already dead before s (older tombstones / older equality
+  *    keys) are SUPPRESSED so a row deletes at most once — the same
+  *    older-delete application Iceberg's changelog scan performs.
+  *
+  * File-REMOVING commits (copy-on-write DML, compaction, overwrite)
+  * destroy the insert provenance of the rows they rewrote, so changes
+  * are only served after the table's `lastChangeVersion` — exactly the
+  * horizon Delta's CDF has without its sidecar files; a streaming window
+  * containing such a commit fails loudly. Merge-on-read DML (the MERGE
+  * path) never removes files and streams cleanly.
+  *
+  * Readers are row-based (change application is a per-row decision); the
+  * per-window cost follows the changed data — plus, for equality
+  * deletes, the older files they may retract from — never table size.
+  */
+object ChangeFeed {
+  val TypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+
+  def changeSchema(user: StructType): StructType =
+    StructType(user.fields ++ Seq(
+      StructField(TypeCol, StringType, nullable = false),
+      StructField(VersionCol, LongType, nullable = false)))
+
+  def table(name: String, root: String): Table = {
+    val meta = VersionedCatalog.readMeta(root).getOrElse(
+      throw new IllegalArgumentException(s"no versioned table under $root"))
+    require(meta.format == "parquet" || meta.format == "orc",
+      s"change feed of $root: format ${meta.format} is not supported")
+    require(meta.renames.isEmpty,
+      s"change feed of $root: tables with renamed columns are not supported yet")
+    ChangeFeedTable(name, root, meta)
+  }
+
+  /** The CDF horizon: the last file-removing commit — changes at or
+    * before it cannot be reconstructed from the live manifest. */
+  private[v2] def horizonOf(root: String, v: Long): Long =
+    ManifestTable.manifestProps(root, v)
+      .get(ManifestTable.ChangeProp).map(_.toLong).getOrElse(0L)
+}
+
+private[v2] case class ChangeFeedTable(tableName: String, root: String,
+                                       meta: VersionedCatalog.Meta)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = ChangeFeed.changeSchema(meta.schema)
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.singletonMap("provider", "versioned-changes")
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ChangeFeedScan(root, meta, options)
+    }
+}
+
+/** Batch scan (window = (`fromVersion` | horizon, `untilVersion` | live])
+  * and the streaming entry point. */
+private[v2] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
+                                 options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+  private def ctx = ChangeFeedPlanner.Ctx(root, meta)
+  override def readSchema(): StructType = ChangeFeed.changeSchema(meta.schema)
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftChangeFeedScan($root)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val live = ManifestTable.currentVersion(root).getOrElse(return Array.empty)
+    val until = Option(options.get("untilVersion")).map(_.toLong).getOrElse(live)
+    val horizon = ChangeFeed.horizonOf(root, until)
+    val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(horizon)
+    require(from >= horizon,
+      s"change feed of $root: changes at or before v=$horizon were " +
+        s"compacted/rewritten away (file-removing commit) — fromVersion " +
+        s"must be >= $horizon")
+    if (until <= from) Array.empty
+    else ChangeFeedPlanner.plan(ctx, from, until, initialSnapshot = false)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangeFeedPlanner.readerFactory(ctx)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangeFeedMicroBatchStream(root, meta, options)
+}
+
+/** Streaming change feed: offsets are table versions (the same commit-log
+  * position the plain stream uses); the INITIAL batch is a snapshot read
+  * with merge-on-read deletes applied, delivered as inserts. */
+private[v2] class ChangeFeedMicroBatchStream(root: String,
+                                             meta: VersionedCatalog.Meta,
+                                             options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private def ctx = ChangeFeedPlanner.Ctx(root, meta)
+
+  override def initialOffset(): Offset =
+    VersionOffset(Option(options.get("startVersion")).map(_.toLong).getOrElse(0L))
+  override def latestOffset(): Offset =
+    VersionOffset(ManifestTable.currentVersion(root).getOrElse(0L))
+
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(ManifestTable.currentVersion(root).getOrElse(0L))
+
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = ManifestTable.currentVersion(root).getOrElse(0L)
+    val target = availableNowTarget.fold(cur)(math.min(cur, _))
+    val sV = start.asInstanceOf[VersionOffset].v
+    val paced = maxVersionsPerTrigger.fold(target)(m =>
+      math.min(target, sV + math.max(1L, m)))
+    val end =
+      if (paced >= target) target
+      else ManifestTable.versions(root).find(_ >= paced)
+        .map(math.min(_, target)).getOrElse(target)
+    VersionOffset(end)
+  }
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val sV = start.asInstanceOf[VersionOffset].v
+    val eV = end.asInstanceOf[VersionOffset].v
+    if (eV <= sV) return Array.empty
+    if (sV == 0) {
+      // initial batch: the live snapshot AT eV as inserts, deletes applied
+      ChangeFeedPlanner.plan(ctx, 0L, eV, initialSnapshot = true)
+    } else {
+      val horizon = ChangeFeed.horizonOf(root, eV)
+      require(horizon <= sV,
+        s"change feed of $root: versions ($sV, $eV] contain a file-REMOVING " +
+          s"commit (v=$horizon — copy-on-write DML, compaction, or overwrite); " +
+          s"row-level changes cannot be reconstructed across it — restart the " +
+          s"stream from a fresh checkpoint (new initial snapshot)")
+      ChangeFeedPlanner.plan(ctx, sV, eV, initialSnapshot = false)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangeFeedPlanner.readerFactory(ctx)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One planned change slice: an inner file-scan partition plus the change
+  * semantics its reader applies. Self-contained and serializable — the
+  * reader factory needs no per-window side tables, so one factory serves
+  * every window of a stream. */
+private[v2] case class ChangePartition(
+    inner: InputPartition,
+    version: Long,
+    kind: String, // "insert" | "delete-pos" | "delete-eq"
+    relEnc: Option[String],        // single-file partitions only
+    emitPosFiles: Seq[String],     // delete-pos: delete files whose positions emit
+    emitEq: Option[EqDeleteSpec],  // delete-eq: the key file to emit matches of
+    suppressPosFiles: Seq[String], // older tombstones: rows already dead
+    suppressEq: Seq[EqDeleteSpec]) // older equality keys: rows already dead
+    extends InputPartition
+
+private[v2] object ChangeFeedPlanner {
+
+  /** Scan-construction context: the physical read layout (full user
+    * schema; identity partition values ride in directory names) and the
+    * permutation from the emitted (data ++ partition) order back to the
+    * user schema order. */
+  case class Ctx(root: String, meta: VersionedCatalog.Meta) {
+    def spark: SparkSession = SparkSession.active
+    private val partNames: Set[String] =
+      meta.identityCols.map(_.toLowerCase).toSet
+    val readData: StructType = StructType(
+      meta.schema.fields.filterNot(f => partNames.contains(f.name.toLowerCase)))
+    val readPart: StructType = StructType(
+      meta.schema.fields.filter(f => partNames.contains(f.name.toLowerCase)))
+    val emitted: StructType = StructType(readData.fields ++ readPart.fields)
+    val perm: Array[Int] = meta.schema.fields.map(f =>
+      emitted.fieldNames.indexWhere(_.equalsIgnoreCase(f.name)))
+
+    def scanFor(rels: Seq[String]): org.apache.spark.sql.execution.datasources.v2.FileScan = {
+      val files = rels.map(rel => new Path(s"$root/data/$rel"))
+      val params =
+        if (files.isEmpty || meta.identityCols.isEmpty) Map.empty[String, String]
+        else Map("basePath" -> s"$root/data")
+      val index = new InMemoryFileIndex(spark, files, params, Some(meta.schema))
+      val opts = CaseInsensitiveStringMap.empty()
+      if (meta.format == "orc")
+        org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
+          spark, index, meta.schema, readData, readPart, Array.empty, opts)
+      else
+        org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
+          spark, index, meta.schema, readData, readPart, Array.empty, opts)
+    }
+  }
+
+  def readerFactory(ctx: Ctx): PartitionReaderFactory =
+    new ChangeReaderFactory(ctx.scanFor(Nil).createReaderFactory(),
+      ctx.emitted, ctx.perm,
+      new SerializableHadoopConf(ctx.spark.sparkContext.hadoopConfiguration))
+
+  /** Plan the change slices of window (sV, eV] — or, for the streaming
+    * initial snapshot, the live rows AT eV as inserts with every delete
+    * applied. Metadata cost: the END manifest, one footer-schema read per
+    * live equality-delete file, and the positional entries' target lists
+    * (stamped on the entries; pre-list legacy entries fall back to one
+    * tiny distinct read). */
+  def plan(ctx: Ctx, sV: Long, eV: Long, initialSnapshot: Boolean): Array[InputPartition] = {
+    val root = ctx.root
+    val spark = ctx.spark
+    val endEntries = try ManifestTable.entries(root, eV) catch {
+      case e: IllegalArgumentException => throw new IllegalStateException(
+        s"change feed of $root: version $eV expired from retention — " +
+          s"restart from a fresh checkpoint", e)
+    }
+    val (delAll, dataAll) = endEntries.partition(e => ManifestTable.isDeleteEntry(e.rel))
+    val (eqAll, posAll) = delAll.partition(e => ManifestTable.isEqDeleteEntry(e.rel))
+    def seq0(e: ManifestTable.FileEntry): Long = e.seq.getOrElse(0L)
+    def enc(rel: String): String = ManifestTable.encodedRel(root, rel)
+    val encToRaw: Map[String, ManifestTable.FileEntry] =
+      dataAll.map(e => enc(e.rel) -> e).toMap
+
+    // positional entries with their target-file sets (encoded rels)
+    val posByEntry: Seq[(ManifestTable.FileEntry, Set[String])] = posAll.map { e =>
+      val touched = ManifestTable.deleteTouchedRels(e).getOrElse(
+        spark.read.parquet(s"$root/data/${e.rel}")
+          .select("__file").distinct().collect().map(_.getString(0)).toSet)
+      e -> touched
+    }
+    def posPath(e: ManifestTable.FileEntry): String = s"$root/data/${e.rel}"
+
+    // equality-delete specs: key columns resolved against the emitted
+    // layout (keys are data columns by the commit-path contract)
+    val eqSpecs: Seq[EqDeleteSpec] = eqAll.map { e =>
+      val p = posPath(e)
+      val sch = spark.read.parquet(p).schema
+      val ords = sch.fieldNames.map { n =>
+        val i = ctx.emitted.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+        require(i >= 0 && i < ctx.readData.length,
+          s"change feed of $root: equality-delete key '$n' must be a data column")
+        i
+      }
+      EqDeleteSpec(p, seq0(e), sch.fieldNames, ords,
+        ords.map(ctx.emitted.fields(_).dataType))
+    }
+
+    def suppressPosFor(relEnc: String, before: Long): Seq[String] =
+      posByEntry.collect { case (e, t) if seq0(e) < before && t.contains(relEnc) =>
+        posPath(e) }
+    def suppressEqFor(fileSeq: Long, before: Long): Seq[EqDeleteSpec] =
+      eqSpecs.filter(es => es.seq > fileSeq && es.seq < before)
+    val posTargets: Set[String] = posByEntry.flatMap(_._2).toSet
+
+    val out = Vector.newBuilder[InputPartition]
+    if (initialSnapshot) {
+      // live rows as inserts @ their commit sequence, every delete applied
+      dataAll.groupBy(seq0).foreach { case (s, entries) =>
+        val supEq = eqSpecs.filter(_.seq > s)
+        val (hit, clean) = entries.partition(e => posTargets.contains(enc(e.rel)))
+        if (clean.nonEmpty)
+          ctx.scanFor(clean.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
+            out += ChangePartition(p, s, "insert", None, Nil, None, Nil, supEq))
+        hit.foreach { e =>
+          val rel = enc(e.rel)
+          ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
+            out += ChangePartition(p, s, "insert", Some(rel), Nil, None,
+              suppressPosFor(rel, Long.MaxValue), supEq))
+        }
+      }
+    } else {
+      // inserts: the window's appended files, raw (later deletes are
+      // separate events)
+      dataAll.filter(e => seq0(e) > sV && seq0(e) <= eV).groupBy(seq0).foreach {
+        case (s, es) =>
+          ctx.scanFor(es.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
+            out += ChangePartition(p, s, "insert", None, Nil, None, Nil, Nil))
+      }
+      // positional deletes: tombstoned rows of each target file, grouped
+      // by commit (one emission version per group)
+      posByEntry.filter { case (e, _) => seq0(e) > sV && seq0(e) <= eV }
+        .groupBy { case (e, _) => seq0(e) }.toSeq.sortBy(_._1).foreach { case (s, group) =>
+          val emitFiles = group.map { case (e, _) => posPath(e) }
+          group.flatMap(_._2).toSet.toSeq.sorted.foreach { relEnc =>
+            val target = encToRaw.getOrElse(relEnc, throw new IllegalStateException(
+              s"change feed of $root: tombstoned file $relEnc is not live at v=$eV"))
+            ctx.scanFor(Seq(target.rel)).toBatch.planInputPartitions().foreach(p =>
+              out += ChangePartition(p, s, "delete-pos", Some(relEnc), emitFiles,
+                None, suppressPosFor(relEnc, s), suppressEqFor(seq0(target), s)))
+          }
+        }
+      // equality deletes: matching rows of every strictly-older live file
+      eqSpecs.filter(es => es.seq > sV && es.seq <= eV).sortBy(_.seq).foreach { es =>
+        dataAll.filter(e => seq0(e) < es.seq).foreach { e =>
+          val relEnc = enc(e.rel)
+          ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
+            out += ChangePartition(p, es.seq, "delete-eq", Some(relEnc), Nil,
+              Some(es), suppressPosFor(relEnc, es.seq), suppressEqFor(seq0(e), es.seq)))
+        }
+      }
+    }
+    out.result().toArray
+  }
+}
+
+/** Assembles each slice's reader pipeline: position/key suppression and
+  * emission over the raw file reader (index-tracking stages innermost),
+  * then projection to the user column order with the change columns
+  * appended. Row-based by construction. */
+private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
+                                      emitted: StructType, perm: Array[Int],
+                                      conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[ChangePartition]
+    var r = inner.createReader(cp.inner)
+    lazy val base: Long = cp.inner match {
+      case fp: FilePartition =>
+        val f = fp.files.head
+        MorDeletes.baseRowFor(f.filePath.toPath, f.start, conf.value)
+      case _ => 0L
+    }
+    def posOf(files: Seq[String]): Array[Long] =
+      if (files.isEmpty) Array.emptyLongArray
+      else MorDeletes.positionsFor(files, cp.relEnc.get, conf.value)
+    def eqSets(specs: Seq[EqDeleteSpec]) =
+      specs.map(s => (s, MorDeletes.loadEqKeys(s, conf.value)))
+
+    cp.kind match {
+      case "insert" =>
+        val sup = posOf(cp.suppressPosFiles)
+        if (sup.nonEmpty) r = new PosSkipRowReader(r, sup, base)
+      case "delete-pos" =>
+        // emitted positions minus rows already dead at the emission commit
+        val emit = posOf(cp.emitPosFiles)
+        val sup = posOf(cp.suppressPosFiles)
+        val keep =
+          if (sup.isEmpty) emit
+          else emit.filter(p => java.util.Arrays.binarySearch(sup, p) < 0)
+        r = new PosKeepRowReader(r, keep, base)
+      case "delete-eq" =>
+        val sup = posOf(cp.suppressPosFiles)
+        if (sup.nonEmpty) r = new PosSkipRowReader(r, sup, base)
+      case other => throw new IllegalStateException(s"unknown change kind $other")
+    }
+    if (cp.suppressEq.nonEmpty) r = new EqFilterRowReader(r, eqSets(cp.suppressEq))
+    cp.emitEq.foreach { es =>
+      r = new EqKeepRowReader(r, es, MorDeletes.loadEqKeys(es, conf.value))
+    }
+    val changeType = if (cp.kind == "insert") "insert" else "delete"
+    new AppendChangeRowReader(r, emitted, perm, changeType, cp.version)
+  }
+}
+
+/** Row-path positional KEEP: emits only rows at the given file-absolute
+  * positions — the mirror of [[PosSkipRowReader]], for delete-event
+  * emission. */
+private[v2] class PosKeepRowReader(inner: PartitionReader[InternalRow],
+                                   positions: Array[Long], startBase: Long)
+    extends PartitionReader[InternalRow] {
+  private var rowIdx = startBase - 1L
+  private var ptr = MorDeletes.lowerBound(positions, startBase)
+  override def next(): Boolean = {
+    while (ptr < positions.length && inner.next()) {
+      rowIdx += 1
+      if (positions(ptr) == rowIdx) { ptr += 1; return true }
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/** Row-path equality KEEP: emits only rows whose key tuple is in the
+  * delete file's key set — the matching rows ARE the delete events. */
+private[v2] class EqKeepRowReader(inner: PartitionReader[InternalRow],
+                                  spec: EqDeleteSpec,
+                                  set: java.util.HashSet[Seq[Any]])
+    extends PartitionReader[InternalRow] {
+  override def next(): Boolean = {
+    while (inner.next()) {
+      if (set.contains(MorDeletes.keyTupleOf(inner.get(), spec))) return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/** Projects the emitted (data ++ partition) layout back to the user
+  * column order and appends (`_change_type`, `_commit_version`). */
+private[v2] class AppendChangeRowReader(inner: PartitionReader[InternalRow],
+                                        emitted: StructType, perm: Array[Int],
+                                        changeType: String, version: Long)
+    extends PartitionReader[InternalRow] {
+  private val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+    perm.toIndexedSeq.map(i => BoundReference(i,
+      emitted.fields(i).dataType, emitted.fields(i).nullable): org.apache.spark.sql.catalyst.expressions.Expression) ++
+      Seq(Literal(UTF8String.fromString(changeType), StringType),
+        Literal(version, LongType)))
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = proj(inner.get())
+  override def close(): Unit = inner.close()
+}

@@ -24,7 +24,8 @@ import graft.sources.{ManifestTable, MetaIO}
   * the right physical plan. */
 object MetaTables {
 
-  val Kinds: Set[String] = Set("files", "snapshots", "partitions", "deletes", "refs")
+  val Kinds: Set[String] = Set("files", "snapshots", "partitions", "deletes", "refs",
+    "changes")
 
   private val FilesSchema = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
@@ -65,6 +66,9 @@ object MetaTables {
     case "partitions" => MetaTable(name, PartitionsSchema, () => partitionRows(root))
     case "deletes"    => MetaTable(name, DeletesSchema, () => deleteRows(root))
     case "refs"       => MetaTable(name, RefsSchema, () => refRows(root))
+    // row-level change feed — a full distributed relation, not a
+    // driver-local listing ([[ChangeFeed]])
+    case "changes"    => ChangeFeed.table(name, root)
     case other => throw new IllegalArgumentException(s"no metadata table $other")
   }
 

@@ -102,11 +102,12 @@ class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
             if (sig.nonEmpty) eqBy += idx -> sig
             idx += 1
           }
-          if (rel.endsWith(".parquet")) emit(f) // split kept as-is
+          if (rel.endsWith(".parquet") || rel.endsWith(".orc")) emit(f) // split kept as-is
           else if (!wholeFilesEmitted.contains(path)) {
-            // positions are file-absolute and only the parquet footer can
-            // locate a split's first row: other formats read whole-file
-            // (emitted once across this file's splits), from row 0
+            // positions are file-absolute and only parquet footers / ORC
+            // stripe directories can locate a split's first row: any other
+            // format reads whole-file (emitted once across this file's
+            // splits), from row 0
             wholeFilesEmitted += path
             emit(f.copy(start = 0, length = f.fileSize))
           }
@@ -231,6 +232,30 @@ private[graft] object MorDeletes {
     finally reader.close()
   }
 
+  /** The ORC leg of [[splitBaseRow]]: ORC's record reader includes every
+    * stripe whose STARTING OFFSET falls inside the byte range and counts
+    * earlier stripes as skipped, so a split's base row is the row total of
+    * stripes starting before `splitStart` — read from the file tail's
+    * stripe directory (one task-side tail read, same as parquet's
+    * footer). This is what lets a tombstoned ORC file keep its splits
+    * instead of collapsing to a whole-file read. */
+  def orcSplitBaseRow(path: org.apache.hadoop.fs.Path, splitStart: Long,
+                      conf: org.apache.hadoop.conf.Configuration): Long = {
+    if (splitStart == 0L) return 0L
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.orc.OrcFile.createReader(
+      path, org.apache.orc.OrcFile.readerOptions(conf))
+    try reader.getStripes.asScala
+      .filter(_.getOffset < splitStart).map(_.getNumberOfRows).sum
+    finally reader.close()
+  }
+
+  /** Extension-dispatched split base row (0 for whole-file reads). */
+  def baseRowFor(path: org.apache.hadoop.fs.Path, splitStart: Long,
+                 conf: org.apache.hadoop.conf.Configuration): Long =
+    if (path.getName.endsWith(".orc")) orcSplitBaseRow(path, splitStart, conf)
+    else splitBaseRow(path, splitStart, conf)
+
   /** First index of `positions` at or past `base` (positions sorted). */
   def lowerBound(positions: Array[Long], base: Long): Int = {
     var lo = 0; var hi = positions.length
@@ -341,13 +366,13 @@ private[v2] class MorReaderFactory(delegate: PartitionReaderFactory,
     }
 
   /** Split's starting file row — a positional partition always holds
-    * exactly ONE file ([[MorScan.planned]]); parquet splits keep their
-    * offsets and recover the base from the footer, whole-file reads
-    * start at 0. */
+    * exactly ONE file ([[MorScan.planned]]); parquet/ORC splits keep
+    * their offsets and recover the base from the footer / stripe
+    * directory, whole-file reads start at 0. */
   private def splitBaseFor(p: InputPartition): Long = p match {
     case fp: FilePartition if posBy.contains(fp.index) =>
       val f = fp.files.head
-      MorDeletes.splitBaseRow(f.filePath.toPath, f.start, conf.value)
+      MorDeletes.baseRowFor(f.filePath.toPath, f.start, conf.value)
     case _ => 0L
   }
 

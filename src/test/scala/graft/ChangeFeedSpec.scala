@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+import graft.sources.v2.VersionedCatalog
+
+/** Change data feed (`tbl.changes`): row-level changes between versions,
+  * reconstructed from the end manifest alone — inserts from data-file
+  * commit sequences, deletes from positional/equality delete entries,
+  * older deletes suppressed so a row deletes at most once. Batch and
+  * streaming surfaces; file-removing commits bound the feed (horizon)
+  * and fail a covering stream window loudly.
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gcdf", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcdf.warehouse",
+      Files.createTempDirectory("graft_cdfwh").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcdf.ns")
+    s
+  }
+  private def root(t: String) =
+    s"${spark.conf.get("spark.sql.catalog.gcdf.warehouse")}/ns/$t"
+
+  private def withMorDml[T](body: => T): T = {
+    val prev = Seq("spark.graft.delete.mode", "spark.graft.update.mode")
+      .map(k => k -> spark.conf.getOption(k))
+    Seq("spark.graft.delete.mode", "spark.graft.update.mode")
+      .foreach(k => spark.conf.set(k, "merge-on-read"))
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def changes(t: String): DataFrame = spark.table(s"$t.changes")
+
+  test("batch changes: inserts at their commit versions, deletes from tombstones") {
+    import spark.implicits._
+    val t = "gcdf.ns.basic"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(t).append()      // v1
+    Seq((3L, "c"), (4L, "d")).toDF("k", "v").writeTo(t).append()      // v2
+    withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k IN (2, 3)")) // v3
+
+    val got = changes(t)
+      .select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 2L), (4L, "d", "insert", 2L),
+      (2L, "b", "delete", 3L), (3L, "c", "delete", 3L)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("merge-on-read UPDATE emits delete of the old row and insert of the new, one version") {
+    import spark.implicits._
+    val t = "gcdf.ns.upd"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    (1L to 6L).map(k => (k, k * 10)).toDF("k", "v").writeTo(t).append()          // v1
+    withMorDml(graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = v + 1 WHERE k <= 2")) // v2
+
+    val got = changes(t).select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val expected = (1L to 6L).map(k => (k, k * 10, "insert", 1L)).toSet ++
+      Set((1L, 10L, "delete", 2L), (2L, 20L, "delete", 2L),
+        (1L, 11L, "insert", 2L), (2L, 21L, "insert", 2L))
+    assert(got === expected)
+    // and the final table state equals inserts minus deletes
+    assert(spark.table(t).as[(Long, Long)].collect().toSet ===
+      Set((1L, 11L), (2L, 21L)) ++ (3L to 6L).map(k => (k, k * 10)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("equality deletes: older rows emit delete events, same/later commits survive, suppression") {
+    import spark.implicits._
+    val t = "gcdf.ns.eq"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").writeTo(t).append() // v1
+    val r = root("eq")
+    withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 2")) // v2 positional
+    ManifestTable.appendEqualityDeletes(
+      Seq(2L, 3L).toDF("k"), r)                                           // v3 equality
+    Seq((3L, "c2")).toDF("k", "v").writeTo(t).append()                    // v4 re-insert
+
+    val got = changes(t).select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    // k=2 was positionally deleted at v2: the v3 equality delete must NOT
+    // re-emit it (suppression); k=3's re-insert at v4 postdates the key
+    assert(got === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L), (3L, "c", "insert", 1L),
+      (2L, "b", "delete", 2L),
+      (3L, "c", "delete", 3L),
+      (3L, "c2", "insert", 4L)))
+    // replaying the feed reproduces the live table
+    assert(spark.table(t).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c2")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("streaming: initial snapshot applies deletes, then windows deliver row-level changes") {
+    import spark.implicits._
+    val t = "gcdf.ns.str"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    (1L to 4L).map(k => (k, k * 100)).toDF("k", "v").writeTo(t).append()  // v1
+    withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 4")) // v2
+
+    val checkpoint = Files.createTempDirectory("cdf_ck").toString
+    val sink = Files.createTempDirectory("cdf_sink").toString + "/out"
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$t.changes").writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // initial snapshot: live rows only (k=4 already deleted), as inserts
+    drain()
+    val snap = spark.read.parquet(sink)
+      .select($"k", $"v", $"_change_type").as[(Long, Long, String)].collect().toSet
+    assert(snap === Set((1L, 100L, "insert"), (2L, 200L, "insert"), (3L, 300L, "insert")))
+
+    // upstream MERGE-shaped churn: an update and an append land as events
+    withMorDml(graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = v + 5 WHERE k = 1")) // v3
+    Seq((9L, 900L)).toDF("k", "v").writeTo(t).append()                     // v4
+    drain()
+    val after = spark.read.parquet(sink)
+      .select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(after.contains((1L, 100L, "delete", 3L)))
+    assert(after.contains((1L, 105L, "insert", 3L)))
+    assert(after.contains((9L, 900L, "insert", 4L)))
+    // applying the feed (inserts minus deletes) reproduces the table
+    val applied = spark.read.parquet(sink)
+      .groupBy($"k", $"v")
+      .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("n"))
+      .where($"n" > 0).select($"k", $"v").as[(Long, Long)].collect().toSet
+    assert(applied === spark.table(t).as[(Long, Long)].collect().toSet)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("file-removing commits bound the feed: horizon on batch, loud failure on stream") {
+    import spark.implicits._
+    val t = "gcdf.ns.hz"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("k", "v").writeTo(t).append()                     // v1
+    val checkpoint = Files.createTempDirectory("cdf_ck2").toString
+    val sink = Files.createTempDirectory("cdf_sink2").toString + "/out"
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$t.changes").writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // copy-on-write DELETE removes a data file: provenance is destroyed
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 1")       // v2 (COW)
+    Seq((2L, "b")).toDF("k", "v").writeTo(t).append()                     // v3
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("file-REMOVING")), s"${messages(ex)}")
+
+    // batch: only post-horizon changes serve; pre-horizon fromVersion refuses
+    val got = changes(t).select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((2L, "insert", 3L)))
+    val ex2 = intercept[Exception] {
+      spark.read.option("fromVersion", "0").table(s"$t.changes").collect()
+    }
+    assert(messages(ex2).exists(_.contains("fromVersion")), s"${messages(ex2)}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("identity-partitioned and hidden-day tables feed changes with partition values intact") {
+    import spark.implicits._
+    val t = "gcdf.ns.parts"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v BIGINT) PARTITIONED BY (region)")
+    (0 until 30).map(i => (i.toLong, s"r${i % 3}", i * 1L))
+      .toDF("k", "region", "v").writeTo(t).append()                       // v1
+    withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k < 6")) // v2
+    val got = changes(t)
+    assert(got.where($"_change_type" === "insert").count() === 30)
+    val dels = got.where($"_change_type" === "delete")
+      .select($"k", $"region").as[(Long, String)].collect().toSet
+    assert(dels === (0 until 6).map(i => (i.toLong, s"r${i % 3}")).toSet,
+      "deleted rows must carry their directory-derived partition values")
+    spark.sql(s"DROP TABLE $t")
+
+    val td = "gcdf.ns.days"
+    spark.sql(s"DROP TABLE IF EXISTS $td")
+    spark.sql(s"CREATE TABLE $td (k BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (days(ts))")
+    (0 until 6).map(i => (i.toLong, java.time.LocalDateTime.of(2024, 5, 1 + i % 2, 8, 0)))
+      .toDF("k", "ts").writeTo(td).append()
+    withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $td WHERE k = 0"))
+    val c = changes(td)
+    assert(c.where($"_change_type" === "insert").count() === 6)
+    assert(c.where($"_change_type" === "delete").select($"k")
+      .as[Long].collect().toSeq === Seq(0L))
+    spark.sql(s"DROP TABLE $td")
+  }
+}

@@ -1055,6 +1055,56 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.morsp")
   }
 
+  test("a tombstoned ORC file KEEPS its splits: stripe-directory base rows apply per split") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.morso")
+    spark.sql("CREATE TABLE gtest.ns.morso (k BIGINT, s STRING) TBLPROPERTIES('format'='orc')")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevStripe = hc.get("orc.stripe.size")
+    hc.set("orc.stripe.size", (64 * 1024).toString) // many small stripes
+    try {
+      (0L until 200000L).map(i => (i, s"pad-$i-${"x" * 20}")).toDF("k", "s")
+        .coalesce(1).writeTo("gtest.ns.morso").append()
+    } finally {
+      if (prevStripe == null) hc.unset("orc.stripe.size")
+      else hc.set("orc.stripe.size", prevStripe)
+    }
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/morso"
+    val dataRels = ManifestTable.liveEntries(root).map(_.rel)
+      .filterNot(ManifestTable.isDeleteEntry)
+    assert(dataRels.size === 1)
+    // ORC has no row-index metadata column in Spark, so engine DML stays
+    // parquet-gated — but positional tombstones against ORC files are a
+    // first-class protocol citizen (the external-CDC-writer shape): the
+    // single-partition write preserved row order, so file position == k
+    val rel = ManifestTable.encodedRel(root, dataRels.head)
+    val tomb = (0L until 200000L).filter(_ % 1000 == 7)
+      .map(p => (rel, p)).toDF("__file", "__pos")
+    ManifestTable.appendDeletes(tomb, root)
+    assert(ManifestTable.hasDeletes(root))
+
+    // the tombstoned ~multi-MB ORC file must NOT collapse to one
+    // whole-file partition: each split recovers its base row from the
+    // stripe directory (ORC includes stripes whose start offset falls in
+    // the split's byte range) and offsets positions by it
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val t = spark.table("gtest.ns.morso")
+      assert(t.rdd.getNumPartitions > 1,
+        s"tombstoned ORC file must keep >1 split, got ${t.rdd.getNumPartitions}")
+      val all = t.select("k").collect().map(_.getLong(0))
+      assert(all.length === 199800)
+      assert(all.toSet === (0L until 200000L).filterNot(_ % 1000 == 7).toSet)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+    spark.sql("DROP TABLE gtest.ns.morso")
+  }
+
   test("a concurrent compaction surfaces to merge-on-read commits instead of silently dropping them") {
     import graft.sources.ManifestTable
     import spark.implicits._
