@@ -840,18 +840,19 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   // all filters residual, so `pushed.nonEmpty` can only mean Spark is
   // about to re-apply them — decline and scan normally. Live MOR deletes
   // make per-file stats overcounts — decline there too.
-  private var pushedAggPlan: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var pushedAggPlan: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
   private var aggCache: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
-    Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])] = None
+    Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])])] = None
 
   private def planAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] =
     aggCache match {
       case Some((a, r)) if a eq agg => r
       case _ =>
         val r =
           if (pushed.nonEmpty || deleteEntries.nonEmpty) None
-          else AggPushdown.plan(agg, prunedEntries, dataSchema, meta.physicalName)
+          else AggPushdown.plan(agg, prunedEntries, dataSchema, meta.physicalName,
+            meta.identityCols)
         aggCache = Some((agg, r))
         r
     }
@@ -1190,7 +1191,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   override def build(): Scan = {
     // a fully-pushed aggregate IS the scan: one metadata-derived row
     pushedAggPlan match {
-      case Some((schema, row)) => new GraftAggScan(schema, row)
+      case Some((schema, rows)) => new GraftAggScan(schema, rows)
       case None =>
         // ALWAYS the wrapper: one outer class carries the cross-cutting
         // scan capabilities (runtime filtering when the table has

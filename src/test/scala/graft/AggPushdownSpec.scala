@@ -101,7 +101,7 @@ class AggPushdownSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
-  test("partition columns fall back for MIN/MAX but COUNT(*) stays metadata-only") {
+  test("identity partition columns answer MIN/MAX from directory values; COUNT(*) from rows") {
     import spark.implicits._
     val t = "gagg.ns.parts"
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -111,9 +111,10 @@ class AggPushdownSpec extends AnyFunSuite {
     val cnt = spark.table(t).agg(count(lit(1)).as("n"))
     assert(usedMetadataOnly(cnt))
     assert(cnt.collect()(0).getLong(0) === 120L)
-    // region lives in directory names, not file stats: exact fallback
+    // region lives in directory names: each directory pins the exact
+    // value for every row inside, so bounds synthesize from the listing
     val mm = spark.table(t).agg(min($"region").as("mn"), max($"region").as("mx"))
-    assert(!usedMetadataOnly(mm))
+    assert(usedMetadataOnly(mm))
     val r = mm.collect()(0)
     assert(r.getString(0) === "r0" && r.getString(1) === "r2")
     spark.sql(s"DROP TABLE $t")
@@ -155,6 +156,66 @@ class AggPushdownSpec extends AnyFunSuite {
     val cnt = spark.table(t).agg(count(lit(1)).as("n"), max($"k").as("mk"))
     assert(usedMetadataOnly(cnt))
     assert(cnt.collect()(0).getLong(0) === 3L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("GROUP BY identity partition columns answers from per-directory manifest stats") {
+    import spark.implicits._
+    val t = "gagg.ns.grp"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    (0 until 300).map(i => (i.toLong, s"r${i % 3}", i * 0.5))
+      .toDF("k", "region", "v").writeTo(t).append()
+    (300 until 400).map(i => (i.toLong, s"r${i % 2}", i * 0.5))
+      .toDF("k", "region", "v").writeTo(t).append()
+
+    val agg = spark.table(t).groupBy($"region")
+      .agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+    assert(usedMetadataOnly(agg),
+      s"grouped plan must be the metadata scan:\n${agg.queryExecution.executedPlan}")
+    val got = agg.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = (0 until 300).map(i => (s"r${i % 3}", i.toLong)) ++
+      (300 until 400).map(i => (s"r${i % 2}", i.toLong))
+    val byRegion = expected.groupBy(_._1).map { case (rg, xs) =>
+      rg -> ((xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max)) }
+    assert(got === byRegion)
+
+    // MIN/MAX OF the partition column itself also answers from the dirs
+    val agg2 = spark.table(t).agg(min($"region").as("mn"), max($"region").as("mx"))
+    assert(usedMetadataOnly(agg2))
+    assert(agg2.collect()(0).toSeq === Seq("r0", "r2"))
+
+    // a filter keeps the pushdown OFF and the fallback identical
+    val filtered = spark.table(t).where($"k" >= 100).groupBy($"region")
+      .agg(count(lit(1)).as("n"))
+    assert(!usedMetadataOnly(filtered))
+    val gotF = filtered.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotF === expected.filter(_._2 >= 100).groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+
+    // grouping by a NON-partition column falls back with identical results
+    val agg3 = spark.table(t).groupBy(($"k" % 2).as("p")).agg(count(lit(1)).as("n"))
+    assert(!usedMetadataOnly(agg3))
+    assert(agg3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 200L, 1L -> 200L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("grouped pushdown handles the null (hive default) partition exactly") {
+    import spark.implicits._
+    val t = "gagg.ns.grpn"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    Seq((1L, "east", 1.0), (2L, null, 2.0), (3L, null, 3.0), (4L, "west", 4.0))
+      .toDF("k", "region", "v").writeTo(t).append()
+    val agg = spark.table(t).groupBy($"region")
+      .agg(count(lit(1)).as("n"), count($"region").as("nr"))
+    assert(usedMetadataOnly(agg),
+      s"null partition must still push down:\n${agg.queryExecution.executedPlan}")
+    val got = agg.collect().map(r =>
+      Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(Some("east") -> ((1L, 1L)), Some("west") -> ((1L, 1L)),
+      None -> ((2L, 0L))))
     spark.sql(s"DROP TABLE $t")
   }
 
