@@ -153,6 +153,11 @@ object SparkEntry {
     "stream_versioned_read" -> ((s, d) => graft.sources.v2.V2Queries.streamVersionedRead(s, d)),
     "agg_pushdown_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownScan(s, d)),
     "stream_table_sink" -> ((s, d) => graft.sources.v2.V2Queries.streamTableSink(s, d)),
+    // change data feed (tbl.changes): row-level inserts/deletes between
+    // versions, batch and as the streaming source for incremental gold
+    "table_changes_scan" -> ((s, d) => graft.sources.v2.V2Queries.tableChangesScan(s, d)),
+    "stream_cdf_gold" -> ((s, d) => graft.sources.v2.V2Queries.streamCdfGold(s, d)),
+    "agg_pushdown_group_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownGroupScan(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
     "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
@@ -292,6 +297,9 @@ object SparkEntry {
     "stream_versioned_read" -> graft.sources.v2.V2Queries.oracle.streamVersionedRead,
     "agg_pushdown_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownScan,
     "stream_table_sink" -> graft.sources.v2.V2Queries.oracle.streamTableSink,
+    "table_changes_scan" -> graft.sources.v2.V2Queries.oracle.tableChangesScan,
+    "stream_cdf_gold" -> graft.sources.v2.V2Queries.oracle.streamCdfGold,
+    "agg_pushdown_group_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownGroupScan,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,

@@ -567,6 +567,30 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Partition-GROUPED metadata-only aggregates: GROUP BY the identity
+    * partition column answers from per-directory manifest stats — each
+    * directory pins its group value exactly and the per-file row counts
+    * and bounds fold within it; the executed plan is the rows-scan
+    * (`GraftAggScan`), zero data files opened. At 100 TB this is a
+    * per-partition rollup in milliseconds. The `agg_meta_ok` verdict
+    * asserts the plan; the oracle recomputes every group flat. */
+  def aggPushdownGroupScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("aggg")}"
+    try {
+      eventsSlim(spark, dir).writeTo(tbl).partitionedBy(col("event_type")).create()
+      val agg = spark.table(tbl).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      val out = agg.localCheckpoint(true)
+      val metaOnly = agg.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.exists(_.description().startsWith("GraftAggScan["))
+      out.withColumn("agg_meta_ok", lit(metaOnly))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Native streaming SINK — `writeStream.toTable` on a versioned table:
     * the events parquet streams in via the file source, every epoch's
     * task files land through the engine's STREAMING_WRITE (staged
@@ -940,6 +964,90 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Change data feed as an oracle-gated query — Delta CDF / Iceberg
+    * changelog shape (`tbl.changes`): events land across two append
+    * commits, a merge-on-read DELETE retracts a cohort, and the change
+    * relation is aggregated per (change type, event type). The `cv_ok`
+    * verdict asserts row-level provenance: every insert carries one of
+    * the two append versions and every delete the DELETE's version. The
+    * oracle recomputes inserts (all events) and deletes (the cohort)
+    * flat. */
+  def tableChangesScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("cdf")}"
+    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0).repartition(3).writeTo(tbl).create() // v1
+      ev.where(col("event_id") % 2 === 1).writeTo(tbl).append()                // v2
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $tbl WHERE user_id % 10 = 3") // v3
+      val ch = spark.table(s"$tbl.changes")
+      val vers = ch.select(col("_change_type"), col("_commit_version"))
+        .distinct().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val cvOk = vers == Set(("insert", 1L), ("insert", 2L), ("delete", 3L))
+      ch.groupBy(col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("cv_ok", lit(cvOk)).localCheckpoint(true)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+        case None => spark.conf.unset("spark.graft.delete.mode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  /** Streaming change feed maintaining a downstream GOLD aggregate under
+    * upstream MERGE-shaped churn — the incremental pattern the plain
+    * append-only stream must refuse: the first run snapshots the table
+    * into a stateful per-type aggregate (signed counts/sums over
+    * insert/delete events); a merge-on-read UPDATE then doubles a
+    * cohort's values WITHOUT rewriting data files, and the restarted
+    * stream consumes only the row-level change events, folding them into
+    * the checkpointed state. The oracle recomputes the post-update
+    * aggregate flat — a hash match proves the incremental maintenance is
+    * exact. */
+  def streamCdfGold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("cdfg")}"
+    val mem = "stream_cdf_" + newName("m").replace(".", "_")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_cdfg_ck").toString
+    val prevMode = spark.conf.getOption("spark.graft.update.mode")
+    try {
+      eventsSlim(spark, dir).writeTo(tbl).create()                          // v1
+      def drain(): Unit = {
+        val signedN = when(col("_change_type") === "insert", 1).otherwise(-1)
+        val signedV = when(col("_change_type") === "insert", col("value"))
+          .otherwise(-col("value"))
+        val q = spark.readStream.table(s"$tbl.changes")
+          .groupBy(col("event_type"))
+          .agg(sum(signedN).cast("bigint").as("n_events"),
+            sum(signedV.cast(Dsl.Money)).cast("double").as("volume"))
+          .writeStream
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          .format("memory").queryName(mem)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // initial snapshot into the aggregate state
+      spark.conf.set("spark.graft.update.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark,
+        s"UPDATE $tbl SET value = value * 2 WHERE user_id % 10 = 3")        // v2
+      drain() // only the change events stream; state folds them in
+      spark.table(mem).localCheckpoint(true)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.update.mode", m)
+        case None => spark.conf.unset("spark.graft.update.mode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   object oracle {
     /** Stats pruning must be invisible in the data: recompute from the
       * raw events, layout verdict pinned TRUE. */
@@ -1031,6 +1139,36 @@ object V2Queries {
          |  MIN(value) AS min_value, MAX(value) AS max_value,
          |  TRUE AS agg_meta_ok
          |FROM events""".stripMargin
+
+    /** Every per-group metadata-derived aggregate recomputed flat; the
+      * metadata-only verdict pinned TRUE. */
+    val aggPushdownGroupScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+         |  MIN(value) AS min_value, MAX(value) AS max_value,
+         |  TRUE AS agg_meta_ok
+         |FROM events
+         |GROUP BY 1""".stripMargin
+
+    /** Inserts are every event (both appends), deletes the retracted
+      * cohort; provenance verdict pinned TRUE. */
+    val tableChangesScan: String =
+      s"""SELECT _change_type, event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS cv_ok
+         |FROM (
+         |  SELECT 'insert' AS _change_type, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT 'delete', event_type, value FROM events WHERE user_id % 10 = 3)
+         |GROUP BY 1, 2""".stripMargin
+
+    /** The incrementally-maintained aggregate must equal the flat
+      * post-update recompute (cohort values doubled). */
+    val streamCdfGold: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("CASE WHEN user_id % 10 = 3 THEN value * 2 ELSE value END")}
+         |    AS volume
+         |FROM events
+         |GROUP BY 1""".stripMargin
 
     /** The sink-committed per-type aggregate recomputed flat. */
     val streamTableSink: String =
