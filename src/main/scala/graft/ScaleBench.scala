@@ -254,6 +254,30 @@ object ScaleBench {
       f"clean_secs=${cleanNs / 1e9}%.2f tombstoned_secs=${morNs / 1e9}%.2f " +
       f"ratio=${morNs.toDouble / cleanNs}%.2f")
     require(nTomb >= 1000000L, "expected a >=10^6-tombstone backlog")
+
+    // deletion vectors at the same scale: a SECOND delete deepens the
+    // backlog, rewrite_deletes folds it into ONE dv blob, and the
+    // tombstoned scan holds its time — delete application is now one
+    // ranged slice read per file instead of a scan over every backlog
+    // parquet file, so per-split cost stays flat as the backlog grows
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark,
+      "DELETE FROM scale_cat.b.evm WHERE user_id % 10 = 7")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    time("rewrite_deletes -> deletion vector") {
+      graft.sources.ManifestTable.rewriteDeletes(spark, morRoot)
+    }
+    val dvEntries = graft.sources.ManifestTable.liveDeleteEntries(morRoot)
+    require(dvEntries.size == 1 &&
+      graft.sources.ManifestTable.isDvEntry(dvEntries.head.rel),
+      s"backlog must fold into one deletion vector: ${dvEntries.map(_.rel)}")
+    val nDvTomb = graft.sources.DeleteVectors
+      .tombstoneDf(spark, morRoot, dvEntries).count()
+    scanEvm() // warm the slice cache
+    val dvNs = math.min(scanEvm(), scanEvm())
+    println(f"[scale] dv_scan tombstones=$nDvTomb dv_secs=${dvNs / 1e9}%.2f " +
+      f"ratio_vs_clean=${dvNs.toDouble / cleanNs}%.2f")
+    require(nDvTomb >= 2000000L, "expected the folded >=2x10^6-tombstone vector")
     spark.sql("DROP TABLE scale_cat.b.evm")
 
     // ONE large tombstoned file: positions apply PER SPLIT (base row

@@ -420,8 +420,9 @@ object MergeInto {
                       meta: graft.sources.v2.VersionedCatalog.Meta,
                       alias: String): Option[DataFrame] = {
     if (!ManifestTable.exists(root)) return None
-    val (delRels, dataRels) = ManifestTable.liveEntries(root).map(_.rel)
-      .partition(ManifestTable.isDeleteEntry)
+    val (delEntries, dataEntries) = ManifestTable.liveEntries(root)
+      .partition(e => ManifestTable.isDeleteEntry(e.rel))
+    val dataRels = dataEntries.map(_.rel)
     if (dataRels.isEmpty) return None
     // schema-pinned direct parquet read: evolution-added columns null-fill
     // through the declared physical schema, identity partition values
@@ -436,14 +437,52 @@ object MergeInto {
         Seq(regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1)
           .as("__mor_rel"),
           col("_metadata.row_index").as("__mor_pos")): _*)
-    val applied =
-      if (delRels.isEmpty) keyed
+    val (eqDel, posDel) = delEntries.partition(e => ManifestTable.isEqDeleteEntry(e.rel))
+    val afterPos =
+      if (posDel.isEmpty) keyed
       else {
-        val delDf = spark.read.parquet(delRels.map(r => s"$root/data/$r"): _*)
+        val (dvDel, pqDel) = posDel.partition(e => ManifestTable.isDvEntry(e.rel))
+        val parts =
+          (if (pqDel.isEmpty) Nil
+           else Seq(spark.read.parquet(pqDel.map(e => s"$root/data/${e.rel}"): _*)
+             .select(col("__file"), col("__pos")))) ++
+          (if (dvDel.isEmpty) Nil
+           else Seq(graft.sources.DeleteVectors.tombstoneDf(spark, root, dvDel)))
+        val delDf = parts.reduce(_ unionByName _)
           .select(col("__file").as("__del_file"), col("__pos").as("__del_pos"))
         keyed.join(delDf,
           keyed("__mor_rel") === delDf("__del_file") &&
             keyed("__mor_pos") === delDf("__del_pos"), "left_anti")
+      }
+    // EQUALITY deletes must apply too — a MOR rewrite over a raw read
+    // would resurrect eq-retracted rows. Sequence-scoped exactly like
+    // ManifestTable.readApplied, but against LOGICAL column names (the
+    // key files carry physical ones)
+    val applied =
+      if (eqDel.isEmpty) afterPos
+      else {
+        import spark.implicits._
+        def logicalOf(phys: String): String =
+          meta.schema.fieldNames.find(l =>
+            meta.physicalName(l).equalsIgnoreCase(phys)).getOrElse(phys)
+        val seqDf = broadcast(
+          dataEntries.map(e => (ManifestTable.encodedRel(root, e.rel),
+            e.seq.getOrElse(0L))).toDF("__seq_rel", "__row_seq"))
+        val withSeq = afterPos
+          .join(seqDf, afterPos("__mor_rel") === seqDf("__seq_rel"), "left")
+          .drop("__seq_rel")
+        val bySchema = eqDel.groupBy(e =>
+          spark.read.parquet(s"$root/data/${e.rel}").schema.fieldNames.toSeq.sorted)
+        bySchema.values.foldLeft(withSeq) { (acc, group) =>
+          val keys = group.map { e =>
+            spark.read.parquet(s"$root/data/${e.rel}")
+              .withColumn("__eq_seq", lit(e.seq.getOrElse(0L)))
+          }.reduce(_ unionByName _)
+          val keyCols = keys.columns.filterNot(_ == "__eq_seq")
+          val cond = keyCols.map(c => acc(logicalOf(c)) <=> keys(c)).reduce(_ && _) &&
+            acc("__row_seq") < keys("__eq_seq")
+          acc.join(keys, cond, "left_anti")
+        }.drop("__row_seq")
       }
     Some(applied.alias(alias))
   }

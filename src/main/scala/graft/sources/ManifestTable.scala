@@ -132,6 +132,14 @@ object ManifestTable {
   /** True for manifest entries under the reserved delete directory. */
   def isDeleteEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/")
 
+  /** True for DELETION-VECTOR entries (`__deletes/dv_*.bin`): one binary
+    * blob holding the positional tombstones of many data files, one
+    * section per (target file, delete version), addressed by the entry's
+    * `dv=` stats index ([[DeleteVectors]] — the Iceberg-v3/Delta DV
+    * shape). Produced by [[rewriteDeletes]]; applying deletes to a file
+    * costs ONE ranged read of its own section. */
+  def isDvEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/dv_")
+
   /** True for EQUALITY-delete entries (`__deletes/eq_*.parquet`): parquet
     * files whose columns ARE the retraction key — every row of an older
     * data file matching a key row is deleted, no positions needed. This is
@@ -445,7 +453,14 @@ object ManifestTable {
       val afterPos =
         if (posDel.isEmpty) keyed
         else {
-          val delDf = spark.read.parquet(posDel.map(e => s"$root/data/${e.rel}"): _*)
+          val (dvDel, pqDel) = posDel.partition(e => isDvEntry(e.rel))
+          val parts =
+            (if (pqDel.isEmpty) Nil
+             else Seq(spark.read.parquet(pqDel.map(e => s"$root/data/${e.rel}"): _*)
+               .select(col("__file"), col("__pos")))) ++
+            (if (dvDel.isEmpty) Nil
+             else Seq(DeleteVectors.tombstoneDf(spark, root, dvDel)))
+          val delDf = parts.reduce(_ unionByName _)
             .select(col("__file").as("__del_file"), col("__pos").as("__del_pos"))
           keyed.join(delDf,
             keyed("__mor_rel") === delDf("__del_file") &&
@@ -893,15 +908,18 @@ object ManifestTable {
   }
 
   /** The encoded-rel file list a positional-delete entry names, carried in
-    * its stats field (`files=enc1,enc2,…`) so SCAN PLANNING resolves the
-    * affected files from the manifest alone — no Spark job, no delete-file
-    * read at plan time. None for entries written before the list existed
-    * (planners fall back to reading the delete files). */
+    * its stats field (`files=enc1,enc2,…` for parquet tombstones, the
+    * `dv=` slice index for deletion vectors) so SCAN PLANNING resolves
+    * the affected files from the manifest alone — no Spark job, no
+    * delete-file read at plan time. None for entries written before the
+    * list existed (planners fall back to reading the delete files). */
   def deleteTouchedRels(e: FileEntry): Option[Set[String]] =
     e.stats.filter(_.startsWith("files=")).map(
       _.stripPrefix("files=").split(',').filter(_.nonEmpty)
         .map(s => java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8))
         .toSet)
+      .orElse(e.stats.flatMap(DeleteVectors.decodeIndex)
+        .map(_.map(_.relEnc).toSet))
 
   /** EQUALITY-delete commit: stage `keys` — a DataFrame whose columns are
     * the retraction key (physical names, primitive types) — as parquet
@@ -926,9 +944,15 @@ object ManifestTable {
     * data file (compaction materializes deletes but pays a full data
     * rewrite; this pays only the backlog):
     *
-    *  - POSITIONAL delete files merge into one (sorted, deduplicated),
-    *    dropping tombstones whose target data file is no longer live
-    *    (its rewriter already materialized them);
+    *  - POSITIONAL tombstones (parquet files and earlier deletion
+    *    vectors) merge into ONE deletion vector ([[DeleteVectors]]) —
+    *    one compact per-(target, delete-version) section each, so a
+    *    reader pays one ranged read per file — dropping tombstones whose
+    *    target data file is no longer live (its rewriter already
+    *    materialized them). Per-section delete versions preserve
+    *    change-feed provenance, and the merged entry keeps the NEWEST
+    *    source version as its own sequence, so a stream past it never
+    *    sees the rewrite as a change;
     *  - EQUALITY delete files that can no longer retract anything — no
     *    live data file carries an older commit sequence — drop outright.
     *
@@ -949,16 +973,17 @@ object ManifestTable {
       if (dataEntries.isEmpty) Long.MaxValue
       else dataEntries.map(_.seq.getOrElse(0L)).min
     val deadEq = eqDel.filter(_.seq.getOrElse(0L) <= minDataSeq).map(_.rel).toSet
-    // positional files are worth merging past one, or when one names
-    // targets that died — metadata-only off the files= stats list; a
-    // pre-list entry forces one distinct-read of the delete files (an
-    // UNDER-approximated target set would silently drop its tombstones
-    // in the merge and resurrect deleted rows)
-    val listed = posDel.map(deleteTouchedRels)
-    lazy val posTargets: Set[String] =
-      if (listed.forall(_.isDefined)) listed.flatten.flatten.toSet
-      else spark.read.parquet(posDel.map(e => s"$root/data/${e.rel}"): _*)
-        .select("__file").distinct().collect().map(_.getString(0)).toSet
+    // positional artifacts are worth merging past one, or when one names
+    // targets that died — metadata-only off the stats lists (files= /
+    // dv= indexes); a pre-list parquet entry forces one distinct-read of
+    // THAT file (an UNDER-approximated target set would silently drop
+    // its tombstones in the merge and resurrect deleted rows)
+    val perEntryTargets: Seq[Set[String]] = posDel.map { e =>
+      deleteTouchedRels(e).getOrElse(
+        spark.read.parquet(s"$root/data/${e.rel}")
+          .select("__file").distinct().collect().map(_.getString(0)).toSet)
+    }
+    val posTargets: Set[String] = perEntryTargets.flatten.toSet
     val needPos = posDel.size > 1 ||
       (posDel.size == 1 && !posTargets.subsetOf(liveRels))
     if (!needPos && deadEq.isEmpty)
@@ -971,11 +996,21 @@ object ManifestTable {
         val keep = posTargets.intersect(liveRels)
         if (keep.isEmpty) Nil // every target died: the backlog vanishes
         else {
-          val tomb = spark.read
-            .parquet(posDel.map(e => s"$root/data/${e.rel}"): _*)
+          // tombstones with their ORIGINAL delete version: parquet files
+          // carry it at entry level, dv slices per section; duplicates
+          // keep the earliest (the commit that really deleted the row)
+          val (dvDel, pqDel) = posDel.partition(e => isDvEntry(e.rel))
+          val parts =
+            pqDel.map(e => spark.read.parquet(s"$root/data/${e.rel}")
+              .select(col("__file").cast("string"), col("__pos").cast("long"))
+              .withColumn("__seq", lit(e.seq.getOrElse(0L)))) ++
+            (if (dvDel.isEmpty) Nil
+             else Seq(DeleteVectors.tombstoneDf(spark, root, dvDel, withSeq = true)))
+          val tomb = parts.reduce(_ unionByName _)
             .where(col("__file").isInCollection(keep))
-            .dropDuplicates("__file", "__pos")
-          writeDeletePool(tomb, root, keep)
+            .groupBy(col("__file"), col("__pos"))
+            .agg(min(col("__seq")).as("__seq"))
+          Seq(writeDvPool(spark, tomb, root))
         }
       }
     commitLoop(root, retain, rebase = true) { base =>
@@ -1088,6 +1123,54 @@ object ManifestTable {
       }
     MetaIO.delete(stage, recursive = true)
     fresh
+  }
+
+  /** Write one DELETION VECTOR blob from a (`__file`, `__pos`, `__seq`)
+    * tombstone DataFrame: globally sorted by (file, version, position),
+    * streamed to the blob section by section through a local iterator —
+    * driver memory stays O(one section), however deep the backlog. The
+    * returned entry carries the slice index in its stats field and the
+    * NEWEST source version as its sequence (a reader/stream that already
+    * consumed past it sees no new delete entry). */
+  private def writeDvPool(spark: SparkSession, tomb: DataFrame,
+                          root: String): FileEntry = {
+    val stage = s"$root/stage/dv_${UUID.randomUUID().toString.take(12)}.bin"
+    val p = new org.apache.hadoop.fs.Path(stage)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(p.getParent).foreach(fs.mkdirs(_))
+    val out = fs.create(p, true)
+    val slices = Vector.newBuilder[DeleteVectors.Slice]
+    var offset = 0L
+    var maxSeq = 0L
+    try {
+      val it = tomb
+        .select(col("__file").cast("string"), col("__seq").cast("long"),
+          col("__pos").cast("long"))
+        .sort(col("__file"), col("__seq"), col("__pos"))
+        .toLocalIterator()
+      var cur: (String, Long) = null
+      val buf = Vector.newBuilder[Long]
+      def flush(): Unit = if (cur != null) {
+        val bytes = DeleteVectors.encodePositions(buf.result())
+        out.write(bytes)
+        slices += DeleteVectors.Slice(cur._1, offset, bytes.length, cur._2)
+        offset += bytes.length
+        maxSeq = math.max(maxSeq, cur._2)
+        buf.clear()
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        val key = (r.getString(0), r.getLong(1))
+        if (key != cur) { flush(); cur = key }
+        buf += r.getLong(2)
+      }
+      flush()
+    } finally out.close()
+    val rel = s"$DeleteDir/dv_${UUID.randomUUID().toString.take(16)}.bin"
+    MetaIO.rename(stage, s"$root/data/$rel")
+    MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
+    FileEntry(rel, Some(DeleteVectors.encodeIndex(slices.result())),
+      seq = Some(maxSeq))
   }
 
   /** Partition-scoped commit: replace the named days with `df`'s rows;
@@ -1322,11 +1405,13 @@ object ManifestTable {
     * Never-referenced junk (crashed writers' pool files, lost-race shards)
     * is NOT this path's job — [[expireOldVersions]] does those full
     * sweeps, Iceberg's remove-orphan-files split. */
-  private def gc(root: String, live: Long, retain: Int): Unit = {
+  private def gc(root: String, live: Long, retain: Int,
+                 olderThanMillis: Option[Long] = None): Unit = {
     val now = System.currentTimeMillis()
     val pinned = pinnedVersions(root)
     val (dead, kept0) = versions(root)
-      .partition(v => v <= live - retain && !pinned.contains(v))
+      .partition(v => v <= live - retain && !pinned.contains(v) &&
+        olderThanMillis.forall(MetaIO.mtimeMillis(manifestPath(root, v)) < _))
     // expiring docs are read BEFORE their manifests are deleted
     val deadDocs = dead.map(v => readDoc(root, v))
     val kept = kept0.filter { v =>
@@ -1370,11 +1455,19 @@ object ManifestTable {
     * retained manifest references (crashed writers' junk) and shard files
     * no manifest lists (lost commit races), both behind the orphan grace.
     * The full sweeps are O(table listing) and live ONLY here, never on
-    * the commit path. */
-  def expireOldVersions(root: String, retain: Int = 1): Unit = {
+    * the commit path.
+    *
+    * `olderThanMillis` adds Iceberg's AGE rule (`expire_snapshots(
+    * older_than => ts, retain_last => n)`): a snapshot expires only when
+    * it is BOTH beyond the retain-count window AND committed before the
+    * instant — so "expire everything older than 7 days, but always keep
+    * the last N" composes from the two knobs. The live snapshot and
+    * ref-pinned versions never expire under either rule. */
+  def expireOldVersions(root: String, retain: Int = 1,
+                        olderThanMillis: Option[Long] = None): Unit = {
     require(retain >= 1, "must retain at least the live snapshot")
     currentVersion(root).foreach { live =>
-      gc(root, live, retain)
+      gc(root, live, retain, olderThanMillis)
       val now = System.currentTimeMillis()
       val docs = versions(root).map(v => readDoc(root, v))
       val referencedFiles = docs.flatMap(d => d.inline.map(_.rel) ++

@@ -193,9 +193,9 @@ private[v2] case class ChangePartition(
     version: Long,
     kind: String, // "insert" | "delete-pos" | "delete-eq"
     relEnc: Option[String],        // single-file partitions only
-    emitPosFiles: Seq[String],     // delete-pos: delete files whose positions emit
+    emitPos: PosSource,            // delete-pos: artifacts whose positions emit
     emitEq: Option[EqDeleteSpec],  // delete-eq: the key file to emit matches of
-    suppressPosFiles: Seq[String], // older tombstones: rows already dead
+    suppressPos: PosSource,        // older tombstones: rows already dead
     suppressEq: Seq[EqDeleteSpec]) // older equality keys: rows already dead
     extends InputPartition
 
@@ -259,14 +259,30 @@ private[v2] object ChangeFeedPlanner {
     val encToRaw: Map[String, ManifestTable.FileEntry] =
       dataAll.map(e => enc(e.rel) -> e).toMap
 
-    // positional entries with their target-file sets (encoded rels)
-    val posByEntry: Seq[(ManifestTable.FileEntry, Set[String])] = posAll.map { e =>
-      val touched = ManifestTable.deleteTouchedRels(e).getOrElse(
-        spark.read.parquet(s"$root/data/${e.rel}")
-          .select("__file").distinct().collect().map(_.getString(0)).toSet)
-      e -> touched
-    }
+    // positional tombstone UNITS — (target rel, delete version, artifact):
+    // one per (parquet tombstone file × named target), one per dv-blob
+    // slice. Delete versions ride per-unit, so a deletion-vector merge
+    // (rewrite_deletes) keeps every tombstone attributed to its ORIGINAL
+    // commit and the feed's windows stay exact across maintenance.
     def posPath(e: ManifestTable.FileEntry): String = s"$root/data/${e.rel}"
+    val posUnits: Seq[(String, Long, Either[String, DvSlice])] = posAll.flatMap { e =>
+      if (ManifestTable.isDvEntry(e.rel))
+        graft.sources.DeleteVectors.decodeIndex(e.stats.getOrElse("")).getOrElse(
+          throw new IllegalStateException(s"dv entry ${e.rel} has no index"))
+          .map(s => (s.relEnc, s.seq,
+            Right(DvSlice(posPath(e), s.offset, s.len, s.seq))
+              : Either[String, DvSlice]))
+      else {
+        val touched = ManifestTable.deleteTouchedRels(e).getOrElse(
+          spark.read.parquet(posPath(e))
+            .select("__file").distinct().collect().map(_.getString(0)).toSet)
+        touched.toSeq.map(r =>
+          (r, seq0(e), Left(posPath(e)): Either[String, DvSlice]))
+      }
+    }
+    def srcOf(units: Seq[(String, Long, Either[String, DvSlice])]): PosSource =
+      PosSource(units.collect { case (_, _, Left(p)) => p }.distinct,
+        units.collect { case (_, _, Right(s)) => s })
 
     // equality-delete specs: key columns resolved against the emitted
     // layout (keys are data columns by the commit-path contract)
@@ -283,12 +299,11 @@ private[v2] object ChangeFeedPlanner {
         ords.map(ctx.emitted.fields(_).dataType))
     }
 
-    def suppressPosFor(relEnc: String, before: Long): Seq[String] =
-      posByEntry.collect { case (e, t) if seq0(e) < before && t.contains(relEnc) =>
-        posPath(e) }
+    def suppressPosFor(relEnc: String, before: Long): PosSource =
+      srcOf(posUnits.filter(u => u._1 == relEnc && u._2 < before))
     def suppressEqFor(fileSeq: Long, before: Long): Seq[EqDeleteSpec] =
       eqSpecs.filter(es => es.seq > fileSeq && es.seq < before)
-    val posTargets: Set[String] = posByEntry.flatMap(_._2).toSet
+    val posTargets: Set[String] = posUnits.map(_._1).toSet
 
     val out = Vector.newBuilder[InputPartition]
     if (initialSnapshot) {
@@ -298,11 +313,12 @@ private[v2] object ChangeFeedPlanner {
         val (hit, clean) = entries.partition(e => posTargets.contains(enc(e.rel)))
         if (clean.nonEmpty)
           ctx.scanFor(clean.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, s, "insert", None, Nil, None, Nil, supEq))
+            out += ChangePartition(p, s, "insert", None, PosSource.empty, None,
+              PosSource.empty, supEq))
         hit.foreach { e =>
           val rel = enc(e.rel)
           ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, s, "insert", Some(rel), Nil, None,
+            out += ChangePartition(p, s, "insert", Some(rel), PosSource.empty, None,
               suppressPosFor(rel, Long.MaxValue), supEq))
         }
       }
@@ -312,18 +328,19 @@ private[v2] object ChangeFeedPlanner {
       dataAll.filter(e => seq0(e) > sV && seq0(e) <= eV).groupBy(seq0).foreach {
         case (s, es) =>
           ctx.scanFor(es.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, s, "insert", None, Nil, None, Nil, Nil))
+            out += ChangePartition(p, s, "insert", None, PosSource.empty, None,
+              PosSource.empty, Nil))
       }
       // positional deletes: tombstoned rows of each target file, grouped
-      // by commit (one emission version per group)
-      posByEntry.filter { case (e, _) => seq0(e) > sV && seq0(e) <= eV }
-        .groupBy { case (e, _) => seq0(e) }.toSeq.sortBy(_._1).foreach { case (s, group) =>
-          val emitFiles = group.map { case (e, _) => posPath(e) }
-          group.flatMap(_._2).toSet.toSeq.sorted.foreach { relEnc =>
+      // by DELETE VERSION (per-unit, so merged deletion vectors keep
+      // their original commits)
+      posUnits.filter(u => u._2 > sV && u._2 <= eV)
+        .groupBy(_._2).toSeq.sortBy(_._1).foreach { case (s, units) =>
+          units.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (relEnc, us) =>
             val target = encToRaw.getOrElse(relEnc, throw new IllegalStateException(
               s"change feed of $root: tombstoned file $relEnc is not live at v=$eV"))
             ctx.scanFor(Seq(target.rel)).toBatch.planInputPartitions().foreach(p =>
-              out += ChangePartition(p, s, "delete-pos", Some(relEnc), emitFiles,
+              out += ChangePartition(p, s, "delete-pos", Some(relEnc), srcOf(us),
                 None, suppressPosFor(relEnc, s), suppressEqFor(seq0(target), s)))
           }
         }
@@ -332,8 +349,9 @@ private[v2] object ChangeFeedPlanner {
         dataAll.filter(e => seq0(e) < es.seq).foreach { e =>
           val relEnc = enc(e.rel)
           ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, es.seq, "delete-eq", Some(relEnc), Nil,
-              Some(es), suppressPosFor(relEnc, es.seq), suppressEqFor(seq0(e), es.seq)))
+            out += ChangePartition(p, es.seq, "delete-eq", Some(relEnc),
+              PosSource.empty, Some(es),
+              suppressPosFor(relEnc, es.seq), suppressEqFor(seq0(e), es.seq)))
         }
       }
     }
@@ -361,26 +379,26 @@ private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
         MorDeletes.baseRowFor(f.filePath.toPath, f.start, conf.value)
       case _ => 0L
     }
-    def posOf(files: Seq[String]): Array[Long] =
-      if (files.isEmpty) Array.emptyLongArray
-      else MorDeletes.positionsFor(files, cp.relEnc.get, conf.value)
+    def posOf(src: PosSource): Array[Long] =
+      if (src.isEmpty) Array.emptyLongArray
+      else MorDeletes.positionsFor(src, cp.relEnc.get, conf.value)
     def eqSets(specs: Seq[EqDeleteSpec]) =
       specs.map(s => (s, MorDeletes.loadEqKeys(s, conf.value)))
 
     cp.kind match {
       case "insert" =>
-        val sup = posOf(cp.suppressPosFiles)
+        val sup = posOf(cp.suppressPos)
         if (sup.nonEmpty) r = new PosSkipRowReader(r, sup, base)
       case "delete-pos" =>
         // emitted positions minus rows already dead at the emission commit
-        val emit = posOf(cp.emitPosFiles)
-        val sup = posOf(cp.suppressPosFiles)
+        val emit = posOf(cp.emitPos)
+        val sup = posOf(cp.suppressPos)
         val keep =
           if (sup.isEmpty) emit
           else emit.filter(p => java.util.Arrays.binarySearch(sup, p) < 0)
         r = new PosKeepRowReader(r, keep, base)
       case "delete-eq" =>
-        val sup = posOf(cp.suppressPosFiles)
+        val sup = posOf(cp.suppressPos)
         if (sup.nonEmpty) r = new PosSkipRowReader(r, sup, base)
       case other => throw new IllegalStateException(s"unknown change kind $other")
     }

@@ -37,7 +37,7 @@ import graft.sources.SerializableHadoopConf
   *    shape); batches with nothing to drop pass through untouched. */
 class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
               widened: Boolean, physicalBatch: StructType,
-              posAffected: Set[String], posDeleteFiles: Seq[String],
+              posAffected: Set[String], posSources: Map[String, PosSource],
               eqSpecs: Seq[EqDeleteSpec], dataSeqByRel: Map[String, Long],
               conf: SerializableHadoopConf)
     extends Scan with Batch
@@ -121,7 +121,7 @@ class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MorReaderFactory(delegate.toBatch.createReaderFactory(), planned._2,
-      planned._3, posDeleteFiles, eqSpecs, keepIdx, widened, declaredPhysical, conf)
+      planned._3, posSources, eqSpecs, keepIdx, widened, declaredPhysical, conf)
 
   /** The kept columns' physical types, for the row-path projection —
     * sliced from the caller-supplied physical BATCH layout, never from
@@ -138,6 +138,24 @@ class MorScan(delegate: Scan, declared: StructType, keepIdx: Array[Int],
   * columns resolved to ordinals/types of the (widened) physical batch. */
 case class EqDeleteSpec(path: String, seq: Long, keyNames: Array[String],
                         keyOrdinals: Array[Int], keyTypes: Array[DataType])
+
+/** One dv-blob section holding a target file's positions at one delete
+  * version ([[graft.sources.DeleteVectors]]). */
+private[graft] case class DvSlice(path: String, offset: Long, len: Int, seq: Long)
+
+/** Every positional-tombstone artifact applying to ONE target file:
+  * parquet tombstone files that name it (loaded with a pushed `__file`
+  * filter) plus its deletion-vector slices (one ranged read each). */
+private[graft] case class PosSource(parquet: Seq[String], slices: Seq[DvSlice]) {
+  def isEmpty: Boolean = parquet.isEmpty && slices.isEmpty
+  private[graft] def cacheKey(rel: String): String =
+    parquet.mkString("\u0000") + "\u0002" +
+      slices.map(s => s"${s.path}@${s.offset}+${s.len}").mkString("\u0000") +
+      "\u0001" + rel
+}
+private[graft] object PosSource {
+  val empty: PosSource = PosSource(Nil, Nil)
+}
 
 /** Task-side delete loading — positions for positional tombstones, key
   * sets for equality deletes. Both bounded by the delete backlog since the
@@ -158,6 +176,8 @@ private[graft] object MorDeletes {
     * for the executor-cache specs. */
   val eqKeyLoads = new java.util.concurrent.atomic.AtomicLong(0)
   val positionLoads = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Ranged dv-slice reads (one per (file, slice), executor-cached). */
+  val dvSliceLoads = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def cached[T <: AnyRef](key: String)(load: => T): T = {
     var out: AnyRef = null
@@ -169,13 +189,42 @@ private[graft] object MorDeletes {
     out.asInstanceOf[T]
   }
 
-  def positionsFor(deleteFiles: Seq[String], rel: String,
+  def positionsFor(src: PosSource, rel: String,
                    conf: org.apache.hadoop.conf.Configuration): Array[Long] =
     // full-path key (no hashing): a hash collision would silently apply
     // the wrong file's tombstones
-    cached(deleteFiles.mkString("\u0000") + "\u0001" + rel) {
-      positionLoads.incrementAndGet()
-      loadPositions(deleteFiles, rel, conf)
+    cached(src.cacheKey(rel)) {
+      val fromParquet =
+        if (src.parquet.isEmpty) Array.emptyLongArray
+        else {
+          positionLoads.incrementAndGet()
+          loadPositions(src.parquet, rel, conf)
+        }
+      if (src.slices.isEmpty) fromParquet
+      else {
+        val fromDv = src.slices.flatMap { s =>
+          dvSliceLoads.incrementAndGet()
+          graft.sources.DeleteVectors.decodePositions(
+            graft.sources.DeleteVectors.readSliceBytes(s.path, s.offset, s.len, conf))
+        }
+        val all = fromParquet ++ fromDv
+        java.util.Arrays.sort(all)
+        dedupSorted(all)
+      }
+    }
+
+  /** Parquet-only shape: positions of `rel` across tombstone files. */
+  def positionsFor(deleteFiles: Seq[String], rel: String,
+                   conf: org.apache.hadoop.conf.Configuration): Array[Long] =
+    positionsFor(PosSource(deleteFiles, Nil), rel, conf)
+
+  private def dedupSorted(arr: Array[Long]): Array[Long] =
+    if (arr.length <= 1) arr
+    else { // dedup: an UPDATE chain may re-tombstone a position across artifacts
+      val b = Array.newBuilder[Long]
+      var last = arr(0) - 1
+      arr.foreach { p => if (p != last) { b += p; last = p } }
+      b.result()
     }
 
   private def loadPositions(deleteFiles: Seq[String], rel: String,
@@ -202,13 +251,7 @@ private[graft] object MorDeletes {
     }
     val arr = out.result()
     java.util.Arrays.sort(arr)
-    if (arr.length <= 1) arr
-    else { // dedup: an UPDATE chain may re-tombstone a position across files
-      val b = Array.newBuilder[Long]
-      var last = arr(0) - 1
-      arr.foreach { p => if (p != last) { b += p; last = p } }
-      b.result()
-    }
+    dedupSorted(arr)
   }
 
   /** The FILE row index of a parquet split's first row. Spark's readers
@@ -338,7 +381,7 @@ private[graft] object MorDeletes {
 private[v2] class MorReaderFactory(delegate: PartitionReaderFactory,
                                    posBy: Map[Int, String],
                                    eqBy: Map[Int, Seq[Int]],
-                                   posDeleteFiles: Seq[String],
+                                   posSources: Map[String, PosSource],
                                    eqSpecs: Seq[EqDeleteSpec],
                                    keepIdx: Array[Int],
                                    widened: Boolean,
@@ -361,7 +404,8 @@ private[v2] class MorReaderFactory(delegate: PartitionReaderFactory,
 
   private def positionsFor(p: InputPartition): Array[Long] =
     posBy.get(idxOf(p)) match {
-      case Some(rel) => MorDeletes.positionsFor(posDeleteFiles, rel, conf.value)
+      case Some(rel) => MorDeletes.positionsFor(
+        posSources.getOrElse(rel, PosSource.empty), rel, conf.value)
       case None => Array.emptyLongArray
     }
 

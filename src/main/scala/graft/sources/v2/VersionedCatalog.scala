@@ -1258,21 +1258,43 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     val delEntries = deleteEntries
     val (eqEntries, posEntries) =
       delEntries.partition(e => ManifestTable.isEqDeleteEntry(e.rel))
-    val posPaths = posEntries.map(e => s"$root/data/${e.rel}")
-    val affectedRels: Set[String] =
-      if (posEntries.isEmpty) Set.empty
+    // per-target positional SOURCES: listed parquet tombstones attach to
+    // exactly the rels they name, deletion-vector slices to their
+    // sections' rels (both metadata-only off the entry stats); a pre-list
+    // legacy parquet entry attaches to every rel one tiny distinct read
+    // surfaces. Each task then opens only ITS file's artifacts — O(1)
+    // ranged reads for dv slices, row-group-skipped scans of only the
+    // parquet files that name the rel.
+    val (posSources, affectedRels): (Map[String, PosSource], Set[String]) =
+      if (posEntries.isEmpty) (Map.empty[String, PosSource], Set.empty[String])
       else {
         val surviving = rels.map(r => ManifestTable.encodedRel(root, r)).toSet
-        // the tombstoned file set rides on each delete ENTRY (stamped at
-        // commit), so planning is metadata-only; the tiny distinct-file
-        // job remains only as a fallback for pre-list delete entries
-        val listed = posEntries.map(ManifestTable.deleteTouchedRels)
-        val named =
-          if (listed.forall(_.isDefined)) listed.flatten.flatten.toSet
-          else spark.read.parquet(posPaths: _*)
-            .select("__file").distinct().collect()
-            .map(_.getString(0)).toSet
-        named.filter(surviving.contains)
+        val (dvEntries, pqEntries) =
+          posEntries.partition(e => ManifestTable.isDvEntry(e.rel))
+        val pqListed = pqEntries.map(e => e -> ManifestTable.deleteTouchedRels(e))
+        val legacyPaths = pqListed.collect { case (e, None) => s"$root/data/${e.rel}" }
+        val legacyTouched: Set[String] =
+          if (legacyPaths.isEmpty) Set.empty
+          else spark.read.parquet(legacyPaths: _*)
+            .select("__file").distinct().collect().map(_.getString(0)).toSet
+        val pqByRel = scala.collection.mutable.Map.empty[String, Vector[String]]
+        pqListed.foreach {
+          case (e, Some(t)) => t.foreach(r =>
+            pqByRel(r) = pqByRel.getOrElse(r, Vector.empty) :+ s"$root/data/${e.rel}")
+          case _ => ()
+        }
+        legacyTouched.foreach(r =>
+          pqByRel(r) = pqByRel.getOrElse(r, Vector.empty) ++ legacyPaths)
+        val slicesByRel: Map[String, Seq[DvSlice]] = dvEntries.flatMap { e =>
+          graft.sources.DeleteVectors.decodeIndex(e.stats.getOrElse("")).getOrElse(
+            throw new IllegalStateException(s"dv entry ${e.rel} has no index"))
+            .map(s => s.relEnc -> DvSlice(s"$root/data/${e.rel}", s.offset, s.len, s.seq))
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val affected = (pqByRel.keySet ++ slicesByRel.keySet)
+          .filter(surviving.contains).toSet
+        (affected.map(r => r -> PosSource(
+          pqByRel.getOrElse(r, Vector.empty),
+          slicesByRel.getOrElse(r, Nil))).toMap, affected)
       }
     // equality-delete metadata: one footer-schema read per eq file (driver,
     // bounded by the eq backlog); key columns are PHYSICAL names
@@ -1411,7 +1433,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         ManifestTable.encodedRel(root, e.rel) -> e.seq.getOrElse(0L)).toMap
       new MorScan(named, StructType(declaredFields), keepIdx, widened,
         physicalBatch,
-        affectedRels, posPaths, eqSpecs, dataSeqByRel,
+        affectedRels, posSources, eqSpecs, dataSeqByRel,
         new graft.sources.SerializableHadoopConf(
           spark.sparkContext.hadoopConfiguration))
     }

@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeleteVectors, ManifestTable}
+import graft.sources.v2.{MorDeletes, VersionedCatalog}
+
+/** Deletion vectors: `rewrite_deletes` merges the positional backlog
+  * (parquet tombstone files and earlier vectors) into ONE blob with a
+  * per-(target, delete-version) section index — readers pay one ranged
+  * read per file, the change feed keeps original commit provenance, and
+  * every read path (V2 scan, raw ManifestTable read, compaction) applies
+  * them identically. */
+class DeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gdv", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gdv.warehouse",
+      Files.createTempDirectory("graft_dvwh").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdv.ns")
+    s
+  }
+  private def root(t: String) =
+    s"${spark.conf.get("spark.sql.catalog.gdv.warehouse")}/ns/$t"
+
+  private def withMorDelete[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.graft.delete.mode")
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try body finally prev match {
+      case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+      case None => spark.conf.unset("spark.graft.delete.mode")
+    }
+  }
+
+  test("position/index codecs round-trip, including empty and large-gap sections") {
+    for (positions <- Seq(Seq.empty[Long], Seq(0L), Seq(7L), Seq(0L, 1L, 2L),
+        Seq(5L, 1000000L, 123456789012L))) {
+      assert(DeleteVectors.decodePositions(
+        DeleteVectors.encodePositions(positions)).toSeq === positions)
+    }
+    val slices = Seq(
+      DeleteVectors.Slice("a.parquet", 0L, 12, 3L),
+      DeleteVectors.Slice("dir=x y%/b.parquet", 12L, 999, 5L))
+    assert(DeleteVectors.decodeIndex(DeleteVectors.encodeIndex(slices)) ===
+      Some(slices))
+    assert(DeleteVectors.decodeIndex("files=a,b") === None)
+  }
+
+  test("rewrite merges the parquet backlog into ONE deletion vector; reads stay exact") {
+    import spark.implicits._
+    val t = "gdv.ns.merge"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (0L until 10000L).map(k => (k, k * 0.5)).toDF("k", "v")
+      .repartition(4).writeTo(t).append()
+    val r = root("merge")
+    withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 100 = 7")  // v2
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 100 = 13") // v3
+    }
+    val backlog = ManifestTable.liveDeleteEntries(r)
+    assert(backlog.size === 2 && backlog.forall(e => !ManifestTable.isDvEntry(e.rel)))
+
+    ManifestTable.rewriteDeletes(spark, r)
+    val merged = ManifestTable.liveDeleteEntries(r)
+    assert(merged.size === 1 && ManifestTable.isDvEntry(merged.head.rel),
+      s"backlog must become one deletion vector: ${merged.map(_.rel)}")
+    // the merged entry keeps the NEWEST source version as its sequence —
+    // a stream past v3 must not see the rewrite as a new delete
+    assert(merged.head.seq === Some(3L))
+    // index covers all four data files, with per-section ORIGINAL versions
+    val slices = DeleteVectors.decodeIndex(merged.head.stats.get).get
+    assert(slices.map(_.relEnc).distinct.size === 4)
+    assert(slices.map(_.seq).toSet === Set(2L, 3L))
+
+    // V2 scan and raw ManifestTable read both apply the vector exactly
+    val expect = (0L until 10000L).filterNot(k => k % 100 == 7 || k % 100 == 13)
+    assert(spark.table(t).select($"k").as[Long].collect().sorted.toSeq === expect)
+    assert(ManifestTable.read(spark, r).select($"k").as[Long]
+      .collect().sorted.toSeq === expect)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("delete application costs ONE ranged slice read per file (executor-cached)") {
+    import spark.implicits._
+    val t = "gdv.ns.cost"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (0L until 20000L).map(k => (k, k * 0.5)).toDF("k", "v")
+      .repartition(6).writeTo(t).append()
+    val r = root("cost")
+    withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 50 = 1")
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 50 = 2")
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 50 = 3")
+    }
+    ManifestTable.rewriteDeletes(spark, r)
+    val merged = ManifestTable.liveDeleteEntries(r)
+    assert(merged.size === 1 && ManifestTable.isDvEntry(merged.head.rel))
+    val nSlices = DeleteVectors.decodeIndex(merged.head.stats.get).get.size
+
+    val pqBefore = MorDeletes.positionLoads.get()
+    val dvBefore = MorDeletes.dvSliceLoads.get()
+    assert(spark.table(t).count() === 20000L - 3 * 400)
+    val pqLoads = MorDeletes.positionLoads.get() - pqBefore
+    val dvLoads = MorDeletes.dvSliceLoads.get() - dvBefore
+    assert(pqLoads === 0, "no parquet tombstone scan should remain after the rewrite")
+    assert(dvLoads > 0 && dvLoads <= nSlices,
+      s"at most one ranged read per slice (cache-shared): $dvLoads vs $nSlices slices")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("the change feed keeps ORIGINAL delete versions across the vector merge") {
+    import spark.implicits._
+    val t = "gdv.ns.cdf"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .coalesce(1).writeTo(t).append()                                    // v1
+    val r = root("cdf")
+    withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 2")     // v2
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 4")     // v3
+    }
+    val before = spark.table(s"$t.changes")
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    ManifestTable.rewriteDeletes(spark, r)                                // v4
+    assert(ManifestTable.liveDeleteEntries(r).forall(e => ManifestTable.isDvEntry(e.rel)))
+    val after = spark.table(s"$t.changes")
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(after === before, "maintenance must be invisible to the feed")
+    assert(after.contains((2L, "delete", 2L)) && after.contains((4L, "delete", 3L)))
+
+    // a change-feed stream that already consumed the deletes sees an
+    // EMPTY window across the rewrite, not a re-delivery
+    val checkpoint = Files.createTempDirectory("dv_ck").toString
+    val sink = Files.createTempDirectory("dv_sink").toString + "/out"
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$t.changes").writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val n1 = spark.read.parquet(sink).count()
+    withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 3")     // v5
+    }
+    ManifestTable.rewriteDeletes(spark, r)                                // v6
+    drain()
+    val rows = spark.read.parquet(sink)
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect()
+    assert(rows.length === n1 + 1, s"exactly the one new delete event: ${rows.toSeq}")
+    assert(rows.contains((3L, "delete", 5L)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("vectors and fresh parquet tombstones coexist; the next rewrite folds both") {
+    import spark.implicits._
+    val t = "gdv.ns.mix"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (0L until 1000L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .coalesce(2).writeTo(t).append()
+    val r = root("mix")
+    withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k < 100")
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k >= 900")
+    }
+    ManifestTable.rewriteDeletes(spark, r)
+    withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 500")
+    }
+    val mixed = ManifestTable.liveDeleteEntries(r)
+    assert(mixed.exists(e => ManifestTable.isDvEntry(e.rel)) &&
+      mixed.exists(e => !ManifestTable.isDvEntry(e.rel)))
+    val expect = (100L until 1000L).filterNot(k => k >= 900 || k == 500)
+    assert(spark.table(t).select($"k").as[Long].collect().sorted.toSeq === expect)
+
+    ManifestTable.rewriteDeletes(spark, r)
+    val merged = ManifestTable.liveDeleteEntries(r)
+    assert(merged.size === 1 && ManifestTable.isDvEntry(merged.head.rel))
+    assert(spark.table(t).select($"k").as[Long].collect().sorted.toSeq === expect)
+
+    // compaction (raw read path) materializes the vector away
+    ManifestTable.compact(spark, r, None)
+    assert(!ManifestTable.hasDeletes(r))
+    assert(spark.table(t).select($"k").as[Long].collect().sorted.toSeq === expect)
+    spark.sql(s"DROP TABLE $t")
+  }
+}
