@@ -1590,9 +1590,6 @@ class VersionedWriteBuilder(root: String, schema: StructType,
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(meta.format == "parquet",
         s"streaming write to $root: format ${meta.format} is not streamable yet")
-      require(meta.part.isEmpty,
-        s"streaming write to $root: hidden ${meta.part.map(_.kind).getOrElse("")} " +
-          "transforms stream through graft.streaming.MicroBatch.appendSink (foreachBatch) for now")
       val physical = StructType(schema.fields.map(f =>
         f.copy(name = meta.physicalName(f.name))))
       def ordOf(c: String): Int = {
@@ -1610,6 +1607,32 @@ class VersionedWriteBuilder(root: String, schema: StructType,
             "streams through the foreachBatch appendSink)")
         i
       }
+      // hidden months/years/bucket/truncate layouts stream too: the task
+      // derives each row's __part value with the batch expression's exact
+      // semantics (zone-sensitive TIMESTAMP months/years decline — their
+      // derivation depends on the writing session's zone)
+      val transform = meta.part.map { p =>
+        val i = ordOf(p.col)
+        val dt = schema.fields(i).dataType
+        p.kind match {
+          case "months" | "years" =>
+            require(dt == org.apache.spark.sql.types.TimestampNTZType ||
+              dt == org.apache.spark.sql.types.DateType,
+              s"streaming write to $root: ${p.kind} source ${p.col} must be " +
+                "TIMESTAMP_NTZ or DATE for streaming (session-zone TIMESTAMP " +
+                "streams through the foreachBatch appendSink)")
+          case "truncate" =>
+            require(dt == org.apache.spark.sql.types.StringType ||
+              Seq[org.apache.spark.sql.types.DataType](
+                org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+                org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+                .contains(dt),
+              s"streaming write to $root: truncate source ${p.col} must be " +
+                "string or integral for streaming")
+          case _ => () // bucket: the generic Murmur3 hash covers every type
+        }
+        (p.kind, p.arg, i)
+      }
       val identity = meta.identityCols.map { c =>
         val i = ordOf(c)
         require(Seq[org.apache.spark.sql.types.DataType](
@@ -1624,7 +1647,7 @@ class VersionedWriteBuilder(root: String, schema: StructType,
       val identityOrds = identity.map(_._2).toSet
       val fileOrdinals = schema.fields.indices.filterNot(identityOrds).toArray
       val fileSchema = StructType(fileOrdinals.map(physical.fields(_)))
-      val layout = StreamLayout(physical, dayOrd, identity, fileOrdinals)
+      val layout = StreamLayout(physical, dayOrd, transform, identity, fileOrdinals)
       val spark = SparkSession.active
       new VersionedStreamWrite(root, fileSchema, layout, queryId, overwrite,
         () => VersionedCatalog.retainFor(root, spark))

@@ -38,10 +38,8 @@ private[v2] class VersionedMicroBatchStream(
     options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  require(meta.renames.isEmpty,
-    s"streaming read of $root: tables with renamed columns are not streamable yet")
-  require(meta.format == "parquet" || meta.format == "orc",
-    s"streaming read of $root: format ${meta.format} is not streamable yet")
+  require(ManifestTable.FileFormats.contains(meta.format),
+    s"streaming read of $root: format ${meta.format} is not streamable")
 
   private def ignoreChanges: Boolean =
     Option(options.get("ignoreChanges")).exists(_.toBoolean)
@@ -60,18 +58,26 @@ private[v2] class VersionedMicroBatchStream(
     required.fields.filter(f => physPartNames.contains(f.name.toLowerCase))))
 
   private def fileScanFor(rels: Seq[String])
-      : org.apache.spark.sql.execution.datasources.v2.FileScan = {
+      : org.apache.spark.sql.connector.read.Scan = {
     val files = rels.map(rel => new Path(s"$root/data/$rel"))
-    val params =
-      if (files.isEmpty || meta.identityCols.isEmpty) Map.empty[String, String]
-      else Map("basePath" -> s"$root/data")
-    val index = new InMemoryFileIndex(spark, files, params, Some(physical(dataSchema)))
-    if (meta.format == "orc")
-      org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
-        spark, index, physical(dataSchema), readData, readPart, Array.empty, options)
-    else
-      org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
-        spark, index, physical(dataSchema), readData, readPart, Array.empty, options)
+    if (meta.format == "avro")
+      // the manifest IS the listing (no index/partition discovery); avro
+      // tables never have identity columns, so readPart is empty and the
+      // emitted layout is exactly readData
+      new AvroManifestScan(files.map(_.toString), readData, readData,
+        maxSplitBytes = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+    else {
+      val params =
+        if (files.isEmpty || meta.identityCols.isEmpty) Map.empty[String, String]
+        else Map("basePath" -> s"$root/data")
+      val index = new InMemoryFileIndex(spark, files, params, Some(physical(dataSchema)))
+      if (meta.format == "orc")
+        org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
+          spark, index, physical(dataSchema), readData, readPart, Array.empty, options)
+      else
+        org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
+          spark, index, physical(dataSchema), readData, readPart, Array.empty, options)
+    }
   }
 
   override def initialOffset(): Offset =
@@ -179,7 +185,7 @@ private[v2] class VersionedMicroBatchStream(
     require(perm.forall(_ >= 0),
       s"streaming read of $root: projection ${required.fieldNames.mkString(",")} " +
         s"not covered by emitted ${emitted.fieldNames.mkString(",")}")
-    val inner = fileScanFor(Nil).createReaderFactory()
+    val inner = fileScanFor(Nil).toBatch.createReaderFactory()
     if (perm.zipWithIndex.forall { case (p, i) => p == i }) inner
     else new org.apache.spark.sql.execution.datasources.v2.GraftReorderedReaderFactory(
       inner, perm, emitted)

@@ -15,11 +15,16 @@ import org.apache.spark.sql.types._
 import graft.sources.{ManifestTable, MetaIO}
 
 /** Which directory each row lands in — the streaming mirror of the batch
-  * writer's `partitionBy`/hidden-day derivation, so streamed files are
+  * writer's `partitionBy`/hidden-derivation, so streamed files are
   * indistinguishable from batch-written ones to every reader and pruner.
   *
   *  - `dayOrdinal`: hidden-day layout — `__day=<date>` from the
   *    TIMESTAMP_NTZ/DATE source column (wall-clock, zone-free).
+  *  - `transform`: hidden months/years/bucket/truncate layout —
+  *    `__part=<value>` with the EXACT batch derivation
+  *    ([[VersionedCatalog.partDeriveExpr]]): `date_format` wall-clock
+  *    months/years, Murmur3(seed 42) pmod buckets (hash(NULL) = seed),
+  *    string-prefix / integral-floor truncation.
   *  - `identity`: identity layout — `col=value` dirs (Spark's own path
   *    escaping, hive default dir for nulls); the identity columns are
   *    PROJECTED OUT of the file, exactly like `partitionBy`.
@@ -27,6 +32,7 @@ import graft.sources.{ManifestTable, MetaIO}
 private[v2] case class StreamLayout(
     rowSchema: StructType,
     dayOrdinal: Option[Int],
+    transform: Option[(String, Option[Int], Int)], // (kind, arg, ordinal)
     identity: Seq[(String, Int)],
     fileOrdinals: Array[Int]) extends Serializable {
 
@@ -39,20 +45,67 @@ private[v2] case class StreamLayout(
             Math.floorDiv(row.getLong(ord), 86_400_000_000L))
         }
         s"${ManifestTable.DayCol}=$day"
-      case None =>
-        identity.map { case (name, ord) =>
-          val v =
-            if (row.isNullAt(ord)) null
-            else rowSchema.fields(ord).dataType match {
-              case ByteType => row.getByte(ord).toString
-              case ShortType => row.getShort(ord).toString
-              case IntegerType => row.getInt(ord).toString
-              case LongType => row.getLong(ord).toString
-              case _ => row.getUTF8String(ord).toString
-            }
-          ExternalCatalogUtils.getPartitionPathString(name, v)
-        }.mkString("/")
+      case None => transform match {
+        case Some((kind, arg, ord)) =>
+          ExternalCatalogUtils.getPartitionPathString(
+            VersionedCatalog.PartTransform.DirCol, transformValue(kind, arg, ord, row))
+        case None =>
+          identity.map { case (name, ord) =>
+            val v =
+              if (row.isNullAt(ord)) null
+              else rowSchema.fields(ord).dataType match {
+                case ByteType => row.getByte(ord).toString
+                case ShortType => row.getShort(ord).toString
+                case IntegerType => row.getInt(ord).toString
+                case LongType => row.getLong(ord).toString
+                case _ => row.getUTF8String(ord).toString
+              }
+            ExternalCatalogUtils.getPartitionPathString(name, v)
+          }.mkString("/")
+      }
     }
+
+  /** The `__part` value of one row — bit-identical to the batch writer's
+    * column expression (null ⇒ hive default dir, except bucket, whose
+    * hash of NULL is the seed and lands in a real bucket). */
+  private def transformValue(kind: String, arg: Option[Int], ord: Int,
+                             row: InternalRow): String = {
+    val dt = rowSchema.fields(ord).dataType
+    def localDate: java.time.LocalDate = dt match {
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong)
+      case _ => java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(row.getLong(ord), 86_400_000_000L))
+    }
+    kind match {
+      case "bucket" =>
+        val n = arg.get
+        val h =
+          if (row.isNullAt(ord)) 42
+          else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+            .hash(row.get(ord, dt), dt, 42L).toInt
+        (((h % n) + n) % n).toString
+      case _ if row.isNullAt(ord) => null
+      case "months" =>
+        val d = localDate
+        f"${d.getYear}%04d-${d.getMonthValue}%02d"
+      case "years" =>
+        f"${localDate.getYear}%04d"
+      case "truncate" => dt match {
+        case StringType =>
+          // batch uses substring(c, 1, w): first w CHARACTERS
+          row.getUTF8String(ord).substringSQL(1, arg.get).toString
+        case _ =>
+          val v = dt match {
+            case ByteType => row.getByte(ord).toLong
+            case ShortType => row.getShort(ord).toLong
+            case IntegerType => row.getInt(ord).toLong
+            case _ => row.getLong(ord)
+          }
+          (v - Math.floorMod(v, arg.get.toLong)).toString
+      }
+      case other => throw new IllegalStateException(s"unstreamable transform $other")
+    }
+  }
 
   def isProjected: Boolean = fileOrdinals.length != rowSchema.length
   def projection(): UnsafeProjection =

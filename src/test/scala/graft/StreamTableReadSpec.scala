@@ -133,6 +133,41 @@ class StreamTableReadSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("RENAMED-column tables stream: physical files, logical consumer order") {
+    import spark.implicits._
+    val t = "gstr.ns.renamed"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    Seq((3L, "c")).toDF("k", "label").writeTo(t).append()
+    val sink = Files.createTempDirectory("str_sinkr").toString + "/out"
+    drain(t, Files.createTempDirectory("str_ckr").toString, sink)
+    assert(spark.read.parquet(sink).select($"k", $"label")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("avro tables stream through the manifest scan") {
+    import spark.implicits._
+    val t = "gstr.ns.avro"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES('format'='avro')")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(t).append()
+    Seq((3L, "c")).toDF("k", "v").writeTo(t).append()
+    val sink = Files.createTempDirectory("str_sinka").toString + "/out"
+    val ck = Files.createTempDirectory("str_cka").toString
+    drain(t, ck, sink)
+    assert(spark.read.parquet(sink).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // restart consumes only the new commit
+    Seq((4L, "d")).toDF("k", "v").writeTo(t).append()
+    drain(t, ck, sink)
+    assert(spark.read.parquet(sink).count() === 4)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("an INITIAL batch over live merge-on-read deletes fails loudly (no raw re-delivery)") {
     import spark.implicits._
     val t = "gstr.ns.mordel"

@@ -191,24 +191,79 @@ class StreamTableWriteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
-  test("hidden bucket transforms decline with a pointer to the foreachBatch sink") {
+  test("hidden bucket sink writes batch-identical __part dirs; bucket pruning works on streamed files") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS gstw.ns.bkt")
-    spark.sql("CREATE TABLE gstw.ns.bkt (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
-    val mem = MemoryStream[(Long, Double)]
-    mem.addData((1L, 1.0))
-    val ex = intercept[Exception] {
-      val q = mem.toDF().toDF("k", "v").writeStream
-        .option("checkpointLocation", Files.createTempDirectory("stw_ck5").toString)
-        .trigger(Trigger.AvailableNow())
-        .toTable("gstw.ns.bkt")
-      q.awaitTermination()
+    val ts = "gstw.ns.bkts"
+    val tb = "gstw.ns.bktb"
+    for (t <- Seq(ts, tb)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
     }
-    def messages(e: Throwable): Seq[String] =
-      Option(e).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ messages(t.getCause))
-    assert(messages(ex).exists(_.contains("appendSink")),
-      s"must point at the foreachBatch sink: ${messages(ex)}")
-    spark.sql("DROP TABLE gstw.ns.bkt")
+    val rows = (0 until 200).map(i => (i.toLong, i * 1.0))
+    // batch leg: the reference derivation
+    rows.toDF("k", "v").writeTo(tb).append()
+    // streaming leg: the task-side derivation must land the SAME dirs
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData(rows: _*)
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("stw_ck5").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(ts)
+    q.awaitTermination()
+    def dirsOf(t: String): Map[String, Set[Long]] = {
+      val root = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/${t.split('.').last}"
+      ManifestTable.liveEntries(root).map(_.rel).groupBy(r => r.split('/').head)
+        .view.mapValues(_ => Set.empty[Long]).toMap
+    }
+    assert(dirsOf(ts).keySet === dirsOf(tb).keySet,
+      "streamed bucket dirs must equal the batch writer's")
+    // per-bucket contents identical between legs
+    val root = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/bkts"
+    val rootB = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/bktb"
+    def perDir(r: String): Map[String, Set[Long]] =
+      ManifestTable.liveEntries(r).map(_.rel).groupBy(_.split('/').head)
+        .map { case (d, rels) =>
+          d -> rels.flatMap(rel => spark.read.parquet(s"$r/data/$rel")
+            .select($"k").as[Long].collect()).toSet }
+    assert(perDir(root) === perDir(rootB))
+    // bucket-equality pruning fires on the streamed files
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.map(graft.sources.v2.GraftScans.innermost).collect {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.inputFiles.length
+      }.sum
+    val one = spark.table(ts).where($"k" === 7L)
+    assert(one.count() === 1)
+    assert(files(one) < files(spark.table(ts)), "bucket pruning must drop dirs")
+    for (t <- Seq(ts, tb)) spark.sql(s"DROP TABLE $t")
+  }
+
+  test("hidden months sink derives wall-clock __part dirs; month pruning works") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "gstw.ns.mon"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (months(ts))")
+    val mem = MemoryStream[(Long, Long)] // (k, month index)
+    mem.addData((0 until 60).map(i => (i.toLong, (i % 3).toLong)): _*)
+    val q = mem.toDF().toDF("k", "m")
+      .select($"k", (lit("2024-03-15 06:00:00").cast("timestamp_ntz")
+        + expr("make_interval(0,m,0,0,0,0,0)")).as("ts"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("stw_ck6").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+    q.awaitTermination()
+    val root = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/mon"
+    assert(ManifestTable.liveEntries(root).map(_.rel.split('/').head).toSet ===
+      Set("__part=2024-03", "__part=2024-04", "__part=2024-05"))
+    val win = spark.table(t)
+      .where($"ts" >= lit("2024-04-01 00:00:00").cast("timestamp_ntz")
+        && $"ts" < lit("2024-05-01 00:00:00").cast("timestamp_ntz"))
+    assert(win.count() === 20)
+    spark.sql(s"DROP TABLE $t")
   }
 }
