@@ -35,6 +35,42 @@ object GraftBucketFunction extends UnboundFunction {
   }
 }
 
+/** The `days` transform as a catalog function — lets the SPJ planner
+  * resolve a reported `days(ts)` clustering over hidden-day layouts and
+  * evaluate it when shuffling a plain side into the layout. Identical to
+  * the writer's derivation: wall-clock day of the TIMESTAMP_NTZ (micros
+  * floor-div) or the DATE itself. */
+object GraftDaysFunction extends UnboundFunction {
+  override def name(): String = "days"
+  override def description(): String =
+    "days(ts) = wall-clock day: the hidden day transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"days expects one argument, got ${inputType.catalogString}")
+    inputType.fields(0).dataType match {
+      case t @ (DateType | TimestampNTZType) => new GraftDaysBound(t)
+      case other => throw new UnsupportedOperationException(
+        s"days over ${other.catalogString} is session-zone-dependent or unsupported")
+    }
+  }
+}
+
+final class GraftDaysBound(srcType: DataType) extends ScalarFunction[Integer] {
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.days"
+  override def inputTypes(): Array[DataType] = Array(srcType)
+  override def resultType(): DataType = DateType
+  override def isResultNullable: Boolean = true
+
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else srcType match {
+      case DateType => input.getInt(0)
+      case _ => Math.floorDiv(input.getLong(0), 86_400_000_000L).toInt
+    }
+}
+
 /** Bound form: one key type per instance; equal key types on both join
   * sides yield equal canonical names, which (with equal bucket counts) is
   * Spark's co-partitioning test. */

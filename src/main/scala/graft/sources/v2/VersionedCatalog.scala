@@ -67,13 +67,17 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
   override def listFunctions(namespace: Array[String])
       : Array[org.apache.spark.sql.connector.catalog.Identifier] =
     if (namespace.isEmpty)
-      Array(org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "bucket"))
+      Array(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "bucket"),
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "days"))
     else Array.empty
 
   override def loadFunction(ident: org.apache.spark.sql.connector.catalog.Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
       GraftBucketFunction
+    else if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("days"))
+      GraftDaysFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
@@ -1395,11 +1399,11 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         // partition-dir values and reports KeyGroupedPartitioning, so
         // joins on the partition columns skip both exchanges. Gated by
         // Spark's own SPJ flag, like Iceberg's preserve-data-grouping.
-        val spjClean = dayOf.isEmpty && meta.pastParts.isEmpty &&
+        val spjClean = meta.pastParts.isEmpty &&
           meta.pastDays.isEmpty && meta.renames.isEmpty && !widened &&
           affectedRels.isEmpty && eqSpecs.isEmpty &&
           spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-        val identitySpj = spjClean && meta.identityCols.nonEmpty &&
+        val identitySpj = spjClean && dayOf.isEmpty && meta.identityCols.nonEmpty &&
           meta.part.isEmpty && index.partitionSchema.nonEmpty &&
           index.partitionSchema.fieldNames.map(_.toLowerCase).toSet ==
             meta.identityCols.map(c => meta.physicalName(c).toLowerCase).toSet
@@ -1407,9 +1411,20 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         // column, so the key is parsed back out of each file's `__part=`
         // directory; the reported bucket(n, col) clustering resolves
         // through this catalog's FunctionCatalog
-        val bucketSpj = spjClean && meta.identityCols.isEmpty &&
+        val bucketSpj = spjClean && dayOf.isEmpty && meta.identityCols.isEmpty &&
           meta.part.exists(_.kind == "bucket") &&
           rels.forall(_.contains(s"${VersionedCatalog.PartTransform.DirCol}="))
+        // hidden DAY layout: the day parses back out of each `__day=` dir
+        // and the reported days(ts) clustering resolves through the
+        // catalog's days() function — wall-clock sources only (a
+        // session-zone TIMESTAMP day is not a pure function of the value)
+        val daySpj = spjClean && dayOf.nonEmpty && meta.identityCols.isEmpty &&
+          meta.part.isEmpty &&
+          rels.forall(_.startsWith(s"${ManifestTable.DayCol}=")) &&
+          dataSchema.fields.find(_.name.equalsIgnoreCase(dayOf.get))
+            .map(_.dataType).exists(t =>
+              t == org.apache.spark.sql.types.DateType ||
+                t == org.apache.spark.sql.types.TimestampNTZType)
         if (identitySpj)
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
             fileScan, index.partitionSchema.fieldNames.map(Expressions.identity))
@@ -1422,6 +1437,15 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
               val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
                 throw new IllegalStateException(s"no $prefix dir in $path"))
               seg.substring(prefix.length).toInt
+            }))
+        } else if (daySpj) {
+          val prefix = s"${ManifestTable.DayCol}="
+          new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
+            fileScan, Array(Expressions.days(dayOf.get)),
+            Some((path: String) => {
+              val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
+                throw new IllegalStateException(s"no $prefix dir in $path"))
+              java.time.LocalDate.parse(seg.substring(prefix.length)).toEpochDay.toInt
             }))
         } else fileScan
     }

@@ -38,6 +38,27 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** Shuffles feeding any JOIN's inputs — the cost SPJ removes; a
+    * downstream aggregate's exchange is out of scope (and unavoidable
+    * under partially-clustered output). */
+  private def joinInputShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    def count(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case q: QueryStageExec =>
+        (if (q.plan.isInstanceOf[ShuffleExchangeLike]) 1 else 0) + count(q.plan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(count).sum
+      case other => other.children.map(count).sum
+    }
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.children.map(count).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   private def writeFacts(t: String, seed: Int): Unit = {
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -194,6 +215,103 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.sql(s"DROP TABLE $t")
+    }
+  }
+
+  test("ASYMMETRIC key sets join with zero shuffles (push part values fills the gaps)") {
+    import spark.implicits._
+    // A holds r0..r4, B only r0..r2: Spark pads the missing groups with
+    // empty partitions instead of falling back to a shuffle
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.asym_a")
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.asym_b")
+    spark.sql("CREATE TABLE gspj.ns.asym_a (k BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    spark.sql("CREATE TABLE gspj.ns.asym_b (k BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    (0 until 2500).map(i => (i.toLong, s"r${i % 5}", i * 1.0))
+      .toDF("k", "region", "v").writeTo("gspj.ns.asym_a").append()
+    (0 until 900).map(i => (i.toLong, s"r${i % 3}", i * 2.0))
+      .toDF("k", "region", "v").writeTo("gspj.ns.asym_b").append()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val b = spark.table("gspj.ns.asym_b")
+        .select($"region".as("r2"), $"v".as("v2"))
+      val joined = spark.table("gspj.ns.asym_a")
+        .join(b, $"region" === $"r2")
+        .groupBy($"region").agg(count(lit(1)).as("n"), sum($"v2").as("s2"))
+      val rows = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(shuffles(joined) === 0, s"asymmetric SPJ must not shuffle:\n${joined.queryExecution.executedPlan}")
+      // inner join keeps only B's regions; per-region cardinality = |A| x |B|
+      assert(rows === Map("r0" -> 500L * 300L, "r1" -> 500L * 300L, "r2" -> 500L * 300L))
+
+      // partially-clustered distribution (skew handling) stays exact
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      val joined2 = spark.table("gspj.ns.asym_a")
+        .join(b, $"region" === $"r2")
+        .groupBy($"region").agg(count(lit(1)).as("n"))
+      val rows2 = joined2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows2 === Map("r0" -> 500L * 300L, "r1" -> 500L * 300L, "r2" -> 500L * 300L))
+      // partially-clustered output is no longer key-grouped, so the
+      // downstream aggregate legitimately exchanges — the JOIN must not
+      assert(joinInputShuffles(joined2) === 0,
+        s"partially-clustered SPJ join must not shuffle its inputs:\n${joined2.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      prev.foreach { case (c, v) => v match {
+        case Some(x) => spark.conf.set(c, x)
+        case None => spark.conf.unset(c)
+      } }
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql("DROP TABLE gspj.ns.asym_a")
+      spark.sql("DROP TABLE gspj.ns.asym_b")
+    }
+  }
+
+  test("hidden-DAY layouts join on the timestamp with zero shuffles (days() clustering)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.day_a")
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.day_b")
+    spark.sql("CREATE TABLE gspj.ns.day_a (k BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) PARTITIONED BY (days(ts))")
+    spark.sql("CREATE TABLE gspj.ns.day_b (k BIGINT, ts TIMESTAMP_NTZ, w DOUBLE) PARTITIONED BY (days(ts))")
+    def rowsFor(n: Int): Seq[(Long, java.time.LocalDateTime, Double)] =
+      (0 until n).map(i => (i.toLong,
+        java.time.LocalDateTime.of(2024, 6, 1 + i % 4, i % 24, 0), i * 1.0))
+    rowsFor(800).toDF("k", "ts", "v").writeTo("gspj.ns.day_a").append()
+    rowsFor(400).toDF("k", "ts", "w").writeTo("gspj.ns.day_b").append()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val b = spark.table("gspj.ns.day_b").select($"ts".as("ts2"), $"w")
+      val joined = spark.table("gspj.ns.day_a").join(b, $"ts" === $"ts2")
+        .agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      val row = joined.collect()(0)
+      // the global aggregate's SinglePartition exchange is out of scope;
+      // the ts-equality JOIN over the day-clustered scans must not shuffle
+      assert(joinInputShuffles(joined) === 0,
+        s"day-clustered join must not shuffle its inputs:\n${joined.queryExecution.executedPlan}")
+      // exact recompute of the ts-equality join
+      val am = rowsFor(800).groupBy(_._2).view.mapValues(_.map(x => (x._1, x._3))).toMap
+      val expected = rowsFor(400).flatMap { case (_, ts, w) =>
+        am.getOrElse(ts, Nil).map { case (_, v) => v + w } }
+      assert(row.getLong(0) === expected.size.toLong)
+      assert(math.abs(row.getDouble(1) - expected.sum) < 1e-6)
+    } finally {
+      prev.foreach { case (c, v) => v match {
+        case Some(x) => spark.conf.set(c, x)
+        case None => spark.conf.unset(c)
+      } }
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql("DROP TABLE gspj.ns.day_a")
+      spark.sql("DROP TABLE gspj.ns.day_b")
     }
   }
 
