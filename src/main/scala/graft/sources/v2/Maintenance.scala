@@ -139,9 +139,17 @@ object Maintenance {
 
   /** Expire retained snapshots beyond `retain` and GC unreferenced pool
     * files (orphan claims included). Metadata + file deletes only. */
-  def expireSnapshots(spark: SparkSession, ident: String, retain: Int = 1): Unit = {
+  def expireSnapshots(spark: SparkSession, ident: String, retain: Int = 1,
+                      olderThan: Option[String] = None): Unit = {
     val (root, _) = resolve(spark, ident)
-    ManifestTable.expireOldVersions(root, retain)
+    // 'yyyy-MM-dd HH:mm:ss' in the session zone, the same literal shape
+    // delete_older_than takes
+    val cutoff = olderThan.filter(_.nonEmpty).map { ts =>
+      java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+        .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+        .toInstant.toEpochMilli
+    }
+    ManifestTable.expireOldVersions(root, retain, cutoff)
   }
 
   /** Retention DELETE by identifier: drop all data strictly older than

@@ -94,10 +94,12 @@ object GraftProcedures {
     case "expire_snapshots" => new GraftProcedure("expire_snapshots") {
       override def parameters(): Array[ProcedureParameter] = Array(
         param("table", StringType),
-        param("retain", IntegerType, Some("1")))
+        param("retain", IntegerType, Some("1")),
+        param("older_than", StringType, Some("''")))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val tbl = input.getUTF8String(0).toString
-        Maintenance.expireSnapshots(spark, s"$catalogName.$tbl", input.getInt(1))
+        Maintenance.expireSnapshots(spark, s"$catalogName.$tbl", input.getInt(1),
+          Some(input.getUTF8String(2).toString).filter(_.nonEmpty))
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("status", StringType, nullable = false))),
           new GenericInternalRow(Array[Any](UTF8String.fromString("expired"))))).iterator()

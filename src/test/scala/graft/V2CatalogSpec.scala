@@ -1055,6 +1055,36 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.morsp")
   }
 
+  test("age-based snapshot expiry composes with retain-last and honors ref pins") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.age")
+    spark.sql("CREATE TABLE gtest.ns.age (k BIGINT) TBLPROPERTIES('retain'='10')")
+    (1 to 4).foreach(i => Seq(i.toLong).toDF("k").writeTo("gtest.ns.age").append())
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/age"
+    assert(ManifestTable.versions(root) === Seq(1L, 2L, 3L, 4L))
+    spark.sql("CALL gtest.system.create_tag(`table` => 'ns.age', name => 'pin', version => 2)")
+
+    def ts(offsetMinutes: Long): String =
+      java.time.LocalDateTime.now().plusMinutes(offsetMinutes)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    // a PAST cutoff: nothing is old enough — every snapshot survives even
+    // beyond the retain-count window (the age rule only RESTRICTS expiry)
+    spark.sql(s"CALL gtest.system.expire_snapshots(`table` => 'ns.age', " +
+      s"retain => 1, older_than => '${ts(-60)}')")
+    assert(ManifestTable.versions(root) === Seq(1L, 2L, 3L, 4L))
+    // a FUTURE cutoff: age satisfied everywhere, so retain-last rules —
+    // keep the last 2 plus the tag-pinned v2; v1 expires
+    spark.sql(s"CALL gtest.system.expire_snapshots(`table` => 'ns.age', " +
+      s"retain => 2, older_than => '${ts(60)}')")
+    assert(ManifestTable.versions(root) === Seq(2L, 3L, 4L))
+    // the pinned snapshot still reads
+    assert(spark.sql("SELECT * FROM gtest.ns.age VERSION AS OF 'pin'")
+      .as[Long].collect().toSet === Set(1L, 2L))
+    spark.sql("DROP TABLE gtest.ns.age")
+  }
+
   test("a tombstoned ORC file KEEPS its splits: stripe-directory base rows apply per split") {
     import graft.sources.ManifestTable
     import spark.implicits._
