@@ -437,6 +437,20 @@ object FileStats {
     case 's' => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
   }
 
+  /** True iff two columns' value ranges PROVABLY do not intersect — the
+    * disjointness test behind equality-join target pruning (a target file
+    * whose range for some join column misses the probe side's range
+    * entirely cannot produce a match). Conservative: any missing bound,
+    * tag mismatch, or unparseable value answers false (may intersect). */
+  def provablyDisjoint(a: ColStats, b: ColStats): Boolean =
+    a.tag == b.tag && (for {
+      amn <- a.min.flatMap(parseBound(a.tag, _))
+      amx <- a.max.flatMap(parseBound(a.tag, _))
+      bmn <- b.min.flatMap(parseBound(b.tag, _))
+      bmx <- b.max.flatMap(parseBound(b.tag, _))
+    } yield cmp(a.tag, amx, bmn) < 0 || cmp(a.tag, bmx, amn) < 0)
+      .getOrElse(false)
+
   /** Conservative may-contain verdict for one pushed filter against one
     * file's stats. True = the file must stay (match possible or unknown);
     * false = PROVEN empty for this filter. */

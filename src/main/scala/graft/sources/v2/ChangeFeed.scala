@@ -5,14 +5,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.{ManifestTable, SerializableHadoopConf}
+import graft.sources.{FileStats, ManifestTable, SerializableHadoopConf}
 
 /** CHANGE DATA FEED over a versioned table — `tbl.changes`, the Delta
   * CDF / Iceberg changelog surface: row-level changes between two
@@ -35,7 +36,9 @@ import graft.sources.{ManifestTable, SerializableHadoopConf}
   *  - a positional delete entry at sequence s contributes the rows of
   *    the target files at its tombstoned positions as `delete @ s`;
   *  - an equality delete entry at sequence s contributes the matching
-  *    rows of every strictly-older data file as `delete @ s`;
+  *    rows of every strictly-older data file as `delete @ s` — targets
+  *    whose per-file column bounds PROVE no key can match are skipped at
+  *    plan time;
   *  - rows already dead before s (older tombstones / older equality
   *    keys) are SUPPRESSED so a row deletes at most once — the same
   *    older-delete application Iceberg's changelog scan performs.
@@ -47,9 +50,13 @@ import graft.sources.{ManifestTable, SerializableHadoopConf}
   * containing such a commit fails loudly. Merge-on-read DML (the MERGE
   * path) never removes files and streams cleanly.
   *
-  * Readers are row-based (change application is a per-row decision); the
-  * per-window cost follows the changed data — plus, for equality
-  * deletes, the older files they may retract from — never table size.
+  * Column pruning reaches the file scan (the read widens only by live
+  * equality-delete key columns, which suppression needs whatever the
+  * projection). Batch reads over windows with NO delete application run
+  * VECTORIZED — the change columns ride as per-partition constant
+  * vectors; any delete slice drops the whole batch to row readers
+  * (change application is a per-row decision), and streaming reads are
+  * row-based (one reader factory must serve every future window).
   */
 object ChangeFeed {
   val TypeCol = "_change_type"
@@ -87,49 +94,76 @@ private[v2] case class ChangeFeedTable(tableName: String, root: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new ChangeFeedScan(root, meta, options)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = ChangeFeed.changeSchema(meta.schema)
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new ChangeFeedScan(root, meta, options, required)
     }
 }
 
 /** Batch scan (window = (`fromVersion` | horizon, `untilVersion` | live])
   * and the streaming entry point. */
-private[v2] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
-                                 options: CaseInsensitiveStringMap)
+private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
+                                 options: CaseInsensitiveStringMap,
+                                 required: StructType)
     extends Scan with Batch {
-  private def ctx = ChangeFeedPlanner.Ctx(root, meta)
-  override def readSchema(): StructType = ChangeFeed.changeSchema(meta.schema)
+  private lazy val ctx = ChangeFeedPlanner.Ctx(root, meta, required)
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"GraftChangeFeedScan($root)"
+  override def description(): String =
+    s"GraftChangeFeedScan($root, ${required.fieldNames.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val live = ManifestTable.currentVersion(root).getOrElse(return Array.empty)
-    val until = Option(options.get("untilVersion")).map(_.toLong).getOrElse(live)
-    val horizon = ChangeFeed.horizonOf(root, until)
-    val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(horizon)
-    require(from >= horizon,
-      s"change feed of $root: changes at or before v=$horizon were " +
-        s"compacted/rewritten away (file-removing commit) — fromVersion " +
-        s"must be >= $horizon")
-    if (until <= from) Array.empty
-    else ChangeFeedPlanner.plan(ctx, from, until, initialSnapshot = false)
+  private lazy val partitions: Array[InputPartition] =
+    ManifestTable.currentVersion(root) match {
+      case None => Array.empty
+      case Some(live) =>
+        val until = Option(options.get("untilVersion")).map(_.toLong).getOrElse(live)
+        val horizon = ChangeFeed.horizonOf(root, until)
+        val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(horizon)
+        require(from >= horizon,
+          s"change feed of $root: changes at or before v=$horizon were " +
+            s"compacted/rewritten away (file-removing commit) — fromVersion " +
+            s"must be >= $horizon")
+        if (until <= from) Array.empty
+        else ChangeFeedPlanner.plan(ctx, from, until, initialSnapshot = false)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // a batch whose every slice is a CLEAN insert (no suppression, no
+    // emission) reads vectorized end to end; any delete application in
+    // the window drops the batch to row readers
+    val inner = ChangeFeedPlanner.innerFactory(ctx)
+    val clean = partitions.forall {
+      case cp: ChangePartition => cp.isCleanInsert
+      case _ => false
+    }
+    val columnar = clean && partitions.forall {
+      case cp: ChangePartition => inner.supportColumnarReads(cp.inner)
+      case _ => false
+    }
+    ChangeFeedPlanner.readerFactory(ctx, inner, columnar)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    ChangeFeedPlanner.readerFactory(ctx)
-
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedMicroBatchStream(root, meta, options)
+    new ChangeFeedMicroBatchStream(root, meta, options, required)
 }
 
 /** Streaming change feed: offsets are table versions (the same commit-log
   * position the plain stream uses); the INITIAL batch is a snapshot read
-  * with merge-on-read deletes applied, delivered as inserts. */
+  * with merge-on-read deletes applied, delivered as inserts. Row-based:
+  * one reader factory serves every future window, and any window may
+  * carry delete slices. */
 private[v2] class ChangeFeedMicroBatchStream(root: String,
                                              meta: VersionedCatalog.Meta,
-                                             options: CaseInsensitiveStringMap)
+                                             options: CaseInsensitiveStringMap,
+                                             required: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private def ctx = ChangeFeedPlanner.Ctx(root, meta)
+  // ONE ctx for the stream's life: the widened read layout (equality-key
+  // columns) must agree between this factory and every window's plan
+  private lazy val ctx = ChangeFeedPlanner.Ctx(root, meta, required)
 
   override def initialOffset(): Offset =
     VersionOffset(Option(options.get("startVersion")).map(_.toLong).getOrElse(0L))
@@ -178,7 +212,8 @@ private[v2] class ChangeFeedMicroBatchStream(root: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChangeFeedPlanner.readerFactory(ctx)
+    ChangeFeedPlanner.readerFactory(ctx, ChangeFeedPlanner.innerFactory(ctx),
+      columnar = false)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -188,7 +223,7 @@ private[v2] class ChangeFeedMicroBatchStream(root: String,
   * semantics its reader applies. Self-contained and serializable — the
   * reader factory needs no per-window side tables, so one factory serves
   * every window of a stream. */
-private[v2] case class ChangePartition(
+private[graft] case class ChangePartition(
     inner: InputPartition,
     version: Long,
     kind: String, // "insert" | "delete-pos" | "delete-eq"
@@ -197,25 +232,52 @@ private[v2] case class ChangePartition(
     emitEq: Option[EqDeleteSpec],  // delete-eq: the key file to emit matches of
     suppressPos: PosSource,        // older tombstones: rows already dead
     suppressEq: Seq[EqDeleteSpec]) // older equality keys: rows already dead
-    extends InputPartition
+    extends InputPartition {
+  def isCleanInsert: Boolean = kind == "insert" && emitPos.isEmpty &&
+    emitEq.isEmpty && suppressPos.isEmpty && suppressEq.isEmpty
+}
 
 private[v2] object ChangeFeedPlanner {
 
-  /** Scan-construction context: the physical read layout (full user
-    * schema; identity partition values ride in directory names) and the
-    * permutation from the emitted (data ++ partition) order back to the
-    * user schema order. */
-  case class Ctx(root: String, meta: VersionedCatalog.Meta) {
+  /** Scan-construction context: the physical read layout — the REQUIRED
+    * user columns (identity partition values ride in directory names)
+    * widened by every live equality-delete key column (suppression and
+    * emission need them whatever the projection; a key column appearing
+    * after a stream started fails its window's plan loudly) — and the
+    * output projection from the emitted (data ++ partition) order to the
+    * required column order with the change columns inlined. */
+  case class Ctx(root: String, meta: VersionedCatalog.Meta, required: StructType) {
     def spark: SparkSession = SparkSession.active
+    private def declared(name: String): StructField =
+      meta.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"change feed of $root: no such column $name"))
     private val partNames: Set[String] =
       meta.identityCols.map(_.toLowerCase).toSet
-    val readData: StructType = StructType(
-      meta.schema.fields.filterNot(f => partNames.contains(f.name.toLowerCase)))
+    private val userReq: Seq[StructField] = required.fields.toSeq
+      .filter(f => meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => declared(f.name))
+
+    /** Key columns of the table's LIVE equality-delete files (at ctx
+      * creation — one footer-schema read per file, bounded by the
+      * backlog). */
+    val eqKeyNames: Seq[String] =
+      if (!ManifestTable.exists(root)) Nil
+      else ManifestTable.liveDeleteEntries(root)
+        .filter(e => ManifestTable.isEqDeleteEntry(e.rel))
+        .flatMap(e => spark.read.parquet(s"$root/data/${e.rel}").schema.fieldNames)
+        .distinct
+
+    val readData: StructType = {
+      val direct = userReq.filterNot(f => partNames.contains(f.name.toLowerCase))
+      val extras = eqKeyNames
+        .filterNot(k => direct.exists(_.name.equalsIgnoreCase(k)))
+        .map(declared)
+      StructType(direct ++ extras)
+    }
     val readPart: StructType = StructType(
-      meta.schema.fields.filter(f => partNames.contains(f.name.toLowerCase)))
+      userReq.filter(f => partNames.contains(f.name.toLowerCase)))
     val emitted: StructType = StructType(readData.fields ++ readPart.fields)
-    val perm: Array[Int] = meta.schema.fields.map(f =>
-      emitted.fieldNames.indexWhere(_.equalsIgnoreCase(f.name)))
 
     def scanFor(rels: Seq[String]): org.apache.spark.sql.execution.datasources.v2.FileScan = {
       val files = rels.map(rel => new Path(s"$root/data/$rel"))
@@ -233,17 +295,20 @@ private[v2] object ChangeFeedPlanner {
     }
   }
 
-  def readerFactory(ctx: Ctx): PartitionReaderFactory =
-    new ChangeReaderFactory(ctx.scanFor(Nil).createReaderFactory(),
-      ctx.emitted, ctx.perm,
+  def innerFactory(ctx: Ctx): PartitionReaderFactory =
+    ctx.scanFor(Nil).createReaderFactory()
+
+  def readerFactory(ctx: Ctx, inner: PartitionReaderFactory,
+                    columnar: Boolean): PartitionReaderFactory =
+    new ChangeReaderFactory(inner, ctx.emitted, ctx.required, columnar,
       new SerializableHadoopConf(ctx.spark.sparkContext.hadoopConfiguration))
 
   /** Plan the change slices of window (sV, eV] — or, for the streaming
     * initial snapshot, the live rows AT eV as inserts with every delete
-    * applied. Metadata cost: the END manifest, one footer-schema read per
-    * live equality-delete file, and the positional entries' target lists
-    * (stamped on the entries; pre-list legacy entries fall back to one
-    * tiny distinct read). */
+    * applied. Metadata cost: the END manifest, one footer read per live
+    * equality-delete file (schema + key bounds), and the positional
+    * entries' target lists (stamped on the entries; pre-list legacy
+    * entries fall back to one tiny distinct read). */
   def plan(ctx: Ctx, sV: Long, eV: Long, initialSnapshot: Boolean): Array[InputPartition] = {
     val root = ctx.root
     val spark = ctx.spark
@@ -284,32 +349,52 @@ private[v2] object ChangeFeedPlanner {
       PosSource(units.collect { case (_, _, Left(p)) => p }.distinct,
         units.collect { case (_, _, Right(s)) => s })
 
-    // equality-delete specs: key columns resolved against the emitted
-    // layout (keys are data columns by the commit-path contract)
-    val eqSpecs: Seq[EqDeleteSpec] = eqAll.map { e =>
+    // equality-delete specs (key columns resolved against the emitted
+    // layout — data columns by the commit-path contract) plus each key
+    // file's per-column BOUNDS from its own footer, for target pruning
+    val conf = spark.sparkContext.hadoopConfiguration
+    val eqSpecs: Seq[(EqDeleteSpec, Map[String, FileStats.ColStats])] = eqAll.map { e =>
       val p = posPath(e)
       val sch = spark.read.parquet(p).schema
       val ords = sch.fieldNames.map { n =>
         val i = ctx.emitted.fieldNames.indexWhere(_.equalsIgnoreCase(n))
         require(i >= 0 && i < ctx.readData.length,
-          s"change feed of $root: equality-delete key '$n' must be a data column")
+          s"change feed of $root: equality-delete key '$n' is not in the " +
+            s"read layout (a key column added after the stream started? " +
+            s"restart from a fresh checkpoint)")
         i
       }
-      EqDeleteSpec(p, seq0(e), sch.fieldNames, ords,
-        ords.map(ctx.emitted.fields(_).dataType))
+      val bounds = FileStats.collect(p, "parquet", sch, conf)
+        .map(FileStats.decode).getOrElse(Map.empty)
+      (EqDeleteSpec(p, seq0(e), sch.fieldNames, ords,
+        ords.map(ctx.emitted.fields(_).dataType)), bounds)
+    }
+
+    /** Can rows of `entry` possibly match `es`'s keys? False only when
+      * some key column's ranges are PROVABLY disjoint between the data
+      * file's manifest stats and the key file's footer bounds. */
+    def eqMayMatch(entry: ManifestTable.FileEntry, es: EqDeleteSpec,
+                   keyBounds: Map[String, FileStats.ColStats]): Boolean = {
+      val tStats = FileStats.decode(entry.stats.getOrElse(""))
+      !es.keyNames.exists { k =>
+        (tStats.get(k.toLowerCase), keyBounds.get(k.toLowerCase)) match {
+          case (Some(t), Some(b)) => FileStats.provablyDisjoint(t, b)
+          case _ => false
+        }
+      }
     }
 
     def suppressPosFor(relEnc: String, before: Long): PosSource =
       srcOf(posUnits.filter(u => u._1 == relEnc && u._2 < before))
     def suppressEqFor(fileSeq: Long, before: Long): Seq[EqDeleteSpec] =
-      eqSpecs.filter(es => es.seq > fileSeq && es.seq < before)
+      eqSpecs.map(_._1).filter(es => es.seq > fileSeq && es.seq < before)
     val posTargets: Set[String] = posUnits.map(_._1).toSet
 
     val out = Vector.newBuilder[InputPartition]
     if (initialSnapshot) {
       // live rows as inserts @ their commit sequence, every delete applied
       dataAll.groupBy(seq0).foreach { case (s, entries) =>
-        val supEq = eqSpecs.filter(_.seq > s)
+        val supEq = eqSpecs.map(_._1).filter(_.seq > s)
         val (hit, clean) = entries.partition(e => posTargets.contains(enc(e.rel)))
         if (clean.nonEmpty)
           ctx.scanFor(clean.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
@@ -345,15 +430,18 @@ private[v2] object ChangeFeedPlanner {
           }
         }
       // equality deletes: matching rows of every strictly-older live file
-      eqSpecs.filter(es => es.seq > sV && es.seq <= eV).sortBy(_.seq).foreach { es =>
-        dataAll.filter(e => seq0(e) < es.seq).foreach { e =>
-          val relEnc = enc(e.rel)
-          ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, es.seq, "delete-eq", Some(relEnc),
-              PosSource.empty, Some(es),
-              suppressPosFor(relEnc, es.seq), suppressEqFor(seq0(e), es.seq)))
+      // — except files whose column bounds prove no key can match
+      eqSpecs.filter { case (es, _) => es.seq > sV && es.seq <= eV }
+        .sortBy(_._1.seq).foreach { case (es, keyBounds) =>
+          dataAll.filter(e => seq0(e) < es.seq &&
+            eqMayMatch(e, es, keyBounds)).foreach { e =>
+            val relEnc = enc(e.rel)
+            ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
+              out += ChangePartition(p, es.seq, "delete-eq", Some(relEnc),
+                PosSource.empty, Some(es),
+                suppressPosFor(relEnc, es.seq), suppressEqFor(seq0(e), es.seq)))
+          }
         }
-      }
     }
     out.result().toArray
   }
@@ -361,14 +449,56 @@ private[v2] object ChangeFeedPlanner {
 
 /** Assembles each slice's reader pipeline: position/key suppression and
   * emission over the raw file reader (index-tracking stages innermost),
-  * then projection to the user column order with the change columns
-  * appended. Row-based by construction. */
+  * then projection to the REQUIRED column order with the change columns
+  * inlined. Columnar passthrough (constant change vectors, zero-copy
+  * data columns) when the whole batch is clean inserts. */
 private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
-                                      emitted: StructType, perm: Array[Int],
+                                      emitted: StructType, required: StructType,
+                                      columnar: Boolean,
                                       conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  /** Output column plan: Right(emitted ordinal) for data columns,
+    * Left(isVersion) for the change columns. */
+  private def outPlan: Seq[Either[Boolean, Int]] =
+    required.fields.toIndexedSeq.map { f =>
+      if (f.name.equalsIgnoreCase(ChangeFeed.TypeCol)) Left(false)
+      else if (f.name.equalsIgnoreCase(ChangeFeed.VersionCol)) Left(true)
+      else Right(emitted.fieldNames.indexWhere(_.equalsIgnoreCase(f.name)))
+    }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val cp = p.asInstanceOf[ChangePartition]
+    require(cp.isCleanInsert, "columnar change reads serve clean inserts only")
+    val d = inner.createColumnarReader(cp.inner)
+    val plan = outPlan
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = d.next()
+      override def get(): ColumnarBatch = {
+        val b = d.get()
+        val n = b.numRows()
+        val cols: Array[ColumnVector] = plan.map {
+          case Right(i) => b.column(i)
+          case Left(isVersion) =>
+            if (isVersion) {
+              val v = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(n, LongType)
+              v.setLong(cp.version)
+              v: ColumnVector
+            } else {
+              val v = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(n, StringType)
+              v.setUtf8String(UTF8String.fromString("insert"))
+              v: ColumnVector
+            }
+        }.toArray
+        new ColumnarBatch(cols, n)
+      }
+      override def close(): Unit = d.close()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[ChangePartition]
@@ -407,7 +537,7 @@ private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
       r = new EqKeepRowReader(r, es, MorDeletes.loadEqKeys(es, conf.value))
     }
     val changeType = if (cp.kind == "insert") "insert" else "delete"
-    new AppendChangeRowReader(r, emitted, perm, changeType, cp.version)
+    new AppendChangeRowReader(r, emitted, outPlan, changeType, cp.version)
   }
 }
 
@@ -446,17 +576,20 @@ private[v2] class EqKeepRowReader(inner: PartitionReader[InternalRow],
   override def close(): Unit = inner.close()
 }
 
-/** Projects the emitted (data ++ partition) layout back to the user
-  * column order and appends (`_change_type`, `_commit_version`). */
+/** Projects the emitted (data ++ partition) layout to the REQUIRED column
+  * order, inlining (`_change_type`, `_commit_version`) literals. */
 private[v2] class AppendChangeRowReader(inner: PartitionReader[InternalRow],
-                                        emitted: StructType, perm: Array[Int],
+                                        emitted: StructType,
+                                        plan: Seq[Either[Boolean, Int]],
                                         changeType: String, version: Long)
     extends PartitionReader[InternalRow] {
   private val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-    perm.toIndexedSeq.map(i => BoundReference(i,
-      emitted.fields(i).dataType, emitted.fields(i).nullable): org.apache.spark.sql.catalyst.expressions.Expression) ++
-      Seq(Literal(UTF8String.fromString(changeType), StringType),
-        Literal(version, LongType)))
+    plan.toIndexedSeq.map {
+      case Right(i) => BoundReference(i, emitted.fields(i).dataType,
+        emitted.fields(i).nullable): org.apache.spark.sql.catalyst.expressions.Expression
+      case Left(true) => Literal(version, LongType)
+      case Left(false) => Literal(UTF8String.fromString(changeType), StringType)
+    })
   override def next(): Boolean = inner.next()
   override def get(): InternalRow = proj(inner.get())
   override def close(): Unit = inner.close()

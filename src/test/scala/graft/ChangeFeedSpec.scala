@@ -187,6 +187,92 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("column pruning reaches the change-feed file scan; eq keys widen it only as needed") {
+    import spark.implicits._
+    val t = "gcdf.ns.prune"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, a STRING, b STRING, c DOUBLE)")
+    (1L to 50L).map(i => (i, s"a$i", s"b$i", i * 1.0)).toDF("k", "a", "b", "c")
+      .writeTo(t).append()
+
+    // no deletes: projecting (k, _change_type) must not read a/b/c
+    val narrow = spark.table(s"$t.changes").select($"k", $"_change_type")
+    val scans = narrow.queryExecution.executedPlan.collect {
+      case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs.scan
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall { s =>
+      val d = s.description()
+      d.contains("k") && !d.contains(",a,") && !d.contains(",b,")
+    }, s"pruned description: ${scans.map(_.description())}")
+    assert(narrow.collect().length === 50)
+
+    // live equality deletes widen the read by their key column ONLY;
+    // a projection omitting the key still answers exactly
+    ManifestTable.appendEqualityDeletes(Seq(7L, 9L).toDF("k"), root("prune"))
+    val got = spark.table(s"$t.changes").select($"a", $"_change_type")
+      .as[(String, String)].collect()
+    assert(got.count(_._2 == "insert") === 50)
+    assert(got.filter(_._2 == "delete").map(_._1).toSet === Set("a7", "a9"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("append-only batch windows read VECTORIZED; delete windows fall to row readers") {
+    import spark.implicits._
+    val t = "gcdf.ns.vec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (1L to 1000L).map(i => (i, i * 0.5)).toDF("k", "v").writeTo(t).append()
+    (1001L to 2000L).map(i => (i, i * 0.5)).toDF("k", "v").writeTo(t).append()
+
+    def isColumnar(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          bs.supportsColumnar
+      }.forall(identity)
+    val cleanRead = spark.table(s"$t.changes")
+    assert(isColumnar(cleanRead), "append-only change feed must stay vectorized")
+    val agg = cleanRead.agg(count(lit(1)), sum($"k"), max($"_commit_version")).collect()(0)
+    assert(agg.getLong(0) === 2000L)
+    assert(agg.getLong(1) === (1L to 2000L).sum)
+    assert(agg.getLong(2) === 2L)
+
+    withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k <= 10"))
+    val mixed = spark.table(s"$t.changes")
+    assert(!isColumnar(mixed), "delete slices drop the batch to row readers")
+    assert(mixed.where($"_change_type" === "delete").count() === 10)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("equality-delete emission skips target files whose bounds prove no key match") {
+    import spark.implicits._
+    val t = "gcdf.ns.eqskip"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    // two range-clustered files: k in [0,99] and [1000,1099]
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1).writeTo(t).append()
+    (1000L until 1100L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1).writeTo(t).append()
+    // keys entirely inside the second file's range
+    ManifestTable.appendEqualityDeletes(
+      Seq(1005L, 1007L).toDF("k"), root("eqskip"))
+
+    val scan = spark.table(s"$t.changes").queryExecution.executedPlan.collect {
+      case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs.scan
+    }.collectFirst { case s: graft.sources.v2.ChangeFeedScan => s }.get
+    val deleteEqParts = scan.toBatch.planInputPartitions().collect {
+      case cp: graft.sources.v2.ChangePartition if cp.kind == "delete-eq" => cp
+    }
+    assert(deleteEqParts.nonEmpty)
+    val targetRels = deleteEqParts.flatMap(_.relEnc).distinct
+    assert(targetRels.size === 1,
+      s"only the in-range file may plan delete-eq slices, got $targetRels")
+    // and the result is still exact
+    val dels = spark.table(s"$t.changes").where($"_change_type" === "delete")
+      .select($"k").as[Long].collect().toSet
+    assert(dels === Set(1005L, 1007L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("identity-partitioned and hidden-day tables feed changes with partition values intact") {
     import spark.implicits._
     val t = "gcdf.ns.parts"
