@@ -21,7 +21,16 @@ Resolution protocol (mirrors graft.sources.ManifestTable's layout doc):
                                         retracting every matching row of
                                         data files with a strictly smaller
                                         'seq=N' commit sequence (third
-                                        TAB field of an entry line).
+                                        TAB field of an entry line),
+                                        or — named 'dv_*.bin' — a DELETION
+                                        VECTOR: one binary blob holding the
+                                        positions of many target files. The
+                                        entry's stats field carries the
+                                        index 'dv=<urlencoded rel>:<offset>
+                                        :<length>:<seq>,...'; each section
+                                        is unsigned-LEB128 varints: a count
+                                        then delta-encoded sorted positions
+                                        (first absolute, rest gaps).
 
 Partition-directory values ('__day=D', '__part=P', identity 'col=v')
 re-derive exactly as hive-style partitioning, which DuckDB understands
@@ -39,13 +48,51 @@ import duckdb
 
 
 def _parse_line(line):
-    """(rel, seq) of one entry line ('rel[\\tstats][\\tseq=N]')."""
+    """(rel, seq, stats) of one entry line ('rel[\\tstats][\\tseq=N]')."""
     f = line.split("\t")
     seq = 0
+    stats = ""
     for tok in f[1:]:
         if tok.startswith("seq="):
             seq = int(tok[4:])
-    return f[0], seq
+        elif tok:
+            stats = tok
+    return f[0], seq, stats
+
+
+def _dv_positions(blob_path, stats):
+    """Decode a deletion vector's (target rel, position) pairs from its
+    'dv=' index and LEB128 delta sections — pure Python, no parquet."""
+    from urllib.parse import unquote
+    out = []
+    with open(blob_path, "rb") as f:
+        blob = f.read()
+    for tok in stats[3:].split(","):
+        if not tok:
+            continue
+        rel_enc, off, length, _seq = tok.rsplit(":", 3)
+        rel = unquote(rel_enc)
+        i = int(off)
+        end = i + int(length)
+
+        def varint():
+            nonlocal i
+            v, shift = 0, 0
+            while True:
+                b = blob[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    return v
+                shift += 7
+
+        n = varint()
+        pos = 0
+        for j in range(n):
+            pos += varint()
+            out.append((rel, pos))
+        assert i == end, f"dv section of {rel} mis-sized"
+    return out
 
 
 def resolve(root: str, version=None):
@@ -66,17 +113,23 @@ def resolve(root: str, version=None):
                 entries += [_parse_line(sl.rstrip("\n")) for sl in s if sl.strip()]
         else:
             entries.append(_parse_line(l))
-    data = [(f"{root}/data/{r}", q) for r, q in entries
+    data = [(f"{root}/data/{r}", q) for r, q, _ in entries
             if not r.startswith("__deletes/")]
-    pos = [f"{root}/data/{r}" for r, q in entries
-           if r.startswith("__deletes/") and not r.startswith("__deletes/eq_")]
-    eq = [(f"{root}/data/{r}", q) for r, q in entries
+    pos = [f"{root}/data/{r}" for r, q, _ in entries
+           if r.startswith("__deletes/")
+           and not r.startswith("__deletes/eq_")
+           and not r.startswith("__deletes/dv_")]
+    eq = [(f"{root}/data/{r}", q) for r, q, _ in entries
           if r.startswith("__deletes/eq_")]
-    return version, data, pos, eq
+    dv = []
+    for r, q, stats in entries:
+        if r.startswith("__deletes/dv_"):
+            dv += _dv_positions(f"{root}/data/{r}", stats)
+    return version, data, pos, eq, dv
 
 
 def open_table(con, root: str, version=None) -> int:
-    version, data, pos, eq = resolve(root, version)
+    version, data, pos, eq, dv = resolve(root, version)
     if not data:
         raise SystemExit(f"no data files in v={version} of {root}")
     fmt = data[0][0].rsplit(".", 1)[-1]
@@ -102,6 +155,12 @@ def open_table(con, root: str, version=None) -> int:
     if pos:
         conds.append(
             f"NOT EXISTS (SELECT 1 FROM read_parquet({sql_list(pos)}) d "
+            "WHERE d.__file = t_raw.__mor_rel AND d.__pos = t_raw.__mor_pos)")
+    if dv:  # deletion-vector tombstones decoded above, as an inline table
+        con.execute("CREATE TEMP TABLE dv_tomb (__file VARCHAR, __pos BIGINT)")
+        con.executemany("INSERT INTO dv_tomb VALUES (?, ?)", dv)
+        conds.append(
+            "NOT EXISTS (SELECT 1 FROM dv_tomb d "
             "WHERE d.__file = t_raw.__mor_rel AND d.__pos = t_raw.__mor_pos)")
     for p, q in eq:  # eq keys: one NOT EXISTS per key file, null-safe match
         cols = [r[0] for r in con.execute(

@@ -163,6 +163,32 @@ class DeletionVectorSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("second engine: duckdb decodes deletion vectors through the protocol") {
+    import spark.implicits._
+    val t = "gdv.ns.duck"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (0L until 2000L).map(k => (k, k * 0.5)).toDF("k", "v")
+      .repartition(3).writeTo(t).append()
+    val r = root("duck")
+    withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 10 = 3")
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 10 = 6")
+    }
+    ManifestTable.rewriteDeletes(spark, r)
+    assert(ManifestTable.liveDeleteEntries(r).forall(e => ManifestTable.isDvEntry(e.rel)))
+
+    import scala.sys.process._
+    val script = new java.io.File("scripts/duckdb_versioned.py").getAbsolutePath
+    val out = Seq("python3", script, r,
+      "SELECT COUNT(*) AS c, SUM(k) AS s FROM t").!!
+    val nums = out.linesIterator.toSeq.last.trim.split("\\s+")
+    val sparkRow = spark.table(t).agg(count(lit(1)), sum($"k")).collect()(0)
+    assert(nums(0).toLong === sparkRow.getLong(0), s"duckdb count diverged: $out")
+    assert(nums(1).toDouble.toLong === sparkRow.getLong(1), s"duckdb sum diverged: $out")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("vectors and fresh parquet tombstones coexist; the next rewrite folds both") {
     import spark.implicits._
     val t = "gdv.ns.mix"
