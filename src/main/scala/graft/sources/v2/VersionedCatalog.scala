@@ -1420,7 +1420,14 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         // session-zone TIMESTAMP day is not a pure function of the value)
         val daySpj = spjClean && dayOf.nonEmpty && meta.identityCols.isEmpty &&
           meta.part.isEmpty &&
-          rels.forall(_.startsWith(s"${ManifestTable.DayCol}=")) &&
+          // every dir must parse as a date: a NULL-day directory
+          // (__HIVE_DEFAULT_PARTITION__) has no key value to group on
+          rels.forall { r =>
+            r.startsWith(s"${ManifestTable.DayCol}=") && scala.util.Try(
+              java.time.LocalDate.parse(
+                r.takeWhile(_ != '/').stripPrefix(s"${ManifestTable.DayCol}=")))
+              .isSuccess
+          } &&
           dataSchema.fields.find(_.name.equalsIgnoreCase(dayOf.get))
             .map(_.dataType).exists(t =>
               t == org.apache.spark.sql.types.DateType ||

@@ -39,12 +39,18 @@ private[v2] case class StreamLayout(
   def dirOf(row: InternalRow): String =
     dayOrdinal match {
       case Some(ord) =>
-        val day = rowSchema.fields(ord).dataType match {
-          case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong)
-          case _ => java.time.LocalDate.ofEpochDay(
-            Math.floorDiv(row.getLong(ord), 86_400_000_000L))
+        // a NULL day source lands in the hive default dir, exactly like
+        // the batch writer's partitionBy over a null-valued __day column
+        if (row.isNullAt(ord))
+          ExternalCatalogUtils.getPartitionPathString(ManifestTable.DayCol, null)
+        else {
+          val day = rowSchema.fields(ord).dataType match {
+            case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong)
+            case _ => java.time.LocalDate.ofEpochDay(
+              Math.floorDiv(row.getLong(ord), 86_400_000_000L))
+          }
+          s"${ManifestTable.DayCol}=$day"
         }
-        s"${ManifestTable.DayCol}=$day"
       case None => transform match {
         case Some((kind, arg, ord)) =>
           ExternalCatalogUtils.getPartitionPathString(

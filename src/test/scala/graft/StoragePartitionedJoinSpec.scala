@@ -315,6 +315,26 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL-day directory declines day clustering instead of crashing the plan") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.day_n")
+    spark.sql("CREATE TABLE gspj.ns.day_n (k BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (days(ts))")
+    Seq((1L, Some(java.time.LocalDateTime.of(2024, 6, 1, 8, 0))),
+        (2L, None), (3L, Some(java.time.LocalDateTime.of(2024, 6, 2, 8, 0))))
+      .toDF("k", "ts").writeTo("gspj.ns.day_n").append()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // the __HIVE_DEFAULT_PARTITION__ dir has no date key: the scan must
+      // plan unkeyed (and stay exact), not throw parsing the path
+      assert(spark.table("gspj.ns.day_n").count() === 3)
+      assert(spark.table("gspj.ns.day_n").where($"ts".isNull)
+        .select($"k").as[Long].collect().toSeq === Seq(2L))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql("DROP TABLE gspj.ns.day_n")
+    }
+  }
+
   test("keyed planning keeps filter pruning and row-level filters exact") {
     import spark.implicits._
     writeFacts("gspj.ns.fact_e", 0)

@@ -151,6 +151,22 @@ class StreamTableWriteSpec extends AnyFunSuite {
       Set("2024-05-01", "2024-05-02", "2024-05-03"))
     val win = spark.table(t).where($"ts" < lit("2024-05-02 00:00:00").cast("timestamp_ntz"))
     assert(win.count() === 20)
+
+    // NULL day sources land in the hive default dir, batch-identical
+    val mem2 = MemoryStream[Long]
+    mem2.addData(999L)
+    val q2 = mem2.toDF().toDF("k")
+      .select($"k", lit(null).cast("timestamp_ntz").as("ts"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("stw_ck4b").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+    q2.awaitTermination()
+    assert(ManifestTable.liveEntries(root).exists(
+      _.rel.startsWith("__day=__HIVE_DEFAULT_PARTITION__/")),
+      "null day must land in the hive default dir")
+    assert(spark.table(t).where($"ts".isNull).count() === 1)
+    assert(spark.table(t).count() === 61)
     spark.sql(s"DROP TABLE $t")
   }
 
