@@ -875,12 +875,16 @@ object ManifestTable {
     * Complete mode). `schema` is the files' PHYSICAL schema. */
   private[graft] def commitStagedFiles(root: String,
                                        staged: Seq[(String, String)],
-                                       schema: StructType, retain: Int,
+                                       schema: StructType, format: String,
+                                       retain: Int,
                                        overwrite: Boolean,
                                        props: Map[String, String]): Long = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val withStats = fileStatsEnabled
-    val fmt = formatOf(root).getOrElse("parquet")
+    // the WRITER's format, passed explicitly: an empty table has no live
+    // entries to infer it from, and a mis-suffixed pool name would corrupt
+    // the manifest's per-extension read dispatch
+    val fmt = format
     val entries = staged.map { case (p, sub) =>
       val stats =
         if (withStats) FileStats.collect(p, fmt, schema, conf) else None

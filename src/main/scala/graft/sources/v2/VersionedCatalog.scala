@@ -1619,8 +1619,6 @@ class VersionedWriteBuilder(root: String, schema: StructType,
       * foreachBatch sink ([[graft.streaming.MicroBatch.appendSink]]),
       * which reuses the full batch write path. */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(meta.format == "parquet",
-        s"streaming write to $root: format ${meta.format} is not streamable yet")
       val physical = StructType(schema.fields.map(f =>
         f.copy(name = meta.physicalName(f.name))))
       def ordOf(c: String): Int = {
@@ -1680,8 +1678,8 @@ class VersionedWriteBuilder(root: String, schema: StructType,
       val fileSchema = StructType(fileOrdinals.map(physical.fields(_)))
       val layout = StreamLayout(physical, dayOrd, transform, identity, fileOrdinals)
       val spark = SparkSession.active
-      new VersionedStreamWrite(root, fileSchema, layout, queryId, overwrite,
-        () => VersionedCatalog.retainFor(root, spark))
+      new VersionedStreamWrite(root, fileSchema, layout, meta.format, queryId,
+        overwrite, () => VersionedCatalog.retainFor(root, spark))
     }
 
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.execution.datasources.v2.{GraftParquetWriterHandle, GraftStreamWriteBridge}
+import org.apache.spark.sql.execution.datasources.v2.{GraftFileWriterHandle, GraftStreamWriteBridge}
 import org.apache.spark.sql.types._
 
 import graft.sources.{ManifestTable, MetaIO}
@@ -139,7 +139,7 @@ private[v2] case class StreamLayout(
   * epochs time-travelable).
   */
 private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
-                                       layout: StreamLayout,
+                                       layout: StreamLayout, format: String,
                                        queryId: String, overwrite: Boolean,
                                        retain: () => Int)
     extends StreamingWrite {
@@ -150,7 +150,7 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     new VersionedStreamWriterFactory(
-      GraftStreamWriteBridge.parquetWriterHandle(SparkSession.active, fileSchema),
+      GraftStreamWriteBridge.writerHandle(SparkSession.active, fileSchema, format),
       stageDir, fileSchema, layout)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -167,7 +167,7 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
       // empty append epoch: advance the marker when a manifest exists (an
       // empty manifest is unrepresentable, so a brand-new table waits)
       if (ManifestTable.exists(root))
-        ManifestTable.commitStagedFiles(root, Nil, fileSchema,
+        ManifestTable.commitStagedFiles(root, Nil, fileSchema, format,
           retain(), overwrite = false, Map(key -> epochId.toString))
     } else if (staged.isEmpty) {
       // Complete-mode epoch draining to ZERO rows: the new result set is
@@ -176,17 +176,17 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
       // parquet file (written driver-side through the same writer the
       // tasks use). Readers, stats, and the metadata tables all handle a
       // zero-row file like any other.
-      val handle = GraftStreamWriteBridge.parquetWriterHandle(
-        SparkSession.active, fileSchema)
+      val handle = GraftStreamWriteBridge.writerHandle(
+        SparkSession.active, fileSchema, format)
       val ctx = new TaskAttemptContextImpl(handle.conf.value,
         new TaskAttemptID(new TaskID(new JobID(
           "graftstream", (epochId % Int.MaxValue).toInt), TaskType.MAP, 0), 0))
       val path = s"$stageDir/e${epochId}_empty${handle.extension(ctx)}"
       handle.open(path, fileSchema, ctx).close()
-      ManifestTable.commitStagedFiles(root, Seq((path, "")), fileSchema,
+      ManifestTable.commitStagedFiles(root, Seq((path, "")), fileSchema, format,
         retain(), overwrite = true, Map(key -> epochId.toString))
     } else {
-      ManifestTable.commitStagedFiles(root, staged, fileSchema,
+      ManifestTable.commitStagedFiles(root, staged, fileSchema, format,
         retain(), overwrite, Map(key -> epochId.toString))
     }
     MetaIO.delete(stageDir, recursive = true)
@@ -205,7 +205,7 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
 private case class StagedFiles(files: Seq[(String, String)])
     extends WriterCommitMessage
 
-private class VersionedStreamWriterFactory(handle: GraftParquetWriterHandle,
+private class VersionedStreamWriterFactory(handle: GraftFileWriterHandle,
                                            stageDir: String, schema: StructType,
                                            layout: StreamLayout)
     extends StreamingDataWriterFactory {

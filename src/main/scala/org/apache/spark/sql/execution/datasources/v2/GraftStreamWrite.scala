@@ -9,13 +9,13 @@ import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, Parqu
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
-/** Task-side parquet row writing for the engine's streaming sink
-  * ([[graft.sources.v2.VersionedStreamWrite]]): Spark's own parquet
+/** Task-side row-file writing for the engine's streaming sink
+  * ([[graft.sources.v2.VersionedStreamWrite]]): the format's own
   * output-writer factory (identical codec/conf to batch writes), wrapped
   * because `ParquetUtils`/`OutputWriterFactory` are sql-internal. The
   * handle is serializable and ships to executors. */
-class GraftParquetWriterHandle private[v2] (factory: OutputWriterFactory,
-                                            val conf: SerializableConfiguration)
+class GraftFileWriterHandle private[v2] (factory: OutputWriterFactory,
+                                         val conf: SerializableConfiguration)
     extends Serializable {
   def extension(ctx: TaskAttemptContext): String = factory.getFileExtension(ctx)
   def open(path: String, schema: StructType, ctx: TaskAttemptContext): GraftRowFileWriter =
@@ -29,15 +29,26 @@ class GraftRowFileWriter private[v2] (
 }
 
 object GraftStreamWriteBridge {
-  /** Driver-side preparation: write conf + factory for `fileSchema`. */
-  def parquetWriterHandle(spark: SparkSession, fileSchema: StructType)
-      : GraftParquetWriterHandle = {
+  /** Driver-side preparation: write conf + factory for `fileSchema` in
+    * the table's storage format — Spark's parquet/orc writer factories or
+    * the engine's avro FileFormat (whose writer also leaves the hidden
+    * stats sidecar the commit path reads). */
+  def writerHandle(spark: SparkSession, fileSchema: StructType,
+                   format: String): GraftFileWriterHandle = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val job = Job.getInstance(classic.sessionState.newHadoopConf())
-    val factory = ParquetUtils.prepareWrite(
-      classic.sessionState.conf, job, fileSchema,
-      new ParquetOptions(Map.empty[String, String], classic.sessionState.conf))
-    new GraftParquetWriterHandle(factory,
+    val factory = format match {
+      case "parquet" => ParquetUtils.prepareWrite(
+        classic.sessionState.conf, job, fileSchema,
+        new ParquetOptions(Map.empty[String, String], classic.sessionState.conf))
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+        .prepareWrite(classic, job, Map.empty[String, String], fileSchema)
+      case "avro" => new graft.sources.avro.AvroFileFormat()
+        .prepareWrite(classic, job, Map.empty[String, String], fileSchema)
+      case other => throw new IllegalArgumentException(
+        s"unstreamable storage format $other")
+    }
+    new GraftFileWriterHandle(factory,
       new SerializableConfiguration(job.getConfiguration))
   }
 }
