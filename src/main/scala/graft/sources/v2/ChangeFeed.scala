@@ -72,8 +72,6 @@ object ChangeFeed {
       throw new IllegalArgumentException(s"no versioned table under $root"))
     require(meta.format == "parquet" || meta.format == "orc",
       s"change feed of $root: format ${meta.format} is not supported")
-    require(meta.renames.isEmpty,
-      s"change feed of $root: tables with renamed columns are not supported yet")
     ChangeFeedTable(name, root, meta)
   }
 
@@ -252,6 +250,12 @@ private[v2] object ChangeFeedPlanner {
       meta.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(
           s"change feed of $root: no such column $name"))
+    /** The LOGICAL column a PHYSICAL (in-file) name maps back to. */
+    private def logicalOf(phys: String): String =
+      meta.schema.fieldNames.find(l =>
+        meta.physicalName(l).equalsIgnoreCase(phys)).getOrElse(phys)
+    private def physField(f: StructField): StructField =
+      f.copy(name = meta.physicalName(f.name))
     private val partNames: Set[String] =
       meta.identityCols.map(_.toLowerCase).toSet
     private val userReq: Seq[StructField] = required.fields.toSeq
@@ -260,7 +264,7 @@ private[v2] object ChangeFeedPlanner {
 
     /** Key columns of the table's LIVE equality-delete files (at ctx
       * creation — one footer-schema read per file, bounded by the
-      * backlog). */
+      * backlog). Key files carry PHYSICAL names. */
     val eqKeyNames: Seq[String] =
       if (!ManifestTable.exists(root)) Nil
       else ManifestTable.liveDeleteEntries(root)
@@ -268,30 +272,50 @@ private[v2] object ChangeFeedPlanner {
         .flatMap(e => spark.read.parquet(s"$root/data/${e.rel}").schema.fieldNames)
         .distinct
 
+    // the read layout is PHYSICAL (data files and identity dirs carry
+    // physical names after a metadata-only rename); the output plan
+    // below maps back to the required LOGICAL order
     val readData: StructType = {
-      val direct = userReq.filterNot(f => partNames.contains(f.name.toLowerCase))
+      val direct = userReq
+        .filterNot(f => partNames.contains(f.name.toLowerCase)).map(physField)
       val extras = eqKeyNames
         .filterNot(k => direct.exists(_.name.equalsIgnoreCase(k)))
-        .map(declared)
+        .map(k => physField(declared(logicalOf(k))))
       StructType(direct ++ extras)
     }
     val readPart: StructType = StructType(
-      userReq.filter(f => partNames.contains(f.name.toLowerCase)))
+      userReq.filter(f => partNames.contains(f.name.toLowerCase)).map(physField))
     val emitted: StructType = StructType(readData.fields ++ readPart.fields)
+
+    /** Output column plan over `required`: Right(emitted ordinal) for
+      * data columns (resolved through the logical-to-physical mapping),
+      * Left(isVersion) for the change columns. */
+    val outPlan: Seq[Either[Boolean, Int]] =
+      required.fields.toIndexedSeq.map { f =>
+        if (f.name.equalsIgnoreCase(ChangeFeed.TypeCol)) Left(false)
+        else if (f.name.equalsIgnoreCase(ChangeFeed.VersionCol)) Left(true)
+        else {
+          val i = emitted.fieldNames.indexWhere(
+            _.equalsIgnoreCase(meta.physicalName(f.name)))
+          require(i >= 0, s"change feed of $root: ${f.name} not in the read layout")
+          Right(i)
+        }
+      }
 
     def scanFor(rels: Seq[String]): org.apache.spark.sql.execution.datasources.v2.FileScan = {
       val files = rels.map(rel => new Path(s"$root/data/$rel"))
       val params =
         if (files.isEmpty || meta.identityCols.isEmpty) Map.empty[String, String]
         else Map("basePath" -> s"$root/data")
-      val index = new InMemoryFileIndex(spark, files, params, Some(meta.schema))
+      val index = new InMemoryFileIndex(spark, files, params,
+        Some(meta.physicalSchema))
       val opts = CaseInsensitiveStringMap.empty()
       if (meta.format == "orc")
         org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.orcScan(
-          spark, index, meta.schema, readData, readPart, Array.empty, opts)
+          spark, index, meta.physicalSchema, readData, readPart, Array.empty, opts)
       else
         org.apache.spark.sql.execution.datasources.v2.GraftScanBridge.parquetScan(
-          spark, index, meta.schema, readData, readPart, Array.empty, opts)
+          spark, index, meta.physicalSchema, readData, readPart, Array.empty, opts)
     }
   }
 
@@ -300,7 +324,7 @@ private[v2] object ChangeFeedPlanner {
 
   def readerFactory(ctx: Ctx, inner: PartitionReaderFactory,
                     columnar: Boolean): PartitionReaderFactory =
-    new ChangeReaderFactory(inner, ctx.emitted, ctx.required, columnar,
+    new ChangeReaderFactory(inner, ctx.emitted, ctx.outPlan, columnar,
       new SerializableHadoopConf(ctx.spark.sparkContext.hadoopConfiguration))
 
   /** Plan the change slices of window (sV, eV] — or, for the streaming
@@ -453,21 +477,13 @@ private[v2] object ChangeFeedPlanner {
   * inlined. Columnar passthrough (constant change vectors, zero-copy
   * data columns) when the whole batch is clean inserts. */
 private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
-                                      emitted: StructType, required: StructType,
+                                      emitted: StructType,
+                                      outPlan: Seq[Either[Boolean, Int]],
                                       columnar: Boolean,
                                       conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
-
-  /** Output column plan: Right(emitted ordinal) for data columns,
-    * Left(isVersion) for the change columns. */
-  private def outPlan: Seq[Either[Boolean, Int]] =
-    required.fields.toIndexedSeq.map { f =>
-      if (f.name.equalsIgnoreCase(ChangeFeed.TypeCol)) Left(false)
-      else if (f.name.equalsIgnoreCase(ChangeFeed.VersionCol)) Left(true)
-      else Right(emitted.fieldNames.indexWhere(_.equalsIgnoreCase(f.name)))
-    }
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val cp = p.asInstanceOf[ChangePartition]

@@ -201,6 +201,24 @@ class AggPushdownSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("grouped pushdown over MULTIPLE identity columns folds per directory pair") {
+    import spark.implicits._
+    val t = "gagg.ns.grp2"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, y INT, m INT, v DOUBLE) PARTITIONED BY (y, m)")
+    (0 until 240).map(i => (i.toLong, 2023 + i % 2, 1 + i % 3, i * 1.0))
+      .toDF("k", "y", "m", "v").writeTo(t).append()
+    val agg = spark.table(t).groupBy($"y", $"m")
+      .agg(count(lit(1)).as("n"), max($"k").as("mx"))
+    assert(usedMetadataOnly(agg),
+      s"two-column grouped plan must be the metadata scan:\n${agg.queryExecution.executedPlan}")
+    val got = agg.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expected = (0 until 240).groupBy(i => (2023 + i % 2, 1 + i % 3))
+      .view.mapValues(_.size.toLong).toMap
+    assert(got === expected)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("grouped pushdown handles the null (hive default) partition exactly") {
     import spark.implicits._
     val t = "gagg.ns.grpn"

@@ -273,6 +273,49 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("RENAMED-column tables feed changes under logical names") {
+    import spark.implicits._
+    val t = "gcdf.ns.rn"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").writeTo(t).append() // v1
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    Seq((4L, "d")).toDF("k", "label").writeTo(t).append()                   // v2
+    withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 2")) // v3
+    // equality delete keys carry the PHYSICAL column name on disk
+    ManifestTable.appendEqualityDeletes(Seq(3L).toDF("k"), root("rn"))      // v4
+
+    val got = changes(t).select($"k", $"label", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L), (3L, "c", "insert", 1L),
+      (4L, "d", "insert", 2L),
+      (2L, "b", "delete", 3L), (3L, "c", "delete", 4L)))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("ORC tables feed changes (externally-written positional tombstones)") {
+    import spark.implicits._
+    val t = "gcdf.ns.orc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) TBLPROPERTIES('format'='orc')")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).writeTo(t).append()                                      // v1
+    val r = root("orc")
+    // the single-partition write preserved row order: position == index
+    val rel = ManifestTable.encodedRel(r,
+      ManifestTable.liveEntries(r).map(_.rel)
+        .filterNot(ManifestTable.isDeleteEntry).head)
+    ManifestTable.appendDeletes(Seq((rel, 1L)).toDF("__file", "__pos"), r)  // v2
+    val got = changes(t).select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L), (3L, "c", "insert", 1L),
+      (2L, "b", "delete", 2L)))
+    assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(1L, 3L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("identity-partitioned and hidden-day tables feed changes with partition values intact") {
     import spark.implicits._
     val t = "gcdf.ns.parts"
