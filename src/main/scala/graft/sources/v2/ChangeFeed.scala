@@ -52,11 +52,12 @@ import graft.sources.{FileStats, ManifestTable, SerializableHadoopConf}
   *
   * Column pruning reaches the file scan (the read widens only by live
   * equality-delete key columns, which suppression needs whatever the
-  * projection). Batch reads over windows with NO delete application run
-  * VECTORIZED — the change columns ride as per-partition constant
-  * vectors; any delete slice drops the whole batch to row readers
-  * (change application is a per-row decision), and streaming reads are
-  * row-based (one reader factory must serve every future window).
+  * projection). Windows with NO delete application read VECTORIZED —
+  * the change columns ride as per-partition constant vectors — in batch
+  * AND streaming (each micro-batch plans its own read mode, so an
+  * append-only window or a deletes-free initial snapshot stays
+  * columnar); any delete slice drops that window to row readers, since
+  * change application is a per-row decision.
   */
 object ChangeFeed {
   val TypeCol = "_change_type"
@@ -129,21 +130,8 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
 
   override def planInputPartitions(): Array[InputPartition] = partitions
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // a batch whose every slice is a CLEAN insert (no suppression, no
-    // emission) reads vectorized end to end; any delete application in
-    // the window drops the batch to row readers
-    val inner = ChangeFeedPlanner.innerFactory(ctx)
-    val clean = partitions.forall {
-      case cp: ChangePartition => cp.isCleanInsert
-      case _ => false
-    }
-    val columnar = clean && partitions.forall {
-      case cp: ChangePartition => inner.supportColumnarReads(cp.inner)
-      case _ => false
-    }
-    ChangeFeedPlanner.readerFactory(ctx, inner, columnar)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangeFeedPlanner.readerFactory(ctx, ChangeFeedPlanner.innerFactory(ctx))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangeFeedMicroBatchStream(root, meta, options, required)
@@ -210,8 +198,7 @@ private[v2] class ChangeFeedMicroBatchStream(root: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChangeFeedPlanner.readerFactory(ctx, ChangeFeedPlanner.innerFactory(ctx),
-      columnar = false)
+    ChangeFeedPlanner.readerFactory(ctx, ChangeFeedPlanner.innerFactory(ctx))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -229,7 +216,8 @@ private[graft] case class ChangePartition(
     emitPos: PosSource,            // delete-pos: artifacts whose positions emit
     emitEq: Option[EqDeleteSpec],  // delete-eq: the key file to emit matches of
     suppressPos: PosSource,        // older tombstones: rows already dead
-    suppressEq: Seq[EqDeleteSpec]) // older equality keys: rows already dead
+    suppressEq: Seq[EqDeleteSpec], // older equality keys: rows already dead
+    forceRow: Boolean = false)     // window holds delete slices: stay row-based
     extends InputPartition {
   def isCleanInsert: Boolean = kind == "insert" && emitPos.isEmpty &&
     emitEq.isEmpty && suppressPos.isEmpty && suppressEq.isEmpty
@@ -322,9 +310,8 @@ private[v2] object ChangeFeedPlanner {
   def innerFactory(ctx: Ctx): PartitionReaderFactory =
     ctx.scanFor(Nil).createReaderFactory()
 
-  def readerFactory(ctx: Ctx, inner: PartitionReaderFactory,
-                    columnar: Boolean): PartitionReaderFactory =
-    new ChangeReaderFactory(inner, ctx.emitted, ctx.outPlan, columnar,
+  def readerFactory(ctx: Ctx, inner: PartitionReaderFactory): PartitionReaderFactory =
+    new ChangeReaderFactory(inner, ctx.emitted, ctx.outPlan,
       new SerializableHadoopConf(ctx.spark.sparkContext.hadoopConfiguration))
 
   /** Plan the change slices of window (sV, eV] — or, for the streaming
@@ -467,7 +454,19 @@ private[v2] object ChangeFeedPlanner {
           }
         }
     }
-    out.result().toArray
+    val planned = out.result()
+    // one read mode per window: vectorized only when EVERY slice is a
+    // clean insert (Spark refuses mixed row/columnar partitions); the
+    // streaming runner plans each micro-batch separately, so an
+    // append-only window or a deletes-free initial snapshot stays
+    // vectorized even mid-stream
+    val allClean = planned.forall {
+      case cp: ChangePartition => cp.isCleanInsert
+      case _ => false
+    }
+    (if (allClean) planned
+     else planned.map { case cp: ChangePartition => cp.copy(forceRow = true) })
+      .toArray
   }
 }
 
@@ -479,11 +478,17 @@ private[v2] object ChangeFeedPlanner {
 private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
                                       emitted: StructType,
                                       outPlan: Seq[Either[Boolean, Int]],
-                                      columnar: Boolean,
                                       conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  // per-PARTITION verdict — the planner forces a whole window to row mode
+  // when any slice applies deletes, so every partition of one planned
+  // batch agrees (the uniformity Spark's scan exec requires)
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case cp: ChangePartition =>
+      !cp.forceRow && cp.isCleanInsert && inner.supportColumnarReads(cp.inner)
+    case _ => false
+  }
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val cp = p.asInstanceOf[ChangePartition]
