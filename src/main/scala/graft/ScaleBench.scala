@@ -461,6 +461,37 @@ object ScaleBench {
     spark.sql("DROP TABLE scale_cat.b.spa")
     spark.sql("DROP TABLE scale_cat.b.spb")
 
+    // Change data feed at scale: the streaming initial snapshot reads the
+    // whole table (vectorized — no delete slices), then a small MOR
+    // delete's window costs ∝ the CHANGE, not the table — the property
+    // that makes incremental gold viable at 100 TB
+    spark.range(catRows).select(col("id").as("k"),
+      (col("id") % 1000L).as("g"),
+      (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0).as("v"))
+      .repartition(32).writeTo("scale_cat.b.cdf").create()
+    val cdfCk = java.nio.file.Files.createTempDirectory("scale_cdf_ck").toString
+    def drainChanges(): Double = {
+      val t0 = System.nanoTime()
+      val q = spark.readStream.table("scale_cat.b.cdf.changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation", cdfCk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val snapSecs = drainChanges()
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark,
+      "DELETE FROM scale_cat.b.cdf WHERE k % 100000 = 7")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val windowSecs = drainChanges()
+    println(f"[scale] cdf_stream rows=$catRows snapshot_secs=$snapSecs%.1f " +
+      f"delete_window_secs=$windowSecs%.1f ratio=${windowSecs / snapSecs}%.2f")
+    require(windowSecs < snapSecs,
+      "a small delete window must cost less than the initial snapshot")
+    spark.sql("DROP TABLE scale_cat.b.cdf")
+
     spark.stop()
   }
 }
