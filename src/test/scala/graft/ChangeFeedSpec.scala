@@ -187,6 +187,41 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("maxVersionsPerTrigger paces the feed: snapshot at the paced end, then windows") {
+    import spark.implicits._
+    val t = "gcdf.ns.paced"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    val prevRetain = spark.conf.getOption("spark.graft.versioned.retain")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try (1 to 4).foreach(i => Seq(i.toLong).toDF("k").writeTo(t).append())
+    finally prevRetain match {
+      case Some(v) => spark.conf.set("spark.graft.versioned.retain", v)
+      case None => spark.conf.unset("spark.graft.versioned.retain")
+    }
+    val checkpoint = Files.createTempDirectory("cdf_pck").toString
+    val sink = Files.createTempDirectory("cdf_psink").toString + "/out"
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table(s"$t.changes").writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // paced bootstrap: snapshot at v1, then windows (1,2], (2,3], (3,4] —
+    // every insert delivered exactly once, in >= 3 checkpointed batches
+    val got = spark.read.parquet(sink)
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.size === 4, s"exactly once per version window: $got")
+    assert(got.toSet === (1L to 4L).map(k => (k, "insert", k)).toSet)
+    val commits = new java.io.File(s"$checkpoint/commits").list()
+      .count(!_.endsWith(".tmp"))
+    assert(commits >= 3, s"expected >=3 paced batches, saw $commits")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("column pruning reaches the change-feed file scan; eq keys widen it only as needed") {
     import spark.implicits._
     val t = "gcdf.ns.prune"
