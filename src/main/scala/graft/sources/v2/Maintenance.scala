@@ -51,10 +51,47 @@ object Maintenance {
     * but never affect correctness. */
   def optimize(spark: SparkSession, ident: String,
                targetFileBytes: Long = 128L << 20,
-               zorderBy: Seq[String] = Nil): Long = {
+               zorderBy: Seq[String] = Nil,
+               whereDays: Option[(String, String)] = None): Long = {
     import org.apache.spark.sql.functions._
     val (root, meta) = resolve(spark, ident)
     val physDay = meta.dayOf.map(meta.physicalName)
+    // DAY-SCOPED compaction (Iceberg's rewrite_data_files(filter)): only
+    // the selected days' files read and rewritten — at 100 TB you compact
+    // the days the ingest fragmented, never the table. Other days' files
+    // carry through the replaceDays commit untouched; tombstones naming
+    // the replaced files go inert (self-scoping) and the next
+    // rewrite_deletes drops them.
+    whereDays.foreach { case (fromS, untilS) =>
+      require(zorderBy.isEmpty,
+        "where_days compaction does not compose with zorder_by yet")
+      val physDayCol = physDay.getOrElse(throw new IllegalArgumentException(
+        s"$ident is not day-partitioned; where_days needs a days() layout"))
+      require(ManifestTable.isFullyDayKeyed(root),
+        s"$ident mixes partition layouts (spec evolution); run a full OPTIMIZE")
+      val from = java.time.LocalDate.parse(fromS)
+      val until = java.time.LocalDate.parse(untilS)
+      val days = ManifestTable.liveDays(root).filter(d =>
+        scala.util.Try {
+          val day = java.time.LocalDate.parse(d)
+          !day.isBefore(from) && !day.isAfter(until)
+        }.getOrElse(false))
+      if (days.isEmpty)
+        return ManifestTable.currentVersion(root).getOrElse(0L)
+      val (v0, raw) = ManifestTable.readRawPinned(spark, root)
+      val slice = raw.where(col(ManifestTable.DayCol).cast("string")
+        .isInCollection(days.toSeq))
+      val bytes = ManifestTable.liveEntries(root)
+        .filter(e => days.exists(d =>
+          e.rel.startsWith(s"${ManifestTable.DayCol}=$d/")))
+        .map(e => graft.sources.MetaIO.size(s"$root/data/${e.rel}")).sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      return ManifestTable.replaceDays(
+        slice.repartition(nFiles, col(ManifestTable.DayCol))
+          .drop(ManifestTable.DayCol),
+        root, days, physDayCol, retain = retainOf(spark, root),
+        expectedVersion = Some(v0))
+    }
     // partition-directory key columns of the table's layout (empty for a
     // flat table): rewrites cluster by them so each directory gets
     // locally-coalesced files, whatever the transform

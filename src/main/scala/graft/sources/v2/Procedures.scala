@@ -62,13 +62,24 @@ object GraftProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(
         param("table", StringType),
         param("target_file_bytes", LongType, Some((128L << 20).toString)),
-        param("zorder_by", StringType, Some("''")))
+        param("zorder_by", StringType, Some("''")),
+        // inclusive day range 'YYYY-MM-DD,YYYY-MM-DD': compact ONLY those
+        // days (Iceberg's rewrite_data_files(filter) shape)
+        param("where_days", StringType, Some("''")))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val tbl = input.getUTF8String(0).toString
         val target = input.getLong(1)
         val zorder = input.getUTF8String(2).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq
-        val v = Maintenance.optimize(spark, s"$catalogName.$tbl", target, zorder)
+        val whereDays = Some(input.getUTF8String(3).toString.trim)
+          .filter(_.nonEmpty).map { s =>
+            val p = s.split(',').map(_.trim)
+            require(p.length == 2,
+              "where_days takes 'YYYY-MM-DD,YYYY-MM-DD' (inclusive)")
+            (p(0), p(1))
+          }
+        val v = Maintenance.optimize(spark, s"$catalogName.$tbl", target, zorder,
+          whereDays)
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()

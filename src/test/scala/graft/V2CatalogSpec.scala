@@ -1055,6 +1055,47 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.morsp")
   }
 
+  test("day-scoped OPTIMIZE compacts only the selected days; other days' files carry untouched") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.dopt")
+    spark.sql("CREATE TABLE gtest.ns.dopt (k BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (days(ts))")
+    val prevDist = spark.conf.getOption("spark.graft.write.distribution")
+    spark.conf.set("spark.graft.write.distribution", "none") // deliberate fragmentation
+    try {
+      // 4 appends × 4 days, several tasks each: every day fragments
+      for (_ <- 1 to 4)
+        (0 until 80).map(i => (i.toLong,
+          java.time.LocalDateTime.of(2024, 7, 1 + i % 4, i % 24, 0)))
+          .toDF("k", "ts").repartition(4).writeTo("gtest.ns.dopt").append()
+    } finally prevDist match {
+      case Some(v) => spark.conf.set("spark.graft.write.distribution", v)
+      case None => spark.conf.unset("spark.graft.write.distribution")
+    }
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/dopt"
+    def relsOf(day: String): Set[String] = ManifestTable.liveEntries(root)
+      .map(_.rel).filter(_.startsWith(s"__day=$day/")).toSet
+    val beforeIn = Seq("2024-07-01", "2024-07-02").map(d => d -> relsOf(d)).toMap
+    val beforeOut = Seq("2024-07-03", "2024-07-04").map(d => d -> relsOf(d)).toMap
+    assert(beforeIn.values.forall(_.size > 1), "days must start fragmented")
+    val expect = spark.table("gtest.ns.dopt").as[(Long, java.time.LocalDateTime)]
+      .collect().toSeq.sorted
+
+    spark.sql("CALL gtest.system.optimize(`table` => 'ns.dopt', " +
+      "where_days => '2024-07-01,2024-07-02')")
+
+    // selected days coalesced, others byte-for-byte the SAME entries
+    Seq("2024-07-01", "2024-07-02").foreach(d =>
+      assert(relsOf(d).size < beforeIn(d).size,
+        s"$d must coalesce: ${relsOf(d).size} vs ${beforeIn(d).size}"))
+    Seq("2024-07-03", "2024-07-04").foreach(d =>
+      assert(relsOf(d) === beforeOut(d), s"$d must carry untouched"))
+    assert(spark.table("gtest.ns.dopt").as[(Long, java.time.LocalDateTime)]
+      .collect().toSeq.sorted === expect)
+    spark.sql("DROP TABLE gtest.ns.dopt")
+  }
+
   test("age-based snapshot expiry composes with retain-last and honors ref pins") {
     import graft.sources.ManifestTable
     import spark.implicits._
