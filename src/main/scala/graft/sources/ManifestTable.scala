@@ -111,6 +111,12 @@ object ManifestTable {
     * Zone-independent derivations (TIMESTAMP_NTZ, DATE) never set it. */
   val ZoneProp = "__writer_zone"
 
+  /** What each commit DID — Iceberg's snapshot-summary `operation` field:
+    * `append`, `overwrite`, `delete`, `update`, `replace`, `rewrite`, or
+    * `stream`. Stamped per commit (never inherited: every commit path
+    * sets its own), surfaced by the `tbl.snapshots` metadata table. */
+  val OpProp = "__operation"
+
   /** Version of the most recent commit that REMOVED a data entry
     * (copy-on-write DML, compaction, overwrite, day drop) — stamped by
     * [[commitLoop]] itself and carried forward by appends, so a streaming
@@ -824,13 +830,16 @@ object ManifestTable {
              props: Map[String, String] = Map.empty,
              format: Option[String] = None,
              partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
-             partitionCols: Seq[String] = Nil): Long = {
+             partitionCols: Seq[String] = Nil,
+             op: String = "overwrite"): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
     val fresh = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
     // a full rewrite re-derives every file's day in THIS session: its zone
     // is the table's zone, whatever history said
     val zp = writeZoneOf(df, partitionDayOf).map(ZoneProp -> _).toMap
-    commitLoop(root, retain, rebase = false)(_ => Planned(fresh, props ++ zp))
+    // the label is THIS commit's, never inherited through carried props
+    commitLoop(root, retain, rebase = false)(_ =>
+      Planned(fresh, props - OpProp ++ zp + (OpProp -> op)))
   }
 
   /** Append commit (INSERT INTO semantics): write only `df`'s files into
@@ -854,7 +863,8 @@ object ManifestTable {
     // Base shard refs carry as LINES: append cost never reads them.
     commitLoop(root, retain, rebase = true) { base =>
       Planned(base.inline ++ fresh,
-        base.props ++ props ++ mergeZoneProp(base.props, zone),
+        base.props ++ props ++ mergeZoneProp(base.props, zone) +
+          (OpProp -> "append"),
         carried = base.refs)
     }
   }
@@ -895,10 +905,12 @@ object ManifestTable {
       FileEntry(name, stats)
     }
     if (overwrite)
-      commitLoop(root, retain, rebase = false)(_ => Planned(entries, props))
+      commitLoop(root, retain, rebase = false)(_ =>
+        Planned(entries, props + (OpProp -> "stream")))
     else
       commitLoop(root, retain, rebase = true) { base =>
-        Planned(base.inline ++ entries, base.props ++ props, carried = base.refs)
+        Planned(base.inline ++ entries,
+          base.props ++ props + (OpProp -> "stream"), carried = base.refs)
       }
   }
 
@@ -907,7 +919,8 @@ object ManifestTable {
     val fresh = writeDeletePool(tombstones, root, touched)
     commitLoop(root, retain, rebase = true) { base =>
       requireTombstonedFilesLive(root, base, touched)
-      Planned(base.inline ++ fresh, base.props, carried = base.refs)
+      Planned(base.inline ++ fresh, base.props + (OpProp -> "delete"),
+        carried = base.refs)
     }
   }
 
@@ -939,7 +952,8 @@ object ManifestTable {
     require(exists(root), s"no committed version under $root")
     val fresh = writeEqDeletePool(keys, root)
     commitLoop(root, retain, rebase = true) { base =>
-      Planned(base.inline ++ fresh, base.props, carried = base.refs)
+      Planned(base.inline ++ fresh, base.props + (OpProp -> "delete"),
+        carried = base.refs)
     }
   }
 
@@ -1030,7 +1044,8 @@ object ManifestTable {
       val keptDel = delEntries.filterNot(e =>
         mergedRels.contains(e.rel) || deadEq.contains(e.rel))
       val dataInline = base.inline.filterNot(e => isDeleteEntry(e.rel))
-      Planned(dataInline ++ keptDel ++ fresh, base.props, carried = dataRefs)
+      Planned(dataInline ++ keptDel ++ fresh,
+        base.props + (OpProp -> "rewrite"), carried = dataRefs)
     }
   }
 
@@ -1096,7 +1111,7 @@ object ManifestTable {
     commitLoop(root, retain, rebase = true) { base =>
       requireTombstonedFilesLive(root, base, touched)
       Planned(base.inline ++ freshDel ++ freshData,
-        base.props ++ mergeZoneProp(base.props, zone),
+        base.props ++ mergeZoneProp(base.props, zone) + (OpProp -> "update"),
         carried = base.refs)
     }
   }
@@ -1238,7 +1253,7 @@ object ManifestTable {
       // partial update of a continuing table: carry the commit properties
       // (e.g. streaming idempotence markers) into the new manifest
       Planned(base.inline.filterNot(e => removed(keyOf(e.rel))) ++ fresh,
-        base.props ++ mergeZoneProp(base.props, zone),
+        base.props ++ mergeZoneProp(base.props, zone) + (OpProp -> "replace"),
         carried = base.refs.filterNot(r => removed(r.key)))
     }
   }
@@ -1268,7 +1283,7 @@ object ManifestTable {
       require(keepInline.exists(e => !isDeleteEntry(e.rel)) ||
         keepRefs.exists(r => r.key != DeleteDir && r.n > 0),
         s"dropDays would empty $root; DROP the table (or overwrite) instead")
-      Planned(keepInline, base.props, carried = keepRefs)
+      Planned(keepInline, base.props + (OpProp -> "delete"), carried = keepRefs)
     }
   }
 
@@ -1531,6 +1546,6 @@ object ManifestTable {
     // layout maintenance continues the table's history: carry properties
     // (a lost streaming marker would let a replayed batch double-append)
     commit(df, root, retain = retain, partitionDayOf = partitionDayOf,
-      props = liveProps(root), format = format)
+      props = liveProps(root), format = format, op = "rewrite")
   }
 }

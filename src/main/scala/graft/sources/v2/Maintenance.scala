@@ -117,7 +117,7 @@ object Maintenance {
         val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
         VersionedCatalog.commitPreservingLayout(root,
           raw.repartition(nFiles, dirKeyCols(raw): _*),
-          retainOf(spark, root), ManifestTable.liveProps(root))
+          retainOf(spark, root), ManifestTable.liveProps(root), op = "rewrite")
       }
     } else {
       val zCols = zorderBy.map(meta.physicalName)
@@ -155,7 +155,7 @@ object Maintenance {
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
       VersionedCatalog.commitPreservingLayout(root, clustered,
-        retainOf(spark, root), ManifestTable.liveProps(root))
+        retainOf(spark, root), ManifestTable.liveProps(root), op = "rewrite")
     }
   }
 

@@ -37,6 +37,7 @@ object MetaTables {
   private val SnapshotsSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = true),
     StructField("n_data_files", LongType, nullable = false),
     StructField("n_delete_files", LongType, nullable = false),
     StructField("total_bytes", LongType, nullable = false),
@@ -103,6 +104,10 @@ object MetaTables {
         v,
         // commit instant = manifest mtime, in micros
         MetaIO.mtimeMillis(s"$root/manifests/v=$v.txt") * 1000L,
+        // Iceberg's snapshot-summary operation field; null for manifests
+        // committed before labels existed
+        ManifestTable.manifestProps(root, v)
+          .get(ManifestTable.OpProp).map(utf8).orNull,
         data.size.toLong, del.size.toLong,
         es.map(e => MetaIO.size(s"$root/data/${e.rel}")).sum,
         live.contains(v)))

@@ -610,7 +610,8 @@ object VersionedCatalog {
   private[graft] def commitPreservingLayout(root: String,
                                             dfPhysical: org.apache.spark.sql.DataFrame,
                                             retain: Int,
-                                            props: Map[String, String]): Long = {
+                                            props: Map[String, String],
+                                            op: String = "overwrite"): Long = {
     val meta = readMeta(root).getOrElse(
       throw new IllegalStateException(s"no descriptor under $root"))
     // re-align to the DECLARED physical schema: identity values read back
@@ -623,7 +624,7 @@ object VersionedCatalog {
       partitionDayOf = meta.dayOf.map(meta.physicalName),
       props = props, format = Some(meta.format),
       partitionExpr = partDeriveExpr(meta),
-      partitionCols = meta.identityCols.map(meta.physicalName))
+      partitionCols = meta.identityCols.map(meta.physicalName), op = op)
   }
 
   def readMeta(root: String): Option[Meta] = {

@@ -200,6 +200,7 @@ class PipelineAndStreamingSpec extends AnyFunSuite {
     assert(MicroBatch.appendBatchIdempotent(
       Seq((10L, "x")).toDF("k", "v"), target, "app2", 0L))
     assert(graft.sources.ManifestTable.liveProps(target).keySet
+      -- Set(graft.sources.ManifestTable.OpProp)
       === Set("stream.app1.batch", "stream.app2.batch"))
   }
 

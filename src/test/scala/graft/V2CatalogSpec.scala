@@ -861,7 +861,8 @@ class V2CatalogSpec extends AnyFunSuite {
     val snaps = spark.table("gtest.ns.mt.snapshots")
       .orderBy("version").collect()
     assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
-    assert(snaps.map(r => r.getBoolean(5)).toSeq === Seq(false, true))
+    assert(snaps.map(r => r.getBoolean(r.fieldIndex("is_current"))).toSeq ===
+      Seq(false, true))
 
     // .partitions: one row per live day directory
     val parts = spark.table("gtest.ns.mt.partitions")
@@ -1053,6 +1054,40 @@ class V2CatalogSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.files.openCostInBytes")
     }
     spark.sql("DROP TABLE gtest.ns.morsp")
+  }
+
+  test("tbl.snapshots carries each commit's OPERATION label") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.ops")
+    spark.sql("CREATE TABLE gtest.ns.ops (k BIGINT, v DOUBLE) TBLPROPERTIES('retain'='10')")
+    spark.sql(
+      "INSERT OVERWRITE gtest.ns.ops VALUES (1, 1.0), (2, 2.0), (3, 3.0)") // v1 overwrite
+    Seq((4L, 4.0)).toDF("k", "v").writeTo("gtest.ns.ops").append()       // v2 append
+    val prev = spark.conf.getOption("spark.graft.delete.mode")
+    val prevU = spark.conf.getOption("spark.graft.update.mode")
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    spark.conf.set("spark.graft.update.mode", "merge-on-read")
+    try {
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.ops WHERE k = 2") // v3 delete
+      graft.plans.MergeInto.sql(spark,
+        "UPDATE gtest.ns.ops SET v = v + 1 WHERE k = 3")                 // v4 update
+    } finally {
+      prev match { case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+                   case None => spark.conf.unset("spark.graft.delete.mode") }
+      prevU match { case Some(m) => spark.conf.set("spark.graft.update.mode", m)
+                    case None => spark.conf.unset("spark.graft.update.mode") }
+    }
+    spark.sql("CALL gtest.system.rewrite_deletes(`table` => 'ns.ops')")  // v5 rewrite
+    spark.sql("CALL gtest.system.optimize(`table` => 'ns.ops')")         // v6 rewrite
+
+    val ops = spark.table("gtest.ns.ops.snapshots")
+      .select($"version", $"operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops === Map(1L -> "overwrite", 2L -> "append", 3L -> "delete",
+      4L -> "update", 5L -> "rewrite", 6L -> "rewrite"), s"got $ops")
+    spark.sql("DROP TABLE gtest.ns.ops")
   }
 
   test("day-scoped OPTIMIZE compacts only the selected days; other days' files carry untouched") {
