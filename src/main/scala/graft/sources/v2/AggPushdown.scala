@@ -274,7 +274,7 @@ private[v2] object AggPushdown {
       if (keys.exists(_.isEmpty)) return None
 
       val groups: Seq[(Seq[String], Seq[Int])] = entries.indices
-        .groupBy(i => keys(i).get).toSeq.sortBy(_._1.mkString(" "))
+        .groupBy(i => keys(i).get).toSeq.sortBy(_._1.mkString("\u0000"))
 
       val rows = groups.map { case (raw, idx) =>
         val groupValues: Seq[Option[Any]] = gc.zip(raw).map { case ((_, _, dt), r) =>
