@@ -157,6 +157,9 @@ object SparkEntry {
     // versions, batch and as the streaming source for incremental gold
     "table_changes_scan" -> ((s, d) => graft.sources.v2.V2Queries.tableChangesScan(s, d)),
     "stream_cdf_gold" -> ((s, d) => graft.sources.v2.V2Queries.streamCdfGold(s, d)),
+    // a merge-on-read UPDATE surfaces as update_preimage/update_postimage
+    // pairs at one version (Delta CDF's four-valued contract)
+    "cdf_update_images" -> ((s, d) => graft.sources.v2.V2Queries.cdfUpdateImages(s, d)),
     "agg_pushdown_group_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownGroupScan(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
@@ -299,6 +302,7 @@ object SparkEntry {
     "stream_table_sink" -> graft.sources.v2.V2Queries.oracle.streamTableSink,
     "table_changes_scan" -> graft.sources.v2.V2Queries.oracle.tableChangesScan,
     "stream_cdf_gold" -> graft.sources.v2.V2Queries.oracle.streamCdfGold,
+    "cdf_update_images" -> graft.sources.v2.V2Queries.oracle.cdfUpdateImages,
     "agg_pushdown_group_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownGroupScan,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,

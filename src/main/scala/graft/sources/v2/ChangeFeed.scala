@@ -18,7 +18,8 @@ import graft.sources.{FileStats, ManifestTable, SerializableHadoopConf}
 /** CHANGE DATA FEED over a versioned table — `tbl.changes`, the Delta
   * CDF / Iceberg changelog surface: row-level changes between two
   * committed versions as a relation of the user columns plus
-  * `_change_type` ('insert' | 'delete') and `_commit_version`. Batch
+  * `_change_type` ('insert' | 'delete' | 'update_preimage' |
+  * 'update_postimage') and `_commit_version`. Batch
   * reads (`SELECT * FROM cat.ns.tbl.changes`) cover every change the
   * retained metadata can prove; streaming reads
   * (`spark.readStream.table("cat.ns.tbl.changes")`) deliver an initial
@@ -42,6 +43,20 @@ import graft.sources.{FileStats, ManifestTable, SerializableHadoopConf}
   *  - rows already dead before s (older tombstones / older equality
   *    keys) are SUPPRESSED so a row deletes at most once — the same
   *    older-delete application Iceberg's changelog scan performs.
+  *
+  * UPDATE commits surface as image pairs (Delta CDF's contract): a
+  * version that ATOMICALLY pairs delete entries with new data files at
+  * one sequence is an update commit — only the merge-on-read UPDATE
+  * path ([[graft.sources.ManifestTable.appendWithDeletes]]) produces
+  * that shape, tombstoning the touched rows' old positions and landing
+  * their rewritten versions in the same flip. Its delete events emit as
+  * `update_preimage` and its inserts as `update_postimage`, both at the
+  * update's version, so an SCD2/audit consumer gets old→new pairing
+  * without joining within the version. The shape test reads the END
+  * manifest alone (data sequences ∩ delete-unit versions), preserving
+  * the no-historical-reads design; deletion-vector maintenance keeps
+  * per-slice versions, so merged tombstones stay attributed to their
+  * update commits.
   *
   * File-REMOVING commits (copy-on-write DML, compaction, overwrite)
   * destroy the insert provenance of the rows they rewrote, so changes
@@ -212,6 +227,7 @@ private[graft] case class ChangePartition(
     inner: InputPartition,
     version: Long,
     kind: String, // "insert" | "delete-pos" | "delete-eq"
+    changeType: String, // the emitted _change_type value (update-aware)
     relEnc: Option[String],        // single-file partitions only
     emitPos: PosSource,            // delete-pos: artifacts whose positions emit
     emitEq: Option[EqDeleteSpec],  // delete-eq: the key file to emit matches of
@@ -401,6 +417,18 @@ private[v2] object ChangeFeedPlanner {
       eqSpecs.map(_._1).filter(es => es.seq > fileSeq && es.seq < before)
     val posTargets: Set[String] = posUnits.map(_._1).toSet
 
+    // UPDATE commits: a version whose commit atomically paired delete
+    // units with fresh data files (appendWithDeletes — the merge-on-read
+    // UPDATE). Pure END-manifest shape test: separate commits can never
+    // share a version, and DV maintenance preserves per-slice versions.
+    val updateVersions: Set[Long] =
+      dataAll.map(seq0).toSet &
+        (posUnits.map(_._2).toSet ++ eqSpecs.map(_._1.seq).toSet)
+    def insertType(s: Long): String =
+      if (updateVersions(s)) "update_postimage" else "insert"
+    def deleteType(s: Long): String =
+      if (updateVersions(s)) "update_preimage" else "delete"
+
     val out = Vector.newBuilder[InputPartition]
     if (initialSnapshot) {
       // live rows as inserts @ their commit sequence, every delete applied
@@ -409,23 +437,23 @@ private[v2] object ChangeFeedPlanner {
         val (hit, clean) = entries.partition(e => posTargets.contains(enc(e.rel)))
         if (clean.nonEmpty)
           ctx.scanFor(clean.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, s, "insert", None, PosSource.empty, None,
-              PosSource.empty, supEq))
+            out += ChangePartition(p, s, "insert", "insert", None, PosSource.empty,
+              None, PosSource.empty, supEq))
         hit.foreach { e =>
           val rel = enc(e.rel)
           ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, s, "insert", Some(rel), PosSource.empty, None,
-              suppressPosFor(rel, Long.MaxValue), supEq))
+            out += ChangePartition(p, s, "insert", "insert", Some(rel),
+              PosSource.empty, None, suppressPosFor(rel, Long.MaxValue), supEq))
         }
       }
     } else {
       // inserts: the window's appended files, raw (later deletes are
-      // separate events)
+      // separate events); an update commit's new files are its postimages
       dataAll.filter(e => seq0(e) > sV && seq0(e) <= eV).groupBy(seq0).foreach {
         case (s, es) =>
           ctx.scanFor(es.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, s, "insert", None, PosSource.empty, None,
-              PosSource.empty, Nil))
+            out += ChangePartition(p, s, "insert", insertType(s), None,
+              PosSource.empty, None, PosSource.empty, Nil))
       }
       // positional deletes: tombstoned rows of each target file, grouped
       // by DELETE VERSION (per-unit, so merged deletion vectors keep
@@ -436,8 +464,9 @@ private[v2] object ChangeFeedPlanner {
             val target = encToRaw.getOrElse(relEnc, throw new IllegalStateException(
               s"change feed of $root: tombstoned file $relEnc is not live at v=$eV"))
             ctx.scanFor(Seq(target.rel)).toBatch.planInputPartitions().foreach(p =>
-              out += ChangePartition(p, s, "delete-pos", Some(relEnc), srcOf(us),
-                None, suppressPosFor(relEnc, s), suppressEqFor(seq0(target), s)))
+              out += ChangePartition(p, s, "delete-pos", deleteType(s),
+                Some(relEnc), srcOf(us), None, suppressPosFor(relEnc, s),
+                suppressEqFor(seq0(target), s)))
           }
         }
       // equality deletes: matching rows of every strictly-older live file
@@ -448,8 +477,8 @@ private[v2] object ChangeFeedPlanner {
             eqMayMatch(e, es, keyBounds)).foreach { e =>
             val relEnc = enc(e.rel)
             ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
-              out += ChangePartition(p, es.seq, "delete-eq", Some(relEnc),
-                PosSource.empty, Some(es),
+              out += ChangePartition(p, es.seq, "delete-eq", deleteType(es.seq),
+                Some(relEnc), PosSource.empty, Some(es),
                 suppressPosFor(relEnc, es.seq), suppressEqFor(seq0(e), es.seq)))
           }
         }
@@ -511,7 +540,7 @@ private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
             } else {
               val v = new org.apache.spark.sql.execution.vectorized
                 .ConstantColumnVector(n, StringType)
-              v.setUtf8String(UTF8String.fromString("insert"))
+              v.setUtf8String(UTF8String.fromString(cp.changeType))
               v: ColumnVector
             }
         }.toArray
@@ -557,8 +586,7 @@ private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
     cp.emitEq.foreach { es =>
       r = new EqKeepRowReader(r, es, MorDeletes.loadEqKeys(es, conf.value))
     }
-    val changeType = if (cp.kind == "insert") "insert" else "delete"
-    new AppendChangeRowReader(r, emitted, outPlan, changeType, cp.version)
+    new AppendChangeRowReader(r, emitted, outPlan, cp.changeType, cp.version)
   }
 }
 

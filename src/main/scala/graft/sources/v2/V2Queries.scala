@@ -1018,9 +1018,11 @@ object V2Queries {
     try {
       eventsSlim(spark, dir).writeTo(tbl).create()                          // v1
       def drain(): Unit = {
-        val signedN = when(col("_change_type") === "insert", 1).otherwise(-1)
-        val signedV = when(col("_change_type") === "insert", col("value"))
-          .otherwise(-col("value"))
+        // row births (+): inserts and update postimages; row deaths (−):
+        // deletes and update preimages — the four-valued CDF contract
+        val birth = col("_change_type").isin("insert", "update_postimage")
+        val signedN = when(birth, 1).otherwise(-1)
+        val signedV = when(birth, col("value")).otherwise(-col("value"))
         val q = spark.readStream.table(s"$tbl.changes")
           .groupBy(col("event_type"))
           .agg(sum(signedN).cast("bigint").as("n_events"),
@@ -1039,6 +1041,41 @@ object V2Queries {
         s"UPDATE $tbl SET value = value * 2 WHERE user_id % 10 = 3")        // v2
       drain() // only the change events stream; state folds them in
       spark.table(mem).localCheckpoint(true)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.update.mode", m)
+        case None => spark.conf.unset("spark.graft.update.mode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  /** CDF update pre/post images — Delta CDF's four-valued `_change_type`
+    * contract: a merge-on-read UPDATE (one atomic tombstone+rewrite
+    * commit) surfaces its old rows as `update_preimage` and its
+    * rewritten rows as `update_postimage`, both at the update's version,
+    * so SCD2/audit consumers get old→new pairing without a
+    * within-version self-join. The `img_ok` verdict asserts row-level
+    * provenance: inserts only at the create version, both image types
+    * only at the update's, and NO plain delete events at all. The oracle
+    * recomputes all three cohorts flat. */
+  def cdfUpdateImages(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("cdfu")}"
+    val prevMode = spark.conf.getOption("spark.graft.update.mode")
+    try {
+      eventsSlim(spark, dir).repartition(3).writeTo(tbl).create()           // v1
+      spark.conf.set("spark.graft.update.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark,
+        s"UPDATE $tbl SET value = value * 2 WHERE user_id % 10 = 3")        // v2
+      val ch = spark.table(s"$tbl.changes")
+      val vers = ch.select(col("_change_type"), col("_commit_version"))
+        .distinct().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val imgOk = vers == Set(("insert", 1L),
+        ("update_preimage", 2L), ("update_postimage", 2L))
+      ch.groupBy(col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("img_ok", lit(imgOk)).localCheckpoint(true)
     } finally {
       prevMode match {
         case Some(m) => spark.conf.set("spark.graft.update.mode", m)
@@ -1159,6 +1196,22 @@ object V2Queries {
          |  SELECT 'insert' AS _change_type, event_type, value FROM events
          |  UNION ALL
          |  SELECT 'delete', event_type, value FROM events WHERE user_id % 10 = 3)
+         |GROUP BY 1, 2""".stripMargin
+
+    /** Inserts are every event at their pre-update values; the updated
+      * cohort appears once as preimage (old value) and once as postimage
+      * (doubled value); the provenance verdict pinned TRUE. */
+    val cdfUpdateImages: String =
+      s"""SELECT _change_type, event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS img_ok
+         |FROM (
+         |  SELECT 'insert' AS _change_type, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT 'update_preimage', event_type, value FROM events
+         |  WHERE user_id % 10 = 3
+         |  UNION ALL
+         |  SELECT 'update_postimage', event_type, value * 2 FROM events
+         |  WHERE user_id % 10 = 3)
          |GROUP BY 1, 2""".stripMargin
 
     /** The incrementally-maintained aggregate must equal the flat

@@ -13,9 +13,11 @@ import graft.sources.v2.VersionedCatalog
 /** Change data feed (`tbl.changes`): row-level changes between versions,
   * reconstructed from the end manifest alone — inserts from data-file
   * commit sequences, deletes from positional/equality delete entries,
-  * older deletes suppressed so a row deletes at most once. Batch and
-  * streaming surfaces; file-removing commits bound the feed (horizon)
-  * and fail a covering stream window loudly.
+  * older deletes suppressed so a row deletes at most once, and atomic
+  * tombstone+rewrite commits (merge-on-read UPDATE) surfaced as
+  * `update_preimage`/`update_postimage` pairs. Batch and streaming
+  * surfaces; file-removing commits bound the feed (horizon) and fail a
+  * covering stream window loudly.
   */
 class ChangeFeedSpec extends AnyFunSuite {
   private lazy val spark = {
@@ -61,7 +63,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
-  test("merge-on-read UPDATE emits delete of the old row and insert of the new, one version") {
+  test("merge-on-read UPDATE emits update_preimage/update_postimage pairs at one version") {
     import spark.implicits._
     val t = "gcdf.ns.upd"
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -71,9 +73,12 @@ class ChangeFeedSpec extends AnyFunSuite {
 
     val got = changes(t).select($"k", $"v", $"_change_type", $"_commit_version")
       .as[(Long, Long, String, Long)].collect().toSet
+    // the atomic tombstone+rewrite commit is an UPDATE: old rows are
+    // preimages, rewritten rows postimages — the four-valued Delta CDF
+    // contract, no within-version join needed to pair old with new
     val expected = (1L to 6L).map(k => (k, k * 10, "insert", 1L)).toSet ++
-      Set((1L, 10L, "delete", 2L), (2L, 20L, "delete", 2L),
-        (1L, 11L, "insert", 2L), (2L, 21L, "insert", 2L))
+      Set((1L, 10L, "update_preimage", 2L), (2L, 20L, "update_preimage", 2L),
+        (1L, 11L, "update_postimage", 2L), (2L, 21L, "update_postimage", 2L))
     assert(got === expected)
     // and the final table state equals inserts minus deletes
     assert(spark.table(t).as[(Long, Long)].collect().toSet ===
@@ -139,13 +144,14 @@ class ChangeFeedSpec extends AnyFunSuite {
     val after = spark.read.parquet(sink)
       .select($"k", $"v", $"_change_type", $"_commit_version")
       .as[(Long, Long, String, Long)].collect().toSet
-    assert(after.contains((1L, 100L, "delete", 3L)))
-    assert(after.contains((1L, 105L, "insert", 3L)))
+    assert(after.contains((1L, 100L, "update_preimage", 3L)))
+    assert(after.contains((1L, 105L, "update_postimage", 3L)))
     assert(after.contains((9L, 900L, "insert", 4L)))
-    // applying the feed (inserts minus deletes) reproduces the table
+    // applying the feed (row births minus row deaths) reproduces the table
     val applied = spark.read.parquet(sink)
       .groupBy($"k", $"v")
-      .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("n"))
+      .agg(sum(when($"_change_type".isin("insert", "update_postimage"), 1)
+        .otherwise(-1)).as("n"))
       .where($"n" > 0).select($"k", $"v").as[(Long, Long)].collect().toSet
     assert(applied === spark.table(t).as[(Long, Long)].collect().toSet)
     spark.sql(s"DROP TABLE $t")
