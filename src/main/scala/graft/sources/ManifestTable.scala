@@ -124,6 +124,58 @@ object ManifestTable {
     * window's start manifest expired from retention (Delta's
     * commit-action introspection, reduced to one monotone property). */
   val ChangeProp = "lastChangeVersion"
+
+  /** SCOPED change horizons — the per-partition-key refinement of
+    * [[ChangeProp]]: `enc(key):version` pairs recording, for each
+    * partition key (manifest directory prefix), the last commit that
+    * removed one of ITS data entries. A change-feed stream whose filter
+    * provably avoids the rewritten keys can keep running across a
+    * key-scoped rewrite (day-scoped OPTIMIZE of a cold day no longer
+    * kills streams reading hot ones) — the coexistence Delta buys with
+    * persisted CDC sidecars, bought here from commit metadata alone.
+    * Bounded: past [[changeKeysCap]] entries the OLDEST versions fold
+    * into [[ChangeFloorProp]] (keys not listed have horizon <= floor —
+    * strictly conservative, never permissive). [[ChangeProp]] stays the
+    * global max, so pre-scoping readers keep their exact behavior. */
+  val ChangeKeysProp = "lastChangeByKey"
+  val ChangeFloorProp = "lastChangeFloor"
+  private val changeKeysCap = 512
+
+  /** Decode (per-key horizons, fold floor) from manifest props. */
+  private[graft] def decodeChangeKeys(props: Map[String, String]): (Map[String, Long], Long) = {
+    val m = props.get(ChangeKeysProp).filter(_.nonEmpty).map { s =>
+      s.split(',').iterator.map { kv =>
+        val i = kv.lastIndexOf(':')
+        java.net.URLDecoder.decode(kv.take(i),
+          java.nio.charset.StandardCharsets.UTF_8) -> kv.drop(i + 1).toLong
+      }.toMap
+    }.getOrElse(Map.empty)
+    (m, props.get(ChangeFloorProp).map(_.toLong).getOrElse(0L))
+  }
+
+  private def encodeChangeKeys(m: Map[String, Long], floor: Long): Map[String, String] =
+    Map(
+      ChangeKeysProp -> m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${java.net.URLEncoder.encode(k, java.nio.charset.StandardCharsets.UTF_8)}:$v"
+      }.mkString(","),
+      ChangeFloorProp -> floor.toString)
+
+  /** The scoped-horizon props after a commit at `next` removed data
+    * entries under `removedKeys` — existing map updated, capacity fold
+    * keeps the NEWEST horizons enumerable (old ones collapse into the
+    * floor: readers treat unlisted keys as horizon <= floor). */
+  private def scopedChangeProps(props: Map[String, String],
+                                removedKeys: Set[String], next: Long): Map[String, String] = {
+    val (m0, floor0) = decodeChangeKeys(props)
+    val m1 = m0 ++ removedKeys.iterator.map(_ -> next)
+    if (m1.size <= changeKeysCap) encodeChangeKeys(m1, floor0)
+    else {
+      val sorted = m1.toSeq.sortBy(-_._2)
+      val folded = sorted.drop(changeKeysCap)
+      encodeChangeKeys(sorted.take(changeKeysCap).toMap,
+        math.max(floor0, folded.map(_._2).max))
+    }
+  }
   /** Reserved pool directory for merge-on-read POSITIONAL DELETE files:
     * parquet files of (`__file` relative data path, `__pos` file row
     * index) listing rows a DELETE removed without rewriting data. A
@@ -720,12 +772,15 @@ object ManifestTable {
       // rewrite) changes no scan result.
       val carriedRels = planned.carried.map(_.rel).toSet
       val keptRels = stamped.map(_.rel).toSet
-      val removesData =
+      val removedKeys: Set[String] =
         (base.refs.filterNot(r => carriedRels.contains(r.rel))
           .flatMap(r => shardEntries(root, r.rel)) ++ base.inline)
-          .exists(e => !isDeleteEntry(e.rel) && !keptRels.contains(e.rel))
+          .collect { case e if !isDeleteEntry(e.rel) && !keptRels.contains(e.rel) =>
+            keyOf(e.rel) }.toSet
       val plannedProps =
-        if (removesData) planned.props + (ChangeProp -> next.toString)
+        if (removedKeys.nonEmpty)
+          planned.props + (ChangeProp -> next.toString) ++
+            scopedChangeProps(planned.props, removedKeys, next)
         else planned.props
       // fold loose entries into per-key shards past the inline budget,
       // then merge any key that accumulated too many refs — shard files

@@ -91,11 +91,59 @@ object ChangeFeed {
     ChangeFeedTable(name, root, meta)
   }
 
-  /** The CDF horizon: the last file-removing commit — changes at or
-    * before it cannot be reconstructed from the live manifest. */
-  private[v2] def horizonOf(root: String, v: Long): Long =
-    ManifestTable.manifestProps(root, v)
-      .get(ManifestTable.ChangeProp).map(_.toLong).getOrElse(0L)
+  /** The CDF horizon THIS READ observes: the last file-removing commit
+    * among the partition keys the read can see — changes at or before it
+    * cannot be reconstructed from the live manifest. Scoped by the
+    * per-key horizons ([[ManifestTable.ChangeKeysProp]]): a key the
+    * pushed filters provably EXCLUDE does not bound the read, so a
+    * day-scoped OPTIMIZE of a cold day leaves a stream pruned to hot
+    * days running. Keys folded past the capacity read as the floor;
+    * legacy manifests (global stamp, no map) read unscoped — both
+    * strictly conservative. */
+  private[v2] def horizonOf(root: String, v: Long,
+                            excluded: String => Boolean = _ => false): Long = {
+    val props = ManifestTable.manifestProps(root, v)
+    val global = props.get(ManifestTable.ChangeProp).map(_.toLong).getOrElse(0L)
+    if (global == 0L) return 0L
+    val (byKey, floor) = ManifestTable.decodeChangeKeys(props)
+    val accounted = (byKey.values ++ Seq(floor)).max
+    val effFloor = if (global > accounted) global else floor
+    (byKey.collect { case (k, hv) if !excluded(k) => hv } ++ Seq(effFloor)).max
+  }
+
+  /** The `filter` read option — a SQL predicate over the table's columns
+    * (`.option("filter", "region = 'r1'")`), the explicit scoping surface
+    * for STREAMING readers (whose plans may not push query filters into
+    * the source). Parsed, resolved against the declared schema, and
+    * translated to source filters; shapes the translator can't express
+    * fail loudly rather than silently scoping nothing. */
+  private[v2] def optionFilters(meta: VersionedCatalog.Meta,
+                                options: CaseInsensitiveStringMap)
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    Option(options.get("filter")).filter(_.nonEmpty).toSeq.flatMap { sql =>
+      val spark = SparkSession.active
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val attrs = meta.schema.fields.map(f =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          f.name, f.dataType, f.nullable)())
+      val resolved = parsed.transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          attrs.find(_.name.equalsIgnoreCase(u.nameParts.last)).getOrElse(
+            throw new IllegalArgumentException(
+              s"change-feed filter references unknown column ${u.name}"))
+      }
+      // fold literal-only subtrees (casts of constants etc.) so the
+      // translator sees plain comparisons
+      val simplified = resolved.transformUp {
+        case e if e.foldable && e.deterministic =>
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            e.eval(null), e.dataType)
+      }
+      Seq(org.apache.spark.sql.execution.datasources.v2.GraftScanBridge
+        .catalystToV1(simplified)
+        .getOrElse(throw new IllegalArgumentException(
+          s"change-feed filter '$sql' is not translatable to a source filter")))
+    }
 }
 
 private[v2] case class ChangeFeedTable(tableName: String, root: String,
@@ -108,11 +156,22 @@ private[v2] case class ChangeFeedTable(tableName: String, root: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var required: StructType = ChangeFeed.changeSchema(meta.schema)
+      private var filters: Seq[org.apache.spark.sql.sources.Filter] = Nil
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new ChangeFeedScan(root, meta, options, required)
+      // filters are kept for PARTITION-KEY scoping (horizon + planning)
+      // but stay fully residual — Spark re-applies every one post-scan,
+      // so the scoping can only ever drop provably-filtered keys
+      override def pushFilters(fs: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = { filters = fs.toSeq; fs }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+      override def build(): Scan =
+        new ChangeFeedScan(root, meta, options, required,
+          filters ++ ChangeFeed.optionFilters(meta, options))
     }
 }
 
@@ -120,9 +179,11 @@ private[v2] case class ChangeFeedTable(tableName: String, root: String,
   * and the streaming entry point. */
 private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
                                  options: CaseInsensitiveStringMap,
-                                 required: StructType)
+                                 required: StructType,
+                                 filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch {
   private lazy val ctx = ChangeFeedPlanner.Ctx(root, meta, required)
+  private lazy val excluded: String => Boolean = ChangePrune.excluder(meta, filters)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -133,14 +194,15 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
       case None => Array.empty
       case Some(live) =>
         val until = Option(options.get("untilVersion")).map(_.toLong).getOrElse(live)
-        val horizon = ChangeFeed.horizonOf(root, until)
+        val horizon = ChangeFeed.horizonOf(root, until, excluded)
         val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(horizon)
         require(from >= horizon,
           s"change feed of $root: changes at or before v=$horizon were " +
-            s"compacted/rewritten away (file-removing commit) — fromVersion " +
-            s"must be >= $horizon")
+            s"compacted/rewritten away (file-removing commit) in partition " +
+            s"keys this read covers — fromVersion must be >= $horizon " +
+            s"(a filter provably excluding the rewritten keys lowers the bound)")
         if (until <= from) Array.empty
-        else ChangeFeedPlanner.plan(ctx, from, until, initialSnapshot = false)
+        else ChangeFeedPlanner.plan(ctx, from, until, initialSnapshot = false, excluded)
     }
 
   override def planInputPartitions(): Array[InputPartition] = partitions
@@ -149,7 +211,7 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
     ChangeFeedPlanner.readerFactory(ctx, ChangeFeedPlanner.innerFactory(ctx))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedMicroBatchStream(root, meta, options, required)
+    new ChangeFeedMicroBatchStream(root, meta, options, required, filters)
 }
 
 /** Streaming change feed: offsets are table versions (the same commit-log
@@ -160,11 +222,13 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
 private[v2] class ChangeFeedMicroBatchStream(root: String,
                                              meta: VersionedCatalog.Meta,
                                              options: CaseInsensitiveStringMap,
-                                             required: StructType)
+                                             required: StructType,
+                                             filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // ONE ctx for the stream's life: the widened read layout (equality-key
   // columns) must agree between this factory and every window's plan
   private lazy val ctx = ChangeFeedPlanner.Ctx(root, meta, required)
+  private lazy val excluded: String => Boolean = ChangePrune.excluder(meta, filters)
 
   override def initialOffset(): Offset =
     VersionOffset(Option(options.get("startVersion")).map(_.toLong).getOrElse(0L))
@@ -200,15 +264,17 @@ private[v2] class ChangeFeedMicroBatchStream(root: String,
     if (eV <= sV) return Array.empty
     if (sV == 0) {
       // initial batch: the live snapshot AT eV as inserts, deletes applied
-      ChangeFeedPlanner.plan(ctx, 0L, eV, initialSnapshot = true)
+      ChangeFeedPlanner.plan(ctx, 0L, eV, initialSnapshot = true, excluded)
     } else {
-      val horizon = ChangeFeed.horizonOf(root, eV)
+      val horizon = ChangeFeed.horizonOf(root, eV, excluded)
       require(horizon <= sV,
         s"change feed of $root: versions ($sV, $eV] contain a file-REMOVING " +
-          s"commit (v=$horizon — copy-on-write DML, compaction, or overwrite); " +
-          s"row-level changes cannot be reconstructed across it — restart the " +
-          s"stream from a fresh checkpoint (new initial snapshot)")
-      ChangeFeedPlanner.plan(ctx, sV, eV, initialSnapshot = false)
+          s"commit (v=$horizon — copy-on-write DML, compaction, or overwrite) " +
+          s"in partition keys this stream covers; row-level changes cannot be " +
+          s"reconstructed across it — restart the stream from a fresh " +
+          s"checkpoint (new initial snapshot), or scope the stream away from " +
+          s"the rewritten keys with the 'filter' option")
+      ChangeFeedPlanner.plan(ctx, sV, eV, initialSnapshot = false, excluded)
     }
   }
 
@@ -336,7 +402,8 @@ private[v2] object ChangeFeedPlanner {
     * equality-delete file (schema + key bounds), and the positional
     * entries' target lists (stamped on the entries; pre-list legacy
     * entries fall back to one tiny distinct read). */
-  def plan(ctx: Ctx, sV: Long, eV: Long, initialSnapshot: Boolean): Array[InputPartition] = {
+  def plan(ctx: Ctx, sV: Long, eV: Long, initialSnapshot: Boolean,
+           excluded: String => Boolean = _ => false): Array[InputPartition] = {
     val root = ctx.root
     val spark = ctx.spark
     val endEntries = try ManifestTable.entries(root, eV) catch {
@@ -344,12 +411,23 @@ private[v2] object ChangeFeedPlanner {
         s"change feed of $root: version $eV expired from retention — " +
           s"restart from a fresh checkpoint", e)
     }
-    val (delAll, dataAll) = endEntries.partition(e => ManifestTable.isDeleteEntry(e.rel))
+    val (delAll, dataAll0) = endEntries.partition(e => ManifestTable.isDeleteEntry(e.rel))
+    // key scoping: data files under provably-filtered partition keys drop
+    // from the feed entirely — inserts, delete targets, and eq-delete
+    // emission alike. This is what lets a scoped horizon serve a pruned
+    // stream across a key-local rewrite: the rewritten key's files (whose
+    // sequences would otherwise resurface as false inserts at the rewrite
+    // version) never enter the plan, and Spark re-applies the filters
+    // post-scan so surviving keys stay exact.
+    val dataAll = dataAll0.filterNot(e => excluded(ManifestTable.keyOf(e.rel)))
     val (eqAll, posAll) = delAll.partition(e => ManifestTable.isEqDeleteEntry(e.rel))
     def seq0(e: ManifestTable.FileEntry): Long = e.seq.getOrElse(0L)
     def enc(rel: String): String = ManifestTable.encodedRel(root, rel)
     val encToRaw: Map[String, ManifestTable.FileEntry] =
       dataAll.map(e => enc(e.rel) -> e).toMap
+    val excludedEnc: Set[String] =
+      dataAll0.filter(e => excluded(ManifestTable.keyOf(e.rel)))
+        .map(e => enc(e.rel)).toSet
 
     // positional tombstone UNITS — (target rel, delete version, artifact):
     // one per (parquet tombstone file × named target), one per dv-blob
@@ -457,8 +535,8 @@ private[v2] object ChangeFeedPlanner {
       }
       // positional deletes: tombstoned rows of each target file, grouped
       // by DELETE VERSION (per-unit, so merged deletion vectors keep
-      // their original commits)
-      posUnits.filter(u => u._2 > sV && u._2 <= eV)
+      // their original commits); excluded-key targets never emit
+      posUnits.filter(u => u._2 > sV && u._2 <= eV && !excludedEnc.contains(u._1))
         .groupBy(_._2).toSeq.sortBy(_._1).foreach { case (s, units) =>
           units.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (relEnc, us) =>
             val target = encToRaw.getOrElse(relEnc, throw new IllegalStateException(
@@ -623,6 +701,126 @@ private[v2] class EqKeepRowReader(inner: PartitionReader[InternalRow],
   }
   override def get(): InternalRow = inner.get()
   override def close(): Unit = inner.close()
+}
+
+/** Provable partition-key exclusion for change-feed scoping. The
+  * direction is INVERTED from scan pruning's keep-floor: a key is
+  * excluded only when NO row under its directory can satisfy the pushed
+  * conjunction — uncertain always means "not excluded", so scoping can
+  * drop neither change rows nor horizon violations it can't prove away.
+  * Covered shapes: equality/IN conjuncts on identity partition columns
+  * (typed directory-value compare) and wall-clock range conjuncts on a
+  * hidden-day source column (DATE / TIMESTAMP_NTZ only — a session-zone
+  * TIMESTAMP day is not a pure function of the value, so it never
+  * excludes). */
+private[v2] object ChangePrune {
+  import org.apache.spark.sql.{sources => f}
+  import java.time.LocalDate
+
+  def excluder(meta: VersionedCatalog.Meta,
+               filters: Seq[f.Filter]): String => Boolean = {
+    if (filters.isEmpty) return _ => false
+
+    def logicalType(c: String): Option[DataType] =
+      meta.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+
+    // equality-set constraints (EqualTo/In conjuncts) per identity column
+    def eqValuesFor(c: String): Option[Set[Any]] = {
+      var result: Option[Set[Any]] = None
+      def add(vs: Set[Any]): Unit =
+        result = Some(result.map(_ intersect vs).getOrElse(vs))
+      def visit(x: f.Filter): Unit = x match {
+        case f.And(l, r) => visit(l); visit(r)
+        case f.EqualTo(a, v) if a.equalsIgnoreCase(c) && v != null => add(Set(v))
+        case f.EqualNullSafe(a, v) if a.equalsIgnoreCase(c) && v != null => add(Set(v))
+        case f.In(a, vs) if a.equalsIgnoreCase(c) => add(vs.filter(_ != null).toSet)
+        case _ => ()
+      }
+      filters.foreach(visit)
+      result
+    }
+    val idConstraints: Seq[(String, DataType, Set[Any])] =
+      meta.identityCols.flatMap { c =>
+        for (vs <- eqValuesFor(c); dt <- logicalType(c))
+          yield (meta.physicalName(c).toLowerCase, dt, vs)
+      }
+
+    // wall-clock day bounds from range/equality conjuncts on the hidden
+    // day source — only literal shapes that denote one wall-clock day
+    def wallDay(v: Any): Option[LocalDate] = v match {
+      case d: LocalDate => Some(d)
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case t: java.time.LocalDateTime => Some(t.toLocalDate)
+      case s: String if s.length >= 10 =>
+        scala.util.Try(LocalDate.parse(s.take(10))).toOption
+      case _ => None // Instant/Timestamp: zone-dependent — never exclude
+    }
+    val dayBounds: Option[(Option[LocalDate], Option[LocalDate])] =
+      meta.dayOf.filter(c => logicalType(c).exists(t =>
+        t == DateType || t == TimestampNTZType)).flatMap { ts =>
+        var from: Option[LocalDate] = None
+        var until: Option[LocalDate] = None
+        def tFrom(d: LocalDate): Unit =
+          from = Some(from.filter(_.isAfter(d)).getOrElse(d))
+        def tUntil(d: LocalDate): Unit =
+          until = Some(until.filter(_.isBefore(d)).getOrElse(d))
+        def visit(x: f.Filter): Unit = x match {
+          case f.And(l, r) => visit(l); visit(r)
+          case f.EqualTo(a, v) if a.equalsIgnoreCase(ts) =>
+            wallDay(v).foreach { d => tFrom(d); tUntil(d) }
+          case f.GreaterThan(a, v) if a.equalsIgnoreCase(ts) =>
+            wallDay(v).foreach(tFrom)
+          case f.GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(ts) =>
+            wallDay(v).foreach(tFrom)
+          case f.LessThan(a, v) if a.equalsIgnoreCase(ts) =>
+            wallDay(v).foreach(tUntil)
+          case f.LessThanOrEqual(a, v) if a.equalsIgnoreCase(ts) =>
+            wallDay(v).foreach(tUntil)
+          case _ => ()
+        }
+        filters.foreach(visit)
+        if (from.isEmpty && until.isEmpty) None else Some((from, until))
+      }
+
+    if (idConstraints.isEmpty && dayBounds.isEmpty) return _ => false
+
+    /** Typed equality of a dir value against a filter value; None =
+      * uncertain (key stays in). */
+    def dirMatches(dirval: String, v: Any, dt: DataType): Option[Boolean] =
+      scala.util.Try {
+        (dt, v) match {
+          case (StringType, s: String) => dirval == s
+          case (ByteType | ShortType | IntegerType | LongType, n: java.lang.Number) =>
+            dirval.toLong == n.longValue
+          case (BooleanType, b: java.lang.Boolean) => dirval.toBoolean == b.booleanValue
+          case (DateType, d: java.sql.Date) => LocalDate.parse(dirval) == d.toLocalDate
+          case (DateType, d: LocalDate) => LocalDate.parse(dirval) == d
+          case _ => throw new IllegalArgumentException("uncomparable")
+        }
+      }.toOption
+
+    (key: String) => key.nonEmpty && {
+      val dirs = key.split('/').flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i < 0) None else Some(seg.take(i).toLowerCase -> seg.drop(i + 1))
+      }.toMap
+      val idExcluded = idConstraints.exists { case (phys, dt, vs) =>
+        dirs.get(phys) match {
+          case Some(raw) if !raw.contains('%') && raw != "__HIVE_DEFAULT_PARTITION__" =>
+            val verdicts = vs.toSeq.map(dirMatches(raw, _, dt))
+            verdicts.nonEmpty && verdicts.forall(_.contains(false))
+          case _ => false
+        }
+      }
+      val dayExcluded = dayBounds.exists { case (from, until) =>
+        dirs.get(ManifestTable.DayCol).exists { raw =>
+          scala.util.Try(LocalDate.parse(raw)).toOption.exists(d =>
+            from.exists(d.isBefore) || until.exists(d.isAfter))
+        }
+      }
+      idExcluded || dayExcluded
+    }
+  }
 }
 
 /** Projects the emitted (data ++ partition) layout to the REQUIRED column

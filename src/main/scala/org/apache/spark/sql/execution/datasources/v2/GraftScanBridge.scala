@@ -33,6 +33,14 @@ object GraftScanBridge {
       : Array[Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
 
+  /** Catalyst predicate → V1 source filter (`DataSourceStrategy
+    * .translateFilter` is protected[sql]); None for untranslatable
+    * shapes — callers decide whether that is an error. */
+  def catalystToV1(expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(expr, supportNestedPredicatePushdown = true)
+
   /** A vectorized parquet scan over an explicit (pre-pruned) file index.
     * `pushedFilters` may include anything V1-translatable; the parquet
     * reader keeps only the convertible subset for row-group pruning and

@@ -357,6 +357,104 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("scoped horizon: day-scoped OPTIMIZE keeps a day-pruned stream alive, kills an unscoped one") {
+    import spark.implicits._
+    val t = "gcdf.ns.scope"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (days(ts))")
+    def rows(day: Int, ks: Range) = ks.map(k =>
+      (k.toLong, java.time.LocalDateTime.of(2024, 5, day, 8, 0))).toDF("k", "ts")
+    val prevRetain = spark.conf.getOption("spark.graft.versioned.retain")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      rows(1, 0 until 10).union(rows(2, 100 until 110)).writeTo(t).append() // v1
+      rows(1, 10 until 20).writeTo(t).append()                              // v2 (day 1 fragments)
+
+      def mkDrain(filtered: Boolean): (() => Unit, String) = {
+        val checkpoint = Files.createTempDirectory("cdf_sck").toString
+        val sink = Files.createTempDirectory("cdf_ssink").toString + "/out"
+        val drain = () => {
+          val r0 = spark.readStream
+          val r = if (filtered) r0.option("filter", "ts >= '2024-05-02'") else r0
+          val q = r.table(s"$t.changes").writeStream
+            .format("parquet").option("path", sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        (drain, sink)
+      }
+      val (drainScoped, scopedSink) = mkDrain(filtered = true)
+      val (drainAll, _) = mkDrain(filtered = false)
+      drainScoped()
+      // the scoped initial snapshot covers only the non-excluded day
+      assert(spark.read.parquet(scopedSink).select($"k").as[Long].collect().toSet
+        === (100L until 110L).toSet)
+      drainAll()
+
+      // compaction scoped to day 1: day 2's horizon is untouched
+      spark.sql(s"CALL gcdf.system.optimize(`table` => 'ns.scope', " +
+        "where_days => '2024-05-01,2024-05-01')")                           // v3
+      rows(2, 110 until 115).writeTo(t).append()                           // v4
+
+      // the day-pruned stream keeps going: exactly the new day-2 inserts
+      drainScoped()
+      val got = spark.read.parquet(scopedSink)
+        .select($"k", $"_change_type", $"_commit_version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === (100L until 110L).map((_, "insert", 1L)).toSet ++
+        (110L until 115L).map((_, "insert", 4L)).toSet,
+        s"scoped stream must deliver only day-2 changes once: $got")
+
+      // the unscoped stream dies loudly at the compaction
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drainAll() }
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(ex).exists(_.contains("file-REMOVING")), s"${messages(ex)}")
+
+      // batch: a pushed filter scopes fromVersion=0 past the rewrite; the
+      // explicit option does too; unfiltered refuses
+      val auto = changes(t).where($"ts" >= "2024-05-02")
+      assert(auto.select($"k").as[Long].collect().toSet ===
+        ((100L until 115L).toSet))
+      val opt = spark.read.option("fromVersion", "0")
+        .option("filter", "ts >= '2024-05-02'").table(s"$t.changes")
+      assert(opt.select($"k").as[Long].collect().toSet === (100L until 115L).toSet)
+      val ex2 = intercept[Exception] {
+        spark.read.option("fromVersion", "0").table(s"$t.changes").collect()
+      }
+      assert(messages(ex2).exists(_.contains("fromVersion")), s"${messages(ex2)}")
+    } finally prevRetain match {
+      case Some(v) => spark.conf.set("spark.graft.versioned.retain", v)
+      case None => spark.conf.unset("spark.graft.versioned.retain")
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("scoped horizon: identity-partition filters scope batch reads past a key-local rewrite") {
+    import spark.implicits._
+    val t = "gcdf.ns.idscope"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v BIGINT) PARTITIONED BY (region)")
+    (0 until 20).map(i => (i.toLong, s"r${i % 2}", i * 1L))
+      .toDF("k", "region", "v").writeTo(t).append()                         // v1
+    // a copy-on-write DELETE rewrites EVERY key's directory, so the scoped
+    // map stamps both keys — a read filtered to r1 must still refuse
+    // (conservative direction: scoping unlocks only provably-untouched keys)
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE region = 'r0' AND k < 4") // v2 COW
+    val ex = intercept[Exception] {
+      spark.read.option("fromVersion", "0").table(s"$t.changes")
+        .where($"region" === "r1").collect()
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("fromVersion")), s"${messages(ex)}")
+    // post-horizon reads stay exact per key, filters or not
+    assert(changes(t).where($"_change_type" === "insert").count() === 0L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("identity-partitioned and hidden-day tables feed changes with partition values intact") {
     import spark.implicits._
     val t = "gcdf.ns.parts"
