@@ -492,6 +492,41 @@ object ScaleBench {
       "a small delete window must cost less than the initial snapshot")
     spark.sql("DROP TABLE scale_cat.b.cdf")
 
+    // Deep equality-delete backlog: k eq-delete commits inside ONE change
+    // window plan a MERGED pass — delete-eq slices ∝ target file splits,
+    // never k × splits, so a CDC writer's eq backlog doesn't multiply the
+    // window's scan cost
+    val eqbRows = math.max(catRows / 5, 2000000L)
+    spark.range(eqbRows).select(col("id").as("k"), (col("id") % 97L).as("g"))
+      .repartition(8).writeTo("scale_cat.b.eqb").create()                 // v1
+    val eqbRoot = graft.sources.v2.VersionedCatalog.warehouseOf("scale_cat").get + "/b/eqb"
+    val kCommits = 8
+    (1 to kCommits).foreach(i => graft.sources.ManifestTable.appendEqualityDeletes(
+      spark.range(i * 1000L, i * 1000L + 50L).select(col("id").as("k")), eqbRoot))
+    val eqbScan = spark.table("scale_cat.b.eqb.changes")
+      .queryExecution.executedPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs.scan
+      }.collectFirst { case s: graft.sources.v2.ChangeFeedScan => s }.get
+    val eqbSlices = eqbScan.toBatch.planInputPartitions().collect {
+      case cp: graft.sources.v2.ChangePartition if cp.kind == "delete-eq" => cp
+    }
+    val distinctSplits = eqbSlices.map(p =>
+      (p.relEnc.get, p.inner.asInstanceOf[
+        org.apache.spark.sql.execution.datasources.FilePartition]
+        .files.map(f => (f.filePath.toString, f.start)).toSeq)).distinct.size
+    require(eqbSlices.length == distinctSplits,
+      s"merged pass: one slice per (file, split), got ${eqbSlices.length} vs $distinctSplits")
+    require(eqbSlices.forall(_.eqStages.count(_.emit) == kCommits),
+      "every window spec must ride the one pass as a stage")
+    val eb0 = System.nanoTime()
+    val eqbDeletes = spark.table("scale_cat.b.eqb.changes")
+      .where(col("_change_type") === "delete").count()
+    val eqbSecs = (System.nanoTime() - eb0) / 1e9
+    println(f"[scale] cdf_eq_backlog rows=$eqbRows eq_commits=$kCommits " +
+      f"slices=${eqbSlices.length} delete_events=$eqbDeletes secs=$eqbSecs%.1f")
+    require(eqbDeletes == kCommits * 50L, s"exact death count, got $eqbDeletes")
+    spark.sql("DROP TABLE scale_cat.b.eqb")
+
     spark.stop()
   }
 }

@@ -289,6 +289,13 @@ private[v2] class ChangeFeedMicroBatchStream(root: String,
   * semantics its reader applies. Self-contained and serializable — the
   * reader factory needs no per-window side tables, so one factory serves
   * every window of a stream. */
+/** One equality-delete application stage of a merged per-target pass:
+  * the spec, whether a match EMITS (in-window) or only SUPPRESSES
+  * (applied before the window), and the emitted `_change_type`. Stages
+  * ride ascending by version — a row's fate is its EARLIEST match. */
+private[graft] case class EqStage(spec: EqDeleteSpec, emit: Boolean,
+                                  changeType: String)
+
 private[graft] case class ChangePartition(
     inner: InputPartition,
     version: Long,
@@ -296,13 +303,17 @@ private[graft] case class ChangePartition(
     changeType: String, // the emitted _change_type value (update-aware)
     relEnc: Option[String],        // single-file partitions only
     emitPos: PosSource,            // delete-pos: artifacts whose positions emit
-    emitEq: Option[EqDeleteSpec],  // delete-eq: the key file to emit matches of
+    eqStages: Seq[EqStage],        // delete-eq: the window's specs, MERGED —
+                                   // one scan of the target serves them all
     suppressPos: PosSource,        // older tombstones: rows already dead
     suppressEq: Seq[EqDeleteSpec], // older equality keys: rows already dead
+    posByVersion: Seq[(Long, PosSource)] = Nil, // delete-eq: the target's
+                                   // tombstones WITH versions (per-row
+                                   // earliest-death arbitration)
     forceRow: Boolean = false)     // window holds delete slices: stay row-based
     extends InputPartition {
   def isCleanInsert: Boolean = kind == "insert" && emitPos.isEmpty &&
-    emitEq.isEmpty && suppressPos.isEmpty && suppressEq.isEmpty
+    eqStages.isEmpty && suppressPos.isEmpty && suppressEq.isEmpty
 }
 
 private[v2] object ChangeFeedPlanner {
@@ -516,12 +527,12 @@ private[v2] object ChangeFeedPlanner {
         if (clean.nonEmpty)
           ctx.scanFor(clean.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
             out += ChangePartition(p, s, "insert", "insert", None, PosSource.empty,
-              None, PosSource.empty, supEq))
+              Nil, PosSource.empty, supEq))
         hit.foreach { e =>
           val rel = enc(e.rel)
           ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
             out += ChangePartition(p, s, "insert", "insert", Some(rel),
-              PosSource.empty, None, suppressPosFor(rel, Long.MaxValue), supEq))
+              PosSource.empty, Nil, suppressPosFor(rel, Long.MaxValue), supEq))
         }
       }
     } else {
@@ -531,7 +542,7 @@ private[v2] object ChangeFeedPlanner {
         case (s, es) =>
           ctx.scanFor(es.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
             out += ChangePartition(p, s, "insert", insertType(s), None,
-              PosSource.empty, None, PosSource.empty, Nil))
+              PosSource.empty, Nil, PosSource.empty, Nil))
       }
       // positional deletes: tombstoned rows of each target file, grouped
       // by DELETE VERSION (per-unit, so merged deletion vectors keep
@@ -543,23 +554,39 @@ private[v2] object ChangeFeedPlanner {
               s"change feed of $root: tombstoned file $relEnc is not live at v=$eV"))
             ctx.scanFor(Seq(target.rel)).toBatch.planInputPartitions().foreach(p =>
               out += ChangePartition(p, s, "delete-pos", deleteType(s),
-                Some(relEnc), srcOf(us), None, suppressPosFor(relEnc, s),
+                Some(relEnc), srcOf(us), Nil, suppressPosFor(relEnc, s),
                 suppressEqFor(seq0(target), s)))
           }
         }
       // equality deletes: matching rows of every strictly-older live file
-      // — except files whose column bounds prove no key can match
-      eqSpecs.filter { case (es, _) => es.seq > sV && es.seq <= eV }
-        .sortBy(_._1.seq).foreach { case (es, keyBounds) =>
-          dataAll.filter(e => seq0(e) < es.seq &&
-            eqMayMatch(e, es, keyBounds)).foreach { e =>
-            val relEnc = enc(e.rel)
-            ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
-              out += ChangePartition(p, es.seq, "delete-eq", deleteType(es.seq),
-                Some(relEnc), PosSource.empty, Some(es),
-                suppressPosFor(relEnc, es.seq), suppressEqFor(seq0(e), es.seq)))
-          }
+      // — except files whose column bounds prove no key can match. The
+      // window's specs are MERGED into one pass per surviving target: a
+      // window with k eq-delete commits scans each candidate file ONCE,
+      // each row emitting at its EARLIEST matching spec's version
+      // (pre-window specs ride as suppress-only stages; the target's
+      // positional tombstones arbitrate per row by death version).
+      val emitSpecs = eqSpecs.filter { case (es, _) => es.seq > sV && es.seq <= eV }
+      if (emitSpecs.nonEmpty) dataAll.foreach { e =>
+        val fe = seq0(e)
+        val mine = emitSpecs.collect {
+          case (es, kb) if es.seq > fe && eqMayMatch(e, es, kb) => es
         }
+        if (mine.nonEmpty) {
+          val relEnc = enc(e.rel)
+          val stages =
+            (suppressEqFor(fe, sV + 1).map(EqStage(_, emit = false, "")) ++
+              mine.map(es => EqStage(es, emit = true, deleteType(es.seq))))
+              .sortBy(_.spec.seq)
+          val maxEmit = mine.map(_.seq).max
+          val pbv = posUnits.filter(u => u._1 == relEnc && u._2 < maxEmit)
+            .groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (v, us) => (v, srcOf(us)) }
+          ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
+            out += ChangePartition(p, mine.map(_.seq).min, "delete-eq",
+              deleteType(mine.map(_.seq).min), Some(relEnc), PosSource.empty,
+              stages, PosSource.empty, Nil, posByVersion = pbv))
+        }
+      }
     }
     val planned = out.result()
     // one read mode per window: vectorized only when EVERY slice is a
@@ -642,6 +669,7 @@ private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
       else MorDeletes.positionsFor(src, cp.relEnc.get, conf.value)
     def eqSets(specs: Seq[EqDeleteSpec]) =
       specs.map(s => (s, MorDeletes.loadEqKeys(s, conf.value)))
+    val meta = new ChangeMeta(UTF8String.fromString(cp.changeType), cp.version)
 
     cp.kind match {
       case "insert" =>
@@ -656,15 +684,18 @@ private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
           else emit.filter(p => java.util.Arrays.binarySearch(sup, p) < 0)
         r = new PosKeepRowReader(r, keep, base)
       case "delete-eq" =>
-        val sup = posOf(cp.suppressPos)
-        if (sup.nonEmpty) r = new PosSkipRowReader(r, sup, base)
+        () // the merged stage pass below arbitrates everything per row
       case other => throw new IllegalStateException(s"unknown change kind $other")
     }
     if (cp.suppressEq.nonEmpty) r = new EqFilterRowReader(r, eqSets(cp.suppressEq))
-    cp.emitEq.foreach { es =>
-      r = new EqKeepRowReader(r, es, MorDeletes.loadEqKeys(es, conf.value))
+    if (cp.eqStages.nonEmpty) {
+      val loaded = cp.eqStages.map(st =>
+        (st, MorDeletes.loadEqKeys(st.spec, conf.value),
+          if (st.emit) UTF8String.fromString(st.changeType) else null))
+      val pbv = cp.posByVersion.map { case (v, src) => (v, posOf(src)) }
+      r = new EqKeepMultiRowReader(r, loaded, pbv, base, meta)
     }
-    new AppendChangeRowReader(r, emitted, outPlan, cp.changeType, cp.version)
+    new AppendChangeRowReader(r, emitted, outPlan, meta)
   }
 }
 
@@ -687,15 +718,47 @@ private[v2] class PosKeepRowReader(inner: PartitionReader[InternalRow],
   override def close(): Unit = inner.close()
 }
 
-/** Row-path equality KEEP: emits only rows whose key tuple is in the
-  * delete file's key set — the matching rows ARE the delete events. */
-private[v2] class EqKeepRowReader(inner: PartitionReader[InternalRow],
-                                  spec: EqDeleteSpec,
-                                  set: java.util.HashSet[Seq[Any]])
+/** Mutable per-row change metadata — set once for constant slices
+  * (inserts, positional deletes) and per accepted row by the merged
+  * equality pass (whose rows die at different versions). */
+private[v2] final class ChangeMeta(var changeType: UTF8String, var version: Long)
+
+/** Merged equality-delete pass over ONE target file: stages ascend by
+  * version; a row's fate is its EARLIEST matching stage. Suppress stages
+  * (specs applied before the window) drop the row; emit stages emit it
+  * at their version — unless one of the target's positional tombstones
+  * killed it at a strictly older version (that death was or will be its
+  * own delete event). One scan of the file serves the whole window,
+  * however many eq-delete commits it holds. */
+private[v2] class EqKeepMultiRowReader(
+    inner: PartitionReader[InternalRow],
+    stages: Seq[(EqStage, java.util.HashSet[Seq[Any]], UTF8String)],
+    posByVersion: Seq[(Long, Array[Long])],
+    startBase: Long, meta: ChangeMeta)
     extends PartitionReader[InternalRow] {
+  private var rowIdx = startBase - 1L
+  private def posKilledBefore(v: Long): Boolean =
+    posByVersion.exists { case (tv, arr) =>
+      tv < v && java.util.Arrays.binarySearch(arr, rowIdx) >= 0 }
   override def next(): Boolean = {
     while (inner.next()) {
-      if (set.contains(MorDeletes.keyTupleOf(inner.get(), spec))) return true
+      rowIdx += 1
+      val row = inner.get()
+      var i = 0
+      var fate = -1
+      while (i < stages.length && fate < 0) {
+        if (stages(i)._2.contains(MorDeletes.keyTupleOf(row, stages(i)._1.spec)))
+          fate = i
+        i += 1
+      }
+      if (fate >= 0) {
+        val (st, _, ct) = stages(fate)
+        if (st.emit && !posKilledBefore(st.spec.seq)) {
+          meta.changeType = ct
+          meta.version = st.spec.seq
+          return true
+        }
+      }
     }
     false
   }
@@ -824,20 +887,29 @@ private[v2] object ChangePrune {
 }
 
 /** Projects the emitted (data ++ partition) layout to the REQUIRED column
-  * order, inlining (`_change_type`, `_commit_version`) literals. */
+  * order, inlining (`_change_type`, `_commit_version`) from the slice's
+  * [[ChangeMeta]] — bound as two virtual trailing columns, so per-row
+  * versions (merged eq passes) cost no projection rebuild. */
 private[v2] class AppendChangeRowReader(inner: PartitionReader[InternalRow],
                                         emitted: StructType,
                                         plan: Seq[Either[Boolean, Int]],
-                                        changeType: String, version: Long)
+                                        meta: ChangeMeta)
     extends PartitionReader[InternalRow] {
+  private val metaRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
   private val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
     plan.toIndexedSeq.map {
       case Right(i) => BoundReference(i, emitted.fields(i).dataType,
         emitted.fields(i).nullable): org.apache.spark.sql.catalyst.expressions.Expression
-      case Left(true) => Literal(version, LongType)
-      case Left(false) => Literal(UTF8String.fromString(changeType), StringType)
+      case Left(true) => BoundReference(emitted.length, LongType, nullable = false)
+      case Left(false) => BoundReference(emitted.length + 1, StringType, nullable = false)
     })
   override def next(): Boolean = inner.next()
-  override def get(): InternalRow = proj(inner.get())
+  override def get(): InternalRow = {
+    metaRow.update(0, meta.version)
+    metaRow.update(1, meta.changeType)
+    proj(joined(inner.get(), metaRow))
+  }
   override def close(): Unit = inner.close()
 }

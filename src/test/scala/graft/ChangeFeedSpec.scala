@@ -314,6 +314,46 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("a window's eq-delete commits MERGE into one pass per target file") {
+    import spark.implicits._
+    val t = "gcdf.ns.eqmerge"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .writeTo(t).append()                                                 // v1 (one file)
+    val r = root("eqmerge")
+    ManifestTable.appendEqualityDeletes(Seq(2L, 3L).toDF("k"), r)          // v2
+    ManifestTable.appendEqualityDeletes(Seq(3L, 4L).toDF("k"), r)          // v3
+    ManifestTable.appendEqualityDeletes(Seq(5L).toDF("k"), r)              // v4
+    // row position == k (single-partition write); tombstone an
+    // ALREADY-eq-deleted row: no second death event may surface
+    val rel = ManifestTable.encodedRel(r, ManifestTable.liveEntries(r)
+      .map(_.rel).filterNot(ManifestTable.isDeleteEntry).head)
+    ManifestTable.appendDeletes(Seq((rel, 2L)).toDF("__file", "__pos"), r) // v5
+
+    // planning: ONE delete-eq slice for the one candidate file, all three
+    // window specs merged as stages — partitions ∝ files, not specs×files
+    val scan = spark.table(s"$t.changes").queryExecution.executedPlan.collect {
+      case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs.scan
+    }.collectFirst { case s: graft.sources.v2.ChangeFeedScan => s }.get
+    val eqParts = scan.toBatch.planInputPartitions().collect {
+      case cp: graft.sources.v2.ChangePartition if cp.kind == "delete-eq" => cp
+    }
+    assert(eqParts.length === 1, s"one merged pass, got ${eqParts.length}")
+    assert(eqParts.head.eqStages.count(_.emit) === 3)
+
+    // each row dies once, at its EARLIEST matching spec's version; the
+    // v5 tombstone of the v2-dead row emits nothing
+    val got = changes(t).select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === (0L until 10L).map((_, "insert", 1L)).toSet ++
+      Set((2L, "delete", 2L), (3L, "delete", 2L),
+        (4L, "delete", 3L), (5L, "delete", 4L)))
+    assert(spark.table(t).select($"k").as[Long].collect().toSet ===
+      Set(0L, 1L, 6L, 7L, 8L, 9L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("RENAMED-column tables feed changes under logical names") {
     import spark.implicits._
     val t = "gcdf.ns.rn"
