@@ -161,6 +161,7 @@ object SparkEntry {
     // pairs at one version (Delta CDF's four-valued contract)
     "cdf_update_images" -> ((s, d) => graft.sources.v2.V2Queries.cdfUpdateImages(s, d)),
     "agg_pushdown_group_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownGroupScan(s, d)),
+    "agg_pushdown_day_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownDayScan(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
     "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
@@ -304,6 +305,7 @@ object SparkEntry {
     "stream_cdf_gold" -> graft.sources.v2.V2Queries.oracle.streamCdfGold,
     "cdf_update_images" -> graft.sources.v2.V2Queries.oracle.cdfUpdateImages,
     "agg_pushdown_group_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownGroupScan,
+    "agg_pushdown_day_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownDayScan,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,

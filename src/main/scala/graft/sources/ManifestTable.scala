@@ -638,8 +638,19 @@ object ManifestTable {
       if (partNames.nonEmpty && writeDistribution == "hash")
         wdf.hint("REBALANCE", partNames.map(col): _*)
       else wdf
-    if (partNames.isEmpty) clustered.write.format(format).save(stage)
-    else clustered.write.partitionBy(partNames: _*).format(format).save(stage)
+    // engine-written parquet timestamps are always INT64 MICROS: the
+    // session default (INT96) carries no logical annotation and no usable
+    // footer statistics, so timestamp columns would never get manifest
+    // bounds (no pruning, no metadata-only aggregates). The conf rides an
+    // isolated session clone — the caller's session may be running other
+    // writes concurrently and must keep its own default.
+    val toWrite =
+      if (format == "parquet")
+        org.apache.spark.sql.execution.datasources.v2.GraftWriteConf
+          .withMicrosTimestamps(clustered)
+      else clustered
+    if (partNames.isEmpty) toWrite.write.format(format).save(stage)
+    else toWrite.write.partitionBy(partNames: _*).format(format).save(stage)
     // partitionBy moves partition columns into directory names: the FILE
     // schema is df's columns minus identity partition columns
     val fileSchema = org.apache.spark.sql.types.StructType(
@@ -978,6 +989,7 @@ object ManifestTable {
         carried = base.refs)
     }
   }
+
 
   /** The encoded-rel file list a positional-delete entry names, carried in
     * its stats field (`files=enc1,enc2,…` for parquet tombstones, the

@@ -3,7 +3,7 @@ package graft.sources.v2
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{Cast => V2Cast, Expression => V2Expr, Extract => V2Extract, GeneralScalarExpression, Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.types._
@@ -13,13 +13,17 @@ import graft.sources.{FileStats, ManifestTable}
 
 /** Metadata-only aggregate pushdown (Iceberg's count-from-manifest): an
   * UNFILTERED `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` over a
-  * versioned table — global, or GROUP BY the table's identity partition
-  * columns — is answered from the manifest's per-file statistics: row
-  * counts, null counts, exact column bounds, and (for identity columns)
-  * the exact value each partition directory pins. ZERO data files are
-  * opened. At 100 TB that turns a full-table scan into a driver-side
-  * fold over the file listing, and a per-partition rollup into one row
-  * per directory.
+  * versioned table — global, or GROUPED — is answered from the
+  * manifest's per-file statistics: row counts, null counts, exact column
+  * bounds, and (for identity columns) the exact value each partition
+  * directory pins. Grouping keys cover identity partition columns, bare
+  * columns whose per-file bounds collapse, and the monotone transforms a
+  * hidden layout pins by construction: `CAST(col AS date)` /
+  * `to_date`, `year`/`quarter`/`month`/`day` extracts, and anchored
+  * string prefixes (`substring(col, 1, m)` — the truncate transform's
+  * read shape). ZERO data files are opened. At 100 TB that turns a
+  * full-table scan into a driver-side fold over the file listing, and a
+  * per-partition rollup into one row per directory.
   *
   * Exactness discipline (stricter than pruning's floor): the pushdown
   * REPLACES the computation, so it engages only when every live entry
@@ -244,47 +248,210 @@ private[v2] object AggPushdown {
           Seq(new GenericInternalRow(fields.map(_._2).toArray)))
       }
     } else {
-      // GROUP BY must be exactly over identity partition columns: each
-      // directory pins its group, so groups fold per-directory stats
-      val groupCols: Seq[Option[(String, String, DataType)]] =
-        agg.groupByExpressions.toIndexedSeq.map {
-          case f: NamedReference if f.fieldNames.length == 1 =>
-            val logical = f.fieldNames.head
-            val phys = physicalName(logical).toLowerCase
-            val groupable: DataType => Boolean = {
-              case StringType | ByteType | ShortType | IntegerType | LongType |
-                   BooleanType | DateType => true
-              case _ => false
-            }
-            for {
-              dt <- declaredTypeOf(logical)
-              _ <- identity.find(_._1 == phys)
-              _ <- Some(()).filter(_ => groupable(dt))
-            } yield (logical, phys, dt)
-          case _ => None
-        }
-      if (groupCols.exists(_.isEmpty)) return None
-      val gc = groupCols.flatten
+      // GROUP BY expressions the manifest can answer: every live entry
+      // must PIN one group value per grouping expression — through its
+      // identity directory (the dir value IS the group), or through its
+      // footer stats when the per-file bounds provably collapse the
+      // expression to ONE value for every row. Monotone transforms pin
+      // from the two bounds alone: cast-to-date (in the READER's session
+      // zone — dir names were written in the writer's zone and cannot be
+      // trusted across zones, the bounds can), EXTRACT over that date,
+      // and string prefixes (byte-order squeeze: bounds sharing a prefix
+      // force every row between them to share it). Hidden days/months/
+      // years/truncate layouts pin by construction — each directory's
+      // files span one transform value — but so does any naturally
+      // clustered table. Uncertain anywhere → None → real scan.
+      def rowsOf(i: Int): Option[Long] = FileStats.rowCount(decoded(i))
+      // a group must own at least one row: zero-row files (a Complete-
+      // mode streaming epoch that drained empty) pin no group
+      if (entries.indices.exists(i => rowsOf(i).isEmpty)) return None
+      val contributing = entries.indices.filter(i => rowsOf(i).get > 0L)
 
-      // every entry must sit in a directory for every grouping column
-      val keys: Seq[Option[Seq[String]]] = entries.indices.map { i =>
-        val raws = gc.map { case (_, phys, _) => entryDirs(i).get(phys) }
-        if (raws.forall(_.isDefined)) Some(raws.flatten) else None
+      val sessionZone = java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
+      def refName(x: V2Expr): Option[String] = x match {
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
       }
-      if (keys.exists(_.isEmpty)) return None
-
-      val groups: Seq[(Seq[String], Seq[Int])] = entries.indices
-        .groupBy(i => keys(i).get).toSeq.sortBy(_._1.mkString("\u0000"))
-
-      val rows = groups.map { case (raw, idx) =>
-        val groupValues: Seq[Option[Any]] = gc.zip(raw).map { case ((_, _, dt), r) =>
+      def litInt(x: V2Expr): Option[Int] = x match {
+        case l: V2Literal[_] if l.dataType == IntegerType =>
+          Some(l.value.asInstanceOf[Int])
+        case _ => None
+      }
+      // a date-shaped source: CAST(col AS date) over a timestamp/date
+      // column, or a bare date column — the shapes Spark's translation
+      // emits for to_date(ts)/year(ts)/month(ts)/day(ts)
+      def dateSource(x: V2Expr): Option[String] = x match {
+        case c: V2Cast if c.dataType == DateType =>
+          refName(c.expression).filter(l => declaredTypeOf(l).exists {
+            case TimestampType | TimestampNTZType | DateType => true
+            case _ => false
+          })
+        case r: NamedReference =>
+          refName(r).filter(l => declaredTypeOf(l).contains(DateType))
+        case _ => None
+      }
+      // an entry's column under cast-to-date, as the (date-of-min,
+      // date-of-max) envelope — cast-to-date is monotone, so every row's
+      // date lies inside it. Some(Some((a,b))) = envelope, Some(None) =
+      // every row NULL, None = not provable
+      def dateRangePin(logical: String)(i: Int)
+          : Option[Option[(java.time.LocalDate, java.time.LocalDate)]] = {
+        val phys = physicalName(logical).toLowerCase
+        def toDate(tag: Char, raw: String): Option[java.time.LocalDate] =
+          scala.util.Try(tag match {
+            case 't' => java.time.Instant.ofEpochSecond(
+              Math.floorDiv(raw.toLong, 1000000L),
+              Math.floorMod(raw.toLong, 1000000L) * 1000L)
+              .atZone(sessionZone).toLocalDate
+            case 'n' => java.time.LocalDate.ofEpochDay(
+              Math.floorDiv(raw.toLong, 86400000000L))
+            case 'a' => java.time.LocalDate.ofEpochDay(raw.toLong)
+            case _   => throw new IllegalArgumentException("not a temporal tag")
+          }).toOption
+        for {
+          dt <- declaredTypeOf(logical)
+          tag <- expectedTag(dt)
+          cs <- decoded(i).get(phys)
+          if cs.tag == tag
+          n <- rowsOf(i)
+          pin <- (cs.min, cs.max, cs.nulls) match {
+            case (None, None, Some(nulls)) if nulls == n => Some(None)
+            case (Some(mn), Some(mx), Some(0L)) =>
+              for { a <- toDate(tag, mn); b <- toDate(tag, mx) }
+                yield Some((a, b))
+            case _ => None
+          }
+        } yield pin
+      }
+      // the single date the envelope collapses to (CAST(col AS date))
+      def datePin(logical: String)(i: Int): Option[Option[java.time.LocalDate]] =
+        dateRangePin(logical)(i).flatMap {
+          case None => Some(None)
+          case Some((a, b)) => if (a == b) Some(Some(a)) else None
+        }
+      // equality pin of a bare column: bounds collapsed to one value (or
+      // provably all-null). Floating point declined — NaN poisoning and
+      // -0.0 grouping semantics make bounds equality unreliable there.
+      def eqPin(logical: String, dt: DataType)(i: Int): Option[Any] = {
+        val phys = physicalName(logical).toLowerCase
+        for {
+          tag <- expectedTag(dt)
+          if tag != 'd'
+          cs <- decoded(i).get(phys)
+          if cs.tag == tag
+          n <- rowsOf(i)
+          pin <- (cs.min, cs.max, cs.nulls) match {
+            case (None, None, Some(nulls)) if nulls == n => Some(null)
+            case (Some(mn), Some(mx), Some(0L)) if mn == mx =>
+              toCatalyst(tag, comparable(tag, mn), dt)
+            case _ => None
+          }
+        } yield pin
+      }
+      // string-prefix pin: bounds sharing the same length-m character
+      // prefix squeeze every row between them (byte order; bounds are
+      // exact ASCII when present) onto that prefix
+      def prefixPin(logical: String, m: Int)(i: Int): Option[Any] = {
+        val phys = physicalName(logical).toLowerCase
+        for {
+          cs <- decoded(i).get(phys)
+          if cs.tag == 's'
+          n <- rowsOf(i)
+          pin <- (cs.min, cs.max, cs.nulls) match {
+            case (None, None, Some(nulls)) if nulls == n => Some(null)
+            case (Some(mn), Some(mx), Some(0L)) if mn.take(m) == mx.take(m) =>
+              Some(UTF8String.fromString(mn.take(m)))
+            case _ => None
+          }
+        } yield pin
+      }
+      // identity-directory pin: the dir value pins the group even when
+      // the file carries no stats
+      def dirPin(logical: String, dt: DataType)(i: Int): Option[Any] = {
+        val groupable = dt match {
+          case StringType | ByteType | ShortType | IntegerType | LongType |
+               BooleanType | DateType => true
+          case _ => false
+        }
+        val phys = physicalName(logical).toLowerCase
+        if (!groupable || !identity.exists(_._1 == phys)) None
+        else entryDirs(i).get(phys).flatMap { r =>
           if (r == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) Some(null)
           else dirCatalystValue(ExternalCatalogUtils.unescapePathName(r), dt)
         }
-        for {
-          gv <- if (groupValues.forall(_.isDefined)) Some(groupValues.flatten) else None
-          aggs <- planAggsOver(idx)
-        } yield (gv, aggs)
+      }
+
+      // one (output field, per-entry pin) per grouping expression
+      val pins: Seq[Option[(StructField, Int => Option[Any])]] =
+        agg.groupByExpressions.toIndexedSeq.zipWithIndex.map {
+          case (f: NamedReference, _) =>
+            for {
+              logical <- refName(f)
+              dt <- declaredTypeOf(logical)
+            } yield (StructField(logical, dt, nullable = true),
+              (i: Int) => dirPin(logical, dt)(i).orElse(eqPin(logical, dt)(i)))
+          case (c: V2Cast, gi) if c.dataType == DateType =>
+            dateSource(c).map(logical =>
+              (StructField(s"group_$gi", DateType, nullable = true),
+                (i: Int) => datePin(logical)(i).map(_.map(d =>
+                  d.toEpochDay.toInt: Any).orNull)))
+          case (ex: V2Extract, gi) =>
+            // EXTRACT pins only at monotone granularity: the extracted
+            // field cycles (January recurs every year), so the bounds must
+            // agree on everything COARSER too — YEAR pins on same year,
+            // QUARTER/MONTH on same year+field, DAY on the exact date
+            type D = java.time.LocalDate
+            def quarter(d: D): Int = (d.getMonthValue - 1) / 3 + 1
+            val part: Option[(D, D) => Option[Int]] = ex.field() match {
+              case "YEAR" => Some((a, b) =>
+                if (a.getYear == b.getYear) Some(a.getYear) else None)
+              case "QUARTER" => Some((a, b) =>
+                if (a.getYear == b.getYear && quarter(a) == quarter(b))
+                  Some(quarter(a)) else None)
+              case "MONTH" => Some((a, b) =>
+                if (java.time.YearMonth.from(a) == java.time.YearMonth.from(b))
+                  Some(a.getMonthValue) else None)
+              case "DAY" => Some((a, b) =>
+                if (a == b) Some(a.getDayOfMonth) else None)
+              case _ => None
+            }
+            for {
+              p <- part
+              logical <- dateSource(ex.source())
+            } yield (StructField(s"group_$gi", IntegerType, nullable = true),
+              (i: Int) => dateRangePin(logical)(i).flatMap {
+                case None => Some(null)
+                case Some((a, b)) => p(a, b).map(v => v: Any)
+              })
+          case (g: GeneralScalarExpression, gi)
+              if g.name == "SUBSTRING" && g.children().length == 3 &&
+                litInt(g.children()(1)).contains(1) =>
+            for {
+              logical <- refName(g.children()(0))
+              if declaredTypeOf(logical).contains(StringType)
+              m <- litInt(g.children()(2))
+              if m >= 1
+            } yield (StructField(s"group_$gi", StringType, nullable = true),
+              (i: Int) => prefixPin(logical, m)(i))
+          case _ => None
+        }
+      if (pins.exists(_.isEmpty)) return None
+      val ps = pins.flatten
+
+      val keys: Seq[Option[Seq[Any]]] = contributing.map { i =>
+        val vs = ps.map(_._2(i))
+        if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+      }
+      if (keys.exists(_.isEmpty)) return None
+
+      val groups: Seq[(Seq[Any], Seq[Int])] = contributing.zip(keys)
+        .groupBy(_._2.get).view.mapValues(_.map(_._1).toSeq).toSeq
+        .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
+
+      val rows = groups.map { case (gv, idx) =>
+        planAggsOver(idx).map(aggs => (gv, aggs))
       }
       if (rows.exists(_.isEmpty)) return None
       val resolved = rows.flatten
@@ -292,10 +459,7 @@ private[v2] object AggPushdown {
         // zero groups (empty table): still need the agg schema
         planAggsOver(Nil).map(_.map(_._1)).getOrElse(return None)
       }
-      val groupFields = gc.map { case (logical, _, dt) =>
-        StructField(logical, dt, nullable = true)
-      }
-      Some((StructType(groupFields ++ aggFields),
+      Some((StructType(ps.map(_._1) ++ aggFields),
         resolved.map { case (gv, aggs) =>
           new GenericInternalRow((gv ++ aggs.map(_._2)).toArray)
         }))

@@ -591,6 +591,35 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** HIDDEN-TRANSFORM grouped metadata-only aggregates: GROUP BY a
+    * day-derived key (`to_date(ts)`) over a days(ts)-partitioned table
+    * answers from per-file manifest stats. No directory value is trusted
+    * (dir names carry the WRITER's zone) — instead each file's ts bounds
+    * are cast to dates in the reader's session zone, and cast-to-date is
+    * monotone, so bounds collapsing to one date pin every row of the
+    * file. Hidden-day layouts pin by construction; the executed plan is
+    * the rows-scan (`GraftAggScan`), zero data files opened. The
+    * `agg_meta_ok` verdict asserts the plan; the oracle recomputes every
+    * day flat. */
+  def aggPushdownDayScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("aggd")}"
+    try {
+      eventsSlim(spark, dir).writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .create()
+      val agg = spark.table(tbl).groupBy(to_date(col("ts")).as("day")).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      val out = agg.localCheckpoint(true)
+      val metaOnly = agg.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.exists(_.description().startsWith("GraftAggScan["))
+      out.withColumn("agg_meta_ok", lit(metaOnly))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Native streaming SINK — `writeStream.toTable` on a versioned table:
     * the events parquet streams in via the file source, every epoch's
     * task files land through the engine's STREAMING_WRITE (staged
@@ -1181,6 +1210,16 @@ object V2Queries {
       * metadata-only verdict pinned TRUE. */
     val aggPushdownGroupScan: String =
       s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+         |  MIN(value) AS min_value, MAX(value) AS max_value,
+         |  TRUE AS agg_meta_ok
+         |FROM events
+         |GROUP BY 1""".stripMargin
+
+    /** Every per-day metadata-derived aggregate recomputed flat; the
+      * metadata-only verdict pinned TRUE. */
+    val aggPushdownDayScan: String =
+      s"""SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
          |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
          |  MIN(value) AS min_value, MAX(value) AS max_value,
          |  TRUE AS agg_meta_ok

@@ -22,6 +22,25 @@ class GraftFileWriterHandle private[v2] (factory: OutputWriterFactory,
     new GraftRowFileWriter(factory.newInstance(path, schema, ctx))
 }
 
+/** Per-write session-conf isolation for the batch pool writer: rebinds a
+  * DataFrame onto a CLONED session carrying INT64-MICROS parquet
+  * timestamps, so engine pool files always get annotated (statistics-
+  * bearing) timestamps while the caller's shared session — possibly
+  * running other writes concurrently — keeps its own default. There is
+  * no per-write option for the output timestamp type, and mutating the
+  * shared session races concurrent query threads. */
+object GraftWriteConf {
+  def withMicrosTimestamps(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val clone = classic.cloneSession()
+    clone.conf.set(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      "TIMESTAMP_MICROS")
+    org.apache.spark.sql.classic.Dataset.ofRows(clone,
+      df.queryExecution.logical)
+  }
+}
+
 class GraftRowFileWriter private[v2] (
     w: org.apache.spark.sql.execution.datasources.OutputWriter) {
   def write(row: InternalRow): Unit = w.write(row)
@@ -38,9 +57,18 @@ object GraftStreamWriteBridge {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val job = Job.getInstance(classic.sessionState.newHadoopConf())
     val factory = format match {
-      case "parquet" => ParquetUtils.prepareWrite(
-        classic.sessionState.conf, job, fileSchema,
-        new ParquetOptions(Map.empty[String, String], classic.sessionState.conf))
+      case "parquet" =>
+        val f = ParquetUtils.prepareWrite(
+          classic.sessionState.conf, job, fileSchema,
+          new ParquetOptions(Map.empty[String, String], classic.sessionState.conf))
+        // engine-written timestamps are always INT64 MICROS (the form the
+        // manifest's footer-stats reader and other engines decode; INT96
+        // carries no usable statistics) — override whatever the session
+        // default injected into the job conf
+        job.getConfiguration.set(
+          org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+          "TIMESTAMP_MICROS")
+        f
       case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
         .prepareWrite(classic, job, Map.empty[String, String], fileSchema)
       case "avro" => new graft.sources.avro.AvroFileFormat()

@@ -250,4 +250,114 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(r.getLong(0) === 300L && r.getLong(1) === 300L)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("GROUP BY a day-derived key answers from per-file ts bounds (hidden days)") {
+    import spark.implicits._
+    val t = "gagg.ns.days"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    def ts(d: String, h: Int) = java.sql.Timestamp.valueOf(s"$d ${"%02d".format(h)}:00:00")
+    val rows = Seq(
+      (1L, ts("2024-01-03", 1)), (2L, ts("2024-01-03", 23)),
+      (3L, ts("2024-01-04", 12)), (4L, ts("2024-02-07", 8)),
+      (5L, ts("2024-02-07", 9)), (6L, ts("2025-03-08", 0)))
+    rows.take(4).toDF("k", "ts").writeTo(t).append()
+    rows.drop(4).toDF("k", "ts").writeTo(t).append()
+
+    // to_date(ts): each file's bounds collapse to its __day date
+    val agg = spark.table(t).groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), max($"k").as("mx"))
+    assert(usedMetadataOnly(agg),
+      s"day-grouped plan must be the metadata scan:\n${agg.queryExecution.executedPlan}")
+    val got = agg.collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("2024-01-03" -> ((2L, 2L)), "2024-01-04" -> ((1L, 3L)),
+      "2024-02-07" -> ((2L, 5L)), "2025-03-08" -> ((1L, 6L))))
+
+    // year/month extract pins at COARSER granularity than the day dirs
+    val ym = spark.table(t).groupBy(year($"ts").as("y"), month($"ts").as("m"))
+      .agg(count(lit(1)).as("n"))
+    assert(usedMetadataOnly(ym))
+    assert(ym.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap ===
+      Map((2024, 1) -> 3L, (2024, 2) -> 2L, (2025, 3) -> 1L))
+    spark.sql(s"DROP TABLE $t")
+
+    // an UNPARTITIONED single file spanning two days cannot pin: the
+    // normal scan runs with identical results
+    val t2 = "gagg.ns.flatdays"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, ts TIMESTAMP)")
+    rows.toDF("k", "ts").coalesce(1).writeTo(t2).append()
+    val fb = spark.table(t2).groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+    assert(!usedMetadataOnly(fb), "a two-day file must decline the metadata answer")
+    assert(fb.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap ===
+      Map("2024-01-03" -> 2L, "2024-01-04" -> 1L, "2024-02-07" -> 2L, "2025-03-08" -> 1L))
+    spark.sql(s"DROP TABLE $t2")
+  }
+
+  test("GROUP BY year/month on a months layout; day grouping declines there") {
+    import spark.implicits._
+    val t = "gagg.ns.months"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP) PARTITIONED BY (months(ts))")
+    val rows = Seq(
+      (1L, "2024-01-03 10:00:00"), (2L, "2024-01-29 11:00:00"),
+      (3L, "2024-02-07 12:00:00"), (4L, "2025-03-08 13:00:00"))
+      .map { case (k, s) => (k, java.sql.Timestamp.valueOf(s)) }
+    rows.toDF("k", "ts").writeTo(t).append()
+    val ym = spark.table(t).groupBy(year($"ts").as("y"), month($"ts").as("m"))
+      .agg(count(lit(1)).as("n"), min($"k").as("mn"))
+    assert(usedMetadataOnly(ym),
+      s"months-grouped plan must be the metadata scan:\n${ym.queryExecution.executedPlan}")
+    assert(ym.collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap ===
+      Map((2024, 1) -> ((2L, 1L)), (2024, 2) -> ((1L, 3L)), (2025, 3) -> ((1L, 4L))))
+    // a month dir spans many days: exact-date grouping declines, falls back
+    val byDay = spark.table(t).groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+    assert(!usedMetadataOnly(byDay))
+    assert(byDay.collect().length === 4)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("GROUP BY a string prefix pins on a truncate layout; shifted substrings decline") {
+    import spark.implicits._
+    val t = "gagg.ns.pfx"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (s STRING, v BIGINT) PARTITIONED BY (truncate(3, s))")
+    Seq(("alpha", 1L), ("alps", 2L), ("beta", 3L), ("bet", 4L), (null, 5L))
+      .toDF("s", "v").writeTo(t).append()
+    val agg = spark.table(t).groupBy(substring($"s", 1, 3).as("p"))
+      .agg(count(lit(1)).as("n"), max($"v").as("mx"))
+    assert(usedMetadataOnly(agg),
+      s"prefix-grouped plan must be the metadata scan:\n${agg.queryExecution.executedPlan}")
+    val got = agg.collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(Some("alp") -> ((2L, 2L)), Some("bet") -> ((2L, 4L)),
+      None -> ((1L, 5L))))
+    // substring not anchored at 1 is not prefix-monotone: falls back
+    val shifted = spark.table(t).groupBy(substring($"s", 2, 2).as("p")).agg(count(lit(1)).as("n"))
+    assert(!usedMetadataOnly(shifted))
+    assert(shifted.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Some("lp") -> 2L, Some("et") -> 2L, None -> 1L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("GROUP BY a bare column pins when every file holds one value") {
+    import spark.implicits._
+    val t = "gagg.ns.onefile"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (src STRING, v BIGINT)")
+    Seq(("web", 1L), ("web", 2L)).toDF("src", "v").coalesce(1).writeTo(t).append()
+    Seq(("api", 3L)).toDF("src", "v").coalesce(1).writeTo(t).append()
+    Seq((null: String, 4L)).toDF("src", "v").coalesce(1).writeTo(t).append()
+    val agg = spark.table(t).groupBy($"src").agg(count(lit(1)).as("n"), max($"v").as("mx"))
+    assert(usedMetadataOnly(agg),
+      s"single-value files must pin their group:\n${agg.queryExecution.executedPlan}")
+    assert(agg.collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map(Some("web") -> ((2L, 2L)), Some("api") -> ((1L, 3L)), None -> ((1L, 4L))))
+    // a file mixing two values (or value + null) cannot pin: fall back
+    Seq(("web", 5L), ("api", 6L)).toDF("src", "v").coalesce(1).writeTo(t).append()
+    val fb = spark.table(t).groupBy($"src").agg(count(lit(1)).as("n"))
+    assert(!usedMetadataOnly(fb))
+    assert(fb.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Some("web") -> 3L, Some("api") -> 2L, None -> 1L))
+    spark.sql(s"DROP TABLE $t")
+  }
 }
