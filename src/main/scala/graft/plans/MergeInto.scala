@@ -505,7 +505,7 @@ object MergeInto {
       .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
       .localCheckpoint(true) // materialize before the commit decision
     if (tombstones.isEmpty) return true // predicate matched nothing: no-op
-    ManifestTable.appendDeletes(tombstones.repartition(1), root,
+    ManifestTable.appendDeletes(tombstones, root,
       retain = retainOf(spark, root))
     true
   }
@@ -544,7 +544,6 @@ object MergeInto {
     }: _*)
     val tombstones = matched
       .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
-      .repartition(1)
     ManifestTable.appendWithDeletes(toPhysical(root, updated), tombstones, root,
       retain = retainOf(spark, root),
       partitionDayOf = meta.dayOf.map(meta.physicalName),

@@ -34,6 +34,12 @@ private[graft] object DeleteVectors {
   /** One target file's (or one (target, version)'s) section of a blob. */
   case class Slice(relEnc: String, offset: Long, len: Int, seq: Long)
 
+  /** Slice delete-version placeholder in a DIRECT DML deletion vector:
+    * the blob is written before its commit wins a version, so the writer
+    * stamps this sentinel and [[ManifestTable]]'s commit loop replaces it
+    * with the claimed version. Never visible in a committed manifest. */
+  val SeqSentinel: Long = -1L
+
   private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, StandardCharsets.UTF_8)
 

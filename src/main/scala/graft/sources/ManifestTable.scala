@@ -166,7 +166,16 @@ object ManifestTable {
     * floor: readers treat unlisted keys as horizon <= floor). */
   private def scopedChangeProps(props: Map[String, String],
                                 removedKeys: Set[String], next: Long): Map[String, String] = {
-    val (m0, floor0) = decodeChangeKeys(props)
+    val (m0, floorRead) = decodeChangeKeys(props)
+    // a LEGACY manifest (global ChangeProp, no key map) attributes its
+    // old horizon to no key: fold it into the floor on the FIRST scoped
+    // commit, else a filtered read excluding this commit's keys would
+    // compute horizon 0 and silently reconstruct across the legacy
+    // rewrite — "legacy reads unscoped" must stay strictly conservative
+    val floor0 =
+      if (m0.isEmpty)
+        math.max(floorRead, props.get(ChangeProp).map(_.toLong).getOrElse(0L))
+      else floorRead
     val m1 = m0 ++ removedKeys.iterator.map(_ -> next)
     if (m1.size <= changeKeysCap) encodeChangeKeys(m1, floor0)
     else {
@@ -774,8 +783,20 @@ object ManifestTable {
       // stamp FRESH entries (no sequence yet) with this commit's version —
       // the data sequence number that scopes equality deletes; carried
       // inline entries keep the sequence of their original commit
-      val stamped = planned.entries.map(e =>
-        if (e.seq.isEmpty) e.copy(seq = Some(next)) else e)
+      val stamped = planned.entries.map { e0 =>
+        val e = if (e0.seq.isEmpty) e0.copy(seq = Some(next)) else e0
+        // fresh DIRECT-DML deletion vectors carry sentinel slice
+        // delete-versions — the version IS this commit's, unknown until
+        // the claim wins; carried dv entries keep their original stamps
+        if (e0.seq.isEmpty && isDvEntry(e.rel))
+          e.stats.flatMap(DeleteVectors.decodeIndex) match {
+            case Some(sl) if sl.exists(_.seq == DeleteVectors.SeqSentinel) =>
+              e.copy(stats = Some(DeleteVectors.encodeIndex(sl.map(s =>
+                if (s.seq == DeleteVectors.SeqSentinel) s.copy(seq = next) else s))))
+            case _ => e
+          }
+        else e
+      }
       // does this commit REMOVE a base data entry? Only the shards the
       // planner re-materialized need reading (carried refs are untouched
       // by construction), so the check costs ∝ touched data. Delete-file
@@ -980,7 +1001,29 @@ object ManifestTable {
       }
   }
 
+  /** Merge-on-read DELETE commit: the tombstoned positions publish as
+    * DELETION VECTORS (`dv_*.bin`, [[DeleteVectors]]) in the SAME commit
+    * — every scan between the DML and the next maintenance pass pays one
+    * RANGED read per tombstoned file, never a scan of staged tombstone
+    * parquet (the shape a CDC-churned table lives in). Zero data files
+    * rewritten; slice delete-versions stamp inside the commit loop. */
   def appendDeletes(tombstones: DataFrame, root: String, retain: Int = 2): Long = {
+    val touched = touchedRelsOf(tombstones)
+    val fresh = writeDvPoolDirect(tombstones, root, touched)
+    commitLoop(root, retain, rebase = true) { base =>
+      requireTombstonedFilesLive(root, base, touched)
+      Planned(base.inline ++ fresh, base.props + (OpProp -> "delete"),
+        carried = base.refs)
+    }
+  }
+
+  /** The pre-deletion-vector positional commit — parquet tombstone files
+    * under [[DeleteDir]]. Kept as the EXTERNAL CDC-writer shape (a
+    * non-Spark writer that can emit sorted parquet but not our dv blob)
+    * and as the legacy backlog the [[rewriteDeletes]] merge and the
+    * parquet-tombstone read path stay covered against. */
+  private[graft] def appendDeletesParquet(tombstones: DataFrame, root: String,
+                                          retain: Int = 2): Long = {
     val touched = touchedRelsOf(tombstones)
     val fresh = writeDeletePool(tombstones, root, touched)
     commitLoop(root, retain, rebase = true) { base =>
@@ -1173,7 +1216,7 @@ object ManifestTable {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
     val touched = touchedRelsOf(tombstones)
     val freshData = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
-    val freshDel = writeDeletePool(tombstones, root, touched)
+    val freshDel = writeDvPoolDirect(tombstones, root, touched)
     val zone = writeZoneOf(df, partitionDayOf)
     commitLoop(root, retain, rebase = true) { base =>
       requireTombstonedFilesLive(root, base, touched)
@@ -1208,6 +1251,67 @@ object ManifestTable {
         FileEntry(rel, Some(filesList))
       }
     MetaIO.delete(stage, recursive = true)
+    fresh
+  }
+
+  /** DIRECT deletion-vector write from a DML commit's (`__file`,
+    * `__pos`) tombstones — DISTRIBUTED: targets range-partition by file
+    * (a file's positions land whole in one task) and each task streams
+    * its own `dv_*.bin` blob section by section, so nothing funnels
+    * through the driver however many rows the DML touched. Slice
+    * delete-versions carry [[DeleteVectors.SeqSentinel]]; the commit
+    * loop stamps them with the version the claim wins. */
+  private def writeDvPoolDirect(tombstones: DataFrame, root: String,
+                                touched: Set[String]): Seq[FileEntry] = {
+    val spark = tombstones.sparkSession
+    import spark.implicits._
+    val stageDir = s"$root/stage/dvw_${UUID.randomUUID().toString.take(12)}"
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // one blob per ~64 target files: parallel write at scale, a bounded
+    // slice index per manifest entry, same one-ranged-read-per-file shape
+    val nOut = math.max(1, math.min(64, (touched.size + 63) / 64))
+    val written: Seq[(String, Seq[(String, Long, Int)])] = tombstones
+      .select(col("__file").cast("string"), col("__pos").cast("long"))
+      .repartitionByRange(nOut, col("__file"))
+      .sortWithinPartitions(col("__file"), col("__pos"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val path = s"$stageDir/${UUID.randomUUID().toString.take(16)}.bin"
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(conf.value)
+          val out = fs.create(p, true)
+          val slices = Vector.newBuilder[(String, Long, Int)]
+          var offset = 0L
+          try {
+            var cur: String = null
+            var last = Long.MinValue
+            val buf = Vector.newBuilder[Long]
+            def flush(): Unit = if (cur != null) {
+              val bytes = DeleteVectors.encodePositions(buf.result())
+              out.write(bytes)
+              slices += ((cur, offset, bytes.length))
+              offset += bytes.length
+              buf.clear()
+            }
+            it.foreach { case (f, pos) =>
+              if (f != cur) { flush(); cur = f; last = Long.MinValue }
+              if (pos != last) { buf += pos; last = pos } // UPDATE chains may dup
+            }
+            flush()
+          } finally out.close()
+          Iterator.single((path, slices.result()))
+        }
+      }.collect().toSeq
+    val fresh = written.map { case (stagePath, sl) =>
+      val rel = s"$DeleteDir/dv_${UUID.randomUUID().toString.take(16)}.bin"
+      MetaIO.rename(stagePath, s"$root/data/$rel")
+      MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
+      FileEntry(rel, Some(DeleteVectors.encodeIndex(sl.map { case (f, off, len) =>
+        DeleteVectors.Slice(f, off, len, DeleteVectors.SeqSentinel) })))
+    }
+    MetaIO.delete(stageDir, recursive = true) // orphaned retry attempts
     fresh
   }
 

@@ -689,6 +689,13 @@ private[v2] class ChangeReaderFactory(inner: PartitionReaderFactory,
     }
     if (cp.suppressEq.nonEmpty) r = new EqFilterRowReader(r, eqSets(cp.suppressEq))
     if (cp.eqStages.nonEmpty) {
+      // the merged pass counts FILE positions: it must wrap the BARE file
+      // reader — a planner change that combined eqStages with an outer
+      // filtering wrapper would silently corrupt row indexes (positions
+      // counted post-filter), so refuse loudly instead
+      require(cp.suppressEq.isEmpty && cp.suppressPos.isEmpty,
+        s"delete-eq partition for ${cp.relEnc} planned with filtering " +
+          "wrappers; EqKeepMultiRowReader requires the bare file reader")
       val loaded = cp.eqStages.map(st =>
         (st, MorDeletes.loadEqKeys(st.spec, conf.value),
           if (st.emit) UTF8String.fromString(st.changeType) else null))

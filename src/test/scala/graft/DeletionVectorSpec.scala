@@ -49,6 +49,69 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(DeleteVectors.decodeIndex("files=a,b") === None)
   }
 
+  test("merge-on-read DELETE publishes deletion vectors in the SAME commit — one ranged read per tombstoned file, no maintenance needed") {
+    import spark.implicits._
+    val t = "gdv.ns.direct"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (0L until 20000L).map(k => (k, k * 0.5)).toDF("k", "v")
+      .repartition(5).writeTo(t).append()                                  // v1
+    val r = root("direct")
+    withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 40 = 9") // v2
+    }
+    val backlog = ManifestTable.liveDeleteEntries(r)
+    assert(backlog.nonEmpty && backlog.forall(e => ManifestTable.isDvEntry(e.rel)),
+      s"the DELETE commit itself must carry dv_*.bin entries: ${backlog.map(_.rel)}")
+    // slice delete-versions are stamped with the COMMIT's version (the
+    // write-time sentinel must never reach a committed manifest)
+    val slices = backlog.flatMap(e => DeleteVectors.decodeIndex(e.stats.get).get)
+    assert(slices.nonEmpty && slices.forall(_.seq === 2L),
+      s"slice versions must be the DELETE's commit version: ${slices.map(_.seq).distinct}")
+    assert(slices.map(_.relEnc).distinct.size === 5, "every tombstoned file sliced")
+
+    // scans between DML and maintenance pay ranged slice reads ONLY —
+    // zero parquet tombstone scans, at most one load per slice
+    val pqBefore = MorDeletes.positionLoads.get()
+    val dvBefore = MorDeletes.dvSliceLoads.get()
+    assert(spark.table(t).count() === 20000L - 500)
+    assert(MorDeletes.positionLoads.get() - pqBefore === 0,
+      "direct DV commit must leave no parquet tombstones to scan")
+    val dvLoads = MorDeletes.dvSliceLoads.get() - dvBefore
+    assert(dvLoads > 0 && dvLoads <= slices.size,
+      s"one ranged read per slice at most (cache-shared): $dvLoads vs ${slices.size}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("merge-on-read UPDATE carries its tombstones as a deletion vector and still classifies as update in the feed") {
+    import spark.implicits._
+    val t = "gdv.ns.updv"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).writeTo(t).append()                                     // v1
+    val r = root("updv")
+    val prev = spark.conf.getOption("spark.graft.update.mode")
+    spark.conf.set("spark.graft.update.mode", "merge-on-read")
+    try graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = 'B' WHERE k = 2") // v2
+    finally prev match {
+      case Some(m) => spark.conf.set("spark.graft.update.mode", m)
+      case None => spark.conf.unset("spark.graft.update.mode")
+    }
+    val dels = ManifestTable.liveDeleteEntries(r)
+    assert(dels.nonEmpty && dels.forall(e => ManifestTable.isDvEntry(e.rel)),
+      s"the UPDATE commit must carry its tombstones as dv_*.bin: ${dels.map(_.rel)}")
+    val feed = spark.table(s"$t.changes")
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed.contains((2L, "update_preimage", 2L)) &&
+      feed.contains((2L, "update_postimage", 2L)),
+      s"DV-carrying update commit must still classify as update: $feed")
+    assert(spark.table(t).orderBy($"k").select($"v").as[String].collect().toSeq ===
+      Seq("a", "B", "c"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("rewrite merges the parquet backlog into ONE deletion vector; reads stay exact") {
     import spark.implicits._
     val t = "gdv.ns.merge"
@@ -61,8 +124,10 @@ class DeletionVectorSpec extends AnyFunSuite {
       graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 100 = 7")  // v2
       graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 100 = 13") // v3
     }
+    // DML writes deletion vectors DIRECTLY — one per commit; the rewrite
+    // still merges the two-blob backlog into one
     val backlog = ManifestTable.liveDeleteEntries(r)
-    assert(backlog.size === 2 && backlog.forall(e => !ManifestTable.isDvEntry(e.rel)))
+    assert(backlog.size === 2 && backlog.forall(e => ManifestTable.isDvEntry(e.rel)))
 
     ManifestTable.rewriteDeletes(spark, r)
     val merged = ManifestTable.liveDeleteEntries(r)
@@ -202,9 +267,18 @@ class DeletionVectorSpec extends AnyFunSuite {
       graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k >= 900")
     }
     ManifestTable.rewriteDeletes(spark, r)
-    withMorDelete {
-      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 500")
+    // an EXTERNAL CDC writer stages a parquet tombstone file (the
+    // pre-vector shape) against the merged-vector table: find k=500's
+    // physical position by reading its data file in file order
+    val dataRels = ManifestTable.liveEntries(r).map(_.rel)
+      .filterNot(ManifestTable.isDeleteEntry)
+    val hit = dataRels.flatMap { rel =>
+      val ks = spark.read.parquet(s"$r/data/$rel").select($"k").as[Long].collect()
+      val i = ks.indexOf(500L)
+      if (i >= 0) Some((ManifestTable.encodedRel(r, rel), i.toLong)) else None
     }
+    assert(hit.size === 1)
+    ManifestTable.appendDeletesParquet(hit.toDF("__file", "__pos"), r)
     val mixed = ManifestTable.liveDeleteEntries(r)
     assert(mixed.exists(e => ManifestTable.isDvEntry(e.rel)) &&
       mixed.exists(e => !ManifestTable.isDvEntry(e.rel)))

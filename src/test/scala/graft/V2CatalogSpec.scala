@@ -1036,10 +1036,14 @@ class V2CatalogSpec extends AnyFunSuite {
         s"tombstoned file must keep its splits, got ${parts.length} partition(s)")
       // exact correctness across split boundaries, early and late ranges —
       // and the position list loads ONCE per executor across all splits
+      // (DML commits deletion vectors directly: the load is a dv slice)
       val posBefore = graft.sources.v2.MorDeletes.positionLoads.get()
+      val dvBefore = graft.sources.v2.MorDeletes.dvSliceLoads.get()
       assert(t.count() === 200000L - 200L)
-      assert(graft.sources.v2.MorDeletes.positionLoads.get() - posBefore === 1L,
-        "all splits of one tombstoned file must share a single cached position load")
+      assert(graft.sources.v2.MorDeletes.positionLoads.get() - posBefore === 0L,
+        "a direct-DV DELETE leaves no parquet tombstones to scan")
+      assert(graft.sources.v2.MorDeletes.dvSliceLoads.get() - dvBefore === 1L,
+        "all splits of one tombstoned file must share a single cached slice load")
       assert(t.where(col("k") === 7L).count() === 0)
       assert(t.where(col("k") === 8L).count() === 1)
       val hi = t.where(col("k") >= 190000L)
@@ -1188,7 +1192,7 @@ class V2CatalogSpec extends AnyFunSuite {
     val rel = ManifestTable.encodedRel(root, dataRels.head)
     val tomb = (0L until 200000L).filter(_ % 1000 == 7)
       .map(p => (rel, p)).toDF("__file", "__pos")
-    ManifestTable.appendDeletes(tomb, root)
+    ManifestTable.appendDeletesParquet(tomb, root)
     assert(ManifestTable.hasDeletes(root))
 
     // the tombstoned ~multi-MB ORC file must NOT collapse to one
