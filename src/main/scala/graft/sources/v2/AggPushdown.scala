@@ -299,17 +299,40 @@ private[v2] object AggPushdown {
       def dateRangePin(logical: String)(i: Int)
           : Option[Option[(java.time.LocalDate, java.time.LocalDate)]] = {
         val phys = physicalName(logical).toLowerCase
+        def instantOf(raw: String): java.time.Instant =
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(raw.toLong, 1000000L),
+            Math.floorMod(raw.toLong, 1000000L) * 1000L)
         def toDate(tag: Char, raw: String): Option[java.time.LocalDate] =
           scala.util.Try(tag match {
-            case 't' => java.time.Instant.ofEpochSecond(
-              Math.floorDiv(raw.toLong, 1000000L),
-              Math.floorMod(raw.toLong, 1000000L) * 1000L)
-              .atZone(sessionZone).toLocalDate
+            case 't' => instantOf(raw).atZone(sessionZone).toLocalDate
             case 'n' => java.time.LocalDate.ofEpochDay(
               Math.floorDiv(raw.toLong, 86400000000L))
             case 'a' => java.time.LocalDate.ofEpochDay(raw.toLong)
             case _   => throw new IllegalArgumentException("not a temporal tag")
           }).toOption
+        // instant→LocalDate in the session zone is monotone UNLESS a
+        // backward (overlap) offset transition crossing local midnight
+        // sits inside the bounds (historical 00:01 fallbacks — e.g.
+        // America/St_Johns pre-2011): then a mid-file row's date can fall
+        // OUTSIDE the bounds' date envelope, so the pin must decline.
+        // Gaps and non-midnight overlaps keep dates non-decreasing;
+        // fixed-offset zones have no transitions at all.
+        def dateMonotone(lo: java.time.Instant, hi: java.time.Instant): Boolean = {
+          val rules = sessionZone.getRules
+          if (rules.isFixedOffset) return true
+          var t = rules.nextTransition(lo)
+          var n = 0
+          while (t != null && !t.getInstant.isAfter(hi)) {
+            if (t.isOverlap &&
+                t.getDateTimeBefore.toLocalDate != t.getDateTimeAfter.toLocalDate)
+              return false
+            n += 1
+            if (n >= 1024) return false // unbounded walk: decline, stay exact
+            t = rules.nextTransition(t.getInstant)
+          }
+          true
+        }
         for {
           dt <- declaredTypeOf(logical)
           tag <- expectedTag(dt)
@@ -319,8 +342,12 @@ private[v2] object AggPushdown {
           pin <- (cs.min, cs.max, cs.nulls) match {
             case (None, None, Some(nulls)) if nulls == n => Some(None)
             case (Some(mn), Some(mx), Some(0L)) =>
-              for { a <- toDate(tag, mn); b <- toDate(tag, mx) }
-                yield Some((a, b))
+              for {
+                a <- toDate(tag, mn); b <- toDate(tag, mx)
+                if tag != 't' ||
+                  scala.util.Try(dateMonotone(instantOf(mn), instantOf(mx)))
+                    .getOrElse(false)
+              } yield Some((a, b))
             case _ => None
           }
         } yield pin

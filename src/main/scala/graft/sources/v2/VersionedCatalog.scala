@@ -67,18 +67,27 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
   override def listFunctions(namespace: Array[String])
       : Array[org.apache.spark.sql.connector.catalog.Identifier] =
     if (namespace.isEmpty)
-      Array(
-        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "bucket"),
-        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "days"))
+      Array("bucket", "days", "months", "years", "truncate").map(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, _))
     else Array.empty
 
   override def loadFunction(ident: org.apache.spark.sql.connector.catalog.Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
-      GraftBucketFunction
-    else if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("days"))
-      GraftDaysFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    if (ident.namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else ident.name.toLowerCase match {
+      case "bucket" => GraftBucketFunction
+      case "days" => GraftDaysFunction
+      case "months" => GraftMonthsFunction
+      case "years" => GraftYearsFunction
+      case "truncate" => GraftTruncateFunction
+      case n if n.startsWith("truncate_w") &&
+          n.stripPrefix("truncate_w").forall(_.isDigit) &&
+          n.length > "truncate_w".length =>
+        GraftTruncateWidthFunction(n.stripPrefix("truncate_w").toInt)
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -1408,13 +1417,73 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
           meta.part.isEmpty && index.partitionSchema.nonEmpty &&
           index.partitionSchema.fieldNames.map(_.toLowerCase).toSet ==
             meta.identityCols.map(c => meta.physicalName(c).toLowerCase).toSet
-        // hidden bucket layout: the transform value never surfaces as a
-        // column, so the key is parsed back out of each file's `__part=`
-        // directory; the reported bucket(n, col) clustering resolves
-        // through this catalog's FunctionCatalog
-        val bucketSpj = spjClean && dayOf.isEmpty && meta.identityCols.isEmpty &&
-          meta.part.exists(_.kind == "bucket") &&
-          rels.forall(_.contains(s"${VersionedCatalog.PartTransform.DirCol}="))
+        // hidden transform layouts (bucket / months / years / truncate):
+        // the transform value never surfaces as a column, so the key is
+        // parsed back out of each file's `__part=` directory; the
+        // reported clustering resolves through this catalog's
+        // FunctionCatalog ([[GraftBucketFunction]] and friends), letting
+        // time-bucketed fact tables join shuffle-free. months/years
+        // key-group over wall-clock sources only (DATE / TIMESTAMP_NTZ —
+        // a session-zone TIMESTAMP's month is not a pure function of the
+        // value), and EVERY dir must parse as a key: a NULL/empty dir
+        // (__HIVE_DEFAULT_PARTITION__) has no key value to group on, so
+        // such a snapshot plans unkeyed instead of crashing
+        val transformSpj: Option[(Transform, String => Any)] =
+          if (!spjClean || dayOf.nonEmpty || meta.identityCols.nonEmpty) None
+          else meta.part.flatMap { p =>
+            val prefix = s"${VersionedCatalog.PartTransform.DirCol}="
+            val dirs = rels.map(_.split('/').find(_.startsWith(prefix))
+              .map(_.substring(prefix.length)))
+            def allParse(ok: String => Boolean): Boolean =
+              rels.nonEmpty && dirs.forall(_.exists(ok))
+            val keyType = meta.schema.fields
+              .find(_.name.equalsIgnoreCase(p.col)).map(_.dataType)
+            def parser(f: String => Any): String => Any = (path: String) => {
+              val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
+                throw new IllegalStateException(s"no $prefix dir in $path"))
+              f(seg.substring(prefix.length))
+            }
+            def wallClock = keyType.exists(t =>
+              t == org.apache.spark.sql.types.DateType ||
+                t == org.apache.spark.sql.types.TimestampNTZType)
+            p.kind match {
+              case "bucket" if allParse(_.forall(_.isDigit)) =>
+                Some((Expressions.bucket(p.arg.get, p.col), parser(_.toInt)))
+              case "months" if wallClock && allParse(_.matches("""\d{4}-\d{2}""")) =>
+                // key = months since epoch, [[GraftEpochUnitBound]]'s formula
+                Some((Expressions.months(p.col), parser { s =>
+                  val ym = java.time.YearMonth.parse(s)
+                  (ym.getYear - 1970) * 12 + (ym.getMonthValue - 1)
+                }))
+              case "years" if wallClock && allParse(_.matches("""\d{4}""")) =>
+                Some((Expressions.years(p.col), parser(_.toInt - 1970)))
+              case "truncate" =>
+                // width baked into the NAME ([[GraftTruncateWidthFunction]]):
+                // a width literal as a transform child can never satisfy a
+                // join clustered on the bare column
+                val tf = Expressions.apply(s"truncate_w${p.arg.get}",
+                  Expressions.column(p.col))
+                keyType match {
+                  case Some(org.apache.spark.sql.types.IntegerType)
+                      if allParse(s => scala.util.Try(s.toInt).isSuccess) =>
+                    Some((tf, parser(_.toInt)))
+                  case Some(org.apache.spark.sql.types.LongType)
+                      if allParse(s => scala.util.Try(s.toLong).isSuccess) =>
+                    Some((tf, parser(_.toLong)))
+                  case Some(org.apache.spark.sql.types.StringType)
+                      // dir names are hive-escaped; NULL and "" both write
+                      // the default dir and are indistinguishable — decline
+                      if allParse(_ != org.apache.spark.sql.catalyst.catalog
+                        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) =>
+                    Some((tf, parser(s =>
+                      org.apache.spark.unsafe.types.UTF8String.fromString(
+                        org.apache.spark.sql.catalyst.catalog
+                          .ExternalCatalogUtils.unescapePathName(s)))))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }
         // hidden DAY layout: the day parses back out of each `__day=` dir
         // and the reported days(ts) clustering resolves through the
         // catalog's days() function — wall-clock sources only (a
@@ -1436,16 +1505,10 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         if (identitySpj)
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
             fileScan, index.partitionSchema.fieldNames.map(Expressions.identity))
-        else if (bucketSpj) {
-          val p = meta.part.get
-          val prefix = s"${VersionedCatalog.PartTransform.DirCol}="
+        else if (transformSpj.nonEmpty) {
+          val (t, kf) = transformSpj.get
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
-            fileScan, Array(Expressions.bucket(p.arg.get, p.col)),
-            Some((path: String) => {
-              val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
-                throw new IllegalStateException(s"no $prefix dir in $path"))
-              seg.substring(prefix.length).toInt
-            }))
+            fileScan, Array(t), Some(kf))
         } else if (daySpj) {
           val prefix = s"${ManifestTable.DayCol}="
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(

@@ -315,6 +315,178 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("hidden-MONTHS layouts join on the timestamp with zero shuffles (months() clustering)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.mon_a")
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.mon_b")
+    spark.sql("CREATE TABLE gspj.ns.mon_a (k BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) PARTITIONED BY (months(ts))")
+    spark.sql("CREATE TABLE gspj.ns.mon_b (k BIGINT, ts TIMESTAMP_NTZ, w DOUBLE) PARTITIONED BY (months(ts))")
+    def rowsFor(n: Int): Seq[(Long, java.time.LocalDateTime, Double)] =
+      (0 until n).map(i => (i.toLong,
+        java.time.LocalDateTime.of(2024, 1 + i % 5, 1 + i % 28, i % 24, 0), i * 1.0))
+    rowsFor(900).toDF("k", "ts", "v").writeTo("gspj.ns.mon_a").append()
+    rowsFor(500).toDF("k", "ts", "w").writeTo("gspj.ns.mon_b").append()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val b = spark.table("gspj.ns.mon_b").select($"ts".as("ts2"), $"w")
+      val joined = spark.table("gspj.ns.mon_a").join(b, $"ts" === $"ts2")
+        .agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      val row = joined.collect()(0)
+      assert(joinInputShuffles(joined) === 0,
+        s"months-clustered join must not shuffle its inputs:\n${joined.queryExecution.executedPlan}")
+      val am = rowsFor(900).groupBy(_._2).view.mapValues(_.map(x => (x._1, x._3))).toMap
+      val expected = rowsFor(500).flatMap { case (_, ts, w) =>
+        am.getOrElse(ts, Nil).map { case (_, v) => v + w } }
+      assert(row.getLong(0) === expected.size.toLong)
+      assert(math.abs(row.getDouble(1) - expected.sum) < 1e-6)
+    } finally {
+      prev.foreach { case (c, v) => v match {
+        case Some(x) => spark.conf.set(c, x)
+        case None => spark.conf.unset(c)
+      } }
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql("DROP TABLE gspj.ns.mon_a")
+      spark.sql("DROP TABLE gspj.ns.mon_b")
+    }
+  }
+
+  test("hidden-YEARS layouts over DATE join with zero shuffles (years() clustering)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.yr_a")
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.yr_b")
+    spark.sql("CREATE TABLE gspj.ns.yr_a (k BIGINT, d DATE, v DOUBLE) PARTITIONED BY (years(d))")
+    spark.sql("CREATE TABLE gspj.ns.yr_b (k BIGINT, d DATE, w DOUBLE) PARTITIONED BY (years(d))")
+    def rowsFor(n: Int): Seq[(Long, java.time.LocalDate, Double)] =
+      (0 until n).map(i => (i.toLong,
+        java.time.LocalDate.of(2021 + i % 4, 1 + i % 12, 1 + i % 28), i * 1.0))
+    rowsFor(700).toDF("k", "d", "v").writeTo("gspj.ns.yr_a").append()
+    rowsFor(300).toDF("k", "d", "w").writeTo("gspj.ns.yr_b").append()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val b = spark.table("gspj.ns.yr_b").select($"d".as("d2"), $"w")
+      val joined = spark.table("gspj.ns.yr_a").join(b, $"d" === $"d2")
+        .agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      val row = joined.collect()(0)
+      assert(joinInputShuffles(joined) === 0,
+        s"years-clustered join must not shuffle its inputs:\n${joined.queryExecution.executedPlan}")
+      val am = rowsFor(700).groupBy(_._2).view.mapValues(_.map(x => (x._1, x._3))).toMap
+      val expected = rowsFor(300).flatMap { case (_, d, w) =>
+        am.getOrElse(d, Nil).map { case (_, v) => v + w } }
+      assert(row.getLong(0) === expected.size.toLong)
+      assert(math.abs(row.getDouble(1) - expected.sum) < 1e-6)
+    } finally {
+      prev.foreach { case (c, v) => v match {
+        case Some(x) => spark.conf.set(c, x)
+        case None => spark.conf.unset(c)
+      } }
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql("DROP TABLE gspj.ns.yr_a")
+      spark.sql("DROP TABLE gspj.ns.yr_b")
+    }
+  }
+
+  test("truncate-clustered tables (string prefix and integral floor) join with zero shuffles") {
+    import spark.implicits._
+    // string prefix: ids sharing a 3-char prefix co-locate; dirs are
+    // hive-escaped (the ':' forces escaping) and must parse back exactly
+    for (t <- Seq("gspj.ns.tr_a", "gspj.ns.tr_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (id STRING, v DOUBLE) PARTITIONED BY (truncate(3, id))")
+    }
+    def srows(n: Int): Seq[(String, Double)] =
+      (0 until n).map(i => (s"${('a' + i % 4).toChar}:${i % 7}-suffix$i", i * 1.0))
+    srows(600).toDF("id", "v").writeTo("gspj.ns.tr_a").append()
+    srows(350).toDF("id", "v").writeTo("gspj.ns.tr_b").append()
+    // integral floor: k floors to multiples of 100
+    for (t <- Seq("gspj.ns.tri_a", "gspj.ns.tri_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE) PARTITIONED BY (truncate(100, k))")
+    }
+    spark.range(800).select($"id".as("k"), ($"id" * 1.0).as("v")).writeTo("gspj.ns.tri_a").append()
+    spark.range(500).select($"id".as("k"), ($"id" * 2.0).as("v")).writeTo("gspj.ns.tri_b").append()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val js = spark.table("gspj.ns.tr_a")
+        .join(spark.table("gspj.ns.tr_b").select($"id".as("id2"), $"v".as("v2")),
+          $"id" === $"id2")
+        .agg(count(lit(1)).as("n"))
+      assert(js.collect()(0).getLong(0) === 350L, "each b-row matches its a twin")
+      assert(joinInputShuffles(js) === 0,
+        s"string-truncate join must not shuffle its inputs:\n${js.queryExecution.executedPlan}")
+      val ji = spark.table("gspj.ns.tri_a")
+        .join(spark.table("gspj.ns.tri_b").select($"k".as("k2"), $"v".as("v2")),
+          $"k" === $"k2")
+        .agg(count(lit(1)).as("n"), sum($"v" + $"v2").as("s"))
+      val row = ji.collect()(0)
+      assert(row.getLong(0) === 500L && row.getDouble(1) === (0 until 500).map(_ * 3.0).sum)
+      assert(joinInputShuffles(ji) === 0,
+        s"integral-truncate join must not shuffle its inputs:\n${ji.queryExecution.executedPlan}")
+    } finally {
+      prev.foreach { case (c, v) => v match {
+        case Some(x) => spark.conf.set(c, x)
+        case None => spark.conf.unset(c)
+      } }
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      for (t <- Seq("gspj.ns.tr_a", "gspj.ns.tr_b", "gspj.ns.tri_a", "gspj.ns.tri_b"))
+        spark.sql(s"DROP TABLE $t")
+    }
+  }
+
+  test("months over session-zone TIMESTAMP declines clustering; a NULL months dir declines too") {
+    import spark.implicits._
+    // TIMESTAMP (with zone): dir names were written in the writer's zone —
+    // not a pure function of the value, so the scan must plan unkeyed
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.mon_tz")
+    spark.sql("CREATE TABLE gspj.ns.mon_tz (k BIGINT, ts TIMESTAMP) PARTITIONED BY (months(ts))")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-05 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-04-01 00:30:00")))
+      .toDF("k", "ts").writeTo("gspj.ns.mon_tz").append()
+    // NULL ts under a wall-clock type: __HIVE_DEFAULT_PARTITION__ has no key
+    spark.sql("DROP TABLE IF EXISTS gspj.ns.mon_null")
+    spark.sql("CREATE TABLE gspj.ns.mon_null (k BIGINT, ts TIMESTAMP_NTZ) PARTITIONED BY (months(ts))")
+    Seq((1L, Some(java.time.LocalDateTime.of(2024, 3, 5, 10, 0))), (2L, None))
+      .toDF("k", "ts").writeTo("gspj.ns.mon_null").append()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      for (t <- Seq("gspj.ns.mon_tz", "gspj.ns.mon_null")) {
+        // reported partitioning must be unknown (no key-grouping), through
+        // whatever wrapper layers the scan planned with
+        val keyed = spark.table(t).queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case p: org.apache.spark.sql.connector.read.SupportsReportPartitioning =>
+                p.outputPartitioning().isInstanceOf[
+                  org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+              case _ => false
+            }
+        }
+        assert(keyed.nonEmpty && keyed.forall(_ == false),
+          s"$t must decline months clustering")
+        assert(spark.table(t).count() === 2)
+      }
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql("DROP TABLE gspj.ns.mon_tz")
+      spark.sql("DROP TABLE gspj.ns.mon_null")
+    }
+  }
+
   test("a NULL-day directory declines day clustering instead of crashing the plan") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS gspj.ns.day_n")
