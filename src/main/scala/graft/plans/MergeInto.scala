@@ -420,7 +420,14 @@ object MergeInto {
                       meta: graft.sources.v2.VersionedCatalog.Meta,
                       alias: String): Option[DataFrame] = {
     if (!ManifestTable.exists(root)) return None
-    val (delEntries, dataEntries) = ManifestTable.liveEntries(root)
+    // the DML's base snapshot: under `spark.graft.write.branch` (WAP
+    // staging) this is the BRANCH head — a staged UPDATE must see the
+    // branch's earlier staged rows, not main's
+    val baseVer = ManifestTable.writeBaseVersion(root) match {
+      case Some(v) => v
+      case None => return None
+    }
+    val (delEntries, dataEntries) = ManifestTable.entries(root, baseVer)
       .partition(e => ManifestTable.isDeleteEntry(e.rel))
     val dataRels = dataEntries.map(_.rel)
     if (dataRels.isEmpty) return None

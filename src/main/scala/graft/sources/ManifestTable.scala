@@ -248,6 +248,30 @@ object ManifestTable {
   private def confLong(key: String, dflt: Long): Long =
     SparkSession.getActiveSession.flatMap(_.conf.getOption(key))
       .map(_.toLong).getOrElse(dflt)
+
+  /** The session's write-audit-publish STAGING branch
+    * (`spark.graft.write.branch` — Iceberg's `spark.wap.branch` shape):
+    * when set, every commit targets the named branch — the manifest is
+    * claimed in the shared version sequence, the DML's base is the BRANCH
+    * head, and only the branch ref moves, so main readers see nothing
+    * until `fast_forward` publishes the audited head. The branch must
+    * already exist on the table (an accidental global conf must not
+    * silently invent branches on every table it touches). */
+  private def wapBranch: Option[String] =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.write.branch")).filter(_.nonEmpty)
+
+  /** The snapshot version DML reads and extends: the staging branch head
+    * under `spark.graft.write.branch`, else the live pointer. */
+  def writeBaseVersion(root: String): Option[Long] =
+    wapBranch match {
+      case Some(b) =>
+        val r = resolveRef(root, b)
+        require(r.kind == "branch",
+          s"spark.graft.write.branch '$b' on $root is a ${r.kind}, not a branch")
+        Some(r.version)
+      case None => currentVersion(root)
+    }
   /** Claims above the pointer older than this are crashed committers'.
     * The default is 10 minutes — far above any plausible claim→flip pause
     * (the flip is milliseconds after the claim), because a reclaim that
@@ -764,7 +788,12 @@ object ManifestTable {
     require(retain >= 1, "must retain at least the live snapshot")
     var attempt = 0
     while (true) {
-      val baseV = currentVersion(root)
+      // WAP staging: the base is the BRANCH head (resolved per attempt so
+      // a racing branch commit rebases correctly) and the flip below
+      // moves the ref, not `_CURRENT`
+      val branch = wapBranch
+      val baseV = branch.fold(currentVersion(root))(_ =>
+        writeBaseVersion(root))
       val base = baseV match {
         case Some(v) =>
           val d = readDoc(root, v)
@@ -870,9 +899,17 @@ object ManifestTable {
           case ms => Thread.sleep(ms)
         }
         if (!claimIsOurs()) fenceLost("before")
-        MetaIO.writeAtomic(pointerPath(root), next.toString)
+        branch match {
+          case Some(b) =>
+            // only the BRANCH ref moves; main is untouched and retention
+            // GC stays off this path (the staged head is ref-pinned, and
+            // main's window is main commits' business)
+            MetaIO.writeAtomic(refPath(root, b), s"branch:$next")
+          case None =>
+            MetaIO.writeAtomic(pointerPath(root), next.toString)
+        }
         if (!claimIsOurs()) fenceLost("after")
-        gc(root, next, retain)
+        if (branch.isEmpty) gc(root, next, retain)
         return next
       } catch {
         case e: FileAlreadyExistsException =>

@@ -83,13 +83,30 @@ object ChangeFeed {
       StructField(TypeCol, StringType, nullable = false),
       StructField(VersionCol, LongType, nullable = false)))
 
-  def table(name: String, root: String): Table = {
+  def table(name: String, root: String, pinnedUntil: Option[Long] = None): Table = {
     val meta = VersionedCatalog.readMeta(root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table under $root"))
     require(meta.format == "parquet" || meta.format == "orc",
       s"change feed of $root: format ${meta.format} is not supported")
-    ChangeFeedTable(name, root, meta)
+    ChangeFeedTable(name, root, meta, pinnedUntil)
   }
+
+  /** The read's END cap — a `VERSION AS OF` pin on `tbl.changes`
+    * (snapshot id or ref name, resolved at load) or the `branch` read
+    * option (re-resolved at each USE, so a streaming reader follows the
+    * branch as staged commits advance it). This is the WAP audit surface:
+    * `tbl.changes VERSION AS OF 'wap'` answers "what would this publish
+    * change" — staged commits feed the branch's changes while main's feed
+    * (no cap: ends at `_CURRENT`) is untouched; `fast_forward` then flips
+    * them into main's feed at their original staged versions. */
+  private[v2] def endCapOf(root: String, options: CaseInsensitiveStringMap,
+                           pinned: Option[Long]): Option[Long] =
+    pinned.orElse(Option(options.get("branch")).filter(_.nonEmpty).map { n =>
+      val r = ManifestTable.resolveRef(root, n)
+      require(r.kind == "branch",
+        s"change feed of $root: ref '$n' is a ${r.kind}, not a branch")
+      r.version
+    })
 
   /** The CDF horizon THIS READ observes: the last file-removing commit
     * among the partition keys the read can see — changes at or before it
@@ -147,7 +164,8 @@ object ChangeFeed {
 }
 
 private[v2] case class ChangeFeedTable(tableName: String, root: String,
-                                       meta: VersionedCatalog.Meta)
+                                       meta: VersionedCatalog.Meta,
+                                       pinnedUntil: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = ChangeFeed.changeSchema(meta.schema)
@@ -171,7 +189,7 @@ private[v2] case class ChangeFeedTable(tableName: String, root: String,
         Array.empty
       override def build(): Scan =
         new ChangeFeedScan(root, meta, options, required,
-          filters ++ ChangeFeed.optionFilters(meta, options))
+          filters ++ ChangeFeed.optionFilters(meta, options), pinnedUntil)
     }
 }
 
@@ -180,7 +198,8 @@ private[v2] case class ChangeFeedTable(tableName: String, root: String,
 private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
                                  options: CaseInsensitiveStringMap,
                                  required: StructType,
-                                 filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+                                 filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                                 pinnedUntil: Option[Long] = None)
     extends Scan with Batch {
   private lazy val ctx = ChangeFeedPlanner.Ctx(root, meta, required)
   private lazy val excluded: String => Boolean = ChangePrune.excluder(meta, filters)
@@ -193,7 +212,12 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
     ManifestTable.currentVersion(root) match {
       case None => Array.empty
       case Some(live) =>
-        val until = Option(options.get("untilVersion")).map(_.toLong).getOrElse(live)
+        // a VERSION AS OF pin / branch head caps the read's end; without
+        // one, the feed ends at `_CURRENT` — staged branch commits above
+        // it never enter main's feed
+        val cap = ChangeFeed.endCapOf(root, options, pinnedUntil)
+        val until = Option(options.get("untilVersion")).map(_.toLong)
+          .getOrElse(cap.getOrElse(live))
         val horizon = ChangeFeed.horizonOf(root, until, excluded)
         val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(horizon)
         require(from >= horizon,
@@ -211,7 +235,7 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
     ChangeFeedPlanner.readerFactory(ctx, ChangeFeedPlanner.innerFactory(ctx))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedMicroBatchStream(root, meta, options, required, filters)
+    new ChangeFeedMicroBatchStream(root, meta, options, required, filters, pinnedUntil)
 }
 
 /** Streaming change feed: offsets are table versions (the same commit-log
@@ -223,28 +247,35 @@ private[v2] class ChangeFeedMicroBatchStream(root: String,
                                              meta: VersionedCatalog.Meta,
                                              options: CaseInsensitiveStringMap,
                                              required: StructType,
-                                             filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+                                             filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                                             pinnedUntil: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // ONE ctx for the stream's life: the widened read layout (equality-key
   // columns) must agree between this factory and every window's plan
   private lazy val ctx = ChangeFeedPlanner.Ctx(root, meta, required)
   private lazy val excluded: String => Boolean = ChangePrune.excluder(meta, filters)
 
+  /** The stream's frontier: the branch head under the `branch` option
+    * (re-resolved per trigger, so the stream follows staged commits as
+    * they advance the ref), the `VERSION AS OF` pin, else `_CURRENT`. */
+  private def frontier(): Long =
+    ChangeFeed.endCapOf(root, options, pinnedUntil)
+      .getOrElse(ManifestTable.currentVersion(root).getOrElse(0L))
+
   override def initialOffset(): Offset =
     VersionOffset(Option(options.get("startVersion")).map(_.toLong).getOrElse(0L))
-  override def latestOffset(): Offset =
-    VersionOffset(ManifestTable.currentVersion(root).getOrElse(0L))
+  override def latestOffset(): Offset = VersionOffset(frontier())
 
   @volatile private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(ManifestTable.currentVersion(root).getOrElse(0L))
+    availableNowTarget = Some(frontier())
 
   private val maxVersionsPerTrigger: Option[Long] =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = ManifestTable.currentVersion(root).getOrElse(0L)
+    val cur = frontier()
     val target = availableNowTarget.fold(cur)(math.min(cur, _))
     val sV = start.asInstanceOf[VersionOffset].v
     val paced = maxVersionsPerTrigger.fold(target)(m =>

@@ -61,16 +61,22 @@ object MetaTables {
     StructField("version", LongType, nullable = false),
     StructField("is_current", BooleanType, nullable = false)))
 
-  def load(name: String, root: String, kind: String): Table = kind match {
-    case "files"      => MetaTable(name, FilesSchema, () => filesRows(root))
-    case "snapshots"  => MetaTable(name, SnapshotsSchema, () => snapshotRows(root))
-    case "partitions" => MetaTable(name, PartitionsSchema, () => partitionRows(root))
-    case "deletes"    => MetaTable(name, DeletesSchema, () => deleteRows(root))
-    case "refs"       => MetaTable(name, RefsSchema, () => refRows(root))
-    // row-level change feed — a full distributed relation, not a
-    // driver-local listing ([[ChangeFeed]])
-    case "changes"    => ChangeFeed.table(name, root)
-    case other => throw new IllegalArgumentException(s"no metadata table $other")
+  def load(name: String, root: String, kind: String,
+           pinnedVersion: Option[Long] = None): Table = {
+    require(pinnedVersion.isEmpty || kind == "changes",
+      s"metadata table '$kind' is not version-addressable " +
+        "(only tbl.changes supports VERSION AS OF)")
+    kind match {
+      case "files"      => MetaTable(name, FilesSchema, () => filesRows(root))
+      case "snapshots"  => MetaTable(name, SnapshotsSchema, () => snapshotRows(root))
+      case "partitions" => MetaTable(name, PartitionsSchema, () => partitionRows(root))
+      case "deletes"    => MetaTable(name, DeletesSchema, () => deleteRows(root))
+      case "refs"       => MetaTable(name, RefsSchema, () => refRows(root))
+      // row-level change feed — a full distributed relation, not a
+      // driver-local listing ([[ChangeFeed]]); a pin caps its end
+      case "changes"    => ChangeFeed.table(name, root, pinnedVersion)
+      case other => throw new IllegalArgumentException(s"no metadata table $other")
+    }
   }
 
   private def utf8(s: String) = UTF8String.fromString(s)

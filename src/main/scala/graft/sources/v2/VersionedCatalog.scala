@@ -148,7 +148,24 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     * all-digit literal is a snapshot id; anything else resolves through
     * the table's named refs (tags and branches share one namespace, and
     * ref names can never be all-digit, so precedence is unambiguous). */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    // time travel on a metadata table: only the change feed is
+    // version-addressable — `tbl.changes VERSION AS OF 'wap'` reads the
+    // feed up to a branch head or pinned snapshot (the WAP audit's
+    // "what would this publish change")
+    if (!tableExists(ident) && ident.namespace().length >= 1 &&
+        MetaTables.Kinds.contains(ident.name().toLowerCase)) {
+      val ns = ident.namespace()
+      val parent = Identifier.of(ns.dropRight(1), ns.last)
+      if (tableExists(parent)) {
+        val root = tableRoot(parent)
+        val v = if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+                else ManifestTable.resolveRef(root, version).version
+        return MetaTables.load(
+          s"$catalogName.${(ns :+ ident.name()).mkString(".")}",
+          root, ident.name().toLowerCase, Some(v))
+      }
+    }
     if (version.nonEmpty && version.forall(_.isDigit))
       loadVersion(ident, Some(version.toLong))
     else {
@@ -156,6 +173,7 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
       loadVersion(ident,
         Some(ManifestTable.resolveRef(tableRoot(ident), version).version))
     }
+  }
 
   /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {

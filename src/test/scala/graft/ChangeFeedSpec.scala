@@ -523,4 +523,62 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === Seq(0L))
     spark.sql(s"DROP TABLE $td")
   }
+
+  test("WAP: staged branch commits feed the BRANCH's changes; main's feed flips at publish") {
+    import spark.implicits._
+    val t = "gcdf.ns.wap"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").writeTo(t).append()   // v1
+    spark.sql(s"CALL gcdf.system.create_branch(`table` => 'ns.wap', name => 'wap')")
+
+    // stage a MOR DELETE and an APPEND on the branch: the manifests claim
+    // shared version numbers (v2, v3) but only the branch ref moves
+    spark.conf.set("spark.graft.write.branch", "wap")
+    try {
+      withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 2")) // v2
+      Seq((4L, "d")).toDF("k", "v").writeTo(t).append()                          // v3
+    } finally spark.conf.unset("spark.graft.write.branch")
+
+    // MAIN is untouched: table rows, live pointer, and the changes feed
+    val r = root("wap")
+    assert(ManifestTable.currentVersion(r).get === 1L, "main pointer must not move")
+    assert(spark.table(t).orderBy($"k").select($"k").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L))
+    val mainFeed = changes(t).select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(mainFeed === Set((1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L)),
+      s"staged branch commits must not enter main's feed: $mainFeed")
+
+    // the BRANCH's feed answers "what would this publish change" — via the
+    // read option and via VERSION AS OF '<branch>' on tbl.changes
+    val expect = Set(
+      (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L),
+      (2L, "delete", 2L), (4L, "insert", 3L))
+    val viaOption = spark.read.option("branch", "wap").table(s"$t.changes")
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaOption === expect, s"branch feed via option: $viaOption")
+    val viaAsOf = spark.sql(
+      s"SELECT k, _change_type, _commit_version FROM $t.changes VERSION AS OF 'wap'")
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaAsOf === expect, s"branch feed via VERSION AS OF: $viaAsOf")
+    // the branch's table view sees the staged state; a tag is not a branch
+    assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 'wap'")
+      .as[Long].collect().toSet === Set(1L, 3L, 4L))
+    val e = intercept[Exception] {
+      spark.read.option("branch", "nope").table(s"$t.changes").collect()
+    }
+    assert(e.getMessage.contains("no tag or branch"))
+
+    // PUBLISH: fast-forward flips the staged commits into main's feed at
+    // their original staged versions
+    spark.sql(s"CALL gcdf.system.fast_forward(`table` => 'ns.wap', branch => 'wap')")
+    assert(ManifestTable.currentVersion(r).get === 3L)
+    assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(1L, 3L, 4L))
+    val published = changes(t).select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(published === expect, s"published feed: $published")
+    spark.sql(s"DROP TABLE $t")
+  }
 }
