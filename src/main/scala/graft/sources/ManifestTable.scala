@@ -803,12 +803,26 @@ object ManifestTable {
       val planned = plan(base)
       require(planned.props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
         && planned.props.values.forall(v => !v.contains("\n")), "illegal manifest property")
-      // allocate above the live pointer AND the high-water mark: after a
-      // branch fast-forward to an OLDER version, higher versions stay
-      // retained and a new commit must not collide with them. The mark —
-      // not a max over versions() — keeps in-flight CLAIMS colliding,
-      // which is the whole optimistic-concurrency protocol.
-      val next = math.max(baseV.getOrElse(0L), highWaterMark(root)) + 1
+      // allocate above the base, the high-water mark (after a fast-forward
+      // to an OLDER version, higher versions stay retained), AND every
+      // OTHER ref's published head — main's pointer for a branch commit,
+      // staged branch heads for a main commit. Version numbers are never
+      // reused or contended ACROSS refs: a WAP branch behind main must not
+      // collide with (or, after GC, silently reuse) main's numbers, and a
+      // main commit must not contend with a ref-pinned staged head it can
+      // never reclaim. Same-ref racers still collide at the claim — these
+      // floors are all PUBLISHED state, identical for both racers — which
+      // is the optimistic-concurrency protocol (the loser's re-plan waits
+      // for the winner's flip to surface the new base). An in-flight
+      // cross-ref claim (not yet flipped) can still collide once; the
+      // retry re-reads the floors after the racer's flip and moves past.
+      val crossRefFloor: Long = {
+        val others = branch.fold(ManifestTable.refs(root))(b =>
+          ManifestTable.refs(root) - b)
+        (others.values.map(_.version) ++ currentVersion(root)).foldLeft(0L)(math.max)
+      }
+      val next = math.max(math.max(baseV.getOrElse(0L), highWaterMark(root)),
+        crossRefFloor) + 1
       // stamp FRESH entries (no sequence yet) with this commit's version —
       // the data sequence number that scopes equality deletes; carried
       // inline entries keep the sequence of their original commit
@@ -1603,7 +1617,14 @@ object ManifestTable {
   }
 
   def dropRef(root: String, name: String): Unit = {
-    resolveRef(root, name) // must exist
+    val r = resolveRef(root, name) // must exist
+    // a dropped ref abandons any manifests it pinned ABOVE the live
+    // pointer (a WAP branch's staged commits); record the floor so later
+    // commits never contend with — or, after the orphan sweep deletes
+    // them, silently reuse — the abandoned version numbers
+    val live = currentVersion(root).getOrElse(0L)
+    if (r.version > live && r.version > highWaterMark(root))
+      MetaIO.writeAtomic(s"$root/$MaxMark", r.version.toString)
     MetaIO.delete(refPath(root, name))
   }
 

@@ -216,7 +216,10 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
         // one, the feed ends at `_CURRENT` — staged branch commits above
         // it never enter main's feed
         val cap = ChangeFeed.endCapOf(root, options, pinnedUntil)
+        // an explicit untilVersion never escapes a pin/branch end cap: a
+        // read pinned at a branch head must not silently scan past it
         val until = Option(options.get("untilVersion")).map(_.toLong)
+          .map(u => cap.fold(u)(math.min(u, _)))
           .getOrElse(cap.getOrElse(live))
         val horizon = ChangeFeed.horizonOf(root, until, excluded)
         val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(horizon)

@@ -581,4 +581,76 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(published === expect, s"published feed: $published")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("WAP: version numbers are never contended or reused across refs") {
+    import spark.implicits._
+    val t = "gcdf.ns.wapalloc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("k", "v").writeTo(t).append()                       // v1
+    spark.sql(s"CALL gcdf.system.create_branch(`table` => 'ns.wapalloc', name => 'wap')")
+    val r = root("wapalloc")
+
+    // main advances while the branch is staged at v1...
+    Seq((2L, "b")).toDF("k", "v").writeTo(t).append()                       // v2 (main)
+    Seq((3L, "c")).toDF("k", "v").writeTo(t).append()                       // v3 (main)
+    // ...then a BRANCH commit (base = branch head v1) must allocate ABOVE
+    // main's pointer — not collide with, or after GC silently reuse,
+    // main's v2/v3
+    spark.conf.set("spark.graft.write.branch", "wap")
+    try Seq((4L, "d")).toDF("k", "v").writeTo(t).append()                   // v4 (branch)
+    finally spark.conf.unset("spark.graft.write.branch")
+    assert(ManifestTable.resolveRef(r, "wap").version === 4L,
+      "branch commit must allocate above main's pointer")
+    assert(ManifestTable.currentVersion(r).get === 3L, "main pointer untouched")
+    // no cross-talk: the branch sees its base + staged row; main its own
+    assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 'wap'")
+      .as[Long].collect().toSet === Set(1L, 4L))
+    assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(1L, 2L, 3L))
+
+    // a MAIN commit while the branch is staged AHEAD allocates above the
+    // ref-pinned staged head instead of contending with a claim it can
+    // never reclaim
+    Seq((5L, "e")).toDF("k", "v").writeTo(t).append()                       // v5 (main)
+    assert(ManifestTable.currentVersion(r).get === 5L,
+      "main must allocate above the staged branch head")
+    assert(ManifestTable.resolveRef(r, "wap").version === 4L)
+
+    // DROPPING a branch abandons its staged numbers permanently: the next
+    // main commit allocates above the dropped head, so VERSION AS OF n on
+    // main can never resolve a recycled number to different content
+    spark.sql(s"CALL gcdf.system.create_branch(`table` => 'ns.wapalloc', name => 'wap2')")
+    spark.conf.set("spark.graft.write.branch", "wap2")
+    try Seq((6L, "f")).toDF("k", "v").writeTo(t).append()                   // v6 (branch)
+    finally spark.conf.unset("spark.graft.write.branch")
+    assert(ManifestTable.resolveRef(r, "wap2").version === 6L)
+    spark.sql(s"CALL gcdf.system.drop_ref(`table` => 'ns.wapalloc', name => 'wap2')")
+    Seq((7L, "g")).toDF("k", "v").writeTo(t).append()
+    assert(ManifestTable.currentVersion(r).get === 7L,
+      "a dropped branch's staged version numbers must never be reused")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("an explicit untilVersion cannot escape a VERSION AS OF / branch pin") {
+    import spark.implicits._
+    val t = "gcdf.ns.pincap"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    Seq(1L).toDF("k").writeTo(t).append()                                   // v1
+    spark.sql(s"CALL gcdf.system.create_branch(`table` => 'ns.pincap', name => 'bb')")
+    Seq(2L).toDF("k").writeTo(t).append()                                   // v2 (main)
+
+    // branch 'bb' pins v1; an untilVersion pointing past it must be
+    // capped at the pin, not silently scan main's later commits
+    val viaOption = spark.read.option("branch", "bb").option("untilVersion", "2")
+      .table(s"$t.changes").select($"k").as[Long].collect().toSet
+    assert(viaOption === Set(1L),
+      s"untilVersion must be capped at the branch pin: $viaOption")
+    // an untilVersion INSIDE the pin still narrows the read
+    Seq(3L).toDF("k").writeTo(t).append()                                   // v3 (main)
+    val narrowed = spark.read.option("untilVersion", "2").table(s"$t.changes")
+      .select($"k").as[Long].collect().toSet
+    assert(narrowed === Set(1L, 2L))
+    spark.sql(s"DROP TABLE $t")
+  }
 }
