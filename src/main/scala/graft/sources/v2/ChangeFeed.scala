@@ -161,6 +161,28 @@ object ChangeFeed {
         .getOrElse(throw new IllegalArgumentException(
           s"change-feed filter '$sql' is not translatable to a source filter")))
     }
+
+  /** Persist the stream's `filter` option beside its checkpointed offsets
+    * and REFUSE a restart under a different one. The filter scopes which
+    * partition keys the stream observes — and which rewrite horizons it
+    * is exempt from — so a restart with a weakened filter would silently
+    * deliver NO catch-up for the newly included keys (their history was
+    * consumed as "excluded" by the old offsets), and a strengthened one
+    * would silently narrow an established feed. Both fail loudly; the
+    * remedy is a fresh checkpoint. A checkpoint written before this pin
+    * existed adopts the current filter on first restart. */
+  private[v2] def pinCheckpointFilter(root: String, checkpointLocation: String,
+                                      filter: String): Unit = {
+    val p = s"$checkpointLocation/graft-filter"
+    if (graft.sources.MetaIO.exists(p)) {
+      val pinned = graft.sources.MetaIO.readString(p)
+      require(pinned == filter,
+        s"change feed of $root: this checkpoint was built with filter " +
+          s"'$pinned' but the restart specifies '$filter' — a stream's " +
+          "filter is part of its offset semantics and cannot change " +
+          "across restarts; restart from a fresh checkpoint instead")
+    } else graft.sources.MetaIO.writeAtomic(p, filter)
+  }
 }
 
 private[v2] case class ChangeFeedTable(tableName: String, root: String,
@@ -237,8 +259,11 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
   override def createReaderFactory(): PartitionReaderFactory =
     ChangeFeedPlanner.readerFactory(ctx, ChangeFeedPlanner.innerFactory(ctx))
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    ChangeFeed.pinCheckpointFilter(root, checkpointLocation,
+      Option(options.get("filter")).getOrElse(""))
     new ChangeFeedMicroBatchStream(root, meta, options, required, filters, pinnedUntil)
+  }
 }
 
 /** Streaming change feed: offsets are table versions (the same commit-log
