@@ -86,7 +86,8 @@ object ChangeFeed {
   def table(name: String, root: String, pinnedUntil: Option[Long] = None): Table = {
     val meta = VersionedCatalog.readMeta(root).getOrElse(
       throw new IllegalArgumentException(s"no versioned table under $root"))
-    require(meta.format == "parquet" || meta.format == "orc",
+    require(meta.format == "parquet" || meta.format == "orc"
+      || meta.format == "avro",
       s"change feed of $root: format ${meta.format} is not supported")
     ChangeFeedTable(name, root, meta, pinnedUntil)
   }
@@ -442,7 +443,15 @@ private[v2] object ChangeFeedPlanner {
         }
       }
 
-    def scanFor(rels: Seq[String]): org.apache.spark.sql.execution.datasources.v2.FileScan = {
+    def scanFor(rels: Seq[String]): Scan with Batch = {
+      if (meta.format == "avro")
+        // the manifest IS the listing (no index/partition discovery); avro
+        // tables never have identity columns, so readPart is empty and
+        // the emitted layout is exactly readData. Append-only by
+        // construction — the planner declines any delete artifact.
+        return new AvroManifestScan(rels.map(rel => s"$root/data/$rel"),
+          readData, readData,
+          maxSplitBytes = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
       val files = rels.map(rel => new Path(s"$root/data/$rel"))
       val params =
         if (files.isEmpty || meta.identityCols.isEmpty) Map.empty[String, String]
@@ -482,6 +491,16 @@ private[v2] object ChangeFeedPlanner {
           s"restart from a fresh checkpoint", e)
     }
     val (delAll, dataAll0) = endEntries.partition(e => ManifestTable.isDeleteEntry(e.rel))
+    // avro serves APPEND-ONLY feeds: delete application needs the
+    // positional/equality reader stack the parquet tombstone formats
+    // carry; a delete artifact appearing in the manifest fails the
+    // window loudly rather than silently dropping change events
+    if (ctx.meta.format == "avro")
+      require(delAll.isEmpty,
+        s"change feed of $root: avro change feeds are append-only, but " +
+          s"version $eV's manifest carries ${delAll.size} delete artifact(s) " +
+          "(merge-on-read DML ran against this table) — row-level delete " +
+          "events cannot be reconstructed for avro data files")
     // key scoping: data files under provably-filtered partition keys drop
     // from the feed entirely — inserts, delete targets, and eq-delete
     // emission alike. This is what lets a scoped horizon serve a pruned
