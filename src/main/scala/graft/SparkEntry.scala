@@ -160,6 +160,7 @@ object SparkEntry {
     // a merge-on-read UPDATE surfaces as update_preimage/update_postimage
     // pairs at one version (Delta CDF's four-valued contract)
     "cdf_update_images" -> ((s, d) => graft.sources.v2.V2Queries.cdfUpdateImages(s, d)),
+    "stream_scd2_gold" -> ((s, d) => graft.sources.v2.V2Queries.streamScd2Gold(s, d)),
     "agg_pushdown_group_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownGroupScan(s, d)),
     "agg_pushdown_day_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownDayScan(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
@@ -304,6 +305,7 @@ object SparkEntry {
     "table_changes_scan" -> graft.sources.v2.V2Queries.oracle.tableChangesScan,
     "stream_cdf_gold" -> graft.sources.v2.V2Queries.oracle.streamCdfGold,
     "cdf_update_images" -> graft.sources.v2.V2Queries.oracle.cdfUpdateImages,
+    "stream_scd2_gold" -> graft.sources.v2.V2Queries.oracle.streamScd2Gold,
     "agg_pushdown_group_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownGroupScan,
     "agg_pushdown_day_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownDayScan,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,

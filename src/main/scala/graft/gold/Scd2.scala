@@ -1,0 +1,135 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** SCD2 dimension maintenance driven by a change data feed — the
+  * reference's silver MERGE → gold lineage
+  * (`/root/reference/dags/2_bronze_to_silver.py:278-293`) as an
+  * INCREMENTAL job: a streaming `tbl.changes` consumer folds the feed's
+  * four-valued `_change_type` events into a type-2 slowly-changing
+  * dimension. Each key's history is a chain of validity intervals
+  * `[valid_from, valid_to)` in commit versions, with at most one open
+  * (`is_current`) row per key:
+  *
+  *  - `insert` / `update_postimage` OPEN a row at their commit version;
+  *  - `update_preimage` / `delete` CLOSE the key's open row at theirs —
+  *    an update therefore closes-and-reopens atomically (both images
+  *    carry one version), a delete closes without a reopen.
+  *
+  * Per micro-batch the fold is fully relational: in-batch open→close
+  * chaining is a window `lead` over each key's opens plus an
+  * `array_min(filter(deaths, > valid_from))` for delete-closes, and the
+  * handoff to history already in the target is ONE `MERGE INTO` whose
+  * source unions the batch's timeline rows with one close instruction
+  * per key (`min` close version). The MERGE matches only close
+  * instructions against only current rows, so the statement is
+  * first-match-deterministic and the multi-match guard holds.
+  *
+  * Scale notes (100 TB): the fold shuffles once on the dimension key
+  * (window + groupBy share it); the MERGE is one equi-join on the key
+  * with the batch side small enough to broadcast under AQE. Target
+  * rewrite cost is copy-on-write per batch — the standard lakehouse SCD2
+  * shape — and the change feed delivers only touched rows, so a batch's
+  * cost follows upstream churn, never dimension size. Restart safety
+  * rides the stream checkpoint: offsets are table versions, and the
+  * change-feed filter pin refuses a restart under altered scoping.
+  */
+object Scd2 {
+
+  private val CloseV = "__scd2_close_v"
+  private val IsClose = "__scd2_is_close"
+
+  /** Fold ONE change-feed micro-batch into a MERGE source: the batch's
+    * timeline rows (opens, already chained in-batch) tagged
+    * `__scd2_is_close = false`, plus one close instruction per key that
+    * had an in-batch `update_preimage`/`delete` (its EARLIEST such
+    * version — later in-batch events chain against in-batch opens, not
+    * against the target). */
+  private[graft] def foldBatch(batch: DataFrame, keyCols: Seq[String],
+                               attrCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val birth = col("_change_type").isin("insert", "update_postimage")
+    val death = col("_change_type").isin("update_preimage", "delete")
+
+    val opens = batch.where(birth)
+      .select(keyCols.map(col) ++ attrCols.map(col) :+
+        col("_commit_version").as("valid_from"): _*)
+      .withColumn("__next_open",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(keys: _*).orderBy(col("valid_from"))))
+
+    // per-key DELETE versions: a delete closes without a reopen, so it is
+    // invisible to the open-chain lead; an update's preimage needs no
+    // entry here — its postimage IS the next open at the same version
+    val deaths = batch.where(col("_change_type") === "delete")
+      .groupBy(keys: _*)
+      .agg(collect_list(col("_commit_version")).as("__deaths"))
+
+    val timeline = opens.join(deaths, keyCols, "left")
+      .withColumn("__death_after",
+        expr("array_min(filter(__deaths, x -> x > valid_from))"))
+      .withColumn("valid_to", least(col("__next_open"), col("__death_after")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__next_open", "__deaths", "__death_after")
+
+    val attrTypes = attrCols.map(c => c -> batch.schema(c).dataType)
+    val openSrc = timeline
+      .withColumn(CloseV, lit(null).cast("bigint"))
+      .withColumn(IsClose, lit(false))
+    val closeSrc = batch.where(death)
+      .groupBy(keys: _*).agg(min(col("_commit_version")).as(CloseV))
+      .select(keyCols.map(col) ++
+        attrTypes.map { case (c, t) => lit(null).cast(t).as(c) } ++
+        Seq(lit(null).cast("bigint").as("valid_from"),
+          lit(null).cast("bigint").as("valid_to"),
+          lit(null).cast("boolean").as("is_current"),
+          col(CloseV), lit(true).as(IsClose)): _*)
+    openSrc.unionByName(closeSrc)
+  }
+
+  /** Apply one folded micro-batch to the target dimension with a single
+    * atomic MERGE: close instructions close the key's current row, the
+    * batch's timeline rows append. A close whose key has no current row
+    * (out-of-contract feed) matches nothing and is dropped. */
+  private[graft] def applyBatch(spark: SparkSession, targetTable: String,
+                                batch: DataFrame, keyCols: Seq[String],
+                                attrCols: Seq[String]): Unit = {
+    val view = "__graft_scd2_src"
+    foldBatch(batch, keyCols, attrCols).createOrReplaceTempView(view)
+    try {
+      val onKeys = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val insCols = (keyCols ++ attrCols ++
+        Seq("valid_from", "valid_to", "is_current")).mkString(", ")
+      val insVals = (keyCols ++ attrCols ++
+        Seq("valid_from", "valid_to", "is_current")).map("s." + _).mkString(", ")
+      graft.plans.MergeInto.sql(spark,
+        s"""MERGE INTO $targetTable t USING $view s
+           |ON $onKeys AND t.is_current = true AND s.$IsClose = true
+           |WHEN MATCHED THEN UPDATE SET valid_to = s.$CloseV, is_current = false
+           |WHEN NOT MATCHED AND s.$IsClose = false THEN
+           |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  /** Run the maintenance to exhaustion of the available changes
+    * (`Trigger.AvailableNow`): stream `sourceTable.changes` from the
+    * checkpoint's offsets and fold every micro-batch into `targetTable`.
+    * The first run snapshots the source (delivered as inserts) into
+    * all-current rows; subsequent runs consume only row-level changes. */
+  def maintain(spark: SparkSession, sourceTable: String, targetTable: String,
+               keyCols: Seq[String], attrCols: Seq[String],
+               checkpoint: String): Unit = {
+    val q = spark.readStream.table(s"$sourceTable.changes")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        applyBatch(b.sparkSession, targetTable, b.toDF(), keyCols, attrCols)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1114,6 +1114,49 @@ object V2Queries {
     }
   }
 
+  /** SCD2 dimension maintained INCREMENTALLY from CDF update images —
+    * the end-to-end consumer of the four-valued change feed
+    * ([[graft.gold.Scd2]]): a customer dimension is snapshotted into
+    * all-current rows, then a merge-on-read UPDATE (preimage/postimage
+    * pair) closes-and-reopens the touched keys' intervals and a
+    * merge-on-read DELETE closes without a reopen, each consumed as
+    * row-level change events through the streaming checkpoint — never a
+    * flat recompute. The oracle recomputes the full SCD2 table flat from
+    * the raw customers, so the hash match proves interval chaining,
+    * attribute versioning, and current-row maintenance are all exact. */
+  def streamScd2Gold(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val src = s"$Cat.q.${newName("s2src")}"
+    val tgt = s"$Cat.q.${newName("s2dim")}"
+    val ck = java.nio.file.Files.createTempDirectory("graft_scd2_ck").toString
+    val prev = Seq("spark.graft.update.mode", "spark.graft.delete.mode")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      graft.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .writeTo(src).create()                                              // v1
+      spark.sql(s"CREATE TABLE $tgt (c_custkey BIGINT, c_mktsegment STRING, " +
+        "c_acctbal DOUBLE, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN)")
+      def drain(): Unit = graft.gold.Scd2.maintain(spark, src, tgt,
+        Seq("c_custkey"), Seq("c_mktsegment", "c_acctbal"), ck)
+      drain() // initial snapshot: every customer opens at v1
+      Seq("spark.graft.update.mode", "spark.graft.delete.mode")
+        .foreach(k => spark.conf.set(k, "merge-on-read"))
+      graft.plans.MergeInto.sql(spark,
+        s"UPDATE $src SET c_acctbal = c_acctbal + 100 WHERE c_custkey % 10 = 3") // v2
+      drain() // preimages close at v2, postimages reopen at v2
+      graft.plans.MergeInto.sql(spark,
+        s"DELETE FROM $src WHERE c_custkey % 10 = 7")                            // v3
+      drain() // closes at v3, no reopen
+      spark.table(tgt).localCheckpoint(true)
+    } finally {
+      prev.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                     case (k, None) => spark.conf.unset(k) }
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+      spark.sql(s"DROP TABLE IF EXISTS $tgt")
+    }
+  }
+
   object oracle {
     /** Stats pruning must be invisible in the data: recompute from the
       * raw events, layout verdict pinned TRUE. */
@@ -1261,6 +1304,28 @@ object V2Queries {
          |    AS volume
          |FROM events
          |GROUP BY 1""".stripMargin
+
+    /** The incrementally-maintained SCD2 dimension recomputed flat: one
+      * current row per surviving customer, a closed+reopened pair for
+      * the v2-updated cohort, a closed row (no reopen) for the
+      * v3-deleted cohort. */
+    val streamScd2Gold: String =
+      s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+         |  CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         |  TRUE AS is_current
+         |FROM customer WHERE c_custkey % 10 <> 3 AND c_custkey % 10 <> 7
+         |UNION ALL
+         |SELECT c_custkey, c_mktsegment, c_acctbal,
+         |  CAST(1 AS BIGINT), CAST(2 AS BIGINT), FALSE
+         |FROM customer WHERE c_custkey % 10 = 3
+         |UNION ALL
+         |SELECT c_custkey, c_mktsegment, c_acctbal + 100,
+         |  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM customer WHERE c_custkey % 10 = 3
+         |UNION ALL
+         |SELECT c_custkey, c_mktsegment, c_acctbal,
+         |  CAST(1 AS BIGINT), CAST(3 AS BIGINT), FALSE
+         |FROM customer WHERE c_custkey % 10 = 7""".stripMargin
 
     /** The sink-committed per-type aggregate recomputed flat. */
     val streamTableSink: String =

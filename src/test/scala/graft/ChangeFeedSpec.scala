@@ -631,6 +631,134 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("avro tables serve append-only change feeds; a delete artifact declines loudly") {
+    import spark.implicits._
+    val t = "gcdf.ns.avrocdf"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo(t).using("avro").create() // v1
+    Seq((3L, "c")).toDF("k", "v").writeTo(t).append()                          // v2
+    val got = changes(t).select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 2L)))
+
+    // streaming: initial snapshot, then a catch-up window of new appends
+    val ck = Files.createTempDirectory("avro_cdf_ck").toString
+    val sink = Files.createTempDirectory("avro_cdf_sink").toString + "/out"
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$t.changes").writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(sink).select($"k").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+    Seq((4L, "d")).toDF("k", "v").writeTo(t).append()                          // v3
+    drain()
+    assert(spark.read.parquet(sink)
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+      === Set((1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 2L),
+        (4L, "insert", 3L)))
+
+    // a delete artifact (external CDC writer shape) kills the feed LOUDLY —
+    // row-level deletes cannot be reconstructed for avro data files
+    ManifestTable.appendEqualityDeletes(Seq(2L).toDF("k"), root("avrocdf"))
+    val e = intercept[Exception] { changes(t).collect() }
+    def messages(ex: Throwable): Seq[String] =
+      Option(ex).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("append-only")), s"${messages(e)}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SCD2 maintenance folds update images, deletes, and in-batch chains exactly") {
+    import spark.implicits._
+    val t = "gcdf.ns.scd2src"
+    val d = "gcdf.ns.scd2dim"
+    Seq(t, d).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"CREATE TABLE $d (k BIGINT, v STRING, " +
+      "valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN)")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").writeTo(t).append() // v1
+    val ck = Files.createTempDirectory("scd2_ck").toString
+    def drain(): Unit = graft.gold.Scd2.maintain(spark, t, d,
+      Seq("k"), Seq("v"), ck)
+    def dim(): Set[(Long, String, Long, Option[Long], Boolean)] =
+      spark.table(d).select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+
+    drain() // initial snapshot: all current at v1
+    assert(dim() === Set((1L, "a", 1L, None, true), (2L, "b", 1L, None, true),
+      (3L, "c", 1L, None, true)))
+
+    // ONE batch spanning an update, a delete, AND a re-insert of the
+    // deleted key: the in-batch chain must close the re-opened rows
+    // against in-batch events, not just against the target
+    withMorDml {
+      graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = 'B' WHERE k = 2") // v2
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 3")        // v3
+      Seq((3L, "z")).toDF("k", "v").writeTo(t).append()                      // v4
+    }
+    drain()
+    assert(dim() === Set(
+      (1L, "a", 1L, None, true),
+      (2L, "b", 1L, Some(2L), false), (2L, "B", 2L, None, true),
+      (3L, "c", 1L, Some(3L), false), (3L, "z", 4L, None, true)),
+      s"got ${dim()}")
+
+    // a later delete closes the re-inserted row's interval
+    withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 1")) // v5
+    drain()
+    assert(dim().contains((1L, "a", 1L, Some(5L), false)))
+    assert(!dim().exists(r => r._1 == 1L && r._5), "k=1 must have no current row")
+    Seq(t, d).foreach(x => spark.sql(s"DROP TABLE $x"))
+  }
+
+  test("the streaming filter is pinned in the checkpoint: a changed restart fails loudly") {
+    import spark.implicits._
+    val t = "gcdf.ns.fpin"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING) PARTITIONED BY (region)")
+    (0 until 10).map(i => (i.toLong, s"r${i % 2}")).toDF("k", "region")
+      .writeTo(t).append()                                                  // v1
+    val checkpoint = Files.createTempDirectory("cdf_fpin_ck").toString
+    val sink = Files.createTempDirectory("cdf_fpin_sink").toString + "/out"
+    def drain(filter: Option[String]): Unit = {
+      val r0 = spark.readStream
+      val r = filter.fold(r0)(f => r0.option("filter", f))
+      val q = r.table(s"$t.changes").writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(Some("region = 'r1'"))
+    assert(spark.read.parquet(sink).select($"k").as[Long].collect().toSet
+      === Set(1L, 3L, 5L, 7L, 9L))
+
+    // same filter resumes: only the new commit's r1 rows stream
+    (10 until 14).map(i => (i.toLong, s"r${i % 2}")).toDF("k", "region")
+      .writeTo(t).append()                                                  // v2
+    drain(Some("region = 'r1'"))
+    assert(spark.read.parquet(sink).select($"k").as[Long].collect().toSet
+      === Set(1L, 3L, 5L, 7L, 9L, 11L, 13L))
+
+    // a WEAKENED filter (and a dropped one) must fail loudly, naming both:
+    // the r0 history was already consumed as "excluded" by these offsets
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    for (changed <- Seq(Some("region = 'r0'"), None)) {
+      val ex = intercept[Exception] { drain(changed) }
+      val ms = messages(ex)
+      assert(ms.exists(m => m.contains("region = 'r1'") &&
+        m.contains("cannot change across restarts")), s"$ms")
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("an explicit untilVersion cannot escape a VERSION AS OF / branch pin") {
     import spark.implicits._
     val t = "gcdf.ns.pincap"
