@@ -280,6 +280,31 @@ object ScaleBench {
     require(nDvTomb >= 2000000L, "expected the folded >=2x10^6-tombstone vector")
     spark.sql("DROP TABLE scale_cat.b.evm")
 
+    // DENSE merge-on-read delete: ~90% of rows tombstoned across only 4
+    // data files. The direct dv write scales its blob count with POSITION
+    // volume (~4M positions per blob), splitting a dense file's positions
+    // at a range boundary, so the write parallelizes instead of funneling
+    // through a ceil(files/64) = 1 single-task plan.
+    evCat.repartition(4).writeTo("scale_cat.b.evd").create()
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    val dd0 = System.nanoTime()
+    try graft.plans.MergeInto.sql(spark,
+      "DELETE FROM scale_cat.b.evd WHERE user_id % 10 < 9")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val ddSecs = (System.nanoTime() - dd0) / 1e9
+    val denseRoot = s"$wh/b/evd"
+    val denseEntries = graft.sources.ManifestTable.liveDeleteEntries(denseRoot)
+    val denseTomb = graft.sources.DeleteVectors
+      .tombstoneDf(spark, denseRoot, denseEntries).count()
+    println(f"[scale] dense_delete rows=$catRows tombstones=$denseTomb " +
+      f"blobs=${denseEntries.size} dml_secs=$ddSecs%.2f")
+    require(denseEntries.size >= 2 || denseTomb <= (4L << 20),
+      s"a dense delete must fan out across dv blobs: ${denseEntries.size}")
+    val denseLive = spark.table("scale_cat.b.evd").count()
+    require(denseLive == catRows - denseTomb,
+      s"tombstoned scan must stay exact: $denseLive vs ${catRows - denseTomb}")
+    spark.sql("DROP TABLE scale_cat.b.evd")
+
     // ONE large tombstoned file: positions apply PER SPLIT (base row
     // recovered from the footer), so a single tombstone no longer
     // collapses the file to one whole-file partition — the shape where a

@@ -163,6 +163,7 @@ object SparkEntry {
     "stream_scd2_gold" -> ((s, d) => graft.sources.v2.V2Queries.streamScd2Gold(s, d)),
     "agg_pushdown_group_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownGroupScan(s, d)),
     "agg_pushdown_day_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownDayScan(s, d)),
+    "agg_pushdown_prefix_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownPrefixScan(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
     "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
@@ -308,6 +309,7 @@ object SparkEntry {
     "stream_scd2_gold" -> graft.sources.v2.V2Queries.oracle.streamScd2Gold,
     "agg_pushdown_group_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownGroupScan,
     "agg_pushdown_day_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownDayScan,
+    "agg_pushdown_prefix_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownPrefixScan,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,

@@ -256,7 +256,18 @@ object ManifestTable {
     * head, and only the branch ref moves, so main readers see nothing
     * until `fast_forward` publishes the audited head. The branch must
     * already exist on the table (an accidental global conf must not
-    * silently invent branches on every table it touches). */
+    * silently invent branches on every table it touches).
+    *
+    * Scope is WRITE-ONLY — a deliberate divergence from Iceberg's
+    * `spark.wap.branch`, which routes the session's plain reads to the
+    * staging branch too. Here a plain `SELECT` (including one feeding an
+    * `INSERT ... SELECT`) under the conf still reads MAIN; audit queries
+    * address the staged snapshot explicitly with `VERSION AS OF
+    * '<branch>'` or the `branch` read option. Rationale: a session-global
+    * conf that silently redirects every read makes audit queries and
+    * production readers indistinguishable; the explicit form keeps "what
+    * am I reading" in the query text. DML is the exception — its
+    * read-modify-write base IS the branch head, or staging would corrupt. */
   private def wapBranch: Option[String] =
     SparkSession.getActiveSession
       .flatMap(_.conf.getOption("spark.graft.write.branch")).filter(_.nonEmpty)
@@ -431,6 +442,14 @@ object ManifestTable {
   /** Properties of the live manifest (empty if never committed). */
   def liveProps(root: String): Map[String, String] =
     currentVersion(root).map(manifestProps(root, _)).getOrElse(Map.empty)
+
+  /** Props of the snapshot WRITES extend — the staging branch head under
+    * `spark.graft.write.branch`, else the live snapshot. Exactly-once
+    * markers (streaming epoch ids) must be read from here: under WAP the
+    * stream's commits land on the branch, so a replayed epoch checked
+    * against MAIN's props would re-commit and double-append the batch. */
+  def writeBaseProps(root: String): Map[String, String] =
+    writeBaseVersion(root).map(manifestProps(root, _)).getOrElse(Map.empty)
 
   private def manifestLines(root: String, v: Long): Seq[String] = {
     val p = manifestPath(root, v)
@@ -1059,8 +1078,9 @@ object ManifestTable {
     * parquet (the shape a CDC-churned table lives in). Zero data files
     * rewritten; slice delete-versions stamp inside the commit loop. */
   def appendDeletes(tombstones: DataFrame, root: String, retain: Int = 2): Long = {
-    val touched = touchedRelsOf(tombstones)
-    val fresh = writeDvPoolDirect(tombstones, root, touched)
+    val counts = touchedCountsOf(tombstones)
+    val touched = counts.keySet
+    val fresh = writeDvPoolDirect(tombstones, root, counts)
     commitLoop(root, retain, rebase = true) { base =>
       requireTombstonedFilesLive(root, base, touched)
       Planned(base.inline ++ fresh, base.props + (OpProp -> "delete"),
@@ -1230,6 +1250,14 @@ object ManifestTable {
     tombstones.select(col("__file").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
 
+  /** Per-target-file tombstone counts — the same single pass the rel
+    * listing costs, but the counts let the dv writer scale its
+    * parallelism with position volume, not just file count. Driver
+    * memory is bounded by the touched-file count, never by rows. */
+  private def touchedCountsOf(tombstones: DataFrame): Map[String, Long] =
+    tombstones.select(col("__file").cast("string")).groupBy(col("__file"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Tombstones are only meaningful against the exact files they name: a
     * concurrent compaction/rewrite that replaced those files would turn
     * this commit into a silent no-op (DELETE) or a row resurrection
@@ -1265,9 +1293,10 @@ object ManifestTable {
                         partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
                         partitionCols: Seq[String] = Nil): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
-    val touched = touchedRelsOf(tombstones)
+    val counts = touchedCountsOf(tombstones)
+    val touched = counts.keySet
     val freshData = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
-    val freshDel = writeDvPoolDirect(tombstones, root, touched)
+    val freshDel = writeDvPoolDirect(tombstones, root, counts)
     val zone = writeZoneOf(df, partitionDayOf)
     commitLoop(root, retain, rebase = true) { base =>
       requireTombstonedFilesLive(root, base, touched)
@@ -1313,17 +1342,30 @@ object ManifestTable {
     * delete-versions carry [[DeleteVectors.SeqSentinel]]; the commit
     * loop stamps them with the version the claim wins. */
   private def writeDvPoolDirect(tombstones: DataFrame, root: String,
-                                touched: Set[String]): Seq[FileEntry] = {
+                                touched: Map[String, Long]): Seq[FileEntry] = {
     val spark = tombstones.sparkSession
     import spark.implicits._
     val stageDir = s"$root/stage/dvw_${UUID.randomUUID().toString.take(12)}"
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     // one blob per ~64 target files: parallel write at scale, a bounded
-    // slice index per manifest entry, same one-ranged-read-per-file shape
-    val nOut = math.max(1, math.min(64, (touched.size + 63) / 64))
+    // slice index per manifest entry, same one-ranged-read-per-file shape.
+    // Parallelism follows BOTH backlog dimensions: ~64 target files per
+    // blob bounds each entry's slice index, and ~4M positions per blob
+    // keeps a DENSE DML (millions of tombstones over few files) off a
+    // single-task funnel. Ranging on (__file, __pos) lets one dense
+    // file's positions split across tasks at a position boundary — each
+    // side emits its own slice, and readers union slices per file
+    // ([[graft.sources.v2.MorDeletes.positionsFor]] merges+dedups), so a
+    // split is invisible beyond one extra ranged read.
+    val rowsPerBlob =
+      math.max(1L, confLong("spark.graft.delete.dvRowsPerBlob", 4L << 20))
+    val totalRows = touched.valuesIterator.sum
+    val nOut = math.max(1L, math.min(64L,
+      math.max((touched.size + 63L) / 64L,
+        (totalRows + rowsPerBlob - 1) / rowsPerBlob))).toInt
     val written: Seq[(String, Seq[(String, Long, Int)])] = tombstones
       .select(col("__file").cast("string"), col("__pos").cast("long"))
-      .repartitionByRange(nOut, col("__file"))
+      .repartitionByRange(nOut, col("__file"), col("__pos"))
       .sortWithinPartitions(col("__file"), col("__pos"))
       .as[(String, Long)]
       .mapPartitions { it =>

@@ -588,6 +588,21 @@ private[v2] object ChangeFeedPlanner {
     // units with fresh data files (appendWithDeletes — the merge-on-read
     // UPDATE). Pure END-manifest shape test: separate commits can never
     // share a version, and DV maintenance preserves per-slice versions.
+    //
+    // SCOPED-VIEW CONTRACT (spec-pinned): the shape test runs over the
+    // files THIS read can see, so a filter that provably excludes every
+    // partition key the update's NEW files landed in drops the version
+    // from `updateVersions` — the surviving preimages classify as plain
+    // `delete` events. That is the correct semantics, not an accident:
+    // from the scoped view's perspective a row whose update moved it to
+    // an excluded key LEFT the view, and a consumer maintaining that
+    // view must retract it. An update whose new files stay inside the
+    // view keeps its preimage/postimage pairing. The converse scoping is
+    // asymmetric by design: a view containing only the DESTINATION still
+    // sees the arrivals as `update_postimage` (the commit's shape is an
+    // update; the exclusion applies to delete targets, not the version),
+    // which consumers treat as a birth event either way — per-row
+    // old→new pairing is only promised when the old row is in view.
     val updateVersions: Set[Long] =
       dataAll.map(seq0).toSet &
         (posUnits.map(_._2).toSet ++ eqSpecs.map(_._1.seq).toSet)

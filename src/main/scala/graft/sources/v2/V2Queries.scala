@@ -620,6 +620,37 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** TRUNCATE-transform grouped metadata-only aggregates: GROUP BY an
+    * anchored string prefix (`substring(col, 1, w)`) over a
+    * truncate(w, col)-partitioned table answers from per-file manifest
+    * stats — prefixes are monotone under string order, so a file whose
+    * min/max share the w-prefix pins every row, and truncate layouts pin
+    * by construction. The `agg_meta_ok` verdict asserts the executed
+    * plan is the metadata rows-scan (`GraftAggScan`, zero data files
+    * opened); the oracle recomputes every prefix group flat. */
+  def aggPushdownPrefixScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("aggp")}"
+    try {
+      spark.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
+        "p_retailprice DOUBLE) PARTITIONED BY (truncate(7, p_brand))")
+      graft.Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .writeTo(tbl).append()
+      val agg = spark.table(tbl)
+        .groupBy(substring(col("p_brand"), 1, 7).as("brand_prefix"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_partkey")).as("min_key"), max(col("p_partkey")).as("max_key"),
+          min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"))
+      val out = agg.localCheckpoint(true)
+      val metaOnly = agg.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.exists(_.description().startsWith("GraftAggScan["))
+      out.withColumn("agg_meta_ok", lit(metaOnly))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Native streaming SINK — `writeStream.toTable` on a versioned table:
     * the events parquet streams in via the file source, every epoch's
     * task files land through the engine's STREAMING_WRITE (staged
@@ -1257,6 +1288,16 @@ object V2Queries {
          |  MIN(value) AS min_value, MAX(value) AS max_value,
          |  TRUE AS agg_meta_ok
          |FROM events
+         |GROUP BY 1""".stripMargin
+
+    /** Every per-prefix metadata-derived aggregate recomputed flat; the
+      * metadata-only verdict pinned TRUE. */
+    val aggPushdownPrefixScan: String =
+      s"""SELECT substring(p_brand, 1, 7) AS brand_prefix, COUNT(*) AS n_parts,
+         |  MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key,
+         |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
+         |  TRUE AS agg_meta_ok
+         |FROM part
          |GROUP BY 1""".stripMargin
 
     /** Every per-day metadata-derived aggregate recomputed flat; the

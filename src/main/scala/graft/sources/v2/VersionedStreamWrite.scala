@@ -156,9 +156,11 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case StagedFiles(fs) => fs }.flatten.toSeq
     val key = s"stream.$queryId.epoch"
+    // the marker reads from the WRITE base — under a WAP staging branch
+    // that is the branch head, where this stream's epochs actually land
     val last =
       if (ManifestTable.exists(root))
-        ManifestTable.liveProps(root).get(key).map(_.toLong)
+        ManifestTable.writeBaseProps(root).get(key).map(_.toLong)
       else None
     if (last.exists(_ >= epochId)) {
       // replayed epoch: its rows are already committed — discard

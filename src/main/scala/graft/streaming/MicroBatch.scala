@@ -68,9 +68,11 @@ object MicroBatch {
                             partitionDayOf: Option[String] = None): Boolean = {
     import graft.sources.ManifestTable
     val key = s"stream.$appId.batch"
+    // the marker reads from the WRITE base — under a WAP staging branch
+    // that is the branch head, where this sink's commits actually land
     val last =
       if (ManifestTable.exists(root))
-        ManifestTable.liveProps(root).get(key).map(_.toLong).getOrElse(-1L)
+        ManifestTable.writeBaseProps(root).get(key).map(_.toLong).getOrElse(-1L)
       else -1L
     if (batchId <= last) false
     // an empty FIRST batch (AvailableNow over a not-yet-populated source)

@@ -631,6 +631,53 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("scoped view: a filter excluding the update's DESTINATION sees preimages as deletes") {
+    import spark.implicits._
+    val t = "gcdf.ns.scopemv"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, region STRING, v BIGINT) " +
+      "PARTITIONED BY (region)")
+    (0 until 8).map(i => (i.toLong, "r0", i * 10L)).toDF("k", "region", "v")
+      .writeTo(t).append()                                                  // v1
+    // the UPDATE MOVES rows out of r0: preimages tombstone r0 files, the
+    // rewritten rows land under the r1 directory
+    withMorDml(graft.plans.MergeInto.sql(spark,
+      s"UPDATE $t SET region = 'r1' WHERE k < 3"))                          // v2
+
+    // unscoped feed: the move is an update — pre/postimage pair at v2
+    val full = changes(t)
+      .select($"k", $"region", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(full.filter(_._3 == "update_preimage") ===
+      (0L until 3L).map((_, "r0", "update_preimage", 2L)).toSet)
+    assert(full.filter(_._3 == "update_postimage") ===
+      (0L until 3L).map((_, "r1", "update_postimage", 2L)).toSet)
+
+    // a feed scoped AWAY from the destination (r1 excluded): the moved
+    // rows LEFT this view, so the surviving preimages are plain deletes —
+    // exactly what a consumer maintaining the scoped view must apply
+    val scoped = spark.read.option("filter", "region = 'r0'")
+      .table(s"$t.changes")
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(scoped === (0L until 8L).map((_, "insert", 1L)).toSet ++
+      (0L until 3L).map((_, "delete", 2L)).toSet,
+      s"scoped feed must retract moved rows as deletes: $scoped")
+
+    // a feed scoped TO the destination sees only the arrivals, still
+    // marked update_postimage (the version's commit shape is an update;
+    // per-row pairing is only promised when the OLD row is in view).
+    // Either marking is a birth event to consumers — what matters, and
+    // is pinned here, is that nothing else leaks in
+    val dest = spark.read.option("filter", "region = 'r1'")
+      .table(s"$t.changes")
+      .select($"k", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(dest === (0L until 3L).map((_, "update_postimage", 2L)).toSet,
+      s"destination-scoped feed: $dest")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("avro tables serve append-only change feeds; a delete artifact declines loudly") {
     import spark.implicits._
     val t = "gcdf.ns.avrocdf"

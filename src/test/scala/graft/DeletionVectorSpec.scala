@@ -296,4 +296,43 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.table(t).select($"k").as[Long].collect().sorted.toSeq === expect)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("a DENSE delete fans out across dv blobs, splitting one file's positions") {
+    import spark.implicits._
+    val t = "gdv.ns.dense"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    (0L until 1000L).map(k => (k, k * 0.5)).toDF("k", "v")
+      .repartition(2).writeTo(t).append()                                  // v1
+    val r = root("dense")
+    val prevBlob = spark.conf.getOption("spark.graft.delete.dvRowsPerBlob")
+    spark.conf.set("spark.graft.delete.dvRowsPerBlob", "100")
+    try withMorDelete {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 10 < 8")  // v2
+    } finally prevBlob match {
+      case Some(v) => spark.conf.set("spark.graft.delete.dvRowsPerBlob", v)
+      case None => spark.conf.unset("spark.graft.delete.dvRowsPerBlob")
+    }
+    // 800 tombstones over 2 files at 100 rows/blob: the write fans out
+    // (capped by 64), so each of the 2 dense files spans several blobs —
+    // a file's positions are NOT atomic to one slice
+    val dvs = ManifestTable.liveDeleteEntries(r)
+      .filter(e => ManifestTable.isDvEntry(e.rel))
+    assert(dvs.size >= 4, s"dense delete must fan out, got ${dvs.size} blobs")
+    val slices = dvs.flatMap(e => DeleteVectors.decodeIndex(e.stats.getOrElse("")).get)
+    val perFile = slices.groupBy(_.relEnc).values.map(_.size)
+    assert(perFile.exists(_ >= 2),
+      s"a dense file's positions must split across slices: $perFile")
+    assert(slices.forall(_.seq == 2L), "every slice stamps the DML's version")
+
+    // reads union the split slices exactly: scan, and the change feed
+    assert(spark.table(t).select($"k").as[Long].collect().toSet ===
+      (0L until 1000L).filter(_ % 10 >= 8).toSet)
+    val dels = spark.table(s"$t.changes")
+      .where($"_change_type" === "delete")
+      .select($"k", $"_commit_version").as[(Long, Long)].collect()
+    assert(dels.length === 800 && dels.forall(_._2 == 2L))
+    assert(dels.map(_._1).toSet === (0L until 1000L).filter(_ % 10 < 8).toSet)
+    spark.sql(s"DROP TABLE $t")
+  }
 }

@@ -316,4 +316,54 @@ class StreamTableWriteSpec extends AnyFunSuite {
     assert(win.count() === 20)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("WAP: streaming epochs stage on the write branch, exactly once; publish flips them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "gstw.ns.wapsink"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    Seq((0L, "base")).toDF("k", "v").writeTo(t).append()                    // v1
+    spark.sql(s"CALL gstw.system.create_branch(`table` => 'ns.wapsink', name => 'wap')")
+    val root = s"${spark.conf.get("spark.sql.catalog.gstw.warehouse")}/ns/wapsink"
+    val checkpoint = Files.createTempDirectory("stw_wap_ck").toString
+
+    val mem = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    spark.conf.set("spark.graft.write.branch", "wap")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      drain()                                                               // v2 (branch)
+      // main untouched; the branch carries base + epoch rows and the marker
+      assert(ManifestTable.currentVersion(root).get === 1L, "main must not move")
+      assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(0L))
+      assert(spark.sql(s"SELECT k FROM $t VERSION AS OF 'wap'")
+        .as[Long].collect().toSet === Set(0L, 1L, 2L))
+      assert(ManifestTable.writeBaseProps(root).keys.exists(_.startsWith("stream.")),
+        "the epoch marker must ride the BRANCH commit")
+
+      // restart from the same checkpoint: the replayed epoch is detected
+      // from the BRANCH head (not main, which has no marker) — no
+      // double-append; the genuinely new batch lands once
+      drain()
+      mem.addData((3L, "c"))
+      drain()                                                               // v3 (branch)
+      val staged = spark.sql(s"SELECT k FROM $t VERSION AS OF 'wap'")
+        .as[Long].collect().toSeq
+      assert(staged.size === 4, s"exactly-once under WAP staging: $staged")
+      assert(staged.toSet === Set(0L, 1L, 2L, 3L))
+      assert(ManifestTable.currentVersion(root).get === 1L)
+    } finally spark.conf.unset("spark.graft.write.branch")
+
+    // publish: main flips to the audited streamed snapshot
+    spark.sql(s"CALL gstw.system.fast_forward(`table` => 'ns.wapsink', branch => 'wap')")
+    assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(0L, 1L, 2L, 3L))
+    spark.sql(s"DROP TABLE $t")
+  }
 }
