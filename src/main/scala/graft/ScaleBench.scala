@@ -245,9 +245,10 @@ object ScaleBench {
       "DELETE FROM scale_cat.b.evm WHERE user_id % 10 = 3")
     finally spark.conf.unset("spark.graft.delete.mode")
     val morRoot = s"$wh/b/evm"
-    val nTomb = spark.read.parquet(
-      graft.sources.ManifestTable.liveDeleteEntries(morRoot)
-        .map(e => s"$morRoot/data/${e.rel}"): _*).count()
+    // the DML publishes dv blobs directly (round 13) — count through the
+    // slice index, not a parquet read of the delete dir
+    val nTomb = graft.sources.DeleteVectors.tombstoneDf(spark, morRoot,
+      graft.sources.ManifestTable.liveDeleteEntries(morRoot)).count()
     scanEvm() // warm the delete-applying paths too
     val morNs = math.min(scanEvm(), scanEvm())
     println(f"[scale] mor_scan rows=$catRows tombstones=$nTomb " +

@@ -430,6 +430,13 @@ object ManifestTable {
     * Carried forward by [[append]] so the live snapshot always exposes
     * the latest value per key (streaming sinks store their last batch id
     * here, giving exactly-once appends under foreachBatch retries). */
+  /** Retained versions with their commit instants (manifest mtime,
+    * millis) — the timestamp axis for `TIMESTAMP AS OF` and the change
+    * feed's `fromTimestamp`/`untilTimestamp`. Ascending by version;
+    * cost is one listing plus one mtime stat per retained manifest. */
+  def versionTimes(root: String): Seq[(Long, Long)] =
+    versions(root).map(v => v -> MetaIO.mtimeMillis(manifestPath(root, v)))
+
   def manifestProps(root: String, v: Long): Map[String, String] =
     allProps(root, v) - FenceProp // the fence is commit-protocol-internal
 

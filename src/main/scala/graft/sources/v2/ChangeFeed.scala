@@ -163,6 +163,42 @@ object ChangeFeed {
           s"change-feed filter '$sql' is not translatable to a source filter")))
     }
 
+  /** Parse a timestamp read option: ISO instant (`2024-05-01T08:00:00Z`)
+    * or a wall-clock `yyyy-MM-dd[ HH:mm:ss]` interpreted in the SESSION
+    * zone (the `TIMESTAMP AS OF` convention). */
+  private[v2] def parseTs(s: String): Long = {
+    val t = s.trim
+    scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse {
+      val zone = java.time.ZoneId.of(
+        SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+      val ldt = scala.util.Try(java.time.LocalDateTime.parse(t.replace(' ', 'T')))
+        .getOrElse(java.time.LocalDate.parse(t).atStartOfDay)
+      ldt.atZone(zone).toInstant.toEpochMilli
+    }
+  }
+
+  /** The exclusive window START for a `fromTimestamp` option: one below
+    * the earliest retained version committed at/after the instant, so
+    * the feed delivers every commit from that instant on. An instant
+    * after every retained commit yields an empty window (the feed has
+    * nothing at/after it yet). */
+  private[v2] def fromVersionAt(root: String, tsMillis: Long): Long = {
+    val vt = ManifestTable.versionTimes(root)
+    vt.find(_._2 >= tsMillis).map(_._1 - 1)
+      .orElse(vt.lastOption.map(_._1)).getOrElse(0L)
+  }
+
+  /** The window END for an `untilTimestamp` option: the latest retained
+    * version committed at or before the instant. An instant predating
+    * every retained commit fails loudly — that history expired. */
+  private[v2] def untilVersionAt(root: String, tsMillis: Long): Long = {
+    val at = ManifestTable.versionTimes(root).filter(_._2 <= tsMillis)
+    require(at.nonEmpty, s"change feed of $root: no retained commit at or " +
+      s"before the requested untilTimestamp (earlier history may have " +
+      "expired from retention)")
+    at.last._1
+  }
+
   /** Persist the stream's `filter` option beside its checkpointed offsets
     * and REFUSE a restart under a different one. The filter scopes which
     * partition keys the stream observes — and which rewrite horizons it
@@ -239,13 +275,24 @@ private[graft] class ChangeFeedScan(root: String, meta: VersionedCatalog.Meta,
         // one, the feed ends at `_CURRENT` — staged branch commits above
         // it never enter main's feed
         val cap = ChangeFeed.endCapOf(root, options, pinnedUntil)
+        def one(vOpt: Option[Long], tsKey: String, resolve: Long => Long,
+                vKey: String): Option[Long] = {
+          val ts = Option(options.get(tsKey))
+            .map(s => resolve(ChangeFeed.parseTs(s)))
+          require(vOpt.isEmpty || ts.isEmpty,
+            s"change feed of $root: specify $vKey or $tsKey, not both")
+          vOpt.orElse(ts)
+        }
         // an explicit untilVersion never escapes a pin/branch end cap: a
         // read pinned at a branch head must not silently scan past it
-        val until = Option(options.get("untilVersion")).map(_.toLong)
+        val until = one(Option(options.get("untilVersion")).map(_.toLong),
+            "untilTimestamp", ChangeFeed.untilVersionAt(root, _), "untilVersion")
           .map(u => cap.fold(u)(math.min(u, _)))
           .getOrElse(cap.getOrElse(live))
         val horizon = ChangeFeed.horizonOf(root, until, excluded)
-        val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(horizon)
+        val from = one(Option(options.get("fromVersion")).map(_.toLong),
+            "fromTimestamp", ChangeFeed.fromVersionAt(root, _), "fromVersion")
+          .getOrElse(horizon)
         require(from >= horizon,
           s"change feed of $root: changes at or before v=$horizon were " +
             s"compacted/rewritten away (file-removing commit) in partition " +
@@ -291,8 +338,16 @@ private[v2] class ChangeFeedMicroBatchStream(root: String,
     ChangeFeed.endCapOf(root, options, pinnedUntil)
       .getOrElse(ManifestTable.currentVersion(root).getOrElse(0L))
 
-  override def initialOffset(): Offset =
-    VersionOffset(Option(options.get("startVersion")).map(_.toLong).getOrElse(0L))
+  override def initialOffset(): Offset = {
+    val byTs = Option(options.get("startingTimestamp"))
+      .map(s => ChangeFeed.fromVersionAt(root, ChangeFeed.parseTs(s)))
+    val byV = Option(options.get("startVersion")).map(_.toLong)
+    require(byTs.isEmpty || byV.isEmpty,
+      s"change feed of $root: specify startVersion or startingTimestamp, not both")
+    // a timestamp start skips the initial snapshot (offset > 0): the
+    // consumer asked for changes SINCE an instant, not the whole table
+    VersionOffset(byV.orElse(byTs).getOrElse(0L))
+  }
   override def latestOffset(): Offset = VersionOffset(frontier())
 
   @volatile private var availableNowTarget: Option[Long] = None

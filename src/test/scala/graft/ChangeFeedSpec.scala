@@ -631,6 +631,71 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("timestamp-addressed change windows resolve against commit instants") {
+    import spark.implicits._
+    val t = "gcdf.ns.tscdf"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    val prevRetain = spark.conf.getOption("spark.graft.versioned.retain")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+    Seq(1L).toDF("k").writeTo(t).append()                                   // v1
+    Seq(2L).toDF("k").writeTo(t).append()                                   // v2
+    Seq(3L).toDF("k").writeTo(t).append()                                   // v3
+    val r = root("tscdf")
+    // pin the commit instants: v1@10:00, v2@11:00, v3@12:00 UTC
+    def ms(h: Int) = java.time.Instant.parse(f"2024-05-01T$h%02d:00:00Z").toEpochMilli
+    Seq(1 -> 10, 2 -> 11, 3 -> 12).foreach { case (v, h) =>
+      graft.sources.MetaIO.setTimes(s"$r/manifests/v=$v.txt", ms(h)) }
+
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"k").as[Long].collect().toSet
+    // fromTimestamp delivers every commit AT or after the instant
+    assert(ks(spark.read.option("fromTimestamp", "2024-05-01T10:30:00Z")
+      .table(s"$t.changes")) === Set(2L, 3L))
+    assert(ks(spark.read.option("fromTimestamp", "2024-05-01T11:00:00Z")
+      .table(s"$t.changes")) === Set(2L, 3L), "at-instant commit included")
+    // untilTimestamp caps at the latest commit at-or-before the instant
+    assert(ks(spark.read.option("untilTimestamp", "2024-05-01T11:30:00Z")
+      .table(s"$t.changes")) === Set(1L, 2L))
+    assert(ks(spark.read.option("fromTimestamp", "2024-05-01T10:30:00Z")
+      .option("untilTimestamp", "2024-05-01T11:30:00Z")
+      .table(s"$t.changes")) === Set(2L))
+    // an instant after every commit: empty feed, not an error
+    assert(ks(spark.read.option("fromTimestamp", "2024-05-01T13:00:00Z")
+      .table(s"$t.changes")) === Set.empty[Long])
+    // both axes at once, and pre-history until, fail loudly
+    val both = intercept[Exception] {
+      spark.read.option("fromTimestamp", "2024-05-01T10:30:00Z")
+        .option("fromVersion", "1").table(s"$t.changes").collect()
+    }
+    assert(both.getMessage.contains("not both"))
+    val early = intercept[Exception] {
+      spark.read.option("untilTimestamp", "2024-05-01T09:00:00Z")
+        .table(s"$t.changes").collect()
+    }
+    assert(early.getMessage.contains("untilTimestamp"))
+
+    // streaming: startingTimestamp skips the initial snapshot and starts
+    // at the first commit at/after the instant
+    val ck = Files.createTempDirectory("tscdf_ck").toString
+    val sink = Files.createTempDirectory("tscdf_sink").toString + "/out"
+    val q = spark.readStream.option("startingTimestamp", "2024-05-01T10:30:00Z")
+      .table(s"$t.changes").writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sink).select($"k", $"_commit_version")
+      .as[(Long, Long)].collect().toSet === Set((2L, 2L), (3L, 3L)))
+    } finally prevRetain match {
+      case Some(v) => spark.conf.set("spark.graft.versioned.retain", v)
+      case None => spark.conf.unset("spark.graft.versioned.retain")
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("scoped view: a filter excluding the update's DESTINATION sees preimages as deletes") {
     import spark.implicits._
     val t = "gcdf.ns.scopemv"
