@@ -164,6 +164,7 @@ object SparkEntry {
     "agg_pushdown_group_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownGroupScan(s, d)),
     "agg_pushdown_day_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownDayScan(s, d)),
     "agg_pushdown_prefix_scan" -> ((s, d) => graft.sources.v2.V2Queries.aggPushdownPrefixScan(s, d)),
+    "catalog_view_agg" -> ((s, d) => graft.sources.v2.V2Queries.catalogViewAgg(s, d)),
     // partition spec evolution: days->months with a descriptor write; old
     // files keep their layout, scans prune under every interpretation
     "spec_evolution_scan" -> ((s, d) => graft.sources.v2.V2Queries.specEvolutionScan(s, d)),
@@ -310,6 +311,7 @@ object SparkEntry {
     "agg_pushdown_group_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownGroupScan,
     "agg_pushdown_day_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownDayScan,
     "agg_pushdown_prefix_scan" -> graft.sources.v2.V2Queries.oracle.aggPushdownPrefixScan,
+    "catalog_view_agg" -> graft.sources.v2.V2Queries.oracle.catalogViewAgg,
     "spec_evolution_scan" -> graft.sources.v2.V2Queries.oracle.specEvolutionScan,
     "files_metadata_scan" -> graft.sources.v2.V2Queries.oracle.filesMetadataScan,
     "versioned_time_travel" -> graft.sources.v2.V2Queries.oracle.versionedTimeTravel,

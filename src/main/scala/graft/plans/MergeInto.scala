@@ -200,7 +200,9 @@ object MergeInto {
         // identity columns — a flat rewrite of a partitioned pool would
         // corrupt partition discovery for every reader)
         graft.sources.v2.VersionedCatalog.commitPreservingLayout(
-          r, toPhysical(r, result), retainOf(spark, r), ManifestTable.liveProps(r))
+          r, toPhysical(r,
+            graft.sources.v2.VersionedCatalog.withChecks(result, r, tgt.name)),
+          retainOf(spark, r), ManifestTable.liveProps(r))
       case None =>
         // reading and overwriting the same table: materialize first
         result.localCheckpoint(true).write.mode("overwrite").saveAsTable(tgt.name)
@@ -325,7 +327,8 @@ object MergeInto {
     val restricted = raw
       .where(col(ManifestTable.DayCol).cast("string").isin(days.toSeq: _*))
       .drop(ManifestTable.DayCol)
-    val result = mergeResult(restricted, tgt.alias, source, m)
+    val result = graft.sources.v2.VersionedCatalog.withChecks(
+      mergeResult(restricted, tgt.alias, source, m), root, tgt.name)
     ManifestTable.replaceDays(toPhysical(root, result), root, removeDays = days,
       partitionDayOf = physicalNameOf(root, tsCol), retain = retainOf(spark, root),
       expectedVersion = baseVersion)
@@ -551,7 +554,9 @@ object MergeInto {
     }: _*)
     val tombstones = matched
       .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
-    ManifestTable.appendWithDeletes(toPhysical(root, updated), tombstones, root,
+    // rewritten values pass the table's CHECK constraints inline
+    val checked = graft.sources.v2.VersionedCatalog.withChecks(updated, root, root)
+    ManifestTable.appendWithDeletes(toPhysical(root, checked), tombstones, root,
       retain = retainOf(spark, root),
       partitionDayOf = meta.dayOf.map(meta.physicalName),
       format = Some(meta.format),
@@ -894,16 +899,26 @@ case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableComma
 }
 
 object GraftSqlParser {
-  /** Lower the three row-level DML plans to graft commands and rewrite
-    * time-travel reads of registered Versioned tables; anything else
-    * passes through. TimeTravel runs first so `VERSION AS OF` works
-    * inside a MERGE source too. */
-  def lower(plan: LogicalPlan): LogicalPlan = TimeTravel.rewrite(plan) match {
-    case m: MergeIntoTable  => GraftMergeCommand(m)
-    case u: UpdateTable     => GraftUpdateCommand(u)
-    case d: DeleteFromTable => GraftDeleteCommand(d)
-    case p                  => p
-  }
+  /** Lower the three row-level DML plans to graft commands, rewrite
+    * time-travel reads of registered Versioned tables, expand catalog
+    * VIEW references ([[Views.expand]]), and route CREATE/DROP VIEW on
+    * versioned-catalog names to graft's view store; anything else passes
+    * through. TimeTravel runs first so `VERSION AS OF` works inside a
+    * MERGE source too; view expansion runs before the DML match so a
+    * MERGE/UPDATE can read FROM a view. */
+  def lower(plan: LogicalPlan): LogicalPlan =
+    Views.expand(TimeTravel.rewrite(plan)) match {
+      case m: MergeIntoTable  => GraftMergeCommand(m)
+      case u: UpdateTable     => GraftUpdateCommand(u)
+      case d: DeleteFromTable => GraftDeleteCommand(d)
+      case cv: org.apache.spark.sql.catalyst.plans.logical.CreateView
+          if SparkSession.getActiveSession.exists(Views.handles(_, cv.child)) =>
+        GraftCreateViewCommand(cv)
+      case dv: org.apache.spark.sql.catalyst.plans.logical.DropView
+          if SparkSession.getActiveSession.exists(Views.handles(_, dv.child)) =>
+        GraftDropViewCommand(dv)
+      case p                  => p
+    }
 }
 
 /** Session parser that lowers MERGE INTO / UPDATE / DELETE to graft

@@ -651,6 +651,36 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Catalog SQL VIEWS ([[graft.plans.Views]]): a filtered projection
+    * view with COLUMN ALIASES is created over the events table, a
+    * second view AGGREGATES through the first (nesting — each read
+    * re-resolves lazily against current table state), and the query
+    * selects through both. The oracle recomputes the whole lineage flat
+    * from events, so the hash gate proves definition storage, alias
+    * application, and nested expansion are all exact. */
+  def catalogViewAgg(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("vwt")}"
+    val vw = s"$Cat.q.${newName("vw")}"
+    val vw2 = s"$Cat.q.${newName("vwa")}"
+    try {
+      eventsSlim(spark, dir).writeTo(tbl).create()
+      graft.plans.MergeInto.sql(spark,
+        s"CREATE VIEW $vw (etype, val) AS " +
+          s"SELECT event_type, value FROM $tbl WHERE user_id % 10 <> 3")
+      graft.plans.MergeInto.sql(spark,
+        s"CREATE VIEW $vw2 AS SELECT etype, COUNT(*) AS n_events, " +
+          s"${Dsl.sql.dsum("val")} AS volume FROM $vw GROUP BY etype")
+      graft.plans.MergeInto.sql(spark,
+        s"SELECT etype AS event_type, n_events, volume FROM $vw2")
+        .localCheckpoint(true)
+    } finally {
+      graft.plans.MergeInto.sql(spark, s"DROP VIEW IF EXISTS $vw2")
+      graft.plans.MergeInto.sql(spark, s"DROP VIEW IF EXISTS $vw")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** Native streaming SINK — `writeStream.toTable` on a versioned table:
     * the events parquet streams in via the file source, every epoch's
     * task files land through the engine's STREAMING_WRITE (staged
@@ -1288,6 +1318,14 @@ object V2Queries {
          |  MIN(value) AS min_value, MAX(value) AS max_value,
          |  TRUE AS agg_meta_ok
          |FROM events
+         |GROUP BY 1""".stripMargin
+
+    /** The nested-view lineage recomputed flat from events. */
+    val catalogViewAgg: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume
+         |FROM events
+         |WHERE user_id % 10 <> 3
          |GROUP BY 1""".stripMargin
 
     /** Every per-prefix metadata-derived aggregate recomputed flat; the

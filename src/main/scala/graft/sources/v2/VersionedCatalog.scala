@@ -406,6 +406,13 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
           s"property ${sp.property} is engine-managed")
         require(!sp.property.contains("=") && !sp.property.contains("\n")
           && !sp.value.contains("\n"), "illegal property")
+        // a CHECK constraint (`check.<name>` = predicate) validates NOW:
+        // the predicate must resolve against the declared schema, and
+        // every EXISTING row must satisfy it (Delta's ADD CONSTRAINT
+        // discipline — one scan at SET time buys a table-wide invariant)
+        if (sp.property.toLowerCase.startsWith("check."))
+          VersionedCatalog.validateNewCheck(root, m, ident,
+            sp.property.stripPrefix("check."), sp.value, catalogName)
         m.copy(userProps = m.userProps + (sp.property -> sp.value))
       case (m, rp: TableChange.RemoveProperty) =>
         m.copy(userProps = m.userProps - rp.property)
@@ -551,6 +558,57 @@ object VersionedCatalog {
     readMeta(root).flatMap(_.userProps.get("retain"))
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(
         spark.conf.get("spark.graft.versioned.retain", "2").toInt)
+
+  /** CHECK constraints of a table: `check.<name>` user properties, each
+    * a SQL predicate over the LOGICAL columns. Set via
+    * `ALTER TABLE … SET TBLPROPERTIES('check.<name>' = '<predicate>')`,
+    * dropped via UNSET — the property surface doubles as the constraint
+    * catalog, exactly like `retain`. */
+  private[graft] def checksOf(root: String): Seq[(String, String)] =
+    readMeta(root).toSeq.flatMap(_.userProps.toSeq.collect {
+      case (k, v) if k.toLowerCase.startsWith("check.") && k.length > 6 =>
+        k.substring(6) -> v
+    }).sortBy(_._1)
+
+  /** Route a write's rows through the table's CHECK constraints: one
+    * inlined filter per constraint whose violating branch RAISES with
+    * the constraint name and the offending row — codegen'd with the
+    * write itself, zero extra passes over the data. SQL-standard ternary
+    * semantics: only FALSE violates (NULL passes). */
+  private[graft] def withChecks(df: org.apache.spark.sql.DataFrame, root: String,
+                                label: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    checksOf(root).foldLeft(df) { case (d, (name, sql)) =>
+      d.where(when(coalesce(expr(sql), lit(true)), lit(true)).otherwise(
+        raise_error(concat(
+          lit(s"CHECK constraint '$name' violated writing to $label: " +
+            s"($sql) is false for row "),
+          to_json(struct(df.columns.map(col): _*)))).cast("boolean")))
+    }
+  }
+
+  /** ADD-constraint validation: the predicate must resolve and be
+    * boolean against the declared schema, and every existing row must
+    * satisfy it. */
+  private[graft] def validateNewCheck(root: String, meta: Meta,
+                                      ident: Identifier, name: String,
+                                      sql: String, catalogName: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(name.nonEmpty && !name.contains("."),
+      s"illegal CHECK constraint name '$name'")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = spark.table(
+      (Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+        .map(p => s"`$p`").mkString("."))
+    // resolve + type-check against the REAL table, then scan for any
+    // existing violation (SQL ternary: only FALSE violates); an unknown
+    // column or non-boolean predicate fails the analysis loudly here
+    val cond = coalesce(expr(sql), lit(true))
+    val bad = table.where(!cond).limit(1).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint '$name' to $catalogName.${ident}: " +
+        s"existing rows violate ($sql)")
+  }
 
   /** Properties the engine derives itself; SET TBLPROPERTIES refuses
     * them (the `format` of a table is fixed at create; `retain` IS
@@ -1770,10 +1828,13 @@ class VersionedWriteBuilder(root: String, schema: StructType,
         // per-table retention (TBLPROPERTIES('retain'='N')) wins over the
         // session conf — operational knobs belong to the table
         val retain = VersionedCatalog.retainFor(root, spark)
-        // align by name+type with the declared schema (V2 resolution has
-        // already matched columns; the cast pins exact physical types),
-        // then swap logical for physical names
-        val aligned = data.select(schema.fields.toIndexedSeq.map(f =>
+        // CHECK constraints validate inline with the write (logical
+        // names — the constraint surface), then align by name+type with
+        // the declared schema (V2 resolution has already matched
+        // columns; the cast pins exact physical types), then swap
+        // logical for physical names
+        val checked = VersionedCatalog.withChecks(data, root, root)
+        val aligned = checked.select(schema.fields.toIndexedSeq.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
             .as(meta.physicalName(f.name))): _*)
         val physDayOf = dayOf.map(meta.physicalName)

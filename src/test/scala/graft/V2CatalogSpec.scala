@@ -1439,4 +1439,118 @@ class V2CatalogSpec extends AnyFunSuite {
     }
     spark.sql("DROP TABLE gtest.ns.rf")
   }
+
+  test("CHECK constraints: ADD validates existing rows; writes and DML enforce inline") {
+    import spark.implicits._
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.ck")
+    spark.sql("CREATE TABLE gtest.ns.ck (k BIGINT, v BIGINT)")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").writeTo("gtest.ns.ck").append()
+
+    // ADD validates existing rows and the predicate itself
+    val badAdd = intercept[Exception] { spark.sql(
+      "ALTER TABLE gtest.ns.ck SET TBLPROPERTIES('check.vmax'='v < 15')") }
+    assert(messages(badAdd).exists(_.contains("existing rows violate")))
+    val badCol = intercept[Exception] { spark.sql(
+      "ALTER TABLE gtest.ns.ck SET TBLPROPERTIES('check.bad'='nope > 0')") }
+    assert(messages(badCol).exists(_.toLowerCase.contains("nope")))
+    spark.sql("ALTER TABLE gtest.ns.ck SET TBLPROPERTIES('check.vpos'='v > 0')")
+
+    // conforming rows pass; SQL ternary: a NULL check result passes
+    Seq((3L, 30L)).toDF("k", "v").writeTo("gtest.ns.ck").append()
+    Seq((6L, Option.empty[Long])).toDF("k", "v").writeTo("gtest.ns.ck").append()
+    assert(spark.table("gtest.ns.ck").count() === 4)
+
+    // a violating INSERT fails loudly, naming constraint and row; the
+    // table is untouched (the job dies before any commit)
+    val ins = intercept[Exception] {
+      Seq((4L, -1L)).toDF("k", "v").writeTo("gtest.ns.ck").append() }
+    assert(messages(ins).exists(m => m.contains("CHECK constraint 'vpos'")
+      && m.contains("\"k\":4")), s"${messages(ins)}")
+    assert(spark.table("gtest.ns.ck").count() === 4)
+
+    // copy-on-write and merge-on-read UPDATEs both enforce
+    val updCow = intercept[Exception] { graft.plans.MergeInto.sql(spark,
+      "UPDATE gtest.ns.ck SET v = -5 WHERE k = 1") }
+    assert(messages(updCow).exists(_.contains("CHECK constraint 'vpos'")))
+    spark.conf.set("spark.graft.update.mode", "merge-on-read")
+    try {
+      val updMor = intercept[Exception] { graft.plans.MergeInto.sql(spark,
+        "UPDATE gtest.ns.ck SET v = -7 WHERE k = 2") }
+      assert(messages(updMor).exists(_.contains("CHECK constraint 'vpos'")))
+    } finally spark.conf.unset("spark.graft.update.mode")
+    assert(spark.table("gtest.ns.ck").where($"v" < 0).count() === 0)
+
+    // MERGE inserting a violating row enforces too
+    Seq((9L, -2L)).toDF("k", "v").createOrReplaceTempView("ck_src")
+    val mrg = intercept[Exception] { graft.plans.MergeInto.sql(spark,
+      "MERGE INTO gtest.ns.ck t USING ck_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)") }
+    assert(messages(mrg).exists(_.contains("CHECK constraint 'vpos'")))
+
+    // UNSET drops enforcement
+    spark.sql("ALTER TABLE gtest.ns.ck UNSET TBLPROPERTIES('check.vpos')")
+    Seq((5L, -9L)).toDF("k", "v").writeTo("gtest.ns.ck").append()
+    assert(spark.table("gtest.ns.ck").count() === 5)
+    spark.sql("DROP TABLE gtest.ns.ck")
+  }
+
+  test("catalog SQL views: create, aliases, nesting, replace, clashes, cycles, drop") {
+    import spark.implicits._
+    def gsql(s: String) = graft.plans.MergeInto.sql(spark, s)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.vwt")
+    spark.sql("CREATE TABLE gtest.ns.vwt (k BIGINT, region STRING, v BIGINT)")
+    (0 until 10).map(i => (i.toLong, s"r${i % 2}", i * 10L))
+      .toDF("k", "region", "v").writeTo("gtest.ns.vwt").append()
+
+    // create with column aliases; reads re-resolve lazily
+    gsql("CREATE VIEW gtest.ns.v1 (kk, reg) AS " +
+      "SELECT k, region FROM gtest.ns.vwt WHERE region = 'r1'")
+    assert(gsql("SELECT kk FROM gtest.ns.v1").as[Long].collect().toSet
+      === Set(1L, 3L, 5L, 7L, 9L))
+    // new data appears through the view without any view refresh
+    Seq((11L, "r1", 0L)).toDF("k", "region", "v").writeTo("gtest.ns.vwt").append()
+    assert(gsql("SELECT kk FROM gtest.ns.v1").count() === 6)
+
+    // views nest; aggregation through a view of a view
+    gsql("CREATE VIEW gtest.ns.v2 AS " +
+      "SELECT reg, COUNT(*) AS n FROM gtest.ns.v1 GROUP BY reg")
+    assert(gsql("SELECT n FROM gtest.ns.v2").as[Long].collect().toSeq === Seq(6L))
+
+    // a broken definition fails its CREATE, not its first read
+    val bad = intercept[Exception] {
+      gsql("CREATE VIEW gtest.ns.v3 AS SELECT nope FROM gtest.ns.vwt") }
+    assert(bad.getMessage.toLowerCase.contains("nope"))
+    // alias-count mismatch and table-name clashes are loud
+    val badCols = intercept[Exception] {
+      gsql("CREATE VIEW gtest.ns.v3 (a, b, c) AS SELECT k FROM gtest.ns.vwt") }
+    assert(badCols.getMessage.contains("column aliases"))
+    val clash = intercept[Exception] {
+      gsql("CREATE VIEW gtest.ns.vwt AS SELECT 1 AS x") }
+    assert(clash.getMessage.contains("a table of that name exists"))
+    // duplicate create without OR REPLACE is loud; with it, it replaces
+    val dup = intercept[Exception] {
+      gsql("CREATE VIEW gtest.ns.v1 AS SELECT 1 AS x") }
+    assert(dup.getMessage.contains("already exists"))
+    gsql("CREATE OR REPLACE VIEW gtest.ns.v2 AS " +
+      "SELECT reg, COUNT(*) AS n FROM gtest.ns.v1 WHERE kk > 1 GROUP BY reg")
+    assert(gsql("SELECT n FROM gtest.ns.v2").as[Long].collect().toSeq === Seq(5L))
+
+    // a replace that closes a definition cycle fails its READ loudly
+    gsql("CREATE OR REPLACE VIEW gtest.ns.v1 (kk, reg) AS " +
+      "SELECT n, reg FROM gtest.ns.v2")
+    val cyc = intercept[Exception] { gsql("SELECT * FROM gtest.ns.v1").collect() }
+    assert(cyc.getMessage.contains("exceeded depth"), cyc.getMessage)
+
+    // drop: gone for reads; dropping a missing view is loud sans IF EXISTS
+    gsql("DROP VIEW gtest.ns.v1")
+    gsql("DROP VIEW IF EXISTS gtest.ns.v1")
+    val gone = intercept[Exception] { gsql("DROP VIEW gtest.ns.v1") }
+    assert(gone.getMessage.contains("does not exist"))
+    gsql("DROP VIEW gtest.ns.v2")
+    spark.sql("DROP TABLE gtest.ns.vwt")
+  }
 }
