@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // / `TIMESTAMP AS OF` over registered Versioned tables (plans.MergeInto,
     // plans.TimeTravel — both rewrites live in GraftSqlParser.lower)
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // catalog VIEW resolution for the NON-SQL read paths (`spark.table`):
+    // SQL text expands views at the parser seam, but a programmatic read
+    // never parses — this analyzer rule applies the same expansion (the
+    // shared depth guard still catches definition cycles)
+    e.injectResolutionRule(_ => graft.plans.ViewResolutionRule)
   }
 }
 

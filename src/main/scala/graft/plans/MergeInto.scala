@@ -917,6 +917,14 @@ object GraftSqlParser {
       case dv: org.apache.spark.sql.catalyst.plans.logical.DropView
           if SparkSession.getActiveSession.exists(Views.handles(_, dv.child)) =>
         GraftDropViewCommand(dv)
+      case sv: org.apache.spark.sql.catalyst.plans.logical.ShowViews
+          if sv.namespace.isInstanceOf[
+            org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace] &&
+          SparkSession.getActiveSession.exists(s => Views.handlesNamespace(s,
+            sv.namespace.asInstanceOf[
+              org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace]
+              .multipartIdentifier)) =>
+        GraftShowViewsCommand(sv)
       case p                  => p
     }
 }

@@ -105,7 +105,7 @@ object Views {
     SparkSession.getActiveSession match {
       case None => plan
       case Some(spark) => plan.transformUp {
-        case u: UnresolvedRelation =>
+        case u: UnresolvedRelation if !u.isStreaming =>
           definitionOf(spark, u.multipartIdentifier) match {
             case None => u
             case Some((sql, cols, name)) =>
@@ -148,6 +148,41 @@ object Views {
       .mkString("\n"))
   }
 
+  /** True iff `nsParts` addresses a namespace of a registered versioned
+    * catalog (for SHOW VIEWS interception). */
+  private[plans] def handlesNamespace(spark: SparkSession,
+                                      nsParts: Seq[String]): Boolean =
+    nsTarget(spark, nsParts).isDefined
+
+  private def nsTarget(spark: SparkSession, nsParts: Seq[String])
+      : Option[(String, Seq[String])] =
+    nsParts.headOption.flatMap(VersionedCatalog.warehouseOf) match {
+      case Some(wh) => Some((wh, nsParts.drop(1)))
+      case None =>
+        val cm = spark.sessionState.catalogManager
+        VersionedCatalog.warehouseOf(cm.currentCatalog.name())
+          .map(wh => (wh, if (nsParts.nonEmpty) nsParts else cm.currentNamespace.toSeq))
+    }
+
+  /** Names of the views under a namespace, SQL-pattern filtered
+    * (`*` wildcard, `|` alternation — SHOW VIEWS semantics). */
+  def list(spark: SparkSession, nsParts: Seq[String],
+           pattern: Option[String]): Seq[(String, String)] = {
+    val (wh, ns) = nsTarget(spark, nsParts).getOrElse(
+      throw new IllegalArgumentException(
+        s"SHOW VIEWS: ${nsParts.mkString(".")} is not a versioned-catalog namespace"))
+    val dir = (Seq(wh) ++ ns :+ "_views").mkString("/")
+    val names =
+      if (!MetaIO.exists(dir)) Nil
+      else MetaIO.listStatus(dir).map(_.getPath.getName).sorted.toSeq
+    val kept = pattern.fold(names) { p =>
+      val res = p.trim.split("\\|").map(x =>
+        ("(?i)" + x.replaceAll("\\*", ".*")).r)
+      names.filter(n => res.exists(_.pattern.matcher(n).matches()))
+    }
+    kept.map(n => (ns.mkString("."), n))
+  }
+
   def drop(spark: SparkSession, parts: Seq[String], ifExists: Boolean): Unit = {
     val (wh, ns, n) = target(spark, parts).getOrElse(
       throw new IllegalArgumentException(
@@ -157,6 +192,16 @@ object Views {
     else if (!ifExists) throw new IllegalArgumentException(
       s"view ${parts.mkString(".")} does not exist")
   }
+}
+
+/** Analyzer rule ([[graft.GraftExtensions]]): view expansion for reads
+  * that never pass through the SQL parser (`spark.table("cat.ns.v")`).
+  * Batch only — a streaming relation over a view has no incremental
+  * semantics to offer, so it stays unresolved and fails analysis with
+  * Spark's own table-not-found error. */
+object ViewResolutionRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = Views.expand(plan)
 }
 
 case class GraftCreateViewCommand(cv: CreateView) extends LeafRunnableCommand {
@@ -177,5 +222,16 @@ case class GraftDropViewCommand(dv: DropView) extends LeafRunnableCommand {
     Views.drop(spark, dv.child.asInstanceOf[UnresolvedIdentifier].nameParts,
       dv.ifExists)
     Nil
+  }
+}
+
+case class GraftShowViewsCommand(sv: org.apache.spark.sql.catalyst.plans.logical.ShowViews)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = sv.output
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ns = sv.namespace
+      .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace]
+      .multipartIdentifier
+    Views.list(spark, ns, sv.pattern).map { case (n, v) => Row(n, v, false) }
   }
 }

@@ -813,6 +813,9 @@ object ManifestTable {
                         (plan: Base => Planned): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
     var attempt = 0
+    // version numbers proven occupied by foreign published state (another
+    // ref's pinned head, an expired main slot): never contend with these
+    var skipFloor = 0L
     while (true) {
       // WAP staging: the base is the BRANCH head (resolved per attempt so
       // a racing branch commit rebases correctly) and the flip below
@@ -829,26 +832,30 @@ object ManifestTable {
       val planned = plan(base)
       require(planned.props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
         && planned.props.values.forall(v => !v.contains("\n")), "illegal manifest property")
-      // allocate above the base, the high-water mark (after a fast-forward
-      // to an OLDER version, higher versions stay retained), AND every
-      // OTHER ref's published head — main's pointer for a branch commit,
-      // staged branch heads for a main commit. Version numbers are never
-      // reused or contended ACROSS refs: a WAP branch behind main must not
-      // collide with (or, after GC, silently reuse) main's numbers, and a
-      // main commit must not contend with a ref-pinned staged head it can
-      // never reclaim. Same-ref racers still collide at the claim — these
-      // floors are all PUBLISHED state, identical for both racers — which
-      // is the optimistic-concurrency protocol (the loser's re-plan waits
-      // for the winner's flip to surface the new base). An in-flight
-      // cross-ref claim (not yet flipped) can still collide once; the
-      // retry re-reads the floors after the racer's flip and moves past.
-      val crossRefFloor: Long = {
+      // ALLOCATION: the smallest number above the base (and the recorded
+      // high-water mark) not occupied by foreign PUBLISHED state — a main
+      // slot at-or-below the live pointer (its manifest may already be
+      // GC-expired, so a branch commit landing there would silently reuse
+      // a number `VERSION AS OF` once resolved on main's lineage), or
+      // another ref's pinned head (a claim this committer can never
+      // reclaim). In-flight claims (above the pointer, unpinned) do NOT
+      // advance the scan: same-ref racers must land on the SAME number
+      // and serialize through createNew — that collision IS the
+      // optimistic-concurrency protocol, and the loser's re-plan waits
+      // for the winner's flip to surface the new base. The scan consults
+      // only published state, so racing same-ref committers compute the
+      // same number; the post-claim re-check below backstops the rare
+      // case where that state moved between scan and claim.
+      val live0 = currentVersion(root).getOrElse(0L)
+      def pinnedByOthers(): Set[Long] = {
         val others = branch.fold(ManifestTable.refs(root))(b =>
           ManifestTable.refs(root) - b)
-        (others.values.map(_.version) ++ currentVersion(root)).foldLeft(0L)(math.max)
+        others.values.map(_.version).toSet
       }
-      val next = math.max(math.max(baseV.getOrElse(0L), highWaterMark(root)),
-        crossRefFloor) + 1
+      val pinned0 = pinnedByOthers()
+      var next = math.max(baseV.getOrElse(0L),
+        math.max(highWaterMark(root), skipFloor)) + 1
+      while (next <= live0 || pinned0.contains(next)) next += 1
       // stamp FRESH entries (no sequence yet) with this commit's version —
       // the data sequence number that scopes equality deletes; carried
       // inline entries keep the sequence of their original commit
@@ -932,6 +939,16 @@ object ManifestTable {
         // the CLAIM: create-new manifest with full content — the one
         // win-or-fail step; nothing points at it until the flip below
         MetaIO.createNew(manifestPath(root, next), body.mkString("\n"))
+        // post-claim BACKSTOP: published state can move between the scan
+        // and the claim (a fast-forward publish, another ref's flip) — a
+        // won claim now sitting at-or-below main's pointer or on another
+        // ref's pinned head squats a foreign number; release it, record
+        // the obstacle, and re-plan against the fresh base
+        if (next <= currentVersion(root).getOrElse(0L)
+            || pinnedByOthers().contains(next)) {
+          MetaIO.delete(manifestPath(root, next))
+          skipFloor = math.max(skipFloor, next)
+        } else {
         // test hook: an injected claim→flip pause (simulates the driver GC
         // stall the fencing protects against); 0 — no-op — in production
         confLong("spark.graft.manifest.testClaimPauseMs", 0L) match {
@@ -945,16 +962,27 @@ object ManifestTable {
             // GC stays off this path (the staged head is ref-pinned, and
             // main's window is main commits' business)
             MetaIO.writeAtomic(refPath(root, b), s"branch:$next")
+            // a racing same-branch committer that allocated a DIFFERENT
+            // number (possible only if foreign published state moved
+            // mid-race) may have overwritten this flip — surface it
+            if (!ManifestTable.refs(root).get(b).exists(_.version == next))
+              fenceLost("after")
           case None =>
             MetaIO.writeAtomic(pointerPath(root), next.toString)
         }
         if (!claimIsOurs()) fenceLost("after")
         if (branch.isEmpty) gc(root, next, retain)
         return next
+        }
       } catch {
         case e: FileAlreadyExistsException =>
           if (reclaimIfStale(root, next)) {
             // crashed committer's orphan removed; same base, retry now
+          } else if (next <= currentVersion(root).getOrElse(0L)
+              || pinnedByOthers().contains(next)) {
+            // foreign PUBLISHED state landed on this number between the
+            // scan and the claim — never contend with it; skip above
+            skipFloor = math.max(skipFloor, next)
           } else {
             attempt += 1
             if (!rebase || attempt > commitRetries) throw e

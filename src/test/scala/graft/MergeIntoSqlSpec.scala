@@ -148,6 +148,37 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("withExtensions session: CREATE VIEW via plain spark.sql; spark.table resolves it") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      ext.conf.set("spark.sql.catalog.gext",
+        classOf[graft.sources.v2.VersionedCatalog].getName)
+      ext.conf.set("spark.sql.catalog.gext.warehouse", tmp("msq_vwwh"))
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS gext.ns")
+      ext.sql("CREATE TABLE gext.ns.base (k BIGINT, v BIGINT)")
+      ext.createDataFrame(Seq((1L, 10L), (2L, 20L), (3L, 30L))).toDF("k", "v")
+        .writeTo("gext.ns.base").append()
+      // plain spark.sql through the injected parser
+      ext.sql("CREATE VIEW gext.ns.big AS SELECT k FROM gext.ns.base WHERE v >= 20")
+      assert(ext.sql("SELECT k FROM gext.ns.big").collect().map(_.getLong(0)).toSet
+        == Set(2L, 3L))
+      // the PROGRAMMATIC read path resolves views via the analyzer rule
+      assert(ext.table("gext.ns.big").collect().map(_.getLong(0)).toSet
+        == Set(2L, 3L))
+      ext.sql("DROP VIEW gext.ns.big")
+      val gone = intercept[Exception](ext.table("gext.ns.big").collect())
+      assert(!gone.getMessage.contains("exceeded depth"))
+      ext.sql("DROP TABLE gext.ns.base")
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on a versioned table") {
     val old = spark
     SparkSession.clearActiveSession()

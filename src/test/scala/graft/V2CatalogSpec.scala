@@ -1520,6 +1520,11 @@ class V2CatalogSpec extends AnyFunSuite {
       "SELECT reg, COUNT(*) AS n FROM gtest.ns.v1 GROUP BY reg")
     assert(gsql("SELECT n FROM gtest.ns.v2").as[Long].collect().toSeq === Seq(6L))
 
+    // SHOW VIEWS lists the namespace's definitions, pattern-filtered
+    assert(gsql("SHOW VIEWS IN gtest.ns").select($"viewName")
+      .as[String].collect().toSet === Set("v1", "v2"))
+    assert(gsql("SHOW VIEWS IN gtest.ns LIKE 'v1'").count() === 1)
+
     // a broken definition fails its CREATE, not its first read
     val bad = intercept[Exception] {
       gsql("CREATE VIEW gtest.ns.v3 AS SELECT nope FROM gtest.ns.vwt") }
