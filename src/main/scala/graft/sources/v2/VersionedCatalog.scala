@@ -1818,8 +1818,26 @@ class VersionedWriteBuilder(root: String, schema: StructType,
       val fileSchema = StructType(fileOrdinals.map(physical.fields(_)))
       val layout = StreamLayout(physical, dayOrd, transform, identity, fileOrdinals)
       val spark = SparkSession.active
+      // CHECK constraints ride to the tasks as ordinal-bound expressions
+      // (logical names resolve against the write schema here, once) and
+      // evaluate per row in the stream writer — the same inline-raise
+      // contract the batch paths keep, so a constrained table cannot be
+      // violated through its streaming sink either
+      val checks = VersionedCatalog.checksOf(root).map { case (n, sql) =>
+        val bound = spark.sessionState.sqlParser.parseExpression(sql)
+          .transformUp {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              val i = schema.fieldNames.indexWhere(
+                _.equalsIgnoreCase(u.nameParts.last))
+              require(i >= 0, s"streaming write to $root: CHECK constraint " +
+                s"'$n' references ${u.name}, not among the written columns")
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i, schema.fields(i).dataType, schema.fields(i).nullable)
+          }
+        (n, sql, bound)
+      }
       new VersionedStreamWrite(root, fileSchema, layout, meta.format, queryId,
-        overwrite, () => VersionedCatalog.retainFor(root, spark))
+        overwrite, () => VersionedCatalog.retainFor(root, spark), checks)
     }
 
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {

@@ -141,7 +141,9 @@ private[v2] case class StreamLayout(
 private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
                                        layout: StreamLayout, format: String,
                                        queryId: String, overwrite: Boolean,
-                                       retain: () => Int)
+                                       retain: () => Int,
+                                       checks: Seq[(String, String,
+                                         org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends StreamingWrite {
 
   private val stageDir =
@@ -151,7 +153,7 @@ private[v2] class VersionedStreamWrite(root: String, fileSchema: StructType,
       : StreamingDataWriterFactory =
     new VersionedStreamWriterFactory(
       GraftStreamWriteBridge.writerHandle(SparkSession.active, fileSchema, format),
-      stageDir, fileSchema, layout)
+      stageDir, fileSchema, layout, root, checks)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case StagedFiles(fs) => fs }.flatten.toSeq
@@ -209,7 +211,10 @@ private case class StagedFiles(files: Seq[(String, String)])
 
 private class VersionedStreamWriterFactory(handle: GraftFileWriterHandle,
                                            stageDir: String, schema: StructType,
-                                           layout: StreamLayout)
+                                           layout: StreamLayout,
+                                           root: String = "",
+                                           checks: Seq[(String, String,
+                                             org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
@@ -223,8 +228,20 @@ private class VersionedStreamWriterFactory(handle: GraftFileWriterHandle,
       private val open = scala.collection.mutable.LinkedHashMap
         .empty[String, (org.apache.spark.sql.execution.datasources.v2.GraftRowFileWriter, String)]
       private lazy val proj = layout.projection()
+      // CHECK constraints, codegen'd once per writer; SQL ternary — only
+      // FALSE violates, so NULL folds to pass before the predicate
+      private val checkPreds = checks.map { case (n, sql, e) =>
+        (n, sql, org.apache.spark.sql.catalyst.expressions.Predicate.create(
+          org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(e,
+            org.apache.spark.sql.catalyst.expressions.Literal(true)))))
+      }
 
       override def write(row: InternalRow): Unit = {
+        checkPreds.foreach { case (n, sql, p) =>
+          if (!p.eval(row)) throw new IllegalStateException(
+            s"CHECK constraint '$n' violated by a streaming write to " +
+              s"$root: ($sql) is false")
+        }
         val dir = layout.dirOf(row)
         val (w, _) = open.getOrElseUpdate(dir, {
           val sub = if (dir.isEmpty) "" else s"$dir/"

@@ -317,6 +317,39 @@ class StreamTableWriteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("CHECK constraints enforce on the streaming sink; a violating epoch aborts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "gstw.ns.cksink"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    Seq((1L, 1L)).toDF("k", "v").writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('check.vpos'='v > 0')")
+    val checkpoint = Files.createTempDirectory("stw_ck_ck").toString
+    val mem = MemoryStream[(Long, Long)]
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    mem.addData((2L, 5L))
+    drain()
+    assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(1L, 2L))
+
+    // a violating row fails its EPOCH loudly; nothing commits
+    mem.addData((3L, -1L))
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val ex = intercept[Exception] { drain() }
+    assert(messages(ex).exists(_.contains("CHECK constraint 'vpos'")),
+      s"${messages(ex)}")
+    assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(1L, 2L),
+      "the aborted epoch must leave the table untouched")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("WAP: streaming epochs stage on the write branch, exactly once; publish flips them") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
