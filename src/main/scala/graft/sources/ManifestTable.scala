@@ -1833,6 +1833,48 @@ object ManifestTable {
     }.toDF("version", "n_files", "bytes", "is_current")
   }
 
+  /** Roll the table back to an earlier RETAINED snapshot — Delta's
+    * RESTORE / Iceberg's `rollback_to_snapshot`, the recover-from-a-bad-
+    * commit move. Publishes a NEW version whose content (entries, shard
+    * refs, properties) is exactly `target`'s manifest: a pure metadata
+    * commit — no data file is read, copied, or rewritten, so rolling back
+    * a 100 TB table costs one manifest write. History is PRESERVED: the
+    * rolled-back commits stay addressable by `VERSION AS OF` until
+    * retention expires them, and the rollback itself is an ordinary
+    * commit readers flip to atomically (and that a further rollback can
+    * undo). Under `spark.graft.write.branch` the BRANCH rolls back and
+    * main is untouched.
+    *
+    * Semantics inherited from the commit loop, not re-implemented here:
+    * if the rollback removes base data entries (it un-inserts everything
+    * appended after `target`), the loop stamps the change horizon, so a
+    * change-feed window spanning the rollback FAILS LOUDLY instead of
+    * silently replaying rows the table no longer holds. Properties
+    * restore to the target's too — including streaming idempotence
+    * markers, deliberately: a sink whose epochs were rolled back SHOULD
+    * re-deliver them on restart, exactly like Delta RESTORE. */
+  def rollbackTo(root: String, target: Long, retain: Int = 2): Long = {
+    require(MetaIO.exists(manifestPath(root, target)),
+      s"cannot roll back $root to version $target: that snapshot is not " +
+        "retained (expired or never committed)")
+    val d = readDoc(root, target)
+    commitLoop(root, retain, rebase = false) { base =>
+      val head = base.version.getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      require(target <= head,
+        s"rollback target $target is ahead of $root's current head $head; " +
+          "use fast_forward to advance")
+      Planned(d.inline, d.props - FenceProp + (OpProp -> "rollback"),
+        carried = d.refs)
+    }
+  }
+
+  /** [[rollbackTo]] addressed by wall-clock instead of version: restore
+    * the newest snapshot committed at or before `epochMillis` (Delta's
+    * `RESTORE … TO TIMESTAMP AS OF`). */
+  def rollbackToTimestamp(root: String, epochMillis: Long, retain: Int = 2): Long =
+    rollbackTo(root, versionAsOf(root, epochMillis), retain)
+
   /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite the
     * live snapshot into ~`targetFileBytes` files per day and commit; old
     * files age out with their manifests. Data is unchanged — only layout

@@ -32,7 +32,7 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than",
     "create_tag", "create_branch", "drop_ref", "fast_forward", "evolve_partition",
-    "rewrite_deletes")
+    "rewrite_deletes", "rollback_to_version", "rollback_to_timestamp")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -189,6 +189,53 @@ object GraftProcedures {
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    // ---- rollback (Delta RESTORE / Iceberg rollback_to_snapshot):
+    // restore an earlier retained snapshot as a NEW commit — pure
+    // metadata, history preserved, change horizon stamped by the commit
+    // loop when data files are un-inserted ----
+    case "rollback_to_version" => new GraftProcedure("rollback_to_version") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("version", LongType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (root, _) = Maintenance.resolve(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}")
+        val prev = graft.sources.ManifestTable.currentVersion(root).getOrElse(-1L)
+        val v = graft.sources.ManifestTable.rollbackTo(root, input.getLong(1),
+          VersionedCatalog.retainFor(root, spark))
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(
+            StructField("previous_version", LongType, nullable = false),
+            StructField("restored_version", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](prev, input.getLong(1), v)))).iterator()
+      }
+    }
+    case "rollback_to_timestamp" => new GraftProcedure("rollback_to_timestamp") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("older_than", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (root, _) = Maintenance.resolve(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}")
+        // 'yyyy-MM-dd HH:mm:ss' in the session zone — the same literal
+        // shape expire_snapshots / delete_older_than take
+        val epochMs = java.time.LocalDateTime
+          .parse(input.getUTF8String(1).toString.replace(' ', 'T'))
+          .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+          .toInstant.toEpochMilli
+        val prev = graft.sources.ManifestTable.currentVersion(root).getOrElse(-1L)
+        val target = graft.sources.ManifestTable.versionAsOf(root, epochMs)
+        val v = graft.sources.ManifestTable.rollbackTo(root, target,
+          VersionedCatalog.retainFor(root, spark))
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(
+            StructField("previous_version", LongType, nullable = false),
+            StructField("restored_version", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](prev, target, v)))).iterator()
       }
     }
     case "evolve_partition" => new GraftProcedure("evolve_partition") {

@@ -1054,6 +1054,57 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Rollback (Delta RESTORE / Iceberg `rollback_to_snapshot`) as an
+    * oracle-gated query: two good appends build the table, a
+    * contaminating append and a copy-on-write DELETE then damage it, and
+    * `CALL rollback_to_version` restores the good snapshot as a NEW
+    * commit — pure metadata, no data file read or rewritten, which is
+    * what makes recovering a 100 TB table a one-manifest operation. The
+    * final aggregate equals the flat recompute over ALL events (the
+    * oracle); `rb_ok` pins the mechanics: the procedure reports
+    * (damaged head, restored target, new head) with the new head ABOVE
+    * the damaged one, history stays addressable (`VERSION AS OF` the
+    * damaged snapshot still reads its contaminated count), and the
+    * rollback stamped the change horizon so a change feed can never
+    * silently replay rows the rollback un-inserted. */
+  def rollbackScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("rb")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0).writeTo(tbl).create()          // v1
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES('retain'='10')")
+      ev.where(col("event_id") % 2 === 1).writeTo(tbl).append()          // v2
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      val good = graft.sources.ManifestTable.currentVersion(root).get
+      val goodCount = spark.table(tbl).count()
+      ev.where(col("event_id") % 100 === 7)                              // damage:
+        .withColumn("value", -col("value") * 1000)                       //  bad append
+        .writeTo(tbl).append()
+      graft.plans.MergeInto.sql(spark,                                   //  CoW delete
+        s"DELETE FROM $tbl WHERE user_id % 5 = 0")
+      val damagedV = graft.sources.ManifestTable.currentVersion(root).get
+      val damagedCount = spark.table(tbl).count()
+
+      val r = spark.sql(s"CALL $Cat.system.rollback_to_version(" +
+        s"`table` => 'q.$short', version => $good)").collect()(0)
+      val newV = r.getLong(2)
+      val restored = r.getLong(0) == damagedV && r.getLong(1) == good &&
+        newV > damagedV && spark.table(tbl).count() == goodCount
+      val histOk = spark.sql(
+        s"SELECT COUNT(*) AS n FROM $tbl VERSION AS OF $damagedV")
+        .collect()(0).getLong(0) == damagedCount
+      val horizonOk = graft.sources.ManifestTable.liveProps(root)
+        .get(graft.sources.ManifestTable.ChangeProp).exists(_.toLong == newV)
+      spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("rb_ok", lit(restored && histOk && horizonOk))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Change data feed as an oracle-gated query — Delta CDF / Iceberg
     * changelog shape (`tbl.changes`): events land across two append
     * commits, a merge-on-read DELETE retracts a cohort, and the change
@@ -1350,6 +1401,13 @@ object V2Queries {
 
     /** Inserts are every event (both appends), deletes the retracted
       * cohort; provenance verdict pinned TRUE. */
+    /** The rollback restores the union of the two good appends — i.e.
+      * every event — and the verdict column is pinned TRUE. */
+    val rollbackScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS rb_ok
+         |FROM events GROUP BY 1""".stripMargin
+
     val tableChangesScan: String =
       s"""SELECT _change_type, event_type, COUNT(*) AS n_events,
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS cv_ok

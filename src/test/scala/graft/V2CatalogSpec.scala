@@ -501,6 +501,88 @@ class V2CatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.versioned.retain")
   }
 
+  test("rollback_to_version / rollback_to_timestamp restore a retained snapshot as a new commit") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.rb")
+    spark.sql("CREATE TABLE gtest.ns.rb (k BIGINT, v BIGINT)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      spark.sql("INSERT INTO gtest.ns.rb VALUES (1, 10), (2, 20)")
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rb"
+      val good = ManifestTable.currentVersion(root).get
+      // wall-clock gap so the timestamp literal (second granularity) can
+      // address the good snapshot unambiguously
+      Thread.sleep(1100)
+      val cut = java.time.LocalDateTime.now(
+        java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      Thread.sleep(1100)
+      spark.sql("INSERT INTO gtest.ns.rb VALUES (3, -999)")                  // bad append
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.rb WHERE k = 1") // bad delete
+      val damaged = ManifestTable.currentVersion(root).get
+      assert(spark.table("gtest.ns.rb").count() === 2)
+
+      val r = spark.sql("CALL gtest.system.rollback_to_version(" +
+        s"`table` => 'ns.rb', version => $good)").collect()(0)
+      assert(r.getLong(0) === damaged && r.getLong(1) === good && r.getLong(2) > damaged)
+      assert(spark.table("gtest.ns.rb").orderBy("k").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq === Seq((1L, 10L), (2L, 20L)))
+      // history preserved: the damaged snapshot stays addressable
+      assert(spark.sql(s"SELECT k FROM gtest.ns.rb VERSION AS OF $damaged")
+        .collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+      // the rollback un-inserted files, so the change horizon moved to it
+      assert(ManifestTable.liveProps(root)
+        .get(ManifestTable.ChangeProp).map(_.toLong) === Some(r.getLong(2)))
+
+      // a second damage pass, undone by TIMESTAMP addressing this time
+      spark.sql("INSERT INTO gtest.ns.rb VALUES (4, -4)")
+      val r2 = spark.sql("CALL gtest.system.rollback_to_timestamp(" +
+        s"`table` => 'ns.rb', older_than => '$cut')").collect()(0)
+      assert(r2.getLong(1) === good)
+      assert(spark.table("gtest.ns.rb").count() === 2)
+
+      // loud failures: a forward target and an expired (never committed) one
+      val fwd = intercept[Exception] {
+        spark.sql("CALL gtest.system.rollback_to_version(" +
+          s"`table` => 'ns.rb', version => ${r2.getLong(2) + 100})").collect()
+      }
+      assert(fwd.getMessage.contains("not retained")
+        || fwd.getMessage.contains("ahead"), fwd.getMessage)
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    spark.sql("DROP TABLE gtest.ns.rb")
+  }
+
+  test("rollback under spark.graft.write.branch rolls the BRANCH back; main is untouched") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.rbwap")
+    spark.sql("CREATE TABLE gtest.ns.rbwap (k BIGINT)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      spark.sql("INSERT INTO gtest.ns.rbwap VALUES (1)")
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rbwap"
+      val mainV = ManifestTable.currentVersion(root).get
+      spark.sql("CALL gtest.system.create_branch(`table` => 'ns.rbwap', name => 'wap')")
+      spark.conf.set("spark.graft.write.branch", "wap")
+      try {
+        spark.sql("INSERT INTO gtest.ns.rbwap VALUES (2)") // staged on wap
+        val stagedHead = ManifestTable.resolveRef(root, "wap").version
+        assert(stagedHead > mainV)
+        spark.sql("CALL gtest.system.rollback_to_version(" +
+          s"`table` => 'ns.rbwap', version => $mainV)").collect()
+        // the branch rolled back to main's content; main never moved
+        val rolled = ManifestTable.resolveRef(root, "wap").version
+        assert(rolled > stagedHead)
+        assert(ManifestTable.currentVersion(root).get === mainV)
+        assert(spark.sql("SELECT k FROM gtest.ns.rbwap VERSION AS OF 'wap'")
+          .collect().map(_.getLong(0)).toSet === Set(1L))
+      } finally spark.conf.unset("spark.graft.write.branch")
+      assert(spark.table("gtest.ns.rbwap").collect().map(_.getLong(0)).toSet === Set(1L))
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    spark.sql("DROP TABLE gtest.ns.rbwap")
+  }
+
   test("avro catalog tables split large files on sync markers through the V2 scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.avsplit")
