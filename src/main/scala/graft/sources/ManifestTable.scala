@@ -105,6 +105,17 @@ object ManifestTable {
   /** Commit property fencing each manifest to the committer that wrote it
     * (re-stamped on every commit; see the fencing notes in [[commitLoop]]). */
   val FenceProp = "__committer"
+  /** Commit property naming the REF the commit landed on (`main` or a
+    * branch name; re-stamped by [[commitLoop]] on every commit). Version
+    * numbers are one shared sequence across refs, but only the HEAD of a
+    * branch is pinned by its ref file — this stamp is how everything else
+    * tells a branch's retained intermediate history apart from a crashed
+    * committer's claim: allocation and collision handling skip (never
+    * contend with, never reclaim) a manifest owned by a DIFFERENT ref,
+    * and the orphan sweep spares manifests that are published history of
+    * a ref that still exists. Legacy manifests without the stamp keep
+    * the old behavior. */
+  val RefOwnerProp = "__ref"
   /** Commit property recording the session zone `__day` was derived in
     * for TIMESTAMP (zone-sensitive) partition sources; `"mixed"` once
     * appends from differently-zoned sessions coexist in one manifest.
@@ -438,7 +449,8 @@ object ManifestTable {
     versions(root).map(v => v -> MetaIO.mtimeMillis(manifestPath(root, v)))
 
   def manifestProps(root: String, v: Long): Map[String, String] =
-    allProps(root, v) - FenceProp // the fence is commit-protocol-internal
+    // the fence and ref-owner stamps are commit-protocol-internal
+    allProps(root, v) - FenceProp - RefOwnerProp
 
   private def allProps(root: String, v: Long): Map[String, String] =
     manifestLines(root, v).filter(_.startsWith("#")).map { l =>
@@ -826,7 +838,7 @@ object ManifestTable {
       val base = baseV match {
         case Some(v) =>
           val d = readDoc(root, v)
-          Base(root, baseV, d.refs, d.inline, d.props - FenceProp)
+          Base(root, baseV, d.refs, d.inline, d.props - FenceProp - RefOwnerProp)
         case None => Base(root, None, Nil, Nil, Map.empty)
       }
       val planned = plan(base)
@@ -853,9 +865,20 @@ object ManifestTable {
         others.values.map(_.version).toSet
       }
       val pinned0 = pinnedByOthers()
+      val refName = branch.getOrElse("main")
+      // a manifest STAMPED with another ref's name is foreign state — a
+      // branch's retained intermediate commit (only its head is ref-
+      // pinned) or another ref's in-flight claim; both are numbers this
+      // committer can never win, so the scan steps past them. Unstamped
+      // (legacy / same-ref) manifests keep colliding: that collision is
+      // the same-ref optimistic-concurrency protocol.
+      def foreignAt(v: Long): Boolean =
+        MetaIO.exists(manifestPath(root, v)) &&
+          scala.util.Try(allProps(root, v).get(RefOwnerProp)).toOption
+            .flatten.exists(_ != refName)
       var next = math.max(baseV.getOrElse(0L),
         math.max(highWaterMark(root), skipFloor)) + 1
-      while (next <= live0 || pinned0.contains(next)) next += 1
+      while (next <= live0 || pinned0.contains(next) || foreignAt(next)) next += 1
       // stamp FRESH entries (no sequence yet) with this commit's version —
       // the data sequence number that scopes equality deletes; carried
       // inline entries keep the sequence of their original commit
@@ -925,7 +948,8 @@ object ManifestTable {
       // before and after the flip turns that silent loss into a surfaced
       // conflict; the grace default makes the race itself vanishingly rare.
       val fence = UUID.randomUUID().toString
-      val body = (plannedProps + (FenceProp -> fence)).toSeq.sortBy(_._1)
+      val body = (plannedProps + (FenceProp -> fence) + (RefOwnerProp -> refName))
+        .toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" } ++ refs.map(_.render) ++ inline.map(_.render)
       def claimIsOurs(): Boolean =
         MetaIO.exists(manifestPath(root, next)) &&
@@ -976,7 +1000,11 @@ object ManifestTable {
         }
       } catch {
         case e: FileAlreadyExistsException =>
-          if (reclaimIfStale(root, next)) {
+          if (foreignAt(next)) {
+            // another ref's manifest landed on this number between the
+            // scan and the claim — never contend with or reclaim it
+            skipFloor = math.max(skipFloor, next)
+          } else if (reclaimIfStale(root, next, refName)) {
             // crashed committer's orphan removed; same base, retry now
           } else if (next <= currentVersion(root).getOrElse(0L)
               || pinnedByOthers().contains(next)) {
@@ -999,13 +1027,19 @@ object ManifestTable {
     * and older than the claim grace (claim→flip is milliseconds, so a
     * live committer's claim is never this old) — and was deleted.
     * Ref-pinned versions are never reclaimed (a rolled-over snapshot a
-    * tag protects must not be destroyed by a later commit). */
-  private def reclaimIfStale(root: String, v: Long): Boolean = {
+    * tag protects must not be destroyed by a later commit), and neither
+    * is a manifest STAMPED as another ref's: a branch's retained
+    * intermediate commit looks exactly like a stale claim from main's
+    * side (above the pointer, unpinned, old), and reclaiming it would
+    * destroy staged history. */
+  private def reclaimIfStale(root: String, v: Long, refName: String): Boolean = {
     val p = manifestPath(root, v)
     val live = currentVersion(root).getOrElse(0L)
     val stale = v > live && MetaIO.exists(p) &&
       MetaIO.mtimeMillis(p) < System.currentTimeMillis() - claimGraceMs &&
-      !pinnedVersions(root).contains(v)
+      !pinnedVersions(root).contains(v) &&
+      !scala.util.Try(allProps(root, v).get(RefOwnerProp)).toOption
+        .flatten.exists(_ != refName)
     if (stale) MetaIO.delete(p)
     stale
   }
@@ -1734,6 +1768,16 @@ object ManifestTable {
                  olderThanMillis: Option[Long] = None): Unit = {
     val now = System.currentTimeMillis()
     val pinned = pinnedVersions(root)
+    val refMap = refs(root)
+    // a manifest above main's pointer that is stamped as a still-existing
+    // branch's history (at-or-below that branch's head) is PUBLISHED
+    // state, not a crashed committer's claim — the orphan sweep must
+    // spare it and the file sweep must honor what it references
+    val branchHistory = scala.collection.mutable.Map.empty[Long, Boolean]
+    def publishedBranchHistory(v: Long): Boolean =
+      branchHistory.getOrElseUpdate(v,
+        scala.util.Try(allProps(root, v).get(RefOwnerProp)).toOption.flatten
+          .exists(o => o != "main" && refMap.get(o).exists(r => v <= r.version)))
     val (dead, kept0) = versions(root)
       .partition(v => v <= live - retain && !pinned.contains(v) &&
         olderThanMillis.forall(MetaIO.mtimeMillis(manifestPath(root, v)) < _))
@@ -1741,11 +1785,13 @@ object ManifestTable {
     val deadDocs = dead.map(v => readDoc(root, v))
     val kept = kept0.filter { v =>
       val orphan = v > live && !pinned.contains(v) &&
-        MetaIO.mtimeMillis(manifestPath(root, v)) < now - claimGraceMs
+        MetaIO.mtimeMillis(manifestPath(root, v)) < now - claimGraceMs &&
+        !publishedBranchHistory(v)
       if (orphan) MetaIO.delete(manifestPath(root, v))
       !orphan
     }
-    val keptDocs = kept.filter(v => v <= live || pinned.contains(v))
+    val keptDocs = kept.filter(v => v <= live || pinned.contains(v) ||
+        publishedBranchHistory(v))
       .map(v => readDoc(root, v))
     val keptShardRels = keptDocs.flatMap(_.refs.map(_.rel)).toSet
     val deadOnlyShards = deadDocs.flatMap(_.refs)
@@ -1864,7 +1910,7 @@ object ManifestTable {
       require(target <= head,
         s"rollback target $target is ahead of $root's current head $head; " +
           "use fast_forward to advance")
-      Planned(d.inline, d.props - FenceProp + (OpProp -> "rollback"),
+      Planned(d.inline, d.props - FenceProp - RefOwnerProp + (OpProp -> "rollback"),
         carried = d.refs)
     }
   }
@@ -1874,6 +1920,53 @@ object ManifestTable {
     * `RESTORE … TO TIMESTAMP AS OF`). */
   def rollbackToTimestamp(root: String, epochMillis: Long, retain: Int = 2): Long =
     rollbackTo(root, versionAsOf(root, epochMillis), retain)
+
+  /** Cherry-pick ONE append commit onto the current head — Iceberg's
+    * `cherrypick_snapshot`, the selective half of write-audit-publish:
+    * where `fast_forward` publishes a branch wholesale, cherry-pick
+    * republishes a single audited commit (typically staged on a WAP
+    * branch) without the rest. Pure metadata — the source commit's data
+    * files are re-referenced, never read or copied.
+    *
+    * The commit's own additions are exactly the entries stamped with its
+    * sequence (fresh entries get the committing version's seq), so no
+    * parent lookup is needed; they re-enter the target lineage with a
+    * FRESH sequence — the new commit's — so equality deletes that landed
+    * between the source and the cherry-pick do NOT retract them
+    * (Iceberg's new-sequence-number semantics: the rows arrive NOW).
+    * Only `append`-labeled commits qualify: delete/update/overwrite/
+    * rewrite shapes don't commute past later commits, and a streaming
+    * epoch's exactly-once marker can't be attributed without its parent,
+    * so all of them decline loudly rather than publish wrong history.
+    * A file already present in the target lineage (the commit was
+    * already published) also fails loudly instead of doubling rows.
+    * Cost ∝ the SOURCE manifest's entry count (one driver-side scan of a
+    * retained manifest), not table data. */
+  def cherrypick(root: String, source: Long, retain: Int = 2): Long = {
+    require(MetaIO.exists(manifestPath(root, source)),
+      s"cannot cherry-pick version $source of $root: that snapshot is not " +
+        "retained (expired or never committed)")
+    val d = readDoc(root, source)
+    val op = d.props.getOrElse(OpProp, "overwrite")
+    require(op == "append",
+      s"cherry-pick needs an append commit; version $source of $root is " +
+        s"'$op' — use fast_forward to publish non-append history")
+    val delta = (d.refs.flatMap(r => shardEntries(root, r.rel)) ++ d.inline)
+      .filter(e => e.seq.contains(source) && !isDeleteEntry(e.rel))
+    require(delta.nonEmpty, s"version $source of $root added no data files")
+    val deltaKeys = delta.map(e => keyOf(e.rel)).toSet
+    val deltaRels = delta.map(_.rel).toSet
+    commitLoop(root, retain, rebase = true) { base =>
+      val present = base.entriesForKeys(deltaKeys.contains).map(_.rel).toSet
+      val dup = deltaRels.intersect(present)
+      require(dup.isEmpty,
+        s"version $source of $root is already present in the target " +
+          s"lineage (${dup.head} among ${dup.size} shared files); " +
+          "cherry-picking it again would double its rows")
+      Planned(base.inline ++ delta.map(_.copy(seq = None)),
+        base.props + (OpProp -> "cherrypick"), carried = base.refs)
+    }
+  }
 
   /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite the
     * live snapshot into ~`targetFileBytes` files per day and commit; old

@@ -32,7 +32,8 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than",
     "create_tag", "create_branch", "drop_ref", "fast_forward", "evolve_partition",
-    "rewrite_deletes", "rollback_to_version", "rollback_to_timestamp")
+    "rewrite_deletes", "rollback_to_version", "rollback_to_timestamp",
+    "cherrypick_snapshot")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -236,6 +237,24 @@ object GraftProcedures {
             StructField("restored_version", LongType, nullable = false),
             StructField("new_version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](prev, target, v)))).iterator()
+      }
+    }
+    // Iceberg's cherrypick_snapshot: republish ONE audited append commit
+    // (typically staged on a WAP branch) onto the head, without the rest
+    case "cherrypick_snapshot" => new GraftProcedure("cherrypick_snapshot") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("version", LongType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (root, _) = Maintenance.resolve(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}")
+        val v = graft.sources.ManifestTable.cherrypick(root, input.getLong(1),
+          VersionedCatalog.retainFor(root, spark))
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(
+            StructField("source_version", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](input.getLong(1), v)))).iterator()
       }
     }
     case "evolve_partition" => new GraftProcedure("evolve_partition") {

@@ -1105,6 +1105,59 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Cherry-pick (Iceberg's `cherrypick_snapshot`) as an oracle-gated
+    * query — the selective half of write-audit-publish: a WAP branch
+    * stages an audited append AND a junk append; `CALL
+    * cherrypick_snapshot` republishes only the audited one onto main as
+    * a pure-metadata commit (files re-referenced, never read). The final
+    * main aggregate equals the flat recompute over base ∪ audited cohort
+    * (the oracle — junk never published); `ck_ok` pins the mechanics:
+    * the new commit lands above the branch head, the branch itself never
+    * moves, and a second cherry-pick of the same commit declines loudly
+    * instead of doubling rows. */
+  def cherrypickScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("ck")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0).writeTo(tbl).create()          // main v1
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES('retain'='10')")
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      spark.sql(s"CALL $Cat.system.create_branch(`table` => 'q.$short', " +
+        "name => 'audit')")
+      // spark.graft.write.branch is SESSION-scoped; queries run
+      // concurrently on one session (Verify's pool), so the staging
+      // writes go through a CLONED session — the conf never exists on
+      // the shared one, and a parallel query's commit can't be hijacked
+      // onto the audit branch
+      val wap = spark.newSession()
+      ensureCatalog(wap) // fresh session state: re-register the catalog
+      wap.conf.set("spark.graft.write.branch", "audit")
+      val evW = eventsSlim(wap, dir)
+      evW.where(col("event_id") % 4 === 1).writeTo(tbl).append()         // audited
+      val audited = graft.sources.ManifestTable.resolveRef(root, "audit").version
+      evW.where(col("event_id") % 4 === 3)                               // junk —
+        .withColumn("value", -col("value") * 1000)                       //  never
+        .writeTo(tbl).append()                                           //  published
+      val stagedHead = graft.sources.ManifestTable.resolveRef(root, "audit").version
+
+      val r = spark.sql(s"CALL $Cat.system.cherrypick_snapshot(" +
+        s"`table` => 'q.$short', version => $audited)").collect()(0)
+      val picked = r.getLong(0) == audited && r.getLong(1) > stagedHead &&
+        graft.sources.ManifestTable.resolveRef(root, "audit").version == stagedHead
+      val dupDeclined = scala.util.Try(spark.sql(
+        s"CALL $Cat.system.cherrypick_snapshot(" +
+          s"`table` => 'q.$short', version => $audited)").collect())
+        .failed.toOption.exists(_.getMessage.contains("already present"))
+      spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("ck_ok", lit(picked && dupDeclined))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Change data feed as an oracle-gated query — Delta CDF / Iceberg
     * changelog shape (`tbl.changes`): events land across two append
     * commits, a merge-on-read DELETE retracts a cohort, and the change
@@ -1401,6 +1454,14 @@ object V2Queries {
 
     /** Inserts are every event (both appends), deletes the retracted
       * cohort; provenance verdict pinned TRUE. */
+    /** Main ends as base (even ids) ∪ the audited cohort (ids ≡ 1 mod 4);
+      * the junk cohort stays on the branch. Verdict pinned TRUE. */
+    val cherrypickScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS ck_ok
+         |FROM events WHERE event_id % 2 = 0 OR event_id % 4 = 1
+         |GROUP BY 1""".stripMargin
+
     /** The rollback restores the union of the two good appends — i.e.
       * every event — and the verdict column is pinned TRUE. */
     val rollbackScan: String =

@@ -583,6 +583,105 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.rbwap")
   }
 
+  test("cherrypick_snapshot republishes one staged append; declines non-appends and duplicates") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.cp")
+    spark.sql("CREATE TABLE gtest.ns.cp (k BIGINT, v BIGINT)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      spark.sql("INSERT INTO gtest.ns.cp VALUES (1, 10)")
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/cp"
+      val mainV = ManifestTable.currentVersion(root).get
+      spark.sql("CALL gtest.system.create_branch(`table` => 'ns.cp', name => 'wap')")
+      spark.conf.set("spark.graft.write.branch", "wap")
+      val (stagedB, stagedHead) = try {
+        spark.sql("INSERT INTO gtest.ns.cp VALUES (2, 20), (5, 50)") // staged commit B
+        val b = ManifestTable.resolveRef(root, "wap").version
+        spark.sql("INSERT INTO gtest.ns.cp VALUES (3, 30)")          // staged commit C
+        (b, ManifestTable.resolveRef(root, "wap").version)
+      } finally spark.conf.unset("spark.graft.write.branch")
+      assert(spark.table("gtest.ns.cp").collect().map(_.getLong(0)).toSet === Set(1L))
+
+      // an equality delete of k=5 lands on MAIN before the cherry-pick:
+      // the picked rows must arrive with a FRESHER sequence and survive it
+      import spark.implicits._
+      ManifestTable.appendEqualityDeletes(Seq(5L).toDF("k"), root, retain = 10)
+
+      val r = spark.sql("CALL gtest.system.cherrypick_snapshot(" +
+        s"`table` => 'ns.cp', version => $stagedB)").collect()(0)
+      assert(r.getLong(0) === stagedB && r.getLong(1) > stagedHead)
+      assert(spark.table("gtest.ns.cp").orderBy("k").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+        === Seq((1L, 10L), (2L, 20L), (5L, 50L)))
+      // branch untouched; the other staged commit stays unpublished
+      assert(ManifestTable.resolveRef(root, "wap").version === stagedHead)
+
+      val dup = intercept[Exception] {
+        spark.sql("CALL gtest.system.cherrypick_snapshot(" +
+          s"`table` => 'ns.cp', version => $stagedB)").collect()
+      }
+      assert(dup.getMessage.contains("already present"), dup.getMessage)
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.cp WHERE k = 1")
+      val delV = ManifestTable.currentVersion(root).get
+      assert(delV > mainV)
+      val nonAppend = intercept[Exception] {
+        spark.sql("CALL gtest.system.cherrypick_snapshot(" +
+          s"`table` => 'ns.cp', version => $delV)").collect()
+      }
+      assert(nonAppend.getMessage.contains("needs an append commit"),
+        nonAppend.getMessage)
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    spark.sql("DROP TABLE gtest.ns.cp")
+  }
+
+  test("main commits past a branch's staged history; GC and reclaim spare it") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.refown")
+    spark.sql("CREATE TABLE gtest.ns.refown (k BIGINT)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      spark.sql("INSERT INTO gtest.ns.refown VALUES (1)")
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/refown"
+      spark.sql("CALL gtest.system.create_branch(`table` => 'ns.refown', name => 'wap')")
+      spark.conf.set("spark.graft.write.branch", "wap")
+      val (mid, head) = try {
+        spark.sql("INSERT INTO gtest.ns.refown VALUES (2)")
+        val m = ManifestTable.resolveRef(root, "wap").version
+        spark.sql("INSERT INTO gtest.ns.refown VALUES (3)")
+        (m, ManifestTable.resolveRef(root, "wap").version)
+      } finally spark.conf.unset("spark.graft.write.branch")
+      // the branch holds TWO staged commits; only its head is ref-pinned.
+      // A main commit must allocate PAST the intermediate one instead of
+      // contending with (or after the grace, reclaiming) it
+      spark.conf.set("spark.graft.manifest.claimGraceMs", "1")
+      try {
+        spark.sql("INSERT INTO gtest.ns.refown VALUES (10)")
+        val mainV = ManifestTable.currentVersion(root).get
+        assert(mainV > head, s"main must allocate past staged history, got $mainV")
+        assert(spark.table("gtest.ns.refown").collect()
+          .map(_.getLong(0)).toSet === Set(1L, 10L))
+        // with the 1 ms grace every staged manifest looks stale to the
+        // old sweep — the ref-ownership stamp is what spares it
+        spark.sql("INSERT INTO gtest.ns.refown VALUES (11)") // main gc pass
+        assert(ManifestTable.versions(root).contains(mid),
+          "gc must not sweep a branch's retained intermediate commit")
+        assert(spark.sql(s"SELECT k FROM gtest.ns.refown VERSION AS OF $mid")
+          .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+        // and the staged branch reads whole
+        assert(spark.sql("SELECT k FROM gtest.ns.refown VERSION AS OF 'wap'")
+          .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+      } finally spark.conf.unset("spark.graft.manifest.claimGraceMs")
+      // dropping the branch abandons its staged numbers; a later main
+      // commit neither contends with nor reuses them
+      spark.sql("CALL gtest.system.drop_ref(`table` => 'ns.refown', name => 'wap')")
+      spark.sql("INSERT INTO gtest.ns.refown VALUES (12)")
+      assert(ManifestTable.currentVersion(root).get > head)
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    spark.sql("DROP TABLE gtest.ns.refown")
+  }
+
   test("avro catalog tables split large files on sync markers through the V2 scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.avsplit")
