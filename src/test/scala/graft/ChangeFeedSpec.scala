@@ -44,6 +44,45 @@ class ChangeFeedSpec extends AnyFunSuite {
 
   private def changes(t: String): DataFrame = spark.table(s"$t.changes")
 
+  test("cherry-picked rows feed as inserts at the PUBLISH version; rollback moves the horizon") {
+    import spark.implicits._
+    val t = "gcdf.ns.ckfeed"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      Seq((1L, "a")).toDF("k", "v").writeTo(t).append()                // main v1
+      val r = root("ckfeed")
+      val v1 = ManifestTable.currentVersion(r).get
+      spark.sql(s"CALL gcdf.system.create_branch(`table` => 'ns.ckfeed', name => 'wap')")
+      spark.conf.set("spark.graft.write.branch", "wap")
+      val staged = try {
+        Seq((2L, "b")).toDF("k", "v").writeTo(t).append()              // staged
+        ManifestTable.resolveRef(r, "wap").version
+      } finally spark.conf.unset("spark.graft.write.branch")
+      val pub = spark.sql("CALL gcdf.system.cherrypick_snapshot(" +
+        s"`table` => 'ns.ckfeed', version => $staged)").collect()(0).getLong(1)
+      // the picked rows arrive NOW: inserts at the publish version, not
+      // at the staged one (fresh data sequence — Iceberg's semantics)
+      val got = changes(t).select($"k", $"_change_type", $"_commit_version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === Set((1L, "insert", v1), (2L, "insert", pub)))
+
+      // a rollback is file-removing: the feed's horizon moves to it, so a
+      // window reaching below fails loudly instead of replaying dead rows
+      spark.sql("CALL gcdf.system.rollback_to_version(" +
+        s"`table` => 'ns.ckfeed', version => $v1)").collect()
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      val ex = intercept[Exception] {
+        spark.read.option("fromVersion", v1.toString).table(s"$t.changes").collect()
+      }
+      assert(messages(ex).exists(m => m.contains("fromVersion") || m.contains("horizon")),
+        s"${messages(ex)}")
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("batch changes: inserts at their commit versions, deletes from tombstones") {
     import spark.implicits._
     val t = "gcdf.ns.basic"
