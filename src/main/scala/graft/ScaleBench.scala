@@ -199,6 +199,30 @@ object ScaleBench {
       f"commit_meta_bytes=$bytesDelta secs=$apSecs%.2f")
     require(refsEv.nonEmpty && bytesDelta * 4 < shardBytes,
       "a one-file append must write a fraction of the full listing's metadata")
+
+    // rollback at scale: restoring the pre-append snapshot of the
+    // thousands-of-files table is a PURE METADATA commit — one manifest
+    // carrying the target's shard refs as lines (contents never read),
+    // no data file touched. Cherry-pick then republishes the one-row
+    // append by re-referencing its entries; its driver cost is one scan
+    // of the SOURCE manifest's listing, never data.
+    val appendV = graft.sources.ManifestTable.currentVersion(evRoot).get
+    val rbBytes0 = manifestMetaBytes
+    val rb0 = System.nanoTime()
+    graft.sources.ManifestTable.rollbackTo(evRoot, 1L, retain = 10)
+    val rbSecs = (System.nanoTime() - rb0) / 1e9
+    val rbBytes = manifestMetaBytes - rbBytes0
+    println(f"[scale] rollback_meta files_total=$totalFiles " +
+      f"commit_meta_bytes=$rbBytes secs=$rbSecs%.2f")
+    require(rbBytes * 4 < shardBytes,
+      "a rollback must write a fraction of the full listing's metadata")
+    val cp0 = System.nanoTime()
+    graft.sources.ManifestTable.cherrypick(evRoot, appendV, retain = 10)
+    val cpSecs = (System.nanoTime() - cp0) / 1e9
+    val cpRows = spark.table("scale_cat.b.ev").count()
+    println(f"[scale] cherrypick_meta files_total=$totalFiles " +
+      f"rows_after=$cpRows secs=$cpSecs%.2f")
+    require(cpRows == catRows + 1, "cherry-pick must restore the appended row")
     spark.sql("DROP TABLE scale_cat.b.ev")
 
     // per-file column-stats pruning at scale: a value-CLUSTERED layout

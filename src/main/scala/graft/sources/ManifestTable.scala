@@ -1903,6 +1903,18 @@ object ManifestTable {
     require(MetaIO.exists(manifestPath(root, target)),
       s"cannot roll back $root to version $target: that snapshot is not " +
         "retained (expired or never committed)")
+    // a BRANCH's staged commit is retained but UNPUBLISHED: restoring it
+    // onto a different ref would smuggle un-audited data past the WAP
+    // gate. A branch rolling back to main history (its own base lineage)
+    // stays legal; publishing staged work goes through fast_forward /
+    // cherrypick_snapshot, never through rollback.
+    val owner = scala.util.Try(allProps(root, target).get(RefOwnerProp))
+      .toOption.flatten
+    val ourRef = wapBranch.getOrElse("main")
+    require(owner.forall(o => o == ourRef || o == "main"),
+      s"rollback target $target of $root is '${owner.get}' branch history, " +
+        s"unpublished on '$ourRef'; publish it with fast_forward or " +
+        "cherrypick_snapshot instead")
     val d = readDoc(root, target)
     commitLoop(root, retain, rebase = false) { base =>
       val head = base.version.getOrElse(

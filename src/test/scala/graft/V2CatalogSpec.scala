@@ -579,6 +579,14 @@ class V2CatalogSpec extends AnyFunSuite {
           .collect().map(_.getLong(0)).toSet === Set(1L))
       } finally spark.conf.unset("spark.graft.write.branch")
       assert(spark.table("gtest.ns.rbwap").collect().map(_.getLong(0)).toSet === Set(1L))
+      // MAIN must not "roll back" to the branch's staged (unpublished)
+      // snapshot — that would smuggle un-audited data past the WAP gate
+      val staged = ManifestTable.resolveRef(root, "wap").version
+      val leak = intercept[Exception] {
+        spark.sql("CALL gtest.system.rollback_to_version(" +
+          s"`table` => 'ns.rbwap', version => $staged)").collect()
+      }
+      assert(leak.getMessage.contains("branch history"), leak.getMessage)
     } finally spark.conf.unset("spark.graft.versioned.retain")
     spark.sql("DROP TABLE gtest.ns.rbwap")
   }
