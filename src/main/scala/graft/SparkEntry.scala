@@ -158,6 +158,7 @@ object SparkEntry {
     "table_changes_scan" -> ((s, d) => graft.sources.v2.V2Queries.tableChangesScan(s, d)),
     "rollback_scan" -> ((s, d) => graft.sources.v2.V2Queries.rollbackScan(s, d)),
     "cherrypick_scan" -> ((s, d) => graft.sources.v2.V2Queries.cherrypickScan(s, d)),
+    "fsck_scan" -> ((s, d) => graft.sources.v2.V2Queries.fsckScan(s, d)),
     "stream_cdf_gold" -> ((s, d) => graft.sources.v2.V2Queries.streamCdfGold(s, d)),
     // a merge-on-read UPDATE surfaces as update_preimage/update_postimage
     // pairs at one version (Delta CDF's four-valued contract)
@@ -309,6 +310,7 @@ object SparkEntry {
     "table_changes_scan" -> graft.sources.v2.V2Queries.oracle.tableChangesScan,
     "rollback_scan" -> graft.sources.v2.V2Queries.oracle.rollbackScan,
     "cherrypick_scan" -> graft.sources.v2.V2Queries.oracle.cherrypickScan,
+    "fsck_scan" -> graft.sources.v2.V2Queries.oracle.fsckScan,
     "stream_cdf_gold" -> graft.sources.v2.V2Queries.oracle.streamCdfGold,
     "cdf_update_images" -> graft.sources.v2.V2Queries.oracle.cdfUpdateImages,
     "stream_scd2_gold" -> graft.sources.v2.V2Queries.oracle.streamScd2Gold,

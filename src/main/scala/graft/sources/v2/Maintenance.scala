@@ -159,6 +159,54 @@ object Maintenance {
     }
   }
 
+  /** Distributed table integrity check (FSCK): verify the LIVE
+    * snapshot's physical invariants without reading any data —
+    *  - every manifest entry's file exists and is non-empty (one FS stat
+    *    per file, spread over the cluster: at 100 TB this is the only
+    *    part that must not run on the driver);
+    *  - every deletion-vector entry's slice index decodes;
+    *  - every entry's data sequence is at-or-below the live version;
+    *  - delete entries whose targets all left the live file set are
+    *    counted as INERT (informational — the expected state between a
+    *    rewrite and the next `rewrite_deletes`, which drops them).
+    * Healthy = no missing files, no undecodable DVs, no future
+    * sequences. Returns (live version, data files, delete entries,
+    * missing files, bad DVs, inert deletes, bad sequences, healthy). */
+  def fsck(spark: SparkSession, ident: String)
+      : (Long, Long, Long, Long, Long, Long, Long, Boolean) = {
+    val (root, _) = resolve(spark, ident)
+    val live = ManifestTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $ident"))
+    val entries = ManifestTable.liveEntries(root)
+    val (del, data) = entries.partition(e => ManifestTable.isDeleteEntry(e.rel))
+    val conf = new graft.sources.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val paths = entries.map(e => s"$root/data/${e.rel}")
+    val parts = math.max(1, math.min(64, paths.size / 256 + 1))
+    val nMissing =
+      if (paths.isEmpty) 0L
+      else spark.sparkContext.parallelize(paths, parts).mapPartitions { it =>
+        val c = conf.value
+        it.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          try {
+            if (hp.getFileSystem(c).getFileStatus(hp).getLen > 0L) 0L else 1L
+          } catch { case _: java.io.FileNotFoundException => 1L }
+        }
+      }.fold(0L)(_ + _)
+    val badDv = del.count(e => ManifestTable.isDvEntry(e.rel) &&
+      e.stats.flatMap(graft.sources.DeleteVectors.decodeIndex).isEmpty)
+    val dataRels = data.map(_.rel).toSet
+    def dec(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
+      java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
+    val inert = del.count(e => ManifestTable.deleteTouchedRels(e).exists(ts =>
+      ts.nonEmpty && !ts.exists(t =>
+        dataRels.contains(t) || dataRels.contains(dec(t)))))
+    val badSeq = entries.count(_.seq.exists(_ > live))
+    (live, data.size.toLong, del.size.toLong, nMissing, badDv.toLong,
+      inert.toLong, badSeq.toLong, nMissing == 0 && badDv == 0 && badSeq == 0)
+  }
+
   /** Partition spec evolution by identifier — a descriptor rewrite only
     * (see [[VersionedCatalog.evolvePartitionSpec]]). */
   def evolvePartition(spark: SparkSession, ident: String, spec: String): Unit = {

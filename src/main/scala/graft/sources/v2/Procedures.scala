@@ -33,7 +33,7 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than",
     "create_tag", "create_branch", "drop_ref", "fast_forward", "evolve_partition",
     "rewrite_deletes", "rollback_to_version", "rollback_to_timestamp",
-    "cherrypick_snapshot")
+    "cherrypick_snapshot", "fsck")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -190,6 +190,29 @@ object GraftProcedures {
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    // table integrity check: distributed file-existence probe + manifest
+    // invariants, no data read (see Maintenance.fsck)
+    case "fsck" => new GraftProcedure("fsck") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (v, nData, nDel, miss, badDv, inert, badSeq, healthy) =
+          Maintenance.fsck(spark,
+            s"$catalogName.${input.getUTF8String(0).toString}")
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("data_files", LongType, nullable = false),
+            StructField("delete_entries", LongType, nullable = false),
+            StructField("missing_files", LongType, nullable = false),
+            StructField("bad_dvs", LongType, nullable = false),
+            StructField("inert_deletes", LongType, nullable = false),
+            StructField("bad_sequences", LongType, nullable = false),
+            StructField("healthy", BooleanType, nullable = false))),
+          new GenericInternalRow(Array[Any](
+            v, nData, nDel, miss, badDv, inert, badSeq, healthy)))).iterator()
       }
     }
     // ---- rollback (Delta RESTORE / Iceberg rollback_to_snapshot):

@@ -1105,6 +1105,42 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Table integrity check (FSCK) as an oracle-gated query: a
+    * merge-on-read DELETE leaves the table in its churned shape (data
+    * files + a deletion-vector entry), `CALL fsck` then verifies the
+    * live snapshot's physical invariants — distributed file-existence
+    * probe, DV index decode, sequence sanity — without reading data.
+    * `fsck_ok` pins a healthy verdict with the expected entry counts;
+    * the aggregate (and its oracle) prove the checked table still
+    * answers queries exactly. */
+  def fsckScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("fsk")
+    val tbl = s"$Cat.q.$short"
+    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      eventsSlim(spark, dir).repartition(4).writeTo(tbl).create()
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark,
+        s"DELETE FROM $tbl WHERE user_id % 10 = 3")
+      val r = spark.sql(s"CALL $Cat.system.fsck(`table` => 'q.$short')")
+        .collect()(0)
+      val ok = r.getBoolean(7) && r.getLong(3) == 0 &&
+        r.getLong(1) >= 4 && r.getLong(2) >= 1
+      spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("fsck_ok", lit(ok))
+        .localCheckpoint(true)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+        case None => spark.conf.unset("spark.graft.delete.mode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** Cherry-pick (Iceberg's `cherrypick_snapshot`) as an oracle-gated
     * query — the selective half of write-audit-publish: a WAP branch
     * stages an audited append AND a junk append; `CALL
@@ -1454,6 +1490,14 @@ object V2Queries {
 
     /** Inserts are every event (both appends), deletes the retracted
       * cohort; provenance verdict pinned TRUE. */
+    /** The checked table still answers exactly: all events minus the
+      * retracted cohort; the health verdict pinned TRUE. */
+    val fsckScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS fsck_ok
+         |FROM events WHERE user_id % 10 <> 3
+         |GROUP BY 1""".stripMargin
+
     /** Main ends as base (even ids) ∪ the audited cohort (ids ≡ 1 mod 4);
       * the junk cohort stays on the branch. Verdict pinned TRUE. */
     val cherrypickScan: String =

@@ -690,6 +690,41 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.refown")
   }
 
+  test("fsck verifies the live snapshot; a vanished data file is found") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.fsck")
+    spark.sql("CREATE TABLE gtest.ns.fsck (k BIGINT, v BIGINT)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      spark.sql("INSERT INTO gtest.ns.fsck VALUES (1, 10), (2, 20)")
+      spark.sql("INSERT INTO gtest.ns.fsck VALUES (3, 30), (4, 40)")
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.fsck WHERE k = 2")
+      val r0 = spark.sql("CALL gtest.system.fsck(`table` => 'ns.fsck')").collect()(0)
+      assert(r0.getLong(1) >= 2 && r0.getLong(2) >= 1,
+        s"expected data + delete entries, got $r0")
+      assert(r0.getLong(3) === 0 && r0.getBoolean(7), s"fresh table unhealthy: $r0")
+
+      // a data file vanishing out from under the manifest is FOUND
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/fsck"
+      val victim = ManifestTable.liveEntries(root)
+        .filterNot(e => ManifestTable.isDeleteEntry(e.rel)).head.rel
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/data/$victim"))
+      val r1 = spark.sql("CALL gtest.system.fsck(`table` => 'ns.fsck')").collect()(0)
+      assert(r1.getLong(3) === 1 && !r1.getBoolean(7),
+        s"fsck missed the vanished file: $r1")
+    } finally {
+      spark.conf.unset("spark.graft.versioned.retain")
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+        case None => spark.conf.unset("spark.graft.delete.mode")
+      }
+    }
+    spark.sql("DROP TABLE gtest.ns.fsck")
+  }
+
   test("avro catalog tables split large files on sync markers through the V2 scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.avsplit")
