@@ -116,6 +116,23 @@ object ManifestTable {
     * a ref that still exists. Legacy manifests without the stamp keep
     * the old behavior. */
   val RefOwnerProp = "__ref"
+  /** Commit property naming the version this commit EXTENDED (its logical
+    * parent — Iceberg's snapshot parent-id; `0` for a first commit).
+    * Stamped by [[commitLoop]] with the planning base unless the planner
+    * chose one itself: [[rollbackTo]] stamps the RESTORED version, since
+    * the rollback's state — and therefore its lineage — is the target's.
+    * Parent stamps make ancestry decidable ([[onLineage]]): whether a
+    * version was ever published onto a ref's head, which guards rollback
+    * target resolution and cherry-pick double-publish. */
+  val ParentProp = "__parent"
+  /** Carried (NOT stripped) property listing the versions already
+    * cherry-picked onto this lineage — the content-inclusion record the
+    * parent chain cannot express, since a pick's parent is the head it
+    * extended, not its source. Appends and rewrites carry it forward;
+    * an overwrite replaces props (content replaced — re-picking is
+    * legitimate again) and a rollback restores the target's list (picks
+    * the rollback discarded become re-pickable), both exactly right. */
+  val PickedProp = "__cherrypicked"
   /** Commit property recording the session zone `__day` was derived in
     * for TIMESTAMP (zone-sensitive) partition sources; `"mixed"` once
     * appends from differently-zoned sessions coexist in one manifest.
@@ -449,14 +466,62 @@ object ManifestTable {
     versions(root).map(v => v -> MetaIO.mtimeMillis(manifestPath(root, v)))
 
   def manifestProps(root: String, v: Long): Map[String, String] =
-    // the fence and ref-owner stamps are commit-protocol-internal
-    allProps(root, v) - FenceProp - RefOwnerProp
+    // the fence, ref-owner, and parent stamps are commit-protocol-internal
+    allProps(root, v) - FenceProp - RefOwnerProp - ParentProp
 
   private def allProps(root: String, v: Long): Map[String, String] =
     manifestLines(root, v).filter(_.startsWith("#")).map { l =>
       val kv = l.drop(1).split("=", 2)
       kv(0) -> (if (kv.length > 1) kv(1) else "")
     }.toMap
+
+  /** Protocol-stamp lookup by PREFIX read: props render first in a
+    * manifest and sort alphabetically, so the `__…` stamps sit in the
+    * first few lines — one small read answers ownership/lineage probes
+    * on arbitrarily large listings (the full read is the fallback when
+    * the prefix ends inside the prop block without surfacing the key). */
+  private def headProp(root: String, v: Long, key: String): Option[String] = {
+    val prefix = MetaIO.readPrefix(manifestPath(root, v), 8192)
+    val lines = prefix.split('\n')
+    val complete = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .length < 8192
+    val usable = if (complete) lines else lines.dropRight(1)
+    val props = usable.takeWhile(_.startsWith("#")).map { l =>
+      val kv = l.drop(1).split("=", 2)
+      kv(0) -> (if (kv.length > 1) kv(1) else "")
+    }.toMap
+    val propsEnded = complete ||
+      usable.exists(l => !l.startsWith("#")) // saw a ref/entry line
+    if (propsEnded || props.contains(key)) props.get(key)
+    else allProps(root, v).get(key)
+  }
+
+  /** The ref a manifest is stamped as belonging to (absent on legacy
+    * manifests, and on a manifest that vanished mid-probe). */
+  private def ownerOf(root: String, v: Long): Option[String] =
+    scala.util.Try(headProp(root, v, RefOwnerProp)).toOption.flatten
+
+  /** The stamped logical parent of a committed version. */
+  private[graft] def parentOf(root: String, v: Long): Option[Long] =
+    scala.util.Try(headProp(root, v, ParentProp)).toOption.flatten
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  /** Is `v` on `head`'s lineage (an ancestor-or-self by parent-stamp
+    * walk)? `Some(true)` = proven published onto that head's history,
+    * `Some(false)` = the walk passed below `v` without meeting it,
+    * `None` = unprovable — the chain broke on a retention-expired or
+    * pre-stamp manifest before the answer was decided. Cost: one small
+    * prefix read per retained ancestor above `v`. */
+  private[graft] def onLineage(root: String, head: Long, v: Long): Option[Boolean] = {
+    var cur = head
+    while (cur > v) {
+      parentOf(root, cur) match {
+        case Some(p) if p < cur => cur = p
+        case _ => return None
+      }
+    }
+    Some(cur == v)
+  }
 
   /** Properties of the live manifest (empty if never committed). */
   def liveProps(root: String): Map[String, String] =
@@ -838,7 +903,8 @@ object ManifestTable {
       val base = baseV match {
         case Some(v) =>
           val d = readDoc(root, v)
-          Base(root, baseV, d.refs, d.inline, d.props - FenceProp - RefOwnerProp)
+          Base(root, baseV, d.refs, d.inline,
+            d.props - FenceProp - RefOwnerProp - ParentProp)
         case None => Base(root, None, Nil, Nil, Map.empty)
       }
       val planned = plan(base)
@@ -874,8 +940,7 @@ object ManifestTable {
       // the same-ref optimistic-concurrency protocol.
       def foreignAt(v: Long): Boolean =
         MetaIO.exists(manifestPath(root, v)) &&
-          scala.util.Try(allProps(root, v).get(RefOwnerProp)).toOption
-            .flatten.exists(_ != refName)
+          ownerOf(root, v).exists(_ != refName)
       var next = math.max(baseV.getOrElse(0L),
         math.max(highWaterMark(root), skipFloor)) + 1
       while (next <= live0 || pinned0.contains(next) || foreignAt(next)) next += 1
@@ -948,7 +1013,14 @@ object ManifestTable {
       // before and after the flip turns that silent loss into a surfaced
       // conflict; the grace default makes the race itself vanishingly rare.
       val fence = UUID.randomUUID().toString
-      val body = (plannedProps + (FenceProp -> fence) + (RefOwnerProp -> refName))
+      // the logical parent is the planning base unless the planner chose
+      // one itself (rollback stamps the restored version — its state and
+      // therefore its lineage is the target's)
+      val parentStamp =
+        if (plannedProps.contains(ParentProp)) Map.empty[String, String]
+        else Map(ParentProp -> baseV.getOrElse(0L).toString)
+      val body = (plannedProps ++ parentStamp +
+        (FenceProp -> fence) + (RefOwnerProp -> refName))
         .toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" } ++ refs.map(_.render) ++ inline.map(_.render)
       def claimIsOurs(): Boolean =
@@ -1038,8 +1110,7 @@ object ManifestTable {
     val stale = v > live && MetaIO.exists(p) &&
       MetaIO.mtimeMillis(p) < System.currentTimeMillis() - claimGraceMs &&
       !pinnedVersions(root).contains(v) &&
-      !scala.util.Try(allProps(root, v).get(RefOwnerProp)).toOption
-        .flatten.exists(_ != refName)
+      !ownerOf(root, v).exists(_ != refName)
     if (stale) MetaIO.delete(p)
     stale
   }
@@ -1776,7 +1847,7 @@ object ManifestTable {
     val branchHistory = scala.collection.mutable.Map.empty[Long, Boolean]
     def publishedBranchHistory(v: Long): Boolean =
       branchHistory.getOrElseUpdate(v,
-        scala.util.Try(allProps(root, v).get(RefOwnerProp)).toOption.flatten
+        ownerOf(root, v)
           .exists(o => o != "main" && refMap.get(o).exists(r => v <= r.version)))
     val (dead, kept0) = versions(root)
       .partition(v => v <= live - retain && !pinned.contains(v) &&
@@ -1903,18 +1974,27 @@ object ManifestTable {
     require(MetaIO.exists(manifestPath(root, target)),
       s"cannot roll back $root to version $target: that snapshot is not " +
         "retained (expired or never committed)")
-    // a BRANCH's staged commit is retained but UNPUBLISHED: restoring it
-    // onto a different ref would smuggle un-audited data past the WAP
-    // gate. A branch rolling back to main history (its own base lineage)
-    // stays legal; publishing staged work goes through fast_forward /
-    // cherrypick_snapshot, never through rollback.
-    val owner = scala.util.Try(allProps(root, target).get(RefOwnerProp))
-      .toOption.flatten
+    // a snapshot that was never PUBLISHED onto this ref's lineage —
+    // another branch's staged commit, or a crashed committer's unflipped
+    // claim — must not be restorable: that would smuggle un-audited data
+    // past the WAP gate. Legal targets: stamped as OUR ref (own history),
+    // unstamped (legacy), or provably an ancestor of our head by the
+    // parent-stamp walk (covers fast_forward-published branch commits,
+    // which keep their staging branch's owner stamp forever). Publishing
+    // staged work goes through fast_forward / cherrypick_snapshot, never
+    // through rollback.
     val ourRef = wapBranch.getOrElse("main")
-    require(owner.forall(o => o == ourRef || o == "main"),
-      s"rollback target $target of $root is '${owner.get}' branch history, " +
-        s"unpublished on '$ourRef'; publish it with fast_forward or " +
-        "cherrypick_snapshot instead")
+    val ourHead = wapBranch match {
+      case Some(b) => Some(resolveRef(root, b).version)
+      case None => currentVersion(root)
+    }
+    val owner = ownerOf(root, target)
+    val published = owner.isEmpty || owner.contains(ourRef) ||
+      ourHead.exists(h => target <= h && onLineage(root, h, target).contains(true))
+    require(published,
+      s"rollback target $target of $root is '${owner.getOrElse("?")}' " +
+        s"history never published onto '$ourRef'; publish it with " +
+        "fast_forward or cherrypick_snapshot instead")
     val d = readDoc(root, target)
     commitLoop(root, retain, rebase = false) { base =>
       val head = base.version.getOrElse(
@@ -1922,16 +2002,40 @@ object ManifestTable {
       require(target <= head,
         s"rollback target $target is ahead of $root's current head $head; " +
           "use fast_forward to advance")
-      Planned(d.inline, d.props - FenceProp - RefOwnerProp + (OpProp -> "rollback"),
+      Planned(d.inline,
+        d.props - FenceProp - RefOwnerProp + (OpProp -> "rollback") +
+          (ParentProp -> target.toString),
         carried = d.refs)
     }
   }
 
   /** [[rollbackTo]] addressed by wall-clock instead of version: restore
     * the newest snapshot committed at or before `epochMillis` (Delta's
-    * `RESTORE … TO TIMESTAMP AS OF`). */
-  def rollbackToTimestamp(root: String, epochMillis: Long, retain: Int = 2): Long =
-    rollbackTo(root, versionAsOf(root, epochMillis), retain)
+    * `RESTORE … TO TIMESTAMP AS OF`). Resolution is LINEAGE-AWARE where
+    * the raw [[versionAsOf]] is not: another ref's staged commits and
+    * crashed committers' unflipped claims share the retained-manifest
+    * namespace, and the newest-mtime pick must step over them — the user
+    * asked for THIS ref's state at the instant, not whatever landed in
+    * the shared version sequence most recently. */
+  def rollbackToTimestamp(root: String, epochMillis: Long, retain: Int = 2): Long = {
+    val ourRef = wapBranch.getOrElse("main")
+    val ourHead = wapBranch match {
+      case Some(b) => Some(resolveRef(root, b).version)
+      case None => currentVersion(root)
+    }
+    val cands = versions(root)
+      .filter(v => ourHead.forall(v <= _) &&
+        MetaIO.mtimeMillis(manifestPath(root, v)) <= epochMillis)
+      .sorted.reverse
+    val target = cands.find { v =>
+      val owner = ownerOf(root, v)
+      owner.isEmpty || owner.contains(ourRef) ||
+        ourHead.exists(h => onLineage(root, h, v).contains(true))
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no retained snapshot of $root on '$ourRef' committed at or before " +
+        s"epoch-ms $epochMillis"))
+    rollbackTo(root, target, retain)
+  }
 
   /** Cherry-pick ONE append commit onto the current head — Iceberg's
     * `cherrypick_snapshot`, the selective half of write-audit-publish:
@@ -1975,8 +2079,40 @@ object ManifestTable {
         s"version $source of $root is already present in the target " +
           s"lineage (${dup.head} among ${dup.size} shared files); " +
           "cherry-picking it again would double its rows")
+      // the file-level check above misses a pick whose published files
+      // were since REWRITTEN (compaction, copy-on-write DML) — re-adding
+      // the originals would double surviving rows and resurrect deleted
+      // ones. Two records close it exactly: the carried [[PickedProp]]
+      // ledger (publication via an earlier cherry-pick — not expressible
+      // in parentage, since a pick's parent is the head it extended) and
+      // the parent-stamp ancestry walk (publication via fast_forward).
+      // An undecidable chain (retention expired an ancestor mid-walk)
+      // refuses loudly rather than risk a silent double-publish. A
+      // rollback re-parents to its restored version and restores its
+      // ledger, so picking a commit the rollback discarded is correctly
+      // allowed again.
+      val picked = base.props.get(PickedProp).toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty)
+        .flatMap(s => scala.util.Try(s.toLong).toOption).toSet
+      require(!picked.contains(source),
+        s"version $source of $root was already cherry-picked onto this " +
+          "lineage; picking it again would double its rows")
+      base.version.foreach { head =>
+        onLineage(root, head, source) match {
+          case Some(false) => ()
+          case Some(true) => throw new IllegalArgumentException(
+            s"version $source of $root was already published onto this " +
+              "lineage; cherry-picking it again would double its rows")
+          case None => throw new IllegalStateException(
+            s"cannot prove version $source of $root was never published " +
+              "onto this lineage (parent chain broken by retention); " +
+              "refusing the cherry-pick")
+        }
+      }
       Planned(base.inline ++ delta.map(_.copy(seq = None)),
-        base.props + (OpProp -> "cherrypick"), carried = base.refs)
+        base.props + (OpProp -> "cherrypick") +
+          (PickedProp -> (picked + source).toSeq.sorted.mkString(",")),
+        carried = base.refs)
     }
   }
 

@@ -77,6 +77,18 @@ private[graft] object MetaIO {
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
 
+  /** The file's first `maxBytes` bytes as a string — for header-only
+    * inspection of large metadata files (a manifest's leading `#`-prop
+    * lines) without paying a full-listing read per probe. */
+  def readPrefix(s: String, maxBytes: Int): String = {
+    val p = path(s)
+    val in = fsOf(p).open(p)
+    try {
+      val buf = in.readNBytes(maxBytes)
+      new String(buf, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Plain overwrite write — for content nothing races on (use
     * [[writeAtomic]] for pointers, [[createNew]] for claims). */
   def write(s: String, body: String): Unit = {

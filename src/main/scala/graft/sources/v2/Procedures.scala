@@ -226,7 +226,9 @@ object GraftProcedures {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val (root, _) = Maintenance.resolve(spark,
           s"$catalogName.${input.getUTF8String(0).toString}")
-        val prev = graft.sources.ManifestTable.currentVersion(root).getOrElse(-1L)
+        // the head actually replaced: the BRANCH head under a write
+        // branch, else main's pointer
+        val prev = graft.sources.ManifestTable.writeBaseVersion(root).getOrElse(-1L)
         val v = graft.sources.ManifestTable.rollbackTo(root, input.getLong(1),
           VersionedCatalog.retainFor(root, spark))
         Collections.singletonList[Scan](ResultScan(
@@ -250,10 +252,10 @@ object GraftProcedures {
           .parse(input.getUTF8String(1).toString.replace(' ', 'T'))
           .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
           .toInstant.toEpochMilli
-        val prev = graft.sources.ManifestTable.currentVersion(root).getOrElse(-1L)
-        val target = graft.sources.ManifestTable.versionAsOf(root, epochMs)
-        val v = graft.sources.ManifestTable.rollbackTo(root, target,
+        val prev = graft.sources.ManifestTable.writeBaseVersion(root).getOrElse(-1L)
+        val v = graft.sources.ManifestTable.rollbackToTimestamp(root, epochMs,
           VersionedCatalog.retainFor(root, spark))
+        val target = graft.sources.ManifestTable.parentOf(root, v).getOrElse(-1L)
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(
             StructField("previous_version", LongType, nullable = false),

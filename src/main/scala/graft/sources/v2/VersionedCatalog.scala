@@ -1819,21 +1819,35 @@ class VersionedWriteBuilder(root: String, schema: StructType,
       val layout = StreamLayout(physical, dayOrd, transform, identity, fileOrdinals)
       val spark = SparkSession.active
       // CHECK constraints ride to the tasks as ordinal-bound expressions
-      // (logical names resolve against the write schema here, once) and
-      // evaluate per row in the stream writer — the same inline-raise
+      // and evaluate per row in the stream writer — the same inline-raise
       // contract the batch paths keep, so a constrained table cannot be
-      // violated through its streaming sink either
+      // violated through its streaming sink either. Resolution runs the
+      // REAL analyzer against the write schema (functions, implicit
+      // casts, struct fields — everything validateNewCheck admitted),
+      // then rebinds the resolved attributes to row ordinals.
       val checks = VersionedCatalog.checksOf(root).map { case (n, sql) =>
-        val bound = spark.sessionState.sqlParser.parseExpression(sql)
-          .transformUp {
-            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              val i = schema.fieldNames.indexWhere(
-                _.equalsIgnoreCase(u.nameParts.last))
-              require(i >= 0, s"streaming write to $root: CHECK constraint " +
-                s"'$n' references ${u.name}, not among the written columns")
-              org.apache.spark.sql.catalyst.expressions.BoundReference(
-                i, schema.fields(i).dataType, schema.fields(i).nullable)
-          }
+        import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference}
+        import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+        val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+          .toAttributes(schema)
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val analyzed = spark.sessionState.analyzer.executeAndCheck(
+          Project(Seq(Alias(parsed, n)()), LocalRelation(attrs)),
+          new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+        val resolved = analyzed.collectFirst {
+          case p: Project => p.projectList.head
+        }.map { case a: Alias => a.child; case e => e }.getOrElse(
+          throw new IllegalStateException(
+            s"CHECK constraint '$n' did not analyze to a projection"))
+        require(resolved.dataType ==
+          org.apache.spark.sql.types.BooleanType,
+          s"streaming write to $root: CHECK constraint '$n' ($sql) is not " +
+            s"a boolean predicate over the written columns")
+        val ordOfExpr = attrs.map(_.exprId).zipWithIndex.toMap
+        val bound = resolved.transform {
+          case a: AttributeReference =>
+            BoundReference(ordOfExpr(a.exprId), a.dataType, a.nullable)
+        }
         (n, sql, bound)
       }
       new VersionedStreamWrite(root, fileSchema, layout, meta.format, queryId,

@@ -347,6 +347,27 @@ class StreamTableWriteSpec extends AnyFunSuite {
       s"${messages(ex)}")
     assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(1L, 2L),
       "the aborted epoch must leave the table untouched")
+
+    // FUNCTION-bearing constraints resolve through the real analyzer —
+    // not just bare column references
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('check.vmag'='abs(v) < 100')")
+    val ck2 = Files.createTempDirectory("stw_ck_ck2").toString
+    val mem2 = MemoryStream[(Long, Long)]
+    def drain2(): Unit = {
+      val q = mem2.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    mem2.addData((4L, 50L))
+    drain2()
+    assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(1L, 2L, 4L))
+    mem2.addData((5L, 500L)) // abs(500) >= 100 violates 'vmag'
+    val ex2 = intercept[Exception] { drain2() }
+    assert(messages(ex2).exists(_.contains("CHECK constraint 'vmag'")),
+      s"${messages(ex2)}")
+    assert(spark.table(t).select($"k").as[Long].collect().toSet === Set(1L, 2L, 4L))
     spark.sql(s"DROP TABLE $t")
   }
 

@@ -586,7 +586,7 @@ class V2CatalogSpec extends AnyFunSuite {
         spark.sql("CALL gtest.system.rollback_to_version(" +
           s"`table` => 'ns.rbwap', version => $staged)").collect()
       }
-      assert(leak.getMessage.contains("branch history"), leak.getMessage)
+      assert(leak.getMessage.contains("never published"), leak.getMessage)
     } finally spark.conf.unset("spark.graft.versioned.retain")
     spark.sql("DROP TABLE gtest.ns.rbwap")
   }
@@ -688,6 +688,67 @@ class V2CatalogSpec extends AnyFunSuite {
       assert(ManifestTable.currentVersion(root).get > head)
     } finally spark.conf.unset("spark.graft.versioned.retain")
     spark.sql("DROP TABLE gtest.ns.refown")
+  }
+
+  test("lineage: ff-published snapshots roll back; re-picks refuse after rewrite; timestamps skip staged history") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.lin")
+    spark.sql("CREATE TABLE gtest.ns.lin (k BIGINT)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      spark.sql("INSERT INTO gtest.ns.lin VALUES (1)") // main v1
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/lin"
+      val v1 = ManifestTable.currentVersion(root).get
+      spark.sql("CALL gtest.system.create_branch(`table` => 'ns.lin', name => 'wap')")
+      spark.conf.set("spark.graft.write.branch", "wap")
+      val staged = try {
+        spark.sql("INSERT INTO gtest.ns.lin VALUES (2)")
+        ManifestTable.resolveRef(root, "wap").version
+      } finally spark.conf.unset("spark.graft.write.branch")
+
+      // rollback_to_timestamp resolves on MAIN's lineage: the staged
+      // commit is the newest retained manifest at the cut, and must be
+      // stepped over in favor of v1 (the state main actually had)
+      Thread.sleep(1100)
+      val cut = java.time.LocalDateTime.now(
+        java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val r0 = spark.sql("CALL gtest.system.rollback_to_timestamp(" +
+        s"`table` => 'ns.lin', older_than => '$cut')").collect()(0)
+      assert(r0.getLong(1) === v1, s"resolved ${r0.getLong(1)}, wanted main's $v1")
+
+      // a fast_forward-published snapshot keeps its branch owner stamp
+      // but IS main lineage now — rollback to it must work
+      spark.sql("CALL gtest.system.fast_forward(`table` => 'ns.lin', branch => 'wap')")
+      spark.sql("INSERT INTO gtest.ns.lin VALUES (3)")
+      val r1 = spark.sql("CALL gtest.system.rollback_to_version(" +
+        s"`table` => 'ns.lin', version => $staged)").collect()(0)
+      assert(r1.getLong(1) === staged)
+      assert(spark.table("gtest.ns.lin").collect().map(_.getLong(0)).toSet
+        === Set(1L, 2L))
+
+      // re-publishing a cherry-picked commit refuses even after a
+      // rewrite replaced its files (the file-level duplicate check
+      // cannot see it; the carried pick ledger does)
+      spark.sql("CALL gtest.system.create_branch(`table` => 'ns.lin', name => 'wap2')")
+      spark.conf.set("spark.graft.write.branch", "wap2")
+      val staged2 = try {
+        spark.sql("INSERT INTO gtest.ns.lin VALUES (4)")
+        ManifestTable.resolveRef(root, "wap2").version
+      } finally spark.conf.unset("spark.graft.write.branch")
+      spark.sql("CALL gtest.system.cherrypick_snapshot(" +
+        s"`table` => 'ns.lin', version => $staged2)").collect()
+      spark.sql("CALL gtest.system.optimize(`table` => 'ns.lin')") // rewrites files
+      val again = intercept[Exception] {
+        spark.sql("CALL gtest.system.cherrypick_snapshot(" +
+          s"`table` => 'ns.lin', version => $staged2)").collect()
+      }
+      assert(again.getMessage.contains("already cherry-picked"), again.getMessage)
+      assert(spark.table("gtest.ns.lin").collect().map(_.getLong(0)).toSet
+        === Set(1L, 2L, 4L))
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    spark.sql("DROP TABLE gtest.ns.lin")
   }
 
   test("fsck verifies the live snapshot; a vanished data file is found") {
