@@ -498,7 +498,7 @@ object ManifestTable {
 
   /** The ref a manifest is stamped as belonging to (absent on legacy
     * manifests, and on a manifest that vanished mid-probe). */
-  private def ownerOf(root: String, v: Long): Option[String] =
+  private[graft] def ownerOf(root: String, v: Long): Option[String] =
     scala.util.Try(headProp(root, v, RefOwnerProp)).toOption.flatten
 
   /** The stamped logical parent of a committed version. */
@@ -925,6 +925,17 @@ object ManifestTable {
       // same number; the post-claim re-check below backstops the rare
       // case where that state moved between scan and claim.
       val live0 = currentVersion(root).getOrElse(0L)
+      // STALENESS GUARD: if our ref's head moved past the planning base
+      // while we planned, a racer LANDED. The allocation scan below
+      // steps `next` past published state — claiming there with the
+      // stale plan would publish a manifest that silently BURIES the
+      // racer's commit (both callers report success; one's rows are
+      // gone). Re-plan on the fresh base instead. Not counted as a
+      // collision attempt: each re-plan is forced by real progress
+      // (another commit landed), so the loop terminates.
+      val baseStale = rebase &&
+        branch.fold(currentVersion(root))(_ => writeBaseVersion(root)) != baseV
+      if (!baseStale) {
       def pinnedByOthers(): Set[Long] = {
         val others = branch.fold(ManifestTable.refs(root))(b =>
           ManifestTable.refs(root) - b)
@@ -1091,6 +1102,7 @@ object ManifestTable {
             Thread.sleep(50L * attempt)
           }
       }
+      } // !baseStale
     }
     throw new IllegalStateException("unreachable")
   }

@@ -104,15 +104,28 @@ private[graft] object MetaIO {
     val p = path(s)
     val f = fsOf(p)
     if (isLocal(f)) {
-      // O_CREAT|O_EXCL via java.nio: atomic even under a same-instant race,
-      // which Hadoop's local create(overwrite=false) (check-then-act) is not
+      // Write the full body to a sibling temp, then publish it under the
+      // claimed name with link(2) — atomic win-or-fail (EEXIST under a
+      // same-instant race) AND fully-formed-or-absent: a concurrent
+      // reader probing the claim's header stamps (ownerOf/headProp) must
+      // never see a truncated line, which direct O_EXCL + write allowed
+      // (a racer that misread a half-written '__ref' as foreign would
+      // skip the claim, plan against a stale base, and bury the winner's
+      // commit). rename(2) is no substitute: POSIX rename silently
+      // REPLACES an existing destination.
       val lp = java.nio.file.Paths.get(p.toUri.getPath)
       Option(lp.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      try java.nio.file.Files.write(lp, body.getBytes(StandardCharsets.UTF_8),
+      val tmp = lp.resolveSibling(
+        s".${lp.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+      try java.nio.file.Files.createLink(lp, tmp)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new FileAlreadyExistsException(s)
+      } finally {
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: Throwable => () }
       }
       ()
     } else {

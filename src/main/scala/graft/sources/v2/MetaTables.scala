@@ -41,7 +41,12 @@ object MetaTables {
     StructField("n_data_files", LongType, nullable = false),
     StructField("n_delete_files", LongType, nullable = false),
     StructField("total_bytes", LongType, nullable = false),
-    StructField("is_current", BooleanType, nullable = false)))
+    StructField("is_current", BooleanType, nullable = false),
+    // lineage stamps (absent on manifests committed before they existed):
+    // the logical parent version and the ref the commit landed on —
+    // Iceberg's snapshot parent-id and ref, straight off the manifest head
+    StructField("parent", LongType, nullable = true),
+    StructField("ref_owner", StringType, nullable = true)))
 
   private val PartitionsSchema = StructType(Seq(
     StructField("partition", StringType, nullable = false),
@@ -116,7 +121,9 @@ object MetaTables {
           .get(ManifestTable.OpProp).map(utf8).orNull,
         data.size.toLong, del.size.toLong,
         es.map(e => MetaIO.size(s"$root/data/${e.rel}")).sum,
-        live.contains(v)))
+        live.contains(v),
+        ManifestTable.parentOf(root, v).map(Long.box).orNull,
+        ManifestTable.ownerOf(root, v).map(utf8).orNull))
     }.toArray
   }
 

@@ -1148,6 +1148,11 @@ class V2CatalogSpec extends AnyFunSuite {
     assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(snaps.map(r => r.getBoolean(r.fieldIndex("is_current"))).toSeq ===
       Seq(false, true))
+    // lineage stamps surface: v2 extended v1 (v1 extended nothing), both
+    // committed on main
+    assert(snaps.map(r => r.getLong(r.fieldIndex("parent"))).toSeq === Seq(0L, 1L))
+    assert(snaps.map(r => r.getString(r.fieldIndex("ref_owner"))).toSeq ===
+      Seq("main", "main"))
 
     // .partitions: one row per live day directory
     val parts = spark.table("gtest.ns.mt.partitions")
