@@ -886,6 +886,12 @@ object ManifestTable {
     * reclaim it if stale (crashed committer), else — when `rebase` —
     * re-plan against the new live state and try the next version, else
     * surface the conflict. */
+  /** Test-only, one-shot: pause between PLAN and the staleness guard,
+    * widening the plan→allocate window so a spec can land a racing
+    * commit inside it deterministically (consumed by the first commit
+    * that sees it; 0 — no-op — in production). */
+  private[graft] val testPlanPause = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def commitLoop(root: String, retain: Int, rebase: Boolean)
                         (plan: Base => Planned): Long = {
     require(retain >= 1, "must retain at least the live snapshot")
@@ -908,6 +914,9 @@ object ManifestTable {
         case None => Base(root, None, Nil, Nil, Map.empty)
       }
       val planned = plan(base)
+      testPlanPause.getAndSet(0L) match {
+        case 0L => (); case ms => Thread.sleep(ms)
+      }
       require(planned.props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
         && planned.props.values.forall(v => !v.contains("\n")), "illegal manifest property")
       // ALLOCATION: the smallest number above the base (and the recorded

@@ -336,6 +336,34 @@ class TableFormatSpec extends AnyFunSuite {
       .collect().toSeq === (0L to n.toLong))
   }
 
+  test("staleness guard: a commit planned before a racer landed re-plans, never buries it") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("manifest_stale").toString + "/t"
+    ManifestTable.commit(Seq((0L, "seed")).toDF("k", "v"), root, retain = 20)
+    // one committer pauses between planning and allocating; the racer
+    // lands INSIDE that window. The paused committer must detect its
+    // base went stale and re-plan — publishing past the racer with the
+    // stale plan would silently bury the racer's rows (the lost-update
+    // shape the statistical appender test only catches sometimes).
+    ManifestTable.testPlanPause.set(1500L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val slow = new Thread(() => {
+      try ManifestTable.append(Seq((1L, "slow")).toDF("k", "v"), root, retain = 20)
+      catch { case t: Throwable => errs.add(t) }
+    })
+    slow.start()
+    Thread.sleep(500) // the pause is consumed; land the racer inside it
+    ManifestTable.append(Seq((2L, "fast")).toDF("k", "v"), root, retain = 20)
+    slow.join()
+    ManifestTable.testPlanPause.set(0L)
+    assert(errs.isEmpty, s"both commits must land: $errs")
+    assert(ManifestTable.read(spark, root).select("k").as[Long]
+      .collect().toSet === Set(0L, 1L, 2L),
+      "the overlapped commit must carry the racer's rows, not bury them")
+    assert(ManifestTable.currentVersion(root).contains(3L))
+  }
+
   test("manifest table on an explicit file:// Hadoop URI: full protocol round-trip") {
     import spark.implicits._
     import graft.sources.ManifestTable
