@@ -1870,9 +1870,28 @@ object ManifestTable {
       branchHistory.getOrElseUpdate(v,
         ownerOf(root, v)
           .exists(o => o != "main" && refMap.get(o).exists(r => v <= r.version)))
+    // retention applies PER LINEAGE: a manifest owned by a live branch
+    // expires by the window behind that BRANCH's head; everything else
+    // by main's window behind the live pointer. Versions are one shared
+    // sequence, so without the owner split main's window both destroyed
+    // a branch's recent history below the pointer AND (after the
+    // ownership-aware orphan sweep) let a long-lived unpublished branch
+    // accumulate manifests above it without bound. Owner probes are
+    // header-prefix reads and only run when a branch ref exists.
+    val anyBranch = refMap.values.exists(_.kind == "branch")
     val (dead, kept0) = versions(root)
-      .partition(v => v <= live - retain && !pinned.contains(v) &&
-        olderThanMillis.forall(MetaIO.mtimeMillis(manifestPath(root, v)) < _))
+      .partition { v =>
+        val branchOwner =
+          if (anyBranch)
+            ownerOf(root, v).filter(o => o != "main" && refMap.contains(o))
+          else None
+        val expired = branchOwner match {
+          case Some(o) => v <= refMap(o).version - retain
+          case None => v <= live - retain
+        }
+        expired && !pinned.contains(v) &&
+          olderThanMillis.forall(MetaIO.mtimeMillis(manifestPath(root, v)) < _)
+      }
     // expiring docs are read BEFORE their manifests are deleted
     val deadDocs = dead.map(v => readDoc(root, v))
     val kept = kept0.filter { v =>

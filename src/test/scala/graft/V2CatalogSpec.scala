@@ -751,6 +751,42 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.lin")
   }
 
+  test("branch retention: a long-lived staging branch expires its old intermediates, keeps its window") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.bret")
+    spark.sql("CREATE TABLE gtest.ns.bret (k BIGINT)")
+    spark.conf.set("spark.graft.versioned.retain", "2")
+    try {
+      spark.sql("INSERT INTO gtest.ns.bret VALUES (0)")
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/bret"
+      spark.sql("CALL gtest.system.create_branch(`table` => 'ns.bret', name => 'wap')")
+      spark.conf.set("spark.graft.write.branch", "wap")
+      val staged = try {
+        (1 to 4).map { i =>
+          spark.sql(s"INSERT INTO gtest.ns.bret VALUES ($i)")
+          ManifestTable.resolveRef(root, "wap").version
+        }
+      } finally spark.conf.unset("spark.graft.write.branch")
+      // a main commit runs gc: staged intermediates beyond the branch's
+      // retain window expire; the recent window and the head survive
+      spark.sql("INSERT INTO gtest.ns.bret VALUES (100)")
+      val retained = ManifestTable.versions(root).toSet
+      assert(!retained.contains(staged.head),
+        s"oldest staged intermediate ${staged.head} must expire (have $retained)")
+      assert(retained.contains(staged.last) && retained.contains(staged(2)),
+        s"the branch head and its retain window must survive (have $retained)")
+      // the staged content is whole (the head manifest references it all)
+      assert(spark.sql("SELECT k FROM gtest.ns.bret VERSION AS OF 'wap'")
+        .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L, 4L))
+      // and publish still works after the expiry
+      spark.sql("CALL gtest.system.fast_forward(`table` => 'ns.bret', branch => 'wap')")
+      assert(spark.table("gtest.ns.bret").collect().map(_.getLong(0)).toSet
+        === Set(0L, 1L, 2L, 3L, 4L))
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    spark.sql("DROP TABLE gtest.ns.bret")
+  }
+
   test("fsck verifies the live snapshot; a vanished data file is found") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
