@@ -38,11 +38,12 @@ import graft.sources.v2.VersionedCatalog
   * resolution is untouched (the expansion only fires when the
   * `_views/<name>` definition file exists — one metadata stat per
   * unresolved relation per parse, the same cost class as the catalog's
-  * own table lookup). Scope notes: reads through `spark.table()` and
-  * `readStream` bypass the SQL parser and therefore don't resolve
-  * views (SQL is the view surface, as in the reference's engines);
-  * views are not INSERT/DML targets (expansion yields a subquery, which
-  * analysis rejects as a write target — the standard behavior). */
+  * own table lookup). Scope notes: `spark.table()` reads resolve views
+  * too via [[ViewResolutionRule]] (an injected analyzer rule applying
+  * the same expansion); `readStream` does not (a streaming relation
+  * over a view has no incremental semantics to offer); views are not
+  * INSERT/DML targets (expansion yields a subquery, which analysis
+  * rejects as a write target — the standard behavior). */
 object Views {
 
   private val MaxDepth = 10
@@ -176,8 +177,15 @@ object Views {
       if (!MetaIO.exists(dir)) Nil
       else MetaIO.listStatus(dir).map(_.getPath.getName).sorted.toSeq
     val kept = pattern.fold(names) { p =>
-      val res = p.trim.split("\\|").map(x =>
-        ("(?i)" + x.replaceAll("\\*", ".*")).r)
+      // only `*` is a wildcard — quote every other character so regex
+      // metacharacters in a pattern ('.', '+', '(' …) match literally
+      // instead of rewriting the match or throwing PatternSyntaxException
+      // (Spark's StringUtils.filterPattern discipline)
+      val res = p.trim.split("\\|").map { x =>
+        ("(?i)" + x.split("\\*", -1).map(seg =>
+          if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+          .mkString(".*")).r
+      }
       names.filter(n => res.exists(_.pattern.matcher(n).matches()))
     }
     kept.map(n => (ns.mkString("."), n))

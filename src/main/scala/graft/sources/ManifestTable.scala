@@ -1805,9 +1805,7 @@ object ManifestTable {
   def publishBranch(root: String, name: String): Long = {
     val r = resolveRef(root, name)
     require(r.kind == "branch", s"ref '$name' on $root is a ${r.kind}, not a branch")
-    versions(root).lastOption.filter(_ > r.version).foreach { hw =>
-      MetaIO.writeAtomic(s"$root/$MaxMark", hw.toString)
-    }
+    versions(root).lastOption.filter(_ > r.version).foreach(raiseFloor(root, _))
     MetaIO.writeAtomic(pointerPath(root), r.version.toString)
     r.version
   }
@@ -1819,6 +1817,22 @@ object ManifestTable {
     if (MetaIO.exists(p)) MetaIO.readString(p).trim.toLong else 0L
   }
 
+  /** Raise `_MAXV` to at least `v`. The mark is a plain file, so two
+    * concurrent raisers are last-writer-wins — a naive read-check-write
+    * lets a racer's HIGHER floor be overwritten with a lower one,
+    * re-enabling reuse of rolled-over version numbers. Verify-and-retry:
+    * after writing, re-read; if the visible floor is still below `v`
+    * (our write was clobbered by a lower concurrent value), write again.
+    * Bounded — floors only ever need to go up, so one surviving write at
+    * the max value terminates every racer's loop. */
+  private def raiseFloor(root: String, v: Long): Unit = {
+    var attempts = 0
+    while (highWaterMark(root) < v && attempts < 8) {
+      MetaIO.writeAtomic(s"$root/$MaxMark", v.toString)
+      attempts += 1
+    }
+  }
+
   def dropRef(root: String, name: String): Unit = {
     val r = resolveRef(root, name) // must exist
     // a dropped ref abandons any manifests it pinned ABOVE the live
@@ -1826,8 +1840,7 @@ object ManifestTable {
     // commits never contend with — or, after the orphan sweep deletes
     // them, silently reuse — the abandoned version numbers
     val live = currentVersion(root).getOrElse(0L)
-    if (r.version > live && r.version > highWaterMark(root))
-      MetaIO.writeAtomic(s"$root/$MaxMark", r.version.toString)
+    if (r.version > live) raiseFloor(root, r.version)
     MetaIO.delete(refPath(root, name))
   }
 
@@ -1879,6 +1892,32 @@ object ManifestTable {
     // accumulate manifests above it without bound. Owner probes are
     // header-prefix reads and only run when a branch ref exists.
     val anyBranch = refMap.values.exists(_.kind == "branch")
+    // main's PROVEN lineage: ancestors-or-self of the live pointer by
+    // parent-stamp walk, computed once per gc (one header-prefix read per
+    // retained ancestor). Needed because an owner stamp alone can't
+    // classify a manifest at-or-below the pointer: fast_forward keeps the
+    // branch stamp on what is now published main history (whose expiry
+    // must use MAIN's window — the branch-head window would expire main's
+    // LIVE manifest once staged commits push that head onward), while a
+    // main commit racing PAST a still-unpublished branch leaves genuinely
+    // staged manifests below the pointer (whose expiry must use the
+    // BRANCH's window — main's window would gut the branch's retained
+    // intermediates). A version the walk can't reach (chain broken on an
+    // expired manifest) is necessarily below every intact window, so the
+    // branch-window fallback expires it exactly when main's would.
+    lazy val mainLineage: Set[Long] = {
+      val b = scala.collection.mutable.Set.empty[Long]
+      var cur = live
+      var walking = live > 0
+      while (walking) {
+        b += cur
+        parentOf(root, cur) match {
+          case Some(p) if p < cur && p > 0 => cur = p
+          case _ => walking = false
+        }
+      }
+      b.toSet
+    }
     val (dead, kept0) = versions(root)
       .partition { v =>
         val branchOwner =
@@ -1886,8 +1925,9 @@ object ManifestTable {
             ownerOf(root, v).filter(o => o != "main" && refMap.contains(o))
           else None
         val expired = branchOwner match {
-          case Some(o) => v <= refMap(o).version - retain
-          case None => v <= live - retain
+          case Some(o) if v > live || !mainLineage.contains(v) =>
+            v <= refMap(o).version - retain
+          case _ => v <= live - retain
         }
         expired && !pinned.contains(v) &&
           olderThanMillis.forall(MetaIO.mtimeMillis(manifestPath(root, v)) < _)

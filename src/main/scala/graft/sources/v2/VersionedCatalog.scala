@@ -195,6 +195,16 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // mirror of the CREATE VIEW guard: a view never shadows a table AND a
+    // table never shadows a view — view expansion fires on the stored
+    // definition file, so a table created under a view's name would have
+    // its reads silently answered by the view and its INSERTs rejected
+    // as writes to a subquery
+    val viewDef = (Seq(warehouse) ++ ident.namespace().toSeq ++
+      Seq("_views", ident.name())).mkString("/")
+    require(!MetaIO.exists(viewDef),
+      s"cannot create table ${ident.namespace().mkString(".")}." +
+        s"${ident.name()}: a VIEW of that name exists (DROP VIEW it first)")
     // classify the requested transforms: one hidden temporal/bucket/
     // truncate transform OR any number of identity columns (the reference
     // gold's `ano, mes`) — never both (one directory layout per table)

@@ -588,4 +588,24 @@ class TableFormatSpec extends AnyFunSuite {
     ManifestTable.commit(ntz, root2, retain = 10, partitionDayOf = Some("ts"))
     assert(!ManifestTable.liveProps(root2).contains(ManifestTable.ZoneProp))
   }
+
+  test("publishBranch never lowers the version-allocation floor") {
+    import spark.implicits._
+    import graft.sources.{ManifestTable, MetaIO}
+    val root = Files.createTempDirectory("versioned_floor").toString + "/t"
+    ManifestTable.commit(Seq((1L, "a")).toDF("k", "v"), root, retain = 10)
+    ManifestTable.commit(Seq((2L, "b")).toDF("k", "v"), root, retain = 10)
+    ManifestTable.commit(Seq((3L, "c")).toDF("k", "v"), root, retain = 10)
+    ManifestTable.createBranch(root, "old", Some(1L))
+    // a floor recorded earlier (e.g. a dropped staging branch whose head
+    // rolled past) must not be clobbered by publishing a lower head —
+    // the floor only ever rises, or rolled-over version numbers come
+    // back into circulation
+    MetaIO.writeAtomic(s"$root/_MAXV", "50")
+    ManifestTable.publishBranch(root, "old") // pointer back to v1
+    assert(ManifestTable.currentVersion(root).contains(1L))
+    val next = ManifestTable.commit(Seq((9L, "z")).toDF("k", "v"), root, retain = 10)
+    assert(next === 51L,
+      s"allocation must respect the pre-existing floor of 50, got $next")
+  }
 }

@@ -787,6 +787,46 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.bret")
   }
 
+  test("expire after fast_forward: published branch-stamped history keeps main's window") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.ffgc")
+    spark.sql("CREATE TABLE gtest.ns.ffgc (k BIGINT)")
+    spark.conf.set("spark.graft.versioned.retain", "10")
+    try {
+      spark.sql("INSERT INTO gtest.ns.ffgc VALUES (1)") // main v1
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/ffgc"
+      spark.sql("CALL gtest.system.create_branch(`table` => 'ns.ffgc', name => 'wap')")
+      spark.conf.set("spark.graft.write.branch", "wap")
+      try {
+        spark.sql("INSERT INTO gtest.ns.ffgc VALUES (2)") // wap v2
+        spark.sql("INSERT INTO gtest.ns.ffgc VALUES (3)") // wap v3
+      } finally spark.conf.unset("spark.graft.write.branch")
+      spark.sql("CALL gtest.system.fast_forward(`table` => 'ns.ffgc', branch => 'wap')")
+      val live = ManifestTable.currentVersion(root).get // v3, owner stamp 'wap'
+      // further STAGED branch commits push the branch head past the pointer
+      spark.conf.set("spark.graft.write.branch", "wap")
+      try {
+        spark.sql("INSERT INTO gtest.ns.ffgc VALUES (4)") // wap v4
+        spark.sql("INSERT INTO gtest.ns.ffgc VALUES (5)") // wap v5 (head)
+      } finally spark.conf.unset("spark.graft.write.branch")
+      // the hazard: every retained manifest ≤ live carries the 'wap' owner
+      // stamp; expiring them by the BRANCH head's window (5 - retain)
+      // deletes main's LIVE manifest. Published history must use main's
+      // window regardless of the surviving owner stamp.
+      ManifestTable.expireOldVersions(root, retain = 1)
+      assert(ManifestTable.currentVersion(root).contains(live))
+      assert(ManifestTable.versions(root).contains(live),
+        s"main's live manifest $live expired (have ${ManifestTable.versions(root)})")
+      assert(spark.table("gtest.ns.ffgc").collect().map(_.getLong(0)).toSet
+        === Set(1L, 2L, 3L), "main must still read after expire")
+      // the staged branch stays whole through its head
+      assert(spark.sql("SELECT k FROM gtest.ns.ffgc VERSION AS OF 'wap'")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    } finally spark.conf.unset("spark.graft.versioned.retain")
+    spark.sql("DROP TABLE gtest.ns.ffgc")
+  }
+
   test("fsck verifies the live snapshot; a vanished data file is found") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
@@ -1862,6 +1902,17 @@ class V2CatalogSpec extends AnyFunSuite {
     val clash = intercept[Exception] {
       gsql("CREATE VIEW gtest.ns.vwt AS SELECT 1 AS x") }
     assert(clash.getMessage.contains("a table of that name exists"))
+    // …and the mirror: a table never shadows a view (its reads would be
+    // silently answered by the view and its INSERTs rejected)
+    val tclash = intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.ns.v1 (x BIGINT)") }
+    assert(tclash.getMessage.contains("a VIEW of that name exists"),
+      tclash.getMessage)
+    // SHOW VIEWS patterns: only '*' is a wildcard — metacharacters match
+    // literally and never throw
+    assert(gsql("SHOW VIEWS IN gtest.ns LIKE 'v.'").count() === 0)
+    assert(gsql("SHOW VIEWS IN gtest.ns LIKE 'v*'").count() === 2)
+    assert(gsql("SHOW VIEWS IN gtest.ns LIKE 'v+('").count() === 0)
     // duplicate create without OR REPLACE is loud; with it, it replaces
     val dup = intercept[Exception] {
       gsql("CREATE VIEW gtest.ns.v1 AS SELECT 1 AS x") }
