@@ -137,6 +137,7 @@ object SparkEntry {
     "format_integrity"    -> ((s, d) => graft.sources.Formats.formatIntegrityCheck(s, d)),
     "versioned_scan_prune" -> ((s, d) => graft.sources.v2.V2Queries.versionedScanPrune(s, d)),
     "stats_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.statsPruneScan(s, d)),
+    "cbo_broadcast_join" -> ((s, d) => graft.sources.v2.V2Queries.cboBroadcastJoin(s, d)),
     "months_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.monthsPruneScan(s, d)),
     "identity_partition_scan" -> ((s, d) => graft.sources.v2.V2Queries.identityPartitionScan(s, d)),
     "mor_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.morDeleteScan(s, d)),
@@ -295,6 +296,7 @@ object SparkEntry {
     "format_integrity"    -> graft.sources.Formats.formatIntegrityOracle,
     "versioned_scan_prune" -> graft.sources.v2.V2Queries.oracle.versionedScanPrune,
     "stats_prune_scan" -> graft.sources.v2.V2Queries.oracle.statsPruneScan,
+    "cbo_broadcast_join" -> graft.sources.v2.V2Queries.oracle.cboBroadcastJoin,
     "months_prune_scan" -> graft.sources.v2.V2Queries.oracle.monthsPruneScan,
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,

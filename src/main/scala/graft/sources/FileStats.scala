@@ -93,7 +93,7 @@ object FileStats {
   private def asciiOnly(s: String): Boolean = s.forall(_ < 0x80)
 
   /** Tag for a Spark type whose bounds we can model; None = no stats. */
-  private def tagOf(dt: DataType): Option[Char] = dt match {
+  private[graft] def tagOf(dt: DataType): Option[Char] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some('l')
     case FloatType | DoubleType                        => Some('d')
     case StringType                                    => Some('s')
@@ -377,7 +377,7 @@ object FileStats {
     }
   }
 
-  private def reduceBound(vs: Seq[String], tag: Char, isMin: Boolean): String = {
+  private[graft] def reduceBound(vs: Seq[String], tag: Char, isMin: Boolean): String = {
     def pick[T](parse: String => T)(implicit ord: Ordering[T]): String =
       (if (isMin) vs.minBy(parse) else vs.maxBy(parse))
     tag match {

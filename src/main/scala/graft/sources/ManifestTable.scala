@@ -750,7 +750,7 @@ object ManifestTable {
   private def writePool(df: DataFrame, root: String,
                         partitionDayOf: Option[String], format: String,
                         partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
-                        partitionCols: Seq[String] = Nil): Seq[FileEntry] = {
+                        partitionCols: Seq[String] = Nil): PoolWrite = {
     require(FileFormats.contains(format), s"unsupported data-file format $format")
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
     // three layouts beyond flat: the hidden day, an arbitrary hidden
@@ -785,8 +785,14 @@ object ManifestTable {
         org.apache.spark.sql.execution.datasources.v2.GraftWriteConf
           .withMicrosTimestamps(clustered)
       else clustered
-    if (partNames.isEmpty) toWrite.write.format(format).save(stage)
-    else toWrite.write.partitionBy(partNames: _*).format(format).save(stage)
+    // per-column NDV sketches ride the write job itself ([[NdvStats]]):
+    // an Observation updates HLL sketches as the rows stream to the
+    // files — no read-back, no second pass. Sketch only the USER columns
+    // (hidden partition derivations never face a planner estimate).
+    val (observed, obs) = NdvStats.attach(toWrite,
+      allowed = df.schema.fieldNames.toSet)
+    if (partNames.isEmpty) observed.write.format(format).save(stage)
+    else observed.write.partitionBy(partNames: _*).format(format).save(stage)
     // partitionBy moves partition columns into directory names: the FILE
     // schema is df's columns minus identity partition columns
     val fileSchema = org.apache.spark.sql.types.StructType(
@@ -813,15 +819,23 @@ object ManifestTable {
         FileEntry(rel, stats)
       }
     MetaIO.delete(stage, recursive = true)
-    entries
+    PoolWrite(entries, NdvStats.harvest(obs))
   }
+
+  /** A completed pool write: the staged entries plus the NDV sketch the
+    * write job observed over them (None when disabled/unsketchable). */
+  private case class PoolWrite(entries: Seq[FileEntry],
+                               ndv: Option[Map[String, Array[Byte]]])
 
   /** One commit attempt's content, planned against the current base:
     * `carried` shard refs pass through as manifest-list LINES (their
     * contents never read), `entries` are the loose entries to publish —
-    * fresh files plus any surviving inline entries of the base. */
+    * fresh files plus any surviving inline entries of the base. `ndv`
+    * is the new data's NDV sketch, merged with the base's and published
+    * beside the winning manifest ([[NdvStats]]). */
   private case class Planned(entries: Seq[FileEntry], props: Map[String, String],
-                             carried: Seq[ShardRef] = Nil)
+                             carried: Seq[ShardRef] = Nil,
+                             ndv: Option[Map[String, Array[Byte]]] = None)
 
   /** The base state a commit plans against (re-read per attempt). Shard
     * contents load lazily and only for the keys a planner asks about —
@@ -1087,6 +1101,22 @@ object ManifestTable {
             MetaIO.writeAtomic(pointerPath(root), next.toString)
         }
         if (!claimIsOurs()) fenceLost("after")
+        // publish the NDV sketch beside the landed manifest: fresh-data
+        // sketch ∪ the base's (append/update), or alone (overwrite — a
+        // full rewrite RESETS the estimate, the only subtraction HLL
+        // gets). Best-effort and post-flip: a sketch failure or a crash
+        // here costs planning statistics, never the commit — readers
+        // walk to the parent's sketch ([[NdvStats.forVersion]]).
+        scala.util.Try(planned.ndv.filter(_ => NdvStats.enabled).foreach { m =>
+          val carriedBase = planned.carried.nonEmpty ||
+            planned.entries.exists(_.seq.isDefined)
+          val merged =
+            if (carriedBase)
+              baseV.flatMap(p => NdvStats.forVersion(root, p))
+                .map(NdvStats.merge(_, m)).getOrElse(m)
+            else m
+          NdvStats.write(root, next, merged)
+        })
         if (branch.isEmpty) gc(root, next, retain)
         return next
         }
@@ -1157,7 +1187,8 @@ object ManifestTable {
     val zp = writeZoneOf(df, partitionDayOf).map(ZoneProp -> _).toMap
     // the label is THIS commit's, never inherited through carried props
     commitLoop(root, retain, rebase = false)(_ =>
-      Planned(fresh, props - OpProp ++ zp + (OpProp -> op)))
+      Planned(fresh.entries, props - OpProp ++ zp + (OpProp -> op),
+        ndv = fresh.ndv))
   }
 
   /** Append commit (INSERT INTO semantics): write only `df`'s files into
@@ -1180,10 +1211,10 @@ object ManifestTable {
     // survive later appends — all re-read per attempt when rebasing.
     // Base shard refs carry as LINES: append cost never reads them.
     commitLoop(root, retain, rebase = true) { base =>
-      Planned(base.inline ++ fresh,
+      Planned(base.inline ++ fresh.entries,
         base.props ++ props ++ mergeZoneProp(base.props, zone) +
           (OpProp -> "append"),
-        carried = base.refs)
+        carried = base.refs, ndv = fresh.ndv)
     }
   }
 
@@ -1461,9 +1492,9 @@ object ManifestTable {
     val zone = writeZoneOf(df, partitionDayOf)
     commitLoop(root, retain, rebase = true) { base =>
       requireTombstonedFilesLive(root, base, touched)
-      Planned(base.inline ++ freshDel ++ freshData,
+      Planned(base.inline ++ freshDel ++ freshData.entries,
         base.props ++ mergeZoneProp(base.props, zone) + (OpProp -> "update"),
-        carried = base.refs)
+        carried = base.refs, ndv = freshData.ndv)
     }
   }
 
@@ -1677,9 +1708,9 @@ object ManifestTable {
           s"days ${removeDays.mkString(",")} of $root changed under this rewrite; recompute and retry")
       // partial update of a continuing table: carry the commit properties
       // (e.g. streaming idempotence markers) into the new manifest
-      Planned(base.inline.filterNot(e => removed(keyOf(e.rel))) ++ fresh,
+      Planned(base.inline.filterNot(e => removed(keyOf(e.rel))) ++ fresh.entries,
         base.props ++ mergeZoneProp(base.props, zone) + (OpProp -> "replace"),
-        carried = base.refs.filterNot(r => removed(r.key)))
+        carried = base.refs.filterNot(r => removed(r.key)), ndv = fresh.ndv)
     }
   }
 
@@ -1938,7 +1969,10 @@ object ManifestTable {
       val orphan = v > live && !pinned.contains(v) &&
         MetaIO.mtimeMillis(manifestPath(root, v)) < now - claimGraceMs &&
         !publishedBranchHistory(v)
-      if (orphan) MetaIO.delete(manifestPath(root, v))
+      if (orphan) {
+        MetaIO.delete(manifestPath(root, v))
+        NdvStats.delete(root, v)
+      }
       !orphan
     }
     val keptDocs = kept.filter(v => v <= live || pinned.contains(v) ||
@@ -1965,7 +1999,10 @@ object ManifestTable {
           MetaIO.delete(p)
       }
     }
-    dead.foreach(v => MetaIO.delete(manifestPath(root, v)))
+    dead.foreach { v =>
+      MetaIO.delete(manifestPath(root, v))
+      NdvStats.delete(root, v)
+    }
     // shard files listed by no surviving manifest: exact-diff delete
     // (shards are metadata-internal — no grace needed once unreferenced)
     deadOnlyShards.foreach(r => MetaIO.delete(s"$root/manifests/${r.rel}"))
@@ -2005,6 +2042,14 @@ object ManifestTable {
             && st.getModificationTime < now - orphanFileGraceMs)
           MetaIO.delete(st.getPath.toString)
       }
+      // NDV sidecars of expired manifests (exact-version files, no grace
+      // needed: a sketch is published only after its commit's flip)
+      val retainedVs = versions(root).map(_.toString).toSet
+      if (MetaIO.exists(s"$root/${NdvStats.Dir}"))
+        MetaIO.listStatus(s"$root/${NdvStats.Dir}").foreach { st =>
+          if (!retainedVs.contains(st.getPath.getName))
+            MetaIO.delete(st.getPath.toString)
+        }
     }
   }
 

@@ -1,0 +1,125 @@
+package graft.sources.v2
+
+import java.util.{Optional, OptionalLong}
+
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.Statistics
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+import org.apache.spark.sql.types._
+
+import graft.sources.{FileStats, ManifestTable, NdvStats}
+
+/** Table-level column statistics for Spark's cost-based planning,
+  * assembled from metadata the table format already keeps — the
+  * integration point Iceberg's `SparkScan.estimateStatistics` feeds
+  * (min/max/null from manifest entries, NDV from Puffin sketches) and
+  * Trino consumes for join ordering. Spark's
+  * `DataSourceV2Relation.transformV2Stats` lifts the
+  * [[ColumnStatistics]] map into catalyst `ColumnStat`s, so with
+  * `spark.sql.cbo.enabled` FilterEstimation shrinks a filtered
+  * dimension's row estimate from these bounds and JoinSelection picks
+  * the broadcast side from DATA instead of defaults — at 100 TB the
+  * difference between a broadcast and a full shuffle of the fact table.
+  *
+  * Sources, all metadata-only at plan time:
+  *  - row count: sum of per-file `__rows` over the PRUNED listing (the
+  *    same floor-disciplined set the scan will read);
+  *  - min/max: fold of per-file footer bounds ([[FileStats]]), reported
+  *    only when EVERY surviving file carries the bound (a stats-less
+  *    file could hold anything) and converted to the LOGICAL column
+  *    type's catalyst value (renames and type widening resolve here);
+  *  - null count: sum, same every-file rule;
+  *  - NDV: the snapshot's commit-time HLL sketch ([[NdvStats]]) — a
+  *    table-level figure, reported as-is on a filtered scan (an upper
+  *    bound, the safe direction for build-side choice).
+  *
+  * Under live MOR deletes row count and NDV are upper bounds (tombstoned
+  * rows still count until compaction) — estimates, never results. */
+private[v2] object ColumnStatsReport {
+
+  private case class ColStat(ndv: Option[Long], minV: Option[Any],
+                             maxV: Option[Any], nulls: Option[Long])
+      extends ColumnStatistics {
+    override def distinctCount(): OptionalLong =
+      ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    override def min(): Optional[Object] =
+      Optional.ofNullable(minV.map(_.asInstanceOf[Object]).orNull)
+    override def max(): Optional[Object] =
+      Optional.ofNullable(maxV.map(_.asInstanceOf[Object]).orNull)
+    override def nullCount(): OptionalLong =
+      nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  }
+
+  private case class TableStats(size: OptionalLong, rows: OptionalLong,
+      cols: java.util.Map[NamedReference, ColumnStatistics]) extends Statistics {
+    override def sizeInBytes(): OptionalLong = size
+    override def numRows(): OptionalLong = rows
+    override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = cols
+  }
+
+  /** The canonical bound string as the LOGICAL type's catalyst value
+    * (what `ColumnStat.min/max` holds after ANALYZE). Strings are
+    * skipped — CBO range estimation is numeric and UTF-8 footer order
+    * diverges from UTF-16 anyway. */
+  private def catalystValue(dt: DataType, tag: Char, s: String): Option[Any] =
+    scala.util.Try {
+      (dt, tag) match {
+        case (ByteType, 'l')         => s.toLong.toByte
+        case (ShortType, 'l')        => s.toLong.toShort
+        case (IntegerType, 'l')      => s.toLong.toInt
+        case (LongType, 'l')         => s.toLong
+        case (FloatType, 'd')        => s.toDouble.toFloat
+        case (DoubleType, 'd')       => s.toDouble
+        case (_: DecimalType, 'm')   => Decimal(BigDecimal(s))
+        case (DateType, 'a')         => s.toLong.toInt
+        case (TimestampType, 't')    => s.toLong
+        case (TimestampNTZType, 'n') => s.toLong
+        case (BooleanType, 'b')      => s == "1"
+        case _ => throw new IllegalArgumentException("unreportable")
+      }
+    }.toOption
+
+  /** Assemble the report over the pruned listing; falls back to the
+    * delegate's size estimate for anything the metadata can't answer. */
+  def build(base: Statistics, root: String, version: Option[Long],
+            schema: StructType, physicalName: String => String,
+            entries: Seq[ManifestTable.FileEntry]): Statistics = {
+    val decoded = entries.map(e => FileStats.decode(e.stats.getOrElse("")))
+    val rows: OptionalLong =
+      if (entries.isEmpty) OptionalLong.of(0L)
+      else {
+        val perFile = decoded.map(FileStats.rowCount)
+        if (perFile.forall(_.isDefined)) OptionalLong.of(perFile.flatten.sum)
+        else OptionalLong.empty()
+      }
+    val ndv: Map[String, Long] =
+      version.map(v => NdvStats.estimates(root, v)).getOrElse(Map.empty)
+    val cols = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    schema.fields.foreach { f =>
+      FileStats.tagOf(f.dataType).foreach { tag =>
+        val phys = physicalName(f.name).toLowerCase
+        val perFile = decoded.map(_.get(phys))
+        val complete = entries.nonEmpty && perFile.forall(_.exists(_.tag == tag))
+        def fold(pick: FileStats.ColStats => Option[String], isMin: Boolean) =
+          if (!complete) None
+          else {
+            val bs = perFile.flatten.map(pick)
+            if (bs.forall(_.isDefined))
+              catalystValue(f.dataType, tag,
+                FileStats.reduceBound(bs.flatten, tag, isMin))
+            else None
+          }
+        val nulls =
+          if (complete && perFile.flatten.forall(_.nulls.isDefined))
+            Some(perFile.flatten.flatMap(_.nulls).sum)
+          else if (entries.isEmpty) Some(0L)
+          else None
+        val stat = ColStat(ndv.get(phys).filter(_ > 0L),
+          fold(_.min, isMin = true), fold(_.max, isMin = false), nulls)
+        if (stat.ndv.isDefined || stat.minV.isDefined || stat.nulls.isDefined)
+          cols.put(Expressions.column(f.name), stat)
+      }
+    }
+    TableStats(base.sizeInBytes(), rows, cols)
+  }
+}

@@ -97,6 +97,64 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** COLUMN STATISTICS driving cost-based join planning — the CBO
+    * integration Iceberg feeds from Puffin NDV sketches and manifest
+    * bounds ([[ColumnStatsReport]]). A padded dimension is CTAS'd with
+    * its key HASH-spread across files (so file-level pruning cannot
+    * shrink the `k < 20` scan — only ESTIMATION can), then the same
+    * filtered join is planned twice against a broadcast threshold set
+    * between the dimension's raw size and its filtered estimate:
+    *
+    *  - `spark.sql.cbo.enabled=true`: FilterEstimation reads the scan's
+    *    reported min/max/rowCount, shrinks the filtered side under the
+    *    threshold, and the PLANNED join is a broadcast-hash join;
+    *  - CBO off: the filter keeps its child's size and the planner picks
+    *    a sort-merge join.
+    *
+    * The `cbo_ok` verdict pins that flip (oracle TRUE): losing the
+    * statistics feed fails the hash compare. At 100 TB this decision is
+    * a broadcast versus a full shuffle of the fact side. */
+  def cboBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("cbo")}"
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      Tables.events(spark, dir)
+        .select((col("event_id") % 5000).cast("long").as("k")).distinct()
+        .withColumn("pad", md5(col("k").cast("string")))
+        .writeTo(tbl).create()
+
+      val fact = eventsSlim(spark, dir)
+        .withColumn("k", (col("event_id") % 5000).cast("long"))
+      def planned(cbo: Boolean): DataFrame = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        fact.join(spark.table(tbl).where(col("k") < lit(20L)), "k")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+      }
+      def joinKinds(df: DataFrame): Seq[String] =
+        df.queryExecution.sparkPlan.collect {
+          case p if p.nodeName.contains("Join") => p.nodeName }
+      // threshold between the dim's raw size and its ~0.4-2% filtered
+      // estimate — only the statistics feed can cross it
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val raw = spark.table(tbl).queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(raw.toLong / 4L, 1024L).toString)
+      val withCbo = joinKinds(planned(cbo = true))
+      val without = joinKinds(planned(cbo = false))
+      val cboOk = withCbo.exists(_.contains("BroadcastHashJoin")) &&
+        without.exists(_.contains("SortMergeJoin")) &&
+        !without.exists(_.contains("BroadcastHashJoin"))
+      planned(cbo = true).withColumn("cbo_ok", lit(cboOk)).localCheckpoint(true)
+    } finally {
+      saved.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                      case (k, None) => spark.conf.unset(k) }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** Per-file column-stats pruning through the catalog: events are
     * range-clustered on `value` into a handful of files (CTAS with a
     * repartitionByRange, so each file covers a narrow value band and the
@@ -1359,6 +1417,16 @@ object V2Queries {
   }
 
   object oracle {
+    /** The statistics feed must be invisible in the data: recompute the
+      * filtered join from raw events, plan-flip verdict pinned TRUE. */
+    val cboBroadcastJoin: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS cbo_ok
+         |FROM (SELECT event_type, value, event_id % 5000 AS k FROM events) e
+         |JOIN (SELECT DISTINCT event_id % 5000 AS k FROM events) d USING (k)
+         |WHERE k < 20
+         |GROUP BY 1""".stripMargin
+
     /** Stats pruning must be invisible in the data: recompute from the
       * raw events, layout verdict pinned TRUE. */
     val statsPruneScan: String =

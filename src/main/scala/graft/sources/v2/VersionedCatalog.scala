@@ -1089,6 +1089,25 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
 
   private[v2] def prunedManifest: Seq[String] = prunedEntries.map(_.rel)
 
+  /** Statistics report for the scan wrapper: the delegate's size estimate
+    * enriched with manifest-derived row count and per-column
+    * min/max/null/NDV over the PRUNED listing ([[ColumnStatsReport]]).
+    * Cached per pushed-filter state — runtime filters rebuild the scan
+    * and the narrowed listing re-reports. */
+  private var statsCache: Option[(Array[sources.Filter],
+    org.apache.spark.sql.connector.read.Statistics)] = None
+  private[v2] def reportStatistics(
+      base: org.apache.spark.sql.connector.read.Statistics)
+      : org.apache.spark.sql.connector.read.Statistics = statsCache match {
+    case Some((p, s)) if p eq pushed => s
+    case _ =>
+      val s = ColumnStatsReport.build(base, root,
+        pinnedVersion.orElse(ManifestTable.currentVersion(root)),
+        dataSchema, meta.physicalName, prunedEntries)
+      statsCache = Some((pushed, s))
+      s
+  }
+
   /** The conservative pruning pipeline over concrete entries. After a
     * partition SPEC EVOLUTION a snapshot mixes layouts, so every
     * historical interpretation gets a vote: `__day=` entries prune only
@@ -1693,8 +1712,10 @@ private[graft] class GraftRuntimeFilterScan(builder: VersionedScanBuilder,
     delegate.supportedCustomMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
+  /** Delegate size enriched with manifest-derived row count and COLUMN
+    * statistics ([[ColumnStatsReport]]) — what CBO's join planning reads. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    GraftScanStats.of(delegate)
+    builder.reportStatistics(GraftScanStats.of(delegate))
 }
 
 /** Reports logical column names over a delegate scan built in physical

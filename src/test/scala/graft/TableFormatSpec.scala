@@ -589,6 +589,41 @@ class TableFormatSpec extends AnyFunSuite {
     assert(!ManifestTable.liveProps(root2).contains(ManifestTable.ZoneProp))
   }
 
+  test("NDV sketches: commits accumulate, MOR deletes inherit by parent walk, overwrite resets") {
+    import spark.implicits._
+    import graft.sources.{ManifestTable, NdvStats}
+    val root = Files.createTempDirectory("versioned_ndv").toString + "/t"
+    val v1 = ManifestTable.commit(
+      (0L until 100L).map(i => (i, s"a$i")).toDF("k", "v"), root, retain = 10)
+    val e1 = NdvStats.estimates(root, v1)
+    assert(e1.get("k").exists(n => n > 90 && n < 110), e1.toString)
+    // append DIFFERENT keys: the union grows past either side alone
+    val v2 = ManifestTable.append(
+      (100L until 200L).map(i => (i, s"b$i")).toDF("k", "v"), root, retain = 10)
+    assert(NdvStats.estimates(root, v2).get("k").exists(n => n > 180 && n < 220))
+    // a MOR delete commit writes no data and no sketch — the reader
+    // walks the parent stamps to the last data commit's
+    val rel = ManifestTable.encodedRel(root, ManifestTable.liveEntries(root)
+      .map(_.rel).filterNot(ManifestTable.isDeleteEntry).head)
+    val dv = ManifestTable.appendDeletes(
+      Seq((rel, 0L)).toDF("__file", "__pos"), root, retain = 10)
+    assert(NdvStats.read(root, dv).isEmpty, "delete commit carries no sketch")
+    assert(NdvStats.estimates(root, dv).get("k").exists(_ > 180),
+      "reader walks to the parent's sketch")
+    // overwrite resets: the stale 200-key estimate must not survive a
+    // full rewrite that leaves 5 keys
+    val v3 = ManifestTable.commit(
+      (0L until 5L).map(i => (i, "z")).toDF("k", "v"), root, retain = 10)
+    assert(NdvStats.estimates(root, v3).get("k").exists(_ <= 7))
+    // opt-out: a session with the conf off writes no sketch
+    spark.conf.set("spark.graft.stats.ndv", "false")
+    try {
+      val v4 = ManifestTable.append(
+        Seq((999L, "q")).toDF("k", "v"), root, retain = 10)
+      assert(NdvStats.read(root, v4).isEmpty)
+    } finally spark.conf.unset("spark.graft.stats.ndv")
+  }
+
   test("publishBranch never lowers the version-allocation floor") {
     import spark.implicits._
     import graft.sources.{ManifestTable, MetaIO}

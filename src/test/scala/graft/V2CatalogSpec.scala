@@ -787,6 +787,75 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.bret")
   }
 
+  test("column statistics: NDV sketches ride commits, CBO reads them, the broadcast side flips") {
+    import graft.sources.{ManifestTable, NdvStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.cstat")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.cfact")
+    spark.sql("CREATE TABLE gtest.ns.cstat (k BIGINT, v STRING)")
+    // hash-spread layout: DISTRIBUTE BY a hash so `k < 50` cannot
+    // file-prune — only ESTIMATION can shrink the filtered side
+    spark.sql("INSERT INTO gtest.ns.cstat SELECT id, md5(cast(id AS string)) " +
+      "FROM (SELECT id FROM range(5000) DISTRIBUTE BY md5(cast(id AS string)))")
+    spark.sql("CREATE TABLE gtest.ns.cfact (k BIGINT, p STRING)")
+    spark.sql("INSERT INTO gtest.ns.cfact SELECT id % 5000, md5(cast(id AS string)) " +
+      "FROM range(50000)")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/cstat"
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(x => x -> spark.conf.getOption(x))
+    try {
+      // the commit-time sketch landed beside the manifest and estimates
+      // within HLL error of the true 5000
+      val v = ManifestTable.currentVersion(root).get
+      val ndv = NdvStats.estimates(root, v)
+      assert(ndv.get("k").exists(n => n > 4500 && n < 5500), ndv.toString)
+      // the relation reports rowCount + per-column stats to catalyst
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val st = spark.table("gtest.ns.cstat").queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(5000)))
+      val kStat = st.attributeStats.collectFirst {
+        case (a, cs) if a.name == "k" => cs }.get
+      assert(kStat.min.contains(0L) && kStat.max.contains(4999L))
+      assert(kStat.nullCount.contains(BigInt(0)))
+      assert(kStat.distinctCount.exists(d => d > 4500 && d < 5500))
+      // the flip: threshold between raw size and the ~1% filtered
+      // estimate — the statistics feed is the only way across
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val raw = spark.table("gtest.ns.cstat").queryExecution.optimizedPlan
+        .stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (raw / 4).toString)
+      def kinds(cbo: Boolean): Seq[String] = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.table("gtest.ns.cfact")
+          .join(spark.table("gtest.ns.cstat").where(col("k") < lit(50L)), "k")
+          .groupBy().count()
+          .queryExecution.sparkPlan.collect {
+            case p if p.nodeName.contains("Join") => p.nodeName }
+      }
+      assert(kinds(cbo = true).exists(_.contains("BroadcastHashJoin")),
+        "CBO on: filtered dim must broadcast")
+      val off = kinds(cbo = false)
+      assert(off.exists(_.contains("SortMergeJoin")) &&
+        !off.exists(_.contains("BroadcastHashJoin")),
+        s"CBO off must keep the sort-merge join, got $off")
+      // NDV maintenance: a delete keeps the estimate an upper bound
+      // (HLL can't subtract); an overwrite RESETS the sketch
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.cstat WHERE k = 1")
+      val v2 = ManifestTable.currentVersion(root).get
+      assert(NdvStats.estimates(root, v2).get("k").exists(_ > 4500),
+        "post-delete estimate stays the upper bound")
+      spark.sql("INSERT OVERWRITE gtest.ns.cstat SELECT id, 'x' FROM range(10)")
+      val v3 = ManifestTable.currentVersion(root).get
+      assert(NdvStats.estimates(root, v3).get("k").exists(_ <= 12),
+        "overwrite resets the estimate")
+    } finally {
+      saved.foreach { case (x, Some(value)) => spark.conf.set(x, value)
+                      case (x, None) => spark.conf.unset(x) }
+      spark.sql("DROP TABLE gtest.ns.cstat")
+      spark.sql("DROP TABLE gtest.ns.cfact")
+    }
+  }
+
   test("expire after fast_forward: published branch-stamped history keeps main's window") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
