@@ -917,6 +917,14 @@ object GraftSqlParser {
       case dv: org.apache.spark.sql.catalyst.plans.logical.DropView
           if SparkSession.getActiveSession.exists(Views.handles(_, dv.child)) =>
         GraftDropViewCommand(dv)
+      case av: org.apache.spark.sql.catalyst.plans.logical.AlterViewAs
+          if SparkSession.getActiveSession.exists(Views.handles(_, av.child)) =>
+        GraftAlterViewAsCommand(av)
+      // SHOW CREATE TABLE on a VIEW name: only when the definition file
+      // exists — catalog TABLES keep Spark's own SHOW CREATE handling
+      case sc: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable
+          if SparkSession.getActiveSession.exists(Views.handlesExisting(_, sc.child)) =>
+        GraftShowCreateViewCommand(sc)
       case sv: org.apache.spark.sql.catalyst.plans.logical.ShowViews
           if sv.namespace.isInstanceOf[
             org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace] &&

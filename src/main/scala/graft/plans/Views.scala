@@ -94,9 +94,24 @@ object Views {
   /** True iff this CREATE/DROP VIEW statement addresses a versioned
     * catalog (other targets pass through to Spark's own handling). */
   private[plans] def handles(spark: SparkSession, child: LogicalPlan): Boolean =
+    nameOf(child).exists(target(spark, _).isDefined)
+
+  /** True iff `child` names an EXISTING view definition of a versioned
+    * catalog (ALTER VIEW / SHOW CREATE TABLE interception — anything
+    * else, including catalog TABLES, keeps Spark's own handling). */
+  private[plans] def handlesExisting(spark: SparkSession, child: LogicalPlan): Boolean =
+    nameOf(child).exists(definitionOf(spark, _).isDefined)
+
+  /** Name parts of the unresolved identifier/view/table-or-view nodes the
+    * view statements carry. */
+  private[plans] def nameOf(child: LogicalPlan): Option[Seq[String]] =
     child match {
-      case id: UnresolvedIdentifier => target(spark, id.nameParts).isDefined
-      case _ => false
+      case id: UnresolvedIdentifier => Some(id.nameParts)
+      case v: org.apache.spark.sql.catalyst.analysis.UnresolvedView =>
+        Some(v.multipartIdentifier)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        Some(t.multipartIdentifier)
+      case _ => None
     }
 
   /** Expand view references in a freshly parsed plan. Applied inside
@@ -147,6 +162,35 @@ object Views {
     MetaIO.writeAtomic(p, (Seq("sql=" + enc(sqlText)) ++
       (if (cols.nonEmpty) Seq("cols=" + cols.map(enc).mkString(",")) else Nil))
       .mkString("\n"))
+  }
+
+  /** `ALTER VIEW … AS <query>`: replace an EXISTING view's definition,
+    * re-validating exactly like CREATE (a broken replacement fails the
+    * ALTER, not the next read). The new query defines the columns —
+    * stored aliases from the original CREATE drop, Spark's own ALTER
+    * VIEW AS semantics. */
+  def alterAs(spark: SparkSession, parts: Seq[String], sqlText: String): Unit = {
+    val (wh, ns, n) = target(spark, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER VIEW ${parts.mkString(".")}: not a versioned-catalog name"))
+    val p = path(wh, ns, n)
+    require(MetaIO.exists(p),
+      s"view ${parts.mkString(".")} does not exist" +
+        (if (VersionedCatalog.readMeta((Seq(wh) ++ ns :+ n).mkString("/")).nonEmpty)
+          " (a TABLE of that name does — ALTER VIEW alters only views)" else ""))
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+      GraftSqlParser.lower(spark.sessionState.sqlParser.parsePlan(sqlText)))
+    MetaIO.writeAtomic(p, "sql=" + enc(sqlText))
+  }
+
+  /** `SHOW CREATE TABLE` on a view: reconstruct the CREATE statement
+    * from the stored definition (the Iceberg-view `SHOW CREATE` shape). */
+  def showCreate(spark: SparkSession, parts: Seq[String]): String = {
+    val (sql, cols, _) = definitionOf(spark, parts).getOrElse(
+      throw new IllegalArgumentException(
+        s"${parts.mkString(".")} is not a view of a versioned catalog"))
+    val colList = if (cols.isEmpty) "" else cols.mkString(" (", ", ", ")")
+    s"CREATE VIEW ${parts.mkString(".")}$colList AS\n$sql"
   }
 
   /** True iff `nsParts` addresses a namespace of a registered versioned
@@ -231,6 +275,24 @@ case class GraftDropViewCommand(dv: DropView) extends LeafRunnableCommand {
       dv.ifExists)
     Nil
   }
+}
+
+case class GraftAlterViewAsCommand(
+    av: org.apache.spark.sql.catalyst.plans.logical.AlterViewAs)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    Views.alterAs(spark, Views.nameOf(av.child).get, av.originalText)
+    Nil
+  }
+}
+
+case class GraftShowCreateViewCommand(
+    sc: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = sc.output
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Views.showCreate(spark, Views.nameOf(sc.child).get)))
 }
 
 case class GraftShowViewsCommand(sv: org.apache.spark.sql.catalyst.plans.logical.ShowViews)

@@ -169,6 +169,11 @@ class MergeIntoSqlSpec extends AnyFunSuite {
       // the PROGRAMMATIC read path resolves views via the analyzer rule
       assert(ext.table("gext.ns.big").collect().map(_.getLong(0)).toSet
         == Set(2L, 3L))
+      // ALTER VIEW … AS through plain spark.sql; the programmatic read
+      // resolves the replaced definition on its next analysis
+      ext.sql("ALTER VIEW gext.ns.big AS SELECT v AS vv FROM gext.ns.base WHERE k = 1")
+      assert(ext.table("gext.ns.big").columns.toSeq == Seq("vv"))
+      assert(ext.table("gext.ns.big").collect().map(_.getLong(0)).toSeq == Seq(10L))
       ext.sql("DROP VIEW gext.ns.big")
       val gone = intercept[Exception](ext.table("gext.ns.big").collect())
       assert(!gone.getMessage.contains("exceeded depth"))

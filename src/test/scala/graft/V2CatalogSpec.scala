@@ -911,15 +911,40 @@ class V2CatalogSpec extends AnyFunSuite {
       val r0 = spark.sql("CALL gtest.system.fsck(`table` => 'ns.fsck')").collect()(0)
       assert(r0.getLong(1) >= 2 && r0.getLong(2) >= 1,
         s"expected data + delete entries, got $r0")
-      assert(r0.getLong(3) === 0 && r0.getBoolean(7), s"fresh table unhealthy: $r0")
+      assert(r0.getLong(3) === 0 && r0.getLong(6) === 0 && r0.getBoolean(8),
+        s"fresh table unhealthy: $r0")
+
+      // DV CONTENT verification: scribbling garbage over the blob (same
+      // length — every offset stays in range) must surface as corrupt
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/fsck"
+      val dvRel = ManifestTable.liveEntries(root)
+        .filter(e => ManifestTable.isDvEntry(e.rel)).head.rel
+      val dvPath = java.nio.file.Paths.get(s"$root/data/$dvRel")
+      val origBytes = java.nio.file.Files.readAllBytes(dvPath)
+      java.nio.file.Files.write(dvPath,
+        Array.fill[Byte](origBytes.length)(0x7f.toByte))
+      val rc = spark.sql("CALL gtest.system.fsck(`table` => 'ns.fsck')").collect()(0)
+      assert(rc.getLong(6) >= 1 && !rc.getBoolean(8),
+        s"fsck missed the corrupt dv blob: $rc")
+      java.nio.file.Files.write(dvPath, origBytes) // restore
+
+      // a structurally VALID blob whose position exceeds the target
+      // file's row count is corrupt too (2 rows per file here)
+      val target = ManifestTable.encodedRel(root, ManifestTable.liveEntries(root)
+        .map(_.rel).filterNot(ManifestTable.isDeleteEntry).head)
+      import spark.implicits._
+      ManifestTable.appendDeletes(
+        Seq((target, 1000000L)).toDF("__file", "__pos"), root, retain = 10)
+      val ro = spark.sql("CALL gtest.system.fsck(`table` => 'ns.fsck')").collect()(0)
+      assert(ro.getLong(6) >= 1 && !ro.getBoolean(8),
+        s"fsck missed the out-of-range position: $ro")
 
       // a data file vanishing out from under the manifest is FOUND
-      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/fsck"
       val victim = ManifestTable.liveEntries(root)
         .filterNot(e => ManifestTable.isDeleteEntry(e.rel)).head.rel
       java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/data/$victim"))
       val r1 = spark.sql("CALL gtest.system.fsck(`table` => 'ns.fsck')").collect()(0)
-      assert(r1.getLong(3) === 1 && !r1.getBoolean(7),
+      assert(r1.getLong(3) === 1 && !r1.getBoolean(8),
         s"fsck missed the vanished file: $r1")
     } finally {
       spark.conf.unset("spark.graft.versioned.retain")
@@ -1989,6 +2014,40 @@ class V2CatalogSpec extends AnyFunSuite {
     gsql("CREATE OR REPLACE VIEW gtest.ns.v2 AS " +
       "SELECT reg, COUNT(*) AS n FROM gtest.ns.v1 WHERE kk > 1 GROUP BY reg")
     assert(gsql("SELECT n FROM gtest.ns.v2").as[Long].collect().toSeq === Seq(5L))
+
+    // ALTER VIEW … AS replaces the definition, re-validating like CREATE
+    // and dropping the original column aliases (the new query defines
+    // the columns — Spark's own ALTER VIEW AS semantics)
+    gsql("ALTER VIEW gtest.ns.v1 AS SELECT k AS kk2 FROM gtest.ns.vwt WHERE k < 3")
+    assert(gsql("SELECT kk2 FROM gtest.ns.v1").as[Long].collect().toSet
+      === Set(0L, 1L, 2L))
+    // (programmatic spark.table() view resolution is covered in
+    // MergeIntoSqlSpec's withExtensions-session cases — the shared test
+    // session here deliberately runs without the extensions)
+    val badAlter = intercept[Exception] {
+      gsql("ALTER VIEW gtest.ns.v1 AS SELECT nope FROM gtest.ns.vwt") }
+    assert(badAlter.getMessage.toLowerCase.contains("nope"))
+    // …the failed ALTER left the previous definition intact
+    assert(gsql("SELECT kk2 FROM gtest.ns.v1").count() === 3)
+    val missAlter = intercept[Exception] {
+      gsql("ALTER VIEW gtest.ns.nosuch AS SELECT 1 AS x") }
+    assert(missAlter.getMessage.contains("does not exist"))
+    val tblAlter = intercept[Exception] {
+      gsql("ALTER VIEW gtest.ns.vwt AS SELECT 1 AS x") }
+    assert(tblAlter.getMessage.contains("alters only views"), tblAlter.getMessage)
+
+    // SHOW CREATE TABLE on a view reconstructs the definition; on a
+    // catalog TABLE it keeps Spark's own handling
+    val created = gsql("SHOW CREATE TABLE gtest.ns.v1").collect().head.getString(0)
+    assert(created.startsWith("CREATE VIEW gtest.ns.v1"), created)
+    assert(created.contains("SELECT k AS kk2"), created)
+    val tblCreated = gsql("SHOW CREATE TABLE gtest.ns.vwt").collect().head.getString(0)
+    assert(tblCreated.contains("CREATE TABLE") && !tblCreated.contains("CREATE VIEW"),
+      tblCreated)
+
+    // restore v1 to the aliased r1 shape for the cycle check below
+    gsql("CREATE OR REPLACE VIEW gtest.ns.v1 (kk, reg) AS " +
+      "SELECT k, region FROM gtest.ns.vwt WHERE region = 'r1'")
 
     // a replace that closes a definition cycle fails its READ loudly
     gsql("CREATE OR REPLACE VIEW gtest.ns.v1 (kk, reg) AS " +
