@@ -103,6 +103,41 @@ private[graft] object DeleteVectors {
     out
   }
 
+  /** [[decodePositions]] hardened for UNTRUSTED bytes (fsck's content
+    * verification): the count varint must not exceed the byte length
+    * (each position costs ≥1 byte, so a corrupt count can never demand
+    * an absurd allocation), varints must stay in 64 bits, and the decode
+    * must consume the slice EXACTLY — trailing garbage is corruption,
+    * not padding. Throws on any violation. */
+  def decodePositionsStrict(bytes: Array[Byte]): Array[Long] = {
+    var i = 0
+    def readVarint(): Long = {
+      var v = 0L; var shift = 0
+      var b = bytes(i) & 0xff; i += 1
+      while ((b & 0x80) != 0) {
+        require(shift <= 56, "varint exceeds 64 bits")
+        v |= (b & 0x7fL) << shift; shift += 7
+        b = bytes(i) & 0xff; i += 1
+      }
+      v | ((b & 0x7fL) << shift)
+    }
+    val n = readVarint()
+    require(n >= 0 && n <= bytes.length,
+      s"position count $n exceeds the slice's ${bytes.length} bytes")
+    val out = new Array[Long](n.toInt)
+    var prev = 0L
+    var j = 0
+    while (j < n) {
+      val d = readVarint()
+      require(d >= 0, "negative position delta")
+      prev += d
+      out(j) = prev
+      j += 1
+    }
+    require(i == bytes.length, s"slice has ${bytes.length - i} trailing bytes")
+    out
+  }
+
   /** One ranged read of a slice's bytes (task- or driver-side). */
   def readSliceBytes(path: String, offset: Long, len: Int,
                      conf: Configuration): Array[Byte] = {

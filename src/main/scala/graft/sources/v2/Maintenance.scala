@@ -160,20 +160,29 @@ object Maintenance {
   }
 
   /** Distributed table integrity check (FSCK): verify the LIVE
-    * snapshot's physical invariants without reading any data —
+    * snapshot's physical invariants —
     *  - every manifest entry's file exists and is non-empty (one FS stat
-    *    per file, spread over the cluster: at 100 TB this is the only
-    *    part that must not run on the driver);
-    *  - every deletion-vector entry's slice index decodes;
+    *    per file, spread over the cluster);
+    *  - every deletion-vector entry's slice index decodes, and every
+    *    slice's BLOB CONTENT verifies: one ranged read per slice, a
+    *    strict structural decode ([[graft.sources.DeleteVectors
+    *    .decodePositionsStrict]] — bounded count, exact consumption),
+    *    and every decoded position under its target file's recorded
+    *    `__rows` (a corrupt blob with in-range offsets used to pass);
     *  - every entry's data sequence is at-or-below the live version;
     *  - delete entries whose targets all left the live file set are
     *    counted as INERT (informational — the expected state between a
     *    rewrite and the next `rewrite_deletes`, which drops them).
-    * Healthy = no missing files, no undecodable DVs, no future
-    * sequences. Returns (live version, data files, delete entries,
-    * missing files, bad DVs, inert deletes, bad sequences, healthy). */
+    * ALL per-entry work — existence probes, index decode, inert
+    * classification, slice verification — runs on the cluster; the
+    * driver holds only the manifest listing it already loaded to plan
+    * (the same cost class as any scan) and the reduced counters.
+    * Healthy = no missing files, no undecodable DVs, no corrupt slices,
+    * no future sequences. Returns (live version, data files, delete
+    * entries, missing files, bad DVs, inert deletes, corrupt DV slices,
+    * bad sequences, healthy). */
   def fsck(spark: SparkSession, ident: String)
-      : (Long, Long, Long, Long, Long, Long, Long, Boolean) = {
+      : (Long, Long, Long, Long, Long, Long, Long, Long, Boolean) = {
     val (root, _) = resolve(spark, ident)
     val live = ManifestTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $ident"))
@@ -194,17 +203,53 @@ object Maintenance {
           } catch { case _: java.io.FileNotFoundException => 1L }
         }
       }.fold(0L)(_ + _)
-    val badDv = del.count(e => ManifestTable.isDvEntry(e.rel) &&
-      e.stats.flatMap(graft.sources.DeleteVectors.decodeIndex).isEmpty)
     val dataRels = data.map(_.rel).toSet
-    def dec(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
-      java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
-    val inert = del.count(e => ManifestTable.deleteTouchedRels(e).exists(ts =>
-      ts.nonEmpty && !ts.exists(t =>
-        dataRels.contains(t) || dataRels.contains(dec(t)))))
+    // per-target row counts (URL-encoded keys — the identity DV slices
+    // carry) for the position-bound check; targets without recorded
+    // `__rows` get no bound verdict, structural decode still applies
+    val rowsByEnc: Map[String, Long] = data.flatMap { e =>
+      graft.sources.FileStats.rowCount(
+        graft.sources.FileStats.decode(e.stats.getOrElse("")))
+        .map(r => ManifestTable.encodedRel(root, e.rel) -> r)
+    }.toMap
+    val (badDv, inert, corrupt) =
+      if (del.isEmpty) (0L, 0L, 0L)
+      else {
+        val sc = spark.sparkContext
+        val bcRels = sc.broadcast(dataRels)
+        val bcRows = sc.broadcast(rowsByEnc)
+        val dparts = math.max(1, math.min(64, del.size / 64 + 1))
+        sc.parallelize(del, dparts).mapPartitions { it =>
+          val c = conf.value
+          def decT(s: String): String = scala.util.Try(
+            java.net.URLDecoder.decode(s,
+              java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
+          it.map { e =>
+            val isDv = ManifestTable.isDvEntry(e.rel)
+            val idx =
+              if (isDv) e.stats.flatMap(graft.sources.DeleteVectors.decodeIndex)
+              else None
+            val bad = if (isDv && idx.isEmpty) 1L else 0L
+            val inrt = if (ManifestTable.deleteTouchedRels(e).exists(ts =>
+              ts.nonEmpty && !ts.exists(t => bcRels.value.contains(t) ||
+                bcRels.value.contains(decT(t))))) 1L else 0L
+            val corr = idx.toSeq.flatten.count { s =>
+              scala.util.Try {
+                val ps = graft.sources.DeleteVectors.decodePositionsStrict(
+                  graft.sources.DeleteVectors.readSliceBytes(
+                    s"$root/data/${e.rel}", s.offset, s.len, c))
+                bcRows.value.get(s.relEnc)
+                  .exists(rows => ps.exists(p => p < 0 || p >= rows))
+              }.getOrElse(true) // unreadable/undecodable slice = corrupt
+            }.toLong
+            (bad, inrt, corr)
+          }
+        }.fold((0L, 0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      }
     val badSeq = entries.count(_.seq.exists(_ > live))
-    (live, data.size.toLong, del.size.toLong, nMissing, badDv.toLong,
-      inert.toLong, badSeq.toLong, nMissing == 0 && badDv == 0 && badSeq == 0)
+    (live, data.size.toLong, del.size.toLong, nMissing, badDv,
+      inert, corrupt, badSeq.toLong,
+      nMissing == 0 && badDv == 0 && corrupt == 0 && badSeq == 0)
   }
 
   /** Partition spec evolution by identifier — a descriptor rewrite only

@@ -198,7 +198,7 @@ object GraftProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(
         param("table", StringType))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (v, nData, nDel, miss, badDv, inert, badSeq, healthy) =
+        val (v, nData, nDel, miss, badDv, inert, corrupt, badSeq, healthy) =
           Maintenance.fsck(spark,
             s"$catalogName.${input.getUTF8String(0).toString}")
         Collections.singletonList[Scan](ResultScan(
@@ -209,10 +209,11 @@ object GraftProcedures {
             StructField("missing_files", LongType, nullable = false),
             StructField("bad_dvs", LongType, nullable = false),
             StructField("inert_deletes", LongType, nullable = false),
+            StructField("corrupt_dvs", LongType, nullable = false),
             StructField("bad_sequences", LongType, nullable = false),
             StructField("healthy", BooleanType, nullable = false))),
           new GenericInternalRow(Array[Any](
-            v, nData, nDel, miss, badDv, inert, badSeq, healthy)))).iterator()
+            v, nData, nDel, miss, badDv, inert, corrupt, badSeq, healthy)))).iterator()
       }
     }
     // ---- rollback (Delta RESTORE / Iceberg rollback_to_snapshot):

@@ -1183,7 +1183,7 @@ object V2Queries {
         s"DELETE FROM $tbl WHERE user_id % 10 = 3")
       val r = spark.sql(s"CALL $Cat.system.fsck(`table` => 'q.$short')")
         .collect()(0)
-      val ok = r.getBoolean(7) && r.getLong(3) == 0 &&
+      val ok = r.getBoolean(8) && r.getLong(3) == 0 && r.getLong(6) == 0 &&
         r.getLong(1) >= 4 && r.getLong(2) >= 1
       spark.table(tbl)
         .groupBy(col("event_type"))
