@@ -37,7 +37,7 @@ import org.apache.spark.sql.streaming.Trigger
   * rides the stream checkpoint: offsets are table versions, and the
   * change-feed filter pin refuses a restart under altered scoping.
   */
-object Scd2 {
+object Scd2 extends org.apache.spark.internal.Logging {
 
   private val CloseV = "__scd2_close_v"
   private val IsClose = "__scd2_is_close"
@@ -90,16 +90,59 @@ object Scd2 {
     openSrc.unionByName(closeSrc)
   }
 
+  /** Closes with nothing to close — no in-batch open BEFORE the close
+    * version and no current row in the target. A well-formed feed
+    * produces none; a drifted checkpoint or a manually edited target
+    * does, and the MERGE alone would DROP them silently (they match
+    * nothing). Returns up to `sample + 1` offending key rows. Cost: one
+    * broadcast anti-join of the batch's few closes against the target's
+    * current rows — batch-bounded, never dimension-bounded. */
+  private[graft] def missingCloses(spark: SparkSession, targetTable: String,
+                                   folded: DataFrame, keyCols: Seq[String],
+                                   sample: Int = 10): Array[Row] = {
+    val keys = keyCols.map(col)
+    val closes = folded.where(col(IsClose))
+    val opensMin = folded.where(!col(IsClose))
+      .groupBy(keys: _*).agg(min(col("valid_from")).as("__first_open"))
+    val unsatisfied = closes.join(opensMin, keyCols, "left")
+      .where(col("__first_open").isNull || col("__first_open") >= col(CloseV))
+    unsatisfied
+      .join(spark.table(targetTable).where(col("is_current")), keyCols, "left_anti")
+      .select(keyCols.map(col) :+ col(CloseV).as("close_version"): _*)
+      .limit(sample + 1).collect()
+  }
+
   /** Apply one folded micro-batch to the target dimension with a single
     * atomic MERGE: close instructions close the key's current row, the
-    * batch's timeline rows append. A close whose key has no current row
-    * (out-of-contract feed) matches nothing and is dropped. */
+    * batch's timeline rows append. A close with nothing to close (an
+    * out-of-contract feed — drifted checkpoint, manual target edit) is
+    * COUNTED loudly instead of vanishing: the default mode logs the keys
+    * and reports the count, `spark.graft.scd2.onMissingClose=fail`
+    * fails the batch naming them. Returns the count. */
   private[graft] def applyBatch(spark: SparkSession, targetTable: String,
                                 batch: DataFrame, keyCols: Seq[String],
-                                attrCols: Seq[String]): Unit = {
+                                attrCols: Seq[String]): Long = {
     val view = "__graft_scd2_src"
     foldBatch(batch, keyCols, attrCols).createOrReplaceTempView(view)
     try {
+      val orphans = missingCloses(spark, targetTable,
+        spark.table(view), keyCols)
+      if (orphans.nonEmpty) {
+        val shown = orphans.take(10).mkString(", ") +
+          (if (orphans.length > 10) ", …" else "")
+        val mode = scala.util.Try(
+          spark.conf.get("spark.graft.scd2.onMissingClose", "count")).getOrElse("count")
+        if (mode == "fail")
+          throw new IllegalStateException(
+            s"SCD2 batch for $targetTable carries ${orphans.length}" +
+              s"${if (orphans.length > 10) "+" else ""} close event(s) with no " +
+              s"current row to close (keys: $shown) — the feed and the target " +
+              "have drifted (checkpoint reset? manual edit?); set " +
+              "spark.graft.scd2.onMissingClose=count to record-and-continue")
+        logWarning(s"SCD2 batch for $targetTable: ${orphans.length}" +
+          s"${if (orphans.length > 10) "+" else ""} close event(s) matched no " +
+          s"current row and will not apply (keys: $shown)")
+      }
       val onKeys = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
       val insCols = (keyCols ++ attrCols ++
         Seq("valid_from", "valid_to", "is_current")).mkString(", ")
@@ -111,6 +154,7 @@ object Scd2 {
            |WHEN MATCHED THEN UPDATE SET valid_to = s.$CloseV, is_current = false
            |WHEN NOT MATCHED AND s.$IsClose = false THEN
            |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+      orphans.length.toLong
     } finally spark.catalog.dropTempView(view)
   }
 
@@ -118,18 +162,24 @@ object Scd2 {
     * (`Trigger.AvailableNow`): stream `sourceTable.changes` from the
     * checkpoint's offsets and fold every micro-batch into `targetTable`.
     * The first run snapshots the source (delivered as inserts) into
-    * all-current rows; subsequent runs consume only row-level changes. */
+    * all-current rows; subsequent runs consume only row-level changes.
+    * Returns the total missing-close count observed across the run's
+    * batches (0 for a well-formed feed; see [[applyBatch]]). */
   def maintain(spark: SparkSession, sourceTable: String, targetTable: String,
                keyCols: Seq[String], attrCols: Seq[String],
-               checkpoint: String): Unit = {
+               checkpoint: String): Long = {
+    val missing = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream.table(s"$sourceTable.changes")
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: Dataset[Row], _: Long) =>
-        applyBatch(b.sparkSession, targetTable, b.toDF(), keyCols, attrCols)
+        missing.addAndGet(
+          applyBatch(b.sparkSession, targetTable, b.toDF(), keyCols, attrCols))
+        ()
       }
       .start()
     q.awaitTermination()
+    missing.get()
   }
 }

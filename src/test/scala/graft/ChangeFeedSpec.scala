@@ -834,7 +834,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       "valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN)")
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").writeTo(t).append() // v1
     val ck = Files.createTempDirectory("scd2_ck").toString
-    def drain(): Unit = graft.gold.Scd2.maintain(spark, t, d,
+    def drain(): Long = graft.gold.Scd2.maintain(spark, t, d,
       Seq("k"), Seq("v"), ck)
     def dim(): Set[(Long, String, Long, Option[Long], Boolean)] =
       spark.table(d).select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
@@ -861,9 +861,39 @@ class ChangeFeedSpec extends AnyFunSuite {
 
     // a later delete closes the re-inserted row's interval
     withMorDml(graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 1")) // v5
-    drain()
+    assert(drain() === 0L, "a well-formed feed reports zero missing closes")
     assert(dim().contains((1L, "a", 1L, Some(5L), false)))
     assert(!dim().exists(r => r._1 == 1L && r._5), "k=1 must have no current row")
+
+    // DRIFT, default mode: the dim's current row for k=2 is manually
+    // removed; the next update's close has nothing to close — the batch
+    // REPORTS the count instead of silently dropping it, and the
+    // postimage still opens
+    withMorDml {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $d WHERE k = 2 AND is_current")
+      graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = 'BB' WHERE k = 2") // v6
+    }
+    assert(drain() === 1L, "default mode reports the missing close")
+    assert(dim().exists(r => r._1 == 2L && r._2 == "BB" && r._5),
+      "the postimage still opens a current row")
+
+    // DRIFT, strict mode: the batch fails loudly naming the key
+    withMorDml {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $d WHERE k = 3 AND is_current")
+      graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = 'ZZ' WHERE k = 3") // v7
+    }
+    spark.conf.set("spark.graft.scd2.onMissingClose", "fail")
+    try {
+      val e = intercept[Exception] { drain() }
+      def messages(ex: Throwable): Seq[String] =
+        Option(ex).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.contains("no current row to close")
+        && m.contains("[3,")), messages(e).toString)
+      // the failed batch never committed: count mode replays it whole
+      spark.conf.set("spark.graft.scd2.onMissingClose", "count")
+      assert(drain() === 1L)
+      assert(dim().exists(r => r._1 == 3L && r._2 == "ZZ" && r._5))
+    } finally spark.conf.unset("spark.graft.scd2.onMissingClose")
     Seq(t, d).foreach(x => spark.sql(s"DROP TABLE $x"))
   }
 
