@@ -295,10 +295,34 @@ object ManifestTable {
     * conf that silently redirects every read makes audit queries and
     * production readers indistinguishable; the explicit form keeps "what
     * am I reading" in the query text. DML is the exception — its
-    * read-modify-write base IS the branch head, or staging would corrupt. */
+    * read-modify-write base IS the branch head, or staging would corrupt.
+    * Audit sessions that WANT the Iceberg read workflow opt in
+    * explicitly with `spark.graft.read.branch` ([[readBranchVersion]]). */
   private def wapBranch: Option[String] =
     SparkSession.getActiveSession
       .flatMap(_.conf.getOption("spark.graft.write.branch")).filter(_.nonEmpty)
+
+  /** OPT-IN read scoping for audit sessions (`spark.graft.read.branch`):
+    * when set, PLAIN batch reads of a table carrying the named branch
+    * resolve at that branch's head instead of the live pointer — the
+    * Iceberg `spark.wap.branch` read workflow, behind its own explicit
+    * conf so the write-only default above keeps production reads and
+    * audit reads distinguishable. Tables WITHOUT the branch fall back to
+    * main (Iceberg's rule — an audit join against an unbranched
+    * dimension must still resolve), time travel (`VERSION AS OF`) always
+    * wins, and streaming reads stay on main. Returns None when the conf
+    * is unset or the table lacks the ref; a ref of the wrong kind is an
+    * error, not a fallback. */
+  def readBranchVersion(root: String): Option[Long] =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.read.branch")).filter(_.nonEmpty)
+      .flatMap { b =>
+        refs(root).get(b).map { r =>
+          require(r.kind == "branch",
+            s"spark.graft.read.branch '$b' on $root is a ${r.kind}, not a branch")
+          r.version
+        }
+      }
 
   /** The snapshot version DML reads and extends: the staging branch head
     * under `spark.graft.write.branch`, else the live pointer. */
@@ -815,8 +839,11 @@ object ManifestTable {
         // which for a slow multi-minute write is already older than the
         // move — GC's orphan grace must age from entry or it would sweep
         // an in-flight commit's files out from under it
-        MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
-        FileEntry(rel, stats)
+        val moveIn = System.currentTimeMillis()
+        MetaIO.setTimes(s"$root/data/$rel", moveIn)
+        // byte length + mtime ride the entry so scan planning can build
+        // its file index from the manifest alone (zero FS listing)
+        FileEntry(rel, FileStats.withBytes(stats, st.getLen, moveIn))
       }
     MetaIO.delete(stage, recursive = true)
     PoolWrite(entries, NdvStats.harvest(obs))
@@ -1247,11 +1274,13 @@ object ManifestTable {
     val entries = staged.map { case (p, sub) =>
       val stats =
         if (withStats) FileStats.collect(p, fmt, schema, conf) else None
+      val len = MetaIO.size(p)
       val base = s"${UUID.randomUUID().toString.take(16)}.$fmt"
       val name = if (sub.isEmpty) base else s"$sub/$base"
       MetaIO.rename(p, s"$root/data/$name")
-      MetaIO.setTimes(s"$root/data/$name", System.currentTimeMillis())
-      FileEntry(name, stats)
+      val moveIn = System.currentTimeMillis()
+      MetaIO.setTimes(s"$root/data/$name", moveIn)
+      FileEntry(name, FileStats.withBytes(stats, len, moveIn))
     }
     if (overwrite)
       commitLoop(root, retain, rebase = false)(_ =>
@@ -2027,21 +2056,7 @@ object ManifestTable {
     require(retain >= 1, "must retain at least the live snapshot")
     currentVersion(root).foreach { live =>
       gc(root, live, retain, olderThanMillis)
-      val now = System.currentTimeMillis()
-      val docs = versions(root).map(v => readDoc(root, v))
-      val referencedFiles = docs.flatMap(d => d.inline.map(_.rel) ++
-        d.refs.flatMap(r => shardEntries(root, r.rel).map(_.rel))).toSet
-      MetaIO.listFilesRec(s"$root/data").foreach { st =>
-        if (!referencedFiles.contains(MetaIO.relativize(s"$root/data", st.getPath))
-            && st.getModificationTime < now - orphanFileGraceMs)
-          MetaIO.delete(st.getPath.toString)
-      }
-      val referencedShards = docs.flatMap(_.refs.map(_.rel)).toSet
-      MetaIO.listFilesRec(s"$root/manifests/shards").foreach { st =>
-        if (!referencedShards.contains(s"shards/${st.getPath.getName}")
-            && st.getModificationTime < now - orphanFileGraceMs)
-          MetaIO.delete(st.getPath.toString)
-      }
+      removeOrphanFiles(root)
       // NDV sidecars of expired manifests (exact-version files, no grace
       // needed: a sketch is published only after its commit's flip)
       val retainedVs = versions(root).map(_.toString).toSet
@@ -2051,6 +2066,37 @@ object ManifestTable {
             MetaIO.delete(st.getPath.toString)
         }
     }
+  }
+
+  /** Iceberg's `remove_orphan_files`, standalone: sweep pool files and
+    * shard files that NO retained manifest references — crashed writers'
+    * junk, lost commit races — and that were last modified before
+    * `olderThanMillis` (default: the orphan grace behind now, so a file
+    * an in-flight commit just moved into the pool always survives).
+    * Every retained manifest counts, including staged branch history and
+    * ref-pinned snapshots, so a pinned snapshot's files never sweep.
+    * `dryRun` lists the candidates without deleting. Cost: one full
+    * listing of the pool — an operational procedure, never on the
+    * commit path. Returns the swept (or, dry-run, would-sweep) paths. */
+  def removeOrphanFiles(root: String, olderThanMillis: Option[Long] = None,
+                        dryRun: Boolean = false): Seq[String] = {
+    val cutoff = olderThanMillis.getOrElse(
+      System.currentTimeMillis() - orphanFileGraceMs)
+    val docs = versions(root).map(v => readDoc(root, v))
+    val referencedFiles = docs.flatMap(d => d.inline.map(_.rel) ++
+      d.refs.flatMap(r => shardEntries(root, r.rel).map(_.rel))).toSet
+    val orphanData = MetaIO.listFilesRec(s"$root/data").filter { st =>
+      !referencedFiles.contains(MetaIO.relativize(s"$root/data", st.getPath)) &&
+        st.getModificationTime < cutoff
+    }.map(_.getPath.toString)
+    val referencedShards = docs.flatMap(_.refs.map(_.rel)).toSet
+    val orphanShards = MetaIO.listFilesRec(s"$root/manifests/shards").filter { st =>
+      !referencedShards.contains(s"shards/${st.getPath.getName}") &&
+        st.getModificationTime < cutoff
+    }.map(_.getPath.toString)
+    val all = orphanData ++ orphanShards
+    if (!dryRun) all.foreach(p => MetaIO.delete(p))
+    all
   }
 
   /** `TIMESTAMP AS OF` resolution: the latest manifest committed at or

@@ -1043,10 +1043,17 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     (from, until)
   }
 
+  /** The version this scan resolves: explicit time travel first, then
+    * the opt-in audit read branch (`spark.graft.read.branch`,
+    * [[ManifestTable.readBranchVersion]]), then the live pointer. */
+  private[v2] def resolvedVersion: Option[Long] =
+    pinnedVersion.orElse(ManifestTable.readBranchVersion(root))
+      .orElse(ManifestTable.currentVersion(root))
+
   /** The resolved snapshot's manifest index: shard refs + inline entries,
     * shard contents unread (nothing when never committed). */
   private def resolvedIndex: (Seq[ManifestTable.ShardRef], Seq[ManifestTable.FileEntry]) =
-    pinnedVersion.orElse(ManifestTable.currentVersion(root)) match {
+    resolvedVersion match {
       case Some(v) => ManifestTable.manifestIndex(root, v)
       case None => (Nil, Nil)
     }
@@ -1075,17 +1082,30 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     *
     * Residual filters keep the result exact either way — pruning is a
     * pure optimization, exactly Iceberg's manifest-stats scan planning. */
-  private[v2] def prunedEntries: Seq[ManifestTable.FileEntry] = {
-    val (refs, inline) = resolvedIndex
-    // delete entries are metadata for the reader, never data input
-    val dataRefs = refs.filterNot(_.key == ManifestTable.DeleteDir)
-    def synth(key: String) = ManifestTable.FileEntry(
-      if (key.isEmpty) "f" else s"$key/f", None)
-    val keptRefs = dataRefs.filter(r => pruneEntries(Seq(synth(r.key))).nonEmpty)
-    val candidates = keptRefs.flatMap(r => ManifestTable.shardEntries(root, r.rel)) ++
-      inline.filterNot(e => ManifestTable.isDeleteEntry(e.rel))
-    pruneEntries(candidates)
+  private[v2] def prunedEntries: Seq[ManifestTable.FileEntry] = pruneCache match {
+    // cached per pushed-filter state: one scan's plan touches the listing
+    // several times (assemble, the agg-pushdown probe, the statistics
+    // report) and each uncached computation re-reads every surviving
+    // shard file — at thousands of files that's the dominant plan cost
+    // paid multiply for nothing. Runtime filters reassign `pushed`, so
+    // the narrowed listing recomputes exactly once per rebuild.
+    case Some((p, e)) if p eq pushed => e
+    case _ =>
+      val (refs, inline) = resolvedIndex
+      // delete entries are metadata for the reader, never data input
+      val dataRefs = refs.filterNot(_.key == ManifestTable.DeleteDir)
+      def synth(key: String) = ManifestTable.FileEntry(
+        if (key.isEmpty) "f" else s"$key/f", None)
+      val keptRefs = dataRefs.filter(r => pruneEntries(Seq(synth(r.key))).nonEmpty)
+      val candidates = keptRefs.flatMap(r => ManifestTable.shardEntries(root, r.rel)) ++
+        inline.filterNot(e => ManifestTable.isDeleteEntry(e.rel))
+      val e = pruneEntries(candidates)
+      pruneCache = Some((pushed, e))
+      e
   }
+
+  private var pruneCache: Option[(Array[sources.Filter],
+    Seq[ManifestTable.FileEntry])] = None
 
   private[v2] def prunedManifest: Seq[String] = prunedEntries.map(_.rel)
 
@@ -1101,8 +1121,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
       : org.apache.spark.sql.connector.read.Statistics = statsCache match {
     case Some((p, s)) if p eq pushed => s
     case _ =>
-      val s = ColumnStatsReport.build(base, root,
-        pinnedVersion.orElse(ManifestTable.currentVersion(root)),
+      val s = ColumnStatsReport.build(base, root, resolvedVersion,
         dataSchema, meta.physicalName, prunedEntries)
       statsCache = Some((pushed, s))
       s
@@ -1451,7 +1470,20 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val params =
           if (files.isEmpty || meta.identityCols.isEmpty) Map.empty[String, String]
           else Map("basePath" -> s"$root/data")
-        val index = new InMemoryFileIndex(spark, files, params, Some(physical(dataSchema)))
+        // plan from the MANIFEST, not the file system: entries carry
+        // their byte length (`__bytes`), so the index seeds from a
+        // pre-populated status cache and never runs the listing job
+        // (~6.5 s of one-stat tasks at 4096 files; a driver stall per
+        // query at the million-file scale). Pre-`__bytes` entries miss
+        // the cache and list for real — correctness never depends on
+        // the seed.
+        val sizes: Map[Path, (Long, Long)] = prunedEs.flatMap { e =>
+          graft.sources.FileStats.byteSize(
+            graft.sources.FileStats.decode(e.stats.getOrElse("")))
+            .map(new Path(s"$root/data/${e.rel}") -> _)
+        }.toMap
+        val index = org.apache.spark.sql.execution.datasources.GraftSeededIndex(
+          spark, files, sizes, params, Some(physical(dataSchema)))
         // required never contains the hidden day column (it is absent from
         // the table schema), so the partition side of the read schema stays
         // empty and __day rides only in the directory names

@@ -896,6 +896,140 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.ffgc")
   }
 
+  test("scan planning never lists the file system: the manifest-seeded index plans a vanished file") {
+    import graft.sources.{FileStats, ManifestTable}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.seedidx")
+    spark.sql("CREATE TABLE gtest.ns.seedidx (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.ns.seedidx " +
+      "SELECT id, md5(cast(id AS string)) FROM range(1000)")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/seedidx"
+    val entries = ManifestTable.liveEntries(root)
+    val sized = entries.flatMap(e =>
+      FileStats.byteSize(FileStats.decode(e.stats.getOrElse(""))))
+    assert(sized.size === entries.size, "every commit entry records __bytes")
+    // the index answers from the manifest: delete a PHYSICAL file and
+    // planning still succeeds with the recorded size — a real listing
+    // would have had to stat (and miss) it
+    val victim = entries.head.rel
+    val vPath = java.nio.file.Paths.get(s"$root/data/$victim")
+    val vLen = java.nio.file.Files.size(vPath)
+    java.nio.file.Files.delete(vPath)
+    try {
+      val scan = scanOf(spark.table("gtest.ns.seedidx"))
+      assert(scan.fileIndex.inputFiles.exists(_.endsWith(victim)),
+        "the vanished file still plans from its manifest entry")
+      assert(scan.fileIndex.sizeInBytes === sized.map(_._1).sum,
+        "size estimates are the manifest-recorded exact lengths")
+    } finally {
+      // restore so the table stays consistent for the drop
+      java.nio.file.Files.write(vPath, new Array[Byte](vLen.toInt))
+    }
+    spark.sql("DROP TABLE gtest.ns.seedidx")
+  }
+
+  test("compute_stats: explicit ANALYZE builds the sketch opted-out writers skipped; deletes reset") {
+    import graft.sources.{ManifestTable, NdvStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.anlz")
+    spark.sql("CREATE TABLE gtest.ns.anlz (k BIGINT, v STRING)")
+    spark.conf.set("spark.graft.stats.ndv", "false")
+    try spark.sql("INSERT INTO gtest.ns.anlz " +
+      "SELECT id, md5(cast(id AS string)) FROM range(2000)")
+    finally spark.conf.unset("spark.graft.stats.ndv")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/anlz"
+    assert(NdvStats.estimates(root, ManifestTable.currentVersion(root).get).isEmpty,
+      "opted-out write must carry no sketch")
+    val rows = spark.sql("CALL gtest.system.compute_stats(`table` => 'ns.anlz')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.get("k").exists(n => n > 1800 && n < 2200), rows.toString)
+    assert(NdvStats.estimates(root, ManifestTable.currentVersion(root).get)
+      .get("k").exists(_ > 1800), "the sketch published at the live version")
+    // ANALYZE is the one SUBTRACTING path: after a heavy delete the
+    // rebuild scans live rows (deletes applied) and the estimate drops
+    graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.anlz WHERE k >= 100")
+    val after = spark.sql("CALL gtest.system.compute_stats(`table` => 'ns.anlz')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.get("k").exists(n => n > 80 && n < 120), after.toString)
+    spark.sql("DROP TABLE gtest.ns.anlz")
+  }
+
+  test("remove_orphan_files: grace window, dry-run listing, ref-pinned survivors") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.rof")
+    spark.sql("CREATE TABLE gtest.ns.rof (k BIGINT)")
+    spark.sql("INSERT INTO gtest.ns.rof VALUES (1)")  // v1
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rof"
+    ManifestTable.createTag(root, "keep", None)       // pins v1
+    spark.sql("INSERT OVERWRITE gtest.ns.rof VALUES (2)") // v2 (v1 files now tag-only)
+    // a crashed writer's junk lands in the pool
+    val junk = java.nio.file.Paths.get(s"$root/data/junk_crashed_writer.parquet")
+    java.nio.file.Files.write(junk, Array[Byte](1, 2, 3))
+    def call(args: String) = spark.sql(
+      s"CALL gtest.system.remove_orphan_files(`table` => 'ns.rof'$args)")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    // default grace: the fresh junk file is protected (an in-flight
+    // commit's just-moved file must never sweep)
+    assert(call("").isEmpty, "grace window must protect fresh files")
+    assert(java.nio.file.Files.exists(junk))
+    // explicit cutoff ahead of now + dry_run: listed, NOT deleted
+    val future = "299-01-01 00:00:00".replace("299", "2099")
+    val dry = call(s", older_than => '$future', dry_run => true")
+    assert(dry.map(_._1).exists(_.endsWith("junk_crashed_writer.parquet")))
+    assert(dry.forall(!_._2) && java.nio.file.Files.exists(junk))
+    // the tag-pinned snapshot's files are REFERENCED, never orphans
+    assert(!dry.map(_._1).exists(p =>
+      ManifestTable.manifestIndex(root, 1L)._2.exists(e => p.endsWith(e.rel))),
+      s"tag-pinned v1 files listed as orphans: ${dry.mkString(",")}")
+    // real run: swept
+    val swept = call(s", older_than => '$future'")
+    assert(swept.map(_._1).exists(_.endsWith("junk_crashed_writer.parquet")))
+    assert(swept.forall(_._2) && !java.nio.file.Files.exists(junk))
+    // the table and its pinned history still read
+    assert(spark.table("gtest.ns.rof").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(spark.sql("SELECT k FROM gtest.ns.rof VERSION AS OF 'keep'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    spark.sql("DROP TABLE gtest.ns.rof")
+  }
+
+  test("spark.graft.read.branch: opt-in audit reads resolve the staged head; default reads main") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    Seq("rdbr", "rdnb").foreach(t => spark.sql(s"DROP TABLE IF EXISTS gtest.ns.$t"))
+    spark.sql("CREATE TABLE gtest.ns.rdbr (k BIGINT)")
+    spark.sql("CREATE TABLE gtest.ns.rdnb (k BIGINT)") // never branched
+    spark.sql("INSERT INTO gtest.ns.rdbr VALUES (1)")            // main v1
+    spark.sql("INSERT INTO gtest.ns.rdnb VALUES (7)")
+    spark.sql("CALL gtest.system.create_branch(`table` => 'ns.rdbr', name => 'audit')")
+    spark.conf.set("spark.graft.write.branch", "audit")
+    try spark.sql("INSERT INTO gtest.ns.rdbr VALUES (2)")        // staged
+    finally spark.conf.unset("spark.graft.write.branch")
+    def ks(t: String) = spark.table(t).collect().map(_.getLong(0)).toSet
+    // default: plain reads see MAIN only
+    assert(ks("gtest.ns.rdbr") === Set(1L))
+    spark.conf.set("spark.graft.read.branch", "audit")
+    try {
+      // opt-in: plain reads resolve the staged head, no VERSION AS OF
+      assert(ks("gtest.ns.rdbr") === Set(1L, 2L))
+      // a table WITHOUT the branch falls back to main (audit joins
+      // against unbranched dimensions must resolve)
+      assert(ks("gtest.ns.rdnb") === Set(7L))
+      // explicit time travel still wins over the conf
+      assert(spark.sql("SELECT k FROM gtest.ns.rdbr VERSION AS OF 1")
+        .collect().map(_.getLong(0)).toSet === Set(1L))
+      // a non-branch ref of that name is an error, not a fallback
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rdbr"
+      ManifestTable.createTag(root, "audit2", None)
+      spark.conf.set("spark.graft.read.branch", "audit2")
+      val e = intercept[Exception] { ks("gtest.ns.rdbr") }
+      assert(e.getMessage.contains("not a branch"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.read.branch")
+    // conf gone: main again
+    assert(ks("gtest.ns.rdbr") === Set(1L))
+    Seq("rdbr", "rdnb").foreach(t => spark.sql(s"DROP TABLE gtest.ns.$t"))
+  }
+
   test("fsck verifies the live snapshot; a vanished data file is found") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
@@ -1343,6 +1477,19 @@ class V2CatalogSpec extends AnyFunSuite {
       Seq(("audit", "branch", 2L), ("rel1", "tag", 1L)))
     assert(refs.map(_.getBoolean(3)).toSeq === Seq(true, false),
       ".refs flags refs pointing at the live version")
+
+    // .stats: the planner's per-column view — NDV from the commit-time
+    // sketch, bounds/nulls folded from the manifest, canonical strings
+    val stats = spark.table("gtest.ns.mt.stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.keySet === Set("k", "ts", "v"))
+    val kRow = stats("k")
+    assert(kRow.getLong(kRow.fieldIndex("ndv")) > 90 &&
+      kRow.getLong(kRow.fieldIndex("ndv")) < 115, kRow.toString)
+    assert(kRow.getString(kRow.fieldIndex("min")) === "0" &&
+      kRow.getString(kRow.fieldIndex("max")) === "500")
+    assert(kRow.getLong(kRow.fieldIndex("null_count")) === 0L)
+    assert(kRow.getLong(kRow.fieldIndex("n_rows")) === 101L)
 
     // a MOR delete surfaces as a delete-file row in .files
     spark.conf.set("spark.graft.delete.mode", "merge-on-read")
