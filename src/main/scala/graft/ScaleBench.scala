@@ -223,6 +223,34 @@ object ScaleBench {
     println(f"[scale] cherrypick_meta files_total=$totalFiles " +
       f"rows_after=$cpRows secs=$cpSecs%.2f")
     require(cpRows == catRows + 1, "cherry-pick must restore the appended row")
+
+    // column statistics at scale: the CTAS commit carried the NDV sketch
+    // (one Observation riding the write job — no read-back pass), and
+    // the CBO report is METADATA-ONLY — a fold over the pruned manifest
+    // listing plus one KB-sized sidecar read — so join planning over the
+    // thousands-of-files table costs milliseconds, never a data scan.
+    // Metadata-only commits (rollback/cherry-pick) inherit the sketch by
+    // parent-stamp walk.
+    val ndvBytes = graft.sources.MetaIO.listFilesRec(s"$evRoot/_stats")
+      .map(_.getLen).sum
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val pl0 = System.nanoTime()
+    val catPlan = spark.table("scale_cat.b.ev").queryExecution.optimizedPlan
+    val planSecs = (System.nanoTime() - pl0) / 1e9
+    val st0 = System.nanoTime()
+    val catStats = catPlan.stats
+    val stSecs = (System.nanoTime() - st0) / 1e9
+    spark.conf.unset("spark.sql.cbo.enabled")
+    val uidNdv = catStats.attributeStats.collectFirst {
+      case (a, cs) if a.name == "user_id" => cs.distinctCount.map(_.toLong)
+    }.flatten
+    println(f"[scale] cbo_stats_meta files_total=$totalFiles sidecar_bytes=$ndvBytes " +
+      f"row_count=${catStats.rowCount.getOrElse(BigInt(-1))} " +
+      f"user_id_ndv=${uidNdv.getOrElse(-1L)} plan_secs=$planSecs%.2f " +
+      f"stats_secs=$stSecs%.2f")
+    require(catStats.rowCount.contains(BigInt(cpRows)) &&
+      uidNdv.exists(n => n > 90000 && n < 110000),
+      "CBO must see the exact row count and an NDV within HLL error at scale")
     spark.sql("DROP TABLE scale_cat.b.ev")
 
     // per-file column-stats pruning at scale: a value-CLUSTERED layout

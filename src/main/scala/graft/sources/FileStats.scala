@@ -61,6 +61,29 @@ object FileStats {
   def rowCount(decoded: Map[String, ColStats]): Option[Long] =
     decoded.get(RowsKey).flatMap(_.min).map(_.toLong)
 
+  /** Reserved pseudo-column carrying the file's BYTE LENGTH (min = max =
+    * bytes) and, in the nulls slot, its pool move-in mtime — recorded at
+    * commit so scan planning builds its file index from the manifest
+    * alone, with ZERO file-system listing (Iceberg's plan-from-manifest
+    * property: at thousands of files the listing job dominates plan
+    * time; at millions it's a driver stall per query). */
+  val BytesKey = "__bytes"
+
+  private[sources] def bytesEntry(len: Long, mtimeMillis: Long): (String, ColStats) =
+    BytesKey -> ColStats('l', Some(len.toString), Some(len.toString),
+      Some(mtimeMillis))
+
+  /** (byte length, move-in mtime) of an encoded stats string, if recorded. */
+  def byteSize(decoded: Map[String, ColStats]): Option[(Long, Long)] =
+    decoded.get(BytesKey).flatMap(c =>
+      c.min.map(_.toLong).map(_ -> c.nulls.getOrElse(0L)))
+
+  /** Fold a file's byte length + mtime into its encoded stats (creating
+    * a stats string when footer stats were off/unavailable). */
+  def withBytes(encoded: Option[String], len: Long, mtimeMillis: Long): Option[String] =
+    Some(encode(encoded.map(decode).getOrElse(Map.empty) +
+      bytesEntry(len, mtimeMillis)))
+
   // ---- encoding -----------------------------------------------------------
 
   private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)

@@ -73,23 +73,48 @@ object NdvStats {
     if (cols.isEmpty) return (df, None)
     val obs = Observation(
       s"graft_ndv_${java.util.UUID.randomUUID().toString.take(12)}")
-    val aggs = cols.map { c =>
-      val base = df.col(s"`$c`")
-      // `hll_sketch_agg` takes int/long/string natively; everything else
-      // feeds as a codegen'd 64-bit hash — distinct-preserving up to a
-      // negligible collision rate (far under HLL's own ~2% error), with
-      // none of the per-row string formatting a cast would pay. Nulls
-      // stay null so the sketch ignores them (NDV excludes null, the
-      // `ColumnStat.distinctCount` convention).
-      val input = df.schema.fields.find(_.name == c).get.dataType match {
-        case IntegerType | LongType | StringType => base
-        case ByteType | ShortType => base.cast("long")
-        case _ => org.apache.spark.sql.functions.when(
-          base.isNotNull, org.apache.spark.sql.functions.xxhash64(base))
-      }
-      hll_sketch_agg(input).as(c)
-    }
+    val aggs = cols.map(c => sketchAgg(df, c))
     (df.observe(obs, aggs.head, aggs.tail: _*), Some(obs))
+  }
+
+  /** The sketch aggregate for one column. `hll_sketch_agg` takes
+    * int/long/string natively; everything else feeds as a codegen'd
+    * 64-bit hash — distinct-preserving up to a negligible collision rate
+    * (far under HLL's own ~2% error), with none of the per-row string
+    * formatting a cast would pay. Nulls stay null so the sketch ignores
+    * them (NDV excludes null, the `ColumnStat.distinctCount` convention). */
+  private def sketchAgg(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    val base = df.col(s"`$c`")
+    val input = df.schema.fields.find(_.name == c).get.dataType match {
+      case IntegerType | LongType | StringType => base
+      case ByteType | ShortType => base.cast("long")
+      case _ => org.apache.spark.sql.functions.when(
+        base.isNotNull, org.apache.spark.sql.functions.xxhash64(base))
+    }
+    hll_sketch_agg(input).as(c)
+  }
+
+  /** Explicit (re)build of the LIVE snapshot's sketch by scanning the
+    * table — the Iceberg ANALYZE shape, for tables whose commits never
+    * carried one (streaming-sink tables, history written before the
+    * stats existed, opted-out writers) and the one path that SUBTRACTS:
+    * the scan applies deletes, so a churned table's upper bound resets
+    * to truth. One distributed pass; the sketch publishes at the live
+    * version. Returns the per-column estimates (physical names). */
+  def computeStats(spark: org.apache.spark.sql.SparkSession,
+                   root: String): Map[String, Long] = {
+    val v = ManifestTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val df = ManifestTable.read(spark, root)
+    val cols = sketchable(df.schema)
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map(c => sketchAgg(df, c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val m = cols.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) => c -> row.getAs[Array[Byte]](i)
+    }.toMap
+    if (m.nonEmpty) write(root, v, m)
+    m.map { case (k, b) => k -> estimate(b) }
   }
 
   /** Harvest sketch bytes after the write action completed. The metric

@@ -79,6 +79,30 @@ private[v2] object ColumnStatsReport {
       }
     }.toOption
 
+  /** Canonical-string fold of one column's bounds across files: reported
+    * only when EVERY file carries the bound under the expected tag (a
+    * stats-less file could hold anything). Shared by the CBO report and
+    * the `tbl.stats` display surface. */
+  private[v2] def foldBounds(decoded: Seq[Map[String, FileStats.ColStats]],
+                             phys: String, tag: Char)
+      : (Option[String], Option[String], Option[Long]) = {
+    val perFile = decoded.map(_.get(phys))
+    val complete = decoded.nonEmpty && perFile.forall(_.exists(_.tag == tag))
+    def fold(pick: FileStats.ColStats => Option[String], isMin: Boolean) =
+      if (!complete) None
+      else {
+        val bs = perFile.flatten.map(pick)
+        if (bs.forall(_.isDefined))
+          Some(FileStats.reduceBound(bs.flatten, tag, isMin))
+        else None
+      }
+    val nulls =
+      if (complete && perFile.flatten.forall(_.nulls.isDefined))
+        Some(perFile.flatten.flatMap(_.nulls).sum)
+      else None
+    (fold(_.min, isMin = true), fold(_.max, isMin = false), nulls)
+  }
+
   /** Assemble the report over the pruned listing; falls back to the
     * delegate's size estimate for anything the metadata can't answer. */
   def build(base: Statistics, root: String, version: Option[Long],
@@ -98,24 +122,11 @@ private[v2] object ColumnStatsReport {
     schema.fields.foreach { f =>
       FileStats.tagOf(f.dataType).foreach { tag =>
         val phys = physicalName(f.name).toLowerCase
-        val perFile = decoded.map(_.get(phys))
-        val complete = entries.nonEmpty && perFile.forall(_.exists(_.tag == tag))
-        def fold(pick: FileStats.ColStats => Option[String], isMin: Boolean) =
-          if (!complete) None
-          else {
-            val bs = perFile.flatten.map(pick)
-            if (bs.forall(_.isDefined))
-              catalystValue(f.dataType, tag,
-                FileStats.reduceBound(bs.flatten, tag, isMin))
-            else None
-          }
-        val nulls =
-          if (complete && perFile.flatten.forall(_.nulls.isDefined))
-            Some(perFile.flatten.flatMap(_.nulls).sum)
-          else if (entries.isEmpty) Some(0L)
-          else None
+        val (mn, mx, nulls0) = foldBounds(decoded, phys, tag)
+        val nulls = if (entries.isEmpty) Some(0L) else nulls0
         val stat = ColStat(ndv.get(phys).filter(_ > 0L),
-          fold(_.min, isMin = true), fold(_.max, isMin = false), nulls)
+          mn.flatMap(catalystValue(f.dataType, tag, _)),
+          mx.flatMap(catalystValue(f.dataType, tag, _)), nulls)
         if (stat.ndv.isDefined || stat.minV.isDefined || stat.nulls.isDefined)
           cols.put(Expressions.column(f.name), stat)
       }

@@ -267,6 +267,39 @@ object Maintenance {
     ManifestTable.rewriteDeletes(spark, root, retainOf(spark, root))
   }
 
+  /** Explicit statistics (re)build by identifier — Iceberg's ANALYZE:
+    * scan the live snapshot once, publish the per-column NDV sketch at
+    * the live version ([[graft.sources.NdvStats.computeStats]]). For
+    * streaming-sink tables and pre-stats history; also the reset path
+    * after heavy deletes (the scan applies them). Returns logical-name
+    * estimates. */
+  def computeStats(spark: SparkSession, ident: String): Map[String, Long] = {
+    val (root, meta) = resolve(spark, ident)
+    val phys = graft.sources.NdvStats.computeStats(spark, root)
+    // report under LOGICAL names (the physical→logical rename map)
+    val toLogical = meta.schema.fieldNames
+      .map(l => meta.physicalName(l).toLowerCase -> l).toMap
+    phys.map { case (p, n) => toLogical.getOrElse(p.toLowerCase, p) -> n }
+  }
+
+  /** Standalone orphan-file sweep by identifier (Iceberg's
+    * `remove_orphan_files`): pool/shard files no retained manifest
+    * references, behind the grace window (or an explicit `older_than`
+    * 'yyyy-MM-dd HH:mm:ss' cutoff in the session zone). Ref-pinned and
+    * staged-branch snapshots keep their files. `dryRun` lists without
+    * deleting. Returns the swept (or would-sweep) paths. */
+  def removeOrphanFiles(spark: SparkSession, ident: String,
+                        olderThan: Option[String] = None,
+                        dryRun: Boolean = false): Seq[String] = {
+    val (root, _) = resolve(spark, ident)
+    val cutoff = olderThan.filter(_.nonEmpty).map { ts =>
+      java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+        .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+        .toInstant.toEpochMilli
+    }
+    ManifestTable.removeOrphanFiles(root, cutoff, dryRun)
+  }
+
   /** Expire retained snapshots beyond `retain` and GC unreferenced pool
     * files (orphan claims included). Metadata + file deletes only. */
   def expireSnapshots(spark: SparkSession, ident: String, retain: Int = 1,

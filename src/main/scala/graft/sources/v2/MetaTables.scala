@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.{ManifestTable, MetaIO}
+import graft.sources.{FileStats, ManifestTable, MetaIO, NdvStats}
 
 /** Iceberg's metadata-table inspection surface (`tbl.files`,
   * `tbl.snapshots`, `tbl.partitions` — the reference gets it from the
@@ -25,7 +25,7 @@ import graft.sources.{ManifestTable, MetaIO}
 object MetaTables {
 
   val Kinds: Set[String] = Set("files", "snapshots", "partitions", "deletes", "refs",
-    "changes")
+    "changes", "stats")
 
   private val FilesSchema = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
@@ -60,6 +60,17 @@ object MetaTables {
     StructField("size_bytes", LongType, nullable = false),
     StructField("targets", StringType, nullable = true)))     // positional: files list
 
+  // the planner-statistics inspection surface: what CBO sees per column
+  // ([[ColumnStatsReport]] — NDV from the commit-time sketch, bounds/nulls
+  // folded from the live manifest; canonical strings for display)
+  private val StatsSchema = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv", LongType, nullable = true),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("n_rows", LongType, nullable = true)))
+
   private val RefsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("kind", StringType, nullable = false),    // tag|branch
@@ -77,6 +88,7 @@ object MetaTables {
       case "partitions" => MetaTable(name, PartitionsSchema, () => partitionRows(root))
       case "deletes"    => MetaTable(name, DeletesSchema, () => deleteRows(root))
       case "refs"       => MetaTable(name, RefsSchema, () => refRows(root))
+      case "stats"      => MetaTable(name, StatsSchema, () => statsRows(root))
       // row-level change feed — a full distributed relation, not a
       // driver-local listing ([[ChangeFeed]]); a pin caps its end
       case "changes"    => ChangeFeed.table(name, root, pinnedVersion)
@@ -101,7 +113,7 @@ object MetaTables {
     liveEntries(root).map { e =>
       new GenericInternalRow(Array[Any](
         utf8(e.rel), utf8(dirOf(e.rel)),
-        MetaIO.size(s"$root/data/${e.rel}"),
+        sizeOf(root, e),
         isDelete(e.rel),
         e.stats.map(utf8).orNull))
     }.toArray
@@ -120,7 +132,7 @@ object MetaTables {
         ManifestTable.manifestProps(root, v)
           .get(ManifestTable.OpProp).map(utf8).orNull,
         data.size.toLong, del.size.toLong,
-        es.map(e => MetaIO.size(s"$root/data/${e.rel}")).sum,
+        es.map(e => sizeOf(root, e)).sum,
         live.contains(v),
         ManifestTable.parentOf(root, v).map(Long.box).orNull,
         ManifestTable.ownerOf(root, v).map(utf8).orNull))
@@ -138,7 +150,7 @@ object MetaTables {
         utf8(e.rel),
         utf8(if (ManifestTable.isEqDeleteEntry(e.rel)) "equality" else "positional"),
         e.seq.getOrElse(0L),
-        MetaIO.size(s"$root/data/${e.rel}"),
+        sizeOf(root, e),
         ManifestTable.deleteTouchedRels(e)
           .map(t => utf8(t.toSeq.sorted.mkString(","))).orNull))
     }.toArray
@@ -153,13 +165,50 @@ object MetaTables {
     }.toArray
   }
 
+  private def statsRows(root: String): Array[InternalRow] = {
+    val meta = VersionedCatalog.readMeta(root).getOrElse(
+      return Array.empty[InternalRow])
+    val entries = liveEntries(root).filterNot(e => isDelete(e.rel))
+    val decoded = entries.map(e => FileStats.decode(e.stats.getOrElse("")))
+    val rows: Option[Long] =
+      if (entries.isEmpty) Some(0L)
+      else {
+        val perFile = decoded.map(FileStats.rowCount)
+        if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+      }
+    val ndv = (if (ManifestTable.exists(root)) ManifestTable.currentVersion(root)
+               else None)
+      .map(v => NdvStats.estimates(root, v)).getOrElse(Map.empty)
+    meta.schema.fields.flatMap { f =>
+      FileStats.tagOf(f.dataType).map { tag =>
+        val phys = meta.physicalName(f.name).toLowerCase
+        val (mn, mx, nulls) = ColumnStatsReport.foldBounds(decoded, phys, tag)
+        new GenericInternalRow(Array[Any](
+          utf8(f.name),
+          ndv.get(phys).filter(_ > 0L).map(Long.box).orNull,
+          mn.map(utf8).orNull, mx.map(utf8).orNull,
+          nulls.map(Long.box).orNull,
+          rows.map(Long.box).orNull)): InternalRow
+      }
+    }
+  }
+
+  /** A file's byte size: off the manifest's `__bytes` when recorded (the
+    * plan-from-manifest discipline — no per-file stat), else one FS stat
+    * for pre-`__bytes` entries. Delete entries' stats fields carry other
+    * payloads (DV indexes, target lists) and decode to empty — they fall
+    * back too. */
+  private def sizeOf(root: String, e: ManifestTable.FileEntry): Long =
+    FileStats.byteSize(FileStats.decode(e.stats.getOrElse("")))
+      .map(_._1).getOrElse(MetaIO.size(s"$root/data/${e.rel}"))
+
   private def partitionRows(root: String): Array[InternalRow] =
     liveEntries(root).filterNot(e => isDelete(e.rel))
       .groupBy(e => dirOf(e.rel)).toSeq.sortBy(_._1)
       .map { case (dir, es) =>
         new GenericInternalRow(Array[Any](
           utf8(dir), es.size.toLong,
-          es.map(e => MetaIO.size(s"$root/data/${e.rel}")).sum))
+          es.map(e => sizeOf(root, e)).sum))
       }.toArray
 }
 

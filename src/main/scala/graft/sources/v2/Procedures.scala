@@ -33,7 +33,7 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than",
     "create_tag", "create_branch", "drop_ref", "fast_forward", "evolve_partition",
     "rewrite_deletes", "rollback_to_version", "rollback_to_timestamp",
-    "cherrypick_snapshot", "fsck")
+    "cherrypick_snapshot", "fsck", "remove_orphan_files", "compute_stats")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -47,6 +47,13 @@ object GraftProcedures {
   /** One-row result-set scan. */
   private case class ResultScan(schema: StructType, row: InternalRow) extends LocalScan {
     override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+
+  /** Multi-row result-set scan (one row per swept file, etc). */
+  private case class RowsScan(schema: StructType, all: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = all
     override def readSchema(): StructType = schema
   }
 
@@ -190,6 +197,46 @@ object GraftProcedures {
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    // explicit NDV statistics (re)build — Iceberg's ANALYZE shape: one
+    // distributed scan of the live snapshot, sketch published at the
+    // live version; one row per column with its estimate
+    case "compute_stats" => new GraftProcedure("compute_stats") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val est = Maintenance.computeStats(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}")
+        Collections.singletonList[Scan](RowsScan(
+          StructType(Seq(
+            StructField("column", StringType, nullable = false),
+            StructField("ndv", LongType, nullable = false))),
+          est.toSeq.sortBy(_._1).map { case (c, n) =>
+            new GenericInternalRow(
+              Array[Any](UTF8String.fromString(c), n)): InternalRow }
+            .toArray)).iterator()
+      }
+    }
+    // standalone orphan-file sweep (Iceberg's remove_orphan_files):
+    // grace-windowed, ref-sparing, dry-run listing — one row per file
+    case "remove_orphan_files" => new GraftProcedure("remove_orphan_files") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType),
+        param("older_than", StringType, Some("''")),
+        param("dry_run", BooleanType, Some("false")))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dry = input.getBoolean(2)
+        val paths = Maintenance.removeOrphanFiles(spark,
+          s"$catalogName.${input.getUTF8String(0).toString}",
+          Some(input.getUTF8String(1).toString.trim).filter(_.nonEmpty), dry)
+        Collections.singletonList[Scan](RowsScan(
+          StructType(Seq(
+            StructField("orphan_file_location", StringType, nullable = false),
+            StructField("deleted", BooleanType, nullable = false))),
+          paths.map(p => new GenericInternalRow(
+            Array[Any](UTF8String.fromString(p), !dry)): InternalRow)
+            .toArray)).iterator()
       }
     }
     // table integrity check: distributed file-existence probe + manifest
