@@ -73,8 +73,8 @@ object Bench {
     // whenever the query set changes (new round/binary). Best-effort.
     try {
       val minPath = java.nio.file.Paths.get("target/bench_min.json")
-      val prev: (Map[String, Double], Long) =
-        if (!java.nio.file.Files.exists(minPath)) (Map.empty, 0L)
+      val prev: (Map[String, Double], Long, String) =
+        if (!java.nio.file.Files.exists(minPath)) (Map.empty, 0L, "")
         else {
           import org.json4s._
           val j = org.json4s.jackson.JsonMethods.parse(
@@ -88,9 +88,15 @@ object Bench {
           }
           val runs = (j \ "runs") match {
             case JInt(n) => n.toLong; case _ => 0L }
-          (qs, runs)
+          val prevSf = (j \ "sf") match {
+            case JString(s) => s; case _ => "" }
+          (qs, runs, prevSf)
         }
-      val samePlanSet = prev._1.keySet == best.keySet && errs.isEmpty
+      // a record from a DIFFERENT scale factor must never contribute
+      // minima (same keys, incomparable timings) — the sf is part of
+      // the reset condition alongside the query set
+      val samePlanSet = prev._1.keySet == best.keySet && errs.isEmpty &&
+        prev._3 == sfDir
       val merged =
         if (samePlanSet) best.map { case (k, v) => k -> math.min(v, prev._1(k)) }
         else best

@@ -94,22 +94,30 @@ object Scd2 extends org.apache.spark.internal.Logging {
     * version and no current row in the target. A well-formed feed
     * produces none; a drifted checkpoint or a manually edited target
     * does, and the MERGE alone would DROP them silently (they match
-    * nothing). Returns up to `sample + 1` offending key rows. Cost: one
-    * broadcast anti-join of the batch's few closes against the target's
-    * current rows — batch-bounded, never dimension-bounded. */
+    * nothing). Returns the EXACT count plus up to `sample` offending key
+    * rows. Cost shape: the unsatisfied set computes batch-side only (and
+    * when it is empty the target is never touched); otherwise the target
+    * probe is ONE streamed scan of its current rows against the batch's
+    * few keys BROADCAST as the semi-join build side — the dimension is
+    * never shuffled or hash-built per batch. */
   private[graft] def missingCloses(spark: SparkSession, targetTable: String,
                                    folded: DataFrame, keyCols: Seq[String],
-                                   sample: Int = 10): Array[Row] = {
+                                   sample: Int = 10): (Long, Array[Row]) = {
     val keys = keyCols.map(col)
     val closes = folded.where(col(IsClose))
     val opensMin = folded.where(!col(IsClose))
       .groupBy(keys: _*).agg(min(col("valid_from")).as("__first_open"))
     val unsatisfied = closes.join(opensMin, keyCols, "left")
       .where(col("__first_open").isNull || col("__first_open") >= col(CloseV))
-    unsatisfied
-      .join(spark.table(targetTable).where(col("is_current")), keyCols, "left_anti")
       .select(keyCols.map(col) :+ col(CloseV).as("close_version"): _*)
-      .limit(sample + 1).collect()
+      .localCheckpoint(true) // batch-bounded; reused by probe + count
+    if (unsatisfied.isEmpty) return (0L, Array.empty)
+    val matched = spark.table(targetTable).where(col("is_current"))
+      .join(broadcast(unsatisfied.select(keys: _*).distinct()), keyCols, "left_semi")
+      .select(keys: _*).distinct()
+    val orphans = unsatisfied.join(broadcast(matched), keyCols, "left_anti")
+      .localCheckpoint(true)
+    (orphans.count(), orphans.limit(sample).collect())
   }
 
   /** Apply one folded micro-batch to the target dimension with a single
@@ -125,23 +133,21 @@ object Scd2 extends org.apache.spark.internal.Logging {
     val view = "__graft_scd2_src"
     foldBatch(batch, keyCols, attrCols).createOrReplaceTempView(view)
     try {
-      val orphans = missingCloses(spark, targetTable,
+      val (nMissing, sampleRows) = missingCloses(spark, targetTable,
         spark.table(view), keyCols)
-      if (orphans.nonEmpty) {
-        val shown = orphans.take(10).mkString(", ") +
-          (if (orphans.length > 10) ", …" else "")
+      if (nMissing > 0) {
+        val shown = sampleRows.mkString(", ") +
+          (if (nMissing > sampleRows.length) ", …" else "")
         val mode = scala.util.Try(
           spark.conf.get("spark.graft.scd2.onMissingClose", "count")).getOrElse("count")
         if (mode == "fail")
           throw new IllegalStateException(
-            s"SCD2 batch for $targetTable carries ${orphans.length}" +
-              s"${if (orphans.length > 10) "+" else ""} close event(s) with no " +
-              s"current row to close (keys: $shown) — the feed and the target " +
-              "have drifted (checkpoint reset? manual edit?); set " +
+            s"SCD2 batch for $targetTable carries $nMissing close event(s) " +
+              s"with no current row to close (keys: $shown) — the feed and " +
+              "the target have drifted (checkpoint reset? manual edit?); set " +
               "spark.graft.scd2.onMissingClose=count to record-and-continue")
-        logWarning(s"SCD2 batch for $targetTable: ${orphans.length}" +
-          s"${if (orphans.length > 10) "+" else ""} close event(s) matched no " +
-          s"current row and will not apply (keys: $shown)")
+        logWarning(s"SCD2 batch for $targetTable: $nMissing close event(s) " +
+          s"matched no current row and will not apply (keys: $shown)")
       }
       val onKeys = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
       val insCols = (keyCols ++ attrCols ++
@@ -154,7 +160,7 @@ object Scd2 extends org.apache.spark.internal.Logging {
            |WHEN MATCHED THEN UPDATE SET valid_to = s.$CloseV, is_current = false
            |WHEN NOT MATCHED AND s.$IsClose = false THEN
            |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
-      orphans.length.toLong
+      nMissing
     } finally spark.catalog.dropTempView(view)
   }
 

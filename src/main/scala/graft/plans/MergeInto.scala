@@ -211,7 +211,27 @@ object MergeInto {
   /** Execute an already-parsed MERGE: resolve the target, compute the
     * merged relation, write it back. Day-partitioned manifest targets take
     * the partition-scoped path when the statement allows it. */
+  /** Row-level DML is a read-modify-write: under the audit read conf
+    * (`spark.graft.read.branch`) the catalog READ of the target resolves
+    * the branch head while the DML's own base/commit resolution runs on
+    * its write lineage — a copy-on-write rewrite would silently replace
+    * the committed snapshot with branch data (staged rows published,
+    * main-only rows dropped; the staleness guard can't see it because
+    * the write lineage's pointer never moved). The audit conf is a READ
+    * workflow: refuse DML outright while it is set. Staged DML already
+    * has its own correct shape — `spark.graft.write.branch` without the
+    * read conf (the DML base IS the branch head there). */
+  private def requireDmlReadScope(spark: SparkSession): Unit = {
+    val rb = spark.conf.getOption("spark.graft.read.branch").filter(_.nonEmpty)
+    require(rb.isEmpty,
+      s"row-level DML with spark.graft.read.branch='${rb.get}' set would mix " +
+        "branch reads into a write lineage (a silent cross-lineage rewrite). " +
+        "Unset the read conf; to stage DML on a branch use " +
+        "spark.graft.write.branch alone.")
+  }
+
   private[graft] def execute(spark: SparkSession, m: MergeIntoTable): Unit = {
+    requireDmlReadScope(spark)
     val tgt0 = resolveTarget(spark, m.targetTable)
     val source = GraftColumnBridge.ofRows(spark, m.sourceTable)
     // MERGE WITH SCHEMA EVOLUTION (Iceberg's spark.sql.merge schema
@@ -341,6 +361,7 @@ object MergeInto {
     * becomes `CASE WHEN cond THEN value ELSE old END`; no shuffle at all
     * beyond the rewrite's write. */
   private[graft] def executeUpdate(spark: SparkSession, u: UpdateTable): Unit = {
+    requireDmlReadScope(spark)
     val tgt = resolveTarget(spark, u.table)
     // merge-on-read UPDATE (Iceberg's write.update.mode=merge-on-read):
     // parquet catalog tables only, opt-in per session
@@ -377,6 +398,7 @@ object MergeInto {
     * partially covers is rewritten — `DELETE WHERE ts < now()-90d` on a
     * 100 TB table becomes one manifest write. */
   private[graft] def executeDelete(spark: SparkSession, d: DeleteFromTable): Unit = {
+    requireDmlReadScope(spark)
     val tgt = resolveTarget(spark, d.table)
     // merge-on-read DELETE (Iceberg's write.delete.mode=merge-on-read):
     // commit positional tombstones instead of rewriting data — a few

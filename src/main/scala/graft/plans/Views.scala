@@ -74,6 +74,12 @@ object Views {
   private def path(wh: String, ns: Seq[String], name: String): String =
     (Seq(wh) ++ ns ++ Seq("_views", name)).mkString("/")
 
+  /** True iff a stored view definition exists under this warehouse —
+    * shared with the catalog's table-shadow guard so the storage layout
+    * has exactly one owner. */
+  def definitionFileExists(wh: String, ns: Seq[String], name: String): Boolean =
+    MetaIO.exists(path(wh, ns, name))
+
   /** The stored definition (sql, column aliases) of `parts`, when it
     * names a view of a registered versioned catalog. */
   private def definitionOf(spark: SparkSession, parts: Seq[String])

@@ -2028,6 +2028,23 @@ object ManifestTable {
           MetaIO.delete(p)
       }
     }
+    // before expiring ancestors, pin the NDV lineage: a surviving head
+    // (live pointer, branch heads) that resolves its sketch through an
+    // ANCESTOR's sidecar gets that sketch republished at the head itself
+    // — otherwise expiry can delete the sidecar the parent-stamp walk
+    // depends on, and (worse) the next append's merge, finding no parent
+    // sketch, would publish its fresh-rows-only sketch as the TABLE's
+    // NDV — no longer an upper bound, and CBO would plan on it. One tiny
+    // sidecar write per head, converging immediately (the next gc finds
+    // the head's own file).
+    if (dead.nonEmpty) scala.util.Try {
+      (live +: refMap.values.filter(_.kind == "branch").map(_.version).toSeq)
+        .distinct.filter(_ > 0).foreach { head =>
+          if (NdvStats.read(root, head).isEmpty)
+            NdvStats.forVersion(root, head)
+              .foreach(m => NdvStats.write(root, head, m))
+        }
+    }
     dead.foreach { v =>
       MetaIO.delete(manifestPath(root, v))
       NdvStats.delete(root, v)

@@ -79,6 +79,18 @@ private[v2] object ColumnStatsReport {
       }
     }.toOption
 
+  /** Sum of per-file `__rows` under the every-file rule: None when any
+    * file lacks the count (a stats-less file could hold any number of
+    * rows), Some(0) for an empty listing. Shared by the CBO report and
+    * `tbl.stats`. */
+  private[v2] def rowCountOf(
+      decoded: Seq[Map[String, FileStats.ColStats]]): Option[Long] =
+    if (decoded.isEmpty) Some(0L)
+    else {
+      val perFile = decoded.map(FileStats.rowCount)
+      if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+    }
+
   /** Canonical-string fold of one column's bounds across files: reported
     * only when EVERY file carries the bound under the expected tag (a
     * stats-less file could hold anything). Shared by the CBO report and
@@ -109,13 +121,8 @@ private[v2] object ColumnStatsReport {
             schema: StructType, physicalName: String => String,
             entries: Seq[ManifestTable.FileEntry]): Statistics = {
     val decoded = entries.map(e => FileStats.decode(e.stats.getOrElse("")))
-    val rows: OptionalLong =
-      if (entries.isEmpty) OptionalLong.of(0L)
-      else {
-        val perFile = decoded.map(FileStats.rowCount)
-        if (perFile.forall(_.isDefined)) OptionalLong.of(perFile.flatten.sum)
-        else OptionalLong.empty()
-      }
+    val rows: OptionalLong = rowCountOf(decoded)
+      .map(OptionalLong.of).getOrElse(OptionalLong.empty())
     val ndv: Map[String, Long] =
       version.map(v => NdvStats.estimates(root, v)).getOrElse(Map.empty)
     val cols = new java.util.HashMap[NamedReference, ColumnStatistics]()

@@ -170,12 +170,7 @@ object MetaTables {
       return Array.empty[InternalRow])
     val entries = liveEntries(root).filterNot(e => isDelete(e.rel))
     val decoded = entries.map(e => FileStats.decode(e.stats.getOrElse("")))
-    val rows: Option[Long] =
-      if (entries.isEmpty) Some(0L)
-      else {
-        val perFile = decoded.map(FileStats.rowCount)
-        if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
-      }
+    val rows: Option[Long] = ColumnStatsReport.rowCountOf(decoded)
     val ndv = (if (ManifestTable.exists(root)) ManifestTable.currentVersion(root)
                else None)
       .map(v => NdvStats.estimates(root, v)).getOrElse(Map.empty)

@@ -200,9 +200,8 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     // definition file, so a table created under a view's name would have
     // its reads silently answered by the view and its INSERTs rejected
     // as writes to a subquery
-    val viewDef = (Seq(warehouse) ++ ident.namespace().toSeq ++
-      Seq("_views", ident.name())).mkString("/")
-    require(!MetaIO.exists(viewDef),
+    require(!graft.plans.Views.definitionFileExists(
+        warehouse, ident.namespace().toSeq, ident.name()),
       s"cannot create table ${ident.namespace().mkString(".")}." +
         s"${ident.name()}: a VIEW of that name exists (DROP VIEW it first)")
     // classify the requested transforms: one hidden temporal/bucket/

@@ -610,6 +610,19 @@ class TableFormatSpec extends AnyFunSuite {
     assert(NdvStats.read(root, dv).isEmpty, "delete commit carries no sketch")
     assert(NdvStats.estimates(root, dv).get("k").exists(_ > 180),
       "reader walks to the parent's sketch")
+    // retention must not destroy the sketch lineage: expiring the
+    // ancestors republishes the nearest sketch AT the surviving head
+    // before their sidecars delete — without it the walk breaks AND the
+    // next append would publish a fresh-rows-only sketch as the table's
+    // NDV (no longer an upper bound)
+    ManifestTable.expireOldVersions(root, retain = 1)
+    assert(NdvStats.read(root, dv).nonEmpty,
+      "gc republishes the ancestor's sketch at the surviving head")
+    assert(NdvStats.estimates(root, dv).get("k").exists(_ > 180))
+    val vAfter = ManifestTable.append(
+      Seq((5000L, "w")).toDF("k", "v"), root, retain = 10)
+    assert(NdvStats.estimates(root, vAfter).get("k").exists(_ > 180),
+      "the post-expiry append merges with the preserved sketch")
     // overwrite resets: the stale 200-key estimate must not survive a
     // full rewrite that leaves 5 keys
     val v3 = ManifestTable.commit(

@@ -1018,6 +1018,14 @@ class V2CatalogSpec extends AnyFunSuite {
       // explicit time travel still wins over the conf
       assert(spark.sql("SELECT k FROM gtest.ns.rdbr VERSION AS OF 1")
         .collect().map(_.getLong(0)).toSet === Set(1L))
+      // row-level DML refuses while the audit read conf is set: a
+      // copy-on-write rewrite would read the branch and commit to main —
+      // a silent cross-lineage rewrite (staged rows published, main-only
+      // rows dropped). Both the table and main's content stay untouched.
+      val dml = intercept[Exception] {
+        graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.rdbr WHERE k = 1") }
+      assert(dml.getMessage.contains("cross-lineage"), dml.getMessage)
+      assert(ks("gtest.ns.rdbr") === Set(1L, 2L))
       // a non-branch ref of that name is an error, not a fallback
       val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rdbr"
       ManifestTable.createTag(root, "audit2", None)
