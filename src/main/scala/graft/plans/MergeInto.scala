@@ -458,11 +458,11 @@ object MergeInto {
     if (dataRels.isEmpty) return None
     // schema-pinned direct parquet read: evolution-added columns null-fill
     // through the declared physical schema, identity partition values
-    // re-derive from directory names, and _metadata gives row identity
-    val base = spark.read.format("parquet")
-      .schema(meta.physicalSchema)
-      .option("basePath", s"$root/data")
-      .load(dataRels.map(r => s"$root/data/$r"): _*)
+    // re-derive from directory names, and _metadata gives row identity.
+    // Planned through the manifest-seeded index — a DML base read over a
+    // large table must not pay a per-statement listing job.
+    val base = ManifestTable.seededRead(spark, root, "parquet", dataEntries,
+      userSchema = Some(meta.physicalSchema))
     val keyed = base.select(
       meta.schema.fields.toIndexedSeq.map(f =>
         col(meta.physicalName(f.name)).as(f.name)) ++

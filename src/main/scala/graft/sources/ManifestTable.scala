@@ -622,16 +622,34 @@ object ManifestTable {
         })
     }
 
-  private def readFiles(spark: SparkSession, root: String, rels: Seq[String]): DataFrame = {
-    require(rels.nonEmpty, s"empty manifest under $root — empty commits are not supported")
+  private def readFiles(spark: SparkSession, root: String,
+                        entries: Seq[FileEntry]): DataFrame = {
+    require(entries.nonEmpty, s"empty manifest under $root — empty commits are not supported")
     // dispatch per extension: a manifest may reference files of several
     // formats mid-conversion; each group reads through its own source and
-    // basePath re-derives the hidden day column identically for all three
-    rels.groupBy(extOf).toSeq.sortBy(_._1).map { case (fmt, rs) =>
+    // basePath re-derives the hidden day column identically for all three.
+    // Reads plan through the manifest-seeded index (zero listing) —
+    // `spark.read.load(paths)` would run the listing job per call.
+    entries.groupBy(e => extOf(e.rel)).toSeq.sortBy(_._1).map { case (fmt, es) =>
       require(FileFormats.contains(fmt), s"unknown data-file format .$fmt under $root")
-      spark.read.format(fmt).option("basePath", s"$root/data")
-        .load(rs.map(r => s"$root/data/$r"): _*)
+      seededRead(spark, root, fmt, es, userSchema = None)
     }.reduce(_ unionByName _)
+  }
+
+  /** [[org.apache.spark.sql.execution.datasources.GraftSeededIndex]] read
+    * of pool entries: file sizes resolve from the entries' own `__bytes`
+    * (entries committed pre-`__bytes` fall back to real stats). */
+  private[graft] def seededRead(spark: SparkSession, root: String, fmt: String,
+                         entries: Seq[FileEntry],
+                         userSchema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val sizes: Map[org.apache.hadoop.fs.Path, (Long, Long)] = entries
+      .flatMap(e => FileStats.byteSize(FileStats.decode(e.stats.getOrElse("")))
+        .map(new org.apache.hadoop.fs.Path(s"$root/data/${e.rel}") -> _))
+      .toMap
+    org.apache.spark.sql.execution.datasources.GraftSeededIndex.read(
+      spark, fmt, entries.map(e => new org.apache.hadoop.fs.Path(s"$root/data/${e.rel}")), sizes,
+      Map("basePath" -> s"$root/data"), userSchema)
   }
 
   /** Data files of `entries` with the snapshot's deletes APPLIED. Without
@@ -654,7 +672,7 @@ object ManifestTable {
   private def readApplied(spark: SparkSession, root: String,
                           es: Seq[FileEntry]): DataFrame = {
     val (del, data) = es.partition(e => isDeleteEntry(e.rel))
-    if (del.isEmpty) readFiles(spark, root, data.map(_.rel))
+    if (del.isEmpty) readFiles(spark, root, data)
     else {
       require(data.nonEmpty, s"only delete entries under $root")
       require(data.forall(_.rel.endsWith(".parquet")),
@@ -662,8 +680,7 @@ object ManifestTable {
       val (eqDel, posDel) = del.partition(e => isEqDeleteEntry(e.rel))
       // a DIRECT parquet read (not the per-format union) so the _metadata
       // column resolves; basePath re-derives partition dirs as usual
-      val base = spark.read.format("parquet").option("basePath", s"$root/data")
-        .load(data.map(e => s"$root/data/${e.rel}"): _*)
+      val base = seededRead(spark, root, "parquet", data, userSchema = None)
       val keyed = base
         .withColumn("__mor_rel",
           regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1))

@@ -45,4 +45,39 @@ object GraftSeededIndex {
     }
     new InMemoryFileIndex(spark, files, parameters, userSpecifiedSchema, cache)
   }
+
+  /** A DataFrame over `files` through a V1 [[FileFormat]], planned from
+    * the seeded index — the listing-free construction for the engine's
+    * INTERNAL reads (DML read-modify-write bases, maintenance rewrites),
+    * which `spark.read.format(...).load(paths)` would re-list per call.
+    * `userSchema` pins the FILE schema (schema-evolution reads); absent,
+    * the format infers it from one footer (a single small read — the
+    * listing, not the footer, was the cost). `_metadata` columns resolve
+    * as on any V1 file relation (MOR row identity needs them). */
+  def read(spark: SparkSession, format: String, files: Seq[Path],
+           sizes: Map[Path, (Long, Long)], options: Map[String, String],
+           userSchema: Option[StructType]): org.apache.spark.sql.DataFrame = {
+    val index = apply(spark, files, sizes, options, userSchema)
+    val fmt: FileFormat = format match {
+      case "parquet" =>
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case "avro" => new graft.sources.avro.AvroFileFormat
+      case other => throw new IllegalArgumentException(s"unknown format $other")
+    }
+    // the DataSource discipline: the FILE schema excludes partition-dir
+    // columns (the index types those from `userSchema` during inference;
+    // pool files never carry them in-body)
+    val partNames = index.partitionSchema.fieldNames.toSet
+    val dataSchema = userSchema
+      .map(s => StructType(s.fields.filterNot(f => partNames.contains(f.name))))
+      .orElse(fmt.inferSchema(spark, options, index.allFiles())).getOrElse(
+        throw new IllegalStateException(
+          s"could not infer a $format schema for ${files.headOption.getOrElse("")}"))
+    val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
+      bucketSpec = None, fmt, options)(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LogicalRelation(rel, isStreaming = false))
+  }
 }
