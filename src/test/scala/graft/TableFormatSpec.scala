@@ -637,6 +637,33 @@ class TableFormatSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stats.ndv")
   }
 
+  test("pre-__bytes manifests fall back to real listing: reads stay exact") {
+    import spark.implicits._
+    import graft.sources.{ManifestTable, MetaIO}
+    val root = Files.createTempDirectory("versioned_legacy").toString + "/t"
+    val v = ManifestTable.commit(
+      (0L until 50L).map(i => (i, s"x$i")).toDF("k", "v"), root, retain = 10)
+    // strip the __bytes entries from the manifest in place — the shape
+    // of any table committed before sizes rode the manifest
+    val mPath = s"$root/manifests/v=$v.txt"
+    val stripped = MetaIO.readString(mPath).linesIterator.map { l =>
+      if (l.startsWith("#")) l
+      else l.split("\t").map(tok =>
+        if (tok.contains("__bytes")) // drop the pseudo-column from stats
+          tok.split(";").filterNot(_.startsWith("__bytes")).mkString(";")
+        else tok).mkString("\t")
+    }.mkString("\n")
+    MetaIO.writeAtomic(mPath, stripped)
+    val ents = ManifestTable.liveEntries(root)
+    assert(ents.forall(e => graft.sources.FileStats.byteSize(
+      graft.sources.FileStats.decode(e.stats.getOrElse(""))).isEmpty),
+      "fixture must look pre-__bytes")
+    // the seeded index misses on every path and lists for real — reads
+    // stay exact, sizes come from the file system
+    assert(ManifestTable.read(spark, root).count() === 50L)
+    assert(ManifestTable.read(spark, root).where($"k" < 10).count() === 10L)
+  }
+
   test("publishBranch never lowers the version-allocation floor") {
     import spark.implicits._
     import graft.sources.{ManifestTable, MetaIO}
