@@ -97,9 +97,10 @@ object Scd2 extends org.apache.spark.internal.Logging {
     * nothing). Returns the EXACT count plus up to `sample` offending key
     * rows. Cost shape: the unsatisfied set computes batch-side only (and
     * when it is empty the target is never touched); otherwise the target
-    * probe is ONE streamed scan of its current rows against the batch's
-    * few keys BROADCAST as the semi-join build side — the dimension is
-    * never shuffled or hash-built per batch. */
+    * probe is a semi-join against the batch's keys — materialized first,
+    * so AQE broadcasts the routine tiny set but stays free to shuffle
+    * the diagnostic flood (a reset checkpoint replaying millions of
+    * closes must not force a driver-OOM broadcast). */
   private[graft] def missingCloses(spark: SparkSession, targetTable: String,
                                    folded: DataFrame, keyCols: Seq[String],
                                    sample: Int = 10): (Long, Array[Row]) = {
@@ -112,10 +113,15 @@ object Scd2 extends org.apache.spark.internal.Logging {
       .select(keyCols.map(col) :+ col(CloseV).as("close_version"): _*)
       .localCheckpoint(true) // batch-bounded; reused by probe + count
     if (unsatisfied.isEmpty) return (0L, Array.empty)
+    // NO broadcast hints: a routine batch's unsatisfied set is tiny and
+    // AQE broadcasts it on its own, but the diagnostic case — a reset
+    // checkpoint replaying millions of closes — is exactly when a forced
+    // broadcast would OOM the driver; the planner must stay free to pick
+    // a shuffled join there
     val matched = spark.table(targetTable).where(col("is_current"))
-      .join(broadcast(unsatisfied.select(keys: _*).distinct()), keyCols, "left_semi")
+      .join(unsatisfied.select(keys: _*).distinct(), keyCols, "left_semi")
       .select(keys: _*).distinct()
-    val orphans = unsatisfied.join(broadcast(matched), keyCols, "left_anti")
+    val orphans = unsatisfied.join(matched, keyCols, "left_anti")
       .localCheckpoint(true)
     (orphans.count(), orphans.limit(sample).collect())
   }

@@ -208,9 +208,6 @@ object MergeInto {
         result.localCheckpoint(true).write.mode("overwrite").saveAsTable(tgt.name)
     }
 
-  /** Execute an already-parsed MERGE: resolve the target, compute the
-    * merged relation, write it back. Day-partitioned manifest targets take
-    * the partition-scoped path when the statement allows it. */
   /** Row-level DML is a read-modify-write: under the audit read conf
     * (`spark.graft.read.branch`) the catalog READ of the target resolves
     * the branch head while the DML's own base/commit resolution runs on
@@ -230,6 +227,9 @@ object MergeInto {
         "spark.graft.write.branch alone.")
   }
 
+  /** Execute an already-parsed MERGE: resolve the target, compute the
+    * merged relation, write it back. Day-partitioned manifest targets take
+    * the partition-scoped path when the statement allows it. */
   private[graft] def execute(spark: SparkSession, m: MergeIntoTable): Unit = {
     requireDmlReadScope(spark)
     val tgt0 = resolveTarget(spark, m.targetTable)

@@ -1148,19 +1148,29 @@ object ManifestTable {
         // publish the NDV sketch beside the landed manifest: fresh-data
         // sketch ∪ the base's (append/update), or alone (overwrite — a
         // full rewrite RESETS the estimate, the only subtraction HLL
-        // gets). Best-effort and post-flip: a sketch failure or a crash
-        // here costs planning statistics, never the commit — readers
-        // walk to the parent's sketch ([[NdvStats.forVersion]]).
-        scala.util.Try(planned.ndv.filter(_ => NdvStats.enabled).foreach { m =>
+        // gets). A full replacement WITHOUT a sketch (opted-out writer,
+        // failed harvest) publishes an EMPTY sidecar instead: it cuts
+        // the parent walk, or readers would present the REPLACED table's
+        // stale NDV as this snapshot's. Best-effort and post-flip: a
+        // sketch failure or a crash here costs planning statistics,
+        // never the commit — readers walk to the parent's sketch
+        // ([[NdvStats.forVersion]]).
+        scala.util.Try {
           val carriedBase = planned.carried.nonEmpty ||
             planned.entries.exists(_.seq.isDefined)
-          val merged =
-            if (carriedBase)
-              baseV.flatMap(p => NdvStats.forVersion(root, p))
-                .map(NdvStats.merge(_, m)).getOrElse(m)
-            else m
-          NdvStats.write(root, next, merged)
-        })
+          planned.ndv.filter(_ => NdvStats.enabled) match {
+            case Some(m) =>
+              val merged =
+                if (carriedBase)
+                  baseV.flatMap(p => NdvStats.forVersion(root, p))
+                    .map(NdvStats.merge(_, m)).getOrElse(m)
+                else m
+              NdvStats.write(root, next, merged)
+            case None if !carriedBase =>
+              NdvStats.write(root, next, Map.empty)
+            case None => ()
+          }
+        }
         if (branch.isEmpty) gc(root, next, retain)
         return next
         }
@@ -2059,7 +2069,10 @@ object ManifestTable {
         .distinct.filter(_ > 0).foreach { head =>
           if (NdvStats.read(root, head).isEmpty)
             NdvStats.forVersion(root, head)
-              .foreach(m => NdvStats.write(root, head, m))
+              // create-if-absent, never overwrite: a racing committer's
+              // post-flip sketch write (the MERGED sketch — a superset)
+              // must win over this parent copy, whatever the order
+              .foreach(m => NdvStats.writeIfAbsent(root, head, m))
         }
     }
     dead.foreach { v =>

@@ -159,13 +159,23 @@ object NdvStats {
 
   private def path(root: String, version: Long) = s"$root/$Dir/$version"
 
-  def write(root: String, version: Long, m: Map[String, Array[Byte]]): Unit = {
-    val body = m.toSeq.sortBy(_._1).map { case (name, bytes) =>
+  private def encodeBody(m: Map[String, Array[Byte]]): String =
+    m.toSeq.sortBy(_._1).map { case (name, bytes) =>
       val n = java.net.URLEncoder.encode(name, StandardCharsets.UTF_8)
       s"$n\t${Base64.getEncoder.encodeToString(bytes)}"
     }.mkString("\n")
-    MetaIO.writeAtomic(path(root, version), body)
-  }
+
+  /** An EMPTY map is a meaningful sentinel: "this snapshot's NDV is
+    * unknown AND the parent's does not apply" (a full replacement whose
+    * writer carried no sketch) — it stops the [[forVersion]] walk. */
+  def write(root: String, version: Long, m: Map[String, Array[Byte]]): Unit =
+    MetaIO.writeAtomic(path(root, version), encodeBody(m))
+
+  /** Create-only variant (gc's lineage pin): never overwrites — a racing
+    * commit's own (richer, merged) sketch must win whatever the order. */
+  def writeIfAbsent(root: String, version: Long,
+                    m: Map[String, Array[Byte]]): Unit =
+    Try(MetaIO.createNew(path(root, version), encodeBody(m)))
 
   def read(root: String, version: Long): Option[Map[String, Array[Byte]]] =
     if (!MetaIO.exists(path(root, version))) None

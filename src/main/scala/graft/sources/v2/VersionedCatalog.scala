@@ -897,6 +897,21 @@ case class VersionedTable(tableName: String, root: String, userSchema: StructTyp
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"$tableName@v=${pinnedVersion.get} is a time-travel read; writes go to the live table")
+    // the audit read conf scopes this session's PLAIN reads to a staging
+    // branch — any write fed by such a read (INSERT…SELECT, INSERT
+    // OVERWRITE, CTAS) would publish branch data onto the write lineage,
+    // the same silent cross-lineage rewrite the DML guard refuses. Audit
+    // sessions are read-only; writes require the conf unset.
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.read.branch")).filter(_.nonEmpty)
+      .foreach { rb =>
+        throw new IllegalStateException(
+          s"writes to $tableName are refused while spark.graft.read.branch" +
+            s"='$rb' is set: a write fed by branch-scoped reads would publish " +
+            "staged data onto the write lineage. Unset the read conf (audit " +
+            "sessions are read-only); to stage writes on a branch use " +
+            "spark.graft.write.branch.")
+      }
     new VersionedWriteBuilder(root, userSchema, dayOf, meta, info.queryId())
   }
 }

@@ -628,12 +628,23 @@ class TableFormatSpec extends AnyFunSuite {
     val v3 = ManifestTable.commit(
       (0L until 5L).map(i => (i, "z")).toDF("k", "v"), root, retain = 10)
     assert(NdvStats.estimates(root, v3).get("k").exists(_ <= 7))
-    // opt-out: a session with the conf off writes no sketch
+    // opt-out: a session with the conf off writes no sketch for appends
+    // (readers walk to the parent) — but an opted-out FULL REPLACEMENT
+    // publishes the EMPTY sentinel: the walk must stop there, or readers
+    // would present the replaced table's stale NDV as this snapshot's
     spark.conf.set("spark.graft.stats.ndv", "false")
     try {
       val v4 = ManifestTable.append(
         Seq((999L, "q")).toDF("k", "v"), root, retain = 10)
       assert(NdvStats.read(root, v4).isEmpty)
+      assert(NdvStats.estimates(root, v4).get("k").exists(_ <= 7),
+        "append still inherits the parent's (reset) sketch")
+      val v5 = ManifestTable.commit(
+        Seq((1L, "only")).toDF("k", "v"), root, retain = 10)
+      assert(NdvStats.read(root, v5).exists(_.isEmpty),
+        "an opted-out overwrite publishes the walk-cutting sentinel")
+      assert(NdvStats.estimates(root, v5).isEmpty,
+        "no stale pre-overwrite NDV is presented")
     } finally spark.conf.unset("spark.graft.stats.ndv")
   }
 

@@ -1025,6 +1025,13 @@ class V2CatalogSpec extends AnyFunSuite {
       val dml = intercept[Exception] {
         graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.rdbr WHERE k = 1") }
       assert(dml.getMessage.contains("cross-lineage"), dml.getMessage)
+      // …and so do WRITES (INSERT…SELECT / OVERWRITE / CTAS): fed by
+      // branch-scoped reads, they would publish staged data onto main
+      val wr = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE gtest.ns.rdbr SELECT * FROM gtest.ns.rdbr") }
+      def msgs(e: Throwable): String = Option(e).map(x =>
+        Option(x.getMessage).getOrElse("") + "|" + msgs(x.getCause)).getOrElse("")
+      assert(msgs(wr).contains("read-only"), msgs(wr))
       assert(ks("gtest.ns.rdbr") === Set(1L, 2L))
       // a non-branch ref of that name is an error, not a fallback
       val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rdbr"
