@@ -27,7 +27,10 @@ Resolution protocol (mirrors graft.sources.ManifestTable's layout doc):
                                         positions of many target files. The
                                         entry's stats field carries the
                                         index 'dv=<urlencoded rel>:<offset>
-                                        :<length>:<seq>,...'; each section
+                                        :<length>:<seq>[:<count>],...' (the
+                                        optional count is the section's
+                                        exact tombstone cardinality, for
+                                        planning); each section
                                         is unsigned-LEB128 varints: a count
                                         then delta-encoded sorted positions
                                         (first absolute, rest gaps).
@@ -70,7 +73,10 @@ def _dv_positions(blob_path, stats):
     for tok in stats[3:].split(","):
         if not tok:
             continue
-        rel_enc, off, length, _seq = tok.rsplit(":", 3)
+        # <rel>:<offset>:<len>:<seq>[:<count>] — count is the optional
+        # exact tombstone cardinality newer writers record for planning
+        parts = tok.split(":")
+        rel_enc, off, length = parts[0], parts[1], parts[2]
         rel = unquote(rel_enc)
         i = int(off)
         end = i + int(length)

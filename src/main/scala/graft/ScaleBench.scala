@@ -251,6 +251,33 @@ object ScaleBench {
     require(catStats.rowCount.contains(BigInt(cpRows)) &&
       uidNdv.exists(n => n > 90000 && n < 110000),
       "CBO must see the exact row count and an NDV within HLL error at scale")
+
+    // orphan sweep at scale: the thousands-of-files pool is listed BY
+    // THE CLUSTER, the referenced set anti-joins as a Dataset (shard
+    // contents expand on executors), deletes run per-partition — the
+    // driver holds only the manifest index and the orphan list, never
+    // the pool listing (the pre-distributed shape was a driver-serial
+    // walk: minutes of stall and O(files) memory at a million files).
+    val planted = (0 until 64).map { i =>
+      val p = s"$evRoot/data/orphan_crashed_$i.parquet"
+      graft.sources.MetaIO.write(p, "junk")
+      graft.sources.MetaIO.setTimes(p, 1000L) // ancient: past any grace
+      p
+    }
+    val os0 = System.nanoTime()
+    val sweptPaths = graft.sources.ManifestTable.removeOrphanFiles(evRoot)
+    val osSecs = (System.nanoTime() - os0) / 1e9
+    val filesAfter = graft.sources.ManifestTable.liveEntries(evRoot).size
+    println(f"[scale] orphan_sweep files_total=$totalFiles planted=${planted.size} " +
+      f"swept=${sweptPaths.size} secs=$osSecs%.1f")
+    require(planted.forall(p => sweptPaths.exists(_.endsWith(
+      p.substring(p.lastIndexOf('/'))))) && !planted.exists(graft.sources.MetaIO.exists),
+      "the distributed sweep must delete every planted orphan")
+    require(sweptPaths.size == planted.size,
+      s"referenced files must survive the sweep (swept ${sweptPaths.size})")
+    require(spark.table("scale_cat.b.ev").count() == cpRows,
+      "the table reads intact after the sweep")
+    require(filesAfter > 4000, "the live listing is untouched")
     spark.sql("DROP TABLE scale_cat.b.ev")
 
     // per-file column-stats pruning at scale: a value-CLUSTERED layout

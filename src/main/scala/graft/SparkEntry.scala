@@ -138,6 +138,8 @@ object SparkEntry {
     "versioned_scan_prune" -> ((s, d) => graft.sources.v2.V2Queries.versionedScanPrune(s, d)),
     "stats_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.statsPruneScan(s, d)),
     "cbo_broadcast_join" -> ((s, d) => graft.sources.v2.V2Queries.cboBroadcastJoin(s, d)),
+    "cbo_histogram_join" -> ((s, d) => graft.sources.v2.V2Queries.cboHistogramJoin(s, d)),
+    "sorted_merge_join" -> ((s, d) => graft.sources.v2.V2Queries.sortedMergeJoin(s, d)),
     "months_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.monthsPruneScan(s, d)),
     "identity_partition_scan" -> ((s, d) => graft.sources.v2.V2Queries.identityPartitionScan(s, d)),
     "mor_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.morDeleteScan(s, d)),
@@ -297,6 +299,8 @@ object SparkEntry {
     "versioned_scan_prune" -> graft.sources.v2.V2Queries.oracle.versionedScanPrune,
     "stats_prune_scan" -> graft.sources.v2.V2Queries.oracle.statsPruneScan,
     "cbo_broadcast_join" -> graft.sources.v2.V2Queries.oracle.cboBroadcastJoin,
+    "cbo_histogram_join" -> graft.sources.v2.V2Queries.oracle.cboHistogramJoin,
+    "sorted_merge_join" -> graft.sources.v2.V2Queries.oracle.sortedMergeJoin,
     "months_prune_scan" -> graft.sources.v2.V2Queries.oracle.monthsPruneScan,
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,

@@ -90,34 +90,28 @@ object Scd2 extends org.apache.spark.internal.Logging {
     openSrc.unionByName(closeSrc)
   }
 
-  /** Closes with nothing to close — no in-batch open BEFORE the close
-    * version and no current row in the target. A well-formed feed
-    * produces none; a drifted checkpoint or a manually edited target
-    * does, and the MERGE alone would DROP them silently (they match
-    * nothing). Returns the EXACT count plus up to `sample` offending key
-    * rows. Cost shape: the unsatisfied set computes batch-side only (and
-    * when it is empty the target is never touched); otherwise the target
-    * probe is a semi-join against the batch's keys — materialized first,
-    * so AQE broadcasts the routine tiny set but stays free to shuffle
-    * the diagnostic flood (a reset checkpoint replaying millions of
-    * closes must not force a driver-OOM broadcast). */
+  private val Probe = "__scd2_probe"
+
+  /** Closes that MUST match a target current row — no in-batch open
+    * strictly before the close version (a routine update's close pairs
+    * with its same-version postimage open, and a routine delete has no
+    * open at all, so EVERY close-bearing batch has probe members; a
+    * member that also misses in the target is a missing close). Returns
+    * the EXACT missing count plus up to `sample` offending key rows.
+    * Cost shape: `probeSet` comes from the already-materialized fold
+    * (zero recompute), and the target side is ONE column-pruned read of
+    * its current keys, semi-joined down before the anti-join. NO
+    * broadcast hints: a routine batch's probe set is tiny and AQE
+    * broadcasts it on its own, but the diagnostic case — a reset
+    * checkpoint replaying millions of closes — is exactly when a forced
+    * broadcast would OOM the driver; the planner must stay free to pick
+    * a shuffled join there. */
   private[graft] def missingCloses(spark: SparkSession, targetTable: String,
-                                   folded: DataFrame, keyCols: Seq[String],
+                                   probeSet: DataFrame, keyCols: Seq[String],
                                    sample: Int = 10): (Long, Array[Row]) = {
     val keys = keyCols.map(col)
-    val closes = folded.where(col(IsClose))
-    val opensMin = folded.where(!col(IsClose))
-      .groupBy(keys: _*).agg(min(col("valid_from")).as("__first_open"))
-    val unsatisfied = closes.join(opensMin, keyCols, "left")
-      .where(col("__first_open").isNull || col("__first_open") >= col(CloseV))
+    val unsatisfied = probeSet
       .select(keyCols.map(col) :+ col(CloseV).as("close_version"): _*)
-      .localCheckpoint(true) // batch-bounded; reused by probe + count
-    if (unsatisfied.isEmpty) return (0L, Array.empty)
-    // NO broadcast hints: a routine batch's unsatisfied set is tiny and
-    // AQE broadcasts it on its own, but the diagnostic case — a reset
-    // checkpoint replaying millions of closes — is exactly when a forced
-    // broadcast would OOM the driver; the planner must stay free to pick
-    // a shuffled join there
     val matched = spark.table(targetTable).where(col("is_current"))
       .join(unsatisfied.select(keys: _*).distinct(), keyCols, "left_semi")
       .select(keys: _*).distinct()
@@ -132,15 +126,35 @@ object Scd2 extends org.apache.spark.internal.Logging {
     * out-of-contract feed — drifted checkpoint, manual target edit) is
     * COUNTED loudly instead of vanishing: the default mode logs the keys
     * and reports the count, `spark.graft.scd2.onMissingClose=fail`
-    * fails the batch naming them. Returns the count. */
+    * fails the batch naming them. Returns the count.
+    *
+    * Cost shape: the fold materializes ONCE (a localCheckpoint the MERGE
+    * and the probe both read — the pre-fusion version recomputed the
+    * fold for the probe chain and again inside the MERGE), with probe
+    * membership computed as a window column of the fold itself. A batch
+    * with no probe closes (pure inserts — the initial snapshot) skips
+    * the target probe entirely off one cheap checkpoint-local scan;
+    * close-bearing batches pay one column-pruned read of the target's
+    * current keys, then the MERGE's own read. */
   private[graft] def applyBatch(spark: SparkSession, targetTable: String,
                                 batch: DataFrame, keyCols: Seq[String],
                                 attrCols: Seq[String]): Long = {
     val view = "__graft_scd2_src"
-    foldBatch(batch, keyCols, attrCols).createOrReplaceTempView(view)
+    val keys = keyCols.map(col)
+    val folded = foldBatch(batch, keyCols, attrCols)
+      .withColumn("__first_open",
+        min(when(!col(IsClose), col("valid_from")))
+          .over(Window.partitionBy(keys: _*)))
+      .withColumn(Probe, col(IsClose) &&
+        (col("__first_open").isNull || col("__first_open") >= col(CloseV)))
+      .drop("__first_open")
+      .localCheckpoint(true) // ONE materialization: probe + MERGE source
+    folded.drop(Probe).createOrReplaceTempView(view)
     try {
-      val (nMissing, sampleRows) = missingCloses(spark, targetTable,
-        spark.table(view), keyCols)
+      val probeSet = folded.where(col(Probe))
+      val (nMissing, sampleRows) =
+        if (probeSet.isEmpty) (0L, Array.empty[Row]) // checkpoint-local scan
+        else missingCloses(spark, targetTable, probeSet, keyCols)
       if (nMissing > 0) {
         val shown = sampleRows.mkString(", ") +
           (if (nMissing > sampleRows.length) ", …" else "")

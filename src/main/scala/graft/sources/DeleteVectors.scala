@@ -31,8 +31,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object DeleteVectors {
 
-  /** One target file's (or one (target, version)'s) section of a blob. */
-  case class Slice(relEnc: String, offset: Long, len: Int, seq: Long)
+  /** One target file's (or one (target, version)'s) section of a blob.
+    * `count` is the section's POSITION COUNT — carried in the index so
+    * planning can subtract exact tombstones from the manifest row count
+    * without reading any blob (Iceberg v3 DVs record cardinality the
+    * same way); -1 on entries written before the field existed
+    * (planners keep the undeleted upper bound for those). */
+  case class Slice(relEnc: String, offset: Long, len: Int, seq: Long,
+                   count: Long = -1L)
 
   /** Slice delete-version placeholder in a DIRECT DML deletion vector:
     * the blob is written before its commit wins a version, so the writer
@@ -43,10 +49,12 @@ private[graft] object DeleteVectors {
   private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  /** The stats-field index of a dv entry. */
+  /** The stats-field index of a dv entry (the count token is omitted
+    * when unknown, so legacy four-token indexes round-trip unchanged). */
   def encodeIndex(slices: Seq[Slice]): String =
     "dv=" + slices.map(s =>
-      Seq(enc(s.relEnc), s.offset.toString, s.len.toString, s.seq.toString)
+      (Seq(enc(s.relEnc), s.offset.toString, s.len.toString, s.seq.toString) ++
+        (if (s.count >= 0) Seq(s.count.toString) else Nil))
         .mkString(":")).mkString(",")
 
   def decodeIndex(stats: String): Option[Seq[Slice]] =
@@ -54,7 +62,8 @@ private[graft] object DeleteVectors {
     else scala.util.Try {
       stats.stripPrefix("dv=").split(',').filter(_.nonEmpty).toSeq.map { tok =>
         val p = tok.split(':')
-        Slice(dec(p(0)), p(1).toLong, p(2).toInt, p(3).toLong)
+        Slice(dec(p(0)), p(1).toLong, p(2).toInt, p(3).toLong,
+          if (p.length > 4) p(4).toLong else -1L)
       }
     }.toOption
 

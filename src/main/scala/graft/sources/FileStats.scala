@@ -61,6 +61,28 @@ object FileStats {
   def rowCount(decoded: Map[String, ColStats]): Option[Long] =
     decoded.get(RowsKey).flatMap(_.min).map(_.toLong)
 
+  /** Reserved pseudo-column recording the SORT SPEC the writer applied
+    * within this file — comma-separated PHYSICAL columns, ascending
+    * nulls-first (encoded as an `s` entry with min = max = spec). The
+    * per-file stamp is Iceberg's data-file `sort_order_id` shape: the
+    * scan reports `SupportsReportOrdering` only when EVERY surviving
+    * file carries the declared spec, so files written before the order
+    * was declared (or added by an external writer) soundly silence the
+    * report instead of corrupting it. */
+  val SortKey = "__sort"
+
+  private[sources] def sortEntry(spec: String): (String, ColStats) =
+    SortKey -> ColStats('s', Some(spec), Some(spec), Some(0L))
+
+  /** The file's recorded sort spec, if stamped. */
+  def sortSpec(decoded: Map[String, ColStats]): Option[String] =
+    decoded.get(SortKey).flatMap(_.min)
+
+  /** Fold a sort-spec stamp into encoded stats (creating a stats string
+    * when footer stats were off/unavailable). */
+  def withSort(encoded: Option[String], spec: String): Option[String] =
+    Some(encode(encoded.map(decode).getOrElse(Map.empty) + sortEntry(spec)))
+
   /** Reserved pseudo-column carrying the file's BYTE LENGTH (min = max =
     * bytes) and, in the nulls slot, its pool move-in mtime — recorded at
     * commit so scan planning builds its file index from the manifest

@@ -525,6 +525,11 @@ object ManifestTable {
   private[graft] def ownerOf(root: String, v: Long): Option[String] =
     scala.util.Try(headProp(root, v, RefOwnerProp)).toOption.flatten
 
+  /** A manifest's operation label by header-prefix read (absent on
+    * pre-label manifests and on one that vanished mid-probe). */
+  private[graft] def opOf(root: String, v: Long): Option[String] =
+    scala.util.Try(headProp(root, v, OpProp)).toOption.flatten
+
   /** The stamped logical parent of a committed version. */
   private[graft] def parentOf(root: String, v: Long): Option[Long] =
     scala.util.Try(headProp(root, v, ParentProp)).toOption.flatten
@@ -777,6 +782,25 @@ object ManifestTable {
     SparkSession.getActiveSession.flatMap(
       _.conf.getOption("spark.graft.write.distribution")).getOrElse("hash")
 
+  /** Declared write sort order — Iceberg's `write.sort-order`: every
+    * pool write sorts rows WITHIN each output file by these columns
+    * (ascending, nulls first) and stamps the file's manifest entry
+    * ([[FileStats.SortKey]]), so scans can report the ordering to the
+    * planner and elide redundant Sort nodes over clean tables. The
+    * marker file holds comma-separated PHYSICAL column names; the V2
+    * catalog writes it from the `sort.order` table property. */
+  private def sortOrderPath(root: String) = s"$root/_sortorder"
+
+  def setSortOrder(root: String, physCols: Seq[String]): Unit =
+    if (physCols.isEmpty) MetaIO.delete(sortOrderPath(root))
+    else MetaIO.writeAtomic(sortOrderPath(root),
+      physCols.map(_.toLowerCase).mkString(","))
+
+  def sortOrder(root: String): Seq[String] =
+    if (!MetaIO.exists(sortOrderPath(root))) Nil
+    else scala.util.Try(MetaIO.readString(sortOrderPath(root)).trim)
+      .toOption.filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
+
   /** Per-file column stats collection toggle (footer reads at commit). */
   private def fileStatsEnabled: Boolean =
     SparkSession.getActiveSession.flatMap(
@@ -811,10 +835,25 @@ object ManifestTable {
     // small partition groups AND splits a skewed day across tasks by its
     // advisory size — no single hot partition bottlenecks the write.
     // `none` opts out (pre-clustered inputs keep their layout).
-    val clustered =
+    val clustered0 =
       if (partNames.nonEmpty && writeDistribution == "hash")
         wdf.hint("REBALANCE", partNames.map(col): _*)
       else wdf
+    // declared sort order: sort within partitions by (partition dirs,
+    // then the sort columns) — the partition-column prefix satisfies the
+    // file writer's required ordering, so it never re-sorts and destroy
+    // the spec; within each output file (one partition value) rows are
+    // therefore ordered by exactly the sort columns. Applied only when
+    // every sort column is present (a hidden-derivation write that
+    // dropped one skips the stamp rather than stamping a lie).
+    val sortCols = sortOrder(root)
+      .filter(c => wdf.columns.exists(_.equalsIgnoreCase(c)))
+    val sortApplied = sortCols.nonEmpty && sortCols.size == sortOrder(root).size
+    val clustered =
+      if (sortApplied)
+        clustered0.sortWithinPartitions((partNames ++ sortCols).map(col): _*)
+      else clustered0
+    val sortSpec = if (sortApplied) Some(sortCols.mkString(",")) else None
     // engine-written parquet timestamps are always INT64 MICROS: the
     // session default (INT96) carries no logical annotation and no usable
     // footer statistics, so timestamp columns would never get manifest
@@ -859,8 +898,10 @@ object ManifestTable {
         val moveIn = System.currentTimeMillis()
         MetaIO.setTimes(s"$root/data/$rel", moveIn)
         // byte length + mtime ride the entry so scan planning can build
-        // its file index from the manifest alone (zero FS listing)
-        FileEntry(rel, FileStats.withBytes(stats, st.getLen, moveIn))
+        // its file index from the manifest alone (zero FS listing);
+        // a sorted write stamps its spec per file ([[FileStats.SortKey]])
+        val withSorted = sortSpec.fold(stats)(sp => FileStats.withSort(stats, sp))
+        FileEntry(rel, FileStats.withBytes(withSorted, st.getLen, moveIn))
       }
     MetaIO.delete(stage, recursive = true)
     PoolWrite(entries, NdvStats.harvest(obs))
@@ -1160,15 +1201,39 @@ object ManifestTable {
             planned.entries.exists(_.seq.isDefined)
           planned.ndv.filter(_ => NdvStats.enabled) match {
             case Some(m) =>
-              val merged =
-                if (carriedBase)
-                  baseV.flatMap(p => NdvStats.forVersion(root, p))
-                    .map(NdvStats.merge(_, m)).getOrElse(m)
-                else m
-              NdvStats.write(root, next, merged)
+              // a STALE parent resolution (a row-adding ancestor carried
+              // no sketch) keeps missing that gap's values after the
+              // union — the merged sidecar inherits the marker so the
+              // under-count stays visible until compute_stats re-bases.
+              // resolveFresh waits out the sibling-commit sidecar lag.
+              val parent = if (carriedBase)
+                baseV.flatMap(p => NdvStats.resolveFresh(root, p)) else None
+              val merged = parent.map(r => NdvStats.merge(r.sketches, m))
+                .getOrElse(m)
+              // test hook: an injected merge→write delay (the GC-stall
+              // window the racer-side resolveFresh retry waits out)
+              confLong("spark.graft.stats.testSidecarPauseMs", 0L) match {
+                case 0L => ()
+                case ms => Thread.sleep(ms)
+              }
+              NdvStats.write(root, next, merged,
+                stale = parent.exists(_.stale))
             case None if !carriedBase =>
               NdvStats.write(root, next, Map.empty)
-            case None => ()
+            case None =>
+              // inherit-only commit (delete/metadata/failed harvest):
+              // readers walk to the parent's sidecar. REACHABILITY
+              // guarantee: a long run of such commits pushes the walk
+              // toward its 64-hop cap, after which NDV silently
+              // disappears — republish the inherited sketch here once
+              // the distance passes half the cap (one tiny sidecar
+              // write per 32 commits, walk cost amortized the same
+              // way). Create-if-absent: a racing committer's own
+              // (richer, merged) sketch must win whatever the order.
+              NdvStats.resolve(root, next).foreach { r =>
+                if (r.hops >= 32)
+                  NdvStats.writeIfAbsent(root, next, r.sketches, r.stale)
+              }
           }
         }
         if (branch.isEmpty) gc(root, next, retain)
@@ -1611,7 +1676,7 @@ object ManifestTable {
     val nOut = math.max(1L, math.min(64L,
       math.max((touched.size + 63L) / 64L,
         (totalRows + rowsPerBlob - 1) / rowsPerBlob))).toInt
-    val written: Seq[(String, Seq[(String, Long, Int)])] = tombstones
+    val written: Seq[(String, Seq[(String, Long, Int, Long)])] = tombstones
       .select(col("__file").cast("string"), col("__pos").cast("long"))
       .repartitionByRange(nOut, col("__file"), col("__pos"))
       .sortWithinPartitions(col("__file"), col("__pos"))
@@ -1623,16 +1688,17 @@ object ManifestTable {
           val p = new org.apache.hadoop.fs.Path(path)
           val fs = p.getFileSystem(conf.value)
           val out = fs.create(p, true)
-          val slices = Vector.newBuilder[(String, Long, Int)]
+          val slices = Vector.newBuilder[(String, Long, Int, Long)]
           var offset = 0L
           try {
             var cur: String = null
             var last = Long.MinValue
             val buf = Vector.newBuilder[Long]
             def flush(): Unit = if (cur != null) {
-              val bytes = DeleteVectors.encodePositions(buf.result())
+              val ps = buf.result()
+              val bytes = DeleteVectors.encodePositions(ps)
               out.write(bytes)
-              slices += ((cur, offset, bytes.length))
+              slices += ((cur, offset, bytes.length, ps.length.toLong))
               offset += bytes.length
               buf.clear()
             }
@@ -1649,8 +1715,8 @@ object ManifestTable {
       val rel = s"$DeleteDir/dv_${UUID.randomUUID().toString.take(16)}.bin"
       MetaIO.rename(stagePath, s"$root/data/$rel")
       MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
-      FileEntry(rel, Some(DeleteVectors.encodeIndex(sl.map { case (f, off, len) =>
-        DeleteVectors.Slice(f, off, len, DeleteVectors.SeqSentinel) })))
+      FileEntry(rel, Some(DeleteVectors.encodeIndex(sl.map { case (f, off, len, n) =>
+        DeleteVectors.Slice(f, off, len, DeleteVectors.SeqSentinel, n) })))
     }
     MetaIO.delete(stageDir, recursive = true) // orphaned retry attempts
     fresh
@@ -1682,9 +1748,11 @@ object ManifestTable {
       var cur: (String, Long) = null
       val buf = Vector.newBuilder[Long]
       def flush(): Unit = if (cur != null) {
-        val bytes = DeleteVectors.encodePositions(buf.result())
+        val ps = buf.result()
+        val bytes = DeleteVectors.encodePositions(ps)
         out.write(bytes)
-        slices += DeleteVectors.Slice(cur._1, offset, bytes.length, cur._2)
+        slices += DeleteVectors.Slice(cur._1, offset, bytes.length, cur._2,
+          ps.length.toLong)
         offset += bytes.length
         maxSeq = math.max(maxSeq, cur._2)
         buf.clear()
@@ -2056,8 +2124,10 @@ object ManifestTable {
       }
     }
     // before expiring ancestors, pin the NDV lineage: a surviving head
-    // (live pointer, branch heads) that resolves its sketch through an
-    // ANCESTOR's sidecar gets that sketch republished at the head itself
+    // (live pointer, branch heads, tag-pinned snapshots — a tag's
+    // time-travel reads walk the same parent chain) that resolves its
+    // sketch through an ANCESTOR's sidecar gets that sketch republished
+    // at the head itself
     // — otherwise expiry can delete the sidecar the parent-stamp walk
     // depends on, and (worse) the next append's merge, finding no parent
     // sketch, would publish its fresh-rows-only sketch as the TABLE's
@@ -2065,14 +2135,16 @@ object ManifestTable {
     // sidecar write per head, converging immediately (the next gc finds
     // the head's own file).
     if (dead.nonEmpty) scala.util.Try {
-      (live +: refMap.values.filter(_.kind == "branch").map(_.version).toSeq)
+      (live +: refMap.values.map(_.version).toSeq)
         .distinct.filter(_ > 0).foreach { head =>
           if (NdvStats.read(root, head).isEmpty)
-            NdvStats.forVersion(root, head)
+            NdvStats.resolve(root, head)
               // create-if-absent, never overwrite: a racing committer's
               // post-flip sketch write (the MERGED sketch — a superset)
-              // must win over this parent copy, whatever the order
-              .foreach(m => NdvStats.writeIfAbsent(root, head, m))
+              // must win over this parent copy, whatever the order; a
+              // stale resolution republishes WITH its marker, so the
+              // under-count stays visible after the gap's manifests expire
+              .foreach(r => NdvStats.writeIfAbsent(root, head, r.sketches, r.stale))
         }
     }
     dead.foreach { v =>
@@ -2104,14 +2176,28 @@ object ManifestTable {
     currentVersion(root).foreach { live =>
       gc(root, live, retain, olderThanMillis)
       removeOrphanFiles(root)
-      // NDV sidecars of expired manifests (exact-version files, no grace
-      // needed: a sketch is published only after its commit's flip)
-      val retainedVs = versions(root).map(_.toString).toSet
-      if (MetaIO.exists(s"$root/${NdvStats.Dir}"))
+      // NDV sidecars of expired manifests (exact-version files). The
+      // sweep re-reads the pointer and re-lists versions IMMEDIATELY
+      // before deleting, and never touches a sidecar ABOVE the pointer
+      // it just read: a commit that claims/flips mid-procedure publishes
+      // its sidecar post-flip at a version above the old pointer, and
+      // deleting that just-published sketch would drop the batch's
+      // distinct values from every future parent∪fresh merge — a
+      // permanent NDV under-count, violating the upper-bound invariant.
+      if (MetaIO.exists(s"$root/${NdvStats.Dir}")) {
+        val liveNow = currentVersion(root).getOrElse(live)
+        val retainedVs = versions(root).toSet
         MetaIO.listStatus(s"$root/${NdvStats.Dir}").foreach { st =>
-          if (!retainedVs.contains(st.getPath.getName))
-            MetaIO.delete(st.getPath.toString)
+          val sweep = scala.util.Try(st.getPath.getName.toLong).toOption match {
+            case Some(v) => v <= liveNow && !retainedVs.contains(v)
+            // non-version names (a crashed writeAtomic's stray temp):
+            // age-gated so an in-flight publish is never raced
+            case None => st.getModificationTime <
+              System.currentTimeMillis() - claimGraceMs
+          }
+          if (sweep) MetaIO.delete(st.getPath.toString)
         }
+      }
     }
   }
 
@@ -2122,28 +2208,154 @@ object ManifestTable {
     * an in-flight commit just moved into the pool always survives).
     * Every retained manifest counts, including staged branch history and
     * ref-pinned snapshots, so a pinned snapshot's files never sweep.
-    * `dryRun` lists the candidates without deleting. Cost: one full
-    * listing of the pool — an operational procedure, never on the
-    * commit path. Returns the swept (or, dry-run, would-sweep) paths. */
+    * `dryRun` lists the candidates without deleting. Returns the swept
+    * (or, dry-run, would-sweep) paths.
+    *
+    * Execution is DISTRIBUTED when a session is live (Iceberg's
+    * `DeleteOrphanFilesSparkAction` shape): the pool and shard trees are
+    * listed by cluster tasks (top-level directories fan out), the
+    * referenced-file set — inline manifest entries plus shard contents
+    * expanded on executors — anti-joins the candidates as a Dataset, and
+    * deletes run per-partition. The driver holds only the manifest INDEX
+    * (refs + inline, the cost class of any scan plan) and the returned
+    * orphan list — at a million pool files the serial walk was minutes
+    * of driver stall and O(files) driver memory; this is neither. Bare
+    * tooling without a session falls back to the serial walk. */
   def removeOrphanFiles(root: String, olderThanMillis: Option[Long] = None,
                         dryRun: Boolean = false): Seq[String] = {
     val cutoff = olderThanMillis.getOrElse(
       System.currentTimeMillis() - orphanFileGraceMs)
     val docs = versions(root).map(v => readDoc(root, v))
-    val referencedFiles = docs.flatMap(d => d.inline.map(_.rel) ++
-      d.refs.flatMap(r => shardEntries(root, r.rel).map(_.rel))).toSet
-    val orphanData = MetaIO.listFilesRec(s"$root/data").filter { st =>
-      !referencedFiles.contains(MetaIO.relativize(s"$root/data", st.getPath)) &&
-        st.getModificationTime < cutoff
-    }.map(_.getPath.toString)
-    val referencedShards = docs.flatMap(_.refs.map(_.rel)).toSet
-    val orphanShards = MetaIO.listFilesRec(s"$root/manifests/shards").filter { st =>
-      !referencedShards.contains(s"shards/${st.getPath.getName}") &&
-        st.getModificationTime < cutoff
-    }.map(_.getPath.toString)
-    val all = orphanData ++ orphanShards
-    if (!dryRun) all.foreach(p => MetaIO.delete(p))
-    all
+    // distribute when the manifest index says the pool is big enough for
+    // cluster listing to beat job-launch overhead; tiny tables (and bare
+    // tooling without a session) keep the serial walk
+    val indexedEntries = docs.map(d =>
+      d.refs.map(_.n.toLong).sum + d.inline.size).maxOption.getOrElse(0L)
+    SparkSession.getActiveSession match {
+      case Some(spark) if indexedEntries >= confLong(
+          "spark.graft.orphan.distributeMinFiles", 512L) =>
+        removeOrphanFilesDistributed(spark, root, cutoff, dryRun, docs)
+      case _ =>
+        val referencedFiles = docs.flatMap(d => d.inline.map(_.rel) ++
+          d.refs.flatMap(r => shardEntries(root, r.rel).map(_.rel))).toSet
+        val orphanData = MetaIO.listFilesRec(s"$root/data").filter { st =>
+          !referencedFiles.contains(MetaIO.relativize(s"$root/data", st.getPath)) &&
+            st.getModificationTime < cutoff
+        }.map(_.getPath.toString)
+        val referencedShards = docs.flatMap(_.refs.map(_.rel)).toSet
+        val orphanShards = MetaIO.listFilesRec(s"$root/manifests/shards").filter { st =>
+          !referencedShards.contains(s"shards/${st.getPath.getName}") &&
+            st.getModificationTime < cutoff
+        }.map(_.getPath.toString)
+        val all = orphanData ++ orphanShards
+        if (!dryRun) all.foreach(p => MetaIO.delete(p))
+        all
+    }
+  }
+
+  /** The raw filesystem for executor-side maintenance IO — the same
+    * no-checksum-sidecar discipline [[MetaIO]] applies on the driver, so
+    * the sweep SEES `.crc` strays a checksummed listing would hide. */
+  private def taskFs(p: org.apache.hadoop.fs.Path,
+                     c: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(c) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
+
+  private def removeOrphanFilesDistributed(spark: SparkSession, root: String,
+      cutoff: Long, dryRun: Boolean, docs: Seq[Doc]): Seq[String] = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // referenced rels, tagged by tree: inline entries ride from the
+    // driver (already loaded); shard CONTENTS expand on executors — the
+    // driver never materializes the full file listing
+    val shardRels = docs.flatMap(_.refs.map(_.rel)).distinct
+    val inlineRefs = docs.flatMap(_.inline.map(e => ("data", e.rel))).distinct ++
+      shardRels.map(r => ("manifests", r))
+    val shardContentRefs: org.apache.spark.sql.Dataset[(String, String)] =
+      if (shardRels.isEmpty) spark.emptyDataset[(String, String)]
+      else spark.createDataset(shardRels)
+        .repartition(math.max(1, math.min(64, shardRels.size / 16 + 1)))
+        .mapPartitions { it =>
+          val c = conf.value
+          it.flatMap { rel =>
+            val p = new org.apache.hadoop.fs.Path(s"$root/manifests/$rel")
+            val fs = taskFs(p, c)
+            val in = fs.open(p)
+            val body = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+            // first tab field of a shard line is the entry's rel
+            body.linesIterator.filter(_.nonEmpty)
+              .map(l => ("data", l.split('\t')(0))).toVector
+          }
+        }
+    val referenced = spark.createDataset(inlineRefs)
+      .union(shardContentRefs).distinct()
+      .toDF("tree", "rel")
+    // candidate listing, two cluster stages: seeds list their immediate
+    // children (files become candidates, subdirectories fan out), then
+    // the subdirectory batch lists recursively — partition-dir layouts
+    // parallelize across the cluster, and NO listing touches the driver
+    val seeds = Seq(("data", s"$root/data", ""),
+      ("manifests", s"$root/manifests/shards", "shards/"))
+    def listTask(it: Iterator[(String, String, String)])
+        : Iterator[(String, String, String, Long, Boolean)] = {
+      val c = conf.value
+      it.flatMap { case (tree, dir, prefix) =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = taskFs(p, c)
+        if (!fs.exists(p)) Iterator.empty
+        else fs.listStatus(p).iterator.map { st =>
+          (tree, st.getPath.toString, s"$prefix${st.getPath.getName}",
+            st.getModificationTime, st.isDirectory)
+        }
+      }
+    }
+    val level1 = spark.createDataset(seeds).mapPartitions(listTask)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subdirs = level1.filter(_._5).map(t => (t._1, t._2, t._3 + "/"))
+    val deeper = subdirs
+      .repartition(32)
+      .mapPartitions { it =>
+        val c = conf.value
+        it.flatMap { case (tree, dir, prefix) =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = taskFs(p, c)
+          if (!fs.exists(p)) Iterator.empty
+          else {
+            val li = fs.listFiles(p, true)
+            val qual = fs.makeQualified(p).toString
+            new Iterator[(String, String, String, Long, Boolean)] {
+              def hasNext = li.hasNext
+              def next() = {
+                val st = li.next()
+                val full = st.getPath.toString
+                (tree, full, prefix + full.stripPrefix(qual + "/"),
+                  st.getModificationTime, false)
+              }
+            }
+          }
+        }
+      }
+    val candidates = level1.filter(t => !t._5 && t._4 < cutoff)
+      .union(deeper.filter(_._4 < cutoff))
+      .map(t => (t._1, t._2, t._3)).toDF("tree", "path", "rel")
+    val orphans = candidates.join(referenced, Seq("tree", "rel"), "left_anti")
+      .select(col("path")).as[String].collect().toSeq
+    level1.unpersist()
+    if (!dryRun && orphans.nonEmpty)
+      spark.createDataset(orphans)
+        .repartition(math.max(1, math.min(32, orphans.size / 64 + 1)))
+        .foreachPartition { (it: Iterator[String]) =>
+          val c = conf.value
+          it.foreach { s =>
+            val p = new org.apache.hadoop.fs.Path(s)
+            taskFs(p, c).delete(p, false); ()
+          }
+        }
+    orphans
   }
 
   /** `TIMESTAMP AS OF` resolution: the latest manifest committed at or
@@ -2157,14 +2369,23 @@ object ManifestTable {
     cands.max
   }
 
-  /** Snapshot history metadata table: one row per retained manifest. */
+  /** A file entry's byte size off its own `__bytes` stat when recorded
+    * (the plan-from-manifest discipline — no FS call), else one real
+    * stat for pre-`__bytes` entries. */
+  private[graft] def entryBytes(root: String, e: FileEntry): Long =
+    FileStats.byteSize(FileStats.decode(e.stats.getOrElse("")))
+      .map(_._1).getOrElse(MetaIO.size(s"$root/data/${e.rel}"))
+
+  /** Snapshot history metadata table: one row per retained manifest.
+    * Sizes fold from the entries' own `__bytes` (zero FS stats for
+    * post-`__bytes` manifests — OPTIMIZE sizing reads this per call, and
+    * O(versions×files) driver stats was the pre-`__bytes` cost). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val live = currentVersion(root)
     versions(root).map { v =>
-      val rels = manifest(root, v)
-      val sizes = rels.map(r => MetaIO.size(s"$root/data/$r"))
-      (v, rels.size.toLong, sizes.sum, live.contains(v))
+      val es = entries(root, v)
+      (v, es.size.toLong, es.map(e => entryBytes(root, e)).sum, live.contains(v))
     }.toDF("version", "n_files", "bytes", "is_current")
   }
 
@@ -2342,8 +2563,7 @@ object ManifestTable {
   def compact(spark: SparkSession, root: String, partitionDayOf: Option[String],
               targetFileBytes: Long = 128L << 20, retain: Int = 2,
               format: Option[String] = None): Long = {
-    val rels = liveManifest(root)
-    val totalBytes = rels.map(r => MetaIO.size(s"$root/data/$r")).sum
+    val totalBytes = liveEntries(root).map(e => entryBytes(root, e)).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = partitionDayOf match {
       // repartition by day so each partition dir gets locally-coalesced files

@@ -33,20 +33,51 @@ import org.apache.spark.sql.types._
   * a full rewrite — OPTIMIZE, overwrite — resets the sketch from its
   * own output), which is the safe direction for planning: an
   * overestimated NDV never makes CBO pick a too-small build side.
-  * `spark.graft.stats.ndv=false` opts a session's writes out. */
+  * `spark.graft.stats.ndv=false` opts a session's writes out.
+  *
+  * The upper bound can go STALE in the other direction: a data commit
+  * whose Observation harvest failed (or whose writer opted out) writes
+  * no sidecar, and because every later merge is parent∪fresh, that
+  * batch's distinct values stay excluded from the table NDV until
+  * `compute_stats` (the explicit full-scan rebuild — the remediation)
+  * or a full rewrite re-bases the sketch. [[resolve]] detects the gap
+  * (a row-adding commit between the resolved sidecar and the read
+  * version) and `tbl.stats` surfaces it as `stale`, so the under-count
+  * is visible, never silent. */
 object NdvStats {
 
   val Dir = "_stats"
+
+  /** Sidecar-key suffix of a column's KLL QUANTILE sketch (the
+    * histogram tier riding the same Observation, sidecar, merge, and
+    * parent-walk as the HLL NDV sketch). The \\u0001 separator is
+    * illegal in column names, so a real column can never collide. */
+  private[graft] val KllSuffix = "\u0001kll"
 
   private def conf = org.apache.spark.sql.internal.SQLConf.get
 
   def enabled: Boolean =
     Try(conf.getConfString("spark.graft.stats.ndv", "true").toBoolean).getOrElse(true)
 
+  /** The histogram tier: commit-time KLL quantile sketches per numeric/
+    * date/timestamp column, surfaced as equi-height histograms through
+    * `ColumnStatistics.histogram()` for skewed-predicate selectivity
+    * (what NDV+bounds-only estimation gets wrong — a range predicate
+    * over a skewed column interpolates uniformly). Off switches both
+    * the write-side sketch and the read-side report. */
+  def histogramEnabled: Boolean =
+    Try(conf.getConfString("spark.graft.stats.histogram", "true").toBoolean)
+      .getOrElse(true)
+
   /** Sketch-column cap: very wide tables sketch only the first N
     * atomic columns (observation cost is per row × per column). */
   private def maxColumns: Int =
     Try(conf.getConfString("spark.graft.stats.ndv.maxColumns", "48").toInt).getOrElse(48)
+
+  /** Histogram-column cap (KLL updates cost more than HLL's). */
+  private def maxHistColumns: Int =
+    Try(conf.getConfString("spark.graft.stats.histogram.maxColumns", "24").toInt)
+      .getOrElse(24)
 
   /** Columns worth sketching: top-level atomic types — the only ones
     * CBO estimation consumes. Values are cast to string before the
@@ -73,8 +104,23 @@ object NdvStats {
     if (cols.isEmpty) return (df, None)
     val obs = Observation(
       s"graft_ndv_${java.util.UUID.randomUUID().toString.take(12)}")
-    val aggs = cols.map(c => sketchAgg(df, c))
+    // the histogram tier rides the SAME observation: one KLL agg per
+    // numeric/date/timestamp column, keyed by the reserved suffix
+    val histCols =
+      if (!histogramEnabled) Nil
+      else cols.filter(c => graft.functions.KllDoublesAgg.supports(
+        df.schema.fields.find(_.name == c).get.dataType)).take(maxHistColumns)
+    val aggs = cols.map(c => sketchAgg(df, c)) ++ histCols.map(c => kllAgg(df, c))
     (df.observe(obs, aggs.head, aggs.tail: _*), Some(obs))
+  }
+
+  /** The KLL quantile-sketch aggregate for one column, keyed by the
+    * sidecar suffix so [[harvest]]/[[merge]] route it to KLL union. */
+  private def kllAgg(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    val child = org.apache.spark.sql.GraftColumnBridge.expression(df.col(s"`$c`"))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.KllDoublesAgg(child).toAggregateExpression())
+      .as(c + KllSuffix)
   }
 
   /** The sketch aggregate for one column. `hll_sketch_agg` takes
@@ -108,13 +154,21 @@ object NdvStats {
     val df = ManifestTable.read(spark, root)
     val cols = sketchable(df.schema)
     if (cols.isEmpty) return Map.empty
-    val aggs = cols.map(c => sketchAgg(df, c))
+    // the histogram tier re-bases in the same pass (quantiles subtract
+    // the same way NDV does: the scan applies deletes)
+    val histCols =
+      if (!histogramEnabled) Nil
+      else cols.filter(c => graft.functions.KllDoublesAgg.supports(
+        df.schema.fields.find(_.name == c).get.dataType)).take(maxHistColumns)
+    val named = cols.map(c => c -> sketchAgg(df, c)) ++
+      histCols.map(c => (c + KllSuffix) -> kllAgg(df, c))
+    val aggs = named.map(_._2)
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val m = cols.zipWithIndex.collect {
+    val m = named.map(_._1).zipWithIndex.collect {
       case (c, i) if !row.isNullAt(i) => c -> row.getAs[Array[Byte]](i)
     }.toMap
     if (m.nonEmpty) write(root, v, m)
-    m.map { case (k, b) => k -> estimate(b) }
+    m.collect { case (k, b) if !k.endsWith(KllSuffix) => k -> estimate(b) }
   }
 
   /** Harvest sketch bytes after the write action completed. The metric
@@ -135,14 +189,17 @@ object NdvStats {
       }.toMap
     }.filter(_.nonEmpty)
 
-  /** HLL union of two sketch maps, column-wise; a column present on one
-    * side only carries through (schema evolution). */
+  /** Sketch union of two sidecar maps, column-wise (HLL union for NDV
+    * keys, KLL merge for suffix-keyed quantile sketches); a column
+    * present on one side only carries through (schema evolution). */
   def merge(a: Map[String, Array[Byte]],
             b: Map[String, Array[Byte]]): Map[String, Array[Byte]] = {
     import org.apache.datasketches.hll.{HllSketch, Union}
     (a.keySet ++ b.keySet).map { k =>
       val bytes = (a.get(k).toSeq ++ b.get(k).toSeq) match {
         case Seq(one) => one
+        case both if k.endsWith(KllSuffix) =>
+          both.reduce(graft.functions.KllDoublesAgg.mergeBytes)
         case both =>
           val u = new Union(12)
           both.foreach(x => u.update(HllSketch.heapify(x)))
@@ -165,42 +222,83 @@ object NdvStats {
       s"$n\t${Base64.getEncoder.encodeToString(bytes)}"
     }.mkString("\n")
 
+  /** First line of a sidecar whose sketch is known to UNDER-COUNT (a
+    * republished inherit that had already skipped a row-adding commit):
+    * the marker survives gc's lineage republish, so [[resolve]] keeps
+    * reporting stale even after the gap's manifests expire. */
+  private val StaleMarker = "#stale"
+
   /** An EMPTY map is a meaningful sentinel: "this snapshot's NDV is
     * unknown AND the parent's does not apply" (a full replacement whose
     * writer carried no sketch) — it stops the [[forVersion]] walk. */
-  def write(root: String, version: Long, m: Map[String, Array[Byte]]): Unit =
-    MetaIO.writeAtomic(path(root, version), encodeBody(m))
+  def write(root: String, version: Long, m: Map[String, Array[Byte]],
+            stale: Boolean = false): Unit =
+    MetaIO.writeAtomic(path(root, version),
+      (if (stale) StaleMarker + "\n" else "") + encodeBody(m))
 
   /** Create-only variant (gc's lineage pin): never overwrites — a racing
     * commit's own (richer, merged) sketch must win whatever the order. */
-  def writeIfAbsent(root: String, version: Long,
-                    m: Map[String, Array[Byte]]): Unit =
-    Try(MetaIO.createNew(path(root, version), encodeBody(m)))
+  def writeIfAbsent(root: String, version: Long, m: Map[String, Array[Byte]],
+                    stale: Boolean = false): Unit =
+    Try(MetaIO.createNew(path(root, version),
+      (if (stale) StaleMarker + "\n" else "") + encodeBody(m)))
 
   def read(root: String, version: Long): Option[Map[String, Array[Byte]]] =
+    readWithStale(root, version).map(_._1)
+
+  def readWithStale(root: String, version: Long)
+      : Option[(Map[String, Array[Byte]], Boolean)] =
     if (!MetaIO.exists(path(root, version))) None
     else Try {
-      MetaIO.readString(path(root, version)).split('\n').filter(_.nonEmpty).map { l =>
+      val lines = MetaIO.readString(path(root, version))
+        .split('\n').filter(_.nonEmpty)
+      val stale = lines.headOption.contains(StaleMarker)
+      val body = if (stale) lines.tail else lines
+      body.map { l =>
         val Array(n, b) = l.split('\t')
         java.net.URLDecoder.decode(n, StandardCharsets.UTF_8) ->
           Base64.getDecoder.decode(b)
-      }.toMap
+      }.toMap -> stale
     }.toOption
 
   def delete(root: String, version: Long): Unit =
     Try(if (MetaIO.exists(path(root, version))) MetaIO.delete(path(root, version)))
 
-  /** Nearest at-or-below-ancestor sketch of `version` by parent-stamp
-    * walk (delete/metadata commits write no sketch of their own). The
-    * walk is bounded; a break (expired/pre-stamp manifest) answers None
-    * — planning simply runs without NDV. */
-  def forVersion(root: String, version: Long): Option[Map[String, Array[Byte]]] = {
+  /** Commit labels that ADD rows: a sketch-less gap of one of these
+    * between a resolved sidecar and the read version means the gap's
+    * distinct values are missing from the estimate (see class doc).
+    * delete/rollback/rewrite gaps are NOT stale — the inherited sketch
+    * stays a correct upper bound without them (and a sketch-less full
+    * rewrite writes the empty sentinel, stopping the walk anyway). */
+  private val RowAddingOps =
+    Set("append", "update", "stream", "cherrypick", "replace", "overwrite")
+
+  /** A resolved sketch: the sidecar's own version, its sketches, the
+    * parent-walk distance, and whether the estimate is STALE (a
+    * row-adding commit in the gap carried no sketch, or the sidecar
+    * itself is marker-stamped). */
+  case class Resolved(version: Long, sketches: Map[String, Array[Byte]],
+                      hops: Int, stale: Boolean)
+
+  /** Nearest at-or-below-ancestor sidecar of `version` by parent-stamp
+    * walk (delete/metadata commits write no sketch of their own),
+    * gap-classified for staleness. The walk is bounded; a break
+    * (expired/pre-stamp manifest) answers None — planning simply runs
+    * without NDV. */
+  def resolve(root: String, version: Long): Option[Resolved] = {
     var v = version
     var hops = 0
+    var stale = false
     while (hops < 64) {
-      read(root, v) match {
-        case some @ Some(_) => return some
+      readWithStale(root, v) match {
+        case Some((m, marked)) => return Some(Resolved(v, m, hops, stale || marked))
         case None =>
+          // no sidecar at v: if v's commit added rows, anything inherited
+          // from below it under-counts (pre-label manifests: op unknown —
+          // conservatively stale)
+          if (RowAddingOps.contains(
+              ManifestTable.opOf(root, v).getOrElse("overwrite")))
+            stale = true
           ManifestTable.parentOf(root, v) match {
             case Some(p) if p > 0 && p < v => v = p; hops += 1
             case _ => return None
@@ -210,9 +308,43 @@ object NdvStats {
     None
   }
 
-  /** Case-insensitive NDV estimates of a snapshot's nearest sketch. */
+  /** Nearest-ancestor sketch map of `version` ([[resolve]]). */
+  def forVersion(root: String, version: Long): Option[Map[String, Array[Byte]]] =
+    resolve(root, version).map(_.sketches)
+
+  /** [[resolve]] for the COMMIT LOOP's parent merge, closing the
+    * sidecar-lag race: a sidecar publishes moments AFTER its commit's
+    * pointer flip, so a racer that rebased onto the fresh version can
+    * resolve PAST it to an ancestor — the merged head sketch would then
+    * silently drop the sibling's values (an under-count, violating the
+    * upper-bound invariant). When `version` itself has no sidecar yet
+    * but its op added rows, wait briefly for the sibling's write; if it
+    * still never lands (opted-out writer, crashed harvest), fall through
+    * to the plain resolve — whose gap detection marks the result STALE,
+    * so the residual under-count stays visible, never silent. */
+  def resolveFresh(root: String, version: Long): Option[Resolved] = {
+    var attempts = 0
+    while (attempts < 6 && readWithStale(root, version).isEmpty &&
+        RowAddingOps.contains(
+          ManifestTable.opOf(root, version).getOrElse("overwrite"))) {
+      Thread.sleep(100L)
+      attempts += 1
+    }
+    resolve(root, version)
+  }
+
+  /** Case-insensitive NDV estimates of a snapshot's nearest sketch
+    * (quantile-sketch keys are the histogram tier's, not NDV). */
   def estimates(root: String, version: Long): Map[String, Long] =
-    forVersion(root, version).getOrElse(Map.empty).map {
-      case (k, v) => k.toLowerCase -> estimate(v)
+    forVersion(root, version).getOrElse(Map.empty).collect {
+      case (k, v) if !k.endsWith(KllSuffix) => k.toLowerCase -> estimate(v)
+    }
+
+  /** Case-insensitive KLL quantile sketches of a snapshot's nearest
+    * sidecar — the histogram tier's read surface. */
+  def kllSketches(root: String, version: Long): Map[String, Array[Byte]] =
+    forVersion(root, version).getOrElse(Map.empty).collect {
+      case (k, v) if k.endsWith(KllSuffix) =>
+        k.stripSuffix(KllSuffix).toLowerCase -> v
     }
 }

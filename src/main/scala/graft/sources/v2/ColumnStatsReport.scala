@@ -4,6 +4,7 @@ import java.util.{Optional, OptionalLong}
 
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.Statistics
+import org.apache.spark.sql.connector.read.colstats
 import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.types._
 
@@ -33,12 +34,19 @@ import graft.sources.{FileStats, ManifestTable, NdvStats}
   *    table-level figure, reported as-is on a filtered scan (an upper
   *    bound, the safe direction for build-side choice).
   *
-  * Under live MOR deletes row count and NDV are upper bounds (tombstoned
-  * rows still count until compaction) — estimates, never results. */
+  * Under live MOR deletes the row count subtracts the EXACT positional
+  * tombstone total carried in the DV slice indexes ([[graft.sources
+  * .DeleteVectors.Slice.count]]) for targets surviving the pruned
+  * listing — capped per target at the file's own `__rows` so a
+  * duplicated external tombstone can never push the estimate below
+  * truth — while equality deletes and pre-count DV entries keep the
+  * undeleted upper bound. NDV stays an upper bound either way (HLL
+  * can't subtract) — estimates, never results. */
 private[v2] object ColumnStatsReport {
 
   private case class ColStat(ndv: Option[Long], minV: Option[Any],
-                             maxV: Option[Any], nulls: Option[Long])
+                             maxV: Option[Any], nulls: Option[Long],
+                             histo: Option[colstats.Histogram] = None)
       extends ColumnStatistics {
     override def distinctCount(): OptionalLong =
       ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
@@ -48,7 +56,49 @@ private[v2] object ColumnStatsReport {
       Optional.ofNullable(maxV.map(_.asInstanceOf[Object]).orNull)
     override def nullCount(): OptionalLong =
       nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    override def histogram(): Optional[colstats.Histogram] =
+      Optional.ofNullable(histo.orNull)
   }
+
+  private case class Bin(l: Double, h: Double, d: Long)
+      extends colstats.HistogramBin {
+    override def lo(): Double = l
+    override def hi(): Double = h
+    override def ndv(): Long = d
+  }
+
+  private case class Histo(ht: Double, bs: Array[colstats.HistogramBin])
+      extends colstats.Histogram {
+    override def height(): Double = ht
+    override def bins(): Array[colstats.HistogramBin] = bs
+  }
+
+  /** Equi-height histogram from a column's commit-time KLL sketch —
+    * the tier that fixes SKEWED-predicate selectivity (NDV+bounds-only
+    * estimation interpolates a range uniformly between min and max; a
+    * heavy-tailed column makes that estimate wrong by orders of
+    * magnitude, flipping join decisions the wrong way at 100 TB). Bin
+    * boundaries are the sketch's equi-spaced quantiles in catalyst's
+    * comparison domain (`EstimationUtils.toDouble`: numerics by value,
+    * dates in days, timestamps in micros — [[graft.functions
+    * .KllDoublesAgg]] feeds the same domain); `height` (rows per bin)
+    * comes from the sketch's own value count, and per-bin distinct
+    * counts spread the table NDV uniformly (KLL tracks ranks, not
+    * distincts — the boundary placement carries the skew signal). */
+  private def histogramOf(kll: Array[Byte], ndv: Option[Long],
+                          numBins: Int): Option[colstats.Histogram] =
+    scala.util.Try {
+      val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(kll))
+      if (sk.isEmpty) None
+      else {
+        val qs = sk.getQuantiles((0 to numBins).map(_.toDouble / numBins).toArray)
+        val perBinNdv = math.max(1L, ndv.getOrElse(numBins.toLong) / numBins)
+        val bins: Array[colstats.HistogramBin] =
+          (0 until numBins).map(i => Bin(qs(i), qs(i + 1), perBinNdv): colstats.HistogramBin).toArray
+        Some(Histo(sk.getN.toDouble / numBins, bins))
+      }
+    }.toOption.flatten
 
   private case class TableStats(size: OptionalLong, rows: OptionalLong,
       cols: java.util.Map[NamedReference, ColumnStatistics]) extends Statistics {
@@ -115,25 +165,62 @@ private[v2] object ColumnStatsReport {
     (fold(_.min, isMin = true), fold(_.max, isMin = false), nulls)
   }
 
+  /** Exact positional-tombstone total over the pruned listing: DV slice
+    * counts summed per surviving target, capped at the target's own
+    * `__rows` (cross-version duplicate tombstones from external CDC
+    * writers must never drive the live estimate below truth). Targets
+    * pruned from the listing don't count — their rows aren't in the
+    * row-count sum either. Metadata-only: no blob is read. */
+  private[v2] def tombstonesOf(root: String,
+      entries: Seq[ManifestTable.FileEntry],
+      decoded: Seq[Map[String, FileStats.ColStats]],
+      deleteEntries: Seq[ManifestTable.FileEntry]): Long = {
+    if (deleteEntries.isEmpty) return 0L
+    val rowsByEnc: Map[String, Long] = entries.zip(decoded).flatMap {
+      case (e, d) => FileStats.rowCount(d)
+        .map(r => ManifestTable.encodedRel(root, e.rel) -> r)
+    }.toMap
+    deleteEntries.iterator
+      .filter(e => ManifestTable.isDvEntry(e.rel))
+      .flatMap(_.stats.flatMap(graft.sources.DeleteVectors.decodeIndex)
+        .getOrElse(Nil))
+      .filter(s => s.count >= 0L && rowsByEnc.contains(s.relEnc))
+      .toSeq.groupBy(_.relEnc)
+      .map { case (enc, sl) => math.min(sl.map(_.count).sum, rowsByEnc(enc)) }
+      .sum
+  }
+
   /** Assemble the report over the pruned listing; falls back to the
     * delegate's size estimate for anything the metadata can't answer. */
   def build(base: Statistics, root: String, version: Option[Long],
             schema: StructType, physicalName: String => String,
-            entries: Seq[ManifestTable.FileEntry]): Statistics = {
+            entries: Seq[ManifestTable.FileEntry],
+            deleteEntries: Seq[ManifestTable.FileEntry] = Nil): Statistics = {
     val decoded = entries.map(e => FileStats.decode(e.stats.getOrElse("")))
+    val tombstones = tombstonesOf(root, entries, decoded, deleteEntries)
     val rows: OptionalLong = rowCountOf(decoded)
-      .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+      .map(r => OptionalLong.of(math.max(0L, r - tombstones)))
+      .getOrElse(OptionalLong.empty())
     val ndv: Map[String, Long] =
       version.map(v => NdvStats.estimates(root, v)).getOrElse(Map.empty)
+    val kll: Map[String, Array[Byte]] =
+      if (!NdvStats.histogramEnabled) Map.empty
+      else version.map(v => NdvStats.kllSketches(root, v)).getOrElse(Map.empty)
+    val numBins = scala.util.Try(
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.stats.histogram.bins", "64").toInt)
+      .getOrElse(64)
     val cols = new java.util.HashMap[NamedReference, ColumnStatistics]()
     schema.fields.foreach { f =>
       FileStats.tagOf(f.dataType).foreach { tag =>
         val phys = physicalName(f.name).toLowerCase
         val (mn, mx, nulls0) = foldBounds(decoded, phys, tag)
         val nulls = if (entries.isEmpty) Some(0L) else nulls0
-        val stat = ColStat(ndv.get(phys).filter(_ > 0L),
+        val colNdv = ndv.get(phys).filter(_ > 0L)
+        val stat = ColStat(colNdv,
           mn.flatMap(catalystValue(f.dataType, tag, _)),
-          mx.flatMap(catalystValue(f.dataType, tag, _)), nulls)
+          mx.flatMap(catalystValue(f.dataType, tag, _)), nulls,
+          kll.get(phys).flatMap(histogramOf(_, colNdv, numBins)))
         if (stat.ndv.isDefined || stat.minV.isDefined || stat.nulls.isDefined)
           cols.put(Expressions.column(f.name), stat)
       }

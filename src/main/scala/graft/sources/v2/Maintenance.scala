@@ -84,7 +84,7 @@ object Maintenance {
       val bytes = ManifestTable.liveEntries(root)
         .filter(e => days.exists(d =>
           e.rel.startsWith(s"${ManifestTable.DayCol}=$d/")))
-        .map(e => graft.sources.MetaIO.size(s"$root/data/${e.rel}")).sum
+        .map(e => ManifestTable.entryBytes(root, e)).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       return ManifestTable.replaceDays(
         slice.repartition(nFiles, col(ManifestTable.DayCol))

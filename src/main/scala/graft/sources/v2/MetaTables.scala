@@ -69,7 +69,12 @@ object MetaTables {
     StructField("min", StringType, nullable = true),
     StructField("max", StringType, nullable = true),
     StructField("null_count", LongType, nullable = true),
-    StructField("n_rows", LongType, nullable = true)))
+    StructField("n_rows", LongType, nullable = true),
+    // the version whose sidecar the NDV resolved from, and whether a
+    // row-adding commit since then carried no sketch (the estimate
+    // under-counts until compute_stats re-bases it — see NdvStats)
+    StructField("stats_version", LongType, nullable = true),
+    StructField("stale", BooleanType, nullable = true)))
 
   private val RefsSchema = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -168,12 +173,17 @@ object MetaTables {
   private def statsRows(root: String): Array[InternalRow] = {
     val meta = VersionedCatalog.readMeta(root).getOrElse(
       return Array.empty[InternalRow])
-    val entries = liveEntries(root).filterNot(e => isDelete(e.rel))
+    val (delEntries, entries) = liveEntries(root).partition(e => isDelete(e.rel))
     val decoded = entries.map(e => FileStats.decode(e.stats.getOrElse("")))
+    val tombstones = ColumnStatsReport.tombstonesOf(root, entries, decoded, delEntries)
     val rows: Option[Long] = ColumnStatsReport.rowCountOf(decoded)
-    val ndv = (if (ManifestTable.exists(root)) ManifestTable.currentVersion(root)
-               else None)
-      .map(v => NdvStats.estimates(root, v)).getOrElse(Map.empty)
+      .map(r => math.max(0L, r - tombstones))
+    val resolved = (if (ManifestTable.exists(root))
+        ManifestTable.currentVersion(root) else None)
+      .flatMap(v => NdvStats.resolve(root, v))
+    val ndv = resolved.map(_.sketches).getOrElse(Map.empty)
+      .collect { case (k, v) if !k.endsWith(NdvStats.KllSuffix) =>
+        k.toLowerCase -> NdvStats.estimate(v) }
     meta.schema.fields.flatMap { f =>
       FileStats.tagOf(f.dataType).map { tag =>
         val phys = meta.physicalName(f.name).toLowerCase
@@ -183,7 +193,9 @@ object MetaTables {
           ndv.get(phys).filter(_ > 0L).map(Long.box).orNull,
           mn.map(utf8).orNull, mx.map(utf8).orNull,
           nulls.map(Long.box).orNull,
-          rows.map(Long.box).orNull)): InternalRow
+          rows.map(Long.box).orNull,
+          resolved.map(r => Long.box(r.version)).orNull,
+          resolved.map(r => Boolean.box(r.stale)).orNull)): InternalRow
       }
     }
   }
@@ -194,8 +206,7 @@ object MetaTables {
     * payloads (DV indexes, target lists) and decode to empty — they fall
     * back too. */
   private def sizeOf(root: String, e: ManifestTable.FileEntry): Long =
-    FileStats.byteSize(FileStats.decode(e.stats.getOrElse("")))
-      .map(_._1).getOrElse(MetaIO.size(s"$root/data/${e.rel}"))
+    ManifestTable.entryBytes(root, e)
 
   private def partitionRows(root: String): Array[InternalRow] =
     liveEntries(root).filterNot(e => isDelete(e.rel))

@@ -30,6 +30,14 @@ object V2Queries {
 
   /** Idempotently register the catalog on the session (catalog plugins
     * resolve lazily from conf, so a runtime set works). */
+  /** Restore a thread's pre-clone active session (clones pin themselves
+    * active for the duration of a plan-verdict query — see
+    * [[cboBroadcastJoin]] — and must not leak onto the pool thread). */
+  private def restoreActive(prev: Option[SparkSession]): Unit = prev match {
+    case Some(s0) => SparkSession.setActiveSession(s0)
+    case None => SparkSession.clearActiveSession()
+  }
+
   def ensureCatalog(spark: SparkSession): Unit = synchronized {
     spark.conf.set(s"spark.sql.catalog.$Cat", classOf[VersionedCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$Cat.warehouse", warehouse)
@@ -114,11 +122,19 @@ object V2Queries {
     * The `cbo_ok` verdict pins that flip (oracle TRUE): losing the
     * statistics feed fails the hash compare. At 100 TB this decision is
     * a broadcast versus a full shuffle of the fact side. */
-  def cboBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+  def cboBroadcastJoin(spark0: SparkSession, dir: String): DataFrame = {
+    // planner-conf flips run on a CLONED session: Verify executes queries
+    // concurrently on one SparkSession, and a shared-session cbo/threshold
+    // flip mid-plan would randomly poison ANOTHER query's plan verdict.
+    // The clone must also be the thread's ACTIVE session — SQLConf.get
+    // (what .stats and planner rules read outside executePhase) resolves
+    // through it, so without the pin the clone's conf flips are invisible
+    // to the very estimates the verdict calibrates against.
+    val spark = spark0.newSession()
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
     ensureCatalog(spark)
     val tbl = s"$Cat.q.${newName("cbo")}"
-    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
-      .map(k => k -> spark.conf.getOption(k))
     try {
       Tables.events(spark, dir)
         .select((col("event_id") % 5000).cast("long").as("k")).distinct()
@@ -148,10 +164,150 @@ object V2Queries {
         without.exists(_.contains("SortMergeJoin")) &&
         !without.exists(_.contains("BroadcastHashJoin"))
       planned(cbo = true).withColumn("cbo_ok", lit(cboOk)).localCheckpoint(true)
-    } finally {
-      saved.foreach { case (k, Some(v)) => spark.conf.set(k, v)
-                      case (k, None) => spark.conf.unset(k) }
+    } finally { // clone confs die with it; the thread's active session restores
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      restoreActive(prevActive)
+    }
+  }
+
+  /** HISTOGRAM statistics driving skewed-predicate selectivity — the
+    * tier above [[cboBroadcastJoin]]'s NDV+bounds feed. A dimension with
+    * a HEAVY-TAILED column is CTAS'd (99% of keys hold v < 100, 1%
+    * spread over [100, ~10M) — hash-spread files, so only ESTIMATION can
+    * shrink a `v >= 1000` scan), then the same filtered join is planned
+    * twice WITH CBO ON both times:
+    *
+    *  - histograms on (commit-time KLL quantiles through
+    *    `ColumnStatistics.histogram()`): FilterEstimation reads the
+    *    equi-height bins, sees the tail is ~1%, and BROADCASTS the
+    *    filtered side;
+    *  - `spark.graft.stats.histogram=false`: min/max-only estimation
+    *    interpolates the range UNIFORMLY — (10M-1000)/10M ≈ everything
+    *    passes — and the planner keeps a sort-merge join.
+    *
+    * The `hist_ok` verdict pins the flip (oracle TRUE). At 100 TB a
+    * skewed predicate mis-estimated by orders of magnitude is the
+    * difference between broadcasting a few MB and shuffling the fact
+    * table against a "filtered" side the size of the dimension. */
+  def cboHistogramJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession() // conf isolation — see cboBroadcastJoin
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("hist")}"
+    try {
+      Tables.events(spark, dir)
+        .select((col("event_id") % 5000).cast("long").as("k")).distinct()
+        .withColumn("v",
+          when(col("k") % 100 < 99, col("k") % 100)
+            .otherwise(lit(100L) + (col("k") % 1000) * lit(9973L)))
+        .withColumn("pad", md5(col("k").cast("string")))
+        .writeTo(tbl).create()
+
+      val fact = eventsSlim(spark, dir)
+        .withColumn("k", (col("event_id") % 5000).cast("long"))
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def planned(hist: Boolean): DataFrame = {
+        if (hist) spark.conf.unset("spark.graft.stats.histogram")
+        else spark.conf.set("spark.graft.stats.histogram", "false")
+        fact.join(spark.table(tbl).where(col("v") >= lit(1000L)), "k")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+      }
+      def joinKinds(df: DataFrame): Seq[String] =
+        df.queryExecution.sparkPlan.collect {
+          case p if p.nodeName.contains("Join") => p.nodeName }
+      // threshold between the histogram's ~1% tail estimate and the
+      // uniform ~100% one — only the histogram can cross it
+      val histSize = spark.table(tbl).where(col("v") >= lit(1000L))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(histSize.toLong * 8L, 1024L).toString)
+      val withHist = joinKinds(planned(hist = true))
+      val without = joinKinds(planned(hist = false))
+      val histOk = withHist.exists(_.contains("BroadcastHashJoin")) &&
+        without.exists(_.contains("SortMergeJoin")) &&
+        !without.exists(_.contains("BroadcastHashJoin"))
+      planned(hist = true).withColumn("hist_ok", lit(histOk)).localCheckpoint(true)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      restoreActive(prevActive)
+    }
+  }
+
+  /** SORT-ORDER metadata through the planner — Iceberg's
+    * `write.sort-order` + preserve-data-grouping, the natural sequel to
+    * [[spjJoin]]: two tables identity-partitioned on the join key and
+    * DECLARED sorted on `ts` (`sort.order` table property — every pool
+    * write sorts within each file and stamps the entry,
+    * [[graft.sources.FileStats.SortKey]]) merge-join on
+    * (key, ts) with ZERO exchanges AND ZERO sorts:
+    *
+    *  - storage-partitioned join elides the exchanges (the join keys are
+    *    a superset of the partition key — sound co-partitioning, gated
+    *    by `requireAllClusterKeysForCoPartition=false`);
+    *  - `SupportsReportOrdering` (reported only when every key holds ONE
+    *    stamped sorted file, planned whole-file — see
+    *    [[VersionedScanBuilder.reportableOrdering]]) elides both SMJ
+    *    sorts.
+    *
+    * The `sorted_ok` verdict pins the plan (oracle TRUE): a merge join
+    * present, no Sort and no shuffle below it. At 100 TB this is two
+    * co-located sorted fact tables joining with NEITHER a shuffle NOR a
+    * sort — the plan a hand-tuned pipeline would stage manually. */
+  def sortedMergeJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession() // conf isolation — see cboBroadcastJoin
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
+    ensureCatalog(spark)
+    val a = s"$Cat.q.${newName("smja")}"
+    val b = s"$Cat.q.${newName("smjb")}"
+    try {
+      // both sides: 8 regions (identity partition), sorted on ts; the
+      // hash write distribution lands one file per region
+      def side(t: String, mult: Int): Unit =
+        eventsSlim(spark, dir)
+          .select((col("event_id") % 8).as("region"),
+            ((col("event_id") * mult) % 10000).as("ts"), col("value"))
+          .writeTo(t)
+          .partitionedBy(col("region"))
+          .tableProperty("sort.order", "ts")
+          .create()
+      side(a, 37)
+      side(b, 61)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val joined = spark.table(a)
+        .join(spark.table(b).withColumnRenamed("value", "value_b"),
+          Seq("region", "ts"))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Dsl.dsum(col("value")).as("volume_a"),
+          Dsl.dsum(col("value_b")).as("volume_b"))
+      // finalize the adaptive plan, then audit the merge-join subtree
+      joined.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(ad.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(walk)
+      }
+      val nodes = walk(joined.queryExecution.executedPlan)
+      val below = nodes.dropWhile(!_.nodeName.contains("SortMergeJoin"))
+      val sortedOk = below.nonEmpty &&
+        !below.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]) &&
+        !below.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      joined.withColumn("sorted_ok", lit(sortedOk)).localCheckpoint(true)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $a")
+      spark.sql(s"DROP TABLE IF EXISTS $b")
+      restoreActive(prevActive)
     }
   }
 
@@ -528,14 +684,16 @@ object V2Queries {
     * aggregate's — the `spj_ok` verdict asserts, from the EXECUTED plan,
     * that zero shuffles ran. At 100 TB this is a co-partitioned fact join
     * with no data movement at all. */
-  def spjJoin(spark: SparkSession, dir: String): DataFrame = {
+  def spjJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession() // conf isolation — see cboBroadcastJoin
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
     ensureCatalog(spark)
     val ta = s"$Cat.q.${newName("spja")}"
     val tb = s"$Cat.q.${newName("spjb")}"
     val confs = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       eventsSlim(spark, dir).writeTo(ta).partitionedBy(col("event_type")).create()
@@ -562,12 +720,9 @@ object V2Queries {
       val spjOk = countShuffles(joined.queryExecution.executedPlan) == 0
       out.withColumn("spj_ok", lit(spjOk))
     } finally {
-      prev.foreach { case (k, v) => v match {
-        case Some(x) => spark.conf.set(k, x)
-        case None => spark.conf.unset(k)
-      } }
       spark.sql(s"DROP TABLE IF EXISTS $ta")
       spark.sql(s"DROP TABLE IF EXISTS $tb")
+      restoreActive(prevActive)
     }
   }
 
@@ -1425,6 +1580,35 @@ object V2Queries {
          |FROM (SELECT event_type, value, event_id % 5000 AS k FROM events) e
          |JOIN (SELECT DISTINCT event_id % 5000 AS k FROM events) d USING (k)
          |WHERE k < 20
+         |GROUP BY 1""".stripMargin
+
+    /** The sort-order/SPJ plan work must be invisible in the DATA:
+      * recompute the co-partitioned join from raw events, plan verdict
+      * pinned TRUE. */
+    val sortedMergeJoin: String =
+      s"""SELECT region, COUNT(*) AS n_pairs,
+         |  ${Dsl.sql.dsum("a_value")} AS volume_a,
+         |  ${Dsl.sql.dsum("value_b")} AS volume_b, TRUE AS sorted_ok
+         |FROM (SELECT event_id % 8 AS region, (event_id * 37) % 10000 AS ts,
+         |        value AS a_value FROM events) a
+         |JOIN (SELECT event_id % 8 AS region, (event_id * 61) % 10000 AS ts,
+         |        value AS value_b FROM events) b
+         |  USING (region, ts)
+         |GROUP BY 1""".stripMargin
+
+    /** The histogram tier must be invisible in the DATA (selectivity
+      * statistics never change results): recompute the tail-filtered
+      * join from raw events, plan verdict pinned TRUE. */
+    val cboHistogramJoin: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS hist_ok
+         |FROM (SELECT event_type, value, event_id % 5000 AS k FROM events) e
+         |JOIN (SELECT k,
+         |        CASE WHEN k % 100 < 99 THEN k % 100
+         |             ELSE 100 + (k % 1000) * 9973 END AS v
+         |      FROM (SELECT DISTINCT event_id % 5000 AS k FROM events)) d
+         |  USING (k)
+         |WHERE d.v >= 1000
          |GROUP BY 1""".stripMargin
 
     /** Stats pruning must be invisible in the data: recompute from the

@@ -19,7 +19,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
 
-import graft.sources.{ManifestTable, MetaIO}
+import graft.sources.{FileStats, ManifestTable, MetaIO}
 
 /** DataSource V2 catalog plugin making [[graft.sources.ManifestTable]]
   * snapshot tables first-class PLANNER objects — the integration layer the
@@ -268,6 +268,10 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     val meta = VersionedCatalog.Meta(schema, dayOf, format,
       part = part, identityCols = identityCols, userProps = userProps)
     VersionedCatalog.writeMeta(root, meta)
+    // declared write sort order (Iceberg's write.sort-order): validated
+    // against the schema, then published as the table-root marker every
+    // pool write consults (sort-within-file + per-file stamp)
+    VersionedCatalog.applySortOrderProp(root, meta)
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       root, schema, dayOf, None, meta)
@@ -429,6 +433,10 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
         s"${other.getClass.getSimpleName} needs a data rewrite — use graft.sources.Evolution")
     }
     VersionedCatalog.writeMeta(root, newMeta)
+    // a changed sort.order re-publishes the write-side marker; the
+    // ordering REPORT stays off until every live file carries the new
+    // spec (per-file stamps — OPTIMIZE rewrites the history sorted)
+    VersionedCatalog.applySortOrderProp(root, newMeta)
     loadTable(ident)
   }
 
@@ -567,6 +575,30 @@ object VersionedCatalog {
     readMeta(root).flatMap(_.userProps.get("retain"))
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(
         spark.conf.get("spark.graft.versioned.retain", "2").toInt)
+
+  /** The declared write sort order of a table — the `sort.order` user
+    * property (comma-separated LOGICAL columns, ascending nulls-first;
+    * Iceberg's `write.sort-order`). Returns (logical, physical) pairs. */
+  private[v2] def sortOrderOf(meta: Meta): Seq[(String, String)] =
+    meta.userProps.collectFirst { case (k, v) if k.equalsIgnoreCase("sort.order") => v }
+      .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .map(c => c -> meta.physicalName(c))
+
+  /** Validate the `sort.order` property against the schema and publish
+    * (or clear) the table-root marker every pool write consults. */
+  private[v2] def applySortOrderProp(root: String, meta: Meta): Unit = {
+    val order = sortOrderOf(meta)
+    order.foreach { case (logical, _) =>
+      val f = meta.schema.fields.find(_.name.equalsIgnoreCase(logical))
+        .getOrElse(throw new IllegalArgumentException(
+          s"sort.order column $logical: no such column in " +
+            meta.schema.fieldNames.mkString(", ")))
+      require(graft.sources.FileStats.tagOf(f.dataType).isDefined,
+        s"sort.order column $logical: ${f.dataType.simpleString} is not a " +
+          "sortable atomic type")
+    }
+    ManifestTable.setSortOrder(root, order.map(_._2))
+  }
 
   /** CHECK constraints of a table: `check.<name>` user properties, each
     * a SQL predicate over the LOGICAL columns. Set via
@@ -1123,6 +1155,63 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
 
   private[v2] def prunedManifest: Seq[String] = prunedEntries.map(_.rel)
 
+  /** Sort-order eligibility of this scan's LISTING: the table declares a
+    * `sort.order`, no delete artifacts are live (merge-on-read reshapes
+    * partitions), EVERY surviving file carries the matching per-file
+    * sort stamp ([[graft.sources.FileStats.SortKey]] — pre-declaration
+    * or externally-added files soundly silence the claim), and no
+    * partition key holds MORE than one file (two sorted files
+    * concatenated are not sorted). Computed once on the initial listing
+    * — runtime filters only narrow it, which preserves every condition. */
+  private[v2] lazy val orderingEligible: Boolean = {
+    val order = VersionedCatalog.sortOrderOf(meta)
+    order.nonEmpty && deleteEntries.isEmpty && {
+      val spec = order.map(_._2.toLowerCase).mkString(",")
+      val es = prunedEntries
+      es.nonEmpty &&
+        es.groupBy(e => graft.sources.ManifestTable.keyOf(e.rel))
+          .values.forall(_.size == 1) &&
+        es.forall(e => FileStats.sortSpec(
+          FileStats.decode(e.stats.getOrElse(""))).contains(spec))
+    }
+  }
+
+  /** Whether [[build]] wrapped the file scan key-grouped (SPJ active). */
+  @volatile private[v2] var builtKeyGrouped: Boolean = false
+
+  /** The ordering this scan reports through `SupportsReportOrdering`
+    * (logical names, ascending nulls-first). On top of
+    * [[orderingEligible]], two soundness gates:
+    *
+    *  - every sort column survives column pruning (a SortOrder over a
+    *    pruned-away attribute would fail resolution);
+    *  - the planned partitions provably hold ≤1 file each, in file
+    *    order: either the scan is KEY-GROUPED in preserve-order mode
+    *    (one whole-file partition per key — the storage-partitioned
+    *    merge-join shape, where both the exchange AND the sorts elide),
+    *    or the whole listing is a SINGLE file (splits of one sorted
+    *    file stay sorted per partition, and a one-file listing is
+    *    subset-stable under runtime-filter re-packing — a multi-file
+    *    flat listing is NOT: FilePartition bin-packing can co-locate
+    *    two sorted files after a runtime filter narrows the set,
+    *    silently breaking an already-elided Sort). */
+  private[v2] def reportableOrdering: Seq[String] = {
+    if (!orderingEligible) return Nil
+    val order = VersionedCatalog.sortOrderOf(meta)
+    val colsPresent = order.forall { case (l, _) =>
+      required.fieldNames.exists(_.equalsIgnoreCase(l)) }
+    if (colsPresent && (builtKeyGrouped || prunedEntries.size == 1)) {
+      // identity partition columns are CONSTANT within every partition,
+      // so they prefix the claim for free — and a storage-partitioned
+      // merge join keyed (identity, sortCol) needs exactly that prefix
+      // to elide its sorts
+      val idPrefix = meta.identityCols.filter(c =>
+        required.fieldNames.exists(_.equalsIgnoreCase(c)) &&
+          !order.exists(_._1.equalsIgnoreCase(c)))
+      idPrefix ++ order.map(_._1)
+    } else Nil
+  }
+
   /** Statistics report for the scan wrapper: the delegate's size estimate
     * enriched with manifest-derived row count and per-column
     * min/max/null/NDV over the PRUNED listing ([[ColumnStatsReport]]).
@@ -1136,7 +1225,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     case Some((p, s)) if p eq pushed => s
     case _ =>
       val s = ColumnStatsReport.build(base, root, resolvedVersion,
-        dataSchema, meta.physicalName, prunedEntries)
+        dataSchema, meta.physicalName, prunedEntries, deleteEntries)
       statsCache = Some((pushed, s))
       s
   }
@@ -1653,18 +1742,26 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
             .map(_.dataType).exists(t =>
               t == org.apache.spark.sql.types.DateType ||
                 t == org.apache.spark.sql.types.TimestampNTZType)
+        val keyGrouped = identitySpj || transformSpj.nonEmpty || daySpj
+        if (keyGrouped) builtKeyGrouped = true
+        // ordering-eligible listings plan key groups ORDER-PRESERVING
+        // (one whole-file partition per key) so the reported sort
+        // survives Spark's same-key partition concatenation
+        val po = keyGrouped && orderingEligible
         if (identitySpj)
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
-            fileScan, index.partitionSchema.fieldNames.map(Expressions.identity))
+            fileScan, index.partitionSchema.fieldNames.map(Expressions.identity),
+            preserveOrder = po)
         else if (transformSpj.nonEmpty) {
           val (t, kf) = transformSpj.get
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
-            fileScan, Array(t), Some(kf))
+            fileScan, Array(t), Some(kf), preserveOrder = po)
         } else if (daySpj) {
           val prefix = s"${ManifestTable.DayCol}="
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
             fileScan, Array(Expressions.days(dayOf.get)),
-            Some((path: String) => {
+            preserveOrder = po,
+            pathKey = Some((path: String) => {
               val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
                 throw new IllegalStateException(s"no $prefix dir in $path"))
               java.time.LocalDate.parse(seg.substring(prefix.length)).toEpochDay.toInt
@@ -1724,7 +1821,18 @@ private[graft] class GraftRuntimeFilterScan(builder: VersionedScanBuilder,
                                          initial: Scan, attrs: Array[String])
     extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+  /** Declared write sort order of a clean single-file listing — lets
+    * the planner elide Sort nodes over sorted tables (see
+    * [[VersionedScanBuilder.reportableOrdering]] for the soundness
+    * conditions, including why multi-file listings never report). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    builder.reportableOrdering.map(c =>
+      Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)).toArray
   /** Key-grouped partitioning passes through (storage-partitioned joins
     * compose with runtime filtering — the rebuilt delegate reports the
     * same clustering over the narrowed listing); everything else reports

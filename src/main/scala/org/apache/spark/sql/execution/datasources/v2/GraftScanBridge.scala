@@ -149,7 +149,8 @@ class GraftReorderedReaderFactory(inner: PartitionReaderFactory,
   * a key reuses Spark's own split/pack logic, so per-key parallelism and
   * split sizing match the unkeyed scan. */
 class GraftKeyGroupedScan(delegate: FileScan, clustering: Array[Transform],
-                          pathKey: Option[String => Any] = None)
+                          pathKey: Option[String => Any] = None,
+                          preserveOrder: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics {
 
@@ -195,14 +196,30 @@ class GraftKeyGroupedScan(delegate: FileScan, clustering: Array[Transform],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = delegate.sparkSession
-    val maxSplit = FilePartition.maxSplitBytes(spark, selected)
-    groups.toArray.flatMap { case (key, readerValues, files) =>
-      val splits = files.flatMap { f =>
-        PartitionedFileUtil.splitFiles(
-          f, f.getPath, delegate.isSplitable(f.getPath), maxSplit, readerValues)
-      }.sortBy(-_.length)
-      FilePartition.getFilePartitions(spark, splits, maxSplit)
-        .map(fp => GraftKeyedPartition(key, fp): InputPartition)
+    // ORDER-PRESERVING mode (the scan reports SupportsReportOrdering —
+    // see VersionedScanBuilder.reportableOrdering): one partition per
+    // key, whole files unsplit, so each partition's rows keep their
+    // file's write order. Spark's groupedPartitions concatenates a key's
+    // partitions in ARBITRARY order and split-packing reorders by size,
+    // either of which would silently break an elided Sort — the
+    // eligibility gate (one sorted file per key) makes this mode cost
+    // nothing in parallelism.
+    if (preserveOrder)
+      groups.toArray.zipWithIndex.map { case ((key, readerValues, files), i) =>
+        val pfs = files.map(f => PartitionedFileUtil.getPartitionedFile(
+          f, f.getPath, readerValues, 0L, f.getLen)).toArray
+        GraftKeyedPartition(key, FilePartition(i, pfs)): InputPartition
+      }
+    else {
+      val maxSplit = FilePartition.maxSplitBytes(spark, selected)
+      groups.toArray.flatMap { case (key, readerValues, files) =>
+        val splits = files.flatMap { f =>
+          PartitionedFileUtil.splitFiles(
+            f, f.getPath, delegate.isSplitable(f.getPath), maxSplit, readerValues)
+        }.sortBy(-_.length)
+        FilePartition.getFilePartitions(spark, splits, maxSplit)
+          .map(fp => GraftKeyedPartition(key, fp): InputPartition)
+      }
     }
   }
 

@@ -648,6 +648,95 @@ class TableFormatSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stats.ndv")
   }
 
+  test("NDV sidecar-lag race: racing data commits keep the union upper bound") {
+    import spark.implicits._
+    import graft.sources.{ManifestTable, NdvStats}
+    val root = Files.createTempDirectory("versioned_ndv_race").toString + "/t"
+    ManifestTable.commit(
+      (0L until 100L).map(i => (i, "base")).toDF("k", "v"), root, retain = 20)
+    // a sidecar publishes AFTER its commit's flip: with an injected
+    // flip→write stall, a racer that rebased onto the fresh version
+    // would resolve PAST it and merge the grandparent's sketch — its
+    // head sidecar would then be missing the sibling's 100 keys forever
+    // (an unmarked under-count). resolveFresh waits the stall out.
+    spark.conf.set("spark.graft.stats.testSidecarPauseMs", "300")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(100L, 200L).map { base =>
+        new Thread(() => {
+          try ManifestTable.append(
+            (base until base + 100L).map(i => (i, s"t$base")).toDF("k", "v"),
+            root, retain = 20)
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"both racing appends must land: $errs")
+    } finally spark.conf.unset("spark.graft.stats.testSidecarPauseMs")
+    val head = ManifestTable.currentVersion(root).get
+    val est = NdvStats.estimates(root, head).getOrElse("k", 0L)
+    assert(est > 280 && est < 330,
+      s"head NDV must bound the union of both racers' keys, got $est")
+    assert(NdvStats.resolve(root, head).exists(r => !r.stale),
+      "the closed race leaves no stale marker")
+  }
+
+  test("NDV reachability: 100 consecutive delete commits never out-walk the sketch") {
+    import spark.implicits._
+    import graft.sources.{ManifestTable, NdvStats}
+    val root = Files.createTempDirectory("versioned_ndv_reach").toString + "/t"
+    val v1 = ManifestTable.commit(
+      (0L until 100L).map(i => (i, s"a$i")).toDF("k", "v"), root, retain = 200)
+    assert(NdvStats.estimates(root, v1).get("k").exists(_ > 90))
+    // a LONG delete-only run under long retention: no gc republish ever
+    // fires (nothing expires), so without the every-32-commits inherit
+    // republish the parent walk hits its 64-hop cap and NDV silently
+    // disappears
+    val keys = Seq(-1L).toDF("k") // retracts nothing — pure delete commits
+    var last = v1
+    (1 to 100).foreach { _ =>
+      last = ManifestTable.appendEqualityDeletes(keys, root, retain = 200)
+    }
+    val r = NdvStats.resolve(root, last)
+    assert(r.exists(_.sketches.nonEmpty), "NDV survives 100 delete commits")
+    assert(r.exists(_.hops < 64), s"republish keeps the walk short, got $r")
+    assert(r.exists(!_.stale), "delete gaps keep the upper bound — not stale")
+    assert(NdvStats.estimates(root, last).get("k").exists(_ > 90))
+  }
+
+  test("NDV staleness: a sketch-less row-adding gap is surfaced, compute_stats clears it") {
+    import spark.implicits._
+    import graft.sources.{ManifestTable, NdvStats}
+    val root = Files.createTempDirectory("versioned_ndv_stale").toString + "/t"
+    val v1 = ManifestTable.commit(
+      (0L until 100L).map(i => (i, s"a$i")).toDF("k", "v"), root, retain = 50)
+    // an opted-out append: its 50 new keys never enter any sketch — the
+    // permanent-under-count hole the stale flag makes visible
+    spark.conf.set("spark.graft.stats.ndv", "false")
+    val v2 = try ManifestTable.append(
+      (100L until 150L).map(i => (i, s"b$i")).toDF("k", "v"), root, retain = 50)
+    finally spark.conf.unset("spark.graft.stats.ndv")
+    val r2 = NdvStats.resolve(root, v2)
+    assert(r2.exists(r => r.version == v1 && r.stale),
+      s"sketch-less append gap reads stale, got $r2")
+    // a later SKETCHED append merges parent∪fresh but the gap's values
+    // are still missing — the marker rides the merged sidecar
+    val v3 = ManifestTable.append(
+      Seq((9999L, "z")).toDF("k", "v"), root, retain = 50)
+    val r3 = NdvStats.resolve(root, v3)
+    assert(r3.exists(r => r.version == v3 && r.stale),
+      s"merged sidecar inherits the stale marker, got $r3")
+    // gc's lineage republish preserves the marker too
+    ManifestTable.expireOldVersions(root, retain = 1)
+    assert(NdvStats.resolve(root, v3).exists(_.stale))
+    // the remediation: an explicit full-scan rebuild re-bases the sketch
+    NdvStats.computeStats(spark, root)
+    val rc = NdvStats.resolve(root, v3)
+    assert(rc.exists(r => !r.stale), s"compute_stats clears staleness, got $rc")
+    assert(rc.exists(r => NdvStats.estimate(r.sketches("k")) > 140),
+      "the rebuilt sketch counts the gap's keys")
+  }
+
   test("pre-__bytes manifests fall back to real listing: reads stay exact") {
     import spark.implicits._
     import graft.sources.{ManifestTable, MetaIO}

@@ -856,6 +856,272 @@ class V2CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("sort order: writes sort per file, single-file scans report ordering, Sort nodes elide") {
+    import graft.sources.{FileStats, ManifestTable}
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.sorted")
+    spark.sql("CREATE TABLE gtest.ns.sorted (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('sort.order'='k')")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/sorted"
+    // a SHUFFLED single-partition insert: the write must sort it
+    spark.range(1000).selectExpr("(id * 37) % 1000 AS k", "md5(cast(id AS string)) AS v")
+      .coalesce(1).writeTo("gtest.ns.sorted").append()
+    val entries = ManifestTable.liveEntries(root)
+    assert(entries.size === 1)
+    assert(FileStats.sortSpec(FileStats.decode(entries.head.stats.get)).contains("k"),
+      "the file is stamped with its sort spec")
+    def sortNodes(df: org.apache.spark.sql.DataFrame): Seq[SortExec] = {
+      df.collect() // finalize any adaptive plan
+      // traverse THROUGH adaptive wrappers and materialized query stages
+      // (their plans are fields, not children — a plain collect misses
+      // a Sort sitting inside a finalized stage)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[SortExec] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (p match { case s: SortExec => Seq(s); case _ => Nil }) ++ kids.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    // the ordering reaches catalyst: the relation records k ASC
+    val rel = spark.table("gtest.ns.sorted").queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r }
+    assert(rel.exists(_.ordering.exists(_.nonEmpty)),
+      s"reported ordering must reach the scan relation, got ${rel.map(_.ordering)}")
+    // a partition-local sort over the sorted file ELIDES (a global ORDER
+    // BY cannot — the V2 scan reports UnknownPartitioning, so a range
+    // exchange always lands between scan and sort; the per-partition
+    // claim is what SupportsReportOrdering is)
+    val local = spark.table("gtest.ns.sorted").sortWithinPartitions("k")
+    val ks = local.collect().map(_.getLong(0)).toSeq
+    assert(ks === ks.sorted, "rows come back sorted")
+    assert(sortNodes(local).isEmpty,
+      "a clean sorted single-file table must elide the local Sort")
+    // a second file: per-partition ordering is no longer claimable on a
+    // flat listing (FilePartition packing is subset-unstable under
+    // runtime filters) — the report goes silent, the Sort comes back
+    spark.range(5).selectExpr("id + 2000 AS k", "'x' AS v")
+      .coalesce(1).writeTo("gtest.ns.sorted").append()
+    assert(sortNodes(spark.table("gtest.ns.sorted").sortWithinPartitions("k")).nonEmpty,
+      "a multi-file flat listing must keep the Sort")
+    // OPTIMIZE rewrites the table into one sorted file: elision returns
+    spark.sql("CALL gtest.system.optimize(`table` => 'ns.sorted')")
+    assert(ManifestTable.liveEntries(root).size === 1)
+    val reopt = spark.table("gtest.ns.sorted").sortWithinPartitions("k")
+    val ks2 = reopt.collect().map(_.getLong(0)).toSeq
+    assert(ks2 === ks2.sorted && sortNodes(reopt).isEmpty,
+      "OPTIMIZE re-sorts and the elision returns")
+    // column pruning that drops the sort column silences the report but
+    // never breaks the query
+    assert(spark.table("gtest.ns.sorted").select(col("v")).count() === 1005)
+    spark.sql("DROP TABLE gtest.ns.sorted")
+  }
+
+  test("sorted storage-partitioned merge join: zero exchanges AND zero sorts") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    Seq("smja", "smjb").foreach(t => spark.sql(s"DROP TABLE IF EXISTS gtest.ns.$t"))
+    // both sides identity-partitioned on the join key AND sorted on ts:
+    // one file per key (the hash write distribution's natural layout)
+    Seq("smja", "smjb").foreach { t =>
+      spark.sql(s"CREATE TABLE gtest.ns.$t (region BIGINT, ts BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (region) TBLPROPERTIES ('sort.order'='ts')")
+      spark.sql(s"INSERT INTO gtest.ns.$t " +
+        s"SELECT id % 8, (id * ${if (t == "smja") 37 else 61}) % 10000, id * 0.5 " +
+        "FROM range(20000)")
+    }
+    Seq("gtest.ns.smja", "gtest.ns.smjb").foreach { t =>
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/" + t.split('.').last
+      assert(ManifestTable.liveEntries(root).groupBy(e =>
+        e.rel.split('/').dropRight(1).mkString("/")).values.forall(_.size == 1),
+        s"$t must land one file per region")
+    }
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+      .map(x => x -> spark.conf.getOption(x))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the join keys (region, ts) are a SUPERSET of the partition key
+      // (region): co-partitioning on the subset is sound (same region ⇒
+      // same partition ⇒ same (region, ts) partition) but gated off by
+      // default — the gate exists for hash partitioning, where subset
+      // co-partitioning could skew; key-grouped storage partitions are
+      // exactly the case it's for
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val joined = spark.table("gtest.ns.smja").as("a")
+        .join(spark.table("gtest.ns.smjb").as("b"), Seq("region", "ts"))
+        .groupBy(col("region")).agg(count(lit(1)).as("n"))
+      val rows = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.nonEmpty)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(walk)
+      }
+      val nodes = walk(joined.queryExecution.executedPlan)
+      assert(nodes.exists(_.nodeName.contains("SortMergeJoin")),
+        s"expected a merge join, got ${nodes.map(_.nodeName).distinct}")
+      val joinSubtree = nodes.dropWhile(!_.nodeName.contains("SortMergeJoin"))
+      assert(!joinSubtree.exists(_.isInstanceOf[SortExec]),
+        "sorted co-partitioned sides must merge-join with ZERO sorts")
+      assert(!joinSubtree.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "storage-partitioned join must run with ZERO exchanges below it")
+      // the data agrees with a plain (shuffled, sorted) run
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val plain = spark.table("gtest.ns.smja")
+        .join(spark.table("gtest.ns.smjb"), Seq("region", "ts"))
+        .groupBy(col("region")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows === plain, "SPJ + elided sorts must not change results")
+    } finally {
+      saved.foreach { case (x, Some(value)) => spark.conf.set(x, value)
+                      case (x, None) => spark.conf.unset(x) }
+      Seq("smja", "smjb").foreach(t => spark.sql(s"DROP TABLE gtest.ns.$t"))
+    }
+  }
+
+  test("histogram statistics: commit-time KLL quantiles fix skewed-predicate selectivity") {
+    import graft.sources.{ManifestTable, NdvStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.hstat")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.hfact")
+    spark.sql("CREATE TABLE gtest.ns.hstat (k BIGINT, v BIGINT, pad STRING)")
+    // heavy-tailed v: 99% of rows in [0,99], 1% spread over [100, ~10M) —
+    // hash-spread across files so `v >= 1000` cannot file-prune; only
+    // ESTIMATION can shrink it
+    spark.sql("""INSERT INTO gtest.ns.hstat
+      SELECT id,
+             CASE WHEN id % 100 < 99 THEN id % 100
+                  ELSE 100 + (id % 1000) * 9973 END,
+             md5(cast(id AS string))
+      FROM (SELECT id FROM range(100000) DISTRIBUTE BY md5(cast(id AS string)))""")
+    spark.sql("CREATE TABLE gtest.ns.hfact (k BIGINT, p STRING)")
+    spark.sql("INSERT INTO gtest.ns.hfact SELECT id % 100000, md5(cast(id AS string)) " +
+      "FROM range(200000)")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/hstat"
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.graft.stats.histogram").map(x => x -> spark.conf.getOption(x))
+    try {
+      // the KLL sketch landed beside the manifest
+      val v = ManifestTable.currentVersion(root).get
+      assert(NdvStats.kllSketches(root, v).contains("v"),
+        "commit-time KLL sketch published")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // the histogram reaches catalyst's ColumnStat
+      val st = spark.table("gtest.ns.hstat").queryExecution.optimizedPlan.stats
+      val vStat = st.attributeStats.collectFirst {
+        case (a, cs) if a.name == "v" => cs }.get
+      assert(vStat.histogram.isDefined, "ColumnStat.histogram must be populated")
+      // selectivity of the tail predicate: uniform interpolation between
+      // min/max says ~everything passes; the histogram knows it's ~1%
+      def filteredEstimate(): BigInt =
+        spark.table("gtest.ns.hstat").where(col("v") >= lit(1000L))
+          .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      val withHist = filteredEstimate()
+      spark.conf.set("spark.graft.stats.histogram", "false")
+      val withoutHist = filteredEstimate()
+      spark.conf.unset("spark.graft.stats.histogram")
+      val truth = spark.table("gtest.ns.hstat").where(col("v") >= lit(1000L)).count()
+      assert(truth < 1100, s"skew fixture drifted: $truth tail rows")
+      assert(withHist < truth * 10 && withHist > 0,
+        s"histogram estimate must land near the ~1% truth, got $withHist")
+      assert(withoutHist > truth * 20,
+        s"uniform estimate must overshoot by orders of magnitude, got $withoutHist")
+      // the planning consequence: a broadcast threshold between the two
+      // estimates — only the histogram can carry the filtered dim across
+      val histSize = spark.table("gtest.ns.hstat").where(col("v") >= lit(1000L))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (histSize * 8).toString)
+      def kinds(hist: Boolean): Seq[String] = {
+        if (hist) spark.conf.unset("spark.graft.stats.histogram")
+        else spark.conf.set("spark.graft.stats.histogram", "false")
+        spark.table("gtest.ns.hfact")
+          .join(spark.table("gtest.ns.hstat").where(col("v") >= lit(1000L)), "k")
+          .groupBy().count()
+          .queryExecution.sparkPlan.collect {
+            case p if p.nodeName.contains("Join") => p.nodeName }
+      }
+      assert(kinds(hist = true).exists(_.contains("BroadcastHashJoin")),
+        "histogram selectivity must broadcast the tail slice")
+      val off = kinds(hist = false)
+      assert(off.exists(_.contains("SortMergeJoin")) &&
+        !off.exists(_.contains("BroadcastHashJoin")),
+        s"uniform estimation must keep the sort-merge join, got $off")
+    } finally {
+      saved.foreach { case (x, Some(value)) => spark.conf.set(x, value)
+                      case (x, None) => spark.conf.unset(x) }
+      spark.sql("DROP TABLE gtest.ns.hstat")
+      spark.sql("DROP TABLE gtest.ns.hfact")
+    }
+  }
+
+  test("delete-aware row count: DV tombstone counts subtract exactly, broadcast flips without compute_stats") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.dstat")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.dfact")
+    spark.sql("CREATE TABLE gtest.ns.dstat (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.ns.dstat SELECT id, md5(cast(id AS string)) " +
+      "FROM range(20000)")
+    spark.sql("CREATE TABLE gtest.ns.dfact (k BIGINT, p STRING)")
+    spark.sql("INSERT INTO gtest.ns.dfact SELECT id % 20000, md5(cast(id AS string)) " +
+      "FROM range(60000)")
+    val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/dstat"
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.graft.delete.mode").map(x => x -> spark.conf.getOption(x))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def rc = spark.table("gtest.ns.dstat")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(20000)))
+      // a 90% MOR delete: the DV slice index records the exact tombstone
+      // count, and the report subtracts it — no compute_stats, no scan
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gtest.ns.dstat WHERE k >= 2000")
+      assert(ManifestTable.liveEntries(root)
+        .exists(e => ManifestTable.isDvEntry(e.rel)), "delete landed as a DV")
+      assert(rc.contains(BigInt(2000)),
+        s"rowCount subtracts the exact tombstone total, got $rc")
+      // the planning consequence: a threshold only the SUBTRACTED
+      // estimate passes (5x the live projected size — the undeleted
+      // upper bound is 10x) broadcasts the churned dimension
+      val projSize = spark.table("gtest.ns.dstat").select(col("k"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (projSize * 5).toString)
+      val kinds = spark.table("gtest.ns.dfact")
+        .join(spark.table("gtest.ns.dstat").select(col("k")), "k")
+        .groupBy().count()
+        .queryExecution.sparkPlan.collect {
+          case p if p.nodeName.contains("Join") => p.nodeName }
+      assert(kinds.exists(_.contains("BroadcastHashJoin")),
+        s"the live-count estimate must broadcast, got $kinds")
+      // equality deletes can't be counted from metadata: the row count
+      // keeps the (now live-count) upper bound, never guesses lower
+      ManifestTable.appendEqualityDeletes(
+        spark.range(5).selectExpr("id AS k"), root)
+      assert(rc.contains(BigInt(2000)),
+        "eq deletes keep the upper bound — no metadata-only subtraction")
+    } finally {
+      saved.foreach { case (x, Some(value)) => spark.conf.set(x, value)
+                      case (x, None) => spark.conf.unset(x) }
+      spark.sql("DROP TABLE gtest.ns.dstat")
+      spark.sql("DROP TABLE gtest.ns.dfact")
+    }
+  }
+
   test("expire after fast_forward: published branch-stamped history keeps main's window") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
@@ -986,6 +1252,39 @@ class V2CatalogSpec extends AnyFunSuite {
     val swept = call(s", older_than => '$future'")
     assert(swept.map(_._1).exists(_.endsWith("junk_crashed_writer.parquet")))
     assert(swept.forall(_._2) && !java.nio.file.Files.exists(junk))
+    // the DISTRIBUTED execution (cluster listing, executor-expanded
+    // shard references, anti-join, per-partition deletes — the
+    // million-file shape) keeps identical semantics; forced onto this
+    // small table by zeroing the distribution threshold, and proven to
+    // run as cluster jobs by a listener
+    java.nio.file.Files.write(junk, Array[Byte](4, 5, 6))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.graft.orphan.distributeMinFiles", "0")
+    try {
+      val dry2 = call(s", older_than => '$future', dry_run => true")
+      assert(dry2.map(_._1).exists(_.endsWith("junk_crashed_writer.parquet")))
+      assert(!dry2.map(_._1).exists(p =>
+        ManifestTable.manifestIndex(root, 1L)._2.exists(e => p.endsWith(e.rel))),
+        "distributed sweep must spare tag-pinned files")
+      val swept2 = call(s", older_than => '$future'")
+      assert(swept2.map(_._1).exists(_.endsWith("junk_crashed_writer.parquet")))
+      assert(!java.nio.file.Files.exists(junk), "distributed delete ran")
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(
+          org.scalatest.time.Span(5, org.scalatest.time.Seconds))) {
+        assert(jobs.get() > 0, "the sweep must run as cluster jobs")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.orphan.distributeMinFiles")
+      spark.sparkContext.removeSparkListener(listener)
+    }
     // the table and its pinned history still read
     assert(spark.table("gtest.ns.rof").collect().map(_.getLong(0)).toSeq === Seq(2L))
     assert(spark.sql("SELECT k FROM gtest.ns.rof VERSION AS OF 'keep'")
@@ -1505,6 +1804,10 @@ class V2CatalogSpec extends AnyFunSuite {
       kRow.getString(kRow.fieldIndex("max")) === "500")
     assert(kRow.getLong(kRow.fieldIndex("null_count")) === 0L)
     assert(kRow.getLong(kRow.fieldIndex("n_rows")) === 101L)
+    // NDV provenance: the sidecar's version surfaces, and with every
+    // data commit sketched the estimate is not stale
+    assert(!kRow.isNullAt(kRow.fieldIndex("stats_version")))
+    assert(!kRow.getBoolean(kRow.fieldIndex("stale")), kRow.toString)
 
     // a MOR delete surfaces as a delete-file row in .files
     spark.conf.set("spark.graft.delete.mode", "merge-on-read")
