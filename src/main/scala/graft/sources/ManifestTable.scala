@@ -845,10 +845,13 @@ object ManifestTable {
     // the spec; within each output file (one partition value) rows are
     // therefore ordered by exactly the sort columns. Applied only when
     // every sort column is present (a hidden-derivation write that
-    // dropped one skips the stamp rather than stamping a lie).
-    val sortCols = sortOrder(root)
+    // dropped one skips the stamp rather than stamping a lie). ONE
+    // marker read: a concurrent ALTER must not split the filter and the
+    // completeness check across two snapshots of the spec.
+    val declaredOrder = sortOrder(root)
+    val sortCols = declaredOrder
       .filter(c => wdf.columns.exists(_.equalsIgnoreCase(c)))
-    val sortApplied = sortCols.nonEmpty && sortCols.size == sortOrder(root).size
+    val sortApplied = sortCols.nonEmpty && sortCols.size == declaredOrder.size
     val clustered =
       if (sortApplied)
         clustered0.sortWithinPartitions((partNames ++ sortCols).map(col): _*)
@@ -1210,14 +1213,21 @@ object ManifestTable {
                 baseV.flatMap(p => NdvStats.resolveFresh(root, p)) else None
               val merged = parent.map(r => NdvStats.merge(r.sketches, m))
                 .getOrElse(m)
+              // a carried base whose sketch resolution FAILED outright
+              // (pre-stamp history, broken walk) or resolved to the
+              // EMPTY sentinel (an opted-out full replacement) means the
+              // merged sketch covers only this commit's fresh rows — a
+              // massive under-count that must publish MARKED, never
+              // authoritative
+              val mergedStale = parent.exists(_.stale) ||
+                (carriedBase && parent.forall(_.sketches.isEmpty))
               // test hook: an injected merge→write delay (the GC-stall
               // window the racer-side resolveFresh retry waits out)
               confLong("spark.graft.stats.testSidecarPauseMs", 0L) match {
                 case 0L => ()
                 case ms => Thread.sleep(ms)
               }
-              NdvStats.write(root, next, merged,
-                stale = parent.exists(_.stale))
+              NdvStats.write(root, next, merged, stale = mergedStale)
             case None if !carriedBase =>
               NdvStats.write(root, next, Map.empty)
             case None =>

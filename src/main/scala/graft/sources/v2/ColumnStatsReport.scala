@@ -165,12 +165,17 @@ private[v2] object ColumnStatsReport {
     (fold(_.min, isMin = true), fold(_.max, isMin = false), nulls)
   }
 
-  /** Exact positional-tombstone total over the pruned listing: DV slice
+  /** Positional-tombstone total over the pruned listing: DV slice
     * counts summed per surviving target, capped at the target's own
-    * `__rows` (cross-version duplicate tombstones from external CDC
-    * writers must never drive the live estimate below truth). Targets
-    * pruned from the listing don't count — their rows aren't in the
-    * row-count sum either. Metadata-only: no blob is read. */
+    * `__rows`. EXACT for engine-written deletes (direct DML computes
+    * positions over merge-on-read bases, so slices of one target never
+    * overlap across commits); an EXTERNAL CDC writer that replays
+    * overlapping tombstones can make the sum over-subtract toward the
+    * per-target floor of zero — the same estimate discipline Iceberg's
+    * snapshot-summary delete counts accept, remediable by
+    * `rewrite_deletes`/`compute_stats`. Targets pruned from the listing
+    * don't count — their rows aren't in the row-count sum either.
+    * Metadata-only: no blob is read. */
   private[v2] def tombstonesOf(root: String,
       entries: Seq[ManifestTable.FileEntry],
       decoded: Seq[Map[String, FileStats.ColStats]],
@@ -201,11 +206,18 @@ private[v2] object ColumnStatsReport {
     val rows: OptionalLong = rowCountOf(decoded)
       .map(r => OptionalLong.of(math.max(0L, r - tombstones)))
       .getOrElse(OptionalLong.empty())
-    val ndv: Map[String, Long] =
-      version.map(v => NdvStats.estimates(root, v)).getOrElse(Map.empty)
+    // ONE parent-stamp walk serves both tiers (estimates/kllSketches
+    // would each re-walk the manifests and re-read the sidecar)
+    val sketches: Map[String, Array[Byte]] = version
+      .flatMap(v => NdvStats.forVersion(root, v)).getOrElse(Map.empty)
+    val ndv: Map[String, Long] = sketches.collect {
+      case (k, v) if !k.endsWith(NdvStats.KllSuffix) =>
+        k.toLowerCase -> NdvStats.estimate(v) }
     val kll: Map[String, Array[Byte]] =
       if (!NdvStats.histogramEnabled) Map.empty
-      else version.map(v => NdvStats.kllSketches(root, v)).getOrElse(Map.empty)
+      else sketches.collect {
+        case (k, v) if k.endsWith(NdvStats.KllSuffix) =>
+          k.stripSuffix(NdvStats.KllSuffix).toLowerCase -> v }
     val numBins = scala.util.Try(
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.stats.histogram.bins", "64").toInt)

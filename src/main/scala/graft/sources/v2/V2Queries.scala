@@ -28,8 +28,6 @@ object V2Queries {
     p.toString
   }
 
-  /** Idempotently register the catalog on the session (catalog plugins
-    * resolve lazily from conf, so a runtime set works). */
   /** Restore a thread's pre-clone active session (clones pin themselves
     * active for the duration of a plan-verdict query — see
     * [[cboBroadcastJoin]] — and must not leak onto the pool thread). */
@@ -38,6 +36,8 @@ object V2Queries {
     case None => SparkSession.clearActiveSession()
   }
 
+  /** Idempotently register the catalog on the session (catalog plugins
+    * resolve lazily from conf, so a runtime set works). */
   def ensureCatalog(spark: SparkSession): Unit = synchronized {
     spark.conf.set(s"spark.sql.catalog.$Cat", classOf[VersionedCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$Cat.warehouse", warehouse)
@@ -131,10 +131,12 @@ object V2Queries {
     // through it, so without the pin the clone's conf flips are invisible
     // to the very estimates the verdict calibrates against.
     val spark = spark0.newSession()
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.setActiveSession(spark)
     ensureCatalog(spark)
     val tbl = s"$Cat.q.${newName("cbo")}"
+    // pin INSIDE the try window: a throw before the finally must not
+    // leak the clone as the pool thread's active session
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
     try {
       Tables.events(spark, dir)
         .select((col("event_id") % 5000).cast("long").as("k")).distinct()
@@ -191,10 +193,10 @@ object V2Queries {
     * table against a "filtered" side the size of the dimension. */
   def cboHistogramJoin(spark0: SparkSession, dir: String): DataFrame = {
     val spark = spark0.newSession() // conf isolation — see cboBroadcastJoin
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.setActiveSession(spark)
     ensureCatalog(spark)
     val tbl = s"$Cat.q.${newName("hist")}"
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
     try {
       Tables.events(spark, dir)
         .select((col("event_id") % 5000).cast("long").as("k")).distinct()
@@ -257,11 +259,11 @@ object V2Queries {
     * sort — the plan a hand-tuned pipeline would stage manually. */
   def sortedMergeJoin(spark0: SparkSession, dir: String): DataFrame = {
     val spark = spark0.newSession() // conf isolation — see cboBroadcastJoin
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.setActiveSession(spark)
     ensureCatalog(spark)
     val a = s"$Cat.q.${newName("smja")}"
     val b = s"$Cat.q.${newName("smjb")}"
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
     try {
       // both sides: 8 regions (identity partition), sorted on ts; the
       // hash write distribution lands one file per region
@@ -686,14 +688,14 @@ object V2Queries {
     * with no data movement at all. */
   def spjJoin(spark0: SparkSession, dir: String): DataFrame = {
     val spark = spark0.newSession() // conf isolation — see cboBroadcastJoin
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.setActiveSession(spark)
     ensureCatalog(spark)
     val ta = s"$Cat.q.${newName("spja")}"
     val tb = s"$Cat.q.${newName("spjb")}"
     val confs = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       eventsSlim(spark, dir).writeTo(ta).partitionedBy(col("event_type")).create()

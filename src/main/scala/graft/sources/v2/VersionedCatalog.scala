@@ -267,10 +267,11 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     }
     val meta = VersionedCatalog.Meta(schema, dayOf, format,
       part = part, identityCols = identityCols, userProps = userProps)
+    // declared write sort order (Iceberg's write.sort-order): validate
+    // BEFORE the descriptor persists, then publish the table-root
+    // marker every pool write consults (sort-within-file + stamp)
+    VersionedCatalog.validateSortOrderProp(meta)
     VersionedCatalog.writeMeta(root, meta)
-    // declared write sort order (Iceberg's write.sort-order): validated
-    // against the schema, then published as the table-root marker every
-    // pool write consults (sort-within-file + per-file stamp)
     VersionedCatalog.applySortOrderProp(root, meta)
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
@@ -432,10 +433,12 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
       case (_, other) => throw new UnsupportedOperationException(
         s"${other.getClass.getSimpleName} needs a data rewrite — use graft.sources.Evolution")
     }
+    // a changed sort.order validates BEFORE the descriptor persists,
+    // then re-publishes the write-side marker; the ordering REPORT
+    // stays off until every live file carries the new spec (per-file
+    // stamps — OPTIMIZE rewrites the history sorted)
+    VersionedCatalog.validateSortOrderProp(newMeta)
     VersionedCatalog.writeMeta(root, newMeta)
-    // a changed sort.order re-publishes the write-side marker; the
-    // ordering REPORT stays off until every live file carries the new
-    // spec (per-file stamps — OPTIMIZE rewrites the history sorted)
     VersionedCatalog.applySortOrderProp(root, newMeta)
     loadTable(ident)
   }
@@ -584,11 +587,12 @@ object VersionedCatalog {
       .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
       .map(c => c -> meta.physicalName(c))
 
-  /** Validate the `sort.order` property against the schema and publish
-    * (or clear) the table-root marker every pool write consults. */
-  private[v2] def applySortOrderProp(root: String, meta: Meta): Unit = {
-    val order = sortOrderOf(meta)
-    order.foreach { case (logical, _) =>
+  /** Validate the `sort.order` property against the schema — called
+    * BEFORE the descriptor persists, so an invalid spec never poisons
+    * the stored metadata (a post-write throw would leave every later
+    * unrelated ALTER re-tripping on the bad property). */
+  private[v2] def validateSortOrderProp(meta: Meta): Unit =
+    sortOrderOf(meta).foreach { case (logical, _) =>
       val f = meta.schema.fields.find(_.name.equalsIgnoreCase(logical))
         .getOrElse(throw new IllegalArgumentException(
           s"sort.order column $logical: no such column in " +
@@ -597,8 +601,11 @@ object VersionedCatalog {
         s"sort.order column $logical: ${f.dataType.simpleString} is not a " +
           "sortable atomic type")
     }
-    ManifestTable.setSortOrder(root, order.map(_._2))
-  }
+
+  /** Publish (or clear) the table-root sort marker every pool write
+    * consults — after [[validateSortOrderProp]] and the descriptor. */
+  private[v2] def applySortOrderProp(root: String, meta: Meta): Unit =
+    ManifestTable.setSortOrder(root, sortOrderOf(meta).map(_._2))
 
   /** CHECK constraints of a table: `check.<name>` user properties, each
     * a SQL predicate over the LOGICAL columns. Set via

@@ -646,6 +646,13 @@ class TableFormatSpec extends AnyFunSuite {
       assert(NdvStats.estimates(root, v5).isEmpty,
         "no stale pre-overwrite NDV is presented")
     } finally spark.conf.unset("spark.graft.stats.ndv")
+    // a SKETCHED append on top of the sentinel covers only its own rows
+    // (the replaced base was never sketched) — it must publish MARKED
+    val v6 = ManifestTable.append(
+      Seq((2L, "more")).toDF("k", "v"), root, retain = 10)
+    val r6 = NdvStats.resolve(root, v6)
+    assert(r6.exists(r => r.sketches.nonEmpty && r.stale),
+      s"fresh-only sketch over an unsketched base reads stale, got $r6")
   }
 
   test("NDV sidecar-lag race: racing data commits keep the union upper bound") {
