@@ -530,6 +530,10 @@ object ManifestTable {
   private[graft] def opOf(root: String, v: Long): Option[String] =
     scala.util.Try(headProp(root, v, OpProp)).toOption.flatten
 
+  /** A manifest's commit instant (mtime), None when unreadable. */
+  private[graft] def manifestMtimeMillis(root: String, v: Long): Option[Long] =
+    scala.util.Try(MetaIO.mtimeMillis(manifestPath(root, v))).toOption
+
   /** The stamped logical parent of a committed version. */
   private[graft] def parentOf(root: String, v: Long): Option[Long] =
     scala.util.Try(headProp(root, v, ParentProp)).toOption.flatten
@@ -1211,7 +1215,9 @@ object ManifestTable {
               // resolveFresh waits out the sibling-commit sidecar lag.
               val parent = if (carriedBase)
                 baseV.flatMap(p => NdvStats.resolveFresh(root, p)) else None
-              val merged = parent.map(r => NdvStats.merge(r.sketches, m))
+              val merged = parent
+                .map(r => NdvStats.merge(
+                  NdvStats.alignHistogram(r.sketches, m), m))
                 .getOrElse(m)
               // a carried base whose sketch resolution FAILED outright
               // (pre-stamp history, broken walk) or resolved to the

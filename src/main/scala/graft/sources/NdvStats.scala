@@ -209,6 +209,20 @@ object NdvStats {
     }.toMap
   }
 
+  /** Align the histogram tier before a commit merge: a parent KLL key
+    * with no fresh counterpart means this commit's rows were never
+    * quantile-sketched (histogram tier switched off, or the column fell
+    * out of the cap) — carrying the parent's bins forward one-sided
+    * would present a distribution that misses every new row with NO
+    * stale signal (the gap detector only sees missing sidecars).
+    * Dropping them resets the histogram honestly; NDV keys pass
+    * untouched (one-sided HLL is the marked-stale under-count path).
+    * Deliberately NOT inside [[merge]]: gc's lineage republish copies a
+    * resolved sidecar verbatim, where one-sided KLL must survive. */
+  def alignHistogram(parent: Map[String, Array[Byte]],
+                     fresh: Map[String, Array[Byte]]): Map[String, Array[Byte]] =
+    parent.filter { case (k, _) => !k.endsWith(KllSuffix) || fresh.contains(k) }
+
   def estimate(bytes: Array[Byte]): Long =
     Try(math.round(
       org.apache.datasketches.hll.HllSketch.heapify(bytes).getEstimate))
@@ -323,10 +337,18 @@ object NdvStats {
     * to the plain resolve — whose gap detection marks the result STALE,
     * so the residual under-count stays visible, never silent. */
   def resolveFresh(root: String, version: Long): Option[Resolved] = {
-    var attempts = 0
-    while (attempts < 6 && readWithStale(root, version).isEmpty &&
+    // the lag race only exists for a JUST-flipped sibling: an old
+    // parent manifest whose sidecar never came (opted-out writer,
+    // crashed harvest) will never produce one — don't burn 600 ms per
+    // commit polling for it (it falls through stale-marked regardless)
+    def worthWaiting: Boolean =
+      readWithStale(root, version).isEmpty &&
         RowAddingOps.contains(
-          ManifestTable.opOf(root, version).getOrElse("overwrite"))) {
+          ManifestTable.opOf(root, version).getOrElse("overwrite")) &&
+        ManifestTable.manifestMtimeMillis(root, version)
+          .exists(_ > System.currentTimeMillis() - 10000L)
+    var attempts = 0
+    while (attempts < 6 && worthWaiting) {
       Thread.sleep(100L)
       attempts += 1
     }

@@ -203,9 +203,20 @@ private[v2] object ColumnStatsReport {
             deleteEntries: Seq[ManifestTable.FileEntry] = Nil): Statistics = {
     val decoded = entries.map(e => FileStats.decode(e.stats.getOrElse("")))
     val tombstones = tombstonesOf(root, entries, decoded, deleteEntries)
-    val rows: OptionalLong = rowCountOf(decoded)
-      .map(r => OptionalLong.of(math.max(0L, r - tombstones)))
-      .getOrElse(OptionalLong.empty())
+    val totalRows = rowCountOf(decoded)
+    val liveRows = totalRows.map(r => math.max(0L, r - tombstones))
+    val rows: OptionalLong = liveRows
+      .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    // per-column null counts come from the UNDELETED footer stats: once
+    // tombstones subtract from rowCount they must scale too, or a column
+    // could report nullCount > rowCount and FilterEstimation's
+    // null-fraction math goes NEGATIVE (uniform-deletion estimate,
+    // capped at the live count)
+    def scaleNulls(n: Long): Long = (totalRows, liveRows) match {
+      case (Some(t), Some(l)) if tombstones > 0 && t > 0 =>
+        math.min(l, math.round(n.toDouble * l / t))
+      case _ => n
+    }
     // ONE parent-stamp walk serves both tiers (estimates/kllSketches
     // would each re-walk the manifests and re-read the sidecar)
     val sketches: Map[String, Array[Byte]] = version
@@ -227,7 +238,7 @@ private[v2] object ColumnStatsReport {
       FileStats.tagOf(f.dataType).foreach { tag =>
         val phys = physicalName(f.name).toLowerCase
         val (mn, mx, nulls0) = foldBounds(decoded, phys, tag)
-        val nulls = if (entries.isEmpty) Some(0L) else nulls0
+        val nulls = (if (entries.isEmpty) Some(0L) else nulls0).map(scaleNulls)
         val colNdv = ndv.get(phys).filter(_ > 0L)
         val stat = ColStat(colNdv,
           mn.flatMap(catalystValue(f.dataType, tag, _)),

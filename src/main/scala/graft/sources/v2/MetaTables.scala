@@ -176,8 +176,15 @@ object MetaTables {
     val (delEntries, entries) = liveEntries(root).partition(e => isDelete(e.rel))
     val decoded = entries.map(e => FileStats.decode(e.stats.getOrElse("")))
     val tombstones = ColumnStatsReport.tombstonesOf(root, entries, decoded, delEntries)
-    val rows: Option[Long] = ColumnStatsReport.rowCountOf(decoded)
-      .map(r => math.max(0L, r - tombstones))
+    val totalRows = ColumnStatsReport.rowCountOf(decoded)
+    val rows: Option[Long] = totalRows.map(r => math.max(0L, r - tombstones))
+    // keep null_count consistent with the live n_rows (see
+    // ColumnStatsReport.build — undeleted footer nulls scale uniformly)
+    def scaleNulls(n: Long): Long = (totalRows, rows) match {
+      case (Some(t), Some(l)) if tombstones > 0 && t > 0 =>
+        math.min(l, math.round(n.toDouble * l / t))
+      case _ => n
+    }
     val resolved = (if (ManifestTable.exists(root))
         ManifestTable.currentVersion(root) else None)
       .flatMap(v => NdvStats.resolve(root, v))
@@ -192,7 +199,7 @@ object MetaTables {
           utf8(f.name),
           ndv.get(phys).filter(_ > 0L).map(Long.box).orNull,
           mn.map(utf8).orNull, mx.map(utf8).orNull,
-          nulls.map(Long.box).orNull,
+          nulls.map(scaleNulls).map(Long.box).orNull,
           rows.map(Long.box).orNull,
           resolved.map(r => Long.box(r.version)).orNull,
           resolved.map(r => Boolean.box(r.stale)).orNull)): InternalRow

@@ -166,9 +166,9 @@ object V2Queries {
         without.exists(_.contains("SortMergeJoin")) &&
         !without.exists(_.contains("BroadcastHashJoin"))
       planned(cbo = true).withColumn("cbo_ok", lit(cboOk)).localCheckpoint(true)
-    } finally { // clone confs die with it; the thread's active session restores
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    } finally { // restore FIRST: a failing DROP must not leak the clone
       restoreActive(prevActive)
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $tbl"))
     }
   }
 
@@ -231,9 +231,9 @@ object V2Queries {
         without.exists(_.contains("SortMergeJoin")) &&
         !without.exists(_.contains("BroadcastHashJoin"))
       planned(hist = true).withColumn("hist_ok", lit(histOk)).localCheckpoint(true)
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    } finally { // restore FIRST: a failing DROP must not leak the clone
       restoreActive(prevActive)
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $tbl"))
     }
   }
 
@@ -289,27 +289,17 @@ object V2Queries {
           Dsl.dsum(col("value_b")).as("volume_b"))
       // finalize the adaptive plan, then audit the merge-join subtree
       joined.collect()
-      def walk(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        val kids = p match {
-          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(ad.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        p +: kids.flatMap(walk)
-      }
-      val nodes = walk(joined.queryExecution.executedPlan)
+      val nodes = GraftScans.executedNodes(joined.queryExecution.executedPlan)
       val below = nodes.dropWhile(!_.nodeName.contains("SortMergeJoin"))
       val sortedOk = below.nonEmpty &&
         !below.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]) &&
         !below.exists(
           _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
       joined.withColumn("sorted_ok", lit(sortedOk)).localCheckpoint(true)
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $a")
-      spark.sql(s"DROP TABLE IF EXISTS $b")
+    } finally { // restore FIRST: a failing DROP must not leak the clone
       restoreActive(prevActive)
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $a"))
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $b"))
     }
   }
 
@@ -707,24 +697,14 @@ object V2Queries {
         .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"),
           max(col("type_total")).as("type_total"))
       val out = joined.localCheckpoint(true) // executes the join
-      def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        p match {
-          case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
-          case q: QueryStageExec =>
-            (if (q.plan.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1
-             else 0) + countShuffles(q.plan)
-          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
-            1 + s.children.map(countShuffles).sum
-          case other => other.children.map(countShuffles).sum
-        }
-      }
-      val spjOk = countShuffles(joined.queryExecution.executedPlan) == 0
+      val spjOk = GraftScans.executedNodes(joined.queryExecution.executedPlan)
+        .count(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0
       out.withColumn("spj_ok", lit(spjOk))
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $ta")
-      spark.sql(s"DROP TABLE IF EXISTS $tb")
+    } finally { // restore FIRST: a failing DROP must not leak the clone
       restoreActive(prevActive)
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $ta"))
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $tb"))
     }
   }
 

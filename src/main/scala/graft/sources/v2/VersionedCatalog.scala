@@ -1910,6 +1910,24 @@ object GraftScans {
       innermost(k.inner)
     case other => other
   }
+
+  /** Pre-order nodes of an EXECUTED physical plan, traversing THROUGH
+    * adaptive wrappers and materialized query stages — their plans are
+    * fields, not children, so a plain `collect` silently misses a node
+    * (a Sort, a shuffle) sitting inside a finalized stage. Shared by
+    * the plan-verdict queries and their specs so the traversal can
+    * never diverge between the two. */
+  def executedNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(executedNodes)
+  }
 }
 
 /** Shared statistics passthrough for wrapper scans. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.v2.VersionedCatalog
+import graft.sources.v2.{GraftScans, VersionedCatalog}
 
 /** DataSource V2 catalog integration: versioned tables as first-class
   * planner objects — SQL DDL/DML, INSERT through the V2 write path,
@@ -874,18 +874,8 @@ class V2CatalogSpec extends AnyFunSuite {
       "the file is stamped with its sort spec")
     def sortNodes(df: org.apache.spark.sql.DataFrame): Seq[SortExec] = {
       df.collect() // finalize any adaptive plan
-      // traverse THROUGH adaptive wrappers and materialized query stages
-      // (their plans are fields, not children — a plain collect misses
-      // a Sort sitting inside a finalized stage)
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[SortExec] = {
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        (p match { case s: SortExec => Seq(s); case _ => Nil }) ++ kids.flatMap(walk)
-      }
-      walk(df.queryExecution.executedPlan)
+      GraftScans.executedNodes(df.queryExecution.executedPlan)
+        .collect { case s: SortExec => s }
     }
     // the ordering reaches catalyst: the relation records k ASC
     val rel = spark.table("gtest.ns.sorted").queryExecution.optimizedPlan.collectFirst {
@@ -962,16 +952,7 @@ class V2CatalogSpec extends AnyFunSuite {
         .groupBy(col("region")).agg(count(lit(1)).as("n"))
       val rows = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(rows.nonEmpty)
-      def walk(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        p +: kids.flatMap(walk)
-      }
-      val nodes = walk(joined.queryExecution.executedPlan)
+      val nodes = GraftScans.executedNodes(joined.queryExecution.executedPlan)
       assert(nodes.exists(_.nodeName.contains("SortMergeJoin")),
         s"expected a merge join, got ${nodes.map(_.nodeName).distinct}")
       val joinSubtree = nodes.dropWhile(!_.nodeName.contains("SortMergeJoin"))
