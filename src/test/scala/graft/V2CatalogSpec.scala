@@ -1041,6 +1041,23 @@ class V2CatalogSpec extends AnyFunSuite {
       assert(off.exists(_.contains("SortMergeJoin")) &&
         !off.exists(_.contains("BroadcastHashJoin")),
         s"uniform estimation must keep the sort-merge join, got $off")
+      // an append whose writer had the histogram tier OFF resets the
+      // quantile keys instead of carrying bins that miss its rows — the
+      // reader sees NO histogram (honest) rather than a silent one
+      spark.conf.set("spark.graft.stats.histogram", "false")
+      try spark.sql("INSERT INTO gtest.ns.hstat " +
+        "SELECT id + 200000, 42, 'x' FROM range(10)")
+      finally spark.conf.unset("spark.graft.stats.histogram")
+      assert(NdvStats.kllSketches(root,
+        ManifestTable.currentVersion(root).get).isEmpty,
+        "a histogram-off append drops the parent's one-sided KLL keys")
+      val vStat2 = spark.table("gtest.ns.hstat").queryExecution
+        .optimizedPlan.stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == "v" => cs }.get
+      assert(vStat2.histogram.isEmpty,
+        "no histogram is reported over the unsketched rows")
+      assert(vStat2.distinctCount.isDefined,
+        "the NDV tier is unaffected by the histogram reset")
     } finally {
       saved.foreach { case (x, Some(value)) => spark.conf.set(x, value)
                       case (x, None) => spark.conf.unset(x) }
@@ -1055,8 +1072,10 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS gtest.ns.dstat")
     spark.sql("DROP TABLE IF EXISTS gtest.ns.dfact")
     spark.sql("CREATE TABLE gtest.ns.dstat (k BIGINT, v STRING)")
-    spark.sql("INSERT INTO gtest.ns.dstat SELECT id, md5(cast(id AS string)) " +
-      "FROM range(20000)")
+    // v NULL for half the rows: the null count must stay consistent with
+    // the delete-subtracted row count
+    spark.sql("INSERT INTO gtest.ns.dstat SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN md5(cast(id AS string)) END FROM range(20000)")
     spark.sql("CREATE TABLE gtest.ns.dfact (k BIGINT, p STRING)")
     spark.sql("INSERT INTO gtest.ns.dfact SELECT id % 20000, md5(cast(id AS string)) " +
       "FROM range(60000)")
@@ -1076,6 +1095,14 @@ class V2CatalogSpec extends AnyFunSuite {
         .exists(e => ManifestTable.isDvEntry(e.rel)), "delete landed as a DV")
       assert(rc.contains(BigInt(2000)),
         s"rowCount subtracts the exact tombstone total, got $rc")
+      // null counts scale with the subtraction: 10,000 undeleted nulls
+      // against 2,000 live rows would make FilterEstimation's null
+      // fraction 5.0 (negative IS-NOT-NULL selectivity)
+      val vNulls = spark.table("gtest.ns.dstat")
+        .queryExecution.optimizedPlan.stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == "v" => cs.nullCount }.flatten
+      assert(vNulls.exists(n => n >= 0 && n <= BigInt(2000)),
+        s"null count must not exceed the live row count, got $vNulls")
       // the planning consequence: a threshold only the SUBTRACTED
       // estimate passes (5x the live projected size — the undeleted
       // upper bound is 10x) broadcasts the churned dimension
