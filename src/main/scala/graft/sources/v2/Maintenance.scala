@@ -120,6 +120,17 @@ object Maintenance {
           retainOf(spark, root), ManifestTable.liveProps(root), op = "rewrite")
       }
     } else {
+      // Z-ORDER and a declared sort.order are both write layouts and
+      // cannot compose: the pool write applies the declared sort WITHIN
+      // each file, which would silently re-order the z-clustered rows
+      // right back out of their Morton layout. Refuse loudly — one
+      // declared layout per table (Iceberg models z-order AS the
+      // table's sort order for the same reason).
+      require(ManifestTable.sortOrder(root).isEmpty,
+        s"$ident declares a sort.order; OPTIMIZE ZORDER BY would conflict " +
+          "with it (the write re-sorts each file by the declared order). " +
+          "UNSET TBLPROPERTIES ('sort.order') first, or rely on the " +
+          "declared order instead of z-ordering")
       val zCols = zorderBy.map(meta.physicalName)
       val raw = ManifestTable.read(spark, root) // physical names
         .drop(VersionedCatalog.PartTransform.DirCol)

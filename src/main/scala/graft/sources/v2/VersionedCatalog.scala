@@ -379,6 +379,16 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
             if (p.col.equalsIgnoreCase(from)) p.copy(col = to) else p),
           identityCols = m.identityCols.map(c =>
             if (c.equalsIgnoreCase(from)) to else c),
+          // the sort.order property names LOGICAL columns — follow the
+          // rename or the declared order strands on a dead name (writes
+          // still sort — the marker is physical — but the ordering
+          // REPORT and later property validation would break)
+          userProps = m.userProps.map {
+            case (k, v) if k.equalsIgnoreCase("sort.order") =>
+              k -> v.split(',').map(_.trim).map(c =>
+                if (c.equalsIgnoreCase(from)) to else c).mkString(",")
+            case kv => kv
+          },
           renames = (m.renames.filterNot(_._1.equalsIgnoreCase(from)) +
             (to -> physical)).filterNot { case (l, p) => l == p })
       case (m, up: TableChange.UpdateColumnType) =>

@@ -908,6 +908,23 @@ class V2CatalogSpec extends AnyFunSuite {
     // column pruning that drops the sort column silences the report but
     // never breaks the query
     assert(spark.table("gtest.ns.sorted").select(col("v")).count() === 1005)
+    // RENAME follows into the property: writes keep sorting (the marker
+    // is physical) and the report works under the new logical name
+    spark.sql("ALTER TABLE gtest.ns.sorted RENAME COLUMN k TO kk")
+    assert(spark.sql("SHOW TBLPROPERTIES gtest.ns.sorted")
+      .collect().exists(r => r.getString(0) == "sort.order" && r.getString(1) == "kk"))
+    val renamed = spark.table("gtest.ns.sorted").sortWithinPartitions("kk")
+    assert(sortNodes(renamed).isEmpty, "report survives the rename")
+    // Z-ORDER and a declared sort order are both write layouts — refuse
+    val z = intercept[Exception] { spark.sql(
+      "CALL gtest.system.optimize(`table` => 'ns.sorted', zorder_by => 'kk')") }
+    assert(z.getMessage.contains("sort.order"), z.getMessage)
+    // dropping the sort column refuses until the property unsets
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.ns.sorted DROP COLUMN kk") }
+    spark.sql("ALTER TABLE gtest.ns.sorted UNSET TBLPROPERTIES ('sort.order')")
+    spark.sql("ALTER TABLE gtest.ns.sorted DROP COLUMN kk")
+    assert(spark.table("gtest.ns.sorted").columns.toSeq === Seq("v"))
     spark.sql("DROP TABLE gtest.ns.sorted")
   }
 
