@@ -561,10 +561,63 @@ object ScaleBench {
     require(spjShuffles == 0, s"SPJ must elide every exchange (got $spjShuffles)")
     require(offShuffles > 0 && spjGroups == offGroups,
       "SPJ and shuffled join must agree (and the baseline must actually shuffle)")
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.sql("DROP TABLE scale_cat.b.spa")
     spark.sql("DROP TABLE scale_cat.b.spb")
+
+    // Sorted storage-partitioned MERGE JOIN at scale: both sides
+    // identity-partitioned on the join prefix and DECLARED sorted on the
+    // second key (sort.order — one stamped sorted file per partition),
+    // so the executed merge join runs with ZERO exchanges AND ZERO
+    // sorts; the same join with v2 bucketing off pays two shuffles and
+    // two sorts. At 100 TB that is the delta between streaming two
+    // co-located sorted tables through a merge and materializing both
+    // sides of a sort twice behind an exchange.
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    Seq("sma", "smb").foreach { t =>
+      spark.sql(s"CREATE TABLE scale_cat.b.$t (region BIGINT, ts BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (region) TBLPROPERTIES ('sort.order'='ts')")
+      spark.sql(s"INSERT INTO scale_cat.b.$t SELECT id % 32, " +
+        s"(id * ${if (t == "sma") 37 else 61}) % 1000000, id * 0.5 " +
+        s"FROM range($spjRows)")
+    }
+    def smjDf = spark.table("scale_cat.b.sma")
+      .join(spark.table("scale_cat.b.smb").withColumnRenamed("v", "v2"),
+        Seq("region", "ts"))
+      .groupBy(col("region")).agg(count(lit(1)).as("n"))
+    def planNodes(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.v2.GraftScans.executedNodes(df.queryExecution.executedPlan)
+    val smDf = smjDf
+    val sm0 = System.nanoTime()
+    val smGroups = smDf.count()
+    val smSecs = (System.nanoTime() - sm0) / 1e9
+    val smNodes = planNodes(smDf)
+    val smSorts = smNodes.count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    val smShuffles = smNodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    val smOffDf = smjDf
+    val smo0 = System.nanoTime()
+    val smOffGroups = smOffDf.count()
+    val smOffSecs = (System.nanoTime() - smo0) / 1e9
+    val smOffNodes = planNodes(smOffDf)
+    val smOffSorts = smOffNodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    println(f"[scale] sorted_merge_join rows=$spjRows sorted_secs=$smSecs%.1f " +
+      f"sorts=$smSorts shuffles=$smShuffles " +
+      f"shuffled_secs=$smOffSecs%.1f shuffled_sorts=$smOffSorts " +
+      f"speedup=${smOffSecs / smSecs}%.2f")
+    require(smNodes.exists(_.nodeName.contains("SortMergeJoin")) &&
+      smSorts == 0 && smShuffles == 0,
+      s"sorted SPJ merge join must elide every sort and exchange " +
+        s"(sorts=$smSorts shuffles=$smShuffles)")
+    require(smOffSorts > 0 && smGroups == smOffGroups,
+      "sorted and shuffled joins must agree (and the baseline must sort)")
+    spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE scale_cat.b.sma")
+    spark.sql("DROP TABLE scale_cat.b.smb")
 
     // Change data feed at scale: the streaming initial snapshot reads the
     // whole table (vectorized — no delete slices), then a small MOR
