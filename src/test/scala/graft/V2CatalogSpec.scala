@@ -1317,6 +1317,42 @@ class V2CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gtest.ns.rof")
   }
 
+  test("distributed orphan sweep expands SHARDED manifests on executors") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.rofs")
+    // a tiny inline budget forces the manifest into shard files, so the
+    // referenced set must come from EXECUTOR-side shard reads (the
+    // 4096-file ScaleBench shape, reproduced small)
+    Seq("spark.graft.manifest.inlineEntries" -> "4",
+      "spark.graft.write.distribution" -> "none",
+      "spark.graft.orphan.distributeMinFiles" -> "0")
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.sql("CREATE TABLE gtest.ns.rofs (k BIGINT)")
+      spark.range(24).selectExpr("id AS k").repartition(12)
+        .writeTo("gtest.ns.rofs").append()
+      spark.range(24).selectExpr("id + 24 AS k").repartition(12)
+        .writeTo("gtest.ns.rofs").append()
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/rofs"
+      val (refs, inline) = ManifestTable.manifestIndex(root,
+        ManifestTable.currentVersion(root).get)
+      assert(refs.nonEmpty, s"fixture must shard (refs=${refs.size} inline=${inline.size})")
+      val junk = java.nio.file.Paths.get(s"$root/data/orphan_sharded.parquet")
+      java.nio.file.Files.write(junk, Array[Byte](1))
+      val swept = ManifestTable.removeOrphanFiles(root,
+        olderThanMillis = Some(System.currentTimeMillis() + 60000))
+      assert(swept.size === 1 && swept.head.endsWith("orphan_sharded.parquet"),
+        s"only the planted junk sweeps — shard-referenced files survive, got $swept")
+      assert(!java.nio.file.Files.exists(junk))
+      assert(spark.table("gtest.ns.rofs").count() === 48, "table intact")
+    } finally {
+      Seq("spark.graft.manifest.inlineEntries", "spark.graft.write.distribution",
+        "spark.graft.orphan.distributeMinFiles").foreach(spark.conf.unset)
+      spark.sql("DROP TABLE gtest.ns.rofs")
+    }
+  }
+
   test("spark.graft.read.branch: opt-in audit reads resolve the staged head; default reads main") {
     import graft.sources.ManifestTable
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
