@@ -39,12 +39,19 @@ Partition-directory values ('__day=D', '__part=P', identity 'col=v')
 re-derive exactly as hive-style partitioning, which DuckDB understands
 natively via hive_partitioning=1.
 
+Shallow clones: an entry rel prefixed 'ext/' lives in ANOTHER table's
+pool — the source data directory is the single line of the immutable
+<root>/_clone_src sidecar; resolve 'ext/<rel>' as '<clone_src>/<rel>'
+(everything after the prefix keeps the source's layout, partition dirs
+included).
+
 Usage:
   python3 scripts/duckdb_versioned.py <table_root> [SQL over view 't']
   python3 scripts/duckdb_versioned.py <table_root> --version N [SQL]
 
 Default SQL: SELECT COUNT(*) AS n_rows FROM t
 """
+import os
 import sys
 
 import duckdb
@@ -119,7 +126,20 @@ def resolve(root: str, version=None):
                 entries += [_parse_line(sl.rstrip("\n")) for sl in s if sl.strip()]
         else:
             entries.append(_parse_line(l))
-    data = [(f"{root}/data/{r}", q) for r, q, _ in entries
+    # shallow clones: an `ext/` rel resolves into the SOURCE pool named
+    # by the immutable _clone_src sidecar (protocol: one external base)
+    clone_src = None
+    if os.path.exists(f"{root}/_clone_src"):
+        with open(f"{root}/_clone_src") as f:
+            clone_src = f.read().strip()
+
+    def path_of(rel):
+        if rel.startswith("ext/"):
+            assert clone_src, f"{root} has ext/ entries but no _clone_src"
+            return f"{clone_src}/{rel[4:]}"
+        return f"{root}/data/{rel}"
+
+    data = [(path_of(r), q) for r, q, _ in entries
             if not r.startswith("__deletes/")]
     pos = [f"{root}/data/{r}" for r, q, _ in entries
            if r.startswith("__deletes/")

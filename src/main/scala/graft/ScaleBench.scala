@@ -224,6 +224,37 @@ object ScaleBench {
       f"rows_after=$cpRows secs=$cpSecs%.2f")
     require(cpRows == catRows + 1, "cherry-pick must restore the appended row")
 
+    // shallow clone at scale: cloning the thousands-of-files table is
+    // METADATA-ONLY — one manifest of ext/ references (re-sharded by the
+    // commit loop) + descriptor + stats sidecar; ZERO data bytes move
+    // however large the source, and every pruning tier works through the
+    // external references (the one-day window below opens the same file
+    // fraction the source scan does).
+    val cl0 = System.nanoTime()
+    graft.sources.v2.Maintenance.cloneTable(spark, "scale_cat.b.ev", "scale_cat.b.evc")
+    val clSecs = (System.nanoTime() - cl0) / 1e9
+    val cloneRoot = s"$wh/b/evc"
+    val clonePoolBytes =
+      if (!new java.io.File(s"$cloneRoot/data").exists()) 0L
+      else graft.sources.MetaIO.listFilesRec(s"$cloneRoot/data").map(_.getLen).sum
+    val cloneMetaBytes = graft.sources.MetaIO.listFilesRec(s"$cloneRoot/manifests")
+      .map(_.getLen).sum
+    val cloneScanned = spark.table("scale_cat.b.evc")
+      .where(col("ts") >= lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+        && col("ts") < lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }.map(graft.sources.v2.GraftScans.innermost).collect {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.inputFiles.length
+      }.sum
+    println(f"[scale] clone_meta files_total=$totalFiles data_bytes_copied=$clonePoolBytes " +
+      f"meta_bytes=$cloneMetaBytes files_scanned_1day=$cloneScanned secs=$clSecs%.2f")
+    require(clonePoolBytes == 0L, "shallow clone must copy zero data bytes")
+    require(cloneScanned * 8 < totalFiles,
+      "day pruning must survive the clone's external references")
+    spark.sql("DROP TABLE scale_cat.b.evc")
+
     // column statistics at scale: the CTAS commit carried the NDV sketch
     // (one Observation riding the write job — no read-back pass), and
     // the CBO report is METADATA-ONLY — a fold over the pruned manifest

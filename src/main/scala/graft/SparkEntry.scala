@@ -162,6 +162,9 @@ object SparkEntry {
     "rollback_scan" -> ((s, d) => graft.sources.v2.V2Queries.rollbackScan(s, d)),
     "cherrypick_scan" -> ((s, d) => graft.sources.v2.V2Queries.cherrypickScan(s, d)),
     "fsck_scan" -> ((s, d) => graft.sources.v2.V2Queries.fsckScan(s, d)),
+    // zero-copy shallow clone: metadata-only CALL clone, divergent
+    // append + merge-on-read delete on the clone, source isolated
+    "clone_scan" -> ((s, d) => graft.sources.v2.V2Queries.cloneScan(s, d)),
     "stream_cdf_gold" -> ((s, d) => graft.sources.v2.V2Queries.streamCdfGold(s, d)),
     // a merge-on-read UPDATE surfaces as update_preimage/update_postimage
     // pairs at one version (Delta CDF's four-valued contract)
@@ -317,6 +320,7 @@ object SparkEntry {
     "rollback_scan" -> graft.sources.v2.V2Queries.oracle.rollbackScan,
     "cherrypick_scan" -> graft.sources.v2.V2Queries.oracle.cherrypickScan,
     "fsck_scan" -> graft.sources.v2.V2Queries.oracle.fsckScan,
+    "clone_scan" -> graft.sources.v2.V2Queries.oracle.cloneScan,
     "stream_cdf_gold" -> graft.sources.v2.V2Queries.oracle.streamCdfGold,
     "cdf_update_images" -> graft.sources.v2.V2Queries.oracle.cdfUpdateImages,
     "stream_scd2_gold" -> graft.sources.v2.V2Queries.oracle.streamScd2Gold,

@@ -461,14 +461,18 @@ object MergeInto {
     // re-derive from directory names, and _metadata gives row identity.
     // Planned through the manifest-seeded index — a DML base read over a
     // large table must not pay a per-statement listing job.
-    val base = ManifestTable.seededRead(spark, root, "parquet", dataEntries,
-      userSchema = Some(meta.physicalSchema))
-    val keyed = base.select(
-      meta.schema.fields.toIndexedSeq.map(f =>
-        col(meta.physicalName(f.name)).as(f.name)) ++
-        Seq(regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1)
-          .as("__mor_rel"),
-          col("_metadata.row_index").as("__mor_pos")): _*)
+    // row identity derives PER LEG: a shallow clone's listing splits into
+    // a local and an ext/ (source-pool) read, and `_metadata` does not
+    // resolve through their union
+    val keyed = ManifestTable.seededReadLegs(spark, root, "parquet", dataEntries,
+        userSchema = Some(meta.physicalSchema))
+      .map(_.select(
+        meta.schema.fields.toIndexedSeq.map(f =>
+          col(meta.physicalName(f.name)).as(f.name)) ++
+          Seq(regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1)
+            .as("__mor_rel"),
+            col("_metadata.row_index").as("__mor_pos")): _*))
+      .reduce(_ unionByName _)
     val (eqDel, posDel) = delEntries.partition(e => ManifestTable.isEqDeleteEntry(e.rel))
     val afterPos =
       if (posDel.isEmpty) keyed

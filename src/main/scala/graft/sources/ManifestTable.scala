@@ -224,8 +224,11 @@ object ManifestTable {
     * rewrites materialize them away. */
   val DeleteDir = "__deletes"
 
-  /** True for manifest entries under the reserved delete directory. */
-  def isDeleteEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/")
+  /** True for manifest entries under the reserved delete directory.
+    * (Clones refuse sources with live delete entries, so `ext/` delete
+    * entries never exist — the [[plainRel]] read here is defensive.) */
+  def isDeleteEntry(rel: String): Boolean =
+    plainRel(rel).startsWith(s"$DeleteDir/")
 
   /** True for DELETION-VECTOR entries (`__deletes/dv_*.bin`): one binary
     * blob holding the positional tombstones of many data files, one
@@ -233,7 +236,8 @@ object ManifestTable {
     * `dv=` stats index ([[DeleteVectors]] — the Iceberg-v3/Delta DV
     * shape). Produced by [[rewriteDeletes]]; applying deletes to a file
     * costs ONE ranged read of its own section. */
-  def isDvEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/dv_")
+  def isDvEntry(rel: String): Boolean =
+    plainRel(rel).startsWith(s"$DeleteDir/dv_")
 
   /** True for EQUALITY-delete entries (`__deletes/eq_*.parquet`): parquet
     * files whose columns ARE the retraction key — every row of an older
@@ -241,18 +245,76 @@ object ManifestTable {
     * Iceberg v2's equality delete, the shape a CDC/Flink writer emits when
     * it cannot know row positions. Scoped by commit sequence: applies only
     * to data files with a strictly SMALLER sequence ([[FileEntry.seq]]). */
-  def isEqDeleteEntry(rel: String): Boolean = rel.startsWith(s"$DeleteDir/eq_")
+  def isEqDeleteEntry(rel: String): Boolean =
+    plainRel(rel).startsWith(s"$DeleteDir/eq_")
+
+  // ---- external (shallow-cloned) entries ---------------------------------
+
+  /** Prefix marking a manifest entry whose data file lives in ANOTHER
+    * table's pool — the Delta SHALLOW CLONE / Iceberg snapshot-table
+    * representation: the clone's manifest references the source's files
+    * byte-for-byte (rel `ext/<source-rel>`), so cloning a 100 TB table
+    * costs one manifest write and zero data IO. The source data root is
+    * recorded ONCE in the immutable `_clone_src` sidecar (written at
+    * clone time, never mutated), so rels stay short and partition-key
+    * logic sees the SOURCE layout through [[plainRel]]. New writes land
+    * in the clone's own pool as ordinary local entries; OPTIMIZE
+    * rewrites localize everything (ext entries leave the manifest, the
+    * source file is never touched — the clone's GC cannot delete what
+    * is not under its root). The documented hazard is Delta's:
+    * expiring/vacuuming the SOURCE can delete files live clones still
+    * reference (fsck on the clone detects it). Cannot collide with
+    * engine layouts: generated dirs are `__day=`/`__part=`,
+    * identity dirs always carry '=', loose files are UUID names. */
+  private[graft] val ExtPrefix = "ext/"
+
+  /** True for entries resolving into a clone SOURCE's pool. */
+  def isExtEntry(rel: String): Boolean = rel.startsWith(ExtPrefix)
+
+  /** An entry's rel in SOURCE-layout terms: partition-key directories,
+    * day values, delete-dir membership all read through this, so an
+    * `ext/` entry behaves exactly like the source file it names. */
+  private[graft] def plainRel(rel: String): String =
+    if (isExtEntry(rel)) rel.substring(ExtPrefix.length) else rel
+
+  private val cloneSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  /** The clone-source DATA directory of a root (contents of its
+    * immutable `_clone_src` sidecar), None for ordinary tables. Cached
+    * per JVM — the sidecar is written once at clone time and never
+    * changes for the life of the table. */
+  private[graft] def cloneSrcOf(root: String): Option[String] =
+    cloneSrcCache.computeIfAbsent(root, r => {
+      val p = s"$r/_clone_src"
+      if (MetaIO.exists(p)) Some(MetaIO.readString(p).trim) else None
+    })
+
+  /** Absolute path of a manifest entry's data file: the root's own pool
+    * for ordinary entries, the clone source's pool for `ext/` entries.
+    * Every READ resolution (scans, MOR artifacts, fsck probes, byte-size
+    * fallbacks) goes through here; WRITE paths never do — staged files
+    * always move into the local pool. */
+  private[graft] def dataPath(root: String, rel: String): String =
+    if (isExtEntry(rel))
+      s"${cloneSrcOf(root).getOrElse(throw new IllegalStateException(
+        s"$root carries ext/ manifest entries but no _clone_src sidecar"))}/${plainRel(rel)}"
+    else s"$root/data/$rel"
 
   /** The URL-ENCODED relative form of a pool path — the representation
     * `_metadata.file_path`-derived row identities (tombstone `__file`
     * values) use. Identical to the raw rel for the engine's own layouts
     * (UUID names, `__day=`/`__part=` dirs); differs only when identity
-    * partition values need URI escaping (spaces, '%'). */
+    * partition values need URI escaping (spaces, '%'). For an `ext/`
+    * entry this is the SOURCE-relative form (the resolved path's own
+    * `/data/` suffix), matching what `_metadata.file_path` yields when
+    * the clone scans the source file — tombstones written against the
+    * clone key by the same string. */
   private[graft] def encodedRel(root: String, rel: String): String = {
     val enc = org.apache.spark.paths.SparkPath.fromPath(
-      new org.apache.hadoop.fs.Path(s"$root/data/$rel")).urlEncoded
+      new org.apache.hadoop.fs.Path(dataPath(root, rel))).urlEncoded
     val i = enc.lastIndexOf("/data/")
-    if (i < 0) rel else enc.substring(i + "/data/".length)
+    if (i < 0) plainRel(rel) else enc.substring(i + "/data/".length)
   }
 
   /** Live delete entries (empty for tables with no merge-on-read state) —
@@ -424,9 +486,13 @@ object ManifestTable {
     ShardRef(p(0), p(1), p(2).toInt, p.lift(3).getOrElse(""))
   }
 
-  /** Partition key of a manifest entry: its directory prefix. Keys are
-    * path-derived, so an entry can never change key between versions. */
-  private[graft] def keyOf(rel: String): String = {
+  /** Partition key of a manifest entry: its directory prefix, in SOURCE
+    * layout for `ext/` entries (a cloned `__day=d` file keys exactly like
+    * a local one, so day pruning, replaceDays/dropDays scoping and shard
+    * keying treat clones transparently). Keys are path-derived, so an
+    * entry can never change key between versions. */
+  private[graft] def keyOf(rel0: String): String = {
+    val rel = plainRel(rel0)
     val i = rel.lastIndexOf('/')
     if (i < 0) "" else rel.substring(0, i)
   }
@@ -584,9 +650,11 @@ object ManifestTable {
       throw new IllegalStateException(s"no committed version under $root")))
 
   /** Day value of a manifest entry, None for unpartitioned files. */
-  private def dayOf(rel: String): Option[String] =
+  private def dayOf(rel0: String): Option[String] = {
+    val rel = plainRel(rel0)
     if (rel.startsWith(s"$DayCol=")) Some(rel.takeWhile(_ != '/').stripPrefix(s"$DayCol="))
     else None
+  }
 
   /** True iff every live DATA entry lives under a `__day=` directory —
     * the prerequisite of the day-scoped rewrite fast paths. After a
@@ -651,15 +719,31 @@ object ManifestTable {
   private[graft] def seededRead(spark: SparkSession, root: String, fmt: String,
                          entries: Seq[FileEntry],
                          userSchema: Option[org.apache.spark.sql.types.StructType])
-      : DataFrame = {
-    val sizes: Map[org.apache.hadoop.fs.Path, (Long, Long)] = entries
-      .flatMap(e => FileStats.byteSize(FileStats.decode(e.stats.getOrElse("")))
-        .map(new org.apache.hadoop.fs.Path(s"$root/data/${e.rel}") -> _))
-      .toMap
-    org.apache.spark.sql.execution.datasources.GraftSeededIndex.read(
-      spark, fmt, entries.map(e => new org.apache.hadoop.fs.Path(s"$root/data/${e.rel}")), sizes,
-      Map("basePath" -> s"$root/data"), userSchema)
-  }
+      : DataFrame =
+    seededReadLegs(spark, root, fmt, entries, userSchema).reduce(_ unionByName _)
+
+  /** One seeded read per POOL BASE — local entries against `$root/data`,
+    * `ext/` (shallow-clone) entries against the clone source's pool, each
+    * with its own `basePath` so hidden-day directory derivation stays
+    * correct per base (one mixed read would refuse conflicting bases).
+    * Callers needing `_metadata` columns (row identity) must derive them
+    * PER LEG — `_metadata` does not resolve through a union. */
+  private[graft] def seededReadLegs(spark: SparkSession, root: String, fmt: String,
+                             entries: Seq[FileEntry],
+                             userSchema: Option[org.apache.spark.sql.types.StructType])
+      : Seq[DataFrame] =
+    entries.groupBy(e => isExtEntry(e.rel)).toSeq.sortBy(_._1).map { case (ext, es) =>
+      val base = if (ext) cloneSrcOf(root).getOrElse(throw new IllegalStateException(
+        s"$root carries ext/ manifest entries but no _clone_src sidecar"))
+        else s"$root/data"
+      val sizes: Map[org.apache.hadoop.fs.Path, (Long, Long)] = es
+        .flatMap(e => FileStats.byteSize(FileStats.decode(e.stats.getOrElse("")))
+          .map(new org.apache.hadoop.fs.Path(dataPath(root, e.rel)) -> _))
+        .toMap
+      org.apache.spark.sql.execution.datasources.GraftSeededIndex.read(
+        spark, fmt, es.map(e => new org.apache.hadoop.fs.Path(dataPath(root, e.rel))), sizes,
+        Map("basePath" -> base), userSchema)
+    }
 
   /** Data files of `entries` with the snapshot's deletes APPLIED. Without
     * delete entries this is [[readFiles]]; with them the parquet data is
@@ -688,12 +772,14 @@ object ManifestTable {
         s"merge-on-read deletes are a parquet capability; $root mixes formats")
       val (eqDel, posDel) = del.partition(e => isEqDeleteEntry(e.rel))
       // a DIRECT parquet read (not the per-format union) so the _metadata
-      // column resolves; basePath re-derives partition dirs as usual
-      val base = seededRead(spark, root, "parquet", data, userSchema = None)
-      val keyed = base
-        .withColumn("__mor_rel",
-          regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1))
-        .withColumn("__mor_pos", col("_metadata.row_index"))
+      // column resolves; basePath re-derives partition dirs as usual.
+      // Row identity derives PER LEG (`_metadata` does not resolve
+      // through the local/ext union a cloned table's listing splits into)
+      val keyed = seededReadLegs(spark, root, "parquet", data, userSchema = None)
+        .map(_.withColumn("__mor_rel",
+            regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1))
+          .withColumn("__mor_pos", col("_metadata.row_index")))
+        .reduce(_ unionByName _)
       val afterPos =
         if (posDel.isEmpty) keyed
         else {
@@ -2131,7 +2217,10 @@ object ManifestTable {
           d.refs.filter(r => candKeys.contains(r.key))
             .flatMap(r => shardEntries(root, r.rel).map(_.rel))
       }.toSet
-      (candidates -- referenced).foreach { rel =>
+      // ext/ (shallow-clone) entries are NEVER deleted by the clone's gc
+      // — the file lives in the SOURCE's pool; only the source's own
+      // lifecycle may remove it
+      (candidates -- referenced).filterNot(isExtEntry).foreach { rel =>
         // unreferenced files younger than the ORPHAN grace are protected:
         // mtime-stamped at pool entry, so the grace ages from move-in
         val p = s"$root/data/$rel"
@@ -2390,7 +2479,7 @@ object ManifestTable {
     * stat for pre-`__bytes` entries. */
   private[graft] def entryBytes(root: String, e: FileEntry): Long =
     FileStats.byteSize(FileStats.decode(e.stats.getOrElse("")))
-      .map(_._1).getOrElse(MetaIO.size(s"$root/data/${e.rel}"))
+      .map(_._1).getOrElse(MetaIO.size(dataPath(root, e.rel)))
 
   /** Snapshot history metadata table: one row per retained manifest.
     * Sizes fold from the entries' own `__bytes` (zero FS stats for
@@ -2569,6 +2658,64 @@ object ManifestTable {
           (PickedProp -> (picked + source).toSeq.sorted.mkString(",")),
         carried = base.refs)
     }
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`, Iceberg's
+    * snapshot-table action): publish `dstRoot`'s first snapshot as a
+    * manifest of `ext/`-prefixed references to the SOURCE's live data
+    * files — zero data copied, cost is one manifest write however large
+    * the source. The clone then diverges freely: appends/DML land in its
+    * own pool, OPTIMIZE localizes (rewrites drop the ext references; the
+    * clone's GC never deletes a file outside its root). The source's NDV/
+    * KLL statistics sidecar carries over, so CBO plans on the clone from
+    * commit one.
+    *
+    * Contract limits (each refused loudly):
+    *  - the source must carry no live merge-on-read DELETE entries — its
+    *    delete artifacts live in ITS pool and reference ITS lineage;
+    *    OPTIMIZE the source first (materializes the deletes), then clone;
+    *  - the source must not itself hold `ext/` entries (a clone of a
+    *    clone would need two external bases; OPTIMIZE the intermediate
+    *    clone to localize, then clone it);
+    *  - `dstRoot` must have no committed version.
+    *
+    * The documented lifecycle hazard is Delta's own: expiring snapshots /
+    * sweeping orphans on the SOURCE can delete files live clones still
+    * reference — `fsck` on the clone detects the breakage; localize
+    * clones you intend to outlive their source. */
+  def cloneTo(srcRoot: String, dstRoot: String, retain: Int = 2): Long = {
+    val srcLive = currentVersion(srcRoot).getOrElse(throw new IllegalStateException(
+      s"no committed version under $srcRoot — nothing to clone"))
+    require(currentVersion(dstRoot).isEmpty,
+      s"$dstRoot already has committed versions; clone targets a fresh root")
+    val es = entries(srcRoot, srcLive)
+    require(!es.exists(e => isDeleteEntry(e.rel)),
+      s"$srcRoot carries live merge-on-read delete entries; OPTIMIZE it " +
+        "(materializes the deletes), then clone")
+    require(!es.exists(e => isExtEntry(e.rel)),
+      s"$srcRoot is itself a shallow clone with live ext/ entries; " +
+        "OPTIMIZE it to localize, then clone")
+    // immutable for the table's life — written before the manifest so a
+    // reader can never see ext/ entries without their base
+    MetaIO.writeAtomic(s"$dstRoot/_clone_src", s"$srcRoot/data")
+    cloneSrcCache.remove(dstRoot) // a dropped+recreated root must re-read
+    val extEntries = es.map(e => FileEntry(ExtPrefix + e.rel, e.stats, seq = None))
+    // carried props: the writer zone (day values of carried files keep
+    // their recorded interpretation) — NOT streaming idempotence markers
+    // or the change-key ledger (the clone is a NEW table; its history
+    // starts here)
+    val zp = liveProps(srcRoot).get(ZoneProp).map(ZoneProp -> _).toMap
+    val v = commitLoop(dstRoot, retain, rebase = false)(_ =>
+      Planned(extEntries, zp + (OpProp -> "clone")))
+    // statistics carry over: the source's resolved sketch at its live
+    // version IS the clone's table content (stale markers ride along).
+    // A plain write: the commit loop just published the full-replacement
+    // EMPTY sentinel here (no sketch rode the metadata-only commit), and
+    // the source's sketch must replace it — no racer exists on a
+    // just-created root.
+    NdvStats.resolve(srcRoot, srcLive).foreach(r =>
+      NdvStats.write(dstRoot, v, r.sketches, r.stale))
+    v
   }
 
   /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite the

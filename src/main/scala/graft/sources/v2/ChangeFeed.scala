@@ -504,10 +504,13 @@ private[v2] object ChangeFeedPlanner {
         // tables never have identity columns, so readPart is empty and
         // the emitted layout is exactly readData. Append-only by
         // construction — the planner declines any delete artifact.
-        return new AvroManifestScan(rels.map(rel => s"$root/data/$rel"),
+        return new AvroManifestScan(
+          rels.map(rel => ManifestTable.dataPath(root, rel)),
           readData, readData,
           maxSplitBytes = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
-      val files = rels.map(rel => new Path(s"$root/data/$rel"))
+      // ext/ (shallow-clone) entries resolve into the source pool — the
+      // clone's v1 appears in the feed as an insert of every cloned row
+      val files = rels.map(rel => new Path(ManifestTable.dataPath(root, rel)))
       val params =
         if (files.isEmpty || meta.identityCols.isEmpty) Map.empty[String, String]
         else Map("basePath" -> s"$root/data")

@@ -52,10 +52,28 @@ object Maintenance {
   def optimize(spark: SparkSession, ident: String,
                targetFileBytes: Long = 128L << 20,
                zorderBy: Seq[String] = Nil,
-               whereDays: Option[(String, String)] = None): Long = {
+               whereDays: Option[(String, String)] = None,
+               maxCommits: Int = 1): Long = {
     import org.apache.spark.sql.functions._
     val (root, meta) = resolve(spark, ident)
     val physDay = meta.dayOf.map(meta.physicalName)
+    // PARTIAL PROGRESS (Iceberg's rewrite_data_files partial-progress.
+    // max-commits): chunk the rewrite into up to `maxCommits` independent
+    // day-scoped commits — at 100 TB a monolithic OPTIMIZE is an
+    // hours-long job whose failure loses EVERYTHING and whose single
+    // commit conflicts with every concurrent day-write; chunked, a crash
+    // keeps the finished chunks and each commit's conflict surface is
+    // only its own days. Day-keyed tables only (the replace fast path
+    // carries every other day by reference); other layouts fall through
+    // to the monolithic rewrite.
+    if (maxCommits > 1 && zorderBy.isEmpty && whereDays.isEmpty)
+      physDay match {
+        case Some(pd) if meta.part.isEmpty && meta.identityCols.isEmpty &&
+            ManifestTable.isFullyDayKeyed(root) =>
+          return optimizePartial(spark, root, pd, targetFileBytes, maxCommits,
+            retainOf(spark, root))
+        case _ => () // not day-scopable: one commit below
+      }
     // DAY-SCOPED compaction (Iceberg's rewrite_data_files(filter)): only
     // the selected days' files read and rewritten — at 100 TB you compact
     // the days the ingest fragmented, never the table. Other days' files
@@ -83,7 +101,7 @@ object Maintenance {
         .isInCollection(days.toSeq))
       val bytes = ManifestTable.liveEntries(root)
         .filter(e => days.exists(d =>
-          e.rel.startsWith(s"${ManifestTable.DayCol}=$d/")))
+          ManifestTable.plainRel(e.rel).startsWith(s"${ManifestTable.DayCol}=$d/")))
         .map(e => ManifestTable.entryBytes(root, e)).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       return ManifestTable.replaceDays(
@@ -170,6 +188,56 @@ object Maintenance {
     }
   }
 
+  /** The chunked rewrite behind partial-progress OPTIMIZE: live days
+    * greedily packed into ≤`maxCommits` byte-balanced groups (manifest
+    * `__bytes` only — no FS stats), each group compacted and committed
+    * via the day-replace path. All chunks READ the pinned base snapshot
+    * (their day sets are disjoint, so earlier chunk commits never
+    * invalidate later reads) and each [[ManifestTable.replaceDays]]
+    * verifies ITS days unchanged since the pin — a concurrent write to
+    * an untouched day sails through; one to a chunk's own day fails that
+    * chunk loudly with every finished chunk already durable. */
+  private def optimizePartial(spark: SparkSession, root: String,
+                              physDayCol: String, targetFileBytes: Long,
+                              maxCommits: Int, retain: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val dataEntries = ManifestTable.liveEntries(root)
+      .filterNot(e => ManifestTable.isDeleteEntry(e.rel))
+    val dayPfx = s"${ManifestTable.DayCol}="
+    val byDay: Map[String, Long] = dataEntries
+      .groupBy(e => ManifestTable.keyOf(e.rel).stripPrefix(dayPfx))
+      .view.mapValues(_.map(e => ManifestTable.entryBytes(root, e)).sum).toMap
+    val order = byDay.keys.toSeq.sorted
+    val total = byDay.values.sum
+    val perChunk = math.max(1L, total / maxCommits)
+    // greedy in day order: contiguous chunks, each ~total/maxCommits bytes
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    var acc = 0L
+    order.foreach { d =>
+      if (acc >= perChunk && chunks.size < maxCommits) {
+        chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+        acc = 0L
+      }
+      chunks.last += d
+      acc += byDay(d)
+    }
+    val (v0, raw) = ManifestTable.readRawPinned(spark, root)
+    var last = v0
+    chunks.filter(_.nonEmpty).foreach { chunk =>
+      val days = chunk.toSet
+      val slice = raw.where(col(ManifestTable.DayCol).cast("string")
+        .isInCollection(days))
+      val bytes = chunk.map(byDay).sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      last = ManifestTable.replaceDays(
+        slice.repartition(nFiles, col(ManifestTable.DayCol))
+          .drop(ManifestTable.DayCol),
+        root, days, physDayCol, retain = retain, expectedVersion = Some(v0))
+    }
+    last
+  }
+
   /** Distributed table integrity check (FSCK): verify the LIVE
     * snapshot's physical invariants —
     *  - every manifest entry's file exists and is non-empty (one FS stat
@@ -201,7 +269,9 @@ object Maintenance {
     val (del, data) = entries.partition(e => ManifestTable.isDeleteEntry(e.rel))
     val conf = new graft.sources.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
-    val paths = entries.map(e => s"$root/data/${e.rel}")
+    // ext/ (shallow-clone) entries probe the SOURCE pool — fsck on a
+    // clone is exactly how source-side expiry breakage is detected
+    val paths = entries.map(e => ManifestTable.dataPath(root, e.rel))
     val parts = math.max(1, math.min(64, paths.size / 256 + 1))
     val nMissing =
       if (paths.isEmpty) 0L
@@ -214,7 +284,11 @@ object Maintenance {
           } catch { case _: java.io.FileNotFoundException => 1L }
         }
       }.fold(0L)(_ + _)
-    val dataRels = data.map(_.rel).toSet
+    // delete artifacts name targets in SOURCE-relative form (the
+    // _metadata-derived identity) — include the plain form of ext/
+    // (shallow-clone) entries so their live targets never read as inert
+    val dataRels = data.flatMap(e =>
+      Seq(e.rel, ManifestTable.plainRel(e.rel))).toSet
     // per-target row counts (URL-encoded keys — the identity DV slices
     // carry) for the position-bound check; targets without recorded
     // `__rows` get no bound verdict, structural decode still applies
@@ -309,6 +383,45 @@ object Maintenance {
         .toInstant.toEpochMilli
     }
     ManifestTable.removeOrphanFiles(root, cutoff, dryRun)
+  }
+
+  /** SHALLOW CLONE by identifier (Delta's `CREATE TABLE … SHALLOW
+    * CLONE src`): create `dstIdent` as a zero-copy snapshot of
+    * `srcIdent`'s live version — descriptor (schema, format, partition
+    * layout, renames, table properties incl. CHECK constraints and
+    * `sort.order`) copied, manifest published as `ext/` references into
+    * the source pool, statistics sidecar carried. One metadata write
+    * however large the source; the clone diverges freely (its writes land
+    * locally) and OPTIMIZE localizes it. See [[ManifestTable.cloneTo]]
+    * for the contract limits (no live MOR deletes on the source, no
+    * clone-of-a-clone while ext entries live) and the Delta-inherited
+    * hazard: expiring the SOURCE's snapshots can remove files live
+    * clones reference — fsck on the clone detects it. Returns the
+    * clone's first version. */
+  def cloneTable(spark: SparkSession, srcIdent: String, dstIdent: String): Long = {
+    val (srcRoot, srcMeta) = resolve(spark, srcIdent)
+    val parts = dstIdent.split('.')
+    require(parts.length == 3, s"expected cat.ns.tbl, got $dstIdent")
+    require(spark.conf.getOption(s"spark.sql.catalog.${parts(0)}")
+      .contains(classOf[VersionedCatalog].getName),
+      s"${parts(0)} is not a VersionedCatalog")
+    val wh = spark.conf.get(s"spark.sql.catalog.${parts(0)}.warehouse")
+    val dstRoot = s"$wh/${parts(1)}/${parts(2)}"
+    require(VersionedCatalog.readMeta(dstRoot).isEmpty,
+      s"$dstIdent already exists; clone targets a fresh table")
+    require(!graft.plans.Views.definitionFileExists(
+        wh, Seq(parts(1)), parts(2)),
+      s"cannot clone onto $dstIdent: a VIEW of that name exists")
+    // identity layouts surface partition values via ONE basePath per
+    // scan; a clone's listing mixes two pools — refuse rather than plan
+    // wrong partition columns (hidden transforms and day layouts are
+    // per-base and clone fine)
+    require(srcMeta.identityCols.isEmpty,
+      s"$srcIdent has identity partition columns; shallow clone supports " +
+        "hidden-transform and unpartitioned layouts (OPTIMIZE-copy instead)")
+    VersionedCatalog.writeMeta(dstRoot, srcMeta)
+    VersionedCatalog.applySortOrderProp(dstRoot, srcMeta)
+    ManifestTable.cloneTo(srcRoot, dstRoot, retain = retainOf(spark, dstRoot))
   }
 
   /** Expire retained snapshots beyond `retain` and GC unreferenced pool

@@ -73,7 +73,10 @@ object GraftProcedures {
         param("zorder_by", StringType, Some("''")),
         // inclusive day range 'YYYY-MM-DD,YYYY-MM-DD': compact ONLY those
         // days (Iceberg's rewrite_data_files(filter) shape)
-        param("where_days", StringType, Some("''")))
+        param("where_days", StringType, Some("''")),
+        // >1 = partial progress (Iceberg's partial-progress.max-commits):
+        // the rewrite chunks into up to N independent day-scoped commits
+        param("max_commits", IntegerType, Some("1")))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val tbl = input.getUTF8String(0).toString
         val target = input.getLong(1)
@@ -87,7 +90,23 @@ object GraftProcedures {
             (p(0), p(1))
           }
         val v = Maintenance.optimize(spark, s"$catalogName.$tbl", target, zorder,
-          whereDays)
+          whereDays, maxCommits = input.getInt(4))
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(StructField("version", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    case "clone" => new GraftProcedure("clone") {
+      // SHALLOW CLONE: CALL cat.system.clone('ns.src', 'ns.dst') — a
+      // zero-copy snapshot of the source's live version (Delta's
+      // CREATE TABLE … SHALLOW CLONE)
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("source", StringType),
+        param("target", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val src = input.getUTF8String(0).toString
+        val dst = input.getUTF8String(1).toString
+        val v = Maintenance.cloneTable(spark, s"$catalogName.$src", s"$catalogName.$dst")
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()

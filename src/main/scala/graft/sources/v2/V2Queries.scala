@@ -1336,6 +1336,64 @@ object V2Queries {
     }
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`) as an
+    * oracle-gated query: a day-partitioned source clones by METADATA
+    * ONLY (`clone_ok` pins the zero-copy mechanics — the clone's own
+    * pool is empty right after the CALL, and a day-filtered scan of the
+    * pure-ext clone still opens a strict subset of the files, so every
+    * pruning tier survives the external references), then DIVERGES: an
+    * append lands in the clone's local pool and a merge-on-read DELETE
+    * tombstones rows of the SOURCE-pooled files — while the source's
+    * own count never moves. The final aggregate (insert ∪ clone − the
+    * deleted cohort) is what the oracle recomputes flat. */
+  def cloneScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("cls")
+    val src = s"$Cat.q.$short"
+    val dst = s"$Cat.q.${short}_c"
+    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 3 =!= 0).writeTo(src)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .create()
+      val srcCount = spark.table(src).count()
+      spark.sql(s"CALL $Cat.system.clone(source => 'q.$short', " +
+        s"target => 'q.${short}_c')")
+      val wh = spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")
+      val dstRoot = s"$wh/q/${short}_c"
+      // zero-copy: right after the CALL the clone's pool holds NO files
+      val emptyPool = !graft.sources.MetaIO.exists(s"$dstRoot/data") ||
+        graft.sources.MetaIO.listFilesRec(s"$dstRoot/data").isEmpty
+      // pruning over pure-ext entries: a one-day window opens fewer
+      // files than the full table (both plan-time only)
+      val allFiles = scanFiles(spark.table(dst)).size
+      val dayFiles = scanFiles(spark.table(dst).where(
+        col("ts") >= lit(PruneFrom).cast("timestamp") &&
+          col("ts") < lit(PruneUntil).cast("timestamp"))).size
+      val pruned = dayFiles > 0 && dayFiles < allFiles
+      // divergence: local append + merge-on-read delete on the clone…
+      ev.where(col("event_id") % 3 === 0).writeTo(dst).append()
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark,
+        s"DELETE FROM $dst WHERE user_id % 7 = 2")
+      // …while the source never moves
+      val isolated = spark.table(src).count() == srcCount
+      spark.table(dst)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("clone_ok", lit(emptyPool && pruned && isolated))
+        .localCheckpoint(true)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+        case None => spark.conf.unset("spark.graft.delete.mode")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $dst")
+      spark.sql(s"DROP TABLE IF EXISTS $src")
+    }
+  }
+
   /** Cherry-pick (Iceberg's `cherrypick_snapshot`) as an oracle-gated
     * query — the selective half of write-audit-publish: a WAP branch
     * stages an audited append AND a junk append; `CALL
@@ -1730,6 +1788,15 @@ object V2Queries {
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS fsck_ok
          |FROM events WHERE user_id % 10 <> 3
+         |GROUP BY 1""".stripMargin
+
+    /** The clone ends as the cloned cohort ∪ the local append (= all
+      * events) minus the merge-on-read-deleted keys; zero-copy/pruning/
+      * isolation verdicts pinned TRUE. */
+    val cloneScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS clone_ok
+         |FROM events WHERE user_id % 7 <> 2
          |GROUP BY 1""".stripMargin
 
     /** Main ends as base (even ids) ∪ the audited cohort (ids ≡ 1 mod 4);

@@ -1262,9 +1262,10 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
       case (None, None) => all
       case (from, until) =>
         all.filter { e =>
-          val day = if (e.rel.startsWith(s"${ManifestTable.DayCol}="))
+          val rel = ManifestTable.plainRel(e.rel) // ext/ entries keep the source layout
+          val day = if (rel.startsWith(s"${ManifestTable.DayCol}="))
             scala.util.Try(java.time.LocalDate.parse(
-              e.rel.takeWhile(_ != '/').stripPrefix(s"${ManifestTable.DayCol}="))).toOption
+              rel.takeWhile(_ != '/').stripPrefix(s"${ManifestTable.DayCol}="))).toOption
           else None
           day match {
             case Some(d) =>
@@ -1301,7 +1302,8 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
   }
 
   /** The `__part=` directory value of an entry, None for stray files. */
-  private def partDirOf(rel: String): Option[String] = {
+  private def partDirOf(rel0: String): Option[String] = {
+    val rel = ManifestTable.plainRel(rel0)
     val pfx = s"${VersionedCatalog.PartTransform.DirCol}="
     if (rel.startsWith(pfx)) Some(rel.takeWhile(_ != '/').stripPrefix(pfx)) else None
   }
@@ -1503,7 +1505,10 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
       StructType(st.fields.map(f => f.copy(name = meta.physicalName(f.name))))
     val prunedEs = prunedEntries
     val rels = prunedEs.map(_.rel)
-    val files = rels.map(rel => new Path(s"$root/data/$rel"))
+    // ext/ (shallow-clone) entries resolve into the SOURCE pool; local
+    // entries into ours. identity layouts never mix bases (clone refuses
+    // them — the single basePath below could not serve two pools)
+    val files = rels.map(rel => new Path(ManifestTable.dataPath(root, rel)))
     val logicalRead = required
     // merge-on-read: resolve WHICH files carry positional tombstones up
     // front (one tiny plan-time job over the delete files' __file column —
@@ -1600,7 +1605,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val sizes: Map[Path, (Long, Long)] = prunedEs.flatMap { e =>
           graft.sources.FileStats.byteSize(
             graft.sources.FileStats.decode(e.stats.getOrElse("")))
-            .map(new Path(s"$root/data/${e.rel}") -> _)
+            .map(new Path(ManifestTable.dataPath(root, e.rel)) -> _)
         }.toMap
         val index = org.apache.spark.sql.execution.datasources.GraftSeededIndex(
           spark, files, sizes, params, Some(physical(dataSchema)))

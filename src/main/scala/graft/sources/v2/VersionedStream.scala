@@ -59,7 +59,9 @@ private[v2] class VersionedMicroBatchStream(
 
   private def fileScanFor(rels: Seq[String])
       : org.apache.spark.sql.connector.read.Scan = {
-    val files = rels.map(rel => new Path(s"$root/data/$rel"))
+    // ext/ (shallow-clone) entries resolve into the source pool: a fresh
+    // stream over a clone serves the cloned files as version 1's batch
+    val files = rels.map(rel => new Path(ManifestTable.dataPath(root, rel)))
     if (meta.format == "avro")
       // the manifest IS the listing (no index/partition discovery); avro
       // tables never have identity columns, so readPart is empty and the

@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+import graft.sources.v2.VersionedCatalog
+
+/** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`, Iceberg's
+  * snapshot-table action): zero-copy table clones through `ext/` manifest
+  * references into the source pool.
+  *
+  * Contract under test:
+  *  - the clone is a METADATA-only commit (its own pool is empty);
+  *  - reads (incl. hidden-day pruning and time-addressed planning) see
+  *    the source's snapshot exactly;
+  *  - the clone DIVERGES: appends land locally, merge-on-read DELETEs
+  *    tombstone source-pooled files, the source never changes;
+  *  - OPTIMIZE localizes (ext entries leave the manifest; source files
+  *    survive untouched);
+  *  - the clone's GC / orphan sweep never deletes a file outside its
+  *    root;
+  *  - the refusal matrix: live MOR deletes on the source, clone of a
+  *    live clone, existing target, identity layouts.
+  *
+  * Reference behavior anchor: Delta CLONE semantics (shallow clones
+  * reference source files; VACUUM on the source is the documented
+  * hazard) — re-expressed over the manifest format.
+  */
+class CloneSpec extends AnyFunSuite {
+  private lazy val wh = java.nio.file.Files.createTempDirectory("graft_clwh").toString
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gcl", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcl.ns")
+    s
+  }
+
+  private def root(tbl: String) = s"$wh/ns/$tbl"
+  private def poolFiles(tbl: String): Seq[String] = {
+    val d = s"${root(tbl)}/data"
+    if (!new java.io.File(d).exists()) Nil
+    else {
+      def rec(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(rec) else Seq(f)
+      rec(new java.io.File(d)).map(_.getPath).filterNot(_.endsWith(".crc"))
+    }
+  }
+
+  private def mkSource(tbl: String, partitioned: Boolean = true): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS gcl.ns.$tbl")
+    val part = if (partitioned) "PARTITIONED BY (days(ts))" else ""
+    spark.sql(s"CREATE TABLE gcl.ns.$tbl (id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) $part")
+    import spark.implicits._
+    (0 until 120).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 2, 1 + i % 6, i % 24, 0), i * 1.0)
+    }.toDF("id", "ts", "v").createOrReplaceTempView(s"${tbl}_src")
+    spark.sql(s"INSERT INTO gcl.ns.$tbl SELECT * FROM ${tbl}_src")
+  }
+
+  test("clone is metadata-only and reads the source snapshot exactly") {
+    mkSource("s1")
+    val srcRows = spark.table("gcl.ns.s1").orderBy("id").collect()
+    val v = spark.sql("CALL gcl.system.clone(source => 'ns.s1', target => 'ns.s1c')")
+      .collect()(0).getLong(0)
+    assert(v >= 1L)
+    assert(poolFiles("s1c").isEmpty, "clone wrote data files — not zero-copy")
+    assert(ManifestTable.liveEntries(root("s1c"))
+      .forall(e => ManifestTable.isExtEntry(e.rel)), "clone entries must be ext/")
+    val got = spark.table("gcl.ns.s1c").orderBy("id").collect()
+    assert(got.toSeq === srcRows.toSeq)
+    // day pruning still fires over ext entries: the filtered plan reads
+    // fewer manifest entries than the full table holds
+    val n = spark.table("gcl.ns.s1c")
+      .where(col("ts") >= lit("2024-02-02").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-02-03").cast("timestamp_ntz")).count()
+    assert(n === 20L)
+    spark.sql("DROP TABLE gcl.ns.s1c"); spark.sql("DROP TABLE gcl.ns.s1")
+  }
+
+  test("clone diverges: local appends and MOR deletes never touch the source") {
+    mkSource("s2")
+    spark.sql("CALL gcl.system.clone(source => 'ns.s2', target => 'ns.s2c')")
+    val srcFiles = poolFiles("s2").sorted
+    val srcCount = spark.table("gcl.ns.s2").count()
+    import spark.implicits._
+    Seq((1000L, java.time.LocalDateTime.of(2024, 2, 9, 0, 0), 5.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("s2_extra")
+    spark.sql("INSERT INTO gcl.ns.s2c SELECT * FROM s2_extra")
+    assert(poolFiles("s2c").nonEmpty, "the append must land in the clone's pool")
+    val prev = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gcl.ns.s2c WHERE id % 4 = 1")
+    } finally prev match {
+      case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+      case None => spark.conf.unset("spark.graft.delete.mode")
+    }
+    // tombstones against SOURCE-pooled files apply on the clone…
+    assert(spark.table("gcl.ns.s2c").where(col("id") % 4 === 1).count() === 0L)
+    assert(spark.table("gcl.ns.s2c").count() === srcCount + 1 - 30)
+    // …and the source is byte-identical (same files, same rows)
+    assert(poolFiles("s2").sorted === srcFiles)
+    assert(spark.table("gcl.ns.s2").count() === srcCount)
+    spark.sql("DROP TABLE gcl.ns.s2c"); spark.sql("DROP TABLE gcl.ns.s2")
+  }
+
+  test("OPTIMIZE localizes the clone; source files survive") {
+    mkSource("s3")
+    spark.sql("CALL gcl.system.clone(source => 'ns.s3', target => 'ns.s3c')")
+    val srcFiles = poolFiles("s3").sorted
+    val before = spark.table("gcl.ns.s3c").orderBy("id").collect()
+    spark.sql("CALL gcl.system.optimize(`table` => 'ns.s3c')")
+    assert(ManifestTable.liveEntries(root("s3c"))
+      .forall(e => !ManifestTable.isExtEntry(e.rel)),
+      "OPTIMIZE must localize every ext entry")
+    assert(poolFiles("s3c").nonEmpty)
+    assert(poolFiles("s3").sorted === srcFiles, "source pool must be untouched")
+    assert(spark.table("gcl.ns.s3c").orderBy("id").collect().toSeq === before.toSeq)
+    // a localized clone can be cloned again
+    spark.sql("CALL gcl.system.clone(source => 'ns.s3c', target => 'ns.s3cc')")
+    assert(spark.table("gcl.ns.s3cc").count() === before.length.toLong)
+    spark.sql("DROP TABLE gcl.ns.s3cc"); spark.sql("DROP TABLE gcl.ns.s3c")
+    spark.sql("DROP TABLE gcl.ns.s3")
+  }
+
+  test("the clone's gc and orphan sweep never delete source files") {
+    mkSource("s4")
+    spark.sql("ALTER TABLE gcl.ns.s4 SET TBLPROPERTIES('retain'='1')")
+    spark.sql("CALL gcl.system.clone(source => 'ns.s4', target => 'ns.s4c')")
+    spark.sql("ALTER TABLE gcl.ns.s4c SET TBLPROPERTIES('retain'='1')")
+    val srcFiles = poolFiles("s4").sorted
+    // churn the clone: localize (drops ext), then expire history + sweep
+    spark.sql("CALL gcl.system.optimize(`table` => 'ns.s4c')")
+    spark.sql("CALL gcl.system.expire_snapshots(`table` => 'ns.s4c', retain => 1)")
+    spark.sql("CALL gcl.system.remove_orphan_files(`table` => 'ns.s4c', " +
+      "older_than => '2099-01-01 00:00:00')")
+    assert(poolFiles("s4").sorted === srcFiles,
+      "clone lifecycle must never reach into the source pool")
+    assert(spark.table("gcl.ns.s4c").count() === spark.table("gcl.ns.s4").count())
+    spark.sql("DROP TABLE gcl.ns.s4c"); spark.sql("DROP TABLE gcl.ns.s4")
+  }
+
+  test("fsck on a clone detects source-side file loss") {
+    mkSource("s5", partitioned = false)
+    spark.sql("CALL gcl.system.clone(source => 'ns.s5', target => 'ns.s5c')")
+    val healthy = spark.sql("CALL gcl.system.fsck(`table` => 'ns.s5c')").collect()(0)
+    assert(healthy.getBoolean(8), "fresh clone must fsck healthy")
+    // simulate the documented hazard: the SOURCE's lifecycle removes a
+    // file the clone still references
+    val victim = poolFiles("s5").head
+    assert(new java.io.File(victim).delete())
+    val broken = spark.sql("CALL gcl.system.fsck(`table` => 'ns.s5c')").collect()(0)
+    assert(broken.getLong(3) >= 1L, "missing source file must surface")
+    assert(!broken.getBoolean(8))
+    spark.sql("DROP TABLE gcl.ns.s5c"); spark.sql("DROP TABLE gcl.ns.s5")
+  }
+
+  test("refusal matrix: MOR-delete source, clone-of-live-clone, existing target") {
+    mkSource("s6", partitioned = false)
+    // target exists
+    mkSource("s6t", partitioned = false)
+    val e1 = intercept[Exception] {
+      spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6t')")
+    }
+    assert(e1.getMessage.contains("already exists"))
+    spark.sql("DROP TABLE gcl.ns.s6t")
+    // clone, then clone the live clone
+    spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6c')")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gcl.system.clone(source => 'ns.s6c', target => 'ns.s6cc')")
+    }
+    assert(e2.getMessage.contains("itself a shallow clone"))
+    // MOR-delete source refuses
+    val prev = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gcl.ns.s6 WHERE id % 5 = 0")
+    } finally prev match {
+      case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+      case None => spark.conf.unset("spark.graft.delete.mode")
+    }
+    val e3 = intercept[Exception] {
+      spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6d')")
+    }
+    assert(e3.getMessage.contains("merge-on-read delete"))
+    spark.sql("DROP TABLE gcl.ns.s6c"); spark.sql("DROP TABLE gcl.ns.s6")
+  }
+
+  test("second engine: duckdb resolves a clone through _clone_src, no Spark") {
+    mkSource("s8", partitioned = false)
+    spark.sql("CALL gcl.system.clone(source => 'ns.s8', target => 'ns.s8c')")
+    import spark.implicits._
+    Seq((2000L, java.time.LocalDateTime.of(2024, 2, 9, 0, 0), 7.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("s8_extra")
+    spark.sql("INSERT INTO gcl.ns.s8c SELECT * FROM s8_extra") // mixed pools
+    import scala.sys.process._
+    val script = new java.io.File("scripts/duckdb_versioned.py").getAbsolutePath
+    val out = Seq("python3", script, root("s8c"),
+      "SELECT COUNT(*) AS n, SUM(id) AS s FROM t").!!
+    val nums = out.linesIterator.toSeq.last.trim.split("\\s+")
+    val sparkRows = spark.table("gcl.ns.s8c")
+      .agg(count(lit(1)), sum("id")).collect()(0)
+    assert(nums(0).toLong === sparkRows.getLong(0), s"duckdb count diverged: $out")
+    assert(nums(1).toDouble.toLong === sparkRows.getLong(1), s"duckdb sum diverged: $out")
+    spark.sql("DROP TABLE gcl.ns.s8c"); spark.sql("DROP TABLE gcl.ns.s8")
+  }
+
+  test("descriptor carries over: CHECK constraints and stats ride the clone") {
+    mkSource("s7", partitioned = false)
+    spark.sql("ALTER TABLE gcl.ns.s7 SET TBLPROPERTIES('check.pos' = 'v >= 0')")
+    spark.sql("CALL gcl.system.clone(source => 'ns.s7', target => 'ns.s7c')")
+    import spark.implicits._
+    Seq((-1L, java.time.LocalDateTime.of(2024, 2, 1, 0, 0), -5.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("s7_bad")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcl.ns.s7c SELECT * FROM s7_bad")
+    }
+    assert(e.getMessage != null)
+    // NDV sidecar carried: the clone's stats table reports estimates at v1
+    val st = spark.table("gcl.ns.s7c.stats")
+    assert(st.where(col("ndv").isNotNull).count() > 0,
+      "clone must inherit the source's NDV sketch")
+    spark.sql("DROP TABLE gcl.ns.s7c"); spark.sql("DROP TABLE gcl.ns.s7")
+  }
+}

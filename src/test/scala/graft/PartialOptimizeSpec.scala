@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+import graft.sources.v2.VersionedCatalog
+
+/** Partial-progress OPTIMIZE (Iceberg's `rewrite_data_files` with
+  * `partial-progress.enabled` / `max-commits`): the rewrite of a
+  * day-keyed table chunks into up to N independent day-scoped commits,
+  * so a crash keeps finished chunks and each commit conflicts only with
+  * writes to its own days. */
+class PartialOptimizeSpec extends AnyFunSuite {
+  private lazy val wh = java.nio.file.Files.createTempDirectory("graft_powh").toString
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gpo", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gpo.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gpo.ns")
+    s
+  }
+
+  private def mk(tbl: String, days: Int, rowsPerDay: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS gpo.ns.$tbl")
+    spark.sql(s"CREATE TABLE gpo.ns.$tbl (id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"ALTER TABLE gpo.ns.$tbl SET TBLPROPERTIES('retain'='10')")
+    import spark.implicits._
+    (0 until days * rowsPerDay).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 3, 1 + i % days, i % 24, 0), i * 1.0)
+    }.toDF("id", "ts", "v").createOrReplaceTempView(s"${tbl}_src")
+    // several appends → several files per day (ingest fragmentation)
+    (0 until 3).foreach { b =>
+      spark.sql(s"INSERT INTO gpo.ns.$tbl SELECT * FROM ${tbl}_src " +
+        s"WHERE CAST(id / $days AS BIGINT) % 3 = $b") // batch ⟂ day
+    }
+  }
+
+  test("max_commits chunks the rewrite into independent day-scoped commits") {
+    mk("p1", days = 6, rowsPerDay = 50)
+    val root = s"$wh/ns/p1"
+    val v0 = ManifestTable.currentVersion(root).get
+    val before = spark.table("gpo.ns.p1").orderBy("id").collect()
+    val filesBefore = ManifestTable.liveEntries(root).size
+    assert(filesBefore > 6, s"setup must fragment (got $filesBefore files)")
+    val vEnd = spark.sql(
+      "CALL gpo.system.optimize(`table` => 'ns.p1', max_commits => 3)")
+      .collect()(0).getLong(0)
+    // three independent commits landed (one per chunk)
+    assert(vEnd === v0 + 3, s"expected 3 chunk commits, v0=$v0 vEnd=$vEnd")
+    // compacted: one file per day
+    assert(ManifestTable.liveEntries(root).size === 6)
+    assert(spark.table("gpo.ns.p1").orderBy("id").collect().toSeq === before.toSeq)
+    // intermediate chunk states are real retained snapshots — each holds
+    // the full row count (untouched days carried by reference)
+    (v0 to vEnd).foreach { v =>
+      assert(spark.sql(s"SELECT COUNT(*) FROM gpo.ns.p1 VERSION AS OF $v")
+        .collect()(0).getLong(0) === before.length.toLong, s"version $v lost rows")
+    }
+    spark.sql("DROP TABLE gpo.ns.p1")
+  }
+
+  test("a concurrent append to an untouched day survives chunked optimize") {
+    mk("p2", days = 4, rowsPerDay = 40)
+    val root = s"$wh/ns/p2"
+    val n0 = spark.table("gpo.ns.p2").count()
+    // interleave: chunk commits land one at a time; an append BETWEEN the
+    // CALL's commits is modeled by appending after the pin but before the
+    // CALL finishes is not deterministic from SQL — instead verify the
+    // conflict contract directly: append to a day, then run a chunked
+    // optimize pinned BEFORE the append; the appended day's chunk must
+    // fail its unchanged-check while other chunks land.
+    import spark.implicits._
+    // run chunked optimize normally first (sanity), then race semantics
+    spark.sql("CALL gpo.system.optimize(`table` => 'ns.p2', max_commits => 2)")
+    assert(spark.table("gpo.ns.p2").count() === n0)
+    // now the raced shape: pin, concurrent append, day-replace under the pin
+    val (v0, raw) = {
+      val m = ManifestTable.readRawPinned(spark, root)
+      (m._1, m._2)
+    }
+    Seq((9999L, java.time.LocalDateTime.of(2024, 3, 2, 1, 0), 1.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("p2_extra")
+    spark.sql("INSERT INTO gpo.ns.p2 SELECT * FROM p2_extra") // touches 2024-03-02
+    val slice = raw.where(col(ManifestTable.DayCol).cast("string") === "2024-03-02")
+      .drop(ManifestTable.DayCol)
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.replaceDays(slice, root, Set("2024-03-02"), "ts",
+        retain = 10, expectedVersion = Some(v0))
+    }
+    // an untouched day replaces fine under the same stale pin
+    val slice2 = raw.where(col(ManifestTable.DayCol).cast("string") === "2024-03-03")
+      .drop(ManifestTable.DayCol)
+    ManifestTable.replaceDays(slice2, root, Set("2024-03-03"), "ts",
+      retain = 10, expectedVersion = Some(v0))
+    assert(spark.table("gpo.ns.p2").count() === n0 + 1)
+    spark.sql("DROP TABLE gpo.ns.p2")
+  }
+}
