@@ -251,8 +251,9 @@ object ScaleBench {
     println(f"[scale] clone_meta files_total=$totalFiles data_bytes_copied=$clonePoolBytes " +
       f"meta_bytes=$cloneMetaBytes files_scanned_1day=$cloneScanned secs=$clSecs%.2f")
     require(clonePoolBytes == 0L, "shallow clone must copy zero data bytes")
-    require(cloneScanned * 8 < totalFiles,
-      "day pruning must survive the clone's external references")
+    require(cloneScanned > 0 && cloneScanned * 8 < totalFiles,
+      "day pruning must survive the clone's external references " +
+        "(0 = the plan-collect matched no scan: unwrap drift, not pruning)")
     spark.sql("DROP TABLE scale_cat.b.evc")
 
     // column statistics at scale: the CTAS commit carried the NDV sketch
@@ -337,6 +338,56 @@ object ScaleBench {
     require(statsScanned * 5 < statsTotal,
       "column-stats pruning failed to drop out-of-range files at scale")
     spark.sql("DROP TABLE scale_cat.b.evs")
+
+    // writer-side bloom filters at scale: a point lookup on a RANDOM
+    // high-cardinality key — every file spans the full key range (PLAIN
+    // encoded, no dictionary), so min/max and dictionary row-group
+    // filtering prune NOTHING and only the bloom can exclude a row
+    // group before page decode. Structural proof via parquet-mr's own
+    // row-group filtering (`getFilteredRecordCount` under the pushed
+    // equality — the exact machinery the scan runs per task): the
+    // bloom-stamped table filters to ~0 candidate records, the plain
+    // table keeps every row group. Timing rides along informationally
+    // (this VM's timings swing under load).
+    val keyed = spark.range(rows).select(
+      xxhash64(col("id")).as("k"), (col("id") % 1000L).as("v"))
+    spark.sql("CREATE TABLE scale_cat.b.blm (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES('bloom.columns'='k', 'bloom.ndv'='${rows / 32}')")
+    spark.sql("CREATE TABLE scale_cat.b.blmn (k BIGINT, v BIGINT)")
+    keyed.repartition(32).writeTo("scale_cat.b.blm").append()
+    keyed.repartition(32).writeTo("scale_cat.b.blmn").append()
+    def filteredRecords(tbl: String): Long = {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val pred = org.apache.parquet.filter2.predicate.FilterApi.eq(
+        org.apache.parquet.filter2.predicate.FilterApi.longColumn("k"),
+        java.lang.Long.valueOf(42L)) // absent from the xxhash64 keys
+      graft.sources.MetaIO.listFilesRec(s"$wh/b/$tbl/data")
+        .filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+          val opts = org.apache.parquet.ParquetReadOptions.builder(
+              new org.apache.parquet.conf.HadoopParquetConfiguration(hconf))
+            .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+            .useBloomFilter(true).useStatsFilter(true).useDictionaryFilter(true)
+            .build()
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf), opts)
+          try r.getFilteredRecordCount finally r.close()
+        }.sum
+    }
+    val bl0 = System.nanoTime()
+    val bloomCand = filteredRecords("blm")
+    val blSecs = (System.nanoTime() - bl0) / 1e9
+    val pn0 = System.nanoTime()
+    val plainCand = filteredRecords("blmn")
+    val plSecs = (System.nanoTime() - pn0) / 1e9
+    println(f"[scale] bloom_point_lookup rows=$rows files=32 " +
+      f"bloom_candidate_rows=$bloomCand plain_candidate_rows=$plainCand " +
+      f"bloom_secs=$blSecs%.2f plain_secs=$plSecs%.2f")
+    require(plainCand == rows,
+      "without a bloom, nothing can exclude full-range PLAIN row groups")
+    require(bloomCand * 10 < plainCand, // FP tolerance: a rare rowgroup may pass
+      "the bloom must exclude (nearly) every row group for an absent key")
+    spark.sql("DROP TABLE scale_cat.b.blm")
+    spark.sql("DROP TABLE scale_cat.b.blmn")
 
     // merge-on-read at >=10^6 tombstones: the plan ships file NAMES only
     // (positions load task-side behind a pushed __file filter), and the

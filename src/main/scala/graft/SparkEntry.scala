@@ -165,6 +165,8 @@ object SparkEntry {
     // zero-copy shallow clone: metadata-only CALL clone, divergent
     // append + merge-on-read delete on the clone, source isolated
     "clone_scan" -> ((s, d) => graft.sources.v2.V2Queries.cloneScan(s, d)),
+    // writer-side bloom filters: point lookup + footer-pinned verdict
+    "bloom_point_scan" -> ((s, d) => graft.sources.v2.V2Queries.bloomPointScan(s, d)),
     "stream_cdf_gold" -> ((s, d) => graft.sources.v2.V2Queries.streamCdfGold(s, d)),
     // a merge-on-read UPDATE surfaces as update_preimage/update_postimage
     // pairs at one version (Delta CDF's four-valued contract)
@@ -321,6 +323,7 @@ object SparkEntry {
     "cherrypick_scan" -> graft.sources.v2.V2Queries.oracle.cherrypickScan,
     "fsck_scan" -> graft.sources.v2.V2Queries.oracle.fsckScan,
     "clone_scan" -> graft.sources.v2.V2Queries.oracle.cloneScan,
+    "bloom_point_scan" -> graft.sources.v2.V2Queries.oracle.bloomPointScan,
     "stream_cdf_gold" -> graft.sources.v2.V2Queries.oracle.streamCdfGold,
     "cdf_update_images" -> graft.sources.v2.V2Queries.oracle.cdfUpdateImages,
     "stream_scd2_gold" -> graft.sources.v2.V2Queries.oracle.streamScd2Gold,

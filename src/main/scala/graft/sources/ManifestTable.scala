@@ -891,6 +891,37 @@ object ManifestTable {
     else scala.util.Try(MetaIO.readString(sortOrderPath(root)).trim)
       .toOption.filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
 
+  /** Declared bloom-filter columns (the `bloom.columns` table property,
+    * Delta's bloom-filter-index / Iceberg's `write.parquet.bloom-filter-
+    * enabled.column.*` shape): every pool write emits a WRITER-side
+    * bloom filter for these columns into each parquet row group (or the
+    * ORC stream), so a point lookup on a high-cardinality key — where
+    * min/max bounds prune nothing because every file spans the full
+    * range — skips row groups at SCAN time off one bloom probe instead
+    * of decoding pages. Purely a write-side layout property: readers are
+    * stock Spark (parquet-mr/ORC consult the filter under any pushed
+    * equality predicate), files written before the declaration simply
+    * carry no filter and scan as before. The marker holds
+    * comma-separated PHYSICAL names (+ optional `=ndv` sizing); the V2
+    * catalog writes it from the table property. */
+  private def bloomPath(root: String) = s"$root/_bloom"
+
+  def setBloomColumns(root: String, physCols: Seq[String], ndv: Option[Long]): Unit =
+    if (physCols.isEmpty) MetaIO.delete(bloomPath(root))
+    else MetaIO.writeAtomic(bloomPath(root),
+      physCols.map(_.toLowerCase).mkString(",") +
+        ndv.map(n => s"\n$n").getOrElse(""))
+
+  /** (columns, expected NDV per column) of the bloom declaration. */
+  def bloomColumns(root: String): (Seq[String], Option[Long]) =
+    if (!MetaIO.exists(bloomPath(root))) (Nil, None)
+    else scala.util.Try {
+      val lines = MetaIO.readString(bloomPath(root)).linesIterator.toSeq
+      (lines.headOption.map(_.trim).filter(_.nonEmpty)
+        .map(_.split(',').toSeq).getOrElse(Nil),
+        lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption))
+    }.getOrElse((Nil, None))
+
   /** Per-file column stats collection toggle (footer reads at commit). */
   private def fileStatsEnabled: Boolean =
     SparkSession.getActiveSession.flatMap(
@@ -905,7 +936,8 @@ object ManifestTable {
   private def writePool(df: DataFrame, root: String,
                         partitionDayOf: Option[String], format: String,
                         partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
-                        partitionCols: Seq[String] = Nil): PoolWrite = {
+                        partitionCols: Seq[String] = Nil,
+                        preclustered: Boolean = false): PoolWrite = {
     require(FileFormats.contains(format), s"unsupported data-file format $format")
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
     // three layouts beyond flat: the hidden day, an arbitrary hidden
@@ -925,8 +957,12 @@ object ManifestTable {
     // small partition groups AND splits a skewed day across tasks by its
     // advisory size — no single hot partition bottlenecks the write.
     // `none` opts out (pre-clustered inputs keep their layout).
+    // `preclustered` opts out PER WRITE: a ZORDER rewrite arrives
+    // range-partitioned and z-sorted — a rebalance above it would both
+    // coalesce away the target file count and shred the within-file
+    // Morton order (an exchange discards the child's sort)
     val clustered0 =
-      if (partNames.nonEmpty && writeDistribution == "hash")
+      if (!preclustered && partNames.nonEmpty && writeDistribution == "hash")
         wdf.hint("REBALANCE", partNames.map(col): _*)
       else wdf
     // declared sort order: sort within partitions by (partition dirs,
@@ -964,8 +1000,25 @@ object ManifestTable {
     // (hidden partition derivations never face a planner estimate).
     val (observed, obs) = NdvStats.attach(toWrite,
       allowed = df.schema.fieldNames.toSet)
-    if (partNames.isEmpty) observed.write.format(format).save(stage)
-    else observed.write.partitionBy(partNames: _*).format(format).save(stage)
+    // declared bloom columns: writer-side row-group bloom filters for
+    // point-lookup skipping ([[bloomColumns]]); resolved against the
+    // ACTUAL column case (parquet option keys are name-exact) and
+    // silently absent for columns a derivation dropped. Per-write
+    // options — never a session/hadoop-conf mutation a concurrent
+    // write would inherit.
+    val (bloomDecl, bloomNdv) = bloomColumns(root)
+    val bloomCols = bloomDecl.flatMap(c => wdf.columns.find(_.equalsIgnoreCase(c)))
+    val bloomOpts: Map[String, String] = format match {
+      case "parquet" => bloomCols.flatMap(c =>
+        Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
+          bloomNdv.map(n => s"parquet.bloom.filter.expected.ndv#$c" -> n.toString)).toMap
+      case "orc" if bloomCols.nonEmpty =>
+        Map("orc.bloom.filter.columns" -> bloomCols.mkString(","))
+      case _ => Map.empty
+    }
+    if (partNames.isEmpty) observed.write.options(bloomOpts).format(format).save(stage)
+    else observed.write.options(bloomOpts).partitionBy(partNames: _*)
+      .format(format).save(stage)
     // partitionBy moves partition columns into directory names: the FILE
     // schema is df's columns minus identity partition columns
     val fileSchema = org.apache.spark.sql.types.StructType(
@@ -1400,9 +1453,11 @@ object ManifestTable {
              format: Option[String] = None,
              partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
              partitionCols: Seq[String] = Nil,
-             op: String = "overwrite"): Long = {
+             op: String = "overwrite",
+             preclustered: Boolean = false): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
-    val fresh = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
+    val fresh = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols,
+      preclustered = preclustered)
     // a full rewrite re-derives every file's day in THIS session: its zone
     // is the table's zone, whatever history said
     val zp = writeZoneOf(df, partitionDayOf).map(ZoneProp -> _).toMap
@@ -1914,17 +1969,29 @@ object ManifestTable {
     (rs, il, () => (rs.flatMap(r => shardEntries(root, r.rel).map(_.rel)) ++ il).toSet)
   }
 
+  /** DELETE entries of one manifest state (DeleteDir shard contents +
+    * inline delete entries) — bounded by the merge-on-read backlog. */
+  private def deleteEntriesOf(root: String, refs: Seq[ShardRef],
+                              inline: Seq[FileEntry]): Seq[FileEntry] =
+    refs.filter(_.key == DeleteDir).flatMap(r => shardEntries(root, r.rel)) ++
+      inline.filter(e => isDeleteEntry(e.rel))
+
   def replaceDays(df: DataFrame, root: String, removeDays: Set[String],
                   partitionDayOf: String, retain: Int = 2,
-                  expectedVersion: Option[Long] = None): Long = {
+                  expectedVersion: Option[Long] = None,
+                  preclustered: Boolean = false): Long = {
     val removed = removedDayKey(removeDays) _
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val d0 = readDoc(root, baseV)
     val (refs0, inline0, mat0) = touchedDayState(root, d0.refs, d0.inline, removed)
+    val dels0 = deleteEntriesOf(root, d0.refs, d0.inline).map(_.rel).toSet
     val fmt = formatOf(root).getOrElse("parquet")
-    val fresh = writePool(df, root, Some(partitionDayOf), fmt)
+    val fresh = writePool(df, root, Some(partitionDayOf), fmt,
+      preclustered = preclustered)
     val zone = writeZoneOf(df, Some(partitionDayOf))
+    def decT(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
+      java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
     commitLoop(root, retain, rebase = true) { base =>
       requireDayLayout(root, base, "replaceDays")
       val (refsC, inlineC, matC) = touchedDayState(root, base.refs, base.inline, removed)
@@ -1932,6 +1999,31 @@ object ManifestTable {
       if (!unchanged)
         throw new java.util.ConcurrentModificationException(
           s"days ${removeDays.mkString(",")} of $root changed under this rewrite; recompute and retry")
+      // the file-set check above misses ROW-LEVEL concurrent writes: a
+      // merge-on-read DELETE (or the delete half of a MOR UPDATE) between
+      // the pin and this commit adds a __deletes/ entry WITHOUT touching
+      // the day's file set — rewriting the day from the PINNED rows would
+      // silently resurrect the deleted rows (the tombstone's targets die
+      // with the replaced files and it goes inert). Conflict on any new
+      // delete entry that could target a replaced day: positional
+      // artifacts name their targets in the entry stats (exact check;
+      // list-less legacy entries are conservative conflicts), equality
+      // deletes retract from every OLDER file — a rewrite re-stamps rows
+      // with a FRESH sequence that would escape the retraction, so any
+      // new eq entry conflicts.
+      val newDels = deleteEntriesOf(root, base.refs, base.inline)
+        .filterNot(e => dels0.contains(e.rel))
+      val delConflict = newDels.exists { e =>
+        isEqDeleteEntry(e.rel) || (deleteTouchedRels(e) match {
+          case Some(ts) => ts.exists(t =>
+            removed(keyOf(t)) || removed(keyOf(decT(t))))
+          case None => true // unknown targets: assume the worst
+        })
+      }
+      if (delConflict)
+        throw new java.util.ConcurrentModificationException(
+          s"rows of days ${removeDays.mkString(",")} of $root were deleted " +
+            "concurrently under this rewrite; recompute and retry")
       // partial update of a continuing table: carry the commit properties
       // (e.g. streaming idempotence markers) into the new manifest
       Planned(base.inline.filterNot(e => removed(keyOf(e.rel))) ++ fresh.entries,
@@ -2683,11 +2775,13 @@ object ManifestTable {
     * sweeping orphans on the SOURCE can delete files live clones still
     * reference — `fsck` on the clone detects the breakage; localize
     * clones you intend to outlive their source. */
-  def cloneTo(srcRoot: String, dstRoot: String, retain: Int = 2): Long = {
+  /** The clone-source contract checks, callable BEFORE any destination
+    * state persists (a refusal after the descriptor write would leave a
+    * phantom table blocking the retry). Returns (source live version,
+    * its materialized entries) for [[cloneTo]] to reuse. */
+  private[graft] def validateCloneSource(srcRoot: String): (Long, Seq[FileEntry]) = {
     val srcLive = currentVersion(srcRoot).getOrElse(throw new IllegalStateException(
       s"no committed version under $srcRoot — nothing to clone"))
-    require(currentVersion(dstRoot).isEmpty,
-      s"$dstRoot already has committed versions; clone targets a fresh root")
     val es = entries(srcRoot, srcLive)
     require(!es.exists(e => isDeleteEntry(e.rel)),
       s"$srcRoot carries live merge-on-read delete entries; OPTIMIZE it " +
@@ -2695,6 +2789,13 @@ object ManifestTable {
     require(!es.exists(e => isExtEntry(e.rel)),
       s"$srcRoot is itself a shallow clone with live ext/ entries; " +
         "OPTIMIZE it to localize, then clone")
+    (srcLive, es)
+  }
+
+  def cloneTo(srcRoot: String, dstRoot: String, retain: Int = 2): Long = {
+    val (srcLive, es) = validateCloneSource(srcRoot)
+    require(currentVersion(dstRoot).isEmpty,
+      s"$dstRoot already has committed versions; clone targets a fresh root")
     // immutable for the table's life — written before the manifest so a
     // reader can never see ext/ entries without their base
     MetaIO.writeAtomic(s"$dstRoot/_clone_src", s"$srcRoot/data")

@@ -66,14 +66,22 @@ object Maintenance {
     // only its own days. Day-keyed tables only (the replace fast path
     // carries every other day by reference); other layouts fall through
     // to the monolithic rewrite.
-    if (maxCommits > 1 && zorderBy.isEmpty && whereDays.isEmpty)
-      physDay match {
-        case Some(pd) if meta.part.isEmpty && meta.identityCols.isEmpty &&
-            ManifestTable.isFullyDayKeyed(root) =>
-          return optimizePartial(spark, root, pd, targetFileBytes, maxCommits,
-            retainOf(spark, root))
-        case _ => () // not day-scopable: one commit below
-      }
+    if (maxCommits > 1) {
+      // loud, never silent: a user asking for crash-resumable chunks must
+      // not get one giant commit with the full conflict surface
+      require(zorderBy.isEmpty && whereDays.isEmpty,
+        "max_commits does not compose with zorder_by or where_days yet; " +
+          "run the scoped OPTIMIZE without max_commits")
+      val pd = physDay.getOrElse(throw new IllegalArgumentException(
+        s"$ident is not day-partitioned; partial-progress OPTIMIZE " +
+          "(max_commits) needs a days() layout to scope its chunk commits"))
+      require(meta.part.isEmpty && meta.identityCols.isEmpty &&
+          ManifestTable.isFullyDayKeyed(root),
+        s"$ident mixes partition layouts (spec evolution); run a full " +
+          "OPTIMIZE (max_commits => 1) to re-home, then chunk")
+      return optimizePartial(spark, root, pd, targetFileBytes, maxCommits,
+        retainOf(spark, root))
+    }
     // DAY-SCOPED compaction (Iceberg's rewrite_data_files(filter)): only
     // the selected days' files read and rewritten — at 100 TB you compact
     // the days the ingest fragmented, never the table. Other days' files
@@ -81,12 +89,11 @@ object Maintenance {
     // the replaced files go inert (self-scoping) and the next
     // rewrite_deletes drops them.
     whereDays.foreach { case (fromS, untilS) =>
-      require(zorderBy.isEmpty,
-        "where_days compaction does not compose with zorder_by yet")
       val physDayCol = physDay.getOrElse(throw new IllegalArgumentException(
         s"$ident is not day-partitioned; where_days needs a days() layout"))
       require(ManifestTable.isFullyDayKeyed(root),
         s"$ident mixes partition layouts (spec evolution); run a full OPTIMIZE")
+      if (zorderBy.nonEmpty) requireNoSortOrder(root, ident)
       val from = java.time.LocalDate.parse(fromS)
       val until = java.time.LocalDate.parse(untilS)
       val days = ManifestTable.liveDays(root).filter(d =>
@@ -104,11 +111,27 @@ object Maintenance {
           ManifestTable.plainRel(e.rel).startsWith(s"${ManifestTable.DayCol}=$d/")))
         .map(e => ManifestTable.entryBytes(root, e)).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      // with zorder_by: Morton-cluster WITHIN the selected days — bounds
+      // come from the slice itself (finer buckets than table-wide), the
+      // range partitioner keys on (day, zkey) so each day's files hold
+      // contiguous z-ranges, exactly the monolithic ZORDER layout but
+      // paid only for the days being compacted
+      val clustered =
+        if (zorderBy.isEmpty)
+          slice.repartition(nFiles, col(ManifestTable.DayCol))
+        else {
+          val zCols = zorderBy.map(meta.physicalName)
+          zCols.foreach(c => require(slice.columns.exists(_.equalsIgnoreCase(c)),
+            s"no such column $c"))
+          slice.withColumn("__zkey", zKeyOf(slice, zCols))
+            .repartitionByRange(nFiles, col(ManifestTable.DayCol), col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        }
       return ManifestTable.replaceDays(
-        slice.repartition(nFiles, col(ManifestTable.DayCol))
-          .drop(ManifestTable.DayCol),
+        clustered.drop(ManifestTable.DayCol),
         root, days, physDayCol, retain = retainOf(spark, root),
-        expectedVersion = Some(v0))
+        expectedVersion = Some(v0), preclustered = zorderBy.nonEmpty)
     }
     // partition-directory key columns of the table's layout (empty for a
     // flat table): rewrites cluster by them so each directory gets
@@ -138,42 +161,13 @@ object Maintenance {
           retainOf(spark, root), ManifestTable.liveProps(root), op = "rewrite")
       }
     } else {
-      // Z-ORDER and a declared sort.order are both write layouts and
-      // cannot compose: the pool write applies the declared sort WITHIN
-      // each file, which would silently re-order the z-clustered rows
-      // right back out of their Morton layout. Refuse loudly — one
-      // declared layout per table (Iceberg models z-order AS the
-      // table's sort order for the same reason).
-      require(ManifestTable.sortOrder(root).isEmpty,
-        s"$ident declares a sort.order; OPTIMIZE ZORDER BY would conflict " +
-          "with it (the write re-sorts each file by the declared order). " +
-          "UNSET TBLPROPERTIES ('sort.order') first, or rely on the " +
-          "declared order instead of z-ordering")
+      requireNoSortOrder(root, ident)
       val zCols = zorderBy.map(meta.physicalName)
       val raw = ManifestTable.read(spark, root) // physical names
         .drop(VersionedCatalog.PartTransform.DirCol)
       zCols.foreach(c => require(raw.columns.exists(_.equalsIgnoreCase(c)),
         s"no such column $c"))
-      val bits = 8
-      val scale = 1 << bits
-      // per-dimension bounds: one small agg, driver-pulled, pairs in
-      // column order (lo_0, hi_0, lo_1, hi_1, …)
-      val mmExprs = zCols.flatMap(c =>
-        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-      val mmRow = raw.agg(mmExprs.head, mmExprs.tail: _*).collect()(0)
-      val bucketCols = zCols.zipWithIndex.map { case (c, i) =>
-        val lo = mmRow.getDouble(2 * i)
-        val hi = mmRow.getDouble(2 * i + 1)
-        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-        least(lit((scale - 1).toLong), greatest(lit(0L),
-          floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(scale)).cast("long")))
-      }
-      val zkey = (0 until bits).flatMap { b =>
-        bucketCols.zipWithIndex.map { case (bc, d) =>
-          shiftrightunsigned(bc, b).bitwiseAND(lit(1L)) *
-            lit(1L << (b * zCols.length + d))
-        }
-      }.reduce(_ + _)
+      val zkey = zKeyOf(raw, zCols)
       val bytes = ManifestTable.history(spark, root)
         .where(col("is_current")).select(col("bytes")).collect()(0).getLong(0)
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -184,8 +178,53 @@ object Maintenance {
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
       VersionedCatalog.commitPreservingLayout(root, clustered,
-        retainOf(spark, root), ManifestTable.liveProps(root), op = "rewrite")
+        retainOf(spark, root), ManifestTable.liveProps(root), op = "rewrite",
+        preclustered = true)
     }
+  }
+
+  /** Z-ORDER and a declared sort.order are both write layouts and cannot
+    * compose: the pool write applies the declared sort WITHIN each file,
+    * which would silently re-order the z-clustered rows right back out
+    * of their Morton layout. Refuse loudly — one declared layout per
+    * table (Iceberg models z-order AS the table's sort order for the
+    * same reason). */
+  private def requireNoSortOrder(root: String, ident: String): Unit =
+    require(ManifestTable.sortOrder(root).isEmpty,
+      s"$ident declares a sort.order; OPTIMIZE ZORDER BY would conflict " +
+        "with it (the write re-sorts each file by the declared order). " +
+        "UNSET TBLPROPERTIES ('sort.order') first, or rely on the " +
+        "declared order instead of z-ordering")
+
+  /** Morton (bit-interleaved) key over `zCols` of `df`: per-dimension
+    * bounds from ONE tiny driver-pulled agg over df itself — a
+    * day-scoped rewrite buckets against its own slice's bounds, finer
+    * clustering than table-wide. Linear bucketing per dimension (8
+    * bits) — order-preserving and codegen'd; heavily skewed dimensions
+    * cluster less evenly than Delta's range-id variant but never affect
+    * correctness. */
+  private def zKeyOf(df: org.apache.spark.sql.DataFrame, zCols: Seq[String])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val bits = 8
+    val scale = 1 << bits
+    // pairs in column order (lo_0, hi_0, lo_1, hi_1, …)
+    val mmExprs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val mmRow = df.agg(mmExprs.head, mmExprs.tail: _*).collect()(0)
+    val bucketCols = zCols.zipWithIndex.map { case (c, i) =>
+      val lo = mmRow.getDouble(2 * i)
+      val hi = mmRow.getDouble(2 * i + 1)
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit((scale - 1).toLong), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(scale)).cast("long")))
+    }
+    (0 until bits).flatMap { b =>
+      bucketCols.zipWithIndex.map { case (bc, d) =>
+        shiftrightunsigned(bc, b).bitwiseAND(lit(1L)) *
+          lit(1L << (b * zCols.length + d))
+      }
+    }.reduce(_ + _)
   }
 
   /** The chunked rewrite behind partial-progress OPTIMIZE: live days
@@ -419,8 +458,13 @@ object Maintenance {
     require(srcMeta.identityCols.isEmpty,
       s"$srcIdent has identity partition columns; shallow clone supports " +
         "hidden-transform and unpartitioned layouts (OPTIMIZE-copy instead)")
+    // ALL source-side refusals fire BEFORE the descriptor persists — a
+    // refusal after writeMeta would leave a phantom versionless table
+    // that blocks the retry until a manual DROP
+    ManifestTable.validateCloneSource(srcRoot)
     VersionedCatalog.writeMeta(dstRoot, srcMeta)
     VersionedCatalog.applySortOrderProp(dstRoot, srcMeta)
+    VersionedCatalog.applyBloomProp(dstRoot, srcMeta)
     ManifestTable.cloneTo(srcRoot, dstRoot, retain = retainOf(spark, dstRoot))
   }
 

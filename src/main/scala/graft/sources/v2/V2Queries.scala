@@ -1394,6 +1394,61 @@ object V2Queries {
     }
   }
 
+  /** Writer-side bloom filters as an oracle-gated query: a table
+    * declared `bloom.columns=user_id,event_type` row-group-filters a
+    * point lookup on an ABSENT in-range key to ZERO candidates —
+    * min/max stats cannot claim that (the probe value sorts inside
+    * every file's bounds), only the exact structures the declaration
+    * buys: the writer bloom, or the dictionary when parquet judges it
+    * smaller and keeps it instead (small dictionaries subsume blooms —
+    * the bloom-specifically path is pinned by BloomColumnsSpec and the
+    * ScaleBench point on cardinalities where a dictionary cannot
+    * survive). `bloom_ok` runs parquet-mr's own row-group filtering per
+    * pool file; the aggregate is the oracle's flat recompute of a
+    * PRESENT key's lookup. */
+  def bloomPointScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("blm")
+    val tbl = s"$Cat.q.$short"
+    try {
+      spark.sql(s"CREATE TABLE $tbl (event_id BIGINT, ts TIMESTAMP_NTZ, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE) " +
+        "TBLPROPERTIES('bloom.columns'='user_id,event_type', 'bloom.ndv'='100000')")
+      eventsSlim(spark, dir).repartition(4).writeTo(tbl).append()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      val conf = spark.sparkContext.hadoopConfiguration
+      // 'evseznt' sorts INSIDE [click, view] at every scale factor, so
+      // stats keep the row group and only bloom/dictionary can drop it
+      val pred = org.apache.parquet.filter2.predicate.FilterApi.eq(
+        org.apache.parquet.filter2.predicate.FilterApi.binaryColumn("event_type"),
+        org.apache.parquet.io.api.Binary.fromString("evseznt"))
+      val files = graft.sources.ManifestTable.liveEntries(root)
+      val bloomOk = files.nonEmpty && files.forall { e =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/data/${e.rel}")
+        val opts = org.apache.parquet.ParquetReadOptions.builder(
+            new org.apache.parquet.conf.HadoopParquetConfiguration(conf))
+          .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+          .useBloomFilter(true).useStatsFilter(true).useDictionaryFilter(true)
+          .build()
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf), opts)
+        // total from the raw footer — getRecordCount is itself
+        // filter-aware and reads 0 once every row group is excluded
+        try {
+          import scala.jdk.CollectionConverters._
+          val total = r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          r.getFilteredRecordCount == 0L && total > 0L
+        } finally r.close()
+      }
+      spark.table(tbl)
+        .where(col("user_id") === 7L) // pushed equality: the lookup shape
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("bloom_ok", lit(bloomOk))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Cherry-pick (Iceberg's `cherrypick_snapshot`) as an oracle-gated
     * query — the selective half of write-audit-publish: a WAP branch
     * stages an audited append AND a junk append; `CALL
@@ -1788,6 +1843,14 @@ object V2Queries {
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS fsck_ok
          |FROM events WHERE user_id % 10 <> 3
+         |GROUP BY 1""".stripMargin
+
+    /** One user's events, grouped by type — the bloom-indexed point
+      * lookup recomputed flat; the footer verdict pinned TRUE. */
+    val bloomPointScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS bloom_ok
+         |FROM events WHERE user_id = 7
          |GROUP BY 1""".stripMargin
 
     /** The clone ends as the cloned cohort ∪ the local append (= all

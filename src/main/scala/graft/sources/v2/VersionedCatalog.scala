@@ -271,8 +271,10 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     // BEFORE the descriptor persists, then publish the table-root
     // marker every pool write consults (sort-within-file + stamp)
     VersionedCatalog.validateSortOrderProp(meta)
+    VersionedCatalog.validateBloomProp(meta)
     VersionedCatalog.writeMeta(root, meta)
     VersionedCatalog.applySortOrderProp(root, meta)
+    VersionedCatalog.applyBloomProp(root, meta)
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       root, schema, dayOf, None, meta)
@@ -383,8 +385,13 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
           // rename or the declared order strands on a dead name (writes
           // still sort — the marker is physical — but the ordering
           // REPORT and later property validation would break)
+          // sort.order and bloom.columns name LOGICAL columns — follow
+          // the rename or the declaration strands on a dead name (writes
+          // still apply — the markers are physical — but later property
+          // validation would break)
           userProps = m.userProps.map {
-            case (k, v) if k.equalsIgnoreCase("sort.order") =>
+            case (k, v) if k.equalsIgnoreCase("sort.order") ||
+                k.equalsIgnoreCase("bloom.columns") =>
               k -> v.split(',').map(_.trim).map(c =>
                 if (c.equalsIgnoreCase(from)) to else c).mkString(",")
             case kv => kv
@@ -448,8 +455,10 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     // stays off until every live file carries the new spec (per-file
     // stamps — OPTIMIZE rewrites the history sorted)
     VersionedCatalog.validateSortOrderProp(newMeta)
+    VersionedCatalog.validateBloomProp(newMeta)
     VersionedCatalog.writeMeta(root, newMeta)
     VersionedCatalog.applySortOrderProp(root, newMeta)
+    VersionedCatalog.applyBloomProp(root, newMeta)
     loadTable(ident)
   }
 
@@ -617,6 +626,47 @@ object VersionedCatalog {
   private[v2] def applySortOrderProp(root: String, meta: Meta): Unit =
     ManifestTable.setSortOrder(root, sortOrderOf(meta).map(_._2))
 
+  /** The declared bloom-filter columns — the `bloom.columns` user
+    * property (comma-separated LOGICAL columns; Delta's bloom index /
+    * Iceberg's `write.parquet.bloom-filter-enabled` shape), with the
+    * optional `bloom.ndv` expected-cardinality sizing. Returns
+    * (logical, physical) pairs. */
+  private[v2] def bloomColsOf(meta: Meta): Seq[(String, String)] =
+    meta.userProps.collectFirst { case (k, v) if k.equalsIgnoreCase("bloom.columns") => v }
+      .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .map(c => c -> meta.physicalName(c))
+
+  /** Validate `bloom.columns`/`bloom.ndv` BEFORE the descriptor persists
+    * — columns must exist with atomic types, the format must carry
+    * writer-side blooms (parquet/orc; avro has none), and the sizing
+    * must be a positive integer. */
+  private[v2] def validateBloomProp(meta: Meta): Unit = {
+    val cols = bloomColsOf(meta)
+    if (cols.nonEmpty)
+      require(meta.format != "avro",
+        "bloom.columns: avro carries no writer-side bloom filters " +
+          "(parquet and orc tables only)")
+    cols.foreach { case (logical, _) =>
+      val f = meta.schema.fields.find(_.name.equalsIgnoreCase(logical))
+        .getOrElse(throw new IllegalArgumentException(
+          s"bloom.columns column $logical: no such column in " +
+            meta.schema.fieldNames.mkString(", ")))
+      require(graft.sources.FileStats.tagOf(f.dataType).isDefined,
+        s"bloom.columns column $logical: ${f.dataType.simpleString} is not a " +
+          "bloom-filterable atomic type")
+    }
+    meta.userProps.collectFirst { case (k, v) if k.equalsIgnoreCase("bloom.ndv") => v }
+      .foreach(v => require(scala.util.Try(v.toLong).toOption.exists(_ > 0),
+        s"bloom.ndv must be a positive integer, got '$v'"))
+  }
+
+  /** Publish (or clear) the table-root bloom marker every pool write
+    * consults — after [[validateBloomProp]] and the descriptor. */
+  private[v2] def applyBloomProp(root: String, meta: Meta): Unit =
+    ManifestTable.setBloomColumns(root, bloomColsOf(meta).map(_._2),
+      meta.userProps.collectFirst { case (k, v) if k.equalsIgnoreCase("bloom.ndv") => v }
+        .flatMap(v => scala.util.Try(v.toLong).toOption))
+
   /** CHECK constraints of a table: `check.<name>` user properties, each
     * a SQL predicate over the LOGICAL columns. Set via
     * `ALTER TABLE … SET TBLPROPERTIES('check.<name>' = '<predicate>')`,
@@ -754,7 +804,8 @@ object VersionedCatalog {
                                             dfPhysical: org.apache.spark.sql.DataFrame,
                                             retain: Int,
                                             props: Map[String, String],
-                                            op: String = "overwrite"): Long = {
+                                            op: String = "overwrite",
+                                            preclustered: Boolean = false): Long = {
     val meta = readMeta(root).getOrElse(
       throw new IllegalStateException(s"no descriptor under $root"))
     // re-align to the DECLARED physical schema: identity values read back
@@ -767,7 +818,8 @@ object VersionedCatalog {
       partitionDayOf = meta.dayOf.map(meta.physicalName),
       props = props, format = Some(meta.format),
       partitionExpr = partDeriveExpr(meta),
-      partitionCols = meta.identityCols.map(meta.physicalName), op = op)
+      partitionCols = meta.identityCols.map(meta.physicalName), op = op,
+      preclustered = preclustered)
   }
 
   def readMeta(root: String): Option[Meta] = {

@@ -41,11 +41,7 @@ class CloneSpec extends AnyFunSuite {
   private def poolFiles(tbl: String): Seq[String] = {
     val d = s"${root(tbl)}/data"
     if (!new java.io.File(d).exists()) Nil
-    else {
-      def rec(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(rec) else Seq(f)
-      rec(new java.io.File(d)).map(_.getPath).filterNot(_.endsWith(".crc"))
-    }
+    else graft.sources.MetaIO.listFilesRec(d).map(_.getPath.toString)
   }
 
   private def mkSource(tbl: String, partitioned: Boolean = true): Unit = {
@@ -149,8 +145,9 @@ class CloneSpec extends AnyFunSuite {
     assert(healthy.getBoolean(8), "fresh clone must fsck healthy")
     // simulate the documented hazard: the SOURCE's lifecycle removes a
     // file the clone still references
-    val victim = poolFiles("s5").head
-    assert(new java.io.File(victim).delete())
+    val victim = new java.io.File(
+      new org.apache.hadoop.fs.Path(poolFiles("s5").head).toUri.getPath)
+    assert(victim.delete())
     val broken = spark.sql("CALL gcl.system.fsck(`table` => 'ns.s5c')").collect()(0)
     assert(broken.getLong(3) >= 1L, "missing source file must surface")
     assert(!broken.getBoolean(8))
@@ -185,7 +182,15 @@ class CloneSpec extends AnyFunSuite {
       spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6d')")
     }
     assert(e3.getMessage.contains("merge-on-read delete"))
-    spark.sql("DROP TABLE gcl.ns.s6c"); spark.sql("DROP TABLE gcl.ns.s6")
+    // a refusal leaves NO phantom destination: the remediation (OPTIMIZE
+    // materializes the deletes) followed by the SAME clone call succeeds
+    assert(!spark.catalog.tableExists("gcl.ns.s6d"),
+      "refused clone must not leave a descriptor behind")
+    spark.sql("CALL gcl.system.optimize(`table` => 'ns.s6')")
+    spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6d')")
+    assert(spark.table("gcl.ns.s6d").count() === spark.table("gcl.ns.s6").count())
+    spark.sql("DROP TABLE gcl.ns.s6d"); spark.sql("DROP TABLE gcl.ns.s6c")
+    spark.sql("DROP TABLE gcl.ns.s6")
   }
 
   test("second engine: duckdb resolves a clone through _clone_src, no Spark") {

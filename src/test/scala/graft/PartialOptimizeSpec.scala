@@ -97,4 +97,102 @@ class PartialOptimizeSpec extends AnyFunSuite {
     assert(spark.table("gpo.ns.p2").count() === n0 + 1)
     spark.sql("DROP TABLE gpo.ns.p2")
   }
+
+  test("a concurrent MOR delete to a chunk's day conflicts loudly (no silent resurrection)") {
+    mk("p3", days = 3, rowsPerDay = 40)
+    val root = s"$wh/ns/p3"
+    val (v0, raw) = {
+      val m = ManifestTable.readRawPinned(spark, root)
+      (m._1, m._2)
+    }
+    // a merge-on-read DELETE lands between the pin and the chunk commit:
+    // the day's FILE set is untouched (only a __deletes/ entry appears),
+    // which the pre-fix check could not see — rewriting the day from the
+    // pinned rows would silently resurrect the deleted rows
+    val prev = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark,
+        "DELETE FROM gpo.ns.p3 WHERE id % 3 = 0 AND ts < TIMESTAMP_NTZ '2024-03-02 00:00:00'")
+    } finally prev match {
+      case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+      case None => spark.conf.unset("spark.graft.delete.mode")
+    }
+    val nAfterDelete = spark.table("gpo.ns.p3").count()
+    val slice = raw.where(col(ManifestTable.DayCol).cast("string") === "2024-03-01")
+      .drop(ManifestTable.DayCol)
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.replaceDays(slice, root, Set("2024-03-01"), "ts",
+        retain = 10, expectedVersion = Some(v0))
+    }
+    // the delete survives; and a chunk over an UNAFFECTED day still lands
+    assert(spark.table("gpo.ns.p3").count() === nAfterDelete)
+    val slice2 = raw.where(col(ManifestTable.DayCol).cast("string") === "2024-03-03")
+      .drop(ManifestTable.DayCol)
+    ManifestTable.replaceDays(slice2, root, Set("2024-03-03"), "ts",
+      retain = 10, expectedVersion = Some(v0))
+    assert(spark.table("gpo.ns.p3").count() === nAfterDelete)
+    spark.sql("DROP TABLE gpo.ns.p3")
+  }
+
+  test("where_days composes with zorder_by: selected days z-cluster, others untouched") {
+    spark.sql("DROP TABLE IF EXISTS gpo.ns.pz")
+    spark.sql("CREATE TABLE gpo.ns.pz (id BIGINT, ts TIMESTAMP_NTZ, x BIGINT, y BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("ALTER TABLE gpo.ns.pz SET TBLPROPERTIES('retain'='10')")
+    import spark.implicits._
+    (0 until 4000).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 4, 1 + i % 2, i % 24, 0),
+        (i % 97).toLong, (i * 31 % 89).toLong)
+    }.toDF("id", "ts", "x", "y").createOrReplaceTempView("pz_src")
+    (0 until 3).foreach(b => spark.sql(
+      s"INSERT INTO gpo.ns.pz SELECT * FROM pz_src WHERE CAST(id/2 AS BIGINT) % 3 = $b"))
+    val root = s"$wh/ns/pz"
+    def relsOfDay(d: String): Set[String] = ManifestTable.liveEntries(root)
+      .map(_.rel).filter(_.startsWith(s"__day=$d/")).toSet
+    def areaFrac(d: String): Double = {
+      val fs = relsOfDay(d).toSeq
+      fs.map { f =>
+        val r = spark.read.parquet(s"$root/data/$f")
+          .agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+        ((r.getLong(1) - r.getLong(0)).toDouble / 96.0) *
+          ((r.getLong(3) - r.getLong(2)).toDouble / 88.0)
+      }.sum / fs.size
+    }
+    val day2Before = relsOfDay("2024-04-02")
+    val before = areaFrac("2024-04-01")
+    val total = spark.table("gpo.ns.pz").agg(sum("x")).collect()(0).getLong(0)
+    // target ~4 output files for the day so each covers ~1/4 of the plane
+    val dayBytes = ManifestTable.liveEntries(root)
+      .filter(_.rel.startsWith("__day=2024-04-01/"))
+      .map(e => graft.sources.FileStats.byteSize(
+        graft.sources.FileStats.decode(e.stats.getOrElse(""))).map(_._1).getOrElse(0L)).sum
+    graft.sources.v2.Maintenance.optimize(spark, "gpo.ns.pz",
+      targetFileBytes = math.max(1L, dayBytes / 4),
+      zorderBy = Seq("x", "y"), whereDays = Some(("2024-04-01", "2024-04-01")))
+    assert(relsOfDay("2024-04-02") === day2Before, "other days must carry untouched")
+    val after = areaFrac("2024-04-01")
+    assert(relsOfDay("2024-04-01").size >= 2)
+    assert(after < 0.6 && after < before * 0.75,
+      f"day not z-clustered: area fraction $after%.2f (was $before%.2f)")
+    assert(spark.table("gpo.ns.pz").agg(sum("x")).collect()(0).getLong(0) === total)
+    spark.sql("DROP TABLE gpo.ns.pz")
+  }
+
+  test("max_commits refuses to compose with where_days and non-day layouts") {
+    mk("p4", days = 2, rowsPerDay = 10)
+    val e1 = intercept[Exception] {
+      spark.sql("CALL gpo.system.optimize(`table` => 'ns.p4', " +
+        "where_days => '2024-03-01,2024-03-02', max_commits => 4)")
+    }
+    assert(e1.getMessage.contains("does not compose"))
+    spark.sql("DROP TABLE gpo.ns.p4")
+    spark.sql("CREATE TABLE gpo.ns.p4f (id BIGINT, v DOUBLE)") // flat
+    spark.sql("INSERT INTO gpo.ns.p4f VALUES (1, 1.0)")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gpo.system.optimize(`table` => 'ns.p4f', max_commits => 4)")
+    }
+    assert(e2.getMessage.contains("days() layout"))
+    spark.sql("DROP TABLE gpo.ns.p4f")
+  }
 }
