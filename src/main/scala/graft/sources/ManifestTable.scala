@@ -669,6 +669,22 @@ object ManifestTable {
         .forall(e => keyOf(e.rel).startsWith(s"$DayCol="))
   }
 
+  /** Live DATA-file count per hidden-day value, from the manifest INDEX
+    * alone — shard refs carry their entry count (`n`) in the list line,
+    * inline entries group by key; no shard contents open. The
+    * fragmentation signal auto-compaction polls per append, priced for
+    * polling: O(index lines), never O(files). */
+  def liveDayFileCounts(root: String): Map[String, Int] = {
+    val d = readDoc(root, currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")))
+    val fromRefs = d.refs.filter(_.key != DeleteDir)
+      .flatMap(r => dayOf(s"${r.key}/x").map(_ -> r.n))
+    val fromInline = d.inline.filterNot(e => isDeleteEntry(e.rel))
+      .flatMap(e => dayOf(e.rel).map(_ -> 1))
+    (fromRefs ++ fromInline).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+  }
+
   /** Distinct hidden-day values present in the live manifest — read from
     * shard KEYS and inline entries, no shard contents opened. */
   def liveDays(root: String): Set[String] = {

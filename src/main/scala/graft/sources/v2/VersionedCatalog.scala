@@ -822,6 +822,54 @@ object VersionedCatalog {
       preclustered = preclustered)
   }
 
+  /** Opt-in post-append auto-compaction (Delta's `autoCompact`): when
+    * the table declares `auto.compact`='true' and any day's live file
+    * count reached `auto.compact.min_files` (default 16), compact
+    * exactly those days through the day-replace commit — ingest-created
+    * small files fold back continuously instead of accumulating until a
+    * scheduled OPTIMIZE, and the cost stays proportional to the
+    * FRAGMENTED days (untouched days carry by reference). Fires on the
+    * batch INSERT path only (streaming sinks keep their epoch latency;
+    * DML rewrites already re-cluster what they touch). BEST-EFFORT by
+    * contract: the append it follows has already committed, so a
+    * concurrent-writer conflict or any failure here logs and returns —
+    * the data is durable either way and the next append retries. The
+    * fragmentation poll is metadata-only (manifest index line counts). */
+  private[graft] def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
+                                      root: String): Unit = {
+    val meta = readMeta(root).getOrElse(return)
+    if (!meta.userProps.get("auto.compact").exists(_.equalsIgnoreCase("true"))) return
+    if (meta.dayOf.isEmpty || meta.part.nonEmpty || meta.identityCols.nonEmpty) return
+    // no non-local returns inside the Try: NonLocalReturnControl would
+    // read as a failure and log a bogus skip
+    scala.util.Try {
+      val minFiles = meta.userProps.get("auto.compact.min_files")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(16)
+      val target = meta.userProps.get("auto.compact.target_bytes")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(128L << 20)
+      val frag =
+        if (!ManifestTable.isFullyDayKeyed(root)) Set.empty[String]
+        else ManifestTable.liveDayFileCounts(root)
+          .filter(_._2 >= minFiles).keySet
+      if (frag.nonEmpty) {
+        val (v0, raw) = ManifestTable.readRawPinned(spark, root)
+        val slice = raw.where(org.apache.spark.sql.functions
+          .col(ManifestTable.DayCol).cast("string").isInCollection(frag.toSeq))
+        val bytes = ManifestTable.liveEntries(root)
+          .filter(e => frag.exists(d =>
+            ManifestTable.plainRel(e.rel).startsWith(s"${ManifestTable.DayCol}=$d/")))
+          .map(e => ManifestTable.entryBytes(root, e)).sum
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+        ManifestTable.replaceDays(
+          slice.repartition(nFiles, org.apache.spark.sql.functions
+            .col(ManifestTable.DayCol)).drop(ManifestTable.DayCol),
+          root, frag, meta.dayOf.map(meta.physicalName).get,
+          retain = retainFor(root, spark), expectedVersion = Some(v0))
+      }
+    }.failed.foreach(e => org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"auto-compact of $root skipped: ${e.getMessage}"))
+  }
+
   def readMeta(root: String): Option[Meta] = {
     val p = s"$root/$MetaFile"
     if (!MetaIO.exists(p)) None
@@ -2153,10 +2201,14 @@ class VersionedWriteBuilder(root: String, schema: StructType,
           ManifestTable.commit(aligned, root, retain, physDayOf,
             format = Some(meta.format),
             partitionExpr = physExpr, partitionCols = physCols)
-        else
+        else {
           ManifestTable.append(aligned, root, retain, physDayOf,
             format = Some(meta.format),
             partitionExpr = physExpr, partitionCols = physCols)
+          // the append is durable; fold ingest fragmentation back if the
+          // table opted in (best-effort, never fails the INSERT)
+          VersionedCatalog.maybeAutoCompact(spark, root)
+        }
       }
     }
   }
