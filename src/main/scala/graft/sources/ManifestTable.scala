@@ -953,7 +953,8 @@ object ManifestTable {
                         partitionDayOf: Option[String], format: String,
                         partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
                         partitionCols: Seq[String] = Nil,
-                        preclustered: Boolean = false): PoolWrite = {
+                        preclustered: Boolean = false,
+                        rewriteOrder: Option[org.apache.spark.sql.Column] = None): PoolWrite = {
     require(FileFormats.contains(format), s"unsupported data-file format $format")
     val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
     // three layouts beyond flat: the hidden day, an arbitrary hidden
@@ -997,7 +998,21 @@ object ManifestTable {
     val clustered =
       if (sortApplied)
         clustered0.sortWithinPartitions((partNames ++ sortCols).map(col): _*)
-      else clustered0
+      else rewriteOrder match {
+        // a ZORDER rewrite's within-file order: sorted HERE, with the
+        // partition dirs prefixed, exactly like the declared-sort path —
+        // the file writer's required ordering (partition columns) is
+        // then already satisfied and it inserts no Sort of its own. A
+        // caller-side sort before the partition column re-derivation
+        // cannot register (the dropped column's ordering is lost), and
+        // the writer's own Sort(partition) is NOT order-stable once it
+        // spills, which would silently shred the Morton layout at
+        // exactly the scales compaction targets.
+        case Some(zo) => clustered0.withColumn("__graft_zo", zo)
+          .sortWithinPartitions((partNames.map(col) :+ col("__graft_zo")): _*)
+          .drop("__graft_zo") // projection keeps the partition-prefix ordering
+        case None => clustered0
+      }
     val sortSpec = if (sortApplied) Some(sortCols.mkString(",")) else None
     // engine-written parquet timestamps are always INT64 MICROS: the
     // session default (INT96) carries no logical annotation and no usable
@@ -1005,10 +1020,30 @@ object ManifestTable {
     // bounds (no pruning, no metadata-only aggregates). The conf rides an
     // isolated session clone — the caller's session may be running other
     // writes concurrently and must keep its own default.
+    // declared bloom columns: writer-side row-group bloom filters for
+    // point-lookup skipping ([[bloomColumns]]); resolved against the
+    // ACTUAL column case (parquet's per-column keys are name-exact, so
+    // they ride the session-clone conf below — DataFrameWriter options
+    // lowercase their keys and would miss mixed-case columns) and
+    // silently absent for columns a derivation dropped. Per-write
+    // either way — never a shared-conf mutation a concurrent write
+    // would inherit.
+    val (bloomDecl, bloomNdv) = bloomColumns(root)
+    val bloomCols = bloomDecl.flatMap(c => wdf.columns.find(_.equalsIgnoreCase(c)))
+    val parquetBloomConfs: Map[String, String] =
+      if (format != "parquet") Map.empty
+      else bloomCols.flatMap(c =>
+        Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
+          bloomNdv.map(n => s"parquet.bloom.filter.expected.ndv#$c" -> n.toString)).toMap
+    val bloomOpts: Map[String, String] = format match {
+      case "orc" if bloomCols.nonEmpty =>
+        Map("orc.bloom.filter.columns" -> bloomCols.mkString(","))
+      case _ => Map.empty
+    }
     val toWrite =
       if (format == "parquet")
         org.apache.spark.sql.execution.datasources.v2.GraftWriteConf
-          .withMicrosTimestamps(clustered)
+          .withMicrosTimestamps(clustered, parquetBloomConfs)
       else clustered
     // per-column NDV sketches ride the write job itself ([[NdvStats]]):
     // an Observation updates HLL sketches as the rows stream to the
@@ -1016,22 +1051,6 @@ object ManifestTable {
     // (hidden partition derivations never face a planner estimate).
     val (observed, obs) = NdvStats.attach(toWrite,
       allowed = df.schema.fieldNames.toSet)
-    // declared bloom columns: writer-side row-group bloom filters for
-    // point-lookup skipping ([[bloomColumns]]); resolved against the
-    // ACTUAL column case (parquet option keys are name-exact) and
-    // silently absent for columns a derivation dropped. Per-write
-    // options — never a session/hadoop-conf mutation a concurrent
-    // write would inherit.
-    val (bloomDecl, bloomNdv) = bloomColumns(root)
-    val bloomCols = bloomDecl.flatMap(c => wdf.columns.find(_.equalsIgnoreCase(c)))
-    val bloomOpts: Map[String, String] = format match {
-      case "parquet" => bloomCols.flatMap(c =>
-        Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
-          bloomNdv.map(n => s"parquet.bloom.filter.expected.ndv#$c" -> n.toString)).toMap
-      case "orc" if bloomCols.nonEmpty =>
-        Map("orc.bloom.filter.columns" -> bloomCols.mkString(","))
-      case _ => Map.empty
-    }
     if (partNames.isEmpty) observed.write.options(bloomOpts).format(format).save(stage)
     else observed.write.options(bloomOpts).partitionBy(partNames: _*)
       .format(format).save(stage)
@@ -1470,10 +1489,11 @@ object ManifestTable {
              partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
              partitionCols: Seq[String] = Nil,
              op: String = "overwrite",
-             preclustered: Boolean = false): Long = {
+             preclustered: Boolean = false,
+             rewriteOrder: Option[org.apache.spark.sql.Column] = None): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
     val fresh = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols,
-      preclustered = preclustered)
+      preclustered = preclustered, rewriteOrder = rewriteOrder)
     // a full rewrite re-derives every file's day in THIS session: its zone
     // is the table's zone, whatever history said
     val zp = writeZoneOf(df, partitionDayOf).map(ZoneProp -> _).toMap
@@ -1995,7 +2015,8 @@ object ManifestTable {
   def replaceDays(df: DataFrame, root: String, removeDays: Set[String],
                   partitionDayOf: String, retain: Int = 2,
                   expectedVersion: Option[Long] = None,
-                  preclustered: Boolean = false): Long = {
+                  preclustered: Boolean = false,
+                  rewriteOrder: Option[org.apache.spark.sql.Column] = None): Long = {
     val removed = removedDayKey(removeDays) _
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
@@ -2004,7 +2025,7 @@ object ManifestTable {
     val dels0 = deleteEntriesOf(root, d0.refs, d0.inline).map(_.rel).toSet
     val fmt = formatOf(root).getOrElse("parquet")
     val fresh = writePool(df, root, Some(partitionDayOf), fmt,
-      preclustered = preclustered)
+      preclustered = preclustered, rewriteOrder = rewriteOrder)
     val zone = writeZoneOf(df, Some(partitionDayOf))
     def decT(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
       java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
@@ -2808,8 +2829,11 @@ object ManifestTable {
     (srcLive, es)
   }
 
-  def cloneTo(srcRoot: String, dstRoot: String, retain: Int = 2): Long = {
-    val (srcLive, es) = validateCloneSource(srcRoot)
+  def cloneTo(srcRoot: String, dstRoot: String, retain: Int = 2,
+              prevalidated: Option[(Long, Seq[FileEntry])] = None): Long = {
+    // a catalog-level caller validated BEFORE persisting its descriptor
+    // and passes the result through — no second full-manifest read
+    val (srcLive, es) = prevalidated.getOrElse(validateCloneSource(srcRoot))
     require(currentVersion(dstRoot).isEmpty,
       s"$dstRoot already has committed versions; clone targets a fresh root")
     // immutable for the table's life — written before the manifest so a

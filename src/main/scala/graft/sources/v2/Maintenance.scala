@@ -116,22 +116,29 @@ object Maintenance {
       // range partitioner keys on (day, zkey) so each day's files hold
       // contiguous z-ranges, exactly the monolithic ZORDER layout but
       // paid only for the days being compacted
-      val clustered =
-        if (zorderBy.isEmpty)
-          slice.repartition(nFiles, col(ManifestTable.DayCol))
+      // with zorder: the RANGE placement (which rows share a file) is
+      // computed here; the within-file ORDER re-applies inside the pool
+      // write AFTER the partition dirs re-derive (rewriteOrder), so the
+      // file writer's own non-order-stable Sort never runs
+      val zkeyExpr =
+        if (zorderBy.isEmpty) None
         else {
           val zCols = zorderBy.map(meta.physicalName)
           zCols.foreach(c => require(slice.columns.exists(_.equalsIgnoreCase(c)),
             s"no such column $c"))
-          slice.withColumn("__zkey", zKeyOf(slice, zCols))
-            .repartitionByRange(nFiles, col(ManifestTable.DayCol), col("__zkey"))
-            .sortWithinPartitions("__zkey")
-            .drop("__zkey")
+          Some(zKeyOf(slice, zCols))
         }
+      val clustered = zkeyExpr match {
+        case None => slice.repartition(nFiles, col(ManifestTable.DayCol))
+        case Some(zo) => slice.withColumn("__zkey", zo)
+          .repartitionByRange(nFiles, col(ManifestTable.DayCol), col("__zkey"))
+          .drop("__zkey")
+      }
       return ManifestTable.replaceDays(
         clustered.drop(ManifestTable.DayCol),
         root, days, physDayCol, retain = retainOf(spark, root),
-        expectedVersion = Some(v0), preclustered = zorderBy.nonEmpty)
+        expectedVersion = Some(v0), preclustered = zorderBy.nonEmpty,
+        rewriteOrder = zkeyExpr)
     }
     // partition-directory key columns of the table's layout (empty for a
     // flat table): rewrites cluster by them so each directory gets
@@ -171,15 +178,16 @@ object Maintenance {
       val bytes = ManifestTable.history(spark, root)
         .where(col("is_current")).select(col("bytes")).collect()(0).getLong(0)
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      // range placement here; within-file order re-applies inside the
+      // pool write (rewriteOrder — see the where_days note)
       val clustered = raw
         .withColumn("__zkey", zkey)
         .repartitionByRange(nFiles,
           (dirKeyCols(raw) :+ (col("__zkey"): org.apache.spark.sql.Column)): _*)
-        .sortWithinPartitions("__zkey")
         .drop("__zkey")
       VersionedCatalog.commitPreservingLayout(root, clustered,
         retainOf(spark, root), ManifestTable.liveProps(root), op = "rewrite",
-        preclustered = true)
+        preclustered = true, rewriteOrder = Some(zkey))
     }
   }
 
@@ -212,6 +220,10 @@ object Maintenance {
     val mmExprs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val mmRow = df.agg(mmExprs.head, mmExprs.tail: _*).collect()(0)
+    // an EMPTY input (a fully merge-on-read-deleted day) aggregates to
+    // nulls — any constant key is a correct z-order for zero rows, and
+    // the rewrite proceeds to compact the day away
+    if (mmRow.isNullAt(0)) return lit(0L)
     val bucketCols = zCols.zipWithIndex.map { case (c, i) =>
       val lo = mmRow.getDouble(2 * i)
       val hi = mmRow.getDouble(2 * i + 1)
@@ -460,12 +472,14 @@ object Maintenance {
         "hidden-transform and unpartitioned layouts (OPTIMIZE-copy instead)")
     // ALL source-side refusals fire BEFORE the descriptor persists — a
     // refusal after writeMeta would leave a phantom versionless table
-    // that blocks the retry until a manual DROP
-    ManifestTable.validateCloneSource(srcRoot)
+    // that blocks the retry until a manual DROP; the validated entry
+    // list threads through so a million-entry manifest reads ONCE
+    val validated = ManifestTable.validateCloneSource(srcRoot)
     VersionedCatalog.writeMeta(dstRoot, srcMeta)
     VersionedCatalog.applySortOrderProp(dstRoot, srcMeta)
     VersionedCatalog.applyBloomProp(dstRoot, srcMeta)
-    ManifestTable.cloneTo(srcRoot, dstRoot, retain = retainOf(spark, dstRoot))
+    ManifestTable.cloneTo(srcRoot, dstRoot, retain = retainOf(spark, dstRoot),
+      prevalidated = Some(validated))
   }
 
   /** Expire retained snapshots beyond `retain` and GC unreferenced pool

@@ -1424,21 +1424,9 @@ object V2Queries {
         org.apache.parquet.io.api.Binary.fromString("evseznt"))
       val files = graft.sources.ManifestTable.liveEntries(root)
       val bloomOk = files.nonEmpty && files.forall { e =>
-        val p = new org.apache.hadoop.fs.Path(s"$root/data/${e.rel}")
-        val opts = org.apache.parquet.ParquetReadOptions.builder(
-            new org.apache.parquet.conf.HadoopParquetConfiguration(conf))
-          .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
-          .useBloomFilter(true).useStatsFilter(true).useDictionaryFilter(true)
-          .build()
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf), opts)
-        // total from the raw footer — getRecordCount is itself
-        // filter-aware and reads 0 once every row group is excluded
-        try {
-          import scala.jdk.CollectionConverters._
-          val total = r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          r.getFilteredRecordCount == 0L && total > 0L
-        } finally r.close()
+        val (cand, total) = graft.sources.ParquetProbe.filteredCount(
+          new org.apache.hadoop.fs.Path(s"$root/data/${e.rel}"), conf, pred)
+        cand == 0L && total > 0L
       }
       spark.table(tbl)
         .where(col("user_id") === 7L) // pushed equality: the lookup shape

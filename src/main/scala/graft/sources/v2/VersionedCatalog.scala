@@ -805,7 +805,8 @@ object VersionedCatalog {
                                             retain: Int,
                                             props: Map[String, String],
                                             op: String = "overwrite",
-                                            preclustered: Boolean = false): Long = {
+                                            preclustered: Boolean = false,
+                                            rewriteOrder: Option[org.apache.spark.sql.Column] = None): Long = {
     val meta = readMeta(root).getOrElse(
       throw new IllegalStateException(s"no descriptor under $root"))
     // re-align to the DECLARED physical schema: identity values read back
@@ -819,7 +820,7 @@ object VersionedCatalog {
       props = props, format = Some(meta.format),
       partitionExpr = partDeriveExpr(meta),
       partitionCols = meta.identityCols.map(meta.physicalName), op = op,
-      preclustered = preclustered)
+      preclustered = preclustered, rewriteOrder = rewriteOrder)
   }
 
   /** Opt-in post-append auto-compaction (Delta's `autoCompact`): when
@@ -840,6 +841,13 @@ object VersionedCatalog {
     val meta = readMeta(root).getOrElse(return)
     if (!meta.userProps.get("auto.compact").exists(_.equalsIgnoreCase("true"))) return
     if (meta.dayOf.isEmpty || meta.part.nonEmpty || meta.identityCols.nonEmpty) return
+    // WAP staging writes to the BRANCH head while the fragmentation poll
+    // and the pinned read below resolve MAIN — compacting across
+    // lineages would land a non-append 'replace' on the staging branch
+    // (wedging cherrypick publishes) from main-pinned rows. Auto-compact
+    // is a main-lineage feature; staged ingest compacts at publish.
+    if (spark.conf.getOption("spark.graft.write.branch")
+        .exists(_.nonEmpty)) return
     // no non-local returns inside the Try: NonLocalReturnControl would
     // read as a failure and log a bogus skip
     scala.util.Try {

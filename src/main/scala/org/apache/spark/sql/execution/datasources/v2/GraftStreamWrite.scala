@@ -30,12 +30,23 @@ class GraftFileWriterHandle private[v2] (factory: OutputWriterFactory,
   * no per-write option for the output timestamp type, and mutating the
   * shared session races concurrent query threads. */
 object GraftWriteConf {
-  def withMicrosTimestamps(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Rebind `df` to a session clone configured for the engine's parquet
+    * writes: INT64 MICROS timestamps, plus `extraConfs` copied verbatim
+    * into the clone's SQLConf — `SessionState.newHadoopConf()` forwards
+    * every session entry into the write job's Hadoop conf with its CASE
+    * PRESERVED, which per-column parquet keys
+    * (`parquet.bloom.filter.enabled#Col`) require; `DataFrameWriter
+    * .options` lowercases keys through CaseInsensitiveMap and would
+    * silently miss any mixed-case column. */
+  def withMicrosTimestamps(df: org.apache.spark.sql.DataFrame,
+                           extraConfs: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val clone = classic.cloneSession()
     clone.conf.set(
       org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
       "TIMESTAMP_MICROS")
+    extraConfs.foreach { case (k, v) => clone.conf.set(k, v) }
     org.apache.spark.sql.classic.Dataset.ofRows(clone,
       df.queryExecution.logical)
   }

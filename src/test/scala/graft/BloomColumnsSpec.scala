@@ -83,16 +83,9 @@ class BloomColumnsSpec extends AnyFunSuite {
         org.apache.parquet.filter2.predicate.FilterApi.longColumn("k"),
         java.lang.Long.valueOf(42L))
       graft.sources.MetaIO.listFilesRec(s"$wh/ns/$tbl/data")
-        .filter(_.getPath.getName.endsWith(".parquet")).map { st =>
-          val opts = org.apache.parquet.ParquetReadOptions.builder(
-              new org.apache.parquet.conf.HadoopParquetConfiguration(hconf))
-            .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
-            .useBloomFilter(true).useStatsFilter(true).useDictionaryFilter(true)
-            .build()
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf), opts)
-          try r.getFilteredRecordCount finally r.close()
-        }.sum
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => graft.sources.ParquetProbe
+          .filteredCount(st.getPath, hconf, pred)._1).sum
     }
     assert(candidates("b5n") === 300000L,
       "nothing else may exclude full-range PLAIN row groups")
@@ -117,6 +110,23 @@ class BloomColumnsSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gbl.ns.b2 VALUES (3, 3.0)")
     assert(spark.table("gbl.ns.b2").where(col("key") === 3L).count() === 1L)
     spark.sql("DROP TABLE gbl.ns.b2")
+  }
+
+  test("mixed-case columns get blooms (per-column keys are case-exact)") {
+    // DataFrameWriter.options lowercases keys through CaseInsensitiveMap,
+    // which would silently miss `parquet.bloom.filter.enabled#UserId`;
+    // the keys ride the session-clone conf instead (case preserved)
+    spark.sql("DROP TABLE IF EXISTS gbl.ns.bmc")
+    spark.sql("CREATE TABLE gbl.ns.bmc (UserId BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('bloom.columns'='UserId', 'bloom.ndv'='10000')")
+    import spark.implicits._
+    (0L until 5000L).map(i => (i, i * 0.5)).toDF("UserId", "v")
+      .createOrReplaceTempView("bmc_src")
+    spark.sql("INSERT INTO gbl.ns.bmc SELECT * FROM bmc_src")
+    val perFile = bloomedCols("bmc")
+    assert(perFile.nonEmpty && perFile.forall(_.contains("UserId")),
+      s"mixed-case column must carry a bloom, got $perFile")
+    spark.sql("DROP TABLE gbl.ns.bmc")
   }
 
   test("refusal matrix: unknown column, non-atomic type, avro tables, bad ndv") {

@@ -175,6 +175,30 @@ class PartialOptimizeSpec extends AnyFunSuite {
     assert(relsOfDay("2024-04-01").size >= 2)
     assert(after < 0.6 && after < before * 0.75,
       f"day not z-clustered: area fraction $after%.2f (was $before%.2f)")
+    // WITHIN-FILE Morton order must survive the pool write (the file
+    // writer's own partition sort is not order-stable; the rewrite's
+    // order re-applies inside writePool) — recompute the z key with the
+    // slice's bounds and assert monotonic rows per file
+    val dayDf = spark.table("gpo.ns.pz")
+      .where(col("ts") >= lit("2024-04-01").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-04-02").cast("timestamp_ntz"))
+    val mm = dayDf.agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+    def bucket(v: Long, lo: Long, hi: Long): Long = {
+      val span = math.max((hi - lo).toDouble, java.lang.Double.MIN_NORMAL)
+      math.min(255L, math.max(0L, math.floor((v - lo) / span * 256).toLong))
+    }
+    def morton(x: Long, y: Long): Long = {
+      val bx = bucket(x, mm.getLong(0), mm.getLong(1))
+      val by = bucket(y, mm.getLong(2), mm.getLong(3))
+      (0 until 8).map(b =>
+        (((bx >> b) & 1L) << (b * 2)) + (((by >> b) & 1L) << (b * 2 + 1))).sum
+    }
+    relsOfDay("2024-04-01").foreach { f =>
+      val zs = spark.read.parquet(s"$root/data/$f").select("x", "y")
+        .collect().map(r => morton(r.getLong(0), r.getLong(1)))
+      assert(zs.zip(zs.drop(1)).forall { case (a, b) => a <= b },
+        s"file $f lost its within-file Morton order")
+    }
     assert(spark.table("gpo.ns.pz").agg(sum("x")).collect()(0).getLong(0) === total)
     spark.sql("DROP TABLE gpo.ns.pz")
   }
