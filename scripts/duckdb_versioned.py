@@ -139,18 +139,21 @@ def resolve(root: str, version=None):
             return f"{clone_src}/{rel[4:]}"
         return f"{root}/data/{rel}"
 
+    def plain(rel):
+        return rel[4:] if rel.startswith("ext/") else rel
+
     data = [(path_of(r), q) for r, q, _ in entries
-            if not r.startswith("__deletes/")]
-    pos = [f"{root}/data/{r}" for r, q, _ in entries
-           if r.startswith("__deletes/")
-           and not r.startswith("__deletes/eq_")
-           and not r.startswith("__deletes/dv_")]
-    eq = [(f"{root}/data/{r}", q) for r, q, _ in entries
-          if r.startswith("__deletes/eq_")]
+            if not plain(r).startswith("__deletes/")]
+    pos = [path_of(r) for r, q, _ in entries
+           if plain(r).startswith("__deletes/")
+           and not plain(r).startswith("__deletes/eq_")
+           and not plain(r).startswith("__deletes/dv_")]
+    eq = [(path_of(r), q) for r, q, _ in entries
+          if plain(r).startswith("__deletes/eq_")]
     dv = []
     for r, q, stats in entries:
-        if r.startswith("__deletes/dv_"):
-            dv += _dv_positions(f"{root}/data/{r}", stats)
+        if plain(r).startswith("__deletes/dv_"):
+            dv += _dv_positions(path_of(r), stats)
     return version, data, pos, eq, dv
 
 

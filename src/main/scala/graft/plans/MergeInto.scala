@@ -480,7 +480,7 @@ object MergeInto {
         val (dvDel, pqDel) = posDel.partition(e => ManifestTable.isDvEntry(e.rel))
         val parts =
           (if (pqDel.isEmpty) Nil
-           else Seq(spark.read.parquet(pqDel.map(e => s"$root/data/${e.rel}"): _*)
+           else Seq(spark.read.parquet(pqDel.map(e => ManifestTable.dataPath(root, e.rel)): _*)
              .select(col("__file"), col("__pos")))) ++
           (if (dvDel.isEmpty) Nil
            else Seq(graft.sources.DeleteVectors.tombstoneDf(spark, root, dvDel)))
@@ -508,10 +508,10 @@ object MergeInto {
           .join(seqDf, afterPos("__mor_rel") === seqDf("__seq_rel"), "left")
           .drop("__seq_rel")
         val bySchema = eqDel.groupBy(e =>
-          spark.read.parquet(s"$root/data/${e.rel}").schema.fieldNames.toSeq.sorted)
+          spark.read.parquet(ManifestTable.dataPath(root, e.rel)).schema.fieldNames.toSeq.sorted)
         bySchema.values.foldLeft(withSeq) { (acc, group) =>
           val keys = group.map { e =>
-            spark.read.parquet(s"$root/data/${e.rel}")
+            spark.read.parquet(ManifestTable.dataPath(root, e.rel))
               .withColumn("__eq_seq", lit(e.seq.getOrElse(0L)))
           }.reduce(_ unionByName _)
           val keyCols = keys.columns.filterNot(_ == "__eq_seq")

@@ -170,7 +170,7 @@ private[graft] object DeleteVectors {
     val slices: Seq[(String, String, Long, Int, Long)] = dvEntries.flatMap { e =>
       val idx = e.stats.flatMap(decodeIndex).getOrElse(
         throw new IllegalStateException(s"dv entry ${e.rel} has no index"))
-      idx.map(s => (s"$root/data/${e.rel}", s.relEnc, s.offset, s.len, s.seq))
+      idx.map(s => (ManifestTable.dataPath(root, e.rel), s.relEnc, s.offset, s.len, s.seq))
     }
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val ds = spark.createDataset(slices)

@@ -802,7 +802,7 @@ object ManifestTable {
           val (dvDel, pqDel) = posDel.partition(e => isDvEntry(e.rel))
           val parts =
             (if (pqDel.isEmpty) Nil
-             else Seq(spark.read.parquet(pqDel.map(e => s"$root/data/${e.rel}"): _*)
+             else Seq(spark.read.parquet(pqDel.map(e => dataPath(root, e.rel)): _*)
                .select(col("__file"), col("__pos")))) ++
             (if (dvDel.isEmpty) Nil
              else Seq(DeleteVectors.tombstoneDf(spark, root, dvDel)))
@@ -823,10 +823,10 @@ object ManifestTable {
             .join(seqDf, afterPos("__mor_rel") === seqDf("__seq_rel"), "left")
             .drop("__seq_rel")
           val bySchema = eqDel.groupBy(e =>
-            spark.read.parquet(s"$root/data/${e.rel}").schema.fieldNames.toSeq.sorted)
+            spark.read.parquet(dataPath(root, e.rel)).schema.fieldNames.toSeq.sorted)
           bySchema.values.foldLeft(withSeq) { (acc, group) =>
             val keys = group.map { e =>
-              spark.read.parquet(s"$root/data/${e.rel}")
+              spark.read.parquet(dataPath(root, e.rel))
                 .withColumn("__eq_seq", lit(e.seq.getOrElse(0L)))
             }.reduce(_ unionByName _)
             val keyCols = keys.columns.filterNot(_ == "__eq_seq")
@@ -1685,7 +1685,7 @@ object ManifestTable {
     // its tombstones in the merge and resurrect deleted rows)
     val perEntryTargets: Seq[Set[String]] = posDel.map { e =>
       deleteTouchedRels(e).getOrElse(
-        spark.read.parquet(s"$root/data/${e.rel}")
+        spark.read.parquet(dataPath(root, e.rel))
           .select("__file").distinct().collect().map(_.getString(0)).toSet)
     }
     val posTargets: Set[String] = perEntryTargets.flatten.toSet
@@ -1706,7 +1706,7 @@ object ManifestTable {
           // keep the earliest (the commit that really deleted the row)
           val (dvDel, pqDel) = posDel.partition(e => isDvEntry(e.rel))
           val parts =
-            pqDel.map(e => spark.read.parquet(s"$root/data/${e.rel}")
+            pqDel.map(e => spark.read.parquet(dataPath(root, e.rel))
               .select(col("__file").cast("string"), col("__pos").cast("long"))
               .withColumn("__seq", lit(e.seq.getOrElse(0L)))) ++
             (if (dvDel.isEmpty) Nil
@@ -2799,10 +2799,17 @@ object ManifestTable {
     * KLL statistics sidecar carries over, so CBO plans on the clone from
     * commit one.
     *
+    * POSITIONAL merge-on-read artifacts (parquet tombstones, deletion
+    * vectors) CLONE — they are self-scoping and reference the same
+    * source pool the data entries do, so the clone reads the
+    * deletes-applied snapshot exactly; the clone commit stamps the
+    * change horizon so plain streams refuse the row-level state loudly.
+    *
     * Contract limits (each refused loudly):
-    *  - the source must carry no live merge-on-read DELETE entries — its
-    *    delete artifacts live in ITS pool and reference ITS lineage;
-    *    OPTIMIZE the source first (materializes the deletes), then clone;
+    *  - the source must carry no live EQUALITY-delete entries — their
+    *    strictly-older-sequence scoping cannot survive the clone's
+    *    re-stamp (every entry lands at one fresh sequence, silently
+    *    voiding the retractions); OPTIMIZE the source first;
     *  - the source must not itself hold `ext/` entries (a clone of a
     *    clone would need two external bases; OPTIMIZE the intermediate
     *    clone to localize, then clone it);
@@ -2820,9 +2827,17 @@ object ManifestTable {
     val srcLive = currentVersion(srcRoot).getOrElse(throw new IllegalStateException(
       s"no committed version under $srcRoot — nothing to clone"))
     val es = entries(srcRoot, srcLive)
-    require(!es.exists(e => isDeleteEntry(e.rel)),
-      s"$srcRoot carries live merge-on-read delete entries; OPTIMIZE it " +
-        "(materializes the deletes), then clone")
+    // POSITIONAL artifacts (parquet tombstones, deletion vectors) clone
+    // fine: they are self-scoping — they name their target files, which
+    // clone alongside them — so no sequence relation needs to survive
+    // the re-stamp. EQUALITY deletes do not: they retract from files of
+    // STRICTLY SMALLER sequence, and the clone stamps every entry at one
+    // fresh sequence, which would silently void every retraction. Refuse
+    // the eq backlog; compaction materializes it away.
+    require(!es.exists(e => isEqDeleteEntry(e.rel)),
+      s"$srcRoot carries live EQUALITY-delete entries, whose sequence " +
+        "scoping cannot survive a clone's re-stamp; OPTIMIZE it " +
+        "(materializes the retractions), then clone")
     require(!es.exists(e => isExtEntry(e.rel)),
       s"$srcRoot is itself a shallow clone with live ext/ entries; " +
         "OPTIMIZE it to localize, then clone")
@@ -2846,8 +2861,17 @@ object ManifestTable {
     // or the change-key ledger (the clone is a NEW table; its history
     // starts here)
     val zp = liveProps(srcRoot).get(ZoneProp).map(ZoneProp -> _).toMap
+    // carried MERGE-ON-READ artifacts make the clone's first snapshot a
+    // row-level-change state: a plain appended-files stream would serve
+    // the tombstoned rows, so stamp the change horizon at the clone
+    // commit — streams refuse without ignoreChanges (the append-only
+    // contract), CDF windows start here anyway. The fresh-root
+    // requirement makes the first allocation deterministically 1.
+    val cp =
+      if (es.exists(e => isDeleteEntry(e.rel))) Map(ChangeProp -> "1")
+      else Map.empty[String, String]
     val v = commitLoop(dstRoot, retain, rebase = false)(_ =>
-      Planned(extEntries, zp + (OpProp -> "clone")))
+      Planned(extEntries, zp ++ cp + (OpProp -> "clone")))
     // statistics carry over: the source's resolved sketch at its live
     // version IS the clone's table content (stale markers ride along).
     // A plain write: the commit loop just published the full-replacement

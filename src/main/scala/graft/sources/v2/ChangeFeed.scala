@@ -465,7 +465,7 @@ private[v2] object ChangeFeedPlanner {
       if (!ManifestTable.exists(root)) Nil
       else ManifestTable.liveDeleteEntries(root)
         .filter(e => ManifestTable.isEqDeleteEntry(e.rel))
-        .flatMap(e => spark.read.parquet(s"$root/data/${e.rel}").schema.fieldNames)
+        .flatMap(e => spark.read.parquet(ManifestTable.dataPath(root, e.rel)).schema.fieldNames)
         .distinct
 
     // the read layout is PHYSICAL (data files and identity dirs carry
@@ -581,7 +581,7 @@ private[v2] object ChangeFeedPlanner {
     // slice. Delete versions ride per-unit, so a deletion-vector merge
     // (rewrite_deletes) keeps every tombstone attributed to its ORIGINAL
     // commit and the feed's windows stay exact across maintenance.
-    def posPath(e: ManifestTable.FileEntry): String = s"$root/data/${e.rel}"
+    def posPath(e: ManifestTable.FileEntry): String = ManifestTable.dataPath(root, e.rel)
     val posUnits: Seq[(String, Long, Either[String, DvSlice])] = posAll.flatMap { e =>
       if (ManifestTable.isDvEntry(e.rel))
         graft.sources.DeleteVectors.decodeIndex(e.stats.getOrElse("")).getOrElse(

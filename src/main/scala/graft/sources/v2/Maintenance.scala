@@ -373,7 +373,7 @@ object Maintenance {
               scala.util.Try {
                 val ps = graft.sources.DeleteVectors.decodePositionsStrict(
                   graft.sources.DeleteVectors.readSliceBytes(
-                    s"$root/data/${e.rel}", s.offset, s.len, c))
+                    ManifestTable.dataPath(root, e.rel), s.offset, s.len, c))
                 bcRows.value.get(s.relEnc)
                   .exists(rows => ps.exists(p => p < 0 || p >= rows))
               }.getOrElse(true) // unreadable/undecodable slice = corrupt

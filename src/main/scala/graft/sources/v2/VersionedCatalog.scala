@@ -1643,7 +1643,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val (dvEntries, pqEntries) =
           posEntries.partition(e => ManifestTable.isDvEntry(e.rel))
         val pqListed = pqEntries.map(e => e -> ManifestTable.deleteTouchedRels(e))
-        val legacyPaths = pqListed.collect { case (e, None) => s"$root/data/${e.rel}" }
+        val legacyPaths = pqListed.collect { case (e, None) => ManifestTable.dataPath(root, e.rel) }
         val legacyTouched: Set[String] =
           if (legacyPaths.isEmpty) Set.empty
           else spark.read.parquet(legacyPaths: _*)
@@ -1651,7 +1651,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val pqByRel = scala.collection.mutable.Map.empty[String, Vector[String]]
         pqListed.foreach {
           case (e, Some(t)) => t.foreach(r =>
-            pqByRel(r) = pqByRel.getOrElse(r, Vector.empty) :+ s"$root/data/${e.rel}")
+            pqByRel(r) = pqByRel.getOrElse(r, Vector.empty) :+ ManifestTable.dataPath(root, e.rel))
           case _ => ()
         }
         legacyTouched.foreach(r =>
@@ -1659,7 +1659,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val slicesByRel: Map[String, Seq[DvSlice]] = dvEntries.flatMap { e =>
           graft.sources.DeleteVectors.decodeIndex(e.stats.getOrElse("")).getOrElse(
             throw new IllegalStateException(s"dv entry ${e.rel} has no index"))
-            .map(s => s.relEnc -> DvSlice(s"$root/data/${e.rel}", s.offset, s.len, s.seq))
+            .map(s => s.relEnc -> DvSlice(ManifestTable.dataPath(root, e.rel), s.offset, s.len, s.seq))
         }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
         val affected = (pqByRel.keySet ++ slicesByRel.keySet)
           .filter(surviving.contains).toSet
@@ -1670,7 +1670,7 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     // equality-delete metadata: one footer-schema read per eq file (driver,
     // bounded by the eq backlog); key columns are PHYSICAL names
     val eqRaw: Seq[(String, Long, StructType)] = eqEntries.map { e =>
-      val p = s"$root/data/${e.rel}"
+      val p = ManifestTable.dataPath(root, e.rel)
       (p, e.seq.getOrElse(0L), spark.read.parquet(p).schema)
     }
     var keepIdx: Array[Int] = Array.empty

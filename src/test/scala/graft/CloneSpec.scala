@@ -154,7 +154,60 @@ class CloneSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcl.ns.s5c"); spark.sql("DROP TABLE gcl.ns.s5")
   }
 
-  test("refusal matrix: MOR-delete source, clone-of-live-clone, existing target") {
+  test("a positional-MOR source clones: deletes apply through the ext pool") {
+    mkSource("s9", partitioned = false)
+    val prev = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gcl.ns.s9 WHERE id % 5 = 0")
+    } finally prev match {
+      case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+      case None => spark.conf.unset("spark.graft.delete.mode")
+    }
+    assert(ManifestTable.hasDeletes(root("s9")), "setup needs a live DV")
+    val srcRows = spark.table("gcl.ns.s9").orderBy("id").collect()
+    spark.sql("CALL gcl.system.clone(source => 'ns.s9', target => 'ns.s9c')")
+    assert(poolFiles("s9c").isEmpty, "still zero-copy with delete artifacts")
+    // the clone reads the deletes-APPLIED snapshot exactly
+    assert(spark.table("gcl.ns.s9c").orderBy("id").collect().toSeq === srcRows.toSeq)
+    assert(spark.table("gcl.ns.s9c").where(col("id") % 5 === 0).count() === 0L)
+    // clone-side maintenance folds the carried backlog into a LOCAL blob
+    spark.sql("CALL gcl.system.rewrite_deletes(`table` => 'ns.s9c')")
+    assert(spark.table("gcl.ns.s9c").orderBy("id").collect().toSeq === srcRows.toSeq)
+    // fsck on the delete-carrying clone verifies ext targets + slices
+    assert(spark.sql("CALL gcl.system.fsck(`table` => 'ns.s9c')")
+      .collect()(0).getBoolean(8), "delete-carrying clone must fsck healthy")
+    // the second engine applies the carried tombstones too
+    import scala.sys.process._
+    val script = new java.io.File("scripts/duckdb_versioned.py").getAbsolutePath
+    val out = Seq("python3", script, root("s9c"),
+      "SELECT COUNT(*) AS n FROM t").!!
+    assert(out.linesIterator.toSeq.last.trim.toLong === srcRows.length.toLong,
+      s"duckdb diverged on the delete-carrying clone: $out")
+    // a plain STREAM refuses the row-level first snapshot loudly
+    assert(graft.sources.ManifestTable.liveProps(root("s9c"))
+      .get(graft.sources.ManifestTable.ChangeProp).contains("1"),
+      "clone with carried deletes must stamp the change horizon")
+    // BATCH change feed: the horizon makes the clone's first version an
+    // opaque state (it packs an entire foreign history — no row-level
+    // reconstruction is honest), so the feed is EMPTY rather than wrong
+    assert(spark.table("gcl.ns.s9c.changes").count() === 0L,
+      "the opaque clone state must not fabricate change events")
+    // STREAMING change feed: the initial snapshot serves the LIVE rows
+    // (deletes applied) as inserts — the surface an incremental consumer
+    // actually starts from
+    val q = spark.readStream.table("gcl.ns.s9c.changes")
+      .writeStream.format("memory").queryName("s9c_cdf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val snap = spark.table("s9c_cdf").collect()
+    assert(snap.forall(_.getString(snap.head.schema.fieldIndex("_change_type")) == "insert"))
+    assert(snap.map(_.getLong(0)).sorted.toSeq === srcRows.map(_.getLong(0)).toSeq.sorted,
+      "the streaming snapshot must be the deletes-applied live rows")
+    spark.sql("DROP TABLE gcl.ns.s9c"); spark.sql("DROP TABLE gcl.ns.s9")
+  }
+
+  test("refusal matrix: eq-delete source, clone-of-live-clone, existing target") {
     mkSource("s6", partitioned = false)
     // target exists
     mkSource("s6t", partitioned = false)
@@ -169,21 +222,16 @@ class CloneSpec extends AnyFunSuite {
       spark.sql("CALL gcl.system.clone(source => 'ns.s6c', target => 'ns.s6cc')")
     }
     assert(e2.getMessage.contains("itself a shallow clone"))
-    // MOR-delete source refuses
-    val prev = spark.conf.getOption("spark.graft.delete.mode")
-    try {
-      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
-      graft.plans.MergeInto.sql(spark, "DELETE FROM gcl.ns.s6 WHERE id % 5 = 0")
-    } finally prev match {
-      case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
-      case None => spark.conf.unset("spark.graft.delete.mode")
-    }
+    // EQUALITY-delete backlogs refuse (sequence scoping cannot re-stamp)
+    import spark.implicits._
+    ManifestTable.appendEqualityDeletes(
+      Seq(3L).toDF("id"), root("s6"), retain = 5)
     val e3 = intercept[Exception] {
       spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6d')")
     }
-    assert(e3.getMessage.contains("merge-on-read delete"))
+    assert(e3.getMessage.contains("EQUALITY-delete"))
     // a refusal leaves NO phantom destination: the remediation (OPTIMIZE
-    // materializes the deletes) followed by the SAME clone call succeeds
+    // materializes the retractions) followed by the SAME call succeeds
     assert(!spark.catalog.tableExists("gcl.ns.s6d"),
       "refused clone must not leave a descriptor behind")
     spark.sql("CALL gcl.system.optimize(`table` => 'ns.s6')")
