@@ -440,7 +440,12 @@ object MergeInto {
     * the merge-on-read DML paths. Applying the tombstones here is a
     * correctness requirement, not hygiene: an UPDATE over a raw read
     * would rewrite an already-deleted row into a new file, resurrecting
-    * it. None = nothing to read (empty table ⇒ the DML is a no-op). */
+    * it. None = nothing to read (empty table ⇒ the DML is a no-op).
+    *
+    * TWIN of [[ManifestTable.readApplied]]'s delete application (this
+    * copy speaks LOGICAL column names and schema-pins the read; that one
+    * is physical) — a change to delete semantics (path resolution, seq
+    * scoping, null-key matching) must land in BOTH. */
   private def morRead(spark: SparkSession, root: String,
                       meta: graft.sources.v2.VersionedCatalog.Meta,
                       alias: String): Option[DataFrame] = {

@@ -224,9 +224,10 @@ object ManifestTable {
     * rewrites materialize them away. */
   val DeleteDir = "__deletes"
 
-  /** True for manifest entries under the reserved delete directory.
-    * (Clones refuse sources with live delete entries, so `ext/` delete
-    * entries never exist — the [[plainRel]] read here is defensive.) */
+  /** True for manifest entries under the reserved delete directory —
+    * including `ext/` (shallow-clone) POSITIONAL artifacts, which clone
+    * alongside their target files and read through [[dataPath]] like
+    * data entries. */
   def isDeleteEntry(rel: String): Boolean =
     plainRel(rel).startsWith(s"$DeleteDir/")
 
@@ -777,7 +778,11 @@ object ManifestTable {
     *
     * Exactly what Iceberg's delete-file readers buy the reference. Both
     * joins let AQE pick broadcast vs shuffle, so a huge delete backlog
-    * degrades to a shuffled anti-join instead of driver/executor OOM. */
+    * degrades to a shuffled anti-join instead of driver/executor OOM.
+    *
+    * TWIN of [[graft.plans.MergeInto]]'s `morRead` delete application
+    * (that copy speaks LOGICAL names for DML; this one is physical) — a
+    * change to delete semantics must land in BOTH. */
   private def readApplied(spark: SparkSession, root: String,
                           es: Seq[FileEntry]): DataFrame = {
     val (del, data) = es.partition(e => isDeleteEntry(e.rel))
@@ -2855,7 +2860,23 @@ object ManifestTable {
     // reader can never see ext/ entries without their base
     MetaIO.writeAtomic(s"$dstRoot/_clone_src", s"$srcRoot/data")
     cloneSrcCache.remove(dstRoot) // a dropped+recreated root must re-read
-    val extEntries = es.map(e => FileEntry(ExtPrefix + e.rel, e.stats, seq = None))
+    // DV slice indexes embed PER-SECTION delete versions — SOURCE-table
+    // numbers that mean nothing in the clone's version space: left
+    // intact, the change feed would fabricate delete/update events once
+    // the clone's head reaches them, fsck would flag a clone-side
+    // rewrite_deletes' merged entry (seq = max slice seq) as a future
+    // sequence, and streams would misattribute the carried tombstones to
+    // new windows. Re-stamp every slice at 1 — the clone's first (and
+    // only) version, "deleted at or before the clone" — which the
+    // horizon stamp below already fences out of change windows.
+    val extEntries = es.map { e =>
+      val stats =
+        if (!isDvEntry(e.rel)) e.stats
+        else e.stats.map(s => DeleteVectors.decodeIndex(s)
+          .map(idx => DeleteVectors.encodeIndex(idx.map(_.copy(seq = 1L))))
+          .getOrElse(s))
+      FileEntry(ExtPrefix + e.rel, stats, seq = None)
+    }
     // carried props: the writer zone (day values of carried files keep
     // their recorded interpretation) — NOT streaming idempotence markers
     // or the change-key ledger (the clone is a NEW table; its history

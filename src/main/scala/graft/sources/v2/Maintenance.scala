@@ -444,7 +444,7 @@ object Maintenance {
     * the source pool, statistics sidecar carried. One metadata write
     * however large the source; the clone diverges freely (its writes land
     * locally) and OPTIMIZE localizes it. See [[ManifestTable.cloneTo]]
-    * for the contract limits (no live MOR deletes on the source, no
+    * for the contract limits (no live EQUALITY-delete backlog, no
     * clone-of-a-clone while ext entries live) and the Delta-inherited
     * hazard: expiring the SOURCE's snapshots can remove files live
     * clones reference — fsck on the clone detects it. Returns the

@@ -20,7 +20,9 @@ import graft.sources.v2.VersionedCatalog
   *    survive untouched);
   *  - the clone's GC / orphan sweep never deletes a file outside its
   *    root;
-  *  - the refusal matrix: live MOR deletes on the source, clone of a
+  *  - positional merge-on-read sources clone (deletes-applied reads,
+  *    clone-side maintenance, horizon-fenced change feeds);
+  *  - the refusal matrix: equality-delete backlogs, clone of a
   *    live clone, existing target, identity layouts.
   *
   * Reference behavior anchor: Delta CLONE semantics (shallow clones
@@ -156,6 +158,13 @@ class CloneSpec extends AnyFunSuite {
 
   test("a positional-MOR source clones: deletes apply through the ext pool") {
     mkSource("s9", partitioned = false)
+    // a second source commit pushes the DELETE to source version 3 —
+    // ABOVE any version the young clone will have, so carried slice
+    // sequences left un-stamped would read as FUTURE events there
+    import spark.implicits._
+    Seq((500L, java.time.LocalDateTime.of(2024, 2, 8, 0, 0), 5.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("s9_extra")
+    spark.sql("INSERT INTO gcl.ns.s9 SELECT * FROM s9_extra")
     val prev = spark.conf.getOption("spark.graft.delete.mode")
     try {
       spark.conf.set("spark.graft.delete.mode", "merge-on-read")
@@ -204,6 +213,23 @@ class CloneSpec extends AnyFunSuite {
     assert(snap.forall(_.getString(snap.head.schema.fieldIndex("_change_type")) == "insert"))
     assert(snap.map(_.getLong(0)).sorted.toSeq === srcRows.map(_.getLong(0)).toSeq.sorted,
       "the streaming snapshot must be the deletes-applied live rows")
+    // carried slice sequences were re-stamped to the clone's version
+    // space: an append advancing the clone PAST the source's delete
+    // version must surface ONLY its own inserts — un-stamped source
+    // sequences would fabricate delete/update events here
+    Seq((600L, java.time.LocalDateTime.of(2024, 2, 8, 1, 0), 6.0),
+        (601L, java.time.LocalDateTime.of(2024, 2, 8, 2, 0), 6.1))
+      .toDF("id", "ts", "v").createOrReplaceTempView("s9c_extra")
+    spark.sql("INSERT INTO gcl.ns.s9c SELECT * FROM s9c_extra")
+    spark.sql("INSERT INTO gcl.ns.s9c SELECT id + 10, ts, v FROM s9c_extra")
+    val post = spark.table("gcl.ns.s9c.changes").collect()
+    assert(post.forall(_.getString(post.head.schema.fieldIndex("_change_type")) == "insert"),
+      "clone CDF past the source's delete version must not fabricate events")
+    assert(post.length === 4)
+    // and fsck stays healthy with the clone at a version BELOW the
+    // source's delete version (no 'future sequence' false alarm)
+    assert(spark.sql("CALL gcl.system.fsck(`table` => 'ns.s9c')")
+      .collect()(0).getBoolean(8))
     spark.sql("DROP TABLE gcl.ns.s9c"); spark.sql("DROP TABLE gcl.ns.s9")
   }
 
