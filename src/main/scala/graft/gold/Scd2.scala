@@ -92,11 +92,15 @@ object Scd2 extends org.apache.spark.internal.Logging {
 
   private val Probe = "__scd2_probe"
 
-  /** Closes that MUST match a target current row — no in-batch open
-    * strictly before the close version (a routine update's close pairs
-    * with its same-version postimage open, and a routine delete has no
-    * open at all, so EVERY close-bearing batch has probe members; a
-    * member that also misses in the target is a missing close). Returns
+  /** Closes that MUST match a target current row — no in-batch open AT
+    * OR before the close version. A routine update's close commits
+    * ATOMICALLY with its same-version postimage open, so the pair is
+    * satisfied by construction: whatever the target held, the batch's
+    * end state is the postimage as the current row, and probing the
+    * target buys nothing — which lets a routine update batch skip the
+    * target probe ENTIRELY (deletes and out-of-order closes, the shapes
+    * where a missing target row silently loses the close, still probe).
+    * Returns
     * the EXACT missing count plus up to `sample` offending key rows.
     * Cost shape: `probeSet` comes from the already-materialized fold
     * (zero recompute), and the target side is ONE column-pruned read of
@@ -132,10 +136,12 @@ object Scd2 extends org.apache.spark.internal.Logging {
     * and the probe both read — the pre-fusion version recomputed the
     * fold for the probe chain and again inside the MERGE), with probe
     * membership computed as a window column of the fold itself. A batch
-    * with no probe closes (pure inserts — the initial snapshot) skips
-    * the target probe entirely off one cheap checkpoint-local scan;
-    * close-bearing batches pay one column-pruned read of the target's
-    * current keys, then the MERGE's own read. */
+    * with no probe closes — pure inserts (the initial snapshot) AND
+    * routine update batches, whose same-version close/open pairs are
+    * satisfied in the fold — skips the target probe entirely off one
+    * cheap checkpoint-local scan; only delete-bearing (or out-of-order)
+    * batches pay the column-pruned read of the target's current keys,
+    * then the MERGE's own read. */
   private[graft] def applyBatch(spark: SparkSession, targetTable: String,
                                 batch: DataFrame, keyCols: Seq[String],
                                 attrCols: Seq[String]): Long = {
@@ -145,8 +151,10 @@ object Scd2 extends org.apache.spark.internal.Logging {
       .withColumn("__first_open",
         min(when(!col(IsClose), col("valid_from")))
           .over(Window.partitionBy(keys: _*)))
+      // strict >: a same-version open (the routine update's postimage)
+      // satisfies its close in the fold — see [[missingCloses]]
       .withColumn(Probe, col(IsClose) &&
-        (col("__first_open").isNull || col("__first_open") >= col(CloseV)))
+        (col("__first_open").isNull || col("__first_open") > col(CloseV)))
       .drop("__first_open")
       .localCheckpoint(true) // ONE materialization: probe + MERGE source
     folded.drop(Probe).createOrReplaceTempView(view)

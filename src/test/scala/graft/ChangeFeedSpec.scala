@@ -865,22 +865,38 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(dim().contains((1L, "a", 1L, Some(5L), false)))
     assert(!dim().exists(r => r._1 == 1L && r._5), "k=1 must have no current row")
 
-    // DRIFT, default mode: the dim's current row for k=2 is manually
-    // removed; the next update's close has nothing to close — the batch
-    // REPORTS the count instead of silently dropping it, and the
-    // postimage still opens
+    // DRIFT under a routine UPDATE: the dim's current row for k=2 is
+    // manually removed; the update's same-version close/open pair is
+    // satisfied in the FOLD (the pair commits atomically — the end
+    // state is the postimage as current either way), so the batch skips
+    // the target probe, reports NOTHING, and SELF-HEALS: the postimage
+    // opens the new current row
     withMorDml {
       graft.plans.MergeInto.sql(spark, s"DELETE FROM $d WHERE k = 2 AND is_current")
       graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = 'BB' WHERE k = 2") // v6
     }
-    assert(drain() === 1L, "default mode reports the missing close")
+    assert(drain() === 0L,
+      "a routine update batch must skip the target probe (same-version pair)")
     assert(dim().exists(r => r._1 == 2L && r._2 == "BB" && r._5),
       "the postimage still opens a current row")
 
-    // DRIFT, strict mode: the batch fails loudly naming the key
+    // DRIFT under a DELETE, default mode: a delete's close has no
+    // same-version reopen — it MUST find a target current row, so the
+    // missing close is REPORTED instead of silently dropping
     withMorDml {
       graft.plans.MergeInto.sql(spark, s"DELETE FROM $d WHERE k = 3 AND is_current")
-      graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = 'ZZ' WHERE k = 3") // v7
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 3")        // v7
+    }
+    assert(drain() === 1L, "default mode reports the missing close")
+    assert(!dim().exists(r => r._1 == 3L && r._5), "k=3 must have no current row")
+
+    // DRIFT under a DELETE, strict mode: the batch fails loudly naming
+    // the key (re-open k=3 first so a fresh drifted delete exists)
+    Seq((3L, "zz")).toDF("k", "v").writeTo(t).append()                       // v8
+    assert(drain() === 0L)
+    withMorDml {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $d WHERE k = 3 AND is_current")
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k = 3")        // v9
     }
     spark.conf.set("spark.graft.scd2.onMissingClose", "fail")
     try {
@@ -892,7 +908,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       // the failed batch never committed: count mode replays it whole
       spark.conf.set("spark.graft.scd2.onMissingClose", "count")
       assert(drain() === 1L)
-      assert(dim().exists(r => r._1 == 3L && r._2 == "ZZ" && r._5))
+      assert(!dim().exists(r => r._1 == 3L && r._5))
     } finally spark.conf.unset("spark.graft.scd2.onMissingClose")
     Seq(t, d).foreach(x => spark.sql(s"DROP TABLE $x"))
   }
