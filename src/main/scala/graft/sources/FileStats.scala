@@ -496,6 +496,36 @@ object FileStats {
     } yield cmp(a.tag, amx, bmn) < 0 || cmp(a.tag, bmx, amn) < 0)
       .getOrElse(false)
 
+  /** Order-preserving concatenation check: can `files` (id → decoded
+    * stats) be read back-to-back as ONE sorted run on `col`? Yes iff
+    * every file carries both bounds for the column and the ranges are
+    * pairwise STRICTLY disjoint — strict, because two files touching at
+    * a boundary value could interleave that value's rows (and break any
+    * secondary sort column's order within the tie). Returns the ids in
+    * range order, or None when any bound is missing/unparseable or any
+    * pair overlaps (conservative: never claim an order the stamps cannot
+    * prove). Disjointness on the LEADING sort column alone is sufficient
+    * for a multi-column spec: a strict first-key step between files
+    * decides the lexicographic comparison before later keys are read. */
+  def disjointOrder(col: String,
+                    files: Seq[(String, Map[String, ColStats])]): Option[Seq[String]] = {
+    val bounds = files.map { case (id, stats) =>
+      stats.get(col.toLowerCase).flatMap(c => for {
+        mn <- c.min.flatMap(parseBound(c.tag, _))
+        mx <- c.max.flatMap(parseBound(c.tag, _))
+      } yield (id, c.tag, mn, mx))
+    }
+    if (bounds.exists(_.isEmpty)) return None
+    val bs = bounds.flatten
+    if (bs.map(_._2).distinct.size != 1) return None
+    val tag = bs.head._2
+    val sorted = bs.sortWith((a, b) => cmp(tag, a._3, b._3) < 0)
+    val ok = sorted.zip(sorted.drop(1)).forall { case (a, b) =>
+      cmp(tag, a._4, b._3) < 0 // prev.max STRICTLY below next.min
+    }
+    if (ok) Some(sorted.map(_._1)) else None
+  }
+
   /** Conservative may-contain verdict for one pushed filter against one
     * file's stats. True = the file must stay (match possible or unknown);
     * false = PROVEN empty for this filter. */

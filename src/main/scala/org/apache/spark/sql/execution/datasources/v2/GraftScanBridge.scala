@@ -150,7 +150,8 @@ class GraftReorderedReaderFactory(inner: PartitionReaderFactory,
   * split sizing match the unkeyed scan. */
 class GraftKeyGroupedScan(delegate: FileScan, clustering: Array[Transform],
                           pathKey: Option[String => Any] = None,
-                          preserveOrder: Boolean = false)
+                          preserveOrder: Boolean = false,
+                          fileOrder: Option[String => Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics {
 
@@ -198,15 +199,21 @@ class GraftKeyGroupedScan(delegate: FileScan, clustering: Array[Transform],
     val spark = delegate.sparkSession
     // ORDER-PRESERVING mode (the scan reports SupportsReportOrdering —
     // see VersionedScanBuilder.reportableOrdering): one partition per
-    // key, whole files unsplit, so each partition's rows keep their
-    // file's write order. Spark's groupedPartitions concatenates a key's
-    // partitions in ARBITRARY order and split-packing reorders by size,
-    // either of which would silently break an elided Sort — the
-    // eligibility gate (one sorted file per key) makes this mode cost
-    // nothing in parallelism.
+    // key, whole files unsplit and concatenated in `fileOrder` rank
+    // (the builder's stamped-range order — a multi-file group with
+    // provably disjoint ranges reads as one sorted run). Spark's
+    // groupedPartitions concatenates a key's partitions in ARBITRARY
+    // order and split-packing reorders by size, either of which would
+    // silently break an elided Sort — the eligibility gate (per key: one
+    // sorted file, or range-disjoint sorted files) makes this mode cost
+    // little in parallelism.
     if (preserveOrder)
       groups.toArray.zipWithIndex.map { case ((key, readerValues, files), i) =>
-        val pfs = files.map(f => PartitionedFileUtil.getPartitionedFile(
+        val inOrder = fileOrder match {
+          case Some(rank) => files.sortBy(f => rank(f.getPath.getName))
+          case None => files
+        }
+        val pfs = inOrder.map(f => PartitionedFileUtil.getPartitionedFile(
           f, f.getPath, readerValues, 0L, f.getLen)).toArray
         GraftKeyedPartition(key, FilePartition(i, pfs)): InputPartition
       }
