@@ -943,6 +943,31 @@ object ManifestTable {
         lines.lift(1).flatMap(s => scala.util.Try(s.trim.toLong).toOption))
     }.getOrElse((Nil, None))
 
+  /** Per-table statistics opt-outs (the `stats.ndv` / `stats.histogram`
+    * table properties — the write-path-tax dial for write-mostly tables
+    * whose plans never consult CBO statistics): the marker holds
+    * `ndv=false` and/or `histogram=false`, each overriding the session
+    * conf for THIS table's pool writes. Absent marker = conf decides. */
+  private def statsOptPath(root: String) = s"$root/_statsopt"
+
+  def setStatsOpts(root: String, ndv: Option[Boolean],
+                   histogram: Option[Boolean]): Unit = {
+    val lines = ndv.map(v => s"ndv=$v").toSeq ++
+      histogram.map(v => s"histogram=$v").toSeq
+    if (lines.isEmpty) MetaIO.delete(statsOptPath(root))
+    else MetaIO.writeAtomic(statsOptPath(root), lines.mkString("\n"))
+  }
+
+  /** (ndv override, histogram override) — None = no table-level opinion. */
+  def statsOpts(root: String): (Option[Boolean], Option[Boolean]) =
+    if (!MetaIO.exists(statsOptPath(root))) (None, None)
+    else scala.util.Try {
+      val kv = MetaIO.readString(statsOptPath(root)).linesIterator
+        .map(_.trim.split('=')).collect { case Array(k, v) => k -> v.toBoolean }
+        .toMap
+      (kv.get("ndv"), kv.get("histogram"))
+    }.getOrElse((None, None))
+
   /** Per-file column stats collection toggle (footer reads at commit). */
   private def fileStatsEnabled: Boolean =
     SparkSession.getActiveSession.flatMap(
@@ -1053,9 +1078,13 @@ object ManifestTable {
     // per-column NDV sketches ride the write job itself ([[NdvStats]]):
     // an Observation updates HLL sketches as the rows stream to the
     // files — no read-back, no second pass. Sketch only the USER columns
-    // (hidden partition derivations never face a planner estimate).
+    // (hidden partition derivations never face a planner estimate); the
+    // table's stats.ndv/stats.histogram properties override the session
+    // default for write-mostly tables.
+    val (tableNdv, tableHist) = statsOpts(root)
     val (observed, obs) = NdvStats.attach(toWrite,
-      allowed = df.schema.fieldNames.toSet)
+      allowed = df.schema.fieldNames.toSet,
+      ndvOverride = tableNdv, histOverride = tableHist)
     if (partNames.isEmpty) observed.write.options(bloomOpts).format(format).save(stage)
     else observed.write.options(bloomOpts).partitionBy(partNames: _*)
       .format(format).save(stage)

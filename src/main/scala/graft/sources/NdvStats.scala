@@ -74,6 +74,17 @@ object NdvStats {
   private def maxColumns: Int =
     Try(conf.getConfString("spark.graft.stats.ndv.maxColumns", "48").toInt).getOrElse(48)
 
+  /** Write-path KLL sampling stride: every Nth row per partition feeds
+    * the quantile sketches (1 = exact). Quantiles are estimates by
+    * construction — k=200's ~1.65% rank error dominates the systematic-
+    * sampling error on any write big enough to matter — and the stride
+    * divides the histogram tier's per-row write tax by N. compute_stats
+    * rebuilds stay exact (a full scan whose aggregate is codegen'd pays
+    * nothing per extra row). */
+  private def histogramSampleStride: Int =
+    Try(conf.getConfString("spark.graft.stats.histogram.sample", "4").toInt)
+      .getOrElse(4).max(1)
+
   /** Histogram-column cap (KLL updates cost more than HLL's). */
   private def maxHistColumns: Int =
     Try(conf.getConfString("spark.graft.stats.histogram.maxColumns", "24").toInt)
@@ -92,26 +103,52 @@ object NdvStats {
     schema.fields.toSeq.filter(f => ok(f.dataType)).map(_.name).take(maxColumns)
   }
 
+  /** An attached-but-unharvested statistics observation: the metric
+    * handle plus the ordered sidecar keys its single `array<binary>`
+    * result zips back to. */
+  case class Pending(obs: Observation, keys: Seq[String])
+
   /** Attach the NDV observation to a write DataFrame. Returns the df to
-    * write and the observation to harvest after the action (None when
+    * write and the pending handle to harvest after the action (None when
     * disabled or nothing is sketchable). `allowed` restricts sketching
-    * to the named columns (hidden partition derivations opt out). */
-  def attach(df: DataFrame, allowed: Set[String] = Set.empty)
-      : (DataFrame, Option[Observation]) = {
-    if (!enabled) return (df, None)
+    * to the named columns (hidden partition derivations opt out).
+    * `ndvOverride`/`histOverride` are the TABLE's `stats.ndv` /
+    * `stats.histogram` properties — a write-mostly table opts its own
+    * writes out of the sketch tax without touching the session default
+    * ([[graft.sources.ManifestTable.statsOpts]]).
+    *
+    * The whole tier rides ONE fused aggregate
+    * ([[graft.functions.GraftStatsAgg]]): CollectMetrics evaluates
+    * imperative aggregates with interpreted child evaluation and
+    * per-aggregate dispatch, so N+M separate sketch aggregates taxed
+    * every written row ~N+M times; fused, the row pays one codegen'd
+    * projection and one buffer visit. */
+  def attach(df: DataFrame, allowed: Set[String] = Set.empty,
+             ndvOverride: Option[Boolean] = None,
+             histOverride: Option[Boolean] = None)
+      : (DataFrame, Option[Pending]) = {
+    if (!ndvOverride.getOrElse(enabled)) return (df, None)
     val cols = sketchable(df.schema)
       .filter(c => allowed.isEmpty || allowed.contains(c))
     if (cols.isEmpty) return (df, None)
     val obs = Observation(
       s"graft_ndv_${java.util.UUID.randomUUID().toString.take(12)}")
-    // the histogram tier rides the SAME observation: one KLL agg per
-    // numeric/date/timestamp column, keyed by the reserved suffix
+    // the histogram tier rides the SAME observation and the SAME fused
+    // aggregate: one KLL feed per numeric/date/timestamp column, keyed
+    // by the reserved suffix
     val histCols =
-      if (!histogramEnabled) Nil
+      if (!histOverride.getOrElse(histogramEnabled)) Nil
       else cols.filter(c => graft.functions.KllDoublesAgg.supports(
         df.schema.fields.find(_.name == c).get.dataType)).take(maxHistColumns)
-    val aggs = cols.map(c => sketchAgg(df, c)) ++ histCols.map(c => kllAgg(df, c))
-    (df.observe(obs, aggs.head, aggs.tail: _*), Some(obs))
+    val inputs =
+      cols.map(c => org.apache.spark.sql.GraftColumnBridge.expression(hllInput(df, c))) ++
+        histCols.map(c => org.apache.spark.sql.GraftColumnBridge.expression(df.col(s"`$c`")))
+    val fused = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.GraftStatsAgg(inputs, nHll = cols.size,
+        kllStride = histogramSampleStride)
+        .toAggregateExpression()).as("graft_stats")
+    (df.observe(obs, fused),
+      Some(Pending(obs, cols ++ histCols.map(_ + KllSuffix))))
   }
 
   /** The KLL quantile-sketch aggregate for one column, keyed by the
@@ -123,22 +160,30 @@ object NdvStats {
       .as(c + KllSuffix)
   }
 
-  /** The sketch aggregate for one column. `hll_sketch_agg` takes
-    * int/long/string natively; everything else feeds as a codegen'd
-    * 64-bit hash — distinct-preserving up to a negligible collision rate
-    * (far under HLL's own ~2% error), with none of the per-row string
-    * formatting a cast would pay. Nulls stay null so the sketch ignores
-    * them (NDV excludes null, the `ColumnStat.distinctCount` convention). */
-  private def sketchAgg(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+  /** The HLL feed column for one source column. int/long/string feed
+    * natively; everything else feeds as a codegen'd 64-bit hash —
+    * distinct-preserving up to a negligible collision rate (far under
+    * HLL's own ~2% error), with none of the per-row string formatting a
+    * cast would pay. Nulls stay null so the sketch ignores them (NDV
+    * excludes null, the `ColumnStat.distinctCount` convention). The SAME
+    * transformation feeds the per-column `hll_sketch_agg` (compute_stats
+    * rebuilds) and the fused write-path aggregate, so sketches from
+    * either writer union consistently. */
+  private def hllInput(df: DataFrame, c: String): org.apache.spark.sql.Column = {
     val base = df.col(s"`$c`")
-    val input = df.schema.fields.find(_.name == c).get.dataType match {
+    df.schema.fields.find(_.name == c).get.dataType match {
       case IntegerType | LongType | StringType => base
       case ByteType | ShortType => base.cast("long")
       case _ => org.apache.spark.sql.functions.when(
         base.isNotNull, org.apache.spark.sql.functions.xxhash64(base))
     }
-    hll_sketch_agg(input).as(c)
   }
+
+  /** The per-column sketch aggregate (the compute_stats scan path — a
+    * normal codegen'd aggregate, where per-column aggs cost nothing
+    * extra). */
+  private def sketchAgg(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    hll_sketch_agg(hllInput(df, c)).as(c)
 
   /** Explicit (re)build of the LIVE snapshot's sketch by scanning the
     * table — the Iceberg ANALYZE shape, for tables whose commits never
@@ -175,16 +220,18 @@ object NdvStats {
     * row is already resolved by then, so the await returns immediately;
     * the short timeout guards the edge where the listener never fires —
     * a missed observation skips the stats update, never fails or stalls
-    * the commit. */
-  def harvest(obs: Option[Observation]): Option[Map[String, Array[Byte]]] =
-    obs.map { o =>
+    * the commit. The fused aggregate's single `array<binary>` result
+    * zips back to the pending keys in order. */
+  def harvest(pending: Option[Pending]): Option[Map[String, Array[Byte]]] =
+    pending.map { p =>
       val row = Try(scala.concurrent.Await.result(
-        o.future, scala.concurrent.duration.Duration(10, "s")))
+        p.obs.future, scala.concurrent.duration.Duration(10, "s")))
       row.toOption.toSeq.flatMap { r =>
-        r.schema.fieldNames.zipWithIndex.collect {
-          case (name, i) if !r.isNullAt(i) &&
-              r.get(i).isInstanceOf[Array[Byte]] =>
-            name -> r.getAs[Array[Byte]](i)
+        if (r.isNullAt(0)) Nil
+        else {
+          val parts = r.getSeq[Array[Byte]](0)
+          if (parts.length != p.keys.length) Nil
+          else p.keys.zip(parts).filter(_._2 != null)
         }
       }.toMap
     }.filter(_.nonEmpty)

@@ -86,19 +86,43 @@ private[v2] object ColumnStatsReport {
     * counts spread the table NDV uniformly (KLL tracks ranks, not
     * distincts — the boundary placement carries the skew signal). */
   private def histogramOf(kll: Array[Byte], ndv: Option[Long],
-                          numBins: Int): Option[colstats.Histogram] =
+                          numBins: Int, lo: Option[Double],
+                          hi: Option[Double]): Option[colstats.Histogram] =
     scala.util.Try {
       val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
         org.apache.datasketches.memory.Memory.wrap(kll))
       if (sk.isEmpty) None
       else {
         val qs = sk.getQuantiles((0 to numBins).map(_.toDouble / numBins).toArray)
+        // the OUTER bin edges must cover the column's EXACT bounds
+        // (FilterEstimation asserts the [min,max] range fits inside the
+        // histogram): the sketch's own extremes can fall short of them —
+        // the write-path KLL tier samples rows, and a stale parent-walk
+        // sidecar can predate files that extended the range — so widen
+        // the first/last edge to the manifest-exact bounds. Interior
+        // boundaries keep the sketch's skew signal untouched.
+        qs(0) = math.min(qs(0), lo.getOrElse(qs(0)))
+        qs(numBins) = math.max(qs(numBins), hi.getOrElse(qs(numBins)))
         val perBinNdv = math.max(1L, ndv.getOrElse(numBins.toLong) / numBins)
         val bins: Array[colstats.HistogramBin] =
           (0 until numBins).map(i => Bin(qs(i), qs(i + 1), perBinNdv): colstats.HistogramBin).toArray
         Some(Histo(sk.getN.toDouble / numBins, bins))
       }
     }.toOption.flatten
+
+  /** A manifest bound string in the histogram's DOUBLE comparison
+    * domain (`EstimationUtils.toDouble`): integral/date/timestamp tags
+    * hold the internal long, decimals parse exactly. Strings have no
+    * histogram tier; None keeps the sketch's own edge. */
+  private def boundDouble(tag: Char, s: String): Option[Double] =
+    scala.util.Try {
+      tag match {
+        case 'l' | 't' | 'n' | 'a' | 'b' => s.toLong.toDouble
+        case 'd' => s.toDouble
+        case 'm' => BigDecimal(s).toDouble
+        case _ => throw new IllegalArgumentException(s"no histogram domain for $tag")
+      }
+    }.toOption.filterNot(_.isNaN)
 
   private case class TableStats(size: OptionalLong, rows: OptionalLong,
       cols: java.util.Map[NamedReference, ColumnStatistics]) extends Statistics {
@@ -243,7 +267,8 @@ private[v2] object ColumnStatsReport {
         val stat = ColStat(colNdv,
           mn.flatMap(catalystValue(f.dataType, tag, _)),
           mx.flatMap(catalystValue(f.dataType, tag, _)), nulls,
-          kll.get(phys).flatMap(histogramOf(_, colNdv, numBins)))
+          kll.get(phys).flatMap(histogramOf(_, colNdv, numBins,
+            mn.flatMap(boundDouble(tag, _)), mx.flatMap(boundDouble(tag, _)))))
         if (stat.ndv.isDefined || stat.minV.isDefined || stat.nulls.isDefined)
           cols.put(Expressions.column(f.name), stat)
       }
