@@ -2833,17 +2833,17 @@ object ManifestTable {
     * KLL statistics sidecar carries over, so CBO plans on the clone from
     * commit one.
     *
-    * POSITIONAL merge-on-read artifacts (parquet tombstones, deletion
-    * vectors) CLONE — they are self-scoping and reference the same
-    * source pool the data entries do, so the clone reads the
-    * deletes-applied snapshot exactly; the clone commit stamps the
-    * change horizon so plain streams refuse the row-level state loudly.
+    * MERGE-ON-READ artifacts CLONE. Positional ones (parquet tombstones,
+    * deletion vectors) are self-scoping and reference the same source
+    * pool the data entries do, so the clone reads the deletes-applied
+    * snapshot exactly; the clone commit stamps the change horizon so
+    * plain streams refuse the row-level state loudly. EQUALITY backlogs
+    * clone by carrying the source's sequence stamps into the clone's
+    * version space (rank-compacted to 1..k; the clone commit allocates
+    * k+1 above them), so strictly-older-sequence retraction — and the
+    * survival of later re-inserts — is exactly preserved.
     *
     * Contract limits (each refused loudly):
-    *  - the source must carry no live EQUALITY-delete entries — their
-    *    strictly-older-sequence scoping cannot survive the clone's
-    *    re-stamp (every entry lands at one fresh sequence, silently
-    *    voiding the retractions); OPTIMIZE the source first;
     *  - the source must not itself hold `ext/` entries (a clone of a
     *    clone would need two external bases; OPTIMIZE the intermediate
     *    clone to localize, then clone it);
@@ -2861,17 +2861,6 @@ object ManifestTable {
     val srcLive = currentVersion(srcRoot).getOrElse(throw new IllegalStateException(
       s"no committed version under $srcRoot — nothing to clone"))
     val es = entries(srcRoot, srcLive)
-    // POSITIONAL artifacts (parquet tombstones, deletion vectors) clone
-    // fine: they are self-scoping — they name their target files, which
-    // clone alongside them — so no sequence relation needs to survive
-    // the re-stamp. EQUALITY deletes do not: they retract from files of
-    // STRICTLY SMALLER sequence, and the clone stamps every entry at one
-    // fresh sequence, which would silently void every retraction. Refuse
-    // the eq backlog; compaction materializes it away.
-    require(!es.exists(e => isEqDeleteEntry(e.rel)),
-      s"$srcRoot carries live EQUALITY-delete entries, whose sequence " +
-        "scoping cannot survive a clone's re-stamp; OPTIMIZE it " +
-        "(materializes the retractions), then clone")
     require(!es.exists(e => isExtEntry(e.rel)),
       s"$srcRoot is itself a shallow clone with live ext/ entries; " +
         "OPTIMIZE it to localize, then clone")
@@ -2895,17 +2884,54 @@ object ManifestTable {
     // the clone's head reaches them, fsck would flag a clone-side
     // rewrite_deletes' merged entry (seq = max slice seq) as a future
     // sequence, and streams would misattribute the carried tombstones to
-    // new windows. Re-stamp every slice at 1 — the clone's first (and
-    // only) version, "deleted at or before the clone" — which the
-    // horizon stamp below already fences out of change windows.
+    // new windows. Without an equality backlog, re-stamp every slice at
+    // 1 — the clone's first (and only) version, "deleted at or before
+    // the clone" — which the horizon stamp below already fences out of
+    // change windows (positional artifacts are self-scoping: they NAME
+    // their targets, so no cross-entry sequence relation must survive).
+    //
+    // An EQUALITY backlog is the one shape where a sequence RELATION
+    // must survive: an eq delete retracts rows of files with a strictly
+    // SMALLER sequence, so flattening every carried entry to one stamp
+    // would silently void every retraction. Strict order is all the
+    // relation needs, so RANK-COMPACT the carried stamps (entry seqs ∪
+    // DV slice seqs) into 1..k by an order-preserving map and raise the
+    // clone's version floor to k — the clone commit deterministically
+    // allocates k+1, every later local commit lands above, and a clone
+    // of a version-10⁶ source still starts its own history compactly.
+    val hasEq = es.exists(e => isEqDeleteEntry(e.rel))
+    val rank: Long => Long =
+      if (!hasEq) _ => 1L
+      else {
+        val sliceSeqs = es.flatMap(e =>
+          if (!isDvEntry(e.rel)) Nil
+          else e.stats.toSeq.flatMap(s =>
+            DeleteVectors.decodeIndex(s).toSeq.flatten.map(_.seq)))
+        val m = (es.map(_.seq.getOrElse(0L)) ++ sliceSeqs)
+          .distinct.sorted.zipWithIndex
+          .map { case (s, i) => s -> (i + 1L) }.toMap
+        m.apply
+      }
     val extEntries = es.map { e =>
       val stats =
         if (!isDvEntry(e.rel)) e.stats
         else e.stats.map(s => DeleteVectors.decodeIndex(s)
-          .map(idx => DeleteVectors.encodeIndex(idx.map(_.copy(seq = 1L))))
+          .map(idx => DeleteVectors.encodeIndex(idx.map(sl =>
+            sl.copy(seq = rank(sl.seq)))))
           .getOrElse(s))
-      FileEntry(ExtPrefix + e.rel, stats, seq = None)
+      FileEntry(ExtPrefix + e.rel, stats,
+        seq = if (hasEq) Some(rank(e.seq.getOrElse(0L))) else None)
     }
+    // the clone commit's version: 1 on a fresh root, or k+1 above the
+    // rank-compacted carried stamps (raiseFloor makes the commit loop's
+    // allocation deterministic — fresh root, no competing state)
+    val cloneV =
+      if (!hasEq) 1L
+      else {
+        val k = extEntries.flatMap(_.seq).max
+        raiseFloor(dstRoot, k)
+        k + 1L
+      }
     // carried props: the writer zone (day values of carried files keep
     // their recorded interpretation) — NOT streaming idempotence markers
     // or the change-key ledger (the clone is a NEW table; its history
@@ -2915,13 +2941,15 @@ object ManifestTable {
     // row-level-change state: a plain appended-files stream would serve
     // the tombstoned rows, so stamp the change horizon at the clone
     // commit — streams refuse without ignoreChanges (the append-only
-    // contract), CDF windows start here anyway. The fresh-root
-    // requirement makes the first allocation deterministically 1.
+    // contract), CDF windows start here anyway.
     val cp =
-      if (es.exists(e => isDeleteEntry(e.rel))) Map(ChangeProp -> "1")
+      if (es.exists(e => isDeleteEntry(e.rel)))
+        Map(ChangeProp -> cloneV.toString)
       else Map.empty[String, String]
     val v = commitLoop(dstRoot, retain, rebase = false)(_ =>
       Planned(extEntries, zp ++ cp + (OpProp -> "clone")))
+    require(v == cloneV, s"clone commit landed at v$v, expected v$cloneV " +
+      "(the stamped change horizon would be wrong) — was the fresh root raced?")
     // statistics carry over: the source's resolved sketch at its live
     // version IS the clone's table content (stale markers ride along).
     // A plain write: the commit loop just published the full-replacement

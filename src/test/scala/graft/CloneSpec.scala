@@ -22,8 +22,12 @@ import graft.sources.v2.VersionedCatalog
   *    root;
   *  - positional merge-on-read sources clone (deletes-applied reads,
   *    clone-side maintenance, horizon-fenced change feeds);
-  *  - the refusal matrix: equality-delete backlogs, clone of a
-  *    live clone, existing target, identity layouts.
+  *  - equality-delete backlogs clone: the carried sequence stamps
+  *    rank-compact into the clone's version space (the clone commit
+  *    allocates above them), so retraction and re-insert survival are
+  *    exactly preserved;
+  *  - the refusal matrix: clone of a live clone, existing target,
+  *    identity layouts.
   *
   * Reference behavior anchor: Delta CLONE semantics (shallow clones
   * reference source files; VACUUM on the source is the documented
@@ -233,7 +237,7 @@ class CloneSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcl.ns.s9c"); spark.sql("DROP TABLE gcl.ns.s9")
   }
 
-  test("refusal matrix: eq-delete source, clone-of-live-clone, existing target") {
+  test("refusal matrix: clone-of-live-clone, existing target (no phantom descriptor)") {
     mkSource("s6", partitioned = false)
     // target exists
     mkSource("s6t", partitioned = false)
@@ -248,23 +252,65 @@ class CloneSpec extends AnyFunSuite {
       spark.sql("CALL gcl.system.clone(source => 'ns.s6c', target => 'ns.s6cc')")
     }
     assert(e2.getMessage.contains("itself a shallow clone"))
-    // EQUALITY-delete backlogs refuse (sequence scoping cannot re-stamp)
-    import spark.implicits._
-    ManifestTable.appendEqualityDeletes(
-      Seq(3L).toDF("id"), root("s6"), retain = 5)
-    val e3 = intercept[Exception] {
-      spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6d')")
-    }
-    assert(e3.getMessage.contains("EQUALITY-delete"))
-    // a refusal leaves NO phantom destination: the remediation (OPTIMIZE
-    // materializes the retractions) followed by the SAME call succeeds
-    assert(!spark.catalog.tableExists("gcl.ns.s6d"),
+    assert(!spark.catalog.tableExists("gcl.ns.s6cc"),
       "refused clone must not leave a descriptor behind")
-    spark.sql("CALL gcl.system.optimize(`table` => 'ns.s6')")
-    spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6d')")
-    assert(spark.table("gcl.ns.s6d").count() === spark.table("gcl.ns.s6").count())
-    spark.sql("DROP TABLE gcl.ns.s6d"); spark.sql("DROP TABLE gcl.ns.s6c")
-    spark.sql("DROP TABLE gcl.ns.s6")
+    spark.sql("DROP TABLE gcl.ns.s6c"); spark.sql("DROP TABLE gcl.ns.s6")
+  }
+
+  test("equality-delete backlog clones: retraction, re-insert survival, CDF horizon all intact") {
+    mkSource("s7", partitioned = false)
+    import spark.implicits._
+    // two eq-delete commits at DIFFERENT source versions, with a
+    // re-insert BETWEEN them: id=5 is retracted by the v2 delete, then
+    // re-inserted at v3 (survives — newer sequence), while v4 retracts
+    // id=7; the carried relation has three distinct ranks to preserve
+    ManifestTable.appendEqualityDeletes(Seq(5L, 7L).toDF("id"), root("s7"), retain = 9) // v2
+    Seq((5L, java.time.LocalDateTime.of(2024, 2, 7, 0, 0), 55.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("s7_reins")
+    spark.sql("INSERT INTO gcl.ns.s7 SELECT * FROM s7_reins")                           // v3
+    ManifestTable.appendEqualityDeletes(Seq(7L).toDF("id"), root("s7"), retain = 9)     // v4
+    val srcRows = spark.table("gcl.ns.s7").orderBy("id").collect()
+    assert(srcRows.count(_.getLong(0) == 5L) === 1, "setup: re-insert must survive")
+    assert(!srcRows.exists(_.getLong(0) == 7L), "setup: id=7 retracted")
+
+    val v = spark.sql("CALL gcl.system.clone(source => 'ns.s7', target => 'ns.s7c')")
+      .collect()(0).getLong(0)
+    val dstRoot = root("s7c")
+    // zero-copy with the eq backlog carried as ext/ entries
+    assert(poolFiles("s7c").isEmpty, "eq-backlog clone must stay zero-copy")
+    val carried = ManifestTable.liveEntries(dstRoot)
+    assert(carried.forall(e => ManifestTable.isExtEntry(e.rel)))
+    assert(carried.exists(e => ManifestTable.isEqDeleteEntry(e.rel)))
+    // rank-compacted stamps: every carried seq in 1..k, clone commit at k+1
+    val k = carried.flatMap(_.seq).max
+    assert(carried.flatMap(_.seq).toSet === (1L to k).toSet,
+      "carried stamps must rank-compact to a dense 1..k")
+    assert(v === k + 1, s"clone commit must allocate above the carried stamps (v=$v k=$k)")
+    // reads are deletes-applied and byte-identical to the source
+    assert(spark.table("gcl.ns.s7c").orderBy("id").collect().toSeq === srcRows.toSeq)
+    // CDF horizon: carried row-level state is fenced — the batch feed is
+    // empty, not fabricated
+    assert(ManifestTable.liveProps(dstRoot)
+      .get(ManifestTable.ChangeProp).contains(v.toString),
+      "clone with carried deletes must stamp the change horizon at its own version")
+    assert(spark.table("gcl.ns.s7c.changes").count() === 0L)
+    // a LATER re-insert of a retracted key survives the carried eq
+    // deletes (its commit sequence lands above every carried stamp)
+    Seq((7L, java.time.LocalDateTime.of(2024, 2, 8, 0, 0), 77.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("s7c_reins")
+    spark.sql("INSERT INTO gcl.ns.s7c SELECT * FROM s7c_reins")
+    val after = spark.table("gcl.ns.s7c").where("id = 7").collect()
+    assert(after.length === 1 && after(0).getDouble(2) === 77.0,
+      "post-clone re-insert must survive the carried eq retraction")
+    // the post-horizon CDF window surfaces ONLY the new insert
+    val post = spark.table("gcl.ns.s7c.changes").collect()
+    assert(post.length === 1 &&
+      post(0).getString(post(0).schema.fieldIndex("_change_type")) == "insert")
+    // source never moved; fsck healthy on both sides
+    assert(spark.table("gcl.ns.s7").orderBy("id").collect().toSeq === srcRows.toSeq)
+    assert(spark.sql("CALL gcl.system.fsck(`table` => 'ns.s7c')")
+      .collect()(0).getBoolean(8), "fsck must stay healthy on the eq clone")
+    spark.sql("DROP TABLE gcl.ns.s7c"); spark.sql("DROP TABLE gcl.ns.s7")
   }
 
   test("second engine: duckdb resolves a clone through _clone_src, no Spark") {
