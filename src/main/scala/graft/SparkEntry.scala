@@ -150,6 +150,9 @@ object SparkEntry {
     // metadata-only INT->BIGINT widening: narrow and wide file generations
     // read through one declared schema, vectorized promotion included
     "type_widening_scan" -> ((s, d) => graft.sources.v2.V2Queries.typeWideningScan(s, d)),
+    // tier-2 widening: decimal precision growth at fixed scale and
+    // int -> decimal(10,0), metadata-only across mixed file generations
+    "type_widening_decimal_scan" -> ((s, d) => graft.sources.v2.V2Queries.typeWideningDecimalScan(s, d)),
     "column_defaults_scan" -> ((s, d) => graft.sources.v2.V2Queries.columnDefaultsScan(s, d)),
     "runtime_prune_join" -> ((s, d) => graft.sources.v2.V2Queries.runtimePruneJoin(s, d)),
     "spj_join" -> ((s, d) => graft.sources.v2.V2Queries.spjJoin(s, d)),
@@ -312,6 +315,7 @@ object SparkEntry {
     "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
     "rewrite_deletes_scan" -> graft.sources.v2.V2Queries.oracle.rewriteDeletesScan,
     "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,
+    "type_widening_decimal_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningDecimalScan,
     "column_defaults_scan" -> graft.sources.v2.V2Queries.oracle.columnDefaultsScan,
     "runtime_prune_join" -> graft.sources.v2.V2Queries.oracle.runtimePruneJoin,
     "spj_join" -> graft.sources.v2.V2Queries.oracle.spjJoin,

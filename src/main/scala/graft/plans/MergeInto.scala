@@ -364,12 +364,14 @@ object MergeInto {
     requireDmlReadScope(spark)
     val tgt = resolveTarget(spark, u.table)
     // merge-on-read UPDATE (Iceberg's write.update.mode=merge-on-read):
-    // parquet catalog tables only, opt-in per session
-    val morMode =
-      spark.conf.get("spark.graft.update.mode", "copy-on-write") == "merge-on-read"
+    // parquet catalog tables only; the TABLE property wins, the session
+    // conf is only a default (so concurrent queries never race through
+    // shared session state — see VersionedCatalog.dmlModeFor)
     tgt.backing match {
-      case Some(CatalogBacking(root, _)) if morMode &&
-          ManifestTable.formatOf(root).contains("parquet") =>
+      case Some(CatalogBacking(root, _))
+          if graft.sources.v2.VersionedCatalog
+            .dmlModeFor(root, "update", spark) == "merge-on-read" &&
+            ManifestTable.formatOf(root).contains("parquet") =>
         if (morUpdate(spark, tgt, root, u)) return
       case _ => ()
     }
@@ -405,12 +407,13 @@ object MergeInto {
     // scattered rows on a huge table cost one small parquet write + a
     // manifest flip. Parquet catalog tables only (row identity needs the
     // parquet row-index metadata column); everything else keeps the
-    // existing day-scoped / copy-on-write paths.
-    val morMode =
-      spark.conf.get("spark.graft.delete.mode", "copy-on-write") == "merge-on-read"
+    // existing day-scoped / copy-on-write paths. The TABLE property wins;
+    // the session conf is only a default (VersionedCatalog.dmlModeFor).
     tgt.backing match {
-      case Some(CatalogBacking(root, _)) if morMode &&
-          ManifestTable.formatOf(root).contains("parquet") =>
+      case Some(CatalogBacking(root, _))
+          if graft.sources.v2.VersionedCatalog
+            .dmlModeFor(root, "delete", spark) == "merge-on-read" &&
+            ManifestTable.formatOf(root).contains("parquet") =>
         if (morDelete(spark, tgt, root, d.condition)) return
       case _ => ()
     }

@@ -417,16 +417,18 @@ object V2Queries {
     ensureCatalog(spark)
     val short = newName("mor")
     val tbl = s"$Cat.q.$short"
-    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
     try {
-      eventsSlim(spark, dir).repartition(4).writeTo(tbl).create()
+      // the DML mode is a TABLE property (Iceberg's write.delete.mode
+      // TBLPROPERTIES), never shared session state — concurrent queries
+      // on other tables cannot flip this one's path mid-flight
+      eventsSlim(spark, dir).repartition(4).writeTo(tbl)
+        .tableProperty("write.delete.mode", "merge-on-read").create()
       val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
       def dataRels = graft.sources.ManifestTable
         .liveEntries(root).map(_.rel)
         .filterNot(graft.sources.ManifestTable.isDeleteEntry)
       val before = dataRels.toSet
 
-      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
       graft.plans.MergeInto.sql(spark,
         s"DELETE FROM $tbl WHERE user_id % 10 = 3")
 
@@ -436,13 +438,7 @@ object V2Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
       agg.withColumn("mor_ok", lit(morOk)).localCheckpoint(true)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
-        case None => spark.conf.unset("spark.graft.delete.mode")
-      }
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** Deletes-only maintenance as an oracle-gated query — Iceberg's
@@ -460,15 +456,14 @@ object V2Queries {
     ensureCatalog(spark)
     val short = newName("rwd")
     val tbl = s"$Cat.q.$short"
-    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
     try {
-      eventsSlim(spark, dir).repartition(4).writeTo(tbl).create()
+      eventsSlim(spark, dir).repartition(4).writeTo(tbl)
+        .tableProperty("write.delete.mode", "merge-on-read").create()
       val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
       def dataRels = ManifestTable.liveEntries(root).map(_.rel)
         .filterNot(ManifestTable.isDeleteEntry)
       val before = dataRels.toSet
 
-      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
       graft.plans.MergeInto.sql(spark, s"DELETE FROM $tbl WHERE user_id % 10 = 3")
       graft.plans.MergeInto.sql(spark, s"DELETE FROM $tbl WHERE user_id % 10 = 7")
       val delBefore = ManifestTable.liveDeleteEntries(root).size
@@ -486,13 +481,7 @@ object V2Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
       agg.withColumn("rw_ok", lit(rwOk)).localCheckpoint(true)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
-        case None => spark.conf.unset("spark.graft.delete.mode")
-      }
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** EQUALITY-delete retraction through the catalog — Iceberg v2's
@@ -614,6 +603,45 @@ object V2Queries {
       spark.table(tbl)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("id")).as("id_sum"),
+          Dsl.dsum(col("value")).as("volume"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** TIER-2 type widening as an oracle-gated query — the Iceberg v3
+    * `ALTER COLUMN TYPE` decimal matrix: a DECIMAL(9,0) column widens to
+    * DECIMAL(20,0) (precision growth at fixed scale) and an INT id to
+    * DECIMAL(10,0), both metadata-only; the second generation appends
+    * values only the wide types can hold. The aggregate reads the narrow
+    * (INT32/decimal-as-int) and wide generations through one declared
+    * schema — the vectorized readers promote natively — and the decimal
+    * sums are pinned as STRINGS so the oracle compares exact values, not
+    * engine-specific result precisions. */
+  def typeWideningDecimalScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$Cat.q.${newName("twd")}"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .select(col("event_type"),
+          (col("event_id") % 1000000).cast("int").as("id"),
+          (col("event_id") % 100000).cast("decimal(9,0)").as("amt"),
+          col("value"))
+        .writeTo(tbl).create()
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN amt TYPE DECIMAL(20,0)")
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE DECIMAL(10,0)")
+      ev.where(col("event_id") % 2 === 1)
+        .select(col("event_type"),
+          (col("event_id") % 1000000 + 3000000000L).cast("decimal(10,0)").as("id"),
+          (col("event_id") % 100000 + 1000000000000000L).cast("decimal(20,0)").as("amt"),
+          col("value"))
+        .writeTo(tbl).append()
+
+      spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("id")).cast("string").as("id_sum"),
+          sum(col("amt")).cast("string").as("amt_sum"),
           Dsl.dsum(col("value")).as("volume"))
         .localCheckpoint(true)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -1312,10 +1340,9 @@ object V2Queries {
     ensureCatalog(spark)
     val short = newName("fsk")
     val tbl = s"$Cat.q.$short"
-    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
     try {
-      eventsSlim(spark, dir).repartition(4).writeTo(tbl).create()
-      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      eventsSlim(spark, dir).repartition(4).writeTo(tbl)
+        .tableProperty("write.delete.mode", "merge-on-read").create()
       graft.plans.MergeInto.sql(spark,
         s"DELETE FROM $tbl WHERE user_id % 10 = 3")
       val r = spark.sql(s"CALL $Cat.system.fsck(`table` => 'q.$short')")
@@ -1327,13 +1354,7 @@ object V2Queries {
         .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
         .withColumn("fsck_ok", lit(ok))
         .localCheckpoint(true)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
-        case None => spark.conf.unset("spark.graft.delete.mode")
-      }
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`) as an
@@ -1351,11 +1372,14 @@ object V2Queries {
     val short = newName("cls")
     val src = s"$Cat.q.$short"
     val dst = s"$Cat.q.${short}_c"
-    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
     try {
       val ev = eventsSlim(spark, dir)
+      // write.delete.mode rides the source's TBLPROPERTIES and CARRIES
+      // through the clone (cloneTable copies the meta verbatim) — the
+      // clone's MOR DELETE below needs no session-conf mutation
       ev.where(col("event_id") % 3 =!= 0).writeTo(src)
         .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .tableProperty("write.delete.mode", "merge-on-read")
         .create()
       val srcCount = spark.table(src).count()
       spark.sql(s"CALL $Cat.system.clone(source => 'q.$short', " +
@@ -1372,9 +1396,9 @@ object V2Queries {
         col("ts") >= lit(PruneFrom).cast("timestamp") &&
           col("ts") < lit(PruneUntil).cast("timestamp"))).size
       val pruned = dayFiles > 0 && dayFiles < allFiles
-      // divergence: local append + merge-on-read delete on the clone…
+      // divergence: local append + merge-on-read delete on the clone
+      // (mode inherited from the source's table property)…
       ev.where(col("event_id") % 3 === 0).writeTo(dst).append()
-      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
       graft.plans.MergeInto.sql(spark,
         s"DELETE FROM $dst WHERE user_id % 7 = 2")
       // …while the source never moves
@@ -1385,10 +1409,6 @@ object V2Queries {
         .withColumn("clone_ok", lit(emptyPool && pruned && isolated))
         .localCheckpoint(true)
     } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
-        case None => spark.conf.unset("spark.graft.delete.mode")
-      }
       spark.sql(s"DROP TABLE IF EXISTS $dst")
       spark.sql(s"DROP TABLE IF EXISTS $src")
     }
@@ -1501,12 +1521,11 @@ object V2Queries {
   def tableChangesScan(spark: SparkSession, dir: String): DataFrame = {
     ensureCatalog(spark)
     val tbl = s"$Cat.q.${newName("cdf")}"
-    val prevMode = spark.conf.getOption("spark.graft.delete.mode")
     try {
       val ev = eventsSlim(spark, dir)
-      ev.where(col("event_id") % 2 === 0).repartition(3).writeTo(tbl).create() // v1
+      ev.where(col("event_id") % 2 === 0).repartition(3).writeTo(tbl)
+        .tableProperty("write.delete.mode", "merge-on-read").create()          // v1
       ev.where(col("event_id") % 2 === 1).writeTo(tbl).append()                // v2
-      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
       graft.plans.MergeInto.sql(spark, s"DELETE FROM $tbl WHERE user_id % 10 = 3") // v3
       val ch = spark.table(s"$tbl.changes")
       val vers = ch.select(col("_change_type"), col("_commit_version"))
@@ -1515,13 +1534,7 @@ object V2Queries {
       ch.groupBy(col("_change_type"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
         .withColumn("cv_ok", lit(cvOk)).localCheckpoint(true)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
-        case None => spark.conf.unset("spark.graft.delete.mode")
-      }
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** Streaming change feed maintaining a downstream GOLD aggregate under
@@ -1540,9 +1553,9 @@ object V2Queries {
     val tbl = s"$Cat.q.${newName("cdfg")}"
     val mem = "stream_cdf_" + newName("m").replace(".", "_")
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_cdfg_ck").toString
-    val prevMode = spark.conf.getOption("spark.graft.update.mode")
     try {
-      eventsSlim(spark, dir).writeTo(tbl).create()                          // v1
+      eventsSlim(spark, dir).writeTo(tbl)
+        .tableProperty("write.update.mode", "merge-on-read").create()       // v1
       def drain(): Unit = {
         // row births (+): inserts and update postimages; row deaths (−):
         // deletes and update preimages — the four-valued CDF contract
@@ -1562,18 +1575,11 @@ object V2Queries {
         q.awaitTermination()
       }
       drain() // initial snapshot into the aggregate state
-      spark.conf.set("spark.graft.update.mode", "merge-on-read")
       graft.plans.MergeInto.sql(spark,
         s"UPDATE $tbl SET value = value * 2 WHERE user_id % 10 = 3")        // v2
       drain() // only the change events stream; state folds them in
       spark.table(mem).localCheckpoint(true)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.graft.update.mode", m)
-        case None => spark.conf.unset("spark.graft.update.mode")
-      }
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** CDF update pre/post images — Delta CDF's four-valued `_change_type`
@@ -1588,10 +1594,9 @@ object V2Queries {
   def cdfUpdateImages(spark: SparkSession, dir: String): DataFrame = {
     ensureCatalog(spark)
     val tbl = s"$Cat.q.${newName("cdfu")}"
-    val prevMode = spark.conf.getOption("spark.graft.update.mode")
     try {
-      eventsSlim(spark, dir).repartition(3).writeTo(tbl).create()           // v1
-      spark.conf.set("spark.graft.update.mode", "merge-on-read")
+      eventsSlim(spark, dir).repartition(3).writeTo(tbl)
+        .tableProperty("write.update.mode", "merge-on-read").create()       // v1
       graft.plans.MergeInto.sql(spark,
         s"UPDATE $tbl SET value = value * 2 WHERE user_id % 10 = 3")        // v2
       val ch = spark.table(s"$tbl.changes")
@@ -1602,13 +1607,7 @@ object V2Queries {
       ch.groupBy(col("_change_type"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
         .withColumn("img_ok", lit(imgOk)).localCheckpoint(true)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.graft.update.mode", m)
-        case None => spark.conf.unset("spark.graft.update.mode")
-      }
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** SCD2 dimension maintained INCREMENTALLY from CDF update images —
@@ -1626,19 +1625,18 @@ object V2Queries {
     val src = s"$Cat.q.${newName("s2src")}"
     val tgt = s"$Cat.q.${newName("s2dim")}"
     val ck = java.nio.file.Files.createTempDirectory("graft_scd2_ck").toString
-    val prev = Seq("spark.graft.update.mode", "spark.graft.delete.mode")
-      .map(k => k -> spark.conf.getOption(k))
     try {
       graft.Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-        .writeTo(src).create()                                              // v1
+        .writeTo(src)
+        .tableProperty("write.update.mode", "merge-on-read")
+        .tableProperty("write.delete.mode", "merge-on-read")
+        .create()                                                           // v1
       spark.sql(s"CREATE TABLE $tgt (c_custkey BIGINT, c_mktsegment STRING, " +
         "c_acctbal DOUBLE, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN)")
       def drain(): Unit = graft.gold.Scd2.maintain(spark, src, tgt,
         Seq("c_custkey"), Seq("c_mktsegment", "c_acctbal"), ck)
       drain() // initial snapshot: every customer opens at v1
-      Seq("spark.graft.update.mode", "spark.graft.delete.mode")
-        .foreach(k => spark.conf.set(k, "merge-on-read"))
       graft.plans.MergeInto.sql(spark,
         s"UPDATE $src SET c_acctbal = c_acctbal + 100 WHERE c_custkey % 10 = 3") // v2
       drain() // preimages close at v2, postimages reopen at v2
@@ -1647,8 +1645,6 @@ object V2Queries {
       drain() // closes at v3, no reopen
       spark.table(tgt).localCheckpoint(true)
     } finally {
-      prev.foreach { case (k, Some(v)) => spark.conf.set(k, v)
-                     case (k, None) => spark.conf.unset(k) }
       spark.sql(s"DROP TABLE IF EXISTS $src")
       spark.sql(s"DROP TABLE IF EXISTS $tgt")
     }
@@ -1772,6 +1768,23 @@ object V2Queries {
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN event_id % 1000000
          |    ELSE event_id % 1000000 + 3000000000 END) AS BIGINT) AS id_sum,
+         |  ${Dsl.sql.dsum("value")} AS volume
+         |FROM events
+         |GROUP BY 1""".stripMargin
+
+    /** Both decimal-widened generations recomputed from the raw events;
+      * decimal sums compared as exact strings (engines disagree on the
+      * RESULT precision of SUM(DECIMAL), never on the value). */
+    val typeWideningDecimalScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN event_id % 2 = 0
+         |    THEN CAST(event_id % 1000000 AS DECIMAL(10,0))
+         |    ELSE CAST(event_id % 1000000 + 3000000000 AS DECIMAL(10,0)) END)
+         |    AS VARCHAR) AS id_sum,
+         |  CAST(SUM(CASE WHEN event_id % 2 = 0
+         |    THEN CAST(event_id % 100000 AS DECIMAL(20,0))
+         |    ELSE CAST(event_id % 100000 + 1000000000000000 AS DECIMAL(20,0)) END)
+         |    AS VARCHAR) AS amt_sum,
          |  ${Dsl.sql.dsum("value")} AS volume
          |FROM events
          |GROUP BY 1""".stripMargin

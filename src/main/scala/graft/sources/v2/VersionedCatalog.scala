@@ -272,9 +272,12 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     // marker every pool write consults (sort-within-file + stamp)
     VersionedCatalog.validateSortOrderProp(meta)
     VersionedCatalog.validateBloomProp(meta)
+    VersionedCatalog.validateDmlModeProps(meta)
+    VersionedCatalog.validateStatsProps(meta)
     VersionedCatalog.writeMeta(root, meta)
     VersionedCatalog.applySortOrderProp(root, meta)
     VersionedCatalog.applyBloomProp(root, meta)
+    VersionedCatalog.applyStatsProps(root, meta)
     VersionedTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       root, schema, dayOf, None, meta)
@@ -424,12 +427,34 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.sql.types.LongType) => true
           case (org.apache.spark.sql.types.FloatType,
                 org.apache.spark.sql.types.DoubleType) => true
+          // tier 2 (Iceberg v3 / Delta type-widening matrix): decimal
+          // precision grows at FIXED scale (every narrow value embeds
+          // exactly), and integrals move to a decimal(p,0) wide enough
+          // for their full domain (int needs 10 digits, long 19 → ≥20
+          // keeps the Delta bound). The file readers promote these
+          // natively from INT32/INT64/decimal physical types; stats tags
+          // change class ('l'→'m'), which file skipping treats as
+          // UNKNOWN — conservative, never wrong, and new files stamp
+          // decimal bounds.
+          case (d0: org.apache.spark.sql.types.DecimalType,
+                dt: org.apache.spark.sql.types.DecimalType)
+            if dt.scale == d0.scale && dt.precision > d0.precision => true
+          case (org.apache.spark.sql.types.ByteType |
+                org.apache.spark.sql.types.ShortType |
+                org.apache.spark.sql.types.IntegerType,
+                dt: org.apache.spark.sql.types.DecimalType)
+            if dt.scale == 0 && dt.precision >= 10 => true
+          case (org.apache.spark.sql.types.LongType,
+                dt: org.apache.spark.sql.types.DecimalType)
+            if dt.scale == 0 && dt.precision >= 20 => true
           case _ => false
         }
         require(widening,
           s"${f.dataType.simpleString} -> ${up.newDataType().simpleString} is not a " +
             "widening promotion (metadata-only: byte/short/int -> wider integral, " +
-            "float -> double); use graft.sources.Evolution for a rewrite")
+            "float -> double, decimal(p,s) -> decimal(p+k,s), byte/short/int -> " +
+            "decimal(>=10,0), long -> decimal(>=20,0)); use " +
+            "graft.sources.Evolution for a rewrite")
         m.copy(schema = StructType(m.schema.fields.map(x =>
           if (x.name.equalsIgnoreCase(name)) x.copy(dataType = up.newDataType()) else x)))
       case (m, sp: TableChange.SetProperty) =>
@@ -456,9 +481,12 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces
     // stamps — OPTIMIZE rewrites the history sorted)
     VersionedCatalog.validateSortOrderProp(newMeta)
     VersionedCatalog.validateBloomProp(newMeta)
+    VersionedCatalog.validateDmlModeProps(newMeta)
+    VersionedCatalog.validateStatsProps(newMeta)
     VersionedCatalog.writeMeta(root, newMeta)
     VersionedCatalog.applySortOrderProp(root, newMeta)
     VersionedCatalog.applyBloomProp(root, newMeta)
+    VersionedCatalog.applyStatsProps(root, newMeta)
     loadTable(ident)
   }
 
@@ -598,6 +626,48 @@ object VersionedCatalog {
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(
         spark.conf.get("spark.graft.versioned.retain", "2").toInt)
 
+  /** Effective row-level DML write mode for a table root — Iceberg's
+    * `write.delete.mode` / `write.update.mode` TBLPROPERTIES shape. The
+    * TABLE property wins; the session conf `spark.graft.<kind>.mode` is
+    * only the fleet-wide DEFAULT. Making the mode a property of the
+    * table (not the session) is what lets concurrently-running queries
+    * on different tables pick different paths without racing through
+    * shared session state — a finally-restore on one thread can never
+    * flip another thread's in-flight DELETE to copy-on-write. */
+  private[graft] def dmlModeFor(root: String, kind: String,
+                                spark: org.apache.spark.sql.SparkSession): String =
+    readMeta(root).flatMap(_.userProps.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(s"write.$kind.mode") =>
+        v.trim.toLowerCase
+    }).getOrElse(
+      spark.conf.get(s"spark.graft.$kind.mode", "copy-on-write"))
+
+  /** Validate `write.{delete,update,merge}.mode` BEFORE the descriptor
+    * persists. merge-on-read needs parquet row identity (the positional
+    * tombstones address rows by parquet row index); MERGE itself has no
+    * merge-on-read path — its day-scoped copy-on-write rewrite IS the
+    * bounded fast path — so a merge-on-read declaration there is refused
+    * loudly rather than silently ignored. */
+  private[v2] def validateDmlModeProps(meta: Meta): Unit =
+    Seq("delete", "update", "merge").foreach { kind =>
+      meta.userProps.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(s"write.$kind.mode") =>
+          v.trim.toLowerCase
+      }.foreach { v =>
+        require(v == "copy-on-write" || v == "merge-on-read",
+          s"write.$kind.mode must be copy-on-write or merge-on-read, got '$v'")
+        if (v == "merge-on-read") {
+          require(kind != "merge",
+            "write.merge.mode=merge-on-read is not implemented: MERGE " +
+              "runs day-scoped copy-on-write; declare merge-on-read via " +
+              "write.delete.mode / write.update.mode instead")
+          require(meta.format == "parquet",
+            s"write.$kind.mode=merge-on-read needs parquet row identity " +
+              s"(table format is ${meta.format})")
+        }
+      }
+    }
+
   /** The declared write sort order of a table — the `sort.order` user
     * property (comma-separated LOGICAL columns, ascending nulls-first;
     * Iceberg's `write.sort-order`). Returns (logical, physical) pairs. */
@@ -666,6 +736,31 @@ object VersionedCatalog {
     ManifestTable.setBloomColumns(root, bloomColsOf(meta).map(_._2),
       meta.userProps.collectFirst { case (k, v) if k.equalsIgnoreCase("bloom.ndv") => v }
         .flatMap(v => scala.util.Try(v.toLong).toOption))
+
+  /** The per-table statistics opt-outs — `stats.ndv` / `stats.histogram`
+    * user properties (true/false), overriding the session defaults for
+    * this table's pool writes: the commit-time sketch tier is a write
+    * tax a write-mostly table (streaming sink, staging table) may not
+    * want to pay. Values validate BEFORE the descriptor persists. */
+  private[v2] def statsOptsOf(meta: Meta): (Option[Boolean], Option[Boolean]) = {
+    def get(k: String): Option[Boolean] =
+      meta.userProps.collectFirst {
+        case (p, v) if p.equalsIgnoreCase(k) => v.trim.toLowerCase
+      }.map { v =>
+        require(v == "true" || v == "false", s"$k must be true or false, got '$v'")
+        v.toBoolean
+      }
+    (get("stats.ndv"), get("stats.histogram"))
+  }
+
+  private[v2] def validateStatsProps(meta: Meta): Unit = statsOptsOf(meta)
+
+  /** Publish (or clear) the table-root stats marker every pool write
+    * consults — after [[validateStatsProps]] and the descriptor. */
+  private[v2] def applyStatsProps(root: String, meta: Meta): Unit = {
+    val (ndv, hist) = statsOptsOf(meta)
+    ManifestTable.setStatsOpts(root, ndv, hist)
+  }
 
   /** CHECK constraints of a table: `check.<name>` user properties, each
     * a SQL predicate over the LOGICAL columns. Set via
@@ -1284,22 +1379,44 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     * `sort.order`, no delete artifacts are live (merge-on-read reshapes
     * partitions), EVERY surviving file carries the matching per-file
     * sort stamp ([[graft.sources.FileStats.SortKey]] — pre-declaration
-    * or externally-added files soundly silence the claim), and no
-    * partition key holds MORE than one file (two sorted files
-    * concatenated are not sorted). Computed once on the initial listing
-    * — runtime filters only narrow it, which preserves every condition. */
-  private[v2] lazy val orderingEligible: Boolean = {
+    * or externally-added files soundly silence the claim), and every
+    * partition key's files form a PROVABLE single sorted run: one file,
+    * or several whose stamped min/max ranges on the leading sort column
+    * are strictly disjoint (then concatenating them in range order IS
+    * the sort — [[FileStats.disjointOrder]]). The value is the in-group
+    * range rank per file NAME, what order-preserving planning reads;
+    * None = not eligible. Computed once on the initial listing —
+    * runtime filters only narrow it, which preserves every condition
+    * (a subset of a disjoint run, read in the same rank order, is
+    * still sorted). */
+  private[v2] lazy val orderedFileRank: Option[Map[String, Int]] = {
     val order = VersionedCatalog.sortOrderOf(meta)
-    order.nonEmpty && deleteEntries.isEmpty && {
+    if (order.isEmpty || deleteEntries.nonEmpty) None
+    else {
       val spec = order.map(_._2.toLowerCase).mkString(",")
       val es = prunedEntries
-      es.nonEmpty &&
-        es.groupBy(e => graft.sources.ManifestTable.keyOf(e.rel))
-          .values.forall(_.size == 1) &&
-        es.forall(e => FileStats.sortSpec(
-          FileStats.decode(e.stats.getOrElse(""))).contains(spec))
+      def nameOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+      if (es.isEmpty || !es.forall(e => FileStats.sortSpec(
+          FileStats.decode(e.stats.getOrElse(""))).contains(spec))) None
+      else {
+        val leading = order.head._2
+        val ranks = Map.newBuilder[String, Int]
+        val ok = es.groupBy(e => graft.sources.ManifestTable.keyOf(e.rel))
+          .values.forall { g =>
+            if (g.size == 1) { ranks += nameOf(g.head.rel) -> 0; true }
+            else FileStats.disjointOrder(leading, g.map(e =>
+                nameOf(e.rel) -> FileStats.decode(e.stats.getOrElse("")))) match {
+              case Some(inOrder) =>
+                inOrder.zipWithIndex.foreach(ranks += _); true
+              case None => false
+            }
+          }
+        if (ok) Some(ranks.result()) else None
+      }
     }
   }
+
+  private[v2] def orderingEligible: Boolean = orderedFileRank.isDefined
 
   /** Whether [[build]] wrapped the file scan key-grouped (SPJ active). */
   @volatile private[v2] var builtKeyGrouped: Boolean = false
@@ -1310,16 +1427,19 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     *
     *  - every sort column survives column pruning (a SortOrder over a
     *    pruned-away attribute would fail resolution);
-    *  - the planned partitions provably hold ≤1 file each, in file
-    *    order: either the scan is KEY-GROUPED in preserve-order mode
-    *    (one whole-file partition per key — the storage-partitioned
-    *    merge-join shape, where both the exchange AND the sorts elide),
-    *    or the whole listing is a SINGLE file (splits of one sorted
-    *    file stay sorted per partition, and a one-file listing is
-    *    subset-stable under runtime-filter re-packing — a multi-file
-    *    flat listing is NOT: FilePartition bin-packing can co-locate
-    *    two sorted files after a runtime filter narrows the set,
-    *    silently breaking an already-elided Sort). */
+    *  - the planned partitions provably emit rows in sort order: either
+    *    the scan is KEY-GROUPED in preserve-order mode (one whole-group
+    *    partition per key, files concatenated in stamped-range order —
+    *    the storage-partitioned merge-join shape, where both the
+    *    exchange AND the sorts elide; multi-file groups qualify when
+    *    [[orderedFileRank]] proves their ranges disjoint), or the whole
+    *    listing is a SINGLE file (splits of one sorted file stay sorted
+    *    per partition, and a one-file listing is subset-stable under
+    *    runtime-filter re-packing — a multi-file FLAT listing is NOT:
+    *    FilePartition bin-packing is size-ordered and split-happy, so it
+    *    can co-locate two sorted files out of range order after a
+    *    runtime filter narrows the set, silently breaking an
+    *    already-elided Sort). */
   private[v2] def reportableOrdering: Seq[String] = {
     if (!orderingEligible) return Nil
     val order = VersionedCatalog.sortOrderOf(meta)
@@ -1875,22 +1995,26 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
         val keyGrouped = identitySpj || transformSpj.nonEmpty || daySpj
         if (keyGrouped) builtKeyGrouped = true
         // ordering-eligible listings plan key groups ORDER-PRESERVING
-        // (one whole-file partition per key) so the reported sort
-        // survives Spark's same-key partition concatenation
+        // (one whole-group partition per key, files in stamped-range
+        // order) so the reported sort survives Spark's same-key
+        // partition concatenation
         val po = keyGrouped && orderingEligible
+        val rankFn: Option[String => Int] =
+          if (!po) None
+          else orderedFileRank.map(m => (name: String) => m.getOrElse(name, 0))
         if (identitySpj)
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
             fileScan, index.partitionSchema.fieldNames.map(Expressions.identity),
-            preserveOrder = po)
+            preserveOrder = po, fileOrder = rankFn)
         else if (transformSpj.nonEmpty) {
           val (t, kf) = transformSpj.get
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
-            fileScan, Array(t), Some(kf), preserveOrder = po)
+            fileScan, Array(t), Some(kf), preserveOrder = po, fileOrder = rankFn)
         } else if (daySpj) {
           val prefix = s"${ManifestTable.DayCol}="
           new org.apache.spark.sql.execution.datasources.v2.GraftKeyGroupedScan(
             fileScan, Array(Expressions.days(dayOf.get)),
-            preserveOrder = po,
+            preserveOrder = po, fileOrder = rankFn,
             pathKey = Some((path: String) => {
               val seg = path.split('/').find(_.startsWith(prefix)).getOrElse(
                 throw new IllegalStateException(s"no $prefix dir in $path"))

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ManifestTable
+import graft.sources.v2.VersionedCatalog
+
+/** `write.delete.mode` / `write.update.mode` as TABLE properties —
+  * Iceberg's TBLPROPERTIES shape. The property wins over the session
+  * conf (`spark.graft.<kind>.mode`, now only a fleet default), so two
+  * queries running CONCURRENTLY on one session can take different DML
+  * paths without racing through shared mutable state: the conf
+  * set-in-try / restore-in-finally pattern this replaces could flip a
+  * concurrent query's in-flight DELETE from merge-on-read to
+  * copy-on-write (a file-REMOVING commit that breaks its change feed). */
+class DmlModeTableSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gdm", classOf[VersionedCatalog].getName)
+    s.conf.set("spark.sql.catalog.gdm.warehouse",
+      Files.createTempDirectory("graft_dmwh").toString)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdm.ns")
+    s
+  }
+  private def root(t: String) =
+    s"${spark.conf.get("spark.sql.catalog.gdm.warehouse")}/ns/$t"
+  private def dataRels(r: String): Set[String] =
+    ManifestTable.liveEntries(r).map(_.rel)
+      .filterNot(ManifestTable.isDeleteEntry).toSet
+
+  test("write.delete.mode=merge-on-read table property drives the MOR path with NO session conf") {
+    import spark.implicits._
+    val t = "gdm.ns.propmor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    assert(spark.conf.getOption("spark.graft.delete.mode").isEmpty)
+    (0L until 10000L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartition(4).writeTo(t)
+      .tableProperty("write.delete.mode", "merge-on-read").create()
+    val r = root("propmor")
+    val before = dataRels(r)
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 10 = 3")
+    assert(dataRels(r) === before, "MOR delete must rewrite zero data files")
+    assert(ManifestTable.hasDeletes(r))
+    assert(spark.table(t).count() === 9000L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("the TABLE property wins over the session conf in BOTH directions") {
+    import spark.implicits._
+    val cow = "gdm.ns.propcow"
+    spark.sql(s"DROP TABLE IF EXISTS $cow")
+    // session says merge-on-read, table says copy-on-write -> CoW
+    (0L until 4000L).map(k => (k, k.toDouble)).toDF("k", "v")
+      .repartition(2).writeTo(cow)
+      .tableProperty("write.delete.mode", "copy-on-write").create()
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $cow WHERE k % 10 = 3")
+      assert(!ManifestTable.hasDeletes(root("propcow")),
+        "explicit copy-on-write property must override the session conf")
+      assert(spark.table(cow).count() === 3600L)
+    } finally spark.conf.unset("spark.graft.delete.mode")
+    // no property at all -> the conf default still applies
+    val dflt = "gdm.ns.propdflt"
+    spark.sql(s"DROP TABLE IF EXISTS $dflt")
+    (0L until 4000L).map(k => (k, k.toDouble)).toDF("k", "v")
+      .repartition(2).writeTo(dflt).create()
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try {
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $dflt WHERE k % 10 = 3")
+      assert(ManifestTable.hasDeletes(root("propdflt")),
+        "with no table property the session conf remains the default")
+    } finally spark.conf.unset("spark.graft.delete.mode")
+    spark.sql(s"DROP TABLE $cow"); spark.sql(s"DROP TABLE $dflt")
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES flips the mode; UNSET restores the default") {
+    import spark.implicits._
+    val t = "gdm.ns.propalter"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (0L until 6000L).map(k => (k, k.toDouble)).toDF("k", "v")
+      .repartition(3).writeTo(t).create()
+    val r = root("propalter")
+    // default (no property, no conf) = copy-on-write
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 30 = 1")
+    assert(!ManifestTable.hasDeletes(r))
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('write.delete.mode'='merge-on-read')")
+    val before = dataRels(r)
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 30 = 2")
+    assert(dataRels(r) === before && ManifestTable.hasDeletes(r))
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES('write.delete.mode')")
+    assert(VersionedCatalog.dmlModeFor(r, "delete", spark) === "copy-on-write")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("invalid declarations are refused BEFORE any metadata persists") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    val bad1 = intercept[Exception] {
+      df.writeTo("gdm.ns.badmode")
+        .tableProperty("write.delete.mode", "vectorized").create()
+    }
+    assert(bad1.getMessage.contains("copy-on-write or merge-on-read"))
+    val bad2 = intercept[Exception] {
+      df.writeTo("gdm.ns.badmerge")
+        .tableProperty("write.merge.mode", "merge-on-read").create()
+    }
+    assert(bad2.getMessage.contains("not implemented"))
+    val bad3 = intercept[Exception] {
+      df.writeTo("gdm.ns.badavro")
+        .tableProperty("format", "avro")
+        .tableProperty("write.update.mode", "merge-on-read").create()
+    }
+    assert(bad3.getMessage.contains("parquet row identity"))
+    for (t <- Seq("badmode", "badmerge", "badavro"))
+      assert(VersionedCatalog.readMeta(root(t)).isEmpty,
+        s"$t: refused create must not leave a descriptor behind")
+  }
+
+  test("concurrent MOR and CoW DML on different tables never interfere (the race the property model kills)") {
+    import spark.implicits._
+    val mor = "gdm.ns.racemor"
+    val cow = "gdm.ns.racecow"
+    spark.sql(s"DROP TABLE IF EXISTS $mor"); spark.sql(s"DROP TABLE IF EXISTS $cow")
+    (0L until 20000L).map(k => (k, k.toDouble)).toDF("k", "v")
+      .repartition(4).writeTo(mor)
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .tableProperty("write.update.mode", "merge-on-read").create()
+    (0L until 20000L).map(k => (k, k.toDouble)).toDF("k", "v")
+      .repartition(4).writeTo(cow).create()
+    val rMor = root("racemor")
+    val morData = dataRels(rMor)
+    @volatile var failure: Option[Throwable] = None
+    def thread(body: => Unit) = new Thread(() =>
+      try body catch { case t: Throwable => failure = Some(t) })
+    // interleave many small DMLs from two threads over the one shared
+    // session; with conf-based modes a restore on either side could flip
+    // the other's path mid-flight — with table properties there is no
+    // shared state to race on
+    val t1 = thread {
+      for (i <- 0 until 5)
+        graft.plans.MergeInto.sql(spark, s"DELETE FROM $mor WHERE k % 100 = $i")
+    }
+    val t2 = thread {
+      for (i <- 0 until 5)
+        graft.plans.MergeInto.sql(spark,
+          s"UPDATE $cow SET v = v + 1 WHERE k % 100 = ${50 + i}")
+    }
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    failure.foreach(throw _)
+    assert(dataRels(rMor) === morData,
+      "every MOR delete must have tombstoned, never rewritten, data files")
+    assert(ManifestTable.hasDeletes(rMor))
+    assert(!ManifestTable.hasDeletes(root("racecow")),
+      "the CoW table must never have taken the merge-on-read path")
+    assert(spark.table(mor).count() === 20000L - 5 * 200L)
+    assert(spark.table(cow).where("v = k + 1").count() === 5 * 200L)
+    spark.sql(s"DROP TABLE $mor"); spark.sql(s"DROP TABLE $cow")
+  }
+}

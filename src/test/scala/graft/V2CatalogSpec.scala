@@ -991,6 +991,85 @@ class V2CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-file sort groups: disjoint stamped ranges still merge-join with zero sorts; overlap silences the claim") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    Seq("smj2a", "smj2b", "smj2o").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS gtest.ns.$t"))
+    // both sides: TWO sorted files per region with PROVABLY DISJOINT ts
+    // ranges (first append covers [0,5000), second [5000,10000)) — the
+    // stamped min/max let the scan plan each group as one sorted run
+    Seq("smj2a", "smj2b").foreach { t =>
+      spark.sql(s"CREATE TABLE gtest.ns.$t (region BIGINT, ts BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (region) TBLPROPERTIES ('sort.order'='ts')")
+      val mul = if (t == "smj2a") 37 else 61
+      spark.sql(s"INSERT INTO gtest.ns.$t " +
+        s"SELECT id % 8, (id * $mul) % 5000, id * 0.5 FROM range(10000)")
+      spark.sql(s"INSERT INTO gtest.ns.$t " +
+        s"SELECT id % 8, 5000 + (id * $mul) % 5000, id * 0.5 FROM range(10000)")
+      val root = VersionedCatalog.warehouseOf("gtest").get + "/ns/" + t
+      assert(ManifestTable.liveEntries(root).groupBy(e =>
+        e.rel.split('/').dropRight(1).mkString("/")).values.forall(_.size == 2),
+        s"$t must land two files per region")
+    }
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+      .map(x => x -> spark.conf.getOption(x))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val joined = spark.table("gtest.ns.smj2a")
+        .join(spark.table("gtest.ns.smj2b"), Seq("region", "ts"))
+        .groupBy(col("region")).agg(count(lit(1)).as("n"))
+      val rows = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = GraftScans.executedNodes(joined.queryExecution.executedPlan)
+      assert(nodes.exists(_.nodeName.contains("SortMergeJoin")),
+        s"expected a merge join, got ${nodes.map(_.nodeName).distinct}")
+      val joinSubtree = nodes.dropWhile(!_.nodeName.contains("SortMergeJoin"))
+      assert(!joinSubtree.exists(_.isInstanceOf[SortExec]),
+        "range-disjoint two-file groups must merge-join with ZERO sorts")
+      assert(!joinSubtree.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "storage-partitioned join must run with ZERO exchanges below it")
+      // rows actually arrive sorted per partition (the claim is true,
+      // not just believed): a partition-local sort on the CLAIMED prefix
+      // (identity region, then ts) also elides
+      val local = spark.table("gtest.ns.smj2a").sortWithinPartitions("region", "ts")
+      local.collect()
+      assert(!GraftScans.executedNodes(local.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[SortExec]))
+      // data agrees with a plain shuffled run
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val plain = spark.table("gtest.ns.smj2a")
+        .join(spark.table("gtest.ns.smj2b"), Seq("region", "ts"))
+        .groupBy(col("region")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows === plain, "multi-file elided sorts must not change results")
+
+      // OVERLAPPING ranges: same layout but both appends span the full
+      // ts domain — no stamped proof, the claim must go silent and the
+      // local Sort must come back (never a wrong elision)
+      spark.sql("CREATE TABLE gtest.ns.smj2o (region BIGINT, ts BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (region) TBLPROPERTIES ('sort.order'='ts')")
+      (0 until 2).foreach(_ => spark.sql("INSERT INTO gtest.ns.smj2o " +
+        "SELECT id % 8, (id * 37) % 10000, id * 0.5 FROM range(10000)"))
+      val overlapped = spark.table("gtest.ns.smj2o")
+        .sortWithinPartitions("region", "ts")
+      val ts = overlapped.collect()
+      assert(GraftScans.executedNodes(overlapped.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[SortExec]),
+        "overlapping two-file groups must NOT claim an ordering")
+    } finally {
+      saved.foreach { case (x, Some(value)) => spark.conf.set(x, value)
+                      case (x, None) => spark.conf.unset(x) }
+      Seq("smj2a", "smj2b", "smj2o").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS gtest.ns.$t"))
+    }
+  }
+
   test("histogram statistics: commit-time KLL quantiles fix skewed-predicate selectivity") {
     import graft.sources.{ManifestTable, NdvStats}
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
@@ -2325,6 +2404,69 @@ class V2CatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("ALTER TABLE gtest.ns.w ALTER COLUMN k TYPE INT") }
     intercept[Exception] { spark.sql("ALTER TABLE gtest.ns.w ALTER COLUMN v TYPE STRING") }
     spark.sql("DROP TABLE gtest.ns.w")
+  }
+
+  test("tier-2 widening: decimal precision growth and int/long -> decimal, vectorized across generations") {
+    import graft.sources.ManifestTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    for (fmt <- Seq("parquet", "orc")) {
+      val t = s"gtest.ns.wd_$fmt"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k INT, amt DECIMAL(7,2), big BIGINT) " +
+        s"TBLPROPERTIES('format'='$fmt')")
+      spark.sql(s"INSERT INTO $t VALUES " +
+        "(1, CAST(12345.67 AS DECIMAL(7,2)), 10), " +
+        "(2, CAST(99999.99 AS DECIMAL(7,2)), 20)")
+      val root = VersionedCatalog.warehouseOf("gtest").get + s"/ns/wd_$fmt"
+      val filesBefore = ManifestTable.manifest(root, ManifestTable.currentVersion(root).get)
+
+      // decimal(7,2) -> decimal(18,2): same scale, wider precision;
+      // int -> decimal(10,0); long -> decimal(20,0) — all metadata-only
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN amt TYPE DECIMAL(18,2)")
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE DECIMAL(10,0)")
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN big TYPE DECIMAL(20,0)")
+      assert(ManifestTable.manifest(root,
+        ManifestTable.currentVersion(root).get) === filesBefore,
+        s"$fmt: widening must not rewrite data")
+      assert(spark.table(t).schema.map(_.dataType.simpleString)
+        === Seq("decimal(10,0)", "decimal(18,2)", "decimal(20,0)"))
+
+      // values only the WIDE types can hold land in a second generation
+      spark.sql(s"INSERT INTO $t VALUES " +
+        "(CAST(3000000000 AS DECIMAL(10,0)), CAST(1234567890123456.78 AS DECIMAL(18,2)), " +
+        "CAST(99999999999999999999 AS DECIMAL(20,0)))")
+      val got = spark.table(t).orderBy("k").collect().map(r =>
+        (r.getDecimal(0).toBigInteger.longValueExact,
+          r.getDecimal(1).toPlainString, r.getDecimal(2).toPlainString)).toSeq
+      assert(got === Seq(
+        (1L, "12345.67", "10"),
+        (2L, "99999.99", "20"),
+        (3000000000L, "1234567890123456.78", "99999999999999999999")),
+        s"$fmt: both generations must read through the widened schema, got $got")
+      // aggregates cross the generation boundary exactly
+      assert(spark.table(t).agg(sum(col("amt"))).collect()(0)
+        .getDecimal(0).toPlainString === "1234567890235802.44")
+      // stats-tag class change is conservative, never wrong: the narrow
+      // generation's 'l' stamps give no verdict against a decimal
+      // predicate, so the filter still answers exactly
+      assert(spark.table(t).where(col("k") >= lit(BigDecimal(3000000000L)))
+        .count() === 1)
+      // widening refusals: precision shrink, scale change, too-narrow
+      // integral homes
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t ALTER COLUMN amt TYPE DECIMAL(12,2)") }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t ALTER COLUMN amt TYPE DECIMAL(20,4)") }
+      spark.sql(s"DROP TABLE $t")
+    }
+    // a fresh int column cannot move to decimal(9,0) (domain would not fit)
+    spark.sql("DROP TABLE IF EXISTS gtest.ns.wdn")
+    spark.sql("CREATE TABLE gtest.ns.wdn (k INT)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.ns.wdn ALTER COLUMN k TYPE DECIMAL(9,0)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.ns.wdn ALTER COLUMN k TYPE DECIMAL(12,2)") }
+    spark.sql("DROP TABLE gtest.ns.wdn")
   }
 
   test("partition spec evolution: mixed layouts scan exactly, prune conservatively, DML falls back, OPTIMIZE re-homes") {
