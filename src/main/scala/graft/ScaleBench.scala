@@ -158,6 +158,80 @@ object ScaleBench {
       .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
       .create()
     println(f"[scale] catalog_ctas rows=$catRows days=$nDays secs=${(System.nanoTime() - cw0) / 1e9}%.1f")
+
+    // WRITE-PATH OVERHEAD BUDGET: what each per-write statistics tier
+    // costs on an append-shaped CTAS — commit-time HLL NDV + KLL
+    // histograms (one fused Observation pass riding the write job),
+    // per-file footer stats, writer-side blooms. The per-table
+    // stats.ndv/stats.histogram properties are the opt-out dial; this
+    // point is the budget check that keeps the tax honest (target:
+    // full-stats within ~10% of the stats-off floor).
+    {
+      val taxRows = math.max(catRows / 4, 2000000L)
+      val evTax = spark.range(taxRows).select(
+        col("id").as("event_id"),
+        expr("timestamp_micros(1704067200000000 + (id % 16) * 86400000000" +
+          " + (id % 86400) * 1000000)").cast("timestamp_ntz").as("ts"),
+        (col("id") % 100000L).as("user_id"),
+        (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0).as("value"))
+      def ctasSecs(tbl: String, props: Map[String, String]): Double = {
+        val w0 = System.nanoTime()
+        val w = evTax.writeTo(s"scale_cat.b.$tbl")
+        props.foldLeft(w) { case (x, (k, v)) => x.tableProperty(k, v) }.create()
+        (System.nanoTime() - w0) / 1e9
+      }
+      val offSecs = ctasSecs("wt_off",
+        Map("stats.ndv" -> "false"))                       // the floor
+      val histOffSecs = ctasSecs("wt_nohist",
+        Map("stats.histogram" -> "false"))                 // HLL only
+      val fullSecs = ctasSecs("wt_full", Map.empty)        // HLL + KLL
+      val bloomSecs = ctasSecs("wt_bloom",
+        Map("bloom.columns" -> "user_id", "bloom.ndv" -> "100000"))
+      def pct(s: Double) = (s / offSecs - 1.0) * 100.0
+      println(f"[scale] write_tax rows=$taxRows off_secs=$offSecs%.1f " +
+        f"hll_secs=$histOffSecs%.1f (+${pct(histOffSecs)}%.0f%%) " +
+        f"full_secs=$fullSecs%.1f (+${pct(fullSecs)}%.0f%%) " +
+        f"bloom_secs=$bloomSecs%.1f (+${pct(bloomSecs)}%.0f%%)")
+      Seq("wt_off", "wt_nohist", "wt_full", "wt_bloom")
+        .foreach(t => spark.sql(s"DROP TABLE scale_cat.b.$t"))
+    }
+
+    // PARALLEL PARTIAL-PROGRESS OPTIMIZE: N day-chunks rewritten by M
+    // concurrent workers (Iceberg's partial-progress +
+    // max-concurrent-file-group-rewrites), commits serialized through
+    // the optimistic commit loop — sequential chunks leave the cluster
+    // idle between a chunk's write tail and its commit; concurrent
+    // workers keep it saturated. Identical fragmented tables, same
+    // chunk plan, only the worker count differs.
+    {
+      val optRows = math.max(catRows / 2, 4000000L)
+      def mkFragmented(tbl: String): Unit = {
+        val df = spark.range(optRows).select(
+          col("id").as("event_id"),
+          expr("timestamp_micros(1704067200000000 + (id % 32) * 86400000000" +
+            " + (id % 86400) * 1000000)").cast("timestamp_ntz").as("ts"),
+          (col("id") % 100000L).as("user_id"),
+          (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0).as("value"))
+        df.writeTo(s"scale_cat.b.$tbl")
+          .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+          .create()
+        (0 until 2).foreach(_ => df.writeTo(s"scale_cat.b.$tbl").append())
+      }
+      def chunkedOptimize(tbl: String, workers: Int): Double = {
+        val o0 = System.nanoTime()
+        graft.sources.v2.Maintenance.optimize(spark, s"scale_cat.$tbl",
+          maxCommits = 8, maxConcurrentRewrites = workers)
+        (System.nanoTime() - o0) / 1e9
+      }
+      mkFragmented("opt_seq"); mkFragmented("opt_par")
+      val seqSecs = chunkedOptimize("b.opt_seq", 1)
+      val parSecs = chunkedOptimize("b.opt_par", 4)
+      val filesAfter = graft.sources.ManifestTable
+        .liveEntries(s"$wh/b/opt_par").size
+      println(f"[scale] optimize_chunks rows=$optRows chunks=8 files_after=$filesAfter " +
+        f"seq_secs=$seqSecs%.1f par4_secs=$parSecs%.1f speedup=${seqSecs / parSecs}%.2fx")
+      Seq("opt_seq", "opt_par").foreach(t => spark.sql(s"DROP TABLE scale_cat.b.$t"))
+    }
     val totalFiles = graft.sources.ManifestTable.manifest(s"$wh/b/ev", 1).size
     val windowed = spark.table("scale_cat.b.ev")
       .where(col("ts") >= lit("2024-01-11 00:00:00").cast("timestamp_ntz")

@@ -53,7 +53,8 @@ object Maintenance {
                targetFileBytes: Long = 128L << 20,
                zorderBy: Seq[String] = Nil,
                whereDays: Option[(String, String)] = None,
-               maxCommits: Int = 1): Long = {
+               maxCommits: Int = 1,
+               maxConcurrentRewrites: Int = 1): Long = {
     import org.apache.spark.sql.functions._
     val (root, meta) = resolve(spark, ident)
     val physDay = meta.dayOf.map(meta.physicalName)
@@ -63,15 +64,13 @@ object Maintenance {
     // hours-long job whose failure loses EVERYTHING and whose single
     // commit conflicts with every concurrent day-write; chunked, a crash
     // keeps the finished chunks and each commit's conflict surface is
-    // only its own days. Day-keyed tables only (the replace fast path
-    // carries every other day by reference); other layouts fall through
-    // to the monolithic rewrite.
+    // only its own days. Composes with `zorder_by` (each chunk Morton-
+    // clusters against its OWN slice's bounds — the hours-long z-order
+    // rewrite is exactly the job that needs resumable commits) and
+    // `where_days` (chunk only the selected range). Day-keyed tables
+    // only (the replace fast path carries every other day by reference);
+    // other layouts fall through to the monolithic rewrite.
     if (maxCommits > 1) {
-      // loud, never silent: a user asking for crash-resumable chunks must
-      // not get one giant commit with the full conflict surface
-      require(zorderBy.isEmpty && whereDays.isEmpty,
-        "max_commits does not compose with zorder_by or where_days yet; " +
-          "run the scoped OPTIMIZE without max_commits")
       val pd = physDay.getOrElse(throw new IllegalArgumentException(
         s"$ident is not day-partitioned; partial-progress OPTIMIZE " +
           "(max_commits) needs a days() layout to scope its chunk commits"))
@@ -79,8 +78,21 @@ object Maintenance {
           ManifestTable.isFullyDayKeyed(root),
         s"$ident mixes partition layouts (spec evolution); run a full " +
           "OPTIMIZE (max_commits => 1) to re-home, then chunk")
+      if (zorderBy.nonEmpty) requireNoSortOrder(root, ident)
+      val dayInRange: String => Boolean = whereDays match {
+        case None => _ => true
+        case Some((fromS, untilS)) =>
+          val from = java.time.LocalDate.parse(fromS)
+          val until = java.time.LocalDate.parse(untilS)
+          d => scala.util.Try {
+            val day = java.time.LocalDate.parse(d)
+            !day.isBefore(from) && !day.isAfter(until)
+          }.getOrElse(false)
+      }
       return optimizePartial(spark, root, pd, targetFileBytes, maxCommits,
-        retainOf(spark, root))
+        retainOf(spark, root), zorderCols = zorderBy.map(meta.physicalName),
+        dayInRange = dayInRange,
+        maxConcurrent = math.max(1, maxConcurrentRewrites))
     }
     // DAY-SCOPED compaction (Iceberg's rewrite_data_files(filter)): only
     // the selected days' files read and rewritten — at 100 TB you compact
@@ -240,24 +252,43 @@ object Maintenance {
   }
 
   /** The chunked rewrite behind partial-progress OPTIMIZE: live days
-    * greedily packed into ≤`maxCommits` byte-balanced groups (manifest
-    * `__bytes` only — no FS stats), each group compacted and committed
+    * (optionally restricted to a `where_days` range) greedily packed
+    * into ≤`maxCommits` byte-balanced groups (manifest `__bytes` only —
+    * no FS stats), each group compacted — Morton-clustered when
+    * `zorderCols` is set, against the chunk's OWN bounds — and committed
     * via the day-replace path. All chunks READ the pinned base snapshot
     * (their day sets are disjoint, so earlier chunk commits never
     * invalidate later reads) and each [[ManifestTable.replaceDays]]
     * verifies ITS days unchanged since the pin — a concurrent write to
     * an untouched day sails through; one to a chunk's own day fails that
-    * chunk loudly with every finished chunk already durable. */
+    * chunk loudly with every finished chunk already durable.
+    *
+    * `maxConcurrent > 1` rewrites that many chunks at once (Iceberg's
+    * `partial-progress` + `max-concurrent-file-group-rewrites`): at
+    * 100 TB, sequential chunks leave the cluster idle between a chunk's
+    * write tail and its commit — concurrent workers keep it saturated.
+    * The commits themselves still serialize through [[ManifestTable]]'s
+    * optimistic commit loop (same-ref racers collide on the version
+    * claim and rebase); disjoint day sets mean every rebase passes its
+    * unchanged-check. ALL chunks are awaited before the first failure
+    * propagates, so a conflicted chunk never aborts its siblings'
+    * in-flight work. */
   private def optimizePartial(spark: SparkSession, root: String,
                               physDayCol: String, targetFileBytes: Long,
-                              maxCommits: Int, retain: Int): Long = {
+                              maxCommits: Int, retain: Int,
+                              zorderCols: Seq[String] = Nil,
+                              dayInRange: String => Boolean = _ => true,
+                              maxConcurrent: Int = 1): Long = {
     import org.apache.spark.sql.functions._
     val dataEntries = ManifestTable.liveEntries(root)
       .filterNot(e => ManifestTable.isDeleteEntry(e.rel))
     val dayPfx = s"${ManifestTable.DayCol}="
     val byDay: Map[String, Long] = dataEntries
       .groupBy(e => ManifestTable.keyOf(e.rel).stripPrefix(dayPfx))
-      .view.mapValues(_.map(e => ManifestTable.entryBytes(root, e)).sum).toMap
+      .view.mapValues(_.map(e => ManifestTable.entryBytes(root, e)).sum)
+      .filter { case (d, _) => dayInRange(d) }.toMap
+    if (byDay.isEmpty)
+      return ManifestTable.currentVersion(root).getOrElse(0L)
     val order = byDay.keys.toSeq.sorted
     val total = byDay.values.sum
     val perChunk = math.max(1L, total / maxCommits)
@@ -274,19 +305,43 @@ object Maintenance {
       acc += byDay(d)
     }
     val (v0, raw) = ManifestTable.readRawPinned(spark, root)
-    var last = v0
-    chunks.filter(_.nonEmpty).foreach { chunk =>
+    zorderCols.foreach(c => require(raw.columns.exists(_.equalsIgnoreCase(c)),
+      s"no such column $c"))
+    def rewriteChunk(chunk: Seq[String]): Long = {
       val days = chunk.toSet
       val slice = raw.where(col(ManifestTable.DayCol).cast("string")
         .isInCollection(days))
       val bytes = chunk.map(byDay).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      last = ManifestTable.replaceDays(
-        slice.repartition(nFiles, col(ManifestTable.DayCol))
-          .drop(ManifestTable.DayCol),
-        root, days, physDayCol, retain = retain, expectedVersion = Some(v0))
+      // zorder: range placement on (day, zkey) here; the within-file
+      // ORDER re-applies inside the pool write after the partition dirs
+      // re-derive (rewriteOrder) — same discipline as the scoped path
+      val zkey = if (zorderCols.isEmpty) None else Some(zKeyOf(slice, zorderCols))
+      val clustered = zkey match {
+        case None => slice.repartition(nFiles, col(ManifestTable.DayCol))
+        case Some(z) => slice.withColumn("__zkey", z)
+          .repartitionByRange(nFiles, col(ManifestTable.DayCol), col("__zkey"))
+          .drop("__zkey")
+      }
+      ManifestTable.replaceDays(
+        clustered.drop(ManifestTable.DayCol),
+        root, days, physDayCol, retain = retain, expectedVersion = Some(v0),
+        preclustered = zorderCols.nonEmpty, rewriteOrder = zkey)
     }
-    last
+    val work = chunks.filter(_.nonEmpty).map(_.toSeq).toSeq
+    if (maxConcurrent <= 1 || work.size <= 1) work.foreach(rewriteChunk)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrent, work.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val done = work.map(c => Future(rewriteChunk(c)))
+        .map(f => scala.util.Try(Await.result(f, Duration(30, "min"))))
+      pool.shutdown()
+      done.collectFirst { case scala.util.Failure(e) => throw e }
+    }
+    ManifestTable.currentVersion(root).getOrElse(v0)
   }
 
   /** Distributed table integrity check (FSCK): verify the LIVE
@@ -444,8 +499,9 @@ object Maintenance {
     * the source pool, statistics sidecar carried. One metadata write
     * however large the source; the clone diverges freely (its writes land
     * locally) and OPTIMIZE localizes it. See [[ManifestTable.cloneTo]]
-    * for the contract limits (no live EQUALITY-delete backlog, no
-    * clone-of-a-clone while ext entries live) and the Delta-inherited
+    * for the contract limits (no clone-of-a-clone while ext entries
+    * live; equality backlogs clone via rank-compacted sequence
+    * carry-over) and the Delta-inherited
     * hazard: expiring the SOURCE's snapshots can remove files live
     * clones reference — fsck on the clone detects it. Returns the
     * clone's first version. */
@@ -478,6 +534,7 @@ object Maintenance {
     VersionedCatalog.writeMeta(dstRoot, srcMeta)
     VersionedCatalog.applySortOrderProp(dstRoot, srcMeta)
     VersionedCatalog.applyBloomProp(dstRoot, srcMeta)
+    VersionedCatalog.applyStatsProps(dstRoot, srcMeta)
     ManifestTable.cloneTo(srcRoot, dstRoot, retain = retainOf(spark, dstRoot),
       prevalidated = Some(validated))
   }

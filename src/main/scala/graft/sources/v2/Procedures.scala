@@ -76,7 +76,11 @@ object GraftProcedures {
         param("where_days", StringType, Some("''")),
         // >1 = partial progress (Iceberg's partial-progress.max-commits):
         // the rewrite chunks into up to N independent day-scoped commits
-        param("max_commits", IntegerType, Some("1")))
+        param("max_commits", IntegerType, Some("1")),
+        // with max_commits > 1: rewrite up to M chunks concurrently
+        // (Iceberg's max-concurrent-file-group-rewrites); the commits
+        // still serialize through the optimistic commit loop
+        param("max_concurrent_rewrites", IntegerType, Some("1")))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val tbl = input.getUTF8String(0).toString
         val target = input.getLong(1)
@@ -90,7 +94,8 @@ object GraftProcedures {
             (p(0), p(1))
           }
         val v = Maintenance.optimize(spark, s"$catalogName.$tbl", target, zorder,
-          whereDays, maxCommits = input.getInt(4))
+          whereDays, maxCommits = input.getInt(4),
+          maxConcurrentRewrites = input.getInt(5))
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()

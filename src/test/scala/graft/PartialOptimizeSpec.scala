@@ -203,14 +203,7 @@ class PartialOptimizeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gpo.ns.pz")
   }
 
-  test("max_commits refuses to compose with where_days and non-day layouts") {
-    mk("p4", days = 2, rowsPerDay = 10)
-    val e1 = intercept[Exception] {
-      spark.sql("CALL gpo.system.optimize(`table` => 'ns.p4', " +
-        "where_days => '2024-03-01,2024-03-02', max_commits => 4)")
-    }
-    assert(e1.getMessage.contains("does not compose"))
-    spark.sql("DROP TABLE gpo.ns.p4")
+  test("max_commits refuses non-day layouts") {
     spark.sql("CREATE TABLE gpo.ns.p4f (id BIGINT, v DOUBLE)") // flat
     spark.sql("INSERT INTO gpo.ns.p4f VALUES (1, 1.0)")
     val e2 = intercept[Exception] {
@@ -218,5 +211,122 @@ class PartialOptimizeSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("days() layout"))
     spark.sql("DROP TABLE gpo.ns.p4f")
+  }
+
+  test("max_commits composes with where_days: only the selected range chunks, others carry untouched") {
+    mk("p5", days = 6, rowsPerDay = 40)
+    val root = s"$wh/ns/p5"
+    def relsOfDay(d: String): Set[String] = ManifestTable.liveEntries(root)
+      .map(_.rel).filter(_.startsWith(s"__day=$d/")).toSet
+    val d5Before = relsOfDay("2024-03-05")
+    val d6Before = relsOfDay("2024-03-06")
+    val before = spark.table("gpo.ns.p5").orderBy("id").collect()
+    val v0 = ManifestTable.currentVersion(root).get
+    val vEnd = spark.sql(
+      "CALL gpo.system.optimize(`table` => 'ns.p5', " +
+        "where_days => '2024-03-01,2024-03-04', max_commits => 2)")
+      .collect()(0).getLong(0)
+    assert(vEnd === v0 + 2, s"expected 2 chunk commits, v0=$v0 vEnd=$vEnd")
+    (1 to 4).foreach(d => assert(relsOfDay(s"2024-03-0$d").size === 1,
+      s"day 2024-03-0$d not compacted"))
+    assert(relsOfDay("2024-03-05") === d5Before)
+    assert(relsOfDay("2024-03-06") === d6Before)
+    assert(spark.table("gpo.ns.p5").orderBy("id").collect().toSeq === before.toSeq)
+    spark.sql("DROP TABLE gpo.ns.p5")
+  }
+
+  test("max_commits composes with zorder_by: chunked commits, per-file Morton order preserved per chunk") {
+    spark.sql("DROP TABLE IF EXISTS gpo.ns.pzc")
+    spark.sql("CREATE TABLE gpo.ns.pzc (id BIGINT, ts TIMESTAMP_NTZ, x BIGINT, y BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("ALTER TABLE gpo.ns.pzc SET TBLPROPERTIES('retain'='10')")
+    import spark.implicits._
+    (0 until 6000).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 4, 1 + i % 3, i % 24, 0),
+        (i % 97).toLong, (i * 31 % 89).toLong)
+    }.toDF("id", "ts", "x", "y").createOrReplaceTempView("pzc_src")
+    (0 until 3).foreach(b => spark.sql(
+      s"INSERT INTO gpo.ns.pzc SELECT * FROM pzc_src WHERE CAST(id/3 AS BIGINT) % 3 = $b"))
+    val root = s"$wh/ns/pzc"
+    def relsOfDay(d: String): Set[String] = ManifestTable.liveEntries(root)
+      .map(_.rel).filter(_.startsWith(s"__day=$d/")).toSet
+    val total = spark.table("gpo.ns.pzc").agg(sum("x")).collect()(0).getLong(0)
+    val v0 = ManifestTable.currentVersion(root).get
+    val dayBytes = ManifestTable.liveEntries(root)
+      .filter(_.rel.startsWith("__day=2024-04-01/"))
+      .map(e => graft.sources.FileStats.byteSize(
+        graft.sources.FileStats.decode(e.stats.getOrElse(""))).map(_._1).getOrElse(0L)).sum
+    // one chunk per day so each chunk's z bounds are the day's own — the
+    // probe below recomputes them exactly. max_commits well above the
+    // day count forces the byte-greedy packer to split every day (chunk
+    // budget ≪ any day's bytes); 3 days still means exactly 3 commits.
+    val vEnd = graft.sources.v2.Maintenance.optimize(spark, "gpo.ns.pzc",
+      targetFileBytes = math.max(1L, dayBytes / 4),
+      zorderBy = Seq("x", "y"), maxCommits = 12)
+    assert(vEnd === v0 + 3, s"expected 3 chunk commits, v0=$v0 vEnd=$vEnd")
+    // every intermediate chunk commit is a full-count retained snapshot
+    (v0 to vEnd).foreach { v =>
+      assert(spark.sql(s"SELECT COUNT(*) FROM gpo.ns.pzc VERSION AS OF $v")
+        .collect()(0).getLong(0) === 6000L, s"version $v lost rows")
+    }
+    for (d <- Seq("2024-04-01", "2024-04-02", "2024-04-03")) {
+      val files = relsOfDay(d)
+      assert(files.size >= 2, s"day $d: z-order should split into ranged files")
+      // recompute the z key with the CHUNK's (= day's) bounds and assert
+      // within-file Morton monotonicity — the PartialOptimizeSpec probe
+      val dayDf = spark.table("gpo.ns.pzc")
+        .where(col("ts") >= lit(d).cast("timestamp_ntz") &&
+          col("ts") < lit(java.time.LocalDate.parse(d).plusDays(1).toString)
+            .cast("timestamp_ntz"))
+      val mm = dayDf.agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+      def bucket(v: Long, lo: Long, hi: Long): Long = {
+        val span = math.max((hi - lo).toDouble, java.lang.Double.MIN_NORMAL)
+        math.min(255L, math.max(0L, math.floor((v - lo) / span * 256).toLong))
+      }
+      def morton(x: Long, y: Long): Long = {
+        val bx = bucket(x, mm.getLong(0), mm.getLong(1))
+        val by = bucket(y, mm.getLong(2), mm.getLong(3))
+        (0 until 8).map(b =>
+          (((bx >> b) & 1L) << (b * 2)) + (((by >> b) & 1L) << (b * 2 + 1))).sum
+      }
+      files.foreach { f =>
+        val zs = spark.read.parquet(s"$root/data/$f").select("x", "y")
+          .collect().map(r => morton(r.getLong(0), r.getLong(1)))
+        assert(zs.zip(zs.drop(1)).forall { case (a, b) => a <= b },
+          s"file $f of day $d lost its within-file Morton order")
+      }
+      // and the files hold DISJOINT z ranges (range placement worked)
+      val ranges = files.toSeq.map { f =>
+        val zs = spark.read.parquet(s"$root/data/$f").select("x", "y")
+          .collect().map(r => morton(r.getLong(0), r.getLong(1)))
+        (zs.min, zs.max, f)
+      }.sortBy(_._1)
+      ranges.zip(ranges.drop(1)).foreach { case ((_, hi, f1), (lo, _, f2)) =>
+        assert(hi <= lo, s"day $d: z ranges of $f1 and $f2 overlap")
+      }
+    }
+    assert(spark.table("gpo.ns.pzc").agg(sum("x")).collect()(0).getLong(0) === total)
+    spark.sql("DROP TABLE gpo.ns.pzc")
+  }
+
+  test("max_concurrent_rewrites runs chunks in parallel; commits serialize through the conflict check") {
+    mk("p6", days = 8, rowsPerDay = 40)
+    val root = s"$wh/ns/p6"
+    val before = spark.table("gpo.ns.p6").orderBy("id").collect()
+    val v0 = ManifestTable.currentVersion(root).get
+    val vEnd = spark.sql(
+      "CALL gpo.system.optimize(`table` => 'ns.p6', max_commits => 4, " +
+        "max_concurrent_rewrites => 3)").collect()(0).getLong(0)
+    // all four chunk commits landed despite racing: the optimistic commit
+    // loop serialized the version claims and every disjoint-day
+    // unchanged-check passed on rebase
+    assert(vEnd === v0 + 4, s"expected 4 chunk commits, v0=$v0 vEnd=$vEnd")
+    assert(ManifestTable.liveEntries(root).size === 8) // one file per day
+    assert(spark.table("gpo.ns.p6").orderBy("id").collect().toSeq === before.toSeq)
+    (v0 to vEnd).foreach { v =>
+      assert(spark.sql(s"SELECT COUNT(*) FROM gpo.ns.p6 VERSION AS OF $v")
+        .collect()(0).getLong(0) === before.length.toLong, s"version $v lost rows")
+    }
+    spark.sql("DROP TABLE gpo.ns.p6")
   }
 }
