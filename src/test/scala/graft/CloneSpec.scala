@@ -310,6 +310,20 @@ class CloneSpec extends AnyFunSuite {
     assert(spark.table("gcl.ns.s7").orderBy("id").collect().toSeq === srcRows.toSeq)
     assert(spark.sql("CALL gcl.system.fsck(`table` => 'ns.s7c')")
       .collect()(0).getBoolean(8), "fsck must stay healthy on the eq clone")
+    // second engine: duckdb resolves the eq-backlog clone — ext/ rels
+    // through _clone_src AND the rank-compacted per-row sequence scoping
+    // (row_seq < eq_seq) must agree with the Spark read
+    locally {
+      import scala.sys.process._
+      val script = new java.io.File("scripts/duckdb_versioned.py").getAbsolutePath
+      val out = Seq("python3", script, dstRoot,
+        "SELECT COUNT(*) AS n, SUM(id) AS s FROM t").!!
+      val expect = spark.table("gcl.ns.s7c")
+        .agg(count(lit(1)), sum(col("id"))).collect()(0)
+      assert(out.contains(expect.getLong(0).toString) &&
+        out.contains(expect.getLong(1).toString),
+        s"duckdb disagrees on the eq clone: $out vs $expect")
+    }
     spark.sql("DROP TABLE gcl.ns.s7c"); spark.sql("DROP TABLE gcl.ns.s7")
   }
 

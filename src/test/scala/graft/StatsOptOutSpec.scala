@@ -57,6 +57,48 @@ class StatsOptOutSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gso.ns.nh")
   }
 
+  test("fused-agg sketches union consistently with hll_sketch_agg across writer generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same logical values through BOTH writers: the fused write-path
+    // aggregate (this round) and the per-column hll_sketch_agg shape
+    // (compute_stats, and every sidecar written by earlier generations).
+    // The union must count each distinct value ONCE — if the feeds
+    // hashed differently (string bytes vs toString, raw vs hashed
+    // doubles), the same value would double-count after a cross-
+    // generation merge and every NDV would silently inflate.
+    val df = (0 until 4000).map(i =>
+      (i.toLong % 700, s"s${i % 450}", (i % 300) * 1.25, i % 2 == 0))
+      .toDF("k", "s", "d", "b")
+    // legacy shape: hll_sketch_agg over the SAME feed transformation
+    val legacy = df.agg(
+        hll_sketch_agg(col("k")).as("k"),
+        hll_sketch_agg(col("s")).as("s"),
+        hll_sketch_agg(when(col("d").isNotNull, xxhash64(col("d")))).as("d"),
+        hll_sketch_agg(when(col("b").isNotNull, xxhash64(col("b")))).as("b"))
+      .collect()(0)
+    val legacyMap = Seq("k", "s", "d", "b").zipWithIndex
+      .map { case (c, i) => c -> legacy.getAs[Array[Byte]](i) }.toMap
+    // fused shape: write the same rows through a pool write and read the
+    // sidecar the observation harvested
+    df.writeTo("gso.ns.union").create()
+    val fused = sketchOf("union").filter(!_._1.endsWith(NdvStats.KllSuffix))
+    assert(fused.keySet === Set("k", "s", "d", "b"))
+    for (c <- Seq("k", "s", "d", "b")) {
+      val exact = df.select(col(c)).distinct().count()
+      val solo = NdvStats.estimate(fused(c))
+      val merged = NdvStats.estimate(
+        NdvStats.merge(Map(c -> legacyMap(c)), Map(c -> fused(c)))(c))
+      // HLL error at lgK=12 is ~1.6%; a feed mismatch would DOUBLE the
+      // merged estimate — assert within 5% of exact, far below 2x
+      assert(math.abs(solo - exact) <= exact * 0.05,
+        s"$c: fused NDV $solo vs exact $exact")
+      assert(math.abs(merged - exact) <= exact * 0.05,
+        s"$c: cross-generation union double-counts ($merged vs $exact)")
+    }
+    spark.sql("DROP TABLE gso.ns.union")
+  }
+
   test("invalid values refuse before any metadata persists") {
     import spark.implicits._
     val e = intercept[Exception] {
