@@ -307,6 +307,14 @@ object Maintenance {
     val (v0, raw) = ManifestTable.readRawPinned(spark, root)
     zorderCols.foreach(c => require(raw.columns.exists(_.equalsIgnoreCase(c)),
       s"no such column $c"))
+    // EVERY chunk re-reads the pinned base manifest (the day-scoped
+    // unchanged-check compares against v0's state), so the chunk
+    // commits must not expire it: under the table's own retention a
+    // third chunk would find v0's manifest GC'd and crash the run.
+    // Keep the whole chunk window alive; the next regular commit trims
+    // retention back to the table's policy.
+    val work0 = chunks.count(_.nonEmpty)
+    val chunkRetain = math.max(retain, work0 + 1)
     def rewriteChunk(chunk: Seq[String]): Long = {
       val days = chunk.toSet
       val slice = raw.where(col(ManifestTable.DayCol).cast("string")
@@ -325,7 +333,8 @@ object Maintenance {
       }
       ManifestTable.replaceDays(
         clustered.drop(ManifestTable.DayCol),
-        root, days, physDayCol, retain = retain, expectedVersion = Some(v0),
+        root, days, physDayCol, retain = chunkRetain,
+        expectedVersion = Some(v0),
         preclustered = zorderCols.nonEmpty, rewriteOrder = zkey)
     }
     val work = chunks.filter(_.nonEmpty).map(_.toSeq).toSeq

@@ -203,6 +203,31 @@ class PartialOptimizeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gpo.ns.pz")
   }
 
+  test("chunked optimize survives the table's OWN retention (pinned base must outlive the chunk window)") {
+    // deliberately NO retain property: under the default policy the
+    // pinned base manifest would be expired by the second chunk commit
+    // and every later chunk's unchanged-check would crash reading it —
+    // the chunk commits must keep the whole window alive themselves
+    spark.sql("DROP TABLE IF EXISTS gpo.ns.pr")
+    spark.sql("CREATE TABLE gpo.ns.pr (id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    import spark.implicits._
+    (0 until 400).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 5, 1 + i % 8, i % 24, 0), i * 1.0)
+    }.toDF("id", "ts", "v").createOrReplaceTempView("pr_src")
+    (0 until 3).foreach(b => spark.sql(
+      s"INSERT INTO gpo.ns.pr SELECT * FROM pr_src WHERE CAST(id/8 AS BIGINT) % 3 = $b"))
+    val before = spark.table("gpo.ns.pr").orderBy("id").collect()
+    val root = s"$wh/ns/pr"
+    val v0 = ManifestTable.currentVersion(root).get
+    val vEnd = spark.sql(
+      "CALL gpo.system.optimize(`table` => 'ns.pr', max_commits => 4)")
+      .collect()(0).getLong(0)
+    assert(vEnd === v0 + 4, s"expected 4 chunk commits, v0=$v0 vEnd=$vEnd")
+    assert(spark.table("gpo.ns.pr").orderBy("id").collect().toSeq === before.toSeq)
+    spark.sql("DROP TABLE gpo.ns.pr")
+  }
+
   test("max_commits refuses non-day layouts") {
     spark.sql("CREATE TABLE gpo.ns.p4f (id BIGINT, v DOUBLE)") // flat
     spark.sql("INSERT INTO gpo.ns.p4f VALUES (1, 1.0)")
