@@ -513,16 +513,22 @@ object FileStats {
       stats.get(col.toLowerCase).flatMap(c => for {
         mn <- c.min.flatMap(parseBound(c.tag, _))
         mx <- c.max.flatMap(parseBound(c.tag, _))
-      } yield (id, c.tag, mn, mx))
+        nulls <- c.nulls // unknown null count = unprovable, refuse
+      } yield (id, c.tag, mn, mx, nulls))
     }
     if (bounds.exists(_.isEmpty)) return None
     val bs = bounds.flatten
     if (bs.map(_._2).distinct.size != 1) return None
     val tag = bs.head._2
     val sorted = bs.sortWith((a, b) => cmp(tag, a._3, b._3) < 0)
-    val ok = sorted.zip(sorted.drop(1)).forall { case (a, b) =>
-      cmp(tag, a._4, b._3) < 0 // prev.max STRICTLY below next.min
-    }
+    // NULLS sort FIRST (the pool write's order): min/max bounds ignore
+    // nulls, so a later-ranked file holding nulls would land them MID-
+    // run — only the first-ranked file may carry any (its own nulls
+    // lead its rows, which lead the run)
+    val ok = sorted.drop(1).forall(_._5 == 0L) &&
+      sorted.zip(sorted.drop(1)).forall { case (a, b) =>
+        cmp(tag, a._4, b._3) < 0 // prev.max STRICTLY below next.min
+      }
     if (ok) Some(sorted.map(_._1)) else None
   }
 

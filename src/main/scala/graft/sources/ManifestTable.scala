@@ -1414,7 +1414,13 @@ object ManifestTable {
         scala.util.Try {
           val carriedBase = planned.carried.nonEmpty ||
             planned.entries.exists(_.seq.isDefined)
-          planned.ndv.filter(_ => NdvStats.enabled) match {
+          // publish whatever the write HARVESTED: attach() already made
+          // the per-table decision (table property first, session conf
+          // as default), so re-filtering on the session conf here would
+          // silently discard a stats.ndv=true table's sketch under a
+          // stats-off fleet default — the write would pay the full
+          // sketch cost and publish nothing
+          planned.ndv match {
             case Some(m) =>
               // a STALE parent resolution (a row-adding ancestor carried
               // no sketch) keeps missing that gap's values after the

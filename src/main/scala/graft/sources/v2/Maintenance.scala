@@ -79,16 +79,8 @@ object Maintenance {
         s"$ident mixes partition layouts (spec evolution); run a full " +
           "OPTIMIZE (max_commits => 1) to re-home, then chunk")
       if (zorderBy.nonEmpty) requireNoSortOrder(root, ident)
-      val dayInRange: String => Boolean = whereDays match {
-        case None => _ => true
-        case Some((fromS, untilS)) =>
-          val from = java.time.LocalDate.parse(fromS)
-          val until = java.time.LocalDate.parse(untilS)
-          d => scala.util.Try {
-            val day = java.time.LocalDate.parse(d)
-            !day.isBefore(from) && !day.isAfter(until)
-          }.getOrElse(false)
-      }
+      val dayInRange: String => Boolean =
+        whereDays.fold((_: String) => true)(r => dayRangePredicate(r._1, r._2))
       return optimizePartial(spark, root, pd, targetFileBytes, maxCommits,
         retainOf(spark, root), zorderCols = zorderBy.map(meta.physicalName),
         dayInRange = dayInRange,
@@ -106,13 +98,8 @@ object Maintenance {
       require(ManifestTable.isFullyDayKeyed(root),
         s"$ident mixes partition layouts (spec evolution); run a full OPTIMIZE")
       if (zorderBy.nonEmpty) requireNoSortOrder(root, ident)
-      val from = java.time.LocalDate.parse(fromS)
-      val until = java.time.LocalDate.parse(untilS)
-      val days = ManifestTable.liveDays(root).filter(d =>
-        scala.util.Try {
-          val day = java.time.LocalDate.parse(d)
-          !day.isBefore(from) && !day.isAfter(until)
-        }.getOrElse(false))
+      val days = ManifestTable.liveDays(root)
+        .filter(dayRangePredicate(fromS, untilS))
       if (days.isEmpty)
         return ManifestTable.currentVersion(root).getOrElse(0L)
       val (v0, raw) = ManifestTable.readRawPinned(spark, root)
@@ -201,6 +188,19 @@ object Maintenance {
         retainOf(spark, root), ManifestTable.liveProps(root), op = "rewrite",
         preclustered = true, rewriteOrder = Some(zkey))
     }
+  }
+
+  /** Inclusive day-range membership for a `where_days` bound — ONE
+    * implementation for the scoped and the chunked path (boundary
+    * semantics must never diverge between them). Unparseable day keys
+    * never match. */
+  private def dayRangePredicate(fromS: String, untilS: String): String => Boolean = {
+    val from = java.time.LocalDate.parse(fromS)
+    val until = java.time.LocalDate.parse(untilS)
+    d => scala.util.Try {
+      val day = java.time.LocalDate.parse(d)
+      !day.isBefore(from) && !day.isAfter(until)
+    }.getOrElse(false)
   }
 
   /** Z-ORDER and a declared sort.order are both write layouts and cannot
@@ -308,13 +308,19 @@ object Maintenance {
     zorderCols.foreach(c => require(raw.columns.exists(_.equalsIgnoreCase(c)),
       s"no such column $c"))
     // EVERY chunk re-reads the pinned base manifest (the day-scoped
-    // unchanged-check compares against v0's state), so the chunk
-    // commits must not expire it: under the table's own retention a
-    // third chunk would find v0's manifest GC'd and crash the run.
-    // Keep the whole chunk window alive; the next regular commit trims
-    // retention back to the table's policy.
+    // unchanged-check compares against v0's state), so nothing may
+    // expire it mid-run: the chunk commits' own retention is widened to
+    // the chunk window, and a temporary TAG pins v0 against CONCURRENT
+    // writers' gc too (their commits honor ref pins — the documented
+    // 'append to an untouched day sails through' contract would
+    // otherwise crash every remaining chunk once the appender's
+    // retention swept the base). The tag drops when the run ends; a
+    // crash leaves it visible in tbl.refs for manual removal, never a
+    // correctness hazard.
     val work0 = chunks.count(_.nonEmpty)
     val chunkRetain = math.max(retain, work0 + 1)
+    val pinTag = s"__optimize_pin_${java.util.UUID.randomUUID().toString.take(12)}"
+    ManifestTable.createTag(root, pinTag, Some(v0))
     def rewriteChunk(chunk: Seq[String]): Long = {
       val days = chunk.toSet
       val slice = raw.where(col(ManifestTable.DayCol).cast("string")
@@ -338,18 +344,25 @@ object Maintenance {
         preclustered = zorderCols.nonEmpty, rewriteOrder = zkey)
     }
     val work = chunks.filter(_.nonEmpty).map(_.toSeq).toSeq
-    if (maxConcurrent <= 1 || work.size <= 1) work.foreach(rewriteChunk)
-    else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(maxConcurrent, work.size))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val done = work.map(c => Future(rewriteChunk(c)))
-        .map(f => scala.util.Try(Await.result(f, Duration(30, "min"))))
-      pool.shutdown()
-      done.collectFirst { case scala.util.Failure(e) => throw e }
-    }
+    try {
+      if (maxConcurrent <= 1 || work.size <= 1) work.foreach(rewriteChunk)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrent, work.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        // Duration.Inf: the rewrite IS the hours-long job this feature
+        // exists for — a wall-clock cap here would fail the CALL while
+        // the timed-out chunk kept running and committed later anyway;
+        // the commit loop's conflict checks already bound each chunk's
+        // fate
+        val done = work.map(c => Future(rewriteChunk(c)))
+          .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        pool.shutdown()
+        done.collectFirst { case scala.util.Failure(e) => throw e }
+      }
+    } finally ManifestTable.dropRef(root, pinTag)
     ManifestTable.currentVersion(root).getOrElse(v0)
   }
 

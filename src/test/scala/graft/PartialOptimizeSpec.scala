@@ -228,6 +228,45 @@ class PartialOptimizeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gpo.ns.pr")
   }
 
+  test("the run's pin tag protects the base from a CONCURRENT writer's retention") {
+    // the chunk commits widen their own retention, but a concurrent
+    // append commits under the TABLE's policy — without the pin its gc
+    // would expire the pinned base between chunks and every remaining
+    // chunk's unchanged-check would crash reading it. The optimize run
+    // tags its base; this pins the mechanics deterministically: tag v0,
+    // let an append's gc run under default retention, and both the base
+    // manifest and a day-replace against the stale pin must survive.
+    spark.sql("DROP TABLE IF EXISTS gpo.ns.ppin")
+    spark.sql("CREATE TABLE gpo.ns.ppin (id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    import spark.implicits._
+    (0 until 200).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 6, 1 + i % 4, i % 24, 0), i * 1.0)
+    }.toDF("id", "ts", "v").createOrReplaceTempView("ppin_src")
+    spark.sql("INSERT INTO gpo.ns.ppin SELECT * FROM ppin_src")
+    val root = s"$wh/ns/ppin"
+    val (v0, raw) = ManifestTable.readRawPinned(spark, root)
+    ManifestTable.createTag(root, "__optimize_pin_spec", Some(v0))
+    // two appends under the table's DEFAULT retention (2): without the
+    // pin, v0 would expire here
+    (0 until 2).foreach { i =>
+      Seq((900L + i, java.time.LocalDateTime.of(2024, 6, 9, 0, 0), 9.0))
+        .toDF("id", "ts", "v").createOrReplaceTempView("ppin_extra")
+      spark.sql("INSERT INTO gpo.ns.ppin SELECT * FROM ppin_extra")
+    }
+    assert(ManifestTable.manifest(root, v0).nonEmpty,
+      "the tagged base manifest must survive concurrent writers' gc")
+    // a chunk against the stale pin still lands: its day (2024-06-01)
+    // was untouched by the appends
+    val slice = raw.where(col(ManifestTable.DayCol).cast("string") === "2024-06-01")
+      .drop(ManifestTable.DayCol)
+    ManifestTable.replaceDays(slice, root, Set("2024-06-01"), "ts",
+      retain = 2, expectedVersion = Some(v0))
+    assert(spark.table("gpo.ns.ppin").count() === 202L)
+    ManifestTable.dropRef(root, "__optimize_pin_spec")
+    spark.sql("DROP TABLE gpo.ns.ppin")
+  }
+
   test("max_commits refuses non-day layouts") {
     spark.sql("CREATE TABLE gpo.ns.p4f (id BIGINT, v DOUBLE)") // flat
     spark.sql("INSERT INTO gpo.ns.p4f VALUES (1, 1.0)")

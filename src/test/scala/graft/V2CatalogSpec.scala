@@ -1062,6 +1062,26 @@ class V2CatalogSpec extends AnyFunSuite {
       assert(GraftScans.executedNodes(overlapped.queryExecution.executedPlan)
         .exists(_.isInstanceOf[SortExec]),
         "overlapping two-file groups must NOT claim an ordering")
+
+      // NULLS in a later-ranked file: min/max bounds ignore nulls, so
+      // the ranges still look disjoint — but NULLS FIRST means the
+      // second file's nulls would land mid-run. The claim must go
+      // silent (only the first-ranked file may carry nulls).
+      spark.sql("DROP TABLE IF EXISTS gtest.ns.smj2nl")
+      spark.sql("CREATE TABLE gtest.ns.smj2nl (region BIGINT, ts BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (region) TBLPROPERTIES ('sort.order'='ts')")
+      spark.sql("INSERT INTO gtest.ns.smj2nl " +
+        "SELECT id % 8, (id * 37) % 5000, id * 0.5 FROM range(10000)")
+      spark.sql("INSERT INTO gtest.ns.smj2nl " +
+        "SELECT id % 8, CASE WHEN id % 100 = 0 THEN NULL " +
+        "ELSE 5000 + (id * 37) % 5000 END, id * 0.5 FROM range(10000)")
+      val nulled = spark.table("gtest.ns.smj2nl")
+        .sortWithinPartitions("region", "ts")
+      nulled.collect()
+      assert(GraftScans.executedNodes(nulled.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[SortExec]),
+        "a later-ranked file holding NULLs must NOT claim an ordering")
+      spark.sql("DROP TABLE gtest.ns.smj2nl")
     } finally {
       saved.foreach { case (x, Some(value)) => spark.conf.set(x, value)
                       case (x, None) => spark.conf.unset(x) }
