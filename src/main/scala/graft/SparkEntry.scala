@@ -143,6 +143,9 @@ object SparkEntry {
     "months_prune_scan" -> ((s, d) => graft.sources.v2.V2Queries.monthsPruneScan(s, d)),
     "identity_partition_scan" -> ((s, d) => graft.sources.v2.V2Queries.identityPartitionScan(s, d)),
     "mor_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.morDeleteScan(s, d)),
+    // merge-on-read MERGE (write.merge.mode table property): tombstone +
+    // append in one commit, zero pre-merge data files rewritten
+    "mor_merge_scan" -> ((s, d) => graft.sources.v2.V2Queries.morMergeScan(s, d)),
     // equality deletes (CDC-shape key retraction): delete by key with no
     // data read, sequence-scoped so later re-inserts survive
     "eq_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.eqDeleteScan(s, d)),
@@ -312,6 +315,7 @@ object SparkEntry {
     "months_prune_scan" -> graft.sources.v2.V2Queries.oracle.monthsPruneScan,
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
+    "mor_merge_scan" -> graft.sources.v2.V2Queries.oracle.morMergeScan,
     "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
     "rewrite_deletes_scan" -> graft.sources.v2.V2Queries.oracle.rewriteDeletesScan,
     "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,

@@ -66,6 +66,7 @@ object MergeInto {
   private val PK   = "__graft_pk"    // guard-window partition key
   private val NM   = "__graft_nm"    // per-target-row match count
   private val KEEP = "__graft_keep"
+  private val ACT  = "__graft_act"   // MOR merge row action: u/d/i
 
   /** How a registered DML target stores its snapshots. */
   private[plans] sealed trait Backing
@@ -258,6 +259,18 @@ object MergeInto {
         "MERGE WITH SCHEMA EVOLUTION needs a catalog (cat.ns.tbl) target " +
           "with a schema descriptor; ALTER TABLE first for other targets")
     }
+    // merge-on-read MERGE (Iceberg's write.merge.mode=merge-on-read):
+    // parquet catalog tables; the TABLE property wins, session conf is
+    // only a default (VersionedCatalog.dmlModeFor)
+    val mor = tgt.backing match {
+      case Some(CatalogBacking(root, _))
+          if graft.sources.v2.VersionedCatalog
+            .dmlModeFor(root, "merge", spark) == "merge-on-read" &&
+            ManifestTable.formatOf(root).contains("parquet") =>
+        morMerge(spark, tgt, root, source, m)
+      case _ => false
+    }
+    if (mor) return
     def scopedEnabled: Boolean = m.notMatchedBySourceActions.isEmpty &&
       spark.conf.get("spark.graft.merge.partitionScoped", "true").toBoolean
     val scoped = tgt.backing match {
@@ -551,6 +564,141 @@ object MergeInto {
     if (tombstones.isEmpty) return true // predicate matched nothing: no-op
     ManifestTable.appendDeletes(tombstones, root,
       retain = retainOf(spark, root))
+    true
+  }
+
+  /** Merge-on-read MERGE (Iceberg's `write.merge.mode=merge-on-read`):
+    * ONE atomic commit of positional tombstones for every matched row a
+    * clause REWRITES or DELETES, plus the rewritten and inserted rows as
+    * new files ([[ManifestTable.appendWithDeletes]]) — commit cost
+    * follows the TOUCHED rows, so a 10-row upsert against a 100 TB
+    * table never rewrites a data file (the copy-on-write path rewrites
+    * every touched DAY). Matched rows no clause fires on are simply not
+    * tombstoned — they stay in their files untouched.
+    *
+    * Clause semantics mirror [[mergeResult]] exactly (declaration-order
+    * WHEN chain, star actions, NOT MATCHED BY SOURCE, the multi-match
+    * guard). Change-feed contract: the commit has the tombstones+adds
+    * shape, so ALL its events surface as update_preimage/postimage pairs
+    * — the per-row insert-vs-update label is coarser than Delta's CDC
+    * sidecar files would give, but birth/death semantics (what signed
+    * folds and SCD2 consume) stay exact. */
+  private def morMerge(spark: SparkSession, tgt: Target, root: String,
+                       source0: DataFrame, m: MergeIntoTable): Boolean = {
+    val meta = graft.sources.v2.VersionedCatalog.readMeta(root) match {
+      case Some(x) => x
+      case None => return false
+    }
+    val logical = morRead(spark, root, meta, tgt.alias) match {
+      case Some(df) => df
+      case None => return false // empty table: CoW path inserts exactly
+    }
+    val targetCols = tgt.df.columns.toSeq
+    val schema = tgt.df.schema
+    val t = logical.withColumn(TP, lit(true))
+    val s = source0.withColumn(SP, lit(true))
+    val joined = t.join(s, GraftColumnBridge.column(m.mergeCondition), "full_outer")
+    val matched = col(TP).isNotNull && col(SP).isNotNull
+    val tOnly   = col(TP).isNotNull && col(SP).isNull
+    val sOnly   = col(TP).isNull
+
+    def condOf(c: Option[Expression]): Column =
+      c.map(GraftColumnBridge.column).getOrElse(lit(true))
+    def assignName(e: Expression): String = assignNameIn(targetCols, e)
+    def starMap: Map[String, Column] = targetCols.map { c =>
+      val sc = source0.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"star action: source lacks column $c"))
+      c -> s(sc)
+    }.toMap
+    val keepMap: Map[String, Column] = targetCols.map(c => c -> (t(c): Column)).toMap
+    def updateMap(assigns: Seq[Assignment]): Map[String, Column] =
+      keepMap ++ assigns.map(a => assignName(a.key) -> GraftColumnBridge.column(a.value))
+    def insertMap(assigns: Seq[Assignment]): Map[String, Column] = {
+      val set = assigns.map(a =>
+        assignName(a.key) -> GraftColumnBridge.column(a.value)).toMap
+      targetCols.map(c => c -> set.getOrElse(c, lit(null))).toMap
+    }
+
+    // tomb: the target row's old position dies; out: a new row is born.
+    // A matched row with neither (no clause fired) never leaves its file.
+    case class MorBranch(pred: Column, tomb: Boolean, out: Option[Map[String, Column]])
+    def unsupported(ctx: String, a: MergeAction): Nothing =
+      throw new IllegalArgumentException(
+        s"unsupported $ctx action: ${a.getClass.getSimpleName}")
+    val branches: Seq[MorBranch] =
+      m.matchedActions.map {
+        case UpdateAction(c, as, _) => MorBranch(matched && condOf(c), tomb = true, Some(updateMap(as)))
+        case UpdateStarAction(c)    => MorBranch(matched && condOf(c), tomb = true, Some(starMap))
+        case DeleteAction(c)        => MorBranch(matched && condOf(c), tomb = true, None)
+        case a                      => unsupported("WHEN MATCHED", a)
+      } ++ Seq(MorBranch(matched, tomb = false, None)) ++      // no clause: untouched
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(c, as, _) => MorBranch(tOnly && condOf(c), tomb = true, Some(updateMap(as)))
+        case DeleteAction(c)        => MorBranch(tOnly && condOf(c), tomb = true, None)
+        case a                      => unsupported("WHEN NOT MATCHED BY SOURCE", a)
+      } ++ Seq(MorBranch(tOnly, tomb = false, None)) ++        // untouched
+      m.notMatchedActions.map {
+        case InsertAction(c, as)    => MorBranch(sOnly && condOf(c), tomb = false, Some(insertMap(as)))
+        case InsertStarAction(c)    => MorBranch(sOnly && condOf(c), tomb = false, Some(starMap))
+        case a                      => unsupported("WHEN NOT MATCHED", a)
+      } ++ Seq(MorBranch(sOnly, tomb = false, None))           // not inserted
+
+    def whenChain(value: MorBranch => Column): Column =
+      branches.tail.foldLeft(when(branches.head.pred, value(branches.head))) {
+        (acc, b) => acc.when(b.pred, value(b))
+      }
+    val act = whenChain(b => (b.tomb, b.out.isDefined) match {
+      case (true, true)   => lit("u")
+      case (true, false)  => lit("d")
+      case (false, true)  => lit("i")
+      case (false, false) => lit(null)
+    })
+
+    // same multi-match discipline as the CoW path: a target row matched
+    // by >1 source rows is a loud error, keyed on the MOR row identity
+    val doCheck =
+      spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
+    val guarded =
+      if (!doCheck) joined.withColumn(ACT, act)
+      else {
+        val withPk = joined.withColumn(PK,
+          when(col(TP).isNotNull,
+            concat_ws(":", col("__mor_rel"), col("__mor_pos")))
+            .otherwise(concat(lit("s"),
+              (-monotonically_increasing_id() - 1).cast("string"))))
+        val withNm = withPk
+          .withColumn(NM, count(col(SP)).over(Window.partitionBy(col(PK))))
+        val violate = col(TP).isNotNull && col(NM) > 1
+        withNm.withColumn(ACT, when(violate, raise_error(concat(
+          lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
+          lit(" source rows"))).cast("string")).otherwise(act))
+      }
+    // one materialized classification feeds BOTH halves of the commit
+    val out = guarded.where(col(ACT).isNotNull)
+      .select((col(ACT) +: col("__mor_rel") +: col("__mor_pos") +:
+        targetCols.map(c =>
+          whenChain(b => b.out.map(_(c)).getOrElse(lit(null)))
+            .cast(schema(c).dataType).as(c))): _*)
+      .localCheckpoint(true)
+    if (out.isEmpty) return true // nothing matched a clause: no-op
+    val tombstones = out.where(col(ACT).isin("u", "d"))
+      .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
+    val fresh = out.where(col(ACT).isin("u", "i"))
+      .select(targetCols.map(col): _*)
+    // insert-only outcome: nothing to tombstone — the CoW path's append
+    // is exactly right (and cheaper: no DV machinery in the commit)
+    if (tombstones.isEmpty) return false
+    if (fresh.isEmpty) // delete-only merge: a pure tombstone commit
+      ManifestTable.appendDeletes(tombstones, root, retain = retainOf(spark, root))
+    else {
+      val checked = graft.sources.v2.VersionedCatalog.withChecks(fresh, root, tgt.name)
+      ManifestTable.appendWithDeletes(toPhysical(root, checked), tombstones, root,
+        retain = retainOf(spark, root),
+        partitionDayOf = meta.dayOf.map(meta.physicalName),
+        format = Some(meta.format),
+        partitionExpr = graft.sources.v2.VersionedCatalog.partDeriveExpr(meta),
+        partitionCols = meta.identityCols.map(meta.physicalName))
+    }
     true
   }
 

@@ -441,6 +441,46 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Merge-on-read MERGE through the catalog (Iceberg's
+    * write.merge.mode=merge-on-read, declared as a TABLE property): the
+    * even events are CTAS'd as the target, the div-3 events MERGE in —
+    * conditional UPDATE, conditional DELETE, INSERT * — and the `mor_ok`
+    * verdict asserts the commit REWROTE ZERO pre-merge data files (the
+    * old entry set survives intact; rewritten+inserted rows land as NEW
+    * files beside positional tombstones). The aggregate reads through
+    * the tombstone-applying scan; the oracle recomputes the post-merge
+    * state flat from the raw events. */
+  def morMergeScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("mmg")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.where(col("event_id") % 2 === 0).repartition(4).writeTo(tbl)
+        .tableProperty("write.merge.mode", "merge-on-read").create()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      val before = graft.sources.ManifestTable.liveEntries(root).map(_.rel)
+        .filterNot(graft.sources.ManifestTable.isDeleteEntry).toSet
+
+      ev.where(col("event_id") % 3 === 0).createOrReplaceTempView(s"${short}_src")
+      graft.plans.MergeInto.sql(spark,
+        s"""MERGE INTO $tbl t USING ${short}_src s ON t.event_id = s.event_id
+           |WHEN MATCHED AND s.user_id % 2 = 0 THEN UPDATE SET value = s.value * 2
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+
+      val after = graft.sources.ManifestTable.liveEntries(root).map(_.rel)
+        .filterNot(graft.sources.ManifestTable.isDeleteEntry).toSet
+      val morOk = before.subsetOf(after) && after.size > before.size &&
+        graft.sources.ManifestTable.hasDeletes(root)
+      spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("mor_ok", lit(morOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Deletes-only maintenance as an oracle-gated query — Iceberg's
     * `rewrite_position_delete_files` procedure shape: two scattered-row
     * MOR DELETEs leave two positional delete files; `CALL
@@ -1632,6 +1672,9 @@ object V2Queries {
         .tableProperty("write.update.mode", "merge-on-read")
         .tableProperty("write.delete.mode", "merge-on-read")
         .create()                                                           // v1
+      // the dimension is UNPARTITIONED, so a CoW MERGE rewrites the whole
+      // table every micro-batch — merge-on-read turns each batch into
+      // tombstones + appended rows, cost following the touched keys
       spark.sql(s"CREATE TABLE $tgt (c_custkey BIGINT, c_mktsegment STRING, " +
         "c_acctbal DOUBLE, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN)")
       def drain(): Unit = graft.gold.Scd2.maintain(spark, src, tgt,
@@ -1729,6 +1772,21 @@ object V2Queries {
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS mor_ok
          |FROM events
          |WHERE user_id % 10 <> 3
+         |GROUP BY 1""".stripMargin
+
+    /** The MOR MERGE's post-state recomputed flat: even events survive
+      * unless a matched delete took them (div-3 with odd user), matched
+      * updates (div-3, even user) double their value, odd div-3 events
+      * insert; the zero-rewrite verdict pinned TRUE. */
+    val morMergeScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0 " +
+           "AND user_id % 2 = 0 THEN value * 2 ELSE value END")} AS volume,
+         |  TRUE AS mor_ok
+         |FROM events
+         |WHERE (event_id % 2 = 0
+         |        AND NOT (event_id % 3 = 0 AND user_id % 2 = 1))
+         |   OR (event_id % 2 = 1 AND event_id % 3 = 0)
          |GROUP BY 1""".stripMargin
 
     /** A deletes-only rewrite must be invisible in the data: recompute

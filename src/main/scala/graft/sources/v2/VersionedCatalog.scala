@@ -644,10 +644,7 @@ object VersionedCatalog {
 
   /** Validate `write.{delete,update,merge}.mode` BEFORE the descriptor
     * persists. merge-on-read needs parquet row identity (the positional
-    * tombstones address rows by parquet row index); MERGE itself has no
-    * merge-on-read path — its day-scoped copy-on-write rewrite IS the
-    * bounded fast path — so a merge-on-read declaration there is refused
-    * loudly rather than silently ignored. */
+    * tombstones address rows by parquet row index). */
   private[v2] def validateDmlModeProps(meta: Meta): Unit =
     Seq("delete", "update", "merge").foreach { kind =>
       meta.userProps.collectFirst {
@@ -656,15 +653,10 @@ object VersionedCatalog {
       }.foreach { v =>
         require(v == "copy-on-write" || v == "merge-on-read",
           s"write.$kind.mode must be copy-on-write or merge-on-read, got '$v'")
-        if (v == "merge-on-read") {
-          require(kind != "merge",
-            "write.merge.mode=merge-on-read is not implemented: MERGE " +
-              "runs day-scoped copy-on-write; declare merge-on-read via " +
-              "write.delete.mode / write.update.mode instead")
+        if (v == "merge-on-read")
           require(meta.format == "parquet",
             s"write.$kind.mode=merge-on-read needs parquet row identity " +
               s"(table format is ${meta.format})")
-        }
       }
     }
 

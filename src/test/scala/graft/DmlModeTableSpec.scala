@@ -105,9 +105,10 @@ class DmlModeTableSpec extends AnyFunSuite {
     assert(bad1.getMessage.contains("copy-on-write or merge-on-read"))
     val bad2 = intercept[Exception] {
       df.writeTo("gdm.ns.badmerge")
-        .tableProperty("write.merge.mode", "merge-on-read").create()
+        .tableProperty("write.merge.mode", "merge-on-read")
+        .tableProperty("format", "orc").create()
     }
-    assert(bad2.getMessage.contains("not implemented"))
+    assert(bad2.getMessage.contains("parquet row identity"))
     val bad3 = intercept[Exception] {
       df.writeTo("gdm.ns.badavro")
         .tableProperty("format", "avro")
@@ -117,6 +118,60 @@ class DmlModeTableSpec extends AnyFunSuite {
     for (t <- Seq("badmode", "badmerge", "badavro"))
       assert(VersionedCatalog.readMeta(root(t)).isEmpty,
         s"$t: refused create must not leave a descriptor behind")
+  }
+
+  test("write.merge.mode=merge-on-read: MERGE tombstones+appends, never rewrites a data file") {
+    import spark.implicits._
+    val t = "gdm.ns.mormrg"
+    val twin = "gdm.ns.cowmrg"
+    spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS $twin")
+    val base = (0L until 12000L).map(k => (k, k * 1.0, s"g${k % 7}"))
+      .toDF("k", "v", "grp")
+    base.repartition(4).writeTo(t)
+      .tableProperty("write.merge.mode", "merge-on-read").create()
+    base.repartition(4).writeTo(twin).create()
+    val r = root("mormrg")
+    val dataBefore = ManifestTable.liveEntries(r).map(_.rel)
+      .filterNot(ManifestTable.isDeleteEntry).toSet
+    // source: updates for k%10==3 (half conditionally doubled), deletes
+    // for k%10==7, inserts beyond the key space
+    (0L until 13000L).filter(k => k % 10 == 3 || k % 10 == 7 || k >= 12000L)
+      .map(k => (k, k * 2.0)).toDF("k", "nv")
+      .createOrReplaceTempView("mrg_src")
+    val stmt = (tbl: String) =>
+      s"""MERGE INTO $tbl t USING mrg_src s ON t.k = s.k
+         |WHEN MATCHED AND s.k % 10 = 3 THEN UPDATE SET v = s.nv
+         |WHEN MATCHED AND s.k % 10 = 7 THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (k, v, grp) VALUES (s.k, s.nv, 'new')
+         |""".stripMargin
+    graft.plans.MergeInto.sql(spark, stmt(t))
+    graft.plans.MergeInto.sql(spark, stmt(twin))
+    val dataAfter = ManifestTable.liveEntries(r).map(_.rel)
+      .filterNot(ManifestTable.isDeleteEntry).toSet
+    assert(dataBefore.subsetOf(dataAfter),
+      "MOR merge must never rewrite or drop a pre-merge data file")
+    assert(dataAfter.size > dataBefore.size, "rewritten+inserted rows land as new files")
+    assert(ManifestTable.hasDeletes(r), "matched updates/deletes tombstone positionally")
+    // results are EXACTLY the CoW merge's
+    assert(spark.table(t).orderBy("k", "v").collect().toSeq ===
+      spark.table(twin).orderBy("k", "v").collect().toSeq)
+    // the change feed serves the commit as image pairs; birth/death
+    // folding stays exact: births - deaths == net row delta
+    val ch = spark.table(s"$t.changes")
+      .where(org.apache.spark.sql.functions.col("_commit_version") === 2L)
+    val births = ch.where("_change_type IN ('insert','update_postimage')").count()
+    val deaths = ch.where("_change_type IN ('delete','update_preimage')").count()
+    assert(births - deaths ===
+      spark.table(t).count() - 12000L, s"births=$births deaths=$deaths")
+    // multi-match still errors loudly
+    Seq((3L, 1.0), (3L, 2.0)).toDF("k", "nv").createOrReplaceTempView("mrg_dup")
+    val e = intercept[Exception] { graft.plans.MergeInto.sql(spark,
+      s"MERGE INTO $t x USING mrg_dup s ON x.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv") }
+    def msgs(x: Throwable): Seq[String] = Option(x).toSeq
+      .flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("matched")), msgs(e).mkString(" | "))
+    spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $twin")
   }
 
   test("concurrent MOR and CoW DML on different tables never interfere (the race the property model kills)") {
