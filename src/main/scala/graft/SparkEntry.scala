@@ -204,6 +204,9 @@ object SparkEntry {
     // SQL CALL optimize (z-ordered compaction): layout changes, data
     // doesn't — files_packed verdict + full recompute oracle
     "call_optimize_scan" -> ((s, d) => graft.sources.v2.V2Queries.callOptimizeScan(s, d)),
+    // identity-layout chunked OPTIMIZE (the gold ano/mes shape): per-key
+    // resumable commits, concurrent workers
+    "call_optimize_identity_scan" -> ((s, d) => graft.sources.v2.V2Queries.callOptimizeIdentityScan(s, d)),
     // sketch path: HLL distinct + approximate quantiles; output is the
     // error-bound verdicts (oracle emits literal TRUE), so the approximate
     // path is hash-compared without cross-engine sketch bit-parity
@@ -348,6 +351,7 @@ object SparkEntry {
     "renamed_column_scan" -> graft.sources.v2.V2Queries.oracle.renamedColumnScan,
     "merge_schema_evolution" -> graft.sources.v2.V2Queries.oracle.mergeSchemaEvolution,
     "call_optimize_scan" -> graft.sources.v2.V2Queries.oracle.callOptimizeScan,
+    "call_optimize_identity_scan" -> graft.sources.v2.V2Queries.oracle.callOptimizeIdentityScan,
     "approx_metrics"      -> Skew.oracle.approxMetrics,
     "ann_topk"            -> Similarity.oracle.bruteForceTopK,
     "ann_ivf_topk"        -> Similarity.oracle.ivfTopK,

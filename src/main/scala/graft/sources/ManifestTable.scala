@@ -863,6 +863,16 @@ object ManifestTable {
     (v, readApplied(spark, root, entries(root, v)))
   }
 
+  /** Pinned, KEY-scoped read: the named partition keys' data files of
+    * version `v` with that snapshot's delete artifacts applied — the
+    * chunk input of the identity-layout partial-progress OPTIMIZE.
+    * Files select by manifest key alone; no other key's file is ever
+    * opened. */
+  private[graft] def readKeysPinned(spark: SparkSession, root: String, v: Long,
+                                    keys: Set[String]): DataFrame =
+    readApplied(spark, root, entries(root, v).filter(e =>
+      isDeleteEntry(e.rel) || keys(keyOf(e.rel))))
+
   /** Time travel: a retained manifest's snapshot (deletes of THAT
     * snapshot applied — a pre-delete version still shows the rows). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
@@ -2056,26 +2066,75 @@ object ManifestTable {
                   partitionDayOf: String, retain: Int = 2,
                   expectedVersion: Option[Long] = None,
                   preclustered: Boolean = false,
+                  rewriteOrder: Option[org.apache.spark.sql.Column] = None): Long =
+    replaceScoped(df, root, removedDayKey(removeDays),
+      scopeDesc = s"days ${removeDays.mkString(",")}",
+      partitionDayOf = Some(partitionDayOf), partitionCols = Nil,
+      retain = retain, expectedVersion = expectedVersion,
+      preclustered = preclustered, rewriteOrder = rewriteOrder,
+      layoutCheck = base => requireDayLayout(root, base, "replaceDays"))
+
+  /** IDENTITY-layout twin of [[replaceDays]] — the key-scoped rewrite
+    * behind partial-progress OPTIMIZE on the gold `ano, mes` shape:
+    * remove the named partition KEYS' files (exact directory-prefix
+    * match, e.g. `ano=2024/mes=5`) and land `df`'s files in their
+    * place, every other key carried by reference. Same pin/unchanged/
+    * row-level-delete conflict contract as the day variant — the shared
+    * core IS the day variant's body, only the key predicate and the
+    * write layout differ. */
+  def replaceKeys(df: DataFrame, root: String, removeKeys: Set[String],
+                  partitionCols: Seq[String], retain: Int = 2,
+                  expectedVersion: Option[Long] = None,
+                  preclustered: Boolean = false,
                   rewriteOrder: Option[org.apache.spark.sql.Column] = None): Long = {
-    val removed = removedDayKey(removeDays) _
+    require(removeKeys.nonEmpty && removeKeys.forall(k => k.nonEmpty && k.contains("=")),
+      s"replaceKeys takes identity partition-directory keys, got $removeKeys")
+    replaceScoped(df, root, removeKeys.contains,
+      scopeDesc = s"keys ${removeKeys.mkString(",")}",
+      partitionDayOf = None, partitionCols = partitionCols,
+      retain = retain, expectedVersion = expectedVersion,
+      preclustered = preclustered, rewriteOrder = rewriteOrder,
+      layoutCheck = base => {
+        val dataKeys = base.refs.filterNot(_.key == DeleteDir).map(_.key) ++
+          base.inline.filterNot(e => isDeleteEntry(e.rel)).map(e => keyOf(e.rel))
+        // "__part=" is the hidden-transform dir prefix (the v2 layer's
+        // PartTransform.DirCol; literal here to keep sources → v2
+        // layering one-way). Engine-generated prefixes start "__",
+        // identity dirs never do (reserved prefix, checked at CREATE).
+        if (dataKeys.exists(k => k.isEmpty || k.startsWith(s"$DayCol=") ||
+            k.startsWith("__part=")))
+          throw new IllegalStateException(
+            s"$root holds non-identity files; replaceKeys needs a pure identity layout")
+      })
+  }
+
+  private def replaceScoped(df: DataFrame, root: String,
+                            removed: String => Boolean, scopeDesc: String,
+                            partitionDayOf: Option[String],
+                            partitionCols: Seq[String],
+                            retain: Int, expectedVersion: Option[Long],
+                            preclustered: Boolean,
+                            rewriteOrder: Option[org.apache.spark.sql.Column],
+                            layoutCheck: Base => Unit): Long = {
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val d0 = readDoc(root, baseV)
     val (refs0, inline0, mat0) = touchedDayState(root, d0.refs, d0.inline, removed)
     val dels0 = deleteEntriesOf(root, d0.refs, d0.inline).map(_.rel).toSet
     val fmt = formatOf(root).getOrElse("parquet")
-    val fresh = writePool(df, root, Some(partitionDayOf), fmt,
+    val fresh = writePool(df, root, partitionDayOf, fmt,
+      partitionCols = partitionCols,
       preclustered = preclustered, rewriteOrder = rewriteOrder)
-    val zone = writeZoneOf(df, Some(partitionDayOf))
+    val zone = writeZoneOf(df, partitionDayOf)
     def decT(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
       java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
     commitLoop(root, retain, rebase = true) { base =>
-      requireDayLayout(root, base, "replaceDays")
+      layoutCheck(base)
       val (refsC, inlineC, matC) = touchedDayState(root, base.refs, base.inline, removed)
       val unchanged = (refsC == refs0 && inlineC == inline0) || matC() == mat0()
       if (!unchanged)
         throw new java.util.ConcurrentModificationException(
-          s"days ${removeDays.mkString(",")} of $root changed under this rewrite; recompute and retry")
+          s"$scopeDesc of $root changed under this rewrite; recompute and retry")
       // the file-set check above misses ROW-LEVEL concurrent writes: a
       // merge-on-read DELETE (or the delete half of a MOR UPDATE) between
       // the pin and this commit adds a __deletes/ entry WITHOUT touching
@@ -2099,7 +2158,7 @@ object ManifestTable {
       }
       if (delConflict)
         throw new java.util.ConcurrentModificationException(
-          s"rows of days ${removeDays.mkString(",")} of $root were deleted " +
+          s"rows of $scopeDesc of $root were deleted " +
             "concurrently under this rewrite; recompute and retry")
       // partial update of a continuing table: carry the commit properties
       // (e.g. streaming idempotence markers) into the new manifest

@@ -71,11 +71,26 @@ object Maintenance {
     // only (the replace fast path carries every other day by reference);
     // other layouts fall through to the monolithic rewrite.
     if (maxCommits > 1) {
+      // IDENTITY layouts (the gold `ano, mes` shape) chunk per partition
+      // KEY through the key-replace commit — same pin/conflict contract,
+      // different scope predicate and write layout
+      if (meta.identityCols.nonEmpty) {
+        require(meta.dayOf.isEmpty && meta.part.isEmpty &&
+            meta.pastDays.isEmpty && meta.pastParts.isEmpty,
+          s"$ident mixes partition layouts (spec evolution); run a full " +
+            "OPTIMIZE (max_commits => 1) to re-home, then chunk")
+        require(zorderBy.isEmpty && whereDays.isEmpty,
+          "zorder_by/where_days do not compose with chunked OPTIMIZE on " +
+            "identity layouts yet; run them without max_commits")
+        return optimizePartialKeys(spark, root, meta, targetFileBytes,
+          maxCommits, retainOf(spark, root),
+          maxConcurrent = math.max(1, maxConcurrentRewrites))
+      }
       val pd = physDay.getOrElse(throw new IllegalArgumentException(
         s"$ident is not day-partitioned; partial-progress OPTIMIZE " +
-          "(max_commits) needs a days() layout to scope its chunk commits"))
-      require(meta.part.isEmpty && meta.identityCols.isEmpty &&
-          ManifestTable.isFullyDayKeyed(root),
+          "(max_commits) needs a days() or identity layout to scope its " +
+          "chunk commits"))
+      require(meta.part.isEmpty && ManifestTable.isFullyDayKeyed(root),
         s"$ident mixes partition layouts (spec evolution); run a full " +
           "OPTIMIZE (max_commits => 1) to re-home, then chunk")
       if (zorderBy.nonEmpty) requireNoSortOrder(root, ident)
@@ -289,39 +304,12 @@ object Maintenance {
       .filter { case (d, _) => dayInRange(d) }.toMap
     if (byDay.isEmpty)
       return ManifestTable.currentVersion(root).getOrElse(0L)
-    val order = byDay.keys.toSeq.sorted
-    val total = byDay.values.sum
-    val perChunk = math.max(1L, total / maxCommits)
-    // greedy in day order: contiguous chunks, each ~total/maxCommits bytes
-    val chunks = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer.empty[String])
-    var acc = 0L
-    order.foreach { d =>
-      if (acc >= perChunk && chunks.size < maxCommits) {
-        chunks += scala.collection.mutable.ArrayBuffer.empty[String]
-        acc = 0L
-      }
-      chunks.last += d
-      acc += byDay(d)
-    }
+    val work = packChunks(byDay, maxCommits)
     val (v0, raw) = ManifestTable.readRawPinned(spark, root)
     zorderCols.foreach(c => require(raw.columns.exists(_.equalsIgnoreCase(c)),
       s"no such column $c"))
-    // EVERY chunk re-reads the pinned base manifest (the day-scoped
-    // unchanged-check compares against v0's state), so nothing may
-    // expire it mid-run: the chunk commits' own retention is widened to
-    // the chunk window, and a temporary TAG pins v0 against CONCURRENT
-    // writers' gc too (their commits honor ref pins — the documented
-    // 'append to an untouched day sails through' contract would
-    // otherwise crash every remaining chunk once the appender's
-    // retention swept the base). The tag drops when the run ends; a
-    // crash leaves it visible in tbl.refs for manual removal, never a
-    // correctness hazard.
-    val work0 = chunks.count(_.nonEmpty)
-    val chunkRetain = math.max(retain, work0 + 1)
-    val pinTag = s"__optimize_pin_${java.util.UUID.randomUUID().toString.take(12)}"
-    ManifestTable.createTag(root, pinTag, Some(v0))
-    def rewriteChunk(chunk: Seq[String]): Long = {
+    val chunkRetain = math.max(retain, work.size + 1)
+    runChunks(root, v0, work, maxConcurrent) { chunk =>
       val days = chunk.toSet
       val slice = raw.where(col(ManifestTable.DayCol).cast("string")
         .isInCollection(days))
@@ -343,27 +331,102 @@ object Maintenance {
         expectedVersion = Some(v0),
         preclustered = zorderCols.nonEmpty, rewriteOrder = zkey)
     }
-    val work = chunks.filter(_.nonEmpty).map(_.toSeq).toSeq
+    ManifestTable.currentVersion(root).getOrElse(v0)
+  }
+
+  /** The identity-layout twin: live partition KEYS (`ano=2024/mes=5`
+    * directories) greedily packed into ≤`maxCommits` byte-balanced
+    * groups, each chunk's FILES read pinned with deletes applied
+    * ([[ManifestTable.readKeysPinned]] — no other key's file is opened),
+    * re-clustered per key and committed through the key-replace path.
+    * Same pin/conflict/retention discipline as the day variant (shared
+    * [[runChunks]] harness). */
+  private def optimizePartialKeys(spark: SparkSession, root: String,
+                                  meta: VersionedCatalog.Meta,
+                                  targetFileBytes: Long, maxCommits: Int,
+                                  retain: Int, maxConcurrent: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val v0 = ManifestTable.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val dataEntries = ManifestTable.entries(root, v0)
+      .filterNot(e => ManifestTable.isDeleteEntry(e.rel))
+    val byKey: Map[String, Long] = dataEntries
+      .groupBy(e => ManifestTable.keyOf(e.rel))
+      .view.mapValues(_.map(e => ManifestTable.entryBytes(root, e)).sum).toMap
+    if (byKey.isEmpty) return v0
+    require(!byKey.keySet.exists(k =>
+        k.isEmpty || k.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"$root holds loose or NULL-partition files; run a full OPTIMIZE " +
+        "(max_commits => 1) to re-home, then chunk")
+    val physIds = meta.identityCols.map(meta.physicalName)
+    val work = packChunks(byKey, maxCommits)
+    val chunkRetain = math.max(retain, work.size + 1)
+    runChunks(root, v0, work, maxConcurrent) { chunk =>
+      val keys = chunk.toSet
+      val slice = ManifestTable.readKeysPinned(spark, root, v0, keys)
+      val bytes = chunk.map(byKey).sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      ManifestTable.replaceKeys(
+        slice.repartition(nFiles, physIds.map(col): _*),
+        root, keys, partitionCols = physIds, retain = chunkRetain,
+        expectedVersion = Some(v0))
+    }
+    ManifestTable.currentVersion(root).getOrElse(v0)
+  }
+
+  /** Greedy size-balanced packing of scope units (days or keys) into
+    * ≤`maxCommits` contiguous groups in sorted-unit order. */
+  private def packChunks(bySize: Map[String, Long], maxCommits: Int)
+      : Seq[Seq[String]] = {
+    val order = bySize.keys.toSeq.sorted
+    val perChunk = math.max(1L, bySize.values.sum / maxCommits)
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    var acc = 0L
+    order.foreach { u =>
+      if (acc >= perChunk && chunks.size < maxCommits) {
+        chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+        acc = 0L
+      }
+      chunks.last += u
+      acc += bySize(u)
+    }
+    chunks.filter(_.nonEmpty).map(_.toSeq).toSeq
+  }
+
+  /** Shared execution harness of the partial-progress paths. EVERY chunk
+    * re-reads the pinned base manifest (its scope's unchanged-check
+    * compares against v0's state), so nothing may expire it mid-run: the
+    * chunk commits' own retention is widened by the callers, and a
+    * temporary TAG pins v0 against CONCURRENT writers' gc too (ref pins
+    * are honored by every committer — the documented 'a write to an
+    * untouched scope sails through' contract would otherwise crash every
+    * remaining chunk once the writer's retention swept the base). The
+    * tag drops when the run ends; a crash leaves it visible in tbl.refs
+    * for manual removal, never a correctness hazard. With
+    * `maxConcurrent > 1`, that many chunks rewrite at once — commits
+    * serialize through the optimistic commit loop, and ALL chunks are
+    * awaited (unbounded: the rewrite IS the hours-long job; a wall-clock
+    * cap would fail the CALL while the timed-out chunk kept running and
+    * committed later anyway) before the first failure propagates. */
+  private def runChunks(root: String, v0: Long, work: Seq[Seq[String]],
+                        maxConcurrent: Int)(rewrite: Seq[String] => Long): Unit = {
+    val pinTag = s"__optimize_pin_${java.util.UUID.randomUUID().toString.take(12)}"
+    ManifestTable.createTag(root, pinTag, Some(v0))
     try {
-      if (maxConcurrent <= 1 || work.size <= 1) work.foreach(rewriteChunk)
+      if (maxConcurrent <= 1 || work.size <= 1) work.foreach(rewrite)
       else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(maxConcurrent, work.size))
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        // Duration.Inf: the rewrite IS the hours-long job this feature
-        // exists for — a wall-clock cap here would fail the CALL while
-        // the timed-out chunk kept running and committed later anyway;
-        // the commit loop's conflict checks already bound each chunk's
-        // fate
-        val done = work.map(c => Future(rewriteChunk(c)))
+        val done = work.map(c => Future(rewrite(c)))
           .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
         pool.shutdown()
         done.collectFirst { case scala.util.Failure(e) => throw e }
       }
     } finally ManifestTable.dropRef(root, pinTag)
-    ManifestTable.currentVersion(root).getOrElse(v0)
   }
 
   /** Distributed table integrity check (FSCK): verify the LIVE

@@ -1317,6 +1317,50 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Chunked OPTIMIZE on an IDENTITY layout as an oracle-gated query —
+    * the reference's gold tables are identity-partitioned (`ano, mes`),
+    * and at 100 TB their rewrite needs the same resumable
+    * partial-progress commits the day layout has. Three fragmented
+    * appends land 3 files per event_type key; `CALL optimize(max_commits
+    * => 3, max_concurrent_rewrites => 2)` compacts per KEY through the
+    * key-replace path. `chunk_ok` pins: exactly 3 independent commits
+    * landed, every key compacted to ONE file, and identity pruning still
+    * fires post-rewrite (a one-key filter opens exactly one file). The
+    * aggregate is the oracle's flat recompute. */
+  def callOptimizeIdentityScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    ensureCatalog(spark)
+    val short = newName("opk")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      (0 until 3).foreach { b =>
+        val part = ev.where(col("event_id") % 3 === b)
+        if (b == 0)
+          part.writeTo(tbl).partitionedBy(col("event_type")).create()
+        else part.writeTo(tbl).append()
+      }
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      def perKey = ManifestTable.liveEntries(root)
+        .groupBy(e => e.rel.split('/').dropRight(1).mkString("/"))
+      val fragmented = perKey.values.forall(_.size == 3)
+      val v0 = ManifestTable.currentVersion(root).get
+
+      val vEnd = spark.sql(s"CALL $Cat.system.optimize(`table` => 'q.$short', " +
+        "max_commits => 3, max_concurrent_rewrites => 2)")
+        .collect()(0).getLong(0)
+
+      val compacted = perKey.values.forall(_.size == 1)
+      val pruned = scanFiles(spark.table(tbl)
+        .where(col("event_type") === "purchase")).size == 1
+      val chunkOk = fragmented && vEnd == v0 + 3 && compacted && pruned
+      spark.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("chunk_ok", lit(chunkOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Rollback (Delta RESTORE / Iceberg `rollback_to_snapshot`) as an
     * oracle-gated query: two good appends build the table, a
     * contaminating append and a copy-on-write DELETE then damage it, and
@@ -2102,6 +2146,15 @@ object V2Queries {
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS files_packed
          |FROM events
          |WHERE ts >= TIMESTAMP '$PruneFrom' AND ts < TIMESTAMP '$PruneUntil'
+         |GROUP BY 1""".stripMargin
+
+    /** The chunked identity rewrite must be invisible in the data:
+      * recompute the per-type aggregate flat, chunk verdict pinned
+      * TRUE. */
+    val callOptimizeIdentityScan: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS chunk_ok
+         |FROM events
          |GROUP BY 1""".stripMargin
 
     /** Post-merge state with explicit join algebra under the original

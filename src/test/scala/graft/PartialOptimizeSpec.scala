@@ -273,8 +273,79 @@ class PartialOptimizeSpec extends AnyFunSuite {
     val e2 = intercept[Exception] {
       spark.sql("CALL gpo.system.optimize(`table` => 'ns.p4f', max_commits => 4)")
     }
-    assert(e2.getMessage.contains("days() layout"))
+    assert(e2.getMessage.contains("identity layout"))
     spark.sql("DROP TABLE gpo.ns.p4f")
+  }
+
+  test("IDENTITY layouts chunk per partition key (the gold ano/mes shape), concurrent workers included") {
+    // the reference's gold tables are identity-partitioned (ano, mes) —
+    // at 100 TB their rewrite needs the same resumable chunked commits
+    // the day layout has; chunks scope per KEY through replaceKeys
+    spark.sql("DROP TABLE IF EXISTS gpo.ns.pid")
+    spark.sql("CREATE TABLE gpo.ns.pid (id BIGINT, ano INT, mes INT, v DOUBLE) " +
+      "PARTITIONED BY (ano, mes)")
+    spark.sql("ALTER TABLE gpo.ns.pid SET TBLPROPERTIES('retain'='10')")
+    import spark.implicits._
+    (0 until 1200).map { i =>
+      (i.toLong, 2023 + (i / 6) % 2, 1 + i % 6, i * 1.0)
+    }.toDF("id", "ano", "mes", "v").createOrReplaceTempView("pid_src")
+    (0 until 3).foreach(b => spark.sql(
+      s"INSERT INTO gpo.ns.pid SELECT * FROM pid_src WHERE CAST(id/12 AS BIGINT) % 3 = $b"))
+    val root = s"$wh/ns/pid"
+    def byKey = ManifestTable.liveEntries(root)
+      .groupBy(e => e.rel.split('/').dropRight(1).mkString("/"))
+    assert(byKey.size === 12 && byKey.values.forall(_.size === 3),
+      "setup: 12 (ano,mes) keys, 3 files each")
+    val before = spark.table("gpo.ns.pid").orderBy("id").collect()
+    val v0 = ManifestTable.currentVersion(root).get
+    val vEnd = spark.sql(
+      "CALL gpo.system.optimize(`table` => 'ns.pid', max_commits => 4, " +
+        "max_concurrent_rewrites => 3)").collect()(0).getLong(0)
+    assert(vEnd === v0 + 4, s"expected 4 chunk commits, v0=$v0 vEnd=$vEnd")
+    assert(byKey.size === 12 && byKey.values.forall(_.size === 1),
+      s"every key compacted to one file, got ${byKey.view.mapValues(_.size).toMap}")
+    assert(spark.table("gpo.ns.pid").orderBy("id").collect().toSeq === before.toSeq)
+    // every intermediate chunk commit is a full-count retained snapshot
+    (v0 to vEnd).foreach { v =>
+      assert(spark.sql(s"SELECT COUNT(*) FROM gpo.ns.pid VERSION AS OF $v")
+        .collect()(0).getLong(0) === 1200L, s"version $v lost rows")
+    }
+    // identity filters still prune after the rewrite (values re-derive
+    // from the rewritten directory names)
+    assert(spark.table("gpo.ns.pid").where("ano = 2024 AND mes = 3").count()
+      === before.count(r => r.getInt(1) == 2024 && r.getInt(2) == 3))
+    spark.sql("DROP TABLE gpo.ns.pid")
+  }
+
+  test("identity chunking: concurrent writes conflict per KEY, untouched keys sail through") {
+    spark.sql("DROP TABLE IF EXISTS gpo.ns.pidc")
+    spark.sql("CREATE TABLE gpo.ns.pidc (id BIGINT, grp STRING, v DOUBLE) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("ALTER TABLE gpo.ns.pidc SET TBLPROPERTIES('retain'='10')")
+    import spark.implicits._
+    (0 until 300).map(i => (i.toLong, s"g${i % 3}", i * 1.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("pidc_src")
+    (0 until 2).foreach(_ =>
+      spark.sql("INSERT INTO gpo.ns.pidc SELECT * FROM pidc_src"))
+    val root = s"$wh/ns/pidc"
+    val v0 = ManifestTable.currentVersion(root).get
+    val n0 = spark.table("gpo.ns.pidc").count()
+    // a concurrent append lands in g0 AFTER the pin
+    Seq((9999L, "g0", 1.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("pidc_extra")
+    spark.sql("INSERT INTO gpo.ns.pidc SELECT * FROM pidc_extra")
+    // replacing the RACED key under the stale pin fails loudly…
+    val slice0 = ManifestTable.readKeysPinned(spark, root, v0, Set("grp=g0"))
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.replaceKeys(slice0, root, Set("grp=g0"),
+        partitionCols = Seq("grp"), retain = 10, expectedVersion = Some(v0))
+    }
+    // …while an untouched key replaces fine under the same stale pin
+    val slice1 = ManifestTable.readKeysPinned(spark, root, v0, Set("grp=g1"))
+    ManifestTable.replaceKeys(slice1, root, Set("grp=g1"),
+      partitionCols = Seq("grp"), retain = 10, expectedVersion = Some(v0))
+    assert(spark.table("gpo.ns.pidc").count() === n0 + 1)
+    spark.sql("DROP TABLE gpo.ns.pidc")
   }
 
   test("max_commits composes with where_days: only the selected range chunks, others carry untouched") {
