@@ -602,29 +602,12 @@ object MergeInto {
     val tOnly   = col(TP).isNotNull && col(SP).isNull
     val sOnly   = col(TP).isNull
 
-    def condOf(c: Option[Expression]): Column =
-      c.map(GraftColumnBridge.column).getOrElse(lit(true))
-    def assignName(e: Expression): String = assignNameIn(targetCols, e)
-    def starMap: Map[String, Column] = targetCols.map { c =>
-      val sc = source0.columns.find(_.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(s"star action: source lacks column $c"))
-      c -> s(sc)
-    }.toMap
-    val keepMap: Map[String, Column] = targetCols.map(c => c -> (t(c): Column)).toMap
-    def updateMap(assigns: Seq[Assignment]): Map[String, Column] =
-      keepMap ++ assigns.map(a => assignName(a.key) -> GraftColumnBridge.column(a.value))
-    def insertMap(assigns: Seq[Assignment]): Map[String, Column] = {
-      val set = assigns.map(a =>
-        assignName(a.key) -> GraftColumnBridge.column(a.value)).toMap
-      targetCols.map(c => c -> set.getOrElse(c, lit(null))).toMap
-    }
+    val cm = new ClauseMaps(targetCols, source0, t, s)
+    import cm._
 
     // tomb: the target row's old position dies; out: a new row is born.
     // A matched row with neither (no clause fired) never leaves its file.
     case class MorBranch(pred: Column, tomb: Boolean, out: Option[Map[String, Column]])
-    def unsupported(ctx: String, a: MergeAction): Nothing =
-      throw new IllegalArgumentException(
-        s"unsupported $ctx action: ${a.getClass.getSimpleName}")
     val branches: Seq[MorBranch] =
       m.matchedActions.map {
         case UpdateAction(c, as, _) => MorBranch(matched && condOf(c), tomb = true, Some(updateMap(as)))
@@ -685,9 +668,9 @@ object MergeInto {
       .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
     val fresh = out.where(col(ACT).isin("u", "i"))
       .select(targetCols.map(col): _*)
-    // insert-only outcome: nothing to tombstone — the CoW path's append
-    // is exactly right (and cheaper: no DV machinery in the commit)
-    if (tombstones.isEmpty) return false
+    // insert-only outcome: appendWithDeletes degrades to a plain append
+    // commit (falling back to copy-on-write here would FULL-REWRITE a
+    // tombstone-carrying table for a batch that touched nothing)
     if (fresh.isEmpty) // delete-only merge: a pure tombstone commit
       ManifestTable.appendDeletes(tombstones, root, retain = retainOf(spark, root))
     else {
@@ -884,22 +867,12 @@ object MergeInto {
 
   /** The relational lowering, exposed for direct use and differential
     * testing: returns the post-MERGE contents of the target. */
-  private[graft] def mergeResult(target0: DataFrame, targetAlias: String,
-                                 source: DataFrame, m: MergeIntoTable): DataFrame = {
-    val targetCols = target0.columns.toSeq
-    val schema = target0.schema
-    val spark = target0.sparkSession
-
-    val t = target0.alias(targetAlias)
-      .withColumn(TID, monotonically_increasing_id())
-      .withColumn(TP, lit(true))
-    val s = source.withColumn(SP, lit(true))
-    val joined = t.join(s, GraftColumnBridge.column(m.mergeCondition), "full_outer")
-
-    val matched = col(TP).isNotNull && col(SP).isNotNull
-    val tOnly   = col(TP).isNotNull && col(SP).isNull
-    val sOnly   = col(TP).isNull
-
+  /** Shared WHEN-clause lowering of the copy-on-write and merge-on-read
+    * MERGE paths — star resolution, assignment-name matching and keep
+    * semantics live HERE once, so the two executors can never silently
+    * diverge on them. */
+  private class ClauseMaps(targetCols: Seq[String], source: DataFrame,
+                           t: DataFrame, s: DataFrame) {
     def condOf(c: Option[Expression]): Column =
       c.map(GraftColumnBridge.column).getOrElse(lit(true))
     def assignName(e: Expression): String = assignNameIn(targetCols, e)
@@ -916,11 +889,32 @@ object MergeInto {
       val set = assigns.map(a => assignName(a.key) -> GraftColumnBridge.column(a.value)).toMap
       targetCols.map(c => c -> set.getOrElse(c, lit(null))).toMap
     }
+    def unsupported(ctx: String, a: MergeAction): Nothing =
+      throw new IllegalArgumentException(
+        s"unsupported $ctx action: ${a.getClass.getSimpleName}")
+  }
+
+  private[graft] def mergeResult(target0: DataFrame, targetAlias: String,
+                                 source: DataFrame, m: MergeIntoTable): DataFrame = {
+    val targetCols = target0.columns.toSeq
+    val schema = target0.schema
+    val spark = target0.sparkSession
+
+    val t = target0.alias(targetAlias)
+      .withColumn(TID, monotonically_increasing_id())
+      .withColumn(TP, lit(true))
+    val s = source.withColumn(SP, lit(true))
+    val joined = t.join(s, GraftColumnBridge.column(m.mergeCondition), "full_outer")
+
+    val matched = col(TP).isNotNull && col(SP).isNotNull
+    val tOnly   = col(TP).isNotNull && col(SP).isNull
+    val sOnly   = col(TP).isNull
+
+    val cm = new ClauseMaps(targetCols, source, t, s)
+    import cm._
 
     // WHEN clauses in declaration order; out=None means the row is dropped.
     case class Branch(pred: Column, out: Option[Map[String, Column]])
-    def unsupported(ctx: String, a: MergeAction): Nothing =
-      throw new IllegalArgumentException(s"unsupported $ctx action: ${a.getClass.getSimpleName}")
     val branches: Seq[Branch] =
       m.matchedActions.map {
         case UpdateAction(c, as, _)  => Branch(matched && condOf(c), Some(updateMap(as)))

@@ -866,12 +866,24 @@ object ManifestTable {
   /** Pinned, KEY-scoped read: the named partition keys' data files of
     * version `v` with that snapshot's delete artifacts applied — the
     * chunk input of the identity-layout partial-progress OPTIMIZE.
-    * Files select by manifest key alone; no other key's file is ever
-    * opened. */
+    * Files select by manifest key alone; delete artifacts narrow to the
+    * ones that can TOUCH those keys (positional entries name their
+    * targets in their stats; list-less legacy entries and equality
+    * deletes stay conservatively), so a chunk never pays another key's
+    * tombstone backlog. */
   private[graft] def readKeysPinned(spark: SparkSession, root: String, v: Long,
-                                    keys: Set[String]): DataFrame =
-    readApplied(spark, root, entries(root, v).filter(e =>
-      isDeleteEntry(e.rel) || keys(keyOf(e.rel))))
+                                    keys: Set[String]): DataFrame = {
+    val (del, data) = entries(root, v).partition(e => isDeleteEntry(e.rel))
+    def decT(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
+      java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
+    val relevantDel = del.filter(e =>
+      isEqDeleteEntry(e.rel) || (deleteTouchedRels(e) match {
+        case Some(ts) => ts.exists(t => keys(keyOf(t)) || keys(keyOf(decT(t))))
+        case None => true // unknown targets: keep, never drop a tombstone
+      }))
+    readApplied(spark, root,
+      data.filter(e => keys(keyOf(e.rel))) ++ relevantDel)
+  }
 
   /** Time travel: a retained manifest's snapshot (deletes of THAT
     * snapshot applied — a pre-delete version still shows the rows). */
@@ -1852,12 +1864,18 @@ object ManifestTable {
     val counts = touchedCountsOf(tombstones)
     val touched = counts.keySet
     val freshData = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
-    val freshDel = writeDvPoolDirect(tombstones, root, counts)
+    // EMPTY tombstones degrade to a plain append (an insert-only MERGE
+    // outcome): no delete blob, no tombstone liveness check, and the
+    // commit labels "append" so the change feed serves plain inserts
+    // instead of fabricating an update-shaped version
+    val freshDel =
+      if (counts.isEmpty) Nil else writeDvPoolDirect(tombstones, root, counts)
+    val op = if (counts.isEmpty) "append" else "update"
     val zone = writeZoneOf(df, partitionDayOf)
     commitLoop(root, retain, rebase = true) { base =>
-      requireTombstonedFilesLive(root, base, touched)
+      if (touched.nonEmpty) requireTombstonedFilesLive(root, base, touched)
       Planned(base.inline ++ freshDel ++ freshData.entries,
-        base.props ++ mergeZoneProp(base.props, zone) + (OpProp -> "update"),
+        base.props ++ mergeZoneProp(base.props, zone) + (OpProp -> op),
         carried = base.refs, ndv = freshData.ndv)
     }
   }

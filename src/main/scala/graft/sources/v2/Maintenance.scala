@@ -54,7 +54,8 @@ object Maintenance {
                zorderBy: Seq[String] = Nil,
                whereDays: Option[(String, String)] = None,
                maxCommits: Int = 1,
-               maxConcurrentRewrites: Int = 1): Long = {
+               maxConcurrentRewrites: Int = 1,
+               whereKeys: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
     val (root, meta) = resolve(spark, ident)
     val physDay = meta.dayOf.map(meta.physicalName)
@@ -70,7 +71,17 @@ object Maintenance {
     // `where_days` (chunk only the selected range). Day-keyed tables
     // only (the replace fast path carries every other day by reference);
     // other layouts fall through to the monolithic rewrite.
-    if (maxCommits > 1) {
+    // where_keys (Iceberg's rewrite filter over identity partitions):
+    // compact ONLY the selected keys — exact (`ano=2024/mes=5`) or
+    // prefix (`ano=2024` selects every mes under it). Identity layouts
+    // only; with max_commits == 1 the selection lands as a single
+    // key-replace commit.
+    require(whereKeys.isEmpty || meta.identityCols.nonEmpty,
+      s"where_keys selects identity partition directories; $ident has none")
+    val keyInScope: String => Boolean =
+      if (whereKeys.isEmpty) _ => true
+      else k => whereKeys.exists(p => k == p || k.startsWith(p + "/"))
+    if (maxCommits > 1 || (whereKeys.nonEmpty && meta.identityCols.nonEmpty)) {
       // IDENTITY layouts (the gold `ano, mes` shape) chunk per partition
       // KEY through the key-replace commit — same pin/conflict contract,
       // different scope predicate and write layout
@@ -80,11 +91,12 @@ object Maintenance {
           s"$ident mixes partition layouts (spec evolution); run a full " +
             "OPTIMIZE (max_commits => 1) to re-home, then chunk")
         require(zorderBy.isEmpty && whereDays.isEmpty,
-          "zorder_by/where_days do not compose with chunked OPTIMIZE on " +
-            "identity layouts yet; run them without max_commits")
+          "zorder_by/where_days do not compose with key-scoped OPTIMIZE " +
+            "on identity layouts yet; run them separately")
         return optimizePartialKeys(spark, root, meta, targetFileBytes,
           maxCommits, retainOf(spark, root),
-          maxConcurrent = math.max(1, maxConcurrentRewrites))
+          maxConcurrent = math.max(1, maxConcurrentRewrites),
+          keyInScope = keyInScope)
       }
       val pd = physDay.getOrElse(throw new IllegalArgumentException(
         s"$ident is not day-partitioned; partial-progress OPTIMIZE " +
@@ -344,20 +356,27 @@ object Maintenance {
   private def optimizePartialKeys(spark: SparkSession, root: String,
                                   meta: VersionedCatalog.Meta,
                                   targetFileBytes: Long, maxCommits: Int,
-                                  retain: Int, maxConcurrent: Int): Long = {
+                                  retain: Int, maxConcurrent: Int,
+                                  keyInScope: String => Boolean = _ => true): Long = {
     import org.apache.spark.sql.functions._
     val v0 = ManifestTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val dataEntries = ManifestTable.entries(root, v0)
       .filterNot(e => ManifestTable.isDeleteEntry(e.rel))
-    val byKey: Map[String, Long] = dataEntries
-      .groupBy(e => ManifestTable.keyOf(e.rel))
-      .view.mapValues(_.map(e => ManifestTable.entryBytes(root, e)).sum).toMap
-    if (byKey.isEmpty) return v0
-    require(!byKey.keySet.exists(k =>
+    // the loose/NULL-partition refusal checks the WHOLE key set before
+    // any scope filter: a scoped run must refuse up front exactly like
+    // an unscoped one, not after a chunk's rewrite work when the commit-
+    // time layout check finally trips
+    val allKeys = dataEntries.map(e => ManifestTable.keyOf(e.rel)).toSet
+    require(!allKeys.exists(k =>
         k.isEmpty || k.contains("__HIVE_DEFAULT_PARTITION__")),
       s"$root holds loose or NULL-partition files; run a full OPTIMIZE " +
         "(max_commits => 1) to re-home, then chunk")
+    val byKey: Map[String, Long] = dataEntries
+      .groupBy(e => ManifestTable.keyOf(e.rel))
+      .view.mapValues(_.map(e => ManifestTable.entryBytes(root, e)).sum)
+      .filter { case (k, _) => keyInScope(k) }.toMap
+    if (byKey.isEmpty) return v0
     val physIds = meta.identityCols.map(meta.physicalName)
     val work = packChunks(byKey, maxCommits)
     val chunkRetain = math.max(retain, work.size + 1)

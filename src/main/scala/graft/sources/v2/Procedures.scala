@@ -80,7 +80,11 @@ object GraftProcedures {
         // with max_commits > 1: rewrite up to M chunks concurrently
         // (Iceberg's max-concurrent-file-group-rewrites); the commits
         // still serialize through the optimistic commit loop
-        param("max_concurrent_rewrites", IntegerType, Some("1")))
+        param("max_concurrent_rewrites", IntegerType, Some("1")),
+        // identity layouts: compact ONLY the named partition keys —
+        // exact ('ano=2024/mes=5') or prefix ('ano=2024'), comma-
+        // separated (Iceberg's rewrite_data_files partition filter)
+        param("where_keys", StringType, Some("''")))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val tbl = input.getUTF8String(0).toString
         val target = input.getLong(1)
@@ -93,9 +97,11 @@ object GraftProcedures {
               "where_days takes 'YYYY-MM-DD,YYYY-MM-DD' (inclusive)")
             (p(0), p(1))
           }
+        val whereKeys = input.getUTF8String(6).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
         val v = Maintenance.optimize(spark, s"$catalogName.$tbl", target, zorder,
           whereDays, maxCommits = input.getInt(4),
-          maxConcurrentRewrites = input.getInt(5))
+          maxConcurrentRewrites = input.getInt(5), whereKeys = whereKeys)
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()

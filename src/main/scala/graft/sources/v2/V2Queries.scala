@@ -1353,7 +1353,11 @@ object V2Queries {
       val compacted = perKey.values.forall(_.size == 1)
       val pruned = scanFiles(spark.table(tbl)
         .where(col("event_type") === "purchase")).size == 1
-      val chunkOk = fragmented && vEnd == v0 + 3 && compacted && pruned
+      // 1..max_commits independent commits: the byte-greedy packer may
+      // legally emit FEWER chunks than max_commits for near-equal key
+      // sizes — pin the contract, not the fixture's packing accident
+      val chunkOk = fragmented && vEnd > v0 && vEnd <= v0 + 3 &&
+        compacted && pruned
       spark.table(tbl)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))

@@ -163,6 +163,27 @@ class DmlModeTableSpec extends AnyFunSuite {
     val deaths = ch.where("_change_type IN ('delete','update_preimage')").count()
     assert(births - deaths ===
       spark.table(t).count() - 12000L, s"births=$births deaths=$deaths")
+    // an INSERT-ONLY batch against the tombstone-carrying MOR table must
+    // commit as a plain append — never fall back to the CoW full rewrite
+    // and never fabricate an update-shaped (empty-tombstone) commit
+    val delsBefore = ManifestTable.liveDeleteEntries(r).map(_.rel).toSet
+    val dataBefore2 = ManifestTable.liveEntries(r).map(_.rel)
+      .filterNot(ManifestTable.isDeleteEntry).toSet
+    Seq((50000L, 5.0), (50001L, 5.1)).toDF("k", "nv")
+      .createOrReplaceTempView("mrg_ins")
+    graft.plans.MergeInto.sql(spark,
+      s"MERGE INTO $t x USING mrg_ins s ON x.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, grp) VALUES (s.k, s.nv, 'new2')")
+    val v2 = ManifestTable.currentVersion(r).get
+    assert(ManifestTable.opOf(r, v2).contains("append"),
+      "insert-only MOR merge must commit as a plain append")
+    assert(dataBefore2.subsetOf(ManifestTable.liveEntries(r).map(_.rel).toSet),
+      "insert-only MOR merge must not rewrite any data file")
+    assert(ManifestTable.liveDeleteEntries(r).map(_.rel).toSet === delsBefore,
+      "insert-only MOR merge adds no delete entries")
+    assert(spark.table(t).where("grp = 'new2'").count() === 2L)
+
     // multi-match still errors loudly
     Seq((3L, 1.0), (3L, 2.0)).toDF("k", "nv").createOrReplaceTempView("mrg_dup")
     val e = intercept[Exception] { graft.plans.MergeInto.sql(spark,

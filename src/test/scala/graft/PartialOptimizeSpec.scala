@@ -317,6 +317,49 @@ class PartialOptimizeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gpo.ns.pid")
   }
 
+  test("where_keys compacts ONLY the selected identity keys — exact and prefix forms") {
+    spark.sql("DROP TABLE IF EXISTS gpo.ns.pwk")
+    spark.sql("CREATE TABLE gpo.ns.pwk (id BIGINT, ano INT, mes INT, v DOUBLE) " +
+      "PARTITIONED BY (ano, mes)")
+    spark.sql("ALTER TABLE gpo.ns.pwk SET TBLPROPERTIES('retain'='10')")
+    import spark.implicits._
+    (0 until 600).map { i =>
+      (i.toLong, 2023 + (i / 3) % 2, 1 + i % 3, i * 1.0)
+    }.toDF("id", "ano", "mes", "v").createOrReplaceTempView("pwk_src")
+    (0 until 3).foreach(b => spark.sql(
+      s"INSERT INTO gpo.ns.pwk SELECT * FROM pwk_src WHERE CAST(id/6 AS BIGINT) % 3 = $b"))
+    val root = s"$wh/ns/pwk"
+    def filesOf(key: String): Int = ManifestTable.liveEntries(root)
+      .count(e => e.rel.startsWith(s"$key/"))
+    assert(filesOf("ano=2023/mes=1") === 3 && filesOf("ano=2024/mes=2") === 3)
+    val before = spark.table("gpo.ns.pwk").orderBy("id").collect()
+    // exact key: only that directory compacts
+    spark.sql("CALL gpo.system.optimize(`table` => 'ns.pwk', " +
+      "where_keys => 'ano=2023/mes=1')")
+    assert(filesOf("ano=2023/mes=1") === 1, "selected key compacts")
+    assert(filesOf("ano=2023/mes=2") === 3 && filesOf("ano=2024/mes=1") === 3,
+      "unselected keys carry untouched")
+    // prefix: every key under ano=2024 compacts, 2023 untouched
+    spark.sql("CALL gpo.system.optimize(`table` => 'ns.pwk', " +
+      "where_keys => 'ano=2024', max_commits => 2)")
+    assert((1 to 3).forall(m => filesOf(s"ano=2024/mes=$m") == 1),
+      "prefix selects every key under it")
+    assert(filesOf("ano=2023/mes=2") === 3 && filesOf("ano=2023/mes=3") === 3)
+    assert(spark.table("gpo.ns.pwk").orderBy("id").collect().toSeq === before.toSeq)
+    // where_keys on a non-identity table refuses
+    val e = intercept[Exception] {
+      spark.sql("CALL gpo.system.optimize(`table` => 'ns.pwk_none', " +
+        "where_keys => 'x=1')")
+    } // (missing table fails resolution first — use a real day table)
+    mk("pwkd", days = 2, rowsPerDay = 5)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gpo.system.optimize(`table` => 'ns.pwkd', " +
+        "where_keys => 'x=1')")
+    }
+    assert(e2.getMessage.contains("identity partition directories"))
+    spark.sql("DROP TABLE gpo.ns.pwkd"); spark.sql("DROP TABLE gpo.ns.pwk")
+  }
+
   test("identity chunking: concurrent writes conflict per KEY, untouched keys sail through") {
     spark.sql("DROP TABLE IF EXISTS gpo.ns.pidc")
     spark.sql("CREATE TABLE gpo.ns.pidc (id BIGINT, grp STRING, v DOUBLE) " +
