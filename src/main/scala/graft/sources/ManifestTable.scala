@@ -686,6 +686,19 @@ object ManifestTable {
       .view.mapValues(_.map(_._2).sum).toMap
   }
 
+  /** Live DATA-file count per partition KEY — the identity-layout twin
+    * of [[liveDayFileCounts]], same index-only pricing (shard-ref `n`
+    * counts + inline keys; no shard contents opened). */
+  def liveKeyFileCounts(root: String): Map[String, Int] = {
+    val d = readDoc(root, currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")))
+    val fromRefs = d.refs.filter(_.key != DeleteDir).map(r => r.key -> r.n)
+    val fromInline = d.inline.filterNot(e => isDeleteEntry(e.rel))
+      .map(e => keyOf(e.rel) -> 1)
+    (fromRefs ++ fromInline).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+  }
+
   /** Distinct hidden-day values present in the live manifest — read from
     * shard KEYS and inline entries, no shard contents opened. */
   def liveDays(root: String): Set[String] = {

@@ -927,7 +927,13 @@ object VersionedCatalog {
                                       root: String): Unit = {
     val meta = readMeta(root).getOrElse(return)
     if (!meta.userProps.get("auto.compact").exists(_.equalsIgnoreCase("true"))) return
-    if (meta.dayOf.isEmpty || meta.part.nonEmpty || meta.identityCols.nonEmpty) return
+    // one pure layout only: hidden-day tables fold per day, identity
+    // tables per partition key; transform/mixed layouts keep the
+    // scheduled-OPTIMIZE path
+    val dayLayout = meta.dayOf.nonEmpty && meta.identityCols.isEmpty
+    val idLayout = meta.identityCols.nonEmpty && meta.dayOf.isEmpty &&
+      meta.pastDays.isEmpty && meta.pastParts.isEmpty
+    if (meta.part.nonEmpty || (!dayLayout && !idLayout)) return
     // WAP staging writes to the BRANCH head while the fragmentation poll
     // and the pinned read below resolve MAIN — compacting across
     // lineages would land a non-append 'replace' on the staging branch
@@ -942,24 +948,50 @@ object VersionedCatalog {
         .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(16)
       val target = meta.userProps.get("auto.compact.target_bytes")
         .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(128L << 20)
-      val frag =
-        if (!ManifestTable.isFullyDayKeyed(root)) Set.empty[String]
-        else ManifestTable.liveDayFileCounts(root)
-          .filter(_._2 >= minFiles).keySet
-      if (frag.nonEmpty) {
-        val (v0, raw) = ManifestTable.readRawPinned(spark, root)
-        val slice = raw.where(org.apache.spark.sql.functions
-          .col(ManifestTable.DayCol).cast("string").isInCollection(frag.toSeq))
-        val bytes = ManifestTable.liveEntries(root)
-          .filter(e => frag.exists(d =>
-            ManifestTable.plainRel(e.rel).startsWith(s"${ManifestTable.DayCol}=$d/")))
-          .map(e => ManifestTable.entryBytes(root, e)).sum
-        val nFiles = math.max(1, math.ceil(bytes.toDouble / target).toInt)
-        ManifestTable.replaceDays(
-          slice.repartition(nFiles, org.apache.spark.sql.functions
-            .col(ManifestTable.DayCol)).drop(ManifestTable.DayCol),
-          root, frag, meta.dayOf.map(meta.physicalName).get,
-          retain = retainFor(root, spark), expectedVersion = Some(v0))
+      if (idLayout) {
+        // identity layouts: fold over-threshold KEYS through the
+        // key-replace commit (chunk-scoped pinned read; nothing else
+        // opens). NULL-partition/loose keys never auto-fold — they need
+        // the full-OPTIMIZE re-home.
+        val frag = ManifestTable.liveKeyFileCounts(root)
+          .filter { case (k, n) => n >= minFiles && k.nonEmpty &&
+            k.contains("=") && !k.contains("__HIVE_DEFAULT_PARTITION__") }
+          .keySet
+        if (frag.nonEmpty) {
+          val v0 = ManifestTable.currentVersion(root).getOrElse(
+            throw new IllegalStateException(s"no committed version under $root"))
+          val physIds = meta.identityCols.map(meta.physicalName)
+          val slice = ManifestTable.readKeysPinned(spark, root, v0, frag)
+          val bytes = ManifestTable.liveEntries(root)
+            .filter(e => frag.contains(ManifestTable.keyOf(e.rel)))
+            .map(e => ManifestTable.entryBytes(root, e)).sum
+          val nFiles = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+          ManifestTable.replaceKeys(
+            slice.repartition(nFiles,
+              physIds.map(org.apache.spark.sql.functions.col): _*),
+            root, frag, partitionCols = physIds,
+            retain = retainFor(root, spark), expectedVersion = Some(v0))
+        }
+      } else {
+        val frag =
+          if (!ManifestTable.isFullyDayKeyed(root)) Set.empty[String]
+          else ManifestTable.liveDayFileCounts(root)
+            .filter(_._2 >= minFiles).keySet
+        if (frag.nonEmpty) {
+          val (v0, raw) = ManifestTable.readRawPinned(spark, root)
+          val slice = raw.where(org.apache.spark.sql.functions
+            .col(ManifestTable.DayCol).cast("string").isInCollection(frag.toSeq))
+          val bytes = ManifestTable.liveEntries(root)
+            .filter(e => frag.exists(d =>
+              ManifestTable.plainRel(e.rel).startsWith(s"${ManifestTable.DayCol}=$d/")))
+            .map(e => ManifestTable.entryBytes(root, e)).sum
+          val nFiles = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+          ManifestTable.replaceDays(
+            slice.repartition(nFiles, org.apache.spark.sql.functions
+              .col(ManifestTable.DayCol)).drop(ManifestTable.DayCol),
+            root, frag, meta.dayOf.map(meta.physicalName).get,
+            retain = retainFor(root, spark), expectedVersion = Some(v0))
+        }
       }
     }.failed.foreach(e => org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"auto-compact of $root skipped: ${e.getMessage}"))

@@ -52,6 +52,35 @@ class AutoCompactSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gac.ns.a1")
   }
 
+  test("IDENTITY layouts auto-fold per partition key (the gold ano/mes shape)") {
+    spark.sql("DROP TABLE IF EXISTS gac.ns.aid")
+    spark.sql("CREATE TABLE gac.ns.aid (id BIGINT, grp STRING, v DOUBLE) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES('auto.compact'='true', " +
+      "'auto.compact.min_files'='4', 'retain'='10')")
+    val root = s"$wh/ns/aid"
+    def keyCounts = ManifestTable.liveKeyFileCounts(root)
+    // one row into a COLD key that must never be rewritten
+    spark.sql("INSERT INTO gac.ns.aid VALUES (0, 'cold', 0.0)")
+    val coldRels = ManifestTable.liveEntries(root)
+      .map(_.rel).filter(_.startsWith("grp=cold/")).toSet
+    // fragment a HOT key one append at a time; below threshold nothing folds
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO gac.ns.aid VALUES ($i, 'hot', $i.0)")
+    }
+    assert(keyCounts("grp=hot") === 3, "below min_files nothing folds")
+    // the 4th append crosses the threshold: exactly the hot key folds
+    spark.sql("INSERT INTO gac.ns.aid VALUES (4, 'hot', 4.0)")
+    assert(keyCounts("grp=hot") === 1,
+      s"hot key must auto-fold, got $keyCounts")
+    assert(ManifestTable.liveEntries(root)
+      .map(_.rel).filter(_.startsWith("grp=cold/")).toSet === coldRels,
+      "the cold key's file must carry untouched")
+    assert(spark.table("gac.ns.aid").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      (0L to 4L).map(i => (i, if (i == 0) "cold" else "hot")))
+    spark.sql("DROP TABLE gac.ns.aid")
+  }
+
   test("without the property nothing compacts; ALTER turns it on") {
     mk("a2", "'auto.compact.min_files'='2', 'retain'='10'") // NOT enabled
     (0 until 4).foreach { i =>
