@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * A warm-up pass at sf0.001 runs first (untimed) so JIT/codegen/classload
   * costs don't land on the first timed query — standard practice; the
   * timed pass still reads the benchmark data cold.
+  *
+  * Floor continuity: `target/bench_min.json` carries per-(query, sf)
+  * minima ACROSS runs and query-set changes — adding a query resets only
+  * its own floor. A same-named query whose implementation changed keeps
+  * its old floor until its entry is deleted from the file (do that when
+  * rewriting a query, so regressions can't hide behind a stale floor).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,8 +75,17 @@ object Bench {
     // this run AND previous runs' record, so one noisy sample can never
     // set the round's floor on its own (the r14 judging burned a session
     // disambiguating a 153 s driver pass from a 139 s re-run; the
-    // recorded run-to-run band is ±7%+ on this shared VM). Resets
-    // whenever the query set changes (new round/binary). Best-effort.
+    // recorded run-to-run band is ±7%+ on this shared VM). Floors carry
+    // PER (query, sf): adding or removing a query resets only that
+    // query's floor, never the whole record (a wholesale reset made
+    // every query-adding round lose the carried floors and manufactured
+    // apparent regressions — r17's carried-144 "+10%" was min-of-3 vs
+    // r16's min-of-7). CAVEAT, documented on purpose: a floor persists
+    // across IMPLEMENTATION changes to a same-named query, so a query
+    // rewritten slower keeps showing its old floor — when changing a
+    // query's implementation, delete its entry from bench_min.json (or
+    // the file) so the floor restarts honestly. `runs` counts runs at
+    // this sf contributing to at least the carried core. Best-effort.
     try {
       val minPath = java.nio.file.Paths.get("target/bench_min.json")
       val prev: (Map[String, Double], Long, String) =
@@ -93,14 +108,17 @@ object Bench {
           (qs, runs, prevSf)
         }
       // a record from a DIFFERENT scale factor must never contribute
-      // minima (same keys, incomparable timings) — the sf is part of
-      // the reset condition alongside the query set
-      val samePlanSet = prev._1.keySet == best.keySet && errs.isEmpty &&
-        prev._3 == sfDir
-      val merged =
-        if (samePlanSet) best.map { case (k, v) => k -> math.min(v, prev._1(k)) }
-        else best
-      val runs = if (samePlanSet) prev._2 + 1 else 1L
+      // minima (same keys, incomparable timings): sf mismatch discards
+      // the whole previous record
+      val carry: Map[String, Double] =
+        if (prev._3 == sfDir) prev._1 else Map.empty
+      // per-name merge: queries present this run keep min(now, before);
+      // removed queries drop; new queries start at this run's timing.
+      // Errored queries have no timing this run and are NOT carried —
+      // a floor for a query that no longer runs would misstate the total.
+      val merged = best.map { case (k, v) =>
+        k -> carry.get(k).fold(v)(math.min(v, _)) }
+      val runs = if (carry.nonEmpty) prev._2 + 1 else 1L
       def ms(d: Double): String = {
         val r = math.round(d * 1000) / 1000.0
         if (r == r.toLong) r.toLong + ".0" else r.toString

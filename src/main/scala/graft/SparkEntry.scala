@@ -146,6 +146,10 @@ object SparkEntry {
     // merge-on-read MERGE (write.merge.mode table property): tombstone +
     // append in one commit, zero pre-merge data files rewritten
     "mor_merge_scan" -> ((s, d) => graft.sources.v2.V2Queries.morMergeScan(s, d)),
+    // source-key runtime pruning of a MOR MERGE's target read: the
+    // executed plan must open under half the live files for a selective
+    // staging batch (the 100 TB silver-upsert shape)
+    "mor_merge_prune" -> ((s, d) => graft.sources.v2.V2Queries.morMergePrune(s, d)),
     // equality deletes (CDC-shape key retraction): delete by key with no
     // data read, sequence-scoped so later re-inserts survive
     "eq_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.eqDeleteScan(s, d)),
@@ -319,6 +323,7 @@ object SparkEntry {
     "identity_partition_scan" -> graft.sources.v2.V2Queries.oracle.identityPartitionScan,
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
     "mor_merge_scan" -> graft.sources.v2.V2Queries.oracle.morMergeScan,
+    "mor_merge_prune" -> graft.sources.v2.V2Queries.oracle.morMergePrune,
     "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
     "rewrite_deletes_scan" -> graft.sources.v2.V2Queries.oracle.rewriteDeletesScan,
     "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,

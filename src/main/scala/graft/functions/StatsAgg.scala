@@ -104,15 +104,22 @@ case class GraftStatsAgg(inputs: Seq[Expression], nHll: Int,
     val row = proj(input)
     var i = 0
     while (i < hllFeeds.length) { hllFeeds(i)(row, buf.hll(i)); i += 1 }
-    // the KLL tier SAMPLES every kllStride-th row per partition
-    // (systematic): quantile estimation needs a representative sample,
-    // not every row — the sketch's own k=200 rank error (~1.65%)
-    // dominates the sampling error on any write large enough for a
-    // histogram to matter, and the stride divides the dominant
-    // write-path statistics cost by the same factor. NDV never samples
-    // (distinct counts from samples are biased).
+    // the KLL tier SAMPLES ~1/kllStride of the rows per partition:
+    // quantile estimation needs a representative sample, not every row —
+    // the sketch's own k=200 rank error (~1.65%) dominates the sampling
+    // error on any write large enough for a histogram to matter, and the
+    // stride divides the dominant write-path statistics cost by the same
+    // factor. Selection is by a HASH of the row's ordinal, not a fixed
+    // `seen % stride == 0` phase: systematic (fixed-phase) sampling is
+    // biased whenever the write order is periodic with a period sharing
+    // a factor with the stride — an `id % 4`-derived column written in
+    // order would feed a degenerate single-value histogram. The ordinal
+    // hash (splitmix64) is aperiodic, so no data period can align with
+    // it, and stays deterministic for a given row order (stable specs,
+    // stable plan verdicts). NDV never samples (distinct counts from
+    // samples are biased).
     if (kllFeeds.length > 0) {
-      if (buf.seen % kllStride == 0) {
+      if (kllStride == 1 || GraftStatsAgg.sampleAt(buf.seen, kllStride)) {
         var j = 0
         while (j < kllFeeds.length) { kllFeeds(j)(row, buf.kll(j)); j += 1 }
       }
@@ -173,4 +180,18 @@ object GraftStatsAgg {
     * serializes after its partition's rows are consumed). */
   case class Buf(hll: Array[HllSketch], kll: Array[KllDoublesSketch],
                  var seen: Long = 0L)
+
+  /** Deterministic aperiodic row selection for the KLL sampling tier:
+    * splitmix64 of the row's partition-local ordinal, keeping ~1/stride
+    * of rows. Unlike a fixed-phase `ordinal % stride == 0`, no periodic
+    * write order can align with the kept set (the hash sequence has no
+    * period), so a round-robin or modulus-derived column can never
+    * collapse the histogram to one residue class's values. */
+  def sampleAt(ordinal: Long, stride: Int): Boolean = {
+    var z = ordinal + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    java.lang.Long.remainderUnsigned(z, stride.toLong) == 0L
+  }
 }

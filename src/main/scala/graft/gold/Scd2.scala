@@ -147,14 +147,27 @@ object Scd2 extends org.apache.spark.internal.Logging {
                                 attrCols: Seq[String]): Long = {
     val view = "__graft_scd2_src"
     val keys = keyCols.map(col)
+    val mode = scala.util.Try(
+      spark.conf.get("spark.graft.scd2.onMissingClose", "count")).getOrElse("count")
+    // strict >: a same-version open (the routine update's postimage)
+    // satisfies its close in the fold — whatever the target held, the
+    // batch's end state is the postimage as the current row — so the
+    // DEFAULT mode narrows its drift detection to deletes and
+    // out-of-order closes and skips the target probe for routine update
+    // batches entirely. A current row lost OUT OF BAND (manual edit,
+    // drifted checkpoint) is then silently absorbed by the next routine
+    // update of its key; `onMissingClose=fail` re-widens the probe to
+    // same-version closes (>=) so that drift stays loud — the strict
+    // mode pays the per-batch target probe the fast mode skips. See
+    // [[missingCloses]].
     val folded = foldBatch(batch, keyCols, attrCols)
       .withColumn("__first_open",
         min(when(!col(IsClose), col("valid_from")))
           .over(Window.partitionBy(keys: _*)))
-      // strict >: a same-version open (the routine update's postimage)
-      // satisfies its close in the fold — see [[missingCloses]]
       .withColumn(Probe, col(IsClose) &&
-        (col("__first_open").isNull || col("__first_open") > col(CloseV)))
+        (col("__first_open").isNull ||
+          (if (mode == "fail") col("__first_open") >= col(CloseV)
+           else col("__first_open") > col(CloseV))))
       .drop("__first_open")
       .localCheckpoint(true) // ONE materialization: probe + MERGE source
     folded.drop(Probe).createOrReplaceTempView(view)
@@ -166,8 +179,6 @@ object Scd2 extends org.apache.spark.internal.Logging {
       if (nMissing > 0) {
         val shown = sampleRows.mkString(", ") +
           (if (nMissing > sampleRows.length) ", …" else "")
-        val mode = scala.util.Try(
-          spark.conf.get("spark.graft.scd2.onMissingClose", "count")).getOrElse("count")
         if (mode == "fail")
           throw new IllegalStateException(
             s"SCD2 batch for $targetTable carries $nMissing close event(s) " +
@@ -198,7 +209,16 @@ object Scd2 extends org.apache.spark.internal.Logging {
     * The first run snapshots the source (delivered as inserts) into
     * all-current rows; subsequent runs consume only row-level changes.
     * Returns the total missing-close count observed across the run's
-    * batches (0 for a well-formed feed; see [[applyBatch]]). */
+    * batches (0 for a well-formed feed; see [[applyBatch]]).
+    *
+    * Drift-detection surface by mode: the default
+    * (`spark.graft.scd2.onMissingClose=count`) probes the target only
+    * for DELETE and out-of-order closes — a routine update's
+    * same-version close/open pair is satisfied in the fold, so a
+    * current row lost OUT OF BAND is silently absorbed by that key's
+    * next routine update. `onMissingClose=fail` widens the probe to
+    * same-version closes, keeping every drift loud at the cost of a
+    * column-pruned target-key read per update batch. */
   def maintain(spark: SparkSession, sourceTable: String, targetTable: String,
                keyCols: Seq[String], attrCols: Seq[String],
                checkpoint: String): Long = {

@@ -46,9 +46,13 @@ import graft.sources.{ManifestTable, Versioned}
   * (Catalyst extracts equi-keys from the ON condition; the smaller side —
   * typically the staging batch — broadcasts under AQE) plus one map-side
   * projection. The multi-match guard the SQL standard requires ("a target
-  * row matched by several source rows is an error") is a window count
-  * partitioned by a per-target-row unique id — high cardinality, tiny
-  * groups, no skewable partition — and can be disabled via
+  * row matched by several source rows is an error") costs NO post-join
+  * shuffle when the ON condition splits into equi pairs plus one-sided
+  * conjuncts (the overwhelmingly common shape): per-key match counts are
+  * windowed over the SOURCE before the join ([[sourceSideNm]]) and the
+  * violation reads off the joined row. Residual cross-side conditions
+  * fall back to a window count partitioned by a per-target-row unique id
+  * — high cardinality, tiny groups, no skewable partition. Disable via
   * `spark.graft.merge.multiMatchCheck=false` when the source is known
   * key-unique (e.g. the output of a groupBy on the merge key).
   *
@@ -118,6 +122,103 @@ object MergeInto {
     * a rewritten copy of it. */
   private case class Target(name: String, alias: String,
                             backing: Option[Backing], df: DataFrame)
+
+  /** A MERGE condition's top-level conjuncts, classified for the scale
+    * paths: `equi` — `target.col = source.col` attribute pairs (resolved
+    * case-insensitively, qualified by the statement's aliases or
+    * unambiguous bare names); `sourceOnly` / `targetOnly` — conjuncts
+    * whose column references all live on one side (literal-only conjuncts
+    * count as source-only); `residual` — true when ANY conjunct escapes
+    * the classification (cross-side non-equi terms, ambiguous names),
+    * in which case consumers must fall back to post-join machinery. */
+  private[plans] case class CondSplit(equi: Seq[(String, String)],
+                                      sourceOnly: Seq[Expression],
+                                      targetOnly: Seq[Expression],
+                                      residual: Boolean)
+
+  private[plans] def splitCondition(cond: Expression,
+                                    targetCols: Seq[String], targetAlias: String,
+                                    sourceCols: Seq[String],
+                                    sourceAlias: Option[String]): CondSplit = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x          => Seq(x)
+    }
+    // classify an attribute's side by its qualifier (last qualifier part
+    // vs the statement aliases) or, unqualified, by UNAMBIGUOUS column
+    // membership; None = unknowable (shared name, foreign qualifier)
+    def sideOf(nameParts: Seq[String]): Option[(Char, String)] = {
+      val name = nameParts.last
+      val tName = targetCols.find(_.equalsIgnoreCase(name))
+      val sName = sourceCols.find(_.equalsIgnoreCase(name))
+      if (nameParts.length >= 2) {
+        val q = nameParts(nameParts.length - 2)
+        if (q.equalsIgnoreCase(targetAlias)) tName.map(('t', _))
+        else if (sourceAlias.exists(q.equalsIgnoreCase)) sName.map(('s', _))
+        else None
+      } else (tName, sName) match {
+        case (Some(t), None) => Some(('t', t))
+        case (None, Some(s)) => Some(('s', s))
+        case _               => None
+      }
+    }
+    def attrSide(e: Expression): Option[(Char, String)] = e match {
+      case u: UnresolvedAttribute => sideOf(u.nameParts)
+      case a: Attribute           => sideOf(Seq(a.name))
+      case _                      => None
+    }
+    // the set of sides a conjunct's references live on; None = unknowable
+    def refSides(e: Expression): Option[Set[Char]] = {
+      val sides = e.collect {
+        case u: UnresolvedAttribute => sideOf(u.nameParts).map(_._1)
+        case a: Attribute           => sideOf(Seq(a.name)).map(_._1)
+      }
+      if (sides.exists(_.isEmpty)) None else Some(sides.flatten.toSet)
+    }
+    val equi = Vector.newBuilder[(String, String)]
+    val so = Vector.newBuilder[Expression]
+    val to = Vector.newBuilder[Expression]
+    var residual = false
+    def classifyOneSide(c: Expression): Unit = refSides(c) match {
+      case Some(s) if s == Set('t') => to += c
+      case Some(s) if s.subsetOf(Set('s')) => so += c // incl. literal-only
+      case _ => residual = true
+    }
+    conjuncts(cond).foreach {
+      case c @ CEq(a, b) =>
+        (attrSide(a), attrSide(b)) match {
+          case (Some(('t', tc)), Some(('s', sc))) => equi += (tc -> sc)
+          case (Some(('s', sc)), Some(('t', tc))) => equi += (tc -> sc)
+          case _ => classifyOneSide(c)
+        }
+      case c => classifyOneSide(c)
+    }
+    CondSplit(equi.result(), so.result(), to.result(), residual)
+  }
+
+  /** The multi-match guard's SOURCE-SIDE fast path: per-key match counts
+    * computed on the source BEFORE the join — a window over the (small)
+    * source relation instead of a full-relation shuffle of the joined
+    * output. Sound exactly when the condition splits cleanly: for a
+    * matched target row, its true match count equals the number of
+    * source rows sharing its equi-key values and passing the source-only
+    * conjuncts (the target-only conjuncts already held for the row to
+    * have joined). Returns the NM-annotated source, or None when the
+    * condition has residual cross-side terms (consumers fall back to the
+    * per-target-row window over the joined relation). */
+  private def sourceSideNm(split: CondSplit, s: DataFrame): Option[DataFrame] =
+    if (split.residual) None
+    else scala.util.Try {
+      val pred = split.sourceOnly.map(GraftColumnBridge.column)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      // empty equi: every passing source row matches every passing target
+      // row, so the count is global — an empty partitionBy models that
+      val parts = split.equi.map { case (_, sc) => s(sc) }
+      s.withColumn(NM,
+        sum(when(coalesce(pred, lit(false)), lit(1L)).otherwise(lit(0L)))
+          .over(Window.partitionBy(parts: _*)))
+    }.toOption
 
   private def resolveTarget(spark: SparkSession, plan: LogicalPlan): Target = {
     val (targetPlan, targetAlias) = splitAlias(plan)
@@ -464,7 +565,9 @@ object MergeInto {
     * scoping, null-key matching) must land in BOTH. */
   private def morRead(spark: SparkSession, root: String,
                       meta: graft.sources.v2.VersionedCatalog.Meta,
-                      alias: String): Option[DataFrame] = {
+                      alias: String,
+                      pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Option[DataFrame] = {
     if (!ManifestTable.exists(root)) return None
     // the DML's base snapshot: under `spark.graft.write.branch` (WAP
     // staging) this is the BRANCH head — a staged UPDATE must see the
@@ -473,8 +576,83 @@ object MergeInto {
       case Some(v) => v
       case None => return None
     }
-    val (delEntries, dataEntries) = ManifestTable.entries(root, baseVer)
+    val (delEntries0, dataEntries0) = ManifestTable.entries(root, baseVer)
       .partition(e => ManifestTable.isDeleteEntry(e.rel))
+    // SOURCE-KEY RUNTIME PRUNING (MERGE's target read): drop data files
+    // whose per-file manifest stats PROVE no source join key can match —
+    // the manifest-level twin of `runtime_prune_join`'s scan pruning. A
+    // selective MERGE on a big table then reads only the files its
+    // staging batch can touch; untouched files carry by reference (the
+    // merge-on-read commit keeps them by default). Sound because
+    // [[FileStats.mayContain]] is conservative (missing stats keep the
+    // file) and a pruned-out file provably holds no matched row — sOnly
+    // classification stays exact (a source key absent from EVERY file is
+    // still not-matched). Callers only pass filters when no NOT MATCHED
+    // BY SOURCE clause exists (those touch every target row). When every
+    // file prunes out, ONE smallest file is kept: the merge still needs
+    // a correctly-typed target leg, and a single file is noise at any
+    // scale.
+    val dataEntries =
+      if (pruneFilters.isEmpty || dataEntries0.isEmpty) dataEntries0
+      else {
+        // IDENTITY partition values are directory names, not footer
+        // columns — fold each entry's `k=v` path segments in as exact
+        // min=max pseudo-stats so the join keys prune at the PARTITION
+        // as well as the file level (integer and string identity columns
+        // only: their directory string IS the canonical bound encoding;
+        // other types skip, conservative)
+        val partTags: Map[String, Char] = meta.physicalSchema.fields
+          .flatMap(f => graft.sources.FileStats.tagOf(f.dataType)
+            .filter(t => t == 'l' || t == 's').map(f.name.toLowerCase -> _))
+          .toMap
+        def dec(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
+          java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
+        def dirStats(rel: String): Map[String, graft.sources.FileStats.ColStats] =
+          ManifestTable.plainRel(rel).split('/').dropRight(1).toSeq.flatMap { seg =>
+            val i = seg.indexOf('=')
+            if (i <= 0) Nil
+            else {
+              val k = dec(seg.substring(0, i)).toLowerCase
+              val v = dec(seg.substring(i + 1))
+              partTags.get(k) match {
+                case Some(t) if v != "__HIVE_DEFAULT_PARTITION__" &&
+                    (t != 'l' || scala.util.Try(v.toLong).isSuccess) =>
+                  Seq(k -> graft.sources.FileStats.ColStats(
+                    t, Some(v), Some(v), Some(0L)))
+                case _ => Nil
+              }
+            }
+          }.toMap
+        val kept = dataEntries0.filter { e =>
+          val st = dirStats(e.rel) ++
+            graft.sources.FileStats.decode(e.stats.getOrElse(""))
+          pruneFilters.forall(f => graft.sources.FileStats.mayContain(st, f))
+        }
+        if (kept.nonEmpty) kept
+        else Seq(dataEntries0.minBy(e =>
+          graft.sources.FileStats.byteSize(
+            graft.sources.FileStats.decode(e.stats.getOrElse("")))
+            .map(_._1).getOrElse(Long.MaxValue)))
+      }
+    // narrow the delete backlog to artifacts that can touch the kept
+    // files (positional entries name their targets; equality deletes and
+    // list-less legacy entries stay conservatively) — a pruned merge
+    // must not pay the whole table's tombstone backlog
+    val delEntries =
+      if (dataEntries.size == dataEntries0.size) delEntries0
+      else {
+        val keptEnc = dataEntries.flatMap(e => Seq(
+          ManifestTable.encodedRel(root, e.rel),
+          ManifestTable.plainRel(e.rel), e.rel)).toSet
+        def decT(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
+          java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
+        delEntries0.filter(e =>
+          ManifestTable.isEqDeleteEntry(e.rel) ||
+            (ManifestTable.deleteTouchedRels(e) match {
+              case Some(ts) => ts.exists(t => keptEnc(t) || keptEnc(decT(t)))
+              case None => true // unknown targets: keep, never drop a tombstone
+            }))
+      }
     val dataRels = dataEntries.map(_.rel)
     if (dataRels.isEmpty) return None
     // schema-pinned direct parquet read: evolution-added columns null-fill
@@ -578,26 +756,47 @@ object MergeInto {
     *
     * Clause semantics mirror [[mergeResult]] exactly (declaration-order
     * WHEN chain, star actions, NOT MATCHED BY SOURCE, the multi-match
-    * guard). Change-feed contract: the commit has the tombstones+adds
-    * shape, so ALL its events surface as update_preimage/postimage pairs
-    * — the per-row insert-vs-update label is coarser than Delta's CDC
-    * sidecar files would give, but birth/death semantics (what signed
-    * folds and SCD2 consume) stay exact. */
+    * guard). Change-feed contract: the commit records its outcome
+    * classes SPLIT — NOT-MATCHED inserts as `__op=insert`-stamped adds,
+    * DELETE kills as `dv_del_` tombstones, rewrites as plain adds paired
+    * with their preimage tombstones — so `tbl.changes` serves true
+    * per-row insert/update/delete labels (Delta CDC's per-row fidelity)
+    * instead of folding everything into update pre/post pairs. The
+    * labels survive shards and clones (they live in entry names/stats);
+    * a later `rewrite_deletes` merge folds labeled tombstones into plain
+    * blobs, so delete labels are promised for windows read before
+    * delete maintenance — birth/death folds stay exact either way. */
   private def morMerge(spark: SparkSession, tgt: Target, root: String,
                        source0: DataFrame, m: MergeIntoTable): Boolean = {
     val meta = graft.sources.v2.VersionedCatalog.readMeta(root) match {
       case Some(x) => x
       case None => return false
     }
-    val logical = morRead(spark, root, meta, tgt.alias) match {
+    val targetCols = tgt.df.columns.toSeq
+    val schema = tgt.df.schema
+    val split = splitCondition(m.mergeCondition, targetCols, tgt.alias,
+      source0.columns.toSeq, splitAlias(m.sourceTable)._2)
+    // SOURCE-KEY pruning of the target read: compute the staging batch's
+    // key sets/bounds (small jobs over the source) and let morRead drop
+    // files that provably hold no match. Disabled whenever a NOT MATCHED
+    // BY SOURCE clause needs every target row.
+    val pruneFilters: Seq[org.apache.spark.sql.sources.Filter] =
+      if (m.notMatchedBySourceActions.nonEmpty ||
+          !spark.conf.get("spark.graft.merge.targetPrune", "true").toBoolean) Nil
+      else sourceKeyFilters(split.equi, source0, meta, spark)
+    val logical = morRead(spark, root, meta, tgt.alias, pruneFilters) match {
       case Some(df) => df
       case None => return false // empty table: CoW path inserts exactly
     }
-    val targetCols = tgt.df.columns.toSeq
-    val schema = tgt.df.schema
     val t = logical.withColumn(TP, lit(true))
     val s = source0.withColumn(SP, lit(true))
-    val joined = t.join(s, GraftColumnBridge.column(m.mergeCondition), "full_outer")
+    val doCheck =
+      spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
+    // multi-match guard fast path: match counts windowed over the SOURCE
+    // before the join (see [[sourceSideNm]]) — no post-join shuffle
+    val sNm = if (doCheck) sourceSideNm(split, s) else None
+    val joined = t.join(sNm.getOrElse(s),
+      GraftColumnBridge.column(m.mergeCondition), "full_outer")
     val matched = col(TP).isNotNull && col(SP).isNotNull
     val tOnly   = col(TP).isNotNull && col(SP).isNull
     val sOnly   = col(TP).isNull
@@ -638,12 +837,18 @@ object MergeInto {
     })
 
     // same multi-match discipline as the CoW path: a target row matched
-    // by >1 source rows is a loud error, keyed on the MOR row identity
-    val doCheck =
-      spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
+    // by >1 source rows is a loud error. Fast path: the pre-join source
+    // window (sNm) — violation reads off the joined row with no further
+    // shuffle; fallback (residual cross-side conditions): the per-target-
+    // row window over the joined relation, keyed on the MOR row identity
     val guarded =
       if (!doCheck) joined.withColumn(ACT, act)
-      else {
+      else if (sNm.isDefined) {
+        val violate = col(TP).isNotNull && col(NM) > 1
+        joined.withColumn(ACT, when(violate, raise_error(concat(
+          lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
+          lit(" source rows"))).cast("string")).otherwise(act))
+      } else {
         val withPk = joined.withColumn(PK,
           when(col(TP).isNotNull,
             concat_ws(":", col("__mor_rel"), col("__mor_pos")))
@@ -657,32 +862,120 @@ object MergeInto {
           lit(" source rows"))).cast("string")).otherwise(act))
       }
     // one materialized classification feeds BOTH halves of the commit
-    val out = guarded.where(col(ACT).isNotNull)
+    val preOut = guarded.where(col(ACT).isNotNull)
       .select((col(ACT) +: col("__mor_rel") +: col("__mor_pos") +:
         targetCols.map(c =>
           whenChain(b => b.out.map(_(c)).getOrElse(lit(null)))
             .cast(schema(c).dataType).as(c))): _*)
-      .localCheckpoint(true)
-    if (out.isEmpty) return true // nothing matched a clause: no-op
-    val tombstones = out.where(col(ACT).isin("u", "d"))
+    val out = preOut.localCheckpoint(true)
+    // the verdict registry: how many target data files the merge's
+    // EXECUTED plan actually opened vs the table's live data files — the
+    // evidence behind the `mor_merge_prune` oracle's plan assertion
+    scala.util.Try(recordMergeScan(spark, root, preOut))
+    // ONE checkpoint-local pass classifies the outcome (emptiness per
+    // action class) instead of four separate scans
+    val actCounts: Map[String, Long] = out.groupBy(col(ACT))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nU, nD, nI) = (actCounts.getOrElse("u", 0L),
+      actCounts.getOrElse("d", 0L), actCounts.getOrElse("i", 0L))
+    if (nU + nD + nI == 0) return true // nothing matched a clause: no-op
+    def tombsOf(acts: String*) = out.where(col(ACT).isin(acts: _*))
       .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
-    val fresh = out.where(col(ACT).isin("u", "i"))
-      .select(targetCols.map(col): _*)
     // insert-only outcome: appendWithDeletes degrades to a plain append
     // commit (falling back to copy-on-write here would FULL-REWRITE a
-    // tombstone-carrying table for a batch that touched nothing)
-    if (fresh.isEmpty) // delete-only merge: a pure tombstone commit
-      ManifestTable.appendDeletes(tombstones, root, retain = retainOf(spark, root))
+    // tombstone-carrying table for a batch that touched nothing).
+    // Otherwise the three outcome classes commit SPLIT — rewrites as
+    // plain adds paired with their preimage tombstones, inserts as
+    // `__op=insert` adds, DELETE kills as `dv_del_` tombstones — so the
+    // change feed serves true per-row insert/update/delete labels
+    // (Delta CDC's per-row fidelity) from one atomic commit.
+    if (nU + nI == 0) // delete-only merge: a pure tombstone commit
+      ManifestTable.appendDeletes(tombsOf("d"), root, retain = retainOf(spark, root))
     else {
-      val checked = graft.sources.v2.VersionedCatalog.withChecks(fresh, root, tgt.name)
-      ManifestTable.appendWithDeletes(toPhysical(root, checked), tombstones, root,
+      def checkedRows(acts: String*) = toPhysical(root,
+        graft.sources.v2.VersionedCatalog.withChecks(
+          out.where(col(ACT).isin(acts: _*)).select(targetCols.map(col): _*),
+          root, tgt.name))
+      ManifestTable.appendWithDeletes(checkedRows("u"), tombsOf("u"), root,
         retain = retainOf(spark, root),
         partitionDayOf = meta.dayOf.map(meta.physicalName),
         format = Some(meta.format),
         partitionExpr = graft.sources.v2.VersionedCatalog.partDeriveExpr(meta),
-        partitionCols = meta.identityCols.map(meta.physicalName))
+        partitionCols = meta.identityCols.map(meta.physicalName),
+        insertRows = if (nI > 0) Some(checkedRows("i")) else None,
+        deleteTombstones = if (nD > 0) Some(tombsOf("d")) else None,
+        dfIsEmpty = nU == 0)
     }
     true
+  }
+
+  /** The staging batch's join-key sets/bounds as v1 pushdown filters for
+    * [[morRead]]'s manifest pruning: per equi key column, the source's
+    * DISTINCT non-null values as an `In` filter when they fit the cap
+    * (`spark.graft.merge.pruneMaxKeys`, default 1000 — an In verdict per
+    * file is linear in the set), else its [min, max] bounds. A source
+    * with NO non-null keys can match nothing — `AlwaysFalse` prunes every
+    * file (the merge is then pure inserts over morRead's single kept
+    * file). Filters speak PHYSICAL column names (what file stats carry).
+    * Cost: one distinct-limit (or min/max) job per key column over the
+    * staging batch — the side that is small by construction; the payoff
+    * is the target table NOT being read. Any resolution failure returns
+    * no filter for that column (pruning is optional, the join is the
+    * truth). */
+  private def sourceKeyFilters(equi: Seq[(String, String)], source0: DataFrame,
+                               meta: graft.sources.v2.VersionedCatalog.Meta,
+                               spark: SparkSession)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.{sources => f}
+    if (equi.isEmpty) return Nil
+    val cap = spark.conf.get("spark.graft.merge.pruneMaxKeys", "1000").toInt
+    equi.flatMap { case (tCol, sCol) =>
+      scala.util.Try {
+        val phys = meta.physicalName(tCol)
+        val sc = source0(sCol)
+        val vals = source0.select(sc).where(sc.isNotNull).distinct()
+          .limit(cap + 1).collect().map(_.get(0))
+        if (vals.isEmpty) Seq(f.AlwaysFalse(): f.Filter)
+        else if (vals.length <= cap) Seq(f.In(phys, vals): f.Filter)
+        else {
+          val r = source0.agg(min(sc), max(sc)).collect()(0)
+          Seq(f.GreaterThanOrEqual(phys, r.get(0)): f.Filter,
+            f.LessThanOrEqual(phys, r.get(1)): f.Filter)
+        }
+      }.getOrElse(Nil)
+    }
+  }
+
+  /** Executed-plan scan evidence of the LAST merge against each root:
+    * (target data files the merge's classification plan opened, live
+    * data files in the table). Keyed by root so concurrent merges on
+    * different tables never race; read by the `mor_merge_prune` oracle
+    * query and the pruning specs. */
+  private[graft] val lastMergeScan =
+    new ConcurrentHashMap[String, (Long, Long)]()
+
+  private def recordMergeScan(spark: SparkSession, root: String,
+                              executed: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def files(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+      case _ => p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+        case q: QueryStageExec => files(q.plan)
+        case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+      }.flatten
+    }
+    val bases = Seq(s"$root/data/") ++
+      graft.sources.ManifestTable.cloneSrcOf(root).map(_ + "/").toSeq
+    val opened = files(executed.queryExecution.executedPlan).distinct
+      .filter(p => bases.exists(p.contains) &&
+        !p.contains("/__deletes/")).size.toLong
+    val total = ManifestTable.liveEntries(root)
+      .count(e => !ManifestTable.isDeleteEntry(e.rel)).toLong
+    lastMergeScan.put(root, (opened, total))
   }
 
   /** Merge-on-read UPDATE: ONE atomic commit of tombstones for the
@@ -904,7 +1197,19 @@ object MergeInto {
       .withColumn(TID, monotonically_increasing_id())
       .withColumn(TP, lit(true))
     val s = source.withColumn(SP, lit(true))
-    val joined = t.join(s, GraftColumnBridge.column(m.mergeCondition), "full_outer")
+    val doCheck =
+      spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
+    // multi-match guard fast path: match counts windowed over the SOURCE
+    // before the join (see [[sourceSideNm]]) — the guard then costs one
+    // small source-side shuffle instead of re-shuffling the FULL joined
+    // relation (untouched target rows included) through a window
+    val sNm =
+      if (doCheck)
+        sourceSideNm(splitCondition(m.mergeCondition, targetCols, targetAlias,
+          source.columns.toSeq, splitAlias(m.sourceTable)._2), s)
+      else None
+    val joined = t.join(sNm.getOrElse(s),
+      GraftColumnBridge.column(m.mergeCondition), "full_outer")
 
     val matched = col(TP).isNotNull && col(SP).isNotNull
     val tOnly   = col(TP).isNotNull && col(SP).isNull
@@ -938,14 +1243,20 @@ object MergeInto {
         (acc, b) => acc.when(b.pred, value(b))
       }
 
-    val doCheck =
-      spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
     val keep0 = whenChain(b => lit(b.out.isDefined))
     val (guarded, keepCol) =
-      if (doCheck) {
-        // unique partition key per target row; source-only rows get their
-        // own negative ids so no window partition ever exceeds the match
-        // count of a single target row (no skew at any scale)
+      if (!doCheck) (joined, keep0)
+      else if (sNm.isDefined) {
+        // fast path: NM rode in from the pre-join source window
+        val violate = col(TP).isNotNull && col(NM) > 1
+        (joined, when(violate, raise_error(concat(
+          lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
+          lit(" source rows"))).cast("boolean")).otherwise(keep0))
+      } else {
+        // fallback (residual cross-side conditions): unique partition key
+        // per target row; source-only rows get their own negative ids so
+        // no window partition ever exceeds the match count of a single
+        // target row (no skew at any scale)
         val withPk = joined
           .withColumn(PK, coalesce(col(TID), -monotonically_increasing_id() - 1))
         val withNm = withPk
@@ -954,7 +1265,7 @@ object MergeInto {
         (withNm, when(violate, raise_error(concat(
           lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
           lit(" source rows"))).cast("boolean")).otherwise(keep0))
-      } else (joined, keep0)
+      }
 
     guarded
       .withColumn(KEEP, keepCol)

@@ -83,6 +83,27 @@ object FileStats {
   def withSort(encoded: Option[String], spec: String): Option[String] =
     Some(encode(encoded.map(decode).getOrElse(Map.empty) + sortEntry(spec)))
 
+  /** Reserved pseudo-column carrying the ROW-LEVEL OPERATION the file's
+    * rows represent within their commit (encoded as an `s` entry with
+    * min = max = label). Stamped by the merge-on-read MERGE on its
+    * NOT-MATCHED insert files so the change feed can serve them as true
+    * `insert` events instead of folding them into the commit's
+    * update_postimage pairs (Delta CDC's per-row labels). Absent =
+    * unlabeled, classified by the commit's manifest shape as before. */
+  val OpKey = "__op"
+
+  private[sources] def opEntry(label: String): (String, ColStats) =
+    OpKey -> ColStats('s', Some(label), Some(label), Some(0L))
+
+  /** The file's row-operation label, if stamped. */
+  def opLabel(decoded: Map[String, ColStats]): Option[String] =
+    decoded.get(OpKey).flatMap(_.min)
+
+  /** Fold a row-operation label into encoded stats (creating a stats
+    * string when footer stats were off/unavailable). */
+  def withOp(encoded: Option[String], label: String): Option[String] =
+    Some(encode(encoded.map(decode).getOrElse(Map.empty) + opEntry(label)))
+
   /** Reserved pseudo-column carrying the file's BYTE LENGTH (min = max =
     * bytes) and, in the nulls slot, its pool move-in mtime — recorded at
     * commit so scan planning builds its file index from the manifest
@@ -578,6 +599,7 @@ object FileStats {
           case Some(c) if allNullProven(c) => false
           case _ => true
         }
+      case sources.AlwaysFalse() => false // provably-empty probe side
       case sources.StringStartsWith(a, prefix) if asciiOnly(prefix) =>
         (for {
           c <- col(a); mnS <- c.min; mxS <- c.max

@@ -240,6 +240,20 @@ object ManifestTable {
   def isDvEntry(rel: String): Boolean =
     plainRel(rel).startsWith(s"$DeleteDir/dv_")
 
+  /** True for DELETE-LABELED deletion vectors — the tombstones a
+    * merge-on-read MERGE writes for rows its DELETE clauses killed, as
+    * opposed to the rewrite preimages of its UPDATE clauses (plain
+    * `dv_`). The change feed serves labeled tombstones as true `delete`
+    * events even though the commit also added files; everything else
+    * treats them as ordinary deletion vectors. The label lives in the
+    * rel NAME so it survives shards, clones and manifests untouched; a
+    * later `rewrite_deletes` merge folds labeled and plain artifacts
+    * into one plain blob, so per-row delete labels are only promised for
+    * windows read before delete maintenance runs (the per-slice VERSIONS
+    * stay exact either way). */
+  def isDeleteLabeledDv(rel: String): Boolean =
+    plainRel(rel).startsWith(s"$DeleteDir/dv_del_")
+
   /** True for EQUALITY-delete entries (`__deletes/eq_*.parquet`): parquet
     * files whose columns ARE the retraction key — every row of an older
     * data file matching a key row is deleted, no positions needed. This is
@@ -1866,30 +1880,64 @@ object ManifestTable {
     * of the touched rows plus their REWRITTEN versions as new data files,
     * published in ONE atomic commit — base ∪ tombstones ∪ new files.
     * Commit cost follows the touched rows, never the table; readers see
-    * either the pre-update snapshot or the complete post-update one. */
+    * either the pre-update snapshot or the complete post-update one.
+    *
+    * PER-ROW CHANGE-FEED LABELS (Delta CDC's per-row fidelity): a MERGE
+    * caller splits its outcome three ways and this commit records each —
+    *  - `df`: rewritten versions of UPDATE-matched rows (plain entries;
+    *    the feed pairs them with `tombstones` as update pre/postimages);
+    *  - `insertRows`: NOT-MATCHED inserts, stamped `__op=insert` in
+    *    their manifest stats ([[FileStats.OpKey]]) so the feed serves
+    *    them as true `insert` events;
+    *  - `deleteTombstones`: positions DELETE clauses killed, written as
+    *    `dv_del_*` blobs ([[isDeleteLabeledDv]]) so the feed serves them
+    *    as true `delete` events.
+    * All land in the ONE atomic commit. `None` everywhere = the plain
+    * UPDATE shape, classified by manifest shape exactly as before. */
   def appendWithDeletes(df: DataFrame, tombstones: DataFrame, root: String,
                         retain: Int = 2,
                         partitionDayOf: Option[String] = None,
                         format: Option[String] = None,
                         partitionExpr: Option[(String, org.apache.spark.sql.Column)] = None,
-                        partitionCols: Seq[String] = Nil): Long = {
+                        partitionCols: Seq[String] = Nil,
+                        insertRows: Option[DataFrame] = None,
+                        deleteTombstones: Option[DataFrame] = None,
+                        dfIsEmpty: Boolean = false): Long = {
     val fmt = format.orElse(formatOf(root)).getOrElse("parquet")
     val counts = touchedCountsOf(tombstones)
-    val touched = counts.keySet
-    val freshData = writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
+    val delCounts = deleteTombstones.map(touchedCountsOf).getOrElse(Map.empty)
+    val touched = counts.keySet ++ delCounts.keySet
+    // `dfIsEmpty` skips the rewrite pool write when the CALLER already
+    // knows df carries no rows (a delete+insert-only MERGE) — a zero-row
+    // pool write would stage an empty file the manifest must never carry
+    val freshData =
+      if (dfIsEmpty) PoolWrite(Nil, None)
+      else writePool(df, root, partitionDayOf, fmt, partitionExpr, partitionCols)
+    val freshIns = insertRows.map { d =>
+      val w = writePool(d, root, partitionDayOf, fmt, partitionExpr, partitionCols)
+      w.copy(entries = w.entries.map(e =>
+        e.copy(stats = FileStats.withOp(e.stats, "insert"))))
+    }
     // EMPTY tombstones degrade to a plain append (an insert-only MERGE
     // outcome): no delete blob, no tombstone liveness check, and the
     // commit labels "append" so the change feed serves plain inserts
     // instead of fabricating an update-shaped version
     val freshDel =
-      if (counts.isEmpty) Nil else writeDvPoolDirect(tombstones, root, counts)
-    val op = if (counts.isEmpty) "append" else "update"
-    val zone = writeZoneOf(df, partitionDayOf)
+      (if (counts.isEmpty) Nil else writeDvPoolDirect(tombstones, root, counts)) ++
+        (if (delCounts.isEmpty) Nil
+         else writeDvPoolDirect(deleteTombstones.get, root, delCounts,
+           namePrefix = "dv_del_"))
+    val op = if (touched.isEmpty) "append" else "update"
+    val zone = writeZoneOf(if (dfIsEmpty) insertRows.getOrElse(df) else df,
+      partitionDayOf)
+    val ndv = (freshData.ndv.toSeq ++ freshIns.flatMap(_.ndv).toSeq)
+      .reduceOption(NdvStats.merge)
     commitLoop(root, retain, rebase = true) { base =>
       if (touched.nonEmpty) requireTombstonedFilesLive(root, base, touched)
-      Planned(base.inline ++ freshDel ++ freshData.entries,
+      Planned(base.inline ++ freshDel ++ freshData.entries ++
+        freshIns.toSeq.flatMap(_.entries),
         base.props ++ mergeZoneProp(base.props, zone) + (OpProp -> op),
-        carried = base.refs, ndv = freshData.ndv)
+        carried = base.refs, ndv = ndv)
     }
   }
 
@@ -1929,7 +1977,8 @@ object ManifestTable {
     * delete-versions carry [[DeleteVectors.SeqSentinel]]; the commit
     * loop stamps them with the version the claim wins. */
   private def writeDvPoolDirect(tombstones: DataFrame, root: String,
-                                touched: Map[String, Long]): Seq[FileEntry] = {
+                                touched: Map[String, Long],
+                                namePrefix: String = "dv_"): Seq[FileEntry] = {
     val spark = tombstones.sparkSession
     import spark.implicits._
     val stageDir = s"$root/stage/dvw_${UUID.randomUUID().toString.take(12)}"
@@ -1986,7 +2035,7 @@ object ManifestTable {
         }
       }.collect().toSeq
     val fresh = written.map { case (stagePath, sl) =>
-      val rel = s"$DeleteDir/dv_${UUID.randomUUID().toString.take(16)}.bin"
+      val rel = s"$DeleteDir/$namePrefix${UUID.randomUUID().toString.take(16)}.bin"
       MetaIO.rename(stagePath, s"$root/data/$rel")
       MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
       FileEntry(rel, Some(DeleteVectors.encodeIndex(sl.map { case (f, off, len, n) =>
@@ -2940,9 +2989,12 @@ object ManifestTable {
     * survival of later re-inserts — is exactly preserved.
     *
     * Contract limits (each refused loudly):
-    *  - the source must not itself hold `ext/` entries (a clone of a
-    *    clone would need two external bases; OPTIMIZE the intermediate
-    *    clone to localize, then clone it);
+    *  - a DIVERGED clone source (live local files mixed with `ext/`
+    *    references — two pools, one `_clone_src` slot) cannot clone;
+    *    OPTIMIZE it to localize, then clone. An UNDIVERGED clone source
+    *    (all-ext) clones fine: the new clone FLATTENS to the original
+    *    base, so chains never deepen and the intermediate stays
+    *    droppable;
     *  - `dstRoot` must have no committed version.
     *
     * The documented lifecycle hazard is Delta's own: expiring snapshots /
@@ -2957,8 +3009,19 @@ object ManifestTable {
     val srcLive = currentVersion(srcRoot).getOrElse(throw new IllegalStateException(
       s"no committed version under $srcRoot — nothing to clone"))
     val es = entries(srcRoot, srcLive)
-    require(!es.exists(e => isExtEntry(e.rel)),
-      s"$srcRoot is itself a shallow clone with live ext/ entries; " +
+    // CLONE OF A CLONE flattens: a source whose live set is ALL ext/
+    // entries (an undiverged clone — the second-generation dev-branch
+    // shape) clones against the ORIGINAL base: its ext rels are already
+    // source-relative to that base and carry verbatim, so the new clone
+    // references ONE pool and never depends on the intermediate clone's
+    // lifetime (dropping the intermediate cannot break it). Only a
+    // DIVERGED clone — local appends/DML mixed with ext references, two
+    // pools where the _clone_src slot holds one — is genuinely
+    // unresolvable and refused.
+    val (ext, local) = es.partition(e => isExtEntry(e.rel))
+    require(ext.isEmpty || local.isEmpty,
+      s"$srcRoot is a DIVERGED shallow clone (live local files mixed with " +
+        "ext/ references — two source pools, one _clone_src slot); " +
         "OPTIMIZE it to localize, then clone")
     (srcLive, es)
   }
@@ -2970,9 +3033,18 @@ object ManifestTable {
     val (srcLive, es) = prevalidated.getOrElse(validateCloneSource(srcRoot))
     require(currentVersion(dstRoot).isEmpty,
       s"$dstRoot already has committed versions; clone targets a fresh root")
+    // clone-of-clone FLATTENS: an all-ext source (undiverged clone)
+    // resolves to ITS base pool — the new clone's _clone_src names the
+    // original base, the carried rels stay base-relative, and the
+    // intermediate clone can be dropped without breaking this one
+    val baseData =
+      if (es.nonEmpty && es.forall(e => isExtEntry(e.rel)))
+        cloneSrcOf(srcRoot).getOrElse(throw new IllegalStateException(
+          s"$srcRoot carries ext/ manifest entries but no _clone_src sidecar"))
+      else s"$srcRoot/data"
     // immutable for the table's life — written before the manifest so a
     // reader can never see ext/ entries without their base
-    MetaIO.writeAtomic(s"$dstRoot/_clone_src", s"$srcRoot/data")
+    MetaIO.writeAtomic(s"$dstRoot/_clone_src", baseData)
     cloneSrcCache.remove(dstRoot) // a dropped+recreated root must re-read
     // DV slice indexes embed PER-SECTION delete versions — SOURCE-table
     // numbers that mean nothing in the clone's version space: left
@@ -3015,7 +3087,9 @@ object ManifestTable {
           .map(idx => DeleteVectors.encodeIndex(idx.map(sl =>
             sl.copy(seq = rank(sl.seq)))))
           .getOrElse(s))
-      FileEntry(ExtPrefix + e.rel, stats,
+      // an already-ext rel (clone-of-clone) carries VERBATIM: it is
+      // base-relative to the flattened _clone_src written above
+      FileEntry(if (isExtEntry(e.rel)) e.rel else ExtPrefix + e.rel, stats,
         seq = if (hasEq) Some(rank(e.seq.getOrElse(0L))) else None)
     }
     // the clone commit's version: 1 on a fresh root, or k+1 above the
@@ -3042,8 +3116,22 @@ object ManifestTable {
       if (es.exists(e => isDeleteEntry(e.rel)))
         Map(ChangeProp -> cloneV.toString)
       else Map.empty[String, String]
-    val v = commitLoop(dstRoot, retain, rebase = false)(_ =>
-      Planned(extEntries, zp ++ cp + (OpProp -> "clone")))
+    val v = commitLoop(dstRoot, retain, rebase = false) { base =>
+      // the fresh-root and floor checks run INSIDE the loop, i.e. BEFORE
+      // the manifest publishes: `cp` was computed from the PREDICTED
+      // clone version, and a raced dstRoot (foreign commit, foreign floor
+      // raise) must fail with nothing durable — the post-commit backstop
+      // below used to fire only after a wrongly-horizon-stamped clone was
+      // already committed
+      require(base.version.isEmpty,
+        s"$dstRoot was committed to while this clone staged; clone targets " +
+          "a fresh root")
+      require(highWaterMark(dstRoot) == cloneV - 1L,
+        s"$dstRoot's version floor moved while this clone staged (expected " +
+          s"${cloneV - 1}, found ${highWaterMark(dstRoot)}); was the fresh " +
+          "root raced?")
+      Planned(extEntries, zp ++ cp + (OpProp -> "clone"))
+    }
     require(v == cloneV, s"clone commit landed at v$v, expected v$cloneV " +
       "(the stamped change horizon would be wrong) — was the fresh root raced?")
     // statistics carry over: the source's resolved sketch at its live

@@ -74,9 +74,13 @@ object NdvStats {
   private def maxColumns: Int =
     Try(conf.getConfString("spark.graft.stats.ndv.maxColumns", "48").toInt).getOrElse(48)
 
-  /** Write-path KLL sampling stride: every Nth row per partition feeds
-    * the quantile sketches (1 = exact). Quantiles are estimates by
-    * construction — k=200's ~1.65% rank error dominates the systematic-
+  /** Write-path KLL sampling stride: ~1/N of each partition's rows feed
+    * the quantile sketches (1 = exact), selected by an aperiodic hash of
+    * the row ordinal — NOT a fixed `ordinal % N` phase, which is biased
+    * whenever the write order is periodic with a period sharing a factor
+    * with N (an `id % 4`-derived column written in order would yield a
+    * degenerate single-value histogram). Quantiles are estimates by
+    * construction — k=200's ~1.65% rank error dominates the hash-
     * sampling error on any write big enough to matter — and the stride
     * divides the histogram tier's per-row write tax by N. compute_stats
     * rebuilds stay exact (a full scan whose aggregate is codegen'd pays

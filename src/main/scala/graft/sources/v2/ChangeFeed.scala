@@ -58,6 +58,15 @@ import graft.sources.{FileStats, ManifestTable, SerializableHadoopConf}
   * per-slice versions, so merged tombstones stay attributed to their
   * update commits.
   *
+  * A merge-on-read MERGE refines the pairing PER ROW (Delta CDC's
+  * fidelity): its NOT-MATCHED insert files are stamped `__op=insert`
+  * ([[graft.sources.FileStats.OpKey]]) and serve as true `insert`
+  * events, its DELETE-clause kills land as `dv_del_*` tombstones
+  * ([[graft.sources.ManifestTable.isDeleteLabeledDv]]) and serve as true
+  * `delete` events — only the genuine rewrites surface as image pairs.
+  * Unlabeled artifacts (plain UPDATE/DELETE DML, pre-label history)
+  * classify by commit shape exactly as above.
+  *
   * File-REMOVING commits (copy-on-write DML, compaction, overwrite)
   * destroy the insert provenance of the rows they rewrote, so changes
   * are only served after the table's `lastChangeVersion` — exactly the
@@ -582,24 +591,29 @@ private[v2] object ChangeFeedPlanner {
     // (rewrite_deletes) keeps every tombstone attributed to its ORIGINAL
     // commit and the feed's windows stay exact across maintenance.
     def posPath(e: ManifestTable.FileEntry): String = ManifestTable.dataPath(root, e.rel)
-    val posUnits: Seq[(String, Long, Either[String, DvSlice])] = posAll.flatMap { e =>
-      if (ManifestTable.isDvEntry(e.rel))
-        graft.sources.DeleteVectors.decodeIndex(e.stats.getOrElse("")).getOrElse(
-          throw new IllegalStateException(s"dv entry ${e.rel} has no index"))
-          .map(s => (s.relEnc, s.seq,
-            Right(DvSlice(posPath(e), s.offset, s.len, s.seq))
-              : Either[String, DvSlice]))
-      else {
-        val touched = ManifestTable.deleteTouchedRels(e).getOrElse(
-          spark.read.parquet(posPath(e))
-            .select("__file").distinct().collect().map(_.getString(0)).toSet)
-        touched.toSeq.map(r =>
-          (r, seq0(e), Left(posPath(e)): Either[String, DvSlice]))
+    // the 4th element: DELETE-labeled artifact (a merge-on-read MERGE's
+    // DELETE-clause kills, `dv_del_*`) — served as true `delete` events
+    // even inside an update-shaped commit
+    val posUnits: Seq[(String, Long, Either[String, DvSlice], Boolean)] =
+      posAll.flatMap { e =>
+        val del = ManifestTable.isDeleteLabeledDv(e.rel)
+        if (ManifestTable.isDvEntry(e.rel))
+          graft.sources.DeleteVectors.decodeIndex(e.stats.getOrElse("")).getOrElse(
+            throw new IllegalStateException(s"dv entry ${e.rel} has no index"))
+            .map(s => (s.relEnc, s.seq,
+              Right(DvSlice(posPath(e), s.offset, s.len, s.seq))
+                : Either[String, DvSlice], del))
+        else {
+          val touched = ManifestTable.deleteTouchedRels(e).getOrElse(
+            spark.read.parquet(posPath(e))
+              .select("__file").distinct().collect().map(_.getString(0)).toSet)
+          touched.toSeq.map(r =>
+            (r, seq0(e), Left(posPath(e)): Either[String, DvSlice], del))
+        }
       }
-    }
-    def srcOf(units: Seq[(String, Long, Either[String, DvSlice])]): PosSource =
-      PosSource(units.collect { case (_, _, Left(p)) => p }.distinct,
-        units.collect { case (_, _, Right(s)) => s })
+    def srcOf(units: Seq[(String, Long, Either[String, DvSlice], Boolean)]): PosSource =
+      PosSource(units.collect { case (_, _, Left(p), _) => p }.distinct,
+        units.collect { case (_, _, Right(s), _) => s })
 
     // equality-delete specs (key columns resolved against the emitted
     // layout — data columns by the commit-path contract) plus each key
@@ -688,23 +702,36 @@ private[v2] object ChangeFeedPlanner {
       }
     } else {
       // inserts: the window's appended files, raw (later deletes are
-      // separate events); an update commit's new files are its postimages
+      // separate events); an update commit's new files are its
+      // postimages — EXCEPT files a merge-on-read MERGE stamped
+      // `__op=insert` (its NOT-MATCHED inserts), which serve as true
+      // `insert` events whatever the commit's shape
       dataAll.filter(e => seq0(e) > sV && seq0(e) <= eV).groupBy(seq0).foreach {
         case (s, es) =>
-          ctx.scanFor(es.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
-            out += ChangePartition(p, s, "insert", insertType(s), None,
-              PosSource.empty, Nil, PosSource.empty, Nil))
+          val (ins, rest) = es.partition(e =>
+            graft.sources.FileStats.opLabel(
+              graft.sources.FileStats.decode(e.stats.getOrElse("")))
+              .contains("insert"))
+          Seq((ins, "insert"), (rest, insertType(s)))
+            .filter(_._1.nonEmpty).foreach { case (grp, typ) =>
+              ctx.scanFor(grp.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
+                out += ChangePartition(p, s, "insert", typ, None,
+                  PosSource.empty, Nil, PosSource.empty, Nil))
+            }
       }
       // positional deletes: tombstoned rows of each target file, grouped
       // by DELETE VERSION (per-unit, so merged deletion vectors keep
-      // their original commits); excluded-key targets never emit
+      // their original commits) and by LABEL (a merge's DELETE-clause
+      // kills serve as `delete` even though the commit also added
+      // files); excluded-key targets never emit
       posUnits.filter(u => u._2 > sV && u._2 <= eV && !excludedEnc.contains(u._1))
-        .groupBy(_._2).toSeq.sortBy(_._1).foreach { case (s, units) =>
+        .groupBy(u => (u._2, u._4)).toSeq.sortBy(_._1).foreach { case ((s, del), units) =>
           units.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (relEnc, us) =>
             val target = encToRaw.getOrElse(relEnc, throw new IllegalStateException(
               s"change feed of $root: tombstoned file $relEnc is not live at v=$eV"))
             ctx.scanFor(Seq(target.rel)).toBatch.planInputPartitions().foreach(p =>
-              out += ChangePartition(p, s, "delete-pos", deleteType(s),
+              out += ChangePartition(p, s, "delete-pos",
+                if (del) "delete" else deleteType(s),
                 Some(relEnc), srcOf(us), Nil, suppressPosFor(relEnc, s),
                 suppressEqFor(seq0(target), s)))
           }

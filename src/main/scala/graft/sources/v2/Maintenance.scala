@@ -90,13 +90,20 @@ object Maintenance {
             meta.pastDays.isEmpty && meta.pastParts.isEmpty,
           s"$ident mixes partition layouts (spec evolution); run a full " +
             "OPTIMIZE (max_commits => 1) to re-home, then chunk")
-        require(zorderBy.isEmpty && whereDays.isEmpty,
-          "zorder_by/where_days do not compose with key-scoped OPTIMIZE " +
-            "on identity layouts yet; run them separately")
+        // where_days cannot apply (identity layouts have no day dirs);
+        // key ranges are what where_keys already scopes. zorder_by
+        // COMPOSES: each chunk Morton-clusters against its own slice's
+        // bounds and the order re-applies inside the pool write
+        // (rewriteOrder) — the gold `ano, mes` layout's resumable z-order
+        require(whereDays.isEmpty,
+          "where_days selects day partitions; identity layouts scope by " +
+            "where_keys instead")
+        if (zorderBy.nonEmpty) requireNoSortOrder(root, ident)
         return optimizePartialKeys(spark, root, meta, targetFileBytes,
           maxCommits, retainOf(spark, root),
           maxConcurrent = math.max(1, maxConcurrentRewrites),
-          keyInScope = keyInScope)
+          keyInScope = keyInScope,
+          zorderCols = zorderBy.map(meta.physicalName))
       }
       val pd = physDay.getOrElse(throw new IllegalArgumentException(
         s"$ident is not day-partitioned; partial-progress OPTIMIZE " +
@@ -352,12 +359,17 @@ object Maintenance {
     * ([[ManifestTable.readKeysPinned]] — no other key's file is opened),
     * re-clustered per key and committed through the key-replace path.
     * Same pin/conflict/retention discipline as the day variant (shared
-    * [[runChunks]] harness). */
+    * [[runChunks]] harness). With `zorderCols`, each chunk
+    * Morton-clusters against its OWN slice's bounds — range placement on
+    * (identity keys, zkey) here, within-file order re-applied inside the
+    * pool write (rewriteOrder) — the same discipline as the day variant,
+    * giving the reference gold's `ano, mes` layout a RESUMABLE z-order. */
   private def optimizePartialKeys(spark: SparkSession, root: String,
                                   meta: VersionedCatalog.Meta,
                                   targetFileBytes: Long, maxCommits: Int,
                                   retain: Int, maxConcurrent: Int,
-                                  keyInScope: String => Boolean = _ => true): Long = {
+                                  keyInScope: String => Boolean = _ => true,
+                                  zorderCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
     val v0 = ManifestTable.currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
@@ -383,12 +395,22 @@ object Maintenance {
     runChunks(root, v0, work, maxConcurrent) { chunk =>
       val keys = chunk.toSet
       val slice = ManifestTable.readKeysPinned(spark, root, v0, keys)
+      zorderCols.foreach(c => require(slice.columns.exists(_.equalsIgnoreCase(c)),
+        s"no such column $c"))
       val bytes = chunk.map(byKey).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      ManifestTable.replaceKeys(
-        slice.repartition(nFiles, physIds.map(col): _*),
+      val zkey = if (zorderCols.isEmpty) None else Some(zKeyOf(slice, zorderCols))
+      val clustered = zkey match {
+        case None => slice.repartition(nFiles, physIds.map(col): _*)
+        case Some(z) => slice.withColumn("__zkey", z)
+          .repartitionByRange(nFiles,
+            (physIds.map(col) :+ (col("__zkey"): org.apache.spark.sql.Column)): _*)
+          .drop("__zkey")
+      }
+      ManifestTable.replaceKeys(clustered,
         root, keys, partitionCols = physIds, retain = chunkRetain,
-        expectedVersion = Some(v0))
+        expectedVersion = Some(v0),
+        preclustered = zorderCols.nonEmpty, rewriteOrder = zkey)
     }
     ManifestTable.currentVersion(root).getOrElse(v0)
   }
@@ -603,9 +625,10 @@ object Maintenance {
     * the source pool, statistics sidecar carried. One metadata write
     * however large the source; the clone diverges freely (its writes land
     * locally) and OPTIMIZE localizes it. See [[ManifestTable.cloneTo]]
-    * for the contract limits (no clone-of-a-clone while ext entries
-    * live; equality backlogs clone via rank-compacted sequence
-    * carry-over) and the Delta-inherited
+    * for the contract limits (clone-of-a-clone FLATTENS to the original
+    * base when the intermediate is undiverged, refuses when it mixed
+    * local and ext files; equality backlogs clone via rank-compacted
+    * sequence carry-over) and the Delta-inherited
     * hazard: expiring the SOURCE's snapshots can remove files live
     * clones reference — fsck on the clone detects it. Returns the
     * clone's first version. */

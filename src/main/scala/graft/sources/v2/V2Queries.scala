@@ -481,6 +481,55 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Source-key runtime pruning of a MOR MERGE's target read (the r18
+    * headline scale fix — the reference's own silver upsert is a small
+    * staging batch MERGEd into an ever-growing Iceberg table every 12
+    * minutes, `/root/reference/dags/2_bronze_to_silver.py:278-293`): the
+    * full events land in an identity-partitioned MOR table, then a
+    * staging batch touching ONE of the five event types (updates for its
+    * div-5 rows, inserts with fresh ids) merges in. The merge's target
+    * read prunes at the MANIFEST by the staging batch's join-key values
+    * ([[graft.plans.MergeInto]] sourceKeyFilters → morRead), and the
+    * `prune_ok` verdict asserts FROM THE EXECUTED PLAN (the scan file
+    * set the merge's classification job actually opened, recorded per
+    * root in `MergeInto.lastMergeScan`) that under half the live data
+    * files were read. The aggregate reads the post-merge state through
+    * the tombstone-applying scan; the oracle recomputes it flat — so the
+    * hash gate proves pruning changed NOTHING about the result, only the
+    * files paid for. At 100 TB this is the difference between a
+    * touched-partition read and a full-table read per MERGE. */
+  def morMergePrune(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("mmp")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.repartition(3).writeTo(tbl)
+        .partitionedBy(col("event_type"))
+        .tableProperty("write.merge.mode", "merge-on-read")
+        .create()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      val staged = ev.where(col("event_type") === "purchase" &&
+        col("event_id") % 5 === 0)
+      staged.unionByName(staged.select(
+          (col("event_id") + 1000000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"),
+          (col("value") + 1.0d).as("value")))
+        .createOrReplaceTempView(s"${short}_src")
+      graft.plans.MergeInto.sql(spark,
+        s"""MERGE INTO $tbl t USING ${short}_src s
+           |ON t.event_type = s.event_type AND t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value * 3
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val (opened, total) = Option(graft.plans.MergeInto.lastMergeScan.get(root))
+        .getOrElse((Long.MaxValue, 0L))
+      val pruneOk = opened > 0 && total > 0 && opened * 2 <= total
+      spark.table(tbl).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("prune_ok", lit(pruneOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Deletes-only maintenance as an oracle-gated query — Iceberg's
     * `rewrite_position_delete_files` procedure shape: two scattered-row
     * MOR DELETEs leave two positional delete files; `CALL
@@ -1714,17 +1763,25 @@ object V2Queries {
     val tgt = s"$Cat.q.${newName("s2dim")}"
     val ck = java.nio.file.Files.createTempDirectory("graft_scd2_ck").toString
     try {
+      // stats.ndv=false on BOTH fixtures: the documented write-mostly
+      // opt-out (r18 bisect — the fused sketch tier taxed each of the
+      // query's six small commits ~0.15 s, ~1 s of the whole query, for
+      // statistics nothing here reads; a per-batch-rewritten SCD2
+      // dimension is exactly the write-mostly shape the table-level
+      // opt-out exists for)
       graft.Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .writeTo(src)
         .tableProperty("write.update.mode", "merge-on-read")
         .tableProperty("write.delete.mode", "merge-on-read")
+        .tableProperty("stats.ndv", "false")
         .create()                                                           // v1
       // the dimension is UNPARTITIONED, so a CoW MERGE rewrites the whole
       // table every micro-batch — merge-on-read turns each batch into
       // tombstones + appended rows, cost following the touched keys
       spark.sql(s"CREATE TABLE $tgt (c_custkey BIGINT, c_mktsegment STRING, " +
-        "c_acctbal DOUBLE, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN)")
+        "c_acctbal DOUBLE, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN) " +
+        "TBLPROPERTIES ('stats.ndv'='false')")
       def drain(): Unit = graft.gold.Scd2.maintain(spark, src, tgt,
         Seq("c_custkey"), Seq("c_mktsegment", "c_acctbal"), ck)
       drain() // initial snapshot: every customer opens at v1
@@ -1835,6 +1892,24 @@ object V2Queries {
          |WHERE (event_id % 2 = 0
          |        AND NOT (event_id % 3 = 0 AND user_id % 2 = 1))
          |   OR (event_id % 2 = 1 AND event_id % 3 = 0)
+         |GROUP BY 1""".stripMargin
+
+    /** The pruned MERGE's post-state recomputed flat: purchase div-5
+      * rows tripled (matched UPDATE), their +1e9-id clones inserted with
+      * value+1, everything else untouched; the under-half-the-files plan
+      * verdict pinned TRUE — manifest pruning must be invisible in the
+      * DATA. */
+    val morMergePrune: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok
+         |FROM (
+         |  SELECT event_type,
+         |    CASE WHEN event_type = 'purchase' AND event_id % 5 = 0
+         |         THEN value * 3 ELSE value END AS value
+         |  FROM events
+         |  UNION ALL
+         |  SELECT event_type, value + 1 AS value FROM events
+         |  WHERE event_type = 'purchase' AND event_id % 5 = 0)
          |GROUP BY 1""".stripMargin
 
     /** A deletes-only rewrite must be invisible in the data: recompute

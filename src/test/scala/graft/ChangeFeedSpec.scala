@@ -956,6 +956,60 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("a MOR MERGE feeds per-row insert/update/delete labels (Delta CDC fidelity)") {
+    import spark.implicits._
+    val t = "gcdf.ns.morlbl"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+      .writeTo(t).tableProperty("write.merge.mode", "merge-on-read")
+      .create()                                                             // v1
+    // streaming consumer (the SCD2 fold shape): checkpoint established
+    // BEFORE the merge so the next drain delivers v2 as a change WINDOW
+    val ck = Files.createTempDirectory("graft_morlbl_ck").toString
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$t.changes")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          rows ++= b.select("k", "_change_type", "_commit_version").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    drain() // initial snapshot: inserts @ v1
+    Seq((2L, 200.0), (3L, 300.0), (9L, 90.0)).toDF("k", "nv")
+      .createOrReplaceTempView("morlbl_src")
+    graft.plans.MergeInto.sql(spark,
+      s"""MERGE INTO $t t USING morlbl_src s ON t.k = s.k
+         |WHEN MATCHED AND s.k = 2 THEN UPDATE SET v = s.nv
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, 'i', s.nv)
+         |""".stripMargin)                                                  // v2
+    // an INSERTED row feeds as a true insert, a REWRITTEN row as an
+    // update pre/post pair, a DELETED row as a true delete — all from
+    // the ONE atomic merge commit (the pre-r18 feed served everything
+    // as update pairs)
+    val ch = changes(t).where($"_commit_version" === 2L)
+      .select($"k", $"_change_type", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(ch === Set(
+      (2L, "update_preimage", 20.0), (2L, "update_postimage", 200.0),
+      (3L, "delete", 30.0),
+      (9L, "insert", 90.0)), s"got $ch")
+    // end state exact
+    assert(spark.table(t).orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 10.0), (2L, "b", 200.0), (9L, "i", 90.0)))
+    // the streaming window sees the same per-row labels
+    drain() // the v2 window
+    assert(rows.filter(_._3 == 2L).toSet === Set(
+      (2L, "update_preimage", 2L), (2L, "update_postimage", 2L),
+      (3L, "delete", 2L), (9L, "insert", 2L)), s"got ${rows.toSet}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("an explicit untilVersion cannot escape a VERSION AS OF / branch pin") {
     import spark.implicits._
     val t = "gcdf.ns.pincap"

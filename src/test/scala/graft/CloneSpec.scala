@@ -237,7 +237,7 @@ class CloneSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcl.ns.s9c"); spark.sql("DROP TABLE gcl.ns.s9")
   }
 
-  test("refusal matrix: clone-of-live-clone, existing target (no phantom descriptor)") {
+  test("refusal matrix: diverged clone source, existing target (no phantom descriptor)") {
     mkSource("s6", partitioned = false)
     // target exists
     mkSource("s6t", partitioned = false)
@@ -246,15 +246,49 @@ class CloneSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("already exists"))
     spark.sql("DROP TABLE gcl.ns.s6t")
-    // clone, then clone the live clone
+    // an UNDIVERGED clone clones (flattened — see the dedicated test);
+    // a DIVERGED one (local files mixed with ext references — two pools,
+    // one _clone_src slot) is the genuinely unresolvable shape
     spark.sql("CALL gcl.system.clone(source => 'ns.s6', target => 'ns.s6c')")
+    import spark.implicits._
+    Seq((900L, java.time.LocalDateTime.of(2024, 2, 9, 0, 0), 9.0))
+      .toDF("id", "ts", "v").writeTo("gcl.ns.s6c").append() // diverge
     val e2 = intercept[Exception] {
       spark.sql("CALL gcl.system.clone(source => 'ns.s6c', target => 'ns.s6cc')")
     }
-    assert(e2.getMessage.contains("itself a shallow clone"))
+    assert(e2.getMessage.contains("DIVERGED"))
     assert(!spark.catalog.tableExists("gcl.ns.s6cc"),
       "refused clone must not leave a descriptor behind")
     spark.sql("DROP TABLE gcl.ns.s6c"); spark.sql("DROP TABLE gcl.ns.s6")
+  }
+
+  test("clone of an undiverged clone FLATTENS to the original base: exact reads, healthy fsck, droppable intermediate") {
+    mkSource("s7", partitioned = false)
+    spark.sql("CALL gcl.system.clone(source => 'ns.s7', target => 'ns.s7c')")
+    spark.sql("CALL gcl.system.clone(source => 'ns.s7c', target => 'ns.s7cc')")
+    // flattened: the grandchild's base is the ORIGINAL pool, not the
+    // intermediate's (which has no pool of its own anyway)
+    assert(graft.sources.MetaIO.readString(s"${root("s7cc")}/_clone_src").trim
+      === s"${root("s7")}/data")
+    assert(poolFiles("s7cc").isEmpty, "clone-of-clone stays metadata-only")
+    assert(spark.table("gcl.ns.s7cc").orderBy("id").collect().toSeq ===
+      spark.table("gcl.ns.s7").orderBy("id").collect().toSeq)
+    val f = spark.sql("CALL gcl.system.fsck(`table` => 'ns.s7cc')").collect()(0)
+    assert(f.getBoolean(8), "clone-of-clone must fsck healthy")
+    // the INTERMEDIATE can drop — the grandchild never references it
+    spark.sql("DROP TABLE gcl.ns.s7c")
+    assert(spark.table("gcl.ns.s7cc").count() === 120L)
+    // gc isolation: the grandchild's expiry deletes nothing under the base
+    val baseFiles = poolFiles("s7").toSet
+    spark.sql("CALL gcl.system.expire_snapshots(`table` => 'ns.s7cc', retain => 1)")
+    assert(poolFiles("s7").toSet === baseFiles)
+    // and it diverges freely like any first-generation clone
+    import spark.implicits._
+    Seq((999L, java.time.LocalDateTime.of(2024, 2, 9, 0, 0), 9.9))
+      .toDF("id", "ts", "v").writeTo("gcl.ns.s7cc").append()
+    assert(spark.table("gcl.ns.s7cc").count() === 121L)
+    assert(spark.table("gcl.ns.s7").count() === 120L, "base untouched")
+    spark.sql("DROP TABLE gcl.ns.s7cc"); spark.sql("DROP TABLE gcl.ns.s7")
   }
 
   test("equality-delete backlog clones: retraction, re-insert survival, CDF horizon all intact") {

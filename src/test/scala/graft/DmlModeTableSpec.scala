@@ -195,6 +195,86 @@ class DmlModeTableSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $twin")
   }
 
+  test("MOR MERGE prunes its target read at the manifest by the source's join keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = "gdm.ns.prnmrg"; val twin = "gdm.ns.prnmrgtw"
+    spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS $twin")
+    val base = (0L until 14000L).map(k => (k, k * 1.0, s"g${k % 7}"))
+      .toDF("k", "v", "grp")
+    Seq(t, twin).foreach(n => base.writeTo(n).partitionedBy(col("grp"))
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read").create())
+    // live tombstones BEFORE the merge: the pruned read must still apply
+    // (and narrow) the delete backlog — resurrecting a deleted row would
+    // show up as a twin mismatch
+    Seq(t, twin).foreach(n =>
+      graft.plans.MergeInto.sql(spark, s"DELETE FROM $n WHERE k % 1000 = 11"))
+    // staging touches ONE of the seven identity partitions (updates for
+    // its div-5 keys, inserts beyond the key space)
+    ((0L until 14000L).filter(k => k % 7 == 3 && k % 5 == 0) ++
+      Seq(99001L, 99008L))
+      .map(k => (k, k * 2.0, "g3")).toDF("k", "nv", "sgrp")
+      .createOrReplaceTempView("prn_src")
+    def stmt(tbl: String) =
+      s"""MERGE INTO $tbl t USING prn_src s ON t.grp = s.sgrp AND t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v, grp) VALUES (s.k, s.nv, s.sgrp)
+         |""".stripMargin
+    graft.plans.MergeInto.sql(spark, stmt(t))
+    val (opened, total) = graft.plans.MergeInto.lastMergeScan.get(root("prnmrg"))
+    assert(opened > 0 && opened * 2 <= total,
+      s"the executed merge plan must open under half the live files " +
+        s"(opened=$opened total=$total)")
+    // pruning must be invisible in the DATA: the unpruned twin (conf off)
+    // agrees row-for-row, and its plan read everything
+    spark.conf.set("spark.graft.merge.targetPrune", "false")
+    try graft.plans.MergeInto.sql(spark, stmt(twin))
+    finally spark.conf.unset("spark.graft.merge.targetPrune")
+    val (o2, t2) = graft.plans.MergeInto.lastMergeScan.get(root("prnmrgtw"))
+    assert(o2 == t2, s"unpruned twin must read every live file ($o2 of $t2)")
+    assert(spark.table(t).orderBy("k", "v").collect().toSeq ===
+      spark.table(twin).orderBy("k", "v").collect().toSeq)
+    spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $twin")
+  }
+
+  test("bounds pruning on range-clustered files; an all-null-key batch keeps one file and still inserts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = "gdm.ns.prnrng"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (0L until 40000L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+      .writeTo(t).tableProperty("write.merge.mode", "merge-on-read").create()
+    val r = root("prnrng")
+    // 200 distinct keys in a narrow range, over a tiny cap: the BOUNDS
+    // fallback path must prune to the overlapping range files
+    (1000L until 2000L by 5L).map(k => (k, -1.0)).toDF("k", "nv")
+      .createOrReplaceTempView("prnrng_src")
+    spark.conf.set("spark.graft.merge.pruneMaxKeys", "50")
+    try graft.plans.MergeInto.sql(spark,
+      s"MERGE INTO $t t USING prnrng_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    finally spark.conf.unset("spark.graft.merge.pruneMaxKeys")
+    val (opened, total) = graft.plans.MergeInto.lastMergeScan.get(r)
+    assert(opened > 0 && opened * 2 <= total, s"opened=$opened total=$total")
+    assert(spark.table(t).where("v = -1.0").count() === 200L)
+    assert(spark.table(t).count() === 40000L)
+    // a source with NO non-null join keys can match nothing: AlwaysFalse
+    // prunes every file, morRead keeps ONE, and the NOT MATCHED inserts
+    // still land
+    Seq((Option.empty[Long], 7.7), (Option.empty[Long], 8.8)).toDF("k", "nv")
+      .createOrReplaceTempView("prnrng_null")
+    graft.plans.MergeInto.sql(spark,
+      s"MERGE INTO $t t USING prnrng_null s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)")
+    val (o2, _) = graft.plans.MergeInto.lastMergeScan.get(r)
+    assert(o2 === 1L, s"all-null keys must keep exactly one file, opened=$o2")
+    assert(spark.table(t).where("k IS NULL").count() === 2L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("concurrent MOR and CoW DML on different tables never interfere (the race the property model kills)") {
     import spark.implicits._
     val mor = "gdm.ns.racemor"

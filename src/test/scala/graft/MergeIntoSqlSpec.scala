@@ -99,6 +99,76 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.merge.multiMatchCheck", "true")
   }
 
+  test("multi-match guard rides the SOURCE side for splittable conditions: no window over the joined relation") {
+    spark.sql("DROP TABLE IF EXISTS msq_fast")
+    (0L until 5000L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .write.saveAsTable("msq_fast")
+    // duplicate source keys exist, but only ONE row per key passes the
+    // source-only conjunct — the fast path must count the QUALIFYING
+    // rows, not the raw key group
+    ((0L until 100L).map(k => (k * 7, 1.0)) ++
+      (0L until 100L).map(k => (k * 7, -1.0)))
+      .toDF("k", "sv").createOrReplaceTempView("msq_fast_stg")
+    val cmd = new GraftSqlParser(spark.sessionState.sqlParser).parsePlan(
+      """MERGE INTO msq_fast t USING msq_fast_stg s
+        |ON t.k = s.k AND s.sv > 0
+        |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
+      .asInstanceOf[GraftMergeCommand].merge.asInstanceOf[MergeIntoTable]
+    // the source must carry its statement alias (execute() builds it from
+    // the parsed subtree the same way)
+    val res = MergeInto.mergeResult(spark.table("msq_fast"), "t",
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark, cmd.sourceTable), cmd)
+    val out = res.localCheckpoint(true)
+    assert(out.count() === 5000L)
+    assert(out.where("v = 1.0").count() === 100L + 1L) // k=1 kept its 1.0
+    // EXECUTED-plan audit: the guard's window must sit strictly BELOW
+    // the join (over the small source), never above the joined relation
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val all = flatten(res.queryExecution.executedPlan)
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "the guard must still run (as a source-side window)")
+    windows.foreach { w =>
+      assert(!flatten(w).drop(1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        "guard window must not consume the joined relation:\n" + w)
+    }
+    // and the fast path still RAISES when >1 qualifying row matches
+    Seq((21L, 5.0), (21L, 6.0)).toDF("k", "sv")
+      .createOrReplaceTempView("msq_fast_dup")
+    val e = intercept[Exception](MergeInto.sql(spark,
+      """MERGE INTO msq_fast t USING msq_fast_dup s
+        |ON t.k = s.k AND s.sv > 0
+        |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin))
+    def msgs(x: Throwable): Seq[String] = Option(x).toSeq
+      .flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("matched 2 source rows")), msgs(e))
+    spark.sql("DROP TABLE msq_fast")
+  }
+
+  test("residual cross-side conditions fall back to the joined-relation guard and still raise") {
+    spark.sql("DROP TABLE IF EXISTS msq_resid")
+    Seq((1L, 1.0)).toDF("k", "v").write.saveAsTable("msq_resid")
+    Seq((1L, 2.0), (1L, 3.0)).toDF("k", "sv")
+      .createOrReplaceTempView("msq_resid_stg")
+    // t.v < s.sv references BOTH sides in one conjunct — unsplittable,
+    // so the per-target-row window path must carry the guard
+    val e = intercept[Exception](MergeInto.sql(spark,
+      """MERGE INTO msq_resid t USING msq_resid_stg s
+        |ON t.k = s.k AND t.v < s.sv
+        |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin))
+    def msgs(x: Throwable): Seq[String] = Option(x).toSeq
+      .flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("matched 2 source rows")), msgs(e))
+    spark.sql("DROP TABLE msq_resid")
+  }
+
   test("Versioned target: MERGE commits snapshots; history and time travel see both") {
     val root = tmp("msq_versioned")
     Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, retain = 5)

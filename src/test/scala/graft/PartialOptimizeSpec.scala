@@ -487,6 +487,83 @@ class PartialOptimizeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gpo.ns.pzc")
   }
 
+  test("identity key-scoped OPTIMIZE composes with zorder_by: resumable z-order for the gold ano/mes layout") {
+    spark.sql("DROP TABLE IF EXISTS gpo.ns.pzi")
+    spark.sql("CREATE TABLE gpo.ns.pzi (id BIGINT, ano INT, mes INT, x BIGINT, y BIGINT) " +
+      "PARTITIONED BY (ano, mes)")
+    spark.sql("ALTER TABLE gpo.ns.pzi SET TBLPROPERTIES('retain'='12')")
+    import spark.implicits._
+    (0 until 6000).map { i =>
+      (i.toLong, 2024, 1 + i % 3, (i % 97).toLong, (i * 31 % 89).toLong)
+    }.toDF("id", "ano", "mes", "x", "y").createOrReplaceTempView("pzi_src")
+    (0 until 3).foreach(b => spark.sql(
+      s"INSERT INTO gpo.ns.pzi SELECT * FROM pzi_src WHERE CAST(id/3 AS BIGINT) % 3 = $b"))
+    val root = s"$wh/ns/pzi"
+    def relsOfKey(mes: Int): Set[String] = ManifestTable.liveEntries(root)
+      .map(_.rel).filter(_.startsWith(s"ano=2024/mes=$mes/")).toSet
+    val total = spark.table("gpo.ns.pzi").agg(sum("x")).collect()(0).getLong(0)
+    val v0 = ManifestTable.currentVersion(root).get
+    val keyBytes = ManifestTable.liveEntries(root)
+      .filter(_.rel.startsWith("ano=2024/mes=1/"))
+      .map(e => graft.sources.FileStats.byteSize(
+        graft.sources.FileStats.decode(e.stats.getOrElse(""))).map(_._1).getOrElse(0L)).sum
+    // max_commits well above the key count forces one chunk per key, so
+    // each chunk's z bounds are the KEY's own — the probe below
+    // recomputes them exactly; 3 keys still means exactly 3 commits
+    val vEnd = graft.sources.v2.Maintenance.optimize(spark, "gpo.ns.pzi",
+      targetFileBytes = math.max(1L, keyBytes / 4),
+      zorderBy = Seq("x", "y"), maxCommits = 12)
+    assert(vEnd === v0 + 3, s"expected 3 chunk commits, v0=$v0 vEnd=$vEnd")
+    // every intermediate chunk commit is a full-count retained snapshot
+    // (crash-resumability: finished chunks are durable)
+    (v0 to vEnd).foreach { v =>
+      assert(spark.sql(s"SELECT COUNT(*) FROM gpo.ns.pzi VERSION AS OF $v")
+        .collect()(0).getLong(0) === 6000L, s"version $v lost rows")
+    }
+    for (mes <- 1 to 3) {
+      val files = relsOfKey(mes)
+      assert(files.size >= 2, s"key mes=$mes: z-order should split into ranged files")
+      // recompute the z key with the CHUNK's (= key's) bounds and assert
+      // within-file Morton monotonicity — the same probe as the day twin
+      val keyDf = spark.table("gpo.ns.pzi").where(col("mes") === mes)
+      val mm = keyDf.agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+      def bucket(v: Long, lo: Long, hi: Long): Long = {
+        val span = math.max((hi - lo).toDouble, java.lang.Double.MIN_NORMAL)
+        math.min(255L, math.max(0L, math.floor((v - lo) / span * 256).toLong))
+      }
+      def morton(x: Long, y: Long): Long = {
+        val bx = bucket(x, mm.getLong(0), mm.getLong(1))
+        val by = bucket(y, mm.getLong(2), mm.getLong(3))
+        (0 until 8).map(b =>
+          (((bx >> b) & 1L) << (b * 2)) + (((by >> b) & 1L) << (b * 2 + 1))).sum
+      }
+      val ranges = files.toSeq.map { f =>
+        val zs = spark.read.parquet(s"$root/data/$f").select("x", "y")
+          .collect().map(r => morton(r.getLong(0), r.getLong(1)))
+        assert(zs.zip(zs.drop(1)).forall { case (a, b) => a <= b },
+          s"file $f of key mes=$mes lost its within-file Morton order")
+        (zs.min, zs.max, f)
+      }.sortBy(_._1)
+      ranges.zip(ranges.drop(1)).foreach { case ((_, hi, f1), (lo, _, f2)) =>
+        assert(hi <= lo, s"key mes=$mes: z ranges of $f1 and $f2 overlap")
+      }
+    }
+    // identity values re-derive from the rewritten directory names and
+    // the data is byte-identical
+    assert(spark.table("gpo.ns.pzi").agg(sum("x")).collect()(0).getLong(0) === total)
+    assert(spark.table("gpo.ns.pzi").where("mes = 2").count() === 2000L)
+    // zorder_by also composes with where_keys: re-cluster ONE key only
+    val others = (1 to 3).map(m => m -> relsOfKey(m)).toMap
+    graft.sources.v2.Maintenance.optimize(spark, "gpo.ns.pzi",
+      targetFileBytes = math.max(1L, keyBytes / 2),
+      zorderBy = Seq("x", "y"), whereKeys = Seq("ano=2024/mes=2"))
+    assert(relsOfKey(1) === others(1) && relsOfKey(3) === others(3),
+      "where_keys + zorder_by must leave unselected keys untouched")
+    assert(relsOfKey(2) !== others(2))
+    assert(spark.table("gpo.ns.pzi").agg(sum("x")).collect()(0).getLong(0) === total)
+    spark.sql("DROP TABLE gpo.ns.pzi")
+  }
+
   test("max_concurrent_rewrites runs chunks in parallel; commits serialize through the conflict check") {
     mk("p6", days = 8, rowsPerDay = 40)
     val root = s"$wh/ns/p6"

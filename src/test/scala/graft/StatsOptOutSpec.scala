@@ -108,4 +108,24 @@ class StatsOptOutSpec extends AnyFunSuite {
     assert(e.getMessage.contains("true or false"))
     assert(VersionedCatalog.readMeta(root("bad")).isEmpty)
   }
+
+  test("KLL sampling is hash-selected: periodic write orders cannot collapse the histogram") {
+    import graft.functions.GraftStatsAgg
+    // ~1/stride of rows keep, deterministically
+    val kept = (0L until 100000L).filter(GraftStatsAgg.sampleAt(_, 4))
+    assert(math.abs(kept.size - 25000) < 1500, s"kept ${kept.size} of 100000")
+    // the failure mode of the old fixed-phase `ordinal % 4 == 0`: a
+    // column derived `id % 4` written in order sampled ONE residue class
+    // (a single-value histogram). The hash selection must see them all,
+    // in near-equal proportion.
+    val byResidue = kept.groupBy(_ % 4).view.mapValues(_.size).toMap
+    assert(byResidue.keySet === Set(0L, 1L, 2L, 3L), s"$byResidue")
+    assert(byResidue.values.min * 10 > byResidue.values.max * 7,
+      s"residue classes must sample near-uniformly: $byResidue")
+    // and the same holds for any small period sharing a factor with 4
+    Seq(2, 8, 12).foreach { p =>
+      val classes = kept.groupBy(_ % p).view.mapValues(_.size).toMap
+      assert(classes.size === p, s"period $p collapsed: $classes")
+    }
+  }
 }
