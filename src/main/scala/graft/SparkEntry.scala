@@ -150,6 +150,9 @@ object SparkEntry {
     // executed plan must open under half the live files for a selective
     // staging batch (the 100 TB silver-upsert shape)
     "mor_merge_prune" -> ((s, d) => graft.sources.v2.V2Queries.morMergePrune(s, d)),
+    // key-scoped copy-on-write MERGE: untouched identity partitions keep
+    // their exact file sets through the merge commit
+    "cow_merge_keyscope" -> ((s, d) => graft.sources.v2.V2Queries.cowMergeKeyscope(s, d)),
     // equality deletes (CDC-shape key retraction): delete by key with no
     // data read, sequence-scoped so later re-inserts survive
     "eq_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.eqDeleteScan(s, d)),
@@ -324,6 +327,7 @@ object SparkEntry {
     "mor_delete_scan" -> graft.sources.v2.V2Queries.oracle.morDeleteScan,
     "mor_merge_scan" -> graft.sources.v2.V2Queries.oracle.morMergeScan,
     "mor_merge_prune" -> graft.sources.v2.V2Queries.oracle.morMergePrune,
+    "cow_merge_keyscope" -> graft.sources.v2.V2Queries.oracle.cowMergeKeyscope,
     "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
     "rewrite_deletes_scan" -> graft.sources.v2.V2Queries.oracle.rewriteDeletesScan,
     "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,

@@ -387,6 +387,14 @@ object MergeInto {
         executeScopedMerge(spark, tgt, root, ts, source, m, refreshView = false,
           raw = tgt.df.withColumn(ManifestTable.DayCol, to_date(col(ts))),
           baseVersion = v0)
+      // identity layouts (the gold `ano, mes` shape): rewrite only the
+      // MATCHED keys' partitions through the key-replace commit
+      case Some(CatalogBacking(root, None)) if scopedEnabled =>
+        graft.sources.v2.VersionedCatalog.readMeta(root) match {
+          case Some(meta) if meta.identityCols.nonEmpty =>
+            executeKeyScopedMerge(spark, tgt, root, meta, source, m)
+          case _ => false
+        }
       case _ => false
     }
     if (!scoped) writeBack(spark, tgt, mergeResult(tgt.df, tgt.alias, source, m))
@@ -468,6 +476,82 @@ object MergeInto {
       expectedVersion = baseVersion)
     if (refreshView)
       ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
+    true
+  }
+
+  /** The IDENTITY-layout twin of [[executeScopedMerge]] — copy-on-write
+    * MERGE on the gold `ano, mes` shape: discover the identity-key
+    * partitions holding MATCHED target rows (inner join, distinct-key
+    * output — manifest identity pruning bounds the probe), run the merge
+    * over ONLY those keys' rows, and commit through
+    * [[ManifestTable.replaceKeys]] — every other key's files carry
+    * untouched, and inserted rows landing in untouched keys APPEND to
+    * them (the replaceScoped append semantic), so a pure-insert merge
+    * rewrites nothing at all (plain append commit). Declines to the full
+    * rewrite (returns false) when: live tombstones exist (carried files'
+    * tombstones must survive, rewritten ones' must die), the layout is
+    * mixed (spec evolution), an identity column's directory rendering
+    * isn't byte-certain (only integral/string/boolean values re-render
+    * exactly as the writer laid them out), a matched key holds NULLs
+    * (the `__HIVE_DEFAULT_PARTITION__` dir), or the statement touches
+    * more than `spark.graft.merge.scopedMaxKeys` partitions (the
+    * per-key predicate and conflict surface stop paying for themselves).
+    * At 100 TB this is the CoW answer to the same gap `morRead`'s
+    * source-key pruning closes for merge-on-read: a small staging batch
+    * never pays the whole table. */
+  private def executeKeyScopedMerge(spark: SparkSession, tgt: Target,
+                                    root: String,
+                                    meta: graft.sources.v2.VersionedCatalog.Meta,
+                                    source: DataFrame, m: MergeIntoTable): Boolean = {
+    import org.apache.spark.sql.types._
+    if (ManifestTable.hasDeletes(root)) return false
+    if (meta.dayOf.nonEmpty || meta.part.nonEmpty ||
+        meta.pastDays.nonEmpty || meta.pastParts.nonEmpty) return false
+    val idCols = meta.identityCols
+    // directory rendering must be byte-exact vs the writer's layout
+    val renderable = idCols.forall(c =>
+      meta.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             BooleanType => true
+        case _ => false
+      })
+    if (!renderable) return false
+    val maxKeys = spark.conf.get("spark.graft.merge.scopedMaxKeys", "128").toInt
+    val v0 = ManifestTable.currentVersion(root)
+    val cond = GraftColumnBridge.column(m.mergeCondition)
+    val t = tgt.df.alias(tgt.alias)
+    // identity-key partitions holding matched rows; the manifest's
+    // identity pruning narrows this probe to joinable partitions
+    val matchedKeys: Seq[Row] = t.join(source, cond, "inner")
+      .select(idCols.map(c => t(c)): _*).distinct()
+      .limit(maxKeys + 1).collect().toSeq
+    if (matchedKeys.size > maxKeys) return false
+    if (matchedKeys.exists(r => (0 until r.length).exists(r.isNullAt)))
+      return false // NULL identity values: __HIVE_DEFAULT_PARTITION__
+    val physIds = idCols.map(meta.physicalName)
+    def esc(s: String): String = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(s)
+    val removeKeys: Set[String] = matchedKeys.map(r =>
+      physIds.zipWithIndex.map { case (p, i) =>
+        s"${esc(p)}=${esc(String.valueOf(r.get(i)))}" }.mkString("/")).toSet
+    val restricted =
+      if (matchedKeys.isEmpty) t.where(lit(false)) // pure-insert merge
+      else t.where(matchedKeys.map(r =>
+        idCols.zipWithIndex.map { case (c, i) => t(c) === lit(r.get(i)) }
+          .reduce(_ && _)).reduce(_ || _))
+    val result = graft.sources.v2.VersionedCatalog.withChecks(
+      mergeResult(restricted, tgt.alias, source, m), root, tgt.name)
+    if (removeKeys.isEmpty) {
+      // nothing matched: the merge reduces to its inserts — append them
+      // (an empty insert set is a no-op, never a commit)
+      val inserts = toPhysical(root, result).localCheckpoint(true)
+      if (!inserts.isEmpty)
+        ManifestTable.append(inserts, root, retain = retainOf(spark, root),
+          format = Some(meta.format), partitionCols = physIds)
+    } else
+      ManifestTable.replaceKeys(toPhysical(root, result), root, removeKeys,
+        partitionCols = physIds, retain = retainOf(spark, root),
+        expectedVersion = v0)
     true
   }
 
@@ -731,14 +815,18 @@ object MergeInto {
       case Some(m) => m
       case None => return false
     }
-    val logical = morRead(spark, root, meta, tgt.alias) match {
+    // predicate-based manifest pruning: only files whose stats admit the
+    // WHERE condition are read for tombstone positions
+    val logical = morRead(spark, root, meta, tgt.alias,
+      predicateFilters(spark, meta, tgt.alias, Some(cond))) match {
       case Some(df) => df
       case None => return true // empty table: no-op
     }
     val hit = coalesce(GraftColumnBridge.column(cond), lit(false))
-    val tombstones = logical.where(hit)
+    val pre = logical.where(hit)
       .select(col("__mor_rel").as("__file"), col("__mor_pos").as("__pos"))
-      .localCheckpoint(true) // materialize before the commit decision
+    val tombstones = pre.localCheckpoint(true) // materialize before the commit decision
+    scala.util.Try(recordMergeScan(spark, root, pre))
     if (tombstones.isEmpty) return true // predicate matched nothing: no-op
     ManifestTable.appendDeletes(tombstones, root,
       retain = retainOf(spark, root))
@@ -762,10 +850,8 @@ object MergeInto {
     * with their preimage tombstones — so `tbl.changes` serves true
     * per-row insert/update/delete labels (Delta CDC's per-row fidelity)
     * instead of folding everything into update pre/post pairs. The
-    * labels survive shards and clones (they live in entry names/stats);
-    * a later `rewrite_deletes` merge folds labeled tombstones into plain
-    * blobs, so delete labels are promised for windows read before
-    * delete maintenance — birth/death folds stay exact either way. */
+    * labels survive shards, clones AND delete maintenance (they live in
+    * entry names/stats; `rewrite_deletes` merges per label group). */
   private def morMerge(spark: SparkSession, tgt: Target, root: String,
                        source0: DataFrame, m: MergeIntoTable): Boolean = {
     val meta = graft.sources.v2.VersionedCatalog.readMeta(root) match {
@@ -910,6 +996,53 @@ object MergeInto {
     true
   }
 
+  /** A DML condition as v1 pushdown filters for [[morRead]]'s manifest
+    * pruning — a `DELETE … WHERE k = 5` / `UPDATE … WHERE day = …` on a
+    * big merge-on-read table must not read every live file. The
+    * condition resolves against an EMPTY frame with the table's logical
+    * schema (no data touched, no second table read), then each top-level
+    * conjunct translates independently through Spark's own
+    * `DataSourceStrategy.translateFilter` — untranslatable conjuncts
+    * drop (pruning needs any SOUND subset; the rewrite re-applies the
+    * full predicate to the rows). Renamed tables skip: the translated
+    * filters would speak logical names while file stats carry physical
+    * ones. */
+  private def predicateFilters(spark: SparkSession,
+                               meta: graft.sources.v2.VersionedCatalog.Meta,
+                               alias: String, cond: Option[Expression])
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    cond match {
+      case Some(c) if meta.renames.isEmpty &&
+          spark.conf.get("spark.graft.dml.predicatePrune", "true").toBoolean =>
+        scala.util.Try {
+          val empty = spark.createDataFrame(
+            new java.util.ArrayList[Row](), meta.schema).alias(alias)
+          val analyzed = empty.where(GraftColumnBridge.column(c))
+            .queryExecution.analyzed
+          def conj(e: Expression): Seq[Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              conj(l) ++ conj(r)
+            case x => Seq(x)
+          }
+          // fold constant subtrees first (the ANALYZED plan keeps the
+          // coercion casts on literals — `k >= cast(1000 as bigint)` —
+          // and translateFilter only accepts plain Literal values; the
+          // optimizer can't run here because it would collapse the whole
+          // filter-over-empty-relation)
+          def fold(e: Expression): Expression = e.transformUp {
+            case x if x.foldable &&
+                !x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+              org.apache.spark.sql.catalyst.expressions.Literal.create(
+                x.eval(null), x.dataType)
+          }
+          analyzed.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              conj(f.condition)
+          }.flatten.flatMap(p => GraftColumnBridge.translateFilter(fold(p)))
+        }.getOrElse(Nil)
+      case _ => Nil
+    }
+
   /** The staging batch's join-key sets/bounds as v1 pushdown filters for
     * [[morRead]]'s manifest pruning: per equi key column, the source's
     * DISTINCT non-null values as an `In` filter when they fit the cap
@@ -947,11 +1080,11 @@ object MergeInto {
     }
   }
 
-  /** Executed-plan scan evidence of the LAST merge against each root:
-    * (target data files the merge's classification plan opened, live
-    * data files in the table). Keyed by root so concurrent merges on
-    * different tables never race; read by the `mor_merge_prune` oracle
-    * query and the pruning specs. */
+  /** Executed-plan scan evidence of the LAST merge-on-read DML (MERGE /
+    * UPDATE / DELETE) against each root: (target data files the
+    * statement's plan actually opened, live data files in the table).
+    * Keyed by root so concurrent DML on different tables never races;
+    * read by the `mor_merge_prune` oracle query and the pruning specs. */
   private[graft] val lastMergeScan =
     new ConcurrentHashMap[String, (Long, Long)]()
 
@@ -988,7 +1121,10 @@ object MergeInto {
       case Some(m) => m
       case None => return false
     }
-    val logical = morRead(spark, root, meta, tgt.alias) match {
+    // predicate-based manifest pruning: only files whose stats admit the
+    // WHERE condition are read for the rewrite
+    val logical = morRead(spark, root, meta, tgt.alias,
+      predicateFilters(spark, meta, tgt.alias, u.condition)) match {
       case Some(df) => df
       case None => return true
     }
@@ -997,7 +1133,9 @@ object MergeInto {
     // one materialized matched set feeds BOTH halves of the commit, so
     // tombstones and rewrites describe exactly the same rows (re-aliased:
     // the checkpoint drops the subquery alias the SET exprs may use)
-    val matched = logical.where(hit).localCheckpoint(true).alias(tgt.alias)
+    val preMatched = logical.where(hit)
+    val matched = preMatched.localCheckpoint(true).alias(tgt.alias)
+    scala.util.Try(recordMergeScan(spark, root, preMatched))
     if (matched.isEmpty) return true
     val targetCols = tgt.df.columns.toSeq
     val schema = tgt.df.schema

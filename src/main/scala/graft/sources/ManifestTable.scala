@@ -246,11 +246,9 @@ object ManifestTable {
     * `dv_`). The change feed serves labeled tombstones as true `delete`
     * events even though the commit also added files; everything else
     * treats them as ordinary deletion vectors. The label lives in the
-    * rel NAME so it survives shards, clones and manifests untouched; a
-    * later `rewrite_deletes` merge folds labeled and plain artifacts
-    * into one plain blob, so per-row delete labels are only promised for
-    * windows read before delete maintenance runs (the per-slice VERSIONS
-    * stay exact either way). */
+    * rel NAME so it survives shards, clones and manifests untouched, and
+    * [[rewriteDeletes]] merges each label group into its OWN blob, so
+    * the per-row delete labels survive delete maintenance too. */
   def isDeleteLabeledDv(rel: String): Boolean =
     plainRel(rel).startsWith(s"$DeleteDir/dv_del_")
 
@@ -1778,22 +1776,33 @@ object ManifestTable {
           .select("__file").distinct().collect().map(_.getString(0)).toSet)
     }
     val posTargets: Set[String] = perEntryTargets.flatten.toSet
-    val needPos = posDel.size > 1 ||
-      (posDel.size == 1 && !posTargets.subsetOf(liveRels))
+    // artifacts merge PER LABEL GROUP (plain `dv_` vs a MOR MERGE's
+    // delete-labeled `dv_del_`), so the change feed's per-row delete
+    // labels survive maintenance — work exists when some GROUP has >1
+    // artifacts or any artifact names dead targets (a cross-group pair
+    // of singletons is already minimal; "merging" it would just churn
+    // fresh uuids forever)
+    val grouped: Map[Boolean, Seq[(FileEntry, Set[String])]] =
+      posDel.zip(perEntryTargets).groupBy { case (e, _) => isDeleteLabeledDv(e.rel) }
+    val needPos = grouped.values.exists(_.size > 1) ||
+      !posTargets.subsetOf(liveRels)
     if (!needPos && deadEq.isEmpty)
       return currentVersion(root).getOrElse(0L)
 
     val mergedRels = if (needPos) posDel.map(_.rel).toSet else Set.empty[String]
     val fresh: Seq[FileEntry] =
       if (!needPos) Nil
-      else {
-        val keep = posTargets.intersect(liveRels)
-        if (keep.isEmpty) Nil // every target died: the backlog vanishes
+      else grouped.toSeq.sortBy(_._1).flatMap { case (labeled, grp) =>
+        val keep = grp.flatMap(_._2).toSet.intersect(liveRels)
+        if (keep.isEmpty) Nil // every target died: this backlog vanishes
         else {
           // tombstones with their ORIGINAL delete version: parquet files
           // carry it at entry level, dv slices per section; duplicates
-          // keep the earliest (the commit that really deleted the row)
-          val (dvDel, pqDel) = posDel.partition(e => isDvEntry(e.rel))
+          // keep the earliest (the commit that really deleted the row).
+          // Dedup is per group — a cross-group duplicate cannot arise
+          // through the engine (a deleted row is invisible to later DML)
+          // and would be read-harmless anyway (both slices mark it dead).
+          val (dvDel, pqDel) = grp.map(_._1).partition(e => isDvEntry(e.rel))
           val parts =
             pqDel.map(e => spark.read.parquet(dataPath(root, e.rel))
               .select(col("__file").cast("string"), col("__pos").cast("long"))
@@ -1804,7 +1813,8 @@ object ManifestTable {
             .where(col("__file").isInCollection(keep))
             .groupBy(col("__file"), col("__pos"))
             .agg(min(col("__seq")).as("__seq"))
-          Seq(writeDvPool(spark, tomb, root))
+          Seq(writeDvPool(spark, tomb, root,
+            namePrefix = if (labeled) "dv_del_" else "dv_"))
         }
       }
     commitLoop(root, retain, rebase = true) { base =>
@@ -2053,7 +2063,7 @@ object ManifestTable {
     * NEWEST source version as its sequence (a reader/stream that already
     * consumed past it sees no new delete entry). */
   private def writeDvPool(spark: SparkSession, tomb: DataFrame,
-                          root: String): FileEntry = {
+                          root: String, namePrefix: String = "dv_"): FileEntry = {
     val stage = s"$root/stage/dv_${UUID.randomUUID().toString.take(12)}.bin"
     val p = new org.apache.hadoop.fs.Path(stage)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2088,7 +2098,7 @@ object ManifestTable {
       }
       flush()
     } finally out.close()
-    val rel = s"$DeleteDir/dv_${UUID.randomUUID().toString.take(16)}.bin"
+    val rel = s"$DeleteDir/$namePrefix${UUID.randomUUID().toString.take(16)}.bin"
     MetaIO.rename(stage, s"$root/data/$rel")
     MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
     FileEntry(rel, Some(DeleteVectors.encodeIndex(slices.result())),

@@ -64,8 +64,9 @@ import graft.sources.{FileStats, ManifestTable, SerializableHadoopConf}
   * events, its DELETE-clause kills land as `dv_del_*` tombstones
   * ([[graft.sources.ManifestTable.isDeleteLabeledDv]]) and serve as true
   * `delete` events — only the genuine rewrites surface as image pairs.
-  * Unlabeled artifacts (plain UPDATE/DELETE DML, pre-label history)
-  * classify by commit shape exactly as above.
+  * Labels survive delete maintenance (`rewrite_deletes` merges per label
+  * group). Unlabeled artifacts (plain UPDATE/DELETE DML, pre-label
+  * history) classify by commit shape exactly as above.
   *
   * File-REMOVING commits (copy-on-write DML, compaction, overwrite)
   * destroy the insert provenance of the rows they rewrote, so changes

@@ -530,6 +530,53 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Copy-on-write MERGE scoped to the MATCHED identity keys — the CoW
+    * twin of [[morMergePrune]] (same reference shape: a small staging
+    * batch into a partitioned table): the full events land in an
+    * identity-partitioned table with DEFAULT (copy-on-write) DML modes,
+    * a staging batch touching ONE of the five event types merges in, and
+    * the `scope_ok` verdict asserts from the MANIFEST that every
+    * untouched key kept its EXACT pre-merge file set (only the matched
+    * key's partition rewrote) while the aggregate hash-matches DuckDB's
+    * flat recompute. At 100 TB this keeps the default-mode MERGE's
+    * rewrite cost proportional to the touched partitions, not the
+    * table. */
+  def cowMergeKeyscope(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("cks")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.repartition(3).writeTo(tbl).partitionedBy(col("event_type")).create()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      def relsByKey: Map[String, Set[String]] =
+        graft.sources.ManifestTable.liveEntries(root).map(_.rel)
+          .groupBy(graft.sources.ManifestTable.keyOf)
+          .map { case (k, v) => k -> v.toSet }
+      val before = relsByKey
+      val staged = ev.where(col("event_type") === "purchase" &&
+        col("event_id") % 5 === 0)
+      staged.unionByName(staged.select(
+          (col("event_id") + 1000000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"),
+          (col("value") + 1.0d).as("value")))
+        .createOrReplaceTempView(s"${short}_src")
+      graft.plans.MergeInto.sql(spark,
+        s"""MERGE INTO $tbl t USING ${short}_src s
+           |ON t.event_type = s.event_type AND t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value * 3
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = relsByKey
+      val touched = "event_type=purchase"
+      val scopeOk = before.keySet.filterNot(_ == touched)
+        .forall(k => after.get(k).contains(before(k))) &&
+        after.get(touched).exists(_ != before(touched))
+      spark.table(tbl).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("scope_ok", lit(scopeOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Deletes-only maintenance as an oracle-gated query — Iceberg's
     * `rewrite_position_delete_files` procedure shape: two scattered-row
     * MOR DELETEs leave two positional delete files; `CALL
@@ -1902,6 +1949,23 @@ object V2Queries {
     val morMergePrune: String =
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok
+         |FROM (
+         |  SELECT event_type,
+         |    CASE WHEN event_type = 'purchase' AND event_id % 5 = 0
+         |         THEN value * 3 ELSE value END AS value
+         |  FROM events
+         |  UNION ALL
+         |  SELECT event_type, value + 1 AS value FROM events
+         |  WHERE event_type = 'purchase' AND event_id % 5 = 0)
+         |GROUP BY 1""".stripMargin
+
+    /** The key-scoped CoW MERGE's post-state recomputed flat — same
+      * formula as the MOR prune twin, manifest-scope verdict pinned
+      * TRUE (partition-scoped rewriting must be invisible in the
+      * DATA). */
+    val cowMergeKeyscope: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS scope_ok
          |FROM (
          |  SELECT event_type,
          |    CASE WHEN event_type = 'purchase' AND event_id % 5 = 0

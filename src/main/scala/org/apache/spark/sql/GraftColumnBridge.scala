@@ -17,4 +17,12 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-export of Spark's own catalyst→v1-Filter translation
+    * (`protected[sql]` in `DataSourceStrategy`) — what graft's DML
+    * manifest pruning uses so predicate semantics (null handling, type
+    * coercion, pushability) can never diverge from Spark's. */
+  def translateFilter(predicate: Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = false)
 }

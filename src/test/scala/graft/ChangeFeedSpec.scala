@@ -1007,6 +1007,30 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(rows.filter(_._3 == 2L).toSet === Set(
       (2L, "update_preimage", 2L), (2L, "update_postimage", 2L),
       (3L, "delete", 2L), (9L, "insert", 2L)), s"got ${rows.toSet}")
+    // labels survive DELETE MAINTENANCE: a second merge doubles both
+    // artifact groups, rewrite_deletes merges each group into its OWN
+    // blob, and both windows still label exactly
+    Seq((1L, 100.0), (9L, -1.0)).toDF("k", "nv")
+      .createOrReplaceTempView("morlbl_src2")
+    graft.plans.MergeInto.sql(spark,
+      s"""MERGE INTO $t t USING morlbl_src2 s ON t.k = s.k
+         |WHEN MATCHED AND s.k = 1 THEN UPDATE SET v = s.nv
+         |WHEN MATCHED THEN DELETE
+         |""".stripMargin)                                                  // v3
+    val r = root("morlbl")
+    assert(ManifestTable.liveDeleteEntries(r).size === 4)
+    spark.sql(s"CALL gcdf.system.rewrite_deletes(`table` => 'ns.morlbl')")  // v4
+    val merged = ManifestTable.liveDeleteEntries(r).map(_.rel)
+    assert(merged.size === 2 && merged.count(ManifestTable.isDeleteLabeledDv) === 1,
+      s"one plain + one labeled blob after maintenance, got $merged")
+    val byV = changes(t).select($"k", $"_change_type", $"_commit_version")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    assert(byV.filter(_._3 == 2L) === Set(
+      (2L, "update_preimage", 2L), (2L, "update_postimage", 2L),
+      (3L, "delete", 2L), (9L, "insert", 2L)), s"v2 after maintenance: $byV")
+    assert(byV.filter(_._3 == 3L) === Set(
+      (1L, "update_preimage", 3L), (1L, "update_postimage", 3L),
+      (9L, "delete", 3L)), s"v3 after maintenance: $byV")
     spark.sql(s"DROP TABLE $t")
   }
 

@@ -275,6 +275,86 @@ class DmlModeTableSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("MOR UPDATE/DELETE prune their target reads by the WHERE predicate at the manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = "gdm.ns.prndml"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (0L until 40000L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+      .writeTo(t).tableProperty("write.delete.mode", "merge-on-read")
+      .tableProperty("write.update.mode", "merge-on-read").create()
+    val r = root("prndml")
+    // range-scoped UPDATE: only files whose k-bounds admit the predicate
+    // are read for the rewrite
+    graft.plans.MergeInto.sql(spark,
+      s"UPDATE $t SET v = -1.0 WHERE k >= 1000 AND k < 2000")
+    val (o1, t1) = graft.plans.MergeInto.lastMergeScan.get(r)
+    assert(o1 > 0 && o1 * 2 <= t1, s"UPDATE opened=$o1 total=$t1")
+    assert(spark.table(t).where("v = -1.0").count() === 1000L)
+    // range-scoped DELETE: same discipline for tombstone discovery
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k >= 35000")
+    val (o2, t2) = graft.plans.MergeInto.lastMergeScan.get(r)
+    assert(o2 > 0 && o2 * 2 <= t2, s"DELETE opened=$o2 total=$t2")
+    assert(spark.table(t).count() === 35000L)
+    assert(spark.table(t).where("v = -1.0").count() === 1000L,
+      "the pruned DELETE must not disturb the earlier update's rows")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("copy-on-write MERGE on identity layouts rewrites only the MATCHED keys; pure-insert merges append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = "gdm.ns.cowkey"; val twin = "gdm.ns.cowkeytw"
+    spark.sql(s"DROP TABLE IF EXISTS $t"); spark.sql(s"DROP TABLE IF EXISTS $twin")
+    val base = (0L until 14000L).map(k => (k, k * 1.0, s"g${k % 7}"))
+      .toDF("k", "v", "grp")
+    Seq(t, twin).foreach(n =>
+      base.writeTo(n).partitionedBy(col("grp")).create()) // CoW default
+    val r = root("cowkey")
+    def relsByKey: Map[String, Set[String]] = ManifestTable.liveEntries(r)
+      .map(_.rel).groupBy(ManifestTable.keyOf).map { case (k, v) => k -> v.toSet }
+    val before = relsByKey
+    // updates touch g3 only; inserts land in g3 (matched key) and in a
+    // BRAND-NEW key g9 (an append to a key the merge never read)
+    ((0L until 14000L).filter(k => k % 7 == 3 && k % 5 == 0).map(k => (k, "g3")) ++
+      Seq((99001L, "g3"), (99002L, "g9")))
+      .map { case (k, g) => (k, k * 2.0, g) }.toDF("k", "nv", "sgrp")
+      .createOrReplaceTempView("cow_src")
+    def stmt(tbl: String) =
+      s"""MERGE INTO $tbl t USING cow_src s ON t.grp = s.sgrp AND t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v, grp) VALUES (s.k, s.nv, s.sgrp)
+         |""".stripMargin
+    graft.plans.MergeInto.sql(spark, stmt(t))
+    val after = relsByKey
+    // untouched keys keep their EXACT file sets; only g3 rewrote; g9 is new
+    (0 to 6).map(i => s"grp=g$i").filterNot(_ == "grp=g3").foreach(k =>
+      assert(after(k) === before(k), s"untouched $k must carry by reference"))
+    assert(after("grp=g3") !== before("grp=g3"))
+    assert(after.contains("grp=g9"), "insert into a new key lands as an append")
+    // the scoped result equals the full-rewrite twin row-for-row
+    spark.conf.set("spark.graft.merge.partitionScoped", "false")
+    try graft.plans.MergeInto.sql(spark, stmt(twin))
+    finally spark.conf.unset("spark.graft.merge.partitionScoped")
+    assert(spark.table(t).orderBy("k", "v").collect().toSeq ===
+      spark.table(twin).orderBy("k", "v").collect().toSeq)
+    // a PURE-INSERT merge (no key matches) must append, rewriting nothing
+    val before2 = relsByKey
+    Seq((77001L, 1.0, "g2"), (77002L, 2.0, "g8")).toDF("k", "nv", "sgrp")
+      .createOrReplaceTempView("cow_ins")
+    graft.plans.MergeInto.sql(spark,
+      s"MERGE INTO $t t USING cow_ins s ON t.grp = s.sgrp AND t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, grp) VALUES (s.k, s.nv, s.sgrp)")
+    val after2 = relsByKey
+    before2.keySet.foreach(k =>
+      assert(after2(k).intersect(before2(k)) === before2(k),
+        s"pure-insert merge must not rewrite $k"))
+    assert(spark.table(t).where("k >= 77000 AND k < 78000").count() === 2L)
+    spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $twin")
+  }
+
   test("concurrent MOR and CoW DML on different tables never interfere (the race the property model kills)") {
     import spark.implicits._
     val mor = "gdm.ns.racemor"
