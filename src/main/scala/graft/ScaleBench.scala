@@ -232,6 +232,49 @@ object ScaleBench {
         f"seq_secs=$seqSecs%.1f par4_secs=$parSecs%.1f speedup=${seqSecs / parSecs}%.2fx")
       Seq("opt_seq", "opt_par").foreach(t => spark.sql(s"DROP TABLE scale_cat.b.$t"))
     }
+
+    // MERGE TARGET PRUNING AT SCALE: a small staging batch (one of 16
+    // identity partitions, ~1/80 of the rows) MERGEs into a big
+    // merge-on-read table, pruned (source-key manifest pruning) vs
+    // unpruned — the r18 headline fix for the reference's every-12-min
+    // silver upsert. Same table shape, same statement; only the prune
+    // conf differs. The plan-level files-opened ratio rides the
+    // lastMergeScan registry (executed-plan evidence, same as the
+    // mor_merge_prune oracle).
+    {
+      val mrgRows = math.max(catRows / 2, 4000000L)
+      def mkTarget(tbl: String): Unit = spark.range(mrgRows).select(
+          col("id").as("k"),
+          concat(lit("g"), (col("id") % 16).cast("string")).as("grp"),
+          (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0).as("v"))
+        .writeTo(s"scale_cat.b.$tbl").partitionedBy(col("grp"))
+        .tableProperty("write.merge.mode", "merge-on-read").create()
+      mkTarget("mrg_p"); mkTarget("mrg_u")
+      spark.range(mrgRows).where(col("id") % 16 === 3 && col("id") % 5 === 0)
+        .select(col("id").as("k"), lit("g3").as("grp"), lit(-1.0d).as("v"))
+        .createOrReplaceTempView("mrg_stage")
+      def runMerge(tbl: String, prune: Boolean): Double = {
+        spark.conf.set("spark.graft.merge.targetPrune", prune.toString)
+        val t0 = System.nanoTime()
+        try graft.plans.MergeInto.sql(spark,
+          s"MERGE INTO scale_cat.b.$tbl t USING mrg_stage s " +
+            "ON t.grp = s.grp AND t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET v = s.v " +
+            "WHEN NOT MATCHED THEN INSERT (k, grp, v) VALUES (s.k, s.grp, s.v)")
+        finally spark.conf.unset("spark.graft.merge.targetPrune")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val prunedSecs = runMerge("mrg_p", prune = true)
+      val (pOpen, pTotal) = graft.plans.MergeInto.lastMergeScan.get(s"$wh/b/mrg_p")
+      val unprunedSecs = runMerge("mrg_u", prune = false)
+      val (uOpen, uTotal) = graft.plans.MergeInto.lastMergeScan.get(s"$wh/b/mrg_u")
+      println(f"[scale] merge_prune rows=$mrgRows pruned_secs=$prunedSecs%.1f " +
+        f"(files $pOpen/$pTotal) unpruned_secs=$unprunedSecs%.1f " +
+        f"(files $uOpen/$uTotal) speedup=${unprunedSecs / prunedSecs}%.2fx")
+      require(pOpen * 8 <= pTotal,
+        "merge target pruning failed to drop unmatched partitions at scale")
+      Seq("mrg_p", "mrg_u").foreach(t => spark.sql(s"DROP TABLE scale_cat.b.$t"))
+    }
     val totalFiles = graft.sources.ManifestTable.manifest(s"$wh/b/ev", 1).size
     val windowed = spark.table("scale_cat.b.ev")
       .where(col("ts") >= lit("2024-01-11 00:00:00").cast("timestamp_ntz")

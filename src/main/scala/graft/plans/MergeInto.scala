@@ -409,7 +409,7 @@ object MergeInto {
     * statically. Extra cost vs the full path: one inner + one anti join
     * for discovery — both prunable, both tiny output (distinct days). */
   private def executeScopedMerge(spark: SparkSession, tgt: Target, root: String,
-                                 tsCol: String, source: DataFrame,
+                                 tsCol: String, source0: DataFrame,
                                  m: MergeIntoTable, refreshView: Boolean,
                                  raw: DataFrame,
                                  baseVersion: Option[Long]): Boolean = {
@@ -431,6 +431,9 @@ object MergeInto {
     if (zoneSensitive && !ManifestTable.liveProps(root).get(ManifestTable.ZoneProp)
         .contains(spark.sessionState.conf.sessionLocalTimeZone)) return false
     val targetCols = tgt.df.columns.toSeq
+    // the discovery joins and the merge itself must see the SAME source
+    // rows — pin before the first consumption ([[pinSource]])
+    val source = pinSource(source0, splitAlias(m.sourceTable)._2)
     // every INSERT action must assign the partition-source timestamp
     // column with a derivable value, else the landing day is unknown
     val insertTsExprs: Seq[(Option[Expression], Column)] =
@@ -520,9 +523,12 @@ object MergeInto {
     val v0 = ManifestTable.currentVersion(root)
     val cond = GraftColumnBridge.column(m.mergeCondition)
     val t = tgt.df.alias(tgt.alias)
+    // the discovery join and the merge itself must see the SAME source
+    // rows — pin before the first consumption ([[pinSource]])
+    val src = pinSource(source, splitAlias(m.sourceTable)._2)
     // identity-key partitions holding matched rows; the manifest's
     // identity pruning narrows this probe to joinable partitions
-    val matchedKeys: Seq[Row] = t.join(source, cond, "inner")
+    val matchedKeys: Seq[Row] = t.join(src, cond, "inner")
       .select(idCols.map(c => t(c)): _*).distinct()
       .limit(maxKeys + 1).collect().toSeq
     if (matchedKeys.size > maxKeys) return false
@@ -540,7 +546,7 @@ object MergeInto {
         idCols.zipWithIndex.map { case (c, i) => t(c) === lit(r.get(i)) }
           .reduce(_ && _)).reduce(_ || _))
     val result = graft.sources.v2.VersionedCatalog.withChecks(
-      mergeResult(restricted, tgt.alias, source, m), root, tgt.name)
+      mergeResult(restricted, tgt.alias, src, m), root, tgt.name)
     if (removeKeys.isEmpty) {
       // nothing matched: the merge reduces to its inserts — append them
       // (an empty insert set is a no-op, never a commit)
@@ -689,8 +695,12 @@ object MergeInto {
           .flatMap(f => graft.sources.FileStats.tagOf(f.dataType)
             .filter(t => t == 'l' || t == 's').map(f.name.toLowerCase -> _))
           .toMap
-        def dec(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
-          java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
+        // HIVE-style unescape, NOT URLDecoder: the writer lays dirs out
+        // with escapePathName, which leaves '+' literal — URLDecoder
+        // would corrupt it to a space and prune files that DO match
+        def dec(s: String): String = scala.util.Try(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s)).getOrElse(s)
         def dirStats(rel: String): Map[String, graft.sources.FileStats.ColStats] =
           ManifestTable.plainRel(rel).split('/').dropRight(1).toSeq.flatMap { seg =>
             val i = seg.indexOf('=')
@@ -865,17 +875,21 @@ object MergeInto {
     // SOURCE-KEY pruning of the target read: compute the staging batch's
     // key sets/bounds (small jobs over the source) and let morRead drop
     // files that provably hold no match. Disabled whenever a NOT MATCHED
-    // BY SOURCE clause needs every target row.
+    // BY SOURCE clause needs every target row. The source PINS first —
+    // the prune-side jobs and the join must see the same rows
+    // ([[pinSource]]).
+    val canPrune = m.notMatchedBySourceActions.isEmpty &&
+      spark.conf.get("spark.graft.merge.targetPrune", "true").toBoolean
+    val source = if (canPrune && split.equi.nonEmpty)
+      pinSource(source0, splitAlias(m.sourceTable)._2) else source0
     val pruneFilters: Seq[org.apache.spark.sql.sources.Filter] =
-      if (m.notMatchedBySourceActions.nonEmpty ||
-          !spark.conf.get("spark.graft.merge.targetPrune", "true").toBoolean) Nil
-      else sourceKeyFilters(split.equi, source0, meta, spark)
+      if (!canPrune) Nil else sourceKeyFilters(split.equi, source, meta, spark)
     val logical = morRead(spark, root, meta, tgt.alias, pruneFilters) match {
       case Some(df) => df
       case None => return false // empty table: CoW path inserts exactly
     }
     val t = logical.withColumn(TP, lit(true))
-    val s = source0.withColumn(SP, lit(true))
+    val s = source.withColumn(SP, lit(true))
     val doCheck =
       spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
     // multi-match guard fast path: match counts windowed over the SOURCE
@@ -887,7 +901,7 @@ object MergeInto {
     val tOnly   = col(TP).isNotNull && col(SP).isNull
     val sOnly   = col(TP).isNull
 
-    val cm = new ClauseMaps(targetCols, source0, t, s)
+    val cm = new ClauseMaps(targetCols, source, t, s)
     import cm._
 
     // tomb: the target row's old position dies; out: a new row is born.
@@ -994,6 +1008,22 @@ object MergeInto {
         dfIsEmpty = nU == 0)
     }
     true
+  }
+
+  /** Materialize a MERGE source that planning will consume MORE THAN
+    * ONCE (key/bounds collection, touched-partition discovery) before
+    * the join itself: a non-deterministic source (uuid()/rand()/an
+    * unordered LIMIT) re-evaluated per job could present different keys
+    * at prune time vs join time — pruning would then drop files holding
+    * real matches and the merge would silently duplicate rows. One eager
+    * localCheckpoint pins the rows (Delta materializes its MERGE source
+    * for exactly this reason) and, as a side effect, stops re-computing
+    * an expensive source subquery once per planning job. The statement
+    * alias re-applies — a checkpoint drops it, and qualified condition
+    * attributes must keep resolving. */
+  private def pinSource(source: DataFrame, alias: Option[String]): DataFrame = {
+    val cp = source.localCheckpoint(true)
+    alias.fold(cp)(cp.alias)
   }
 
   /** A DML condition as v1 pushdown filters for [[morRead]]'s manifest

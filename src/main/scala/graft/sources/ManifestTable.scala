@@ -1784,15 +1784,24 @@ object ManifestTable {
     // fresh uuids forever)
     val grouped: Map[Boolean, Seq[(FileEntry, Set[String])]] =
       posDel.zip(perEntryTargets).groupBy { case (e, _) => isDeleteLabeledDv(e.rel) }
-    val needPos = grouped.values.exists(_.size > 1) ||
-      !posTargets.subsetOf(liveRels)
+    // per-GROUP work decision: a group merges when it has >1 artifacts or
+    // any of its artifacts names dead targets; a group that is already a
+    // single all-live blob carries untouched (re-writing it under a fresh
+    // uuid would be pure churn)
+    val groupNeeds: Map[Boolean, Boolean] = grouped.map { case (lab, grp) =>
+      lab -> (grp.size > 1 ||
+        grp.exists { case (_, ts) => !ts.subsetOf(liveRels) })
+    }
+    val needPos = groupNeeds.values.exists(identity)
     if (!needPos && deadEq.isEmpty)
       return currentVersion(root).getOrElse(0L)
 
-    val mergedRels = if (needPos) posDel.map(_.rel).toSet else Set.empty[String]
+    val mergedRels: Set[String] =
+      grouped.filter(g => groupNeeds(g._1)).values.flatten.map(_._1.rel).toSet
     val fresh: Seq[FileEntry] =
       if (!needPos) Nil
-      else grouped.toSeq.sortBy(_._1).flatMap { case (labeled, grp) =>
+      else grouped.toSeq.filter(g => groupNeeds(g._1))
+        .sortBy(_._1).flatMap { case (labeled, grp) =>
         val keep = grp.flatMap(_._2).toSet.intersect(liveRels)
         if (keep.isEmpty) Nil // every target died: this backlog vanishes
         else {

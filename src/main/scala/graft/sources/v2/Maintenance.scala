@@ -266,16 +266,21 @@ object Maintenance {
     val mmExprs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val mmRow = df.agg(mmExprs.head, mmExprs.tail: _*).collect()(0)
-    // an EMPTY input (a fully merge-on-read-deleted day) aggregates to
-    // nulls — any constant key is a correct z-order for zero rows, and
-    // the rewrite proceeds to compact the day away
-    if (mmRow.isNullAt(0)) return lit(0L)
+    // a dimension with NO bounds — an empty input (fully merge-on-read-
+    // deleted slice) or an ALL-NULL column (a schema-evolution-added
+    // column null-filled for this whole chunk) — contributes a constant
+    // bucket: any constant is a correct order for rows that don't vary
+    // on it, and the other dimensions still cluster. Per-dimension, so
+    // one all-null column can never crash a chunk mid-run.
     val bucketCols = zCols.zipWithIndex.map { case (c, i) =>
-      val lo = mmRow.getDouble(2 * i)
-      val hi = mmRow.getDouble(2 * i + 1)
-      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(lit((scale - 1).toLong), greatest(lit(0L),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(scale)).cast("long")))
+      if (mmRow.isNullAt(2 * i) || mmRow.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val lo = mmRow.getDouble(2 * i)
+        val hi = mmRow.getDouble(2 * i + 1)
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        least(lit((scale - 1).toLong), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(scale)).cast("long")))
+      }
     }
     (0 until bits).flatMap { b =>
       bucketCols.zipWithIndex.map { case (bc, d) =>

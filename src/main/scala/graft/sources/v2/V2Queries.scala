@@ -57,6 +57,26 @@ object V2Queries {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
 
+  /** The staged batch BOTH merge-scoping oracles use — purchase div-5
+    * rows (matched updates) plus their +1e9-id clones at value+1
+    * (inserts) — and the one MERGE statement over it. Shared so the two
+    * queries' fixtures and their recompute formula
+    * ([[oracle.mergeScopeRecompute]]) can never silently diverge. */
+  private def purchaseStagedBatch(ev: DataFrame): DataFrame = {
+    val staged = ev.where(col("event_type") === "purchase" &&
+      col("event_id") % 5 === 0)
+    staged.unionByName(staged.select(
+      (col("event_id") + 1000000000L).as("event_id"), col("ts"),
+      col("user_id"), col("event_type"),
+      (col("value") + 1.0d).as("value")))
+  }
+
+  private def mergeScopeStmt(tbl: String, srcView: String): String =
+    s"""MERGE INTO $tbl t USING $srcView s
+       |ON t.event_type = s.event_type AND t.event_id = s.event_id
+       |WHEN MATCHED THEN UPDATE SET value = s.value * 3
+       |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+
   /** The file set the V2 scan will actually read, from the optimized plan
     * (plan-time only — nothing is executed). */
   private def scanFiles(df: DataFrame): Seq[String] =
@@ -509,18 +529,8 @@ object V2Queries {
         .tableProperty("write.merge.mode", "merge-on-read")
         .create()
       val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
-      val staged = ev.where(col("event_type") === "purchase" &&
-        col("event_id") % 5 === 0)
-      staged.unionByName(staged.select(
-          (col("event_id") + 1000000000L).as("event_id"), col("ts"),
-          col("user_id"), col("event_type"),
-          (col("value") + 1.0d).as("value")))
-        .createOrReplaceTempView(s"${short}_src")
-      graft.plans.MergeInto.sql(spark,
-        s"""MERGE INTO $tbl t USING ${short}_src s
-           |ON t.event_type = s.event_type AND t.event_id = s.event_id
-           |WHEN MATCHED THEN UPDATE SET value = s.value * 3
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      purchaseStagedBatch(ev).createOrReplaceTempView(s"${short}_src")
+      graft.plans.MergeInto.sql(spark, mergeScopeStmt(tbl, s"${short}_src"))
       val (opened, total) = Option(graft.plans.MergeInto.lastMergeScan.get(root))
         .getOrElse((Long.MaxValue, 0L))
       val pruneOk = opened > 0 && total > 0 && opened * 2 <= total
@@ -554,18 +564,8 @@ object V2Queries {
           .groupBy(graft.sources.ManifestTable.keyOf)
           .map { case (k, v) => k -> v.toSet }
       val before = relsByKey
-      val staged = ev.where(col("event_type") === "purchase" &&
-        col("event_id") % 5 === 0)
-      staged.unionByName(staged.select(
-          (col("event_id") + 1000000000L).as("event_id"), col("ts"),
-          col("user_id"), col("event_type"),
-          (col("value") + 1.0d).as("value")))
-        .createOrReplaceTempView(s"${short}_src")
-      graft.plans.MergeInto.sql(spark,
-        s"""MERGE INTO $tbl t USING ${short}_src s
-           |ON t.event_type = s.event_type AND t.event_id = s.event_id
-           |WHEN MATCHED THEN UPDATE SET value = s.value * 3
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      purchaseStagedBatch(ev).createOrReplaceTempView(s"${short}_src")
+      graft.plans.MergeInto.sql(spark, mergeScopeStmt(tbl, s"${short}_src"))
       val after = relsByKey
       val touched = "event_type=purchase"
       val scopeOk = before.keySet.filterNot(_ == touched)
@@ -1941,14 +1941,15 @@ object V2Queries {
          |   OR (event_id % 2 = 1 AND event_id % 3 = 0)
          |GROUP BY 1""".stripMargin
 
-    /** The pruned MERGE's post-state recomputed flat: purchase div-5
-      * rows tripled (matched UPDATE), their +1e9-id clones inserted with
-      * value+1, everything else untouched; the under-half-the-files plan
-      * verdict pinned TRUE — manifest pruning must be invisible in the
-      * DATA. */
-    val morMergePrune: String =
+    /** The shared merge-scoping recompute ([[purchaseStagedBatch]]'s
+      * post-state, flat): purchase div-5 rows tripled (matched UPDATE),
+      * their +1e9-id clones inserted with value+1, everything else
+      * untouched; the per-query PLAN/MANIFEST verdict pinned TRUE —
+      * scoping must be invisible in the DATA. One formula for both
+      * twins so they can never silently diverge. */
+    private def mergeScopeRecompute(verdict: String): String =
       s"""SELECT event_type, COUNT(*) AS n_events,
-         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS prune_ok
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS $verdict
          |FROM (
          |  SELECT event_type,
          |    CASE WHEN event_type = 'purchase' AND event_id % 5 = 0
@@ -1959,22 +1960,11 @@ object V2Queries {
          |  WHERE event_type = 'purchase' AND event_id % 5 = 0)
          |GROUP BY 1""".stripMargin
 
-    /** The key-scoped CoW MERGE's post-state recomputed flat — same
-      * formula as the MOR prune twin, manifest-scope verdict pinned
-      * TRUE (partition-scoped rewriting must be invisible in the
-      * DATA). */
-    val cowMergeKeyscope: String =
-      s"""SELECT event_type, COUNT(*) AS n_events,
-         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS scope_ok
-         |FROM (
-         |  SELECT event_type,
-         |    CASE WHEN event_type = 'purchase' AND event_id % 5 = 0
-         |         THEN value * 3 ELSE value END AS value
-         |  FROM events
-         |  UNION ALL
-         |  SELECT event_type, value + 1 AS value FROM events
-         |  WHERE event_type = 'purchase' AND event_id % 5 = 0)
-         |GROUP BY 1""".stripMargin
+    /** Under-half-the-files EXECUTED-plan verdict (merge-on-read). */
+    val morMergePrune: String = mergeScopeRecompute("prune_ok")
+
+    /** Untouched-keys-carry MANIFEST verdict (copy-on-write). */
+    val cowMergeKeyscope: String = mergeScopeRecompute("scope_ok")
 
     /** A deletes-only rewrite must be invisible in the data: recompute
       * BOTH merged deletes' retractions, maintenance verdict pinned

@@ -302,6 +302,33 @@ class DmlModeTableSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("identity directory pseudo-stats unescape HIVE-style: a '+' partition value still matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // escapePathName leaves '+' literal in the directory name; a
+    // URL-style decoder would read it back as a SPACE, fail the In
+    // probe, prune the file that holds the match, and the merge would
+    // silently insert a duplicate
+    val t = "gdm.ns.prnplus"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ((0L until 100L).map(k => (k, k * 1.0, "US+CA")) ++ // the LARGEST partition
+      Seq((900L, 9.0, "EU"), (901L, 9.1, "APAC")))
+      .toDF("k", "v", "grp").writeTo(t).partitionedBy(col("grp"))
+      .tableProperty("write.merge.mode", "merge-on-read").create()
+    Seq((1L, -1.0, "US+CA")).toDF("k", "nv", "sgrp")
+      .createOrReplaceTempView("plus_src")
+    graft.plans.MergeInto.sql(spark,
+      s"MERGE INTO $t t USING plus_src s ON t.grp = s.sgrp AND t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, grp) VALUES (s.k, s.nv, s.sgrp)")
+    assert(spark.table(t).count() === 102L, "the match must be FOUND, not re-inserted")
+    assert(spark.table(t).where("k = 1").collect().map(_.getDouble(1)).toSeq
+      === Seq(-1.0))
+    val (o, tot) = graft.plans.MergeInto.lastMergeScan.get(root("prnplus"))
+    assert(o === 1L && tot === 3L, s"prune to the matching partition only ($o of $tot)")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("copy-on-write MERGE on identity layouts rewrites only the MATCHED keys; pure-insert merges append") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
