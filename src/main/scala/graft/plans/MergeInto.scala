@@ -483,9 +483,11 @@ object MergeInto {
   }
 
   /** The IDENTITY-layout twin of [[executeScopedMerge]] — copy-on-write
-    * MERGE on the gold `ano, mes` shape: discover the identity-key
-    * partitions holding MATCHED target rows (inner join, distinct-key
-    * output — manifest identity pruning bounds the probe), run the merge
+    * MERGE on the gold `ano, mes` shape: discover the identity
+    * partitions holding MATCHED rows with an inner-join probe whose
+    * target side pre-filters to the SOURCE's candidate key values
+    * (manifest identity pruning answers the static predicate — the
+    * probe reads only candidate partitions), run the merge
     * over ONLY those keys' rows, and commit through
     * [[ManifestTable.replaceKeys]] — every other key's files carry
     * untouched, and inserted rows landing in untouched keys APPEND to
@@ -523,23 +525,54 @@ object MergeInto {
     val v0 = ManifestTable.currentVersion(root)
     val cond = GraftColumnBridge.column(m.mergeCondition)
     val t = tgt.df.alias(tgt.alias)
-    // the discovery join and the merge itself must see the SAME source
+    // the discovery probe and the merge itself must see the SAME source
     // rows — pin before the first consumption ([[pinSource]])
     val src = pinSource(source, splitAlias(m.sourceTable)._2)
-    // identity-key partitions holding matched rows; the manifest's
-    // identity pruning narrows this probe to joinable partitions
-    val matchedKeys: Seq[Row] = t.join(src, cond, "inner")
+    val physIds = idCols.map(meta.physicalName)
+    def esc(s: String): String = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(s)
+    def keyOfRow(r: Row): String = physIds.zipWithIndex.map { case (p, i) =>
+      s"${esc(p)}=${esc(String.valueOf(r.get(i)))}" }.mkString("/")
+    // TOUCHED-KEY DISCOVERY: exact matched keys from an inner-join probe
+    // whose TARGET side is pre-filtered by the source's candidate
+    // identity values — when the ON condition equi-maps every identity
+    // column to a source column, the candidates are a sound SUPERSET of
+    // the matched keys (a matched row's key equals some source row's
+    // values by the equi conjuncts, whatever the other conjuncts do),
+    // and the static IN-style predicate is answered by the manifest's
+    // identity pruning: the probe reads only the candidate partitions,
+    // DETERMINISTICALLY, instead of the whole table or a runtime-filter
+    // gamble. Conditions that don't equi-map every identity column probe
+    // the full target. The exact join keeps the pure-insert contract:
+    // a partition that only RECEIVES inserts appends, never rewrites.
+    val split = splitCondition(m.mergeCondition, tgt.df.columns.toSeq, tgt.alias,
+      src.columns.toSeq, splitAlias(m.sourceTable)._2)
+    val idSrcCols: Option[Seq[String]] = {
+      val pairs: Seq[Option[String]] =
+        idCols.map(c => split.equi.find(_._1.equalsIgnoreCase(c)).map(_._2))
+      if (pairs.forall(_.isDefined)) Some(pairs.map(_.get)) else None
+    }
+    val candCap = maxKeys * 4
+    val candidates: Option[Seq[Row]] = idSrcCols.map(srcCols =>
+      // null-key source rows match nothing — drop, never decline
+      src.select(srcCols.map(c => src(c)): _*)
+        .na.drop("any").distinct().limit(candCap + 1).collect().toSeq)
+    val probeT = candidates match {
+      case Some(cs) if cs.isEmpty => t.where(lit(false)) // no non-null keys
+      case Some(cs) if cs.size <= candCap =>
+        // equality coercion keeps cross-type matches sound (a wider
+        // filter only reads more; the join decides exactly)
+        t.where(cs.map(r => idCols.zipWithIndex.map { case (c, i) =>
+          t(c) === lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _))
+      case _ => t // too many candidates: probe unfiltered
+    }
+    val matchedKeys: Seq[Row] = probeT.join(src, cond, "inner")
       .select(idCols.map(c => t(c)): _*).distinct()
       .limit(maxKeys + 1).collect().toSeq
     if (matchedKeys.size > maxKeys) return false
     if (matchedKeys.exists(r => (0 until r.length).exists(r.isNullAt)))
       return false // NULL identity values: __HIVE_DEFAULT_PARTITION__
-    val physIds = idCols.map(meta.physicalName)
-    def esc(s: String): String = org.apache.spark.sql.catalyst.catalog
-      .ExternalCatalogUtils.escapePathName(s)
-    val removeKeys: Set[String] = matchedKeys.map(r =>
-      physIds.zipWithIndex.map { case (p, i) =>
-        s"${esc(p)}=${esc(String.valueOf(r.get(i)))}" }.mkString("/")).toSet
+    val removeKeys: Set[String] = matchedKeys.map(keyOfRow).toSet
     val restricted =
       if (matchedKeys.isEmpty) t.where(lit(false)) // pure-insert merge
       else t.where(matchedKeys.map(r =>
