@@ -264,10 +264,18 @@ object ScaleBench {
         finally spark.conf.unset("spark.graft.merge.targetPrune")
         (System.nanoTime() - t0) / 1e9
       }
+      // Option-wrap the registry lookup: a merge that silently declined
+      // the merge-on-read path records nothing, and a bare tuple
+      // destructuring would NPE with an opaque bench crash instead of
+      // this require's diagnosis
+      def scanOf(tbl: String): (Long, Long) =
+        Option(graft.plans.MergeInto.lastMergeScan.get(s"$wh/b/$tbl")).getOrElse(
+          sys.error(s"merge on scale_cat.b.$tbl recorded no executed-plan scan " +
+            "evidence — did it decline the merge-on-read path?"))
       val prunedSecs = runMerge("mrg_p", prune = true)
-      val (pOpen, pTotal) = graft.plans.MergeInto.lastMergeScan.get(s"$wh/b/mrg_p")
+      val (pOpen, pTotal) = scanOf("mrg_p")
       val unprunedSecs = runMerge("mrg_u", prune = false)
-      val (uOpen, uTotal) = graft.plans.MergeInto.lastMergeScan.get(s"$wh/b/mrg_u")
+      val (uOpen, uTotal) = scanOf("mrg_u")
       println(f"[scale] merge_prune rows=$mrgRows pruned_secs=$prunedSecs%.1f " +
         f"(files $pOpen/$pTotal) unpruned_secs=$unprunedSecs%.1f " +
         f"(files $uOpen/$uTotal) speedup=${unprunedSecs / prunedSecs}%.2fx")

@@ -67,7 +67,6 @@ object MergeInto {
   private val TP   = "__graft_t"     // target-side presence marker
   private val SP   = "__graft_s"     // source-side presence marker
   private val TID  = "__graft_tid"   // per-target-row unique id
-  private val PK   = "__graft_pk"    // guard-window partition key
   private val NM   = "__graft_nm"    // per-target-row match count
   private val KEEP = "__graft_keep"
   private val ACT  = "__graft_act"   // MOR merge row action: u/d/i
@@ -204,11 +203,24 @@ object MergeInto {
     * matched target row, its true match count equals the number of
     * source rows sharing its equi-key values and passing the source-only
     * conjuncts (the target-only conjuncts already held for the row to
-    * have joined). Returns the NM-annotated source, or None when the
-    * condition has residual cross-side terms (consumers fall back to the
-    * per-target-row window over the joined relation). */
-  private def sourceSideNm(split: CondSplit, s: DataFrame): Option[DataFrame] =
+    * have joined). SOUNDNESS needs each equi pair's resolved source and
+    * target data types to be IDENTICAL: under a cross-typed pair the
+    * join compares in the coerced domain, so distinct raw source values
+    * (e.g. INT 5 vs STRING '05') can coerce-equal one target row while
+    * landing in different window partitions — NM=1 each, violation
+    * missed, silent duplicate rows. Returns the NM-annotated source, or
+    * None when the condition has residual cross-side terms or any
+    * cross-typed equi pair (consumers fall back to the per-target-row
+    * window over the joined relation, which counts in the join's own
+    * domain and stays exact). */
+  private def sourceSideNm(split: CondSplit, s: DataFrame,
+                           tSchema: StructType): Option[DataFrame] =
     if (split.residual) None
+    else if (!split.equi.forall { case (tc, sc) =>
+      val tt = tSchema.fields.find(_.name.equalsIgnoreCase(tc)).map(_.dataType)
+      val st = s.schema.fields.find(_.name.equalsIgnoreCase(sc)).map(_.dataType)
+      tt.isDefined && tt == st
+    }) None
     else scala.util.Try {
       val pred = split.sourceOnly.map(GraftColumnBridge.column)
         .reduceOption(_ && _).getOrElse(lit(true))
@@ -913,7 +925,14 @@ object MergeInto {
     // ([[pinSource]]).
     val canPrune = m.notMatchedBySourceActions.isEmpty &&
       spark.conf.get("spark.graft.merge.targetPrune", "true").toBoolean
-    val source = if (canPrune && split.equi.nonEmpty)
+    val doCheck =
+      spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
+    // pin when planning consumes the source more than once: the prune-key
+    // jobs, AND the guard fallback's two join legs (a non-deterministic
+    // source re-evaluated per leg could route a row into both or neither)
+    val fastOk = !doCheck ||
+      sourceSideNm(split, source0.withColumn(SP, lit(true)), schema).isDefined
+    val source = if ((canPrune && split.equi.nonEmpty) || !fastOk)
       pinSource(source0, splitAlias(m.sourceTable)._2) else source0
     val pruneFilters: Seq[org.apache.spark.sql.sources.Filter] =
       if (!canPrune) Nil else sourceKeyFilters(split.equi, source, meta, spark)
@@ -923,11 +942,9 @@ object MergeInto {
     }
     val t = logical.withColumn(TP, lit(true))
     val s = source.withColumn(SP, lit(true))
-    val doCheck =
-      spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
     // multi-match guard fast path: match counts windowed over the SOURCE
     // before the join (see [[sourceSideNm]]) — no post-join shuffle
-    val sNm = if (doCheck) sourceSideNm(split, s) else None
+    val sNm = if (doCheck && fastOk) sourceSideNm(split, s, schema) else None
     val joined = t.join(sNm.getOrElse(s),
       GraftColumnBridge.column(m.mergeCondition), "full_outer")
     val matched = col(TP).isNotNull && col(SP).isNotNull
@@ -982,13 +999,19 @@ object MergeInto {
           lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
           lit(" source rows"))).cast("string")).otherwise(act))
       } else {
-        val withPk = joined.withColumn(PK,
-          when(col(TP).isNotNull,
-            concat_ws(":", col("__mor_rel"), col("__mor_pos")))
-            .otherwise(concat(lit("s"),
-              (-monotonically_increasing_id() - 1).cast("string"))))
-        val withNm = withPk
-          .withColumn(NM, count(col(SP)).over(Window.partitionBy(col(PK))))
+        // fallback (residual / cross-typed conditions): the window's
+        // exchange input is ONLY the matched rows, partitioned by the
+        // MOR row identity — bounded by touched rows; unmatched legs
+        // bypass the shuffle with NM=0 (only matched rows can violate).
+        // Source pinned above, so the two join legs see identical rows.
+        val matchedLeg = joined.where(col(TP).isNotNull && col(SP).isNotNull)
+          .withColumn(NM, count(lit(1)).over(
+            Window.partitionBy(col("__mor_rel"), col("__mor_pos"))))
+        // positional union: both legs project the SAME parent plus NM
+        // last (unionByName would reject the join's duplicate t/s names)
+        val withNm = matchedLeg.unionAll(
+          joined.where(col(TP).isNull || col(SP).isNull)
+            .withColumn(NM, lit(0L)))
         val violate = col(TP).isNotNull && col(NM) > 1
         withNm.withColumn(ACT, when(violate, raise_error(concat(
           lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
@@ -1067,15 +1090,16 @@ object MergeInto {
     * conjunct translates independently through Spark's own
     * `DataSourceStrategy.translateFilter` — untranslatable conjuncts
     * drop (pruning needs any SOUND subset; the rewrite re-applies the
-    * full predicate to the rows). Renamed tables skip: the translated
-    * filters would speak logical names while file stats carry physical
-    * ones. */
+    * full predicate to the rows). Renamed tables translate each
+    * attribute through `meta.physicalName` AFTER analysis (the condition
+    * resolves against logical names, file stats carry physical ones) —
+    * a metadata-only rename must not cost the pruning tier. */
   private def predicateFilters(spark: SparkSession,
                                meta: graft.sources.v2.VersionedCatalog.Meta,
                                alias: String, cond: Option[Expression])
       : Seq[org.apache.spark.sql.sources.Filter] =
     cond match {
-      case Some(c) if meta.renames.isEmpty &&
+      case Some(c) if
           spark.conf.get("spark.graft.dml.predicatePrune", "true").toBoolean =>
         scala.util.Try {
           val empty = spark.createDataFrame(
@@ -1098,10 +1122,19 @@ object MergeInto {
               org.apache.spark.sql.catalyst.expressions.Literal.create(
                 x.eval(null), x.dataType)
           }
+          // logical → physical attribute names: the resolved condition
+          // speaks the table's declared (post-rename) names, while the
+          // manifest's per-file stats — what mayContain consults — are
+          // keyed by the files' physical names
+          def toPhys(e: Expression): Expression = e.transformUp {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                if !meta.physicalName(a.name).equalsIgnoreCase(a.name) =>
+              a.withName(meta.physicalName(a.name))
+          }
           analyzed.collect {
             case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
               conj(f.condition)
-          }.flatten.flatMap(p => GraftColumnBridge.translateFilter(fold(p)))
+          }.flatten.flatMap(p => GraftColumnBridge.translateFilter(toPhys(fold(p))))
         }.getOrElse(Nil)
       case _ => Nil
     }
@@ -1118,7 +1151,17 @@ object MergeInto {
     * staging batch — the side that is small by construction; the payoff
     * is the target table NOT being read. Any resolution failure returns
     * no filter for that column (pruning is optional, the join is the
-    * truth). */
+    * truth).
+    *
+    * CROSS-TYPED pairs emit NO filter: the prune verdict evaluates in
+    * the target column's stats domain while the join compares in the
+    * coerced domain, so e.g. a DOUBLE source value joined to a DECIMAL
+    * target key can equal a target row under double coercion while its
+    * exact-decimal rendering misses the file's bounds — the file holding
+    * the real match would prune and the source row would silently
+    * re-insert as NOT MATCHED. A pair only prunes when both sides map to
+    * the SAME stats tag ([[graft.sources.FileStats.tagOf]] — integral,
+    * string, boolean, … families), where the domain rendering agrees. */
   private def sourceKeyFilters(equi: Seq[(String, String)], source0: DataFrame,
                                meta: graft.sources.v2.VersionedCatalog.Meta,
                                spark: SparkSession)
@@ -1128,16 +1171,23 @@ object MergeInto {
     val cap = spark.conf.get("spark.graft.merge.pruneMaxKeys", "1000").toInt
     equi.flatMap { case (tCol, sCol) =>
       scala.util.Try {
-        val phys = meta.physicalName(tCol)
-        val sc = source0(sCol)
-        val vals = source0.select(sc).where(sc.isNotNull).distinct()
-          .limit(cap + 1).collect().map(_.get(0))
-        if (vals.isEmpty) Seq(f.AlwaysFalse(): f.Filter)
-        else if (vals.length <= cap) Seq(f.In(phys, vals): f.Filter)
+        val tTag = meta.schema.fields.find(_.name.equalsIgnoreCase(tCol))
+          .map(_.dataType).flatMap(graft.sources.FileStats.tagOf)
+        val sTag = source0.schema.fields.find(_.name.equalsIgnoreCase(sCol))
+          .map(_.dataType).flatMap(graft.sources.FileStats.tagOf)
+        if (tTag.isEmpty || tTag != sTag) Nil // cross-typed pair: no filter
         else {
-          val r = source0.agg(min(sc), max(sc)).collect()(0)
-          Seq(f.GreaterThanOrEqual(phys, r.get(0)): f.Filter,
-            f.LessThanOrEqual(phys, r.get(1)): f.Filter)
+          val phys = meta.physicalName(tCol)
+          val sc = source0(sCol)
+          val vals = source0.select(sc).where(sc.isNotNull).distinct()
+            .limit(cap + 1).collect().map(_.get(0))
+          if (vals.isEmpty) Seq(f.AlwaysFalse(): f.Filter)
+          else if (vals.length <= cap) Seq(f.In(phys, vals): f.Filter)
+          else {
+            val r = source0.agg(min(sc), max(sc)).collect()(0)
+            Seq(f.GreaterThanOrEqual(phys, r.get(0)): f.Filter,
+              f.LessThanOrEqual(phys, r.get(1)): f.Filter)
+          }
         }
       }.getOrElse(Nil)
     }
@@ -1397,18 +1447,23 @@ object MergeInto {
     val t = target0.alias(targetAlias)
       .withColumn(TID, monotonically_increasing_id())
       .withColumn(TP, lit(true))
-    val s = source.withColumn(SP, lit(true))
     val doCheck =
       spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
     // multi-match guard fast path: match counts windowed over the SOURCE
     // before the join (see [[sourceSideNm]]) — the guard then costs one
-    // small source-side shuffle instead of re-shuffling the FULL joined
-    // relation (untouched target rows included) through a window
-    val sNm =
-      if (doCheck)
-        sourceSideNm(splitCondition(m.mergeCondition, targetCols, targetAlias,
-          source.columns.toSeq, splitAlias(m.sourceTable)._2), s)
-      else None
+    // small source-side shuffle instead of re-shuffling the joined
+    // relation through a window
+    val split = splitCondition(m.mergeCondition, targetCols, targetAlias,
+      source.columns.toSeq, splitAlias(m.sourceTable)._2)
+    val fastOk = !doCheck ||
+      sourceSideNm(split, source.withColumn(SP, lit(true)), schema).isDefined
+    // the guard FALLBACK consumes the join twice (matched leg + rest
+    // leg); a non-deterministic source re-evaluated per leg could route
+    // a row into both or neither — pin it first ([[pinSource]])
+    val sourceF =
+      if (fastOk) source else pinSource(source, splitAlias(m.sourceTable)._2)
+    val s = sourceF.withColumn(SP, lit(true))
+    val sNm = if (doCheck && fastOk) sourceSideNm(split, s, schema) else None
     val joined = t.join(sNm.getOrElse(s),
       GraftColumnBridge.column(m.mergeCondition), "full_outer")
 
@@ -1416,7 +1471,7 @@ object MergeInto {
     val tOnly   = col(TP).isNotNull && col(SP).isNull
     val sOnly   = col(TP).isNull
 
-    val cm = new ClauseMaps(targetCols, source, t, s)
+    val cm = new ClauseMaps(targetCols, sourceF, t, s)
     import cm._
 
     // WHEN clauses in declaration order; out=None means the row is dropped.
@@ -1454,14 +1509,23 @@ object MergeInto {
           lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
           lit(" source rows"))).cast("boolean")).otherwise(keep0))
       } else {
-        // fallback (residual cross-side conditions): unique partition key
-        // per target row; source-only rows get their own negative ids so
-        // no window partition ever exceeds the match count of a single
-        // target row (no skew at any scale)
-        val withPk = joined
-          .withColumn(PK, coalesce(col(TID), -monotonically_increasing_id() - 1))
-        val withNm = withPk
-          .withColumn(NM, count(col(SP)).over(Window.partitionBy(col(PK))))
+        // fallback (residual / cross-typed conditions): per-target-row
+        // match counts, with the window's exchange input restricted to
+        // the MATCHED rows (both presence markers non-null) — the
+        // shuffle is bounded by touched rows, and the unmatched legs
+        // bypass it entirely with NM=0 (only matched rows can violate).
+        // The join evaluates once per leg — map-side cheap when the
+        // source broadcasts, and the source was pinned above so both
+        // legs see identical rows; the old single-pass shape shuffled
+        // the FULL joined relation (untouched target rows included)
+        // through the window.
+        val matchedLeg = joined.where(col(TP).isNotNull && col(SP).isNotNull)
+          .withColumn(NM, count(lit(1)).over(Window.partitionBy(col(TID))))
+        // positional union: both legs project the SAME parent plus NM
+        // last (unionByName would reject the join's duplicate t/s names)
+        val withNm = matchedLeg.unionAll(
+          joined.where(col(TP).isNull || col(SP).isNull)
+            .withColumn(NM, lit(0L)))
         val violate = col(TP).isNotNull && col(NM) > 1
         (withNm, when(violate, raise_error(concat(
           lit("MERGE INTO: a target row matched "), col(NM).cast("string"),

@@ -422,4 +422,60 @@ class DmlModeTableSpec extends AnyFunSuite {
     assert(spark.table(cow).where("v = k + 1").count() === 5 * 200L)
     spark.sql(s"DROP TABLE $mor"); spark.sql(s"DROP TABLE $cow")
   }
+
+  test("MOR DML predicate pruning survives a column RENAME (filters speak physical names)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = "gdm.ns.prnren"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (0L until 40000L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+      .writeTo(t).tableProperty("write.delete.mode", "merge-on-read")
+      .tableProperty("write.update.mode", "merge-on-read").create()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk")
+    val r = root("prnren")
+    // the WHERE speaks the new LOGICAL name; file stats carry the
+    // physical one — the pruning tier must translate, not decline
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE kk >= 35000")
+    val (o, tot) = graft.plans.MergeInto.lastMergeScan.get(r)
+    assert(o > 0 && o * 2 <= tot,
+      s"renamed-column DELETE must still prune at the manifest (opened=$o total=$tot)")
+    assert(spark.table(t).count() === 35000L)
+    // and the rewrite path too: a range UPDATE through the renamed name
+    graft.plans.MergeInto.sql(spark, s"UPDATE $t SET v = -1.0 WHERE kk < 1000")
+    val (o2, t2) = graft.plans.MergeInto.lastMergeScan.get(r)
+    assert(o2 > 0 && o2 * 2 <= t2, s"UPDATE opened=$o2 total=$t2")
+    assert(spark.table(t).where("v = -1.0").count() === 1000L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("cross-typed MERGE keys emit no prune filter: DOUBLE source on DECIMAL target never mis-prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // the prune verdict renders values in the TARGET's stats domain
+    // (exact decimal strings) while the join compares under DOUBLE
+    // coercion — a cross-typed pair must simply not prune, so the file
+    // holding the real match is read and the row updates instead of
+    // silently re-inserting as NOT MATCHED
+    val t = "gdm.ns.prndec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.range(0, 4000).select(
+        expr("CAST(id AS DECIMAL(12,2)) / 100").as("k"),
+        col("id").cast("double").as("v"))
+      .repartitionByRange(4, col("k"))
+      .writeTo(t).tableProperty("write.merge.mode", "merge-on-read").create()
+    Seq((1.1d, -5.0d)).toDF("sk", "sv").createOrReplaceTempView("prndec_stg")
+    graft.plans.MergeInto.sql(spark,
+      s"MERGE INTO $t t USING prndec_stg s ON t.k = s.sk " +
+        "WHEN MATCHED THEN UPDATE SET v = s.sv " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)")
+    assert(spark.table(t).count() === 4000L,
+      "the decimal row must be FOUND and updated, never duplicated")
+    assert(spark.table(t).where("v = -5.0").count() === 1L)
+    // the conservative half of the contract: no filter was emitted, so
+    // the target read stayed unpruned
+    val (o, tot) = graft.plans.MergeInto.lastMergeScan.get(root("prndec"))
+    assert(o === tot, s"cross-typed key must skip pruning (opened=$o total=$tot)")
+    spark.sql(s"DROP TABLE $t")
+  }
 }

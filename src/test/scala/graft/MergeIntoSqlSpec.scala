@@ -401,6 +401,91 @@ class MergeIntoSqlSpec extends AnyFunSuite {
     assert(!graft.streaming.MicroBatch.appendBatchIdempotent(df, root, "app1", 7L))
   }
 
+  test("cross-typed equi keys decline the source-side guard: coerce-equal duplicates still raise") {
+    // BIGINT target key, STRING source key: the join coerces both to
+    // DOUBLE, so the distinct raw strings '5' and '05' equal ONE target
+    // row. The source-side fast path would window them into separate
+    // partitions (NM=1 each) and miss the violation — cross-typed pairs
+    // must take the per-target-row fallback, which counts in the join's
+    // own domain and raises.
+    spark.sql("DROP TABLE IF EXISTS msq_xtyped")
+    Seq((5L, 1.0)).toDF("k", "v").write.saveAsTable("msq_xtyped")
+    Seq(("5", 2.0), ("05", 3.0)).toDF("sk", "sv")
+      .createOrReplaceTempView("msq_xtyped_stg")
+    val e = intercept[Exception](MergeInto.sql(spark,
+      """MERGE INTO msq_xtyped t USING msq_xtyped_stg s
+        |ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin))
+    def msgs(x: Throwable): Seq[String] = Option(x).toSeq
+      .flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("matched 2 source rows")), msgs(e))
+    // same-typed keys with distinct values keep the fast path's exact
+    // semantics: no raise, one update each
+    Seq((5L, 7.0)).toDF("sk", "sv").createOrReplaceTempView("msq_sametyp_stg")
+    MergeInto.sql(spark,
+      """MERGE INTO msq_xtyped t USING msq_sametyp_stg s
+        |ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
+    assert(spark.table("msq_xtyped").collect().map(_.getDouble(1)).toSeq == Seq(7.0))
+    spark.sql("DROP TABLE msq_xtyped")
+  }
+
+  test("fallback guard's window consumes ONLY matched rows (exchange input filtered)") {
+    spark.sql("DROP TABLE IF EXISTS msq_fbk")
+    (0L until 4000L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .write.saveAsTable("msq_fbk")
+    // residual cross-side conjunct -> fallback guard; only 3 rows match
+    // (the .5 sentinel collides with no original v = k * 1.0 value)
+    Seq((1L, 9999.5), (2L, 9999.5), (3L, 9999.5)).toDF("k", "sv")
+      .createOrReplaceTempView("msq_fbk_stg")
+    val cmd = new GraftSqlParser(spark.sessionState.sqlParser).parsePlan(
+      """MERGE INTO msq_fbk t USING msq_fbk_stg s
+        |ON t.k = s.k AND t.v < s.sv
+        |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
+      .asInstanceOf[GraftMergeCommand].merge.asInstanceOf[MergeIntoTable]
+    val res = MergeInto.mergeResult(spark.table("msq_fbk"), "t",
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark, cmd.sourceTable), cmd)
+    val out = res.localCheckpoint(true)
+    assert(out.count() === 4000L)
+    assert(out.where("v = 9999.5").count() === 3L)
+    // EXECUTED-plan audit: every guard window's input subtree must carry
+    // the matched-rows filter (both presence markers non-null) — the
+    // exchange feeding the window is bounded by touched rows, never the
+    // full joined relation
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val all = flatten(res.queryExecution.executedPlan)
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "the fallback guard must still run as a window")
+    windows.foreach { w =>
+      // the matched-leg filter (both presence markers non-null) lets the
+      // optimizer collapse the leg's full-outer join to INNER — the
+      // window's exchange input is then exactly the matched rows. Either
+      // shape (inner join, or an explicit marker filter) proves the
+      // input is bounded by touched rows; a FULL-OUTER join directly
+      // under the window would mean the old unbounded shape returned.
+      val joins = flatten(w).drop(1).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      assert(joins.nonEmpty, "guard window must sit over the join legs:\n" + w)
+      joins.foreach(j => assert(
+        j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+          flatten(w).exists {
+            case f: org.apache.spark.sql.execution.FilterExec =>
+              val c = f.condition.toString
+              c.contains("__graft_t") && c.contains("__graft_s")
+            case _ => false
+          },
+        s"fallback guard window consumes an unbounded ${j.joinType} join:\n" + w))
+    }
+    spark.sql("DROP TABLE msq_fbk")
+  }
+
   test("driver-contract query: full lifecycle at sf0.001") {
     val out = MergeInto.mergeIntoSql(spark, TestSpark.sf)
     assert(out.columns.toSeq == Seq("c_custkey", "c_acctbal", "c_mktsegment"))
