@@ -425,10 +425,18 @@ object MergeInto {
                                  m: MergeIntoTable, refreshView: Boolean,
                                  raw: DataFrame,
                                  baseVersion: Option[Long]): Boolean = {
-    // live positional tombstones make partition-scoped file carrying
-    // unsound shortcuts (a carried file's tombstones must survive, a
-    // rewritten one's must die) — the full rewrite materializes them
-    if (ManifestTable.hasDeletes(root)) return false
+    // LIVE TOMBSTONES COMPOSE with the scoped rewrite (r19 — the former
+    // one-tombstone-triggers-full-rewrite cliff): the probe and the
+    // rewrite both read deletes-APPLIED rows (readRawPinned /
+    // the catalog scan), so a rewritten day's new files materialize its
+    // tombstones away; carried days keep their artifacts live
+    // (positional ones name their targets, equality ones retract only
+    // strictly-older sequences — the rewritten files' fresh sequence
+    // escapes them by design). Artifacts whose targets all died go
+    // INERT, the same documented state a day-scoped OPTIMIZE leaves
+    // (fsck classifies them; rewrite_deletes drops them), and
+    // replaceScoped's delete-conflict check still catches a tombstone
+    // landing between this read and the commit.
     // after a partition spec evolution old files live in other layouts:
     // a "day" no longer names a carryable file set — full rewrite only
     if (!ManifestTable.isFullyDayKeyed(root)) return false
@@ -465,24 +473,53 @@ object MergeInto {
 
     val cond = GraftColumnBridge.column(m.mergeCondition)
     val tRaw = raw.alias(tgt.alias)
+    // DISCOVERY-PROBE PRUNING (the r18 verdict's last full-table read on
+    // the MERGE path): pre-filter the probe's target side by the
+    // source's join-key values ([[sourceKeyPredicate]] — a sound
+    // superset of the matched rows), so the static predicate reaches the
+    // manifest's per-file stats pruning and BOTH discovery joins read
+    // only candidate files instead of the whole table. matchDays stays
+    // exact (a filtered-out row matches nothing); the anti join's
+    // classification is unchanged for the same reason.
+    val split = splitCondition(m.mergeCondition, targetCols, tgt.alias,
+      source.columns.toSeq, splitAlias(m.sourceTable)._2)
+    val probeT = sourceKeyPredicate(split, source, tRaw, spark)
+      .map(tRaw.where).getOrElse(tRaw)
     // days holding matched target rows (inner join, distinct-day output)
-    val matchDays = tRaw.join(source, cond, "inner")
+    val matchDays = probeT.join(source, cond, "inner")
       .select(col(ManifestTable.DayCol).cast("string")).distinct()
     // days where inserted rows will land (superset is fine: an extra
     // touched day is rewritten as identity, never wrong)
-    val sOnly = source.join(tRaw, cond, "left_anti")
+    val sOnly = source.join(probeT, cond, "left_anti")
     val insertDays = insertTsExprs.map { case (c, tsVal) =>
       sOnly.where(c.map(GraftColumnBridge.column).getOrElse(lit(true)))
         .select(to_date(tsVal).cast("string"))
     }.reduceOption(_ unionAll _).map(_.distinct())
-    val days = (insertDays match {
+    val daysDf = insertDays match {
       case Some(ins) => matchDays.unionAll(ins).distinct()
       case None      => matchDays
-    }).collect().map(_.getString(0)).filter(_ != null).toSet
+    }
+    val days = daysDf.collect().map(_.getString(0)).filter(_ != null).toSet
+    // executed-plan evidence of the DISCOVERY read (the `lastMergeScan`
+    // registry the mor_merge_prune oracle reads): how many target data
+    // files the probe actually opened vs the table's live files
+    scala.util.Try(recordMergeScan(spark, root, daysDf))
     if (days.isEmpty) return true // nothing matched, nothing inserts: no-op
 
-    val restricted = raw
+    // the REWRITE read: day-restricted. The hidden-day column prunes at
+    // the dir level for manifest-backed reads; a catalog read derives
+    // __day from the ts column, so the day filter alone is not pushable
+    // — a typed ts-range predicate over the same day set (exactly
+    // equivalent: a row's __day is its ts's date in the recorded
+    // timeline, and the ranges are built in that same timeline) reaches
+    // the manifest pruning and keeps the rewrite's input proportional to
+    // the touched days at any table size.
+    val restricted0 = raw
       .where(col(ManifestTable.DayCol).cast("string").isin(days.toSeq: _*))
+    val restricted = (if (refreshView) restricted0
+      else tsDayRangePred(spark, tgt.df.schema, tsCol, days)
+        .map(restricted0.where).getOrElse(restricted0)) // conjunct: the day
+      // filter stays authoritative, the range predicate only PRUNES
       .drop(ManifestTable.DayCol)
     val result = graft.sources.v2.VersionedCatalog.withChecks(
       mergeResult(restricted, tgt.alias, source, m), root, tgt.name)
@@ -504,9 +541,10 @@ object MergeInto {
     * [[ManifestTable.replaceKeys]] — every other key's files carry
     * untouched, and inserted rows landing in untouched keys APPEND to
     * them (the replaceScoped append semantic), so a pure-insert merge
-    * rewrites nothing at all (plain append commit). Declines to the full
-    * rewrite (returns false) when: live tombstones exist (carried files'
-    * tombstones must survive, rewritten ones' must die), the layout is
+    * rewrites nothing at all (plain append commit). Live tombstones
+    * COMPOSE (deletes-applied reads; rewritten keys materialize their
+    * artifacts, dead-target artifacts go inert until rewrite_deletes).
+    * Declines to the full rewrite (returns false) when: the layout is
     * mixed (spec evolution), an identity column's directory rendering
     * isn't byte-certain (only integral/string/boolean values re-render
     * exactly as the writer laid them out), a matched key holds NULLs
@@ -521,7 +559,10 @@ object MergeInto {
                                     meta: graft.sources.v2.VersionedCatalog.Meta,
                                     source: DataFrame, m: MergeIntoTable): Boolean = {
     import org.apache.spark.sql.types._
-    if (ManifestTable.hasDeletes(root)) return false
+    // live tombstones compose — see the day-scoped twin's note: reads
+    // are deletes-applied, rewritten keys materialize their artifacts
+    // away, carried keys keep theirs live, dead-target artifacts go
+    // inert until rewrite_deletes
     if (meta.dayOf.nonEmpty || meta.part.nonEmpty ||
         meta.pastDays.nonEmpty || meta.pastParts.nonEmpty) return false
     val idCols = meta.identityCols
@@ -578,9 +619,13 @@ object MergeInto {
           t(c) === lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _))
       case _ => t // too many candidates: probe unfiltered
     }
-    val matchedKeys: Seq[Row] = probeT.join(src, cond, "inner")
+    val probeDf = probeT.join(src, cond, "inner")
       .select(idCols.map(c => t(c)): _*).distinct()
-      .limit(maxKeys + 1).collect().toSeq
+      .limit(maxKeys + 1)
+    val matchedKeys: Seq[Row] = probeDf.collect().toSeq
+    // executed-plan evidence of the probe read (identity pruning answers
+    // the candidate pre-filter) — same registry as the day-scoped twin
+    scala.util.Try(recordMergeScan(spark, root, probeDf))
     if (matchedKeys.size > maxKeys) return false
     if (matchedKeys.exists(r => (0 until r.length).exists(r.isNullAt)))
       return false // NULL identity values: __HIVE_DEFAULT_PARTITION__
@@ -774,9 +819,14 @@ object MergeInto {
             .map(_._1).getOrElse(Long.MaxValue)))
       }
     // narrow the delete backlog to artifacts that can touch the kept
-    // files (positional entries name their targets; equality deletes and
-    // list-less legacy entries stay conservatively) — a pruned merge
-    // must not pay the whole table's tombstone backlog
+    // files — a pruned merge must not pay the whole table's tombstone
+    // backlog. Positional entries name their targets (list-less legacy
+    // entries stay conservatively); EQUALITY entries drop when their key
+    // file's footer bounds are provably disjoint from every kept,
+    // strictly-older data file on some shared key column (the
+    // ChangeFeed's eqMayMatch discipline — one small footer read per eq
+    // entry, bounded by the backlog), so a CDC-style deep eq backlog is
+    // not re-joined on every small merge.
     val delEntries =
       if (dataEntries.size == dataEntries0.size) delEntries0
       else {
@@ -785,12 +835,32 @@ object MergeInto {
           ManifestTable.plainRel(e.rel), e.rel)).toSet
         def decT(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
           java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def eqMayTouchKept(e: ManifestTable.FileEntry): Boolean = scala.util.Try {
+          val path = ManifestTable.dataPath(root, e.rel)
+          val sch = spark.read.parquet(path).schema
+          val keyBounds = graft.sources.FileStats.collect(path, "parquet", sch, hconf)
+            .map(graft.sources.FileStats.decode).getOrElse(Map.empty)
+          val eqSeq = e.seq.getOrElse(0L)
+          dataEntries.exists { d =>
+            d.seq.getOrElse(0L) < eqSeq && {
+              val tStats = graft.sources.FileStats.decode(d.stats.getOrElse(""))
+              !sch.fieldNames.exists { k =>
+                (tStats.get(k.toLowerCase), keyBounds.get(k.toLowerCase)) match {
+                  case (Some(a), Some(b)) =>
+                    graft.sources.FileStats.provablyDisjoint(a, b)
+                  case _ => false
+                }
+              }
+            }
+          }
+        }.getOrElse(true) // any failure: keep, never drop a tombstone
         delEntries0.filter(e =>
-          ManifestTable.isEqDeleteEntry(e.rel) ||
-            (ManifestTable.deleteTouchedRels(e) match {
-              case Some(ts) => ts.exists(t => keptEnc(t) || keptEnc(decT(t)))
-              case None => true // unknown targets: keep, never drop a tombstone
-            }))
+          if (ManifestTable.isEqDeleteEntry(e.rel)) eqMayTouchKept(e)
+          else ManifestTable.deleteTouchedRels(e) match {
+            case Some(ts) => ts.exists(t => keptEnc(t) || keptEnc(decT(t)))
+            case None => true // unknown targets: keep, never drop a tombstone
+          })
       }
     val dataRels = dataEntries.map(_.rel)
     if (dataRels.isEmpty) return None
@@ -1193,6 +1263,76 @@ object MergeInto {
     }
   }
 
+  /** The staging batch's join-key sets/bounds as a PUSHABLE target-side
+    * predicate for the scoped-merge DISCOVERY probe: per equi pair, the
+    * source's distinct non-null values as an `isin` over the target
+    * column (its [min, max] bounds past `spark.graft.merge.pruneMaxKeys`).
+    * A SOUND SUPERSET of the matched target rows — a matched row equals
+    * some source row on every equi pair whatever the other conjuncts do
+    * — so the inner probe's day set stays exact and the anti probe's
+    * not-matched classification is unchanged (a filtered-out target row
+    * can match no source row). Unlike [[sourceKeyFilters]] this is an
+    * ENGINE predicate: Catalyst evaluates it in the same coerced domain
+    * as the join, so cross-typed pairs stay sound (they simply don't
+    * push past the coercion cast); same-typed pairs push to the catalog
+    * scan, whose manifest stats pruning then hands the probe ONLY the
+    * candidate files. `lit(false)` when a pair has no non-null source
+    * values (nothing can match). None = no equi pairs / pruning off /
+    * a source job failed — the probe runs unfiltered. */
+  private def sourceKeyPredicate(split: CondSplit, source: DataFrame,
+                                 t: DataFrame, spark: SparkSession): Option[Column] = {
+    if (split.equi.isEmpty ||
+        !spark.conf.get("spark.graft.merge.targetPrune", "true").toBoolean)
+      return None
+    val cap = spark.conf.get("spark.graft.merge.pruneMaxKeys", "1000").toInt
+    scala.util.Try {
+      split.equi.map { case (tc, sc) =>
+        val scol = source(sc)
+        val vals = source.select(scol).where(scol.isNotNull).distinct()
+          .limit(cap + 1).collect().map(_.get(0))
+        if (vals.isEmpty) lit(false)
+        else if (vals.length <= cap) t(tc).isin(vals.toIndexedSeq: _*)
+        else {
+          val r = source.agg(min(scol), max(scol)).collect()(0)
+          t(tc) >= lit(r.get(0)) && t(tc) <= lit(r.get(1))
+        }
+      }.reduce(_ && _)
+    }.toOption
+  }
+
+  /** The day set as a typed ts-RANGE predicate in the recorded timeline —
+    * `to_date(ts) IN days` itself is not a pushable source filter, but
+    * the equivalent union of [startOfDay, nextStartOfDay) ranges is, and
+    * the catalog scan's manifest stats pruning answers it. Timeline
+    * choice mirrors the day derivation exactly: wall-clock for
+    * TIMESTAMP_NTZ, the session zone for TIMESTAMP (callers already
+    * required session == writer zone), identity for DATE. Typed literals
+    * (Instant / LocalDateTime / LocalDate), no string parsing. None on
+    * any other type or an unparseable day. */
+  private def tsDayRangePred(spark: SparkSession, schema: StructType,
+                             tsCol: String, days: Set[String]): Option[Column] = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    if (days.isEmpty) return None
+    val tsType = schema.fields.find(_.name.equalsIgnoreCase(tsCol))
+      .map(_.dataType).getOrElse(return None)
+    scala.util.Try {
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      days.toSeq.sorted.map { d =>
+        val ld = java.time.LocalDate.parse(d)
+        tsType match {
+          case DateType => col(tsCol) === lit(ld)
+          case TimestampNTZType =>
+            col(tsCol) >= lit(ld.atStartOfDay) &&
+              col(tsCol) < lit(ld.plusDays(1).atStartOfDay)
+          case TimestampType =>
+            col(tsCol) >= lit(ld.atStartOfDay(zone).toInstant) &&
+              col(tsCol) < lit(ld.plusDays(1).atStartOfDay(zone).toInstant)
+          case other => throw new IllegalStateException(s"no day range for $other")
+        }
+      }.reduce(_ || _)
+    }.toOption
+  }
+
   /** Executed-plan scan evidence of the LAST merge-on-read DML (MERGE /
     * UPDATE / DELETE) against each root: (target data files the
     * statement's plan actually opened, live data files in the table).
@@ -1200,6 +1340,13 @@ object MergeInto {
     * read by the `mor_merge_prune` oracle query and the pruning specs. */
   private[graft] val lastMergeScan =
     new ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Companion evidence: how many DELETE-artifact files (positional
+    * tombstones, DV blobs, equality-key files) the same executed plan
+    * opened — the eq-backlog-narrowing specs assert a pruned merge
+    * loads none of the out-of-range artifacts. */
+  private[graft] val lastMergeDeleteScan =
+    new ConcurrentHashMap[String, Long]()
 
   private def recordMergeScan(spark: SparkSession, root: String,
                               executed: DataFrame): Unit = {
@@ -1210,18 +1357,29 @@ object MergeInto {
       case _ => p.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.inputFiles.toSeq
+        // catalog (DSv2) reads — the scoped CoW merge's discovery probe
+        // runs over spark.table(...); unwrap the runtime-filter wrapper
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          graft.sources.v2.GraftScans.innermost(b.scan) match {
+            case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+              ps.fileIndex.inputFiles.toSeq
+            case os: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
+              os.fileIndex.inputFiles.toSeq
+            case _ => Nil
+          }
         case q: QueryStageExec => files(q.plan)
         case a: AdaptiveSparkPlanExec => files(a.executedPlan)
       }.flatten
     }
     val bases = Seq(s"$root/data/") ++
       graft.sources.ManifestTable.cloneSrcOf(root).map(_ + "/").toSeq
-    val opened = files(executed.queryExecution.executedPlan).distinct
-      .filter(p => bases.exists(p.contains) &&
-        !p.contains("/__deletes/")).size.toLong
+    val all = files(executed.queryExecution.executedPlan).distinct
+      .filter(p => bases.exists(p.contains))
+    val opened = all.count(p => !p.contains("/__deletes/")).toLong
     val total = ManifestTable.liveEntries(root)
       .count(e => !ManifestTable.isDeleteEntry(e.rel)).toLong
     lastMergeScan.put(root, (opened, total))
+    lastMergeDeleteScan.put(root, all.count(_.contains("/__deletes/")).toLong)
   }
 
   /** Merge-on-read UPDATE: ONE atomic commit of tombstones for the

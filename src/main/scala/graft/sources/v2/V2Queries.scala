@@ -577,6 +577,67 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Copy-on-write MERGE on a DAY-partitioned table with a BOUNDED
+    * discovery probe — the r19 close of the verdict's last full-table
+    * read on the MERGE path: events land day-partitioned (days(ts),
+    * default CoW modes), a staging batch confined to TWO days merges in,
+    * and the probe that discovers the touched days pre-filters its
+    * target side by the batch's join-key values
+    * ([[graft.plans.MergeInto]] sourceKeyPredicate), which the manifest
+    * per-file stats pruning answers. `dayscope_ok` asserts BOTH halves:
+    * from the EXECUTED probe plan (`lastMergeScan`) that under half the
+    * live files were opened for discovery, and from the MANIFEST that
+    * every untouched day carried its exact pre-merge file set. The
+    * aggregate hash-matches DuckDB's flat recompute, so the scoping
+    * changed nothing about the result — only the files paid for. At
+    * 100 TB this is the reference's every-12-minutes silver upsert NOT
+    * paying two full-table joins per statement. */
+  def cowMergeDayscope(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("cds")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.repartition(3).writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .create()
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      def relsByDay: Map[String, Set[String]] =
+        graft.sources.ManifestTable.liveEntries(root).map(_.rel)
+          .groupBy(graft.sources.ManifestTable.keyOf)
+          .map { case (k, v) => k -> v.toSet }
+      val before = relsByDay
+      // staged batch confined to days 10-11: purchase div-5 rows
+      // (matched updates) plus +1e9-id clones at the SAME ts (inserts
+      // landing in the same two days)
+      val inWin = col("ts") >= lit("2024-01-10").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-12").cast("timestamp_ntz")
+      val staged0 = ev.where(col("event_type") === "purchase" &&
+        col("event_id") % 5 === 0 && inWin)
+      staged0.unionByName(staged0.select(
+          (col("event_id") + 1000000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"),
+          (col("value") + 1.0d).as("value")))
+        .createOrReplaceTempView(s"${short}_src")
+      graft.plans.MergeInto.sql(spark,
+        s"""MERGE INTO $tbl t USING ${short}_src s
+           |ON t.event_id = s.event_id AND t.ts = s.ts
+           |WHEN MATCHED THEN UPDATE SET value = s.value * 3
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val (opened, total) = Option(graft.plans.MergeInto.lastMergeScan.get(root))
+        .getOrElse((Long.MaxValue, 0L))
+      val probeOk = opened > 0 && total > 0 && opened * 2 <= total
+      val after = relsByDay
+      val touched = Set("__day=2024-01-10", "__day=2024-01-11")
+      val scopeOk = before.keySet.filterNot(touched).forall(k =>
+          after.get(k).contains(before(k))) &&
+        touched.forall(k => after.get(k).exists(_ != before.getOrElse(k, Set.empty)))
+      spark.table(tbl).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .withColumn("dayscope_ok", lit(probeOk && scopeOk)).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Deletes-only maintenance as an oracle-gated query — Iceberg's
     * `rewrite_position_delete_files` procedure shape: two scattered-row
     * MOR DELETEs leave two positional delete files; `CALL
@@ -1965,6 +2026,26 @@ object V2Queries {
 
     /** Untouched-keys-carry MANIFEST verdict (copy-on-write). */
     val cowMergeKeyscope: String = mergeScopeRecompute("scope_ok")
+
+    /** Day-scoped CoW merge with a bounded discovery probe: the same
+      * update/insert recompute confined to the staged two-day window;
+      * probe-pruning + untouched-days-carry verdict pinned TRUE. */
+    val cowMergeDayscope: String =
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume, TRUE AS dayscope_ok
+         |FROM (
+         |  SELECT event_type,
+         |    CASE WHEN event_type = 'purchase' AND event_id % 5 = 0
+         |              AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |              AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         |         THEN value * 3 ELSE value END AS value
+         |  FROM events
+         |  UNION ALL
+         |  SELECT event_type, value + 1 AS value FROM events
+         |  WHERE event_type = 'purchase' AND event_id % 5 = 0
+         |    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |    AND ts < TIMESTAMP '2024-01-12 00:00:00')
+         |GROUP BY 1""".stripMargin
 
     /** A deletes-only rewrite must be invisible in the data: recompute
       * BOTH merged deletes' retractions, maintenance verdict pinned

@@ -2129,8 +2129,16 @@ private[graft] class GraftRuntimeFilterScan(builder: VersionedScanBuilder,
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
   override def description(): String = s"RuntimeFilterable(${delegate.description()})"
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    attrs.map(Expressions.column)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns the CURRENT projection kept: Spark's PartitionPruning
+    // resolves these against the relation's (pruned) output and FAILS
+    // analysis on a partition-source column the query never selects —
+    // e.g. a day-partitioned table joined on a non-ts key. A dropped
+    // attribute only forfeits that column's runtime pruning; the static
+    // pruning tiers are untouched.
+    val out = readSchema().fieldNames.map(_.toLowerCase).toSet
+    attrs.filter(a => out.contains(a.toLowerCase)).map(Expressions.column)
+  }
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val v1 = org.apache.spark.sql.execution.datasources.v2.GraftScanBridge

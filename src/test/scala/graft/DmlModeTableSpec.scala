@@ -449,6 +449,179 @@ class DmlModeTableSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("day-scoped CoW MERGE discovery probe prunes at the manifest (no full-table read)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val t = "gdm.ns.cowday"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // 20 days x 2000 rows, k strictly follows ts so per-day files carry
+    // tight k bounds; day-partitioned catalog table, default CoW modes
+    spark.range(0, 40000).select(
+        col("id").as("k"),
+        expr("timestamp_ntz '2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, id * 43.2)").as("ts"),
+        (col("id") % 97).cast("double").as("v"))
+      .writeTo(t)
+      .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+      .create()
+    val r = root("cowday")
+    def relsByDay: Map[String, Set[String]] =
+      graft.sources.ManifestTable.liveEntries(r).map(_.rel)
+        .groupBy(graft.sources.ManifestTable.keyOf)
+        .map { case (kk, v) => kk -> v.toSet }
+    val before = relsByDay
+    assert(before.size >= 15, s"expected many day partitions, got ${before.size}")
+    // staging batch confined to one day's key range: updates + an insert
+    spark.range(4000, 4100).select(col("id").as("k"),
+        expr("timestamp_ntz '2024-03-03 00:00:00' + make_interval(0,0,0,0,0,0, (id - 4000) * 10)").as("ts"),
+        org.apache.spark.sql.functions.lit(-1.0d).as("v"))
+      .createOrReplaceTempView("cowday_stg")
+    graft.plans.MergeInto.sql(spark,
+      s"""MERGE INTO $t t USING cowday_stg s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, ts, v) VALUES (s.k, s.ts, s.v)""".stripMargin)
+    // the discovery probe's EXECUTED plan must have opened well under
+    // half the live files (the staged keys' bounds prune at the manifest)
+    val (o, tot) = Option(graft.plans.MergeInto.lastMergeScan.get(r)).getOrElse(
+      fail("scoped merge recorded no probe-scan evidence"))
+    assert(o > 0 && o * 2 <= tot, s"discovery probe opened=$o of total=$tot")
+    // scoping: untouched days carried their exact file sets
+    val after = relsByDay
+    val changed = before.keySet.filter(k => after.get(k) != Some(before(k)))
+    assert(changed.nonEmpty && changed.size * 2 <= before.size,
+      s"only touched days may rewrite (changed=$changed)")
+    // correctness: matched rows updated in place, no duplicates
+    assert(spark.table(t).count() === 40000L)
+    assert(spark.table(t).where("v = -1.0").count() === 100L)
+    assert(spark.table(t).groupBy("k").count().where("count > 1").count() === 0L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("key-scoped CoW MERGE composes with live MOR tombstones: scoped commit, deletes never resurrect") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val t = "gdm.ns.cowtmb"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (0L until 20000L).map(k => (k, s"g${k % 4}", k * 1.0)).toDF("k", "grp", "v")
+      .writeTo(t).partitionedBy(col("grp"))
+      .tableProperty("write.delete.mode", "merge-on-read").create() // merge mode: default CoW
+    val r = root("cowtmb")
+    // live tombstones across EVERY partition (the r18 cliff trigger)
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 10 = 3")
+    assert(graft.sources.ManifestTable.hasDeletes(r))
+    def relsByKey: Map[String, Set[String]] =
+      graft.sources.ManifestTable.liveEntries(r).map(_.rel)
+        .filterNot(graft.sources.ManifestTable.isDeleteEntry)
+        .groupBy(graft.sources.ManifestTable.keyOf)
+        .map { case (k, v) => k -> v.toSet }
+    val before = relsByKey
+    // staged batch into ONE partition: updates (k≡2 mod 20, i.e. g2 rows
+    // no DELETE touched) + one insert
+    val stg = (0L until 20000L).filter(k => k % 4 == 2 && k % 10 == 2)
+      .map(k => (k, "g2", -1.0)) ++ Seq((1000000001L, "g2", -2.0))
+    stg.toDF("k", "grp", "v").createOrReplaceTempView("cowtmb_stg")
+    graft.plans.MergeInto.sql(spark,
+      s"""MERGE INTO $t t USING cowtmb_stg s
+         |ON t.grp = s.grp AND t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, grp, v) VALUES (s.k, s.grp, s.v)""".stripMargin)
+    val after = relsByKey
+    // scoped commit: untouched partitions byte-identical, no cliff
+    before.keySet.filterNot(_ == "grp=g2").foreach(k =>
+      assert(after.get(k).contains(before(k)), s"untouched $k rewrote"))
+    assert(after("grp=g2") != before("grp=g2"), "the touched key must rewrite")
+    // deleted rows never resurrect — in touched OR carried partitions
+    assert(spark.table(t).where("k % 10 = 3").count() === 0L)
+    assert(spark.table(t).where("v = -1.0").count() ===
+      (0L until 20000L).count(k => k % 4 == 2 && k % 10 == 2).toLong)
+    assert(spark.table(t).where("v = -2.0").count() === 1L)
+    assert(spark.table(t).count() === 20000L - 2000L + 1L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("day-scoped CoW MERGE composes with live MOR tombstones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val t = "gdm.ns.cowdtmb"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.range(0, 20000).select(
+        col("id").as("k"),
+        expr("timestamp_ntz '2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, id * 86.4)").as("ts"),
+        col("id").cast("double").as("v"))
+      .writeTo(t)
+      .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+      .tableProperty("write.delete.mode", "merge-on-read").create()
+    val r = root("cowdtmb")
+    graft.plans.MergeInto.sql(spark, s"DELETE FROM $t WHERE k % 10 = 7")
+    assert(graft.sources.ManifestTable.hasDeletes(r))
+    def relsByDay: Map[String, Set[String]] =
+      graft.sources.ManifestTable.liveEntries(r).map(_.rel)
+        .filterNot(graft.sources.ManifestTable.isDeleteEntry)
+        .groupBy(graft.sources.ManifestTable.keyOf)
+        .map { case (k, v) => k -> v.toSet }
+    val before = relsByDay
+    // day 2 (2024-03-03) holds ids [2000, 3000): update its k%10==1 rows
+    spark.range(2000, 3000).where(col("id") % 10 === 1)
+      .select(col("id").as("k"),
+        expr("timestamp_ntz '2024-03-03 00:00:00'").as("ts"),
+        org.apache.spark.sql.functions.lit(-1.0d).as("v"))
+      .createOrReplaceTempView("cowdtmb_stg")
+    graft.plans.MergeInto.sql(spark,
+      s"""MERGE INTO $t t USING cowdtmb_stg s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, ts, v) VALUES (s.k, s.ts, s.v)""".stripMargin)
+    val after = relsByDay
+    val touched = "__day=2024-03-03"
+    before.keySet.filterNot(_ == touched).foreach(k =>
+      assert(after.get(k).contains(before(k)), s"untouched $k rewrote"))
+    assert(after(touched) != before(touched))
+    assert(spark.table(t).where("k % 10 = 7").count() === 0L,
+      "deleted rows must stay dead through the scoped rewrite")
+    assert(spark.table(t).where("v = -1.0").count() === 100L)
+    assert(spark.table(t).count() === 20000L - 2000L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("pruned MOR MERGE drops out-of-range equality deletes from its read (twin-equal vs unpruned)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def build(name: String): String = {
+      val t = s"gdm.ns.$name"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      (0L until 40000L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .repartitionByRange(8, col("k"))
+        .writeTo(t).tableProperty("write.merge.mode", "merge-on-read").create()
+      // an equality-delete backlog whose key bounds live FAR from the
+      // staging batch's range
+      graft.sources.ManifestTable.appendEqualityDeletes(
+        (35000L until 35010L).toDF("k"), root(name))
+      t
+    }
+    val (tp, tu) = (build("eqnarrow"), build("eqnarrow_u"))
+    ((1000L until 1100L).map(k => (k, -1.0)) ++ Seq((1000000001L, -2.0)))
+      .toDF("k", "sv").createOrReplaceTempView("eqnarrow_stg")
+    def merge(t: String): Unit = graft.plans.MergeInto.sql(spark,
+      s"""MERGE INTO $t t USING eqnarrow_stg s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.sv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.sv)""".stripMargin)
+    merge(tp)
+    val (o, tot) = graft.plans.MergeInto.lastMergeScan.get(root("eqnarrow"))
+    assert(o > 0 && o * 2 <= tot, s"merge must prune (opened=$o total=$tot)")
+    assert(graft.plans.MergeInto.lastMergeDeleteScan.get(root("eqnarrow")) === 0L,
+      "an out-of-range equality delete must not be loaded by a pruned merge")
+    // twin equality: the unpruned merge commits the identical table
+    spark.conf.set("spark.graft.merge.targetPrune", "false")
+    try merge(tu) finally spark.conf.unset("spark.graft.merge.targetPrune")
+    val a = spark.table(tp).orderBy("k").collect().toSeq
+    val b = spark.table(tu).orderBy("k").collect().toSeq
+    assert(a === b, "pruned and unpruned merges must commit identical tables")
+    assert(spark.table(tp).where("k >= 35000 AND k < 35010").count() === 0L,
+      "the eq-retracted rows stay dead")
+    assert(spark.table(tp).count() === 40000L - 10L + 1L)
+    spark.sql(s"DROP TABLE $tp"); spark.sql(s"DROP TABLE $tu")
+  }
+
   test("cross-typed MERGE keys emit no prune filter: DOUBLE source on DECIMAL target never mis-prunes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
