@@ -154,6 +154,7 @@ object SparkEntry {
     // their exact file sets through the merge commit
     "cow_merge_keyscope" -> ((s, d) => graft.sources.v2.V2Queries.cowMergeKeyscope(s, d)),
     "cow_merge_dayscope" -> ((s, d) => graft.sources.v2.V2Queries.cowMergeDayscope(s, d)),
+    "cdf_cow_merge" -> ((s, d) => graft.sources.v2.V2Queries.cdfCowMerge(s, d)),
     // equality deletes (CDC-shape key retraction): delete by key with no
     // data read, sequence-scoped so later re-inserts survive
     "eq_delete_scan" -> ((s, d) => graft.sources.v2.V2Queries.eqDeleteScan(s, d)),
@@ -330,6 +331,7 @@ object SparkEntry {
     "mor_merge_prune" -> graft.sources.v2.V2Queries.oracle.morMergePrune,
     "cow_merge_keyscope" -> graft.sources.v2.V2Queries.oracle.cowMergeKeyscope,
     "cow_merge_dayscope" -> graft.sources.v2.V2Queries.oracle.cowMergeDayscope,
+    "cdf_cow_merge" -> graft.sources.v2.V2Queries.oracle.cdfCowMerge,
     "eq_delete_scan" -> graft.sources.v2.V2Queries.oracle.eqDeleteScan,
     "rewrite_deletes_scan" -> graft.sources.v2.V2Queries.oracle.rewriteDeletesScan,
     "type_widening_scan" -> graft.sources.v2.V2Queries.oracle.typeWideningScan,

@@ -70,6 +70,7 @@ object MergeInto {
   private val NM   = "__graft_nm"    // per-target-row match count
   private val KEEP = "__graft_keep"
   private val ACT  = "__graft_act"   // MOR merge row action: u/d/i
+  private val PRE  = "__graft_pre_"  // classified-merge pre-image column prefix
 
   /** How a registered DML target stores its snapshots. */
   private[plans] sealed trait Backing
@@ -521,11 +522,45 @@ object MergeInto {
         .map(restricted0.where).getOrElse(restricted0)) // conjunct: the day
       // filter stays authoritative, the range predicate only PRUNES
       .drop(ManifestTable.DayCol)
-    val result = graft.sources.v2.VersionedCatalog.withChecks(
-      mergeResult(restricted, tgt.alias, source, m), root, tgt.name)
-    ManifestTable.replaceDays(toPhysical(root, result), root, removeDays = days,
-      partitionDayOf = physicalNameOf(root, tsCol), retain = retainOf(spark, root),
-      expectedVersion = baseVersion)
+    def checked(d: DataFrame): DataFrame =
+      graft.sources.v2.VersionedCatalog.withChecks(d, root, tgt.name)
+    // CHANGE-PRESERVING rewrite (`changefeed.cow=true`, catalog targets):
+    // classify every row of the touched days by the clause that fired,
+    // land each class as op-labeled files (update/carry/insert), publish
+    // the update/delete PRE-IMAGES as CDC sidecars, and stamp the
+    // horizon at version-1 — a CDF consumer then reads this merge as
+    // exact per-row events whose volume follows the TOUCHED rows
+    // (Delta's CDC contract), instead of a feed break or a partition-
+    // sized flood of phantom update pairs.
+    if (!refreshView && graft.sources.v2.VersionedCatalog.changefeedCowFor(root)) {
+      val classified = mergeClassified(restricted, tgt.alias, source, m)
+        .localCheckpoint(true)
+      val actCounts: Map[String, Long] = classified.groupBy(col(ACT))
+        .agg(count(lit(1))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def postOf(act: String) = classified.where(col(ACT) === act)
+        .select(targetCols.map(c => col(c)): _*)
+      def preOf(act: String) = classified.where(col(ACT) === act)
+        .select(targetCols.map(c => col(PRE + c).as(c)): _*)
+      val byOp = Seq("update" -> "u", "carry" -> "c", "insert" -> "i")
+        .collect { case (label, a) if actCounts.getOrElse(a, 0L) > 0 =>
+          label -> toPhysical(root, checked(postOf(a))) }
+      val preImages = Seq("pre" -> "u", "del" -> "d")
+        .collect { case (kind, a) if actCounts.getOrElse(a, 0L) > 0 =>
+          kind -> toPhysical(root, preOf(a)) }
+      ManifestTable.replaceDays(
+        toPhysical(root, classified.where(col(ACT).isin("u", "c", "i"))
+          .select(targetCols.map(c => col(c)): _*)), // zone/schema carrier
+        root, removeDays = days,
+        partitionDayOf = physicalNameOf(root, tsCol), retain = retainOf(spark, root),
+        expectedVersion = baseVersion,
+        changeSplit = Some(ManifestTable.ChangeSplit(byOp, preImages)))
+    } else {
+      val result = checked(mergeResult(restricted, tgt.alias, source, m))
+      ManifestTable.replaceDays(toPhysical(root, result), root, removeDays = days,
+        partitionDayOf = physicalNameOf(root, tsCol), retain = retainOf(spark, root),
+        expectedVersion = baseVersion)
+    }
     if (refreshView)
       ManifestTable.read(spark, root).createOrReplaceTempView(tgt.name)
     true
@@ -1594,6 +1629,93 @@ object MergeInto {
     def unsupported(ctx: String, a: MergeAction): Nothing =
       throw new IllegalArgumentException(
         s"unsupported $ctx action: ${a.getClass.getSimpleName}")
+  }
+
+  /** The CLASSIFIED merge lowering — [[mergeResult]]'s semantics with
+    * the row's fate exposed: one row per post-merge row OR deleted row,
+    * with `ACT` ('u' clause-rewritten, 'c' carried untouched — matched
+    * rows no clause fired on and not-matched-by-source rows — 'i'
+    * inserted, 'd' deleted), the target columns holding the POST values
+    * ('u'/'c'/'i'; the old values for 'd'), and `__graft_pre_<col>`
+    * columns holding the PRE values (target-row classes). Source rows
+    * no insert clause accepted are dropped. Same multi-match guard,
+    * clause routing and type casts as [[mergeResult]] — the
+    * change-preserving scoped merge writes `ACT IN (u,c,i)` as its data
+    * and the 'u'/'d' pre-images as CDC sidecars, so the relation the
+    * table serves is EXACTLY what mergeResult would have produced. */
+  private def mergeClassified(target0: DataFrame, targetAlias: String,
+                              source: DataFrame, m: MergeIntoTable): DataFrame = {
+    val targetCols = target0.columns.toSeq
+    val schema = target0.schema
+    val spark = target0.sparkSession
+    val t = target0.alias(targetAlias)
+      .withColumn(TID, monotonically_increasing_id())
+      .withColumn(TP, lit(true))
+    val doCheck =
+      spark.conf.get("spark.graft.merge.multiMatchCheck", "true").toBoolean
+    val split = splitCondition(m.mergeCondition, targetCols, targetAlias,
+      source.columns.toSeq, splitAlias(m.sourceTable)._2)
+    val fastOk = !doCheck ||
+      sourceSideNm(split, source.withColumn(SP, lit(true)), schema).isDefined
+    val sourceF =
+      if (fastOk) source else pinSource(source, splitAlias(m.sourceTable)._2)
+    val s = sourceF.withColumn(SP, lit(true))
+    val sNm = if (doCheck && fastOk) sourceSideNm(split, s, schema) else None
+    val joined = t.join(sNm.getOrElse(s),
+      GraftColumnBridge.column(m.mergeCondition), "full_outer")
+    val matched = col(TP).isNotNull && col(SP).isNotNull
+    val tOnly   = col(TP).isNotNull && col(SP).isNull
+    val sOnly   = col(TP).isNull
+    val cm = new ClauseMaps(targetCols, sourceF, t, s)
+    import cm._
+    case class CBranch(pred: Column, act: String, out: Option[Map[String, Column]])
+    val branches: Seq[CBranch] =
+      m.matchedActions.map {
+        case UpdateAction(c, as, _) => CBranch(matched && condOf(c), "u", Some(updateMap(as)))
+        case UpdateStarAction(c)    => CBranch(matched && condOf(c), "u", Some(starMap))
+        case DeleteAction(c)        => CBranch(matched && condOf(c), "d", Some(keepMap))
+        case a                      => unsupported("WHEN MATCHED", a)
+      } ++ Seq(CBranch(matched, "c", Some(keepMap))) ++
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(c, as, _) => CBranch(tOnly && condOf(c), "u", Some(updateMap(as)))
+        case DeleteAction(c)        => CBranch(tOnly && condOf(c), "d", Some(keepMap))
+        case a                      => unsupported("WHEN NOT MATCHED BY SOURCE", a)
+      } ++ Seq(CBranch(tOnly, "c", Some(keepMap))) ++
+      m.notMatchedActions.map {
+        case InsertAction(c, as)    => CBranch(sOnly && condOf(c), "i", Some(insertMap(as)))
+        case InsertStarAction(c)    => CBranch(sOnly && condOf(c), "i", Some(starMap))
+        case a                      => unsupported("WHEN NOT MATCHED", a)
+      } ++ Seq(CBranch(sOnly, null, None))
+    def whenChain(value: CBranch => Column): Column =
+      branches.tail.foldLeft(when(branches.head.pred, value(branches.head))) {
+        (acc, b) => acc.when(b.pred, value(b))
+      }
+    val act0 = whenChain(b => lit(b.act))
+    val guarded =
+      if (!doCheck) joined.withColumn(ACT, act0)
+      else if (sNm.isDefined) {
+        val violate = col(TP).isNotNull && col(NM) > 1
+        joined.withColumn(ACT, when(violate, raise_error(concat(
+          lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
+          lit(" source rows"))).cast("string")).otherwise(act0))
+      } else {
+        val matchedLeg = joined.where(col(TP).isNotNull && col(SP).isNotNull)
+          .withColumn(NM, count(lit(1)).over(Window.partitionBy(col(TID))))
+        val withNm = matchedLeg.unionAll(
+          joined.where(col(TP).isNull || col(SP).isNull)
+            .withColumn(NM, lit(0L)))
+        val violate = col(TP).isNotNull && col(NM) > 1
+        withNm.withColumn(ACT, when(violate, raise_error(concat(
+          lit("MERGE INTO: a target row matched "), col(NM).cast("string"),
+          lit(" source rows"))).cast("string")).otherwise(act0))
+      }
+    val outCols: Seq[Column] = Seq(col(ACT)) ++
+      targetCols.map(c =>
+        whenChain(b => b.out.map(_(c)).getOrElse(lit(null)))
+          .cast(schema(c).dataType).as(c)) ++
+      targetCols.map(c =>
+        when(col(TP).isNotNull, t(c)).cast(schema(c).dataType).as(PRE + c))
+    guarded.where(col(ACT).isNotNull).select(outCols: _*)
   }
 
   private[graft] def mergeResult(target0: DataFrame, targetAlias: String,

@@ -252,6 +252,29 @@ object ManifestTable {
   def isDeleteLabeledDv(rel: String): Boolean =
     plainRel(rel).startsWith(s"$DeleteDir/dv_del_")
 
+  /** True for CHANGE-DATA (CDC) sidecar entries
+    * (`__deletes/cdc_{pre,del}_*.parquet`) — the Delta `_change_data`
+    * shape: parquet files of USER columns (full physical schema) holding
+    * the PRE-IMAGE rows of a change-preserving copy-on-write scoped
+    * MERGE ([[graft.plans.MergeInto]] with `changefeed.cow=true`):
+    * `cdc_pre_` rows are update preimages, `cdc_del_` rows are
+    * DELETE-clause kills. They live under the reserved delete directory
+    * so every data-file selection excludes them structurally, but they
+    * are NOT delete artifacts: reads, tombstone application, fsck's
+    * structural checks and the deletes metadata table all skip them;
+    * only the change feed serves their rows (constant `_change_type`,
+    * `_commit_version` = the entry's sequence). A commit carrying them
+    * is CHANGE-PRESERVING: its touched keys' CDF horizon stamps at
+    * version−1 instead of version, so an up-to-date consumer reads the
+    * scoped rewrite as exact per-row events instead of a loud break. */
+  def isCdcEntry(rel: String): Boolean =
+    plainRel(rel).startsWith(s"$DeleteDir/cdc_")
+
+  /** True for the DELETE-kill half of a CDC sidecar (`cdc_del_*`);
+    * `cdc_pre_*` entries serve as `update_preimage`. */
+  def isCdcDeleteEntry(rel: String): Boolean =
+    plainRel(rel).startsWith(s"$DeleteDir/cdc_del_")
+
   /** True for EQUALITY-delete entries (`__deletes/eq_*.parquet`): parquet
     * files whose columns ARE the retraction key — every row of an older
     * data file matching a key row is deleted, no positions needed. This is
@@ -340,9 +363,10 @@ object ManifestTable {
       inline.filter(e => isDeleteEntry(e.rel))
   }
 
-  /** True iff the live snapshot carries positional-delete files. */
+  /** True iff the live snapshot carries delete ARTIFACTS (positional /
+    * equality) — CDC sidecars are provenance, not row-level state. */
   def hasDeletes(root: String): Boolean =
-    exists(root) && liveDeleteEntries(root).nonEmpty
+    exists(root) && liveDeleteEntries(root).exists(e => !isCdcEntry(e.rel))
 
   private def pointerPath(root: String): String = s"$root/$Pointer"
   private def manifestPath(root: String, v: Long): String =
@@ -810,7 +834,10 @@ object ManifestTable {
     * change to delete semantics must land in BOTH. */
   private def readApplied(spark: SparkSession, root: String,
                           es: Seq[FileEntry]): DataFrame = {
-    val (del, data) = es.partition(e => isDeleteEntry(e.rel))
+    // CDC sidecars are provenance for the change feed, never read input
+    // and never tombstones — drop them before the delete split
+    val (del, data) = es.filterNot(e => isCdcEntry(e.rel))
+      .partition(e => isDeleteEntry(e.rel))
     if (del.isEmpty) readFiles(spark, root, data)
     else {
       require(data.nonEmpty, s"only delete entries under $root")
@@ -1182,7 +1209,14 @@ object ManifestTable {
     * beside the winning manifest ([[NdvStats]]). */
   private case class Planned(entries: Seq[FileEntry], props: Map[String, String],
                              carried: Seq[ShardRef] = Nil,
-                             ndv: Option[Map[String, Array[Byte]]] = None)
+                             ndv: Option[Map[String, Array[Byte]]] = None,
+                             // a file-removing commit that ALSO publishes
+                             // its per-row changes (CDC sidecars + op-
+                             // labeled adds): the touched keys' change
+                             // horizon stamps at version-1, so an up-to-
+                             // date CDF consumer reads the commit as
+                             // exact events instead of a loud break
+                             changePreserving: Boolean = false)
 
   /** The base state a commit plans against (re-read per attempt). Shard
     * contents load lazily and only for the keys a planner asks about —
@@ -1355,10 +1389,17 @@ object ManifestTable {
           .collect { case e if !isDeleteEntry(e.rel) && !keptRels.contains(e.rel) =>
             keyOf(e.rel) }.toSet
       val plannedProps =
-        if (removedKeys.nonEmpty)
-          planned.props + (ChangeProp -> next.toString) ++
-            scopedChangeProps(planned.props, removedKeys, next)
-        else planned.props
+        if (removedKeys.nonEmpty) {
+          // change-preserving removals (CDC-sidecar commits) bound the
+          // feed one version EARLIER: windows starting at next-1 serve
+          // this commit's own changes exactly; anything older is still
+          // unreconstructible (the removed files' provenance died)
+          val hv = if (planned.changePreserving) next - 1 else next
+          val hv0 = math.max(hv,
+            planned.props.get(ChangeProp).map(_.toLong).getOrElse(0L))
+          planned.props + (ChangeProp -> hv0.toString) ++
+            scopedChangeProps(planned.props, removedKeys, hv)
+        } else planned.props
       // fold loose entries into per-key shards past the inline budget,
       // then merge any key that accumulated too many refs — shard files
       // land BEFORE the claim (unreferenced on a lost race; swept by the
@@ -1756,7 +1797,19 @@ object ManifestTable {
   def rewriteDeletes(spark: SparkSession, root: String, retain: Int = 2): Long = {
     require(exists(root), s"no committed version under $root")
     val live = liveEntries(root)
-    val (delAll, dataEntries) = live.partition(e => isDeleteEntry(e.rel))
+    val (delAll0, dataEntries) = live.partition(e => isDeleteEntry(e.rel))
+    // CDC sidecars are provenance, not backlog: they carry untouched
+    // through delete maintenance EXCEPT provably-dead ones — once every
+    // partition key's change horizon has reached a sidecar's version, no
+    // servable feed window can include it (windows need sV >= horizon)
+    val (cdcAll, delAll) = delAll0.partition(e => isCdcEntry(e.rel))
+    val deadCdc: Set[String] =
+      if (cdcAll.isEmpty) Set.empty
+      else {
+        val (byKey, floor) = decodeChangeKeys(liveProps(root))
+        val minHorizon = (byKey.values ++ Seq(floor)).min
+        cdcAll.filter(_.seq.getOrElse(0L) <= minHorizon).map(_.rel).toSet
+      }
     val (eqDel, posDel) = delAll.partition(e => isEqDeleteEntry(e.rel))
     val liveRels = dataEntries.map(e => encodedRel(root, e.rel)).toSet
     // an eq delete at sequence s retracts only rows with seq < s: when
@@ -1793,7 +1846,7 @@ object ManifestTable {
         grp.exists { case (_, ts) => !ts.subsetOf(liveRels) })
     }
     val needPos = groupNeeds.values.exists(identity)
-    if (!needPos && deadEq.isEmpty)
+    if (!needPos && deadEq.isEmpty && deadCdc.isEmpty)
       return currentVersion(root).getOrElse(0L)
 
     val mergedRels: Set[String] =
@@ -1837,7 +1890,8 @@ object ManifestTable {
       // delete entries added by concurrent commits (absent from the merge
       // set) carry through untouched, data shards carry as refs unread
       val keptDel = delEntries.filterNot(e =>
-        mergedRels.contains(e.rel) || deadEq.contains(e.rel))
+        mergedRels.contains(e.rel) || deadEq.contains(e.rel) ||
+          deadCdc.contains(e.rel))
       val dataInline = base.inline.filterNot(e => isDeleteEntry(e.rel))
       Planned(dataInline ++ keptDel ++ fresh,
         base.props + (OpProp -> "rewrite"), carried = dataRefs)
@@ -2161,17 +2215,30 @@ object ManifestTable {
     refs.filter(_.key == DeleteDir).flatMap(r => shardEntries(root, r.rel)) ++
       inline.filter(e => isDeleteEntry(e.rel))
 
+  /** Change-preserving payload of a scoped rewrite: the rewritten
+    * partitions' rows split by ROW OPERATION — written as separate files
+    * whose entries carry `__op` labels ("update" rewrites, "carry"
+    * untouched rows, "insert" births) — plus the change feed's
+    * PRE-IMAGE sidecars ("pre" = update preimages, "del" = DELETE
+    * kills; user columns, committed as `__deletes/cdc_*` entries).
+    * Empty classes are omitted by the caller. A commit carrying one is
+    * CHANGE-PRESERVING: its horizon stamps at version−1. */
+  case class ChangeSplit(byOp: Seq[(String, DataFrame)],
+                         preImages: Seq[(String, DataFrame)])
+
   def replaceDays(df: DataFrame, root: String, removeDays: Set[String],
                   partitionDayOf: String, retain: Int = 2,
                   expectedVersion: Option[Long] = None,
                   preclustered: Boolean = false,
-                  rewriteOrder: Option[org.apache.spark.sql.Column] = None): Long =
+                  rewriteOrder: Option[org.apache.spark.sql.Column] = None,
+                  changeSplit: Option[ChangeSplit] = None): Long =
     replaceScoped(df, root, removedDayKey(removeDays),
       scopeDesc = s"days ${removeDays.mkString(",")}",
       partitionDayOf = Some(partitionDayOf), partitionCols = Nil,
       retain = retain, expectedVersion = expectedVersion,
       preclustered = preclustered, rewriteOrder = rewriteOrder,
-      layoutCheck = base => requireDayLayout(root, base, "replaceDays"))
+      layoutCheck = base => requireDayLayout(root, base, "replaceDays"),
+      changeSplit = changeSplit)
 
   /** IDENTITY-layout twin of [[replaceDays]] — the key-scoped rewrite
     * behind partial-progress OPTIMIZE on the gold `ano, mes` shape:
@@ -2214,16 +2281,34 @@ object ManifestTable {
                             retain: Int, expectedVersion: Option[Long],
                             preclustered: Boolean,
                             rewriteOrder: Option[org.apache.spark.sql.Column],
-                            layoutCheck: Base => Unit): Long = {
+                            layoutCheck: Base => Unit,
+                            changeSplit: Option[ChangeSplit] = None): Long = {
     val baseV = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val d0 = readDoc(root, baseV)
     val (refs0, inline0, mat0) = touchedDayState(root, d0.refs, d0.inline, removed)
     val dels0 = deleteEntriesOf(root, d0.refs, d0.inline).map(_.rel).toSet
     val fmt = formatOf(root).getOrElse("parquet")
-    val fresh = writePool(df, root, partitionDayOf, fmt,
-      partitionCols = partitionCols,
-      preclustered = preclustered, rewriteOrder = rewriteOrder)
+    // change-preserving rewrites land one pool write PER row-operation
+    // class, each class's entries stamped with its `__op` label (the
+    // change feed's per-row classification); plain rewrites stay one
+    // write. `df` remains the authoritative full result for zone/schema.
+    val fresh = changeSplit match {
+      case None => writePool(df, root, partitionDayOf, fmt,
+        partitionCols = partitionCols,
+        preclustered = preclustered, rewriteOrder = rewriteOrder)
+      case Some(cs) =>
+        val ws = cs.byOp.map { case (label, d) =>
+          val w = writePool(d, root, partitionDayOf, fmt,
+            partitionCols = partitionCols)
+          w.copy(entries = w.entries.map(e =>
+            e.copy(stats = FileStats.withOp(e.stats, label))))
+        }
+        PoolWrite(ws.flatMap(_.entries),
+          ws.flatMap(_.ndv).reduceOption(NdvStats.merge))
+    }
+    val cdcEntries: Seq[FileEntry] = changeSplit.toSeq.flatMap(_.preImages)
+      .flatMap { case (kind, d) => writeCdcPool(d, root, kind) }
     val zone = writeZoneOf(df, partitionDayOf)
     def decT(s: String): String = scala.util.Try(java.net.URLDecoder.decode(s,
       java.nio.charset.StandardCharsets.UTF_8)).getOrElse(s)
@@ -2247,7 +2332,7 @@ object ManifestTable {
       // with a FRESH sequence that would escape the retraction, so any
       // new eq entry conflicts.
       val newDels = deleteEntriesOf(root, base.refs, base.inline)
-        .filterNot(e => dels0.contains(e.rel))
+        .filterNot(e => dels0.contains(e.rel) || isCdcEntry(e.rel))
       val delConflict = newDels.exists { e =>
         isEqDeleteEntry(e.rel) || (deleteTouchedRels(e) match {
           case Some(ts) => ts.exists(t =>
@@ -2261,10 +2346,31 @@ object ManifestTable {
             "concurrently under this rewrite; recompute and retry")
       // partial update of a continuing table: carry the commit properties
       // (e.g. streaming idempotence markers) into the new manifest
-      Planned(base.inline.filterNot(e => removed(keyOf(e.rel))) ++ fresh.entries,
+      Planned(base.inline.filterNot(e => removed(keyOf(e.rel))) ++
+          cdcEntries ++ fresh.entries,
         base.props ++ mergeZoneProp(base.props, zone) + (OpProp -> "replace"),
-        carried = base.refs.filterNot(r => removed(r.key)), ndv = fresh.ndv)
+        carried = base.refs.filterNot(r => removed(r.key)), ndv = fresh.ndv,
+        changePreserving = changeSplit.isDefined)
     }
+  }
+
+  /** Stage a CDC pre-image sidecar (`__deletes/cdc_<kind>_*.parquet`,
+    * kind = "pre" | "del"): user-column parquet, served by the change
+    * feed as constant-type events at the commit's version. */
+  private def writeCdcPool(rows: DataFrame, root: String,
+                           kind: String): Seq[FileEntry] = {
+    val stage = s"$root/stage/${UUID.randomUUID().toString.take(12)}"
+    rows.write.parquet(stage)
+    val fresh = MetaIO.listFilesRec(stage)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rel = s"$DeleteDir/cdc_${kind}_${UUID.randomUUID().toString.take(16)}.parquet"
+        MetaIO.rename(st.getPath.toString, s"$root/data/$rel")
+        MetaIO.setTimes(s"$root/data/$rel", System.currentTimeMillis())
+        FileEntry(rel, None)
+      }
+    MetaIO.delete(stage, recursive = true)
+    fresh
   }
 
   /** Metadata-only day drop — the retention-DELETE fast path: remove the
@@ -3041,7 +3147,8 @@ object ManifestTable {
     require(ext.isEmpty || local.isEmpty,
       s"$srcRoot is a DIVERGED shallow clone (live local files mixed with " +
         "ext/ references — two source pools, one _clone_src slot); " +
-        "OPTIMIZE it to localize, then clone")
+        "CALL <catalog>.system.localize on it to materialize the ext " +
+        "references (or OPTIMIZE to rewrite them), then clone")
     (srcLive, es)
   }
 
@@ -3062,8 +3169,20 @@ object ManifestTable {
           s"$srcRoot carries ext/ manifest entries but no _clone_src sidecar"))
       else s"$srcRoot/data"
     // immutable for the table's life — written before the manifest so a
-    // reader can never see ext/ entries without their base
-    MetaIO.writeAtomic(s"$dstRoot/_clone_src", baseData)
+    // reader can never see ext/ entries without their base. CREATE-IF-
+    // ABSENT semantics: overwriting a concurrent clone's sidecar would
+    // re-point ITS committed ext/ entries at OUR base (wrong rows /
+    // missing files for every later read) — an existing sidecar must
+    // agree with this clone's base or this clone refuses; a failed
+    // clone deletes the sidecar it created (nothing durable).
+    val sidecarPath = s"$dstRoot/_clone_src"
+    val createdSidecar =
+      if (MetaIO.exists(sidecarPath)) {
+        require(MetaIO.readString(sidecarPath).trim == baseData,
+          s"$dstRoot already carries _clone_src '${MetaIO.readString(sidecarPath).trim}' " +
+            s"(a concurrent clone from a different source?); this clone's base is '$baseData'")
+        false
+      } else { MetaIO.writeAtomic(sidecarPath, baseData); true }
     cloneSrcCache.remove(dstRoot) // a dropped+recreated root must re-read
     // DV slice indexes embed PER-SECTION delete versions — SOURCE-table
     // numbers that mean nothing in the clone's version space: left
@@ -3135,24 +3254,36 @@ object ManifestTable {
       if (es.exists(e => isDeleteEntry(e.rel)))
         Map(ChangeProp -> cloneV.toString)
       else Map.empty[String, String]
-    val v = commitLoop(dstRoot, retain, rebase = false) { base =>
-      // the fresh-root and floor checks run INSIDE the loop, i.e. BEFORE
-      // the manifest publishes: `cp` was computed from the PREDICTED
-      // clone version, and a raced dstRoot (foreign commit, foreign floor
-      // raise) must fail with nothing durable — the post-commit backstop
-      // below used to fire only after a wrongly-horizon-stamped clone was
-      // already committed
-      require(base.version.isEmpty,
-        s"$dstRoot was committed to while this clone staged; clone targets " +
-          "a fresh root")
-      require(highWaterMark(dstRoot) == cloneV - 1L,
-        s"$dstRoot's version floor moved while this clone staged (expected " +
-          s"${cloneV - 1}, found ${highWaterMark(dstRoot)}); was the fresh " +
-          "root raced?")
-      Planned(extEntries, zp ++ cp + (OpProp -> "clone"))
+    val v = try {
+      val v0 = commitLoop(dstRoot, retain, rebase = false) { base =>
+        // the fresh-root and floor checks run INSIDE the loop, i.e. BEFORE
+        // the manifest publishes: `cp` was computed from the PREDICTED
+        // clone version, and a raced dstRoot (foreign commit, foreign floor
+        // raise) must fail with nothing durable — the post-commit backstop
+        // below used to fire only after a wrongly-horizon-stamped clone was
+        // already committed
+        require(base.version.isEmpty,
+          s"$dstRoot was committed to while this clone staged; clone targets " +
+            "a fresh root")
+        require(highWaterMark(dstRoot) == cloneV - 1L,
+          s"$dstRoot's version floor moved while this clone staged (expected " +
+            s"${cloneV - 1}, found ${highWaterMark(dstRoot)}); was the fresh " +
+            "root raced?")
+        Planned(extEntries, zp ++ cp + (OpProp -> "clone"))
+      }
+      require(v0 == cloneV, s"clone commit landed at v$v0, expected v$cloneV " +
+        "(the stamped change horizon would be wrong) — was the fresh root raced?")
+      v0
+    } catch { case t: Throwable =>
+      // a failed clone leaves nothing durable: drop the sidecar THIS call
+      // created, but only while no snapshot committed under the root (a
+      // racer's committed clone from the SAME base keeps it, rightly)
+      if (createdSidecar && currentVersion(dstRoot).isEmpty) {
+        scala.util.Try(MetaIO.delete(sidecarPath))
+        cloneSrcCache.remove(dstRoot)
+      }
+      throw t
     }
-    require(v == cloneV, s"clone commit landed at v$v, expected v$cloneV " +
-      "(the stamped change horizon would be wrong) — was the fresh root raced?")
     // statistics carry over: the source's resolved sketch at its live
     // version IS the clone's table content (stale markers ride along).
     // A plain write: the commit loop just published the full-replacement
@@ -3162,6 +3293,66 @@ object ManifestTable {
     NdvStats.resolve(srcRoot, srcLive).foreach(r =>
       NdvStats.write(dstRoot, v, r.sketches, r.stale))
     v
+  }
+
+  /** LOCALIZE a shallow clone (the remedy the diverged clone-of-clone
+    * refusal names): COPY every live `ext/` entry's file from the clone
+    * source's pool into this table's own pool — same source-relative
+    * path, so positional tombstones' `__file` identities and DV slice
+    * indexes keep matching byte-for-byte — and commit a manifest whose
+    * entries are all local (stats and sequence stamps carried verbatim;
+    * data content unchanged). After it: the table clones freely
+    * (clone-of-clone, even when diverged), and expiring/sweeping the
+    * SOURCE can no longer strand this table's LIVE snapshot (retained
+    * HISTORICAL versions still reference the source until they expire,
+    * so the `_clone_src` sidecar stays for their reads). The copy fans
+    * out over executors; cost is the ext bytes, the commit is one
+    * manifest write. Returns (new version, files copied); a table with
+    * no ext entries returns (live version, 0) untouched. */
+  def localize(spark: SparkSession, root: String, retain: Int = 2): (Long, Long) = {
+    val v0 = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val es = entries(root, v0)
+    val ext = es.filter(e => isExtEntry(e.rel))
+    if (ext.isEmpty) return (v0, 0L)
+    val srcBase = cloneSrcOf(root).getOrElse(throw new IllegalStateException(
+      s"$root carries ext/ manifest entries but no _clone_src sidecar"))
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val copies: Seq[(String, String)] = ext.map(e =>
+      (s"$srcBase/${plainRel(e.rel)}", s"$root/data/${plainRel(e.rel)}"))
+    val parts = math.max(1, math.min(64, copies.size / 16 + 1))
+    val copied = spark.sparkContext.parallelize(copies, parts).mapPartitions { it =>
+      val c = conf.value
+      it.map { case (src, dst) =>
+        val sp = new org.apache.hadoop.fs.Path(src)
+        val dp = new org.apache.hadoop.fs.Path(dst)
+        val dfs = dp.getFileSystem(c)
+        if (!dfs.exists(dp)) {
+          dfs.mkdirs(dp.getParent)
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(c), sp, dfs, dp, false, true, c),
+            s"localize: copy failed for $src")
+        }
+        1L
+      }
+    }.fold(0L)(_ + _)
+    val v = commitLoop(root, retain, rebase = true) { base =>
+      // every base entry must map: ext rels localize to their plain
+      // form (files staged above — a base ext entry we did NOT stage
+      // means a concurrent commit added one: recompute), local entries
+      // carry verbatim. Shard refs materialize (their contents change).
+      val staged = ext.map(_.rel).toSet
+      val all = base.refs.flatMap(r => shardEntries(root, r.rel)) ++ base.inline
+      val mapped = all.map { e =>
+        if (!isExtEntry(e.rel)) e
+        else if (staged.contains(e.rel)) e.copy(rel = plainRel(e.rel))
+        else throw new java.util.ConcurrentModificationException(
+          s"ext entries of $root changed under localize; recompute and retry")
+      }
+      Planned(mapped, base.props + (OpProp -> "localize"))
+    }
+    (v, copied)
   }
 
   /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite the

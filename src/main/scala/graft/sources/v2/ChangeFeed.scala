@@ -558,7 +558,11 @@ private[v2] object ChangeFeedPlanner {
         s"change feed of $root: version $eV expired from retention — " +
           s"restart from a fresh checkpoint", e)
     }
-    val (delAll, dataAll0) = endEntries.partition(e => ManifestTable.isDeleteEntry(e.rel))
+    val (delAll1, dataAll0) = endEntries.partition(e => ManifestTable.isDeleteEntry(e.rel))
+    // CDC sidecars (`cdc_pre_`/`cdc_del_`) are the change-preserving
+    // scoped-merge's published pre-images — served verbatim below, never
+    // treated as tombstones
+    val (cdcAll, delAll) = delAll1.partition(e => ManifestTable.isCdcEntry(e.rel))
     // avro serves APPEND-ONLY feeds: delete application needs the
     // positional/equality reader stack the parquet tombstone formats
     // carry; a delete artifact appearing in the manifest fails the
@@ -704,21 +708,39 @@ private[v2] object ChangeFeedPlanner {
     } else {
       // inserts: the window's appended files, raw (later deletes are
       // separate events); an update commit's new files are its
-      // postimages — EXCEPT files a merge-on-read MERGE stamped
-      // `__op=insert` (its NOT-MATCHED inserts), which serve as true
-      // `insert` events whatever the commit's shape
+      // postimages — EXCEPT op-LABELED files: a merge-on-read MERGE's
+      // `__op=insert` NOT-MATCHED files and a change-preserving scoped
+      // merge's classified files ("insert" births, "update" rewritten
+      // post-images, "carry" rows no clause fired on — the carry class
+      // emits NOTHING, which is what keeps a CoW merge's feed volume
+      // proportional to the touched rows instead of the partition)
       dataAll.filter(e => seq0(e) > sV && seq0(e) <= eV).groupBy(seq0).foreach {
         case (s, es) =>
-          val (ins, rest) = es.partition(e =>
-            graft.sources.FileStats.opLabel(
-              graft.sources.FileStats.decode(e.stats.getOrElse("")))
-              .contains("insert"))
-          Seq((ins, "insert"), (rest, insertType(s)))
-            .filter(_._1.nonEmpty).foreach { case (grp, typ) =>
-              ctx.scanFor(grp.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
-                out += ChangePartition(p, s, "insert", typ, None,
-                  PosSource.empty, Nil, PosSource.empty, Nil))
+          es.groupBy(e => graft.sources.FileStats.opLabel(
+              graft.sources.FileStats.decode(e.stats.getOrElse(""))))
+            .toSeq.sortBy(_._1.toString).foreach { case (label, grp) =>
+              val typ: Option[String] = label match {
+                case Some("insert") => Some("insert")
+                case Some("update") => Some("update_postimage")
+                case Some("carry")  => None // untouched rows: no event
+                case _              => Some(insertType(s))
+              }
+              typ.foreach { tp =>
+                ctx.scanFor(grp.map(_.rel)).toBatch.planInputPartitions().foreach(p =>
+                  out += ChangePartition(p, s, "insert", tp, None,
+                    PosSource.empty, Nil, PosSource.empty, Nil))
+              }
             }
+      }
+      // CDC sidecars: the change-preserving scoped merge's published
+      // pre-images, served verbatim at their commit version — update
+      // preimages (`cdc_pre_`) and DELETE kills (`cdc_del_`)
+      cdcAll.filter(e => seq0(e) > sV && seq0(e) <= eV).foreach { e =>
+        val typ = if (ManifestTable.isCdcDeleteEntry(e.rel)) "delete"
+          else "update_preimage"
+        ctx.scanFor(Seq(e.rel)).toBatch.planInputPartitions().foreach(p =>
+          out += ChangePartition(p, seq0(e), "insert", typ, None,
+            PosSource.empty, Nil, PosSource.empty, Nil))
       }
       // positional deletes: tombstoned rows of each target file, grouped
       // by DELETE VERSION (per-unit, so merged deletion vectors keep

@@ -581,6 +581,14 @@ object Maintenance {
     VersionedCatalog.evolvePartitionSpec(root, spec)
   }
 
+  /** Localize a shallow clone by identifier: copy every ext/ reference
+    * into the table's own pool ([[ManifestTable.localize]]) — unlocks
+    * diverged clone-of-clone and source-expiry independence. */
+  def localize(spark: SparkSession, ident: String): (Long, Long) = {
+    val (root, _) = resolve(spark, ident)
+    ManifestTable.localize(spark, root, retainOf(spark, root))
+  }
+
   /** Deletes-only rewrite by identifier: merge the positional-delete
     * backlog and drop inert equality deletes without touching any data
     * file (Iceberg's `rewrite_position_delete_files`). */

@@ -153,7 +153,9 @@ object MetaTables {
     liveEntries(root).filter(e => isDelete(e.rel)).map { e =>
       new GenericInternalRow(Array[Any](
         utf8(e.rel),
-        utf8(if (ManifestTable.isEqDeleteEntry(e.rel)) "equality" else "positional"),
+        utf8(if (ManifestTable.isEqDeleteEntry(e.rel)) "equality"
+          else if (ManifestTable.isCdcEntry(e.rel)) "cdc" // feed sidecar, not backlog
+          else "positional"),
         e.seq.getOrElse(0L),
         sizeOf(root, e),
         ManifestTable.deleteTouchedRels(e)

@@ -33,7 +33,8 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "expire_snapshots", "delete_older_than",
     "create_tag", "create_branch", "drop_ref", "fast_forward", "evolve_partition",
     "rewrite_deletes", "rollback_to_version", "rollback_to_timestamp",
-    "cherrypick_snapshot", "fsck", "remove_orphan_files", "compute_stats")
+    "cherrypick_snapshot", "fsck", "remove_orphan_files", "compute_stats",
+    "localize")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -121,6 +122,22 @@ object GraftProcedures {
         Collections.singletonList[Scan](ResultScan(
           StructType(Seq(StructField("version", LongType, nullable = false))),
           new GenericInternalRow(Array[Any](v)))).iterator()
+      }
+    }
+    case "localize" => new GraftProcedure("localize") {
+      // materialize a shallow clone's ext/ references into its own pool:
+      // CALL cat.system.localize(`table` => 'ns.t') — after it the table
+      // clones freely and source expiry cannot strand its live snapshot
+      override def parameters(): Array[ProcedureParameter] = Array(
+        param("table", StringType))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val (v, copied) = Maintenance.localize(spark, s"$catalogName.$tbl")
+        Collections.singletonList[Scan](ResultScan(
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("files_copied", LongType, nullable = false))),
+          new GenericInternalRow(Array[Any](v, copied)))).iterator()
       }
     }
     case "rewrite_deletes" => new GraftProcedure("rewrite_deletes") {

@@ -638,6 +638,51 @@ object V2Queries {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Per-row CDF through a change-preserving day-scoped CoW MERGE — the
+    * copy-on-write twin of `cdf_update_images` (r19): a day-partitioned
+    * table with `changefeed.cow=true` takes a scoped MERGE whose clauses
+    * update, DELETE and insert, and the change feed window from the
+    * pre-merge version serves EXACT per-row events (update pre/post
+    * pairs, true deletes, true inserts) — rows no clause fired on and
+    * untouched days emit NOTHING, so feed volume follows the touched
+    * rows (Delta CDC's contract) even though the commit physically
+    * REPLACED whole partitions. The very act of reading from v1 proves
+    * the change-preserving horizon (a plain replace would refuse); the
+    * oracle recomputes every event class flat from the raw events. */
+  def cdfCowMerge(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val short = newName("ccm")
+    val tbl = s"$Cat.q.$short"
+    try {
+      val ev = eventsSlim(spark, dir)
+      ev.repartition(3).writeTo(tbl)
+        .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+        .tableProperty("changefeed.cow", "true")
+        .create()                                                         // v1
+      val root = s"${spark.conf.get(s"spark.sql.catalog.$Cat.warehouse")}/q/$short"
+      val v1 = graft.sources.ManifestTable.currentVersion(root).get
+      val inWin = col("ts") >= lit("2024-01-10").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-12").cast("timestamp_ntz")
+      val staged0 = ev.where(col("event_type") === "purchase" &&
+        col("event_id") % 5 === 0 && inWin)
+      staged0.unionByName(staged0.select(
+          (col("event_id") + 1000000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"),
+          (col("value") + 1.0d).as("value")))
+        .createOrReplaceTempView(s"${short}_src")
+      graft.plans.MergeInto.sql(spark,
+        s"""MERGE INTO $tbl t USING ${short}_src s
+           |ON t.event_id = s.event_id AND t.ts = s.ts
+           |WHEN MATCHED AND s.event_id % 10 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = s.value * 3
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)               // v2
+      spark.read.option("fromVersion", v1.toString).table(s"$tbl.changes")
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_events"), Dsl.dsum(col("value")).as("volume"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Deletes-only maintenance as an oracle-gated query — Iceberg's
     * `rewrite_position_delete_files` procedure shape: two scattered-row
     * MOR DELETEs leave two positional delete files; `CALL
@@ -2026,6 +2071,32 @@ object V2Queries {
 
     /** Untouched-keys-carry MANIFEST verdict (copy-on-write). */
     val cowMergeKeyscope: String = mergeScopeRecompute("scope_ok")
+
+    /** Per-row CDF of a change-preserving CoW scoped merge: every event
+      * class recomputed flat from the raw events over the staged window
+      * (matched div-10 rows delete, other matched rows update pre/post,
+      * +1e9-id clones insert) — rows no clause fired on contribute NO
+      * event. */
+    val cdfCowMerge: String = {
+      val win = "event_type = 'purchase' AND event_id % 5 = 0 " +
+        "AND ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-12 00:00:00'"
+      s"""SELECT change_type, COUNT(*) AS n_events,
+         |  ${Dsl.sql.dsum("value")} AS volume
+         |FROM (
+         |  SELECT 'update_preimage' AS change_type, value FROM events
+         |  WHERE $win AND event_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT 'update_postimage', value * 3 FROM events
+         |  WHERE $win AND event_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT 'delete', value FROM events
+         |  WHERE $win AND event_id % 10 = 0
+         |  UNION ALL
+         |  SELECT 'insert', value + 1 FROM events
+         |  WHERE $win)
+         |GROUP BY 1""".stripMargin
+    }
 
     /** Day-scoped CoW merge with a bounded discovery probe: the same
       * update/insert recompute confined to the staged two-day window;

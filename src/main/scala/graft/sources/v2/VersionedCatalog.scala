@@ -642,10 +642,21 @@ object VersionedCatalog {
     }).getOrElse(
       spark.conf.get(s"spark.graft.$kind.mode", "copy-on-write"))
 
+  /** `changefeed.cow=true` (table property, Delta's
+    * `enableChangeDataFeed` shape): a day-scoped copy-on-write MERGE
+    * publishes its per-row changes (CDC sidecars + op-labeled adds) and
+    * stamps a change-preserving horizon, so an up-to-date CDF consumer
+    * survives the rewrite. Opt-in: the split write costs one pool write
+    * per row-operation class plus the sidecars. */
+  private[graft] def changefeedCowFor(root: String): Boolean =
+    readMeta(root).exists(_.userProps.exists { case (k, v) =>
+      k.equalsIgnoreCase("changefeed.cow") && v.trim.equalsIgnoreCase("true")
+    })
+
   /** Validate `write.{delete,update,merge}.mode` BEFORE the descriptor
     * persists. merge-on-read needs parquet row identity (the positional
     * tombstones address rows by parquet row index). */
-  private[v2] def validateDmlModeProps(meta: Meta): Unit =
+  private[v2] def validateDmlModeProps(meta: Meta): Unit = {
     Seq("delete", "update", "merge").foreach { kind =>
       meta.userProps.collectFirst {
         case (k, v) if k.equalsIgnoreCase(s"write.$kind.mode") =>
@@ -659,6 +670,18 @@ object VersionedCatalog {
               s"(table format is ${meta.format})")
       }
     }
+    meta.userProps.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("changefeed.cow") => v.trim.toLowerCase
+    }.foreach { v =>
+      require(v == "true" || v == "false",
+        s"changefeed.cow must be true or false, got '$v'")
+      // the CDC pre-image sidecars are parquet files the feed's scan
+      // stack reads alongside the data files
+      if (v == "true")
+        require(meta.format == "parquet",
+          s"changefeed.cow=true needs a parquet table (format is ${meta.format})")
+    }
+  }
 
   /** The declared write sort order of a table — the `sort.order` user
     * property (comma-separated LOGICAL columns, ascending nulls-first;
@@ -1352,9 +1375,11 @@ class VersionedScanBuilder(root: String, dataSchema: StructType,
     * only delete-keyed shards open; sequences ride along. */
   private[v2] def deleteEntries: Seq[ManifestTable.FileEntry] = {
     val (refs, inline) = resolvedIndex
-    refs.filter(_.key == ManifestTable.DeleteDir)
+    (refs.filter(_.key == ManifestTable.DeleteDir)
       .flatMap(r => ManifestTable.shardEntries(root, r.rel)) ++
-      inline.filter(e => ManifestTable.isDeleteEntry(e.rel))
+      inline.filter(e => ManifestTable.isDeleteEntry(e.rel)))
+      // CDC sidecars are feed provenance, never tombstones to apply
+      .filterNot(e => ManifestTable.isCdcEntry(e.rel))
   }
 
   /** Data files surviving plan-time pruning, in TWO tiers (both floors):

@@ -78,4 +78,50 @@ class BenchSpec extends AnyFunSuite {
     assert(small.contains("\"queries_omitted\":0"))
     assert(small.contains("\"a\":1.0") && small.contains("\"b\":2.0"))
   }
+
+  test("bench floor signatures: a rewritten query's floor resets, and ONLY its floor") {
+    // merge semantics: signature mismatch resets that query alone
+    val now = Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.0)
+    val carry = Map("a" -> 1.0, "b" -> 1.0)
+    val prevSigs = Map("a" -> "s1", "b" -> "s2")
+    val sigs = Map("a" -> "s1", "b" -> "CHANGED", "c" -> "s3")
+    assert(Bench.mergeFloors(now, carry, prevSigs, sigs) ===
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 2.0))
+    // records without signatures (legacy / sources unavailable) carry
+    assert(Bench.mergeFloors(now, carry, Map.empty, sigs)("a") === 1.0)
+    assert(Bench.mergeFloors(now, carry, prevSigs, Map.empty)("b") === 1.0)
+
+    // the real repo's signatures: present, stable, METHOD-granular (two
+    // queries implemented in the same file differ)
+    val real = Bench.querySignatures()
+    assert(real.contains("monthly_balance") && real.contains("mor_merge_prune"),
+      s"expected signatures for registered queries, got ${real.size}")
+    assert(real("mor_merge_prune") !== real("cow_merge_keyscope"),
+      "same-file queries must have distinct (method-level) signatures")
+    assert(real === Bench.querySignatures(), "signatures must be deterministic")
+
+    // sensitivity: in a synthetic source tree, editing ONE method's body
+    // flips its caller's signature and no other
+    val d = java.nio.file.Files.createTempDirectory("graft_sig")
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(d.resolve(name), text)
+    val entry =
+      """object SparkEntry {
+        |  def queries = Map(
+        |    "q1" -> ((s, x) => Impl.one(s, x)),
+        |    "q2" -> ((s, x) => Impl.two(s, x)))
+        |  def oracleSql = Map.empty
+        |}""".stripMargin
+    def impl(twoBody: String) =
+      s"""object Impl {
+         |  def one(s: Any, x: Any) = 1
+         |  def two(s: Any, x: Any) = $twoBody
+         |}""".stripMargin
+    write("SparkEntry.scala", entry); write("Impl.scala", impl("2"))
+    val s1 = Bench.querySignatures(d.toString)
+    write("Impl.scala", impl("2 + 40"))
+    val s2 = Bench.querySignatures(d.toString)
+    assert(s1("q1") === s2("q1"), "an untouched method's caller keeps its signature")
+    assert(s1("q2") !== s2("q2"), "the edited method's caller must re-sign")
+  }
 }

@@ -1056,4 +1056,83 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(narrowed === Set(1L, 2L))
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("change-preserving day-scoped CoW MERGE: per-row labels, carry rows silent, feed continues") {
+    import spark.implicits._
+    val t = "gcdf.ns.cowcdc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // 3 days x 10 rows; changefeed.cow opts this table into published
+    // per-row changes for scoped copy-on-write merges
+    spark.range(0, 30).select(
+        col("id").as("k"),
+        expr("timestamp_ntz '2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0, id * 8640)").as("ts"),
+        col("id").cast("double").as("v"))
+      .writeTo(t)
+      .partitionedBy(org.apache.spark.sql.functions.partitioning.days(col("ts")))
+      .tableProperty("changefeed.cow", "true")
+      .create()                                                          // v1
+    val r = root("cowcdc")
+    val v1 = ManifestTable.currentVersion(r).get
+    val ck = Files.createTempDirectory("graft_cowcdc_ck").toString
+    val outDir = Files.createTempDirectory("graft_cowcdc_out").toString
+    // a RUNNING consumer drains the initial snapshot first
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$t.changes")
+        .writeStream.option("checkpointLocation", ck)
+        .format("parquet").option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(outDir).count() === 30L) // snapshot inserts
+    // day 3 (ids 20-29): update k=21, DELETE k=23, insert k=99
+    Seq((21L, "2024-03-03 00:00:00", 210.0), (23L, "2024-03-03 00:00:00", -1.0),
+        (99L, "2024-03-03 12:00:00", 990.0))
+      .toDF("k", "tss", "v")
+      .select(col("k"), col("tss").cast("timestamp_ntz").as("ts"), col("v"))
+      .createOrReplaceTempView("cowcdc_stg")
+    graft.plans.MergeInto.sql(spark,
+      s"""MERGE INTO $t t USING cowcdc_stg s ON t.k = s.k
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, ts, v) VALUES (s.k, s.ts, s.v)""".stripMargin) // v2
+    val v2 = ManifestTable.currentVersion(r).get
+    // the scoped rewrite landed: day 3 rewrote, days 1-2 carried
+    assert(spark.table(t).count() === 30L) // 30 - 1 delete + 1 insert
+    // CHANGE-PRESERVING horizon: the feed serves the merge itself — a
+    // batch window from v1 (= v2-1) delivers EXACT per-row events, and
+    // feed volume follows the touched rows (4 events), not the
+    // partition (10 rows) or the table (30)
+    val got = spark.read.option("fromVersion", v1.toString).table(s"$t.changes")
+      .select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, Double, String, Long)].collect().toSet
+    assert(got === Set(
+      (21L, 21.0, "update_preimage", v2),
+      (21L, 210.0, "update_postimage", v2),
+      (23L, 23.0, "delete", v2),
+      (99L, 990.0, "insert", v2)), s"got $got")
+    // the RUNNING stream continues across the rewrite (no loud break)
+    // and delivers the same four events
+    drain()
+    val streamed = spark.read.parquet(outDir)
+      .where($"_commit_version" === v2)
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSet
+    assert(streamed === Set((21L, "update_preimage"), (21L, "update_postimage"),
+      (23L, "delete"), (99L, "insert")), s"streamed $streamed")
+    // untouched rows of the TOUCHED day (carry class) and carried days
+    // emit nothing — already implied by the exact sets above
+    // fsck stays healthy with CDC sidecars present
+    val fsck = graft.sources.v2.Maintenance.fsck(spark, s"gcdf.ns.cowcdc")
+    assert(fsck._9, s"fsck must stay healthy with CDC sidecars: $fsck")
+    // SCD2-style fold equivalence: the accumulated feed reproduces the table
+    val folded = spark.read.parquet(outDir)
+      .select($"k", $"v",
+        when($"_change_type".isin("insert", "update_postimage"), 1)
+          .otherwise(-1).as("b"))
+      .groupBy($"k", $"v").agg(sum($"b").as("n")).where($"n" > 0)
+      .select($"k", $"v").as[(Long, Double)].collect().toSet
+    assert(folded === spark.table(t).select($"k", $"v")
+      .as[(Long, Double)].collect().toSet)
+    spark.sql(s"DROP TABLE $t")
+  }
 }

@@ -397,4 +397,79 @@ class CloneSpec extends AnyFunSuite {
       "clone must inherit the source's NDV sketch")
     spark.sql("DROP TABLE gcl.ns.s7c"); spark.sql("DROP TABLE gcl.ns.s7")
   }
+
+  test("a failed clone leaves nothing durable; a foreign _clone_src is never overwritten") {
+    mkSource("s9")
+    // (a) a pre-existing sidecar from a DIFFERENT base refuses the clone
+    //     and survives untouched — overwriting it would re-point a
+    //     concurrent clone's committed ext/ entries at the wrong pool
+    val dstA = root("s9xa")
+    graft.sources.MetaIO.writeAtomic(s"$dstA/_clone_src", "/somewhere/else/data")
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.cloneTo(root("s9"), dstA))
+    assert(e.getMessage.contains("_clone_src"), e.getMessage)
+    assert(graft.sources.MetaIO.readString(s"$dstA/_clone_src").trim ===
+      "/somewhere/else/data")
+    // (b) a clone that fails INSIDE the commit loop (simulated raced
+    //     version floor) removes the sidecar it created: nothing durable
+    val dstB = root("s9xb")
+    graft.sources.MetaIO.writeAtomic(s"$dstB/_MAXV", "5")
+    val e2 = intercept[Exception](ManifestTable.cloneTo(root("s9"), dstB))
+    assert(e2.getMessage.contains("floor") || e2.getMessage.contains("raced"),
+      e2.getMessage)
+    assert(!graft.sources.MetaIO.exists(s"$dstB/_clone_src"),
+      "a failed clone must not leave its _clone_src behind")
+    spark.sql("DROP TABLE gcl.ns.s9")
+  }
+
+  test("CALL localize materializes ext references: diverged clone-of-clone unlocks, source gc cannot strand the clone") {
+    mkSource("s8")
+    spark.sql("CALL gcl.system.clone(source => 'ns.s8', target => 'ns.s8c')")
+    // DIVERGE the clone: a local append + a MOR DELETE tombstoning
+    // source-pooled files (the artifacts must localize too)
+    import spark.implicits._
+    Seq((2000L, java.time.LocalDateTime.of(2024, 2, 3, 1, 0), 7.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("s8_extra")
+    spark.sql("INSERT INTO gcl.ns.s8c SELECT * FROM s8_extra")
+    val prev = spark.conf.getOption("spark.graft.delete.mode")
+    try {
+      spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+      graft.plans.MergeInto.sql(spark, "DELETE FROM gcl.ns.s8c WHERE id % 4 = 1")
+    } finally prev match {
+      case Some(m) => spark.conf.set("spark.graft.delete.mode", m)
+      case None => spark.conf.unset("spark.graft.delete.mode")
+    }
+    val expect = spark.table("gcl.ns.s8c").orderBy("id").collect().toSeq
+    // a DIVERGED clone cannot be cloned — the refusal names localize
+    val e = intercept[Exception] {
+      spark.sql("CALL gcl.system.clone(source => 'ns.s8c', target => 'ns.s8cc')")
+    }
+    assert(e.getMessage.contains("localize"), e.getMessage)
+    val srcFiles = poolFiles("s8").sorted
+    // LOCALIZE: every ext entry's file copies into the clone's own pool
+    val res = spark.sql("CALL gcl.system.localize(`table` => 'ns.s8c')").collect()(0)
+    assert(res.getLong(1) > 0, "localize must copy the ext files")
+    assert(ManifestTable.liveEntries(root("s8c"))
+      .forall(e => !ManifestTable.isExtEntry(e.rel)),
+      "no ext entries may survive localize")
+    assert(poolFiles("s8").sorted === srcFiles, "the source pool is never touched")
+    // content identical through the copy (tombstones still apply: the
+    // __file identities are path-suffix-stable across the move)
+    assert(spark.table("gcl.ns.s8c").orderBy("id").collect().toSeq === expect)
+    // fsck healthy; a second localize is a no-op
+    assert(graft.sources.v2.Maintenance.fsck(spark, "gcl.ns.s8c")._9)
+    assert(spark.sql("CALL gcl.system.localize(`table` => 'ns.s8c')")
+      .collect()(0).getLong(1) === 0L)
+    // the diverged clone-of-clone now succeeds…
+    spark.sql("CALL gcl.system.clone(source => 'ns.s8c', target => 'ns.s8cc')")
+    assert(spark.table("gcl.ns.s8cc").orderBy("id").collect().toSeq === expect)
+    // …and expiring + sweeping THE SOURCE can no longer strand the clone
+    spark.sql("ALTER TABLE gcl.ns.s8 SET TBLPROPERTIES('retain'='1')")
+    spark.sql("DROP TABLE gcl.ns.s8") // the hardest source gc there is
+    graft.sources.MetaIO.delete(root("s8"), recursive = true)
+    assert(spark.table("gcl.ns.s8c").orderBy("id").collect().toSeq === expect)
+    assert(graft.sources.v2.Maintenance.fsck(spark, "gcl.ns.s8c")._9,
+      "the localized clone must survive the source's deletion")
+    spark.sql("DROP TABLE gcl.ns.s8cc"); spark.sql("DROP TABLE gcl.ns.s8c")
+  }
 }
