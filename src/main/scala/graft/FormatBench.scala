@@ -21,6 +21,7 @@ object FormatBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.GraftLocalFs.install(spark)
     import org.apache.spark.sql.functions._
 
     val base = Files.createTempDirectory("format_bench").toString

@@ -21,6 +21,7 @@ object ProbePerf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.GraftLocalFs.install(spark)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2)

@@ -21,6 +21,7 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.GraftLocalFs.install(spark)
 
     val types = Generate.dTransactionTypes(spark)
     val txns = Generate.fTransactions(spark, rows, nContracts = rows / 100)

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.GraftLocalFs.install(spark)
     new java.io.File(outDir).mkdirs()
     // run queries on a small pool: most are seconds-long and leave the
     // 32 scheduler cores idle between stages; 4 concurrent jobs overlap
