@@ -69,6 +69,18 @@ object GraftLocalFileSystem {
   private[sources] val Mode = FsPermission.createImmutable(Integer.parseInt("755", 8).toShort)
 }
 
+/** The [[org.apache.hadoop.fs.FileContext]] twin of
+  * [[GraftLocalFileSystem]] — streaming checkpoint managers
+  * (offsets/commits/state) resolve `file://` through
+  * `fs.AbstractFileSystem.file.impl`, not `fs.file.impl`, so without
+  * this binding every micro-batch's checkpoint files still paid the
+  * stock local stack's per-file forks. Same no-op-permission raw
+  * semantics, delegated. */
+class GraftAbstractLocalFs(uri: java.net.URI,
+                           conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new GraftLocalFileSystem, conf, "file", false)
+
 object GraftLocalFs {
   /** Bind `file://` to [[GraftLocalFileSystem]] for this JVM. Must run
     * before the first local-filesystem access (the Hadoop FileSystem
@@ -80,6 +92,8 @@ object GraftLocalFs {
     val hc = spark.sparkContext.hadoopConfiguration
     if (hc.get("fs.file.impl") != classOf[GraftLocalFileSystem].getName) {
       hc.set("fs.file.impl", classOf[GraftLocalFileSystem].getName)
+      hc.set("fs.AbstractFileSystem.file.impl",
+        classOf[GraftAbstractLocalFs].getName)
       // evict any already-cached stock instance so the binding takes
       // effect even when something touched file:// before install
       FileSystem.closeAll()

@@ -1393,7 +1393,22 @@ object V2Queries {
     val fmts = Seq("parquet", "orc", "avro")
     val tbls = fmts.map(f => f -> s"$Cat.q.${newName(s"ff_$f")}").toMap
     try {
-      fmts.foreach(f => src.writeTo(tbls(f)).using(f).create())
+      // the three CTAS legs are independent (distinct tables, one shared
+      // immutable source): run them as concurrent jobs so each leg's
+      // write/commit tail back-fills the others' idle cores (guide §2.6 —
+      // actions are only sequential because driver code calls them
+      // sequentially). Spark's scheduler is thread-safe; Verify already
+      // drives this session from a 4-thread pool.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(fmts.size)
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(fmts.map(f => Future {
+            src.writeTo(tbls(f)).using(f).create()
+          })),
+          scala.concurrent.duration.Duration(10, "min"))
+      } finally pool.shutdown()
 
       def checksum(df: DataFrame, tag: String): DataFrame = df
         .select(Dedup.md5Long(
