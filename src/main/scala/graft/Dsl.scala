@@ -20,11 +20,19 @@ object Dsl {
     * 2-decimal; 6 fractional digits is comfortably lossless). */
   val Money: DecimalType = DecimalType(18, 6)
 
+  /** `c.cast(Money)` with the per-row `Double.toString`+BigDecimal-parse
+    * tax removed: [[graft.functions.Native.ToScaledDecimal]] produces the
+    * SAME decimal values (property-checked against the cast in
+    * NativeDecSpec) through compact-long arithmetic. The cast was the
+    * single hottest scalar in every decimal-sum aggregate (JDK 17 pre-Ryū
+    * dtoa, one per summed row). */
+  def money(c: Column): Column = graft.functions.Native.to_dec(c, 18, 6)
+
   /** Order-independent sum of a double column, returned as double. */
-  def dsum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
+  def dsum(c: Column): Column = sum(money(c)).cast(DoubleType)
 
   /** Order-independent sum kept as decimal (for further exact math). */
-  def dsumDec(c: Column): Column = sum(c.cast(Money))
+  def dsumDec(c: Column): Column = sum(money(c))
 
   /** Mean derived from the exact sum; denominator mirrors SQL AVG null
     * semantics (count of non-null inputs). */
@@ -40,8 +48,8 @@ object Dsl {
     */
   def dstddev(c: Column): Column = {
     val n  = count(c)
-    val s1 = sum(c.cast(Money)).cast(DoubleType)
-    val s2 = sum((c.cast(Money) * c.cast(Money))).cast(DoubleType)
+    val s1 = sum(money(c)).cast(DoubleType)
+    val s2 = sum((money(c) * money(c))).cast(DoubleType)
     round(when(n > 1, sqrt(greatest((s2 - s1 * s1 / n) / (n - lit(1)), lit(0.0)))), 6)
   }
 

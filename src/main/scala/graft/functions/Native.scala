@@ -220,6 +220,186 @@ object Native {
       copy(child = newChild)
   }
 
+  /** Fast double→scaled-long with EXACTLY the value of Spark's
+    * `Cast(double AS DECIMAL(_, scale))`: `BigDecimal.valueOf(d)` (the
+    * SHORTEST decimal representation of the double) rounded HALF_UP at
+    * `scale`. The cast pays `Double.toString` (pre-Ryū on JDK 17) plus a
+    * BigDecimal parse PER ROW — measured 55% of ANN task CPU and the
+    * dominant cost of every decimal-sum aggregate. Fast path: one double
+    * multiply + floor, taken only when the scaled value is provably
+    * farther from a HALF_UP rounding boundary than the combined
+    * double-arithmetic error (≤ 0.5 ulp from the multiply) and
+    * shortest-repr displacement (≤ ~2 ulp); the margin test
+    * self-disables (branches unsatisfiable) when ulp grows past the
+    * boundary gap near 2^53, falling back to the exact path. The
+    * fallback IS `BigDecimal.valueOf` — bit-for-bit the cast's value —
+    * and NativeDecSpec property-checks the equivalence against Spark's
+    * own Cast over randomized magnitudes. Throws on non-finite input
+    * and on > 18-digit results (ANSI cast semantics; a compact decimal
+    * could not hold them either). */
+  def toScaledLong(d: Double, pow: Double, scale: Int): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      throw new ArithmeticException(s"cannot cast $d to a scaled decimal")
+    val a = math.abs(d)
+    val y = a * pow
+    if (y < 9.007199254740992e15) { // < 2^53: floor and f = y-k are exact
+      val k = math.floor(y)
+      val f = y - k
+      val margin = math.max(1e-6, 8 * Math.ulp(y))
+      if (f > 0.5 + margin) { val r = k.toLong + 1L; return if (d < 0) -r else r }
+      if (f < 0.5 - margin) { val r = k.toLong; return if (d < 0) -r else r }
+    }
+    java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+
+  private val Pow10: Array[Double] = (0 to 18).map(i => math.pow(10, i)).toArray
+  private val LongPow10: Array[Long] = (0 to 18).map(i => math.pow(10, i).toLong).toArray
+
+  /** `Decimal(p, s)` twin of `child.cast(DecimalType(p, s))` for a DOUBLE
+    * or FLOAT child — same values ([[toScaledLong]]), no per-row
+    * Double.toString. Restricted to p ≤ 18 (compact long decimals) and
+    * throws on overflow, mirroring the ANSI cast the engine runs under. */
+  case class ToScaledDecimal(child: Expression, precision: Int, scale: Int)
+      extends UnaryExpression {
+    require(precision <= 18 && scale >= 0 && scale <= precision,
+      s"ToScaledDecimal supports compact decimals only, got ($precision,$scale)")
+    override def dataType: DataType = DecimalType(precision, scale)
+    override def prettyName: String = s"to_dec_${precision}_$scale"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case DoubleType | FloatType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"to_dec needs a double/float child, got $other")
+      }
+    private lazy val isFloat = child.dataType == FloatType
+
+    override def nullSafeEval(v: Any): Any = {
+      val d = if (isFloat) v.asInstanceOf[Float].toDouble else v.asInstanceOf[Double]
+      Native.toDecimal(d, precision, scale)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val cd = if (isFloat) s"(double) $c" else c
+        s"${ev.value} = graft.functions.Native.toDecimal($cd, $precision, $scale);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ToScaledDecimal =
+      copy(child = newChild)
+  }
+
+  /** Static kernel behind [[ToScaledDecimal]] (codegen calls it). */
+  def toDecimal(d: Double, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = {
+    val unscaled = toScaledLong(d, Pow10(scale), scale)
+    if (math.abs(unscaled) >= LongPow10(precision))
+      throw new ArithmeticException(
+        s"$d does not fit DECIMAL($precision,$scale)")
+    org.apache.spark.sql.types.Decimal.createUnsafe(unscaled, precision, scale)
+  }
+
+  /** The whole `exactZipSum` fold as one kernel: for two float/double
+    * arrays, sum of per-element products each rounded to DECIMAL scale 12
+    * (the [[graft.operators.Similarity]] contract), returned as the
+    * DOUBLE the fold's final cast produced. Null/shape semantics mirror
+    * the `aggregate(zip_with(...))` form exactly: length mismatch
+    * (zip_with pads with nulls), any null element, or a non-finite
+    * product → null; empty arrays → 0.0. Terms accumulate as scaled
+    * longs (exact — the decimal adds were exact too); the final double
+    * is produced through the same BigDecimal→double conversion the
+    * decimal cast used. Long overflow (|sum| ≥ 10^6.9 in value — beyond
+    * any dot product of sane embeddings) recomputes the pair through
+    * full BigDecimal arithmetic rather than failing. */
+  case class ExactDotDecimal(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "exact_dot_decimal"
+    private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalStateException(
+        s"exact_dot_decimal needs array<float|double>, got $other")
+    }
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"exact_dot_decimal needs array<float|double> inputs, got " +
+          s"${left.dataType} / ${right.dataType}")
+    }
+    private lazy val lf = elemIsFloat(left)
+    private lazy val rf = elemIsFloat(right)
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Native.exactDotDec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("dot")
+        s"""
+           |java.lang.Double $r = graft.functions.Native.exactDotDec($a, $b, $lf, $rf);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ExactDotDecimal =
+      copy(left = l, right = r)
+  }
+
+  /** Static kernel behind [[ExactDotDecimal]]; boxed so codegen can see
+    * the null verdict. */
+  def exactDotDec(x: ArrayData, y: ArrayData,
+                  leftFloat: Boolean, rightFloat: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null // zip_with pads → null terms → null
+    var sum = 0L
+    var i = 0
+    var overflow = false
+    while (i < n && !overflow) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xd = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yd = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xd * yd
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+      try sum = Math.addExact(sum, toScaledLong(d, 1e12, 12))
+      catch { case _: ArithmeticException => overflow = true }
+      i += 1
+    }
+    if (overflow) {
+      // exact re-run of the whole pair in BigDecimal space with the
+      // fold's own overflow contract: a term beyond DECIMAL(20,12) or an
+      // accumulator beyond DECIMAL(30,12) throws, as the ANSI casts did —
+      // unreachable for unit-ish vectors, faithful for adversarial ones
+      val termLimit = new java.math.BigDecimal(java.math.BigInteger.TEN.pow(8))
+      val accLimit = new java.math.BigDecimal(java.math.BigInteger.TEN.pow(18))
+      var acc = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < n) {
+        val xd = if (leftFloat) x.getFloat(j).toDouble else x.getDouble(j)
+        val yd = if (rightFloat) y.getFloat(j).toDouble else y.getDouble(j)
+        val d = xd * yd
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+        val t = java.math.BigDecimal.valueOf(d)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        if (t.abs.compareTo(termLimit) >= 0)
+          throw new ArithmeticException(s"$d does not fit DECIMAL(20,12)")
+        acc = acc.add(t)
+        if (acc.abs.compareTo(accLimit) >= 0)
+          throw new ArithmeticException(s"$acc does not fit DECIMAL(30,12)")
+        j += 1
+      }
+      return java.lang.Double.valueOf(acc.doubleValue())
+    }
+    // same conversion the Decimal(…,12) → double cast performs
+    java.lang.Double.valueOf(
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 12).doubleValue())
+  }
+
   // Column-API entry points (classic Column <-> Expression bridge)
   def rolling_hash(c: Column): Column =
     B.column(RollingHash(B.expression(c)))
@@ -229,4 +409,8 @@ object Native {
     B.column(BloomContains(B.expression(keyStr), words, mBits, k))
   def shingle_rows(text: Column, n: Int): Column =
     B.column(ShingleGenerate(B.expression(text), n))
+  def to_dec(c: Column, precision: Int, scale: Int): Column =
+    B.column(ToScaledDecimal(B.expression(c), precision, scale))
+  def exact_dot_decimal(a: Column, b: Column): Column =
+    B.column(ExactDotDecimal(B.expression(a), B.expression(b)))
 }

@@ -176,7 +176,7 @@ object Analytics {
         col("o_orderkey"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("amt").cast(Dsl.Money)).as("s"),
+        sum(Dsl.money(col("amt"))).as("s"),
         first(col("c_custkey")).as("ck"))
     val prodKeys = Seq("product_name", "product_brand", "product_category")
     val base = lvl1

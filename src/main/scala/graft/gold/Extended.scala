@@ -87,10 +87,17 @@ object Extended {
     cumulativeHistogramOn(Tables.lineitem(spark, dir))
 
   private[graft] def cumulativeHistogramOn(lineitem: DataFrame): DataFrame = {
+    // materialize the histogram ONCE for its two consumers (offsets
+    // derivation + probe side): Catalyst shares no subtrees across the
+    // self-join, so without this the scan + map-side aggregation ran
+    // twice per query — the "persist the histogram frame" note below,
+    // now applied at bench scale too (measured: the second scan+agg was
+    // ~40% of exact_median). localCheckpoint keeps the operator shape.
     val hist = lineitem
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("bkt", floor(col("l_extendedprice") / RankBucketWidth))
+      .localCheckpoint(true)
     val wPrevBkts = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wFlag = Window.partitionBy(col("l_returnflag"))
@@ -130,7 +137,7 @@ object Extended {
       .where(col("wgt") > 0)
       .groupBy(col("l_returnflag"))
       .agg(
-        (sum(col("l_extendedprice").cast(Dsl.Money) * col("wgt")).cast(DoubleType)
+        (sum(Dsl.money(col("l_extendedprice")) * col("wgt")).cast(DoubleType)
           / sum(col("wgt"))).as("median_price"),
         max(col("n")).as("n"))
 
@@ -172,8 +179,8 @@ object Extended {
     * dependent, engine specific). Final rounding absorbs the oracle's
     * decimal→double double-rounding exactly as `Dsl.dstddev` does. */
   def statsCorr(spark: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity").cast(Dsl.Money)
-    val y = col("l_extendedprice").cast(Dsl.Money)
+    val x = Dsl.money(col("l_quantity"))
+    val y = Dsl.money(col("l_extendedprice"))
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -244,7 +251,7 @@ object Extended {
         // double→decimal re-rounding of the sqrt'd norms is the one step
         // engines disagree on (shortest-repr vs exact-binary rounding at
         // digit 12); final round(…,6) absorbs that ulp-level noise
-        round(sum(col("nrm").cast(DecimalType(18, 12))).cast(DoubleType)
+        round(sum(graft.functions.Native.to_dec(col("nrm"), 18, 12)).cast(DoubleType)
           / count(col("nrm")), 6).as("avg_norm"),
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"))

@@ -225,7 +225,7 @@ object Tpch {
   def q22WealthyInactive(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val avgBal = cust.where(col("c_acctbal") > 0.0)
-      .agg((sum(col("c_acctbal").cast(Dsl.Money)).cast(DoubleType)
+      .agg((sum(Dsl.money(col("c_acctbal"))).cast(DoubleType)
         / count(col("c_acctbal"))).as("avg_bal"))
     val recent = Tables.orders(spark, dir)
       .where(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))

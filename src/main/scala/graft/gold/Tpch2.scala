@@ -174,7 +174,7 @@ object Tpch2 {
     val w = Window.partitionBy(col("l_partkey"))
     Tables.lineitem(spark, dir)
       .withColumn("qty_limit",
-        lit(0.2) * (sum(col("l_quantity").cast(Dsl.Money)).over(w).cast(DoubleType)
+        lit(0.2) * (sum(Dsl.money(col("l_quantity"))).over(w).cast(DoubleType)
           / count(col("l_quantity")).over(w)))
       .join(broadcast(Tables.part(spark, dir).where(col("p_brand") === "Brand#3")),
         col("l_partkey") === col("p_partkey"))

@@ -29,7 +29,7 @@ object Windowing {
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .withColumn("running_value",
-        sum(col("value").cast(Dsl.Money))
+        sum(Dsl.money(col("value")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast(DoubleType))
   }
@@ -50,7 +50,7 @@ object Windowing {
       .withColumn("first_val", first(col("value")).over(
         total.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("window_sum",
-        sum(col("value").cast(Dsl.Money))
+        sum(Dsl.money(col("value")))
           .over(total.rowsBetween(-2, 2)).cast(DoubleType))
   }
 
@@ -74,7 +74,7 @@ object Windowing {
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", pivotTypes)
-      .agg(sum(col("value").cast(Dsl.Money)).cast(DoubleType))
+      .agg(sum(Dsl.money(col("value"))).cast(DoubleType))
 
   /** 6-hour tumbling windows over the event stream (batch form of the
     * streaming windowed aggregate). */

@@ -45,6 +45,15 @@ object Similarity {
     * vector-sized inputs. Unrolling only wins for small fixed widths with
     * large row multipliers (see the PQ encoder's 8-term chains). */
   def exactZipSum(a: Column, b: Column): Column =
+    graft.functions.Native.exact_dot_decimal(a, b)
+
+  /** The aggregate/zip_with fold [[exactZipSum]] used to be — kept (and
+    * property-matched in NativeDecSpec) as the executable spec of the
+    * native kernel's semantics: per-term DECIMAL(20,12) HALF_UP rounding,
+    * exact DECIMAL(30,12) accumulation, double at the end. The kernel
+    * removes the per-term `Double.toString`+BigDecimal-parse the casts
+    * paid (55% of ANN task CPU at sf0.1, JFR-measured). */
+  private[graft] def exactZipSumFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Term)),
       lit(BigDecimal(0)).cast(Acc),
@@ -187,14 +196,14 @@ object Similarity {
     // one codegen'd aggregate pass: 8 plane dots + the self-norm per vector
     val planeAggs = (0 until planes).map { j =>
       val signArr = array(signs(j).map(s => lit(s.toDouble)): _*)
-      sum((col("x") * element_at(signArr, col("pos") + 1)).cast(Term)).as(s"d$j")
+      sum(graft.functions.Native.to_dec(col("x") * element_at(signArr, col("pos") + 1), 18, 12)).as(s"d$j")
     }
     // signatures + norms are reused by both join sides and the rescore —
     // materialize once (the "index build" of the LSH pipeline)
     val sigs = exploded(e, "vec_id", "embedding")
       .groupBy(col("vec_id"))
       .agg(planeAggs.head, (planeAggs.tail :+
-        sum((col("x") * col("x")).cast(Term)).cast(DoubleType).as("nrm")): _*)
+        sum(graft.functions.Native.to_dec(col("x") * col("x"), 18, 12)).cast(DoubleType).as("nrm")): _*)
       .withColumn("sig",
         (0 until planes).map(j =>
           when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
@@ -393,8 +402,9 @@ object Similarity {
     // chains stay in whole-stage codegen, where an aggregate/zip_with
     // fold would run interpreted 1M+ times (vectors × codebook rows)
     val dot = (0 until PqSubDim).map { d =>
-      (element_at(col("embedding"), col("m") * PqSubDim + d + 1).cast(DoubleType)
-        * element_at(col("cvec"), d + 1)).cast(Term)
+      graft.functions.Native.to_dec(
+        element_at(col("embedding"), col("m") * PqSubDim + d + 1).cast(DoubleType)
+          * element_at(col("cvec"), d + 1), 18, 12)
     }.reduce(_ + _).cast(DoubleType)
     subs.join(broadcast(pqCodebook(spark)), Seq("m"))
       .withColumn("score", col("c2") - lit(2.0) * dot)
@@ -428,7 +438,7 @@ object Similarity {
       .groupBy(col("centroid_id"), col("pos"))
       .agg(
         count(lit(1)).as("n_members"),
-        round(sum(col("x").cast(Term)).cast(DoubleType) / count(lit(1)), 6)
+        round(sum(graft.functions.Native.to_dec(col("x"), 18, 12)).cast(DoubleType) / count(lit(1)), 6)
           .as("new_val"))
   }
 
@@ -460,8 +470,9 @@ object Similarity {
     // per-query ADC lookup table: qdot(qid, m, k) = ⟨q_m, c_{m,k}⟩ as an
     // exact DECIMAL(30,12) (kept decimal so the final Σ_m stays exact)
     val qdotTerm = (0 until PqSubDim).map { d =>
-      (element_at(col("qv"), col("m") * PqSubDim + (d + 1)).cast(DoubleType)
-        * element_at(col("cvec"), d + 1)).cast(Term)
+      graft.functions.Native.to_dec(
+        element_at(col("qv"), col("m") * PqSubDim + (d + 1)).cast(DoubleType)
+          * element_at(col("cvec"), d + 1), 18, 12)
     }.reduceLeft[org.apache.spark.sql.Column]((acc, t) => (acc + t).cast(Acc))
     val qdots = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_qid"), col("embedding").as("qv"))
@@ -510,12 +521,12 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("pos"),
         col("col").cast(DoubleType).as("x"))
     val cent = ex.groupBy(col("label"), col("pos"))
-      .agg((sum(col("x").cast(DecimalType(18, 12))).cast(DoubleType)
+      .agg((sum(graft.functions.Native.to_dec(col("x"), 18, 12)).cast(DoubleType)
         / count(lit(1))).as("c"))
     ex.join(broadcast(cent), Seq("label", "pos"))
       .groupBy(col("label"), col("vec_id"))
       .agg(round(
-        sum(((col("x") - col("c")) * (col("x") - col("c"))).cast(DecimalType(18, 12)))
+        sum(graft.functions.Native.to_dec((col("x") - col("c")) * (col("x") - col("c")), 18, 12))
           .cast(DoubleType), 6).as("dist2"))
       .orderBy(col("dist2").desc, col("vec_id"))
       .limit(topN)
